@@ -1,0 +1,301 @@
+"""Ray Data stage: per-conversation session scan (map_groups UDF).
+
+Builds the callable passed to ``ds.groupby("conv_id").map_groups``.
+Each group is one conversation's turns as a zero-copy Arrow table; the
+UDF sorts by ``turn_idx``, walks the SessionScanner over the lines, and
+returns one structured row per turn.
+
+Vectorized pre-classification: before the Python walk, three Arrow
+compute passes classify every line of the group so that the scanner can
+skip tokenization entirely for the two dominant line shapes --
+
+* *plain* lines (no escapes / C0 edits / '$' / vim hint): the visible
+  text is the line itself,
+* *SGR-only* lines (escapes are exclusively ``CSI ... m`` color runs):
+  the visible text is the line with the color runs deleted --
+
+while prompt lines, vim boundaries and anything carrying parser state
+take the exact slow path.  The fast paths are only *hints*; the scanner
+re-checks its own state (FSM state, tokenizer carry, pending vim
+re-entry, suppression) before trusting them, so output is bit-identical
+to the full walk (asserted by tests against the reference oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..vt import session as S
+from ..vt.session import SessionScanner
+from ..vt.tokenizer import GROUND
+
+# Lines with none of these are "plain": no C0 except TAB (LF cannot
+# occur inside a turn's text), no '$' (prompt detection), no vim hint
+# literal, no ESC.  Trailing CRs are tolerated (winpty endings) and
+# handled by the caller.
+_RISKY = "[\\x00-\\x08\\x0b-\\x1f]|\\$|\\x1b|hint: Waiting"
+# Lines whose only escape use is SGR coloring
+_SGR_ONLY = "^(?:[^\\x1b\\x00-\\x08\\x0b-\\x1f$]|\\x1b\\[[0-9;]*m)*\\r*$"
+_SGR_RUN = "\\x1b\\[[0-9;]*m"
+
+
+# Output schema of the session scan
+SCAN_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("ts", pa.timestamp("us")),
+        ("role", pa.string()),
+        ("clean_text", pa.string()),
+        ("cmd_count", pa.int32()),
+        ("cmd_number", pa.int32()),
+        ("is_prompt", pa.bool_()),
+        ("command", pa.string()),
+        ("cwd", pa.string()),
+        ("in_vim", pa.bool_()),
+        ("vim_session_id", pa.int32()),
+        ("osc_title", pa.string()),
+        ("warnings", pa.int32()),
+    ]
+)
+
+
+def _fast_hints(texts: pa.ChunkedArray):
+    """Vectorized line classification for the scanner fast paths."""
+    risky = pc.match_substring_regex(texts, _RISKY)
+    # plain = not risky (trailing \r handled by rstrip on the fly)
+    plain = pc.invert(risky)
+    has_esc = pc.match_substring(texts, "\x1b")
+    sgr_only = pc.and_(has_esc, pc.match_substring_regex(texts, _SGR_ONLY))
+    stripped = pc.replace_substring_regex(texts, _SGR_RUN, "")
+    return (
+        plain.to_numpy(zero_copy_only=False),
+        has_esc.to_numpy(zero_copy_only=False),
+        sgr_only.to_numpy(zero_copy_only=False),
+        stripped,
+    )
+
+
+def scan_conversation(
+    conv_id: str,
+    texts: list,
+    turn_idxs,
+    ts_vals,
+    suppress=(),
+    collect_stats: bool = False,
+    hints=None,
+    has_eols=None,
+):
+    """Scan one conversation; returns dict of output columns."""
+    n = len(texts)
+    sc = SessionScanner(suppress=suppress, collect_stats=collect_stats)
+    recs = []
+    if hints is not None:
+        plain, has_esc, sgr_only, stripped = hints
+    for i in range(n):
+        text = texts[i]
+        eol = True if has_eols is None else bool(has_eols[i])
+        rec = None
+        if hints is not None and not collect_stats and eol:
+            rec = _try_fast(
+                sc,
+                int(turn_idxs[i]),
+                text,
+                bool(plain[i]),
+                bool(has_esc[i]),
+                bool(sgr_only[i]),
+                stripped[i],
+            )
+        if rec is None:
+            rec = sc.scan_turn(int(turn_idxs[i]), text, eol)
+        recs.append(rec)
+
+    # backfill per-command metadata over the whole conversation
+    cmd_text = {}
+    cmd_cwd = {}
+    for r in recs:
+        if r.command is not None:
+            cmd_text.setdefault(r.cmd_count, r.command)
+        if r.cwd:
+            cmd_cwd.setdefault(r.cmd_count, r.cwd)
+
+    roles, commands, cwds = [], [], []
+    for r in recs:
+        if r.cmd_count == 0:
+            roles.append("system")
+        elif r.is_prompt or r.prompt_active or r.command is not None or r.cwd:
+            roles.append("user")
+        else:
+            roles.append("assistant")
+        commands.append(cmd_text.get(r.cmd_count, ""))
+        cwds.append(cmd_cwd.get(r.cmd_count, ""))
+
+    return {
+        "conv_id": [conv_id] * n,
+        "turn_idx": [r.turn_idx for r in recs],
+        "ts": ts_vals,
+        "role": roles,
+        "clean_text": [r.clean_text for r in recs],
+        "cmd_count": [r.cmd_count for r in recs],
+        "cmd_number": [r.cmd_number for r in recs],
+        "is_prompt": [r.is_prompt for r in recs],
+        "command": commands,
+        "cwd": cwds,
+        "in_vim": [r.in_vim for r in recs],
+        "vim_session_id": [r.vim_session_id for r in recs],
+        "osc_title": [r.osc_title for r in recs],
+        "warnings": [r.warnings for r in recs],
+    }, sc
+
+
+def _try_fast(sc: SessionScanner, idx, text, plain, has_esc, sgr_only, stripped):
+    """State-checked fast paths; None means take the exact slow path."""
+    if sc.tok.state != GROUND or sc.tok.utf8_need or sc.next_vim > 0:
+        return None
+    tlp = sc.tlp
+
+    # vim interior: everything is dropped; only escapes can end it
+    if tlp in (S.VIM_START, S.VIM_ONELINE):
+        if has_esc or sc.in_prompt:
+            return None
+        rec = S.TurnRecord(idx)
+        rec.cmd_count = sc.cmd_count
+        rec.cmd_number = sc.cmd_number
+        rec.in_vim = True
+        rec.vim_session_id = sc.vim_session_seq
+        sc._last_rec = rec
+        return rec
+
+    if not (plain or sgr_only) or sc.in_prompt or sc.in_vim:
+        return None
+    if sc.term_line.size() > 0:
+        return None
+
+    prefix = ""
+    rec = S.TurnRecord(idx)
+    sc._rec = rec
+    if tlp == S.PROMPT:
+        sc._emit_normal()  # fires prompt_end -> writes the command line
+        sc.tlp = S.NORMAL
+        prefix = rec.clean_text
+    elif tlp == S.VIM_ENDING:
+        sc._emit_normal()  # fires vim_end
+        sc.tlp = S.NORMAL
+    elif tlp != S.NORMAL:
+        sc._rec = None
+        return None
+
+    # the vim-start detection block ran and found nothing
+    sc.vim_2200_seen = False
+
+    body = (stripped.as_py() if sgr_only and not plain else text).rstrip("\r")
+    if not sc.suppressed:
+        rec.clean_text = prefix + body + "\n"
+    else:
+        rec.clean_text = prefix
+    rec.cmd_count = sc.cmd_count
+    rec.cmd_number = sc.cmd_number
+    sc._rec = None
+    sc._last_rec = rec
+    return rec
+
+
+def make_scan_fn(
+    suppress_map=None,
+    collect_stats: bool = False,
+    use_fast_paths: bool = True,
+):
+    """Create the map_groups UDF (pyarrow batch format)."""
+    suppress_map = suppress_map or {}
+
+    def scan_group(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return SCAN_SCHEMA.empty_table()
+        tbl = tbl.sort_by("turn_idx")
+        conv_id = tbl.column("conv_id")[0].as_py()
+        texts = tbl.column("text").to_pylist()
+        turn_idxs = tbl.column("turn_idx").to_numpy(zero_copy_only=False)
+        ts_vals = (
+            tbl.column("ts")
+            if "ts" in tbl.schema.names
+            else pa.nulls(tbl.num_rows, pa.timestamp("us"))
+        )
+        hints = _fast_hints(tbl.column("text")) if use_fast_paths else None
+        has_eols = (
+            tbl.column("has_eol").to_pylist()
+            if "has_eol" in tbl.schema.names
+            else None
+        )
+        cols, _sc = scan_conversation(
+            conv_id,
+            texts,
+            turn_idxs,
+            ts_vals,
+            suppress=suppress_map.get(conv_id, ()),
+            collect_stats=collect_stats,
+            hints=hints,
+            has_eols=has_eols,
+        )
+        arrays = [
+            pa.array(cols["conv_id"], pa.string()),
+            pa.array(cols["turn_idx"], pa.int32()),
+            cols["ts"] if isinstance(cols["ts"], (pa.Array, pa.ChunkedArray)) else pa.array(cols["ts"], pa.timestamp("us")),
+            pa.array(cols["role"], pa.string()),
+            pa.array(cols["clean_text"], pa.string()),
+            pa.array(cols["cmd_count"], pa.int32()),
+            pa.array(cols["cmd_number"], pa.int32()),
+            pa.array(cols["is_prompt"], pa.bool_()),
+            pa.array(cols["command"], pa.string()),
+            pa.array(cols["cwd"], pa.string()),
+            pa.array(cols["in_vim"], pa.bool_()),
+            pa.array(cols["vim_session_id"], pa.int32()),
+            pa.array(cols["osc_title"], pa.string()),
+            pa.array(cols["warnings"], pa.int32()),
+        ]
+        return pa.Table.from_arrays(arrays, schema=SCAN_SCHEMA)
+
+    return scan_group
+
+
+def make_stats_fn():
+    """map_groups UDF emitting (conv_id, kind, seq, n) histogram partials.
+
+    Mirrors the reference's sequence statistics
+    (reference vtparser.py:552-559,744-787): control functions, escape
+    sequences, CSI sequences, DCS functions, plus distinct OSC/DCS
+    strings (emitted with n = occurrence count semantics where exact,
+    n = 1 for set-valued kinds).
+    """
+
+    def stats_group(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by("turn_idx")
+        conv_id = tbl.column("conv_id")[0].as_py()
+        sc = SessionScanner(collect_stats=True)
+        for i, text in enumerate(tbl.column("text").to_pylist()):
+            sc.scan_turn(i, text)
+        kinds, seqs, ns = [], [], []
+        for kind, d in sc.stats.items():
+            for k, v in d.items():
+                kinds.append(kind)
+                seqs.append(k if isinstance(k, str) else "0x{:02x}".format(k))
+                ns.append(v)
+        for s in sc.osc_seen:
+            kinds.append("osc_string")
+            seqs.append(s)
+            ns.append(1)
+        for s in sc.dcs_seen:
+            kinds.append("dcs_string")
+            seqs.append(s)
+            ns.append(1)
+        return pa.table(
+            {
+                "conv_id": pa.array([conv_id] * len(kinds), pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "seq": pa.array(seqs, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    return stats_group
