@@ -1,0 +1,118 @@
+"""Deterministic transcript datasets cached under /tmp.
+
+The driver's testdata (``/root/testdata/sf*``) has no transcripts
+table, so the engine synthesises one per scale factor -- deterministic
+(seed 42), generated once, cached as partitioned Parquet.  DuckDB
+oracle SQL reads the same files via ``read_parquet``, so the driver's
+side-by-side comparison sees one consistent dataset.
+
+Generation is sharded across Ray tasks (one task per conversation
+range) when a Ray session is available, falling back to inline
+generation for tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .synth import gen_table
+
+CACHE_ROOT = "/tmp/clpr_transcripts"
+
+# scale-factor name -> (n_convs, mean_turns)
+SIZES = {
+    "sf0.001": (60, 40),
+    "sf0.01": (500, 50),
+    "sf0.1": (5000, 200),
+}
+_DEFAULT = (60, 40)
+SEED = 42
+_SHARD_CONVS = 250  # conversations per generation shard / output file
+
+
+def sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def transcripts_dir(sf_dir: str) -> str:
+    return os.path.join(CACHE_ROOT, sf_name(sf_dir))
+
+
+def transcripts_glob(sf_dir: str) -> str:
+    return os.path.join(transcripts_dir(sf_dir), "*.parquet")
+
+
+def ensure_transcripts(sf_dir: str) -> str:
+    """Generate (once) and return the transcripts directory for sf_dir."""
+    name = sf_name(sf_dir)
+    n_convs, mean_turns = SIZES.get(name, _DEFAULT)
+    out = transcripts_dir(sf_dir)
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out
+    if os.path.exists(out):  # stale partial build from a crashed run
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+    tmp = out + ".building.{}".format(os.getpid())
+    os.makedirs(tmp, exist_ok=True)
+
+    shards = [
+        (start, min(_SHARD_CONVS, n_convs - start))
+        for start in range(0, n_convs, _SHARD_CONVS)
+    ]
+
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(shards) > 1
+    except Exception:
+        use_ray = False
+
+    if use_ray:
+        import ray
+
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+
+        @ray.remote(num_cpus=1)
+        def _gen(start, count, path):
+            import sys
+
+            if repo_root not in sys.path:
+                sys.path.insert(0, repo_root)
+            from console_log_parser_ray.sources.synth import gen_table as _gt
+
+            tbl = _gt(count, seed=SEED, mean_turns=mean_turns, start=start)
+            pq.write_table(tbl, path, compression="zstd")
+            return tbl.num_rows
+
+        refs = [
+            _gen.remote(s, c, os.path.join(tmp, f"part-{s:07d}.parquet"))
+            for s, c in shards
+        ]
+        ray.get(refs)
+    else:
+        for s, c in shards:
+            tbl = gen_table(c, seed=SEED, mean_turns=mean_turns, start=s)
+            pq.write_table(
+                tbl, os.path.join(tmp, f"part-{s:07d}.parquet"), compression="zstd"
+            )
+
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+        fh.write("ok\n")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # lost the race: another process finished first
+        import shutil
+
+        if os.path.exists(done):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+    return out

@@ -58,6 +58,9 @@ SCAN_SCHEMA = pa.schema(
         ("vim_session_id", pa.int32()),
         ("osc_title", pa.string()),
         ("warnings", pa.int32()),
+        # raw frame data for vim-session turns (null elsewhere); feeds
+        # the vim_sessions sink (reference asciinema2html.py:192-197)
+        ("vim_text", pa.string()),
     ]
 )
 
@@ -253,6 +256,13 @@ def make_scan_fn(
             pa.array(cols["vim_session_id"], pa.int32()),
             pa.array(cols["osc_title"], pa.string()),
             pa.array(cols["warnings"], pa.int32()),
+            pa.array(
+                [
+                    t if v else None
+                    for t, v in zip(texts, cols["in_vim"])
+                ],
+                pa.string(),
+            ),
         ]
         return pa.Table.from_arrays(arrays, schema=SCAN_SCHEMA)
 

@@ -1,0 +1,90 @@
+"""Resumable routed sinks: bucketed Parquet with lineage manifests.
+
+Output layout (north rule: "per-partition lineage manifests + metrics"):
+
+    <out_dir>/
+      sinks/
+        by_role/ role=<r>/ bucket=<b>/ *.parquet
+        by_tool/ sink=<s>/ bucket=<b>/ *.parquet
+        vim_sessions/ bucket=<b>/ *.parquet
+      _manifest/
+        bucket-<b>.json     # rows per sink, written files, input lineage
+
+Conversations are assigned to ``n_buckets`` partitions by a stable hash
+of ``conv_id``.  A bucket's manifest is written only after every sink
+finished writing that bucket, so a killed run leaves at most one
+unfinished bucket per sink; on restart completed buckets are skipped
+(their conversations are filtered out at the read) and the remaining
+buckets re-run idempotently (their partition directories are replaced).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import zlib
+
+
+def conv_bucket(conv_id: str, n_buckets: int) -> int:
+    return zlib.crc32(conv_id.encode()) % n_buckets
+
+
+def manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def manifest_path(out_dir: str, bucket: int) -> str:
+    return os.path.join(manifest_dir(out_dir), f"bucket-{bucket:05d}.json")
+
+
+def completed_buckets(out_dir: str) -> set:
+    md = manifest_dir(out_dir)
+    if not os.path.isdir(md):
+        return set()
+    out = set()
+    for name in os.listdir(md):
+        if name.startswith("bucket-") and name.endswith(".json"):
+            out.add(int(name[len("bucket-"):-len(".json")]))
+    return out
+
+
+def clean_bucket_outputs(out_dir: str, bucket: int):
+    """Remove partial sink output of an uncommitted bucket."""
+    sinks_root = os.path.join(out_dir, "sinks")
+    if not os.path.isdir(sinks_root):
+        return
+    needle = f"bucket={bucket}"
+    for root, dirs, _files in os.walk(sinks_root):
+        for d in list(dirs):
+            if d == needle:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                dirs.remove(d)
+
+
+def write_manifest(out_dir: str, bucket: int, payload: dict):
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    tmp = manifest_path(out_dir, bucket) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, sort_keys=True)
+    os.replace(tmp, manifest_path(out_dir, bucket))
+
+
+def collect_bucket_metrics(out_dir: str, bucket: int) -> dict:
+    """Row counts + file lists per sink for one bucket (for lineage)."""
+    import pyarrow.parquet as pq
+
+    sinks_root = os.path.join(out_dir, "sinks")
+    needle = f"bucket={bucket}"
+    metrics = {}
+    for root, dirs, files in os.walk(sinks_root):
+        if os.path.basename(root) == needle:
+            rel = os.path.relpath(root, sinks_root)
+            rows = 0
+            flist = []
+            for f in files:
+                if f.endswith(".parquet"):
+                    rows += pq.read_metadata(os.path.join(root, f)).num_rows
+                    flist.append(f)
+            metrics[rel] = {"rows": rows, "files": sorted(flist)}
+    return metrics
