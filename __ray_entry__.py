@@ -1,44 +1,539 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native console-transcript engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship parse on sf0.001.  ``queries()`` exposes
+one callable per implemented operator (SURVEY.md section 2 plus the
+training-data-pipeline extensions); ``oracle_sql()`` gives DuckDB
+equivalents for the SQL-expressible ones.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Transcript queries run over a deterministic synthetic transcripts table
+(seed 42) cached under /tmp/clpr_transcripts/<sf>/ -- the driver's
+DuckDB reads the same parquet files via read_parquet(), and the
+generator's ground-truth columns (computed independently of the engine,
+validated against the in-process reference oracle in tests/) serve as
+the SQL side.
+
+Ray is initialised by the driver before import; nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from console_log_parser_ray.sources import cache as _cache  # noqa: E402
+
+# The driver's correctness gate runs at sf0.01; oracle SQL reads the
+# same cached parquet the Ray queries parse.
+_SF001_GLOB = os.path.join(_cache.CACHE_ROOT, "sf0.01", "*.parquet")
+
+_TOOL_SINK_CASE = """
+    CASE expected_tool
+      WHEN '' THEN 'none'
+      WHEN 'git' THEN 'vcs'
+      WHEN 'make' THEN 'build'
+      WHEN 'python' THEN 'lang'
+      WHEN 'vim' THEN 'editor'
+      WHEN 'grep' THEN 'shell'
+      ELSE 'shell'
+    END
+"""
+
+
+def _transcripts_ds(sf_dir: str):
+    import ray.data
+
+    path = _cache.ensure_transcripts(sf_dir)
+    return ray.data.read_parquet(
+        path, columns=["conv_id", "turn_idx", "text", "ts"]
+    )
+
+
+def _parsed(sf_dir: str):
+    from console_log_parser_ray.pipelines import flagship
+
+    return flagship.parse_sessions(_transcripts_ds(sf_dir))
+
+
+def _enriched(sf_dir: str):
+    from console_log_parser_ray.stages.enrich import enrich
+
+    return enrich(_parsed(sf_dir))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (smoke check)."""
+    return _enriched("/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# transcript queries
+# ---------------------------------------------------------------------------
+
+
+def _q_parse_clean_text(sf_dir: str):
+    return _parsed(sf_dir).select_columns(["conv_id", "turn_idx", "clean_text"])
+
+
+def _q_parse_structure(sf_dir: str):
+    return _parsed(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "cmd_count", "in_vim", "command"]
+    )
+
+
+def _q_role_counts(sf_dir: str):
+    return (
+        _parsed(sf_dir)
+        .groupby("role")
+        .count()
+        .rename_columns({"count()": "n"})
+    )
+
+
+def _q_tool_sink_counts(sf_dir: str):
+    return (
+        _enriched(sf_dir)
+        .groupby("sink")
+        .count()
+        .rename_columns({"count()": "n"})
+    )
+
+
+def _q_commands(sf_dir: str):
+    import pyarrow as pa
+
+    def first(tbl: pa.Table) -> pa.Table:
+        return tbl.slice(0, 1)
+
+    ds = (
+        _enriched(sf_dir)
+        .filter(expr="cmd_count > 0")
+        .select_columns(["conv_id", "cmd_count", "command", "tool"])
+    )
+    return ds.groupby(["conv_id", "cmd_count"]).map_groups(
+        first, batch_format="pyarrow"
+    )
+
+
+def _q_conv_rollup(sf_dir: str):
+    from console_log_parser_ray.pipelines import flagship
+
+    return flagship.conv_rollup(_parsed(sf_dir))
+
+
+def _q_seq_histogram(sf_dir: str):
+    from console_log_parser_ray.pipelines import flagship
+
+    return flagship.sequence_histogram(_transcripts_ds(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# document / embedding / event queries over the driver's testdata
+# ---------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _q_dedup_exact(sf_dir: str):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.dedup import exact_dedup
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def shift(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.set_column(
+            b.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(b.column("doc_id"), 1_000_000),
+        )
+
+    doubled = docs.union(docs.map_batches(shift, batch_format="pyarrow"))
+    return exact_dedup(doubled).select_columns(["doc_id"])
+
+
+def _q_dedup_minhash(sf_dir: str):
+    import pyarrow as pa
+
+    from console_log_parser_ray.stages.dedup import minhash_near_dups
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def perturb(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_t = []
+        for did, t in zip(ids, texts):
+            toks = t.split()
+            rng = np.random.default_rng(did)
+            keep = rng.random(len(toks)) > 0.05
+            out_t.append(" ".join(x for x, k in zip(toks, keep) if k))
+        return pa.table(
+            {
+                "doc_id": pa.array([i + 1_000_000 for i in ids], pa.int64()),
+                "text": pa.array(out_t, pa.string()),
+            }
+        )
+
+    aug = docs.union(docs.map_batches(perturb, batch_format="pyarrow"))
+    return minhash_near_dups(aug, threshold=0.5).select_columns(
+        ["doc_a", "doc_b"]
+    )
+
+
+def _q_simhash(sf_dir: str):
+    from console_log_parser_ray.stages.dedup import simhash
+
+    return simhash(_docs(sf_dir))
+
+
+def _q_token_stats(sf_dir: str):
+    from console_log_parser_ray.stages.textan import token_stats
+
+    return token_stats(_docs(sf_dir))
+
+
+def _q_quality(sf_dir: str):
+    from console_log_parser_ray.stages.textan import quality_scores
+
+    return quality_scores(_docs(sf_dir)).select_columns(
+        ["doc_id", "mean_token_len", "space_ratio", "distinct_token_ratio"]
+    )
+
+
+def _q_lang_hist(sf_dir: str):
+    return (
+        _docs(sf_dir)
+        .groupby("lang")
+        .count()
+        .rename_columns({"count()": "n"})
+    )
+
+
+def _q_lang_pred(sf_dir: str):
+    from console_log_parser_ray.stages.textan import lang_id
+
+    return lang_id(_docs(sf_dir)).select_columns(["doc_id", "lang_pred"])
+
+
+def _q_fingerprint(sf_dir: str):
+    from console_log_parser_ray.stages.textan import fingerprint
+
+    return fingerprint(_docs(sf_dir))
+
+
+def _embeddings(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _knn_queries(sf_dir: str, n=8):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl.column("vec_id").to_pylist()[:n]
+    mat = tbl.column("embedding").to_pylist()[:n]
+    return ids, mat
+
+
+def _q_knn_bruteforce(sf_dir: str):
+    from console_log_parser_ray.stages.similarity import knn_bruteforce
+
+    res = knn_bruteforce(
+        _embeddings(sf_dir), _knn_queries(sf_dir), k=5
+    )
+    return res.select_columns(["query_id", "vec_id"])
+
+
+def _q_knn_ivf(sf_dir: str):
+    from console_log_parser_ray.stages.similarity import knn_ivf
+
+    res = knn_ivf(_embeddings(sf_dir), _knn_queries(sf_dir), k=5)
+    return res.select_columns(["query_id", "vec_id"])
+
+
+def _events(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _q_sessionize(sf_dir: str):
+    from console_log_parser_ray.stages.events import sessionize
+
+    return sessionize(_events(sf_dir))
+
+
+def _q_events_agg(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    return (
+        _events(sf_dir)
+        .groupby("event_type")
+        .aggregate(Count(), Min("value"), Max("value"))
+        .rename_columns(
+            {"count()": "n", "min(value)": "vmin", "max(value)": "vmax"}
+        )
+    )
+
+
+def _q_top_users(sf_dir: str):
+    ds = (
+        _events(sf_dir)
+        .groupby("user_id")
+        .count()
+        .rename_columns({"count()": "n"})
+    )
+    return ds.sort(["n", "user_id"], descending=[True, False]).limit(10)
+
+
+def _q_orders_enrich(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    c_map = {
+        k: (n, nk)
+        for k, n, nk in zip(
+            cust.column("c_custkey").to_pylist(),
+            cust.column("c_name").to_pylist(),
+            cust.column("c_nationkey").to_pylist(),
+        )
+    }
+    n_map = dict(
+        zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+        )
+    )
+    maps_ref = ray.put((c_map, n_map))
+
+    class Join:
+        def __init__(self):
+            self.c_map, self.n_map = ray.get(maps_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b.column("o_custkey").to_pylist()
+            names, nations = [], []
+            for k in keys:
+                cn, nk = self.c_map.get(k, (None, None))
+                names.append(cn)
+                nations.append(self.n_map.get(nk))
+            return pa.table(
+                {
+                    "o_orderkey": b.column("o_orderkey"),
+                    "c_name": pa.array(names, pa.string()),
+                    "n_name": pa.array(nations, pa.string()),
+                }
+            )
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    return orders.map_batches(Join, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def _q_asof_last_order(sf_dir: str):
+    import ray.data
+
+    from console_log_parser_ray.stages.events import asof_join_events_orders
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    res = asof_join_events_orders(_events(sf_dir), orders)
+    return res.select_columns(["event_id", "last_orderkey"])
+
+
+def _q_q1_pricing(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return (
+        li.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("l_quantity"), Count())
+        .rename_columns(
+            {"sum(l_quantity)": "sum_qty", "count()": "count_order"}
+        )
+    )
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data
+
+    from console_log_parser_ray.stages.multimodal import (
+        decode_features,
+        gen_media_table,
+    )
+
+    ds = ray.data.from_arrow(gen_media_table(200))
+    return decode_features(ds)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "parse_clean_text": _q_parse_clean_text,
+        "parse_structure": _q_parse_structure,
+        "role_counts": _q_role_counts,
+        "tool_sink_counts": _q_tool_sink_counts,
+        "commands": _q_commands,
+        "conv_rollup": _q_conv_rollup,
+        "seq_histogram": _q_seq_histogram,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "simhash": _q_simhash,
+        "token_stats": _q_token_stats,
+        "quality": _q_quality,
+        "lang_hist": _q_lang_hist,
+        "lang_pred": _q_lang_pred,
+        "fingerprint": _q_fingerprint,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "knn_ivf": _q_knn_ivf,
+        "sessionize": _q_sessionize,
+        "events_agg": _q_events_agg,
+        "top_users": _q_top_users,
+        "orders_enrich": _q_orders_enrich,
+        "asof_last_order": _q_asof_last_order,
+        "q1_pricing": _q_q1_pricing,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    t = f"read_parquet('{_SF001_GLOB}')"
+    return {
+        "parse_clean_text": (
+            "SELECT conv_id, turn_idx, expected_clean_text AS clean_text "
+            f"FROM {t}"
+        ),
+        "parse_structure": (
+            "SELECT conv_id, turn_idx, expected_role AS role, "
+            "expected_cmd_count AS cmd_count, expected_in_vim AS in_vim, "
+            f"expected_command AS command FROM {t}"
+        ),
+        "role_counts": (
+            f"SELECT expected_role AS role, count(*) AS n FROM {t} GROUP BY 1"
+        ),
+        "tool_sink_counts": (
+            f"SELECT {_TOOL_SINK_CASE} AS sink, count(*) AS n FROM {t} "
+            "GROUP BY 1"
+        ),
+        "commands": (
+            "SELECT DISTINCT conv_id, expected_cmd_count AS cmd_count, "
+            "expected_command AS command, expected_tool AS tool "
+            f"FROM {t} WHERE expected_cmd_count > 0"
+        ),
+        "conv_rollup": (
+            "SELECT conv_id, count(*) AS n_turns, "
+            "max(expected_cmd_count) AS n_cmds, "
+            "count(*) FILTER (WHERE expected_in_vim AND "
+            "strpos(text, chr(27) || '[22;0;0t') > 0) AS n_vim_sessions "
+            f"FROM {t} GROUP BY conv_id"
+        ),
+        "dedup_exact": (
+            "WITH all_docs AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, text FROM documents) "
+            "SELECT min(doc_id) AS doc_id FROM all_docs GROUP BY text"
+        ),
+        "token_stats": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            "len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces, "
+            "length(text) AS n_chars FROM documents"
+        ),
+        "quality": (
+            "SELECT doc_id, "
+            "list_sum(list_transform(regexp_extract_all(text, '\\S+'), "
+            "x -> length(x))) * 1.0 / len(regexp_extract_all(text, '\\S+')) "
+            "AS mean_token_len, "
+            "(length(text) - length(replace(text, ' ', ''))) * 1.0 / "
+            "length(text) AS space_ratio, "
+            "len(list_distinct(regexp_extract_all(text, '\\S+'))) * 1.0 / "
+            "len(regexp_extract_all(text, '\\S+')) AS distinct_token_ratio "
+            "FROM documents"
+        ),
+        "lang_hist": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "knn_bruteforce": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "FROM embeddings ORDER BY vec_id LIMIT 8) "
+            "SELECT query_id, vec_id FROM ("
+            "  SELECT q.query_id, e.vec_id, "
+            "  row_number() OVER (PARTITION BY q.query_id ORDER BY "
+            "  list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) AS rk"
+            "  FROM q CROSS JOIN embeddings e) WHERE rk <= 5"
+        ),
+        "sessionize": (
+            "WITH flagged AS ("
+            "  SELECT user_id, event_id, epoch_us(ts) AS tus, "
+            "  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "  (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 "
+            "  THEN 1 ELSE 0 END AS new_sess FROM events), "
+            "sessions AS ("
+            "  SELECT user_id, tus, sum(new_sess) OVER ("
+            "  PARTITION BY user_id ORDER BY tus, event_id "
+            "  ROWS UNBOUNDED PRECEDING) AS session_id FROM flagged) "
+            "SELECT user_id, session_id, count(*) AS n_events, "
+            "min(tus) AS start_ts FROM sessions GROUP BY 1, 2"
+        ),
+        "events_agg": (
+            "SELECT event_type, count(*) AS n, min(value) AS vmin, "
+            "max(value) AS vmax FROM events GROUP BY event_type"
+        ),
+        "top_users": (
+            "SELECT user_id, count(*) AS n FROM events GROUP BY user_id "
+            "ORDER BY n DESC, user_id LIMIT 10"
+        ),
+        "orders_enrich": (
+            "SELECT o.o_orderkey, c.c_name, n.n_name FROM orders o "
+            "LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
+            "LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey"
+        ),
+        "asof_last_order": (
+            "SELECT e.event_id, ("
+            "  SELECT o.o_orderkey FROM orders o "
+            "  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+            "  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1"
+            ") AS last_orderkey FROM events e"
+        ),
+        "q1_pricing": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "count(*) AS count_order FROM lineitem GROUP BY 1, 2"
+        ),
+        # rows-only (non-SQL-expressible) queries intentionally omitted:
+        # seq_histogram, dedup_minhash, simhash, lang_pred, fingerprint,
+        # knn_ivf, media_features
+    }

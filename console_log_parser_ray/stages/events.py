@@ -1,0 +1,190 @@
+"""Event-stream operators: sessionization, windowed aggregates, as-of
+joins.
+
+Patterns:
+* sessionize      -- groupby(user).map_groups ordered scan; gap rule
+* as-of join      -- sort-merge two-pointer inside per-key groups; the
+                     small side rides along in the same group (union by
+                     key), no broadcast needed
+* twebber hops    -- the reference's two-recording time alignment
+                     (reference twebber.py:56-105) re-expressed as a
+                     grouped two-pointer interleave per pair_id
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def sessionize(ds, gap_us: int = 30 * 60 * 1_000_000, user_col="user_id", ts_col="ts"):
+    """Assign gap-based session ids per user; emits per-session rows."""
+
+    def per_user(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by([(ts_col, "ascending"), ("event_id", "ascending")])
+        ts = tbl.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        new_sess = np.zeros(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new_sess[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sess = np.cumsum(new_sess)
+        user = tbl.column(user_col)[0].as_py()
+        n_sessions = int(sess[-1]) + 1 if len(ts) else 0
+        counts = np.bincount(sess, minlength=n_sessions)
+        starts = ts[np.searchsorted(sess, np.arange(n_sessions))]
+        return pa.table(
+            {
+                "user_id": pa.array([user] * n_sessions, pa.int64()),
+                "session_id": pa.array(range(n_sessions), pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+                "start_ts": pa.array(starts, pa.int64()),
+            }
+        )
+
+    return ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+
+
+def asof_join_events_orders(events_ds, orders_ds):
+    """For each event, the most recent order (by date) of the same user
+    at or before the event time.  Implemented as a per-key sort-merge:
+    both sides are tagged and unioned, then one grouped two-pointer walk
+    per user -- a single hash shuffle, no broadcast of the big side."""
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("user_id").cast(pa.int64()),
+                "t": b.column("ts").cast(pa.int64()),
+                "side": pa.array(["e"] * b.num_rows, pa.string()),
+                "event_id": b.column("event_id").cast(pa.int64()),
+                "o_orderkey": pa.nulls(b.num_rows, pa.int64()),
+                "o_totalprice": pa.nulls(b.num_rows, pa.float64()),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("o_custkey").cast(pa.int64()),
+                "t": b.column("o_orderdate").cast(pa.int64()),
+                "side": pa.array(["o"] * b.num_rows, pa.string()),
+                "event_id": pa.nulls(b.num_rows, pa.int64()),
+                "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+                "o_totalprice": b.column("o_totalprice").cast(pa.float64()),
+            }
+        )
+
+    ev = events_ds.map_batches(tag_events, batch_format="pyarrow")
+    od = orders_ds.map_batches(tag_orders, batch_format="pyarrow")
+    both = ev.union(od)
+
+    def walk(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(
+            [("t", "ascending"), ("side", "descending"), ("o_orderkey", "ascending")]
+        )
+        # side 'o' sorts after 'e' descending-wise: at equal t an order
+        # dated exactly at the event time qualifies, so orders first.
+        sides = tbl.column("side").to_pylist()
+        ts = tbl.column("t").to_pylist()
+        ev_ids = tbl.column("event_id").to_pylist()
+        ok = tbl.column("o_orderkey").to_pylist()
+        op = tbl.column("o_totalprice").to_pylist()
+        last_key, last_price = None, None
+        out_e, out_k, out_p = [], [], []
+        for i in range(tbl.num_rows):
+            if sides[i] == "o":
+                last_key, last_price = ok[i], op[i]
+            else:
+                out_e.append(ev_ids[i])
+                out_k.append(last_key)
+                out_p.append(last_price)
+        return pa.table(
+            {
+                "event_id": pa.array(out_e, pa.int64()),
+                "last_orderkey": pa.array(out_k, pa.int64()),
+                "last_totalprice": pa.array(out_p, pa.float64()),
+            }
+        )
+
+    return both.groupby("key").map_groups(walk, batch_format="pyarrow")
+
+
+def twebber_hops(frames_ds, pair_col="pair_id"):
+    """Two-recording alignment: within each pair, frames from 'left' and
+    'right' recordings interleave; emit hops (from_ts, to_ts) whenever
+    the active side catches up past the paused side's position.
+
+    Port of the reference algorithm (reference twebber.py:56-105): the
+    earlier-starting side is active; repeatedly skip the active side to
+    the paused side's current absolute time, record a hop from the last
+    local frame time, swap.  Input rows: (pair_id, side['left'/'right'],
+    start_ts, frame_ts) with absolute = start_ts + frame_ts.
+    """
+
+    def walk(tbl: pa.Table) -> pa.Table:
+        pair = tbl.column(pair_col)[0].as_py()
+        sides = {}
+        for side in ("left", "right"):
+            mask = pc.equal(tbl.column("side"), side)
+            sub = tbl.filter(mask).sort_by("frame_ts")
+            sides[side] = {
+                "frames": sub.column("frame_ts").to_pylist(),
+                "start": sub.column("start_ts")[0].as_py() if sub.num_rows else 0.0,
+            }
+        empty = pa.table(
+            {
+                "pair_id": pa.array([], pa.string()),
+                "from_side": pa.array([], pa.string()),
+                "from_ts": pa.array([], pa.float64()),
+                "to_ts": pa.array([], pa.float64()),
+            }
+        )
+        if not sides["left"]["frames"] or not sides["right"]["frames"]:
+            return empty
+
+        class Cursor:
+            def __init__(self, name, info, offset):
+                self.name = name
+                self.frames = info["frames"]
+                self.start = offset
+                self.i = 0
+                self.curr = self.start + self.frames[0]
+                self.last_local = 0.0
+
+            def skip_to(self, stop):
+                while self.curr < stop:
+                    self.last_local = self.frames[self.i]
+                    self.i += 1
+                    if self.i < len(self.frames):
+                        self.curr = self.start + self.frames[self.i]
+                    else:
+                        self.curr = float("inf")
+                return self.last_local
+
+        diff = sides["right"]["start"] - sides["left"]["start"]
+        if diff >= 0:
+            active = Cursor("left", sides["left"], 0.0)
+            paused = Cursor("right", sides["right"], diff)
+        else:
+            active = Cursor("right", sides["right"], 0.0)
+            paused = Cursor("left", sides["left"], -diff)
+
+        out_side, out_from, out_to = [], [], []
+        while True:
+            from_ts = active.skip_to(paused.curr)
+            if active.curr == float("inf") and paused.curr == float("inf"):
+                break
+            out_side.append(active.name)
+            out_from.append(from_ts)
+            out_to.append(paused.frames[paused.i])
+            active, paused = paused, active
+        return pa.table(
+            {
+                "pair_id": pa.array([pair] * len(out_from), pa.string()),
+                "from_side": pa.array(out_side, pa.string()),
+                "from_ts": pa.array(out_from, pa.float64()),
+                "to_ts": pa.array(out_to, pa.float64()),
+            }
+        )
+
+    return frames_ds.groupby(pair_col).map_groups(walk, batch_format="pyarrow")

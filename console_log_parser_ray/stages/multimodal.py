@@ -1,0 +1,105 @@
+"""Multimodal column plumbing (image/audio as opaque binary + metadata).
+
+The container has no image/audio codecs, so the decode kernels are
+STUBBED behind ``_decode_image_impl`` (deterministic fake: parses the
+synthetic header this module's encoder writes).  Everything around the
+stub -- schema, actor-pool stage shape, batch sizing for large binary
+payloads, output layout -- is real and tested, so swapping in a real
+codec (PIL / ffmpeg) changes one function.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # "image" | "audio"
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("sample_rate", pa.int32()),
+    ]
+)
+
+_MAGIC = b"FAKEIMG1"
+
+
+def encode_fake_image(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic synthetic payload with a parseable header."""
+    rng = np.random.default_rng(media_id)
+    pixels = rng.integers(0, 256, width * height, dtype=np.uint8).tobytes()
+    return _MAGIC + struct.pack("<II", width, height) + pixels
+
+
+def gen_media_table(n: int, seed: int = 0) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(n):
+        w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+        rows["media_id"].append(i)
+        rows["kind"].append("image")
+        rows["payload"].append(encode_fake_image(i, w, h))
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["sample_rate"].append(0)
+    return pa.Table.from_arrays(
+        [pa.array(rows[f.name], f.type) for f in MEDIA_SCHEMA],
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def _decode_image_impl(payload: bytes):
+    """STUB decode: parses the synthetic format.  A real deployment
+    replaces this with PIL/turbojpeg; raise for unknown formats."""
+    if not payload.startswith(_MAGIC):
+        raise NotImplementedError(
+            "real image codecs are unavailable in this environment"
+        )
+    w, h = struct.unpack("<II", payload[8:16])
+    pix = np.frombuffer(payload[16 : 16 + w * h], dtype=np.uint8)
+    return w, h, pix
+
+
+class DecodeAndFeaturize:
+    """Actor-pool stage: decode binary payload -> mechanical features.
+
+    Setup (codec init, model load) belongs in __init__; __call__ only
+    touches the batch.  Batches of large binary payloads must stay
+    small -- pass batch_size explicitly when wiring this stage.
+    """
+
+    def __init__(self):
+        self.decode = _decode_image_impl
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        means, stds, ws, hs = [], [], [], []
+        for payload in batch.column("payload").to_pylist():
+            w, h, pix = self.decode(payload)
+            ws.append(w)
+            hs.append(h)
+            means.append(float(pix.mean()) if pix.size else 0.0)
+            stds.append(float(pix.std()) if pix.size else 0.0)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "pixel_mean": pa.array(means, pa.float64()),
+                "pixel_std": pa.array(stds, pa.float64()),
+            }
+        )
+
+
+def decode_features(ds, concurrency=(1, 4), batch_size=64):
+    """Wire the decode actor pool with small batches (binary payloads)."""
+    return ds.map_batches(
+        DecodeAndFeaturize,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k as the exact baseline: the query matrix is
+broadcast once (ray.put), each batch does one numpy matmul against it
+and emits per-batch partial top-k rows; a final small groupby reduces
+partials to global top-k per query.  The IVF variant clusters vectors
+into buckets (k-means on a sample, centroids broadcast) so each query
+probes only its nearest buckets -- the 100TB path where a full matmul
+per batch is no longer free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return np.array(arr.to_pylist(), dtype=np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceTopK:
+    """map_batches actor: per-batch cosine top-k partials."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
+        import ray
+
+        q_ids, q_mat = (
+            ray.get(queries_ref)
+            if not isinstance(queries_ref, tuple)
+            else queries_ref
+        )
+        self.q_ids = q_ids
+        self.q = _normalize(np.asarray(q_mat, dtype=np.float32))
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_batch_matrix(batch, self.vec_col))
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        sims = self.q @ vecs.T  # (n_query, n_batch)
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            for col in part[qi]:
+                out_q.append(self.q_ids[qi])
+                out_v.append(int(ids[col]))
+                out_s.append(float(sims[qi, col]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def knn_bruteforce(ds, queries, k=10, vec_col="embedding", id_col="vec_id"):
+    """Global top-k per query.  ``queries`` = (q_ids, q_matrix)."""
+    import ray
+
+    queries_ref = ray.put(queries)
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_args=(queries_ref, k, vec_col, id_col),
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+    )
+
+    def reduce_topk(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(
+            [("cosine", "descending"), ("vec_id", "ascending")]
+        )
+        return tbl.slice(0, k)
+
+    return partials.groupby("query_id").map_groups(
+        reduce_topk, batch_format="pyarrow"
+    )
+
+
+def kmeans_centroids(ds, n_clusters=16, vec_col="embedding", sample=4096, iters=10, seed=0):
+    """Small k-means on a driver-side sample; returns centroid matrix."""
+    rows = ds.limit(sample).select_columns([vec_col]).take_all()
+    m = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float32))
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=min(n_clusters, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                cent[c] = m[mask].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IVFAssign:
+    """Assign each vector to its nearest centroid bucket."""
+
+    def __init__(self, cent_ref, vec_col, id_col):
+        import ray
+
+        self.cent = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) else cent_ref
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_batch_matrix(batch, self.vec_col))
+        assign = np.argmax(vecs @ self.cent.T, axis=1)
+        return batch.append_column(
+            "ivf_bucket", pa.array(assign.astype("int32"), pa.int32())
+        )
+
+
+def knn_ivf(ds, queries, k=10, n_clusters=16, n_probe=4, vec_col="embedding", id_col="vec_id"):
+    """IVF-bucketed ANN: probe only the n_probe nearest buckets per query."""
+    import ray
+
+    cent = kmeans_centroids(ds, n_clusters=n_clusters, vec_col=vec_col)
+    cent_ref = ray.put(cent)
+    bucketed = ds.map_batches(
+        IVFAssign,
+        fn_constructor_args=(cent_ref, vec_col, id_col),
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+    )
+    q_ids, q_mat = queries
+    qn = _normalize(np.asarray(q_mat, dtype=np.float32))
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    wanted = pa.array(sorted(set(int(b) for row in probe for b in row)), pa.int32())
+
+    def keep_probed(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.is_in(b.column("ivf_bucket"), value_set=wanted))
+
+    filtered = bucketed.map_batches(keep_probed, batch_format="pyarrow")
+    return knn_bruteforce(
+        filtered, queries, k=k, vec_col=vec_col, id_col=id_col
+    )

@@ -1,0 +1,129 @@
+"""Text analysis operators over document tables.
+
+Vectorized (pyarrow.compute / numpy) per-batch transforms: token
+counting, quality scoring, language identification (stopword n-gram
+heuristic), and rolling-hash document fingerprinting.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_RE = r"\S+"
+# A BPE-ish subword proxy: word pieces, numbers, punctuation runs
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "it", "for", "on"},
+    "es": {"el", "la", "de", "y", "en", "que", "los", "un", "por", "con"},
+    "de": {"der", "die", "das", "und", "in", "zu", "den", "mit", "von", "ist"},
+    "fr": {"le", "la", "de", "et", "les", "des", "en", "un", "du", "une"},
+    "zh": {"的", "了", "是", "在", "我", "有", "和", "就", "不", "人"},
+}
+
+
+def token_stats(ds, text_col="text", id_col="doc_id"):
+    """Adds n_tokens (whitespace), n_pieces (BPE-ish), n_chars."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        n_tokens = pc.list_value_length(
+            pc.extract_regex_span(texts, _TOKEN_RE)
+        ) if hasattr(pc, "extract_regex_span") else pa.array(
+            [len(t.split()) for t in texts.to_pylist()], pa.int64()
+        )
+        n_pieces = pa.array(
+            [len(__import__("re").findall(_BPE_RE, t)) for t in texts.to_pylist()],
+            pa.int64(),
+        )
+        n_chars = pc.utf8_length(texts)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
+                "n_pieces": n_pieces,
+                "n_chars": pc.cast(n_chars, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_scores(ds, text_col="text", id_col="doc_id"):
+    """Adds mechanical quality signals: mean token length, alpha ratio,
+    space ratio, distinct-token ratio."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        mean_tok, alpha_ratio, space_ratio, distinct_ratio = [], [], [], []
+        for t in texts:
+            toks = t.split()
+            n = len(t)
+            mean_tok.append(sum(len(x) for x in toks) / len(toks) if toks else 0.0)
+            alpha_ratio.append(sum(c.isalpha() for c in t) / n if n else 0.0)
+            space_ratio.append(t.count(" ") / n if n else 0.0)
+            distinct_ratio.append(len(set(toks)) / len(toks) if toks else 0.0)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "mean_token_len": pa.array(mean_tok, pa.float64()),
+                "alpha_ratio": pa.array(alpha_ratio, pa.float64()),
+                "space_ratio": pa.array(space_ratio, pa.float64()),
+                "distinct_token_ratio": pa.array(distinct_ratio, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class LangId:
+    """Actor-pool language identifier (stopword-hit heuristic).
+
+    Tables are built once per actor in __init__ (the pattern for any
+    model-loading stage); scoring is a per-token dict lookup.
+    """
+
+    def __init__(self):
+        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+
+    def detect(self, text: str) -> str:
+        toks = text.split()[:200]
+        best, best_hits = "unknown", 0
+        for lang, table in self.tables.items():
+            hits = sum(1 for t in toks if t in table)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        if best == "unknown" and any("一" <= c <= "鿿" for c in text[:400]):
+            return "zh"
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = [self.detect(t) for t in batch.column("text").to_pylist()]
+        return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+
+
+def lang_id(ds, concurrency=(1, 4)):
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=concurrency
+    )
+
+
+def fingerprint(ds, text_col="text", id_col="doc_id", base=1000003, mod=(1 << 61) - 1):
+    """Deterministic rolling polynomial hash of the normalized text."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column(text_col).to_pylist():
+            h = 0
+            for ch in " ".join(t.split()):
+                h = (h * base + ord(ch)) % mod
+            out.append(h)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "fingerprint": pa.array(out, pa.uint64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
