@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Benchmark driver for the Ray-Data-native transcript engine.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., "num_cpus": N,
+   "turns": T, "turns_per_sec": R}
+
+--scaling: runs the headline flagship pipeline twice in FRESH
+subprocesses (num_cpus=8 then num_cpus=32) on the same input and
+reports both throughputs plus the scaling efficiency
+(eff = (r32/r8) / (32/8)), the sandbox stand-in for the N vs 4N-node
+cluster criterion in BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    return ray
+
+
+def _flagship_seconds(sf_dir: str) -> tuple[float, int]:
+    """Full parse -> enrich -> route -> aggregate run; returns
+    (seconds, turns)."""
+    from console_log_parser_ray.pipelines.run import run_flagship
+    from console_log_parser_ray.sources import cache
+
+    path = cache.ensure_transcripts(sf_dir)
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    turns = sum(
+        pq.read_metadata(f).num_rows
+        for f in _glob.glob(os.path.join(path, "*.parquet"))
+    )
+    out_dir = "/tmp/clpr_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_flagship(path, out_dir, n_buckets=32, wave_buckets=32, resume=False)
+    return time.perf_counter() - t0, turns
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    import __ray_entry__ as entry
+
+    from console_log_parser_ray.sources import cache
+
+    cache.ensure_transcripts(sf_dir)  # exclude generation from timing
+
+    queries = {}
+
+    t_flag, turns = _flagship_seconds(sf_dir)
+    queries["flagship_e2e"] = t_flag
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        try:
+            import ray.data
+
+            if isinstance(res, ray.data.Dataset):
+                res.count()
+        except Exception:
+            pass
+        queries[name] = time.perf_counter() - t0
+
+    q = entry.queries()
+    for name in (
+        "seq_histogram",
+        "dedup_exact",
+        "dedup_minhash",
+        "token_stats",
+        "knn_bruteforce",
+        "sessionize",
+        "asof_last_order",
+        "q1_pricing",
+    ):
+        timed(name, q[name])
+
+    return {
+        "metric": "flagship parse->enrich->route->aggregate wall time",
+        "value": round(t_flag, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "turns": turns,
+        "turns_per_sec": round(turns / t_flag, 1),
+    }
+
+
+def run_one_leg(sf_dir: str, num_cpus: int) -> dict:
+    """Flagship only, for scaling legs (fresh process per leg)."""
+    _init_ray(num_cpus)
+    from console_log_parser_ray.sources import cache
+
+    cache.ensure_transcripts(sf_dir)
+    t, turns = _flagship_seconds(sf_dir)
+    return {
+        "num_cpus": num_cpus,
+        "seconds": round(t, 3),
+        "turns": turns,
+        "turns_per_sec": round(turns / t, 1),
+    }
+
+
+def run_scaling(sf_dir: str) -> dict:
+    legs = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg", str(cpus)],
+            env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        legs[cpus] = json.loads(line)
+    r8 = legs[8]["turns_per_sec"]
+    r32 = legs[32]["turns_per_sec"]
+    eff = (r32 / r8) / (32 / 8)
+    return {
+        "metric": "turns/sec scaling efficiency, num_cpus 8 -> 32",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "legs": legs,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "turns_per_sec_8": r8,
+        "turns_per_sec_32": r32,
+    }
+
+
+def main():
+    if "--leg" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--leg") + 1])
+        print(json.dumps(run_one_leg(SF_DIR, cpus)))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR)))
+    else:
+        print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -85,14 +85,22 @@ def run_flagship(
         )
         enriched.write_parquet(parsed_root, partition_cols=["bucket"])
 
-        # route from the parsed sink (columnar re-read, no re-parse)
-        wave_dirs = [
-            os.path.join(parsed_root, f"bucket={b}")
+        # route from the parsed sink (columnar re-read, no re-parse);
+        # read_parquet expands a single directory but not a list of
+        # them, so enumerate the wave's files explicitly
+        import glob as _glob
+
+        wave_files = [
+            f
             for b in wave
-            if os.path.isdir(os.path.join(parsed_root, f"bucket={b}"))
+            for f in sorted(
+                _glob.glob(os.path.join(parsed_root, f"bucket={b}", "*.parquet"))
+            )
         ]
-        if wave_dirs:
-            routed = ray.data.read_parquet(wave_dirs)
+        if wave_files:
+            routed = ray.data.read_parquet(wave_files).map_batches(
+                _reattach_bucket(n_buckets), batch_format="pyarrow"
+            )
             routed.write_parquet(
                 os.path.join(sinks_root, "by_role"),
                 partition_cols=["role", "bucket"],
@@ -101,17 +109,20 @@ def run_flagship(
                 os.path.join(sinks_root, "by_tool"),
                 partition_cols=["sink", "bucket"],
             )
-            vim = ray.data.read_parquet(
-                wave_dirs,
-                columns=[
-                    "conv_id",
-                    "turn_idx",
-                    "ts",
-                    "vim_session_id",
-                    "vim_text",
-                    "bucket",
-                ],
-            ).filter(expr="vim_text is not null")
+            vim = (
+                ray.data.read_parquet(
+                    wave_files,
+                    columns=[
+                        "conv_id",
+                        "turn_idx",
+                        "ts",
+                        "vim_session_id",
+                        "vim_text",
+                    ],
+                )
+                .map_batches(_reattach_bucket(n_buckets), batch_format="pyarrow")
+                .map_batches(_keep_vim_rows, batch_format="pyarrow")
+            )
             vim.write_parquet(
                 os.path.join(sinks_root, "vim_sessions"),
                 partition_cols=["bucket"],
@@ -161,6 +172,25 @@ def run_flagship(
         if k.startswith("by_role")
     )
     return {"buckets": n_buckets, "waves": len(waves), "routed_rows": total}
+
+
+def _keep_vim_rows(batch: pa.Table) -> pa.Table:
+    return batch.filter(pc.is_valid(batch.column("vim_text")))
+
+
+def _reattach_bucket(n_buckets: int):
+    """Hive partition columns are not materialized when reading explicit
+    file lists; recompute the bucket from each batch's conv_id."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if "bucket" in batch.schema.names:
+            return batch
+        convs = batch.column("conv_id").to_pylist()
+        buckets = [zlib.crc32(c.encode()) % n_buckets for c in convs]
+        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    return fn
 
 
 def _load_manifest_sinks(out_dir: str, bucket: int) -> dict:

@@ -31,14 +31,24 @@ from ..vt import session as S
 from ..vt.session import SessionScanner
 from ..vt.tokenizer import GROUND
 
-# Lines with none of these are "plain": no C0 except TAB (LF cannot
-# occur inside a turn's text), no '$' (prompt detection), no vim hint
-# literal, no ESC.  Trailing CRs are tolerated (winpty endings) and
-# handled by the caller.
-_RISKY = "[\\x00-\\x08\\x0b-\\x1f]|\\$|\\x1b|hint: Waiting"
+# "Plain" lines: no C0 except TAB (LF cannot occur inside a turn's
+# text) and a trailing CR run (winpty endings), no '$' (prompt
+# detection), no vim hint literal, no ESC.
+_PLAIN = "^[^\\x00-\\x08\\x0a-\\x1f$]*\\r*$"
+_HINT_LIT = "hint: Waiting"
 # Lines whose only escape use is SGR coloring
 _SGR_ONLY = "^(?:[^\\x1b\\x00-\\x08\\x0b-\\x1f$]|\\x1b\\[[0-9;]*m)*\\r*$"
 _SGR_RUN = "\\x1b\\[[0-9;]*m"
+# Inside a vim session every print/exec/CSI is dropped; a line can be
+# skipped wholesale unless it could (a) end or re-detect the session
+# (23;0;0t / vim-end-2 pieces / hint literal), (b) start an OSC/DCS/
+# SOS string or toggle app-mode state, or (c) leave the tokenizer in a
+# non-GROUND state at end of line (truncated ESC/CSI tail; the tail
+# class conservatively includes embedded C0s).
+_VIM_RISKY = (
+    "\\x1b(\\]|P|X|\\^|_|=|>)|23;0;0t|\\x1b\\[\\?1[hl]"
+    "|\\x1b(\\[[\\x00-\\x3f\\x7f]*)?$|hint: Waiting"
+)
 
 
 # Output schema of the session scan
@@ -67,15 +77,17 @@ SCAN_SCHEMA = pa.schema(
 
 def _fast_hints(texts: pa.ChunkedArray):
     """Vectorized line classification for the scanner fast paths."""
-    risky = pc.match_substring_regex(texts, _RISKY)
-    # plain = not risky (trailing \r handled by rstrip on the fly)
-    plain = pc.invert(risky)
-    has_esc = pc.match_substring(texts, "\x1b")
-    sgr_only = pc.and_(has_esc, pc.match_substring_regex(texts, _SGR_ONLY))
+    no_hint = pc.invert(pc.match_substring(texts, _HINT_LIT))
+    plain = pc.and_(pc.match_substring_regex(texts, _PLAIN), no_hint)
+    vim_safe = pc.invert(pc.match_substring_regex(texts, _VIM_RISKY))
+    sgr_only = pc.and_(
+        pc.match_substring(texts, "\x1b"),
+        pc.and_(pc.match_substring_regex(texts, _SGR_ONLY), no_hint),
+    )
     stripped = pc.replace_substring_regex(texts, _SGR_RUN, "")
     return (
         plain.to_numpy(zero_copy_only=False),
-        has_esc.to_numpy(zero_copy_only=False),
+        vim_safe.to_numpy(zero_copy_only=False),
         sgr_only.to_numpy(zero_copy_only=False),
         stripped,
     )
@@ -96,7 +108,7 @@ def scan_conversation(
     sc = SessionScanner(suppress=suppress, collect_stats=collect_stats)
     recs = []
     if hints is not None:
-        plain, has_esc, sgr_only, stripped = hints
+        plain, vim_safe, sgr_only, stripped = hints
     for i in range(n):
         text = texts[i]
         eol = True if has_eols is None else bool(has_eols[i])
@@ -107,7 +119,7 @@ def scan_conversation(
                 int(turn_idxs[i]),
                 text,
                 bool(plain[i]),
-                bool(has_esc[i]),
+                bool(vim_safe[i]),
                 bool(sgr_only[i]),
                 stripped[i],
             )
@@ -153,15 +165,16 @@ def scan_conversation(
     }, sc
 
 
-def _try_fast(sc: SessionScanner, idx, text, plain, has_esc, sgr_only, stripped):
+def _try_fast(sc: SessionScanner, idx, text, plain, vim_safe, sgr_only, stripped):
     """State-checked fast paths; None means take the exact slow path."""
     if sc.tok.state != GROUND or sc.tok.utf8_need or sc.next_vim > 0:
         return None
     tlp = sc.tlp
 
-    # vim interior: everything is dropped; only escapes can end it
+    # vim interior: everything is dropped; only session-control escapes
+    # or a dirty tokenizer tail force the exact path
     if tlp in (S.VIM_START, S.VIM_ONELINE):
-        if has_esc or sc.in_prompt:
+        if not vim_safe or sc.in_prompt:
             return None
         rec = S.TurnRecord(idx)
         rec.cmd_count = sc.cmd_count

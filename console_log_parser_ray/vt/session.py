@@ -145,6 +145,7 @@ class SessionScanner:
         # like the reference's per-byte loop; this cursor marks how far
         # they have been evaluated.
         self._scan_pos = 0
+        self._trig_cache = {}
 
         tlp = self.tlp
         if tlp == PROMPT_OSC:
@@ -258,19 +259,46 @@ class SessionScanner:
         loop (reference terminalparser.py:203-258): the prompt-OSC
         inline match, the '$' check while a prompt is imminent, and the
         re-entry position of a second vim session on the same line.
+
+        Searches are memoized per line: callers probe with
+        monotonically increasing ``p``, and a leftmost match found from
+        an earlier start position stays the leftmost for any later
+        start at or before it (and a failed search stays failed), so
+        one regex search serves the whole line instead of one per byte.
         """
         if self.tlp == PROMPT_OSC:
+            cached = self._trig_cache.get("osc_prompt")
+            if cached is not None:
+                from_p, hit = cached
+                if hit is not None and hit[0] >= p:
+                    return hit if hit[0] <= limit else None
+                if hit is None and p >= from_p:
+                    return None
             start = p
+            hit = None
             while True:
                 m = P.PROMPT.search(line, start)
-                if m is None or m.start() > limit:
-                    return None
+                if m is None:
+                    break
                 cwd = m.group("cwd").decode()
                 if self.osc_string.endswith(cwd[1:]) or cwd == "~":
-                    return (m.start(), "osc_prompt", cwd)
+                    hit = (m.start(), "osc_prompt", cwd)
+                    break
                 start = m.start() + 1
+            self._trig_cache["osc_prompt"] = (p, hit)
+            if hit is not None and hit[0] <= limit:
+                return hit
+            return None
         if self.tlp == PROMPT_IMMINENT:
-            q = line.find(b"$", p)
+            cached = self._trig_cache.get("dollar")
+            if cached is not None and (
+                (cached[1] is not None and cached[1] >= p) or
+                (cached[1] is None and p >= cached[0])
+            ):
+                q = cached[1] if cached[1] is not None else -1
+            else:
+                q = line.find(b"$", p)
+                self._trig_cache["dollar"] = (p, q if q >= 0 else None)
             dollar = (q, "dollar", None) if 0 <= q <= limit else None
             if self.next_vim > 0 and p <= self.next_vim <= limit:
                 if dollar is None or self.next_vim < dollar[0]:
@@ -423,6 +451,7 @@ class SessionScanner:
     def _on_osc(self, s: str):
         self.osc_seen.add(s)
         self.osc_string = s
+        self._trig_cache.pop("osc_prompt", None)
         if s.startswith("0;"):
             self._rec.osc_title = s[2:]
             self._emit_prompt_osc()
