@@ -50,16 +50,19 @@ def completed_buckets(out_dir: str) -> set:
 
 
 def clean_bucket_outputs(out_dir: str, bucket: int):
-    """Remove partial sink output of an uncommitted bucket."""
-    sinks_root = os.path.join(out_dir, "sinks")
-    if not os.path.isdir(sinks_root):
-        return
+    """Remove partial output of an uncommitted bucket from every sink
+    (including the primary parsed/ sink -- writers append into existing
+    partition directories, so stale files would duplicate rows)."""
     needle = f"bucket={bucket}"
-    for root, dirs, _files in os.walk(sinks_root):
-        for d in list(dirs):
-            if d == needle:
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-                dirs.remove(d)
+    for sub in ("sinks", "parsed"):
+        root_dir = os.path.join(out_dir, sub)
+        if not os.path.isdir(root_dir):
+            continue
+        for root, dirs, _files in os.walk(root_dir):
+            for d in list(dirs):
+                if d == needle:
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                    dirs.remove(d)
 
 
 def write_manifest(out_dir: str, bucket: int, payload: dict):

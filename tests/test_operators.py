@@ -1,0 +1,296 @@
+"""Operator tests: dedup recall, knn exactness, sessionize, as-of join,
+twebber alignment, multimodal plumbing, edit replay units."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from console_log_parser_ray.vt.editline import EditLine
+
+
+# ---------------------------------------------------------------------------
+# EditLine unit semantics (distilled from reference testtermlog_1/2)
+# ---------------------------------------------------------------------------
+
+
+def _apply(text_events):
+    el = EditLine()
+    for ev in text_events:
+        kind = ev[0]
+        if kind == "t":
+            el.put_text(ev[1])
+        elif kind == "c":
+            el.ctrl(ev[1])
+        elif kind == "csi":
+            el.csi(*ev[1:])
+    return el.render()
+
+
+def test_editline_backspace_erase():
+    assert _apply([("t", "abcqq"), ("c", 8), ("c", 8), ("csi", "", "", "", "K")]) == "abc"
+
+
+def test_editline_overwrite_after_back():
+    out = _apply([("t", "abXdef"), ("c", 8), ("csi", "", "3", "", "D"),
+                  ("t", "c"), ("csi", "", "3", "", "C")])
+    assert out == "abcdef"
+
+
+def test_editline_insert_blanks():
+    assert _apply([("t", "ab"), ("c", 8), ("csi", "", "2", "", "@"), ("t", "xy")]) == "axyb"
+
+
+def test_editline_delete_chars():
+    out = _apply([("t", "azzbc"), ("c", 8), ("csi", "", "3", "", "D"),
+                  ("csi", "", "2", "", "P")])
+    assert out == "abc"
+
+
+def test_editline_cr_overwrite():
+    assert _apply([("t", "hello"), ("c", 0x0D), ("t", "HELLO!")]) == "HELLO!"
+
+
+def test_editline_erase_char():
+    assert _apply([("t", "abcd"), ("c", 0x0D), ("csi", "", "2", "", "X")]) == "  cd"
+
+
+def test_editline_prefix_bs_limits():
+    el = EditLine()
+    el.set_prefix_len(3)
+    el.put_text("$ ls")
+    for _ in range(10):
+        el.ctrl(8)
+    assert el.cur == -3  # stops at prefix start
+    el.put_text("abc")  # consumed by the prefix (invisible)
+    assert el.render() == "$ ls"
+    el.put_text("X")  # now at position 0 again
+    assert el.render() == "X ls"
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def _docs_table():
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(5000)]
+    texts, ids = [], []
+    for i in range(60):
+        toks = [vocab[x] for x in rng.integers(0, len(vocab), 80)]
+        texts.append(" ".join(toks))
+        ids.append(i)
+        # planted near-dup: drop 4 tokens
+        toks2 = [t for j, t in enumerate(toks) if j % 20 != 0]
+        texts.append(" ".join(toks2))
+        ids.append(i + 1000)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+
+
+def test_minhash_near_dups_recover_planted(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.dedup import minhash_near_dups, ngram_jaccard
+
+    tbl = _docs_table()
+    ds = ray.data.from_arrow(tbl)
+    pairs = minhash_near_dups(ds, threshold=0.5).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    planted = {(i, i + 1000) for i in range(60)}
+    # every planted pair has true jaccard >= 0.5 and must be recovered
+    texts = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    for a, b in planted:
+        assert ngram_jaccard(texts[a], texts[b]) >= 0.5
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.95, f"recall {recall}"
+    # no false positives below threshold
+    for a, b in got:
+        assert ngram_jaccard(texts[a], texts[b]) >= 0.5
+
+
+def test_exact_dedup(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.dedup import exact_dedup
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": ["a", "b", "a", "c", "b"],
+        }
+    )
+    out = exact_dedup(ray.data.from_arrow(tbl)).take_all()
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 4]
+
+
+def test_simhash_similar_texts_close(ray_session):
+    from console_log_parser_ray.stages.dedup import _simhash64
+
+    a = " ".join(f"tok{i}" for i in range(100))
+    b = " ".join(f"tok{i}" for i in range(99)) + " other"
+    c = " ".join(f"zzz{i}" for i in range(100))
+    d_ab = bin(_simhash64(a) ^ _simhash64(b)).count("1")
+    d_ac = bin(_simhash64(a) ^ _simhash64(c)).count("1")
+    assert d_ab < 10 < d_ac
+
+
+# ---------------------------------------------------------------------------
+# knn
+# ---------------------------------------------------------------------------
+
+
+def test_knn_bruteforce_exact(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.similarity import knn_bruteforce
+
+    rng = np.random.default_rng(1)
+    mat = rng.normal(size=(200, 16)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in mat]),
+        }
+    )
+    q_ids = [0, 1]
+    res = knn_bruteforce(
+        ray.data.from_arrow(tbl), (q_ids, mat[:2].tolist()), k=5
+    ).take_all()
+    # numpy reference
+    qn = mat[:2] / np.linalg.norm(mat[:2], axis=1, keepdims=True)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = qn @ mn.T
+    for qi in q_ids:
+        want = set(np.argsort(-sims[qi])[:5].tolist())
+        got = {r["vec_id"] for r in res if r["query_id"] == qi}
+        assert got == want
+
+
+# ---------------------------------------------------------------------------
+# events
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_gaps(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.events import sessionize
+
+    base = 1_700_000_000_000_000
+    rows = {
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+        "ts": pa.array(
+            [base, base + 10_000_000, base + 4_000_000_000, base + 4_010_000_000],
+            pa.timestamp("us"),
+        ),
+    }
+    out = sessionize(
+        ray.data.from_arrow(pa.table(rows)), gap_us=1_000_000_000
+    ).take_all()
+    got = {(r["session_id"], r["n_events"]) for r in out}
+    assert got == {(0, 2), (1, 2)}
+
+
+def test_twebber_hops_matches_straightline(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.events import twebber_hops
+
+    # straight-line re-implementation of the reference algorithm
+    def straight(left_start, left_frames, right_start, right_frames):
+        class Side:
+            def __init__(self, start, frames, offset):
+                self.frames = frames
+                self.start = offset
+                self.i = 0
+                self.curr = offset + frames[0]
+                self.last = 0.0
+
+            def skip_to(self, stop):
+                while self.curr < stop:
+                    self.last = self.frames[self.i]
+                    self.i += 1
+                    self.curr = (
+                        self.start + self.frames[self.i]
+                        if self.i < len(self.frames)
+                        else float("inf")
+                    )
+                return self.last
+
+        diff = right_start - left_start
+        if diff >= 0:
+            active, paused = Side(0, left_frames, 0.0), Side(0, right_frames, diff)
+        else:
+            active, paused = Side(0, right_frames, 0.0), Side(0, left_frames, -diff)
+        hops = []
+        while True:
+            f = active.skip_to(paused.curr)
+            if active.curr == float("inf") and paused.curr == float("inf"):
+                break
+            hops.append((f, paused.frames[paused.i]))
+            active, paused = paused, active
+        return hops
+
+    rng = np.random.default_rng(5)
+    rows = {"pair_id": [], "side": [], "start_ts": [], "frame_ts": []}
+    expected = {}
+    for p in range(4):
+        lf = sorted(rng.uniform(0, 100, 30).tolist())
+        rf = sorted(rng.uniform(0, 110, 25).tolist())
+        ls, rs = 1000.0, 1000.0 + rng.uniform(-20, 20)
+        pid = f"pair{p}"
+        expected[pid] = straight(ls, lf, rs, rf)
+        for f in lf:
+            rows["pair_id"].append(pid)
+            rows["side"].append("left")
+            rows["start_ts"].append(ls)
+            rows["frame_ts"].append(f)
+        for f in rf:
+            rows["pair_id"].append(pid)
+            rows["side"].append("right")
+            rows["start_ts"].append(rs)
+            rows["frame_ts"].append(f)
+    ds = ray.data.from_arrow(pa.table(rows))
+    out = twebber_hops(ds).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["pair_id"], []).append((r["from_ts"], r["to_ts"]))
+    for pid in expected:
+        assert got.get(pid, []) == expected[pid], pid
+
+
+def test_asof_join(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.events import asof_join_events_orders
+
+    ev = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([5, 5, 9], pa.int64()),
+            "ts": pa.array([100, 250, 100], pa.timestamp("us")),
+        }
+    )
+    od = pa.table(
+        {
+            "o_orderkey": pa.array([11, 12, 13], pa.int64()),
+            "o_custkey": pa.array([5, 5, 5], pa.int64()),
+            "o_orderdate": pa.array([50, 200, 300], pa.timestamp("us")),
+            "o_totalprice": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    out = asof_join_events_orders(
+        ray.data.from_arrow(ev), ray.data.from_arrow(od)
+    ).take_all()
+    got = {r["event_id"]: r["last_orderkey"] for r in out}
+    assert got == {1: 11, 2: 12, 3: None}
+
+
+def test_multimodal_decode(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.multimodal import (
+        decode_features,
+        gen_media_table,
+    )
+
+    tbl = gen_media_table(20)
+    out = decode_features(ray.data.from_arrow(tbl)).take_all()
+    assert len(out) == 20
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[0]["width"] == tbl.column("width")[0].as_py()
+    assert 0 <= by_id[0]["pixel_mean"] <= 255
