@@ -63,7 +63,7 @@ def _flagship_seconds(sf_dir: str) -> tuple[float, int]:
     out_dir = "/tmp/clpr_bench_out"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    run_flagship(path, out_dir, n_buckets=32, wave_buckets=32, resume=False)
+    run_flagship(path, out_dir, n_buckets=64, wave_buckets=64, resume=False)
     return time.perf_counter() - t0, turns
 
 

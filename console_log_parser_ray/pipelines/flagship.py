@@ -18,7 +18,11 @@ from __future__ import annotations
 
 import ray.data
 
-from ..stages.scan import make_scan_fn, make_stats_fn
+from ..stages.scan import (
+    make_bucket_scan_fn,
+    make_scan_fn,
+    make_stats_fn,
+)
 
 
 def read_transcripts(sf_dir: str, path: str | None = None) -> "ray.data.Dataset":
@@ -27,25 +31,65 @@ def read_transcripts(sf_dir: str, path: str | None = None) -> "ray.data.Dataset"
     return ray.data.read_parquet(p, columns=["conv_id", "turn_idx", "text", "ts"])
 
 
+def add_bucket(n_buckets: int):
+    """Vectorizable conv_id -> bucket assignment (stable CRC hash)."""
+    import zlib
+
+    import pyarrow as pa
+
+    def fn(batch):
+        convs = batch.column("conv_id").to_pylist()
+        buckets = [zlib.crc32(c.encode()) % n_buckets for c in convs]
+        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    return fn
+
+
 def parse_sessions(
     ds: "ray.data.Dataset",
     suppress_map=None,
     use_fast_paths: bool = True,
     num_cpus: float = 1.0,
+    n_buckets: int = 64,
+    by_conversation: bool = False,
 ) -> "ray.data.Dataset":
-    """The session-scan stage: one group per conversation."""
-    fn = make_scan_fn(suppress_map=suppress_map, use_fast_paths=use_fast_paths)
-    return ds.groupby("conv_id").map_groups(
+    """The session-scan stage.
+
+    Default: conversations are hash-bucketed and each bucket is scanned
+    in one map_groups call (amortizes per-group overhead across many
+    conversations; the partitioning key every later stage reuses).
+    ``by_conversation=True`` keeps the one-group-per-conversation shape
+    (used by conformance tests and for giant-conversation isolation).
+    """
+    if by_conversation:
+        fn = make_scan_fn(
+            suppress_map=suppress_map, use_fast_paths=use_fast_paths
+        )
+        return ds.groupby("conv_id").map_groups(
+            fn, batch_format="pyarrow", num_cpus=num_cpus
+        )
+    fn = make_bucket_scan_fn(
+        suppress_map=suppress_map, use_fast_paths=use_fast_paths
+    )
+    bucketed = ds.map_batches(add_bucket(n_buckets), batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(
         fn, batch_format="pyarrow", num_cpus=num_cpus
     )
 
 
-def sequence_histogram(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def sequence_histogram(
+    ds: "ray.data.Dataset", n_buckets: int = 64
+) -> "ray.data.Dataset":
     """Global (kind, seq) histogram, mirroring the reference's
-    log_statistics (reference vtparser.py:751-787): per-conversation
-    partials then a narrow groupby-sum shuffle."""
-    partials = ds.groupby("conv_id").map_groups(
-        make_stats_fn(), batch_format="pyarrow"
+    log_statistics (reference vtparser.py:751-787): per-bucket partial
+    histograms (distinct-string kinds stay exact because OSC/DCS string
+    sets are deduplicated inside each conversation before counting),
+    then a narrow groupby-sum shuffle over the small partials."""
+    from ..stages.scan import make_bucket_stats_fn
+
+    bucketed = ds.map_batches(add_bucket(n_buckets), batch_format="pyarrow")
+    partials = bucketed.groupby("bucket").map_groups(
+        make_bucket_stats_fn(), batch_format="pyarrow"
     )
     return (
         partials.groupby(["kind", "seq"])
@@ -59,26 +103,42 @@ def sink_counts(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
     return parsed.groupby("role").count().rename_columns({"count()": "n"})
 
 
-def conv_rollup(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Per-conversation rollup: turns, command rows, vim sessions."""
+def conv_rollup(
+    parsed: "ray.data.Dataset", n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Per-conversation rollup: turns, command rows, vim sessions.
+
+    Conversations never span buckets, so per-bucket groups compute the
+    per-conversation aggregates with one vectorized pandas groupby per
+    bucket instead of one task per conversation."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     def rollup(tbl: pa.Table) -> pa.Table:
-        conv_id = tbl.column("conv_id")[0].as_py()
-        n_turns = tbl.num_rows
-        n_cmds = pc.max(tbl.column("cmd_count")).as_py() or 0
-        vim_ids = tbl.column("vim_session_id")
-        n_vim = len(
-            set(v for v in vim_ids.to_pylist() if v is not None and v >= 0)
+        df = tbl.select(
+            ["conv_id", "cmd_count", "vim_session_id"]
+        ).to_pandas()
+        g = df.groupby("conv_id", sort=False)
+        out = g.agg(
+            n_turns=("cmd_count", "size"),
+            n_cmds=("cmd_count", "max"),
         )
+        vim = df[df["vim_session_id"] >= 0].groupby("conv_id", sort=False)[
+            "vim_session_id"
+        ].nunique()
+        out["n_vim_sessions"] = vim.reindex(out.index).fillna(0).astype("int64")
+        out = out.reset_index()
         return pa.table(
             {
-                "conv_id": pa.array([conv_id], pa.string()),
-                "n_turns": pa.array([n_turns], pa.int64()),
-                "n_cmds": pa.array([n_cmds], pa.int64()),
-                "n_vim_sessions": pa.array([n_vim], pa.int64()),
+                "conv_id": pa.array(out["conv_id"], pa.string()),
+                "n_turns": pa.array(out["n_turns"], pa.int64()),
+                "n_cmds": pa.array(out["n_cmds"], pa.int64()),
+                "n_vim_sessions": pa.array(out["n_vim_sessions"], pa.int64()),
             }
         )
 
-    return parsed.groupby("conv_id").map_groups(rollup, batch_format="pyarrow")
+    if "bucket" in (parsed.schema().names or []):
+        return parsed.groupby("bucket").map_groups(
+            rollup, batch_format="pyarrow"
+        )
+    bucketed = parsed.map_batches(add_bucket(n_buckets), batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(rollup, batch_format="pyarrow")

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.enrich import EnrichConfig, EnrichTurns
-from ..stages.scan import make_scan_fn
+from ..stages.scan import make_scan_fn  # noqa: F401  (conformance path)
 from ..state import manifests as M
 
 
@@ -73,14 +73,15 @@ def run_flagship(
         ds = ds.map_batches(
             _add_bucket_and_filter(n_buckets, wanted), batch_format="pyarrow"
         )
-        parsed = ds.groupby("conv_id").map_groups(
-            _scan_with_bucket(n_buckets), batch_format="pyarrow"
+        parsed = ds.groupby("bucket").map_groups(
+            _bucket_scan_keep_bucket(), batch_format="pyarrow"
         )
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
         enriched = parsed.map_batches(
             EnrichTurns,
             fn_constructor_args=(cfg_ref,),
             batch_format="pyarrow",
-            concurrency=(2, 8),
+            concurrency=(2, max(8, n_cpus // 2)),
             batch_size=4096,
         )
         enriched.write_parquet(parsed_root, partition_cols=["bucket"])
@@ -98,35 +99,48 @@ def run_flagship(
             )
         ]
         if wave_files:
-            routed = ray.data.read_parquet(wave_files).map_batches(
-                _reattach_bucket(n_buckets), batch_format="pyarrow"
-            )
-            routed.write_parquet(
-                os.path.join(sinks_root, "by_role"),
-                partition_cols=["role", "bucket"],
-            )
-            routed.write_parquet(
-                os.path.join(sinks_root, "by_tool"),
-                partition_cols=["sink", "bucket"],
-            )
-            vim = (
-                ray.data.read_parquet(
-                    wave_files,
-                    columns=[
-                        "conv_id",
-                        "turn_idx",
-                        "ts",
-                        "vim_session_id",
-                        "vim_text",
-                    ],
+            # the three routed sinks are independent re-reads of the
+            # parsed files; run them concurrently (Ray Data supports
+            # concurrent executions) so their fixed costs overlap
+            def _write_by_role():
+                ray.data.read_parquet(wave_files).map_batches(
+                    _reattach_bucket(n_buckets), batch_format="pyarrow"
+                ).write_parquet(
+                    os.path.join(sinks_root, "by_role"),
+                    partition_cols=["role", "bucket"],
                 )
-                .map_batches(_reattach_bucket(n_buckets), batch_format="pyarrow")
-                .map_batches(_keep_vim_rows, batch_format="pyarrow")
-            )
-            vim.write_parquet(
-                os.path.join(sinks_root, "vim_sessions"),
-                partition_cols=["bucket"],
-            )
+
+            def _write_by_tool():
+                ray.data.read_parquet(wave_files).map_batches(
+                    _reattach_bucket(n_buckets), batch_format="pyarrow"
+                ).write_parquet(
+                    os.path.join(sinks_root, "by_tool"),
+                    partition_cols=["sink", "bucket"],
+                )
+
+            def _write_vim():
+                (
+                    ray.data.read_parquet(
+                        wave_files,
+                        columns=[
+                            "conv_id",
+                            "turn_idx",
+                            "ts",
+                            "vim_session_id",
+                            "vim_text",
+                        ],
+                    )
+                    .map_batches(
+                        _reattach_bucket(n_buckets), batch_format="pyarrow"
+                    )
+                    .map_batches(_keep_vim_rows, batch_format="pyarrow")
+                    .write_parquet(
+                        os.path.join(sinks_root, "vim_sessions"),
+                        partition_cols=["bucket"],
+                    )
+                )
+
+            _run_concurrently([_write_by_role, _write_by_tool, _write_vim])
 
         for b in wave:
             payload = {
@@ -137,33 +151,26 @@ def run_flagship(
             }
             M.write_manifest(out_dir, b, payload)
 
-    # global aggregates from the parsed sink
+    # global aggregates from the parsed sink (independent; concurrent)
     agg_dir = os.path.join(out_dir, "aggregates")
-    parsed_all = ray.data.read_parquet(parsed_root)
-    counts = parsed_all.groupby("sink").count()
-    counts.write_parquet(os.path.join(agg_dir, "counts_by_sink"))
-    role_counts = parsed_all.groupby("role").count()
-    role_counts.write_parquet(os.path.join(agg_dir, "counts_by_role"))
+    from .flagship import conv_rollup
 
-    def _rollup(tbl: pa.Table) -> pa.Table:
-        conv_id = tbl.column("conv_id")[0].as_py()
-        n_cmds = pc.max(tbl.column("cmd_count")).as_py() or 0
-        vim_ids = set(
-            v for v in tbl.column("vim_session_id").to_pylist() if v >= 0
-        )
-        return pa.table(
-            {
-                "conv_id": pa.array([conv_id]),
-                "n_turns": pa.array([tbl.num_rows], pa.int64()),
-                "n_cmds": pa.array([n_cmds], pa.int64()),
-                "n_vim_sessions": pa.array([len(vim_ids)], pa.int64()),
-            }
+    def _agg_sink():
+        ray.data.read_parquet(parsed_root).groupby("sink").count().write_parquet(
+            os.path.join(agg_dir, "counts_by_sink")
         )
 
-    rollup = parsed_all.groupby("conv_id").map_groups(
-        _rollup, batch_format="pyarrow"
-    )
-    rollup.write_parquet(os.path.join(agg_dir, "conv_rollup"))
+    def _agg_role():
+        ray.data.read_parquet(parsed_root).groupby("role").count().write_parquet(
+            os.path.join(agg_dir, "counts_by_role")
+        )
+
+    def _agg_rollup():
+        conv_rollup(
+            ray.data.read_parquet(parsed_root), n_buckets=n_buckets
+        ).write_parquet(os.path.join(agg_dir, "conv_rollup"))
+
+    _run_concurrently([_agg_sink, _agg_role, _agg_rollup])
 
     total = sum(
         s.get("rows", 0)
@@ -172,6 +179,26 @@ def run_flagship(
         if k.startswith("by_role")
     )
     return {"buckets": n_buckets, "waves": len(waves), "routed_rows": total}
+
+
+def _run_concurrently(fns):
+    import threading
+
+    errors = []
+
+    def wrap(f):
+        try:
+            f()
+        except BaseException as e:  # propagate to caller
+            errors.append(e)
+
+    threads = [threading.Thread(target=wrap, args=(f,)) for f in fns]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
 
 
 def _keep_vim_rows(batch: pa.Table) -> pa.Table:
@@ -200,17 +227,12 @@ def _load_manifest_sinks(out_dir: str, bucket: int) -> dict:
         return json.load(fh).get("sinks", {})
 
 
-def _scan_with_bucket(n_buckets: int):
-    base = make_scan_fn()
-    import zlib
+def _bucket_scan_keep_bucket():
+    from ..stages.scan import scan_bucket_table
 
     def fn(tbl: pa.Table) -> pa.Table:
-        out = base(tbl)
-        if out.num_rows == 0:
-            return out.append_column(
-                "bucket", pa.array([], pa.int32())
-            )
-        b = zlib.crc32(out.column("conv_id")[0].as_py().encode()) % n_buckets
+        b = tbl.column("bucket")[0].as_py() if tbl.num_rows else -1
+        out = scan_bucket_table(tbl)
         return out.append_column(
             "bucket", pa.array([b] * out.num_rows, pa.int32())
         )

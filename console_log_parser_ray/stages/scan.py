@@ -322,3 +322,210 @@ def make_stats_fn():
         )
 
     return stats_group
+
+
+def scan_bucket_table(
+    tbl: pa.Table,
+    suppress_map=None,
+    collect_stats: bool = False,
+    use_fast_paths: bool = True,
+) -> pa.Table:
+    """Scan a whole bucket of conversations in one call.
+
+    The 100TB-shaped variant of the session scan: instead of one
+    map_groups invocation per conversation (whose fixed costs dominate
+    at ~200-turn conversations), conversations are hash-bucketed and a
+    single invocation scans every conversation in the bucket -- one
+    sort, one set of vectorized hint masks, one output table.
+    """
+    if tbl.num_rows == 0:
+        return SCAN_SCHEMA.empty_table()
+    suppress_map = suppress_map or {}
+    tbl = tbl.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    conv_col = tbl.column("conv_id")
+    texts = conv_texts = tbl.column("text").to_pylist()
+    turn_idxs = tbl.column("turn_idx").to_numpy(zero_copy_only=False)
+    has_eols = (
+        tbl.column("has_eol").to_pylist()
+        if "has_eol" in tbl.schema.names
+        else None
+    )
+    hints = _fast_hints(tbl.column("text")) if use_fast_paths else None
+    if hints is not None:
+        plain, vim_safe, sgr_only, stripped = hints
+    conv_ids = conv_col.to_pylist()
+
+    n = len(conv_ids)
+    out = {
+        "conv_id": conv_ids,
+        "turn_idx": [0] * n,
+        "role": [""] * n,
+        "clean_text": [""] * n,
+        "cmd_count": [0] * n,
+        "cmd_number": [0] * n,
+        "is_prompt": [False] * n,
+        "command": [""] * n,
+        "cwd": [""] * n,
+        "in_vim": [False] * n,
+        "vim_session_id": [-1] * n,
+        "osc_title": [""] * n,
+        "warnings": [0] * n,
+        "vim_text": [None] * n,
+    }
+
+    i = 0
+    while i < n:
+        j = i
+        cid = conv_ids[i]
+        while j < n and conv_ids[j] == cid:
+            j += 1
+        sc = SessionScanner(
+            suppress=suppress_map.get(cid, ()), collect_stats=collect_stats
+        )
+        recs = []
+        for r in range(i, j):
+            text = texts[r]
+            eol = True if has_eols is None else bool(has_eols[r])
+            rec = None
+            if hints is not None and not collect_stats and eol:
+                rec = _try_fast(
+                    sc,
+                    int(turn_idxs[r]),
+                    text,
+                    bool(plain[r]),
+                    bool(vim_safe[r]),
+                    bool(sgr_only[r]),
+                    stripped[r],
+                )
+            if rec is None:
+                rec = sc.scan_turn(int(turn_idxs[r]), text, eol)
+            recs.append(rec)
+
+        cmd_text, cmd_cwd = {}, {}
+        for rec in recs:
+            if rec.command is not None:
+                cmd_text.setdefault(rec.cmd_count, rec.command)
+            if rec.cwd:
+                cmd_cwd.setdefault(rec.cmd_count, rec.cwd)
+        for r, rec in zip(range(i, j), recs):
+            out["turn_idx"][r] = rec.turn_idx
+            out["clean_text"][r] = rec.clean_text
+            out["cmd_count"][r] = rec.cmd_count
+            out["cmd_number"][r] = rec.cmd_number
+            out["is_prompt"][r] = rec.is_prompt
+            out["command"][r] = cmd_text.get(rec.cmd_count, "")
+            out["cwd"][r] = cmd_cwd.get(rec.cmd_count, "")
+            out["in_vim"][r] = rec.in_vim
+            out["vim_session_id"][r] = rec.vim_session_id
+            out["osc_title"][r] = rec.osc_title
+            out["warnings"][r] = rec.warnings
+            if rec.cmd_count == 0:
+                role = "system"
+            elif (
+                rec.is_prompt
+                or rec.prompt_active
+                or rec.command is not None
+                or rec.cwd
+            ):
+                role = "user"
+            else:
+                role = "assistant"
+            out["role"][r] = role
+            if rec.in_vim:
+                out["vim_text"][r] = conv_texts[r]
+        i = j
+
+    ts_vals = (
+        tbl.column("ts")
+        if "ts" in tbl.schema.names
+        else pa.nulls(n, pa.timestamp("us"))
+    )
+    if isinstance(ts_vals, pa.ChunkedArray):
+        ts_vals = ts_vals.combine_chunks()
+    arrays = [
+        pa.array(out["conv_id"], pa.string()),
+        pa.array(out["turn_idx"], pa.int32()),
+        ts_vals,
+        pa.array(out["role"], pa.string()),
+        pa.array(out["clean_text"], pa.string()),
+        pa.array(out["cmd_count"], pa.int32()),
+        pa.array(out["cmd_number"], pa.int32()),
+        pa.array(out["is_prompt"], pa.bool_()),
+        pa.array(out["command"], pa.string()),
+        pa.array(out["cwd"], pa.string()),
+        pa.array(out["in_vim"], pa.bool_()),
+        pa.array(out["vim_session_id"], pa.int32()),
+        pa.array(out["osc_title"], pa.string()),
+        pa.array(out["warnings"], pa.int32()),
+        pa.array(out["vim_text"], pa.string()),
+    ]
+    return pa.Table.from_arrays(arrays, schema=SCAN_SCHEMA)
+
+
+def make_bucket_scan_fn(
+    suppress_map=None, collect_stats: bool = False, use_fast_paths: bool = True
+):
+    def fn(tbl: pa.Table) -> pa.Table:
+        return scan_bucket_table(
+            tbl,
+            suppress_map=suppress_map,
+            collect_stats=collect_stats,
+            use_fast_paths=use_fast_paths,
+        )
+
+    return fn
+
+
+def make_bucket_stats_fn():
+    """Per-bucket sequence-statistics partials: scans every conversation
+    in the bucket with stats collection on and merges the histograms
+    into one (kind, seq, n) partial table per bucket."""
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        conv_ids = tbl.column("conv_id").to_pylist()
+        texts = tbl.column("text").to_pylist()
+        has_eols = (
+            tbl.column("has_eol").to_pylist()
+            if "has_eol" in tbl.schema.names
+            else None
+        )
+        merged = {}
+        osc_seen, dcs_seen = set(), set()
+        i, n = 0, len(conv_ids)
+        while i < n:
+            j = i
+            cid = conv_ids[i]
+            while j < n and conv_ids[j] == cid:
+                j += 1
+            sc = SessionScanner(collect_stats=True)
+            for r in range(i, j):
+                eol = True if has_eols is None else bool(has_eols[r])
+                sc.scan_turn(r - i, texts[r], eol)
+            for kind, d in sc.stats.items():
+                for k, v in d.items():
+                    key = (kind, k if isinstance(k, str) else "0x{:02x}".format(k))
+                    merged[key] = merged.get(key, 0) + v
+            osc_seen |= sc.osc_seen
+            dcs_seen |= sc.dcs_seen
+            i = j
+        kinds = [k for k, _ in merged]
+        seqs = [s for _, s in merged]
+        ns = list(merged.values())
+        for s in osc_seen:
+            kinds.append("osc_string")
+            seqs.append(s)
+            ns.append(1)
+        for s in dcs_seen:
+            kinds.append("dcs_string")
+            seqs.append(s)
+            ns.append(1)
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "seq": pa.array(seqs, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    return fn
