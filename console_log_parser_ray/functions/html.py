@@ -1,0 +1,289 @@
+"""Optional HTML presentation stage (off the conformance path).
+
+Parity targets: SGR -> styled-span conversion incl. stack surgery for
+selective closes (reference terminal2html.py:249-355), HTML entity
+escaping (reference terminal2html.py:48-53), palette tables (reference
+terminal2html.py:55-94), per-session documents with command rows,
+chapter headings and hop links (reference terminal2html.py:362-422),
+and the cross-session index (reference main.py:29-128).
+
+Differences by design (documented in CONFORMANCE.md): colors are
+emitted as inline styles from the palette dictionaries instead of a CSS
+class sheet, and styled spans are derived by re-tokenizing each raw
+turn -- exact for output lines; command lines are rendered from their
+reconstructed plain text (the reference likewise drops SGR inside
+command lines, reference terminal2html.py:647).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..vt.tokenizer import LineTokenizer
+
+_ESC_MAP = {"&": "&amp;", ">": "&gt;", "<": "&lt;", '"': "&quot;"}
+_ESC_RE = re.compile(r"[&><\"]")
+
+# 16-color palettes (color values per the reference's schemes,
+# reference terminal2html.py:55-94)
+PALETTES = {
+    "Dracula": [
+        "#282a36", "#ee3c3c", "#66de3d", "#ffb86c", "#5443bc", "#bd93f9",
+        "#77d6fb", "#f8f8f2", "#44475a", "#ff5555", "#50fa7b", "#f1fa8c",
+        "#729fcf", "#ff79c6", "#8be9fd", "#f8f8f2",
+    ],
+    "MyDracula": [
+        "#21222c", "#ff5555", "#50fa7b", "#f1fa8c", "#bd93f9", "#ff79c6",
+        "#8be9fd", "#f8f8f2", "#6272a4", "#ff6e6e", "#69ff94", "#ffffa5",
+        "#d6acff", "#ff92df", "#a4ffff", "#ffffff",
+    ],
+    "TangoDark": [
+        "#000000", "#cc0000", "#4e9a06", "#c4a000", "#3465a4", "#ad7fa8",
+        "#06989a", "#d3d7cf", "#555753", "#ef2929", "#8ae234", "#fce94f",
+        "#729fcf", "#d6acff", "#34e2e2", "#eeeeec",
+    ],
+}
+
+
+def escape_html(s: str) -> str:
+    return _ESC_RE.sub(lambda m: _ESC_MAP[m.group()], s)
+
+
+class SgrSpans:
+    """SGR parameter stream -> HTML span opens/closes with a stack.
+
+    Selective closes (22/24/27/39/49) remove the matching directive from
+    anywhere in the stack, closing and reopening the directives above it
+    -- the reference's span surgery (reference terminal2html.py:332-355).
+    """
+
+    _CLOSERS = {
+        "22": "bold",
+        "24": "underline",
+        "27": "reverse",
+        "39": "fg",
+        "49": "bg",
+    }
+
+    def __init__(self, palette: str = "MyDracula"):
+        self.colors = PALETTES.get(palette, PALETTES["MyDracula"])
+        self.stack = []  # (kind, css)
+
+    def _open(self, kind: str, css: str) -> str:
+        self.stack.append((kind, css))
+        return '<span style="{}">'.format(css)
+
+    def _close_kind(self, kind: str) -> str:
+        idx = None
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i][0] == kind:
+                idx = i
+                break
+        if idx is None:
+            return ""
+        out = "</span>" * (len(self.stack) - idx)
+        removed = self.stack[idx + 1 :]
+        del self.stack[idx:]
+        for k, css in removed:
+            self.stack.append((k, css))
+            out += '<span style="{}">'.format(css)
+        return out
+
+    def convert(self, params: str) -> str:
+        if params in ("", "0", "00"):
+            out = "</span>" * len(self.stack)
+            self.stack = []
+            return out
+        parts = params.split(";")
+        out = []
+        if parts[0] in ("38", "48") and len(parts) >= 3:
+            prop = "color" if parts[0] == "38" else "background-color"
+            if parts[1] == "5" and len(parts) >= 3:
+                try:
+                    n = int(parts[2])
+                except ValueError:
+                    return ""
+                col = self.colors[n] if n < 16 else _xterm256(n)
+                out.append(self._open("fg" if parts[0] == "38" else "bg",
+                                      f"{prop}:{col}"))
+            elif parts[1] == "2" and len(parts) >= 5:
+                r, g, b = parts[-3], parts[-2], parts[-1]
+                out.append(self._open("fg" if parts[0] == "38" else "bg",
+                                      f"{prop}:rgb({r},{g},{b})"))
+            return "".join(out)
+        for p in parts:
+            try:
+                v = int(p)
+            except ValueError:
+                continue
+            if 30 <= v <= 37:
+                out.append(self._open("fg", f"color:{self.colors[v - 30]}"))
+            elif 40 <= v <= 47:
+                out.append(
+                    self._open("bg", f"background-color:{self.colors[v - 40]}")
+                )
+            elif 90 <= v <= 97:
+                out.append(self._open("fg", f"color:{self.colors[v - 82]}"))
+            elif 100 <= v <= 107:
+                out.append(
+                    self._open("bg", f"background-color:{self.colors[v - 92]}")
+                )
+            elif v == 1:
+                out.append(self._open("bold", "font-weight:bold"))
+            elif v == 4:
+                out.append(self._open("underline", "text-decoration:underline"))
+            elif v == 5:
+                out.append(self._open("blink", "text-decoration:blink"))
+            elif v == 7:
+                out.append(self._open("reverse", "filter:invert(1)"))
+            elif p in self._CLOSERS:
+                out.append(self._close_kind(self._CLOSERS[p]))
+        return "".join(out)
+
+    def close_all(self) -> str:
+        out = "</span>" * len(self.stack)
+        self.stack = []
+        return out
+
+
+def _xterm256(n: int) -> str:
+    if n < 16:
+        return "#000000"
+    if n >= 232:
+        v = 8 + (n - 232) * 10
+        return "#{0:02x}{0:02x}{0:02x}".format(v)
+    n -= 16
+    r, g, b = n // 36, (n % 36) // 6, n % 6
+    conv = lambda x: 0 if x == 0 else 55 + x * 40  # noqa: E731
+    return "#{:02x}{:02x}{:02x}".format(conv(r), conv(g), conv(b))
+
+
+def render_styled_line(raw: str, palette: str = "MyDracula") -> str:
+    """Raw terminal line -> HTML with SGR colors, other controls dropped."""
+    tok = LineTokenizer()
+    sgr = SgrSpans(palette)
+    out = []
+    for ev in tok.feed_line(raw.encode("utf-8", "surrogatepass")):
+        if ev[0] == "print":
+            out.append(escape_html(ev[1]))
+        elif ev[0] == "csi" and ev[4] == "m":
+            out.append(sgr.convert(ev[2]))
+    out.append(sgr.close_all())
+    return "".join(out)
+
+
+def render_conversation(rows: list, palette="MyDracula", title=None) -> str:
+    """One parsed conversation (sorted turn rows) -> an HTML document.
+
+    rows need: turn_idx, clean_text, cmd_count, is_prompt, in_vim,
+    chapter_title (optional), hop_to (optional), suppressed (optional).
+    """
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset=\"utf-8\"/>",
+        "<title>{}</title></head>\n".format(escape_html(title or "session")),
+        '<body style="background:#21222c;color:#f8f8f2"><pre>',
+    ]
+    last_cmd = -1
+    vim_open = False
+    for r in rows:
+        if r.get("suppressed"):
+            continue
+        cmd = r["cmd_count"]
+        if cmd != last_cmd and r.get("is_prompt"):
+            parts.append("</pre>\n")
+            ch = r.get("chapter_title")
+            if ch:
+                parts.append("<h3>{}</h3>\n".format(escape_html(ch)))
+            hop = r.get("hop_to")
+            if hop:
+                parts.append(
+                    '<div><a href="{}">jump</a></div>\n'.format(
+                        escape_html(hop)
+                    )
+                )
+            parts.append(
+                '<pre id="c{}"><span style="color:#579957">[{}]</span>\n'.format(
+                    cmd, cmd
+                )
+            )
+            last_cmd = cmd
+        if r.get("in_vim") and not vim_open:
+            parts.append(
+                '<span style="color:#9696cc">[==-- Vim editor session --==]</span>\n'
+            )
+            vim_open = True
+        elif not r.get("in_vim"):
+            vim_open = False
+        if not r.get("in_vim"):
+            parts.append(escape_html(r["clean_text"]))
+    parts.append("</pre></body></html>\n")
+    return "".join(parts)
+
+
+def render_index(entries: list, title="Sessions") -> str:
+    """Cross-session index page (reference main.py:29-128 analog).
+
+    entries: (conv_id, title, n_cmds, chapters list).
+    """
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset=\"utf-8\"/>",
+        "<title>{}</title></head><body><h1>{}</h1><ul>\n".format(
+            escape_html(title), escape_html(title)
+        ),
+    ]
+    for conv_id, t, n_cmds, chapters in entries:
+        parts.append(
+            '<li><a href="{0}.html">{1}</a> ({2} commands)'.format(
+                escape_html(conv_id), escape_html(t or conv_id), n_cmds
+            )
+        )
+        if chapters:
+            parts.append("<ul>")
+            for cmd, ch in chapters:
+                parts.append(
+                    '<li><a href="{}.html#c{}">{}</a></li>'.format(
+                        escape_html(conv_id), cmd, escape_html(ch)
+                    )
+                )
+            parts.append("</ul>")
+        parts.append("</li>\n")
+    parts.append("</ul></body></html>\n")
+    return "".join(parts)
+
+
+def html_sink(parsed_ds, out_dir: str, palette: str = "MyDracula"):
+    """Optional routed sink: one HTML document per conversation plus an
+    index -- a map_groups formatter over parsed turns, then a tiny
+    driver-side index write."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def per_conv(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by("turn_idx")
+        conv = tbl.column("conv_id")[0].as_py()
+        cols = tbl.to_pylist()
+        html = render_conversation(cols, palette=palette, title=conv)
+        n_cmds = max((r["cmd_count"] for r in cols), default=0)
+        return pa.table(
+            {
+                "conv_id": pa.array([conv], pa.string()),
+                "html": pa.array([html], pa.string()),
+                "n_cmds": pa.array([n_cmds], pa.int64()),
+            }
+        )
+
+    docs = parsed_ds.groupby("conv_id").map_groups(
+        per_conv, batch_format="pyarrow"
+    )
+    entries = []
+    for row in docs.iter_rows():
+        path = os.path.join(out_dir, row["conv_id"] + ".html")
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(row["html"])
+        entries.append((row["conv_id"], row["conv_id"], row["n_cmds"], []))
+    with open(os.path.join(out_dir, "index.html"), "w", encoding="utf-8") as fh:
+        fh.write(render_index(sorted(entries)))
+    return len(entries)

@@ -1,30 +1,308 @@
 """Checkpoint-resumable flagship run: parse -> enrich -> route -> aggregate.
 
-Conversations hash into ``n_buckets`` partitions; buckets are processed
-in waves, each wave one streaming Ray Data execution.  After a wave's
-sinks land, one lineage manifest per bucket is committed (atomic
-rename); a restarted run skips committed buckets at the read and wipes
-any uncommitted partial output first, so sinks are exactly-once at
-bucket granularity.
+Two physical plans share one logical pipeline:
 
-Sinks:
-  parsed/        structured turns, partitioned by bucket (primary sink)
-  sinks/by_role/ role-routed turns   (hive: role=<r>/bucket=<b>)
-  sinks/by_tool/ tool-sink routed    (hive: sink=<s>/bucket=<b>)
-  sinks/vim_sessions/ raw vim frames (hive: bucket=<b>)
-  aggregates/    per-sink counts, per-conversation rollups
+* **Sharded** (input partitioned by conversation at ingest, marked with
+  ``_CONV_PARTITIONED``): the input shard is the unit of work AND the
+  unit of recovery.  One Ray task per shard fuses read -> session scan
+  -> enrich -> multi-sink Parquet fan-out (parsed / by_role / by_tool /
+  vim_sessions, one directory per shard) and returns only metrics and
+  aggregate partials; the driver combines the tiny partials and commits
+  one lineage manifest per shard.  No shuffle, no re-read, and raw text
+  never crosses the object store.
+
+* **Bucketed** (arbitrary input): one hash shuffle on conv_id buckets
+  co-locates conversations; buckets are processed in waves, each wave
+  one streaming execution writing bucket-partitioned sinks, with a
+  manifest per bucket.
+
+Either way, a restarted run skips committed partitions, wipes
+uncommitted partial output first, and re-runs only the remainder --
+sinks are exactly-once at partition granularity.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import uuid
 
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.enrich import EnrichConfig, EnrichTurns
-from ..stages.scan import make_scan_fn  # noqa: F401  (conformance path)
 from ..state import manifests as M
+
+
+def run_flagship(
+    input_path: str,
+    out_dir: str,
+    n_buckets: int = 32,
+    wave_buckets: int = 16,
+    cfg: EnrichConfig | None = None,
+    resume: bool = True,
+):
+    """Run the full pipeline; returns summary metrics dict."""
+    conv_partitioned = os.path.exists(
+        os.path.join(input_path, "_CONV_PARTITIONED")
+    )
+    if conv_partitioned:
+        return _run_sharded(input_path, out_dir, cfg=cfg, resume=resume)
+    return _run_bucketed(
+        input_path,
+        out_dir,
+        n_buckets=n_buckets,
+        wave_buckets=wave_buckets,
+        cfg=cfg,
+        resume=resume,
+    )
+
+
+# ---------------------------------------------------------------------------
+# sharded plan
+# ---------------------------------------------------------------------------
+
+_SINK_ROLES = ("by_role", "by_tool", "vim_sessions", "parsed")
+
+
+def _shard_task(out_dir: str, cfg_ref):
+    """Fused per-shard worker: read, scan, enrich, write all sinks,
+    emit metrics + aggregate partials as the (tiny) output table."""
+    import pyarrow.parquet as pq
+
+    from ..stages.scan import scan_bucket_table
+
+    enricher = [None]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if enricher[0] is None:
+            enricher[0] = EnrichTurns(cfg_ref)
+        out_rows = {
+            "shard": [],
+            "kind": [],
+            "k1": [],
+            "k2": [],
+            "n1": [],
+            "n2": [],
+            "n3": [],
+        }
+
+        def emit(shard, kind, k1, k2="", n1=0, n2=0, n3=0):
+            out_rows["shard"].append(shard)
+            out_rows["kind"].append(kind)
+            out_rows["k1"].append(k1)
+            out_rows["k2"].append(k2)
+            out_rows["n1"].append(n1)
+            out_rows["n2"].append(n2)
+            out_rows["n3"].append(n3)
+
+        for item in batch.column("path").to_pylist():
+            path = item["path"] if isinstance(item, dict) else item
+            shard = item["shard"] if isinstance(item, dict) else 0
+            tbl = pq.read_table(
+                path, columns=["conv_id", "turn_idx", "text", "ts"]
+            )
+            parsed = enricher[0](scan_bucket_table(tbl))
+            tag = uuid.uuid4().hex[:8]
+
+            def write(sub, sink, part_value=None):
+                if sub.num_rows == 0:
+                    return
+                d = os.path.join(out_dir, "sinks", sink)
+                if part_value is not None:
+                    d = os.path.join(d, part_value)
+                d = os.path.join(d, f"shard={shard}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(
+                    sub, os.path.join(d, f"part-{tag}.parquet"),
+                    compression="zstd",
+                )
+                emit(shard, "sink_rows",
+                     sink + ("/" + part_value if part_value else ""),
+                     "", sub.num_rows)
+
+            # primary structured sink
+            write(parsed, "parsed")
+            # routed fan-out
+            for role in pc.unique(parsed.column("role")).to_pylist():
+                sub = parsed.filter(pc.equal(parsed.column("role"), role))
+                write(sub, "by_role", f"role={role}")
+            for sink in pc.unique(parsed.column("sink")).to_pylist():
+                sub = parsed.filter(pc.equal(parsed.column("sink"), sink))
+                write(sub, "by_tool", f"sink={sink}")
+            vim = parsed.filter(pc.is_valid(parsed.column("vim_text")))
+            write(
+                vim.select(
+                    ["conv_id", "turn_idx", "ts", "vim_session_id", "vim_text"]
+                ),
+                "vim_sessions",
+            )
+
+            # aggregate partials
+            for role, n in zip(
+                *_value_counts(parsed.column("role"))
+            ):
+                emit(shard, "role_count", role, "", n)
+            for sink, n in zip(*_value_counts(parsed.column("sink"))):
+                emit(shard, "sink_count", sink, "", n)
+            df = parsed.select(
+                ["conv_id", "cmd_count", "vim_session_id"]
+            ).to_pandas()
+            g = df.groupby("conv_id", sort=False)
+            roll = g.agg(
+                n_turns=("cmd_count", "size"), n_cmds=("cmd_count", "max")
+            )
+            vimn = (
+                df[df["vim_session_id"] >= 0]
+                .groupby("conv_id", sort=False)["vim_session_id"]
+                .nunique()
+            )
+            roll["n_vim"] = vimn.reindex(roll.index).fillna(0).astype("int64")
+            for conv_id, r in roll.iterrows():
+                emit(
+                    shard,
+                    "conv_rollup",
+                    conv_id,
+                    "",
+                    int(r["n_turns"]),
+                    int(r["n_cmds"]),
+                    int(r["n_vim"]),
+                )
+
+        return pa.table(
+            {
+                "shard": pa.array(out_rows["shard"], pa.int32()),
+                "kind": pa.array(out_rows["kind"], pa.string()),
+                "k1": pa.array(out_rows["k1"], pa.string()),
+                "k2": pa.array(out_rows["k2"], pa.string()),
+                "n1": pa.array(out_rows["n1"], pa.int64()),
+                "n2": pa.array(out_rows["n2"], pa.int64()),
+                "n3": pa.array(out_rows["n3"], pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def _value_counts(col):
+    vc = col.combine_chunks().value_counts() if isinstance(
+        col, pa.ChunkedArray
+    ) else col.value_counts()
+    return (
+        vc.field("values").to_pylist(),
+        vc.field("counts").to_pylist(),
+    )
+
+
+def _run_sharded(input_path, out_dir, cfg=None, resume=True):
+    import glob as _g
+
+    import ray
+    import ray.data
+
+    os.makedirs(out_dir, exist_ok=True)
+    in_files = sorted(_g.glob(os.path.join(input_path, "*.parquet")))
+    shards = {i: p for i, p in enumerate(in_files)}
+    done = M.completed_partitions(out_dir, "shard") if resume else set()
+    todo = [s for s in shards if s not in done]
+    for s in todo:
+        M.clean_partition_outputs(out_dir, "shard", s)
+    if not todo:
+        return {"partitions": len(shards), "skipped": len(done)}
+
+    cfg_ref = ray.put(cfg or EnrichConfig())
+    items = [{"path": {"path": shards[s], "shard": s}} for s in todo]
+    metrics_ds = ray.data.from_items(
+        items, override_num_blocks=len(items)
+    ).map_batches(
+        _shard_task(out_dir, cfg_ref), batch_format="pyarrow", batch_size=None
+    )
+    metrics = metrics_ds.take_all()
+
+    # combine partials
+    by_shard_sinks = {}
+    role_counts, sink_counts = {}, {}
+    rollups = {"conv_id": [], "n_turns": [], "n_cmds": [], "n_vim_sessions": []}
+    for r in metrics:
+        if r["kind"] == "sink_rows":
+            by_shard_sinks.setdefault(r["shard"], {})[r["k1"]] = {
+                "rows": r["n1"]
+            }
+        elif r["kind"] == "role_count":
+            role_counts[r["k1"]] = role_counts.get(r["k1"], 0) + r["n1"]
+        elif r["kind"] == "sink_count":
+            sink_counts[r["k1"]] = sink_counts.get(r["k1"], 0) + r["n1"]
+        elif r["kind"] == "conv_rollup":
+            rollups["conv_id"].append(r["k1"])
+            rollups["n_turns"].append(r["n1"])
+            rollups["n_cmds"].append(r["n2"])
+            rollups["n_vim_sessions"].append(r["n3"])
+
+    import pyarrow.parquet as pq
+
+    agg_dir = os.path.join(out_dir, "aggregates")
+    os.makedirs(agg_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "role": pa.array(list(role_counts), pa.string()),
+                "n": pa.array(list(role_counts.values()), pa.int64()),
+            }
+        ),
+        os.path.join(agg_dir, "counts_by_role.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "sink": pa.array(list(sink_counts), pa.string()),
+                "n": pa.array(list(sink_counts.values()), pa.int64()),
+            }
+        ),
+        os.path.join(agg_dir, "counts_by_sink.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array(rollups["conv_id"], pa.string()),
+                "n_turns": pa.array(rollups["n_turns"], pa.int64()),
+                "n_cmds": pa.array(rollups["n_cmds"], pa.int64()),
+                "n_vim_sessions": pa.array(
+                    rollups["n_vim_sessions"], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(agg_dir, "conv_rollup.parquet"),
+    )
+
+    # commit manifests (metrics came from the tasks; no directory walk)
+    for s in todo:
+        M.write_partition_manifest(
+            out_dir,
+            "shard",
+            s,
+            {
+                "shard": s,
+                "input": shards[s],
+                "sinks": by_shard_sinks.get(s, {}),
+            },
+        )
+    routed = sum(
+        v["rows"]
+        for sinks in by_shard_sinks.values()
+        for k, v in sinks.items()
+        if k.startswith("by_role/")
+    )
+    return {
+        "partitions": len(shards),
+        "ran": len(todo),
+        "skipped": len(done),
+        "routed_rows": routed,
+    }
+
+
+# ---------------------------------------------------------------------------
+# bucketed plan (generic inputs)
+# ---------------------------------------------------------------------------
 
 
 def _add_bucket_and_filter(n_buckets: int, wanted: frozenset):
@@ -40,15 +318,68 @@ def _add_bucket_and_filter(n_buckets: int, wanted: frozenset):
     return fn
 
 
-def run_flagship(
-    input_path: str,
-    out_dir: str,
-    n_buckets: int = 32,
-    wave_buckets: int = 16,
-    cfg: EnrichConfig | None = None,
-    resume: bool = True,
+def _bucket_scan_keep_bucket():
+    from ..stages.scan import scan_bucket_table
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        b = tbl.column("bucket")[0].as_py() if tbl.num_rows else -1
+        out = scan_bucket_table(tbl)
+        return out.append_column(
+            "bucket", pa.array([b] * out.num_rows, pa.int32())
+        )
+
+    return fn
+
+
+def _keep_vim_rows(batch: pa.Table) -> pa.Table:
+    return batch.filter(pc.is_valid(batch.column("vim_text")))
+
+
+def _reattach_bucket(n_buckets: int):
+    """Hive partition columns are not materialized when reading explicit
+    file lists; recompute the bucket from each batch's conv_id."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if "bucket" in batch.schema.names:
+            return batch
+        convs = batch.column("conv_id").to_pylist()
+        buckets = [zlib.crc32(c.encode()) % n_buckets for c in convs]
+        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    return fn
+
+
+def _run_concurrently(fns):
+    import threading
+
+    errors = []
+
+    def wrap(f):
+        try:
+            f()
+        except BaseException as e:  # propagate to caller
+            errors.append(e)
+
+    threads = [threading.Thread(target=wrap, args=(f,)) for f in fns]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+
+
+def _run_bucketed(
+    input_path,
+    out_dir,
+    n_buckets=32,
+    wave_buckets=16,
+    cfg=None,
+    resume=True,
 ):
-    """Run the full pipeline; returns summary metrics dict."""
+    import glob as _glob
+
     import ray
     import ray.data
 
@@ -81,15 +412,10 @@ def run_flagship(
             EnrichTurns,
             fn_constructor_args=(cfg_ref,),
             batch_format="pyarrow",
-            concurrency=(2, max(8, n_cpus // 2)),
+            concurrency=(2, max(8, n_cpus)),
             batch_size=4096,
         )
         enriched.write_parquet(parsed_root, partition_cols=["bucket"])
-
-        # route from the parsed sink (columnar re-read, no re-parse);
-        # read_parquet expands a single directory but not a list of
-        # them, so enumerate the wave's files explicitly
-        import glob as _glob
 
         wave_files = [
             f
@@ -100,8 +426,7 @@ def run_flagship(
         ]
         if wave_files:
             # the three routed sinks are independent re-reads of the
-            # parsed files; run them concurrently (Ray Data supports
-            # concurrent executions) so their fixed costs overlap
+            # parsed files; run them concurrently so fixed costs overlap
             def _write_by_role():
                 ray.data.read_parquet(wave_files).map_batches(
                     _reattach_bucket(n_buckets), batch_format="pyarrow"
@@ -151,26 +476,8 @@ def run_flagship(
             }
             M.write_manifest(out_dir, b, payload)
 
-    # global aggregates from the parsed sink (independent; concurrent)
     agg_dir = os.path.join(out_dir, "aggregates")
-    from .flagship import conv_rollup
-
-    def _agg_sink():
-        ray.data.read_parquet(parsed_root).groupby("sink").count().write_parquet(
-            os.path.join(agg_dir, "counts_by_sink")
-        )
-
-    def _agg_role():
-        ray.data.read_parquet(parsed_root).groupby("role").count().write_parquet(
-            os.path.join(agg_dir, "counts_by_role")
-        )
-
-    def _agg_rollup():
-        conv_rollup(
-            ray.data.read_parquet(parsed_root), n_buckets=n_buckets
-        ).write_parquet(os.path.join(agg_dir, "conv_rollup"))
-
-    _run_concurrently([_agg_sink, _agg_role, _agg_rollup])
+    _bucket_aggregates(parsed_root, n_buckets, agg_dir)
 
     total = sum(
         s.get("rows", 0)
@@ -181,60 +488,94 @@ def run_flagship(
     return {"buckets": n_buckets, "waves": len(waves), "routed_rows": total}
 
 
-def _run_concurrently(fns):
-    import threading
+def _bucket_aggregates(parsed_root: str, n_buckets: int, agg_dir: str):
+    """Per-bucket aggregates without a shuffle: the parsed sink is
+    already partitioned by bucket, so one Ray task per bucket computes
+    its partials and a tiny driver-side combine writes the results."""
+    import collections
+    import glob as _g
 
-    errors = []
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
 
-    def wrap(f):
-        try:
-            f()
-        except BaseException as e:  # propagate to caller
-            errors.append(e)
+    @ray.remote(num_cpus=1)
+    def per_bucket(files):
+        sink_counts = collections.Counter()
+        role_counts = collections.Counter()
+        rollups = []
+        for f in files:
+            t = pq.read_table(
+                f,
+                columns=[
+                    "conv_id",
+                    "cmd_count",
+                    "vim_session_id",
+                    "role",
+                    "sink",
+                ],
+            )
+            sink_counts.update(t.column("sink").to_pylist())
+            role_counts.update(t.column("role").to_pylist())
+            df = t.select(["conv_id", "cmd_count", "vim_session_id"]).to_pandas()
+            g = df.groupby("conv_id", sort=False)
+            out = g.agg(
+                n_turns=("cmd_count", "size"), n_cmds=("cmd_count", "max")
+            )
+            vim = (
+                df[df["vim_session_id"] >= 0]
+                .groupby("conv_id", sort=False)["vim_session_id"]
+                .nunique()
+            )
+            out["n_vim_sessions"] = (
+                vim.reindex(out.index).fillna(0).astype("int64")
+            )
+            rollups.append(out.reset_index())
+        return dict(sink_counts), dict(role_counts), rollups
 
-    threads = [threading.Thread(target=wrap, args=(f,)) for f in fns]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    if errors:
-        raise errors[0]
+    refs = []
+    for b in range(n_buckets):
+        files = sorted(
+            _g.glob(os.path.join(parsed_root, f"bucket={b}", "*.parquet"))
+        )
+        if files:
+            refs.append(per_bucket.remote(files))
 
+    sink_total = collections.Counter()
+    role_total = collections.Counter()
+    rollup_parts = []
+    for s, r, rolls in ray.get(refs):
+        sink_total.update(s)
+        role_total.update(r)
+        rollup_parts.extend(rolls)
 
-def _keep_vim_rows(batch: pa.Table) -> pa.Table:
-    return batch.filter(pc.is_valid(batch.column("vim_text")))
-
-
-def _reattach_bucket(n_buckets: int):
-    """Hive partition columns are not materialized when reading explicit
-    file lists; recompute the bucket from each batch's conv_id."""
-    import zlib
-
-    def fn(batch: pa.Table) -> pa.Table:
-        if "bucket" in batch.schema.names:
-            return batch
-        convs = batch.column("conv_id").to_pylist()
-        buckets = [zlib.crc32(c.encode()) % n_buckets for c in convs]
-        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
-
-    return fn
+    os.makedirs(agg_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "sink": pa.array(list(sink_total), pa.string()),
+                "n": pa.array(list(sink_total.values()), pa.int64()),
+            }
+        ),
+        os.path.join(agg_dir, "counts_by_sink.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "role": pa.array(list(role_total), pa.string()),
+                "n": pa.array(list(role_total.values()), pa.int64()),
+            }
+        ),
+        os.path.join(agg_dir, "counts_by_role.parquet"),
+    )
+    if rollup_parts:
+        roll = pd.concat(rollup_parts, ignore_index=True)
+        pq.write_table(
+            pa.Table.from_pandas(roll, preserve_index=False),
+            os.path.join(agg_dir, "conv_rollup.parquet"),
+        )
 
 
 def _load_manifest_sinks(out_dir: str, bucket: int) -> dict:
-    import json
-
     with open(M.manifest_path(out_dir, bucket)) as fh:
         return json.load(fh).get("sinks", {})
-
-
-def _bucket_scan_keep_bucket():
-    from ..stages.scan import scan_bucket_table
-
-    def fn(tbl: pa.Table) -> pa.Table:
-        b = tbl.column("bucket")[0].as_py() if tbl.num_rows else -1
-        out = scan_bucket_table(tbl)
-        return out.append_column(
-            "bucket", pa.array([b] * out.num_rows, pa.int32())
-        )
-
-    return fn

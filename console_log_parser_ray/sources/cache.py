@@ -26,11 +26,11 @@ CACHE_ROOT = "/tmp/clpr_transcripts"
 SIZES = {
     "sf0.001": (60, 40),
     "sf0.01": (500, 50),
-    "sf0.1": (5000, 200),
+    "sf0.1": (50000, 200),
 }
 _DEFAULT = (60, 40)
 SEED = 42
-_SHARD_CONVS = 250  # conversations per generation shard / output file
+_SHARD_CONVS = 200  # conversations per generation shard / output file
 
 
 def sf_name(sf_dir: str) -> str:
@@ -103,6 +103,10 @@ def ensure_transcripts(sf_dir: str) -> str:
                 tbl, os.path.join(tmp, f"part-{s:07d}.parquet"), compression="zstd"
             )
 
+    # conversations never span files (each shard covers a conv range),
+    # so scans can run file-parallel without a conv_id shuffle
+    with open(os.path.join(tmp, "_CONV_PARTITIONED"), "w") as fh:
+        fh.write("conv_id\n")
     with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
         fh.write("ok\n")
     try:

@@ -73,6 +73,43 @@ def write_manifest(out_dir: str, bucket: int, payload: dict):
     os.replace(tmp, manifest_path(out_dir, bucket))
 
 
+def partition_manifest_path(out_dir: str, kind: str, pid: int) -> str:
+    return os.path.join(manifest_dir(out_dir), f"{kind}-{pid:05d}.json")
+
+
+def completed_partitions(out_dir: str, kind: str) -> set:
+    md = manifest_dir(out_dir)
+    if not os.path.isdir(md):
+        return set()
+    pref = kind + "-"
+    out = set()
+    for name in os.listdir(md):
+        if name.startswith(pref) and name.endswith(".json"):
+            out.add(int(name[len(pref):-len(".json")]))
+    return out
+
+
+def clean_partition_outputs(out_dir: str, kind: str, pid: int):
+    """Remove uncommitted partition output under every sink directory."""
+    sinks_root = os.path.join(out_dir, "sinks")
+    if not os.path.isdir(sinks_root):
+        return
+    needle = f"{kind}={pid}"
+    for root, dirs, _files in os.walk(sinks_root):
+        for d in list(dirs):
+            if d == needle:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                dirs.remove(d)
+
+
+def write_partition_manifest(out_dir: str, kind: str, pid: int, payload: dict):
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    tmp = partition_manifest_path(out_dir, kind, pid) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, sort_keys=True)
+    os.replace(tmp, partition_manifest_path(out_dir, kind, pid))
+
+
 def collect_bucket_metrics(out_dir: str, bucket: int) -> dict:
     """Row counts + file lists per sink for one bucket (for lineage)."""
     import pyarrow.parquet as pq
