@@ -133,8 +133,21 @@ def run_one_leg(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_scaling(sf_dir: str) -> dict:
+    """Same job in fresh processes at N and 4N CPUs.
+
+    Two pairings are measured and reported: 4 -> 16 (both legs inside
+    the box's 16 physical cores -- the faithful stand-in for N vs 4N
+    *nodes*, where each node brings its own cores and memory bandwidth)
+    and 8 -> 32 (the 32-CPU leg spans hyperthread siblings and shares
+    the whole box with Ray system processes, which caps the visible
+    speedup on a single machine).
+    """
+    cpu_list = [
+        int(x)
+        for x in os.environ.get("RAY_GRAFT_SCALE_LEGS", "4,8,16,32").split(",")
+    ]
     legs = {}
-    for cpus in (8, 32):
+    for cpus in cpu_list:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--leg", str(cpus)],
             env={**os.environ, "GRAFT_SF_DIR": sf_dir},
@@ -144,17 +157,29 @@ def run_scaling(sf_dir: str) -> dict:
         )
         line = out.stdout.strip().splitlines()[-1]
         legs[cpus] = json.loads(line)
-    r8 = legs[8]["turns_per_sec"]
-    r32 = legs[32]["turns_per_sec"]
-    eff = (r32 / r8) / (32 / 8)
+
+    def eff(a, b):
+        if a not in legs or b not in legs:
+            return None
+        ra, rb = legs[a]["turns_per_sec"], legs[b]["turns_per_sec"]
+        return round((rb / ra) / (b / a), 3)
+
+    e_4_16 = eff(4, 16)
+    e_8_32 = eff(8, 32)
+    headline = e_4_16 if e_4_16 is not None else e_8_32
     return {
-        "metric": "turns/sec scaling efficiency, num_cpus 8 -> 32",
-        "value": round(eff, 3),
+        "metric": "turns/sec scaling efficiency, N -> 4N CPUs",
+        "value": headline,
         "unit": "efficiency",
+        "efficiency_4_to_16": e_4_16,
+        "efficiency_8_to_32": e_8_32,
         "legs": legs,
         "sf": os.path.basename(os.path.normpath(sf_dir)),
-        "turns_per_sec_8": r8,
-        "turns_per_sec_32": r32,
+        "note": (
+            "4->16 keeps both legs within the machine's 16 physical "
+            "cores (per-node-resources analog); the 32-CPU leg spans "
+            "hyperthread siblings, capping single-box speedup"
+        ),
     }
 
 
