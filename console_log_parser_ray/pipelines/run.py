@@ -41,6 +41,7 @@ def run_flagship(
     wave_buckets: int = 16,
     cfg: EnrichConfig | None = None,
     resume: bool = True,
+    skew_threshold: int | None = None,
 ):
     """Run the full pipeline; returns summary metrics dict."""
     conv_partitioned = os.path.exists(
@@ -55,6 +56,7 @@ def run_flagship(
         wave_buckets=wave_buckets,
         cfg=cfg,
         resume=resume,
+        skew_threshold=skew_threshold,
     )
 
 
@@ -305,12 +307,17 @@ def _run_sharded(input_path, out_dir, cfg=None, resume=True):
 # ---------------------------------------------------------------------------
 
 
-def _add_bucket_and_filter(n_buckets: int, wanted: frozenset):
+def _add_bucket_and_filter(n_buckets: int, wanted: frozenset, heavy_ids=None):
     import zlib
+
+    heavy_ids = heavy_ids or {}
 
     def fn(batch: pa.Table) -> pa.Table:
         convs = batch.column("conv_id").to_pylist()
-        buckets = [zlib.crc32(c.encode()) % n_buckets for c in convs]
+        buckets = [
+            heavy_ids.get(c, zlib.crc32(c.encode()) % n_buckets)
+            for c in convs
+        ]
         mask = pa.array([b in wanted for b in buckets], pa.bool_())
         batch = batch.append_column("bucket", pa.array(buckets, pa.int32()))
         return batch.filter(mask)
@@ -370,6 +377,31 @@ def _run_concurrently(fns):
         raise errors[0]
 
 
+def find_heavy_conversations(input_path, threshold: int) -> dict:
+    """Pre-pass: per-conversation turn counts (narrow read of conv_id
+    only, per-batch partial counts, tiny driver combine); returns the
+    conversations above ``threshold``."""
+    import collections
+
+    import ray.data
+
+    ds = ray.data.read_parquet(input_path, columns=["conv_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals, counts = _value_counts(batch.column("conv_id"))
+        return pa.table(
+            {
+                "conv_id": pa.array(vals, pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    total = collections.Counter()
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        total[row["conv_id"]] += row["n"]
+    return {c: n for c, n in total.items() if n > threshold}
+
+
 def _run_bucketed(
     input_path,
     out_dir,
@@ -377,15 +409,30 @@ def _run_bucketed(
     wave_buckets=16,
     cfg=None,
     resume=True,
+    skew_threshold=None,
 ):
+    """Generic-input plan.  ``skew_threshold``: conversations with more
+    turns than this get a dedicated partition each (conv_id-salting's
+    safe sibling: a giant conversation can dominate a hash bucket, so
+    it is isolated instead of sharing one; splitting a conversation
+    *across* partitions would require FSM chunk-stitching, SURVEY
+    section 4.2)."""
     import glob as _glob
 
     import ray
     import ray.data
 
     os.makedirs(out_dir, exist_ok=True)
+    heavy = (
+        find_heavy_conversations(input_path, skew_threshold)
+        if skew_threshold
+        else {}
+    )
+    heavy_ids = {c: n_buckets + i for i, c in enumerate(sorted(heavy))}
+    total_buckets = n_buckets + len(heavy_ids)
+
     done = M.completed_buckets(out_dir) if resume else set()
-    todo = [b for b in range(n_buckets) if b not in done]
+    todo = [b for b in range(total_buckets) if b not in done]
     for b in todo:
         M.clean_bucket_outputs(out_dir, b)
 
@@ -402,7 +449,8 @@ def _run_bucketed(
             input_path, columns=["conv_id", "turn_idx", "text", "ts"]
         )
         ds = ds.map_batches(
-            _add_bucket_and_filter(n_buckets, wanted), batch_format="pyarrow"
+            _add_bucket_and_filter(n_buckets, wanted, heavy_ids),
+            batch_format="pyarrow",
         )
         parsed = ds.groupby("bucket").map_groups(
             _bucket_scan_keep_bucket(), batch_format="pyarrow"
@@ -534,10 +582,8 @@ def _bucket_aggregates(parsed_root: str, n_buckets: int, agg_dir: str):
         return dict(sink_counts), dict(role_counts), rollups
 
     refs = []
-    for b in range(n_buckets):
-        files = sorted(
-            _g.glob(os.path.join(parsed_root, f"bucket={b}", "*.parquet"))
-        )
+    for bdir in sorted(_g.glob(os.path.join(parsed_root, "bucket=*"))):
+        files = sorted(_g.glob(os.path.join(bdir, "*.parquet")))
         if files:
             refs.append(per_bucket.remote(files))
 
