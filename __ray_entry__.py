@@ -130,7 +130,7 @@ def _q_conv_rollup(sf_dir: str):
 def _q_seq_histogram(sf_dir: str):
     from console_log_parser_ray.pipelines import flagship
 
-    return flagship.sequence_histogram(_transcripts_ds(sf_dir))
+    return flagship.sequence_histogram_path(_cache.ensure_transcripts(sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -433,6 +433,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the SQL side reads the same deterministic cached parquet the Ray
+    # queries parse; make sure it exists even if the driver evaluates
+    # the SQL before running the Ray side
+    try:
+        _cache.ensure_transcripts("/root/testdata/sf0.01")
+    except Exception:
+        pass
     t = f"read_parquet('{_SF001_GLOB}')"
     return {
         "parse_clean_text": (

@@ -98,6 +98,45 @@ def sequence_histogram(
     )
 
 
+def sequence_histogram_path(input_path: str) -> "ray.data.Dataset":
+    """Shuffle-free histogram for conversation-partitioned inputs: one
+    stats task per input file, then the tiny partial groupby-sum."""
+    import glob as _g
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..stages.scan import make_bucket_stats_fn
+
+    if not os.path.exists(os.path.join(input_path, "_CONV_PARTITIONED")):
+        return sequence_histogram(
+            ray.data.read_parquet(
+                input_path, columns=["conv_id", "turn_idx", "text"]
+            )
+        )
+    files = sorted(_g.glob(os.path.join(input_path, "*.parquet")))
+    stats_fn = make_bucket_stats_fn()
+
+    def per_file(batch: pa.Table) -> pa.Table:
+        outs = []
+        for item in batch.column("item").to_pylist():
+            tbl = pq.read_table(
+                item, columns=["conv_id", "turn_idx", "text"]
+            )
+            outs.append(stats_fn(tbl))
+        return pa.concat_tables(outs)
+
+    partials = ray.data.from_items(
+        files, override_num_blocks=len(files)
+    ).map_batches(per_file, batch_format="pyarrow", batch_size=None)
+    return (
+        partials.groupby(["kind", "seq"])
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+    )
+
+
 def sink_counts(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-sink routed-row counts (role sinks)."""
     return parsed.groupby("role").count().rename_columns({"count()": "n"})

@@ -476,7 +476,7 @@ def make_bucket_scan_fn(
     return fn
 
 
-def make_bucket_stats_fn():
+def make_bucket_stats_fn(use_fast_paths: bool = True):
     """Per-bucket sequence-statistics partials: scans every conversation
     in the bucket with stats collection on and merges the histograms
     into one (kind, seq, n) partial table per bucket."""
@@ -490,6 +490,10 @@ def make_bucket_stats_fn():
             if "has_eol" in tbl.schema.names
             else None
         )
+        if use_fast_paths:
+            plain, _vim_safe, sgr_only, stripped = _fast_hints(
+                tbl.column("text")
+            )
         merged = {}
         osc_seen, dcs_seen = set(), set()
         i, n = 0, len(conv_ids)
@@ -501,7 +505,18 @@ def make_bucket_stats_fn():
             sc = SessionScanner(collect_stats=True)
             for r in range(i, j):
                 eol = True if has_eols is None else bool(has_eols[r])
-                sc.scan_turn(r - i, texts[r], eol)
+                rec = None
+                if use_fast_paths and eol:
+                    rec = _try_fast_stats(
+                        sc,
+                        r - i,
+                        texts[r],
+                        bool(plain[r]),
+                        bool(sgr_only[r]),
+                        stripped[r],
+                    )
+                if rec is None:
+                    sc.scan_turn(r - i, texts[r], eol)
             for kind, d in sc.stats.items():
                 for k, v in d.items():
                     key = (kind, k if isinstance(k, str) else "0x{:02x}".format(k))
@@ -529,3 +544,40 @@ def make_bucket_stats_fn():
         )
 
     return fn
+
+
+# Analytic stats contributions for fast-path lines ------------------------
+
+_SGR_FINDALL = __import__("re").compile("\x1b\\[([0-9;]*)m")
+
+
+def _try_fast_stats(sc, idx, text, plain, sgr_only, stripped):
+    """Stats-mode fast path for plain / SGR-only lines.
+
+    Reuses the state-checked fast transitions of :func:`_try_fast` (vim
+    interiors excluded -- their sequences must be counted exactly) and
+    adds the line's statistics contributions analytically: a plain or
+    SGR-only line executes exactly one LF, one CR per trailing carriage
+    return, one TAB per tab glyph, and dispatches exactly its SGR
+    sequences (reference vtparser.py:632,675).
+    """
+    tlp = sc.tlp
+    if tlp in (S.VIM_START, S.VIM_ONELINE):
+        return None
+    rec = _try_fast(sc, idx, text, plain, False, sgr_only, stripped)
+    if rec is None:
+        return None
+    cf = sc.stats["control_function"]
+    cf[0x0A] = cf.get(0x0A, 0) + 1
+    n_cr = len(text) - len(text.rstrip("\r"))
+    if n_cr:
+        cf[0x0D] = cf.get(0x0D, 0) + n_cr
+    n_tab = text.count("\t")
+    if n_tab:
+        cf[0x09] = cf.get(0x09, 0) + n_tab
+    if sgr_only and not plain:
+        csi = sc.stats["csi"]
+        for params in _SGR_FINDALL.findall(text):
+            k = "Esc[" + params + "m"
+            csi[k] = csi.get(k, 0) + 1
+    return rec
