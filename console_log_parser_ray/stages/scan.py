@@ -39,6 +39,27 @@ _HINT_LIT = "hint: Waiting"
 # Lines whose only escape use is SGR coloring
 _SGR_ONLY = "^(?:[^\\x1b\\x00-\\x08\\x0b-\\x1f$]|\\x1b\\[[0-9;]*m)*\\r*$"
 _SGR_RUN = "\\x1b\\[[0-9;]*m"
+# "Noise-safe" lines: visible text interleaved ONLY with sequences that
+# produce no output and no feature-FSM transitions in NORMAL state --
+# SGR runs, private-mode toggles (DECCKM ?1h/?1l included: their
+# positions are reconstructed analytically), BEL-terminated OSC strings
+# that do NOT start "0;" (only title-setting OSCs drive the prompt
+# protocol, reference terminalparser.py:381), and ST-terminated DCS.
+_NOISE_ONLY = (
+    "^(?:[^\\x1b\\x00-\\x06\\x08\\x0b-\\x1f$]"
+    "|\\x1b\\[[0-9;]*m"
+    "|\\x1b\\[\\?[0-9;]*[hl]"
+    "|\\x1b\\][1-9][0-9]*;[^\\x07\\x1b]*\\x07"
+    "|\\x1bP[0-9;]*[\\x20-\\x2f]*[a-zA-Z][^\\x1b]*\\x1b\\\\"
+    ")*\\r*$"
+)
+# visible remainder of a noise-safe line (applied per noise row)
+_NOISE_STRIP = (
+    "\\x1b\\[[0-9;]*m|\\x1b\\[\\?[0-9;]*[hl]"
+    "|\\x1b\\][1-9][0-9]*;[^\\x07\\x1b]*\\x07"
+    "|\\x1bP[0-9;]*[\\x20-\\x2f]*[a-zA-Z][^\\x1b]*\\x1b\\\\"
+    "|[\\x07]"
+)
 # Inside a vim session every print/exec/CSI is dropped; a line can be
 # skipped wholesale unless it could (a) end or re-detect the session
 # (23;0;0t / vim-end-2 pieces / hint literal), (b) start an OSC/DCS/
@@ -50,6 +71,8 @@ _VIM_RISKY = (
     "|\\x1b(\\[[\\x00-\\x3f\\x7f]*)?$|hint: Waiting"
 )
 
+
+_NOISE_STRIP_RE = __import__("re").compile(_NOISE_STRIP)
 
 # Output schema of the session scan
 SCAN_SCHEMA = pa.schema(
@@ -80,16 +103,20 @@ def _fast_hints(texts: pa.ChunkedArray):
     no_hint = pc.invert(pc.match_substring(texts, _HINT_LIT))
     plain = pc.and_(pc.match_substring_regex(texts, _PLAIN), no_hint)
     vim_safe = pc.invert(pc.match_substring_regex(texts, _VIM_RISKY))
+    has_esc = pc.match_substring(texts, "\x1b")
     sgr_only = pc.and_(
-        pc.match_substring(texts, "\x1b"),
-        pc.and_(pc.match_substring_regex(texts, _SGR_ONLY), no_hint),
+        has_esc, pc.and_(pc.match_substring_regex(texts, _SGR_ONLY), no_hint)
     )
     stripped = pc.replace_substring_regex(texts, _SGR_RUN, "")
+    # the noise-only class is tested lazily per row (Python regex) only
+    # for rows that would otherwise take the full scan: a column-wide
+    # RE2 pass with that alternation costs more than it saves
     return (
         plain.to_numpy(zero_copy_only=False),
         vim_safe.to_numpy(zero_copy_only=False),
         sgr_only.to_numpy(zero_copy_only=False),
         stripped,
+        None,
     )
 
 
@@ -108,7 +135,7 @@ def scan_conversation(
     sc = SessionScanner(suppress=suppress, collect_stats=collect_stats)
     recs = []
     if hints is not None:
-        plain, vim_safe, sgr_only, stripped = hints
+        plain, vim_safe, sgr_only, stripped, _noise = hints
     for i in range(n):
         text = texts[i]
         eol = True if has_eols is None else bool(has_eols[i])
@@ -165,7 +192,10 @@ def scan_conversation(
     }, sc
 
 
-def _try_fast(sc: SessionScanner, idx, text, plain, vim_safe, sgr_only, stripped):
+_NOISE_ONLY_RE = __import__("re").compile(_NOISE_ONLY)
+
+
+def _try_fast(sc: SessionScanner, idx, text, plain, vim_safe, sgr_only, stripped, noise=None):
     """State-checked fast paths; None means take the exact slow path."""
     if sc.tok.state != GROUND or sc.tok.utf8_need or sc.next_vim > 0:
         return None
@@ -184,8 +214,15 @@ def _try_fast(sc: SessionScanner, idx, text, plain, vim_safe, sgr_only, stripped
         sc._last_rec = rec
         return rec
 
-    if not (plain or sgr_only) or sc.in_prompt or sc.in_vim:
+    if sc.in_prompt or sc.in_vim:
         return None
+    if not (plain or sgr_only):
+        # lazy noise-only check: visible text + output-free sequences
+        if noise is False or _HINT_LIT in text or not _NOISE_ONLY_RE.match(text):
+            return None
+        noise = True
+    else:
+        noise = False
     if sc.term_line.size() > 0:
         return None
 
@@ -206,7 +243,22 @@ def _try_fast(sc: SessionScanner, idx, text, plain, vim_safe, sgr_only, stripped
     # the vim-start detection block ran and found nothing
     sc.vim_2200_seen = False
 
-    body = (stripped.as_py() if sgr_only and not plain else text).rstrip("\r")
+    if noise:
+        # DECCKM toggles on this line update app-mode pairing positions
+        # (the reference records the position of the final byte,
+        # terminalparser.py:358-361); nothing else survives skipping.
+        raw = text.encode("utf-8", "surrogatepass")
+        p = raw.rfind(b"\x1b[?1h")
+        if p >= 0:
+            sc.ckm_set_pos = p + 4
+        p = raw.rfind(b"\x1b[?1l")
+        if p >= 0:
+            sc.ckm_reset_pos = p + 4
+        body = _NOISE_STRIP_RE.sub("", text).rstrip("\r")
+    elif sgr_only and not plain:
+        body = stripped.as_py().rstrip("\r")
+    else:
+        body = text.rstrip("\r")
     if not sc.suppressed:
         rec.clean_text = prefix + body + "\n"
     else:
@@ -352,7 +404,7 @@ def scan_bucket_table(
     )
     hints = _fast_hints(tbl.column("text")) if use_fast_paths else None
     if hints is not None:
-        plain, vim_safe, sgr_only, stripped = hints
+        plain, vim_safe, sgr_only, stripped, _noise = hints
     conv_ids = conv_col.to_pylist()
 
     n = len(conv_ids)
@@ -491,7 +543,7 @@ def make_bucket_stats_fn(use_fast_paths: bool = True):
             else None
         )
         if use_fast_paths:
-            plain, _vim_safe, sgr_only, stripped = _fast_hints(
+            plain, _vim_safe, sgr_only, stripped, _noise = _fast_hints(
                 tbl.column("text")
             )
         merged = {}
@@ -564,7 +616,9 @@ def _try_fast_stats(sc, idx, text, plain, sgr_only, stripped):
     tlp = sc.tlp
     if tlp in (S.VIM_START, S.VIM_ONELINE):
         return None
-    rec = _try_fast(sc, idx, text, plain, False, sgr_only, stripped)
+    # noise lines are excluded in stats mode (their sequences count):
+    # noise=False disables the lazy check
+    rec = _try_fast(sc, idx, text, plain, False, sgr_only, stripped, noise=False)
     if rec is None:
         return None
     cf = sc.stats["control_function"]
