@@ -294,3 +294,55 @@ def test_multimodal_decode(ray_session):
     by_id = {r["media_id"]: r for r in out}
     assert by_id[0]["width"] == tbl.column("width")[0].as_py()
     assert 0 <= by_id[0]["pixel_mean"] <= 255
+
+
+def test_knn_ivf_recall_vs_bruteforce(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.similarity import knn_bruteforce, knn_ivf
+
+    rng = np.random.default_rng(4)
+    # clustered vectors so IVF buckets are meaningful
+    centers = rng.normal(size=(8, 16)).astype(np.float32) * 4
+    mat = np.concatenate(
+        [c + rng.normal(size=(50, 16)).astype(np.float32) for c in centers]
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in mat]),
+        }
+    )
+    queries = ([0, 100, 250], mat[[0, 100, 250]].tolist())
+    bf = knn_bruteforce(ray.data.from_arrow(tbl), queries, k=5).take_all()
+    ivf = knn_ivf(
+        ray.data.from_arrow(tbl), queries, k=5, n_clusters=8, n_probe=3
+    ).take_all()
+    bf_sets = {}
+    ivf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in ivf:
+        ivf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(bf_sets[q] & ivf_sets.get(q, set())) / len(bf_sets[q])
+        for q in bf_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_lang_id_on_stopword_text(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.textan import lang_id
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "the cat sat on the mat and it is a fine day for the park",
+                "el gato y la casa de los vecinos en un lugar con luz",
+                "der hund und die katze in den garten mit dem ball ist da",
+            ],
+        }
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in lang_id(ray.data.from_arrow(tbl)).take_all()}
+    assert out == {1: "en", 2: "es", 3: "de"}
