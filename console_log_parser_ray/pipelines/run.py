@@ -64,8 +64,6 @@ def run_flagship(
 # sharded plan
 # ---------------------------------------------------------------------------
 
-_SINK_ROLES = ("by_role", "by_tool", "vim_sessions", "parsed")
-
 
 def _shard_task(out_dir: str, cfg_ref):
     """Fused per-shard worker: read, scan, enrich, write all sinks,
