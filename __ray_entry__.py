@@ -465,7 +465,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "conv_rollup": (
             "SELECT conv_id, count(*) AS n_turns, "
-            "max(expected_cmd_count) AS n_cmds, "
+            "CAST(max(expected_cmd_count) AS BIGINT) AS n_cmds, "
             "count(*) FILTER (WHERE expected_in_vim AND "
             "strpos(text, chr(27) || '[22;0;0t') > 0) AS n_vim_sessions "
             f"FROM {t} GROUP BY conv_id"
@@ -510,9 +510,9 @@ def oracle_sql() -> dict[str, str]:
             "  (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 "
             "  THEN 1 ELSE 0 END AS new_sess FROM events), "
             "sessions AS ("
-            "  SELECT user_id, tus, sum(new_sess) OVER ("
+            "  SELECT user_id, tus, CAST(sum(new_sess) OVER ("
             "  PARTITION BY user_id ORDER BY tus, event_id "
-            "  ROWS UNBOUNDED PRECEDING) AS session_id FROM flagged) "
+            "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM flagged) "
             "SELECT user_id, session_id, count(*) AS n_events, "
             "min(tus) AS start_ts FROM sessions GROUP BY 1, 2"
         ),
