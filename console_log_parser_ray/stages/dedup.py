@@ -120,7 +120,13 @@ class MinHashStage:
             sig = self.h.signature(text)
             for band in range(_N_BANDS):
                 chunk = sig[band * rpb : (band + 1) * rpb]
-                bucket = hash(chunk.tobytes()) & 0x7FFFFFFFFFFFFFFF
+                # process-independent hash: builtin hash() is salted per
+                # interpreter, so identical bands hashed by different
+                # actors would land in different buckets
+                bucket = int.from_bytes(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(),
+                    "big",
+                ) >> 1
                 rows_band.append(band)
                 rows_bucket.append(bucket)
                 rows_id.append(did)
