@@ -158,16 +158,21 @@ def _shard_task(out_dir: str, cfg_ref):
                 .nunique()
             )
             roll["n_vim"] = vimn.reindex(roll.index).fillna(0).astype("int64")
-            for conv_id, r in roll.iterrows():
-                emit(
-                    shard,
-                    "conv_rollup",
-                    conv_id,
-                    "",
-                    int(r["n_turns"]),
-                    int(r["n_cmds"]),
-                    int(r["n_vim"]),
-                )
+            # rollups are per-conversation (unbounded at scale): they go
+            # to a shard-partitioned sink like every other output, so
+            # resume cleanup and manifests cover them too
+            roll = roll.reset_index()
+            roll_tbl = pa.table(
+                {
+                    "conv_id": pa.array(roll["conv_id"], pa.string()),
+                    "n_turns": pa.array(roll["n_turns"], pa.int64()),
+                    "n_cmds": pa.array(
+                        roll["n_cmds"].astype("int64"), pa.int64()
+                    ),
+                    "n_vim_sessions": pa.array(roll["n_vim"], pa.int64()),
+                }
+            )
+            write(roll_tbl, "conv_rollup")
 
         return pa.table(
             {
@@ -219,10 +224,9 @@ def _run_sharded(input_path, out_dir, cfg=None, resume=True):
     )
     metrics = metrics_ds.take_all()
 
-    # combine partials
+    # combine partials (counts only; rollups were written in-task)
     by_shard_sinks = {}
     role_counts, sink_counts = {}, {}
-    rollups = {"conv_id": [], "n_turns": [], "n_cmds": [], "n_vim_sessions": []}
     for r in metrics:
         if r["kind"] == "sink_rows":
             by_shard_sinks.setdefault(r["shard"], {})[r["k1"]] = {
@@ -232,11 +236,6 @@ def _run_sharded(input_path, out_dir, cfg=None, resume=True):
             role_counts[r["k1"]] = role_counts.get(r["k1"], 0) + r["n1"]
         elif r["kind"] == "sink_count":
             sink_counts[r["k1"]] = sink_counts.get(r["k1"], 0) + r["n1"]
-        elif r["kind"] == "conv_rollup":
-            rollups["conv_id"].append(r["k1"])
-            rollups["n_turns"].append(r["n1"])
-            rollups["n_cmds"].append(r["n2"])
-            rollups["n_vim_sessions"].append(r["n3"])
 
     import pyarrow.parquet as pq
 
@@ -259,19 +258,6 @@ def _run_sharded(input_path, out_dir, cfg=None, resume=True):
             }
         ),
         os.path.join(agg_dir, "counts_by_sink.parquet"),
-    )
-    pq.write_table(
-        pa.table(
-            {
-                "conv_id": pa.array(rollups["conv_id"], pa.string()),
-                "n_turns": pa.array(rollups["n_turns"], pa.int64()),
-                "n_cmds": pa.array(rollups["n_cmds"], pa.int64()),
-                "n_vim_sessions": pa.array(
-                    rollups["n_vim_sessions"], pa.int64()
-                ),
-            }
-        ),
-        os.path.join(agg_dir, "conv_rollup.parquet"),
     )
 
     # commit manifests (metrics came from the tasks; no directory walk)
