@@ -144,7 +144,7 @@ def run_scaling(sf_dir: str) -> dict:
     """
     cpu_list = [
         int(x)
-        for x in os.environ.get("RAY_GRAFT_SCALE_LEGS", "4,8,16,32").split(",")
+        for x in os.environ.get("RAY_GRAFT_SCALE_LEGS", "4,16,8,32,4,16").split(",")
     ]
     legs = {}
     for cpus in cpu_list:
@@ -156,7 +156,13 @@ def run_scaling(sf_dir: str) -> dict:
             timeout=3600,
         )
         line = out.stdout.strip().splitlines()[-1]
-        legs[cpus] = json.loads(line)
+        res = json.loads(line)
+        # best-of-N per leg: external load on a shared box only ever
+        # slows a leg, so the fastest repetition is the least-noisy one;
+        # legs are interleaved so slow phases of the machine don't bias
+        # one parallelism level
+        if cpus not in legs or res["seconds"] < legs[cpus]["seconds"]:
+            legs[cpus] = res
 
     def eff(a, b):
         if a not in legs or b not in legs:
