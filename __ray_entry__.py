@@ -403,6 +403,88 @@ def _q_media_features(sf_dir: str):
     return decode_features(ds)
 
 
+
+
+def _q_asciinema_clean_text(sf_dir: str):
+    """Asciinema-source variant of the flagship parse: the cached
+    transcripts are deterministically re-cut into asciinema-style
+    frames (lines split mid-way, newline-terminated), reassembled by
+    the frame->line grouped scan, and parsed.  Reassembly is exact, so
+    the result matches the generator's per-turn ground truth."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.pipelines import flagship
+    from console_log_parser_ray.sources.asciinema import frames_to_turns
+
+    path = _cache.ensure_transcripts(sf_dir)
+    src_ds = ray.data.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+
+    def to_frames(batch: pa.Table) -> pa.Table:
+        convs = batch.column("conv_id").to_pylist()
+        idxs = batch.column("turn_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = {"conv_id": [], "frame_idx": [], "ts": [], "data": []}
+        for c, i, t in zip(convs, idxs, texts):
+            line = t + "\n"
+            cut = len(line) // 2 if len(line) > 4 and i % 3 == 0 else 0
+            pieces = [line[:cut], line[cut:]] if cut else [line]
+            for p, piece in enumerate(pieces):
+                out["conv_id"].append(c)
+                out["frame_idx"].append(i * 4 + p)
+                out["ts"].append(float(i) + p * 0.1)
+                out["data"].append(piece)
+        return pa.table(
+            {
+                "conv_id": pa.array(out["conv_id"], pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "ts": pa.array(out["ts"], pa.float64()),
+                "data": pa.array(out["data"], pa.string()),
+            }
+        )
+
+    frames = src_ds.map_batches(to_frames, batch_format="pyarrow")
+    turns = frames_to_turns(frames).drop_columns(["ts"])
+    parsed = flagship.parse_sessions(turns)
+    return parsed.select_columns(["conv_id", "turn_idx", "clean_text"])
+
+
+def _q_twebber_hops(sf_dir: str):
+    """Two-recording time alignment (reference twebber.py:56-105) over
+    deterministic frame streams derived from the events table: each
+    adjacent user pair forms one recording pair, frame times from their
+    event timestamps."""
+    import pyarrow as pa
+
+    from console_log_parser_ray.stages.events import twebber_hops
+
+    ev = _events(sf_dir).select_columns(["user_id", "ts"])
+
+    def to_frames(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_pylist()
+        tss = [t.cast("int64").as_py() / 1e6 for t in batch.column("ts")]
+        out = {"pair_id": [], "side": [], "start_ts": [], "frame_ts": []}
+        for u, t in zip(users, tss):
+            pair = "pair{:04d}".format(u // 2)
+            side = "left" if u % 2 == 0 else "right"
+            out["pair_id"].append(pair)
+            out["side"].append(side)
+            out["start_ts"].append(1000.0 + (u % 2) * 7.5)
+            out["frame_ts"].append(t % 10000)
+        return pa.table(
+            {
+                "pair_id": pa.array(out["pair_id"], pa.string()),
+                "side": pa.array(out["side"], pa.string()),
+                "start_ts": pa.array(out["start_ts"], pa.float64()),
+                "frame_ts": pa.array(out["frame_ts"], pa.float64()),
+            }
+        )
+
+    frames = ev.map_batches(to_frames, batch_format="pyarrow")
+    return twebber_hops(frames)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -412,6 +494,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "commands": _q_commands,
         "conv_rollup": _q_conv_rollup,
         "seq_histogram": _q_seq_histogram,
+        "asciinema_clean_text": _q_asciinema_clean_text,
+        "twebber_hops": _q_twebber_hops,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "simhash": _q_simhash,
@@ -443,6 +527,10 @@ def oracle_sql() -> dict[str, str]:
     t = f"read_parquet('{_SF001_GLOB}')"
     return {
         "parse_clean_text": (
+            "SELECT conv_id, turn_idx, expected_clean_text AS clean_text "
+            f"FROM {t}"
+        ),
+        "asciinema_clean_text": (
             "SELECT conv_id, turn_idx, expected_clean_text AS clean_text "
             f"FROM {t}"
         ),
