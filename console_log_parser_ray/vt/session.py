@@ -345,9 +345,29 @@ class SessionScanner:
             self._on_print(text)
             self._scan_pos = end
             return
-        # Walk the run char by char with byte positions (rare path: only
-        # while a prompt is being matched or a vim re-entry is pending).
-        is_ascii = (end - start) == len(text)
+        if (end - start) == len(text):
+            # ASCII run: byte positions == char positions, so jump
+            # straight between (memoized) trigger positions in bulk
+            pos = start
+            while pos < end:
+                if not self._triggers_possible():
+                    self._on_print(text[pos - start :])
+                    break
+                trig = self._next_trigger(line, pos, end - 1)
+                if trig is None:
+                    self._on_print(text[pos - start :])
+                    break
+                tpos = trig[0]
+                if tpos > pos:
+                    self._on_print(text[pos - start : tpos - start])
+                self._fire_trigger(line, trig)
+                # the trigger byte itself is input (and printed) under
+                # the post-trigger state; no second trigger fires on it
+                self._on_print(text[tpos - start])
+                pos = tpos + 1
+            self._scan_pos = end
+            return
+        # Multibyte run: walk char by char tracking byte positions
         pos = start
         buf = []
         for idx, ch in enumerate(text):
@@ -361,7 +381,7 @@ class SessionScanner:
                     buf = []
                 self._fire_trigger(line, trig)
             buf.append(ch)
-            pos += 1 if is_ascii else len(ch.encode("utf-8"))
+            pos += len(ch.encode("utf-8"))
         if buf:
             self._on_print("".join(buf))
         self._scan_pos = end

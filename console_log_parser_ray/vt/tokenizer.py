@@ -94,6 +94,9 @@ _ESC2 = re.compile(rb"\x1b([\x20-\x2f]*)([\x30-\x7e])")
 
 # Bytes the OSC put action keeps (0x20-0x7F after GL aliasing)
 _OSC_KEEP = frozenset(range(0x20, 0x80))
+# Deletion table for the fast path (its body class is pure ASCII, so
+# dropping the ignored C0 bytes and decoding latin-1 equals chr-per-byte)
+_OSC_DROP = bytes(b for b in range(0x100) if b not in _OSC_KEEP)
 
 _C0_EXEC = frozenset(list(range(0x00, 0x18)) + [0x19] + list(range(0x1C, 0x20)))
 
@@ -203,7 +206,7 @@ class LineTokenizer:
             m = _OSC.match(data, i)
             if m is not None:
                 body = m.group(1)
-                s = "".join(chr(b) for b in body if b in _OSC_KEEP)
+                s = body.translate(None, _OSC_DROP).decode("latin-1")
                 if m.group(2) == b"" and m.end() == len(data):
                     # Unterminated: OSC continues on the next line
                     self.state = OSC_STRING
