@@ -63,9 +63,14 @@ SOS_PM_APC_STRING = 13
 
 # A run of GROUND printables: ASCII 0x20-0x7F or a valid UTF-8 multibyte
 # sequence.  DEL (0x7F) prints in GROUND per the reference's event map.
+# NOTE: \xc2\x80-\xc2\x9f (decoded U+0080-U+009F) are excluded: the
+# reference feeds the DECODED code point to the event map, where those
+# values carry C1 control semantics (reference vtparser.py:583-598 +
+# the C1 entries of the GROUND event map).
 _RUN = re.compile(
     rb"(?:[\x20-\x7f]"
-    rb"|[\xc2-\xdf][\x80-\xbf]"
+    rb"|\xc2[\xa0-\xbf]"
+    rb"|[\xc3-\xdf][\x80-\xbf]"
     rb"|[\xe0-\xef][\x80-\xbf]{2}"
     rb"|[\xf0-\xf4][\x80-\xbf]{3})+"
 )
@@ -294,10 +299,29 @@ class LineTokenizer:
                     self.utf8_acc = (self.utf8_acc << 6) | (b & 0x3F)
                     self.utf8_need -= 1
                     if self.utf8_need == 0:
-                        append(("print", chr(self.utf8_acc), pos, pos + 1))
+                        cp = self.utf8_acc
+                        if 0x80 <= cp <= 0x9F:
+                            # decoded code point hits the C1 rows of the
+                            # GROUND event map
+                            self._c1(cp, pos, append)
+                        else:
+                            append(("print", chr(cp), pos, pos + 1))
                     return
-                # Invalid sequence: drop it, continue with current byte
+                # Invalid sequence: drop it; the offending byte bypasses
+                # UTF-8 reassembly entirely and goes straight to the
+                # event map (reference vtparser.py:586-598 does not
+                # re-enter the UTF-8 machine), so a 0xC2-0xFD lead byte
+                # here PRINTS raw instead of starting a new sequence.
                 self.utf8_need = 0
+                if b == 0x1B:
+                    self._enter_escape(pos)
+                elif b in _C0_EXEC or b in (0x18, 0x1A):
+                    append(("exec", b, pos))
+                elif 0x80 <= b <= 0x9F:
+                    self._c1(b, pos, append)
+                else:
+                    append(("print", chr(b), pos, pos + 1))
+                return
             if b < 0x80:
                 if b == 0x1B:
                     self._enter_escape(pos)
