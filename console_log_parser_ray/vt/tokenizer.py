@@ -71,8 +71,13 @@ _RUN = re.compile(
     rb"(?:[\x20-\x7f]"
     rb"|\xc2[\xa0-\xbf]"
     rb"|[\xc3-\xdf][\x80-\xbf]"
-    rb"|[\xe0-\xef][\x80-\xbf]{2}"
-    rb"|[\xf0-\xf4][\x80-\xbf]{3})+"
+    rb"|\xe0[\xa0-\xbf][\x80-\xbf]"
+    rb"|[\xe1-\xec][\x80-\xbf]{2}"
+    rb"|\xed[\x80-\x9f][\x80-\xbf]"
+    rb"|[\xee-\xef][\x80-\xbf]{2}"
+    rb"|\xf0[\x90-\xbf][\x80-\xbf]{2}"
+    rb"|[\xf1-\xf3][\x80-\xbf]{3}"
+    rb"|\xf4[\x80-\x8f][\x80-\xbf]{2})+"
 )
 
 # Complete CSI with a pure-ASCII body and no embedded C0 controls.
@@ -299,13 +304,12 @@ class LineTokenizer:
                     self.utf8_acc = (self.utf8_acc << 6) | (b & 0x3F)
                     self.utf8_need -= 1
                     if self.utf8_need == 0:
-                        cp = self.utf8_acc
-                        if 0x80 <= cp <= 0x9F:
-                            # decoded code point hits the C1 rows of the
-                            # GROUND event map
-                            self._c1(cp, pos, append)
-                        else:
-                            append(("print", chr(cp), pos, pos + 1))
+                        # the decoded code point (not the bytes) hits the
+                        # GROUND event map: overlong encodings can decode
+                        # to C0/ESC/C1 values, surrogates print as-is,
+                        # and > 0x10FFFF has no mapping (the reference
+                        # raises, vtparser.py:230)
+                        self._ground_code(self.utf8_acc, pos, append)
                     return
                 # Invalid sequence: drop it; the offending byte bypasses
                 # UTF-8 reassembly entirely and goes straight to the
@@ -425,7 +429,13 @@ class LineTokenizer:
                 self.state = CSI_IGNORE
             elif 0x3C <= s <= 0x3F:
                 if st == CSI_ENTRY:
-                    self.private = chr(b)
+                    # the collect action checks the ORIGINAL byte: a
+                    # GR-aliased byte stores as an intermediate instead
+                    # (reference vtparser.py:644-652)
+                    if 0x3C <= b <= 0x3F:
+                        self.private = chr(b)
+                    else:
+                        self.interm += chr(b)
                     self.state = CSI_PARAM
                 else:
                     self.state = CSI_IGNORE
@@ -453,7 +463,10 @@ class LineTokenizer:
                 self._dcs_ignore_hook(b, append)
             elif 0x3C <= s <= 0x3F:
                 if st == DCS_ENTRY:
-                    self.private = chr(b)
+                    if 0x3C <= b <= 0x3F:
+                        self.private = chr(b)
+                    else:
+                        self.interm += chr(b)
                     self.state = DCS_PARAM
                 else:
                     self.state = DCS_IGNORE
@@ -475,6 +488,21 @@ class LineTokenizer:
             # everything else ignored
         elif st == SOS_PM_APC_STRING:
             pass
+
+    def _ground_code(self, cp: int, pos: int, append):
+        """Dispatch a decoded code point through the GROUND event map."""
+        if cp > 0x10FFFF:
+            raise NotImplementedError(
+                "code point 0x{:x} has no event mapping".format(cp)
+            )
+        if cp == 0x1B:
+            self._enter_escape(pos)
+        elif cp in _C0_EXEC or cp in (0x18, 0x1A):
+            append(("exec", cp, pos))
+        elif 0x80 <= cp <= 0x9F:
+            self._c1(cp, pos, append)
+        else:
+            append(("print", chr(cp), pos, pos + 1))
 
     def _enter_escape(self, _pos):
         self.state = ESCAPE
