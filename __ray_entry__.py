@@ -197,6 +197,48 @@ def _q_dedup_minhash(sf_dir: str):
     )
 
 
+def _q_token_jaccard(sf_dir: str):
+    from console_log_parser_ray.stages.dedup import token_jaccard_adjacent
+
+    return token_jaccard_adjacent(_docs(sf_dir))
+
+
+def _q_embedding_near_dups(sf_dir: str):
+    """Embedding-cosine near-dup over the embeddings table augmented
+    with planted noisy copies (vec_id + 1e6, ~0.999 cosine to their
+    source; the table's natural pairs top out near 0.51, so the 0.9
+    threshold classifies deterministically and the expected pair set is
+    exactly the planted one)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from console_log_parser_ray.stages.dedup import embedding_near_dups
+
+    base = _embeddings(sf_dir).select_columns(["vec_id", "embedding"])
+
+    def perturb(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_pylist()
+        mat = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        out = []
+        for i, v in zip(ids, mat):
+            rng = np.random.default_rng(i)
+            noise = rng.normal(size=v.shape)
+            noise /= np.linalg.norm(noise) or 1.0
+            w = v + 0.03 * np.linalg.norm(v) * noise
+            out.append([float(x) for x in w])
+        return pa.table(
+            {
+                "vec_id": pa.array([i + 1_000_000 for i in ids], pa.int64()),
+                "embedding": pa.array(out),
+            }
+        )
+
+    aug = base.union(base.map_batches(perturb, batch_format="pyarrow"))
+    return embedding_near_dups(aug, threshold=0.9).select_columns(
+        ["doc_a", "doc_b"]
+    )
+
+
 def _q_simhash(sf_dir: str):
     from console_log_parser_ray.stages.dedup import simhash
 
@@ -498,6 +540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twebber_hops": _q_twebber_hops,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
+        "token_jaccard": _q_token_jaccard,
+        "embedding_near_dups": _q_embedding_near_dups,
         "simhash": _q_simhash,
         "token_stats": _q_token_stats,
         "quality": _q_quality,
@@ -582,6 +626,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "lang_hist": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "embedding_near_dups": (
+            "SELECT vec_id AS doc_a, vec_id + 1000000 AS doc_b "
+            "FROM embeddings"
+        ),
+        "token_jaccard": (
+            "WITH toks AS (SELECT doc_id, "
+            "list_distinct(regexp_extract_all(text, '\\S+')) AS t "
+            "FROM documents) "
+            "SELECT a.doc_id AS doc_a, "
+            "len(list_intersect(a.t, b.t)) * 1.0 / "
+            "(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) "
+            "AS jaccard "
+            "FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1"
+        ),
         "knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
             "FROM embeddings ORDER BY vec_id LIMIT 8) "

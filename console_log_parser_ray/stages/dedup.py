@@ -236,3 +236,90 @@ def simhash(ds, text_col="text", id_col="doc_id"):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_jaccard_adjacent(ds, id_col="doc_id", text_col="text"):
+    """Token-set Jaccard between each document and its id+1 neighbor.
+
+    The small side (id -> token set) is broadcast once; each batch
+    computes its rows' similarities locally -- the same broadcast-
+    lookup shape the near-dup verifier uses, here in a directly
+    SQL-checkable form (integer-free ratios are exact: both sides
+    compute |A intersect B| / |A union B| over identical integer sets).
+    """
+    import ray
+
+    rows = ds.select_columns([id_col, text_col]).take_all()
+    token_sets = {r[id_col]: frozenset(r[text_col].split()) for r in rows}
+    max_id = max(token_sets) if token_sets else -1
+    ref = ray.put((token_sets, max_id))
+
+    class Jac:
+        def __init__(self):
+            self.sets, self.max_id = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_pylist()
+            out_a, out_j = [], []
+            for i in ids:
+                if i >= self.max_id:
+                    continue
+                a, b = self.sets[i], self.sets[i + 1]
+                inter = len(a & b)
+                union = len(a) + len(b) - inter
+                out_a.append(i)
+                out_j.append(inter / union if union else 1.0)
+            return pa.table(
+                {
+                    "doc_a": pa.array(out_a, pa.int64()),
+                    "jaccard": pa.array(out_j, pa.float64()),
+                }
+            )
+
+    return ds.map_batches(Jac, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def embedding_near_dups(ds, threshold=0.9, vec_col="embedding", id_col="vec_id"):
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    The normalized matrix is broadcast once; each batch computes its
+    block of the similarity matrix against it -- brute force as the
+    exact baseline; the IVF path (similarity.knn_ivf) is the scale
+    variant for corpora where a full broadcast no longer fits.
+    """
+    import ray
+
+    from .similarity import _batch_matrix, _normalize
+
+    rows = ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in rows])
+    mat = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    ref = ray.put((ids, mat))
+
+    class Near:
+        def __init__(self):
+            self.ids, self.mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            b_ids = np.asarray(batch.column(id_col).to_pylist())
+            b_mat = _normalize(
+                np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            )
+            sims = b_mat @ self.mat.T
+            out_a, out_b, out_c = [], [], []
+            for r in range(sims.shape[0]):
+                hits = np.where(sims[r] >= threshold)[0]
+                for c in hits:
+                    if b_ids[r] < self.ids[c]:
+                        out_a.append(int(b_ids[r]))
+                        out_b.append(int(self.ids[c]))
+                        out_c.append(float(sims[r, c]))
+            return pa.table(
+                {
+                    "doc_a": pa.array(out_a, pa.int64()),
+                    "doc_b": pa.array(out_b, pa.int64()),
+                    "cosine": pa.array(out_c, pa.float64()),
+                }
+            )
+
+    return ds.map_batches(Near, batch_format="pyarrow", concurrency=(1, 4))
