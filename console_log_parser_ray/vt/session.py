@@ -147,9 +147,14 @@ class SessionScanner:
         self._scan_pos = 0
         self._trig_cache = {}
 
+        # Literal-substring gates: each of the line-level regexes can
+        # only match when a fixed literal is present, and `in` on bytes
+        # is a memchr-speed scan, so most lines skip the regexes
+        # entirely.  Semantics are unchanged (a gated-out regex could
+        # never have matched).
         tlp = self.tlp
         if tlp == PROMPT_OSC:
-            m = P.PROMPT_HEADER.match(line)
+            m = P.PROMPT_HEADER.match(line) if b"MINGW64" in line else None
             if m:
                 cwd = m.group("cwd").decode()
                 if self.osc_string.endswith(cwd[1:]) or cwd == "~":
@@ -159,13 +164,15 @@ class SessionScanner:
             self._emit_normal()
             self.tlp = NORMAL
         elif tlp == VIM_START:
-            if P.VIM_END_1.match(line) or P.VIM_END_2.match(line):
+            if (b"\x1b[23;0;0t" in line and P.VIM_END_1.match(line)) or (
+                b"\x1b[?1l\x1b>" in line and P.VIM_END_2.match(line)
+            ):
                 self.tlp = VIM_ENDING
         elif tlp == VIM_ENDING:
             self._emit_normal()
             self.tlp = NORMAL
 
-        if self.tlp == NORMAL:
+        if self.tlp == NORMAL and b"$" in line:
             m = P.PROMPT_LINESTART.match(line)
             if m:
                 rec.cwd = m.group("cwd").decode()
@@ -176,15 +183,27 @@ class SessionScanner:
         if self.tlp not in _VIM_STATES:
             props = {}
             m2 = None
-            m0 = P.VIM_START_0.match(line)
-            m1 = P.VIM_START_1.match(line)
+            m0 = (
+                P.VIM_START_0.match(line)
+                if b"hint: Waiting" in line[:96]
+                else None
+            )
+            m1 = (
+                P.VIM_START_1.match(line)
+                if b"\x1b[22;2t\x1b[22;1t" in line
+                else None
+            )
             if m1:
                 self.vim_2200_seen = True
                 if m1.group("height"):
                     props["height"] = m1.group("height").decode()
             else:
                 self.vim_2200_seen = False
-                m2 = P.VIM_START_2.match(line)
+                m2 = (
+                    P.VIM_START_2.match(line)
+                    if b"\x1b[2;1H\xe2\x96\xbd\x1b[6n" in line
+                    else None
+                )
                 if m2:
                     if m2.group("height"):
                         props["height"] = m2.group("height").decode()
