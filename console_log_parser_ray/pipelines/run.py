@@ -361,6 +361,49 @@ def _run_concurrently(fns):
         raise errors[0]
 
 
+def _parse_giant_conversation(
+    input_path, conv_id, bucket_id, parsed_root, cfg_ref, chunk_size=None
+):
+    """Parse one oversized conversation with the chunk-parallel scan
+    and write its dedicated parsed partition.
+
+    The conversation's rows are collected to the driver here (fine up
+    to tens of millions of turns); past that, the speculative phase
+    would read chunk ranges directly from storage instead.
+    """
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from ..stages.scan import records_to_table
+    from ..vt.chunked import ray_chunked_scan
+
+    ds = ray.data.read_parquet(
+        input_path, columns=["conv_id", "turn_idx", "text", "ts"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("conv_id"), conv_id))
+
+    tbl = pa.Table.from_pylist(
+        ds.map_batches(keep, batch_format="pyarrow").take_all()
+    ).sort_by("turn_idx")
+    texts = tbl.column("text").to_pylist()
+    if chunk_size is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        chunk_size = max(500, len(texts) // max(2 * n_cpus, 4))
+    recs = ray_chunked_scan(texts, chunk_size)
+    out = records_to_table(
+        conv_id, recs, ts_vals=tbl.column("ts"), texts=texts
+    )
+    out = EnrichTurns(cfg_ref)(out)
+    d = os.path.join(parsed_root, f"bucket={bucket_id}")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        out, os.path.join(d, "part-giant.parquet"), compression="zstd"
+    )
+
+
 def find_heavy_conversations(input_path, threshold: int) -> dict:
     """Pre-pass: per-conversation turn counts (narrow read of conv_id
     only, per-batch partial counts, tiny driver combine); returns the
@@ -424,11 +467,25 @@ def _run_bucketed(
     parsed_root = os.path.join(out_dir, "parsed")
     sinks_root = os.path.join(out_dir, "sinks")
 
+    # Giant conversations are parsed first, chunk-parallel: speculative
+    # chunk scans fan out as Ray tasks and a state-convergence stitch
+    # pass adopts their results (vt/chunked.py) -- one conversation no
+    # longer bounds wall time by a single worker's sequential scan.
+    heavy_bucket_ids = frozenset(heavy_ids.values())
+    for conv, bucket_id in heavy_ids.items():
+        if bucket_id not in todo:
+            continue
+        _parse_giant_conversation(
+            input_path, conv, bucket_id, parsed_root, cfg_ref
+        )
+
     waves = [
         todo[i : i + wave_buckets] for i in range(0, len(todo), wave_buckets)
     ]
     for wave in waves:
-        wanted = frozenset(wave)
+        wanted = frozenset(wave) - heavy_bucket_ids
+        if not wanted:
+            wanted = frozenset()
         ds = ray.data.read_parquet(
             input_path, columns=["conv_id", "turn_idx", "text", "ts"]
         )
@@ -439,15 +496,16 @@ def _run_bucketed(
         parsed = ds.groupby("bucket").map_groups(
             _bucket_scan_keep_bucket(), batch_format="pyarrow"
         )
-        n_cpus = int(ray.cluster_resources().get("CPU", 8))
-        enriched = parsed.map_batches(
-            EnrichTurns,
-            fn_constructor_args=(cfg_ref,),
-            batch_format="pyarrow",
-            concurrency=(2, max(8, n_cpus)),
-            batch_size=4096,
-        )
-        enriched.write_parquet(parsed_root, partition_cols=["bucket"])
+        if wanted:
+            n_cpus = int(ray.cluster_resources().get("CPU", 8))
+            enriched = parsed.map_batches(
+                EnrichTurns,
+                fn_constructor_args=(cfg_ref,),
+                batch_format="pyarrow",
+                concurrency=(2, max(8, n_cpus)),
+                batch_size=4096,
+            )
+            enriched.write_parquet(parsed_root, partition_cols=["bucket"])
 
         wave_files = [
             f

@@ -635,3 +635,58 @@ def _try_fast_stats(sc, idx, text, plain, sgr_only, stripped):
             k = "Esc[" + params + "m"
             csi[k] = csi.get(k, 0) + 1
     return rec
+
+
+def records_to_table(conv_id: str, recs, ts_vals=None, texts=None) -> pa.Table:
+    """Assemble TurnRecords (e.g. from the chunk-parallel scan) into the
+    standard SCAN_SCHEMA table, applying the same per-command backfill
+    and role derivation as the grouped scans."""
+    n = len(recs)
+    cmd_text, cmd_cwd = {}, {}
+    for r in recs:
+        if r.command is not None:
+            cmd_text.setdefault(r.cmd_count, r.command)
+        if r.cwd:
+            cmd_cwd.setdefault(r.cmd_count, r.cwd)
+    roles = []
+    for r in recs:
+        if r.cmd_count == 0:
+            roles.append("system")
+        elif r.is_prompt or r.prompt_active or r.command is not None or r.cwd:
+            roles.append("user")
+        else:
+            roles.append("assistant")
+    if ts_vals is None:
+        ts_arr = pa.nulls(n, pa.timestamp("us"))
+    elif isinstance(ts_vals, (pa.Array, pa.ChunkedArray)):
+        ts_arr = (
+            ts_vals.combine_chunks()
+            if isinstance(ts_vals, pa.ChunkedArray)
+            else ts_vals
+        )
+    else:
+        ts_arr = pa.array(ts_vals, pa.timestamp("us"))
+    arrays = [
+        pa.array([conv_id] * n, pa.string()),
+        pa.array([r.turn_idx for r in recs], pa.int32()),
+        ts_arr,
+        pa.array(roles, pa.string()),
+        pa.array([r.clean_text for r in recs], pa.string()),
+        pa.array([r.cmd_count for r in recs], pa.int32()),
+        pa.array([r.cmd_number for r in recs], pa.int32()),
+        pa.array([r.is_prompt for r in recs], pa.bool_()),
+        pa.array([cmd_text.get(r.cmd_count, "") for r in recs], pa.string()),
+        pa.array([cmd_cwd.get(r.cmd_count, "") for r in recs], pa.string()),
+        pa.array([r.in_vim for r in recs], pa.bool_()),
+        pa.array([r.vim_session_id for r in recs], pa.int32()),
+        pa.array([r.osc_title for r in recs], pa.string()),
+        pa.array([r.warnings for r in recs], pa.int32()),
+        pa.array(
+            [
+                (texts[i] if texts is not None and recs[i].in_vim else None)
+                for i in range(n)
+            ],
+            pa.string(),
+        ),
+    ]
+    return pa.Table.from_arrays(arrays, schema=SCAN_SCHEMA)

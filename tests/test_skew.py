@@ -51,3 +51,36 @@ def test_heavy_conv_isolated_partition(ray_session, skewed_input, tmp_path):
     assert found is not None
     bucket, convs = found
     assert bucket >= 4 and convs == {giant_id}
+
+
+def test_giant_conv_chunk_parallel_equals_sequential(
+    ray_session, skewed_input, tmp_path
+):
+    """The chunk-parallel giant path produces the same parsed rows as a
+    run without skew handling."""
+    from console_log_parser_ray.pipelines.run import run_flagship
+
+    path, giant_id = skewed_input
+    plain_out = str(tmp_path / "plain")
+    run_flagship(path, plain_out, n_buckets=4, wave_buckets=16)
+    skew_out = str(tmp_path / "skew")
+    run_flagship(
+        path, skew_out, n_buckets=4, wave_buckets=16, skew_threshold=100
+    )
+
+    def rows(out):
+        got = []
+        for f in glob.glob(
+            os.path.join(out, "parsed", "**", "*.parquet"), recursive=True
+        ):
+            t = pq.read_table(
+                f,
+                columns=[
+                    "conv_id", "turn_idx", "clean_text", "role",
+                    "cmd_count", "command", "vim_session_id", "sink",
+                ],
+            )
+            got.extend(map(tuple, zip(*[t.column(c).to_pylist() for c in t.schema.names])))
+        return sorted(got)
+
+    assert rows(plain_out) == rows(skew_out)
