@@ -170,11 +170,25 @@ def main(argv=None):
 
     if not args.infile:
         ap.error("an input file or --todo list is required")
-    parsed = (
-        _parse_asciinema_file(args.infile)
-        if args.format == "asciinema"
-        else _parse_terminal_file(args.infile)
-    )
+    if not os.path.exists(args.infile):
+        print(
+            f"console_log_parser_ray: error: no such file: {args.infile}",
+            file=sys.stderr,
+        )
+        return 2
+    try:
+        parsed = (
+            _parse_asciinema_file(args.infile)
+            if args.format == "asciinema"
+            else _parse_terminal_file(args.infile)
+        )
+    except (ValueError, json.JSONDecodeError) as e:
+        print(
+            "console_log_parser_ray: error: {} does not parse as {} "
+            "input: {}".format(args.infile, args.format, e),
+            file=sys.stderr,
+        )
+        return 2
     _emit(parsed, args.out, args.palette, args.title)
     return 0
 

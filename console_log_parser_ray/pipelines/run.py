@@ -272,12 +272,15 @@ def _run_sharded(input_path, out_dir, cfg=None, resume=True):
                 "sinks": by_shard_sinks.get(s, {}),
             },
         )
-    routed = sum(
-        v["rows"]
-        for sinks in by_shard_sinks.values()
-        for k, v in sinks.items()
-        if k.startswith("by_role/")
-    )
+    # total from ALL committed manifests, so a resumed run reports the
+    # cumulative routed rows, not just the shards it re-ran
+    routed = 0
+    for s in M.completed_partitions(out_dir, "shard"):
+        with open(M.partition_manifest_path(out_dir, "shard", s)) as fh:
+            sinks = json.load(fh).get("sinks", {})
+        routed += sum(
+            v["rows"] for k, v in sinks.items() if k.startswith("by_role/")
+        )
     return {
         "partitions": len(shards),
         "ran": len(todo),
