@@ -33,11 +33,17 @@ from ..vt.tokenizer import GROUND
 
 # "Plain" lines: no C0 except TAB (LF cannot occur inside a turn's
 # text) and a trailing CR run (winpty endings), no '$' (prompt
-# detection), no vim hint literal, no ESC.
-_PLAIN = "^[^\\x00-\\x08\\x0a-\\x1f$]*\\r*$"
+# detection), no vim hint literal, no ESC.  C1 code points
+# U+0080-U+009F are excluded everywhere: the tokenizer feeds decoded
+# code points to the event map, where 0x9B/0x9D/0x90/... introduce
+# CSI/OSC/DCS exactly like their ESC forms (tokenizer._c1), so a line
+# carrying one is never fast-path safe.
+_PLAIN = "^[^\\x00-\\x08\\x0a-\\x1f$\\x80-\\x9f]*\\r*$"
 _HINT_LIT = "hint: Waiting"
 # Lines whose only escape use is SGR coloring
-_SGR_ONLY = "^(?:[^\\x1b\\x00-\\x08\\x0b-\\x1f$]|\\x1b\\[[0-9;]*m)*\\r*$"
+_SGR_ONLY = (
+    "^(?:[^\\x1b\\x00-\\x08\\x0b-\\x1f$\\x80-\\x9f]|\\x1b\\[[0-9;]*m)*\\r*$"
+)
 _SGR_RUN = "\\x1b\\[[0-9;]*m"
 # "Noise-safe" lines: visible text interleaved ONLY with sequences that
 # produce no output and no feature-FSM transitions in NORMAL state --
@@ -46,11 +52,11 @@ _SGR_RUN = "\\x1b\\[[0-9;]*m"
 # that do NOT start "0;" (only title-setting OSCs drive the prompt
 # protocol, reference terminalparser.py:381), and ST-terminated DCS.
 _NOISE_ONLY = (
-    "^(?:[^\\x1b\\x00-\\x06\\x08\\x0b-\\x1f$]"
+    "^(?:[^\\x1b\\x00-\\x06\\x08\\x0b-\\x1f$\\x80-\\x9f]"
     "|\\x1b\\[[0-9;]*m"
     "|\\x1b\\[\\?[0-9;]*[hl]"
-    "|\\x1b\\][1-9][0-9]*;[^\\x07\\x1b]*\\x07"
-    "|\\x1bP[0-9;]*[\\x20-\\x2f]*[a-zA-Z][^\\x1b]*\\x1b\\\\"
+    "|\\x1b\\][1-9][0-9]*;[^\\x07\\x1b\\x80-\\x9f]*\\x07"
+    "|\\x1bP[0-9;]*[\\x20-\\x2f]*[a-zA-Z][^\\x1b\\x80-\\x9f]*\\x1b\\\\"
     ")*\\r*$"
 )
 # visible remainder of a noise-safe line (applied per noise row)
@@ -68,7 +74,7 @@ _NOISE_STRIP = (
 # class conservatively includes embedded C0s).
 _VIM_RISKY = (
     "\\x1b(\\]|P|X|\\^|_|=|>)|23;0;0t|\\x1b\\[\\?1[hl]"
-    "|\\x1b(\\[[\\x00-\\x3f\\x7f]*)?$|hint: Waiting"
+    "|\\x1b(\\[[\\x00-\\x3f\\x7f]*)?$|hint: Waiting|[\\x80-\\x9f]"
 )
 
 

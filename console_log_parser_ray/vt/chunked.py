@@ -69,9 +69,14 @@ def state_sig(sc: SessionScanner) -> tuple:
         tuple(sc.cmd_line.cells),
         sc.cmd_line.cur,
         sc.cmd_line.prefix_start,
+        # pending (unflushed) warnings counters: scanners that converge
+        # on every other dimension but carry different pending warnings
+        # would report different warnings values at the next flush
+        sc.cmd_line.warnings,
         tuple(sc.term_line.cells),
         sc.term_line.cur,
         sc.term_line.prefix_start,
+        sc.term_line.warnings,
     )
 
 

@@ -41,6 +41,14 @@ _ATOMS = [
     "\x1b[1;5H\x1b[2Jmore",
     "a$b",
     "user@host:~$ echo hi",
+    # raw C1 introducers (UTF-8-encoded U+0080-U+009F): the tokenizer
+    # treats \x9b as CSI, \x9d as OSC, \x90 as DCS, \x9c as ST -- a line
+    # containing one must never take a fast path (ADVICE r1)
+    "\x9b32mcolored-c1\x9b0m",
+    "\x9d0;c1 title\x07after",
+    "pre\x90" + "1$r0m\x9c" + "post",
+    "text\x85mid",
+    "stray\x9cst",
 ]
 
 
