@@ -356,43 +356,44 @@ def _q_orders_enrich(sf_dir: str):
     import ray
     import ray.data
 
+    import pyarrow.compute as pc
+
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_name", "c_nationkey"],
     )
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
-    c_map = {
-        k: (n, nk)
-        for k, n, nk in zip(
-            cust.column("c_custkey").to_pylist(),
-            cust.column("c_name").to_pylist(),
-            cust.column("c_nationkey").to_pylist(),
-        )
-    }
-    n_map = dict(
-        zip(
-            nation.column("n_nationkey").to_pylist(),
-            nation.column("n_name").to_pylist(),
+    # pre-resolve nation names onto the customer table once (small x
+    # small), so the per-batch work is two Arrow index_in/take kernels
+    nk_idx = pc.index_in(
+        cust.column("c_nationkey"), value_set=nation.column("n_nationkey")
+    )
+    cust_n_name = pc.take(nation.column("n_name").combine_chunks(), nk_idx)
+    maps_ref = ray.put(
+        (
+            cust.column("c_custkey").combine_chunks(),
+            cust.column("c_name").combine_chunks(),
+            cust_n_name.combine_chunks()
+            if isinstance(cust_n_name, pa.ChunkedArray)
+            else cust_n_name,
         )
     )
-    maps_ref = ray.put((c_map, n_map))
 
     class Join:
+        """Broadcast hash-join, fully vectorized: the lookup arrays ship
+        to the object store once; each batch is one index_in + two
+        takes (no per-row Python)."""
+
         def __init__(self):
-            self.c_map, self.n_map = ray.get(maps_ref)
+            self.keys, self.c_name, self.n_name = ray.get(maps_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            keys = b.column("o_custkey").to_pylist()
-            names, nations = [], []
-            for k in keys:
-                cn, nk = self.c_map.get(k, (None, None))
-                names.append(cn)
-                nations.append(self.n_map.get(nk))
+            idx = pc.index_in(b.column("o_custkey"), value_set=self.keys)
             return pa.table(
                 {
                     "o_orderkey": b.column("o_orderkey"),
-                    "c_name": pa.array(names, pa.string()),
-                    "n_name": pa.array(nations, pa.string()),
+                    "c_name": pc.take(self.c_name, idx),
+                    "n_name": pc.take(self.n_name, idx),
                 }
             )
 

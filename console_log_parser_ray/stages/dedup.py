@@ -4,18 +4,22 @@ Large-scale training-data pipeline staples, each expressed Ray-Data-
 first:
 
 * exact dedup      -- hash per batch, hash-partitioned groupby, keep
-                      the minimum id per identical text
+                      the minimum id per identical text (text equality
+                      verified inside the hash group, so a 64-bit
+                      collision can never merge two distinct docs)
 * MinHash + LSH    -- shingle -> 128 minhashes -> banded bucket keys ->
                       bucket groupby -> candidate pairs -> exact-Jaccard
-                      verification (pair-wise, no all-pairs blowup)
-* SimHash          -- 64-bit weighted fingerprint; near-dup candidates
-                      via 16-bit chunk pigeonhole buckets
-* n-gram Jaccard   -- the exact verifier, reusable standalone
+                      verification via a doc_id hash-join (grouped
+                      co-location), never materializing the corpus
+* SimHash          -- 64-bit weighted fingerprint, vectorized with
+                      numpy unpackbits over per-token hashes
+* n-gram Jaccard   -- the exact verifier, reusable standalone; the
+                      adjacent-id variant is a shift-key join
 
 Shuffle discipline: every wide step keys on a *small* derived column
-(64-bit hash, band bucket, chunk key), never on the document text
-itself; texts travel only into the final pair verification, fetched
-per-candidate.
+(64-bit hash, band bucket, doc_id); document text travels only through
+the grouped joins that need it, and nothing is ever collected to the
+driver or broadcast whole.
 """
 
 from __future__ import annotations
@@ -40,14 +44,26 @@ def _text_hash_batch(batch: pa.Table, text_col: str) -> pa.Table:
 
 
 def exact_dedup(ds, text_col="text", id_col="doc_id"):
-    """Keep one row (minimum id) per identical text."""
+    """Keep one row (minimum id) per identical text.
+
+    Groups on the 64-bit hash (small shuffle key) but decides on the
+    text itself inside each group: two distinct texts colliding into
+    one hash group each keep their own minimum-id row.
+    """
     hashed = ds.map_batches(
         lambda b: _text_hash_batch(b, text_col), batch_format="pyarrow"
     )
 
     def keep_first(tbl: pa.Table) -> pa.Table:
-        i = pc.index(tbl.column(id_col), pc.min(tbl.column(id_col))).as_py()
-        return tbl.slice(i, 1)
+        texts = tbl.column(text_col).to_pylist()
+        ids = tbl.column(id_col).to_pylist()
+        best = {}  # text -> (min_id, row_index)
+        for i, (t, d) in enumerate(zip(texts, ids)):
+            cur = best.get(t)
+            if cur is None or d < cur[0]:
+                best[t] = (d, i)
+        rows = sorted(i for _, i in best.values())
+        return tbl.take(rows)
 
     return (
         hashed.groupby("text_hash")
@@ -171,44 +187,200 @@ def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=3):
     )
 
 
+def _attach_text(pairs_ds, docs_ds, key_col, other_col, carry_col,
+                 text_col, id_col, out_text_col):
+    """Hash-join text onto candidate pairs via grouped co-location.
+
+    Both sides are tagged and unioned, then one map_groups per doc_id
+    group copies the (single) doc row's text onto every pair row in the
+    group -- one hash shuffle keyed on the small doc_id column, no
+    broadcast, no driver materialization.  Pair rows whose key has no
+    matching document are dropped (can only happen if the candidate
+    generator saw ids the doc table lacks).
+    """
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "key": b.column(key_col).cast(pa.int64()),
+                "side": pa.array(["p"] * n, pa.string()),
+                "other": b.column(other_col).cast(pa.int64()),
+                "carry": (
+                    b.column(carry_col)
+                    if carry_col
+                    else pa.nulls(n, pa.string())
+                ),
+                "doc_text": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "key": b.column(id_col).cast(pa.int64()),
+                "side": pa.array(["d"] * n, pa.string()),
+                "other": pa.nulls(n, pa.int64()),
+                "carry": pa.nulls(n, pa.string()),
+                "doc_text": b.column(text_col),
+            }
+        )
+
+    tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+        docs_ds.map_batches(tag_docs, batch_format="pyarrow")
+    )
+
+    def join_group(tbl: pa.Table) -> pa.Table:
+        sides = tbl.column("side").to_pylist()
+        text = None
+        for i, s in enumerate(sides):
+            if s == "d":
+                text = tbl.column("doc_text")[i].as_py()
+                break
+        out = {key_col: [], other_col: [], out_text_col: []}
+        if carry_col:
+            out[carry_col] = []
+        if text is None:
+            return pa.table(
+                {
+                    k: pa.array(v, pa.string() if "text" in k or k == carry_col else pa.int64())
+                    for k, v in out.items()
+                }
+            )
+        keys = tbl.column("key").to_pylist()
+        others = tbl.column("other").to_pylist()
+        carries = tbl.column("carry").to_pylist() if carry_col else None
+        for i, s in enumerate(sides):
+            if s != "p":
+                continue
+            out[key_col].append(keys[i])
+            out[other_col].append(others[i])
+            out[out_text_col].append(text)
+            if carry_col:
+                out[carry_col].append(carries[i])
+        cols = {
+            key_col: pa.array(out[key_col], pa.int64()),
+            other_col: pa.array(out[other_col], pa.int64()),
+            out_text_col: pa.array(out[out_text_col], pa.string()),
+        }
+        if carry_col:
+            cols[carry_col] = pa.array(out[carry_col], pa.string())
+        return pa.table(cols)
+
+    return tagged.groupby("key").map_groups(join_group, batch_format="pyarrow")
+
+
 def minhash_near_dups(ds, threshold=0.5, text_col="text", id_col="doc_id", k=3):
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
 
-    The text lookup for verification broadcasts the (id -> text) map via
-    the object store; at larger scale this becomes a hash-join of the
-    candidate pairs against the documents on doc_id instead.
+    Verification texts are attached with two grouped hash-joins on
+    doc_id (one per pair side); the document table is shuffled, never
+    collected or broadcast, so the operator survives corpora that do
+    not fit any single machine.
     """
-    import ray
-
-    texts_ref = ray.put(
-        {
-            r[id_col]: r[text_col]
-            for r in ds.select_columns([id_col, text_col]).take_all()
-        }
-    )
     cand = minhash_candidate_pairs(ds, text_col=text_col, id_col=id_col, k=k)
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch.column("doc_a").to_pylist()
-            b = batch.column("doc_b").to_pylist()
-            j = [
-                ngram_jaccard(self.texts[x], self.texts[y], k) for x, y in zip(a, b)
-            ]
-            out = batch.append_column("jaccard", pa.array(j, pa.float64()))
-            return out.filter(
-                pc.greater_equal(out.column("jaccard"), pa.scalar(threshold))
-            )
-
-    return cand.map_batches(
-        Verify, batch_format="pyarrow", concurrency=(1, 4)
+    # attach text_a keyed on doc_a, then text_b keyed on doc_b
+    with_a = _attach_text(
+        cand, ds, "doc_a", "doc_b", None, text_col, id_col, "text_a"
     )
+    with_both = _attach_text(
+        with_a, ds, "doc_b", "doc_a", "text_a", text_col, id_col, "text_b"
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_pylist()
+        b = batch.column("doc_b").to_pylist()
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        j = [ngram_jaccard(x, y, k) for x, y in zip(ta, tb)]
+        out = pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "jaccard": pa.array(j, pa.float64()),
+            }
+        )
+        return out.filter(
+            pc.greater_equal(out.column("jaccard"), pa.scalar(threshold))
+        )
+
+    return with_both.map_batches(verify, batch_format="pyarrow")
+
+
+def _token_hashes(texts, memo):
+    """Per-text arrays of 64-bit blake2b hashes of the distinct tokens,
+    memoized across the batch (token vocabularies repeat heavily)."""
+    out = []
+    for t in texts:
+        toks = set(t.split())
+        arr = np.empty(len(toks), dtype=np.uint64)
+        for i, tok in enumerate(toks):
+            h = memo.get(tok)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                    "big",
+                )
+                memo[tok] = h
+            arr[i] = h
+        out.append(arr)
+    return out
+
+
+class SimHashStage:
+    """map_batches actor: vectorized 64-bit simhash per document.
+
+    Per batch: hash each distinct token once (memoized across batches
+    in the actor), unpack all token hashes to a (n_tokens_total, 64)
+    bit matrix, segment-sum the +/-1 votes per document with
+    np.add.reduceat, and read the sign bits -- no per-bit Python loop.
+    """
+
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.memo = {}
+        self._weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        hashes = _token_hashes(texts, self.memo)
+        lens = np.array([len(h) for h in hashes], dtype=np.int64)
+        n = len(texts)
+        if lens.sum() == 0:
+            out = np.zeros(n, dtype=np.uint64)
+        else:
+            flat = np.concatenate([h for h in hashes if len(h)])
+            # bits[i, b] = bit b (LSB-first) of token hash i
+            bits = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int32)
+            votes2 = 2 * bits  # votes = sum(2b - 1) = 2*sum(b) - n_tok
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            nonempty = lens > 0
+            seg = np.zeros((n, 64), dtype=np.int64)
+            if nonempty.any():
+                seg_sums = np.add.reduceat(
+                    votes2, starts[nonempty], axis=0
+                )
+                seg[nonempty] = seg_sums
+            v = seg - lens[:, None]
+            out = ((v > 0).astype(np.uint64) * self._weights[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "simhash": pa.array(out, pa.uint64()),
+            }
+        )
 
 
 def _simhash64(text: str) -> int:
+    """Scalar reference implementation (kept for tests)."""
     v = np.zeros(64, dtype=np.int64)
     for tok in set(text.split()):
         h = int.from_bytes(
@@ -224,102 +396,181 @@ def _simhash64(text: str) -> int:
 
 
 def simhash(ds, text_col="text", id_col="doc_id"):
-    """Adds a 64-bit simhash fingerprint column."""
-
-    def fn(batch: pa.Table) -> pa.Table:
-        hs = [_simhash64(t) for t in batch.column(text_col).to_pylist()]
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "simhash": pa.array(hs, pa.uint64()),
-            }
-        )
-
-    return ds.map_batches(fn, batch_format="pyarrow")
+    """Adds a 64-bit simhash fingerprint column (vectorized)."""
+    return ds.map_batches(
+        SimHashStage,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+    )
 
 
 def token_jaccard_adjacent(ds, id_col="doc_id", text_col="text"):
     """Token-set Jaccard between each document and its id+1 neighbor.
 
-    The small side (id -> token set) is broadcast once; each batch
-    computes its rows' similarities locally -- the same broadcast-
-    lookup shape the near-dup verifier uses, here in a directly
-    SQL-checkable form (integer-free ratios are exact: both sides
-    compute |A intersect B| / |A union B| over identical integer sets).
+    Shift-key join: each document is emitted twice -- once under its
+    own id ("self") and once under id-1 ("next", i.e. as the successor
+    of its predecessor) -- and one grouped pass per key computes the
+    similarity when both sides are present.  Gaps in the id space
+    simply produce single-sided groups with no output row; nothing is
+    collected to the driver or broadcast.
     """
-    import ray
 
-    rows = ds.select_columns([id_col, text_col]).take_all()
-    token_sets = {r[id_col]: frozenset(r[text_col].split()) for r in rows}
-    max_id = max(token_sets) if token_sets else -1
-    ref = ray.put((token_sets, max_id))
+    def tag(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).cast(pa.int64())
+        texts = b.column(text_col)
+        n = b.num_rows
+        self_side = pa.table(
+            {
+                "key": ids,
+                "side": pa.array(["s"] * n, pa.string()),
+                "text": texts,
+            }
+        )
+        next_side = pa.table(
+            {
+                "key": pc.subtract(ids, pa.scalar(1, pa.int64())),
+                "side": pa.array(["n"] * n, pa.string()),
+                "text": texts,
+            }
+        )
+        return pa.concat_tables([self_side, next_side])
 
-    class Jac:
-        def __init__(self):
-            self.sets, self.max_id = ray.get(ref)
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_col).to_pylist()
-            out_a, out_j = [], []
-            for i in ids:
-                if i >= self.max_id:
-                    continue
-                a, b = self.sets[i], self.sets[i + 1]
-                inter = len(a & b)
-                union = len(a) + len(b) - inter
-                out_a.append(i)
-                out_j.append(inter / union if union else 1.0)
+    def jac_group(tbl: pa.Table) -> pa.Table:
+        sides = tbl.column("side").to_pylist()
+        texts = tbl.column("text").to_pylist()
+        t_self = t_next = None
+        for s, t in zip(sides, texts):
+            if s == "s":
+                t_self = t
+            else:
+                t_next = t
+        if t_self is None or t_next is None:
             return pa.table(
                 {
-                    "doc_a": pa.array(out_a, pa.int64()),
-                    "jaccard": pa.array(out_j, pa.float64()),
+                    "doc_a": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
                 }
             )
+        a, b = frozenset(t_self.split()), frozenset(t_next.split())
+        inter = len(a & b)
+        union = len(a) + len(b) - inter
+        key = tbl.column("key")[0].as_py()
+        return pa.table(
+            {
+                "doc_a": pa.array([key], pa.int64()),
+                "jaccard": pa.array(
+                    [inter / union if union else 1.0], pa.float64()
+                ),
+            }
+        )
 
-    return ds.map_batches(Jac, batch_format="pyarrow", concurrency=(1, 4))
+    return tagged.groupby("key").map_groups(jac_group, batch_format="pyarrow")
 
 
-def embedding_near_dups(ds, threshold=0.9, vec_col="embedding", id_col="vec_id"):
+def embedding_near_dups(
+    ds,
+    threshold=0.9,
+    vec_col="embedding",
+    id_col="vec_id",
+    n_clusters=16,
+    n_probe=2,
+    method="ivf",
+):
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
-    The normalized matrix is broadcast once; each batch computes its
-    block of the similarity matrix against it -- brute force as the
-    exact baseline; the IVF path (similarity.knn_ivf) is the scale
-    variant for corpora where a full broadcast no longer fits.
+    ``method="ivf"`` (default, the scale path): vectors are assigned to
+    their ``n_probe`` nearest k-means centroid buckets (centroids fit
+    on a bounded sample, broadcast once); each bucket group computes
+    its pairwise similarities locally and pairs are deduplicated with a
+    final small groupby.  Only bucket-sized blocks are ever held in
+    memory -- size ``n_clusters`` so N/n_clusters x dim fits a worker;
+    a pair is found iff the two vectors share one of their probed
+    buckets, which holds for any pair at near-dup cosine levels (the
+    recall-vs-brute-force test pins this on the planted corpus).
+
+    ``method="brute"``: exact O(N^2) baseline for small corpora and for
+    the recall test; computed per-bucket-free via a single group (kept
+    deliberately simple -- it exists to validate the IVF path).
     """
+    from .similarity import _normalize, kmeans_centroids
+
+    def pairs_in_bucket(tbl: pa.Table) -> pa.Table:
+        ids = np.asarray(tbl.column(id_col).to_pylist())
+        mat = _normalize(
+            np.array(tbl.column(vec_col).to_pylist(), dtype=np.float64)
+        )
+        sims = mat @ mat.T
+        ai, bi = np.where(sims >= threshold)
+        keep = ids[ai] < ids[bi]
+        ai, bi = ai[keep], bi[keep]
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ai], pa.int64()),
+                "doc_b": pa.array(ids[bi], pa.int64()),
+                "cosine": pa.array(sims[ai, bi], pa.float64()),
+            }
+        )
+
+    if method == "brute":
+        # exact all-pairs: one group holds everything (validation-scale
+        # corpora only; the IVF path is the at-scale default)
+        def one_bucket(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "bucket", pa.array([0] * b.num_rows, pa.int32())
+            )
+
+        return (
+            ds.map_batches(one_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        )
+
     import ray
 
-    from .similarity import _batch_matrix, _normalize
+    cent = kmeans_centroids(ds, n_clusters=n_clusters, vec_col=vec_col)
+    cent_ref = ray.put(cent)
 
-    rows = ds.select_columns([id_col, vec_col]).take_all()
-    ids = np.array([r[id_col] for r in rows])
-    mat = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
-    ref = ray.put((ids, mat))
-
-    class Near:
+    class AssignProbes:
         def __init__(self):
-            self.ids, self.mat = ray.get(ref)
+            self.cent = ray.get(cent_ref)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            b_ids = np.asarray(batch.column(id_col).to_pylist())
-            b_mat = _normalize(
-                np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mat = _normalize(
+                np.array(b.column(vec_col).to_pylist(), dtype=np.float64)
             )
-            sims = b_mat @ self.mat.T
-            out_a, out_b, out_c = [], [], []
-            for r in range(sims.shape[0]):
-                hits = np.where(sims[r] >= threshold)[0]
-                for c in hits:
-                    if b_ids[r] < self.ids[c]:
-                        out_a.append(int(b_ids[r]))
-                        out_b.append(int(self.ids[c]))
-                        out_c.append(float(sims[r, c]))
+            sims = mat @ self.cent.T
+            k = min(n_probe, sims.shape[1])
+            probes = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+            ids = b.column(id_col).to_pylist()
+            out_bucket, out_id, out_vec = [], [], []
+            vecs = b.column(vec_col).to_pylist()
+            for r in range(len(ids)):
+                for c in probes[r]:
+                    out_bucket.append(int(c))
+                    out_id.append(ids[r])
+                    out_vec.append(vecs[r])
             return pa.table(
                 {
-                    "doc_a": pa.array(out_a, pa.int64()),
-                    "doc_b": pa.array(out_b, pa.int64()),
-                    "cosine": pa.array(out_c, pa.float64()),
+                    "bucket": pa.array(out_bucket, pa.int32()),
+                    id_col: pa.array(out_id, pa.int64()),
+                    vec_col: pa.array(out_vec),
                 }
             )
 
-    return ds.map_batches(Near, batch_format="pyarrow", concurrency=(1, 4))
+    probed = ds.map_batches(
+        AssignProbes, batch_format="pyarrow", concurrency=(2, 8)
+    )
+
+    cand = probed.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pyarrow"
+    )
+
+    def first_pair(tbl: pa.Table) -> pa.Table:
+        return tbl.slice(0, 1)
+
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(
+        first_pair, batch_format="pyarrow"
+    )

@@ -7,6 +7,7 @@ heuristic), and rolling-hash document fingerprinting.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -109,16 +110,67 @@ def lang_id(ds, concurrency=(1, 4)):
     )
 
 
-def fingerprint(ds, text_col="text", id_col="doc_id", base=1000003, mod=(1 << 61) - 1):
-    """Deterministic rolling polynomial hash of the normalized text."""
+_FP_BASE = 1000003
+_FP_MOD = (1 << 61) - 1
+
+
+def _fingerprint_scalar(t: str, base=_FP_BASE, mod=_FP_MOD) -> int:
+    """Scalar reference implementation (kept for tests)."""
+    h = 0
+    for ch in " ".join(t.split()):
+        h = (h * base + ord(ch)) % mod
+    return h
+
+
+def _fingerprint_vec(texts: list) -> np.ndarray:
+    """Vectorized rolling hash: Horner across character positions.
+
+    Texts are normalized, decoded to code-point rows (utf-32 buffer
+    view, no per-char Python), padded into one (n_docs, max_len)
+    matrix, and the Horner recurrence h = h*base + code runs once per
+    COLUMN over the whole batch.  h*base mod 2^61-1 stays inside
+    uint64 by splitting h into 31/30-bit halves and using
+    2^61 = 1 (mod p) to fold the high product back -- no Python-int
+    arithmetic in the loop.
+    """
+    p = np.uint64(_FP_MOD)
+    base = np.uint64(_FP_BASE)
+    norm = [" ".join(t.split()) for t in texts]
+    lens = np.array([len(s) for s in norm], dtype=np.int64)
+    n = len(norm)
+    if n == 0 or lens.max(initial=0) == 0:
+        return np.zeros(n, dtype=np.uint64)
+    max_len = int(lens.max())
+    codes = np.zeros((n, max_len), dtype=np.uint64)
+    for i, s in enumerate(norm):
+        if s:
+            codes[i, : lens[i]] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            )
+    mask_lo = np.uint64((1 << 31) - 1)
+    mask_30 = np.uint64((1 << 30) - 1)
+    h = np.zeros(n, dtype=np.uint64)
+    active = lens > 0
+    for j in range(max_len):
+        # h * base mod p  (h < p, base < 2^20)
+        lo = (h & mask_lo) * base  # < 2^51
+        hi = (h >> np.uint64(31)) * base  # < 2^50
+        # (hi << 31) mod p via 2^61 == 1 (mod p)
+        hi_red = (hi >> np.uint64(30)) + ((hi & mask_30) << np.uint64(31))
+        t = lo + hi_red + codes[:, j]  # < 2^63
+        t = (t & p) + (t >> np.uint64(61))
+        t = np.where(t >= p, t - p, t)
+        upd = active & (j < lens)
+        h = np.where(upd, t, h)
+    return h
+
+
+def fingerprint(ds, text_col="text", id_col="doc_id"):
+    """Deterministic rolling polynomial hash of the normalized text
+    (whitespace runs collapsed to single spaces), mod 2^61-1."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch.column(text_col).to_pylist():
-            h = 0
-            for ch in " ".join(t.split()):
-                h = (h * base + ord(ch)) % mod
-            out.append(h)
+        out = _fingerprint_vec(batch.column(text_col).to_pylist())
         return pa.table(
             {
                 id_col: batch.column(id_col),

@@ -132,6 +132,129 @@ def test_simhash_similar_texts_close(ray_session):
     assert d_ab < 10 < d_ac
 
 
+def test_exact_dedup_hash_collision_safe(ray_session, monkeypatch):
+    """Two distinct texts forced into one hash group must both survive."""
+    ray = ray_session
+    from console_log_parser_ray.stages import dedup
+
+    monkeypatch.setattr(
+        dedup,
+        "_text_hash_batch",
+        lambda b, c: b.append_column(
+            "text_hash", pa.array([7] * b.num_rows, pa.uint64())
+        ),
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["x", "y", "x", "y"],
+        }
+    )
+    out = dedup.exact_dedup(ray.data.from_arrow(tbl)).take_all()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+
+def test_simhash_vectorized_matches_scalar(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.dedup import _simhash64, simhash
+
+    texts = ["", "one", "one two three", "a b c d e f", "one one one"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": texts,
+        }
+    )
+    out = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(ray.data.from_arrow(tbl)).take_all()
+    }
+    for i, t in enumerate(texts):
+        assert out[i] == _simhash64(t)
+
+
+def test_fingerprint_vectorized_matches_scalar(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.textan import (
+        _fingerprint_scalar,
+        fingerprint,
+    )
+
+    texts = ["", "  spaced   out  ", "hello world", "日本語 π mixed", "x" * 300]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": texts,
+        }
+    )
+    out = {
+        r["doc_id"]: r["fingerprint"]
+        for r in fingerprint(ray.data.from_arrow(tbl)).take_all()
+    }
+    for i, t in enumerate(texts):
+        assert out[i] == _fingerprint_scalar(t)
+
+
+def test_token_jaccard_handles_id_gaps(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.dedup import token_jaccard_adjacent
+
+    # ids 1,2,5,6: pairs (1,2) and (5,6) exist; 2->3 and 4->5 are gaps
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 5, 6], pa.int64()),
+            "text": ["a b", "a b c", "x y", "y z"],
+        }
+    )
+    out = {
+        r["doc_a"]: r["jaccard"]
+        for r in token_jaccard_adjacent(ray.data.from_arrow(tbl)).take_all()
+    }
+    assert set(out) == {1, 5}
+    assert out[1] == 2 / 3
+    assert out[5] == 1 / 3
+
+
+def test_embedding_near_dups_ivf_recall_vs_brute(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 12)) * 4
+    base = np.concatenate(
+        [c + rng.normal(size=(40, 12)) * 0.5 for c in centers]
+    )
+    # planted near-dups: tiny perturbations of each base vector
+    noise = rng.normal(size=base.shape)
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    dup = base + 0.02 * np.linalg.norm(base, axis=1, keepdims=True) * noise
+    ids = list(range(len(base))) + [i + 10_000 for i in range(len(dup))]
+    mat = np.concatenate([base, dup])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in mat]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    brute = {
+        (r["doc_a"], r["doc_b"])
+        for r in embedding_near_dups(
+            ds, threshold=0.99, method="brute"
+        ).take_all()
+    }
+    ivf = {
+        (r["doc_a"], r["doc_b"])
+        for r in embedding_near_dups(
+            ds, threshold=0.99, n_clusters=6, n_probe=2
+        ).take_all()
+    }
+    assert brute, "planted pairs must exist"
+    assert ivf <= brute  # IVF pairs are verified by true cosine
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.98, recall
+
+
 # ---------------------------------------------------------------------------
 # knn
 # ---------------------------------------------------------------------------
