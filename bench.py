@@ -46,7 +46,7 @@ def _init_ray(num_cpus: int):
     return ray
 
 
-def _flagship_seconds(sf_dir: str) -> tuple[float, int]:
+def _flagship_seconds(sf_dir: str, plan: str | None = None) -> tuple[float, int]:
     """Full parse -> enrich -> route -> aggregate run; returns
     (seconds, turns)."""
     from console_log_parser_ray.pipelines.run import run_flagship
@@ -63,7 +63,9 @@ def _flagship_seconds(sf_dir: str) -> tuple[float, int]:
     out_dir = "/tmp/clpr_bench_out"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    run_flagship(path, out_dir, n_buckets=64, wave_buckets=64, resume=False)
+    run_flagship(
+        path, out_dir, n_buckets=64, wave_buckets=64, resume=False, plan=plan
+    )
     return time.perf_counter() - t0, turns
 
 
@@ -79,6 +81,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     t_flag, turns = _flagship_seconds(sf_dir)
     queries["flagship_e2e"] = t_flag
+    # generic-input plan (no conversation-partitioning marker): single
+    # streaming pass, one conv_id-bucket shuffle, fused in-task sinks
+    t_bucketed, _ = _flagship_seconds(sf_dir, plan="bucketed")
+    queries["flagship_bucketed"] = t_bucketed
 
     def timed(name, fn):
         t0 = time.perf_counter()

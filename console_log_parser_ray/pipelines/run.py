@@ -42,10 +42,17 @@ def run_flagship(
     cfg: EnrichConfig | None = None,
     resume: bool = True,
     skew_threshold: int | None = None,
+    plan: str | None = None,
 ):
-    """Run the full pipeline; returns summary metrics dict."""
-    conv_partitioned = os.path.exists(
-        os.path.join(input_path, "_CONV_PARTITIONED")
+    """Run the full pipeline; returns summary metrics dict.
+
+    ``plan``: force "sharded" or "bucketed" (default: sharded when the
+    input carries the ``_CONV_PARTITIONED`` marker, else bucketed).
+    """
+    conv_partitioned = (
+        os.path.exists(os.path.join(input_path, "_CONV_PARTITIONED"))
+        if plan is None
+        else plan == "sharded"
     )
     if conv_partitioned:
         return _run_sharded(input_path, out_dir, cfg=cfg, resume=resume)
@@ -312,98 +319,407 @@ def _add_bucket_and_filter(n_buckets: int, wanted: frozenset, heavy_ids=None):
     return fn
 
 
-def _bucket_scan_keep_bucket():
+def _counts(col) -> dict:
+    vals, ns = _value_counts(col)
+    return dict(zip(vals, ns))
+
+
+def _rollup_table(parsed: pa.Table) -> pa.Table:
+    """Per-conversation rollup rows for one bucket's parsed table."""
+    df = parsed.select(["conv_id", "cmd_count", "vim_session_id"]).to_pandas()
+    g = df.groupby("conv_id", sort=False)
+    roll = g.agg(n_turns=("cmd_count", "size"), n_cmds=("cmd_count", "max"))
+    vimn = (
+        df[df["vim_session_id"] >= 0]
+        .groupby("conv_id", sort=False)["vim_session_id"]
+        .nunique()
+    )
+    roll["n_vim"] = vimn.reindex(roll.index).fillna(0).astype("int64")
+    roll = roll.reset_index()
+    return pa.table(
+        {
+            "conv_id": pa.array(roll["conv_id"], pa.string()),
+            "n_turns": pa.array(roll["n_turns"], pa.int64()),
+            "n_cmds": pa.array(roll["n_cmds"].astype("int64"), pa.int64()),
+            "n_vim_sessions": pa.array(roll["n_vim"], pa.int64()),
+        }
+    )
+
+
+def _write_bucket_outputs(
+    enriched: pa.Table, bucket: int, out_dir: str, part: str = "part-00000"
+) -> dict:
+    """Write one bucket's parsed + routed sinks; returns {sink: rows}.
+
+    File names are deterministic per (bucket, part), so a retried task
+    overwrites its own partial output instead of duplicating rows.
+    """
+    import pyarrow.parquet as pq
+
+    sinks = {}
+
+    def write(sub: pa.Table, rel: str):
+        if sub.num_rows == 0:
+            return
+        d = os.path.join(out_dir, rel, f"bucket={bucket}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            sub, os.path.join(d, part + ".parquet"), compression="zstd"
+        )
+        key = rel[len("sinks/"):] if rel.startswith("sinks/") else rel
+        cur = sinks.setdefault(key, {"rows": 0, "files": []})
+        cur["rows"] += sub.num_rows
+        cur["files"].append(part + ".parquet")
+
+    write(enriched, "parsed")
+    for role in pc.unique(enriched.column("role")).to_pylist():
+        write(
+            enriched.filter(pc.equal(enriched.column("role"), role)),
+            f"sinks/by_role/role={role}",
+        )
+    for sink in pc.unique(enriched.column("sink")).to_pylist():
+        write(
+            enriched.filter(pc.equal(enriched.column("sink"), sink)),
+            f"sinks/by_tool/sink={sink}",
+        )
+    vim = enriched.filter(pc.is_valid(enriched.column("vim_text")))
+    write(
+        vim.select(["conv_id", "turn_idx", "ts", "vim_session_id", "vim_text"]),
+        "sinks/vim_sessions",
+    )
+    write(_rollup_table(enriched), "sinks/conv_rollup")
+    return sinks
+
+
+def _commit_bucket(out_dir, bucket, input_path, n_buckets, sinks, parsed):
+    """Write the bucket's lineage manifest (counts + written files)."""
+    M.write_manifest(
+        out_dir,
+        bucket,
+        {
+            "bucket": bucket,
+            "input": input_path,
+            "n_buckets": n_buckets,
+            "sinks": sinks,
+            "role_counts": _counts(parsed.column("role")) if parsed.num_rows else {},
+            "sink_counts": _counts(parsed.column("sink")) if parsed.num_rows else {},
+        },
+    )
+
+
+def _bucket_task(out_dir: str, cfg_ref, input_path: str, n_buckets: int):
+    """map_groups UDF for one bucket: scan -> enrich -> fused multi-sink
+    write -> in-task manifest commit; returns tiny metrics rows.
+
+    The whole generic-input plan is ONE streaming execution: the input
+    is read once, the conv_id-bucket groupby is the only shuffle, and
+    every sink (parsed / by_role / by_tool / vim_sessions /
+    conv_rollup) is written inside the bucket's own task -- no re-read
+    of either the input or the parsed output.  Committing the manifest
+    in-task makes each bucket an independent checkpoint: a run killed
+    mid-execution resumes by skipping every bucket whose manifest
+    exists (deterministic file names make task retries idempotent).
+    """
     from ..stages.scan import scan_bucket_table
 
     def fn(tbl: pa.Table) -> pa.Table:
-        b = tbl.column("bucket")[0].as_py() if tbl.num_rows else -1
-        out = scan_bucket_table(tbl)
-        return out.append_column(
-            "bucket", pa.array([b] * out.num_rows, pa.int32())
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "kind": pa.array([], pa.string()),
+                    "k1": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        bucket = tbl.column("bucket")[0].as_py()
+        parsed = scan_bucket_table(tbl.drop_columns(["bucket"]))
+        enriched = EnrichTurns(cfg_ref)(parsed)
+        sinks = _write_bucket_outputs(enriched, bucket, out_dir)
+        _commit_bucket(out_dir, bucket, input_path, n_buckets, sinks, enriched)
+        kinds, k1s, ns = ["rows"], [""], [enriched.num_rows]
+        return pa.table(
+            {
+                "bucket": pa.array([bucket] * len(kinds), pa.int32()),
+                "kind": pa.array(kinds, pa.string()),
+                "k1": pa.array(k1s, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
         )
 
     return fn
 
 
-def _keep_vim_rows(batch: pa.Table) -> pa.Table:
-    return batch.filter(pc.is_valid(batch.column("vim_text")))
+# ---------------------------------------------------------------------------
+# giant-conversation path (skew isolation + chunk-parallel scan)
+# ---------------------------------------------------------------------------
 
 
-def _reattach_bucket(n_buckets: int):
-    """Hive partition columns are not materialized when reading explicit
-    file lists; recompute the bucket from each batch's conv_id."""
-    import zlib
+def _conv_dataset_filter(conv_id: str, lo=None, hi=None):
+    import pyarrow.dataset as pds
 
-    def fn(batch: pa.Table) -> pa.Table:
-        if "bucket" in batch.schema.names:
-            return batch
-        convs = batch.column("conv_id").to_pylist()
-        buckets = [zlib.crc32(c.encode()) % n_buckets for c in convs]
-        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
-
-    return fn
+    f = pds.field("conv_id") == conv_id
+    if lo is not None:
+        f = f & (pds.field("turn_idx") >= lo)
+    if hi is not None:
+        f = f & (pds.field("turn_idx") <= hi)
+    return f
 
 
-def _run_concurrently(fns):
-    import threading
+def _read_conv_range(input_path, conv_id, columns, lo=None, hi=None):
+    import pyarrow.dataset as pds
 
-    errors = []
-
-    def wrap(f):
-        try:
-            f()
-        except BaseException as e:  # propagate to caller
-            errors.append(e)
-
-    threads = [threading.Thread(target=wrap, args=(f,)) for f in fns]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    if errors:
-        raise errors[0]
+    dset = pds.dataset(input_path)
+    tbl = dset.to_table(
+        columns=columns, filter=_conv_dataset_filter(conv_id, lo, hi)
+    )
+    return tbl.sort_by("turn_idx")
 
 
 def _parse_giant_conversation(
-    input_path, conv_id, bucket_id, parsed_root, cfg_ref, chunk_size=None
+    input_path,
+    conv_id,
+    bucket_id,
+    out_dir,
+    cfg_ref,
+    n_buckets,
+    chunk_size=None,
+    head=256,
 ):
-    """Parse one oversized conversation with the chunk-parallel scan
-    and write its dedicated parsed partition.
+    """Parse one oversized conversation chunk-parallel, streaming chunk
+    ranges from storage, and write its full sink set under its
+    dedicated heavy bucket.
 
-    The conversation's rows are collected to the driver here (fine up
-    to tens of millions of turns); past that, the speculative phase
-    would read chunk ranges directly from storage instead.
+    * Speculative chunk scans run as Ray tasks that READ THEIR OWN
+      turn-range from storage (parquet predicate pushdown on
+      conv_id + turn_idx) -- the conversation's text never
+      materializes on the driver.  Each task returns its records, the
+      first ``head`` state signatures for the stitch, and the raw text
+      of its in-vim rows (the vim_sessions sink payload).
+    * The driver walks the true state across boundaries, re-scanning at
+      most ``head`` lines per chunk (terminal sessions re-synchronize
+      at prompts); a chunk that fails to converge within ``head`` is
+      re-read from storage and re-scanned -- the sequential worst case,
+      never an error.
+    * Output is assembled and written PER CHUNK (one parquet part per
+      chunk in every sink), with command-backfill maps carried across
+      chunks, so driver memory stays O(chunk) + O(commands).
+
+    Routed sink rows land under ``bucket=<heavy id>`` so the heavy
+    bucket's manifest owns them and resume stays exactly-once (a hash
+    bucket's cleanup can never delete them).
     """
     import ray
-    import ray.data
-    import pyarrow.parquet as pq
 
     from ..stages.scan import records_to_table
-    from ..vt.chunked import ray_chunked_scan
-
-    ds = ray.data.read_parquet(
-        input_path, columns=["conv_id", "turn_idx", "text", "ts"]
+    from ..vt.chunked import (
+        _shift_record,
+        _shift_scanner,
+        speculative_scan,
+        state_sig,
     )
+    from ..vt.session import SessionScanner
 
-    def keep(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.equal(batch.column("conv_id"), conv_id))
-
-    tbl = pa.Table.from_pylist(
-        ds.map_batches(keep, batch_format="pyarrow").take_all()
-    ).sort_by("turn_idx")
-    texts = tbl.column("text").to_pylist()
+    meta = _read_conv_range(input_path, conv_id, ["turn_idx", "ts"])
+    idxs = meta.column("turn_idx").to_pylist()
+    n = len(idxs)
+    if n == 0:
+        _commit_bucket(
+            out_dir, bucket_id, input_path, n_buckets,
+            {}, pa.table({"role": pa.array([], pa.string()),
+                          "sink": pa.array([], pa.string())}),
+        )
+        return
     if chunk_size is None:
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
-        chunk_size = max(500, len(texts) // max(2 * n_cpus, 4))
-    recs = ray_chunked_scan(texts, chunk_size)
-    out = records_to_table(
-        conv_id, recs, ts_vals=tbl.column("ts"), texts=texts
+        chunk_size = max(500, n // max(2 * n_cpus, 4))
+
+    bounds = list(range(0, n, chunk_size))
+
+    @ray.remote(num_cpus=1)
+    def _spec(lo_idx, hi_idx, start_pos):
+        tbl = _read_conv_range(
+            input_path, conv_id, ["turn_idx", "text"], lo_idx, hi_idx
+        )
+        texts = tbl.column("text").to_pylist()
+        recs, sigs, counters, sc = speculative_scan(texts, start_pos)
+        vim_texts = {
+            start_pos + i: texts[i]
+            for i, r in enumerate(recs)
+            if r.in_vim
+        }
+        return recs, sigs[:head], counters[:head], sc, texts[:head], vim_texts
+
+    refs = []
+    for k, b in enumerate(bounds[1:], start=1):
+        e = min(b + chunk_size, n) - 1
+        refs.append(_spec.remote(idxs[b], idxs[e], b))
+
+    # sink accumulation state
+    carry = ({}, {})
+    agg_role, agg_sink = {}, {}
+    sinks_total = {}
+    roll_state = {}  # conv-level rollup accumulators
+    # holdback buffer: a command row's text flushes on the NEXT line's
+    # parse, so the trailing rows of a chunk whose command is not yet
+    # known (at most one prompt's unflushed rows) are deferred into the
+    # next chunk's part instead of being written with an empty command
+    pending_recs = []
+    pending_base = [0]
+    vim_store = {}
+    part_seq = [0]
+
+    def emit(new_recs, new_vim, base, final=False):
+        if not pending_recs:
+            pending_base[0] = base
+        pending_recs.extend(new_recs)
+        vim_store.update(new_vim)
+        for rec in new_recs:
+            if rec.command is not None:
+                carry[0].setdefault(rec.cmd_count, rec.command)
+            if rec.cwd:
+                carry[1].setdefault(rec.cmd_count, rec.cwd)
+        cut = len(pending_recs)
+        if not final:
+            while cut > 0:
+                cc = pending_recs[cut - 1].cmd_count
+                if cc == 0 or cc in carry[0]:
+                    break
+                cut -= 1
+        if cut == 0:
+            return
+        flush_chunk(pending_recs[:cut], pending_base[0], part_seq[0])
+        part_seq[0] += 1
+        del pending_recs[:cut]
+        pending_base[0] += cut
+
+    def flush_chunk(recs, base, part_idx):
+        texts = [vim_store.pop(base + i, None) for i in range(len(recs))]
+        ts_vals = meta.column("ts").slice(base, len(recs))
+        out = records_to_table(
+            conv_id, recs, ts_vals=ts_vals, texts=None, carry=carry
+        )
+        # vim_text comes from the carried raw texts (records_to_table's
+        # texts param indexes by position; build it directly instead)
+        out = out.set_column(
+            out.schema.get_field_index("vim_text"),
+            "vim_text",
+            pa.array(
+                [
+                    texts[i] if recs[i].in_vim else None
+                    for i in range(len(recs))
+                ],
+                pa.string(),
+            ),
+        )
+        enriched = EnrichTurns(cfg_ref)(out)
+        part_sinks = _write_bucket_outputs(
+            enriched, bucket_id, out_dir, part=f"part-{part_idx:05d}"
+        )
+        for k2, v in part_sinks.items():
+            cur = sinks_total.setdefault(k2, {"rows": 0, "files": []})
+            cur["rows"] += v["rows"]
+            cur["files"].extend(v["files"])
+        for r, c in _counts(enriched.column("role")).items():
+            agg_role[r] = agg_role.get(r, 0) + c
+        for s, c in _counts(enriched.column("sink")).items():
+            agg_sink[s] = agg_sink.get(s, 0) + c
+        roll_state["n_turns"] = roll_state.get("n_turns", 0) + len(recs)
+        roll_state["n_cmds"] = max(
+            roll_state.get("n_cmds", 0),
+            max((r.cmd_count for r in recs), default=0),
+        )
+        roll_state.setdefault("vim_ids", set()).update(
+            r.vim_session_id for r in recs if r.vim_session_id >= 0
+        )
+
+    # chunk 0: true scan (bounded read)
+    e0 = min(chunk_size, n) - 1
+    tbl0 = _read_conv_range(
+        input_path, conv_id, ["turn_idx", "text"], idxs[0], idxs[e0]
     )
-    out = EnrichTurns(cfg_ref)(out)
-    d = os.path.join(parsed_root, f"bucket={bucket_id}")
-    os.makedirs(d, exist_ok=True)
-    pq.write_table(
-        out, os.path.join(d, "part-giant.parquet"), compression="zstd"
+    texts0 = tbl0.column("text").to_pylist()
+    sc = SessionScanner()
+    recs0 = [sc.scan_turn(i, t) for i, t in enumerate(texts0)]
+    vim0 = {i: texts0[i] for i, r in enumerate(recs0) if r.in_vim}
+    emit(recs0, vim0, 0, final=len(bounds) == 1)
+
+    for k, b in enumerate(bounds[1:], start=1):
+        s_recs, s_sigs, s_counters, s_end, head_texts, s_vim = ray.get(
+            refs[k - 1]
+        )
+        chunk_recs = []
+        vim_texts = dict(s_vim)
+        converged = None
+        for j, text in enumerate(head_texts):
+            rec = sc.scan_turn(b + j, text)
+            chunk_recs.append(rec)
+            if rec.in_vim:
+                vim_texts[b + j] = text
+            elif (b + j) in vim_texts and not rec.in_vim:
+                del vim_texts[b + j]
+            if state_sig(sc) == s_sigs[j]:
+                converged = j
+                break
+        if converged is not None:
+            d_cmd = sc.cmd_count - s_counters[converged][0]
+            d_num = sc.cmd_number - s_counters[converged][1]
+            d_vim = sc.vim_session_seq - s_counters[converged][2]
+            for rec in s_recs[converged + 1 :]:
+                chunk_recs.append(_shift_record(rec, d_cmd, d_num, d_vim))
+            sc = _shift_scanner(s_end, d_cmd, d_num, d_vim)
+        else:
+            # no convergence within the head: fetch the full chunk and
+            # finish sequentially (worst case, still correct)
+            e = min(b + chunk_size, n) - 1
+            full = _read_conv_range(
+                input_path, conv_id, ["turn_idx", "text"], idxs[b], idxs[e]
+            ).column("text").to_pylist()
+            for j in range(len(head_texts), len(full)):
+                rec = sc.scan_turn(b + j, full[j])
+                chunk_recs.append(rec)
+                if rec.in_vim:
+                    vim_texts[b + j] = full[j]
+                elif (b + j) in vim_texts:
+                    del vim_texts[b + j]
+        emit(chunk_recs, vim_texts, b, final=(k == len(bounds) - 1))
+
+    # conv-level rollup correction: per-chunk rollup rows were written
+    # incrementally; replace them with the single correct row
+    import pyarrow.parquet as pq
+
+    roll_dir = os.path.join(out_dir, "sinks", "conv_rollup", f"bucket={bucket_id}")
+    if os.path.isdir(roll_dir):
+        import shutil
+
+        shutil.rmtree(roll_dir)
+    roll_tbl = pa.table(
+        {
+            "conv_id": pa.array([conv_id], pa.string()),
+            "n_turns": pa.array([roll_state.get("n_turns", 0)], pa.int64()),
+            "n_cmds": pa.array([roll_state.get("n_cmds", 0)], pa.int64()),
+            "n_vim_sessions": pa.array(
+                [len(roll_state.get("vim_ids", ()))], pa.int64()
+            ),
+        }
+    )
+    os.makedirs(roll_dir, exist_ok=True)
+    pq.write_table(roll_tbl, os.path.join(roll_dir, "part-00000.parquet"))
+    sinks_total["conv_rollup"] = {
+        "rows": 1, "files": ["part-00000.parquet"]
+    }
+
+    M.write_manifest(
+        out_dir,
+        bucket_id,
+        {
+            "bucket": bucket_id,
+            "input": input_path,
+            "n_buckets": n_buckets,
+            "sinks": sinks_total,
+            "role_counts": agg_role,
+            "sink_counts": agg_sink,
+        },
     )
 
 
@@ -436,21 +752,29 @@ def _run_bucketed(
     input_path,
     out_dir,
     n_buckets=32,
-    wave_buckets=16,
+    wave_buckets=None,
     cfg=None,
     resume=True,
     skew_threshold=None,
 ):
-    """Generic-input plan.  ``skew_threshold``: conversations with more
-    turns than this get a dedicated partition each (conv_id-salting's
-    safe sibling: a giant conversation can dominate a hash bucket, so
-    it is isolated instead of sharing one; splitting a conversation
-    *across* partitions would require FSM chunk-stitching, SURVEY
-    section 4.2)."""
-    import glob as _glob
+    """Generic-input plan: ONE streaming execution.
 
+    read (once) -> bucket+filter -> groupby(bucket) -> per-bucket task
+    fusing scan + enrich + all sink writes + manifest commit.  No stage
+    re-reads the input or the parsed output; aggregates combine the
+    tiny per-bucket counts recorded in the manifests.
+
+    ``skew_threshold``: conversations with more turns than this get a
+    dedicated partition each, parsed chunk-parallel (conv_id-salting's
+    safe sibling: a giant conversation can dominate a hash bucket, so
+    it is isolated; splitting one *across* partitions uses the
+    speculative FSM stitch in vt/chunked.py).
+
+    ``wave_buckets`` is accepted for API compatibility and ignored:
+    per-bucket in-task manifest commits give finer-grained resume than
+    waves did, without waves' repeated input scans.
+    """
     import ray
-    import ray.data
 
     os.makedirs(out_dir, exist_ok=True)
     heavy = (
@@ -467,28 +791,17 @@ def _run_bucketed(
         M.clean_bucket_outputs(out_dir, b)
 
     cfg_ref = ray.put(cfg or EnrichConfig())
-    parsed_root = os.path.join(out_dir, "parsed")
-    sinks_root = os.path.join(out_dir, "sinks")
 
-    # Giant conversations are parsed first, chunk-parallel: speculative
-    # chunk scans fan out as Ray tasks and a state-convergence stitch
-    # pass adopts their results (vt/chunked.py) -- one conversation no
-    # longer bounds wall time by a single worker's sequential scan.
     heavy_bucket_ids = frozenset(heavy_ids.values())
     for conv, bucket_id in heavy_ids.items():
         if bucket_id not in todo:
             continue
         _parse_giant_conversation(
-            input_path, conv, bucket_id, parsed_root, cfg_ref
+            input_path, conv, bucket_id, out_dir, cfg_ref, n_buckets
         )
 
-    waves = [
-        todo[i : i + wave_buckets] for i in range(0, len(todo), wave_buckets)
-    ]
-    for wave in waves:
-        wanted = frozenset(wave) - heavy_bucket_ids
-        if not wanted:
-            wanted = frozenset()
+    wanted = frozenset(todo) - heavy_bucket_ids
+    if wanted:
         ds = ray.data.read_parquet(
             input_path, columns=["conv_id", "turn_idx", "text", "ts"]
         )
@@ -496,160 +809,63 @@ def _run_bucketed(
             _add_bucket_and_filter(n_buckets, wanted, heavy_ids),
             batch_format="pyarrow",
         )
-        parsed = ds.groupby("bucket").map_groups(
-            _bucket_scan_keep_bucket(), batch_format="pyarrow"
-        )
-        if wanted:
-            n_cpus = int(ray.cluster_resources().get("CPU", 8))
-            enriched = parsed.map_batches(
-                EnrichTurns,
-                fn_constructor_args=(cfg_ref,),
+        metrics = (
+            ds.groupby("bucket")
+            .map_groups(
+                _bucket_task(out_dir, cfg_ref, input_path, n_buckets),
                 batch_format="pyarrow",
-                concurrency=(2, max(8, n_cpus)),
-                batch_size=4096,
             )
-            enriched.write_parquet(parsed_root, partition_cols=["bucket"])
-
-        wave_files = [
-            f
-            for b in wave
-            for f in sorted(
-                _glob.glob(os.path.join(parsed_root, f"bucket={b}", "*.parquet"))
+            .take_all()
+        )
+        del metrics
+        # buckets with no input rows produce no group: commit them empty
+        # (only now, after the execution finished cleanly)
+        committed = M.completed_buckets(out_dir)
+        for b in wanted - committed:
+            M.write_manifest(
+                out_dir,
+                b,
+                {
+                    "bucket": b,
+                    "input": input_path,
+                    "n_buckets": n_buckets,
+                    "sinks": {},
+                    "role_counts": {},
+                    "sink_counts": {},
+                },
             )
-        ]
-        if wave_files:
-            # the three routed sinks are independent re-reads of the
-            # parsed files; run them concurrently so fixed costs overlap
-            def _write_by_role():
-                ray.data.read_parquet(wave_files).map_batches(
-                    _reattach_bucket(n_buckets), batch_format="pyarrow"
-                ).write_parquet(
-                    os.path.join(sinks_root, "by_role"),
-                    partition_cols=["role", "bucket"],
-                )
 
-            def _write_by_tool():
-                ray.data.read_parquet(wave_files).map_batches(
-                    _reattach_bucket(n_buckets), batch_format="pyarrow"
-                ).write_parquet(
-                    os.path.join(sinks_root, "by_tool"),
-                    partition_cols=["sink", "bucket"],
-                )
+    _write_aggregates_from_manifests(out_dir)
 
-            def _write_vim():
-                (
-                    ray.data.read_parquet(
-                        wave_files,
-                        columns=[
-                            "conv_id",
-                            "turn_idx",
-                            "ts",
-                            "vim_session_id",
-                            "vim_text",
-                        ],
-                    )
-                    .map_batches(
-                        _reattach_bucket(n_buckets), batch_format="pyarrow"
-                    )
-                    .map_batches(_keep_vim_rows, batch_format="pyarrow")
-                    .write_parquet(
-                        os.path.join(sinks_root, "vim_sessions"),
-                        partition_cols=["bucket"],
-                    )
-                )
+    routed = 0
+    for b in M.completed_buckets(out_dir):
+        for k, s in _load_manifest_sinks(out_dir, b).items():
+            if k.startswith("by_role"):
+                routed += s.get("rows", 0)
+    return {
+        "buckets": n_buckets,
+        "ran": len(todo),
+        "skipped": len(done),
+        "routed_rows": routed,
+    }
 
-            _run_concurrently([_write_by_role, _write_by_tool, _write_vim])
 
-        for b in wave:
-            payload = {
-                "bucket": b,
-                "input": input_path,
-                "n_buckets": n_buckets,
-                "sinks": M.collect_bucket_metrics(out_dir, b),
-            }
-            M.write_manifest(out_dir, b, payload)
+def _write_aggregates_from_manifests(out_dir: str):
+    """Cumulative per-sink counts from ALL committed manifests (tiny):
+    a resumed run's aggregates cover skipped buckets too."""
+    import collections
+    import pyarrow.parquet as pq
+
+    role_total = collections.Counter()
+    sink_total = collections.Counter()
+    for b in M.completed_buckets(out_dir):
+        with open(M.manifest_path(out_dir, b)) as fh:
+            payload = json.load(fh)
+        role_total.update(payload.get("role_counts", {}))
+        sink_total.update(payload.get("sink_counts", {}))
 
     agg_dir = os.path.join(out_dir, "aggregates")
-    _bucket_aggregates(parsed_root, n_buckets, agg_dir)
-
-    total = sum(
-        s.get("rows", 0)
-        for b in M.completed_buckets(out_dir)
-        for k, s in _load_manifest_sinks(out_dir, b).items()
-        if k.startswith("by_role")
-    )
-    return {"buckets": n_buckets, "waves": len(waves), "routed_rows": total}
-
-
-def _bucket_aggregates(parsed_root: str, n_buckets: int, agg_dir: str):
-    """Per-bucket aggregates without a shuffle: the parsed sink is
-    already partitioned by bucket, so one Ray task per bucket computes
-    its partials and a tiny driver-side combine writes the results."""
-    import collections
-    import glob as _g
-
-    import pandas as pd
-    import pyarrow.parquet as pq
-    import ray
-
-    @ray.remote(num_cpus=1)
-    def per_bucket(files):
-        sink_counts = collections.Counter()
-        role_counts = collections.Counter()
-        rollups = []
-        for f in files:
-            t = pq.read_table(
-                f,
-                columns=[
-                    "conv_id",
-                    "cmd_count",
-                    "vim_session_id",
-                    "role",
-                    "sink",
-                ],
-            )
-            sink_counts.update(t.column("sink").to_pylist())
-            role_counts.update(t.column("role").to_pylist())
-            df = t.select(["conv_id", "cmd_count", "vim_session_id"]).to_pandas()
-            g = df.groupby("conv_id", sort=False)
-            out = g.agg(
-                n_turns=("cmd_count", "size"), n_cmds=("cmd_count", "max")
-            )
-            vim = (
-                df[df["vim_session_id"] >= 0]
-                .groupby("conv_id", sort=False)["vim_session_id"]
-                .nunique()
-            )
-            out["n_vim_sessions"] = (
-                vim.reindex(out.index).fillna(0).astype("int64")
-            )
-            rollups.append(out.reset_index())
-        return dict(sink_counts), dict(role_counts), rollups
-
-    refs = []
-    for bdir in sorted(_g.glob(os.path.join(parsed_root, "bucket=*"))):
-        files = sorted(_g.glob(os.path.join(bdir, "*.parquet")))
-        if files:
-            refs.append(per_bucket.remote(files))
-
-    sink_total = collections.Counter()
-    role_total = collections.Counter()
-    rollup_parts = []
-    for s, r, rolls in ray.get(refs):
-        sink_total.update(s)
-        role_total.update(r)
-        rollup_parts.extend(rolls)
-
     os.makedirs(agg_dir, exist_ok=True)
-    pq.write_table(
-        pa.table(
-            {
-                "sink": pa.array(list(sink_total), pa.string()),
-                "n": pa.array(list(sink_total.values()), pa.int64()),
-            }
-        ),
-        os.path.join(agg_dir, "counts_by_sink.parquet"),
-    )
     pq.write_table(
         pa.table(
             {
@@ -659,12 +875,15 @@ def _bucket_aggregates(parsed_root: str, n_buckets: int, agg_dir: str):
         ),
         os.path.join(agg_dir, "counts_by_role.parquet"),
     )
-    if rollup_parts:
-        roll = pd.concat(rollup_parts, ignore_index=True)
-        pq.write_table(
-            pa.Table.from_pandas(roll, preserve_index=False),
-            os.path.join(agg_dir, "conv_rollup.parquet"),
-        )
+    pq.write_table(
+        pa.table(
+            {
+                "sink": pa.array(list(sink_total), pa.string()),
+                "n": pa.array(list(sink_total.values()), pa.int64()),
+            }
+        ),
+        os.path.join(agg_dir, "counts_by_sink.parquet"),
+    )
 
 
 def _load_manifest_sinks(out_dir: str, bucket: int) -> dict:

@@ -643,12 +643,21 @@ def _try_fast_stats(sc, idx, text, plain, sgr_only, stripped):
     return rec
 
 
-def records_to_table(conv_id: str, recs, ts_vals=None, texts=None) -> pa.Table:
+def records_to_table(
+    conv_id: str, recs, ts_vals=None, texts=None, carry=None
+) -> pa.Table:
     """Assemble TurnRecords (e.g. from the chunk-parallel scan) into the
     standard SCAN_SCHEMA table, applying the same per-command backfill
-    and role derivation as the grouped scans."""
+    and role derivation as the grouped scans.
+
+    ``carry``: optional (cmd_text, cmd_cwd) dict pair for incremental
+    assembly of one conversation across successive calls (the giant-
+    conversation path emits one output file per chunk): a command row
+    whose turns span a chunk boundary backfills from the carried maps,
+    which this call updates in place.
+    """
     n = len(recs)
-    cmd_text, cmd_cwd = {}, {}
+    cmd_text, cmd_cwd = carry if carry is not None else ({}, {})
     for r in recs:
         if r.command is not None:
             cmd_text.setdefault(r.cmd_count, r.command)
