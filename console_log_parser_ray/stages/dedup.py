@@ -155,8 +155,15 @@ class MinHashStage:
         )
 
 
-def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=3):
-    """LSH candidate pairs (doc_a < doc_b), deduplicated."""
+def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=3,
+                            dedup=True):
+    """LSH candidate pairs (doc_a < doc_b).
+
+    One shuffle keyed on ``band`` (32 coarse groups); bucket collisions
+    inside a band are enumerated with a vectorized sort + run scan.
+    ``dedup=False`` skips the cross-band pair dedup shuffle (callers
+    that feed a doc_a-keyed join can dedup inside that join for free).
+    """
     bands = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "k": k},
@@ -164,20 +171,33 @@ def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=3):
         concurrency=(2, 8),
     )
 
-    def pairs(tbl: pa.Table) -> pa.Table:
-        ids = sorted(set(tbl.column("doc_id").to_pylist()))
+    def pairs_in_band(tbl: pa.Table) -> pa.Table:
+        buckets = tbl.column("bucket").to_numpy(zero_copy_only=False)
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, buckets))
+        buckets, ids = buckets[order], ids[order]
+        # run boundaries of equal-bucket spans; only runs >= 2 collide
+        change = np.flatnonzero(np.diff(buckets)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(buckets)]))
         a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            run = np.unique(ids[s:e])
+            for i in range(len(run)):
+                for j in range(i + 1, len(run)):
+                    a.append(run[i])
+                    b.append(run[j])
         return pa.table(
             {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
         )
 
-    cand = bands.groupby(["band", "bucket"]).map_groups(
-        pairs, batch_format="pyarrow"
+    cand = bands.groupby("band").map_groups(
+        pairs_in_band, batch_format="pyarrow"
     )
+    if not dedup:
+        return cand
 
     def first_pair(tbl: pa.Table) -> pa.Table:
         return tbl.slice(0, 1)
@@ -188,22 +208,28 @@ def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=3):
 
 
 def _attach_text(pairs_ds, docs_ds, key_col, other_col, carry_col,
-                 text_col, id_col, out_text_col):
+                 text_col, id_col, out_text_col, n_join_buckets=32,
+                 dedup_pairs=False):
     """Hash-join text onto candidate pairs via grouped co-location.
 
-    Both sides are tagged and unioned, then one map_groups per doc_id
-    group copies the (single) doc row's text onto every pair row in the
-    group -- one hash shuffle keyed on the small doc_id column, no
-    broadcast, no driver materialization.  Pair rows whose key has no
-    matching document are dropped (can only happen if the candidate
-    generator saw ids the doc table lacks).
+    Both sides are tagged with a coarse join bucket (key hash), unioned,
+    and each bucket group runs one vectorized Arrow index_in/take join
+    of its pair rows against its doc rows -- one hash shuffle keyed on
+    a small int column, no broadcast, no driver materialization.  Size
+    ``n_join_buckets`` so one bucket's doc slice fits a worker.  Pair
+    rows whose key has no matching document are dropped (can only
+    happen if the candidate generator saw ids the doc table lacks).
     """
 
     def tag_pairs(b: pa.Table) -> pa.Table:
         n = b.num_rows
+        key = b.column(key_col).cast(pa.int64())
         return pa.table(
             {
-                "key": b.column(key_col).cast(pa.int64()),
+                "jb": pc.cast(
+                    _mod(key, n_join_buckets), pa.int32()
+                ),
+                "key": key,
                 "side": pa.array(["p"] * n, pa.string()),
                 "other": b.column(other_col).cast(pa.int64()),
                 "carry": (
@@ -217,9 +243,11 @@ def _attach_text(pairs_ds, docs_ds, key_col, other_col, carry_col,
 
     def tag_docs(b: pa.Table) -> pa.Table:
         n = b.num_rows
+        key = b.column(id_col).cast(pa.int64())
         return pa.table(
             {
-                "key": b.column(id_col).cast(pa.int64()),
+                "jb": pc.cast(_mod(key, n_join_buckets), pa.int32()),
+                "key": key,
                 "side": pa.array(["d"] * n, pa.string()),
                 "other": pa.nulls(n, pa.int64()),
                 "carry": pa.nulls(n, pa.string()),
@@ -232,43 +260,47 @@ def _attach_text(pairs_ds, docs_ds, key_col, other_col, carry_col,
     )
 
     def join_group(tbl: pa.Table) -> pa.Table:
-        sides = tbl.column("side").to_pylist()
-        text = None
-        for i, s in enumerate(sides):
-            if s == "d":
-                text = tbl.column("doc_text")[i].as_py()
-                break
-        out = {key_col: [], other_col: [], out_text_col: []}
-        if carry_col:
-            out[carry_col] = []
-        if text is None:
-            return pa.table(
-                {
-                    k: pa.array(v, pa.string() if "text" in k or k == carry_col else pa.int64())
-                    for k, v in out.items()
-                }
-            )
-        keys = tbl.column("key").to_pylist()
-        others = tbl.column("other").to_pylist()
-        carries = tbl.column("carry").to_pylist() if carry_col else None
-        for i, s in enumerate(sides):
-            if s != "p":
-                continue
-            out[key_col].append(keys[i])
-            out[other_col].append(others[i])
-            out[out_text_col].append(text)
-            if carry_col:
-                out[carry_col].append(carries[i])
+        is_doc = pc.equal(tbl.column("side"), "d")
+        docs = tbl.filter(is_doc)
+        pairs = tbl.filter(pc.invert(is_doc))
+        if dedup_pairs:
+            # pairs duplicated across LSH bands all share this bucket
+            # (keyed on doc_a), so the dedup is local and shuffle-free
+            pairs = _dedup_pairs_local(pairs)
+        doc_keys = docs.column("key").combine_chunks()
+        idx = pc.index_in(pairs.column("key"), value_set=doc_keys)
+        text = pc.take(docs.column("doc_text").combine_chunks(), idx)
         cols = {
-            key_col: pa.array(out[key_col], pa.int64()),
-            other_col: pa.array(out[other_col], pa.int64()),
-            out_text_col: pa.array(out[out_text_col], pa.string()),
+            key_col: pairs.column("key"),
+            other_col: pairs.column("other"),
+            out_text_col: text,
         }
         if carry_col:
-            cols[carry_col] = pa.array(out[carry_col], pa.string())
-        return pa.table(cols)
+            cols[carry_col] = pairs.column("carry")
+        out = pa.table(cols)
+        return out.filter(pc.is_valid(out.column(out_text_col)))
 
-    return tagged.groupby("key").map_groups(join_group, batch_format="pyarrow")
+    return tagged.groupby("jb").map_groups(join_group, batch_format="pyarrow")
+
+
+def _mod(arr, m: int):
+    # pc has no modulo kernel; subtract(floor(div)) keeps it vectorized
+    q = pc.divide(arr, pa.scalar(m, pa.int64()))
+    return pc.subtract(arr, pc.multiply(q, pa.scalar(m, pa.int64())))
+
+
+def _dedup_pairs_local(pairs: pa.Table) -> pa.Table:
+    """Distinct (key, other) rows of a tagged pair slice (carry is null
+    at this stage by construction)."""
+    keys = pairs.column("key").to_numpy(zero_copy_only=False)
+    others = pairs.column("other").to_numpy(zero_copy_only=False)
+    order = np.lexsort((others, keys))
+    keys, others = keys[order], others[order]
+    if len(keys) == 0:
+        return pairs
+    keep = np.ones(len(keys), dtype=bool)
+    keep[1:] = (np.diff(keys) != 0) | (np.diff(others) != 0)
+    return pairs.take(pa.array(order[keep]))
 
 
 def minhash_near_dups(ds, threshold=0.5, text_col="text", id_col="doc_id", k=3):
@@ -279,11 +311,15 @@ def minhash_near_dups(ds, threshold=0.5, text_col="text", id_col="doc_id", k=3):
     collected or broadcast, so the operator survives corpora that do
     not fit any single machine.
     """
-    cand = minhash_candidate_pairs(ds, text_col=text_col, id_col=id_col, k=k)
+    cand = minhash_candidate_pairs(
+        ds, text_col=text_col, id_col=id_col, k=k, dedup=False
+    )
 
-    # attach text_a keyed on doc_a, then text_b keyed on doc_b
+    # attach text_a keyed on doc_a (deduping cross-band pair copies
+    # inside the same join groups), then text_b keyed on doc_b
     with_a = _attach_text(
-        cand, ds, "doc_a", "doc_b", None, text_col, id_col, "text_a"
+        cand, ds, "doc_a", "doc_b", None, text_col, id_col, "text_a",
+        dedup_pairs=True,
     )
     with_both = _attach_text(
         with_a, ds, "doc_b", "doc_a", "text_a", text_col, id_col, "text_b"
