@@ -627,6 +627,49 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "lang_hist": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "lang_pred": _lang_pred_sql(),
+        "fingerprint": (
+            "SELECT doc_id, CAST(list_reduce("
+            "  list_prepend(CAST(0 AS HUGEINT),"
+            "    list_transform("
+            "      regexp_extract_all(array_to_string("
+            "        regexp_extract_all(text, '\\S+'), ' '), '.'),"
+            "      c -> CAST(unicode(c) AS HUGEINT))),"
+            "  (h, c) -> (h * 1000003 + c) % 2305843009213693951"
+            ") AS UBIGINT) AS fingerprint FROM documents"
+        ),
+        "seq_histogram": _seq_histogram_sql(t),
+        "simhash": _simhash_sql(),
+        "twebber_hops": (
+            # run-boundary formulation of the two-cursor alignment: in
+            # the merged (pair, absolute-time) ordering, a hop fires at
+            # the last frame of every same-side run except the final
+            # one, targeting the next run's first local time; a virtual
+            # earliest frame on the earlier-starting side reproduces
+            # the cursor algorithm's last_local=0.0 initial state.
+            # Exact when no cross-side absolute-time ties exist (holds
+            # for this corpus; the cursor algorithm's tie rule is
+            # state-dependent and not expressible as a static sort).
+            "WITH f AS ("
+            "  SELECT printf('pair%04d', user_id // 2) AS pair_id,"
+            "  CASE WHEN user_id % 2 = 0 THEN 'left' ELSE 'right' END AS side,"
+            "  1000.0 + (user_id % 2) * 7.5 AS start_ts,"
+            "  (epoch_us(ts) / 1000000.0) % 10000 AS frame_ts FROM events),"
+            " pairs2 AS (SELECT pair_id FROM f GROUP BY pair_id"
+            "  HAVING count(DISTINCT side) = 2),"
+            " virt AS (SELECT pair_id, 'left' AS side, -1e18 AS abs_ts,"
+            "  0.0 AS frame_ts FROM pairs2),"
+            " merged AS (SELECT f.pair_id, side, start_ts + frame_ts AS abs_ts,"
+            "  frame_ts FROM f JOIN pairs2 USING (pair_id)"
+            "  UNION ALL SELECT * FROM virt),"
+            " w AS (SELECT pair_id, side, frame_ts,"
+            "  lead(side) OVER (PARTITION BY pair_id ORDER BY abs_ts, frame_ts)"
+            "   AS nside,"
+            "  lead(frame_ts) OVER (PARTITION BY pair_id ORDER BY abs_ts,"
+            "   frame_ts) AS nts FROM merged)"
+            " SELECT pair_id, side AS from_side, frame_ts AS from_ts,"
+            " nts AS to_ts FROM w WHERE nside IS NOT NULL AND nside != side"
+        ),
         "embedding_near_dups": (
             "SELECT vec_id AS doc_a, vec_id + 1000000 AS doc_b "
             "FROM embeddings"
@@ -688,6 +731,137 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS count_order FROM lineitem GROUP BY 1, 2"
         ),
         # rows-only (non-SQL-expressible) queries intentionally omitted:
-        # seq_histogram, dedup_minhash, simhash, lang_pred, fingerprint,
-        # knn_ivf, media_features
+        # dedup_minhash (result = exact Jaccard over LSH candidates; the
+        # candidate set is defined by the banded minhash, not SQL),
+        # knn_ivf (approximate by design), media_features (stubbed
+        # codec, no input table)
     }
+
+
+def _lang_pred_sql() -> str:
+    """SQL mirror of textan.LangId: stopword-hit argmax over the first
+    200 whitespace tokens, ties broken by table order, CJK fallback."""
+    from console_log_parser_ray.stages.textan import _STOPWORDS
+
+    langs = list(_STOPWORDS)
+
+    def lst(ws):
+        return "[" + ",".join("'" + w + "'" for w in sorted(ws)) + "]"
+
+    hits = ", ".join(
+        f"len(list_filter(toks, x -> list_contains({lst(_STOPWORDS[l])}, x)))"
+        f" AS h_{l}"
+        for l in langs
+    )
+    mx = "greatest(" + ",".join(f"h_{l}" for l in langs) + ")"
+    cases = " ".join(f"WHEN h_{l} = mx THEN '{l}'" for l in langs[:-1])
+    return (
+        "WITH t AS (SELECT doc_id, text,"
+        " list_slice(regexp_extract_all(text,'\\S+'),1,200) AS toks"
+        f" FROM documents), h AS (SELECT doc_id, text, {hits} FROM t),"
+        f" m AS (SELECT *, {mx} AS mx FROM h)"
+        " SELECT doc_id, CASE"
+        " WHEN mx = 0 THEN (CASE WHEN"
+        " regexp_matches(substr(text,1,400), '[一-鿿]')"
+        " THEN 'zh' ELSE 'unknown' END)"
+        f" {cases} ELSE '{langs[-1]}' END AS lang_pred FROM m"
+    )
+
+
+def _simhash_sql() -> str:
+    """SQL mirror of dedup.simhash: 64-bit weighted fingerprint over
+    md5-based token hashes (the engine uses the first 8 bytes of md5
+    big-endian precisely so this oracle can reproduce it)."""
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\\S+'))) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, list_reduce(
+    list_prepend(CAST(0 AS HUGEINT),
+      list_transform(regexp_extract_all(substr(md5(tok),1,16), '.'),
+        c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c)-87
+                  ELSE unicode(c)-48 END AS HUGEINT))),
+    (h, c) -> h * 16 + c) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, b.b AS bit,
+    CASE WHEN (CAST(h AS UBIGINT) >> b.b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM th, (SELECT unnest(range(64)) AS b) b
+),
+votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY 1, 2),
+docs_sh AS (
+  SELECT doc_id, CAST(coalesce(sum(CASE WHEN v > 0
+    THEN CAST(1 AS UBIGINT) << CAST(bit AS INT) ELSE 0 END), 0)
+    AS UBIGINT) AS simhash
+  FROM votes GROUP BY 1
+)
+SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS UBIGINT) AS simhash
+FROM documents d LEFT JOIN docs_sh s USING (doc_id)
+"""
+
+
+def _seq_histogram_sql(t: str) -> str:
+    """SQL mirror of the sequence histogram over the raw transcript
+    text: the generated corpus contains only well-formed, within-line
+    escape sequences, so regex extraction reproduces the tokenizer's
+    event counts exactly (validated against the engine, which is itself
+    conformance-tested against the reference's statistics dicts)."""
+    return f"""
+WITH lines AS (SELECT conv_id, text FROM {t}),
+csi AS (
+  SELECT 'csi' AS kind, 'Esc[' || substr(m, 3) AS seq,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_extract_all(text,
+        '\\x1b\\[[0-9:;<=>?]*[ -/]*[@-~]')) AS m FROM lines)
+  GROUP BY 2
+),
+esc AS (
+  SELECT 'escape' AS kind, 'Esc' || substr(m, 2) AS seq,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_extract_all(text, '\\x1b([=>\\\\])')) AS m
+        FROM lines)
+  GROUP BY 2
+),
+dcsf AS (
+  SELECT 'dcs_function' AS kind, 'EscP' || substr(m, 3) AS seq,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_extract_all(text,
+        '\\x1bP[0-9:;<=>?]*[ -/]*[@-~]')) AS m FROM lines)
+  GROUP BY 2
+),
+cf AS (
+  SELECT 'control_function' AS kind, seq, n FROM (
+    SELECT '0x0a' AS seq, CAST(count(*) AS BIGINT) AS n FROM lines
+    UNION ALL
+    SELECT '0x0d', CAST(coalesce(sum(length(text)-length(replace(text,
+      chr(13), ''))),0) AS BIGINT) FROM lines
+    UNION ALL
+    SELECT '0x08', CAST(coalesce(sum(length(text)-length(replace(text,
+      chr(8), ''))),0) AS BIGINT) FROM lines
+    UNION ALL
+    SELECT '0x09', CAST(coalesce(sum(length(text)-length(replace(text,
+      chr(9), ''))),0) AS BIGINT) FROM lines
+  ) WHERE n > 0
+),
+oscs AS (
+  SELECT 'osc_string' AS kind, payload AS seq,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n
+  FROM (SELECT conv_id, unnest(regexp_extract_all(text,
+        '\\x1b\\]([^\\x07\\x1b]*)\\x07', 1)) AS payload FROM lines)
+  GROUP BY 2
+),
+dcss AS (
+  SELECT 'dcs_string' AS kind, payload AS seq,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n
+  FROM (SELECT conv_id, unnest(regexp_extract_all(text,
+        '\\x1bP[0-9:;<=>?]*[ -/]*[@-~]([^\\x1b]*)\\x1b\\\\', 1)) AS payload
+        FROM lines)
+  GROUP BY 2
+)
+SELECT * FROM csi UNION ALL SELECT * FROM esc UNION ALL SELECT * FROM dcsf
+UNION ALL SELECT * FROM cf UNION ALL SELECT * FROM oscs
+UNION ALL SELECT * FROM dcss
+"""

@@ -345,8 +345,15 @@ def minhash_near_dups(ds, threshold=0.5, text_col="text", id_col="doc_id", k=3):
     return with_both.map_batches(verify, batch_format="pyarrow")
 
 
+def _simhash_token_hash(tok: str) -> int:
+    """64-bit token hash for simhash: the first 8 bytes of md5,
+    big-endian -- chosen over blake2b so the DuckDB oracle can compute
+    the identical value (md5 is available in SQL, blake2b is not)."""
+    return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+
+
 def _token_hashes(texts, memo):
-    """Per-text arrays of 64-bit blake2b hashes of the distinct tokens,
+    """Per-text arrays of 64-bit token hashes of the distinct tokens,
     memoized across the batch (token vocabularies repeat heavily)."""
     out = []
     for t in texts:
@@ -355,10 +362,7 @@ def _token_hashes(texts, memo):
         for i, tok in enumerate(toks):
             h = memo.get(tok)
             if h is None:
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                    "big",
-                )
+                h = _simhash_token_hash(tok)
                 memo[tok] = h
             arr[i] = h
         out.append(arr)
@@ -419,9 +423,7 @@ def _simhash64(text: str) -> int:
     """Scalar reference implementation (kept for tests)."""
     v = np.zeros(64, dtype=np.int64)
     for tok in set(text.split()):
-        h = int.from_bytes(
-            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-        )
+        h = _simhash_token_hash(tok)
         for bit in range(64):
             v[bit] += 1 if (h >> bit) & 1 else -1
     out = 0

@@ -346,8 +346,9 @@ def make_stats_fn():
     Mirrors the reference's sequence statistics
     (reference vtparser.py:552-559,744-787): control functions, escape
     sequences, CSI sequences, DCS functions, plus distinct OSC/DCS
-    strings (emitted with n = occurrence count semantics where exact,
-    n = 1 for set-valued kinds).
+    strings.  Set-valued kinds (osc_string / dcs_string) emit n = 1 per
+    conversation containing the string, so the global sum counts
+    conversations -- a partitioning-independent statistic.
     """
 
     def stats_group(tbl: pa.Table) -> pa.Table:
@@ -553,7 +554,6 @@ def make_bucket_stats_fn(use_fast_paths: bool = True):
                 tbl.column("text")
             )
         merged = {}
-        osc_seen, dcs_seen = set(), set()
         i, n = 0, len(conv_ids)
         while i < n:
             j = i
@@ -579,20 +579,19 @@ def make_bucket_stats_fn(use_fast_paths: bool = True):
                 for k, v in d.items():
                     key = (kind, k if isinstance(k, str) else "0x{:02x}".format(k))
                     merged[key] = merged.get(key, 0) + v
-            osc_seen |= sc.osc_seen
-            dcs_seen |= sc.dcs_seen
+            # set-valued kinds: one count per conversation containing
+            # the string (partitioning-independent; sums to the number
+            # of conversations globally)
+            for s in sc.osc_seen:
+                key = ("osc_string", s)
+                merged[key] = merged.get(key, 0) + 1
+            for s in sc.dcs_seen:
+                key = ("dcs_string", s)
+                merged[key] = merged.get(key, 0) + 1
             i = j
         kinds = [k for k, _ in merged]
         seqs = [s for _, s in merged]
         ns = list(merged.values())
-        for s in osc_seen:
-            kinds.append("osc_string")
-            seqs.append(s)
-            ns.append(1)
-        for s in dcs_seen:
-            kinds.append("dcs_string")
-            seqs.append(s)
-            ns.append(1)
         return pa.table(
             {
                 "kind": pa.array(kinds, pa.string()),
