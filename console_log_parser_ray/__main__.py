@@ -88,7 +88,15 @@ def _parse_asciinema_file(path: str, suppress=()):
     return scan_bucket_table(tbl, suppress_map={stem: suppress})
 
 
-def _emit(parsed: pa.Table, out_dir, palette, title=None, as_html=True):
+def _emit(
+    parsed: pa.Table,
+    out_dir,
+    palette,
+    title=None,
+    as_html=True,
+    review=False,
+    chapters=(),
+):
     conv_id = parsed.column("conv_id")[0].as_py() if parsed.num_rows else "session"
     if out_dir is None:
         sys.stdout.write(
@@ -103,7 +111,9 @@ def _emit(parsed: pa.Table, out_dir, palette, title=None, as_html=True):
         from .functions.html import render_conversation
 
         rows = parsed.sort_by("turn_idx").to_pylist()
-        html = render_conversation(rows, palette=palette, title=title or conv_id)
+        html = render_conversation(
+            rows, palette=palette, title=title or conv_id, review=review
+        )
         with open(
             os.path.join(out_dir, conv_id + ".html"), "w", encoding="utf-8"
         ) as fh:
@@ -111,7 +121,7 @@ def _emit(parsed: pa.Table, out_dir, palette, title=None, as_html=True):
     import pyarrow.compute as pc
 
     n_cmds = pc.max(parsed.column("cmd_count")).as_py() or 0
-    return (conv_id, title or conv_id, n_cmds, [])
+    return (conv_id, title or conv_id, n_cmds, list(chapters))
 
 
 def main(argv=None):
@@ -136,9 +146,11 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.todo:
+        from .stages.enrich import EnrichTurns
         from .state.config import load_todo_config
 
         cfg, suppress_map, files = load_todo_config(args.todo)
+        enricher = EnrichTurns(cfg)
         base = os.path.dirname(os.path.abspath(args.todo))
         entries = []
         for f in files:
@@ -151,11 +163,20 @@ def main(argv=None):
                 if fmt == "asciinema"
                 else _parse_terminal_file(in_path, sup)
             )
+            # chapters / hop links / suppression flags ride in as
+            # columns (reference main.py:237-264 TodoArgs plumbing)
+            parsed = enricher(parsed)
             entry = _emit(
                 parsed,
                 args.out or ".",
                 f.get("palette", args.palette),
                 f.get("title"),
+                review=bool(f.get("review")),
+                chapters=sorted(
+                    (cmd, t)
+                    for (cid, cmd), t in cfg.chapters.items()
+                    if cid == fid
+                ),
             )
             if entry:
                 entries.append(entry)

@@ -174,11 +174,70 @@ def render_styled_line(raw: str, palette: str = "MyDracula") -> str:
     return "".join(out)
 
 
-def render_conversation(rows: list, palette="MyDracula", title=None) -> str:
+def build_asciinema_recording(frames, width=80, height=24) -> str:
+    """(ts, data) frames -> an asciinema v2 recording string (JSON
+    header line + one [t, "o", data] event line per frame, t relative
+    to the first frame).  The payload the reference embeds base64 into
+    its dropdown player (reference asciinema2html.py:131-149)."""
+    import json as _json
+
+    out = [
+        _json.dumps(
+            {"version": 2, "width": width, "height": height},
+            separators=(", ", ": "),
+        )
+    ]
+    t0 = frames[0][0] if frames else 0.0
+    for ts, data in frames:
+        out.append(
+            _json.dumps([round(ts - t0, 6), "o", data], separators=(", ", ": "))
+        )
+    return "\n".join(out) + "\n"
+
+
+def _vim_player_block(frames, session_id, review=False) -> str:
+    """Dropdown asciinema player embedding one vim session's recording
+    base64 inline (reference asciinema2html.py:105-149); in review mode
+    the raw session dump rides along (reference asciinema2html.py:147-149)."""
+    import base64 as _b64
+
+    rec = build_asciinema_recording(frames)
+    b64 = _b64.b64encode(rec.encode("utf-8")).decode("ascii")
+    parts = [
+        '<details class="vimsession-dropdown">\n',
+        '<summary><span style="color:#9696cc">'
+        "[==-- Vim editor session --==]</span></summary>\n",
+        '<div class="vimsession-player-wrapper"><div>\n',
+        '<asciinema-player idle-time-limit="3" speed="1.75" '
+        'src="data:application/json;base64,{}" id="vimsess_{}"/>\n'.format(
+            b64, session_id
+        ),
+        "</div>\n",
+    ]
+    if review:
+        parts.append(
+            '<pre class="vimsession-dump">{}</pre>\n'.format(escape_html(rec))
+        )
+    parts.append("</div></details>\n")
+    return "".join(parts)
+
+
+def render_conversation(
+    rows: list,
+    palette="MyDracula",
+    title=None,
+    review=False,
+    review_hops=None,
+) -> str:
     """One parsed conversation (sorted turn rows) -> an HTML document.
 
     rows need: turn_idx, clean_text, cmd_count, is_prompt, in_vim,
-    chapter_title (optional), hop_to (optional), suppressed (optional).
+    chapter_title / hop_to / hop_label / suppressed / vim_text / ts
+    (optional).  Vim sessions with raw frame data (vim_text) embed a
+    dropdown asciinema player; ``review`` adds frame timestamps and the
+    raw session dumps, and ``review_hops`` -- (from_ts, to_ts) pairs
+    from the twebber alignment -- render jump markers once their time
+    passes (reference asciinema2html.py:85-100).
     """
     parts = [
         "<!DOCTYPE html><html><head><meta charset=\"utf-8\"/>",
@@ -186,12 +245,40 @@ def render_conversation(rows: list, palette="MyDracula", title=None) -> str:
         '<body style="background:#21222c;color:#f8f8f2"><pre>',
     ]
     last_cmd = -1
-    vim_open = False
+    vim_frames = []  # pending (ts, data) for the open vim session
+    vim_sid = None
+    rev_hops = sorted(review_hops or [])
+    rev_i = 0
+
+    def flush_vim():
+        nonlocal vim_frames, vim_sid
+        if vim_frames:
+            parts.append(_vim_player_block(vim_frames, vim_sid, review=review))
+        vim_frames = []
+        vim_sid = None
+
+    def row_ts(r):
+        ts = r.get("ts")
+        if ts is None:
+            return float(r.get("turn_idx", 0))
+        try:
+            return ts.timestamp()
+        except AttributeError:
+            return float(ts)
+
     for r in rows:
         if r.get("suppressed"):
             continue
+        ts = row_ts(r)
+        while rev_i < len(rev_hops) and rev_hops[rev_i][0] <= ts:
+            parts.append(
+                '<div class="review-cmd-hop">before TS {} detected jump to {}'
+                "</div>\n".format(ts, rev_hops[rev_i][1])
+            )
+            rev_i += 1
         cmd = r["cmd_count"]
         if cmd != last_cmd and r.get("is_prompt"):
+            flush_vim()
             parts.append("</pre>\n")
             ch = r.get("chapter_title")
             if ch:
@@ -199,9 +286,14 @@ def render_conversation(rows: list, palette="MyDracula", title=None) -> str:
             hop = r.get("hop_to")
             if hop:
                 parts.append(
-                    '<div><a href="{}">jump</a></div>\n'.format(
-                        escape_html(hop)
+                    '<div class="cmd-hop"><a href="{}">{}</a></div>\n'.format(
+                        escape_html(hop),
+                        escape_html(r.get("hop_label") or "jump"),
                     )
+                )
+            if review:
+                parts.append(
+                    '<div class="review-frame-ts">{:f}</div>\n'.format(ts)
                 )
             parts.append(
                 '<pre id="c{}"><span style="color:#579957">[{}]</span>\n'.format(
@@ -209,15 +301,14 @@ def render_conversation(rows: list, palette="MyDracula", title=None) -> str:
                 )
             )
             last_cmd = cmd
-        if r.get("in_vim") and not vim_open:
-            parts.append(
-                '<span style="color:#9696cc">[==-- Vim editor session --==]</span>\n'
-            )
-            vim_open = True
-        elif not r.get("in_vim"):
-            vim_open = False
-        if not r.get("in_vim"):
+        if r.get("in_vim"):
+            if not vim_frames:
+                vim_sid = r.get("vim_session_id", 0)
+            vim_frames.append((ts, (r.get("vim_text") or "") + "\r\n"))
+        else:
+            flush_vim()
             parts.append(escape_html(r["clean_text"]))
+    flush_vim()
     parts.append("</pre></body></html>\n")
     return "".join(parts)
 

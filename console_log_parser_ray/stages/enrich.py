@@ -62,12 +62,15 @@ class EnrichConfig:
         tool_families=None,
         chapters=None,  # {(conv_id, cmd_count): title}
         suppress=None,  # {(conv_id, cmd_count)}
-        hopto=None,  # {(conv_id, cmd_count): "target_conv#cmd"}
+        hopto=None,  # {(conv_id, cmd_count): "target_conv#cmd"} (raw anchor)
+        hop_labels=None,  # {(conv_id, cmd_count): display label, renumbered
+        #                    through the target's suppress list}
     ):
         self.tool_families = tool_families or DEFAULT_TOOL_FAMILIES
         self.chapters = chapters or {}
         self.suppress = set(suppress or ())
         self.hopto = hopto or {}
+        self.hop_labels = hop_labels or {}
 
 
 def _broadcast(cfg: EnrichConfig):
@@ -121,15 +124,17 @@ class EnrichTurns:
         if cfg.chapters or cfg.suppress or cfg.hopto:
             conv_ids = batch.column("conv_id").to_pylist()
             cmds = batch.column("cmd_count").to_pylist()
-            chapters, suppressed, hops = [], [], []
+            chapters, suppressed, hops, labels = [], [], [], []
             for cid, cc in zip(conv_ids, cmds):
                 key = (cid, cc)
                 chapters.append(cfg.chapters.get(key, ""))
                 suppressed.append(key in cfg.suppress)
                 hops.append(cfg.hopto.get(key, ""))
+                labels.append(cfg.hop_labels.get(key, ""))
             out = out.append_column("chapter_title", pa.array(chapters, pa.string()))
             out = out.append_column("suppressed", pa.array(suppressed, pa.bool_()))
             out = out.append_column("hop_to", pa.array(hops, pa.string()))
+            out = out.append_column("hop_label", pa.array(labels, pa.string()))
         else:
             n = batch.num_rows
             out = out.append_column(
@@ -139,6 +144,9 @@ class EnrichTurns:
                 "suppressed", pa.array([False] * n, pa.bool_())
             )
             out = out.append_column("hop_to", pa.nulls(n, pa.string()).fill_null(""))
+            out = out.append_column(
+                "hop_label", pa.nulls(n, pa.string()).fill_null("")
+            )
         return out
 
 

@@ -27,12 +27,29 @@ def parse_todo_json(text: str) -> dict:
     return json.loads(_COMMENT.sub("", text))
 
 
+def hop_target_cmd(hop: int, target_filter) -> int:
+    """Translated command number to DISPLAY for a hop into a file with
+    suppressed commands: suppression renumbers the visible commands, so
+    the shown number walks the target's suppress list (reference
+    terminal2html.py:32-38, HopTarget.get_target_cmd).  The anchor id
+    keeps the raw cmd_count (reference terminal2html.py:28-30)."""
+    cmdnum = hop
+    for cmd in sorted(target_filter):
+        if hop < cmd:
+            break
+        cmdnum -= 1
+    return cmdnum
+
+
 def load_todo_config(path: str):
     """Returns (EnrichConfig, suppress_map, files) from a todo list.
 
     ``suppress_map`` maps conv_id (file id) -> list of suppressed
     cmd_counts, consumed by the session scan; chapters and hop links
-    feed the enrichment stage keyed on (conv_id, cmd_count).
+    feed the enrichment stage keyed on (conv_id, cmd_count).  Hop links
+    carry both the raw anchor and a display label whose command number
+    is renumbered through the TARGET file's suppress list (reference
+    main.py:247-258 wiring HopTarget with the target's filter).
     """
     with open(path, encoding="utf-8") as fh:
         data = parse_todo_json(fh.read())
@@ -42,6 +59,7 @@ def load_todo_config(path: str):
     suppress_map = {}
     suppress_keys = set()
     hopto = {}
+    hop_labels = {}
     for f in files:
         fid = f.get("id")
         if not fid:
@@ -59,12 +77,22 @@ def load_todo_config(path: str):
         if hop and "hops" in hop:
             hops = hop["hops"]
             target = hop.get("id", "")
+            tfilter = data.get(target + "-suppress") or ()
+            pre = hop.get("pre", "")
+            to = hop.get("to", target)
+            post = hop.get("post", "")
             for i in range(0, len(hops) - 1, 2):
-                hopto[(fid, int(hops[i]))] = "{}#c{}".format(
-                    target, hops[i + 1]
+                raw = int(hops[i + 1])
+                key = (fid, int(hops[i]))
+                hopto[key] = "{}#c{}".format(target, raw)
+                hop_labels[key] = "{} jump to {} command {} {}".format(
+                    pre, to, hop_target_cmd(raw, tfilter), post
                 )
 
     cfg = EnrichConfig(
-        chapters=chapters, suppress=suppress_keys, hopto=hopto
+        chapters=chapters,
+        suppress=suppress_keys,
+        hopto=hopto,
+        hop_labels=hop_labels,
     )
     return cfg, suppress_map, files

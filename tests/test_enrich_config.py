@@ -43,6 +43,56 @@ def test_todo_config_side_tables(tmp_path):
     assert cfg.hopto[("s1", 4)] == "s2#c7"
 
 
+def test_hopto_renumbers_through_target_suppress(tmp_path):
+    """Reference HopTarget.get_target_cmd: a hop into a file whose
+    earlier commands are suppressed anchors to the raw cmd_count but
+    DISPLAYS the renumbered command (terminal2html.py:16-38)."""
+    data = {
+        "files": [
+            {"id": "s1", "in": "s1.log"},
+            {"id": "s2", "in": "s2.log"},
+        ],
+        # target file s2 suppresses commands 2, 3 and 9: a hop to raw
+        # command 7 displays as 7 - |{2,3}| = 5 (9 > 7 doesn't count)
+        "s2-suppress": [2, 3, 9],
+        "s1-hopto": {
+            "id": "s2",
+            "pre": "see",
+            "to": "session two",
+            "post": "for details",
+            "hops": [4, 7, 6, 1],
+        },
+    }
+    p = tmp_path / "todo.json"
+    p.write_text(json.dumps(data))
+    cfg, _suppress, _files = load_todo_config(str(p))
+    # anchors keep the raw command number
+    assert cfg.hopto[("s1", 4)] == "s2#c7"
+    assert cfg.hopto[("s1", 6)] == "s2#c1"
+    # display labels renumber through the target's suppress list
+    assert cfg.hop_labels[("s1", 4)] == "see jump to session two command 5 for details"
+    assert cfg.hop_labels[("s1", 6)] == "see jump to session two command 1 for details"
+
+
+def test_hop_target_cmd_matches_reference():
+    """Pin the renumbering against the reference implementation."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from terminal2html import HopTarget
+    finally:
+        sys.path.remove("/root/reference")
+    from console_log_parser_ray.state.config import hop_target_cmd
+
+    for filt in ([], [1], [2, 3, 9], [5, 6, 7], [1, 2, 3, 4]):
+        ref = HopTarget("x", "x.html", filt)
+        for hop in range(1, 12):
+            assert hop_target_cmd(hop, filt) == int(
+                ref.get_target_cmd(hop)
+            ), (filt, hop)
+
+
 def test_enrich_lookups():
     cfg = EnrichConfig(
         chapters={("c1", 2): "Intro"},

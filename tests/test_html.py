@@ -56,3 +56,61 @@ def test_render_conversation_and_index():
     assert "<h3>Ch1</h3>" in doc
     idx = render_index([("conv1", "First", 5, [(2, "Setup")])])
     assert 'href="conv1.html"' in idx and 'href="conv1.html#c2"' in idx
+
+
+def test_review_mode_vim_player_and_hop_link():
+    """Reference asciinema2html.py:94-189: a vim session embeds a
+    base64 asciinema recording in a dropdown player, hop links render
+    the renumbered label, and review mode adds frame timestamps, the
+    session dump, and passed review-hop markers."""
+    import base64
+    import json
+    import re
+
+    rows = [
+        {"turn_idx": 0, "clean_text": "$ vim f\n", "cmd_count": 1,
+         "is_prompt": True, "in_vim": False, "chapter_title": "",
+         "hop_to": "s2#c7", "hop_label": "jump to s2 command 5",
+         "suppressed": False, "ts": 100.0},
+        {"turn_idx": 1, "clean_text": "", "cmd_count": 1,
+         "is_prompt": False, "in_vim": True, "vim_session_id": 1,
+         "vim_text": "\x1b[2J\x1b[Hvim frame one", "suppressed": False,
+         "ts": 101.0},
+        {"turn_idx": 2, "clean_text": "", "cmd_count": 1,
+         "is_prompt": False, "in_vim": True, "vim_session_id": 1,
+         "vim_text": "\x1b[5;1Hframe two", "suppressed": False,
+         "ts": 102.5},
+        {"turn_idx": 3, "clean_text": "\n", "cmd_count": 1,
+         "is_prompt": False, "in_vim": False, "suppressed": False,
+         "ts": 103.0},
+    ]
+    doc = render_conversation(
+        rows, title="t", review=True, review_hops=[(101.5, 42.25)]
+    )
+    # hop link: raw anchor + renumbered display label
+    assert '<a href="s2#c7">jump to s2 command 5</a>' in doc
+    # embedded player with a decodable asciinema v2 recording
+    m = re.search(r'src="data:application/json;base64,([^"]+)"', doc)
+    assert m
+    rec = base64.b64decode(m.group(1)).decode("utf-8").splitlines()
+    header = json.loads(rec[0])
+    assert header["version"] == 2
+    ev1 = json.loads(rec[1])
+    ev2 = json.loads(rec[2])
+    assert ev1 == [0.0, "o", "\x1b[2J\x1b[Hvim frame one\r\n"]
+    assert ev2[0] == 1.5 and ev2[2].endswith("frame two\r\n")
+    # review extras: frame ts, session dump, passed hop marker
+    assert '<div class="review-frame-ts">100.000000</div>' in doc
+    assert 'class="vimsession-dump"' in doc
+    assert "detected jump to 42.25" in doc
+
+
+def test_non_review_render_has_no_dump():
+    rows = [
+        {"turn_idx": 0, "clean_text": "", "cmd_count": 1,
+         "is_prompt": False, "in_vim": True, "vim_session_id": 3,
+         "vim_text": "x", "suppressed": False, "ts": 1.0},
+    ]
+    doc = render_conversation(rows)
+    assert "asciinema-player" in doc
+    assert "vimsession-dump" not in doc
