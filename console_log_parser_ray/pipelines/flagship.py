@@ -91,11 +91,55 @@ def sequence_histogram(
     partials = bucketed.groupby("bucket").map_groups(
         make_bucket_stats_fn(), batch_format="pyarrow"
     )
-    return (
-        partials.groupby(["kind", "seq"])
-        .sum("n")
-        .rename_columns({"sum(n)": "n"})
+    return _reduce_histogram(partials)
+
+
+def _combine_partials(batch):
+    import pyarrow as pa
+
+    out = batch.group_by(["kind", "seq"]).aggregate([("n", "sum")])
+    return pa.table(
+        {
+            "kind": out.column("kind"),
+            "seq": out.column("seq"),
+            "n": out.column("n_sum"),
+        }
     )
+
+
+def _reduce_histogram(partials: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Merge tiny (kind, seq, n) partials without an all-to-all shuffle:
+    a distributed combine stage collapses each batch of partials to at
+    most one row per key (bounded by the sequence vocabulary, a few
+    thousand), then one driver-side Acero group_by finishes the already
+    mostly-merged stream.  A sort-based groupby here costs seconds of
+    barrier overhead to aggregate kilobytes."""
+    import pyarrow as pa
+
+    import ray.data
+
+    # batch_size=None: combine per block -- a concrete batch size makes
+    # Ray re-bundle many small partial blocks into one batch, which
+    # serializes the whole upstream stage behind the bundler
+    reduced = partials.map_batches(
+        _combine_partials, batch_format="pyarrow", batch_size=None
+    )
+    tables = list(reduced.iter_batches(batch_format="pyarrow", batch_size=None))
+    merged = _combine_partials(
+        pa.concat_tables(tables) if tables else _EMPTY_HIST
+    )
+    return ray.data.from_arrow(merged)
+
+
+import pyarrow as _pa  # noqa: E402
+
+_EMPTY_HIST = _pa.table(
+    {
+        "kind": _pa.array([], _pa.string()),
+        "seq": _pa.array([], _pa.string()),
+        "n": _pa.array([], _pa.int64()),
+    }
+)
 
 
 def sequence_histogram_path(input_path: str) -> "ray.data.Dataset":
@@ -130,11 +174,7 @@ def sequence_histogram_path(input_path: str) -> "ray.data.Dataset":
     partials = ray.data.from_items(
         files, override_num_blocks=len(files)
     ).map_batches(per_file, batch_format="pyarrow", batch_size=None)
-    return (
-        partials.groupby(["kind", "seq"])
-        .sum("n")
-        .rename_columns({"sum(n)": "n"})
-    )
+    return _reduce_histogram(partials)
 
 
 def sink_counts(parsed: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -536,9 +536,25 @@ def make_bucket_scan_fn(
 
 
 def make_bucket_stats_fn(use_fast_paths: bool = True):
-    """Per-bucket sequence-statistics partials: scans every conversation
-    in the bucket with stats collection on and merges the histograms
-    into one (kind, seq, n) partial table per bucket."""
+    """Per-bucket sequence-statistics partials: one (kind, seq, n)
+    partial table per bucket.
+
+    Delegates to the tokenizer-level stats engine (stages/stats.py),
+    which skips the session FSM entirely -- the histogram depends only
+    on tokenizer events -- and handles plain lines analytically.
+    ``use_fast_paths=False`` keeps the legacy SessionScanner-based
+    counting for differential tests.
+    """
+    if use_fast_paths:
+        from .stats import stats_table
+
+        return stats_table
+    return _legacy_bucket_stats_fn(use_fast_paths=False)
+
+
+def _legacy_bucket_stats_fn(use_fast_paths: bool = True):
+    """SessionScanner-based stats counting (differential-test oracle
+    for stages/stats.py)."""
 
     def fn(tbl: pa.Table) -> pa.Table:
         tbl = tbl.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
