@@ -303,17 +303,35 @@ def _dedup_pairs_local(pairs: pa.Table) -> pa.Table:
     return pairs.take(pa.array(order[keep]))
 
 
-def minhash_near_dups(ds, threshold=0.5, text_col="text", id_col="doc_id", k=3):
+def minhash_near_dups(
+    ds,
+    threshold=0.5,
+    text_col="text",
+    id_col="doc_id",
+    k=3,
+    broadcast_pair_limit=2_000_000,
+):
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
 
-    Verification texts are attached with two grouped hash-joins on
-    doc_id (one per pair side); the document table is shuffled, never
-    collected or broadcast, so the operator survives corpora that do
-    not fit any single machine.
+    Size-adaptive verification (the broadcast-vs-shuffle join choice a
+    planner would make): candidate pairs are materialized (they are the
+    small derived side), and
+
+    * if the pair count is within ``broadcast_pair_limit``, only the
+      texts of documents that APPEAR IN CANDIDATES are fetched (one
+      filtered narrow scan, bounded by the candidate set -- never the
+      corpus) and broadcast to a verify stage: one shuffle total;
+    * otherwise the texts are attached with two grouped hash-joins on
+      doc_id -- the document table is shuffled, never collected, so the
+      operator survives corpora that do not fit any single machine.
     """
     cand = minhash_candidate_pairs(
         ds, text_col=text_col, id_col=id_col, k=k, dedup=False
-    )
+    ).materialize()
+    if cand.count() <= broadcast_pair_limit:
+        return _verify_broadcast(
+            ds, cand, threshold, text_col, id_col, k
+        )
 
     # attach text_a keyed on doc_a (deduping cross-band pair copies
     # inside the same join groups), then text_b keyed on doc_b
@@ -350,6 +368,71 @@ def _simhash_token_hash(tok: str) -> int:
     big-endian -- chosen over blake2b so the DuckDB oracle can compute
     the identical value (md5 is available in SQL, blake2b is not)."""
     return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+
+
+def _verify_broadcast(ds, cand, threshold, text_col, id_col, k):
+    """Small-candidate-set verify: fetch ONLY the candidate documents'
+    texts (narrow scan + id filter; bounded by the candidate set) and
+    verify pairs against the broadcast map -- one driver-side dedup,
+    zero extra shuffles."""
+    import ray
+
+    pairs = set()
+    for b in cand.iter_batches(batch_format="pyarrow", batch_size=None):
+        pairs.update(
+            zip(b.column("doc_a").to_pylist(), b.column("doc_b").to_pylist())
+        )
+    wanted = {a for a, _ in pairs} | {b for _, b in pairs}
+    wanted_ref = ray.put(wanted)
+
+    class KeepWanted:
+        def __init__(self):
+            self.wanted = ray.get(wanted_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mask = pa.array(
+                [i in self.wanted for i in b.column(id_col).to_pylist()],
+                pa.bool_(),
+            )
+            return b.select([id_col, text_col]).filter(mask)
+
+    texts = {}
+    for b in (
+        ds.map_batches(KeepWanted, batch_format="pyarrow", concurrency=(2, 8))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        texts.update(
+            zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist())
+        )
+    texts_ref = ray.put(texts)
+    pair_list = sorted(pairs)
+    pairs_tbl = pa.table(
+        {
+            "doc_a": pa.array([a for a, _ in pair_list], pa.int64()),
+            "doc_b": pa.array([b for _, b in pair_list], pa.int64()),
+        }
+    )
+    import ray.data
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(texts_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch.column("doc_a").to_pylist()
+            b = batch.column("doc_b").to_pylist()
+            j = [
+                ngram_jaccard(self.texts[x], self.texts[y], k)
+                for x, y in zip(a, b)
+            ]
+            out = batch.append_column("jaccard", pa.array(j, pa.float64()))
+            return out.filter(
+                pc.greater_equal(out.column("jaccard"), pa.scalar(threshold))
+            )
+
+    return ray.data.from_arrow(pairs_tbl).map_batches(
+        Verify, batch_format="pyarrow", concurrency=(2, 8), batch_size=4096
+    )
 
 
 def _token_hashes(texts, memo):

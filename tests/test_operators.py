@@ -87,13 +87,21 @@ def _docs_table():
     return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
 
 
-def test_minhash_near_dups_recover_planted(ray_session):
+import pytest
+
+
+@pytest.mark.parametrize("pair_limit", [2_000_000, 0])
+def test_minhash_near_dups_recover_planted(ray_session, pair_limit):
+    """pair_limit=0 forces the grouped-join verify (the at-scale path);
+    the default takes the bounded-broadcast fast path."""
     ray = ray_session
     from console_log_parser_ray.stages.dedup import minhash_near_dups, ngram_jaccard
 
     tbl = _docs_table()
     ds = ray.data.from_arrow(tbl)
-    pairs = minhash_near_dups(ds, threshold=0.5).take_all()
+    pairs = minhash_near_dups(
+        ds, threshold=0.5, broadcast_pair_limit=pair_limit
+    ).take_all()
     got = {(r["doc_a"], r["doc_b"]) for r in pairs}
     planted = {(i, i + 1000) for i in range(60)}
     # every planted pair has true jaccard >= 0.5 and must be recovered
