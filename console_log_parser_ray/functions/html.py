@@ -47,6 +47,17 @@ PALETTES = {
 }
 
 
+# Presentation policies (reference terminal2html.py:86-94): DarkBg
+# picks the default fg/bg palette slots and the bold-default-fg color;
+# BoldAsBright renders bold+base-color as the bright palette variant
+# with the policy's font weight.
+DARK_BG = {
+    True: {"F9": 7, "B9": 0, "bF9": 15},
+    False: {"F9": 0, "B9": 7, "bF9": 8},
+}
+BOLD_AS_BRIGHT = {True: {"fw": "normal"}, False: {"fw": "bold"}}
+
+
 def escape_html(s: str) -> str:
     return _ESC_RE.sub(lambda m: _ESC_MAP[m.group()], s)
 
@@ -67,12 +78,31 @@ class SgrSpans:
         "49": "bg",
     }
 
-    def __init__(self, palette: str = "MyDracula"):
+    def __init__(
+        self,
+        palette: str = "MyDracula",
+        dark_bg: bool = True,
+        bold_as_bright: bool = True,
+    ):
         self.colors = PALETTES.get(palette, PALETTES["MyDracula"])
-        self.stack = []  # (kind, css)
+        self.stack = []  # (kind, css, base_idx)
+        self.dark_bg = dark_bg
+        self.bold_as_bright = bold_as_bright
+        self.fw = BOLD_AS_BRIGHT[bold_as_bright]["fw"]
+        self.bf9 = self.colors[DARK_BG[dark_bg]["bF9"]]
 
-    def _open(self, kind: str, css: str) -> str:
-        self.stack.append((kind, css))
+    def _base_fg(self):
+        """Innermost active base-color (0-7) fg, or None."""
+        for kind, _css, base in reversed(self.stack):
+            if kind == "fg":
+                return base
+        return None
+
+    def _bold_active(self) -> bool:
+        return any(k == "bold" for k, _c, _b in self.stack)
+
+    def _open(self, kind: str, css: str, base=None) -> str:
+        self.stack.append((kind, css, base))
         return '<span style="{}">'.format(css)
 
     def _close_kind(self, kind: str) -> str:
@@ -86,8 +116,8 @@ class SgrSpans:
         out = "</span>" * (len(self.stack) - idx)
         removed = self.stack[idx + 1 :]
         del self.stack[idx:]
-        for k, css in removed:
-            self.stack.append((k, css))
+        for k, css, base in removed:
+            self.stack.append((k, css, base))
             out += '<span style="{}">'.format(css)
         return out
 
@@ -119,7 +149,16 @@ class SgrSpans:
             except ValueError:
                 continue
             if 30 <= v <= 37:
-                out.append(self._open("fg", f"color:{self.colors[v - 30]}"))
+                base = v - 30
+                if self.bold_as_bright and self._bold_active():
+                    # .bold > .fN: bright variant + policy weight
+                    # (reference terminal2html.py:119-126)
+                    css = "color:{};font-weight:{}".format(
+                        self.colors[base + 8], self.fw
+                    )
+                else:
+                    css = f"color:{self.colors[base]}"
+                out.append(self._open("fg", css, base=base))
             elif 40 <= v <= 47:
                 out.append(
                     self._open("bg", f"background-color:{self.colors[v - 40]}")
@@ -131,7 +170,19 @@ class SgrSpans:
                     self._open("bg", f"background-color:{self.colors[v - 92]}")
                 )
             elif v == 1:
-                out.append(self._open("bold", "font-weight:bold"))
+                base = self._base_fg()
+                if self.bold_as_bright and base is not None:
+                    # .fN > .bold: bright variant + policy weight
+                    css = "color:{};font-weight:{}".format(
+                        self.colors[base + 8], self.fw
+                    )
+                elif self.bold_as_bright:
+                    # default fg + bold: the DarkBg policy's bF9 color;
+                    # weight stays bold (reference terminal2html.py:139-143)
+                    css = f"color:{self.bf9};font-weight:bold"
+                else:
+                    css = "font-weight:bold"
+                out.append(self._open("bold", css))
             elif v == 4:
                 out.append(self._open("underline", "text-decoration:underline"))
             elif v == 5:
@@ -160,10 +211,15 @@ def _xterm256(n: int) -> str:
     return "#{:02x}{:02x}{:02x}".format(conv(r), conv(g), conv(b))
 
 
-def render_styled_line(raw: str, palette: str = "MyDracula") -> str:
+def render_styled_line(
+    raw: str,
+    palette: str = "MyDracula",
+    dark_bg: bool = True,
+    bold_as_bright: bool = True,
+) -> str:
     """Raw terminal line -> HTML with SGR colors, other controls dropped."""
     tok = LineTokenizer()
-    sgr = SgrSpans(palette)
+    sgr = SgrSpans(palette, dark_bg=dark_bg, bold_as_bright=bold_as_bright)
     out = []
     for ev in tok.feed_line(raw.encode("utf-8", "surrogatepass")):
         if ev[0] == "print":
@@ -228,6 +284,7 @@ def render_conversation(
     title=None,
     review=False,
     review_hops=None,
+    dark_bg=True,
 ) -> str:
     """One parsed conversation (sorted turn rows) -> an HTML document.
 
@@ -239,10 +296,13 @@ def render_conversation(
     from the twebber alignment -- render jump markers once their time
     passes (reference asciinema2html.py:85-100).
     """
+    colors = PALETTES.get(palette, PALETTES["MyDracula"])
+    body_fg = colors[DARK_BG[dark_bg]["F9"]]
+    body_bg = colors[DARK_BG[dark_bg]["B9"]]
     parts = [
         "<!DOCTYPE html><html><head><meta charset=\"utf-8\"/>",
         "<title>{}</title></head>\n".format(escape_html(title or "session")),
-        '<body style="background:#21222c;color:#f8f8f2"><pre>',
+        '<body style="background:{};color:{}"><pre>'.format(body_bg, body_fg),
     ]
     last_cmd = -1
     vim_frames = []  # pending (ts, data) for the open vim session

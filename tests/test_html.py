@@ -27,12 +27,40 @@ def test_sgr_bright_and_bold():
 
 def test_sgr_selective_close_stack_surgery():
     # open fg, open bold, close fg (39): bold must be re-opened
-    s = SgrSpans()
+    # (bold_as_bright off isolates the stack mechanics)
+    s = SgrSpans(bold_as_bright=False)
     html = s.convert("31") + "a" + s.convert("1") + "b" + s.convert("39") + "c"
     # after 39: two closes, bold reopened
     assert html.count("</span>") == 2
     assert html.count("font-weight:bold") == 2  # original + reopen
     assert len(s.stack) == 1 and s.stack[0][0] == "bold"
+
+
+def test_bold_as_bright_policy():
+    """Reference terminal2html.py:90-94,112-143: bold combined with a
+    base color renders the BRIGHT palette variant with the policy's
+    font weight; bold alone uses the DarkBg policy's bF9 color."""
+    # .f1 > .bold: base red (31) then bold -> bright red, weight normal
+    s = SgrSpans("MyDracula")
+    html = s.convert("31") + s.convert("1")
+    assert "color:#ff5555" in html            # base red open
+    assert "color:#ff6e6e;font-weight:normal" in html  # bright on bold
+    # .bold > .f2: bold then base green -> bright green on the fg span
+    s = SgrSpans("MyDracula")
+    html = s.convert("1") + s.convert("32")
+    assert "color:#69ff94;font-weight:normal" in html
+    # bold with default fg: bF9 (PC15 on dark bg), weight stays bold
+    s = SgrSpans("MyDracula")
+    html = s.convert("1")
+    assert html == '<span style="color:#ffffff;font-weight:bold">'
+    # light background flips the bold-default color to PC08
+    s = SgrSpans("MyDracula", dark_bg=False)
+    assert "color:#6272a4" in s.convert("1")
+    # policy off: plain bold weight, base color untouched
+    s = SgrSpans("MyDracula", bold_as_bright=False)
+    html = s.convert("31") + s.convert("1")
+    assert "color:#ff6e6e" not in html
+    assert "font-weight:bold" in html
 
 
 def test_sgr_256_and_rgb():
