@@ -313,6 +313,24 @@ def _q_knn_ivf(sf_dir: str):
     return res.select_columns(["query_id", "vec_id"])
 
 
+def _q_knn_ivf_indexed(sf_dir: str):
+    """Scan-pruned ANN: a bucket-partitioned IVF index is built once
+    (cached under /tmp) and queries read only their probed buckets'
+    parquet partitions from storage."""
+    from console_log_parser_ray.sources.cache import sf_name
+    from console_log_parser_ray.stages.similarity import (
+        ivf_build_index,
+        knn_ivf_indexed,
+    )
+
+    idx = os.path.join("/tmp/clpr_ivf_index", sf_name(sf_dir))
+    marker = os.path.join(idx, "_centroids.parquet")
+    if not os.path.exists(marker):
+        ivf_build_index(_embeddings(sf_dir), idx)
+    res = knn_ivf_indexed(idx, _knn_queries(sf_dir), k=5)
+    return res.select_columns(["query_id", "vec_id"])
+
+
 def _events(sf_dir: str):
     import ray.data
 
@@ -551,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf": _q_knn_ivf,
+        "knn_ivf_indexed": _q_knn_ivf_indexed,
         "sessionize": _q_sessionize,
         "events_agg": _q_events_agg,
         "top_users": _q_top_users,

@@ -124,7 +124,15 @@ class IVFAssign:
 
 
 def knn_ivf(ds, queries, k=10, n_clusters=16, n_probe=4, vec_col="embedding", id_col="vec_id"):
-    """IVF-bucketed ANN: probe only the n_probe nearest buckets per query."""
+    """IVF-bucketed ANN: probe only the n_probe nearest buckets per query.
+
+    In-memory variant: every vector is still read and then filtered to
+    the probed buckets -- compute pruning without scan pruning.  For
+    the at-scale path, build a bucket-partitioned index ONCE with
+    :func:`ivf_build_index` and serve queries with
+    :func:`knn_ivf_indexed`, which reads only the probed partitions
+    from storage.
+    """
     import ray
 
     cent = kmeans_centroids(ds, n_clusters=n_clusters, vec_col=vec_col)
@@ -149,3 +157,68 @@ def knn_ivf(ds, queries, k=10, n_clusters=16, n_probe=4, vec_col="embedding", id
     return knn_bruteforce(
         filtered, queries, k=k, vec_col=vec_col, id_col=id_col
     )
+
+
+def ivf_build_index(
+    ds, index_path, n_clusters=16, vec_col="embedding", id_col="vec_id"
+):
+    """Build a bucket-partitioned IVF index on storage: k-means on a
+    bounded sample, assign every vector to its nearest centroid, write
+    Parquet partitioned by ``ivf_bucket`` (one directory per bucket),
+    and store the centroid matrix alongside.  Queries then read ONLY
+    their probed buckets' files -- scan pruning, not just compute
+    pruning.  Returns the centroid matrix."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    cent = kmeans_centroids(ds, n_clusters=n_clusters, vec_col=vec_col)
+    cent_ref = ray.put(cent)
+    bucketed = ds.map_batches(
+        IVFAssign,
+        fn_constructor_args=(cent_ref, vec_col, id_col),
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+    )
+    bucketed.write_parquet(index_path, partition_cols=["ivf_bucket"])
+    cent_tbl = pa.table(
+        {
+            "bucket": pa.array(range(len(cent)), pa.int32()),
+            "centroid": pa.array([[float(x) for x in c] for c in cent]),
+        }
+    )
+    pq.write_table(cent_tbl, os.path.join(index_path, "_centroids.parquet"))
+    return cent
+
+
+def knn_ivf_indexed(
+    index_path, queries, k=10, n_probe=4, vec_col="embedding", id_col="vec_id"
+):
+    """ANN over a bucket-partitioned IVF index: load the centroids,
+    pick each query's ``n_probe`` nearest buckets, and read ONLY those
+    partitions' Parquet files before the brute-force top-k reduce.
+    The unprobed buckets never leave storage."""
+    import glob as _g
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    cent_tbl = pq.read_table(os.path.join(index_path, "_centroids.parquet"))
+    cent = _normalize(
+        np.array(cent_tbl.column("centroid").to_pylist(), dtype=np.float32)
+    )
+    q_ids, q_mat = queries
+    qn = _normalize(np.asarray(q_mat, dtype=np.float32))
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    wanted = sorted(set(int(b) for row in probe for b in row))
+    files = [
+        f
+        for b in wanted
+        for f in sorted(
+            _g.glob(os.path.join(index_path, f"ivf_bucket={b}", "*.parquet"))
+        )
+    ]
+    ds = ray.data.read_parquet(files, columns=[id_col, vec_col])
+    return knn_bruteforce(ds, queries, k=k, vec_col=vec_col, id_col=id_col)

@@ -461,6 +461,47 @@ def test_knn_ivf_recall_vs_bruteforce(ray_session):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_knn_ivf_indexed_matches_inmemory(ray_session, tmp_path):
+    """The bucket-partitioned index (scan-pruned storage reads) must
+    return exactly the in-memory IVF results for identical params."""
+    ray = ray_session
+    from console_log_parser_ray.stages.similarity import (
+        ivf_build_index,
+        knn_ivf,
+        knn_ivf_indexed,
+    )
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(8, 16)).astype(np.float32) * 4
+    mat = np.concatenate(
+        [c + rng.normal(size=(50, 16)).astype(np.float32) for c in centers]
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in mat]),
+        }
+    )
+    queries = ([0, 100, 250], mat[[0, 100, 250]].tolist())
+    ds = ray.data.from_arrow(tbl)
+    mem = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_ivf(ds, queries, k=5, n_clusters=8, n_probe=3).take_all()
+    }
+    idx_path = str(tmp_path / "ivf_index")
+    ivf_build_index(ds, idx_path, n_clusters=8)
+    # only probed partitions are read
+    import glob
+    import os
+
+    assert len(glob.glob(os.path.join(idx_path, "ivf_bucket=*"))) == 8
+    indexed = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_ivf_indexed(idx_path, queries, k=5, n_probe=3).take_all()
+    }
+    assert indexed == mem
+
+
 def test_lang_id_on_stopword_text(ray_session):
     ray = ray_session
     from console_log_parser_ray.stages.textan import lang_id
