@@ -103,6 +103,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "seq_histogram",
         "dedup_exact",
         "dedup_minhash",
+        "embedding_near_dups",
+        "simhash",
+        "fingerprint",
         "token_stats",
         "knn_bruteforce",
         "sessionize",

@@ -29,22 +29,16 @@ def token_stats(ds, text_col="text", id_col="doc_id"):
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col)
-        n_tokens = pc.list_value_length(
-            pc.extract_regex_span(texts, _TOKEN_RE)
-        ) if hasattr(pc, "extract_regex_span") else pa.array(
-            [len(t.split()) for t in texts.to_pylist()], pa.int64()
-        )
-        n_pieces = pa.array(
-            [len(__import__("re").findall(_BPE_RE, t)) for t in texts.to_pylist()],
-            pa.int64(),
-        )
-        n_chars = pc.utf8_length(texts)
         return pa.table(
             {
                 id_col: batch.column(id_col),
-                "n_tokens": pc.cast(n_tokens, pa.int64()),
-                "n_pieces": n_pieces,
-                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(texts, _TOKEN_RE), pa.int64()
+                ),
+                "n_pieces": pc.cast(
+                    pc.count_substring_regex(texts, _BPE_RE), pa.int64()
+                ),
+                "n_chars": pc.cast(pc.utf8_length(texts), pa.int64()),
             }
         )
 
@@ -53,18 +47,41 @@ def token_stats(ds, text_col="text", id_col="doc_id"):
 
 def quality_scores(ds, text_col="text", id_col="doc_id"):
     """Adds mechanical quality signals: mean token length, alpha ratio,
-    space ratio, distinct-token ratio."""
+    space ratio, distinct-token ratio.
+
+    Vectorized: token counts, character-class counts and lengths come
+    from Arrow kernels (sum of token lengths == total chars minus
+    whitespace chars, exactly, so the final float division matches the
+    per-row formulation bit-for-bit); only the distinct-token ratio
+    walks rows (per-row set semantics have no Arrow kernel).
+    """
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        mean_tok, alpha_ratio, space_ratio, distinct_ratio = [], [], [], []
-        for t in texts:
-            toks = t.split()
-            n = len(t)
-            mean_tok.append(sum(len(x) for x in toks) / len(toks) if toks else 0.0)
-            alpha_ratio.append(sum(c.isalpha() for c in t) / n if n else 0.0)
-            space_ratio.append(t.count(" ") / n if n else 0.0)
-            distinct_ratio.append(len(set(toks)) / len(toks) if toks else 0.0)
+        texts = batch.column(text_col)
+        n_chars = pc.cast(pc.utf8_length(texts), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        n_tokens = pc.cast(
+            pc.count_substring_regex(texts, r"\S+"), pa.float64()
+        ).to_numpy(zero_copy_only=False)
+        n_ws = pc.cast(
+            pc.count_substring_regex(texts, r"\s"), pa.float64()
+        ).to_numpy(zero_copy_only=False)
+        n_alpha = pc.cast(
+            pc.count_substring_regex(texts, r"\p{L}"), pa.float64()
+        ).to_numpy(zero_copy_only=False)
+        n_space = pc.cast(
+            pc.count_substring(texts, " "), pa.float64()
+        ).to_numpy(zero_copy_only=False)
+        safe_chars = np.where(n_chars > 0, n_chars, 1.0)
+        safe_toks = np.where(n_tokens > 0, n_tokens, 1.0)
+        mean_tok = np.where(n_tokens > 0, (n_chars - n_ws) / safe_toks, 0.0)
+        alpha_ratio = np.where(n_chars > 0, n_alpha / safe_chars, 0.0)
+        space_ratio = np.where(n_chars > 0, n_space / safe_chars, 0.0)
+        distinct_ratio = [
+            len(set(toks)) / len(toks) if (toks := t.split()) else 0.0
+            for t in texts.to_pylist()
+        ]
         return pa.table(
             {
                 id_col: batch.column(id_col),
