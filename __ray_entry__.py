@@ -337,6 +337,20 @@ def _events(sf_dir: str):
     return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
 
 
+def _q_events_windowed(sf_dir: str):
+    from console_log_parser_ray.stages.events import tumbling_window_agg
+
+    return tumbling_window_agg(_events(sf_dir))
+
+
+def _q_sample_docs(sf_dir: str):
+    from console_log_parser_ray.stages.events import deterministic_sample
+
+    return deterministic_sample(_docs(sf_dir), rate_pct=10).select_columns(
+        ["doc_id"]
+    )
+
+
 def _q_sessionize(sf_dir: str):
     from console_log_parser_ray.stages.events import sessionize
 
@@ -572,6 +586,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_indexed": _q_knn_ivf_indexed,
         "sessionize": _q_sessionize,
         "events_agg": _q_events_agg,
+        "events_windowed": _q_events_windowed,
+        "sample_docs": _q_sample_docs,
         "top_users": _q_top_users,
         "orders_enrich": _q_orders_enrich,
         "asof_last_order": _q_asof_last_order,
@@ -728,6 +744,15 @@ def oracle_sql() -> dict[str, str]:
         "events_agg": (
             "SELECT event_type, count(*) AS n, min(value) AS vmin, "
             "max(value) AS vmax FROM events GROUP BY event_type"
+        ),
+        "events_windowed": (
+            "SELECT event_type, epoch_us(ts) // 3600000000 AS window, "
+            "count(*) AS n, max(value) AS value_max "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "sample_docs": (
+            "SELECT doc_id FROM documents "
+            "WHERE (doc_id * 2654435761) % 4294967296 < 429496729"
         ),
         "top_users": (
             "SELECT user_id, count(*) AS n FROM events GROUP BY user_id "

@@ -18,6 +18,55 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def tumbling_window_agg(
+    ds, window_us: int = 3_600_000_000, ts_col="ts", key_col="event_type"
+):
+    """Per-(key, tumbling time window) count and value sum.
+
+    The window id is a pure projection (ts // window), so this is one
+    small-key groupby -- no ordering requirement, no state, and the
+    partial aggregation happens inside the shuffle's map side.  The
+    100 TB shape for "events per hour per type" style rollups.
+    (count/max are combine-order-exact; a float sum would depend on
+    addition order and break bit-level oracle comparison.)
+    """
+    from ray.data.aggregate import Count, Max
+
+    def add_window(b: pa.Table) -> pa.Table:
+        w = pc.divide(b.column(ts_col).cast(pa.int64()), window_us)
+        return b.append_column("window", pc.cast(w, pa.int64()))
+
+    return (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby([key_col, "window"])
+        .aggregate(Count(), Max("value"))
+        .rename_columns({"count()": "n", "max(value)": "value_max"})
+    )
+
+
+_SAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant
+_SAMPLE_MOD = 1 << 32
+
+
+def deterministic_sample(ds, rate_pct: int = 10, id_col="doc_id"):
+    """Deterministic hash sample: keep rows whose multiplicative id
+    hash falls below the rate.  Reproducible across runs/engines (the
+    SQL oracle computes the same arithmetic), cluster-friendly (pure
+    per-row projection, no global state or RNG), and stable under
+    repartitioning -- the properties a training-data subsampling step
+    needs that ``random_sample`` lacks."""
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).cast(pa.int64())
+        h = pc.multiply(ids, pa.scalar(_SAMPLE_MULT, pa.int64()))
+        # h % 2^32 via bit_and with the mask (ids are non-negative)
+        bucket = pc.bit_wise_and(h, pa.scalar(_SAMPLE_MOD - 1, pa.int64()))
+        thresh = (_SAMPLE_MOD * rate_pct) // 100
+        return b.filter(pc.less(bucket, pa.scalar(thresh, pa.int64())))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def sessionize(ds, gap_us: int = 30 * 60 * 1_000_000, user_col="user_id", ts_col="ts"):
     """Assign gap-based session ids per user; emits per-session rows."""
 

@@ -87,9 +87,6 @@ def _docs_table():
     return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
 
 
-import pytest
-
-
 @pytest.mark.parametrize("pair_limit", [2_000_000, 0])
 def test_minhash_near_dups_recover_planted(ray_session, pair_limit):
     """pair_limit=0 forces the grouped-join verify (the at-scale path);
@@ -518,3 +515,55 @@ def test_lang_id_on_stopword_text(ray_session):
     )
     out = {r["doc_id"]: r["lang_pred"] for r in lang_id(ray.data.from_arrow(tbl)).take_all()}
     assert out == {1: "en", 2: "es", 3: "de"}
+
+
+def test_tumbling_window_agg(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.events import tumbling_window_agg
+
+    tbl = pa.table(
+        {
+            "event_type": ["a", "a", "a", "b"],
+            "ts": pa.array(
+                [0, 3_599_000_000, 3_600_000_000, 100], pa.timestamp("us")
+            ),
+            "value": [1.0, 5.0, 2.0, 9.0],
+        }
+    )
+    out = {
+        (r["event_type"], r["window"]): (r["n"], r["value_max"])
+        for r in tumbling_window_agg(ray.data.from_arrow(tbl)).take_all()
+    }
+    assert out == {("a", 0): (2, 5.0), ("a", 1): (1, 2.0), ("b", 0): (1, 9.0)}
+
+
+def test_deterministic_sample_stable_and_correct(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.events import (
+        _SAMPLE_MOD,
+        _SAMPLE_MULT,
+        deterministic_sample,
+    )
+
+    tbl = pa.table({"doc_id": pa.array(range(1000), pa.int64())})
+    got = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(
+            ray.data.from_arrow(tbl), rate_pct=10
+        ).take_all()
+    )
+    want = [
+        i
+        for i in range(1000)
+        if (i * _SAMPLE_MULT) % _SAMPLE_MOD < (_SAMPLE_MOD * 10) // 100
+    ]
+    assert got == want
+    # stable under repartitioning
+    got2 = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(
+            ray.data.from_arrow(tbl).repartition(7), rate_pct=10
+        ).take_all()
+    )
+    assert got2 == want
+    assert 50 <= len(want) <= 150  # ~10%
