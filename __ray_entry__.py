@@ -467,15 +467,22 @@ def _q_q1_pricing(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    """Decode-and-featurize over the cached deterministic media table;
+    the oracle SQL recomputes the integer pixel aggregates from the
+    payload blobs (hex walk) and checks the decoded dimensions against
+    the stored metadata columns."""
     import ray.data
 
     from console_log_parser_ray.stages.multimodal import (
         decode_features,
-        gen_media_table,
+        ensure_media_table,
     )
 
-    ds = ray.data.from_arrow(gen_media_table(200))
-    return decode_features(ds)
+    path = ensure_media_table(200)
+    ds = ray.data.read_parquet(path)
+    return decode_features(ds).select_columns(
+        ["media_id", "width", "height", "pixel_sum", "n_pixels", "pixel_mean"]
+    )
 
 
 
@@ -774,12 +781,44 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
             "count(*) AS count_order FROM lineitem GROUP BY 1, 2"
         ),
+        "media_features": _media_features_sql(),
         # rows-only (non-SQL-expressible) queries intentionally omitted:
         # dedup_minhash (result = exact Jaccard over LSH candidates; the
         # candidate set is defined by the banded minhash, not SQL),
-        # knn_ivf (approximate by design), media_features (stubbed
-        # codec, no input table)
+        # knn_ivf / knn_ivf_indexed (approximate by design)
     }
+
+
+def _media_features_sql() -> str:
+    """SQL mirror of the fake-image decode: walk the payload blob's hex
+    to recompute the exact integer pixel aggregates past the 16-byte
+    header; decoded dimensions are checked against the stored metadata
+    columns (equal by construction of the synthetic format)."""
+    from console_log_parser_ray.stages.multimodal import ensure_media_table
+
+    path = ensure_media_table(200)
+    return f"""
+WITH m AS (
+  SELECT media_id, width, height, hex(payload) AS hx
+  FROM read_parquet('{path}')
+),
+b AS (
+  SELECT media_id, width, height,
+    list_transform(regexp_extract_all(substr(hx, 33), '..'),
+      c -> CAST(CASE WHEN unicode(substr(c,1,1)) >= 65
+                THEN unicode(substr(c,1,1)) - 55
+                ELSE unicode(substr(c,1,1)) - 48 END AS BIGINT) * 16
+         + CAST(CASE WHEN unicode(substr(c,2,1)) >= 65
+                THEN unicode(substr(c,2,1)) - 55
+                ELSE unicode(substr(c,2,1)) - 48 END AS BIGINT)) AS bytes
+  FROM m
+)
+SELECT media_id, width, height,
+  CAST(list_sum(bytes) AS BIGINT) AS pixel_sum,
+  CAST(len(bytes) AS BIGINT) AS n_pixels,
+  list_sum(bytes) * 1.0 / len(bytes) AS pixel_mean
+FROM b
+"""
 
 
 def _lang_pred_sql() -> str:

@@ -43,16 +43,28 @@ def _text_hash_batch(batch: pa.Table, text_col: str) -> pa.Table:
     return batch.append_column("text_hash", pa.array(hashes, pa.uint64()))
 
 
-def exact_dedup(ds, text_col="text", id_col="doc_id"):
+def exact_dedup(ds, text_col="text", id_col="doc_id", n_shuffle_buckets=256):
     """Keep one row (minimum id) per identical text.
 
-    Groups on the 64-bit hash (small shuffle key) but decides on the
-    text itself inside each group: two distinct texts colliding into
-    one hash group each keep their own minimum-id row.
+    Shuffles on a coarse bucket of the 64-bit text hash (bounded group
+    count, small key) and decides on the text itself inside each
+    bucket: two distinct texts colliding into one hash each keep their
+    own minimum-id row (collision-safe).  Identical texts always share
+    a hash, hence a bucket, so the dedup is exact.
     """
     hashed = ds.map_batches(
         lambda b: _text_hash_batch(b, text_col), batch_format="pyarrow"
     )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        hb = pc.cast(
+            pc.bit_wise_and(
+                b.column("text_hash"),
+                pa.scalar(n_shuffle_buckets - 1, pa.uint64()),
+            ),
+            pa.int32(),
+        )
+        return b.append_column("hash_bucket", hb)
 
     def keep_first(tbl: pa.Table) -> pa.Table:
         texts = tbl.column(text_col).to_pylist()
@@ -66,9 +78,10 @@ def exact_dedup(ds, text_col="text", id_col="doc_id"):
         return tbl.take(rows)
 
     return (
-        hashed.groupby("text_hash")
+        hashed.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("hash_bucket")
         .map_groups(keep_first, batch_format="pyarrow")
-        .drop_columns(["text_hash"])
+        .drop_columns(["text_hash", "hash_bucket"])
     )
 
 

@@ -77,18 +77,26 @@ class DecodeAndFeaturize:
         self.decode = _decode_image_impl
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        means, stds, ws, hs = [], [], [], []
+        means, stds, sums, ns, ws, hs = [], [], [], [], [], []
         for payload in batch.column("payload").to_pylist():
             w, h, pix = self.decode(payload)
             ws.append(w)
             hs.append(h)
-            means.append(float(pix.mean()) if pix.size else 0.0)
+            # integer aggregates are exact under any combine order (the
+            # SQL oracle reproduces them bit-for-bit from the payload
+            # bytes; the mean is one exact-int division)
+            s = int(pix.sum(dtype=np.int64))
+            sums.append(s)
+            ns.append(int(pix.size))
+            means.append(s / pix.size if pix.size else 0.0)
             stds.append(float(pix.std()) if pix.size else 0.0)
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
                 "width": pa.array(ws, pa.int32()),
                 "height": pa.array(hs, pa.int32()),
+                "pixel_sum": pa.array(sums, pa.int64()),
+                "n_pixels": pa.array(ns, pa.int64()),
                 "pixel_mean": pa.array(means, pa.float64()),
                 "pixel_std": pa.array(stds, pa.float64()),
             }
@@ -103,3 +111,23 @@ def decode_features(ds, concurrency=(1, 4), batch_size=64):
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+MEDIA_CACHE = "/tmp/clpr_media"
+
+
+def ensure_media_table(n: int = 200, seed: int = 0) -> str:
+    """Write the deterministic media table to parquet once (so the
+    DuckDB oracle can read the same payload bytes the decode stage
+    parses); returns the file path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(MEDIA_CACHE, exist_ok=True)
+    path = os.path.join(MEDIA_CACHE, f"media_{n}_{seed}.parquet")
+    if not os.path.exists(path):
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(gen_media_table(n, seed=seed), tmp)
+        os.replace(tmp, path)
+    return path
