@@ -781,12 +781,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
             "count(*) AS count_order FROM lineitem GROUP BY 1, 2"
         ),
-        "media_features": _media_features_sql(),
         # rows-only (non-SQL-expressible) queries intentionally omitted:
         # dedup_minhash (result = exact Jaccard over LSH candidates; the
         # candidate set is defined by the banded minhash, not SQL),
         # knn_ivf / knn_ivf_indexed (approximate by design)
+        **_maybe_media_sql(),
     }
+
+
+def _maybe_media_sql() -> dict[str, str]:
+    """The media oracle needs its cached parquet written first; if /tmp
+    is unavailable the query degrades to rows-only instead of breaking
+    every oracle."""
+    try:
+        return {"media_features": _media_features_sql()}
+    except Exception:
+        return {}
 
 
 def _media_features_sql() -> str:
