@@ -127,6 +127,17 @@ def _q_conv_rollup(sf_dir: str):
     return flagship.conv_rollup(_parsed(sf_dir))
 
 
+def _q_conv_fingerprint(sf_dir: str):
+    """Conversation-level content fingerprints over the full transcript
+    table (the conversation-dedup key at scale)."""
+    from console_log_parser_ray.stages.dedup import conversation_fingerprints
+
+    ds = _transcripts_ds(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "text"]
+    )
+    return conversation_fingerprints(ds)
+
+
 def _q_seq_histogram(sf_dir: str):
     from console_log_parser_ray.pipelines import flagship
 
@@ -576,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "commands": _q_commands,
         "conv_rollup": _q_conv_rollup,
         "seq_histogram": _q_seq_histogram,
+        "conv_fingerprint": _q_conv_fingerprint,
         "asciinema_clean_text": _q_asciinema_clean_text,
         "twebber_hops": _q_twebber_hops,
         "dedup_exact": _q_dedup_exact,
@@ -681,6 +693,11 @@ def oracle_sql() -> dict[str, str]:
             ") AS UBIGINT) AS fingerprint FROM documents"
         ),
         "seq_histogram": _seq_histogram_sql(t),
+        "conv_fingerprint": (
+            "SELECT conv_id, "
+            "md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS conv_hash, "
+            f"count(*) AS n_turns FROM {t} GROUP BY conv_id"
+        ),
         "simhash": _simhash_sql(),
         "twebber_hops": (
             # run-boundary formulation of the two-cursor alignment: in

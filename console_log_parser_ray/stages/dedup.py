@@ -85,6 +85,71 @@ def exact_dedup(ds, text_col="text", id_col="doc_id", n_shuffle_buckets=256):
     )
 
 
+def conversation_fingerprints(
+    ds, conv_col="conv_id", order_col="turn_idx", text_col="text",
+    n_buckets=64,
+):
+    """Per-conversation content fingerprint over the (large) transcript
+    table: md5 of the newline-joined turn texts in turn order, plus the
+    turn count -- the key for conversation-level exact dedup at
+    10^12-turn scale.
+
+    One conv-bucket shuffle (conversations never split); each bucket
+    group emits one tiny row per conversation, so the output is
+    #conversations rows regardless of input size.
+    """
+    import zlib
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        convs = b.column(conv_col).to_pylist()
+        buckets = [zlib.crc32(c.encode()) % n_buckets for c in convs]
+        return b.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by([(conv_col, "ascending"), (order_col, "ascending")])
+        convs = tbl.column(conv_col).to_pylist()
+        texts = tbl.column(text_col).to_pylist()
+        out_c, out_h, out_n = [], [], []
+        i, n = 0, len(convs)
+        while i < n:
+            j = i
+            while j < n and convs[j] == convs[i]:
+                j += 1
+            out_c.append(convs[i])
+            out_h.append(hashlib.md5("\n".join(texts[i:j]).encode()).hexdigest())
+            out_n.append(j - i)
+            i = j
+        return pa.table(
+            {
+                conv_col: pa.array(out_c, pa.string()),
+                "conv_hash": pa.array(out_h, pa.string()),
+                "n_turns": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def conversation_exact_dedup(ds, **kwargs):
+    """Conversation-level exact dedup: keep the lexicographically first
+    conv_id per identical content fingerprint."""
+    fps = conversation_fingerprints(ds, **kwargs)
+
+    def keep_first(tbl: pa.Table) -> pa.Table:
+        i = pc.index(
+            tbl.column("conv_id"), pc.min(tbl.column("conv_id"))
+        ).as_py()
+        return tbl.slice(i, 1)
+
+    return fps.groupby("conv_hash").map_groups(
+        keep_first, batch_format="pyarrow"
+    )
+
+
 def _shingles(text: str, k: int = 3):
     toks = text.split()
     if len(toks) < k:

@@ -567,3 +567,35 @@ def test_deterministic_sample_stable_and_correct(ray_session):
     )
     assert got2 == want
     assert 50 <= len(want) <= 150  # ~10%
+
+
+def test_conversation_exact_dedup(ray_session):
+    """Duplicate conversations (identical turn texts in order) collapse
+    to the lexicographically first conv_id."""
+    ray = ray_session
+    from console_log_parser_ray.stages.dedup import conversation_exact_dedup
+
+    rows = {"conv_id": [], "turn_idx": [], "text": []}
+    for cid, texts in (
+        ("a", ["x", "y"]),
+        ("b", ["x", "y"]),       # duplicate of a
+        ("c", ["x", "y", "z"]),  # distinct (extra turn)
+        ("d", ["xy"]),           # distinct (same concat chars, diff turns)
+    ):
+        for i, t in enumerate(texts):
+            rows["conv_id"].append(cid)
+            rows["turn_idx"].append(i)
+            rows["text"].append(t)
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(rows["conv_id"], pa.string()),
+            "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+            "text": pa.array(rows["text"], pa.string()),
+        }
+    )
+    out = conversation_exact_dedup(
+        ray.data.from_arrow(tbl), n_buckets=4
+    ).take_all()
+    kept = sorted(r["conv_id"] for r in out)
+    # NOTE: "d" ("xy" in one turn) joins to "xy"; "a"/"b" join to "x\ny"
+    assert kept == ["a", "c", "d"]
