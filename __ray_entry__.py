@@ -129,13 +129,13 @@ def _q_conv_rollup(sf_dir: str):
 
 def _q_conv_fingerprint(sf_dir: str):
     """Conversation-level content fingerprints over the full transcript
-    table (the conversation-dedup key at scale)."""
-    from console_log_parser_ray.stages.dedup import conversation_fingerprints
-
-    ds = _transcripts_ds(sf_dir).select_columns(
-        ["conv_id", "turn_idx", "text"]
+    table (the conversation-dedup key at scale; shuffle-free on the
+    conv-partitioned cache)."""
+    from console_log_parser_ray.stages.dedup import (
+        conversation_fingerprints_path,
     )
-    return conversation_fingerprints(ds)
+
+    return conversation_fingerprints_path(_cache.ensure_transcripts(sf_dir))
 
 
 def _q_seq_histogram(sf_dir: str):

@@ -134,6 +134,63 @@ def conversation_fingerprints(
     )
 
 
+def conversation_fingerprints_path(input_path: str, **kwargs):
+    """Shuffle-free fingerprints for conversation-partitioned inputs
+    (marker file `_CONV_PARTITIONED`): one task per input file, no data
+    movement -- the same fused per-shard shape as the flagship plan."""
+    import glob as _g
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    if not os.path.exists(os.path.join(input_path, "_CONV_PARTITIONED")):
+        return conversation_fingerprints(
+            ray.data.read_parquet(
+                input_path, columns=["conv_id", "turn_idx", "text"]
+            ),
+            **kwargs,
+        )
+    files = sorted(_g.glob(os.path.join(input_path, "*.parquet")))
+
+    def per_file(batch: pa.Table) -> pa.Table:
+        outs = []
+        for item in batch.column("item").to_pylist():
+            tbl = pq.read_table(
+                item, columns=["conv_id", "turn_idx", "text"]
+            ).sort_by(
+                [("conv_id", "ascending"), ("turn_idx", "ascending")]
+            )
+            convs = tbl.column("conv_id").to_pylist()
+            texts = tbl.column("text").to_pylist()
+            out_c, out_h, out_n = [], [], []
+            i, n = 0, len(convs)
+            while i < n:
+                j = i
+                while j < n and convs[j] == convs[i]:
+                    j += 1
+                out_c.append(convs[i])
+                out_h.append(
+                    hashlib.md5("\n".join(texts[i:j]).encode()).hexdigest()
+                )
+                out_n.append(j - i)
+                i = j
+            outs.append(
+                pa.table(
+                    {
+                        "conv_id": pa.array(out_c, pa.string()),
+                        "conv_hash": pa.array(out_h, pa.string()),
+                        "n_turns": pa.array(out_n, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(
+        files, override_num_blocks=len(files)
+    ).map_batches(per_file, batch_format="pyarrow", batch_size=None)
+
+
 def conversation_exact_dedup(ds, **kwargs):
     """Conversation-level exact dedup: keep the lexicographically first
     conv_id per identical content fingerprint."""
