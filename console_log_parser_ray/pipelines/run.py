@@ -490,20 +490,25 @@ def _parse_giant_conversation(
     ranges from storage, and write its full sink set under its
     dedicated heavy bucket.
 
-    * Speculative chunk scans run as Ray tasks that READ THEIR OWN
-      turn-range from storage (parquet predicate pushdown on
-      conv_id + turn_idx) -- the conversation's text never
-      materializes on the driver.  Each task returns its records, the
-      first ``head`` state signatures for the stitch, and the raw text
-      of its in-vim rows (the vim_sessions sink payload).
-    * The driver walks the true state across boundaries, re-scanning at
-      most ``head`` lines per chunk (terminal sessions re-synchronize
-      at prompts); a chunk that fails to converge within ``head`` is
-      re-read from storage and re-scanned -- the sequential worst case,
-      never an error.
-    * Output is assembled and written PER CHUNK (one parquet part per
-      chunk in every sink), with command-backfill maps carried across
-      chunks, so driver memory stays O(chunk) + O(commands).
+    Three phases, none of which materializes the conversation anywhere:
+
+    1. **Speculative scans** run as Ray tasks that READ THEIR OWN
+       turn-range from storage (parquet predicate pushdown on
+       conv_id + turn_idx).  Each returns small stitch metadata (the
+       first ``head`` state signatures / texts, the end scanner, the
+       positions of its command discoveries) plus an object-store
+       payload of its records that the driver never fetches.
+    2. **Stitch walk** (driver, sequential but tiny): the true state
+       crosses each boundary by re-scanning at most ``head`` lines
+       (terminal sessions re-synchronize at prompts; a chunk that
+       fails to converge is re-read and re-scanned -- the sequential
+       worst case, never an error).  The walk yields each chunk's
+       counter deltas and accumulates the conversation-wide
+       command-backfill map from the discovery positions.
+    3. **Finalize tasks** (parallel): each chunk's records are shifted,
+       assembled against the complete backfill map, enriched, and
+       written as that chunk's part file in every sink -- the driver
+       only combines the returned counter partials into the manifest.
 
     Routed sink rows land under ``bucket=<heavy id>`` so the heavy
     bucket's manifest owns them and resume stays exactly-once (a hash
@@ -511,7 +516,6 @@ def _parse_giant_conversation(
     """
     import ray
 
-    from ..stages.scan import records_to_table
     from ..vt.chunked import (
         _shift_record,
         _shift_scanner,
@@ -536,7 +540,7 @@ def _parse_giant_conversation(
 
     bounds = list(range(0, n, chunk_size))
 
-    @ray.remote(num_cpus=1)
+    @ray.remote(num_cpus=1, num_returns=2)
     def _spec(lo_idx, hi_idx, start_pos):
         tbl = _read_conv_range(
             input_path, conv_id, ["turn_idx", "text"], lo_idx, hi_idx
@@ -544,120 +548,112 @@ def _parse_giant_conversation(
         texts = tbl.column("text").to_pylist()
         recs, sigs, counters, sc = speculative_scan(texts, start_pos)
         vim_texts = {
-            start_pos + i: texts[i]
-            for i, r in enumerate(recs)
-            if r.in_vim
+            start_pos + i: texts[i] for i, r in enumerate(recs) if r.in_vim
         }
-        return recs, sigs[:head], counters[:head], sc, texts[:head], vim_texts
+        # command/cwd discovery positions (speculative numbering; the
+        # driver shifts and filters them after convergence)
+        disc = [
+            (start_pos + i, r.cmd_count, r.command, r.cwd)
+            for i, r in enumerate(recs)
+            if r.command is not None or r.cwd
+        ]
+        stitch_meta = (sigs[:head], counters[:head], sc, texts[:head], disc)
+        payload = (recs, vim_texts)
+        return stitch_meta, payload
 
-    refs = []
-    for k, b in enumerate(bounds[1:], start=1):
+    meta_refs, payload_refs = [], []
+    for b in bounds[1:]:
         e = min(b + chunk_size, n) - 1
-        refs.append(_spec.remote(idxs[b], idxs[e], b))
+        m_ref, p_ref = _spec.remote(idxs[b], idxs[e], b)
+        meta_refs.append(m_ref)
+        payload_refs.append(p_ref)
 
-    # sink accumulation state
-    carry = ({}, {})
-    agg_role, agg_sink = {}, {}
-    sinks_total = {}
-    roll_state = {}  # conv-level rollup accumulators
-    # holdback buffer: a command row's text flushes on the NEXT line's
-    # parse, so the trailing rows of a chunk whose command is not yet
-    # known (at most one prompt's unflushed rows) are deferred into the
-    # next chunk's part instead of being written with an empty command
-    pending_recs = []
-    pending_base = [0]
-    vim_store = {}
-    part_seq = [0]
+    @ray.remote(num_cpus=1)
+    def _finalize(
+        head_recs, head_vim, payload_ref, converged, deltas,
+        cmd_map, cwd_map, base, lo_idx, hi_idx, part_idx,
+    ):
+        from ..stages.scan import records_to_table
 
-    def emit(new_recs, new_vim, base, final=False):
-        if not pending_recs:
-            pending_base[0] = base
-        pending_recs.extend(new_recs)
-        vim_store.update(new_vim)
-        for rec in new_recs:
-            if rec.command is not None:
-                carry[0].setdefault(rec.cmd_count, rec.command)
-            if rec.cwd:
-                carry[1].setdefault(rec.cmd_count, rec.cwd)
-        cut = len(pending_recs)
-        if not final:
-            while cut > 0:
-                cc = pending_recs[cut - 1].cmd_count
-                if cc == 0 or cc in carry[0]:
-                    break
-                cut -= 1
-        if cut == 0:
-            return
-        flush_chunk(pending_recs[:cut], pending_base[0], part_seq[0])
-        part_seq[0] += 1
-        del pending_recs[:cut]
-        pending_base[0] += cut
-
-    def flush_chunk(recs, base, part_idx):
-        texts = [vim_store.pop(base + i, None) for i in range(len(recs))]
-        ts_vals = meta.column("ts").slice(base, len(recs))
-        out = records_to_table(
-            conv_id, recs, ts_vals=ts_vals, texts=None, carry=carry
+        recs = list(head_recs)
+        vim_texts = dict(head_vim)
+        if payload_ref is not None:
+            s_recs, s_vim = payload_ref
+            d_cmd, d_num, d_vim = deltas
+            for rec in s_recs[converged + 1 :]:
+                recs.append(_shift_record(rec, d_cmd, d_num, d_vim))
+            for pos, t in s_vim.items():
+                if pos > base + converged:
+                    vim_texts[pos] = t
+        ts_tbl = _read_conv_range(
+            input_path, conv_id, ["turn_idx", "ts"], lo_idx, hi_idx
         )
-        # vim_text comes from the carried raw texts (records_to_table's
-        # texts param indexes by position; build it directly instead)
+        out = records_to_table(
+            conv_id, recs, ts_vals=ts_tbl.column("ts"), texts=None,
+            carry=(dict(cmd_map), dict(cwd_map)),
+        )
         out = out.set_column(
             out.schema.get_field_index("vim_text"),
             "vim_text",
             pa.array(
                 [
-                    texts[i] if recs[i].in_vim else None
+                    vim_texts.get(base + i) if recs[i].in_vim else None
                     for i in range(len(recs))
                 ],
                 pa.string(),
             ),
         )
         enriched = EnrichTurns(cfg_ref)(out)
-        part_sinks = _write_bucket_outputs(
+        sinks = _write_bucket_outputs(
             enriched, bucket_id, out_dir, part=f"part-{part_idx:05d}"
         )
-        for k2, v in part_sinks.items():
-            cur = sinks_total.setdefault(k2, {"rows": 0, "files": []})
-            cur["rows"] += v["rows"]
-            cur["files"].extend(v["files"])
-        for r, c in _counts(enriched.column("role")).items():
-            agg_role[r] = agg_role.get(r, 0) + c
-        for s, c in _counts(enriched.column("sink")).items():
-            agg_sink[s] = agg_sink.get(s, 0) + c
-        roll_state["n_turns"] = roll_state.get("n_turns", 0) + len(recs)
-        roll_state["n_cmds"] = max(
-            roll_state.get("n_cmds", 0),
-            max((r.cmd_count for r in recs), default=0),
-        )
-        roll_state.setdefault("vim_ids", set()).update(
-            r.vim_session_id for r in recs if r.vim_session_id >= 0
-        )
+        roll = {
+            "n_turns": len(recs),
+            "n_cmds": max((r.cmd_count for r in recs), default=0),
+            "vim_ids": {
+                r.vim_session_id for r in recs if r.vim_session_id >= 0
+            },
+            "role_counts": _counts(enriched.column("role")),
+            "sink_counts": _counts(enriched.column("sink")),
+        }
+        return sinks, roll
+
+    # ---- phase 2: stitch walk (sequential, bounded per boundary) ----
+    cmd_map, cwd_map = {}, {}
+
+    def discover(rec):
+        if rec.command is not None:
+            cmd_map.setdefault(rec.cmd_count, rec.command)
+        if rec.cwd:
+            cwd_map.setdefault(rec.cmd_count, rec.cwd)
+
+    finalize_args = []  # per chunk: (head_recs, head_vim, use_payload,
+    #                     converged, deltas, base, lo, hi)
 
     # chunk 0: true scan (bounded read)
     e0 = min(chunk_size, n) - 1
-    tbl0 = _read_conv_range(
+    texts0 = _read_conv_range(
         input_path, conv_id, ["turn_idx", "text"], idxs[0], idxs[e0]
-    )
-    texts0 = tbl0.column("text").to_pylist()
+    ).column("text").to_pylist()
     sc = SessionScanner()
     recs0 = [sc.scan_turn(i, t) for i, t in enumerate(texts0)]
+    for r in recs0:
+        discover(r)
     vim0 = {i: texts0[i] for i, r in enumerate(recs0) if r.in_vim}
-    emit(recs0, vim0, 0, final=len(bounds) == 1)
+    finalize_args.append((recs0, vim0, False, -1, None, 0, idxs[0], idxs[e0]))
 
     for k, b in enumerate(bounds[1:], start=1):
-        s_recs, s_sigs, s_counters, s_end, head_texts, s_vim = ray.get(
-            refs[k - 1]
-        )
-        chunk_recs = []
-        vim_texts = dict(s_vim)
+        s_sigs, s_counters, s_end, head_texts, s_disc = ray.get(meta_refs[k - 1])
+        e = min(b + chunk_size, n) - 1
+        head_recs = []
+        head_vim = {}
         converged = None
         for j, text in enumerate(head_texts):
             rec = sc.scan_turn(b + j, text)
-            chunk_recs.append(rec)
+            head_recs.append(rec)
+            discover(rec)
             if rec.in_vim:
-                vim_texts[b + j] = text
-            elif (b + j) in vim_texts and not rec.in_vim:
-                del vim_texts[b + j]
+                head_vim[b + j] = text
             if state_sig(sc) == s_sigs[j]:
                 converged = j
                 break
@@ -665,24 +661,70 @@ def _parse_giant_conversation(
             d_cmd = sc.cmd_count - s_counters[converged][0]
             d_num = sc.cmd_number - s_counters[converged][1]
             d_vim = sc.vim_session_seq - s_counters[converged][2]
-            for rec in s_recs[converged + 1 :]:
-                chunk_recs.append(_shift_record(rec, d_cmd, d_num, d_vim))
+            for pos, cc, cmd, cwd in s_disc:
+                if pos <= b + converged:
+                    continue  # pre-convergence speculation: head owns it
+                if cmd is not None:
+                    cmd_map.setdefault(cc + d_cmd, cmd)
+                if cwd:
+                    cwd_map.setdefault(cc + d_cmd, cwd)
             sc = _shift_scanner(s_end, d_cmd, d_num, d_vim)
+            finalize_args.append(
+                (head_recs, head_vim, True, converged,
+                 (d_cmd, d_num, d_vim), b, idxs[b], idxs[e])
+            )
         else:
             # no convergence within the head: fetch the full chunk and
             # finish sequentially (worst case, still correct)
-            e = min(b + chunk_size, n) - 1
             full = _read_conv_range(
                 input_path, conv_id, ["turn_idx", "text"], idxs[b], idxs[e]
             ).column("text").to_pylist()
             for j in range(len(head_texts), len(full)):
                 rec = sc.scan_turn(b + j, full[j])
-                chunk_recs.append(rec)
+                head_recs.append(rec)
+                discover(rec)
                 if rec.in_vim:
-                    vim_texts[b + j] = full[j]
-                elif (b + j) in vim_texts:
-                    del vim_texts[b + j]
-        emit(chunk_recs, vim_texts, b, final=(k == len(bounds) - 1))
+                    head_vim[b + j] = full[j]
+            finalize_args.append(
+                (head_recs, head_vim, False, -1, None, b, idxs[b], idxs[e])
+            )
+
+    # ---- phase 3: parallel finalize (complete backfill map known) ----
+    refs = []
+    for part_idx, (h_recs, h_vim, use_payload, conv_j, deltas, base, lo, hi) in enumerate(
+        finalize_args
+    ):
+        refs.append(
+            _finalize.remote(
+                h_recs,
+                h_vim,
+                payload_refs[part_idx - 1] if use_payload else None,
+                conv_j,
+                deltas,
+                cmd_map,
+                cwd_map,
+                base,
+                lo,
+                hi,
+                part_idx,
+            )
+        )
+
+    sinks_total = {}
+    agg_role, agg_sink = {}, {}
+    roll_state = {"n_turns": 0, "n_cmds": 0, "vim_ids": set()}
+    for sinks, roll in ray.get(refs):
+        for k2, v in sinks.items():
+            cur = sinks_total.setdefault(k2, {"rows": 0, "files": []})
+            cur["rows"] += v["rows"]
+            cur["files"].extend(v["files"])
+        roll_state["n_turns"] += roll["n_turns"]
+        roll_state["n_cmds"] = max(roll_state["n_cmds"], roll["n_cmds"])
+        roll_state["vim_ids"] |= roll["vim_ids"]
+        for r, c in roll["role_counts"].items():
+            agg_role[r] = agg_role.get(r, 0) + c
+        for s, c in roll["sink_counts"].items():
+            agg_sink[s] = agg_sink.get(s, 0) + c
 
     # conv-level rollup correction: per-chunk rollup rows were written
     # incrementally; replace them with the single correct row
@@ -696,10 +738,10 @@ def _parse_giant_conversation(
     roll_tbl = pa.table(
         {
             "conv_id": pa.array([conv_id], pa.string()),
-            "n_turns": pa.array([roll_state.get("n_turns", 0)], pa.int64()),
-            "n_cmds": pa.array([roll_state.get("n_cmds", 0)], pa.int64()),
+            "n_turns": pa.array([roll_state["n_turns"]], pa.int64()),
+            "n_cmds": pa.array([roll_state["n_cmds"]], pa.int64()),
             "n_vim_sessions": pa.array(
-                [len(roll_state.get("vim_ids", ()))], pa.int64()
+                [len(roll_state["vim_ids"])], pa.int64()
             ),
         }
     )

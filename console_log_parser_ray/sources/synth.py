@@ -195,6 +195,7 @@ def gen_conversation(conv_index: int, seed: int, mean_turns: int = 60):
     target = max(8, int(rng.normal(mean_turns, mean_turns / 4)))
     while len(turns) < target:
         cmd_count += 1
+        cmd_start = len(turns)
         cwd = _DIRS[int(rng.integers(0, len(_DIRS)))]
         want_vim = rng.random() < 0.12
         base_cmd, tool = (
@@ -244,8 +245,11 @@ def gen_conversation(conv_index: int, seed: int, mean_turns: int = 60):
         block[0].role = "user"  # the command flush lands on this turn
         turns.extend(block)
         # every turn of this command row carries the command (backfill
-        # semantics of the engine's per-row metadata)
-        for t in turns:
+        # semantics of the engine's per-row metadata); only this
+        # command's turns can match, so start at its first turn --
+        # scanning the whole list made giant-conversation generation
+        # quadratic
+        for t in turns[cmd_start:]:
             if t.cmd == cmd_count:
                 t.command = final_cmd
 
