@@ -11,10 +11,14 @@ Two physical plans share one logical pipeline:
   one lineage manifest per shard.  No shuffle, no re-read, and raw text
   never crosses the object store.
 
-* **Bucketed** (arbitrary input): one hash shuffle on conv_id buckets
-  co-locates conversations; buckets are processed in waves, each wave
-  one streaming execution writing bucket-partitioned sinks, with a
-  manifest per bucket.
+* **Bucketed** (arbitrary input): ONE streaming execution -- read once,
+  conv_id-bucket groupby (the only shuffle), then a per-bucket task
+  that fuses scan -> enrich -> all sink writes and commits its own
+  lineage manifest in-task (deterministic part names make retries
+  idempotent), so every bucket is an independent checkpoint.
+  Conversations above ``skew_threshold`` turns get dedicated heavy
+  partitions parsed chunk-parallel, streaming chunk ranges from
+  storage.
 
 Either way, a restarted run skips committed partitions, wipes
 uncommitted partial output first, and re-runs only the remainder --
