@@ -220,7 +220,11 @@ def _try_fast(sc: SessionScanner, idx, text, plain, vim_safe, sgr_only, stripped
         sc._last_rec = rec
         return rec
 
-    if sc.in_prompt or sc.in_vim:
+    # in_prompt at line start means the command line is pending flush,
+    # which happens exactly when tlp == PROMPT: the PROMPT branch below
+    # runs _emit_normal (prompt_end -> command write, in_prompt
+    # cleared) before touching the body, so those lines stay eligible.
+    if (sc.in_prompt and tlp != S.PROMPT) or sc.in_vim:
         return None
     if not (plain or sgr_only):
         # lazy noise-only check: visible text + output-free sequences

@@ -123,3 +123,18 @@ def test_stats_match_oracle(corpus_lines, oracle_results):
         assert sc.stats["dcs_function"] == oracle.dcs_functions
         assert sc.osc_seen == oracle.os_commands
         assert sc.dcs_seen == oracle.dcs_strings
+
+
+def test_fast_paths_are_exact_on_synth_all_columns():
+    """Fast/slow parity across EVERY output column on synthetic
+    conversations (covers the prompt-flush fast path, vim interiors,
+    noise lines, SGR lines)."""
+    from console_log_parser_ray.sources.synth import gen_table
+    from console_log_parser_ray.stages.scan import scan_bucket_table
+
+    tbl = gen_table(30, seed=99, mean_turns=60).select(
+        ["conv_id", "turn_idx", "text"]
+    )
+    fast = scan_bucket_table(tbl, use_fast_paths=True)
+    slow = scan_bucket_table(tbl, use_fast_paths=False)
+    assert fast.equals(slow)
