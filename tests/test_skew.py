@@ -205,3 +205,63 @@ def _assert_same_rows(plain_out, skew_out):
         return sorted(got)
 
     assert rows(plain_out) == rows(skew_out)
+
+
+def test_giant_path_hostile_atoms_multichunk(ray_session, tmp_path):
+    """Chunk-parallel storage path vs sequential scan on a hostile
+    conversation built from the fuzz atoms (prompts, vim blocks, edit
+    sequences, unterminated escapes), with tiny chunks and a tiny
+    stitch head so convergence failures and the re-read fallback are
+    exercised."""
+    import random
+
+    import pyarrow as pa
+    import ray
+
+    from console_log_parser_ray.pipelines.run import _parse_giant_conversation
+    from console_log_parser_ray.stages.enrich import EnrichConfig, EnrichTurns
+    from console_log_parser_ray.stages.scan import scan_bucket_table
+    from tests.test_scanner_fuzz import _ATOMS
+
+    rng = random.Random(20260817)
+    texts = [
+        "".join(_ATOMS[rng.randrange(len(_ATOMS))] for _ in range(rng.randint(1, 3)))
+        for _ in range(400)
+    ]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["hostile"] * len(texts), pa.string()),
+            "turn_idx": pa.array(range(len(texts)), pa.int32()),
+            "text": pa.array(texts, pa.string()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + i for i in range(len(texts))],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    d = tmp_path / "in"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "part-0.parquet"))
+
+    out = str(tmp_path / "out")
+    cfg_ref = ray.put(EnrichConfig())
+    _parse_giant_conversation(
+        str(d), "hostile", 2, out, cfg_ref, 2, chunk_size=37, head=5
+    )
+
+    cols = [
+        "turn_idx", "clean_text", "cmd_count", "cmd_number", "command",
+        "cwd", "role", "vim_session_id", "in_vim", "is_prompt",
+        "osc_title", "warnings", "vim_text",
+    ]
+    got_files = sorted(
+        glob.glob(os.path.join(out, "parsed", "**", "*.parquet"), recursive=True)
+    )
+    got = pa.concat_tables(
+        [pq.read_table(f, columns=cols) for f in got_files]
+    ).sort_by("turn_idx")
+    want = EnrichTurns(EnrichConfig())(scan_bucket_table(tbl)).select(
+        cols
+    ).sort_by("turn_idx")
+    assert got.num_rows == len(texts)
+    assert got.equals(want)
