@@ -127,6 +127,17 @@ def _q_conv_rollup(sf_dir: str):
     return flagship.conv_rollup(_parsed(sf_dir))
 
 
+def _q_turn_events(sf_dir: str):
+    """Per-turn dispatched-event rows (the structured twin of the
+    reference's handler hooks -- SURVEY §2.8's extension surface)."""
+    from console_log_parser_ray.stages.stats import extract_events
+
+    ds = _transcripts_ds(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "text"]
+    )
+    return extract_events(ds)
+
+
 def _q_conv_fingerprint(sf_dir: str):
     """Conversation-level content fingerprints over the full transcript
     table (the conversation-dedup key at scale; shuffle-free on the
@@ -587,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "commands": _q_commands,
         "conv_rollup": _q_conv_rollup,
         "seq_histogram": _q_seq_histogram,
+        "turn_events": _q_turn_events,
         "conv_fingerprint": _q_conv_fingerprint,
         "asciinema_clean_text": _q_asciinema_clean_text,
         "twebber_hops": _q_twebber_hops,
@@ -693,6 +705,7 @@ def oracle_sql() -> dict[str, str]:
             ") AS UBIGINT) AS fingerprint FROM documents"
         ),
         "seq_histogram": _seq_histogram_sql(t),
+        "turn_events": _turn_events_sql(t),
         "conv_fingerprint": (
             "SELECT conv_id, "
             "md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS conv_hash, "
@@ -910,6 +923,74 @@ docs_sh AS (
 )
 SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS UBIGINT) AS simhash
 FROM documents d LEFT JOIN docs_sh s USING (doc_id)
+"""
+
+
+def _turn_events_sql(t: str) -> str:
+    """SQL mirror of the per-turn event extraction (occurrence counts
+    per (conv_id, turn_idx, kind, seq)); same well-formed-sequence
+    argument as the histogram oracle.  BEL executes = BELs minus the
+    OSC terminators that consume them."""
+    return f"""
+WITH lines AS (SELECT conv_id, turn_idx, text FROM {t}),
+csi AS (
+  SELECT conv_id, turn_idx, 'csi' AS kind, 'Esc[' || substr(m, 3) AS seq,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT conv_id, turn_idx, unnest(regexp_extract_all(text,
+        '\\x1b\\[[0-9:;<=>?]*[ -/]*[@-~]')) AS m FROM lines)
+  GROUP BY 1, 2, 4
+),
+esc AS (
+  SELECT conv_id, turn_idx, 'escape' AS kind, 'Esc' || substr(m, 2) AS seq,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT conv_id, turn_idx,
+        unnest(regexp_extract_all(text, '\\x1b([=>\\\\])')) AS m FROM lines)
+  GROUP BY 1, 2, 4
+),
+dcsf AS (
+  SELECT conv_id, turn_idx, 'dcs_function' AS kind,
+         'EscP' || substr(m, 3) AS seq, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT conv_id, turn_idx, unnest(regexp_extract_all(text,
+        '\\x1bP[0-9:;<=>?]*[ -/]*[@-~]')) AS m FROM lines)
+  GROUP BY 1, 2, 4
+),
+oscs AS (
+  SELECT conv_id, turn_idx, 'osc_string' AS kind, payload AS seq,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT conv_id, turn_idx, unnest(regexp_extract_all(text,
+        '\\x1b\\]([^\\x07\\x1b]*)\\x07', 1)) AS payload FROM lines)
+  GROUP BY 1, 2, 4
+),
+dcss AS (
+  SELECT conv_id, turn_idx, 'dcs_string' AS kind, payload AS seq,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT conv_id, turn_idx, unnest(regexp_extract_all(text,
+        '\\x1bP[0-9:;<=>?]*[ -/]*[@-~]([^\\x1b]*)\\x1b\\\\', 1)) AS payload
+        FROM lines)
+  GROUP BY 1, 2, 4
+),
+cf AS (
+  SELECT conv_id, turn_idx, 'control_function' AS kind, seq, n FROM (
+    SELECT conv_id, turn_idx, '0x0a' AS seq, CAST(1 AS BIGINT) AS n FROM lines
+    UNION ALL SELECT conv_id, turn_idx, '0x0d',
+      CAST(length(text)-length(replace(text, chr(13), '')) AS BIGINT)
+      FROM lines
+    UNION ALL SELECT conv_id, turn_idx, '0x08',
+      CAST(length(text)-length(replace(text, chr(8), '')) AS BIGINT)
+      FROM lines
+    UNION ALL SELECT conv_id, turn_idx, '0x09',
+      CAST(length(text)-length(replace(text, chr(9), '')) AS BIGINT)
+      FROM lines
+    UNION ALL SELECT conv_id, turn_idx, '0x07',
+      CAST(length(text)-length(replace(text, chr(7), ''))
+        - len(regexp_extract_all(text,
+              '\\x1b\\][^\\x07\\x1b]*\\x07')) AS BIGINT)
+      FROM lines
+  ) WHERE n > 0
+)
+SELECT * FROM csi UNION ALL SELECT * FROM esc UNION ALL SELECT * FROM dcsf
+UNION ALL SELECT * FROM oscs UNION ALL SELECT * FROM dcss
+UNION ALL SELECT * FROM cf
 """
 
 

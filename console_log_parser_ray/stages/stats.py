@@ -106,9 +106,12 @@ class ConvStats:
                 self.dcs_seen.add(ev[1])
 
 
-def count_line_fast(line: str, st: ConvStats) -> bool:
-    """Count one self-contained escape-bearing line; False => caller
-    must take the exact tokenizer path."""
+def line_events_fast(line: str):
+    """Dispatched sequence events of one self-contained escape-bearing
+    line as (kind, value) pairs, plus the loose-C0 executes from the
+    stripped residue; None => the caller must take the exact tokenizer
+    path.  The trailing LF execute is NOT included (the caller knows
+    whether the line carries an EOL)."""
     matches = _SEQ_ANY.findall(line)
     consumed = 0
     pending = []
@@ -127,11 +130,11 @@ def count_line_fast(line: str, st: ConvStats) -> bool:
         elif c == "P":
             g = _DCS_S.match(s)
             if g is None:
-                return False
+                return None
             cls = _classify_str(g.group(1), g.group(2), g.group(3))
             if cls is None:
                 # DCS_IGNORE entry-hook quirk: exact path handles it
-                return False
+                return None
             private, params, interm, final = cls
             pending.append(("dcsf", "EscP" + private + params + interm + final))
             payload = g.group(4)
@@ -147,6 +150,18 @@ def count_line_fast(line: str, st: ConvStats) -> bool:
             g = _ESC_S.match(s)
             pending.append(("esc", "Esc" + g.group(1) + g.group(2)))
     if consumed != line.count("\x1b"):
+        return None
+    residue = _SEQ_ANY.sub("", line)
+    for ch in _C0_RE.findall(residue):
+        pending.append(("exec", ord(ch)))
+    return pending
+
+
+def count_line_fast(line: str, st: ConvStats) -> bool:
+    """Count one self-contained escape-bearing line; False => caller
+    must take the exact tokenizer path."""
+    pending = line_events_fast(line)
+    if pending is None:
         return False
     for kind, val in pending:
         if kind == "csi":
@@ -157,12 +172,10 @@ def count_line_fast(line: str, st: ConvStats) -> bool:
             st.osc_seen.add(val)
         elif kind == "dcsf":
             st.dcsf[val] = st.dcsf.get(val, 0) + 1
+        elif kind == "exec":
+            st.cf[val] = st.cf.get(val, 0) + 1
         else:
             st.dcs_seen.add(val)
-    residue = _SEQ_ANY.sub("", line)
-    for ch in _C0_RE.findall(residue):
-        code = ord(ch)
-        st.cf[code] = st.cf.get(code, 0) + 1
     st.cf[0x0A] = st.cf.get(0x0A, 0) + 1
     return True
 
@@ -264,4 +277,142 @@ def stats_table(tbl: pa.Table) -> pa.Table:
             "seq": pa.array([s for _, s in merged], pa.string()),
             "n": pa.array(list(merged.values()), pa.int64()),
         }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-turn event IR (the user-extension surface of SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+_EVKIND = {
+    "csi": "csi",
+    "esc": "escape",
+    "dcsf": "dcs_function",
+    "osc": "osc_string",
+    "dcs_end": "dcs_string",
+}
+
+
+def events_table(tbl: pa.Table) -> pa.Table:
+    """Per-turn dispatched-event rows: (conv_id, turn_idx, kind, seq, n).
+
+    The structured twin of the reference's handler hooks (terminal
+    output / control-sequence / OSC / DCS handlers, vtparser.py:485-533):
+    downstream stages subscribe to parser events by filtering these
+    columns instead of subclassing a parser.  Print runs are excluded
+    (they are the clean_text product); each control event appears with
+    its per-turn occurrence count.  Uses the same three-tier engine as
+    the histogram, so it is exact for arbitrary input.
+    """
+    tbl = tbl.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    conv_ids = tbl.column("conv_id").to_pylist()
+    turn_idxs = tbl.column("turn_idx").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    has_eols = (
+        tbl.column("has_eol").to_pylist()
+        if "has_eol" in tbl.schema.names
+        else None
+    )
+    has_esc, has_risk, n_tab, n_cr, n_bs, n_bel = stats_hints(
+        tbl.column("text")
+    )
+    out_c, out_t, out_k, out_s, out_n = [], [], [], [], []
+
+    def emit(cid, tix, per_line: dict):
+        for (kind, seq), cnt in per_line.items():
+            out_c.append(cid)
+            out_t.append(tix)
+            out_k.append(kind)
+            out_s.append(seq)
+            out_n.append(cnt)
+
+    i, n = 0, len(conv_ids)
+    while i < n:
+        j = i
+        cid = conv_ids[i]
+        while j < n and conv_ids[j] == cid:
+            j += 1
+        tok = None
+        dirty = False
+        for r in range(i, j):
+            eol = True if has_eols is None else bool(has_eols[r])
+            per_line = {}
+            if not dirty and eol and not has_risk[r]:
+                if not has_esc[r]:
+                    per_line[("control_function", "0x0a")] = 1
+                    for cnt, code in (
+                        (n_tab[r], "0x09"),
+                        (n_cr[r], "0x0d"),
+                        (n_bs[r], "0x08"),
+                        (n_bel[r], "0x07"),
+                    ):
+                        if cnt:
+                            per_line[("control_function", code)] = int(cnt)
+                    emit(cid, turn_idxs[r], per_line)
+                    continue
+                pending = line_events_fast(texts[r])
+                if pending is not None:
+                    for kind, val in pending:
+                        if kind == "exec":
+                            key = ("control_function", "0x{:02x}".format(val))
+                        else:
+                            key = (_EVKIND[kind], val)
+                        per_line[key] = per_line.get(key, 0) + 1
+                    key = ("control_function", "0x0a")
+                    per_line[key] = per_line.get(key, 0) + 1
+                    emit(cid, turn_idxs[r], per_line)
+                    continue
+            if tok is None:
+                tok = LineTokenizer()
+            raw = texts[r].encode("utf-8", "surrogatepass")
+            if eol:
+                raw += b"\n"
+            for ev in tok.feed_line(raw):
+                kind = ev[0]
+                if kind == "exec":
+                    key = ("control_function", "0x{:02x}".format(ev[1]))
+                elif kind == "csi":
+                    key = ("csi", "Esc[" + ev[1] + ev[2] + ev[3] + ev[4])
+                elif kind == "esc":
+                    key = ("escape", "Esc" + ev[1] + ev[2])
+                elif kind == "osc":
+                    key = ("osc_string", ev[1])
+                elif kind == "dcs_hook":
+                    key = ("dcs_function", "EscP" + ev[1])
+                elif kind == "dcs_end":
+                    key = ("dcs_string", ev[1])
+                else:
+                    continue  # print
+                per_line[key] = per_line.get(key, 0) + 1
+            dirty = tok.dirty
+            emit(cid, turn_idxs[r], per_line)
+        i = j
+    return pa.table(
+        {
+            "conv_id": pa.array(out_c, pa.string()),
+            "turn_idx": pa.array(out_t, pa.int32()),
+            "kind": pa.array(out_k, pa.string()),
+            "seq": pa.array(out_s, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def extract_events(ds, n_buckets: int = 64):
+    """Dataset-level event extraction: conv-bucket groupby, one
+    events_table per bucket."""
+    import zlib
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        convs = b.column("conv_id").to_pylist()
+        buckets = [zlib.crc32(c.encode()) % n_buckets for c in convs]
+        return b.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        return events_table(tbl.drop_columns(["bucket"]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )

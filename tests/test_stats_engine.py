@@ -82,3 +82,105 @@ def test_stats_engine_matches_legacy_on_hostile_fuzz():
         }
     )
     assert _diff(stats_table(tbl), _legacy_bucket_stats_fn(False)(tbl)) == {}
+
+
+def _events_exact(tbl):
+    """Pure-tokenizer per-turn events (no tiers): the gating oracle."""
+    from console_log_parser_ray.vt.tokenizer import LineTokenizer
+
+    tbl = tbl.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    convs = tbl.column("conv_id").to_pylist()
+    tixs = tbl.column("turn_idx").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    eols = (
+        tbl.column("has_eol").to_pylist()
+        if "has_eol" in tbl.schema.names
+        else [True] * len(convs)
+    )
+    out = {}
+    tok = None
+    last = None
+    for cid, tix, text, eol in zip(convs, tixs, texts, eols):
+        if cid != last:
+            tok = LineTokenizer()
+            last = cid
+        raw = text.encode("utf-8", "surrogatepass") + (b"\n" if eol else b"")
+        per = {}
+        for ev in tok.feed_line(raw):
+            k = ev[0]
+            if k == "exec":
+                key = ("control_function", "0x{:02x}".format(ev[1]))
+            elif k == "csi":
+                key = ("csi", "Esc[" + ev[1] + ev[2] + ev[3] + ev[4])
+            elif k == "esc":
+                key = ("escape", "Esc" + ev[1] + ev[2])
+            elif k == "osc":
+                key = ("osc_string", ev[1])
+            elif k == "dcs_hook":
+                key = ("dcs_function", "EscP" + ev[1])
+            elif k == "dcs_end":
+                key = ("dcs_string", ev[1])
+            else:
+                continue
+            per[key] = per.get(key, 0) + 1
+        for key, n in per.items():
+            out[(cid, tix) + key] = n
+    return out
+
+
+def _events_as_dict(tbl):
+    return {
+        (c, t, k, s): n
+        for c, t, k, s, n in zip(
+            tbl.column("conv_id").to_pylist(),
+            tbl.column("turn_idx").to_pylist(),
+            tbl.column("kind").to_pylist(),
+            tbl.column("seq").to_pylist(),
+            tbl.column("n").to_pylist(),
+        )
+    }
+
+
+def test_events_table_matches_pure_tokenizer():
+    from console_log_parser_ray.stages.stats import events_table
+
+    paths = sorted(glob.glob(os.path.join(RESOURCES, "*.log")))
+    tbl = logs_to_table(paths)
+    assert _events_as_dict(events_table(tbl)) == _events_exact(tbl)
+
+    synth = gen_table(30, seed=23, mean_turns=50).select(
+        ["conv_id", "turn_idx", "text"]
+    )
+    assert _events_as_dict(events_table(synth)) == _events_exact(synth)
+
+
+def test_events_table_hostile_fuzz():
+    import pyarrow as pa
+
+    from console_log_parser_ray.stages.stats import events_table
+
+    rng = random.Random(77)
+    atoms = _ATOMS + [
+        "\x1b[3\x081m", "\x1bP0;1|payload", "continues\x1b\\done",
+        "\x1b]0;no terminator", "tail\x07after", "\x1b", "[1mafter",
+        "\x1bP:bad\x1b\\", "\x1b[1:2m", "bell\x07\x07twice",
+    ]
+    rows = {"conv_id": [], "turn_idx": [], "text": []}
+    for trial in range(120):
+        for i in range(rng.randint(1, 8)):
+            rows["conv_id"].append(f"t{trial:03d}")
+            rows["turn_idx"].append(i)
+            rows["text"].append(
+                "".join(
+                    atoms[rng.randrange(len(atoms))]
+                    for _ in range(rng.randint(1, 4))
+                )
+            )
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(rows["conv_id"], pa.string()),
+            "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+            "text": pa.array(rows["text"], pa.string()),
+        }
+    )
+    assert _events_as_dict(events_table(tbl)) == _events_exact(tbl)
