@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -114,7 +113,6 @@ def _shard_task(out_dir: str, cfg_ref):
                 path, columns=["conv_id", "turn_idx", "text", "ts"]
             )
             parsed = enricher[0](scan_bucket_table(tbl))
-            tag = uuid.uuid4().hex[:8]
 
             def write(sub, sink, part_value=None):
                 if sub.num_rows == 0:
@@ -124,8 +122,11 @@ def _shard_task(out_dir: str, cfg_ref):
                     d = os.path.join(d, part_value)
                 d = os.path.join(d, f"shard={shard}")
                 os.makedirs(d, exist_ok=True)
+                # deterministic name: each (sink, shard) dir is written
+                # by exactly one task, so a retried task overwrites its
+                # own partial file instead of duplicating rows
                 pq.write_table(
-                    sub, os.path.join(d, f"part-{tag}.parquet"),
+                    sub, os.path.join(d, "part-00000.parquet"),
                     compression="zstd",
                 )
                 emit(shard, "sink_rows",
