@@ -63,9 +63,7 @@ def _flagship_seconds(sf_dir: str, plan: str | None = None) -> tuple[float, int]
     out_dir = "/tmp/clpr_bench_out"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    run_flagship(
-        path, out_dir, n_buckets=64, wave_buckets=64, resume=False, plan=plan
-    )
+    run_flagship(path, out_dir, resume=False, plan=plan)
     return time.perf_counter() - t0, turns
 
 

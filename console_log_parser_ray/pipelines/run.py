@@ -40,7 +40,7 @@ from ..state import manifests as M
 def run_flagship(
     input_path: str,
     out_dir: str,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     wave_buckets: int = 16,
     cfg: EnrichConfig | None = None,
     resume: bool = True,
@@ -124,10 +124,11 @@ def _shard_task(out_dir: str, cfg_ref):
                 os.makedirs(d, exist_ok=True)
                 # deterministic name: each (sink, shard) dir is written
                 # by exactly one task, so a retried task overwrites its
-                # own partial file instead of duplicating rows
-                pq.write_table(
-                    sub, os.path.join(d, "part-00000.parquet"),
-                    compression="zstd",
+                # own partial file instead of duplicating rows; tmp +
+                # rename so a mid-write death never leaves a truncated
+                # file behind a committed manifest
+                _atomic_write_table(
+                    sub, os.path.join(d, "part-00000.parquet")
                 )
                 emit(shard, "sink_rows",
                      sink + ("/" + part_value if part_value else ""),
@@ -199,6 +200,19 @@ def _shard_task(out_dir: str, cfg_ref):
         )
 
     return fn
+
+
+def _atomic_write_table(tbl: pa.Table, path: str):
+    """zstd parquet write via tmp + rename: readers (and resume) never
+    observe a truncated file, even if the writer dies mid-write."""
+    import pyarrow.parquet as pq
+
+    # dot-prefixed tmp name: pyarrow/Ray dataset discovery ignores
+    # hidden files, so a crash-orphaned tmp can never pollute a read
+    d, base = os.path.split(path)
+    tmp = os.path.join(d, "." + base + ".tmp")
+    pq.write_table(tbl, tmp, compression="zstd")
+    os.replace(tmp, path)
 
 
 def _value_counts(col):
@@ -310,15 +324,31 @@ def _add_bucket_and_filter(n_buckets: int, wanted: frozenset, heavy_ids=None):
     import zlib
 
     heavy_ids = heavy_ids or {}
+    all_wanted = len(wanted) >= n_buckets and frozenset(
+        range(n_buckets)
+    ) <= wanted and not heavy_ids
 
     def fn(batch: pa.Table) -> pa.Table:
-        convs = batch.column("conv_id").to_pylist()
-        buckets = [
-            heavy_ids.get(c, zlib.crc32(c.encode()) % n_buckets)
-            for c in convs
-        ]
-        mask = pa.array([b in wanted for b in buckets], pa.bool_())
-        batch = batch.append_column("bucket", pa.array(buckets, pa.int32()))
+        # hash only the distinct conv_ids in the batch (a batch holds
+        # whole or few conversations, so distinct << rows), then fan the
+        # bucket ids back out through the dictionary indices -- no
+        # per-row Python work
+        dic = pc.dictionary_encode(batch.column("conv_id").combine_chunks())
+        uniq = dic.dictionary.to_pylist()
+        bucket_u = pa.array(
+            [
+                heavy_ids.get(c, zlib.crc32(c.encode()) % n_buckets)
+                for c in uniq
+            ],
+            pa.int32(),
+        )
+        bucket_arr = bucket_u.take(dic.indices)
+        batch = batch.append_column("bucket", bucket_arr)
+        if all_wanted:
+            return batch
+        mask = pc.is_in(
+            bucket_arr, value_set=pa.array(sorted(wanted), pa.int32())
+        )
         return batch.filter(mask)
 
     return fn
@@ -368,9 +398,10 @@ def _write_bucket_outputs(
             return
         d = os.path.join(out_dir, rel, f"bucket={bucket}")
         os.makedirs(d, exist_ok=True)
-        pq.write_table(
-            sub, os.path.join(d, part + ".parquet"), compression="zstd"
-        )
+        # tmp + rename: a task re-executed after its manifest committed
+        # (lineage reconstruction) that dies mid-write must never leave
+        # a truncated file behind a committed manifest
+        _atomic_write_table(sub, os.path.join(d, part + ".parquet"))
         key = rel[len("sinks/"):] if rel.startswith("sinks/") else rel
         cur = sinks.setdefault(key, {"rows": 0, "files": []})
         cur["rows"] += sub.num_rows
@@ -751,7 +782,9 @@ def _parse_giant_conversation(
         }
     )
     os.makedirs(roll_dir, exist_ok=True)
-    pq.write_table(roll_tbl, os.path.join(roll_dir, "part-00000.parquet"))
+    _atomic_write_table(
+        roll_tbl, os.path.join(roll_dir, "part-00000.parquet")
+    )
     sinks_total["conv_rollup"] = {
         "rows": 1, "files": ["part-00000.parquet"]
     }
@@ -771,11 +804,11 @@ def _parse_giant_conversation(
 
 
 def find_heavy_conversations(input_path, threshold: int) -> dict:
-    """Pre-pass: per-conversation turn counts (narrow read of conv_id
-    only, per-batch partial counts, tiny driver combine); returns the
-    conversations above ``threshold``."""
-    import collections
-
+    """Pre-pass: per-conversation turn counts, entirely in the data
+    plane (narrow read of conv_id only, per-batch partial counts, small
+    conv_id groupby, threshold filter BEFORE collection) -- the driver
+    only ever holds the few heavy conversations, never the full
+    conv -> count map."""
     import ray.data
 
     ds = ray.data.read_parquet(input_path, columns=["conv_id"])
@@ -789,16 +822,23 @@ def find_heavy_conversations(input_path, threshold: int) -> dict:
             }
         )
 
-    total = collections.Counter()
-    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
-        total[row["conv_id"]] += row["n"]
-    return {c: n for c, n in total.items() if n > threshold}
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .sum("n")
+    )
+
+    def heavy_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("sum(n)"), threshold))
+
+    rows = totals.map_batches(heavy_only, batch_format="pyarrow").take_all()
+    return {r["conv_id"]: r["sum(n)"] for r in rows}
 
 
 def _run_bucketed(
     input_path,
     out_dir,
-    n_buckets=32,
+    n_buckets=None,
     wave_buckets=None,
     cfg=None,
     resume=True,
@@ -824,6 +864,25 @@ def _run_bucketed(
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
+    # Pick the bucket count for parallelism, then PIN it in the run
+    # manifest: bucket assignment is hash(conv_id) % n_buckets, so every
+    # resumed attempt must reuse the first attempt's count or completed
+    # buckets would cover a different conversation set.  The default
+    # targets ~16 buckets per CPU -- map_groups' sort range-partitioner
+    # needs many more distinct keys than cluster slots to spread groups
+    # evenly across blocks (at sf0.1/32 CPUs: 64 buckets measured 108s,
+    # 256 -> 40s, 512 -> 28s, 1024 -> 33s; with few distinct keys the
+    # sampled sort boundaries collapse and whole key-runs land in one
+    # block whose groups then execute serially).
+    prior = M.read_run_manifest(out_dir) if resume else None
+    if prior and prior.get("n_buckets"):
+        n_buckets = prior["n_buckets"]
+    elif n_buckets is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_buckets = max(512, 16 * n_cpus)
+    M.write_run_manifest(
+        out_dir, {"plan": "bucketed", "n_buckets": n_buckets}
+    )
     heavy = (
         find_heavy_conversations(input_path, skew_threshold)
         if skew_threshold
@@ -840,12 +899,28 @@ def _run_bucketed(
     cfg_ref = ray.put(cfg or EnrichConfig())
 
     heavy_bucket_ids = frozenset(heavy_ids.values())
-    for conv, bucket_id in heavy_ids.items():
-        if bucket_id not in todo:
-            continue
-        _parse_giant_conversation(
-            input_path, conv, bucket_id, out_dir, cfg_ref, n_buckets
-        )
+    heavy_todo = [
+        (conv, bucket_id)
+        for conv, bucket_id in heavy_ids.items()
+        if bucket_id in todo
+    ]
+    if heavy_todo:
+        # overlap the giants: each _parse_giant_conversation alternates
+        # parallel Ray phases with a sequential driver-side stitch walk,
+        # so running several giants from driver threads lets one giant's
+        # stitch overlap another's scan/finalize tasks
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(heavy_todo))) as ex:
+            futs = [
+                ex.submit(
+                    _parse_giant_conversation,
+                    input_path, conv, bucket_id, out_dir, cfg_ref, n_buckets,
+                )
+                for conv, bucket_id in heavy_todo
+            ]
+            for f in futs:
+                f.result()
 
     wanted = frozenset(todo) - heavy_bucket_ids
     if wanted:

@@ -73,6 +73,28 @@ def write_manifest(out_dir: str, bucket: int, payload: dict):
     os.replace(tmp, manifest_path(out_dir, bucket))
 
 
+def run_manifest_path(out_dir: str) -> str:
+    return os.path.join(manifest_dir(out_dir), "run.json")
+
+
+def read_run_manifest(out_dir: str) -> dict | None:
+    path = run_manifest_path(out_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def write_run_manifest(out_dir: str, payload: dict):
+    """Run-level parameters (e.g. the bucket count) that every resumed
+    attempt must reuse for partition assignment to stay stable."""
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    tmp = run_manifest_path(out_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, sort_keys=True)
+    os.replace(tmp, run_manifest_path(out_dir))
+
+
 def partition_manifest_path(out_dir: str, kind: str, pid: int) -> str:
     return os.path.join(manifest_dir(out_dir), f"{kind}-{pid:05d}.json")
 
