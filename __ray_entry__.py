@@ -788,8 +788,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "sample_docs": (
+            # (doc_id & (2^31-1)) keeps the product under 2^62 so the
+            # BIGINT arithmetic can never overflow -- the engine masks
+            # identically (stages/events.py deterministic_sample)
             "SELECT doc_id FROM documents "
-            "WHERE (doc_id * 2654435761) % 4294967296 < 429496729"
+            "WHERE ((doc_id & 2147483647) * 2654435761) % 4294967296 "
+            "< 429496729"
         ),
         "top_users": (
             "SELECT user_id, count(*) AS n FROM events GROUP BY user_id "

@@ -89,7 +89,11 @@ class SgrSpans:
         self.dark_bg = dark_bg
         self.bold_as_bright = bold_as_bright
         self.fw = BOLD_AS_BRIGHT[bold_as_bright]["fw"]
-        self.bf9 = self.colors[DARK_BG[dark_bg]["bF9"]]
+        # bold-on-default-fg color: the bright bF9 slot only under the
+        # BoldAsBright policy, else the plain F9 default-fg slot
+        # (reference terminal2html.py:218)
+        key = "bF9" if bold_as_bright else "F9"
+        self.bf9 = self.colors[DARK_BG[dark_bg][key]]
 
     def _base_fg(self):
         """Innermost active base-color (0-7) fg, or None."""
@@ -150,8 +154,11 @@ class SgrSpans:
                 continue
             if 30 <= v <= 37:
                 base = v - 30
-                if self.bold_as_bright and self._bold_active():
-                    # .bold > .fN: bright variant + policy weight
+                if self._bold_active():
+                    # .bold > .fN: the reference CSS applies the bright
+                    # variant UNCONDITIONALLY when bold combines with a
+                    # base color -- BoldAsBright only selects the font
+                    # weight (normal vs bold), never the color
                     # (reference terminal2html.py:119-126)
                     css = "color:{};font-weight:{}".format(
                         self.colors[base + 8], self.fw
@@ -171,17 +178,18 @@ class SgrSpans:
                 )
             elif v == 1:
                 base = self._base_fg()
-                if self.bold_as_bright and base is not None:
-                    # .fN > .bold: bright variant + policy weight
+                if base is not None:
+                    # .fN > .bold: bright variant unconditionally,
+                    # weight by the BoldAsBright policy (reference
+                    # terminal2html.py:119-126)
                     css = "color:{};font-weight:{}".format(
                         self.colors[base + 8], self.fw
                     )
-                elif self.bold_as_bright:
-                    # default fg + bold: the DarkBg policy's bF9 color;
+                else:
+                    # default fg + bold: the policy-selected bf9 color
+                    # (bF9 under BoldAsBright, plain F9 otherwise);
                     # weight stays bold (reference terminal2html.py:139-143)
                     css = f"color:{self.bf9};font-weight:bold"
-                else:
-                    css = "font-weight:bold"
                 out.append(self._open("bold", css))
             elif v == 4:
                 out.append(self._open("underline", "text-decoration:underline"))

@@ -30,6 +30,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .textan import ascii_tokens
+
 _MERSENNE = (1 << 61) - 1
 _N_PERM = 128
 _N_BANDS = 32  # x 4 rows per band
@@ -193,7 +195,14 @@ def conversation_fingerprints_path(input_path: str, **kwargs):
 
 def conversation_exact_dedup(ds, **kwargs):
     """Conversation-level exact dedup: keep the lexicographically first
-    conv_id per identical content fingerprint."""
+    conv_id per identical content fingerprint.
+
+    The dedup key is (conv_hash, n_turns), not the hash alone: the
+    fingerprint is md5 of the NEWLINE-joined turn texts, so on generic
+    input where a turn text may itself embed a newline, two different
+    turn segmentations of the same character stream would alias to one
+    hash; the turn count disambiguates them.
+    """
     fps = conversation_fingerprints(ds, **kwargs)
 
     def keep_first(tbl: pa.Table) -> pa.Table:
@@ -202,7 +211,7 @@ def conversation_exact_dedup(ds, **kwargs):
         ).as_py()
         return tbl.slice(i, 1)
 
-    return fps.groupby("conv_hash").map_groups(
+    return fps.groupby(["conv_hash", "n_turns"]).map_groups(
         keep_first, batch_format="pyarrow"
     )
 
@@ -575,7 +584,7 @@ def _token_hashes(texts, memo):
     memoized across the batch (token vocabularies repeat heavily)."""
     out = []
     for t in texts:
-        toks = set(t.split())
+        toks = set(ascii_tokens(t))
         arr = np.empty(len(toks), dtype=np.uint64)
         for i, tok in enumerate(toks):
             h = memo.get(tok)
@@ -640,7 +649,7 @@ class SimHashStage:
 def _simhash64(text: str) -> int:
     """Scalar reference implementation (kept for tests)."""
     v = np.zeros(64, dtype=np.int64)
-    for tok in set(text.split()):
+    for tok in set(ascii_tokens(text)):
         h = _simhash_token_hash(tok)
         for bit in range(64):
             v[bit] += 1 if (h >> bit) & 1 else -1
@@ -710,7 +719,9 @@ def token_jaccard_adjacent(ds, id_col="doc_id", text_col="text"):
                     "jaccard": pa.array([], pa.float64()),
                 }
             )
-        a, b = frozenset(t_self.split()), frozenset(t_next.split())
+        a, b = frozenset(ascii_tokens(t_self)), frozenset(
+            ascii_tokens(t_next)
+        )
         inter = len(a & b)
         union = len(a) + len(b) - inter
         key = tbl.column("key")[0].as_py()

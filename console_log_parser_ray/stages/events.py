@@ -58,7 +58,12 @@ def deterministic_sample(ds, rate_pct: int = 10, id_col="doc_id"):
 
     def keep(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).cast(pa.int64())
-        h = pc.multiply(ids, pa.scalar(_SAMPLE_MULT, pa.int64()))
+        # mask ids to 31 bits BEFORE multiplying: the product then stays
+        # below 2^62, in range for int64 here AND for the oracle's
+        # BIGINT (which raises on overflow rather than wrapping) -- the
+        # engine and the SQL stay bit-identical for every id value
+        ids31 = pc.bit_wise_and(ids, pa.scalar((1 << 31) - 1, pa.int64()))
+        h = pc.multiply(ids31, pa.scalar(_SAMPLE_MULT, pa.int64()))
         # h % 2^32 via bit_and with the mask (ids are non-negative)
         bucket = pc.bit_wise_and(h, pa.scalar(_SAMPLE_MOD - 1, pa.int64()))
         thresh = (_SAMPLE_MOD * rate_pct) // 100

@@ -7,11 +7,24 @@ heuristic), and rolling-hash document fingerprinting.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 _TOKEN_RE = r"\S+"
+# RE2's ASCII \s class, exactly ([\t\n\f\r ] -- no \v, no Unicode
+# whitespace): the ONE tokenization every SQL-oracled text operator
+# shares, so engine and DuckDB oracle agree on any corpus, not just
+# ASCII-whitespace ones.
+_RE2_WS = re.compile(r"[\t\n\f\r ]+")
+
+
+def ascii_tokens(text: str) -> list:
+    """Tokens under the RE2 ``\\S+`` rule (what DuckDB's
+    ``regexp_extract_all(text, '\\S+')`` returns)."""
+    return [t for t in _RE2_WS.split(text) if t]
 # A BPE-ish subword proxy: word pieces, numbers, punctuation runs
 _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -49,15 +62,20 @@ def quality_scores(ds, text_col="text", id_col="doc_id"):
     """Adds mechanical quality signals: mean token length, alpha ratio,
     space ratio, distinct-token ratio.
 
-    Vectorized: token counts, character-class counts and lengths come
-    from Arrow kernels (sum of token lengths == total chars minus
-    whitespace chars, exactly, so the final float division matches the
-    per-row formulation bit-for-bit); only the distinct-token ratio
-    walks rows (per-row set semantics have no Arrow kernel).
+    Every column derives from ONE tokenization -- RE2's
+    ASCII-whitespace ``\\S+`` / ``\\s`` classes, the same rule the SQL
+    oracle's ``regexp_extract_all`` applies -- so the columns agree
+    with each other and with the oracle on any corpus, including text
+    with Unicode whitespace (NBSP, U+3000) where Python's ``str.split``
+    would tokenize differently.  Fully vectorized: counts and lengths
+    are Arrow kernels (sum of token lengths == total chars minus
+    RE2-whitespace chars, exactly), and the distinct-token ratio is one
+    regex split + flatten + Acero ``count_distinct`` group-by.
     """
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col)
+        texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        n = len(texts)
         n_chars = pc.cast(pc.utf8_length(texts), pa.float64()).to_numpy(
             zero_copy_only=False
         )
@@ -78,10 +96,32 @@ def quality_scores(ds, text_col="text", id_col="doc_id"):
         mean_tok = np.where(n_tokens > 0, (n_chars - n_ws) / safe_toks, 0.0)
         alpha_ratio = np.where(n_chars > 0, n_alpha / safe_chars, 0.0)
         space_ratio = np.where(n_chars > 0, n_space / safe_chars, 0.0)
-        distinct_ratio = [
-            len(set(toks)) / len(toks) if (toks := t.split()) else 0.0
-            for t in texts.to_pylist()
-        ]
+        # distinct tokens per row from the SAME RE2 tokenization
+        lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+        flat = lists.flatten()
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offsets = offsets - offsets[0]
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        nuniq = np.zeros(n, dtype=np.float64)
+        if keep.any():
+            pairs = pa.table(
+                {
+                    "row": pa.array(row_idx[keep], pa.int64()),
+                    "tok": flat.filter(pa.array(keep)),
+                }
+            )
+            agg = pairs.group_by("row").aggregate(
+                [("tok", "count_distinct")]
+            )
+            nuniq[agg.column("row").to_numpy(zero_copy_only=False)] = (
+                agg.column("tok_count_distinct").to_numpy(
+                    zero_copy_only=False
+                )
+            )
+        distinct_ratio = np.where(n_tokens > 0, nuniq / safe_toks, 0.0)
         return pa.table(
             {
                 id_col: batch.column(id_col),
@@ -99,26 +139,114 @@ class LangId:
     """Actor-pool language identifier (stopword-hit heuristic).
 
     Tables are built once per actor in __init__ (the pattern for any
-    model-loading stage); scoring is a per-token dict lookup.
+    model-loading stage).  Scoring is fully vectorized: one regex split
+    over the batch, the token lists flattened to a (token, row) pair
+    table, per-language membership via ``pc.is_in`` against the
+    stopword dictionary arrays, and segmented hit counts + argmax in
+    numpy -- no per-row or per-token Python in the hot path.
+
+    Tokenization is ASCII-whitespace (``\\s+`` under RE2), the same
+    rule the SQL oracle's ``regexp_extract_all(text,'\\S+')`` applies;
+    ``detect`` keeps the original per-row formulation as the tests'
+    reference (it uses Python's Unicode-aware ``str.split``, which
+    agrees with the vectorized path on ASCII-whitespace corpora).
     """
 
+    #: per-row hit scoring looks at the first N tokens only
+    TOKEN_CAP = 200
+    #: the CJK fallback scans the first N characters only
+    CJK_HEAD = 400
+
     def __init__(self):
+        self.langs = list(_STOPWORDS)
         self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self.dicts = [
+            pa.array(sorted(_STOPWORDS[lang]), pa.string())
+            for lang in self.langs
+        ]
 
     def detect(self, text: str) -> str:
-        toks = text.split()[:200]
+        """Scalar reference implementation (kept for tests)."""
+        toks = text.split()[: self.TOKEN_CAP]
         best, best_hits = "unknown", 0
-        for lang, table in self.tables.items():
+        for lang in self.langs:
+            table = self.tables[lang]
             hits = sum(1 for t in toks if t in table)
             if hits > best_hits:
                 best, best_hits = lang, hits
-        if best == "unknown" and any("一" <= c <= "鿿" for c in text[:400]):
+        if best == "unknown" and any(
+            "一" <= c <= "鿿" for c in text[: self.CJK_HEAD]
+        ):
             return "zh"
         return best
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        langs = [self.detect(t) for t in batch.column("text").to_pylist()]
-        return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+        texts = pc.fill_null(
+            batch.column("text").combine_chunks(), ""
+        )
+        n = len(texts)
+        if n == 0:
+            return batch.append_column(
+                "lang_pred", pa.array([], pa.string())
+            )
+        lists = pc.ascii_split_whitespace(texts)
+        flat = lists.flatten()
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offsets = offsets - offsets[0]
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        # stopword membership is decided once per DISTINCT token (text
+        # vocabularies repeat heavily), then fanned back out through the
+        # dictionary indices
+        d = pc.dictionary_encode(flat)
+        vidx = d.indices.to_numpy(zero_copy_only=False)
+        vocab = d.dictionary
+        # The split emits empty strings at whitespace boundaries; an
+        # empty string can never be a stopword, so they only matter for
+        # the token-cap ordinal -- and the (expensive) per-token
+        # ordinal is only needed for rows that could exceed the cap at
+        # all.  For everything else membership alone decides.
+        if np.diff(offsets).max(initial=0) <= self.TOKEN_CAP:
+            in_cap = None
+        else:
+            keep = pc.not_equal(vocab, "").to_numpy(
+                zero_copy_only=False
+            )[vidx]
+            csum = np.cumsum(keep.astype(np.int64))
+            c0 = np.concatenate(([0], csum))
+            kept_before_row = c0[offsets[:-1]]
+            ordinal = csum - 1 - kept_before_row[row_idx]
+            in_cap = keep & (ordinal < self.TOKEN_CAP)
+        hits = np.zeros((n, len(self.langs)), dtype=np.int64)
+        if len(flat):
+            for j, dic in enumerate(self.dicts):
+                vocab_member = pc.is_in(vocab, value_set=dic).to_numpy(
+                    zero_copy_only=False
+                )
+                sel = vocab_member[vidx]
+                if in_cap is not None:
+                    sel = sel & in_cap
+                if sel.any():
+                    hits[:, j] = np.bincount(row_idx[sel], minlength=n)
+        mx = hits.max(axis=1)
+        # np.argmax returns the FIRST maximum: identical tie-break to
+        # the scalar loop's strict greater-than in dict order
+        pred = np.array(self.langs, dtype=object)[np.argmax(hits, axis=1)]
+        zero = mx == 0
+        if zero.any():
+            # CJK fallback only scans the zero-hit rows
+            zi = np.flatnonzero(zero)
+            head = pc.utf8_slice_codeunits(
+                texts.take(pa.array(zi, pa.int64())), 0, self.CJK_HEAD
+            )
+            cjk = pc.greater(
+                pc.count_substring_regex(head, "[一-鿿]"), 0
+            ).to_numpy(zero_copy_only=False)
+            pred[zi] = np.where(cjk, "zh", "unknown")
+        return batch.append_column(
+            "lang_pred", pa.array(pred, pa.string())
+        )
 
 
 def lang_id(ds, concurrency=(1, 4)):
@@ -134,7 +262,7 @@ _FP_MOD = (1 << 61) - 1
 def _fingerprint_scalar(t: str, base=_FP_BASE, mod=_FP_MOD) -> int:
     """Scalar reference implementation (kept for tests)."""
     h = 0
-    for ch in " ".join(t.split()):
+    for ch in " ".join(ascii_tokens(t)):
         h = (h * base + ord(ch)) % mod
     return h
 
@@ -152,7 +280,7 @@ def _fingerprint_vec(texts: list) -> np.ndarray:
     """
     p = np.uint64(_FP_MOD)
     base = np.uint64(_FP_BASE)
-    norm = [" ".join(t.split()) for t in texts]
+    norm = [" ".join(ascii_tokens(t)) for t in texts]
     lens = np.array([len(s) for s in norm], dtype=np.int64)
     n = len(norm)
     if n == 0 or lens.max(initial=0) == 0:

@@ -56,11 +56,16 @@ def test_bold_as_bright_policy():
     # light background flips the bold-default color to PC08
     s = SgrSpans("MyDracula", dark_bg=False)
     assert "color:#6272a4" in s.convert("1")
-    # policy off: plain bold weight, base color untouched
+    # policy off: the reference CSS still applies the bright variant
+    # when bold combines with a base color (.fN > .bold always maps to
+    # PC(N+8)); the policy only flips the font weight to bold
     s = SgrSpans("MyDracula", bold_as_bright=False)
     html = s.convert("31") + s.convert("1")
-    assert "color:#ff6e6e" not in html
-    assert "font-weight:bold" in html
+    assert "color:#ff6e6e;font-weight:bold" in html
+    # policy off + default fg: color is the plain F9 default-fg slot
+    # (no visible color change), weight bold
+    s = SgrSpans("MyDracula", bold_as_bright=False)
+    assert s.convert("1") == '<span style="color:#f8f8f2;font-weight:bold">'
 
 
 def test_sgr_256_and_rgb():
