@@ -189,23 +189,30 @@ def _q_dedup_exact(sf_dir: str):
 
 
 def _q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup over the documents table augmented with
+    DETERMINISTICALLY perturbed copies (doc_id + 1e6; the middle token
+    is dropped when a document has >= 60 tokens, else the copy is
+    exact), so every planted pair has shingle-Jaccard >= 0.91 and the
+    0.9-threshold output equals the exact all-pairs >= 0.9 ground
+    truth, which the SQL oracle computes directly (shingle sets and
+    Jaccard are list arithmetic in DuckDB)."""
     import pyarrow as pa
 
     from console_log_parser_ray.stages.dedup import minhash_near_dups
+    from console_log_parser_ray.stages.textan import ascii_tokens
 
     docs = _docs(sf_dir).select_columns(["doc_id", "text"])
 
     def perturb(b: pa.Table) -> pa.Table:
-        import numpy as np
-
         ids = b.column("doc_id").to_pylist()
         texts = b.column("text").to_pylist()
         out_t = []
-        for did, t in zip(ids, texts):
-            toks = t.split()
-            rng = np.random.default_rng(did)
-            keep = rng.random(len(toks)) > 0.05
-            out_t.append(" ".join(x for x, k in zip(toks, keep) if k))
+        for t in texts:
+            toks = ascii_tokens(t)
+            if len(toks) >= 60:
+                p = len(toks) // 2
+                toks = toks[:p] + toks[p + 1 :]
+            out_t.append(" ".join(toks))
         return pa.table(
             {
                 "doc_id": pa.array([i + 1_000_000 for i in ids], pa.int64()),
@@ -214,7 +221,7 @@ def _q_dedup_minhash(sf_dir: str):
         )
 
     aug = docs.union(docs.map_batches(perturb, batch_format="pyarrow"))
-    return minhash_near_dups(aug, threshold=0.5).select_columns(
+    return minhash_near_dups(aug, threshold=0.9).select_columns(
         ["doc_a", "doc_b"]
     )
 
@@ -371,6 +378,96 @@ def _q_sample_docs(sf_dir: str):
     return deterministic_sample(_docs(sf_dir), rate_pct=10).select_columns(
         ["doc_id"]
     )
+
+
+def _q_hopto_renumber(sf_dir: str):
+    """Hop display-number renumbering through a suppress list
+    (reference terminal2html.py:32-38 ``HopTarget.get_target_cmd``;
+    engine ``state/config.py`` ``hop_target_cmd``).
+
+    The suppress list is the SMALL side: collected once, broadcast via
+    ``ray.put``, and each batch renumbers its hop anchors with one
+    vectorized searchsorted -- the closed form of the reference's
+    per-hop walk (display = hop - #{suppressed <= hop}), pinned
+    equal to ``hop_target_cmd`` by ``tests/test_enrich_config.py``.
+    Hops are drawn from the events table; the suppress list is derived
+    deterministically from the documents table (doc_id * 11)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    sup_ids = np.sort(
+        np.unique(
+            np.asarray(
+                _docs(sf_dir)
+                .select_columns(["doc_id"])
+                .to_pandas()["doc_id"],
+                dtype=np.int64,
+            )
+            * 11
+        )
+    )
+    sup_ref = ray.put(sup_ids)
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
+    )
+
+    def renumber(b: pa.Table) -> pa.Table:
+        sup = ray.get(sup_ref)
+        hops = b.column("event_id").to_numpy(zero_copy_only=False)
+        disp = hops - np.searchsorted(sup, hops, side="right")
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "display_cmd": pa.array(disp, pa.int64()),
+            }
+        )
+
+    return ev.map_batches(renumber, batch_format="pyarrow")
+
+
+def _q_quantize_ts(sf_dir: str):
+    """Frame-gap quantization (reference asciinema2html.py:226-243;
+    engine ``sources/asciinema.py`` ``quantize_gaps``) applied to
+    per-user event gaps: one user-keyed shuffle, then a vectorized
+    diff + searchsorted quantization inside each group."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from console_log_parser_ray.sources.asciinema import quantize_gaps
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def per_user(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(
+            [("ts", "ascending"), ("event_id", "ascending")]
+        )
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(ts) < 2:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "gap_q": pa.array([], pa.float64()),
+                }
+            )
+        gaps = np.diff(ts) / 1e6
+        q = quantize_gaps(gaps)
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id").slice(1),
+                "gap_q": pa.array(q, pa.float64()),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
 def _q_sessionize(sf_dir: str):
@@ -619,6 +716,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_agg": _q_events_agg,
         "events_windowed": _q_events_windowed,
         "sample_docs": _q_sample_docs,
+        "hopto_renumber": _q_hopto_renumber,
+        "quantize_ts": _q_quantize_ts,
         "top_users": _q_top_users,
         "orders_enrich": _q_orders_enrich,
         "asof_last_order": _q_asof_last_order,
@@ -795,6 +894,28 @@ def oracle_sql() -> dict[str, str]:
             "WHERE ((doc_id & 2147483647) * 2654435761) % 4294967296 "
             "< 429496729"
         ),
+        "hopto_renumber": (
+            # display = hop - #{suppressed <= hop}: the closed form of
+            # the reference's per-hop suppress-list walk
+            "WITH sup AS (SELECT DISTINCT doc_id * 11 AS s "
+            "FROM documents) "
+            "SELECT e.event_id, e.event_id - "
+            "(SELECT count(*) FROM sup WHERE s <= e.event_id) "
+            "AS display_cmd FROM events e"
+        ),
+        "quantize_ts": (
+            "WITH g AS (SELECT event_id, "
+            "(epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)) / 1000000.0 "
+            "AS gap FROM events) "
+            "SELECT event_id, CAST(CASE "
+            "WHEN gap >= 4 THEN 4 WHEN gap >= 2 THEN 2 "
+            "WHEN gap >= 1 THEN 1 WHEN gap >= 0.5 THEN 0.5 "
+            "WHEN gap >= 0.3 THEN 0.3 WHEN gap >= 0.18 THEN 0.18 "
+            "WHEN gap >= 0.1 THEN 0.1 WHEN gap >= 0.03 THEN 0.03 "
+            "ELSE gap END AS DOUBLE) AS gap_q "
+            "FROM g WHERE gap IS NOT NULL"
+        ),
         "top_users": (
             "SELECT user_id, count(*) AS n FROM events GROUP BY user_id "
             "ORDER BY n DESC, user_id LIMIT 10"
@@ -815,9 +936,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
             "count(*) AS count_order FROM lineitem GROUP BY 1, 2"
         ),
+        "dedup_minhash": (
+            # Exact all-pairs ground truth: shingle sets and Jaccard
+            # are list arithmetic in DuckDB.  The LSH output equals
+            # this because every planted pair (deterministic
+            # middle-token drop, J >= 0.91) is far above the LSH floor
+            # and the verify step keeps exactly J >= 0.9.
+            "WITH base AS (SELECT doc_id, "
+            "  regexp_extract_all(text, '\\S+') AS toks FROM documents), "
+            "pert AS (SELECT doc_id + 1000000 AS doc_id, "
+            "  CASE WHEN len(toks) >= 60 "
+            "  THEN list_concat(toks[1:len(toks)//2], "
+            "       toks[len(toks)//2+2:]) "
+            "  ELSE toks END AS toks FROM base), "
+            "aug AS (SELECT doc_id, toks FROM base "
+            "  UNION ALL SELECT doc_id, toks FROM pert), "
+            "s AS (SELECT doc_id, list_distinct("
+            "  CASE WHEN len(toks) < 3 "
+            "  THEN [array_to_string(toks, ' ')] "
+            "  ELSE list_transform(generate_series(1, len(toks)-2), "
+            "    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) "
+            "  END) AS sh FROM aug), "
+            "j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "  len(list_intersect(a.sh, b.sh)) AS i, "
+            "  len(a.sh) + len(b.sh) AS t FROM s a, s b "
+            "  WHERE a.doc_id < b.doc_id) "
+            "SELECT doc_a, doc_b FROM j "
+            "WHERE i * 1.0 / (t - i) >= 0.9"
+        ),
         # rows-only (non-SQL-expressible) queries intentionally omitted:
-        # dedup_minhash (result = exact Jaccard over LSH candidates; the
-        # candidate set is defined by the banded minhash, not SQL),
         # knn_ivf / knn_ivf_indexed (approximate by design)
         **_maybe_media_sql(),
     }

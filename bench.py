@@ -68,6 +68,17 @@ def _flagship_seconds(sf_dir: str, plan: str | None = None) -> tuple[float, int]
 
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    """Per-query timings, best-of-N INTERLEAVED rounds (default 3,
+    override with $RAY_GRAFT_BENCH_ROUNDS).
+
+    Protocol rationale: this box's effective CPU speed drifts tens of
+    percent over minutes, and queries running later in a Ray session
+    can see object-store pressure from earlier ones.  External load
+    and session pressure only ever SLOW a trial, so the minimum over
+    rounds is the least-noisy estimate; interleaving whole rounds
+    (rather than repeating each query back-to-back) keeps a slow
+    minute of the machine from biasing one query's best.
+    """
     _init_ray(num_cpus)
     import __ray_entry__ as entry
 
@@ -75,14 +86,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     cache.ensure_transcripts(sf_dir)  # exclude generation from timing
 
-    queries = {}
+    rounds = int(os.environ.get("RAY_GRAFT_BENCH_ROUNDS", "3"))
+    queries: dict[str, float] = {}
+    turns = 0
 
-    t_flag, turns = _flagship_seconds(sf_dir)
-    queries["flagship_e2e"] = t_flag
-    # generic-input plan (no conversation-partitioning marker): single
-    # streaming pass, one conv_id-bucket shuffle, fused in-task sinks
-    t_bucketed, _ = _flagship_seconds(sf_dir, plan="bucketed")
-    queries["flagship_bucketed"] = t_bucketed
+    def record(name, seconds):
+        if name not in queries or seconds < queries[name]:
+            queries[name] = seconds
 
     def timed(name, fn):
         t0 = time.perf_counter()
@@ -94,10 +104,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                 res.count()
         except Exception:
             pass
-        queries[name] = time.perf_counter() - t0
+        record(name, time.perf_counter() - t0)
 
     q = entry.queries()
-    for name in (
+    small = (
         "seq_histogram",
         "dedup_exact",
         "dedup_minhash",
@@ -109,18 +119,29 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "sessionize",
         "asof_last_order",
         "q1_pricing",
-    ):
-        timed(name, q[name])
+    )
+    for _ in range(rounds):
+        t_flag, turns = _flagship_seconds(sf_dir)
+        record("flagship_e2e", t_flag)
+        # generic-input plan (no conversation-partitioning marker):
+        # single streaming pass, one conv_id-bucket shuffle, fused
+        # in-task sinks
+        t_bucketed, _ = _flagship_seconds(sf_dir, plan="bucketed")
+        record("flagship_bucketed", t_bucketed)
+        for name in small:
+            timed(name, q[name])
 
+    t_best = queries["flagship_e2e"]
     return {
         "metric": "flagship parse->enrich->route->aggregate wall time",
-        "value": round(t_flag, 3),
+        "value": round(t_best, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in queries.items()},
         "sf": os.path.basename(os.path.normpath(sf_dir)),
         "num_cpus": num_cpus,
         "turns": turns,
-        "turns_per_sec": round(turns / t_flag, 1),
+        "turns_per_sec": round(turns / t_best, 1),
+        "protocol": f"best-of-{rounds} interleaved rounds, one Ray session",
     }
 
 

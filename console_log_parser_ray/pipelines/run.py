@@ -11,14 +11,17 @@ Two physical plans share one logical pipeline:
   one lineage manifest per shard.  No shuffle, no re-read, and raw text
   never crosses the object store.
 
-* **Bucketed** (arbitrary input): ONE streaming execution -- read once,
-  conv_id-bucket groupby (the only shuffle), then a per-bucket task
-  that fuses scan -> enrich -> all sink writes and commits its own
-  lineage manifest in-task (deterministic part names make retries
-  idempotent), so every bucket is an independent checkpoint.
-  Conversations above ``skew_threshold`` turns get dedicated heavy
-  partitions parsed chunk-parallel, streaming chunk ranges from
-  storage.
+* **Bucketed** (arbitrary input): a storage scatter-gather shuffle.
+  Phase 1 reads each input file once and scatters its rows into
+  per-conversation-bucket staged parquet (deterministic names, atomic
+  writes -- retries are idempotent); phase 2 runs one independent task
+  per bucket fusing scan -> enrich -> all sink writes, committing its
+  own lineage manifest in-task, so every bucket is an independent
+  checkpoint.  The staged files ARE the shuffle's spill -- the same
+  externalized exchange a multi-node run would use, without the
+  sample-sort barrier of an in-memory groupby.  Conversations above
+  ``skew_threshold`` turns get dedicated heavy partitions parsed
+  chunk-parallel, streaming chunk ranges from storage.
 
 Either way, a restarted run skips committed partitions, wipes
 uncommitted partial output first, and re-runs only the remainder --
@@ -443,43 +446,103 @@ def _commit_bucket(out_dir, bucket, input_path, n_buckets, sinks, parsed):
     )
 
 
-def _bucket_task(out_dir: str, cfg_ref, input_path: str, n_buckets: int):
-    """map_groups UDF for one bucket: scan -> enrich -> fused multi-sink
-    write -> in-task manifest commit; returns tiny metrics rows.
+def _scatter_task(
+    staging: str, n_buckets: int, wanted: frozenset, heavy_ids=None
+):
+    """Per-input-file scatter worker (phase 1 of the storage shuffle):
+    read the file, assign conversation buckets, split, and write one
+    staged parquet per touched bucket.
 
-    The whole generic-input plan is ONE streaming execution: the input
-    is read once, the conv_id-bucket groupby is the only shuffle, and
-    every sink (parsed / by_role / by_tool / vim_sessions /
-    conv_rollup) is written inside the bucket's own task -- no re-read
-    of either the input or the parsed output.  Committing the manifest
-    in-task makes each bucket an independent checkpoint: a run killed
-    mid-execution resumes by skipping every bucket whose manifest
-    exists (deterministic file names make task retries idempotent).
+    File names are deterministic per (bucket, source file index) and
+    writes are atomic, so a retried scatter task overwrites its own
+    staged output byte-identically instead of duplicating rows.  An
+    input block holds whole (or few) conversations, so each scatter
+    task touches only a handful of buckets -- the staged file count is
+    ~#input-files x #convs-per-file, not #input-files x #buckets.
     """
+    import pyarrow.parquet as pq
+
+    bucketer = _add_bucket_and_filter(n_buckets, wanted, heavy_ids)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        touched = []
+        for item in batch.column("item").to_pylist():
+            # each task covers a CHUNK of input files: one staged file
+            # per (bucket, chunk) instead of per (bucket, file) keeps
+            # the staged-file count (and its open/footer overhead on
+            # the gather side) an order of magnitude down
+            paths, idx = item["paths"], item["idx"]
+            tbl = pa.concat_tables(
+                [
+                    pq.read_table(
+                        p, columns=["conv_id", "turn_idx", "text", "ts"]
+                    )
+                    for p in paths
+                ]
+            )
+            tbl = bucketer(tbl)
+            if not tbl.num_rows:
+                continue
+            buckets = tbl.column("bucket")
+            for b in pc.unique(buckets).to_pylist():
+                sub = tbl.filter(pc.equal(buckets, b)).drop_columns(
+                    ["bucket"]
+                )
+                d = os.path.join(staging, f"bucket={b}")
+                os.makedirs(d, exist_ok=True)
+                _atomic_write_table(
+                    sub, os.path.join(d, f"src-{idx:06d}.parquet")
+                )
+                touched.append(b)
+        return pa.table({"bucket": pa.array(touched, pa.int32())})
+
+    return fn
+
+
+def _gather_task(
+    staging: str, out_dir: str, cfg_ref, input_path: str, n_buckets: int
+):
+    """Per-bucket gather worker (phase 2): read the bucket's staged
+    files, scan -> enrich -> fused multi-sink write -> in-task manifest
+    commit.  Committing in-task makes each bucket an independent
+    checkpoint: a run killed mid-execution resumes by skipping every
+    bucket whose manifest exists (deterministic sink file names make
+    task retries idempotent).  A bucket with no staged data commits an
+    empty manifest so resume bookkeeping stays complete."""
+    import pyarrow.parquet as pq
+
     from ..stages.scan import scan_bucket_table
 
-    def fn(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return pa.table(
-                {
-                    "bucket": pa.array([], pa.int32()),
-                    "kind": pa.array([], pa.string()),
-                    "k1": pa.array([], pa.string()),
-                    "n": pa.array([], pa.int64()),
-                }
+    def fn(batch: pa.Table) -> pa.Table:
+        buckets, rows = [], []
+        for b in batch.column("item").to_pylist():
+            d = os.path.join(staging, f"bucket={b}")
+            if not os.path.isdir(d):
+                _commit_bucket(
+                    out_dir, b, input_path, n_buckets, {}, pa.table({})
+                )
+                buckets.append(b)
+                rows.append(0)
+                continue
+            tbl = pa.concat_tables(
+                [
+                    pq.read_table(os.path.join(d, f))
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                ]
             )
-        bucket = tbl.column("bucket")[0].as_py()
-        parsed = scan_bucket_table(tbl.drop_columns(["bucket"]))
-        enriched = EnrichTurns(cfg_ref)(parsed)
-        sinks = _write_bucket_outputs(enriched, bucket, out_dir)
-        _commit_bucket(out_dir, bucket, input_path, n_buckets, sinks, enriched)
-        kinds, k1s, ns = ["rows"], [""], [enriched.num_rows]
+            parsed = scan_bucket_table(tbl)
+            enriched = EnrichTurns(cfg_ref)(parsed)
+            sinks = _write_bucket_outputs(enriched, b, out_dir)
+            _commit_bucket(
+                out_dir, b, input_path, n_buckets, sinks, enriched
+            )
+            buckets.append(b)
+            rows.append(enriched.num_rows)
         return pa.table(
             {
-                "bucket": pa.array([bucket] * len(kinds), pa.int32()),
-                "kind": pa.array(kinds, pa.string()),
-                "k1": pa.array(k1s, pa.string()),
-                "n": pa.array(ns, pa.int64()),
+                "bucket": pa.array(buckets, pa.int32()),
+                "rows": pa.array(rows, pa.int64()),
             }
         )
 
@@ -844,12 +907,13 @@ def _run_bucketed(
     resume=True,
     skew_threshold=None,
 ):
-    """Generic-input plan: ONE streaming execution.
+    """Generic-input plan: storage scatter-gather.
 
-    read (once) -> bucket+filter -> groupby(bucket) -> per-bucket task
-    fusing scan + enrich + all sink writes + manifest commit.  No stage
-    re-reads the input or the parsed output; aggregates combine the
-    tiny per-bucket counts recorded in the manifests.
+    scatter (read each input file once -> split by conv bucket ->
+    staged parquet) -> gather (one task per bucket fusing scan +
+    enrich + all sink writes + manifest commit).  No stage re-reads
+    the input or the parsed output; aggregates combine the tiny
+    per-bucket counts recorded in the manifests.
 
     ``skew_threshold``: conversations with more turns than this get a
     dedicated partition each, parsed chunk-parallel (conv_id-salting's
@@ -868,18 +932,15 @@ def _run_bucketed(
     # manifest: bucket assignment is hash(conv_id) % n_buckets, so every
     # resumed attempt must reuse the first attempt's count or completed
     # buckets would cover a different conversation set.  The default
-    # targets ~16 buckets per CPU -- map_groups' sort range-partitioner
-    # needs many more distinct keys than cluster slots to spread groups
-    # evenly across blocks (at sf0.1/32 CPUs: 64 buckets measured 108s,
-    # 256 -> 40s, 512 -> 28s, 1024 -> 33s; with few distinct keys the
-    # sampled sort boundaries collapse and whole key-runs land in one
-    # block whose groups then execute serially).
+    # targets ~4 gather tasks per CPU: enough buckets that the slowest
+    # bucket can't dominate the tail, few enough that per-bucket
+    # overhead (staged-file opens, sink files, manifests) stays small.
     prior = M.read_run_manifest(out_dir) if resume else None
     if prior and prior.get("n_buckets"):
         n_buckets = prior["n_buckets"]
     elif n_buckets is None:
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
-        n_buckets = max(512, 16 * n_cpus)
+        n_buckets = max(128, 4 * n_cpus)
     M.write_run_manifest(
         out_dir, {"plan": "bucketed", "n_buckets": n_buckets}
     )
@@ -924,38 +985,50 @@ def _run_bucketed(
 
     wanted = frozenset(todo) - heavy_bucket_ids
     if wanted:
-        ds = ray.data.read_parquet(
-            input_path, columns=["conv_id", "turn_idx", "text", "ts"]
-        )
-        ds = ds.map_batches(
-            _add_bucket_and_filter(n_buckets, wanted, heavy_ids),
+        # Storage scatter-gather shuffle.  Ray's sort-based groupby
+        # measured ~16s of wall per 10M-row exchange here (the sample
+        # sort + merge dominate); scattering through storage instead
+        # streams phase 1 fully and gives phase 2 one independent task
+        # per bucket -- and staged files double as the shuffle's spill,
+        # exactly how a 256-node run would externalize this exchange.
+        import glob as _g
+        import shutil as _sh
+
+        staging = os.path.join(out_dir, "_staging")
+        in_files = sorted(_g.glob(os.path.join(input_path, "*.parquet")))
+        if not in_files and os.path.isfile(input_path):
+            in_files = [input_path]
+        # ~2 scatter tasks per CPU: enough for balance, few enough that
+        # the staged-file count stays ~n_tasks x n_buckets, not
+        # n_files x n_buckets
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_chunks = min(len(in_files), max(1, 2 * n_cpus))
+        chunks = [
+            in_files[i::n_chunks] for i in range(n_chunks)
+        ]
+        items = [
+            {"item": {"paths": ps, "idx": i}}
+            for i, ps in enumerate(chunks)
+            if ps
+        ]
+        ray.data.from_items(
+            items, override_num_blocks=max(1, len(items))
+        ).map_batches(
+            _scatter_task(staging, n_buckets, wanted, heavy_ids),
             batch_format="pyarrow",
-        )
-        metrics = (
-            ds.groupby("bucket")
-            .map_groups(
-                _bucket_task(out_dir, cfg_ref, input_path, n_buckets),
-                batch_format="pyarrow",
-            )
-            .take_all()
-        )
-        del metrics
-        # buckets with no input rows produce no group: commit them empty
-        # (only now, after the execution finished cleanly)
-        committed = M.completed_buckets(out_dir)
-        for b in wanted - committed:
-            M.write_manifest(
-                out_dir,
-                b,
-                {
-                    "bucket": b,
-                    "input": input_path,
-                    "n_buckets": n_buckets,
-                    "sinks": {},
-                    "role_counts": {},
-                    "sink_counts": {},
-                },
-            )
+            batch_size=None,
+        ).count()
+        buckets = sorted(wanted)
+        ray.data.from_items(
+            buckets, override_num_blocks=len(buckets)
+        ).map_batches(
+            _gather_task(staging, out_dir, cfg_ref, input_path, n_buckets),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).count()
+        # every wanted bucket committed (empty ones inside the gather);
+        # the staged shuffle files are no longer needed
+        _sh.rmtree(staging, ignore_errors=True)
 
     _write_aggregates_from_manifests(out_dir)
 

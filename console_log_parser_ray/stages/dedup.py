@@ -217,7 +217,7 @@ def conversation_exact_dedup(ds, **kwargs):
 
 
 def _shingles(text: str, k: int = 3):
-    toks = text.split()
+    toks = ascii_tokens(text)
     if len(toks) < k:
         return {" ".join(toks)} if toks else set()
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
