@@ -342,13 +342,7 @@ def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=3,
     )
     if not dedup:
         return cand
-
-    def first_pair(tbl: pa.Table) -> pa.Table:
-        return tbl.slice(0, 1)
-
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        first_pair, batch_format="pyarrow"
-    )
+    return _dedup_pair_rows(cand)
 
 
 def _attach_text(pairs_ds, docs_ds, key_col, other_col, carry_col,
@@ -431,6 +425,43 @@ def _mod(arr, m: int):
     # pc has no modulo kernel; subtract(floor(div)) keeps it vectorized
     q = pc.divide(arr, pa.scalar(m, pa.int64()))
     return pc.subtract(arr, pc.multiply(q, pa.scalar(m, pa.int64())))
+
+
+def _dedup_pair_rows(pairs_ds, n_buckets: int = 256):
+    """Distinct (doc_a, doc_b) rows via ONE coarse hash-bucket shuffle.
+
+    The naive ``groupby([doc_a, doc_b])`` dispatches a Python group
+    call PER PAIR -- at billions of candidate pairs the dispatch alone
+    dominates.  Here the group key is a doc_a hash bucket (bounded
+    group count) and the dedup inside each group is one vectorized
+    lexsort run-scan.  Duplicate copies of a pair always share doc_a,
+    so they land in the same bucket; extra columns (e.g. cosine) ride
+    along and the first copy's values are kept (copies carry identical
+    values by construction)."""
+
+    def add_jb(t: pa.Table) -> pa.Table:
+        key = t.column("doc_a").cast(pa.int64())
+        return t.append_column(
+            "jb", pc.cast(_mod(key, n_buckets), pa.int32())
+        )
+
+    def dedup_group(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["jb"])
+        a = tbl.column("doc_a").to_numpy(zero_copy_only=False)
+        b = tbl.column("doc_b").to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return tbl
+        order = np.lexsort((b, a))
+        sa, sb = a[order], b[order]
+        keep = np.ones(len(order), dtype=bool)
+        keep[1:] = (np.diff(sa) != 0) | (np.diff(sb) != 0)
+        return tbl.take(pa.array(order[keep]))
+
+    return (
+        pairs_ds.map_batches(add_jb, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(dedup_group, batch_format="pyarrow")
+    )
 
 
 def _dedup_pairs_local(pairs: pa.Table) -> pa.Table:
@@ -701,40 +732,53 @@ def token_jaccard_adjacent(ds, id_col="doc_id", text_col="text"):
         )
         return pa.concat_tables([self_side, next_side])
 
-    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    n_buckets = 256
 
-    def jac_group(tbl: pa.Table) -> pa.Table:
+    def tag_jb(b: pa.Table) -> pa.Table:
+        b = tag(b)
+        return b.append_column(
+            "jb", pc.cast(_mod(b.column("key"), n_buckets), pa.int32())
+        )
+
+    tagged = ds.map_batches(tag_jb, batch_format="pyarrow")
+
+    def jac_bucket(tbl: pa.Table) -> pa.Table:
+        # one group per COARSE key bucket (per-key map_groups dispatches
+        # a Python call per doc id; the dispatch dominates at scale):
+        # sort the bucket by key and walk the equal-key runs
+        tbl = tbl.sort_by([("key", "ascending"), ("side", "descending")])
+        keys = tbl.column("key").to_numpy(zero_copy_only=False)
         sides = tbl.column("side").to_pylist()
         texts = tbl.column("text").to_pylist()
-        t_self = t_next = None
-        for s, t in zip(sides, texts):
-            if s == "s":
-                t_self = t
-            else:
-                t_next = t
-        if t_self is None or t_next is None:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        a, b = frozenset(ascii_tokens(t_self)), frozenset(
-            ascii_tokens(t_next)
-        )
-        inter = len(a & b)
-        union = len(a) + len(b) - inter
-        key = tbl.column("key")[0].as_py()
+        out_k, out_j = [], []
+        i, n = 0, len(keys)
+        while i < n:
+            j = i
+            t_self = t_next = None
+            while j < n and keys[j] == keys[i]:
+                if sides[j] == "s":
+                    t_self = texts[j]
+                else:
+                    t_next = texts[j]
+                j += 1
+            if t_self is not None and t_next is not None:
+                a = frozenset(ascii_tokens(t_self))
+                b = frozenset(ascii_tokens(t_next))
+                inter = len(a & b)
+                union = len(a) + len(b) - inter
+                out_k.append(int(keys[i]))
+                out_j.append(inter / union if union else 1.0)
+            i = j
         return pa.table(
             {
-                "doc_a": pa.array([key], pa.int64()),
-                "jaccard": pa.array(
-                    [inter / union if union else 1.0], pa.float64()
-                ),
+                "doc_a": pa.array(out_k, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
             }
         )
 
-    return tagged.groupby("key").map_groups(jac_group, batch_format="pyarrow")
+    return tagged.groupby("jb").map_groups(
+        jac_bucket, batch_format="pyarrow"
+    )
 
 
 def embedding_near_dups(
@@ -834,10 +878,4 @@ def embedding_near_dups(
     cand = probed.groupby("bucket").map_groups(
         pairs_in_bucket, batch_format="pyarrow"
     )
-
-    def first_pair(tbl: pa.Table) -> pa.Table:
-        return tbl.slice(0, 1)
-
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        first_pair, batch_format="pyarrow"
-    )
+    return _dedup_pair_rows(cand)
