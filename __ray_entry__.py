@@ -606,18 +606,14 @@ def _q_media_features(sf_dir: str):
 
 
 
-def _q_asciinema_clean_text(sf_dir: str):
-    """Asciinema-source variant of the flagship parse: the cached
-    transcripts are deterministically re-cut into asciinema-style
-    frames (lines split mid-way, newline-terminated), reassembled by
-    the frame->line grouped scan, and parsed.  Reassembly is exact, so
-    the result matches the generator's per-turn ground truth."""
+def _synth_frames(sf_dir: str):
+    """Deterministically re-cut the cached transcripts into
+    asciinema-style frames: each turn becomes one newline-terminated
+    frame, split mid-line into two frames (ts i and i+0.1) when
+    turn_idx %% 3 == 0 and the line exceeds 4 chars."""
     import pyarrow as pa
 
     import ray.data
-
-    from console_log_parser_ray.pipelines import flagship
-    from console_log_parser_ray.sources.asciinema import frames_to_turns
 
     path = _cache.ensure_transcripts(sf_dir)
     src_ds = ray.data.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
@@ -645,10 +641,201 @@ def _q_asciinema_clean_text(sf_dir: str):
             }
         )
 
-    frames = src_ds.map_batches(to_frames, batch_format="pyarrow")
-    turns = frames_to_turns(frames).drop_columns(["ts"])
+    return src_ds.map_batches(to_frames, batch_format="pyarrow")
+
+
+def _q_asciinema_clean_text(sf_dir: str):
+    """Asciinema-source variant of the flagship parse: synthetic frames
+    are reassembled by the frame->line grouped scan and parsed.
+    Reassembly is exact, so the result matches the generator's per-turn
+    ground truth."""
+    from console_log_parser_ray.pipelines import flagship
+    from console_log_parser_ray.sources.asciinema import frames_to_turns
+
+    turns = frames_to_turns(_synth_frames(sf_dir)).drop_columns(["ts"])
     parsed = flagship.parse_sessions(turns)
     return parsed.select_columns(["conv_id", "turn_idx", "clean_text"])
+
+
+def _q_recording_end(sf_dir: str):
+    """Recording end-time per conversation (reference
+    asciinema2html.py's end-of-recording timestamp derived from the
+    last frame): max frame ts + frame count, one groupby aggregate over
+    the frame stream."""
+    from ray.data.aggregate import Count, Max
+
+    import pyarrow as pa
+
+    agg = _synth_frames(sf_dir).groupby("conv_id").aggregate(
+        Max("ts"), Count()
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "end_ts": tbl.column("max(ts)"),
+                "n_frames": tbl.column("count()"),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+# A style-0 output line: one of the generator's five SGR openers, a
+# plain payload with no further escapes, and a full reset.  Both the
+# engine filter and the DuckDB oracle use this exact RE2 pattern.
+_SGR_LINE_RE = (
+    "^\x1b\\[(01;32|33|1;31|38;5;196|04)m[^\x1b]*\x1b\\[0m$"
+)
+
+
+def _q_html_escape(sf_dir: str):
+    """HTML entity escaping (reference terminal2html.py:48-53) over
+    every parsed turn's clean text -- vectorized replace chain."""
+    import pyarrow as pa
+
+    from console_log_parser_ray.functions.html import escape_html_array
+
+    def esc(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "turn_idx": tbl.column("turn_idx"),
+                "html": escape_html_array(tbl.column("clean_text")),
+            }
+        )
+
+    return _parsed(sf_dir).map_batches(esc, batch_format="pyarrow")
+
+
+def _q_sgr_spans(sf_dir: str):
+    """SGR -> styled-span conversion (reference terminal2html.py:249-355)
+    with the MyDracula palette under DarkBg/BoldAsBright policies, over
+    the single-SGR output lines whose expected span HTML has a closed
+    form the SQL oracle can state."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from console_log_parser_ray.functions.html import render_styled_line
+
+    def convert(tbl: pa.Table) -> pa.Table:
+        mask = pc.match_substring_regex(tbl.column("text"), _SGR_LINE_RE)
+        sub = tbl.filter(mask)
+        html = [
+            render_styled_line(t) for t in sub.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "conv_id": sub.column("conv_id"),
+                "turn_idx": sub.column("turn_idx"),
+                "html": pa.array(html, pa.string()),
+            }
+        )
+
+    return _transcripts_ds(sf_dir).map_batches(convert, batch_format="pyarrow")
+
+
+def _q_index_entries(sf_dir: str):
+    """Cross-session index with first-wins title dedup (reference
+    main.py:29-128): one row per distinct title, the lowest conv_id
+    wins."""
+    from console_log_parser_ray.functions.html import index_entries
+
+    return index_entries(_parsed(sf_dir))
+
+
+# chapters_enrich config knobs: conversations below _CFG_CONVS get side
+# tables, command numbers are enumerated up to _CFG_BOUND (far above any
+# generated conversation's command count at every sf).
+_CFG_CONVS = 100
+_CFG_BOUND = 500
+
+
+def _q_chapters_enrich(sf_dir: str):
+    """Batch todo-list config -> enrichment actor pool, end-to-end: a
+    deterministic todo JSON (with /* */ comments, exercising the
+    reference's comment-stripping loader, reference main.py:173-264) is
+    parsed by the config reader, broadcast as an EnrichConfig, and every
+    (conv, cmd) a side table touches comes back with its chapter title,
+    suppression flag and renumbered hop label (reference
+    terminal2html.py:16-38)."""
+    import json
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from console_log_parser_ray.stages.enrich import enrich
+    from console_log_parser_ray.state.config import load_todo_config
+
+    n_convs = _cache.SIZES.get(_cache.sf_name(sf_dir), _cache._DEFAULT)[0]
+    data: dict = {"files": []}
+    for ci in range(min(_CFG_CONVS, n_convs)):
+        fid = "conv{:06d}".format(ci)
+        data["files"].append({"id": fid})
+        if ci % 7 == 0:
+            data[fid + "-chapters"] = {
+                str(c): "ch {} {}".format(fid, c)
+                for c in range(1, _CFG_BOUND + 1)
+                if c % 5 == 1
+            }
+        if ci % 3 == 0:
+            data[fid + "-suppress"] = [
+                c for c in range(1, _CFG_BOUND + 1) if c % 4 == 2
+            ]
+        if ci % 5 == 0 and ci + 1 < n_convs:
+            target = "conv{:06d}".format(ci + 1)
+            hops: list[int] = []
+            for c in range(1, _CFG_BOUND + 1):
+                if c % 6 == 3:
+                    hops.extend([c, c + 1])
+            data[fid + "-hopto"] = {
+                "id": target,
+                "hops": hops,
+                "pre": "",
+                "to": target,
+                "post": "",
+            }
+    text = "/* deterministic driver config */\n" + json.dumps(data)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "clpr_todo_{}.json".format(_cache.sf_name(sf_dir)),
+    )
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(text)
+    cfg, _sup_map, _files = load_todo_config(path)
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        mask = pc.or_(
+            pc.or_(
+                pc.not_equal(tbl.column("chapter_title"), ""),
+                tbl.column("suppressed"),
+            ),
+            pc.not_equal(tbl.column("hop_to"), ""),
+        )
+        return tbl.filter(mask).select(
+            [
+                "conv_id",
+                "cmd_count",
+                "chapter_title",
+                "suppressed",
+                "hop_to",
+                "hop_label",
+            ]
+        )
+
+    def first(tbl: pa.Table) -> pa.Table:
+        return tbl.slice(0, 1)
+
+    touched = enrich(_parsed(sf_dir), cfg=cfg).map_batches(
+        pick, batch_format="pyarrow"
+    )
+    # per-turn rows within one command block are identical; keep one
+    return touched.groupby(["conv_id", "cmd_count"]).map_groups(
+        first, batch_format="pyarrow"
+    )
 
 
 def _q_twebber_hops(sf_dir: str):
@@ -698,6 +885,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_events": _q_turn_events,
         "conv_fingerprint": _q_conv_fingerprint,
         "asciinema_clean_text": _q_asciinema_clean_text,
+        "recording_end": _q_recording_end,
+        "html_escape": _q_html_escape,
+        "sgr_spans": _q_sgr_spans,
+        "index_entries": _q_index_entries,
+        "chapters_enrich": _q_chapters_enrich,
         "twebber_hops": _q_twebber_hops,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -744,6 +936,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, expected_clean_text AS clean_text "
             f"FROM {t}"
         ),
+        "recording_end": (
+            # mirror of the deterministic frame cut: turn i -> one frame
+            # at ts i, plus a second at i+0.1 when i%3==0 and the
+            # newline-terminated line exceeds 4 chars
+            "SELECT conv_id, "
+            "max(CASE WHEN turn_idx % 3 = 0 AND length(text) + 1 > 4 "
+            "THEN turn_idx + 0.1 ELSE CAST(turn_idx AS DOUBLE) END) "
+            "AS end_ts, "
+            "CAST(sum(CASE WHEN turn_idx % 3 = 0 AND length(text) + 1 > 4 "
+            "THEN 2 ELSE 1 END) AS BIGINT) AS n_frames "
+            f"FROM {t} GROUP BY conv_id"
+        ),
+        "html_escape": (
+            "SELECT conv_id, turn_idx, "
+            "replace(replace(replace(replace(expected_clean_text, "
+            "'&', '&amp;'), '>', '&gt;'), '<', '&lt;'), "
+            "'\"', '&quot;') AS html "
+            f"FROM {t}"
+        ),
+        "sgr_spans": _sgr_spans_sql(t),
+        "index_entries": (
+            "WITH per_conv AS (SELECT conv_id, "
+            "CAST(max(expected_cmd_count) AS BIGINT) AS n_cmds, "
+            "min(CASE WHEN expected_cmd_count = 1 "
+            "THEN expected_command END) AS title "
+            f"FROM {t} GROUP BY conv_id) "
+            "SELECT title, conv_id, n_cmds FROM per_conv "
+            "QUALIFY row_number() OVER "
+            "(PARTITION BY title ORDER BY conv_id) = 1"
+        ),
+        "chapters_enrich": _chapters_enrich_sql(t),
         "parse_structure": (
             "SELECT conv_id, turn_idx, expected_role AS role, "
             "expected_cmd_count AS cmd_count, expected_in_vim AS in_vim, "
@@ -968,6 +1191,94 @@ def oracle_sql() -> dict[str, str]:
         # knn_ivf / knn_ivf_indexed (approximate by design)
         **_maybe_media_sql(),
     }
+
+
+def _sgr_spans_sql(t: str) -> str:
+    """Closed-form span HTML for the five generator SGR openers under
+    (MyDracula, DarkBg=True, BoldAsBright=True): the policy rules of
+    functions/html.py (reference terminal2html.py:119-143) restated as
+    a CASE over the opener's parameter string.  Palette hexes are the
+    shared parity constants; everything else is independent SQL."""
+    from console_log_parser_ray.functions.html import PALETTES
+
+    c = PALETTES["MyDracula"]
+
+    def bold2(inner: str) -> str:
+        # bold first: default-fg bold uses the bright bF9 slot; the
+        # following base color renders its bright variant with the
+        # BoldAsBright=True font weight (normal)
+        return (
+            '<span style="color:{};font-weight:bold">'
+            '<span style="color:{};font-weight:normal">'
+        ).format(c[15], inner)
+
+    arms = [
+        ("01;32", bold2(c[10]), 2),
+        ("1;31", bold2(c[9]), 2),
+        ("33", '<span style="color:{}">'.format(c[3]), 1),
+        # 256-color cube slot 196 = rgb(255,0,0)
+        ("38;5;196", '<span style="color:#ff0000">', 1),
+        ("04", '<span style="text-decoration:underline">', 1),
+    ]
+    case = " ".join(
+        "WHEN '{}' THEN '{}' || body || '{}'".format(k, pre, "</span>" * n)
+        for k, pre, n in arms
+    )
+    filt = (
+        "regexp_matches(text, '^' || chr(27) || "
+        "'\\[(01;32|33|1;31|38;5;196|04)m[^' || chr(27) || ']*' || "
+        "chr(27) || '\\[0m$')"
+    )
+    return (
+        "WITH m AS (SELECT conv_id, turn_idx, "
+        "regexp_extract(text, '^' || chr(27) || '\\[([0-9;]+)m', 1) "
+        "AS params, "
+        "replace(replace(replace(replace("
+        "regexp_extract(text, '^' || chr(27) || '\\[[0-9;]+m(.*)' || "
+        "chr(27) || '\\[0m$', 1), "
+        "'&', '&amp;'), '>', '&gt;'), '<', '&lt;'), '\"', '&quot;') "
+        f"AS body FROM {t} WHERE {filt}) "
+        f"SELECT conv_id, turn_idx, CASE params {case} END AS html FROM m"
+    )
+
+
+def _chapters_enrich_sql(t: str) -> str:
+    """Mirror of _q_chapters_enrich's deterministic todo config: side
+    tables exist for conversations below _CFG_CONVS (chapters every
+    5th command of every 7th conv, suppression on cmd%4==2 of every
+    3rd conv, hops cmd%6==3 -> next conv's cmd+1 of every 5th conv);
+    the hop label's display number is the suppress-renumber closed form
+    raw - ((raw-2)//4 + 1) when the target conv carries a suppress
+    list."""
+    b = _CFG_CONVS
+    hop_cond = (
+        f"ci % 5 = 0 AND ci < {b} AND ci + 1 < (SELECT n FROM nmax) "
+        "AND cmd % 6 = 3"
+    )
+    return (
+        "WITH cmds AS (SELECT DISTINCT conv_id, "
+        "CAST(substr(conv_id, 5) AS INT) AS ci, "
+        "CAST(expected_cmd_count AS INT) AS cmd "
+        f"FROM {t} WHERE expected_cmd_count > 0), "
+        "nmax AS (SELECT max(CAST(substr(conv_id, 5) AS INT)) + 1 AS n "
+        f"FROM {t}) "
+        "SELECT conv_id, cmd AS cmd_count, "
+        f"CASE WHEN ci % 7 = 0 AND ci < {b} AND cmd % 5 = 1 "
+        "THEN 'ch ' || conv_id || ' ' || cmd ELSE '' END AS chapter_title, "
+        f"(ci % 3 = 0 AND ci < {b} AND cmd % 4 = 2) AS suppressed, "
+        f"CASE WHEN {hop_cond} "
+        "THEN printf('conv%06d#c%d', ci + 1, cmd + 1) "
+        "ELSE '' END AS hop_to, "
+        f"CASE WHEN {hop_cond} "
+        "THEN ' jump to ' || printf('conv%06d', ci + 1) || ' command ' || "
+        "CAST(cmd + 1 - CASE WHEN (ci + 1) % 3 = 0 "
+        f"AND ci + 1 < {b} THEN (cmd - 1) // 4 + 1 ELSE 0 END AS VARCHAR) "
+        "|| ' ' ELSE '' END AS hop_label "
+        "FROM cmds WHERE "
+        f"(ci % 7 = 0 AND ci < {b} AND cmd % 5 = 1) OR "
+        f"(ci % 3 = 0 AND ci < {b} AND cmd % 4 = 2) OR "
+        f"({hop_cond})"
+    )
 
 
 def _maybe_media_sql() -> dict[str, str]:

@@ -62,6 +62,20 @@ def escape_html(s: str) -> str:
     return _ESC_RE.sub(lambda m: _ESC_MAP[m.group()], s)
 
 
+def escape_html_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized escape_html over a string column.
+
+    '&' is replaced first so later replacements cannot double-escape --
+    the same fixed order the scalar map applies (reference
+    terminal2html.py:48-53)."""
+    import pyarrow.compute as pc
+
+    for src, dst in (("&", "&amp;"), (">", "&gt;"), ("<", "&lt;"),
+                     ('"', "&quot;")):
+        arr = pc.replace_substring(arr, pattern=src, replacement=dst)
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
 class SgrSpans:
     """SGR parameter stream -> HTML span opens/closes with a stack.
 
@@ -410,6 +424,75 @@ def render_index(entries: list, title="Sessions") -> str:
         parts.append("</li>\n")
     parts.append("</ul></body></html>\n")
     return "".join(parts)
+
+
+def index_entries(parsed_ds, n_buckets: int = 256):
+    """Cross-session index rows with first-wins title dedup (the
+    reference index keeps the first session per title and drops later
+    duplicates, reference main.py:29-128).
+
+    Data-plane formulation: a vectorized in-batch partial (one Arrow
+    group_by per block) -> one small groupby("conv_id") reduce -> a
+    bucketed first-wins dedup on title (group count bounded by
+    n_buckets, not title cardinality).  Returns (title, conv_id,
+    n_cmds) -- the winning conversation per distinct title.
+    """
+    import pyarrow.compute as pc
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        title_key = pc.if_else(
+            pc.equal(tbl.column("cmd_count"), 1),
+            tbl.column("command"),
+            pa.nulls(tbl.num_rows, pa.string()),
+        )
+        t = pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "cmd_count": pc.cast(tbl.column("cmd_count"), pa.int64()),
+                "title_key": title_key,
+            }
+        )
+        return t.group_by(["conv_id"]).aggregate(
+            [("cmd_count", "max"), ("title_key", "min")]
+        )
+
+    from ray.data.aggregate import Max, Min
+
+    per_conv = (
+        parsed_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Max("cmd_count_max"), Min("title_key_min"))
+    )
+
+    def dedup_bucket(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas().sort_values(["title", "conv_id"])
+        df = df.drop_duplicates("title", keep="first")
+        return pa.Table.from_pandas(
+            df[["title", "conv_id", "n_cmds"]], preserve_index=False
+        )
+
+    def rename_and_bucket(tbl: pa.Table) -> pa.Table:
+        import zlib
+
+        title = pc.fill_null(tbl.column("min(title_key_min)"), "")
+        bucket = pa.array(
+            [zlib.crc32(t.encode()) % n_buckets for t in title.to_pylist()],
+            pa.int32(),
+        )
+        return pa.table(
+            {
+                "title": title,
+                "conv_id": tbl.column("conv_id"),
+                "n_cmds": tbl.column("max(cmd_count_max)"),
+                "bucket": bucket,
+            }
+        )
+
+    return (
+        per_conv.map_batches(rename_and_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
+    )
 
 
 def html_sink(parsed_ds, out_dir: str, palette: str = "MyDracula"):

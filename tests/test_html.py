@@ -147,3 +147,53 @@ def test_non_review_render_has_no_dump():
     doc = render_conversation(rows)
     assert "asciinema-player" in doc
     assert "vimsession-dump" not in doc
+
+
+def test_escape_html_array_matches_scalar():
+    import pyarrow as pa
+
+    from console_log_parser_ray.functions.html import escape_html_array
+
+    texts = [
+        'a<b>&"c"',
+        "plain",
+        "",
+        "&amp; already & <<>>",
+        'mix "quotes" & <tags> everywhere',
+    ]
+    got = escape_html_array(pa.array(texts, pa.string())).to_pylist()
+    assert got == [escape_html(t) for t in texts]
+
+
+def test_index_entries_first_wins(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.functions.html import index_entries
+
+    # three convs, two sharing the title "git status": conv a wins
+    rows = []
+    for conv, title, ncmds in [
+        ("convb", "git status", 3),
+        ("conva", "git status", 2),
+        ("convc", "ls -la", 1),
+    ]:
+        for cmd in range(1, ncmds + 1):
+            rows.append(
+                {
+                    "conv_id": conv,
+                    "cmd_count": cmd,
+                    "command": title if cmd == 1 else "other",
+                }
+            )
+    ds = ray.data.from_arrow(
+        pa.Table.from_pylist(rows)
+    ).repartition(3)
+    out = sorted(
+        index_entries(ds).take_all(), key=lambda r: r["title"]
+    )
+    assert out == [
+        {"title": "git status", "conv_id": "conva", "n_cmds": 2},
+        {"title": "ls -la", "conv_id": "convc", "n_cmds": 1},
+    ]
