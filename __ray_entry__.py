@@ -106,19 +106,16 @@ def _q_tool_sink_counts(sf_dir: str):
 
 
 def _q_commands(sf_dir: str):
-    import pyarrow as pa
-
-    def first(tbl: pa.Table) -> pa.Table:
-        return tbl.slice(0, 1)
+    from console_log_parser_ray.stages.dedup import distinct_rows
 
     ds = (
         _enriched(sf_dir)
         .filter(expr="cmd_count > 0")
         .select_columns(["conv_id", "cmd_count", "command", "tool"])
     )
-    return ds.groupby(["conv_id", "cmd_count"]).map_groups(
-        first, batch_format="pyarrow"
-    )
+    # rows within one (conv, cmd) block are identical, so a bucketed
+    # any-wins distinct is exact and avoids per-key group dispatch
+    return distinct_rows(ds, ["conv_id", "cmd_count"])
 
 
 def _q_conv_rollup(sf_dir: str):
@@ -826,15 +823,45 @@ def _q_chapters_enrich(sf_dir: str):
             ]
         )
 
-    def first(tbl: pa.Table) -> pa.Table:
-        return tbl.slice(0, 1)
+    from console_log_parser_ray.stages.dedup import distinct_rows
 
     touched = enrich(_parsed(sf_dir), cfg=cfg).map_batches(
         pick, batch_format="pyarrow"
     )
     # per-turn rows within one command block are identical; keep one
-    return touched.groupby(["conv_id", "cmd_count"]).map_groups(
-        first, batch_format="pyarrow"
+    # via a bucketed distinct (bounded group dispatch)
+    return distinct_rows(touched, ["conv_id", "cmd_count"])
+
+
+def _q_redact(sf_dir: str):
+    """PII-style regex scrubbing over every parsed turn's clean text
+    (user@host prompts become <USER@HOST>, dotted quads <IP>)."""
+    from console_log_parser_ray.stages.textan import redact
+
+    ds = _parsed(sf_dir).select_columns(["conv_id", "turn_idx", "clean_text"])
+    return redact(ds, text_col="clean_text", out_col="redacted").drop_columns(
+        ["clean_text"]
+    )
+
+
+def _q_normalize(sf_dir: str):
+    """Training-data text normalization over parsed clean text:
+    lowercase, collapse blank runs, trim."""
+    from console_log_parser_ray.stages.textan import normalize_text
+
+    ds = _parsed(sf_dir).select_columns(["conv_id", "turn_idx", "clean_text"])
+    return normalize_text(
+        ds, text_col="clean_text", out_col="norm"
+    ).drop_columns(["clean_text"])
+
+
+def _q_ngram_topk(sf_dir: str):
+    """Corpus-wide top-20 token trigrams over the documents table,
+    pre-combined per block before the one small groupby-sum."""
+    from console_log_parser_ray.stages.textan import ngram_topk
+
+    return ngram_topk(
+        _docs(sf_dir).select_columns(["text"]), n=3, k=20
     )
 
 
@@ -890,6 +917,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sgr_spans": _q_sgr_spans,
         "index_entries": _q_index_entries,
         "chapters_enrich": _q_chapters_enrich,
+        "redact": _q_redact,
+        "normalize": _q_normalize,
+        "ngram_topk": _q_ngram_topk,
         "twebber_hops": _q_twebber_hops,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -967,6 +997,31 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY title ORDER BY conv_id) = 1"
         ),
         "chapters_enrich": _chapters_enrich_sql(t),
+        "redact": (
+            "SELECT conv_id, turn_idx, regexp_replace(regexp_replace("
+            "expected_clean_text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<USER@HOST>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', "
+            "'<IP>', 'g') AS redacted "
+            f"FROM {t}"
+        ),
+        "normalize": (
+            "SELECT conv_id, turn_idx, regexp_replace(regexp_replace("
+            "lower(expected_clean_text), "
+            "'[\t ]+', ' ', 'g'), "
+            "'^[\t\n ]+|[\t\n ]+$', '', 'g') AS norm "
+            f"FROM {t}"
+        ),
+        "ngram_topk": (
+            "WITH toks AS (SELECT regexp_extract_all(text, '\\S+') AS tk "
+            "FROM documents), "
+            "g AS (SELECT unnest(list_transform("
+            "generate_series(1, len(tk) - 2), "
+            "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS ngram "
+            "FROM toks WHERE len(tk) >= 3) "
+            "SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM g "
+            "GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20"
+        ),
         "parse_structure": (
             "SELECT conv_id, turn_idx, expected_role AS role, "
             "expected_cmd_count AS cmd_count, expected_in_vim AS in_vim, "

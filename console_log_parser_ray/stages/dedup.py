@@ -37,6 +37,39 @@ _N_PERM = 128
 _N_BANDS = 32  # x 4 rows per band
 
 
+def distinct_rows(ds, keys: list[str], n_buckets: int = 256):
+    """Global DISTINCT on ``keys``, keeping one row (all columns) per
+    key.  Suitable when duplicate keys carry identical payloads (so
+    any-wins == first-wins); for value-dependent winners use a proper
+    reduce.
+
+    In-batch drop_duplicates first (the shuffle moves only one row per
+    key per block), then a bounded hash-bucket shuffle with a
+    vectorized in-group dedup -- group-dispatch count is n_buckets,
+    never key cardinality.
+    """
+    import pandas as pd
+
+    def local(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.drop_duplicates(keys, keep="first").copy()
+        df["__bucket"] = (
+            pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+            % n_buckets
+        ).astype("int32")
+        return df
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.drop_duplicates(keys, keep="first").drop(
+            columns="__bucket"
+        )
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def _text_hash_batch(batch: pa.Table, text_col: str) -> pa.Table:
     hashes = [
         int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")

@@ -58,6 +58,101 @@ def token_stats(ds, text_col="text", id_col="doc_id"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# PII-ish scrub rules: user@host / email shapes, dotted-quad addresses.
+# RE2 syntax on both sides (pyarrow.compute and DuckDB share the
+# dialect), so the SQL oracle can state the identical patterns.
+DEFAULT_REDACT_RULES = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<USER@HOST>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact(ds, rules=DEFAULT_REDACT_RULES, text_col="text", out_col="redacted"):
+    """Regex scrubbing (PII-style redaction) -- a vectorized
+    replace_substring_regex chain per batch, rules applied in order."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        for pat, repl in rules:
+            col = pc.replace_substring_regex(
+                col, pattern=pat, replacement=repl
+            )
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return batch.append_column(out_col, col)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def normalize_text(ds, text_col="text", out_col="norm"):
+    """Training-data text normalization: lowercase, collapse ASCII
+    blank runs to one space, trim leading/trailing whitespace.  All
+    three steps are RE2/utf8 kernels with exact DuckDB mirrors."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = pc.utf8_lower(batch.column(text_col))
+        col = pc.replace_substring_regex(
+            col, pattern="[\t ]+", replacement=" "
+        )
+        col = pc.replace_substring_regex(
+            col, pattern="^[\t\n ]+|[\t\n ]+$", replacement=""
+        )
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return batch.append_column(out_col, col)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ngram_topk(ds, n=3, k=20, text_col="text"):
+    """Corpus-wide top-k token n-grams.
+
+    Scale shape: counts are pre-combined INSIDE each block (one Counter
+    per batch, emitting (ngram, partial-count) rows), so the shuffle
+    moves one row per distinct n-gram per block, never one per
+    occurrence; a single groupby-sum then a sort over the (small)
+    distinct-ngram table yields the exact global top-k, ties broken by
+    the n-gram string ascending.
+    """
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch.column(text_col).to_pylist():
+            toks = ascii_tokens(text)
+            counts.update(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+        return pa.table(
+            {
+                "ngram": pa.array(list(counts.keys()), pa.string()),
+                "n_partial": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("n_partial"))
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ngram": tbl.column("ngram"),
+                "n": tbl.column("sum(n_partial)"),
+            }
+        )
+
+    return (
+        agg.map_batches(rename, batch_format="pyarrow")
+        .sort(["n", "ngram"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def quality_scores(ds, text_col="text", id_col="doc_id"):
     """Adds mechanical quality signals: mean token length, alpha ratio,
     space ratio, distinct-token ratio.

@@ -599,3 +599,68 @@ def test_conversation_exact_dedup(ray_session):
     kept = sorted(r["conv_id"] for r in out)
     # NOTE: "d" ("xy" in one turn) joins to "xy"; "a"/"b" join to "x\ny"
     assert kept == ["a", "c", "d"]
+
+
+def test_distinct_rows_bucketed(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.dedup import distinct_rows
+
+    rows = []
+    for conv in ("a", "b", "c"):
+        for cmd in (1, 2):
+            for _rep in range(3):  # identical payload per key
+                rows.append(
+                    {"conv_id": conv, "cmd_count": cmd,
+                     "payload": f"{conv}-{cmd}"}
+                )
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = distinct_rows(ds, ["conv_id", "cmd_count"], n_buckets=8)
+    got = sorted(
+        out.take_all(), key=lambda r: (r["conv_id"], r["cmd_count"])
+    )
+    assert [(r["conv_id"], r["cmd_count"], r["payload"]) for r in got] == [
+        ("a", 1, "a-1"), ("a", 2, "a-2"), ("b", 1, "b-1"),
+        ("b", 2, "b-2"), ("c", 1, "c-1"), ("c", 2, "c-2"),
+    ]
+
+
+def test_redact_and_normalize(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import normalize_text, redact
+
+    rows = [
+        {"doc_id": 0, "text": "alice@devbox:~/work$ ping 10.0.0.1 now"},
+        {"doc_id": 1, "text": "  Mixed\tCase   RUN  \n"},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    red = {r["doc_id"]: r["redacted"] for r in redact(ds).take_all()}
+    assert red[0] == "<USER@HOST>:~/work$ ping <IP> now"
+    assert red[1] == rows[1]["text"]
+    norm = {r["doc_id"]: r["norm"] for r in normalize_text(ds).take_all()}
+    assert norm[1] == "mixed case run"
+    assert norm[0] == rows[0]["text"].lower()
+
+
+def test_ngram_topk(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import ngram_topk
+
+    rows = [
+        {"text": "a b c a b c"},   # "a b c" x2, "b c a", "c a b"
+        {"text": "a b c d"},       # "a b c", "b c d"
+        {"text": "x y"},           # too short for trigrams
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    got = ngram_topk(ds, n=3, k=3).take_all()
+    assert got[0] == {"ngram": "a b c", "n": 3}
+    # count-1 ties broken by ngram ascending
+    assert [r["ngram"] for r in got[1:]] == ["b c a", "b c d"]
