@@ -497,8 +497,13 @@ def index_entries(parsed_ds, n_buckets: int = 256):
 
 def html_sink(parsed_ds, out_dir: str, palette: str = "MyDracula"):
     """Optional routed sink: one HTML document per conversation plus an
-    index -- a map_groups formatter over parsed turns, then a tiny
-    driver-side index write."""
+    index.
+
+    The per-conversation documents are rendered AND written inside the
+    grouped tasks (atomic tmp+rename, so a retried task can never leave
+    a truncated file); only the tiny (conv_id, n_cmds) index rows travel
+    back to the driver for the single index.html write.
+    """
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -509,10 +514,14 @@ def html_sink(parsed_ds, out_dir: str, palette: str = "MyDracula"):
         cols = tbl.to_pylist()
         html = render_conversation(cols, palette=palette, title=conv)
         n_cmds = max((r["cmd_count"] for r in cols), default=0)
+        path = os.path.join(out_dir, conv + ".html")
+        tmp = path + ".tmp.{}".format(os.getpid())
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(html)
+        os.replace(tmp, path)
         return pa.table(
             {
                 "conv_id": pa.array([conv], pa.string()),
-                "html": pa.array([html], pa.string()),
                 "n_cmds": pa.array([n_cmds], pa.int64()),
             }
         )
@@ -520,12 +529,10 @@ def html_sink(parsed_ds, out_dir: str, palette: str = "MyDracula"):
     docs = parsed_ds.groupby("conv_id").map_groups(
         per_conv, batch_format="pyarrow"
     )
-    entries = []
-    for row in docs.iter_rows():
-        path = os.path.join(out_dir, row["conv_id"] + ".html")
-        with open(path, "w", encoding="utf-8") as fh:
-            fh.write(row["html"])
-        entries.append((row["conv_id"], row["conv_id"], row["n_cmds"], []))
+    entries = [
+        (row["conv_id"], row["conv_id"], row["n_cmds"], [])
+        for row in docs.iter_rows()
+    ]
     with open(os.path.join(out_dir, "index.html"), "w", encoding="utf-8") as fh:
         fh.write(render_index(sorted(entries)))
     return len(entries)

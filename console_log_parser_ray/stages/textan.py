@@ -138,16 +138,25 @@ def ngram_topk(ds, n=3, k=20, text_col="text"):
         .aggregate(Sum("n_partial"))
     )
 
-    def rename(tbl: pa.Table) -> pa.Table:
-        return pa.table(
+    def local_topk(tbl: pa.Table) -> pa.Table:
+        # exact reduction: a row outside its block's top-k has >= k
+        # strictly-greater rows in that block alone, so it cannot be in
+        # the global top-k; the final sort then runs over ~blocks x k
+        # rows instead of every distinct n-gram
+        t = pa.table(
             {
                 "ngram": tbl.column("ngram"),
                 "n": tbl.column("sum(n_partial)"),
             }
         )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("n", "descending"), ("ngram", "ascending")],
+        )
+        return t.take(idx[:k])
 
     return (
-        agg.map_batches(rename, batch_format="pyarrow")
+        agg.map_batches(local_topk, batch_format="pyarrow")
         .sort(["n", "ngram"], descending=[True, False])
         .limit(k)
     )

@@ -197,3 +197,35 @@ def test_index_entries_first_wins(ray_session):
         {"title": "git status", "conv_id": "conva", "n_cmds": 2},
         {"title": "ls -la", "conv_id": "convc", "n_cmds": 1},
     ]
+
+
+def test_html_sink_writes_in_task(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.functions.html import html_sink
+
+    rows = []
+    for conv in ("s1", "s2"):
+        rows += [
+            {"conv_id": conv, "turn_idx": 0, "clean_text": "hello\n",
+             "cmd_count": 1, "is_prompt": True, "in_vim": False,
+             "suppressed": False},
+            {"conv_id": conv, "turn_idx": 1, "clean_text": "out <&>\n",
+             "cmd_count": 1, "is_prompt": False, "in_vim": False,
+             "suppressed": False},
+        ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = str(tmp_path / "html")
+    n = html_sink(ds, out)
+    assert n == 2
+    files = sorted(os.listdir(out))
+    assert files == ["index.html", "s1.html", "s2.html"]
+    doc = open(os.path.join(out, "s1.html")).read()
+    assert "out &lt;&amp;&gt;" in doc
+    idx = open(os.path.join(out, "index.html")).read()
+    assert 's1.html' in idx and "(1 commands)" in idx
+    assert not [f for f in files if ".tmp." in f]
