@@ -855,6 +855,40 @@ def _q_normalize(sf_dir: str):
     ).drop_columns(["clean_text"])
 
 
+def _q_curate(sf_dir: str):
+    """Composite corpus-curation pipeline -- the shape of a real
+    training-data prep job as ONE streaming plan: union with planted
+    duplicate copies -> quality gate (token-count band) -> exact dedup
+    (min doc_id per identical text) -> deterministic 20% hash sample."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from console_log_parser_ray.stages.dedup import exact_dedup
+    from console_log_parser_ray.stages.events import deterministic_sample
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def shift(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(b.column("doc_id"), 1000000),
+                "text": b.column("text"),
+            }
+        )
+
+    def qgate(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b.column("text"), r"\S+")
+        return b.filter(
+            pc.and_(pc.greater_equal(n, 20), pc.less_equal(n, 10000))
+        )
+
+    unioned = docs.union(docs.map_batches(shift, batch_format="pyarrow"))
+    gated = unioned.map_batches(qgate, batch_format="pyarrow")
+    return deterministic_sample(exact_dedup(gated), rate_pct=20).select_columns(
+        ["doc_id"]
+    )
+
+
 def _q_ngram_topk(sf_dir: str):
     """Corpus-wide top-20 token trigrams over the documents table,
     pre-combined per block before the one small groupby-sum."""
@@ -920,6 +954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact": _q_redact,
         "normalize": _q_normalize,
         "ngram_topk": _q_ngram_topk,
+        "curate": _q_curate,
         "twebber_hops": _q_twebber_hops,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -1011,6 +1046,17 @@ def oracle_sql() -> dict[str, str]:
             "'[\t ]+', ' ', 'g'), "
             "'^[\t\n ]+|[\t\n ]+$', '', 'g') AS norm "
             f"FROM {t}"
+        ),
+        "curate": (
+            "WITH all_docs AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, text FROM documents), "
+            "q AS (SELECT doc_id, text FROM all_docs "
+            "WHERE len(regexp_extract_all(text, '\\S+')) "
+            "BETWEEN 20 AND 10000), "
+            "d AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text) "
+            "SELECT doc_id FROM d "
+            "WHERE ((doc_id & 2147483647) * 2654435761) % 4294967296 "
+            "< 858993459"
         ),
         "ngram_topk": (
             "WITH toks AS (SELECT regexp_extract_all(text, '\\S+') AS tk "

@@ -119,7 +119,7 @@ def frames_to_turns(frames_ds):
     )
 
 
-def extract_vim_recordings(frames_ds, parsed_ds):
+def extract_vim_recordings(frames_ds, parsed_ds, n_buckets: int = 64):
     """Cut per-vim-session frame recordings with quantized timestamps.
 
     Joins the parsed turns' vim spans back to the frame stream: a frame
@@ -127,59 +127,96 @@ def extract_vim_recordings(frames_ds, parsed_ds):
     Returns (conv_id, vim_session_id, rec_idx, rel_ts, data) rows where
     rel_ts follows the reference's re-based quantized clock
     (reference asciinema2html.py:232-243).
+
+    Scale shape: the span side is one small-row groupby aggregate (the
+    partials pre-combine per block), then spans and frames co-locate
+    via a tagged union on a conv-hash bucket -- one bounded shuffle, no
+    driver-side span map, no broadcast, group dispatch capped at
+    n_buckets.
     """
+    import zlib
 
-    def spans(tbl: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    import pyarrow.compute as pc
 
-        mask = pc.greater_equal(tbl.column("vim_session_id"), 0)
-        sub = tbl.filter(mask)
-        if sub.num_rows == 0:
-            return pa.table(
-                {
-                    "conv_id": pa.array([], pa.string()),
-                    "vim_session_id": pa.array([], pa.int32()),
-                    "start_us": pa.array([], pa.int64()),
-                    "end_us": pa.array([], pa.int64()),
-                }
-            )
-        df = sub.select(["conv_id", "vim_session_id", "ts"]).to_pandas()
-        g = (
-            df.groupby(["conv_id", "vim_session_id"], sort=False)["ts"]
-            .agg(["min", "max"])
-            .reset_index()
-        )
+    from ray.data.aggregate import Max, Min
+
+    def vim_rows(tbl: pa.Table) -> pa.Table:
+        sub = tbl.filter(pc.greater_equal(tbl.column("vim_session_id"), 0))
         return pa.table(
             {
-                "conv_id": pa.array(g["conv_id"], pa.string()),
-                "vim_session_id": pa.array(
-                    g["vim_session_id"], pa.int32()
-                ),
-                "start_us": pa.array(
-                    g["min"].astype("int64"), pa.int64()
-                ),
-                "end_us": pa.array(g["max"].astype("int64"), pa.int64()),
+                "conv_id": sub.column("conv_id"),
+                "vim_session_id": sub.column("vim_session_id"),
+                "ts_us": pc.cast(sub.column("ts"), pa.int64()),
             }
         )
 
-    span_ds = parsed_ds.groupby("conv_id").map_groups(
-        spans, batch_format="pyarrow"
+    span_ds = (
+        parsed_ds.map_batches(vim_rows, batch_format="pyarrow")
+        .groupby(["conv_id", "vim_session_id"])
+        .aggregate(Min("ts_us"), Max("ts_us"))
     )
 
-    # Broadcast the (small) span table; cut recordings per conversation
-    import ray
-
-    span_rows = span_ds.take_all()
-    by_conv = {}
-    for r in span_rows:
-        by_conv.setdefault(r["conv_id"], []).append(
-            (r["vim_session_id"], r["start_us"], r["end_us"])
+    def _buckets(convs: list) -> pa.Array:
+        return pa.array(
+            [zlib.crc32(c.encode()) % n_buckets for c in convs], pa.int32()
         )
-    spans_ref = ray.put(by_conv)
 
-    def cut(tbl: pa.Table) -> pa.Table:
-        conv = tbl.column("conv_id")[0].as_py()
-        conv_spans = sorted(ray.get(spans_ref).get(conv, []))
+    def tag_spans(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        convs = tbl.column("conv_id").to_pylist()
+        return pa.table(
+            {
+                "bucket": _buckets(convs),
+                "conv_id": tbl.column("conv_id"),
+                "side": pa.array(["s"] * n, pa.string()),
+                "vim_session_id": tbl.column("vim_session_id"),
+                "start_us": tbl.column("min(ts_us)"),
+                "end_us": tbl.column("max(ts_us)"),
+                "frame_idx": pa.nulls(n, pa.int32()),
+                "ts": pa.nulls(n, pa.float64()),
+                "data": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def tag_frames(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        convs = tbl.column("conv_id").to_pylist()
+        return pa.table(
+            {
+                "bucket": _buckets(convs),
+                "conv_id": tbl.column("conv_id"),
+                "side": pa.array(["f"] * n, pa.string()),
+                "vim_session_id": pa.nulls(n, pa.int32()),
+                "start_us": pa.nulls(n, pa.int64()),
+                "end_us": pa.nulls(n, pa.int64()),
+                "frame_idx": tbl.column("frame_idx"),
+                "ts": tbl.column("ts"),
+                "data": tbl.column("data"),
+            }
+        )
+
+    tagged = span_ds.map_batches(tag_spans, batch_format="pyarrow").union(
+        frames_ds.map_batches(tag_frames, batch_format="pyarrow")
+    )
+
+    def cut_group(tbl: pa.Table) -> pa.Table:
+        is_span = pc.equal(tbl.column("side"), "s")
+        span_t = tbl.filter(is_span)
+        frame_t = tbl.filter(pc.invert(is_span)).sort_by(
+            [
+                ("conv_id", "ascending"),
+                ("ts", "ascending"),
+                ("frame_idx", "ascending"),
+            ]
+        )
+        by_conv: dict = {}
+        for c, sid, s_us, e_us in zip(
+            span_t.column("conv_id").to_pylist(),
+            span_t.column("vim_session_id").to_pylist(),
+            span_t.column("start_us").to_pylist(),
+            span_t.column("end_us").to_pylist(),
+        ):
+            by_conv.setdefault(c, []).append((sid, s_us, e_us))
         out = {
             "conv_id": [],
             "vim_session_id": [],
@@ -187,25 +224,32 @@ def extract_vim_recordings(frames_ds, parsed_ds):
             "rel_ts": [],
             "data": [],
         }
-        if conv_spans:
-            tbl = tbl.sort_by([("ts", "ascending"), ("frame_idx", "ascending")])
-            tss = tbl.column("ts").to_pylist()
-            datas = tbl.column("data").to_pylist()
-            for sid, start_us, end_us in conv_spans:
+        convs = frame_t.column("conv_id").to_pylist()
+        tss = frame_t.column("ts").to_pylist()
+        datas = frame_t.column("data").to_pylist()
+        i, n = 0, len(convs)
+        while i < n:
+            j = i
+            while j < n and convs[j] == convs[i]:
+                j += 1
+            for sid, start_us, end_us in sorted(by_conv.get(convs[i], [])):
                 lo, hi = start_us / 1e6, end_us / 1e6
                 frames = [
-                    (t, d) for t, d in zip(tss, datas) if lo <= t <= hi
+                    (t, d)
+                    for t, d in zip(tss[i:j], datas[i:j])
+                    if lo <= t <= hi
                 ]
                 last = lo
                 rel = 0.0
                 for k, (t, d) in enumerate(frames):
                     rel = round(rel + quantize_gap(t - last), 5)
                     last = t
-                    out["conv_id"].append(conv)
+                    out["conv_id"].append(convs[i])
                     out["vim_session_id"].append(sid)
                     out["rec_idx"].append(k)
                     out["rel_ts"].append(rel)
                     out["data"].append(d)
+            i = j
         return pa.table(
             {
                 "conv_id": pa.array(out["conv_id"], pa.string()),
@@ -216,4 +260,6 @@ def extract_vim_recordings(frames_ds, parsed_ds):
             }
         )
 
-    return frames_ds.groupby("conv_id").map_groups(cut, batch_format="pyarrow")
+    return tagged.groupby("bucket").map_groups(
+        cut_group, batch_format="pyarrow"
+    )
