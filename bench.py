@@ -119,6 +119,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "sessionize",
         "asof_last_order",
         "q1_pricing",
+        "ngram_topk",
+        "curate",
+        "redact",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
