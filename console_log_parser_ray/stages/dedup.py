@@ -37,6 +37,29 @@ _N_PERM = 128
 _N_BANDS = 32  # x 4 rows per band
 
 
+_PROC_CACHE: dict = {}
+
+
+def _cached_get(ref):
+    """ray.get(ref) memoized per worker process.
+
+    Task-pool stages use this where an actor would have fetched the
+    broadcast object once in ``__init__``: the object deserializes once
+    per process instead of once per task, with none of the cold actor
+    spin-up that dominates short queries.  Bounded to a handful of
+    refs; one worker only ever sees a few broadcast objects at a time.
+    """
+    import ray
+
+    key = ref.hex()
+    val = _PROC_CACHE.get(key)
+    if val is None:
+        if len(_PROC_CACHE) > 8:
+            _PROC_CACHE.clear()
+        val = _PROC_CACHE[key] = ray.get(ref)
+    return val
+
+
 def distinct_rows(ds, keys: list[str], n_buckets: int = 256):
     """Global DISTINCT on ``keys``, keeping one row (all columns) per
     key.  Suitable when duplicate keys carry identical payloads (so
@@ -274,62 +297,102 @@ class _MinHasher:
         self.a = (rng.integers(1, 1 << 62, _N_PERM, dtype=np.uint64) << 1) | 1
         self.b = rng.integers(0, 1 << 63, _N_PERM, dtype=np.uint64)
         self.k = k
+        self._memo: dict = {}
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k)
-        if not sh:
-            return np.zeros(_N_PERM, dtype=np.uint64)
-        base = np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                )
-                for s in sh
-            ],
-            dtype=np.uint64,
-        )
-        # (n_shingles, n_perm) multiplicative hashing, min over shingles
-        vals = base[:, None] * self.a[None, :] + self.b[None, :]
-        return np.min(vals, axis=0)
+        return self.batch_signatures([text])[0]
+
+    def batch_signatures(self, texts: list) -> np.ndarray:
+        """(n_docs, _N_PERM) uint64 signatures for a whole batch.
+
+        One flat shingle-hash array for the batch (shingle -> blake2b
+        memoized per actor: word-soup corpora repeat shingles heavily),
+        then per-permutation multiplicative hashing with a segmented
+        ``np.minimum.reduceat`` -- 128 vectorized passes instead of one
+        Python matrix per document.  Empty docs get the zero signature.
+        """
+        memo = self._memo
+        flat: list[int] = []
+        counts = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            sh = _shingles(t, self.k)
+            counts[i] = len(sh)
+            for s in sh:
+                h = memo.get(s)
+                if h is None:
+                    h = int.from_bytes(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                        "big",
+                    )
+                    if len(memo) < 1_000_000:  # bound actor memory
+                        memo[s] = h
+                flat.append(h)
+        sigs = np.zeros((len(texts), _N_PERM), dtype=np.uint64)
+        if not flat:
+            return sigs
+        base = np.array(flat, dtype=np.uint64)
+        nz = counts > 0
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1][nz]
+        for p in range(_N_PERM):
+            vals = base * self.a[p] + self.b[p]  # uint64 wraparound mod
+            sigs[nz, p] = np.minimum.reduceat(vals, starts)
+        return sigs
 
 
-class MinHashStage:
-    """map_batches actor: text -> banded LSH bucket keys (flat output).
+_HASHERS: dict = {}
 
-    Emits one row per (doc, band): (band, bucket, doc_id).
-    """
 
-    def __init__(self, text_col="text", id_col="doc_id", k=3):
-        self.h = _MinHasher(k=k)
-        self.text_col = text_col
-        self.id_col = id_col
+def _get_hasher(k: int) -> "_MinHasher":
+    """Per-process hasher cache: perm tables + shingle-hash memo are
+    built once per worker, the task-pool equivalent of actor state
+    (construction is cheap and deterministic, so tasks beat the cold
+    actor spin-up that dominates short queries)."""
+    h = _HASHERS.get(k)
+    if h is None:
+        h = _HASHERS[k] = _MinHasher(k=k)
+    return h
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
-        texts = batch.column(self.text_col).to_pylist()
-        rows_band, rows_bucket, rows_id = [], [], []
-        rpb = _N_PERM // _N_BANDS
-        for did, text in zip(ids, texts):
-            sig = self.h.signature(text)
-            for band in range(_N_BANDS):
-                chunk = sig[band * rpb : (band + 1) * rpb]
-                # process-independent hash: builtin hash() is salted per
-                # interpreter, so identical bands hashed by different
-                # actors would land in different buckets
-                bucket = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(),
-                    "big",
-                ) >> 1
-                rows_band.append(band)
-                rows_bucket.append(bucket)
-                rows_id.append(did)
-        return pa.table(
-            {
-                "band": pa.array(rows_band, pa.int32()),
-                "bucket": pa.array(rows_bucket, pa.int64()),
-                "doc_id": pa.array(rows_id, pa.int64()),
-            }
-        )
+
+def minhash_band_batch(
+    batch: pa.Table, text_col="text", id_col="doc_id", k=3
+) -> pa.Table:
+    """text -> banded LSH bucket keys (flat output), one row per
+    (doc, band): (band, bucket, doc_id)."""
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    h = _get_hasher(k)
+    rpb = _N_PERM // _N_BANDS
+    sigs = h.batch_signatures(texts)  # (n, _N_PERM)
+    # Per-band bucket = multiplicative mix of the band's rpb minhash
+    # values, vectorized over (doc, band).  Process-independent
+    # (pure uint64 arithmetic -- builtin hash() is salted per
+    # interpreter); two docs share a bucket iff their band
+    # signatures collide under the mix, the LSH contract.
+    v = sigs.reshape(n, _N_BANDS, rpb)
+    mix = v[:, :, 0].copy()
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    for r in range(1, rpb):
+        mix = (mix * mult) ^ v[:, :, r]
+    # fold the band index in so identical signatures in different
+    # bands never alias, then clear the sign bit for int64 storage
+    mix = (mix * mult) ^ np.arange(_N_BANDS, dtype=np.uint64)[None, :]
+    mix >>= np.uint64(1)
+    return pa.table(
+        {
+            "band": pa.array(
+                np.tile(np.arange(_N_BANDS, dtype=np.int32), n),
+                pa.int32(),
+            ),
+            "bucket": pa.array(
+                mix.reshape(-1).astype(np.int64), pa.int64()
+            ),
+            "doc_id": pa.array(
+                np.repeat(np.asarray(ids, dtype=np.int64), _N_BANDS),
+                pa.int64(),
+            ),
+        }
+    )
 
 
 def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=3,
@@ -342,10 +405,9 @@ def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=3,
     that feed a doc_a-keyed join can dedup inside that join for free).
     """
     bands = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "k": k},
+        minhash_band_batch,
+        fn_kwargs={"text_col": text_col, "id_col": id_col, "k": k},
         batch_format="pyarrow",
-        concurrency=(2, 8),
     )
 
     def pairs_in_band(tbl: pa.Table) -> pa.Table:
@@ -593,20 +655,17 @@ def _verify_broadcast(ds, cand, threshold, text_col, id_col, k):
     wanted = {a for a, _ in pairs} | {b for _, b in pairs}
     wanted_ref = ray.put(wanted)
 
-    class KeepWanted:
-        def __init__(self):
-            self.wanted = ray.get(wanted_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            mask = pa.array(
-                [i in self.wanted for i in b.column(id_col).to_pylist()],
-                pa.bool_(),
-            )
-            return b.select([id_col, text_col]).filter(mask)
+    def keep_wanted(b: pa.Table) -> pa.Table:
+        w = _cached_get(wanted_ref)
+        mask = pa.array(
+            [i in w for i in b.column(id_col).to_pylist()],
+            pa.bool_(),
+        )
+        return b.select([id_col, text_col]).filter(mask)
 
     texts = {}
     for b in (
-        ds.map_batches(KeepWanted, batch_format="pyarrow", concurrency=(2, 8))
+        ds.map_batches(keep_wanted, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow", batch_size=None)
     ):
         texts.update(
@@ -622,24 +681,18 @@ def _verify_broadcast(ds, cand, threshold, text_col, id_col, k):
     )
     import ray.data
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch.column("doc_a").to_pylist()
-            b = batch.column("doc_b").to_pylist()
-            j = [
-                ngram_jaccard(self.texts[x], self.texts[y], k)
-                for x, y in zip(a, b)
-            ]
-            out = batch.append_column("jaccard", pa.array(j, pa.float64()))
-            return out.filter(
-                pc.greater_equal(out.column("jaccard"), pa.scalar(threshold))
-            )
+    def verify(batch: pa.Table) -> pa.Table:
+        tx = _cached_get(texts_ref)
+        a = batch.column("doc_a").to_pylist()
+        b = batch.column("doc_b").to_pylist()
+        j = [ngram_jaccard(tx[x], tx[y], k) for x, y in zip(a, b)]
+        out = batch.append_column("jaccard", pa.array(j, pa.float64()))
+        return out.filter(
+            pc.greater_equal(out.column("jaccard"), pa.scalar(threshold))
+        )
 
     return ray.data.from_arrow(pairs_tbl).map_batches(
-        Verify, batch_format="pyarrow", concurrency=(2, 8), batch_size=4096
+        verify, batch_format="pyarrow", batch_size=4096
     )
 
 
@@ -660,11 +713,18 @@ def _token_hashes(texts, memo):
     return out
 
 
+_SIMHASH_MEMO: dict = {}
+_SIMHASH_WEIGHTS = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
 class SimHashStage:
-    """map_batches actor: vectorized 64-bit simhash per document.
+    """Vectorized 64-bit simhash per document (task-pool map_batches;
+    the token-hash memo lives at module level, once per worker
+    process -- the task equivalent of per-actor state without cold
+    actor spin-up).
 
     Per batch: hash each distinct token once (memoized across batches
-    in the actor), unpack all token hashes to a (n_tokens_total, 64)
+    in the process), unpack all token hashes to a (n_tokens_total, 64)
     bit matrix, segment-sum the +/-1 votes per document with
     np.add.reduceat, and read the sign bits -- no per-bit Python loop.
     """
@@ -672,10 +732,12 @@ class SimHashStage:
     def __init__(self, text_col="text", id_col="doc_id"):
         self.text_col = text_col
         self.id_col = id_col
-        self.memo = {}
-        self._weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        self.memo = _SIMHASH_MEMO
+        self._weights = _SIMHASH_WEIGHTS
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(self.memo) > 2_000_000:  # bound process memory
+            self.memo.clear()
         texts = batch.column(self.text_col).to_pylist()
         hashes = _token_hashes(texts, self.memo)
         lens = np.array([len(h) for h in hashes], dtype=np.int64)
@@ -724,13 +786,16 @@ def _simhash64(text: str) -> int:
     return out
 
 
+def _simhash_batch(batch: pa.Table, text_col="text", id_col="doc_id"):
+    return SimHashStage(text_col, id_col)(batch)
+
+
 def simhash(ds, text_col="text", id_col="doc_id"):
     """Adds a 64-bit simhash fingerprint column (vectorized)."""
     return ds.map_batches(
-        SimHashStage,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        _simhash_batch,
+        fn_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=(2, 8),
     )
 
 
@@ -877,36 +942,31 @@ def embedding_near_dups(
     cent = kmeans_centroids(ds, n_clusters=n_clusters, vec_col=vec_col)
     cent_ref = ray.put(cent)
 
-    class AssignProbes:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
+    def assign_probes(b: pa.Table) -> pa.Table:
+        cent = _cached_get(cent_ref)
+        mat = _normalize(
+            np.array(b.column(vec_col).to_pylist(), dtype=np.float64)
+        )
+        sims = mat @ cent.T
+        k = min(n_probe, sims.shape[1])
+        probes = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        ids = b.column(id_col).to_pylist()
+        out_bucket, out_id, out_vec = [], [], []
+        vecs = b.column(vec_col).to_pylist()
+        for r in range(len(ids)):
+            for c in probes[r]:
+                out_bucket.append(int(c))
+                out_id.append(ids[r])
+                out_vec.append(vecs[r])
+        return pa.table(
+            {
+                "bucket": pa.array(out_bucket, pa.int32()),
+                id_col: pa.array(out_id, pa.int64()),
+                vec_col: pa.array(out_vec),
+            }
+        )
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            mat = _normalize(
-                np.array(b.column(vec_col).to_pylist(), dtype=np.float64)
-            )
-            sims = mat @ self.cent.T
-            k = min(n_probe, sims.shape[1])
-            probes = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-            ids = b.column(id_col).to_pylist()
-            out_bucket, out_id, out_vec = [], [], []
-            vecs = b.column(vec_col).to_pylist()
-            for r in range(len(ids)):
-                for c in probes[r]:
-                    out_bucket.append(int(c))
-                    out_id.append(ids[r])
-                    out_vec.append(vecs[r])
-            return pa.table(
-                {
-                    "bucket": pa.array(out_bucket, pa.int32()),
-                    id_col: pa.array(out_id, pa.int64()),
-                    vec_col: pa.array(out_vec),
-                }
-            )
-
-    probed = ds.map_batches(
-        AssignProbes, batch_format="pyarrow", concurrency=(2, 8)
-    )
+    probed = ds.map_batches(assign_probes, batch_format="pyarrow")
 
     cand = probed.groupby("bucket").map_groups(
         pairs_in_bucket, batch_format="pyarrow"

@@ -29,13 +29,16 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class BruteForceTopK:
-    """map_batches actor: per-batch cosine top-k partials."""
+    """Per-batch cosine top-k partials (task-pool map_batches; the
+    broadcast query matrix deserializes once per worker process via
+    the module cache -- the task equivalent of actor __init__ state
+    without cold actor spin-up)."""
 
     def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
-        import ray
+        from .dedup import _cached_get
 
         q_ids, q_mat = (
-            ray.get(queries_ref)
+            _cached_get(queries_ref)
             if not isinstance(queries_ref, tuple)
             else queries_ref
         )
@@ -66,16 +69,24 @@ class BruteForceTopK:
         )
 
 
+def _brute_topk_batch(batch, queries_ref, k, vec_col, id_col):
+    return BruteForceTopK(queries_ref, k, vec_col, id_col)(batch)
+
+
+def _ivf_assign_batch(batch, cent_ref, vec_col, id_col):
+    return IVFAssign(cent_ref, vec_col, id_col)(batch)
+
+
 def knn_bruteforce(ds, queries, k=10, vec_col="embedding", id_col="vec_id"):
     """Global top-k per query.  ``queries`` = (q_ids, q_matrix)."""
     import ray
 
     queries_ref = ray.put(queries)
     partials = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_args=(queries_ref, k, vec_col, id_col),
+        _brute_topk_batch,
+        fn_kwargs={"queries_ref": queries_ref, "k": k,
+                   "vec_col": vec_col, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=(2, 8),
     )
 
     def reduce_topk(tbl: pa.Table) -> pa.Table:
@@ -109,9 +120,13 @@ class IVFAssign:
     """Assign each vector to its nearest centroid bucket."""
 
     def __init__(self, cent_ref, vec_col, id_col):
-        import ray
+        from .dedup import _cached_get
 
-        self.cent = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) else cent_ref
+        self.cent = (
+            cent_ref
+            if isinstance(cent_ref, np.ndarray)
+            else _cached_get(cent_ref)
+        )
         self.vec_col = vec_col
         self.id_col = id_col
 
@@ -138,10 +153,10 @@ def knn_ivf(ds, queries, k=10, n_clusters=16, n_probe=4, vec_col="embedding", id
     cent = kmeans_centroids(ds, n_clusters=n_clusters, vec_col=vec_col)
     cent_ref = ray.put(cent)
     bucketed = ds.map_batches(
-        IVFAssign,
-        fn_constructor_args=(cent_ref, vec_col, id_col),
+        _ivf_assign_batch,
+        fn_kwargs={"cent_ref": cent_ref, "vec_col": vec_col,
+                   "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=(2, 8),
     )
     q_ids, q_mat = queries
     qn = _normalize(np.asarray(q_mat, dtype=np.float32))
@@ -176,10 +191,10 @@ def ivf_build_index(
     cent = kmeans_centroids(ds, n_clusters=n_clusters, vec_col=vec_col)
     cent_ref = ray.put(cent)
     bucketed = ds.map_batches(
-        IVFAssign,
-        fn_constructor_args=(cent_ref, vec_col, id_col),
+        _ivf_assign_batch,
+        fn_kwargs={"cent_ref": cent_ref, "vec_col": vec_col,
+                   "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=(2, 8),
     )
     bucketed.write_parquet(index_path, partition_cols=["ivf_bucket"])
     cent_tbl = pa.table(
