@@ -730,7 +730,13 @@ def _q_sgr_spans(sf_dir: str):
             }
         )
 
-    return _transcripts_ds(sf_dir).map_batches(convert, batch_format="pyarrow")
+    import ray.data
+
+    path = _cache.ensure_transcripts(sf_dir)
+    ds = ray.data.read_parquet(
+        path, columns=["conv_id", "turn_idx", "text"]
+    )
+    return ds.map_batches(convert, batch_format="pyarrow")
 
 
 def _q_index_entries(sf_dir: str):
