@@ -108,7 +108,9 @@ def exact_dedup(ds, text_col="text", id_col="doc_id", n_shuffle_buckets=256):
     count, small key) and decides on the text itself inside each
     bucket: two distinct texts colliding into one hash each keep their
     own minimum-id row (collision-safe).  Identical texts always share
-    a hash, hence a bucket, so the dedup is exact.
+    a hash, hence a bucket, so the dedup is exact.  Size
+    ``n_shuffle_buckets`` so one bucket's rows (corpus/n) fit a worker
+    -- the partitioning knob to raise with corpus size.
     """
     hashed = ds.map_batches(
         lambda b: _text_hash_batch(b, text_col), batch_format="pyarrow"
@@ -154,7 +156,9 @@ def conversation_fingerprints(
 
     One conv-bucket shuffle (conversations never split); each bucket
     group emits one tiny row per conversation, so the output is
-    #conversations rows regardless of input size.
+    #conversations rows regardless of input size.  Size ``n_buckets``
+    so one bucket's turns fit a worker (conversation-partitioned
+    inputs can instead use the shuffle-free path below).
     """
     import zlib
 
@@ -354,10 +358,12 @@ def _get_hasher(k: int) -> "_MinHasher":
 
 
 def minhash_band_batch(
-    batch: pa.Table, text_col="text", id_col="doc_id", k=3
+    batch: pa.Table, text_col="text", id_col="doc_id", k=3, subdiv=8
 ) -> pa.Table:
     """text -> banded LSH bucket keys (flat output), one row per
-    (doc, band): (band, bucket, doc_id)."""
+    (doc, band): (g, bucket, doc_id) where g = band * subdiv +
+    bucket mod subdiv is the shuffle key (equal buckets always share
+    a g; one band spreads over subdiv groups)."""
     ids = batch.column(id_col).to_pylist()
     texts = batch.column(text_col).to_pylist()
     n = len(texts)
@@ -378,15 +384,13 @@ def minhash_band_batch(
     # bands never alias, then clear the sign bit for int64 storage
     mix = (mix * mult) ^ np.arange(_N_BANDS, dtype=np.uint64)[None, :]
     mix >>= np.uint64(1)
+    bands_row = np.tile(np.arange(_N_BANDS, dtype=np.int64), n)
+    buckets = mix.reshape(-1).astype(np.int64)
+    g = bands_row * subdiv + (buckets % subdiv)
     return pa.table(
         {
-            "band": pa.array(
-                np.tile(np.arange(_N_BANDS, dtype=np.int32), n),
-                pa.int32(),
-            ),
-            "bucket": pa.array(
-                mix.reshape(-1).astype(np.int64), pa.int64()
-            ),
+            "g": pa.array(g.astype(np.int32), pa.int32()),
+            "bucket": pa.array(buckets, pa.int64()),
             "doc_id": pa.array(
                 np.repeat(np.asarray(ids, dtype=np.int64), _N_BANDS),
                 pa.int64(),
@@ -396,17 +400,28 @@ def minhash_band_batch(
 
 
 def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=3,
-                            dedup=True):
+                            dedup=True, band_subdivisions=8):
     """LSH candidate pairs (doc_a < doc_b).
 
-    One shuffle keyed on ``band`` (32 coarse groups); bucket collisions
-    inside a band are enumerated with a vectorized sort + run scan.
-    ``dedup=False`` skips the cross-band pair dedup shuffle (callers
-    that feed a doc_a-keyed join can dedup inside that join for free).
+    One shuffle keyed on (band, bucket mod ``band_subdivisions``):
+    pairs only form between rows whose full bucket matches, so
+    subdividing a band by bucket bits preserves the pair set exactly
+    while capping one group at ~1/band_subdivisions of the corpus --
+    a whole band of a 10^9-doc corpus must never land in a single
+    map_groups worker.  Raise band_subdivisions with corpus size (the
+    partitioning knob); bucket collisions inside each group are
+    enumerated with a vectorized sort + run scan.  ``dedup=False``
+    skips the cross-band pair dedup shuffle (callers that feed a
+    doc_a-keyed join can dedup inside that join for free).
     """
     bands = ds.map_batches(
         minhash_band_batch,
-        fn_kwargs={"text_col": text_col, "id_col": id_col, "k": k},
+        fn_kwargs={
+            "text_col": text_col,
+            "id_col": id_col,
+            "k": k,
+            "subdiv": band_subdivisions,
+        },
         batch_format="pyarrow",
     )
 
@@ -432,7 +447,7 @@ def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=3,
             {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
         )
 
-    cand = bands.groupby("band").map_groups(
+    cand = bands.groupby("g").map_groups(
         pairs_in_band, batch_format="pyarrow"
     )
     if not dedup:
