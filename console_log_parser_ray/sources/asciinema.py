@@ -71,7 +71,10 @@ def frames_to_turns(frames_ds):
 
     One shuffle keyed on conv_id; inside each group an ordered scan
     buffers payload until LF, exactly like the reference's byteline
-    assembly (reference asciinema2html.py:303-308).
+    assembly (reference asciinema2html.py:303-308).  Partitioning
+    assumption: one recording's frames fit a worker; a giant recording
+    should be pre-split and routed through the runner's
+    heavy-conversation chunk path after assembly.
     """
 
     def assemble(tbl: pa.Table) -> pa.Table:
