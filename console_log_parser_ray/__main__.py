@@ -149,11 +149,33 @@ def main(argv=None):
         from .stages.enrich import EnrichTurns
         from .state.config import load_todo_config
 
+        from .state.config import parse_todo_json
+
         cfg, suppress_map, files = load_todo_config(args.todo)
         enricher = EnrichTurns(cfg)
-        base = os.path.dirname(os.path.abspath(args.todo))
+        todo_dir = os.path.dirname(os.path.abspath(args.todo))
+        with open(args.todo, encoding="utf-8") as fh:
+            data = parse_todo_json(fh.read())
+
+        def _resolve(key):
+            # absolute dirs win; relative join the todo file's dir
+            # (reference main.py:177-191)
+            d = data.get(key)
+            if not d:
+                return todo_dir
+            return d if os.path.isabs(d) else os.path.join(todo_dir, d)
+
+        base = _resolve("base_dir_in")
+        todo_out = _resolve("base_dir_out")
         entries = []
         for f in files:
+            if "in" not in f:
+                print(
+                    "console_log_parser_ray: error: todo file entry "
+                    "without 'in': {!r}".format(f),
+                    file=sys.stderr,
+                )
+                return 2
             in_path = os.path.join(base, f["in"])
             fid = f.get("id") or os.path.splitext(f["in"])[0]
             fmt = f.get("format", "terminal")
@@ -168,7 +190,7 @@ def main(argv=None):
             parsed = enricher(parsed)
             entry = _emit(
                 parsed,
-                args.out or ".",
+                args.out or todo_out,
                 f.get("palette", args.palette),
                 f.get("title"),
                 review=bool(f.get("review")),
@@ -182,7 +204,8 @@ def main(argv=None):
                 entries.append(entry)
         from .functions.html import render_index
 
-        out_dir = args.out or "."
+        out_dir = args.out or todo_out
+        os.makedirs(out_dir, exist_ok=True)
         with open(
             os.path.join(out_dir, "index.html"), "w", encoding="utf-8"
         ) as fh:

@@ -82,3 +82,28 @@ def test_cli_suppression(tmp_path, oracle_results):
         cmd_filter=[2],
     )
     assert "".join(t.sort_by("turn_idx").column("clean_text").to_pylist()) == oracle.text
+
+
+def test_cli_batch_base_dirs(tmp_path):
+    """base_dir_in/base_dir_out resolve like the reference: absolute
+    wins, relative joins the todo file's directory (main.py:177-191);
+    a file entry without 'in' is a clean exit-2 error, not a
+    traceback."""
+    todo = {
+        "base_dir_in": "/root/reference/test/resources",
+        "base_dir_out": "rendered",
+        "files": [{"id": "t3", "in": "testtermlog_3.log"}],
+    }
+    todo_path = tmp_path / "todo.json"
+    todo_path.write_text("/* comment */\n" + json.dumps(todo))
+    out = _run_cli(["--todo", str(todo_path)])
+    assert out.returncode == 0, out.stderr
+    assert (tmp_path / "rendered" / "testtermlog_3.html").exists()
+    assert (tmp_path / "rendered" / "index.html").exists()
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"files": [{"id": "x", "file": "y.log"}]}))
+    out = _run_cli(["--todo", str(bad)])
+    assert out.returncode == 2
+    assert "without 'in'" in out.stderr
+    assert "Traceback" not in out.stderr
