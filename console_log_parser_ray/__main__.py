@@ -96,6 +96,7 @@ def _emit(
     as_html=True,
     review=False,
     chapters=(),
+    out_name=None,
 ):
     conv_id = parsed.column("conv_id")[0].as_py() if parsed.num_rows else "session"
     if out_dir is None:
@@ -104,8 +105,11 @@ def _emit(
         )
         return None
     os.makedirs(out_dir, exist_ok=True)
+    # an explicit per-entry "out" filename wins (reference main.py:205-210);
+    # the index then links that name instead of <conv_id>.html
+    stem = os.path.splitext(out_name)[0] if out_name else conv_id
     pq.write_table(
-        parsed, os.path.join(out_dir, conv_id + ".parquet"), compression="zstd"
+        parsed, os.path.join(out_dir, stem + ".parquet"), compression="zstd"
     )
     if as_html:
         from .functions.html import render_conversation
@@ -115,13 +119,13 @@ def _emit(
             rows, palette=palette, title=title or conv_id, review=review
         )
         with open(
-            os.path.join(out_dir, conv_id + ".html"), "w", encoding="utf-8"
+            os.path.join(out_dir, stem + ".html"), "w", encoding="utf-8"
         ) as fh:
             fh.write(html)
     import pyarrow.compute as pc
 
     n_cmds = pc.max(parsed.column("cmd_count")).as_py() or 0
-    return (conv_id, title or conv_id, n_cmds, list(chapters))
+    return (stem, title or conv_id, n_cmds, list(chapters))
 
 
 def main(argv=None):
@@ -199,6 +203,7 @@ def main(argv=None):
                     for (cid, cmd), t in cfg.chapters.items()
                     if cid == fid
                 ),
+                out_name=f.get("out"),
             )
             if entry:
                 entries.append(entry)
