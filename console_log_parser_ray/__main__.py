@@ -147,7 +147,60 @@ def main(argv=None):
     ap.add_argument(
         "--todo", help="batch todo-list JSON (reference main.py:173-264)"
     )
+    ap.add_argument(
+        "--replay",
+        action="store_true",
+        help="replay the session to stdout with simulated typing "
+        "(reference terminalreplay.py)",
+    )
+    ap.add_argument(
+        "--speed",
+        type=float,
+        default=3.0,
+        help="typing speed for --replay (reference default 3)",
+    )
+    ap.add_argument(
+        "--raw-cmdline",
+        action="store_true",
+        help="--replay: echo prompt keystrokes as typed instead of the "
+        "cleaned-up command line",
+    )
+    ap.add_argument(
+        "--print-vim",
+        action="store_true",
+        help="--replay: also play vim-session content",
+    )
+    ap.add_argument(
+        "--instant",
+        action="store_true",
+        help="--replay: skip the typing delays",
+    )
     args = ap.parse_args(argv)
+
+    if args.replay:
+        if not args.infile:
+            ap.error("--replay requires an input file")
+        if args.format != "terminal":
+            ap.error("--replay supports terminal logs only")
+        if not os.path.exists(args.infile):
+            print(
+                f"console_log_parser_ray: error: no such file: {args.infile}",
+                file=sys.stderr,
+            )
+            return 2
+        import time
+
+        from .functions.replay import play, replay_schedule
+
+        with open(args.infile, "rb") as fh:
+            sched = replay_schedule(
+                fh.readlines(),
+                speed=args.speed,
+                cleanup_cmdline=not args.raw_cmdline,
+                print_vim=args.print_vim,
+            )
+        play(sched, sys.stdout, sleep_fn=None if args.instant else time.sleep)
+        return 0
 
     if args.todo:
         from .stages.enrich import EnrichTurns

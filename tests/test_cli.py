@@ -107,3 +107,27 @@ def test_cli_batch_base_dirs(tmp_path):
     assert out.returncode == 2
     assert "without 'in'" in out.stderr
     assert "Traceback" not in out.stderr
+
+
+def test_cli_replay_matches_oracle():
+    """--replay --instant writes the reference replay stream (the
+    typing schedule's text, pacing skipped) to stdout."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from refbridge import read_log_lines, run_reference_replay
+
+    path = "/root/reference/test/resources/testtermlog_1.log"
+    expect = "".join(t for _, t in run_reference_replay(read_log_lines(path)))
+    # bytes-mode subprocess: text=True would translate the stream's \r
+    out = subprocess.run(
+        [sys.executable, "-m", "console_log_parser_ray", "--replay",
+         "--instant", path],
+        capture_output=True,
+        cwd=REPO,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.decode("utf-8") == expect
+
+    out = _run_cli(["--replay", "--instant", "--format", "asciinema", path])
+    assert out.returncode == 2
+    assert "terminal logs only" in out.stderr

@@ -176,6 +176,67 @@ def run_reference(lines: list[bytes], cmd_filter=()) -> OracleResult:
     )
 
 
+def run_reference_replay(
+    lines: list[bytes],
+    speed: float = 3.0,
+    cleanup_cmdline: bool = True,
+    print_vim: bool = False,
+) -> list[tuple[float, str]]:
+    """Drive the reference replay sink (terminalreplay.VT2Output) over
+    one conversation and capture its stdout stream as a normalized
+    typing schedule [(delay_before_s, text), ...].
+
+    ``time.sleep`` is stubbed to accumulate delays instead of sleeping.
+    The reference's ``vim_start`` arity bug (terminalreplay.py:178 —
+    crashes on any vim-containing recording) is patched here the way
+    the engine fixes it, so vim logs are usable as oracle input.
+    """
+    import io
+
+    import terminalreplay
+    from terminalreplay import VT2Output
+
+    class FixedVT2Output(VT2Output):
+        def vim_start(self, ev_props=None):
+            self.in_vim = True
+
+    sched: list[tuple[float, str]] = []
+    pend = [0.0]
+
+    def fake_sleep(d):
+        pend[0] += d
+
+    class Capture(io.StringIO):
+        def write(self, s):
+            if s:
+                if sched and pend[0] == 0.0:
+                    sched[-1] = (sched[-1][0], sched[-1][1] + s)
+                else:
+                    sched.append((pend[0], s))
+                    pend[0] = 0.0
+            return len(s)
+
+    old_sleep = terminalreplay.sleep
+    terminalreplay.sleep = fake_sleep
+    parser = TermLogParser()
+    out = FixedVT2Output()
+    out.speed = speed
+    out.cleanup_cmdline = cleanup_cmdline
+    out.print_vim = print_vim
+    parser.terminal_output_handler = out
+    parser.control_sequence_handler = out
+    parser.tlp_event_listener = out
+    old_stdout = sys.stdout
+    sys.stdout = Capture()
+    try:
+        for line in lines:
+            parser.parse(line)
+    finally:
+        sys.stdout = old_stdout
+        terminalreplay.sleep = old_sleep
+    return sched
+
+
 def read_log_lines(path: str) -> list[bytes]:
     with open(path, "rb") as fh:
         return fh.readlines()
