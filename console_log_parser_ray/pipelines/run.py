@@ -266,11 +266,9 @@ def _run_sharded(input_path, out_dir, cfg=None, resume=True):
         elif r["kind"] == "sink_count":
             sink_counts[r["k1"]] = sink_counts.get(r["k1"], 0) + r["n1"]
 
-    import pyarrow.parquet as pq
-
     agg_dir = os.path.join(out_dir, "aggregates")
     os.makedirs(agg_dir, exist_ok=True)
-    pq.write_table(
+    _atomic_write_table(
         pa.table(
             {
                 "role": pa.array(list(role_counts), pa.string()),
@@ -279,7 +277,7 @@ def _run_sharded(input_path, out_dir, cfg=None, resume=True):
         ),
         os.path.join(agg_dir, "counts_by_role.parquet"),
     )
-    pq.write_table(
+    _atomic_write_table(
         pa.table(
             {
                 "sink": pa.array(list(sink_counts), pa.string()),
@@ -1049,7 +1047,6 @@ def _write_aggregates_from_manifests(out_dir: str):
     """Cumulative per-sink counts from ALL committed manifests (tiny):
     a resumed run's aggregates cover skipped buckets too."""
     import collections
-    import pyarrow.parquet as pq
 
     role_total = collections.Counter()
     sink_total = collections.Counter()
@@ -1061,7 +1058,7 @@ def _write_aggregates_from_manifests(out_dir: str):
 
     agg_dir = os.path.join(out_dir, "aggregates")
     os.makedirs(agg_dir, exist_ok=True)
-    pq.write_table(
+    _atomic_write_table(
         pa.table(
             {
                 "role": pa.array(list(role_total), pa.string()),
@@ -1070,7 +1067,7 @@ def _write_aggregates_from_manifests(out_dir: str):
         ),
         os.path.join(agg_dir, "counts_by_role.parquet"),
     )
-    pq.write_table(
+    _atomic_write_table(
         pa.table(
             {
                 "sink": pa.array(list(sink_total), pa.string()),
