@@ -185,17 +185,16 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(doubled).select_columns(["doc_id"])
 
 
-def _q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH near-dup over the documents table augmented with
-    DETERMINISTICALLY perturbed copies (doc_id + 1e6; the middle token
-    is dropped when a document has >= 60 tokens, else the copy is
-    exact), so every planted pair has shingle-Jaccard >= 0.91 and the
-    0.9-threshold output equals the exact all-pairs >= 0.9 ground
-    truth, which the SQL oracle computes directly (shingle sets and
-    Jaccard are list arithmetic in DuckDB)."""
+def _minhash_aug(sf_dir: str):
+    """The planted near-dup corpus: documents plus DETERMINISTICALLY
+    perturbed copies (doc_id + 1e6; the middle token is dropped when a
+    document has >= 60 tokens, else the copy is exact), so every
+    planted pair has shingle-Jaccard >= 0.91 and a 0.9-threshold LSH
+    output equals the exact all-pairs >= 0.9 ground truth, which the
+    SQL oracles compute directly (shingle sets and Jaccard are list
+    arithmetic in DuckDB)."""
     import pyarrow as pa
 
-    from console_log_parser_ray.stages.dedup import minhash_near_dups
     from console_log_parser_ray.stages.textan import ascii_tokens
 
     docs = _docs(sf_dir).select_columns(["doc_id", "text"])
@@ -217,10 +216,47 @@ def _q_dedup_minhash(sf_dir: str):
             }
         )
 
-    aug = docs.union(docs.map_batches(perturb, batch_format="pyarrow"))
-    return minhash_near_dups(aug, threshold=0.9).select_columns(
+    return docs.union(docs.map_batches(perturb, batch_format="pyarrow"))
+
+
+def _q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup over the planted corpus (``_minhash_aug``)."""
+    from console_log_parser_ray.stages.dedup import minhash_near_dups
+
+    return minhash_near_dups(_minhash_aug(sf_dir), threshold=0.9).select_columns(
         ["doc_a", "doc_b"]
     )
+
+
+def _q_dup_clusters(sf_dir: str):
+    """Near-dup clustering: connected components over the MinHash+LSH
+    pair graph of the planted corpus -- every document labeled with its
+    duplicate-cluster id (min reachable doc_id) and whether it is the
+    canonical representative a curation pipeline would keep.  The SQL
+    oracle recomputes the exact pair set all-pairs and folds it with a
+    recursive CTE, so the iterative distributed label propagation is
+    pinned end-to-end."""
+    from console_log_parser_ray.stages.dedup import (
+        dup_cluster_labels,
+        minhash_near_dups,
+    )
+
+    aug = _minhash_aug(sf_dir)
+    pairs = minhash_near_dups(aug, threshold=0.9)
+    return dup_cluster_labels(pairs, aug.select_columns(["doc_id"]))
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: the 5%-hash-sampled documents stand
+    in for an eval set; every document is flagged with its count of
+    distinct 5-token-gram collisions against that set (broadcast
+    membership, no shuffle)."""
+    from console_log_parser_ray.stages.events import deterministic_sample
+    from console_log_parser_ray.stages.textan import decontaminate
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    bench = deterministic_sample(docs, rate_pct=5)
+    return decontaminate(docs, bench, n=5)
 
 
 def _q_token_jaccard(sf_dir: str):
@@ -964,6 +1000,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twebber_hops": _q_twebber_hops,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
+        "dup_clusters": _q_dup_clusters,
+        "decontaminate": _q_decontaminate,
         "token_jaccard": _q_token_jaccard,
         "embedding_near_dups": _q_embedding_near_dups,
         "simhash": _q_simhash,
@@ -1293,6 +1331,70 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE a.doc_id < b.doc_id) "
             "SELECT doc_a, doc_b FROM j "
             "WHERE i * 1.0 / (t - i) >= 0.9"
+        ),
+        "dup_clusters": (
+            # Same exact all-pairs ground-truth edge set as
+            # dedup_minhash, folded into components by a recursive CTE:
+            # (node, lab) is reachable-from, min(lab) per node is the
+            # component minimum -- algorithm-independent of the
+            # engine's distributed label propagation.
+            "WITH RECURSIVE base AS (SELECT doc_id, "
+            "  regexp_extract_all(text, '\\S+') AS toks FROM documents), "
+            "pert AS (SELECT doc_id + 1000000 AS doc_id, "
+            "  CASE WHEN len(toks) >= 60 "
+            "  THEN list_concat(toks[1:len(toks)//2], "
+            "       toks[len(toks)//2+2:]) "
+            "  ELSE toks END AS toks FROM base), "
+            "aug AS (SELECT doc_id, toks FROM base "
+            "  UNION ALL SELECT doc_id, toks FROM pert), "
+            "s AS (SELECT doc_id, list_distinct("
+            "  CASE WHEN len(toks) < 3 "
+            "  THEN [array_to_string(toks, ' ')] "
+            "  ELSE list_transform(generate_series(1, len(toks)-2), "
+            "    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) "
+            "  END) AS sh FROM aug), "
+            "j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "  len(list_intersect(a.sh, b.sh)) AS i, "
+            "  len(a.sh) + len(b.sh) AS t FROM s a, s b "
+            "  WHERE a.doc_id < b.doc_id), "
+            "edges AS (SELECT doc_a, doc_b FROM j "
+            "  WHERE i * 1.0 / (t - i) >= 0.9), "
+            "reach(node, lab) AS ("
+            "  SELECT doc_id, doc_id FROM aug "
+            "  UNION "
+            "  SELECT CASE WHEN r.node = e.doc_b THEN e.doc_a "
+            "         ELSE e.doc_b END, r.lab "
+            "  FROM reach r JOIN edges e "
+            "  ON r.node = e.doc_a OR r.node = e.doc_b) "
+            "SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id, "
+            "(min(lab) = node) AS canonical FROM reach GROUP BY node"
+        ),
+        "decontaminate": (
+            # bench = the 5% hash sample (the deterministic_sample
+            # predicate, 2^32 * 5 // 100 = 214748364); hits = distinct
+            # 5-token-grams shared with the bench set, identical \S+
+            # tokenization on both sides.
+            "WITH bench AS (SELECT text FROM documents "
+            "  WHERE ((doc_id & 2147483647) * 2654435761) % 4294967296 "
+            "  < 214748364), "
+            "bt AS (SELECT regexp_extract_all(text, '\\S+') AS tk "
+            "  FROM bench), "
+            "bg AS (SELECT DISTINCT ng AS ngram FROM ("
+            "  SELECT unnest(list_transform(generate_series(1, len(tk)-4), "
+            "    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], "
+            "    tk[i+4]))) AS ng FROM bt WHERE len(tk) >= 5)), "
+            "dt AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk "
+            "  FROM documents), "
+            "dg AS (SELECT DISTINCT doc_id, ng AS ngram FROM ("
+            "  SELECT doc_id, unnest(list_transform("
+            "    generate_series(1, len(tk)-4), "
+            "    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], "
+            "    tk[i+4]))) AS ng FROM dt WHERE len(tk) >= 5)), "
+            "hits AS (SELECT dg.doc_id, count(*) AS n_hits FROM dg "
+            "  JOIN bg USING (ngram) GROUP BY dg.doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) "
+            "AS n_hits, coalesce(h.n_hits, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN hits h USING (doc_id)"
         ),
         # rows-only (non-SQL-expressible) queries intentionally omitted:
         # knn_ivf / knn_ivf_indexed (approximate by design)

@@ -122,6 +122,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "ngram_topk",
         "curate",
         "redact",
+        "dup_clusters",
+        "decontaminate",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

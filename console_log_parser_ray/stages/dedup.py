@@ -987,3 +987,230 @@ def embedding_near_dups(
         pairs_in_bucket, batch_format="pyarrow"
     )
     return _dedup_pair_rows(cand)
+
+
+def connected_components(
+    edges_ds,
+    nodes_ds,
+    id_col="doc_id",
+    a_col="doc_a",
+    b_col="doc_b",
+    max_iters: int = 25,
+    n_join_buckets: int = 32,
+):
+    """Connected components over an undirected duplicate-pair graph:
+    the clustering step after near-dup pair generation.  Every node
+    gets ``cluster_id`` = the minimum node id reachable from it, plus
+    ``canonical`` (it IS that minimum -- the representative a curation
+    pipeline keeps).
+
+    Iterative min-label propagation, Ray-Data-native: per round, labels
+    are attached to edge destinations by grouped hash-join co-location
+    (one shuffle keyed on a coarse bucket of ``dst`` -- no broadcast of
+    either side), the resulting messages union with the current labels,
+    and ``groupby(node).min(label)`` folds them.  Convergence is
+    detected with a tiny ``sum(label)`` aggregate, which strictly
+    decreases until fixpoint (labels only ever shrink).  Rounds needed
+    = component diameter; duplicate graphs are overwhelmingly tiny
+    star/chain components, so a handful of rounds converge.  Each round
+    materializes only the label table (one int64 pair per node) and the
+    doubled edge list -- never any text.
+
+    Partitioning assumptions: ``nodes_ds`` must cover every edge
+    endpoint (endpoints without a label row receive no messages), and
+    one ``n_join_buckets`` slice of nodes+incident edges must fit a
+    worker.  Raises if ``max_iters`` rounds do not converge rather than
+    returning a partially-propagated clustering.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b.column(a_col).cast(pa.int64()).combine_chunks()
+        bb = b.column(b_col).cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "dst": pa.concat_arrays([a, bb]),
+                "src": pa.concat_arrays([bb, a]),
+            }
+        )
+
+    und = edges_ds.map_batches(both_dirs, batch_format="pyarrow")
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).cast(pa.int64()).combine_chunks()
+        return pa.table({"node": ids, "label": ids})
+
+    labels = nodes_ds.map_batches(
+        init_labels, batch_format="pyarrow"
+    ).materialize()
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        dst = b.column("dst")
+        return pa.table(
+            {
+                "jb": pc.cast(_mod(dst, n_join_buckets), pa.int32()),
+                "key": dst,
+                "src": b.column("src"),
+                "label": pa.nulls(b.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_labels(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "jb": pc.cast(
+                    _mod(b.column("node"), n_join_buckets), pa.int32()
+                ),
+                "key": b.column("node"),
+                "src": pa.nulls(b.num_rows, pa.int64()),
+                "label": b.column("label"),
+            }
+        )
+
+    # doubled edge list reused every round; materialize once
+    tagged_edges = und.map_batches(
+        tag_edges, batch_format="pyarrow"
+    ).materialize()
+
+    def join_group(tbl: pa.Table) -> pa.Table:
+        is_lab = pc.is_valid(tbl.column("label"))
+        labs = tbl.filter(is_lab)
+        edges = tbl.filter(pc.invert(is_lab))
+        idx = pc.index_in(
+            edges.column("key"), value_set=labs.column("key").combine_chunks()
+        )
+        out = pa.table(
+            {
+                "node": edges.column("src"),
+                "label": pc.take(
+                    labs.column("label").combine_chunks(), idx
+                ),
+            }
+        )
+        return out.filter(pc.is_valid(out.column("label")))
+
+    def checksum(lab_ds) -> int:
+        row = lab_ds.aggregate(Sum("label"))
+        return row["sum(label)"]
+
+    prev = checksum(labels)
+    for _ in range(max_iters):
+        messages = tagged_edges.union(
+            labels.map_batches(tag_labels, batch_format="pyarrow")
+        ).groupby("jb").map_groups(join_group, batch_format="pyarrow")
+        labels = (
+            labels.union(messages)
+            .groupby("node")
+            .aggregate(Min("label"))
+            .rename_columns({"min(label)": "label"})
+            .materialize()
+        )
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("node"),
+                "cluster_id": b.column("label"),
+                "canonical": pc.equal(
+                    b.column("node"), b.column("label")
+                ),
+            }
+        )
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_cluster_labels(
+    pairs_ds,
+    nodes_ds,
+    id_col="doc_id",
+    a_col="doc_a",
+    b_col="doc_b",
+    pair_limit: int = 2_000_000,
+    **cc_kwargs,
+):
+    """Size-adaptive duplicate clustering (the same adaptivity as the
+    minhash verify step): the dup-pair graph is minuscule next to the
+    corpus -- at 100 TB the edge list is O(duplicates found), the node
+    table is the corpus.  Below ``pair_limit`` pairs, the edge list is
+    collected once, union-found locally (union-by-min with path
+    compression), and the node->cluster map is broadcast via
+    ``ray.put``; the corpus side then streams through ONE stateless
+    ``map_batches`` with a vectorized searchsorted lookup -- no
+    per-iteration shuffles.  Above the limit, falls back to the
+    distributed label propagation of ``connected_components`` (same
+    output, O(diameter) grouped-join rounds).
+
+    Output: one row per node -- ``doc_id``, ``cluster_id`` (min node id
+    in its component), ``canonical`` (doc_id == cluster_id).
+    """
+    # materialize the (small) pair set once: count + iteration would
+    # otherwise each re-execute the whole candidate-generation lineage
+    pairs = pairs_ds.select_columns([a_col, b_col]).materialize()
+    if pairs.count() > pair_limit:
+        return connected_components(
+            pairs,
+            nodes_ds,
+            id_col=id_col,
+            a_col=a_col,
+            b_col=b_col,
+            **cc_kwargs,
+        )
+
+    import ray
+
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in pairs.iter_batches(batch_format="pyarrow"):
+        cols_a = batch.column(a_col).to_pylist()
+        cols_b = batch.column(b_col).to_pylist()
+        for va, vb in zip(cols_a, cols_b):
+            ra, rb = find(int(va)), find(int(vb))
+            if ra != rb:
+                # union by min: the root IS the component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+
+    keys = np.array(sorted(parent), dtype=np.int64)
+    roots = np.array([find(int(k)) for k in keys], dtype=np.int64)
+    map_ref = ray.put((keys, roots))
+
+    def assign(b: pa.Table) -> pa.Table:
+        k, r = _cached_get(map_ref)
+        ids = (
+            b.column(id_col)
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        cluster = ids.copy()
+        if len(k):
+            idx = np.searchsorted(k, ids)
+            idx[idx >= len(k)] = 0
+            hit = k[idx] == ids
+            cluster[hit] = r[idx[hit]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cluster, pa.int64()),
+                "canonical": pa.array(cluster == ids, pa.bool_()),
+            }
+        )
+
+    return nodes_ds.map_batches(assign, batch_format="pyarrow")

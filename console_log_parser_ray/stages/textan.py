@@ -104,6 +104,91 @@ def normalize_text(ds, text_col="text", out_col="norm"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _doc_ngrams(text: str, n: int) -> list:
+    toks = ascii_tokens(text)
+    return [
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    ]
+
+
+def decontaminate(
+    ds,
+    bench_ds,
+    n: int = 5,
+    text_col="text",
+    id_col="doc_id",
+    max_bench_ngrams: int = 5_000_000,
+):
+    """Benchmark decontamination: flag corpus documents that share any
+    token ``n``-gram with a benchmark/eval corpus (the standard
+    training-data leakage gate, a la the GPT-3 13-gram rule).
+
+    Scale shape: the benchmark side is SMALL by construction (eval sets
+    are megabytes even when the corpus is 100 TB), so its distinct
+    n-grams are reduced per block, collected once on the driver,
+    ``ray.put`` once, and every corpus batch runs one vectorized
+    ``pc.is_in`` membership test against the shared array -- no
+    shuffle, no join, the corpus streams through a single stateless
+    map.  ``max_bench_ngrams`` guards the broadcast-side assumption.
+    Per-doc distinct-hit counting touches only the (rare) matching
+    positions.  Tokenization is the shared RE2 ``\\S+`` rule, so the
+    DuckDB oracle computes the identical set arithmetic.
+    """
+    import ray
+
+    from .dedup import _cached_get
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        grams = set()
+        for text in batch.column(text_col).to_pylist():
+            grams.update(_doc_ngrams(text, n))
+        return pa.table({"ngram": pa.array(sorted(grams), pa.string())})
+
+    grams: set = set()
+    for tbl in bench_ds.map_batches(
+        bench_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        grams.update(tbl.column("ngram").to_pylist())
+        if len(grams) > max_bench_ngrams:
+            raise ValueError(
+                "benchmark n-gram set exceeds max_bench_ngrams="
+                f"{max_bench_ngrams}; decontaminate broadcasts the "
+                "benchmark side and requires it to be small"
+            )
+    bench_ref = ray.put(pa.array(sorted(grams), pa.string()))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bench_arr = _cached_get(bench_ref)
+        ids = batch.column(id_col).cast(pa.int64())
+        flat, idx = [], []
+        for i, text in enumerate(batch.column(text_col).to_pylist()):
+            g = _doc_ngrams(text, n)
+            flat.extend(g)
+            idx.extend([i] * len(g))
+        n_hits = np.zeros(batch.num_rows, dtype=np.int64)
+        if flat:
+            mask = pc.is_in(
+                pa.array(flat, pa.string()), value_set=bench_arr
+            ).to_numpy(zero_copy_only=False)
+            # distinct hits per doc: only matching positions are touched
+            seen = set()
+            idx_np = np.asarray(idx, dtype=np.int64)
+            for j in np.flatnonzero(mask):
+                key = (int(idx_np[j]), flat[j])
+                if key not in seen:
+                    seen.add(key)
+                    n_hits[idx_np[j]] += 1
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "contaminated": pa.array(n_hits > 0, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def ngram_topk(ds, n=3, k=20, text_col="text"):
     """Corpus-wide top-k token n-grams.
 

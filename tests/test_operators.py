@@ -664,3 +664,136 @@ def test_ngram_topk(ray_session):
     assert got[0] == {"ngram": "a b c", "n": 3}
     # count-1 ties broken by ngram ascending
     assert [r["ngram"] for r in got[1:]] == ["b c a", "b c d"]
+
+
+def test_connected_components(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.dedup import connected_components
+
+    # chain 1-2-3-4 (3 propagation hops), star 10<-{11,12}, singleton 99
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": [2, 3, 4, 11, 12],
+                "doc_b": [1, 2, 3, 10, 10],
+            }
+        )
+    ).repartition(3)
+    nodes = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2, 3, 4, 10, 11, 12, 99]})
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["canonical"])
+        for r in connected_components(edges, nodes).take_all()
+    }
+    assert got == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        4: (1, False),
+        10: (10, True),
+        11: (10, False),
+        12: (10, False),
+        99: (99, True),
+    }
+
+
+def test_connected_components_raises_without_convergence(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.dedup import connected_components
+
+    # a 5-chain needs 4 propagation rounds; cap at 1 must raise rather
+    # than return a partially-propagated clustering
+    edges = ray.data.from_arrow(
+        pa.table({"doc_a": [2, 3, 4, 5], "doc_b": [1, 2, 3, 4]})
+    )
+    nodes = ray.data.from_arrow(pa.table({"doc_id": [1, 2, 3, 4, 5]}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iters=1)
+
+
+def test_decontaminate(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import decontaminate
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "a b c d e f g",        # in bench: 3 distinct 5-grams
+                    "p q r s t u",          # clean
+                    "zz a b c d e yy",      # shares "a b c d e": 1 hit
+                    "a b c d e a b c d e",  # windows 1 and 6 both hit,
+                                            # distinct collapses to 1
+                ],
+            }
+        )
+    ).repartition(2)
+    bench = ray.data.from_arrow(
+        pa.table({"doc_id": [100], "text": ["a b c d e f g"]})
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(docs, bench, n=5).take_all()
+    }
+    assert got == {
+        0: (3, True),
+        1: (0, False),
+        2: (1, True),
+        3: (1, True),
+    }
+
+
+def test_decontaminate_bench_size_guard(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import decontaminate
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": [0], "text": ["a b c d e f"]})
+    )
+    with pytest.raises(ValueError, match="max_bench_ngrams"):
+        decontaminate(docs, docs, n=5, max_bench_ngrams=1)
+
+
+def test_dup_cluster_labels_both_paths(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.dedup import dup_cluster_labels
+
+    edges = ray.data.from_arrow(
+        pa.table({"doc_a": [2, 3, 12], "doc_b": [1, 2, 10]})
+    )
+    nodes = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2, 3, 10, 12, 99]})
+    ).repartition(2)
+    want = {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        10: (10, True),
+        12: (10, False),
+        99: (99, True),
+    }
+    for limit in (0, 1_000_000):  # 0 forces the distributed fallback
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["canonical"])
+            for r in dup_cluster_labels(
+                edges, nodes, pair_limit=limit
+            ).take_all()
+        }
+        assert got == want, limit
