@@ -246,6 +246,36 @@ def _q_dup_clusters(sf_dir: str):
     return dup_cluster_labels(pairs, aug.select_columns(["doc_id"]))
 
 
+def _q_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table (k=8,
+    deterministic smallest-id seeding, two assignment rounds with one
+    centroid update between).  The SQL oracle unrolls the identical
+    iterations in CTEs -- seed, argmin assign, per-position centroid
+    means, re-assign -- so the broadcast/partial-sum implementation is
+    pinned by exact cluster assignments, not just row counts."""
+    from console_log_parser_ray.stages.similarity import kmeans_clusters
+
+    return kmeans_clusters(
+        _embeddings(sf_dir).select_columns(["vec_id", "embedding"]),
+        k=8,
+        n_assign=2,
+    )
+
+
+def _q_sample_stratified(sf_dir: str):
+    """Balanced per-source document sample: the 20 rows per source
+    whose multiplicative doc_id hash sorts lowest -- block-local top-k
+    partials, one bounded shuffle."""
+    from console_log_parser_ray.stages.events import sample_per_group
+
+    return sample_per_group(
+        _docs(sf_dir).select_columns(["doc_id", "source"]),
+        group_col="source",
+        k=20,
+        id_col="doc_id",
+    )
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: the 5%-hash-sampled documents stand
     in for an eval set; every document is flagged with its count of
@@ -1002,6 +1032,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dup_clusters": _q_dup_clusters,
         "decontaminate": _q_decontaminate,
+        "sample_stratified": _q_sample_stratified,
+        "kmeans": _q_kmeans,
         "token_jaccard": _q_token_jaccard,
         "embedding_near_dups": _q_embedding_near_dups,
         "simhash": _q_simhash,
@@ -1368,6 +1400,45 @@ def oracle_sql() -> dict[str, str]:
             "  ON r.node = e.doc_a OR r.node = e.doc_b) "
             "SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id, "
             "(min(lab) = node) AS canonical FROM reach GROUP BY node"
+        ),
+        "kmeans": (
+            # Lloyd's unrolled: seed = 8 smallest vec_ids, assign by
+            # euclidean argmin (ties toward the lower cluster id),
+            # per-position centroid means, re-assign; distances in
+            # DOUBLE on both sides.
+            "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "  FROM embeddings), "
+            "dim AS (SELECT max(len(v)) AS d FROM emb), "
+            "init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
+            "  AS cluster, v FROM emb ORDER BY vec_id LIMIT 8), "
+            "a1 AS (SELECT e.vec_id, i.cluster, "
+            "  row_number() OVER (PARTITION BY e.vec_id "
+            "    ORDER BY list_distance(e.v, i.v), i.cluster) AS rn "
+            "  FROM emb e CROSS JOIN init i), "
+            "asg1 AS (SELECT vec_id, cluster FROM a1 WHERE rn = 1), "
+            "m1 AS (SELECT a.cluster, gs.i AS pos, avg(e.v[gs.i]) AS val "
+            "  FROM emb e JOIN asg1 a USING (vec_id) "
+            "  CROSS JOIN (SELECT unnest(generate_series(1, "
+            "    (SELECT d FROM dim))) AS i) gs "
+            "  GROUP BY a.cluster, gs.i), "
+            "c1 AS (SELECT cluster, list(val ORDER BY pos) AS v FROM m1 "
+            "  GROUP BY cluster), "
+            "c1f AS (SELECT cluster, v FROM c1 UNION ALL "
+            "  SELECT cluster, v FROM init "
+            "  WHERE cluster NOT IN (SELECT cluster FROM c1)), "
+            "a2 AS (SELECT e.vec_id, c.cluster, "
+            "  row_number() OVER (PARTITION BY e.vec_id "
+            "    ORDER BY list_distance(e.v, c.v), c.cluster) AS rn "
+            "  FROM emb e CROSS JOIN c1f c) "
+            "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster "
+            "FROM a2 WHERE rn = 1"
+        ),
+        "sample_stratified": (
+            # the deterministic_sample hash as a per-group rank
+            "SELECT doc_id, source FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY source "
+            "ORDER BY ((doc_id & 2147483647) * 2654435761) % 4294967296, "
+            "doc_id) <= 20"
         ),
         "decontaminate": (
             # bench = the 5% hash sample (the deterministic_sample

@@ -242,3 +242,54 @@ def twebber_hops(frames_ds, pair_col="pair_id"):
         )
 
     return frames_ds.groupby(pair_col).map_groups(walk, batch_format="pyarrow")
+
+
+def sample_per_group(
+    ds,
+    group_col: str,
+    k: int = 20,
+    id_col: str = "doc_id",
+):
+    """Deterministic stratified sample: the ``k`` rows per group whose
+    multiplicative id hash sorts lowest (ties by id) -- balanced
+    per-source/per-language subsampling for training-data mixes, with
+    the same cross-engine reproducibility story as
+    ``deterministic_sample``.
+
+    Scale shape: each block pre-reduces to its own per-group top-k
+    (vectorized lexsort + bounded take), so the one shuffle moves at
+    most ``k`` rows per group PER BLOCK, never whole groups; the final
+    per-group fold is the same bounded reduction.  Output rows keep
+    ``(id, group)`` plus the hash so the fold needs no recompute.
+    """
+
+    def hash_col(b: pa.Table):
+        ids = b.column(id_col).cast(pa.int64())
+        ids31 = pc.bit_wise_and(ids, pa.scalar((1 << 31) - 1, pa.int64()))
+        h = pc.multiply(ids31, pa.scalar(_SAMPLE_MULT, pa.int64()))
+        return pc.bit_wise_and(h, pa.scalar(_SAMPLE_MOD - 1, pa.int64()))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                id_col: b.column(id_col).cast(pa.int64()),
+                group_col: b.column(group_col),
+                "h": hash_col(b),
+            }
+        )
+        df = t.to_pandas()
+        df = df.sort_values(["h", id_col], kind="mergesort")
+        df = df.groupby(group_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("h", "ascending"), (id_col, "ascending")]
+        )
+        return tbl.take(idx[:k]).select([id_col, group_col])
+
+    return partial.groupby(group_col).map_groups(
+        fold, batch_format="pyarrow"
+    )

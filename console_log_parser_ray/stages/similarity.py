@@ -237,3 +237,110 @@ def knn_ivf_indexed(
     ]
     ds = ray.data.read_parquet(files, columns=[id_col, vec_col])
     return knn_bruteforce(ds, queries, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def kmeans_clusters(ds, k: int = 8, n_assign: int = 2, vec_col="embedding",
+                    id_col="vec_id"):
+    """Lloyd's k-means over an embedding column with DETERMINISTIC
+    seeding: the initial centroids are the vectors of the ``k``
+    smallest ids, and ``n_assign`` assignment rounds run with one
+    centroid update between consecutive rounds (``n_assign=2`` =
+    assign, update, assign).  Returns one ``(vec_id, cluster)`` row
+    per vector; cluster ids are 0..k-1 in seed-id order.  Ties in the
+    squared-euclidean argmin break toward the lower cluster id, and an
+    emptied cluster keeps its previous centroid -- both choices are
+    mirrored exactly by the SQL oracle.
+
+    Scale shape: the corpus never shuffles.  Seeding is a per-block
+    min-k partial + driver fold (k rows per block); each iteration
+    broadcasts the k x dim centroid matrix (``ray.put``), every batch
+    computes one matmul argmin and emits k partial-sum rows, and the
+    driver folds blocks x k tiny rows into the next centroids; the
+    final pass is one stateless assignment map."""
+    import ray
+
+    from .dedup import _cached_get
+
+    def f64_matrix(b: pa.Table) -> np.ndarray:
+        # float64 straight from the Arrow list column -- the float32
+        # roundtrip in _batch_matrix would diverge from the oracle's
+        # DOUBLE[] arithmetic
+        arr = b.column(vec_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return np.array(arr.to_pylist(), dtype=np.float64)
+
+    def argmin_d2(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # direct (x-c)^2 form, matching the oracle's list_distance
+        # element-wise subtraction (the |x|^2-2xc+|c|^2 expansion has
+        # larger rounding error and can flip near-ties)
+        d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d2, axis=1)
+
+    def local_seed(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(b, sort_keys=[(id_col, "ascending")])
+        return b.take(idx[:k]).select([id_col, vec_col])
+
+    seed_rows = []
+    for tbl in ds.map_batches(
+        local_seed, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        seed_rows.extend(
+            zip(tbl.column(id_col).to_pylist(), tbl.column(vec_col).to_pylist())
+        )
+    seed_rows.sort(key=lambda r: r[0])
+    cents = np.asarray([v for _, v in seed_rows[:k]], dtype=np.float64)
+
+    def partial_sums_fn(cent_ref):
+        def partial_sums(b: pa.Table) -> pa.Table:
+            c = _cached_get(cent_ref)
+            mat = f64_matrix(b)
+            assign = argmin_d2(mat, c)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=c.shape[0])
+            return pa.table(
+                {
+                    "cluster": pa.array(range(c.shape[0]), pa.int64()),
+                    "n": pa.array(counts, pa.int64()),
+                    "vsum": pa.array([list(map(float, r)) for r in sums]),
+                }
+            )
+
+        return partial_sums
+
+    for _ in range(n_assign - 1):
+        cent_ref = ray.put(cents)
+        sums = np.zeros_like(cents)
+        counts = np.zeros(k, dtype=np.int64)
+        for tbl in ds.map_batches(
+            partial_sums_fn(cent_ref), batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            # Ray may concatenate several per-block partials into one
+            # batch, so cluster ids repeat -- fancy-index += would drop
+            # duplicates; np.add.at accumulates them all
+            cl = np.asarray(tbl.column("cluster").to_pylist())
+            np.add.at(counts, cl, np.asarray(tbl.column("n").to_pylist()))
+            np.add.at(sums, cl, np.asarray(tbl.column("vsum").to_pylist()))
+        nonempty = counts > 0
+        cents = cents.copy()
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    final_ref = ray.put(cents)
+
+    def assign_batch(b: pa.Table) -> pa.Table:
+        c = _cached_get(final_ref)
+        mat = f64_matrix(b)
+        ids = b.column(id_col).cast(pa.int64())
+        return pa.table(
+            {
+                "vec_id": ids,
+                "cluster": pa.array(
+                    argmin_d2(mat, c).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(assign_batch, batch_format="pyarrow")

@@ -797,3 +797,61 @@ def test_dup_cluster_labels_both_paths(ray_session):
             ).take_all()
         }
         assert got == want, limit
+
+
+def test_sample_per_group_bounded_and_deterministic(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        _SAMPLE_MOD,
+        _SAMPLE_MULT,
+        sample_per_group,
+    )
+
+    rows = [
+        {"doc_id": i, "source": "s{}".format(i % 3)} for i in range(60)
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    got = sample_per_group(ds, "source", k=5, id_col="doc_id").take_all()
+    assert len(got) == 15
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # expected: per source, the 5 ids with smallest multiplicative hash
+    def h(i):
+        return ((i & 0x7FFFFFFF) * _SAMPLE_MULT) % _SAMPLE_MOD
+
+    for s in ("s0", "s1", "s2"):
+        ids = [i for i in range(60) if "s{}".format(i % 3) == s]
+        want = sorted(sorted(ids, key=lambda i: (h(i), i))[:5])
+        assert sorted(by_src[s]) == want, s
+
+
+def test_kmeans_clusters_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.similarity import kmeans_clusters
+
+    # three well-separated planted clusters; seeds are the 3 smallest
+    # ids, one per cluster, so Lloyd's must recover the planting
+    rng = np.random.default_rng(7)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = centers[c] + rng.normal(scale=0.1, size=2)
+        rows.append({"vec_id": i, "embedding": [float(v[0]), float(v[1])]})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_clusters(ds, k=3, n_assign=2).take_all()
+    }
+    assert len(got) == 90
+    # seed ids 0,1,2 define cluster labels 0,1,2 = planted c
+    for i in range(90):
+        assert got[i] == i % 3, i
