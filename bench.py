@@ -124,6 +124,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "redact",
         "dup_clusters",
         "decontaminate",
+        "sample_stratified",
+        "kmeans",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
