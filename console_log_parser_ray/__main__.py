@@ -97,6 +97,7 @@ def _emit(
     review=False,
     chapters=(),
     out_name=None,
+    assets_rel=None,
 ):
     conv_id = parsed.column("conv_id")[0].as_py() if parsed.num_rows else "session"
     if out_dir is None:
@@ -116,7 +117,11 @@ def _emit(
 
         rows = parsed.sort_by("turn_idx").to_pylist()
         html = render_conversation(
-            rows, palette=palette, title=title or conv_id, review=review
+            rows,
+            palette=palette,
+            title=title or conv_id,
+            review=review,
+            assets_rel=assets_rel,
         )
         with open(
             os.path.join(out_dir, stem + ".html"), "w", encoding="utf-8"
@@ -224,6 +229,11 @@ def main(argv=None):
 
         base = _resolve("base_dir_in")
         todo_out = _resolve("base_dir_out")
+        # shared player assets once per output tree (reference
+        # copy_asciinema_files, asciinema2html.py:383-397)
+        from .functions.assets import assets_rel_dir, write_player_assets
+
+        write_player_assets(args.out or todo_out)
         entries = []
         for f in files:
             if "in" not in f:
@@ -257,6 +267,7 @@ def main(argv=None):
                     if cid == fid
                 ),
                 out_name=f.get("out"),
+                assets_rel=assets_rel_dir(),
             )
             if entry:
                 entries.append(entry)
@@ -291,7 +302,13 @@ def main(argv=None):
             file=sys.stderr,
         )
         return 2
-    _emit(parsed, args.out, args.palette, args.title)
+    assets_rel = None
+    if args.out:
+        from .functions.assets import assets_rel_dir, write_player_assets
+
+        write_player_assets(args.out)
+        assets_rel = assets_rel_dir()
+    _emit(parsed, args.out, args.palette, args.title, assets_rel=assets_rel)
     return 0
 
 

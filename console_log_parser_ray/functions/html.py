@@ -307,6 +307,7 @@ def render_conversation(
     review=False,
     review_hops=None,
     dark_bg=True,
+    assets_rel=None,
 ) -> str:
     """One parsed conversation (sorted turn rows) -> an HTML document.
 
@@ -316,13 +317,23 @@ def render_conversation(
     dropdown asciinema player; ``review`` adds frame timestamps and the
     raw session dumps, and ``review_hops`` -- (from_ts, to_ts) pairs
     from the twebber alignment -- render jump markers once their time
-    passes (reference asciinema2html.py:85-100).
+    passes (reference asciinema2html.py:85-100).  ``assets_rel`` (e.g.
+    ``"acp/v2"``) links the shared player CSS/JS written by
+    ``functions.assets.write_player_assets`` instead of leaving the
+    <asciinema-player> tags bare (reference copy_asciinema_files,
+    asciinema2html.py:383-397).
     """
     colors = PALETTES.get(palette, PALETTES["MyDracula"])
     body_fg = colors[DARK_BG[dark_bg]["F9"]]
     body_bg = colors[DARK_BG[dark_bg]["B9"]]
+    head_extra = ""
+    if assets_rel:
+        from .assets import head_links
+
+        head_extra = head_links(assets_rel)
     parts = [
         "<!DOCTYPE html><html><head><meta charset=\"utf-8\"/>",
+        head_extra,
         "<title>{}</title></head>\n".format(escape_html(title or "session")),
         '<body style="background:{};color:{}"><pre>'.format(body_bg, body_fg),
     ]
@@ -506,13 +517,21 @@ def html_sink(parsed_ds, out_dir: str, palette: str = "MyDracula"):
     """
     import os
 
+    from .assets import assets_rel_dir, write_player_assets
+
     os.makedirs(out_dir, exist_ok=True)
+    # shared player assets once per output tree, before any task runs
+    # (reference copy_asciinema_files)
+    write_player_assets(out_dir)
+    rel = assets_rel_dir()
 
     def per_conv(tbl: pa.Table) -> pa.Table:
         tbl = tbl.sort_by("turn_idx")
         conv = tbl.column("conv_id")[0].as_py()
         cols = tbl.to_pylist()
-        html = render_conversation(cols, palette=palette, title=conv)
+        html = render_conversation(
+            cols, palette=palette, title=conv, assets_rel=rel
+        )
         n_cmds = max((r["cmd_count"] for r in cols), default=0)
         path = os.path.join(out_dir, conv + ".html")
         tmp = path + ".tmp.{}".format(os.getpid())

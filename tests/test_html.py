@@ -223,9 +223,54 @@ def test_html_sink_writes_in_task(ray_session, tmp_path):
     n = html_sink(ds, out)
     assert n == 2
     files = sorted(os.listdir(out))
-    assert files == ["index.html", "s1.html", "s2.html"]
+    assert files == ["acp", "index.html", "s1.html", "s2.html"]
     doc = open(os.path.join(out, "s1.html")).read()
     assert "out &lt;&amp;&gt;" in doc
     idx = open(os.path.join(out, "index.html")).read()
     assert 's1.html' in idx and "(1 commands)" in idx
     assert not [f for f in files if ".tmp." in f]
+
+
+def test_player_assets_written_and_linked(tmp_path):
+    """S7: the shared player assets land under acp/v2 exactly once
+    (reference copy_asciinema_files, asciinema2html.py:383-397) and
+    pages link them relatively."""
+    import os
+
+    from console_log_parser_ray.functions.assets import (
+        assets_rel_dir,
+        write_player_assets,
+    )
+    from console_log_parser_ray.functions.html import render_conversation
+
+    out = str(tmp_path / "out")
+    rels = write_player_assets(out)
+    assert rels == [
+        "acp/v2/asciinema-player.css",
+        "acp/v2/asciinema-player.js",
+    ]
+    for rel in rels:
+        p = os.path.join(out, rel)
+        assert os.path.exists(p) and os.path.getsize(p) > 0
+    before = {rel: os.stat(os.path.join(out, rel)).st_mtime_ns for rel in rels}
+    # idempotent: a second call (concurrent batch entry / resume) does
+    # not rewrite committed files
+    write_player_assets(out)
+    after = {rel: os.stat(os.path.join(out, rel)).st_mtime_ns for rel in rels}
+    assert before == after
+    assert not [
+        f
+        for f in os.listdir(os.path.join(out, "acp", "v2"))
+        if ".tmp." in f
+    ]
+
+    rows = [
+        {"conv_id": "c", "turn_idx": 0, "clean_text": "hi\n",
+         "cmd_count": 1, "is_prompt": True, "in_vim": False,
+         "suppressed": False},
+    ]
+    doc = render_conversation(rows, assets_rel=assets_rel_dir())
+    assert 'href="acp/v2/asciinema-player.css"' in doc
+    assert 'src="acp/v2/asciinema-player.js"' in doc
+    bare = render_conversation(rows)
+    assert "asciinema-player.js" not in bare
