@@ -343,6 +343,15 @@ def _q_token_stats(sf_dir: str):
     return token_stats(_docs(sf_dir))
 
 
+def _q_rep_signals(sf_dir: str):
+    """Line-repetition / boilerplate quality signals (Gopher-style
+    duplicate-line and top-line fractions) -- stateless map_batches,
+    exact-integer counts so the SQL division mirror is bit-for-bit."""
+    from console_log_parser_ray.stages.textan import rep_signals
+
+    return rep_signals(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def _q_quality(sf_dir: str):
     from console_log_parser_ray.stages.textan import quality_scores
 
@@ -1038,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "simhash": _q_simhash,
         "token_stats": _q_token_stats,
+        "rep_signals": _q_rep_signals,
         "quality": _q_quality,
         "lang_hist": _q_lang_hist,
         "lang_pred": _q_lang_pred,
@@ -1179,6 +1189,23 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(text, "
             "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces, "
             "length(text) AS n_chars FROM documents"
+        ),
+        "rep_signals": (
+            # same definition as the engine: non-empty newline-split
+            # lines; integer counts, float64 divisions
+            "WITH lines AS (SELECT doc_id, unnest(string_split(text, "
+            "  chr(10))) AS line FROM documents), "
+            "nz AS (SELECT doc_id, line FROM lines WHERE line <> ''), "
+            "per_line AS (SELECT doc_id, line, count(*) AS c FROM nz "
+            "  GROUP BY doc_id, line), "
+            "agg AS (SELECT doc_id, sum(c) AS n, count(*) AS d, "
+            "  max(c) AS t FROM per_line GROUP BY doc_id) "
+            "SELECT doc.doc_id, "
+            "CAST(coalesce(agg.n, 0) AS BIGINT) AS n_lines, "
+            "coalesce((agg.n - agg.d) * 1.0 / agg.n, 0.0) "
+            "  AS dup_line_frac, "
+            "coalesce(agg.t * 1.0 / agg.n, 0.0) AS top_line_frac "
+            "FROM documents doc LEFT JOIN agg USING (doc_id)"
         ),
         "quality": (
             "SELECT doc_id, "

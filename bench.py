@@ -126,6 +126,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "decontaminate",
         "sample_stratified",
         "kmeans",
+        "rep_signals",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

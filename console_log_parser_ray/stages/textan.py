@@ -67,6 +67,76 @@ DEFAULT_REDACT_RULES = (
 )
 
 
+def rep_signals(ds, text_col="text", id_col="doc_id"):
+    """Repetition / boilerplate signals per document -- the standard
+    pre-training quality gates on line-level repetition (a la the
+    Gopher/MassiveText rules): over the document's NON-EMPTY
+    newline-split lines,
+
+    - ``n_lines``: how many there are,
+    - ``dup_line_frac``: ``(n_lines - distinct_lines) / n_lines``,
+    - ``top_line_frac``: occurrences of the most frequent line over
+      ``n_lines``;
+
+    both fractions are 0.0 for documents with no non-empty line.  All
+    counts are exact-integer and the divisions run in float64, so the
+    DuckDB oracle (same split, same filters) matches bit-for-bit.
+
+    Scale shape: a stateless ``map_batches`` -- no shuffle; the line
+    explosion lives only inside one batch (Arrow split + C-level
+    pandas groupby), never in the object store.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        lines = pc.split_pattern(batch.column(text_col), pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = lines.flatten()
+        # row index for every exploded line, from the list offsets
+        counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(batch)), counts)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "i": row_idx[keep],
+                "line": flat.to_pandas().to_numpy()[keep],
+            }
+        )
+        n_lines = np.zeros(len(batch), dtype=np.int64)
+        n_distinct = np.zeros(len(batch), dtype=np.int64)
+        top = np.zeros(len(batch), dtype=np.int64)
+        if len(df):
+            per_line = df.groupby(["i", "line"], sort=False).size()
+            by_doc = per_line.groupby(level="i")
+            agg = pd.DataFrame(
+                {
+                    "n": by_doc.sum(),
+                    "d": by_doc.size(),
+                    "t": by_doc.max(),
+                }
+            )
+            ii = agg.index.to_numpy()
+            n_lines[ii] = agg["n"].to_numpy()
+            n_distinct[ii] = agg["d"].to_numpy()
+            top[ii] = agg["t"].to_numpy()
+        denom = np.where(n_lines > 0, n_lines, 1).astype(np.float64)
+        return pa.table(
+            {
+                id_col: ids,
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "dup_line_frac": pa.array(
+                    (n_lines - n_distinct) / denom, pa.float64()
+                ),
+                "top_line_frac": pa.array(top / denom, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def redact(ds, rules=DEFAULT_REDACT_RULES, text_col="text", out_col="redacted"):
     """Regex scrubbing (PII-style redaction) -- a vectorized
     replace_substring_regex chain per batch, rules applied in order."""

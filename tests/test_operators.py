@@ -855,3 +855,32 @@ def test_kmeans_clusters_planted(ray_session):
     # seed ids 0,1,2 define cluster labels 0,1,2 = planted c
     for i in range(90):
         assert got[i] == i % 3, i
+
+
+def test_rep_signals_fractions(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import rep_signals
+
+    rows = [
+        {"doc_id": 0, "text": "a\nb\na\n\na"},   # 4 non-empty: a,b,a,a
+        {"doc_id": 1, "text": ""},                # no lines
+        {"doc_id": 2, "text": "\n\n"},            # only empties
+        {"doc_id": 3, "text": "x\ny\nz"},         # all distinct
+        {"doc_id": 4, "text": "s\ns\ns\ns"},      # all duplicate
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    got = {r["doc_id"]: r for r in rep_signals(ds).take_all()}
+    assert got[0]["n_lines"] == 4
+    assert got[0]["dup_line_frac"] == (4 - 2) / 4
+    assert got[0]["top_line_frac"] == 3 / 4
+    for d in (1, 2):
+        assert got[d]["n_lines"] == 0
+        assert got[d]["dup_line_frac"] == 0.0
+        assert got[d]["top_line_frac"] == 0.0
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["top_line_frac"] == 1 / 3
+    assert got[4]["dup_line_frac"] == 3 / 4
+    assert got[4]["top_line_frac"] == 1.0
