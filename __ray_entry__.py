@@ -343,6 +343,17 @@ def _q_token_stats(sf_dir: str):
     return token_stats(_docs(sf_dir))
 
 
+def _q_shard_assign(sf_dir: str):
+    """Deterministic hash-shard placement for training-data export
+    (16 shards): the rule `stages/export.export_shards` writes with,
+    pinned as a pure projection so the SQL oracle states it verbatim."""
+    from console_log_parser_ray.stages.export import shard_assignments
+
+    return shard_assignments(
+        _docs(sf_dir).select_columns(["doc_id"]), n_shards=16
+    )
+
+
 def _q_rep_signals(sf_dir: str):
     """Line-repetition / boilerplate quality signals (Gopher-style
     duplicate-line and top-line fractions) -- stateless map_batches,
@@ -1048,6 +1059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "token_stats": _q_token_stats,
         "rep_signals": _q_rep_signals,
+        "shard_assign": _q_shard_assign,
         "quality": _q_quality,
         "lang_hist": _q_lang_hist,
         "lang_pred": _q_lang_pred,
@@ -1189,6 +1201,12 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(text, "
             "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces, "
             "length(text) AS n_chars FROM documents"
+        ),
+        "shard_assign": (
+            # the export placement rule: 31-bit-masked multiplicative
+            # hash mod 2^32 mod n_shards (overflow-safe in BIGINT)
+            "SELECT doc_id, ((doc_id & 2147483647) * 2654435761) "
+            "% 4294967296 % 16 AS shard FROM documents"
         ),
         "rep_signals": (
             # same definition as the engine: non-empty newline-split

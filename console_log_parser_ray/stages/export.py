@@ -1,0 +1,138 @@
+"""Training-data export: deterministic hash sharding to partitioned
+Parquet.
+
+The last stage of a curation pipeline ships the corpus as N shard
+directories (``shard=<i>/``) that downstream training loaders read
+independently.  Two requirements drive the design:
+
+- **Deterministic placement** -- a document's shard depends only on
+  its id (31-bit-masked multiplicative hash, the same cross-engine-
+  safe form as ``stages.events.deterministic_sample``), so re-exports,
+  incremental appends, and other engines (the SQL oracle) agree on
+  every row's shard.
+- **Retry/resume safety without coordination** -- every block writes
+  its own rows into the shard directories it touches (scatter, no
+  shuffle), under a part name derived from the block's id content.
+  A retried or re-run task rewrites byte-identical files over the
+  same names (atomic tmp+rename), so failures and re-runs converge on
+  the same output tree instead of duplicating rows; no per-shard
+  locks or commit protocol needed.  The driver writes a final
+  ``_manifest.json`` with per-shard row totals once the pass
+  completes, marking the export finished.
+
+At 100 TB: no shuffle at all -- each input block streams once, writes
+out_degree <= min(n_shards, block_rows) small files, and only tiny
+per-shard count rows return to the driver.  Shard directories contain
+many part files (one per touching block); that is the layout training
+loaders want anyway, and a compaction pass is one
+``read_parquet(shard_dir).repartition(k).write_parquet`` per shard if
+ever needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .events import _SAMPLE_MOD, _SAMPLE_MULT
+
+
+def _shard_col(ids: pa.Array, n_shards: int) -> pa.Array:
+    ids64 = ids.cast(pa.int64())
+    ids31 = pc.bit_wise_and(ids64, pa.scalar((1 << 31) - 1, pa.int64()))
+    h = pc.multiply(ids31, pa.scalar(_SAMPLE_MULT, pa.int64()))
+    h = pc.bit_wise_and(h, pa.scalar(_SAMPLE_MOD - 1, pa.int64()))
+    # n_shards need not be a power of two; the modulo of the 32-bit
+    # hash is what the SQL oracle states verbatim
+    return pa.array(
+        np.mod(h.to_numpy(zero_copy_only=False), n_shards), pa.int64()
+    )
+
+
+def shard_assignments(ds, n_shards: int, id_col: str = "doc_id"):
+    """(id, shard) for every row -- the placement rule alone, as a
+    stateless projection (used standalone for planning/skew checks and
+    pinned by the ``shard_assign`` SQL oracle)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        return pa.table(
+            {id_col: ids, "shard": _shard_col(ids, n_shards)}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def export_shards(
+    ds,
+    out_dir: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+):
+    """Write ``ds`` as ``out_dir/shard=<i>/part-<hash>.parquet`` and a
+    final ``_manifest.json``; returns the per-shard row counts dict.
+
+    Scatter, not shuffle: each block splits itself by shard and writes
+    directly.  Part names hash the block's id column, so retries and
+    full re-runs rewrite identical files in place (atomic) rather than
+    appending duplicates.
+    """
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        shard = _shard_col(ids, n_shards)
+        batch = batch.set_column(
+            batch.schema.get_field_index(id_col), id_col, ids
+        ).append_column("shard", shard)
+        # block-deterministic part name: same block content -> same
+        # name, distinct blocks -> distinct names (md5 of the raw id
+        # bytes -- invariant to Arrow chunk layout)
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        digest = hashlib.md5(ids_np.tobytes()).hexdigest()[:16]
+        shards_np = shard.to_numpy(zero_copy_only=False)
+        out_s, out_n = [], []
+        for s in np.unique(shards_np):
+            sub = batch.filter(pc.equal(batch.column("shard"), int(s)))
+            sub = sub.drop_columns(["shard"])
+            d = os.path.join(out_dir, "shard={}".format(int(s)))
+            os.makedirs(d, exist_ok=True)
+            final = os.path.join(d, "part-{}.parquet".format(digest))
+            tmp = final + ".tmp.{}".format(os.getpid())
+            import pyarrow.parquet as pq
+
+            pq.write_table(sub, tmp, compression="zstd")
+            os.replace(tmp, final)
+            out_s.append(int(s))
+            out_n.append(sub.num_rows)
+        return pa.table(
+            {
+                "shard": pa.array(out_s, pa.int64()),
+                "rows": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    counts = {}
+    for tbl in ds.map_batches(
+        write_block, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for s, n in zip(
+            tbl.column("shard").to_pylist(), tbl.column("rows").to_pylist()
+        ):
+            counts[s] = counts.get(s, 0) + n
+    manifest = {
+        "n_shards": n_shards,
+        "rows_per_shard": {str(k): counts[k] for k in sorted(counts)},
+        "total_rows": sum(counts.values()),
+    }
+    mpath = os.path.join(out_dir, "_manifest.json")
+    tmp = mpath + ".tmp.{}".format(os.getpid())
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, mpath)
+    return counts

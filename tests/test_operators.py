@@ -884,3 +884,63 @@ def test_rep_signals_fractions(ray_session):
     assert got[3]["top_line_frac"] == 1 / 3
     assert got[4]["dup_line_frac"] == 3 / 4
     assert got[4]["top_line_frac"] == 1.0
+
+
+def test_export_shards_layout_and_idempotent_rerun(ray_session, tmp_path):
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from console_log_parser_ray.stages.export import (
+        export_shards,
+        shard_assignments,
+    )
+
+    rows = [{"doc_id": i, "text": "doc {}".format(i)} for i in range(200)]
+    tbl = pa.Table.from_pylist(rows)
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    out = str(tmp_path / "exp")
+    counts = export_shards(ds, out, n_shards=8)
+    assert sum(counts.values()) == 200
+
+    # placement matches the projection operator
+    want = {
+        r["doc_id"]: r["shard"]
+        for r in shard_assignments(
+            ray.data.from_arrow(tbl), n_shards=8
+        ).take_all()
+    }
+    got = {}
+    for s in counts:
+        d = os.path.join(out, "shard={}".format(s))
+        for f in sorted(os.listdir(d)):
+            assert f.startswith("part-") and f.endswith(".parquet")
+            for did in pq.read_table(d + "/" + f).column("doc_id").to_pylist():
+                assert did not in got
+                got[did] = s
+    assert got == want
+
+    man = json.load(open(os.path.join(out, "_manifest.json")))
+    assert man["total_rows"] == 200
+    assert man["rows_per_shard"] == {str(k): v for k, v in counts.items()}
+
+    # re-run converges on the identical file set, no duplicate rows
+    files_before = {
+        (s, f): os.path.getsize(os.path.join(out, "shard={}".format(s), f))
+        for s in counts
+        for f in os.listdir(os.path.join(out, "shard={}".format(s)))
+    }
+    ds2 = ray.data.from_arrow(tbl).repartition(6)
+    counts2 = export_shards(ds2, out, n_shards=8)
+    assert counts2 == counts
+    files_after = {
+        (s, f): os.path.getsize(os.path.join(out, "shard={}".format(s), f))
+        for s in counts
+        for f in os.listdir(os.path.join(out, "shard={}".format(s)))
+    }
+    assert files_after == files_before
+    assert not [f for _, f in files_after if ".tmp." in f]
