@@ -343,6 +343,17 @@ def _q_token_stats(sf_dir: str):
     return token_stats(_docs(sf_dir))
 
 
+def _q_simhash_dups(sf_dir: str):
+    """SimHash near-dup pairs (hamming <= 3) via exact pigeonhole
+    banding -- full recall, so the all-pairs SQL self-join is an exact
+    oracle, not just a recall bound."""
+    from console_log_parser_ray.stages.dedup import simhash_near_dups
+
+    return simhash_near_dups(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), max_hamming=3
+    )
+
+
 def _q_shard_assign(sf_dir: str):
     """Deterministic hash-shard placement for training-data export
     (16 shards): the rule `stages/export.export_shards` writes with,
@@ -1060,6 +1071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "rep_signals": _q_rep_signals,
         "shard_assign": _q_shard_assign,
+        "simhash_dups": _q_simhash_dups,
         "quality": _q_quality,
         "lang_hist": _q_lang_hist,
         "lang_pred": _q_lang_pred,
@@ -1256,6 +1268,18 @@ def oracle_sql() -> dict[str, str]:
             f"count(*) AS n_turns FROM {t} GROUP BY conv_id"
         ),
         "simhash": _simhash_sql(),
+        "simhash_dups": (
+            # all-pairs hamming over the same simhash CTE; exact
+            # because the engine's pigeonhole banding has full recall
+            "WITH sh AS ({}) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) "
+            "AS hamming "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3".format(
+                _simhash_sql()
+            )
+        ),
         "twebber_hops": (
             # run-boundary formulation of the two-cursor alignment: in
             # the merged (pair, absolute-time) ordering, a hop fires at

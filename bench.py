@@ -127,6 +127,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "sample_stratified",
         "kmeans",
         "rep_signals",
+        "simhash_dups",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

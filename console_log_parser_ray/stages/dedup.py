@@ -814,6 +814,108 @@ def simhash(ds, text_col="text", id_col="doc_id"):
     )
 
 
+_POPCOUNT8 = np.array(
+    [bin(i).count("1") for i in range(256)], dtype=np.uint8
+)
+
+
+def simhash_near_dups(
+    ds,
+    max_hamming: int = 3,
+    text_col="text",
+    id_col="doc_id",
+):
+    """Near-duplicate pairs by simhash Hamming distance -- banded
+    (pigeonhole) blocking with FULL recall: split the 64-bit simhash
+    into ``max_hamming + 1`` bands; two hashes within ``max_hamming``
+    differing bits can touch at most ``max_hamming`` bands, so at
+    least one band matches exactly and the pair lands in that band's
+    group.  Returns distinct ``(doc_a, doc_b, hamming)`` with
+    ``doc_a < doc_b``.
+
+    Scale shape: one band-key shuffle of tiny (band_key, doc_id,
+    simhash) rows -- never text; within each group the all-pairs
+    Hamming check is a chunked numpy xor + byte-table popcount (memory
+    bounded per chunk even for degenerate bands, e.g. the all-zeros
+    hash of empty documents); cross-band duplicate pairs are removed
+    by the coarse-bucket vectorized dedup (``_dedup_pair_rows``), not
+    a per-pair groupby."""
+    import ray.data  # noqa: F401  (ds is already a Dataset)
+
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    sigs = simhash(ds, text_col=text_col, id_col=id_col)
+
+    def explode_bands(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sh = b.column("simhash").to_numpy(zero_copy_only=False)
+        out_key = np.empty(len(ids) * n_bands, dtype=np.int64)
+        for i in range(n_bands):
+            val = (sh >> np.uint64(i * width)) & np.uint64(mask)
+            # band id in the high bits keeps bands disjoint
+            out_key[i::n_bands] = (np.int64(i) << np.int64(width + 1)) | (
+                val.astype(np.int64)
+            )
+        return pa.table(
+            {
+                "band_key": pa.array(out_key, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+                "simhash": pa.array(np.repeat(sh, n_bands), pa.uint64()),
+            }
+        )
+
+    def pairs_in_group(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = tbl.column("simhash").to_numpy(zero_copy_only=False)
+        m = len(ids)
+        if m < 2:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        order = np.argsort(ids, kind="stable")
+        ids, sh = ids[order], sh[order]
+        out_a, out_b, out_h = [], [], []
+        # chunk the row side so the (chunk, m) xor matrix stays small
+        chunk = max(1, 4_000_000 // max(m, 1))
+        for s in range(0, m, chunk):
+            e = min(s + chunk, m)
+            x = sh[s:e, None] ^ sh[None, :]
+            ham = (
+                _POPCOUNT8[x.view(np.uint8)]
+                .reshape(e - s, m, 8)
+                .sum(axis=2, dtype=np.int64)
+            )
+            # strict upper triangle only: doc_a < doc_b positionally
+            # (ids are sorted, duplicates of one id pair once)
+            ri, ci = np.nonzero(ham <= max_hamming)
+            keep = (ri + s) < ci
+            out_a.append(ids[ri[keep] + s])
+            out_b.append(ids[ci[keep]])
+            out_h.append(ham[ri[keep], ci[keep]])
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "hamming": pa.array(np.concatenate(out_h), pa.int64()),
+            }
+        )
+
+    cand = (
+        sigs.map_batches(explode_bands, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(pairs_in_group, batch_format="pyarrow")
+    )
+    return _dedup_pair_rows(cand)
+
+
 def token_jaccard_adjacent(ds, id_col="doc_id", text_col="text"):
     """Token-set Jaccard between each document and its id+1 neighbor.
 

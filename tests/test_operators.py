@@ -944,3 +944,44 @@ def test_export_shards_layout_and_idempotent_rerun(ray_session, tmp_path):
     }
     assert files_after == files_before
     assert not [f for _, f in files_after if ".tmp." in f]
+
+
+def test_simhash_near_dups_planted(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.dedup import (
+        _simhash64,
+        simhash_near_dups,
+    )
+
+    base = " ".join("tok{}".format(i) for i in range(60))
+    near = base.replace("tok3", "tok3x")     # one token swapped
+    far = " ".join("other{}".format(i) for i in range(60))
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},         # identical: hamming 0
+        {"doc_id": 3, "text": near},
+        {"doc_id": 4, "text": far},
+    ]
+    # compute the true hamming distances from the scalar reference
+    h = {r["doc_id"]: _simhash64(r["text"]) for r in rows}
+
+    def ham(a, b):
+        return bin(h[a] ^ h[b]).count("1")
+
+    want = {
+        (a, b): ham(a, b)
+        for a in (1, 2, 3, 4)
+        for b in (1, 2, 3, 4)
+        if a < b and ham(a, b) <= 3
+    }
+    assert (1, 2) in want and want[(1, 2)] == 0  # sanity: identical
+
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dups(ds, max_hamming=3).take_all()
+    }
+    assert got == want
