@@ -354,6 +354,22 @@ def _q_simhash_dups(sf_dir: str):
     )
 
 
+def _q_simhash_clusters(sf_dir: str):
+    """Duplicate clusters over the simhash hamming<=3 pair graph:
+    because the banding has full recall, the edge set is exact and the
+    recursive-CTE oracle pins the distributed union-find/label-prop
+    end-to-end on the REAL documents table (dup_clusters does the same
+    over the planted minhash corpus)."""
+    from console_log_parser_ray.stages.dedup import (
+        dup_cluster_labels,
+        simhash_near_dups,
+    )
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    pairs = simhash_near_dups(docs, max_hamming=3)
+    return dup_cluster_labels(pairs, docs.select_columns(["doc_id"]))
+
+
 def _q_shard_assign(sf_dir: str):
     """Deterministic hash-shard placement for training-data export
     (16 shards): the rule `stages/export.export_shards` writes with,
@@ -1072,6 +1088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rep_signals": _q_rep_signals,
         "shard_assign": _q_shard_assign,
         "simhash_dups": _q_simhash_dups,
+        "simhash_clusters": _q_simhash_clusters,
         "quality": _q_quality,
         "lang_hist": _q_lang_hist,
         "lang_pred": _q_lang_pred,
@@ -1268,6 +1285,24 @@ def oracle_sql() -> dict[str, str]:
             f"count(*) AS n_turns FROM {t} GROUP BY conv_id"
         ),
         "simhash": _simhash_sql(),
+        "simhash_clusters": (
+            # exact edge set (full-recall banding) folded by the same
+            # recursive-CTE component construction as dup_clusters
+            "WITH RECURSIVE sh AS ({}), "
+            "edges AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3), "
+            "reach(node, lab) AS ("
+            "  SELECT doc_id, doc_id FROM documents "
+            "  UNION "
+            "  SELECT CASE WHEN r.node = e.doc_b THEN e.doc_a "
+            "         ELSE e.doc_b END, r.lab "
+            "  FROM reach r JOIN edges e "
+            "  ON r.node = e.doc_a OR r.node = e.doc_b) "
+            "SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id, "
+            "(min(lab) = node) AS canonical FROM reach "
+            "GROUP BY node".format(_simhash_sql())
+        ),
         "simhash_dups": (
             # all-pairs hamming over the same simhash CTE; exact
             # because the engine's pigeonhole banding has full recall
