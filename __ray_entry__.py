@@ -354,6 +354,21 @@ def _q_simhash_dups(sf_dir: str):
     )
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters over events.user_id via two-pass
+    Misra-Gries (sketch -> merged candidates -> broadcast exact
+    verify): every user with frequency strictly above N/2000, exact
+    counts, zero shuffle.  The SQL HAVING mirror uses the same
+    integer n*k > N comparison.  (k chosen so the result is non-empty
+    at every test sf: an empty Ray Dataset drops its schema through
+    to_pandas, which the driver would read as a schema mismatch.)"""
+    from console_log_parser_ray.stages.sketch import heavy_hitters
+
+    return heavy_hitters(
+        _events(sf_dir).select_columns(["user_id"]), "user_id", k=2000
+    )
+
+
 def _q_simhash_clusters(sf_dir: str):
     """Duplicate clusters over the simhash hamming<=3 pair graph:
     because the banding has full recall, the edge set is exact and the
@@ -1089,6 +1104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_assign": _q_shard_assign,
         "simhash_dups": _q_simhash_dups,
         "simhash_clusters": _q_simhash_clusters,
+        "heavy_hitters": _q_heavy_hitters,
         "quality": _q_quality,
         "lang_hist": _q_lang_hist,
         "lang_pred": _q_lang_pred,
@@ -1285,6 +1301,13 @@ def oracle_sql() -> dict[str, str]:
             f"count(*) AS n_turns FROM {t} GROUP BY conv_id"
         ),
         "simhash": _simhash_sql(),
+        "heavy_hitters": (
+            # exact mirror of the two-pass MG result: frequency
+            # strictly above N/k via the same integer comparison
+            "SELECT user_id, count(*) AS n FROM events "
+            "GROUP BY user_id "
+            "HAVING count(*) * 2000 > (SELECT count(*) FROM events)"
+        ),
         "simhash_clusters": (
             # exact edge set (full-recall banding) folded by the same
             # recursive-CTE component construction as dup_clusters

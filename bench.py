@@ -128,6 +128,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "kmeans",
         "rep_signals",
         "simhash_dups",
+        "heavy_hitters",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

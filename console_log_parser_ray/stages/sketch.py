@@ -1,0 +1,141 @@
+"""Sketch-based operators: bounded-memory heavy hitters.
+
+``heavy_hitters`` finds every value of a column whose frequency
+exceeds ``N / k`` EXACTLY, without ever shuffling the full
+value-frequency table:
+
+1. **Sketch pass** -- each block reduces to a Misra-Gries summary of
+   at most ``2k`` (value, weight) counters.  An MG summary of
+   capacity ``c`` underestimates any value's true in-block count by
+   at most ``block_n / (c + 1)``, and the underestimates are additive
+   across blocks: summing the per-block summaries gives merged
+   weights ``w`` with ``true - N/(2k+1) <= w <= true``.
+2. **Candidate selection** -- no further lossy reduction: a value is
+   a candidate iff its summed weight could still clear the
+   threshold, ``w > N/k - N/(2k+1)`` (equivalently the integer test
+   ``w * k * (2k+1) > N * (k + 1)``).  Every true heavy hitter
+   satisfies it, and since the kept weights each exceed ~``N/2k``
+   while summing to at most ``N``, the candidate set stays O(k)
+   regardless of skew.
+3. **Verify pass** -- the candidate values are broadcast; one
+   stateless ``map_batches`` emits exact per-block counts for
+   candidates only, a driver fold sums them (N itself comes from
+   ``ds.count()`` -- metadata-cheap on parquet reads), and the exact
+   integer comparison ``n * k > N`` keeps the true heavy hitters.
+
+Shuffle volume: zero.  Driver state: O(2k x blocks) summary rows,
+then O(k) candidates.  Compare ``groupby(col).count()``: an
+all-to-all shuffle of every distinct value -- at 10^9 users that is
+the whole key space; here it is ``2k`` rows per block regardless of
+skew.  (Misra & Gries 1982; merge bound per Agarwal et al.,
+"Mergeable Summaries", PODS 2012.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _mg_reduce(values: np.ndarray, weights: np.ndarray, cap: int):
+    """Keep at most ``cap`` counters: subtract the (cap+1)-th largest
+    weight from all, drop non-positives (the Misra-Gries decrement
+    step, batched)."""
+    if len(values) <= cap:
+        return values, weights
+    cut = np.partition(weights, len(weights) - (cap + 1))[
+        len(weights) - (cap + 1)
+    ]
+    w = weights - cut
+    keep = w > 0
+    return values[keep], w[keep]
+
+
+def heavy_hitters(ds, col: str, k: int = 100):
+    """All values of ``ds[col]`` with exact frequency ``n`` such that
+    ``n * k > N`` (N = total rows), as ``(col, n)`` rows with exact
+    counts -- two streaming passes, no shuffle (module docstring has
+    the guarantee argument)."""
+    import ray
+    import ray.data
+
+    from .dedup import _cached_get
+
+    cap = 2 * k  # sketch capacity: error N/(2k+1) < threshold N/k
+
+    def sketch_block(batch: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            batch.column(col).to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        vals, w = _mg_reduce(vals, counts.astype(np.int64), cap)
+        return pa.table(
+            {
+                "value": pa.array(vals, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+            }
+        )
+
+    # fold the tiny per-block summaries (vectorized); no further lossy
+    # reduction -- candidate selection below uses the error bound
+    part_v, part_w = [], []
+    for tbl in ds.map_batches(
+        sketch_block, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        part_v.append(tbl.column("value").to_numpy(zero_copy_only=False))
+        part_w.append(tbl.column("w").to_numpy(zero_copy_only=False))
+    n_total = ds.count()
+    empty = pa.table(
+        {col: pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+    )
+    if not part_v or n_total == 0:
+        return ray.data.from_arrow(empty)
+    allv = np.concatenate(part_v)
+    allw = np.concatenate(part_w)
+    uniq, inv = np.unique(allv, return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(sums, inv, allw)
+    # keep iff w > N/k - N/(cap+1): integer form w*k*(cap+1) > N*(k+1)
+    # (cap = 2k); object ints avoid any overflow at extreme N
+    lhs = sums.astype(object) * (k * (cap + 1))
+    cand_sorted = np.sort(uniq[lhs > n_total * (cap + 1 - k)])
+    if len(cand_sorted) == 0:
+        return ray.data.from_arrow(empty)
+    cand_ref = ray.put(cand_sorted)
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        cand = _cached_get(cand_ref)
+        arr = batch.column(col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(cand, arr)
+        idx_c = np.clip(idx, 0, len(cand) - 1)
+        hit = cand[idx_c] == arr
+        counts = np.bincount(idx_c[hit], minlength=len(cand))
+        return pa.table(
+            {
+                "value": pa.array(cand, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    n_exact = np.zeros(len(cand_sorted), dtype=np.int64)
+    for tbl in ds.map_batches(
+        exact_counts, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        nn = tbl.column("n").to_numpy(zero_copy_only=False)
+        # delivered batches may split or concatenate per-block
+        # partials arbitrarily; accumulating by value position is
+        # invariant to any re-batching
+        pos = np.searchsorted(cand_sorted, v)
+        np.add.at(n_exact, pos, nn)
+
+    keep = n_exact * k > n_total
+    out_v, out_n = cand_sorted[keep], n_exact[keep]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                col: pa.array(out_v.astype(np.int64), pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+    )

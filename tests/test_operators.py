@@ -985,3 +985,36 @@ def test_simhash_near_dups_planted(ray_session):
         for r in simhash_near_dups(ds, max_hamming=3).take_all()
     }
     assert got == want
+
+
+def test_heavy_hitters_exact_with_skew(ray_session):
+    import collections
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.sketch import heavy_hitters
+
+    # skewed stream: value v appears ~1000/v times; small k forces the
+    # Misra-Gries reduction to actually fire in both sketch and merge
+    vals = []
+    for v in range(1, 60):
+        vals.extend([v] * (1000 // v))
+    # deterministic interleave so blocks see mixed values
+    vals = [vals[i] for i in range(0, len(vals), 7)] + [
+        vals[i] for i in range(len(vals)) if i % 7
+    ]
+    ds = ray.data.from_arrow(
+        pa.Table.from_pylist([{"user_id": v} for v in vals])
+    ).repartition(8)
+    k = 10
+    n = len(vals)
+    truth = collections.Counter(vals)
+    want = {v: c for v, c in truth.items() if c * k > n}
+    assert 1 <= len(want) < len(truth)  # non-trivial selection
+    got = {
+        r["user_id"]: r["n"]
+        for r in heavy_hitters(ds, "user_id", k=k).take_all()
+    }
+    assert got == want
