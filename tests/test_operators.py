@@ -1018,3 +1018,52 @@ def test_heavy_hitters_exact_with_skew(ray_session):
         for r in heavy_hitters(ds, "user_id", k=k).take_all()
     }
     assert got == want
+
+
+def test_new_operators_invariant_under_repartitioning(ray_session):
+    """The integer-exact late-round operators must give identical
+    results regardless of block boundaries (the property that makes
+    them safe on any cluster layout)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.dedup import simhash_near_dups
+    from console_log_parser_ray.stages.events import sample_per_group
+    from console_log_parser_ray.stages.sketch import heavy_hitters
+
+    rows = []
+    for i in range(300):
+        rows.append(
+            {
+                "doc_id": i,
+                "source": "s{}".format(i % 4),
+                "text": "alpha beta gamma {}".format(i % 7),
+                "user_id": i % 11,
+            }
+        )
+    tbl = pa.Table.from_pylist(rows)
+
+    def runs(np_):
+        ds = ray.data.from_arrow(tbl).repartition(np_)
+        hh = sorted(
+            (r["user_id"], r["n"])
+            for r in heavy_hitters(ds, "user_id", k=15).take_all()
+        )
+        sp = sorted(
+            (r["source"], r["doc_id"])
+            for r in sample_per_group(
+                ds, "source", k=3, id_col="doc_id"
+            ).take_all()
+        )
+        sd = sorted(
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_near_dups(ds, max_hamming=3).take_all()
+        )
+        return hh, sp, sd
+
+    a = runs(1)
+    b = runs(7)
+    c = runs(32)
+    assert a == b == c
+    assert a[0] and a[2]  # non-trivial: hitters and near-dup pairs exist
