@@ -354,6 +354,20 @@ def _q_simhash_dups(sf_dir: str):
     )
 
 
+def _q_event_quantiles(sf_dir: str):
+    """Exact per-event-type value quantiles (percentile_disc
+    semantics, so the engine and SQL pick the same actual element --
+    bit-identical doubles, no interpolation)."""
+    from console_log_parser_ray.stages.events import group_quantiles
+
+    return group_quantiles(
+        _events(sf_dir).select_columns(["event_type", "value"]),
+        "event_type",
+        "value",
+        qs=(0.5, 0.95),
+    )
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact heavy hitters over events.user_id via two-pass
     Misra-Gries (sketch -> merged candidates -> broadcast exact
@@ -1105,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dups": _q_simhash_dups,
         "simhash_clusters": _q_simhash_clusters,
         "heavy_hitters": _q_heavy_hitters,
+        "event_quantiles": _q_event_quantiles,
         "quality": _q_quality,
         "lang_hist": _q_lang_hist,
         "lang_pred": _q_lang_pred,
@@ -1301,6 +1316,14 @@ def oracle_sql() -> dict[str, str]:
             f"count(*) AS n_turns FROM {t} GROUP BY conv_id"
         ),
         "simhash": _simhash_sql(),
+        "event_quantiles": (
+            # discrete percentiles pick actual elements -> doubles
+            # match bit-for-bit across engines
+            "SELECT event_type, "
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50, "
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95 "
+            "FROM events GROUP BY event_type"
+        ),
         "heavy_hitters": (
             # exact mirror of the two-pass MG result: frequency
             # strictly above N/k via the same integer comparison

@@ -244,6 +244,44 @@ def twebber_hops(frames_ds, pair_col="pair_id"):
     return frames_ds.groupby(pair_col).map_groups(walk, batch_format="pyarrow")
 
 
+def group_quantiles(
+    ds,
+    group_col: str,
+    value_col: str,
+    qs=(0.5, 0.95),
+):
+    """Exact per-group quantiles with ``percentile_disc`` semantics:
+    the reported quantile IS an element of the group (the smallest
+    value whose cumulative rank reaches ``q``), so the result is
+    bit-identical to SQL's discrete percentile -- no interpolation
+    ambiguity.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    one group's values must fit a task, which holds when the group key
+    is low-cardinality-per-volume (event types, status codes, shard
+    labels).  For high-cardinality keys at 100 TB, pre-aggregate to
+    (group, value, count) rows first -- the quantile of the compressed
+    distribution is exact and the per-group row count drops to the
+    distinct-value count.
+    """
+
+    def per_group(tbl: pa.Table) -> pa.Table:
+        vals = np.sort(
+            tbl.column(value_col).to_numpy(zero_copy_only=False)
+        )
+        n = len(vals)
+        row = {group_col: [tbl.column(group_col)[0].as_py()]}
+        for q in qs:
+            # percentile_disc: smallest value with cum_dist >= q
+            idx = max(0, int(np.ceil(q * n)) - 1)
+            row["p{}".format(int(q * 100))] = [float(vals[idx])]
+        return pa.table(row)
+
+    return ds.groupby(group_col).map_groups(
+        per_group, batch_format="pyarrow"
+    )
+
+
 def sample_per_group(
     ds,
     group_col: str,

@@ -1067,3 +1067,23 @@ def test_new_operators_invariant_under_repartitioning(ray_session):
     c = runs(32)
     assert a == b == c
     assert a[0] and a[2]  # non-trivial: hitters and near-dup pairs exist
+
+
+def test_group_quantiles_percentile_disc_semantics(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import group_quantiles
+
+    rows = [{"g": "a", "value": float(v)} for v in range(1, 11)]  # 1..10
+    rows += [{"g": "b", "value": 7.5}]                            # n=1
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    got = {
+        r["g"]: (r["p50"], r["p95"])
+        for r in group_quantiles(ds, "g", "value", qs=(0.5, 0.95)).take_all()
+    }
+    # percentile_disc over 1..10: p50 = ceil(0.5*10)=5th value = 5,
+    # p95 = ceil(0.95*10)=10th value = 10
+    assert got["a"] == (5.0, 10.0)
+    assert got["b"] == (7.5, 7.5)
