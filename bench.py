@@ -129,6 +129,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "rep_signals",
         "simhash_dups",
         "heavy_hitters",
+        "event_quantiles",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
