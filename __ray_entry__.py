@@ -745,6 +745,24 @@ def _q_media_features(sf_dir: str):
 
 
 
+def _q_media_resize(sf_dir: str):
+    """Integer box-downsample (factor 4) over the media table; every
+    output pixel is floor(block mean), so the resized image's pixel
+    sum is exactly recomputable from the payload hex walk in SQL."""
+    import ray.data
+
+    from console_log_parser_ray.stages.multimodal import (
+        ensure_media_table,
+        resize_images,
+    )
+
+    path = ensure_media_table(200)
+    ds = ray.data.read_parquet(path)
+    return resize_images(ds, factor=4).select_columns(
+        ["media_id", "rw", "rh", "resized_sum"]
+    )
+
+
 def _synth_frames(sf_dir: str):
     """Deterministically re-cut the cached transcripts into
     asciinema-style frames: each turn becomes one newline-terminated
@@ -1138,6 +1156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_order": _q_asof_last_order,
         "q1_pricing": _q_q1_pricing,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
     }
 
 
@@ -1716,9 +1735,54 @@ def _maybe_media_sql() -> dict[str, str]:
     is unavailable the query degrades to rows-only instead of breaking
     every oracle."""
     try:
-        return {"media_features": _media_features_sql()}
+        return {
+            "media_features": _media_features_sql(),
+            "media_resize": _media_resize_sql(),
+        }
     except Exception:
         return {}
+
+
+def _media_resize_sql() -> str:
+    """SQL mirror of the box-downsample: explode the hex-decoded pixel
+    list to (row, col), group into factor-4 blocks, floor each block's
+    mean, and sum the resized image -- all exact-integer arithmetic."""
+    from console_log_parser_ray.stages.multimodal import ensure_media_table
+
+    path = ensure_media_table(200)
+    return f"""
+WITH m AS (
+  SELECT media_id, width, height, hex(payload) AS hx
+  FROM read_parquet('{path}')
+),
+b AS (
+  SELECT media_id, width, height,
+    list_transform(regexp_extract_all(substr(hx, 33), '..'),
+      c -> CAST(CASE WHEN unicode(substr(c,1,1)) >= 65
+                THEN unicode(substr(c,1,1)) - 55
+                ELSE unicode(substr(c,1,1)) - 48 END AS BIGINT) * 16
+         + CAST(CASE WHEN unicode(substr(c,2,1)) >= 65
+                THEN unicode(substr(c,2,1)) - 55
+                ELSE unicode(substr(c,2,1)) - 48 END AS BIGINT)) AS bytes
+  FROM m
+),
+px AS (
+  SELECT media_id, width, gs.i AS i, bytes[gs.i] AS v
+  FROM b, (SELECT unnest(generate_series(1, 4096)) AS i) gs
+  WHERE gs.i <= len(bytes)
+),
+blk AS (
+  SELECT media_id, ((i-1)//width)//4 AS br, (((i-1)%width))//4 AS bc,
+         sum(v) // count(*) AS bv
+  FROM px GROUP BY 1, 2, 3
+),
+s AS (SELECT media_id, sum(bv) AS total FROM blk GROUP BY media_id)
+SELECT b.media_id,
+  CAST((b.width + 3) // 4 AS INTEGER) AS rw,
+  CAST((b.height + 3) // 4 AS INTEGER) AS rh,
+  CAST(s.total AS BIGINT) AS resized_sum
+FROM b JOIN s USING (media_id)
+"""
 
 
 def _media_features_sql() -> str:

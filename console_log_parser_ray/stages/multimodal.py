@@ -113,6 +113,67 @@ def decode_features(ds, concurrency=(1, 4), batch_size=64):
     )
 
 
+class ResizeBox:
+    """Actor-pool resize stage: integer box-downsample by ``factor``.
+
+    Pixel (r, c) maps to block (r//f, c//f); each output pixel is the
+    FLOOR of its block's mean (edge blocks average their actual
+    members), so every value is exact-integer and the SQL oracle can
+    recompute the result from the payload hex walk bit-for-bit.
+    Emits the resized payload re-encoded in the same synthetic format
+    (the plumbing a real thumbnailing stage needs) plus the integer
+    aggregate features that pin it.
+    """
+
+    def __init__(self, factor: int = 4):
+        self.f = int(factor)
+        self.decode = _decode_image_impl
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        f = self.f
+        ids, rws, rhs, sums, payloads = [], [], [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            w, h, pix = self.decode(payload)
+            rw, rh = (w + f - 1) // f, (h + f - 1) // f
+            idx = np.arange(w * h)
+            bidx = (idx // w // f) * rw + (idx % w) // f
+            bsum = np.bincount(
+                bidx, weights=pix.astype(np.int64), minlength=rw * rh
+            ).astype(np.int64)
+            bcnt = np.bincount(bidx, minlength=rw * rh).astype(np.int64)
+            out = (bsum // bcnt).astype(np.uint8)
+            ids.append(mid)
+            rws.append(rw)
+            rhs.append(rh)
+            sums.append(int(out.sum(dtype=np.int64)))
+            payloads.append(
+                _MAGIC + struct.pack("<II", rw, rh) + out.tobytes()
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "rw": pa.array(rws, pa.int32()),
+                "rh": pa.array(rhs, pa.int32()),
+                "resized_sum": pa.array(sums, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+def resize_images(ds, factor: int = 4, concurrency=(1, 4), batch_size=64):
+    """Wire the resize actor pool (same batch-sizing rules as decode)."""
+    return ds.map_batches(
+        ResizeBox,
+        fn_constructor_kwargs={"factor": factor},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
 MEDIA_CACHE = "/tmp/clpr_media"
 
 

@@ -1087,3 +1087,38 @@ def test_group_quantiles_percentile_disc_semantics(ray_session):
     # p95 = ceil(0.95*10)=10th value = 10
     assert got["a"] == (5.0, 10.0)
     assert got["b"] == (7.5, 7.5)
+
+
+def test_resize_box_roundtrip_and_exactness(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.multimodal import (
+        _decode_image_impl,
+        gen_media_table,
+        resize_images,
+    )
+
+    tbl = gen_media_table(20, seed=3)
+    ds = ray.data.from_arrow(tbl)
+    out = {r["media_id"]: r for r in resize_images(ds, factor=4).take_all()}
+    src = {r["media_id"]: r for r in tbl.to_pylist()}
+    assert len(out) == 20
+    for mid, r in out.items():
+        w, h = src[mid]["width"], src[mid]["height"]
+        assert r["rw"] == (w + 3) // 4 and r["rh"] == (h + 3) // 4
+        # the emitted payload re-decodes to the declared dims and sum
+        rw2, rh2, pix = _decode_image_impl(bytes(r["payload"]))
+        assert (rw2, rh2) == (r["rw"], r["rh"])
+        assert int(pix.sum(dtype=np.int64)) == r["resized_sum"]
+        # exactness vs a direct numpy box-downsample
+        _, _, full = _decode_image_impl(bytes(src[mid]["payload"]))
+        img = full.reshape(h, w).astype(np.int64)
+        want = np.zeros((r["rh"], r["rw"]), dtype=np.int64)
+        for br in range(r["rh"]):
+            for bc in range(r["rw"]):
+                blk = img[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4]
+                want[br, bc] = blk.sum() // blk.size
+        assert (pix.reshape(r["rh"], r["rw"]) == want).all()
