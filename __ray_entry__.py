@@ -763,6 +763,24 @@ def _q_media_resize(sf_dir: str):
     )
 
 
+def _q_media_frames(sf_dir: str):
+    """Temporal frame sampling (every 4th frame) over the synthetic
+    video table; frame counts and the sampled pixel sum are exact
+    integers recomputable from the payload hex walk."""
+    import ray.data
+
+    from console_log_parser_ray.stages.multimodal import (
+        ensure_video_table,
+        sample_frames,
+    )
+
+    path = ensure_video_table(100)
+    ds = ray.data.read_parquet(path)
+    return sample_frames(ds, every=4).select_columns(
+        ["media_id", "n_frames", "n_sampled", "sampled_sum"]
+    )
+
+
 def _synth_frames(sf_dir: str):
     """Deterministically re-cut the cached transcripts into
     asciinema-style frames: each turn becomes one newline-terminated
@@ -1157,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": _q_q1_pricing,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
+        "media_frames": _q_media_frames,
     }
 
 
@@ -1738,9 +1757,62 @@ def _maybe_media_sql() -> dict[str, str]:
         return {
             "media_features": _media_features_sql(),
             "media_resize": _media_resize_sql(),
+            "media_frames": _media_frames_sql(),
         }
     except Exception:
         return {}
+
+
+def _hexpair_sql(expr: str) -> str:
+    """SQL expression decoding a 2-char hex pair to its byte value."""
+    return (
+        "(CAST(CASE WHEN unicode(substr({e},1,1)) >= 65 "
+        "THEN unicode(substr({e},1,1)) - 55 "
+        "ELSE unicode(substr({e},1,1)) - 48 END AS BIGINT) * 16 "
+        "+ CAST(CASE WHEN unicode(substr({e},2,1)) >= 65 "
+        "THEN unicode(substr({e},2,1)) - 55 "
+        "ELSE unicode(substr({e},2,1)) - 48 END AS BIGINT))"
+    ).format(e=expr)
+
+
+def _media_frames_sql() -> str:
+    """SQL mirror of the every-4th frame sampling: width and height
+    come from the payload header (single bytes -- the generator bounds
+    them below 256), pixels past the 20-byte header are exploded with
+    their index, and a pixel is kept iff its frame index is a multiple
+    of 4."""
+    from console_log_parser_ray.stages.multimodal import ensure_video_table
+
+    path = ensure_video_table(100)
+    w_expr = _hexpair_sql("substr(hx, 25, 2)")
+    h_expr = _hexpair_sql("substr(hx, 33, 2)")
+    c_expr = _hexpair_sql("c")
+    return f"""
+WITH m AS (
+  SELECT media_id, n_frames, hex(payload) AS hx
+  FROM read_parquet('{path}')
+),
+hdr AS (
+  SELECT media_id, n_frames, {w_expr} AS w, {h_expr} AS h,
+    list_transform(regexp_extract_all(substr(hx, 41), '..'),
+      c -> {c_expr}) AS bytes
+  FROM m
+),
+px AS (
+  SELECT media_id, w, h, gs.i AS i, bytes[gs.i] AS v
+  FROM hdr, (SELECT unnest(generate_series(1, 8192)) AS i) gs
+  WHERE gs.i <= len(bytes)
+),
+s AS (
+  SELECT media_id, sum(v) AS total
+  FROM px WHERE ((i - 1) // (w * h)) % 4 = 0 GROUP BY media_id
+)
+SELECT hdr.media_id,
+  CAST(hdr.n_frames AS BIGINT) AS n_frames,
+  CAST((hdr.n_frames + 3) // 4 AS BIGINT) AS n_sampled,
+  CAST(s.total AS BIGINT) AS sampled_sum
+FROM hdr JOIN s USING (media_id)
+"""
 
 
 def _media_resize_sql() -> str:

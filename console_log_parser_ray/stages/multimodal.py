@@ -174,6 +174,103 @@ def resize_images(ds, factor: int = 4, concurrency=(1, 4), batch_size=64):
     )
 
 
+_VMAGIC = b"FAKEVID1"
+
+
+def encode_fake_video(
+    media_id: int, n_frames: int, width: int, height: int
+) -> bytes:
+    """Deterministic synthetic multi-frame payload: 8-byte magic +
+    (n_frames, width, height) + n_frames contiguous w*h frames."""
+    rng = np.random.default_rng(media_id + 10_000)
+    frames = rng.integers(
+        0, 256, n_frames * width * height, dtype=np.uint8
+    ).tobytes()
+    return _VMAGIC + struct.pack("<III", n_frames, width, height) + frames
+
+
+def gen_video_table(n: int, seed: int = 0) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    ids, payloads, nfs = [], [], []
+    for i in range(n):
+        nf = int(rng.integers(3, 24))
+        w, h = int(rng.integers(4, 16)), int(rng.integers(4, 16))
+        ids.append(i)
+        nfs.append(nf)
+        payloads.append(encode_fake_video(i, nf, w, h))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "n_frames": pa.array(nfs, pa.int32()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def _decode_video_impl(payload: bytes):
+    """STUB decode for the synthetic video format (a real deployment
+    swaps in ffmpeg); raises for unknown containers."""
+    if not payload.startswith(_VMAGIC):
+        raise NotImplementedError(
+            "real video codecs are unavailable in this environment"
+        )
+    nf, w, h = struct.unpack("<III", payload[8:20])
+    frames = np.frombuffer(
+        payload[20 : 20 + nf * w * h], dtype=np.uint8
+    ).reshape(nf, h * w)
+    return nf, w, h, frames
+
+
+class FrameSample:
+    """Actor-pool temporal sampling: keep every ``every``-th frame
+    (0-indexed 0, k, 2k, ...) and re-encode -- the standard
+    video-to-training-frames reduction.  Exact-integer aggregates pin
+    the stage via the hex-walk SQL oracle."""
+
+    def __init__(self, every: int = 4):
+        self.k = int(every)
+        self.decode = _decode_video_impl
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, nfs, nss, sums, payloads = [], [], [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            nf, w, h, frames = self.decode(payload)
+            kept = frames[:: self.k]
+            ids.append(mid)
+            nfs.append(nf)
+            nss.append(kept.shape[0])
+            sums.append(int(kept.sum(dtype=np.int64)))
+            payloads.append(
+                _VMAGIC
+                + struct.pack("<III", kept.shape[0], w, h)
+                + kept.tobytes()
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "n_frames": pa.array(nfs, pa.int64()),
+                "n_sampled": pa.array(nss, pa.int64()),
+                "sampled_sum": pa.array(sums, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+def sample_frames(ds, every: int = 4, concurrency=(1, 4), batch_size=32):
+    """Wire the frame-sampling actor pool (small batches: payloads are
+    the large side)."""
+    return ds.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"every": every},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
 MEDIA_CACHE = "/tmp/clpr_media"
 
 
@@ -190,5 +287,20 @@ def ensure_media_table(n: int = 200, seed: int = 0) -> str:
     if not os.path.exists(path):
         tmp = path + f".tmp.{os.getpid()}"
         pq.write_table(gen_media_table(n, seed=seed), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def ensure_video_table(n: int = 100, seed: int = 0) -> str:
+    """Same deterministic-cache contract for the video table."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(MEDIA_CACHE, exist_ok=True)
+    path = os.path.join(MEDIA_CACHE, f"video_{n}_{seed}.parquet")
+    if not os.path.exists(path):
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(gen_video_table(n, seed=seed), tmp)
         os.replace(tmp, path)
     return path

@@ -1122,3 +1122,35 @@ def test_resize_box_roundtrip_and_exactness(ray_session):
                 blk = img[br * 4 : br * 4 + 4, bc * 4 : bc * 4 + 4]
                 want[br, bc] = blk.sum() // blk.size
         assert (pix.reshape(r["rh"], r["rw"]) == want).all()
+
+
+def test_sample_frames_roundtrip(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.multimodal import (
+        _decode_video_impl,
+        gen_video_table,
+        sample_frames,
+    )
+
+    tbl = gen_video_table(12, seed=5)
+    out = {
+        r["media_id"]: r
+        for r in sample_frames(
+            ray.data.from_arrow(tbl), every=4
+        ).take_all()
+    }
+    src = {r["media_id"]: r for r in tbl.to_pylist()}
+    for mid, r in out.items():
+        nf, w, h, frames = _decode_video_impl(bytes(src[mid]["payload"]))
+        assert r["n_frames"] == nf == src[mid]["n_frames"]
+        kept = frames[::4]
+        assert r["n_sampled"] == kept.shape[0] == (nf + 3) // 4
+        assert r["sampled_sum"] == int(kept.sum(dtype=np.int64))
+        # the emitted payload re-decodes to exactly the kept frames
+        nf2, w2, h2, frames2 = _decode_video_impl(bytes(r["payload"]))
+        assert (nf2, w2, h2) == (kept.shape[0], w, h)
+        assert (frames2 == kept).all()
