@@ -1154,3 +1154,42 @@ def test_sample_frames_roundtrip(ray_session):
         nf2, w2, h2, frames2 = _decode_video_impl(bytes(r["payload"]))
         assert (nf2, w2, h2) == (kept.shape[0], w, h)
         assert (frames2 == kept).all()
+
+
+def test_simhash_banding_equals_bruteforce_random(ray_session):
+    """Property check of the pigeonhole claim: banded pair discovery
+    must equal brute-force all-pairs hamming for every max_hamming
+    that divides the 64-bit hash into equal bands."""
+    import itertools
+    import random
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.dedup import (
+        _simhash64,
+        simhash_near_dups,
+    )
+
+    rng = random.Random(11)
+    vocab = ["w{}".format(i) for i in range(40)]
+    rows = []
+    for i in range(40):
+        n = rng.randint(3, 12)
+        rows.append(
+            {"doc_id": i, "text": " ".join(rng.sample(vocab, n))}
+        )
+    h = {r["doc_id"]: _simhash64(r["text"]) for r in rows}
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    for mh in (1, 3, 7):
+        want = {
+            (a, b): bin(h[a] ^ h[b]).count("1")
+            for a, b in itertools.combinations(range(40), 2)
+            if bin(h[a] ^ h[b]).count("1") <= mh
+        }
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_near_dups(ds, max_hamming=mh).take_all()
+        }
+        assert got == want, mh
