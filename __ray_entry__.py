@@ -707,6 +707,98 @@ def _q_asof_last_order(sf_dir: str):
     return res.select_columns(["event_id", "last_orderkey"])
 
 
+def _q_q3_join(sf_dir: str):
+    """TPC-H Q3-shaped pipeline: broadcast semi-join of the tiny
+    filtered customer side into orders, then a LARGE x LARGE
+    co-partitioned hash join (stages/relational.hash_join) of filtered
+    orders with filtered lineitem on the order key -- the shuffle-join
+    complement of orders_enrich's broadcast join -- then a grouped
+    rollup.  Aggregates are count + integral-quantity sums, so the SQL
+    mirror is exact."""
+    import datetime
+
+    import numpy as np
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from console_log_parser_ray.stages.relational import hash_join
+
+    cutoff = datetime.datetime(1998, 6, 1)
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    building = {
+        r["c_custkey"]
+        for r in cust.filter(
+            expr="c_mktsegment == 'BUILDING'"
+        ).take_all()  # tiny side: filtered customer keys only
+    }
+    keys_ref = ray.put(np.array(sorted(building), dtype=np.int64))
+
+    def semi(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from console_log_parser_ray.stages.dedup import _cached_get
+
+        keys = _cached_get(keys_ref)
+        return b.filter(
+            pc.is_in(b.column("o_custkey"), value_set=pa.array(keys))
+        )
+
+    orders = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_orderpriority"],
+        )
+        .filter(lambda r: r["o_orderdate"] < cutoff)
+        .map_batches(semi, batch_format="pyarrow")
+        .select_columns(["o_orderkey", "o_orderpriority"])
+    )
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity", "l_shipdate"],
+    ).filter(lambda r: r["l_shipdate"] > cutoff).select_columns(
+        ["l_orderkey", "l_quantity"]
+    )
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    return (
+        joined.groupby(["l_orderkey", "o_orderpriority"])
+        .aggregate(Count(), Sum("l_quantity"))
+        .rename_columns(
+            {"count()": "n_items", "sum(l_quantity)": "sum_qty"}
+        )
+    )
+
+
+def _q_lang_rank(sf_dir: str):
+    """Distributed window function: dense_rank of document length
+    within its language partition, computed from the (lang, n_chars)
+    histogram without shuffling the corpus
+    (stages/relational.dense_rank)."""
+    from console_log_parser_ray.stages.relational import dense_rank
+
+    return dense_rank(
+        _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"]),
+        "lang",
+        "n_chars",
+        descending=True,
+    )
+
+
+def _q_idf_rarity(sf_dir: str):
+    """Exact corpus document-frequency rarity signals (integer CCNet-
+    style quality skeleton): per-doc token occurrences, summed token
+    DF, and hapax count -- token-hash bucket groups compute DF locally
+    (stages/textan.idf_rarity)."""
+    from console_log_parser_ray.stages.textan import idf_rarity
+
+    return idf_rarity(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def _q_q1_pricing(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -1173,6 +1265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_enrich": _q_orders_enrich,
         "asof_last_order": _q_asof_last_order,
         "q1_pricing": _q_q1_pricing,
+        "q3_join": _q_q3_join,
+        "lang_rank": _q_lang_rank,
+        "idf_rarity": _q_idf_rarity,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -1523,6 +1618,35 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
             "count(*) AS count_order FROM lineitem GROUP BY 1, 2"
+        ),
+        "q3_join": (
+            "SELECT l.l_orderkey, o.o_orderpriority, "
+            "count(*) AS n_items, sum(l.l_quantity) AS sum_qty "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "AND o.o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND l.l_shipdate > TIMESTAMP '1998-06-01' "
+            "GROUP BY 1, 2"
+        ),
+        "lang_rank": (
+            "SELECT doc_id, lang, n_chars, "
+            "CAST(dense_rank() OVER "
+            "(PARTITION BY lang ORDER BY n_chars DESC) AS BIGINT) AS rnk "
+            "FROM documents"
+        ),
+        "idf_rarity": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+            "FROM documents), "
+            "occ AS (SELECT doc_id, tok, count(*) AS n_occ FROM toks "
+            "GROUP BY doc_id, tok), "
+            "df AS (SELECT tok, count(*) AS df FROM occ GROUP BY tok) "
+            "SELECT o.doc_id, CAST(sum(o.n_occ) AS BIGINT) AS n_tokens, "
+            "CAST(sum(o.n_occ * d.df) AS BIGINT) AS sum_df, "
+            "CAST(count(*) FILTER (WHERE d.df = 1) AS BIGINT) AS n_hapax "
+            "FROM occ o JOIN df d USING (tok) GROUP BY o.doc_id"
         ),
         "dedup_minhash": (
             # Exact all-pairs ground truth: shingle sets and Jaccard

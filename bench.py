@@ -130,6 +130,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "simhash_dups",
         "heavy_hitters",
         "event_quantiles",
+        "q3_join",
+        "lang_rank",
+        "idf_rarity",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

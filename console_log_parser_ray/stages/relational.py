@@ -1,0 +1,129 @@
+"""Relational operators Ray Data lacks natively.
+
+* ``hash_join``  -- large-x-large equi-join by co-partitioning BOTH
+  sides on a coarse key-hash bucket (one union + one bucket groupby =
+  one shuffle), then one vectorized Acero ``pyarrow.Table.join`` per
+  bucket group.  Group dispatch is bounded by the bucket count, never
+  by the key cardinality, and neither side is ever broadcast or
+  materialized -- the complement of the broadcast join in
+  ``stages/enrich.py`` (small side) for when BOTH sides are big.
+* ``dense_rank`` -- distributed ``dense_rank() OVER (PARTITION BY g
+  ORDER BY v)``: a partial+final groupby builds the (group, value)
+  histogram (shuffle volume = distinct pairs per block, not rows),
+  ranks are computed once from the histogram and broadcast, and the
+  corpus itself never shuffles.
+
+The reference has no joins beyond the tiny hopto lookup
+(``terminal2html.py:376-388``); these cover the relational verbs a
+training-data pipeline needs at corpus scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .dedup import _cached_get, _mod
+
+_JOIN_TYPES = {"inner": "inner", "left": "left outer"}
+
+
+def hash_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    n_buckets: int = 64,
+    how: str = "inner",
+):
+    """Co-partitioned hash join of two Datasets on integer keys.
+
+    Both sides are null-padded to the superset schema, tagged with
+    ``jb = key mod n_buckets``, unioned, and grouped once on ``jb``;
+    each bucket group splits back into its two sides and runs one
+    Acero hash join.  Size ``n_buckets`` so one bucket of the LARGER
+    side fits a worker (at cluster scale: ~4x total cores).  Keys must
+    be integer-castable; non-key column names must not collide.
+    """
+    right_on = right_on or on
+    join_type = _JOIN_TYPES[how]
+    lf = [(n, t) for n, t in zip(left.schema().names, left.schema().types)]
+    rf = [(n, t) for n, t in zip(right.schema().names, right.schema().types)]
+    l_names = [n for n, _ in lf]
+    r_names = [n for n, _ in rf]
+    clash = (set(l_names) & set(r_names)) - {on} if on == right_on else (
+        set(l_names) & set(r_names)
+    )
+    if clash:
+        raise ValueError(f"column name collision: {sorted(clash)}")
+
+    def tagger(own, other, key_col, side):
+        def tag(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            key = b.column(key_col).cast(pa.int64())
+            cols = {
+                "__jb": pc.cast(_mod(key, n_buckets), pa.int32()),
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            for name, _ in own:
+                cols[name] = b.column(name)
+            for name, typ in other:
+                if name not in cols:
+                    cols[name] = pa.nulls(n, typ)
+            return pa.table(cols)
+
+        return tag
+
+    tagged = left.map_batches(
+        tagger(lf, rf, on, 0), batch_format="pyarrow"
+    ).union(right.map_batches(tagger(rf, lf, right_on, 1), batch_format="pyarrow"))
+
+    def join_group(tbl: pa.Table) -> pa.Table:
+        is_left = pc.equal(tbl.column("__side"), pa.scalar(0, pa.int8()))
+        lt = tbl.filter(is_left).select(l_names)
+        rt = tbl.filter(pc.invert(is_left)).select(r_names)
+        out = lt.join(
+            rt, keys=[on], right_keys=[right_on], join_type=join_type
+        )
+        # Acero may reorder; pin the column order for stable block schemas
+        names = l_names + [n for n in r_names if n != right_on]
+        return out.select(names)
+
+    return tagged.groupby("__jb").map_groups(
+        join_group, batch_format="pyarrow"
+    )
+
+
+def dense_rank(
+    ds, group_col: str, val_col: str, descending: bool = True,
+    out_col: str = "rnk",
+):
+    """Adds ``dense_rank() OVER (PARTITION BY group_col ORDER BY
+    val_col [DESC])`` without shuffling the corpus.
+
+    Scale assumption: the (group, value) histogram fits the driver --
+    #groups x #distinct values (e.g. languages x document lengths),
+    independent of row count.  The histogram groupby combines
+    per-block partials, so shuffle volume is distinct pairs per block.
+    """
+    hist = (
+        ds.groupby([group_col, val_col]).count().to_pandas()
+    )  # bounded by distinct (group, value) pairs, not rows
+    hist = hist.sort_values(
+        [group_col, val_col], ascending=[True, not descending]
+    )
+    hist[out_col] = hist.groupby(group_col, sort=False).cumcount() + 1
+    lookup_ref = ray.put(
+        hist[[group_col, val_col, out_col]].reset_index(drop=True)
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        lk = _cached_get(lookup_ref)
+        out = df.merge(lk, on=[group_col, val_col], how="left")
+        out[out_col] = out[out_col].astype(np.int64)
+        return out
+
+    return ds.map_batches(attach, batch_format="pandas")

@@ -583,3 +583,122 @@ def fingerprint(ds, text_col="text", id_col="doc_id"):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _token_bucket_hashes(dict_vals: list, memo: dict) -> np.ndarray:
+    """Deterministic 63-bit hash per distinct token (blake2b, memoized
+    per process -- real corpora repeat tokens heavily across batches).
+    Used ONLY for shuffle bucketing: a collision costs balance, never
+    correctness (the string itself stays the join key)."""
+    import hashlib
+
+    out = np.empty(len(dict_vals), dtype=np.int64)
+    for i, s in enumerate(dict_vals):
+        h = memo.get(s)
+        if h is None:
+            h = (
+                int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                    "big",
+                )
+                >> 1
+            )
+            if len(memo) < 1_000_000:
+                memo[s] = h
+        out[i] = h
+    return out
+
+
+_TOK_HASH_MEMO: dict = {}
+
+
+def idf_rarity(ds, text_col="text", id_col="doc_id", n_buckets: int = 64):
+    """Exact corpus document-frequency rarity signals (the integer
+    skeleton of a CCNet-style LM-rarity quality filter).
+
+    Per document (docs with >= 1 token): ``n_tokens`` (occurrences),
+    ``sum_df`` (sum over occurrences of the token's corpus document
+    frequency -- low means rare vocabulary), ``n_hapax`` (distinct
+    tokens appearing in no other document).  All integers, so the SQL
+    oracle is bit-exact.
+
+    Plan: explode to distinct (doc, token, n_occ) rows per batch
+    (vectorized split + one Arrow group_by); bucket by a token hash so
+    every occurrence row of a token lands in ONE bucket group, where
+    its document frequency is a local bincount -- no token-keyed
+    groupby, no df table, no broadcast; then one partial+final
+    ``groupby(doc_id)`` sums the per-token contributions back to
+    documents.  Two shuffles total, both the inherent cost of exact
+    global DF; at 100 TB you would min_df-prune inside the bucket
+    group before emitting.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        ids = batch.column(id_col).combine_chunks().cast(pa.int64())
+        lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+        flat = lists.flatten()
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offsets = offsets - offsets[0]
+        row_idx = np.repeat(
+            np.arange(len(texts), dtype=np.int64), np.diff(offsets)
+        )
+        pairs = pa.table(
+            {
+                id_col: pc.take(ids, pa.array(row_idx, pa.int64())),
+                "tok": flat,
+            }
+        ).filter(pc.not_equal(flat, ""))
+        occ = pairs.group_by([id_col, "tok"]).aggregate([("tok", "count")])
+        toks = occ.column("tok").combine_chunks()
+        enc = pc.dictionary_encode(toks)
+        dict_hash = _token_bucket_hashes(
+            enc.dictionary.to_pylist(), _TOK_HASH_MEMO
+        )
+        jb = dict_hash[enc.indices.to_numpy(zero_copy_only=False)] % (
+            n_buckets
+        )
+        return pa.table(
+            {
+                "jb": pa.array(jb.astype(np.int32), pa.int32()),
+                id_col: occ.column(id_col),
+                "tok": toks,
+                "n_occ": occ.column("tok_count").cast(pa.int64()),
+            }
+        )
+
+    def df_in_bucket(tbl: pa.Table) -> pa.Table:
+        # every (doc, tok) row of a token is in this group, and rows
+        # are distinct per (doc, tok) => df(tok) = row count per token
+        enc = pc.dictionary_encode(tbl.column("tok").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        df = np.bincount(codes, minlength=len(enc.dictionary))
+        row_df = df[codes]
+        n_occ = tbl.column("n_occ").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: tbl.column(id_col),
+                "occ": tbl.column("n_occ"),
+                "df_occ": pa.array(n_occ * row_df, pa.int64()),
+                "hapax": pa.array((row_df == 1).astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(df_in_bucket, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("occ"), Sum("df_occ"), Sum("hapax"))
+        .rename_columns(
+            {
+                "sum(occ)": "n_tokens",
+                "sum(df_occ)": "sum_df",
+                "sum(hapax)": "n_hapax",
+            }
+        )
+    )

@@ -1193,3 +1193,115 @@ def test_simhash_banding_equals_bruteforce_random(ray_session):
             for r in simhash_near_dups(ds, max_hamming=mh).take_all()
         }
         assert got == want, mh
+
+
+def test_hash_join_inner_and_left(ray_session):
+    """Co-partitioned hash join vs a brute-force local join, invariant
+    under block boundaries and bucket counts."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import hash_join
+
+    left = pa.Table.from_pylist(
+        [{"k": i % 50, "lv": i} for i in range(400)]
+    )
+    right = pa.Table.from_pylist(
+        [{"rk": k, "rv": k * 10} for k in range(30, 80)]  # keys 30..79
+    )
+    expect_inner = sorted(
+        (r["k"], r["lv"], r["k"] * 10)
+        for r in left.to_pylist()
+        if 30 <= r["k"] < 80
+    )
+    expect_left = sorted(
+        (r["k"], r["lv"], r["k"] * 10 if 30 <= r["k"] < 80 else None)
+        for r in left.to_pylist()
+    )
+
+    for np_, nb in [(1, 4), (8, 16), (32, 7)]:
+        lds = ray.data.from_arrow(left).repartition(np_)
+        rds = ray.data.from_arrow(right).repartition(max(1, np_ // 2))
+        got = sorted(
+            (r["k"], r["lv"], r["rv"])
+            for r in hash_join(
+                lds, rds, on="k", right_on="rk", n_buckets=nb
+            ).take_all()
+        )
+        assert got == expect_inner
+        gotl = sorted(
+            (r["k"], r["lv"], r["rv"])
+            for r in hash_join(
+                lds, rds, on="k", right_on="rk", n_buckets=nb, how="left"
+            ).take_all()
+        )
+        assert gotl == expect_left
+
+
+def test_hash_join_rejects_column_collision(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import hash_join
+
+    a = ray.data.from_arrow(pa.Table.from_pylist([{"k": 1, "v": 2}]))
+    b = ray.data.from_arrow(pa.Table.from_pylist([{"k": 1, "v": 3}]))
+    with pytest.raises(ValueError):
+        hash_join(a, b, on="k")
+
+
+def test_dense_rank_matches_window_semantics(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import dense_rank
+
+    rows = [
+        {"g": "x", "v": 10, "id": 0},
+        {"g": "x", "v": 10, "id": 1},   # tie -> same dense rank
+        {"g": "x", "v": 7, "id": 2},
+        {"g": "x", "v": 3, "id": 3},
+        {"g": "y", "v": 100, "id": 4},
+        {"g": "y", "v": 1, "id": 5},
+    ]
+    expect = {0: 1, 1: 1, 2: 2, 3: 3, 4: 1, 5: 2}
+    for np_ in (1, 4):
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(np_)
+        got = {
+            r["id"]: r["rnk"]
+            for r in dense_rank(ds, "g", "v", descending=True).take_all()
+        }
+        assert got == expect
+
+
+def test_idf_rarity_exact_counts(ray_session):
+    """Hand-computed DF oracle; block-boundary invariant; empty docs
+    drop out (inner-join semantics of the SQL mirror)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import idf_rarity
+
+    rows = [
+        {"doc_id": 1, "text": "a b a c"},      # a x2, b, c
+        {"doc_id": 2, "text": "a b b"},        # a, b x2
+        {"doc_id": 3, "text": "zzz"},          # hapax token
+        {"doc_id": 4, "text": "   "},          # no tokens -> dropped
+    ]
+    # df: a->2, b->2, c->1, zzz->1
+    expect = {
+        1: {"n_tokens": 4, "sum_df": 2 * 2 + 2 + 1, "n_hapax": 1},
+        2: {"n_tokens": 3, "sum_df": 2 + 2 * 2, "n_hapax": 0},
+        3: {"n_tokens": 1, "sum_df": 1, "n_hapax": 1},
+    }
+    for np_ in (1, 3):
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(np_)
+        out = {r["doc_id"]: r for r in idf_rarity(ds).take_all()}
+        assert set(out) == set(expect)
+        for d, e in expect.items():
+            for k, v in e.items():
+                assert out[d][k] == v, (d, k, out[d])
