@@ -511,6 +511,17 @@ def _q_events_windowed(sf_dir: str):
     return tumbling_window_agg(_events(sf_dir))
 
 
+def _q_events_hopping(sf_dir: str):
+    """Hopping (overlapping) window aggregate: 1h windows every 15min,
+    each event exploded into its 4 covering windows
+    (stages/events.hopping_window_agg)."""
+    from console_log_parser_ray.stages.events import hopping_window_agg
+
+    return hopping_window_agg(
+        _events(sf_dir).select_columns(["event_type", "ts", "value"])
+    )
+
+
 def _q_sample_docs(sf_dir: str):
     from console_log_parser_ray.stages.events import deterministic_sample
 
@@ -797,6 +808,46 @@ def _q_idf_rarity(sf_dir: str):
     from console_log_parser_ray.stages.textan import idf_rarity
 
     return idf_rarity(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def _q_order_week_events(sf_dir: str):
+    """Equi + range interval join (stages/relational.range_count_join):
+    per order, the number of the customer's events in the 7 days from
+    the order date -- co-partitioned on the equi key only, counts via
+    one vectorized boundary merge per bucket group, LEFT semantics
+    (zero counts kept)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import range_count_join
+
+    week_us = 7 * 86400 * 1_000_000
+
+    def add_end(b: pa.Table) -> pa.Table:
+        start = b.column("o_orderdate").cast(pa.int64())
+        return b.append_column(
+            "o_end", pc.add(start, pa.scalar(week_us, pa.int64()))
+        )
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(add_end, batch_format="pyarrow")
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"],
+    )
+    return range_count_join(
+        orders,
+        events,
+        on="o_custkey",
+        right_on="user_id",
+        start_col="o_orderdate",
+        end_col="o_end",
+        ts_col="ts",
+        keep_cols=["o_orderkey"],
+    )
 
 
 def _q_q1_pricing(sf_dir: str):
@@ -1258,6 +1309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "events_agg": _q_events_agg,
         "events_windowed": _q_events_windowed,
+        "events_hopping": _q_events_hopping,
         "sample_docs": _q_sample_docs,
         "hopto_renumber": _q_hopto_renumber,
         "quantize_ts": _q_quantize_ts,
@@ -1268,6 +1320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_join": _q_q3_join,
         "lang_rank": _q_lang_rank,
         "idf_rarity": _q_idf_rarity,
+        "order_week_events": _q_order_week_events,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -1569,6 +1622,15 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n, max(value) AS value_max "
             "FROM events GROUP BY 1, 2"
         ),
+        "events_hopping": (
+            # window w covers [w*hop, w*hop+size); an event at ts is in
+            # windows floor(ts/hop)-3 .. floor(ts/hop) (size/hop = 4)
+            "WITH x AS (SELECT event_type, value, "
+            "unnest(generate_series(epoch_us(ts) // 900000000 - 3, "
+            'epoch_us(ts) // 900000000)) AS "window" FROM events) '
+            'SELECT event_type, "window", count(*) AS n, '
+            "max(value) AS value_max FROM x GROUP BY 1, 2"
+        ),
         "sample_docs": (
             # (doc_id & (2^31-1)) keeps the product under 2^62 so the
             # BIGINT arithmetic can never overflow -- the engine masks
@@ -1629,6 +1691,14 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate < TIMESTAMP '1998-06-01' "
             "AND l.l_shipdate > TIMESTAMP '1998-06-01' "
             "GROUP BY 1, 2"
+        ),
+        "order_week_events": (
+            "SELECT o.o_orderkey, CAST(count(e.user_id) AS BIGINT) "
+            "AS n_events FROM orders o LEFT JOIN events e "
+            "ON e.user_id = o.o_custkey "
+            "AND e.ts >= o.o_orderdate "
+            "AND e.ts < o.o_orderdate + INTERVAL 7 DAY "
+            "GROUP BY o.o_orderkey"
         ),
         "lang_rank": (
             "SELECT doc_id, lang, n_chars, "

@@ -133,6 +133,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "q3_join",
         "lang_rank",
         "idf_rarity",
+        "order_week_events",
+        "events_hopping",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -44,6 +44,55 @@ def tumbling_window_agg(
     )
 
 
+def hopping_window_agg(
+    ds,
+    size_us: int = 3_600_000_000,
+    hop_us: int = 900_000_000,
+    ts_col="ts",
+    key_col="event_type",
+):
+    """Per-(key, hopping/sliding window) count and max: window ``w``
+    covers ``[w*hop, w*hop + size)``, so each event lands in exactly
+    ``size/hop`` overlapping windows.
+
+    Same shape as the tumbling variant -- a pure per-row projection
+    (here a vectorized ``size/hop``-fold explode) feeding one
+    partial+final small-key groupby.  Shuffle volume grows by the
+    overlap factor, the inherent cost of overlapping windows; counts
+    and max are combine-order-exact so the SQL mirror is bit-exact.
+    ``size_us`` must be a multiple of ``hop_us``.
+    """
+    if size_us % hop_us:
+        raise ValueError("size_us must be a multiple of hop_us")
+    k = size_us // hop_us
+    from ray.data.aggregate import Count, Max
+
+    def explode(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        w0 = pc.divide(b.column(ts_col).cast(pa.int64()), hop_us)
+        w0 = w0.to_numpy(zero_copy_only=False)
+        windows = (
+            np.repeat(w0, k) - np.tile(np.arange(k, dtype=np.int64), n)
+        )
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        return pa.table(
+            {
+                key_col: pc.take(
+                    b.column(key_col).combine_chunks(), idx
+                ),
+                "window": pa.array(windows, pa.int64()),
+                "value": pc.take(b.column("value").combine_chunks(), idx),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby([key_col, "window"])
+        .aggregate(Count(), Max("value"))
+        .rename_columns({"count()": "n", "max(value)": "value_max"})
+    )
+
+
 _SAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant
 _SAMPLE_MOD = 1 << 32
 

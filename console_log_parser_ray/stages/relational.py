@@ -12,6 +12,9 @@
   histogram (shuffle volume = distinct pairs per block, not rows),
   ranks are computed once from the histogram and broadcast, and the
   corpus itself never shuffles.
+* ``range_count_join`` -- equi + range interval join-aggregate
+  (events-per-window counts) via equi-key co-partitioning and one
+  vectorized boundary merge per bucket group.
 
 The reference has no joins beyond the tiny hopto lookup
 (``terminal2html.py:376-388``); these cover the relational verbs a
@@ -127,3 +130,117 @@ def dense_rank(
         return out
 
     return ds.map_batches(attach, batch_format="pandas")
+
+
+def range_count_join(
+    windows,
+    events,
+    on: str,
+    right_on: str,
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    keep_cols: list[str],
+    out_col: str = "n_events",
+    n_buckets: int = 64,
+):
+    """Equi + range interval join-aggregate: for every window row,
+    count events of the SAME equi-key whose timestamp falls in
+    ``[start, end)`` -- the "events in the week after each order"
+    shape.  LEFT semantics: every window row is emitted, zero counts
+    included.
+
+    The equi key alone determines placement, so both sides
+    co-partition on ``key mod n_buckets`` with NO window replication
+    (the range dimension never partitions).  Inside each bucket group
+    the count is one vectorized boundary merge: events and window
+    boundaries are lexsorted together on (key, time, boundary-first)
+    and a cumulative event count read off at the boundary positions
+    gives ``#events < end  -  #events < start`` for every window at
+    once -- no per-key loop, no per-window loop.
+
+    Timestamps are compared as int64 microseconds; ``keep_cols`` are
+    window columns carried to the output.
+    """
+
+    def tag_windows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        key = b.column(on).cast(pa.int64())
+        cols = {
+            "__jb": pc.cast(_mod(key, n_buckets), pa.int32()),
+            "__side": pa.array(np.zeros(n, dtype=np.int8)),
+            "__key": key,
+            "__start": b.column(start_col).cast(pa.int64()),
+            "__end": b.column(end_col).cast(pa.int64()),
+        }
+        for name in keep_cols:
+            cols[name] = b.column(name)
+        return pa.table(cols)
+
+    keep_types: dict = {}
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        key = b.column(right_on).cast(pa.int64())
+        cols = {
+            "__jb": pc.cast(_mod(key, n_buckets), pa.int32()),
+            "__side": pa.array(np.ones(n, dtype=np.int8)),
+            "__key": key,
+            "__start": b.column(ts_col).cast(pa.int64()),
+            "__end": pa.nulls(n, pa.int64()),
+        }
+        for name, typ in keep_types.items():
+            cols[name] = pa.nulls(n, typ)
+        return pa.table(cols)
+
+    w_schema = windows.schema()
+    for name, typ in zip(w_schema.names, w_schema.types):
+        if name in keep_cols:
+            keep_types[name] = typ
+
+    tagged = windows.map_batches(
+        tag_windows, batch_format="pyarrow"
+    ).union(events.map_batches(tag_events, batch_format="pyarrow"))
+
+    def count_group(tbl: pa.Table) -> pa.Table:
+        side = tbl.column("__side").to_numpy(zero_copy_only=False)
+        key = tbl.column("__key").to_numpy(zero_copy_only=False)
+        t0 = tbl.column("__start").to_numpy(zero_copy_only=False)
+        is_w = side == 0
+        wt = tbl.filter(pa.array(is_w))
+        n_w = wt.num_rows
+        if n_w == 0:
+            cols = {name: pa.array([], typ) for name, typ in keep_types.items()}
+            cols[out_col] = pa.array([], pa.int64())
+            return pa.table(cols)
+        ev_key = key[~is_w]
+        ev_ts = t0[~is_w].astype(np.int64)
+        w_key = key[is_w]
+        w_start = t0[is_w].astype(np.int64)
+        w_end = wt.column("__end").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        # merged array: events (kind 1) + start/end boundaries (kind 0,
+        # sorting BEFORE events at equal (key, t) => cumulative event
+        # count at a boundary == #events strictly before t => the
+        # window count is exactly #events in [start, end))
+        m_key = np.concatenate([ev_key, w_key, w_key])
+        m_t = np.concatenate([ev_ts, w_start, w_end])
+        m_kind = np.concatenate(
+            [np.ones(len(ev_key), np.int8), np.zeros(2 * n_w, np.int8)]
+        )
+        order = np.lexsort((m_kind, m_t, m_key))
+        is_event_sorted = m_kind[order] == 1
+        cum = np.concatenate(([0], np.cumsum(is_event_sorted)))[:-1]
+        pos_of = np.empty(len(order), dtype=np.int64)
+        pos_of[order] = np.arange(len(order))
+        c_start = cum[pos_of[len(ev_key) : len(ev_key) + n_w]]
+        c_end = cum[pos_of[len(ev_key) + n_w :]]
+        counts = c_end - c_start
+        cols = {name: wt.column(name) for name in keep_types}
+        cols[out_col] = pa.array(counts, pa.int64())
+        return pa.table(cols)
+
+    return tagged.groupby("__jb").map_groups(
+        count_group, batch_format="pyarrow"
+    )

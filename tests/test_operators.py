@@ -1305,3 +1305,90 @@ def test_idf_rarity_exact_counts(ray_session):
         for d, e in expect.items():
             for k, v in e.items():
                 assert out[d][k] == v, (d, k, out[d])
+
+
+def test_range_count_join_brute_force(ray_session):
+    """Equi+range interval join vs a brute-force oracle, inclusive
+    start / exclusive end, zero counts kept, block-boundary invariant."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import range_count_join
+
+    rng_windows = [
+        {"wid": i, "key": i % 5, "start": (i * 13) % 50, "end": (i * 13) % 50 + 7}
+        for i in range(40)
+    ]
+    rng_windows.append({"wid": 99, "key": 99, "start": 0, "end": 60})
+    rng_events = [
+        {"key": j % 7, "ts": (j * 11) % 60} for j in range(300)
+    ]
+    expect = {
+        w["wid"]: sum(
+            1
+            for e in rng_events
+            if e["key"] == w["key"] and w["start"] <= e["ts"] < w["end"]
+        )
+        for w in rng_windows
+    }
+    for np_, nb in [(1, 4), (6, 16)]:
+        wds = ray.data.from_arrow(
+            pa.Table.from_pylist(rng_windows)
+        ).repartition(np_)
+        eds = ray.data.from_arrow(
+            pa.Table.from_pylist(rng_events)
+        ).repartition(np_)
+        got = {
+            r["wid"]: r["n_events"]
+            for r in range_count_join(
+                wds,
+                eds,
+                on="key",
+                right_on="key",
+                start_col="start",
+                end_col="end",
+                ts_col="ts",
+                keep_cols=["wid"],
+                n_buckets=nb,
+            ).take_all()
+        }
+        assert got == expect
+    assert any(v == 0 for v in expect.values())
+    assert any(v > 0 for v in expect.values())
+
+
+def test_hopping_window_agg_brute_force(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import hopping_window_agg
+
+    rows = [
+        {"event_type": "ab"[j % 2], "ts": j * 137, "value": float(j % 9)}
+        for j in range(200)
+    ]
+    size, hop = 400, 100  # k = 4
+    expect: dict = {}
+    for r in rows:
+        w0 = r["ts"] // hop
+        for w in range(w0 - 3, w0 + 1):
+            assert w * hop <= r["ts"] < w * hop + size
+            key = (r["event_type"], w)
+            n, m = expect.get(key, (0, -1.0))
+            expect[key] = (n + 1, max(m, r["value"]))
+    for np_ in (1, 5):
+        tbl = pa.table(
+            {
+                "event_type": [r["event_type"] for r in rows],
+                "ts": pa.array([r["ts"] for r in rows], pa.int64()),
+                "value": [r["value"] for r in rows],
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(np_)
+        got = {
+            (r["event_type"], r["window"]): (r["n"], r["value_max"])
+            for r in hopping_window_agg(ds, size_us=size, hop_us=hop).take_all()
+        }
+        assert got == expect
