@@ -759,22 +759,36 @@ def _q_q3_join(sf_dir: str):
             pc.is_in(b.column("o_custkey"), value_set=pa.array(keys))
         )
 
+    def before_cutoff(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return b.filter(
+            pc.less(b.column("o_orderdate"), pa.scalar(cutoff))
+        ).select(["o_orderkey", "o_orderpriority", "o_custkey"])
+
+    def shipped_after(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return b.filter(
+            pc.greater(b.column("l_shipdate"), pa.scalar(cutoff))
+        ).select(["l_orderkey", "l_quantity"])
+
     orders = (
         ray.data.read_parquet(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderkey", "o_custkey", "o_orderdate",
                      "o_orderpriority"],
         )
-        .filter(lambda r: r["o_orderdate"] < cutoff)
+        .map_batches(before_cutoff, batch_format="pyarrow")
         .map_batches(semi, batch_format="pyarrow")
         .select_columns(["o_orderkey", "o_orderpriority"])
     )
     li = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_quantity", "l_shipdate"],
-    ).filter(lambda r: r["l_shipdate"] > cutoff).select_columns(
-        ["l_orderkey", "l_quantity"]
-    )
+    ).map_batches(shipped_after, batch_format="pyarrow")
     joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
     return (
         joined.groupby(["l_orderkey", "o_orderpriority"])
