@@ -1,9 +1,9 @@
 """Relational operators Ray Data lacks natively.
 
-* ``hash_join``  -- large-x-large equi-join by co-partitioning BOTH
-  sides on a coarse key-hash bucket (one union + one bucket groupby =
-  one shuffle), then one vectorized Acero ``pyarrow.Table.join`` per
-  bucket group.  Group dispatch is bounded by the bucket count, never
+* ``hash_join``  -- large-x-large equi-join (inner / left / semi /
+  anti) by co-partitioning BOTH sides on a coarse key-hash bucket
+  (one union + one bucket groupby = one shuffle), then one vectorized
+  Acero ``pyarrow.Table.join`` per bucket group.  Group dispatch is bounded by the bucket count, never
   by the key cardinality, and neither side is ever broadcast or
   materialized -- the complement of the broadcast join in
   ``stages/enrich.py`` (small side) for when BOTH sides are big.
@@ -31,7 +31,12 @@ import ray
 
 from .dedup import _cached_get, _mod
 
-_JOIN_TYPES = {"inner": "inner", "left": "left outer"}
+_JOIN_TYPES = {
+    "inner": "inner",
+    "left": "left outer",
+    "semi": "left semi",
+    "anti": "left anti",
+}
 
 
 def hash_join(
@@ -92,7 +97,10 @@ def hash_join(
             rt, keys=[on], right_keys=[right_on], join_type=join_type
         )
         # Acero may reorder; pin the column order for stable block schemas
-        names = l_names + [n for n in r_names if n != right_on]
+        if join_type in ("left semi", "left anti"):
+            names = l_names  # filtering joins keep only the left side
+        else:
+            names = l_names + [n for n in r_names if n != right_on]
         return out.select(names)
 
     return tagged.groupby("__jb").map_groups(

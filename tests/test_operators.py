@@ -1392,3 +1392,36 @@ def test_hopping_window_agg_brute_force(ray_session):
             for r in hopping_window_agg(ds, size_us=size, hop_us=hop).take_all()
         }
         assert got == expect
+
+
+def test_hash_join_semi_and_anti(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import hash_join
+
+    left = pa.Table.from_pylist([{"k": i % 10, "lv": i} for i in range(60)])
+    right = pa.Table.from_pylist([{"rk": k} for k in (2, 3, 5, 7, 2)])
+    lds = ray.data.from_arrow(left).repartition(4)
+    rds = ray.data.from_arrow(right)
+    semi = sorted(
+        (r["k"], r["lv"])
+        for r in hash_join(
+            lds, rds, on="k", right_on="rk", n_buckets=8, how="semi"
+        ).take_all()
+    )
+    anti = sorted(
+        (r["k"], r["lv"])
+        for r in hash_join(
+            lds, rds, on="k", right_on="rk", n_buckets=8, how="anti"
+        ).take_all()
+    )
+    rows = left.to_pylist()
+    assert semi == sorted(
+        (r["k"], r["lv"]) for r in rows if r["k"] in {2, 3, 5, 7}
+    )  # semi never duplicates despite the duplicate right key
+    assert anti == sorted(
+        (r["k"], r["lv"]) for r in rows if r["k"] not in {2, 3, 5, 7}
+    )
+    assert len(semi) + len(anti) == len(rows)
