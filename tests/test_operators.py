@@ -1425,3 +1425,83 @@ def test_hash_join_semi_and_anti(ray_session):
         (r["k"], r["lv"]) for r in rows if r["k"] not in {2, 3, 5, 7}
     )
     assert len(semi) + len(anti) == len(rows)
+
+
+def test_hash_join_null_keys_sql_semantics(ray_session):
+    """NULL keys never match (SQL semantics): dropped from inner,
+    kept with null right columns in left outer."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import hash_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, None, 2, None], pa.int64()),
+            "lv": pa.array([10, 11, 12, 13], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([1, 2, None], pa.int64()),
+            "rv": pa.array([100, 200, 999], pa.int64()),
+        }
+    )
+    lds = ray.data.from_arrow(left)
+    rds = ray.data.from_arrow(right)
+    inner = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in hash_join(lds, rds, on="k", right_on="rk").take_all()
+    )
+    assert inner == [(1, 10, 100), (2, 12, 200)]
+    outer = sorted(
+        (r["lv"], r["k"], r["rv"])
+        for r in hash_join(
+            lds, rds, on="k", right_on="rk", how="left"
+        ).take_all()
+    )
+    assert outer == [
+        (10, 1, 100),
+        (11, None, None),
+        (12, 2, 200),
+        (13, None, None),
+    ]
+
+
+def test_idf_rarity_random_corpus_vs_python_oracle(ray_session):
+    import collections
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import idf_rarity
+
+    rng = np.random.default_rng(5)
+    vocab = [f"t{i}" for i in range(40)]
+    rows = []
+    for d in range(120):
+        n = int(rng.integers(0, 30))
+        toks = [vocab[x] for x in rng.integers(0, len(vocab), n)]
+        rows.append({"doc_id": d, "text": " ".join(toks)})
+    df_count: collections.Counter = collections.Counter()
+    per_doc = {}
+    for r in rows:
+        toks = r["text"].split()
+        if not toks:
+            continue
+        per_doc[r["doc_id"]] = collections.Counter(toks)
+        for t in set(toks):
+            df_count[t] += 1
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+    out = {r["doc_id"]: r for r in idf_rarity(ds, n_buckets=7).take_all()}
+    assert set(out) == set(per_doc)
+    for d, cnt in per_doc.items():
+        assert out[d]["n_tokens"] == sum(cnt.values())
+        assert out[d]["sum_df"] == sum(
+            n * df_count[t] for t, n in cnt.items()
+        )
+        assert out[d]["n_hapax"] == sum(
+            1 for t in cnt if df_count[t] == 1
+        )
