@@ -824,6 +824,21 @@ def _q_idf_rarity(sf_dir: str):
     return idf_rarity(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_longest_docs(sf_dir: str):
+    """Per-group arg-top-k by VALUE (stages/events.topk_per_group):
+    the 3 longest documents per language, ties by doc_id -- block-local
+    per-group top-k partials, one bounded shuffle (<= k rows per group
+    per block)."""
+    from console_log_parser_ray.stages.events import topk_per_group
+
+    return topk_per_group(
+        _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"]),
+        "lang",
+        "n_chars",
+        k=3,
+    )
+
+
 def _q_order_week_events(sf_dir: str):
     """Equi + range interval join (stages/relational.range_count_join):
     per order, the number of the customer's events in the 7 days from
@@ -1335,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_rank": _q_lang_rank,
         "idf_rarity": _q_idf_rarity,
         "order_week_events": _q_order_week_events,
+        "longest_docs": _q_longest_docs,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -1705,6 +1721,11 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate < TIMESTAMP '1998-06-01' "
             "AND l.l_shipdate > TIMESTAMP '1998-06-01' "
             "GROUP BY 1, 2"
+        ),
+        "longest_docs": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "QUALIFY row_number() OVER "
+            "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3"
         ),
         "order_week_events": (
             "SELECT o.o_orderkey, CAST(count(e.user_id) AS BIGINT) "

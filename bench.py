@@ -135,6 +135,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "idf_rarity",
         "order_week_events",
         "events_hopping",
+        "longest_docs",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

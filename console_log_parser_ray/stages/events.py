@@ -380,3 +380,49 @@ def sample_per_group(
     return partial.groupby(group_col).map_groups(
         fold, batch_format="pyarrow"
     )
+
+
+def topk_per_group(
+    ds,
+    group_col: str,
+    val_col: str,
+    k: int = 3,
+    id_col: str = "doc_id",
+):
+    """The ``k`` rows per group with the LARGEST value (ties broken by
+    smallest id) -- "best documents per language/source" selection for
+    training-data mixes.
+
+    Same bounded-shuffle shape as ``sample_per_group``: each block
+    pre-reduces to its own per-group top-k, so the one shuffle moves at
+    most ``k`` rows per group per block and the final per-group fold is
+    the same bounded reduction -- no group ever ships whole.
+    """
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                id_col: b.column(id_col).cast(pa.int64()),
+                group_col: b.column(group_col),
+                val_col: b.column(val_col),
+            }
+        )
+        df = t.to_pandas()
+        df = df.sort_values(
+            [val_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        df = df.groupby(group_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            tbl,
+            sort_keys=[(val_col, "descending"), (id_col, "ascending")],
+        )
+        return tbl.take(idx[:k])
+
+    return partial.groupby(group_col).map_groups(
+        fold, batch_format="pyarrow"
+    )

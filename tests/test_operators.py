@@ -1505,3 +1505,30 @@ def test_idf_rarity_random_corpus_vs_python_oracle(ray_session):
         assert out[d]["n_hapax"] == sum(
             1 for t in cnt if df_count[t] == 1
         )
+
+
+def test_topk_per_group_by_value(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import topk_per_group
+
+    rows = [
+        {"doc_id": i, "g": "ab"[i % 2], "v": (i * 17) % 23}
+        for i in range(80)
+    ]
+    expect = set()
+    for g in "ab":
+        grp = sorted(
+            (r for r in rows if r["g"] == g),
+            key=lambda r: (-r["v"], r["doc_id"]),
+        )[:3]
+        expect |= {(r["doc_id"], r["g"], r["v"]) for r in grp}
+    for np_ in (1, 6):
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(np_)
+        got = {
+            (r["doc_id"], r["g"], r["v"])
+            for r in topk_per_group(ds, "g", "v", k=3).take_all()
+        }
+        assert got == expect
