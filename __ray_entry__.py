@@ -790,12 +790,27 @@ def _q_q3_join(sf_dir: str):
         columns=["l_orderkey", "l_quantity", "l_shipdate"],
     ).map_batches(shipped_after, batch_format="pyarrow")
     joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
-    return (
-        joined.groupby(["l_orderkey", "o_orderpriority"])
-        .aggregate(Count(), Sum("l_quantity"))
-        .rename_columns(
-            {"count()": "n_items", "sum(l_quantity)": "sum_qty"}
+
+    def local_rollup(b):
+        # Arrow hash pre-aggregation per block: the joined blocks are
+        # co-partitioned on l_orderkey, so this shrinks the final
+        # groupby's input from joined rows to (near-final) group rows
+        # -- Ray's sort-based aggregate was 4x the join cost without
+        # it.  Partial sums of integral quantities stay exact.
+        import pyarrow as pa
+
+        g = b.group_by(["l_orderkey", "o_orderpriority"]).aggregate(
+            [("l_quantity", "count"), ("l_quantity", "sum")]
         )
+        return g.rename_columns(
+            ["l_orderkey", "o_orderpriority", "pn", "ps"]
+        )
+
+    return (
+        joined.map_batches(local_rollup, batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderpriority"])
+        .aggregate(Sum("pn"), Sum("ps"))
+        .rename_columns({"sum(pn)": "n_items", "sum(ps)": "sum_qty"})
     )
 
 
