@@ -731,7 +731,7 @@ def _q_q3_join(sf_dir: str):
     import numpy as np
     import ray
     import ray.data
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from console_log_parser_ray.stages.relational import hash_join
 
