@@ -854,6 +854,16 @@ def _q_longest_docs(sf_dir: str):
     )
 
 
+def _q_rarest_token(sf_dir: str):
+    """Per-document rarest token by corpus DF (argmin with
+    lexicographic tie-break) -- the TF-IDF term-selection skeleton
+    (stages/textan.rarest_token): token-hash buckets compute DF and
+    per-doc in-bucket argmins, doc-hash buckets fold the candidates."""
+    from console_log_parser_ray.stages.textan import rarest_token
+
+    return rarest_token(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def _q_order_week_events(sf_dir: str):
     """Equi + range interval join (stages/relational.range_count_join):
     per order, the number of the customer's events in the 7 days from
@@ -1366,6 +1376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idf_rarity": _q_idf_rarity,
         "order_week_events": _q_order_week_events,
         "longest_docs": _q_longest_docs,
+        "rarest_token": _q_rarest_token,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -1741,6 +1752,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents "
             "QUALIFY row_number() OVER "
             "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3"
+        ),
+        "rarest_token": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+            "FROM documents), "
+            "occ AS (SELECT DISTINCT doc_id, tok FROM toks), "
+            "df AS (SELECT tok, count(*) AS df FROM occ GROUP BY tok) "
+            "SELECT o.doc_id, o.tok AS rare_tok, d.df AS rare_df "
+            "FROM occ o JOIN df d USING (tok) "
+            "QUALIFY row_number() OVER "
+            "(PARTITION BY o.doc_id ORDER BY d.df, o.tok) = 1"
         ),
         "order_week_events": (
             "SELECT o.o_orderkey, CAST(count(e.user_id) AS BIGINT) "

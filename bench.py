@@ -136,6 +136,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "order_week_events",
         "events_hopping",
         "longest_docs",
+        "rarest_token",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -612,6 +612,44 @@ def _token_bucket_hashes(dict_vals: list, memo: dict) -> np.ndarray:
 _TOK_HASH_MEMO: dict = {}
 
 
+def _explode_tok_occ(
+    batch: pa.Table, text_col: str, id_col: str, n_buckets: int
+) -> pa.Table:
+    """Distinct (doc, token, n_occ) rows for one batch, bucketed by a
+    token hash (``jb``) so every occurrence row of a token lands in ONE
+    bucket group -- the shared front half of the corpus-DF operators."""
+    texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+    ids = batch.column(id_col).combine_chunks().cast(pa.int64())
+    lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+    flat = lists.flatten()
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    row_idx = np.repeat(
+        np.arange(len(texts), dtype=np.int64), np.diff(offsets)
+    )
+    pairs = pa.table(
+        {
+            id_col: pc.take(ids, pa.array(row_idx, pa.int64())),
+            "tok": flat,
+        }
+    ).filter(pc.not_equal(flat, ""))
+    occ = pairs.group_by([id_col, "tok"]).aggregate([("tok", "count")])
+    toks = occ.column("tok").combine_chunks()
+    enc = pc.dictionary_encode(toks)
+    dict_hash = _token_bucket_hashes(
+        enc.dictionary.to_pylist(), _TOK_HASH_MEMO
+    )
+    jb = dict_hash[enc.indices.to_numpy(zero_copy_only=False)] % n_buckets
+    return pa.table(
+        {
+            "jb": pa.array(jb.astype(np.int32), pa.int32()),
+            id_col: occ.column(id_col),
+            "tok": toks,
+            "n_occ": occ.column("tok_count").cast(pa.int64()),
+        }
+    )
+
+
 def idf_rarity(ds, text_col="text", id_col="doc_id", n_buckets: int = 64):
     """Exact corpus document-frequency rarity signals (the integer
     skeleton of a CCNet-style LM-rarity quality filter).
@@ -633,42 +671,6 @@ def idf_rarity(ds, text_col="text", id_col="doc_id", n_buckets: int = 64):
     group before emitting.
     """
 
-    def explode(batch: pa.Table) -> pa.Table:
-        texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
-        ids = batch.column(id_col).combine_chunks().cast(pa.int64())
-        lists = pc.split_pattern_regex(texts, pattern=r"\s+")
-        flat = lists.flatten()
-        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        offsets = offsets - offsets[0]
-        row_idx = np.repeat(
-            np.arange(len(texts), dtype=np.int64), np.diff(offsets)
-        )
-        pairs = pa.table(
-            {
-                id_col: pc.take(ids, pa.array(row_idx, pa.int64())),
-                "tok": flat,
-            }
-        ).filter(pc.not_equal(flat, ""))
-        occ = pairs.group_by([id_col, "tok"]).aggregate([("tok", "count")])
-        toks = occ.column("tok").combine_chunks()
-        enc = pc.dictionary_encode(toks)
-        dict_hash = _token_bucket_hashes(
-            enc.dictionary.to_pylist(), _TOK_HASH_MEMO
-        )
-        jb = dict_hash[enc.indices.to_numpy(zero_copy_only=False)] % (
-            n_buckets
-        )
-        return pa.table(
-            {
-                "jb": pa.array(jb.astype(np.int32), pa.int32()),
-                id_col: occ.column(id_col),
-                "tok": toks,
-                "n_occ": occ.column("tok_count").cast(pa.int64()),
-            }
-        )
-
     def df_in_bucket(tbl: pa.Table) -> pa.Table:
         # every (doc, tok) row of a token is in this group, and rows
         # are distinct per (doc, tok) => df(tok) = row count per token
@@ -689,7 +691,10 @@ def idf_rarity(ds, text_col="text", id_col="doc_id", n_buckets: int = 64):
     from ray.data.aggregate import Sum
 
     return (
-        ds.map_batches(explode, batch_format="pyarrow")
+        ds.map_batches(
+            lambda b: _explode_tok_occ(b, text_col, id_col, n_buckets),
+            batch_format="pyarrow",
+        )
         .groupby("jb")
         .map_groups(df_in_bucket, batch_format="pyarrow")
         .groupby(id_col)
@@ -701,4 +706,74 @@ def idf_rarity(ds, text_col="text", id_col="doc_id", n_buckets: int = 64):
                 "sum(hapax)": "n_hapax",
             }
         )
+    )
+
+
+def rarest_token(
+    ds, text_col="text", id_col="doc_id", n_buckets: int = 64,
+    n_doc_buckets: int = 64,
+):
+    """Per document, its rarest token by corpus document frequency
+    (ties by lexicographically smallest token) and that token's DF --
+    the argmin skeleton of TF-IDF term selection, exact end to end.
+
+    Front half shared with ``idf_rarity``: token-hash bucket groups
+    compute each token's DF locally.  Each bucket then emits ONE
+    candidate row per document (its in-bucket argmin), so at most
+    #token-buckets candidates per document leave the shuffle; the final
+    argmin folds candidates inside doc-hash bucket groups with one
+    lexsort -- group dispatch is bounded by bucket counts on both
+    levels, never by document count.
+    """
+
+    def candidates_in_bucket(tbl: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(tbl.column("tok").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        df = np.bincount(codes, minlength=len(enc.dictionary))
+        row_df = df[codes]
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        toks = enc.dictionary.to_numpy(zero_copy_only=False)[codes]
+        # per-doc argmin of (df, tok) within this bucket: lexsort then
+        # first row per doc
+        order = np.lexsort((toks, row_df, ids))
+        first = np.ones(len(order), dtype=bool)
+        sorted_ids = ids[order]
+        first[1:] = sorted_ids[1:] != sorted_ids[:-1]
+        sel = order[first]
+        db = (ids[sel] * 2654435761 % (1 << 31)) % n_doc_buckets
+        return pa.table(
+            {
+                "db": pa.array(db.astype(np.int32), pa.int32()),
+                id_col: pa.array(ids[sel], pa.int64()),
+                "rare_tok": pa.array(toks[sel], pa.string()),
+                "rare_df": pa.array(row_df[sel], pa.int64()),
+            }
+        )
+
+    def fold_candidates(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        dfs = tbl.column("rare_df").to_numpy(zero_copy_only=False)
+        toks = tbl.column("rare_tok").to_numpy(zero_copy_only=False)
+        order = np.lexsort((toks, dfs, ids))
+        first = np.ones(len(order), dtype=bool)
+        sorted_ids = ids[order]
+        first[1:] = sorted_ids[1:] != sorted_ids[:-1]
+        sel = order[first]
+        return pa.table(
+            {
+                id_col: pa.array(ids[sel], pa.int64()),
+                "rare_tok": pa.array(toks[sel], pa.string()),
+                "rare_df": pa.array(dfs[sel], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            lambda b: _explode_tok_occ(b, text_col, id_col, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("jb")
+        .map_groups(candidates_in_bucket, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(fold_candidates, batch_format="pyarrow")
     )

@@ -1532,3 +1532,59 @@ def test_topk_per_group_by_value(ray_session):
             for r in topk_per_group(ds, "g", "v", k=3).take_all()
         }
         assert got == expect
+
+
+def test_rarest_token_argmin_semantics(ray_session):
+    """Per-doc argmin of (corpus df, token): hand oracle with ties,
+    block-boundary invariant; zero-token docs dropped."""
+    import collections
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import rarest_token
+
+    rows = [
+        {"doc_id": 1, "text": "common zebra common"},  # zebra df=1
+        {"doc_id": 2, "text": "common apple banana"},  # apple/banana df=1 tie -> apple
+        {"doc_id": 3, "text": "common common"},        # only common (df=3)
+        {"doc_id": 4, "text": ""},                     # dropped
+    ]
+    expect = {1: ("zebra", 1), 2: ("apple", 1), 3: ("common", 3)}
+    for np_ in (1, 3):
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(np_)
+        got = {
+            r["doc_id"]: (r["rare_tok"], r["rare_df"])
+            for r in rarest_token(ds, n_buckets=5, n_doc_buckets=3).take_all()
+        }
+        assert got == expect
+
+    # randomized cross-check vs a pure-Python oracle
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i:02d}" for i in range(25)]
+    rows = [
+        {
+            "doc_id": d,
+            "text": " ".join(
+                vocab[x] for x in rng.integers(0, len(vocab), 12)
+            ),
+        }
+        for d in range(60)
+    ]
+    df_count: collections.Counter = collections.Counter()
+    for r in rows:
+        for t in set(r["text"].split()):
+            df_count[t] += 1
+    expect = {
+        r["doc_id"]: min(
+            ((df_count[t], t) for t in set(r["text"].split())),
+        )
+        for r in rows
+    }
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    got = {
+        r["doc_id"]: (r["rare_df"], r["rare_tok"])
+        for r in rarest_token(ds, n_buckets=7).take_all()
+    }
+    assert got == expect
