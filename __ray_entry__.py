@@ -854,6 +854,20 @@ def _q_longest_docs(sf_dir: str):
     )
 
 
+def _q_user_event_matrix(sf_dir: str):
+    """Pivot / crosstab (stages/events.pivot_counts): one row per user
+    with a count column per event type -- per-batch Arrow group-by
+    partials, key-hash bucket fold + vectorized pandas pivot."""
+    from console_log_parser_ray.stages.events import pivot_counts
+
+    return pivot_counts(
+        _events(sf_dir).select_columns(["user_id", "event_type"]),
+        "user_id",
+        "event_type",
+        categories=("click", "error", "purchase", "signup", "view"),
+    )
+
+
 def _q_rarest_token(sf_dir: str):
     """Per-document rarest token by corpus DF (argmin with
     lexicographic tie-break) -- the TF-IDF term-selection skeleton
@@ -1377,6 +1391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_week_events": _q_order_week_events,
         "longest_docs": _q_longest_docs,
         "rarest_token": _q_rarest_token,
+        "user_event_matrix": _q_user_event_matrix,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -1752,6 +1767,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents "
             "QUALIFY row_number() OVER "
             "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3"
+        ),
+        "user_event_matrix": (
+            "SELECT user_id, "
+            "count(*) FILTER (WHERE event_type = 'click') AS n_click, "
+            "count(*) FILTER (WHERE event_type = 'error') AS n_error, "
+            "count(*) FILTER (WHERE event_type = 'purchase') "
+            "AS n_purchase, "
+            "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
+            "count(*) FILTER (WHERE event_type = 'view') AS n_view "
+            "FROM events GROUP BY user_id"
         ),
         "rarest_token": (
             "WITH toks AS (SELECT doc_id, "

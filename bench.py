@@ -137,6 +137,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "events_hopping",
         "longest_docs",
         "rarest_token",
+        "user_event_matrix",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -426,3 +426,79 @@ def topk_per_group(
     return partial.groupby(group_col).map_groups(
         fold, batch_format="pyarrow"
     )
+
+
+def pivot_counts(
+    ds,
+    key_col: str,
+    cat_col: str,
+    categories: tuple,
+    n_buckets: int = 64,
+):
+    """Pivot / crosstab: one row per key with a count column per
+    category (``n_<cat>``) -- the wide feature-matrix shape model
+    pipelines feed from event streams.
+
+    Two-level reduction: a per-batch Arrow group-by shrinks blocks to
+    (key, cat, n) partials, then key-hash bucket groups fold partials
+    and pivot with one vectorized pandas unstack per bucket -- group
+    dispatch is bounded by the bucket count, shuffle volume by distinct
+    (key, cat) pairs per block.  ``categories`` pins the output schema
+    (unknown categories raise rather than silently drop)."""
+    import pandas as pd
+
+    cats = list(categories)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select([key_col, cat_col]).group_by(
+            [key_col, cat_col]
+        ).aggregate([([], "count_all")])
+        key = g.column(key_col).cast(pa.int64())
+        jb = _bucket31(key, n_buckets)
+        return pa.table(
+            {
+                "jb": jb,
+                key_col: key,
+                cat_col: g.column(cat_col),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def fold_pivot(tbl: pa.Table) -> pa.Table:
+        df = tbl.select([key_col, cat_col, "n"]).to_pandas()
+        unknown = set(df[cat_col]) - set(cats)
+        if unknown:
+            raise ValueError(f"unknown categories: {sorted(unknown)}")
+        wide = (
+            df.pivot_table(
+                index=key_col, columns=cat_col, values="n",
+                aggfunc="sum", fill_value=0,
+            )
+            .reindex(columns=cats, fill_value=0)
+            .reset_index()
+        )
+        cols = {key_col: pa.array(wide[key_col].to_numpy(), pa.int64())}
+        for c in cats:
+            cols["n_" + c] = pa.array(
+                wide[c].to_numpy(dtype="int64"), pa.int64()
+            )
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(fold_pivot, batch_format="pyarrow")
+    )
+
+
+def _bucket31(key_arr, n_buckets: int):
+    """int32 bucket ids from a 31-bit multiplicative hash of int64 keys
+    (overflow-safe in engines whose BIGINT raises on overflow)."""
+    ids31 = pc.bit_wise_and(key_arr, pa.scalar((1 << 31) - 1, pa.int64()))
+    h = pc.multiply(ids31, pa.scalar(_SAMPLE_MULT, pa.int64()))
+    b = pc.bit_wise_and(h, pa.scalar(_SAMPLE_MOD - 1, pa.int64()))
+    q = pc.divide(b, pa.scalar(n_buckets, pa.int64()))
+    return pc.cast(
+        pc.subtract(b, pc.multiply(q, pa.scalar(n_buckets, pa.int64()))),
+        pa.int32(),
+    )

@@ -1588,3 +1588,40 @@ def test_rarest_token_argmin_semantics(ray_session):
         for r in rarest_token(ds, n_buckets=7).take_all()
     }
     assert got == expect
+
+
+def test_pivot_counts_wide_matrix(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import pivot_counts
+
+    rows = []
+    for i in range(90):
+        rows.append({"user_id": i % 7, "event_type": "abc"[i % 3]})
+    expect: dict = {}
+    for r in rows:
+        d = expect.setdefault(r["user_id"], {"a": 0, "b": 0, "c": 0})
+        d[r["event_type"]] += 1
+    for np_ in (1, 5):
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(np_)
+        got = {
+            r["user_id"]: (r["n_a"], r["n_b"], r["n_c"])
+            for r in pivot_counts(
+                ds, "user_id", "event_type", categories=("a", "b", "c"),
+                n_buckets=4,
+            ).take_all()
+        }
+        assert got == {
+            u: (d["a"], d["b"], d["c"]) for u, d in expect.items()
+        }
+
+    # unknown category raises instead of silently dropping
+    bad = ray.data.from_arrow(
+        pa.Table.from_pylist([{"user_id": 1, "event_type": "zz"}])
+    )
+    with pytest.raises(Exception):
+        pivot_counts(
+            bad, "user_id", "event_type", categories=("a",)
+        ).take_all()
