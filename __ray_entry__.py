@@ -854,6 +854,21 @@ def _q_longest_docs(sf_dir: str):
     )
 
 
+def _q_funnel(sf_dir: str):
+    """Two-step funnel (stages/events.funnel_two_step): per user with a
+    signup, the first signup time, the first purchase at or after it,
+    and 7-day conversion -- type-filtered before the one user-hash
+    bucket shuffle, each bucket resolved with three vectorized pandas
+    group ops (no per-user dispatch)."""
+    from console_log_parser_ray.stages.events import funnel_two_step
+
+    return funnel_two_step(
+        _events(sf_dir).select_columns(["user_id", "ts", "event_type"]),
+        first_ev="signup",
+        second_ev="purchase",
+    )
+
+
 def _q_user_event_matrix(sf_dir: str):
     """Pivot / crosstab (stages/events.pivot_counts): one row per user
     with a count column per event type -- per-batch Arrow group-by
@@ -1392,6 +1407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_docs": _q_longest_docs,
         "rarest_token": _q_rarest_token,
         "user_event_matrix": _q_user_event_matrix,
+        "funnel": _q_funnel,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -1767,6 +1783,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents "
             "QUALIFY row_number() OVER "
             "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3"
+        ),
+        "funnel": (
+            "WITH s AS (SELECT user_id, min(epoch_us(ts)) AS first_us "
+            "FROM events WHERE event_type = 'signup' GROUP BY user_id) "
+            "SELECT s.user_id, s.first_us, "
+            "(SELECT min(epoch_us(e.ts)) FROM events e "
+            " WHERE e.user_id = s.user_id AND e.event_type = 'purchase' "
+            " AND epoch_us(e.ts) >= s.first_us) AS second_us, "
+            "coalesce((SELECT min(epoch_us(e.ts)) FROM events e "
+            " WHERE e.user_id = s.user_id AND e.event_type = 'purchase' "
+            " AND epoch_us(e.ts) >= s.first_us) - s.first_us "
+            " <= 604800000000, FALSE) AS converted "
+            "FROM s"
         ),
         "user_event_matrix": (
             "SELECT user_id, "

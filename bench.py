@@ -138,6 +138,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "longest_docs",
         "rarest_token",
         "user_event_matrix",
+        "funnel",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

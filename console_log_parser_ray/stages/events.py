@@ -502,3 +502,85 @@ def _bucket31(key_arr, n_buckets: int):
         pc.subtract(b, pc.multiply(q, pa.scalar(n_buckets, pa.int64()))),
         pa.int32(),
     )
+
+
+def funnel_two_step(
+    ds,
+    first_ev: str,
+    second_ev: str,
+    window_us: int = 7 * 86400 * 1_000_000,
+    user_col="user_id",
+    ts_col="ts",
+    type_col="event_type",
+    n_buckets: int = 64,
+):
+    """Two-step funnel / sequence match: for every user with at least
+    one ``first_ev``, the time of their first one, the time of their
+    first ``second_ev`` AT OR AFTER it (null if none), and whether that
+    conversion landed within ``window_us`` -- the signup→purchase
+    retention shape.
+
+    Scale shape: the stream is filtered to the two event types before
+    the one user-hash bucket shuffle, and each bucket group resolves
+    ALL its users with three vectorized pandas group operations (min
+    first-event ts per user; candidate second events filtered by the
+    merged per-user anchor; min per user) -- no per-user dispatch, no
+    ordered scan.  Timestamps compare as int64 microseconds, so the
+    correlated-subquery SQL mirror is exact.
+    """
+    import pandas as pd
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        types = b.column(type_col)
+        keep = pc.or_(
+            pc.equal(types, first_ev), pc.equal(types, second_ev)
+        )
+        t = b.filter(keep)
+        key = t.column(user_col).cast(pa.int64())
+        return pa.table(
+            {
+                "jb": _bucket31(key, n_buckets),
+                user_col: key,
+                "t_us": t.column(ts_col).cast(pa.int64()),
+                "is_first": pc.equal(t.column(type_col), first_ev),
+            }
+        )
+
+    def resolve(tbl: pa.Table) -> pa.Table:
+        df = tbl.select([user_col, "t_us", "is_first"]).to_pandas()
+        anchors = (
+            df[df["is_first"]].groupby(user_col)["t_us"].min().rename("s")
+        )
+        cand = df[~df["is_first"]].merge(
+            anchors, left_on=user_col, right_index=True
+        )
+        cand = cand[cand["t_us"] >= cand["s"]]
+        conv = cand.groupby(user_col)["t_us"].min()
+        out = anchors.to_frame().join(conv.rename("c"), how="left")
+        converted = (out["c"] - out["s"] <= window_us) & out["c"].notna()
+        c = out["c"].to_numpy(dtype="float64")
+        no_conv = np.isnan(c)
+        return pa.table(
+            {
+                user_col: pa.array(
+                    out.index.to_numpy(dtype="int64"), pa.int64()
+                ),
+                "first_us": pa.array(
+                    out["s"].to_numpy(dtype="int64"), pa.int64()
+                ),
+                "second_us": pa.array(
+                    np.where(no_conv, 0, c).astype(np.int64),
+                    pa.int64(),
+                    mask=no_conv,
+                ),
+                "converted": pa.array(
+                    converted.to_numpy(dtype=bool), pa.bool_()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prefilter, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

@@ -1625,3 +1625,48 @@ def test_pivot_counts_wide_matrix(ray_session):
         pivot_counts(
             bad, "user_id", "event_type", categories=("a",)
         ).take_all()
+
+
+def test_funnel_two_step_semantics(ray_session):
+    """Hand oracle: pre-anchor purchases ignored, window boundary
+    inclusive, non-converters null, users without the first event
+    absent; block-boundary invariant."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import funnel_two_step
+
+    rows = [
+        # u1: signup@100, purchase@50 (before -> ignored), purchase@150
+        {"user_id": 1, "ts": 100, "event_type": "signup"},
+        {"user_id": 1, "ts": 50, "event_type": "purchase"},
+        {"user_id": 1, "ts": 150, "event_type": "purchase"},
+        # u2: signup@100, purchase@100+window (boundary -> converted)
+        {"user_id": 2, "ts": 100, "event_type": "signup"},
+        {"user_id": 2, "ts": 100 + 500, "event_type": "purchase"},
+        # u3: signup@100, purchase@100+window+1 (late -> not converted)
+        {"user_id": 3, "ts": 100, "event_type": "signup"},
+        {"user_id": 3, "ts": 601, "event_type": "purchase"},
+        # u4: signup only
+        {"user_id": 4, "ts": 100, "event_type": "signup"},
+        # u5: purchase only -> absent from output
+        {"user_id": 5, "ts": 100, "event_type": "purchase"},
+        # noise type everywhere
+        {"user_id": 1, "ts": 1, "event_type": "view"},
+    ]
+    expect = {
+        1: (100, 150, True),
+        2: (100, 600, True),
+        3: (100, 601, False),
+        4: (100, None, False),
+    }
+    for np_ in (1, 4):
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(np_)
+        got = {
+            r["user_id"]: (r["first_us"], r["second_us"], r["converted"])
+            for r in funnel_two_step(
+                ds, "signup", "purchase", window_us=500, n_buckets=3
+            ).take_all()
+        }
+        assert got == expect
