@@ -802,8 +802,15 @@ def _q_q3_join(sf_dir: str):
         g = b.group_by(["l_orderkey", "o_orderpriority"]).aggregate(
             [("l_quantity", "count"), ("l_quantity", "sum")]
         )
-        return g.rename_columns(
-            ["l_orderkey", "o_orderpriority", "pn", "ps"]
+        # rename by NAME: pyarrow's aggregate column order (keys first
+        # vs aggregates first) is not a documented contract
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "o_orderpriority": g.column("o_orderpriority"),
+                "pn": g.column("l_quantity_count"),
+                "ps": g.column("l_quantity_sum"),
+            }
         )
 
     return (

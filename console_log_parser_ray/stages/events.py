@@ -50,6 +50,7 @@ def hopping_window_agg(
     hop_us: int = 900_000_000,
     ts_col="ts",
     key_col="event_type",
+    val_col="value",
 ):
     """Per-(key, hopping/sliding window) count and max: window ``w``
     covers ``[w*hop, w*hop + size)``, so each event lands in exactly
@@ -81,15 +82,17 @@ def hopping_window_agg(
                     b.column(key_col).combine_chunks(), idx
                 ),
                 "window": pa.array(windows, pa.int64()),
-                "value": pc.take(b.column("value").combine_chunks(), idx),
+                val_col: pc.take(b.column(val_col).combine_chunks(), idx),
             }
         )
 
     return (
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby([key_col, "window"])
-        .aggregate(Count(), Max("value"))
-        .rename_columns({"count()": "n", "max(value)": "value_max"})
+        .aggregate(Count(), Max(val_col))
+        .rename_columns(
+            {"count()": "n", f"max({val_col})": "value_max"}
+        )
     )
 
 
@@ -445,8 +448,6 @@ def pivot_counts(
     dispatch is bounded by the bucket count, shuffle volume by distinct
     (key, cat) pairs per block.  ``categories`` pins the output schema
     (unknown categories raise rather than silently drop)."""
-    import pandas as pd
-
     cats = list(categories)
 
     def partial(b: pa.Table) -> pa.Table:
@@ -528,7 +529,6 @@ def funnel_two_step(
     ordered scan.  Timestamps compare as int64 microseconds, so the
     correlated-subquery SQL mirror is exact.
     """
-    import pandas as pd
 
     def prefilter(b: pa.Table) -> pa.Table:
         types = b.column(type_col)
@@ -554,6 +554,9 @@ def funnel_two_step(
         cand = df[~df["is_first"]].merge(
             anchors, left_on=user_col, right_index=True
         )
+        # the merge names the index after user_col when cand is empty;
+        # drop it so the groupby below never sees an index/column clash
+        cand = cand.reset_index(drop=True)
         cand = cand[cand["t_us"] >= cand["s"]]
         conv = cand.groupby(user_col)["t_us"].min()
         out = anchors.to_frame().join(conv.rename("c"), how="left")

@@ -119,6 +119,13 @@ def dense_rank(
     #groups x #distinct values (e.g. languages x document lengths),
     independent of row count.  The histogram groupby combines
     per-block partials, so shuffle volume is distinct pairs per block.
+
+    The input lineage executes twice (histogram pass, attach pass) --
+    deliberate: two streaming scans from storage beat pinning the
+    corpus in the object store (``materialize()`` on a 100 TB input is
+    the real anti-pattern).  Callers with a small or already-
+    materialized input can pass it materialized to fold the two passes
+    onto cached blocks.
     """
     hist = (
         ds.groupby([group_col, val_col]).count().to_pandas()

@@ -740,7 +740,11 @@ def rarest_token(
         sorted_ids = ids[order]
         first[1:] = sorted_ids[1:] != sorted_ids[:-1]
         sel = order[first]
-        db = (ids[sel] * 2654435761 % (1 << 31)) % n_doc_buckets
+        from .events import _bucket31
+
+        db = _bucket31(
+            pa.array(ids[sel], pa.int64()), n_doc_buckets
+        ).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "db": pa.array(db.astype(np.int32), pa.int32()),

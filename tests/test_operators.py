@@ -1670,3 +1670,27 @@ def test_funnel_two_step_semantics(ray_session):
             ).take_all()
         }
         assert got == expect
+
+
+def test_funnel_bucket_without_second_events(ray_session):
+    """Regression: a bucket group holding first-event rows but ZERO
+    second-event rows must not crash the empty-merge groupby (pandas
+    names the empty merge's index after the group column)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import funnel_two_step
+
+    rows = [
+        {"user_id": 7, "ts": 10, "event_type": "signup"},   # signup only
+        {"user_id": 5, "ts": 10, "event_type": "purchase"}, # purchase only
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    got = {
+        r["user_id"]: (r["first_us"], r["second_us"], r["converted"])
+        for r in funnel_two_step(
+            ds, "signup", "purchase", window_us=100, n_buckets=8
+        ).take_all()
+    }
+    assert got == {7: (10, None, False)}
