@@ -410,6 +410,60 @@ def _q_shard_assign(sf_dir: str):
     )
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing: deterministic contiguous token-tape packing
+    into 512-token packs within 16 hash shards.  The text column is
+    projected away before the one int-only shuffle; each shard group
+    is a vectorized sort+cumsum.  The SQL oracle states the identical
+    rule as a windowed running sum."""
+    from console_log_parser_ray.stages.export import pack_sequences
+
+    return pack_sequences(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        budget=512,
+        n_shards=16,
+    )
+
+
+def _q_mix_domains(sf_dir: str):
+    """Domain-mixture resampling: per-source keep-rates that bring the
+    corpus to target proportions (weight of ``src<i>`` = i%4+1),
+    realised as integer hash thresholds -- count pass + stateless
+    broadcast filter, bit-exact vs the SQL mirror."""
+    from console_log_parser_ray.stages.export import mix_domains
+
+    return mix_domains(
+        _docs(sf_dir).select_columns(["doc_id", "source"]),
+        weight_fn=lambda s: int(s[3:]) % 4 + 1,
+    )
+
+
+def _q_chunk_docs(sf_dir: str):
+    """Context-window chunking into 32-token windows with 8-token
+    overlap (step 24): stateless flat reshape, shared \\S+
+    tokenization, so the list-slice SQL mirror is exact."""
+    from console_log_parser_ray.stages.textan import chunk_documents
+
+    return chunk_documents(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        size=32,
+        overlap=8,
+    )
+
+
+def _q_top_decile_docs(sf_dir: str):
+    """Global top-decile length filter: exact percentile_disc
+    threshold from per-block (value, count) partials -- only the
+    compressed distribution is shuffled."""
+    from console_log_parser_ray.stages.events import filter_top_quantile
+
+    return filter_top_quantile(
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+        value_col="n_chars",
+        q=0.9,
+    )
+
+
 def _q_rep_signals(sf_dir: str):
     """Line-repetition / boilerplate quality signals (Gopher-style
     duplicate-line and top-line fractions) -- stateless map_batches,
@@ -1385,6 +1439,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "rep_signals": _q_rep_signals,
         "shard_assign": _q_shard_assign,
+        "pack_sequences": _q_pack_sequences,
+        "mix_domains": _q_mix_domains,
+        "chunk_docs": _q_chunk_docs,
+        "top_decile_docs": _q_top_decile_docs,
         "simhash_dups": _q_simhash_dups,
         "simhash_clusters": _q_simhash_clusters,
         "heavy_hitters": _q_heavy_hitters,
@@ -1547,6 +1605,61 @@ def oracle_sql() -> dict[str, str]:
             # hash mod 2^32 mod n_shards (overflow-safe in BIGINT)
             "SELECT doc_id, ((doc_id & 2147483647) * 2654435761) "
             "% 4294967296 % 16 AS shard FROM documents"
+        ),
+        "pack_sequences": (
+            # the contiguous packing rule verbatim: per-shard running
+            # token sum ordered by doc_id; pack = first-token offset
+            # // budget.  sum() promotes to HUGEINT -> cast back.
+            "WITH t AS (SELECT doc_id, "
+            "  ((doc_id & 2147483647) * 2654435761) "
+            "  % 4294967296 % 16 AS shard, "
+            "  len(regexp_extract_all(text, '\\S+')) AS n_tokens "
+            "  FROM documents), "
+            "c AS (SELECT doc_id, shard, n_tokens, "
+            "  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+            "  ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
+            "SELECT doc_id, shard, n_tokens, "
+            "CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id FROM c"
+        ),
+        "mix_domains": (
+            # same mixture math: weight = src index % 4 + 1; binding
+            # domain = smallest count/weight (float64 order, name
+            # tie-break); integer keep-thresholds on the 32-bit hash
+            "WITH b AS (SELECT source, count(*) AS n, "
+            "  CAST(source[4:] AS BIGINT) % 4 + 1 AS wt "
+            "  FROM documents GROUP BY source), "
+            "m AS (SELECT n AS mn, wt AS mw FROM b "
+            "  ORDER BY n * 1.0 / wt, source LIMIT 1), "
+            "th AS (SELECT source, (4294967296 * (SELECT mn FROM m) "
+            "  * wt) // ((SELECT mw FROM m) * n) AS thr FROM b) "
+            "SELECT d.doc_id, d.source FROM documents d "
+            "JOIN th USING (source) "
+            "WHERE ((doc_id & 2147483647) * 2654435761) "
+            "% 4294967296 < thr"
+        ),
+        "chunk_docs": (
+            # identical rule: \S+ tokens; window i covers
+            # [i*24, i*24+32) while i*24 < n; 1-based inclusive list
+            # slice; zero-token docs emit nothing (n > 0 guard keeps
+            # DuckDB's truncating // off the n=0 case)
+            "WITH t AS (SELECT doc_id, "
+            "  regexp_extract_all(text, '\\S+') AS tk FROM documents), "
+            "s AS (SELECT doc_id, tk, len(tk) AS n FROM t "
+            "  WHERE len(tk) > 0), "
+            "c AS (SELECT doc_id, tk, n, "
+            "  unnest(generate_series(0, (n-1)//24)) AS chunk_idx "
+            "  FROM s) "
+            "SELECT doc_id, chunk_idx, "
+            "len(tk[chunk_idx*24+1 : chunk_idx*24+32]) "
+            "  AS n_chunk_tokens, "
+            "array_to_string(tk[chunk_idx*24+1 : chunk_idx*24+32], ' ') "
+            "  AS chunk_text FROM c"
+        ),
+        "top_decile_docs": (
+            # quantile_disc == the engine's ceil(q*N) rank rule
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE n_chars >= "
+            "(SELECT quantile_disc(n_chars, 0.9) FROM documents)"
         ),
         "rep_signals": (
             # same definition as the engine: non-empty newline-split

@@ -334,6 +334,63 @@ def group_quantiles(
     )
 
 
+def filter_top_quantile(ds, value_col: str, q: float = 0.9):
+    """Keep rows at or above the global discrete ``q``-quantile of an
+    INTEGER-valued column -- the "top decile by length/score" curation
+    filter, exact (``percentile_disc`` semantics, so the SQL subquery
+    mirror picks the identical threshold element).
+
+    Two passes, both shuffle-light: pass 1 pre-reduces every block to
+    its (value, count) partials with an Arrow ``group_by`` -- only
+    distinct-value rows (bounded for integer metrics like lengths or
+    scores, independent of row count) reach the small Ray groupby;
+    the driver folds that compressed distribution into the threshold.
+    Pass 2 is a stateless broadcast comparison.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select([value_col])
+            .group_by([value_col])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                value_col: g.column(value_col).cast(pa.int64()),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    dist = sorted(
+        (r[value_col], r["sum(n)"])
+        for r in ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(value_col)
+        .sum("n")
+        .take_all()
+    )
+    total = sum(n for _, n in dist)
+    if total == 0:
+        return ds
+    target = max(1, int(np.ceil(q * total)))  # rank of the disc quantile
+    cum = 0
+    thr = dist[-1][0]
+    for v, n in dist:
+        cum += n
+        if cum >= target:
+            thr = v
+            break
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.greater_equal(
+                b.column(value_col).cast(pa.int64()),
+                pa.scalar(int(thr), pa.int64()),
+            )
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def sample_per_group(
     ds,
     group_col: str,

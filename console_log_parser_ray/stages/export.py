@@ -68,6 +68,130 @@ def shard_assignments(ds, n_shards: int, id_col: str = "doc_id"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def pack_sequences(
+    ds,
+    budget: int = 512,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Sequence packing for training: assign every document to a
+    fixed-token-budget pack.
+
+    Training loaders consume fixed-length token windows; the packing
+    rule here is the deterministic contiguous one -- within a shard,
+    documents ordered by id are laid end to end on a token tape, and a
+    document belongs to the pack its FIRST token lands in
+    (``pack_id = start_offset // budget``).  That rule is exactly
+    mirrorable in SQL (a windowed running sum), stable under re-runs
+    and repartitioning, and needs no bin-packing search.
+
+    Scale shape: the text column is dropped in the first projection --
+    only ``(id, shard, n_tokens)`` int64 triples go through the one
+    ``groupby(shard)`` exchange, so the shuffle moves ~24 bytes/doc
+    regardless of document size.  Each shard group is a vectorized
+    numpy sort+cumsum; pick ``n_shards`` so a shard's *metadata* (not
+    its text) fits a worker -- at 100 TB / ~1 KB docs and 4096 shards
+    that is ~600 MB of int64s per group, and the hierarchical
+    prefix-sum refinement is only needed beyond that.
+
+    Emits ``(doc_id, shard, n_tokens, pack_id)``.
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        return pa.table(
+            {
+                id_col: ids,
+                "shard": _shard_col(ids, n_shards),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(
+                        batch.column(text_col), r"\S+"
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def pack_group(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by([(id_col, "ascending")])
+        n = tbl.column("n_tokens").to_numpy(zero_copy_only=False)
+        start = np.cumsum(n) - n  # first-token offset of each doc
+        return tbl.append_column(
+            "pack_id", pa.array(start // budget, pa.int64())
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pack_group, batch_format="pyarrow")
+    )
+
+
+def mix_domains(ds, weight_fn, group_col: str = "source", id_col: str = "doc_id"):
+    """Domain-mixture resampling: downsample each source so the kept
+    corpus matches target proportions, keeping as many rows as the
+    targets allow.
+
+    Two passes. Pass 1 is a tiny ``groupby(group_col).count()``
+    (#domains rows to the driver).  The binding domain is the one with
+    the smallest ``count/weight`` ratio (float64 division, source-name
+    tie-break -- the identical ordering the SQL oracle states); it is
+    kept whole, and every other domain's keep-rate is the exact
+    rational ``(mn * w_g) / (mw * n_g)`` realised as an integer
+    threshold on the 32-bit multiplicative id hash.  Pass 2 is a
+    stateless broadcast filter -- the threshold map is #domains
+    entries closed over by the batch fn, never re-shipped per row.
+
+    All threshold arithmetic is integer (``2^32 * mn * w_g // (mw *
+    n_g)``), so the engine and a BIGINT SQL oracle agree bit-for-bit;
+    the product stays in int64 up to ``mn * w_g < 2^31`` -- beyond
+    that move the oracle to HUGEINT.  Domains whose weight is falsy
+    are dropped entirely.
+
+    ``weight_fn``: either a dict ``{group_value: int_weight}`` or a
+    callable ``group_value -> int_weight``.
+    """
+
+    counts = {
+        r[group_col]: r["count()"]
+        for r in ds.groupby(group_col).count().take_all()
+    }
+    if callable(weight_fn):
+        weights = {g: int(weight_fn(g) or 0) for g in counts}
+    else:
+        weights = {g: int(weight_fn.get(g, 0)) for g in counts}
+    weighted = {g: w for g, w in weights.items() if w > 0}
+    if not weighted:
+        raise ValueError("mix_domains: no group has a positive weight")
+    # binding domain: smallest n/w under float64 ordering, then name
+    mg = min(weighted, key=lambda g: (counts[g] / weighted[g], g))
+    mn, mw = counts[mg], weighted[mg]
+    thresholds = {
+        g: (_SAMPLE_MOD * mn * w) // (mw * counts[g])
+        for g, w in weighted.items()
+    }
+
+    thr_groups = pa.array(list(thresholds))
+    thr_values = pa.array(
+        [thresholds[g] for g in thresholds.keys()], pa.int64()
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()  # one chunk -> elementwise kernels align
+        ids = b.column(id_col).cast(pa.int64())
+        ids31 = pc.bit_wise_and(ids, pa.scalar((1 << 31) - 1, pa.int64()))
+        h = pc.multiply(ids31, pa.scalar(_SAMPLE_MULT, pa.int64()))
+        bucket = pc.bit_wise_and(h, pa.scalar(_SAMPLE_MOD - 1, pa.int64()))
+        # vectorized dict lookup: group -> threshold (absent/zero-weight
+        # groups take null -> 0 -> always filtered out)
+        idx = pc.index_in(b.column(group_col), thr_groups)
+        thr = pc.fill_null(pc.take(thr_values, idx), 0)
+        return b.filter(pc.less(bucket, thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def export_shards(
     ds,
     out_dir: str,

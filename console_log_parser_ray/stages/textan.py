@@ -181,6 +181,59 @@ def _doc_ngrams(text: str, n: int) -> list:
     ]
 
 
+def chunk_documents(
+    ds,
+    size: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Context-window chunking: split each document into overlapping
+    fixed-size token windows -- the standard pre-training / RAG
+    preparation step for documents longer than the model context.
+
+    Rule (stated so SQL can mirror it): tokens under the shared RE2
+    ``\\S+`` tokenization; window ``i`` covers tokens
+    ``[i*step, i*step+size)`` with ``step = size - overlap``, for every
+    ``i`` with ``i*step < n_tokens``; the chunk text re-joins its
+    tokens with single spaces.  Zero-token documents emit no chunks.
+
+    Scale shape: stateless per-batch flat reshape (one doc in, ~n/step
+    rows out), no shuffle, no state; the only per-row Python is the
+    regex split itself, which has no Arrow kernel.  Output rows carry
+    ``(doc_id, chunk_idx, n_chunk_tokens, chunk_text)``.
+    """
+
+    if not 0 <= overlap < size:
+        raise ValueError("chunk_documents: need 0 <= overlap < size")
+    step = size - overlap
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_id, out_idx, out_n, out_txt = [], [], [], []
+        ids = batch.column(id_col).to_pylist()
+        for did, text in zip(ids, batch.column(text_col).to_pylist()):
+            toks = ascii_tokens(text or "")
+            n = len(toks)
+            i = 0
+            while i * step < n:
+                w = toks[i * step : i * step + size]
+                out_id.append(did)
+                out_idx.append(i)
+                out_n.append(len(w))
+                out_txt.append(" ".join(w))
+                i += 1
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "chunk_idx": pa.array(out_idx, pa.int64()),
+                "n_chunk_tokens": pa.array(out_n, pa.int64()),
+                "chunk_text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def decontaminate(
     ds,
     bench_ds,

@@ -1694,3 +1694,146 @@ def test_funnel_bucket_without_second_events(ray_session):
         ).take_all()
     }
     assert got == {7: (10, None, False)}
+
+
+def test_pack_sequences_rule_and_partition_invariance(ray_session):
+    """pack_id = per-shard first-token offset // budget, docs ordered
+    by id; independent of input block layout."""
+    ray = ray_session
+    from console_log_parser_ray.stages.export import (
+        _shard_col,
+        pack_sequences,
+    )
+
+    texts = ["w " * (i % 7 + 1) for i in range(200)]  # 1..7 tokens
+    tbl = pa.table(
+        {"doc_id": pa.array(range(200), pa.int64()), "text": texts}
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["n_tokens"], r["pack_id"])
+        for r in pack_sequences(
+            ray.data.from_arrow(tbl), budget=8, n_shards=4
+        ).take_all()
+    }
+    # reference: plain python walk per shard
+    shards = _shard_col(tbl.column("doc_id"), 4).to_pylist()
+    per_shard = {}
+    want = {}
+    for i in range(200):
+        s = shards[i]
+        n = i % 7 + 1
+        start = per_shard.get(s, 0)
+        want[i] = (s, n, start // 8)
+        per_shard[s] = start + n
+    assert got == want
+    got2 = {
+        r["doc_id"]: (r["shard"], r["n_tokens"], r["pack_id"])
+        for r in pack_sequences(
+            ray.data.from_arrow(tbl).repartition(9), budget=8, n_shards=4
+        ).take_all()
+    }
+    assert got2 == want
+
+
+def test_mix_domains_thresholds_and_drop(ray_session):
+    """The binding domain keeps every row; other domains are hash-
+    thresholded to the target mixture; zero-weight domains drop."""
+    ray = ray_session
+    from console_log_parser_ray.stages.events import (
+        _SAMPLE_MOD,
+        _SAMPLE_MULT,
+    )
+    from console_log_parser_ray.stages.export import mix_domains
+
+    # a: 40 rows w=4, b: 10 rows w=1, c: 50 rows w=0 (dropped)
+    # ratios n/w -> a: 10.0, b: 10.0  (tie -> name order: 'a' binds)
+    ids, srcs = [], []
+    for i in range(100):
+        ids.append(i)
+        srcs.append("a" if i < 40 else ("b" if i < 50 else "c"))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "source": srcs})
+    )
+    kept = {
+        (r["doc_id"], r["source"])
+        for r in mix_domains(ds, {"a": 4, "b": 1, "c": 0}).take_all()
+    }
+    thr = {
+        "a": _SAMPLE_MOD,  # binding: (2^32 * 40*4) // (4*40)
+        "b": (_SAMPLE_MOD * 40 * 1) // (4 * 10),  # == 2^32 -> all kept
+    }
+    want = {
+        (i, s)
+        for i, s in zip(ids, srcs)
+        if s in thr and (i * _SAMPLE_MULT) % _SAMPLE_MOD < thr[s]
+    }
+    assert kept == want
+    assert all(s != "c" for _, s in kept)
+    # unequal ratios: b binds, a downsampled to ~half
+    kept2 = [
+        r["source"]
+        for r in mix_domains(ds, {"a": 2, "b": 1}).take_all()
+    ]
+    n_a = sum(1 for s in kept2 if s == "a")
+    n_b = sum(1 for s in kept2 if s == "b")
+    assert n_b == 10  # binding domain kept whole
+    assert 10 <= n_a <= 30  # ~20 of 40 under the hash threshold
+
+
+def test_chunk_documents_windows_exact(ray_session):
+    """Window i covers tokens [i*step, i*step+size); zero-token docs
+    emit nothing; short docs emit one short chunk."""
+    ray = ray_session
+    from console_log_parser_ray.stages.textan import chunk_documents
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["t0 t1 t2 t3 t4 t5 t6", "", "a b"],
+        }
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(
+            ray.data.from_arrow(tbl), size=4, overlap=1
+        ).take_all()
+    )
+    # doc 1: 7 tokens, step 3 -> starts 0,3,6
+    assert got == [
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t3 t4 t5 t6"),
+        (1, 2, 1, "t6"),
+        (3, 0, 2, "a b"),
+    ]
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(ray.data.from_arrow(tbl), size=4, overlap=4)
+
+
+def test_filter_top_quantile_disc_threshold(ray_session):
+    """Threshold is the percentile_disc element (smallest value whose
+    cumulative rank reaches ceil(q*N)); ties at the threshold kept."""
+    ray = ray_session
+    from console_log_parser_ray.stages.events import filter_top_quantile
+
+    vals = [1] * 50 + [2] * 30 + [3] * 15 + [4] * 5
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(100), pa.int64()),
+            "n_chars": pa.array(vals, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = sorted(
+        r["n_chars"]
+        for r in filter_top_quantile(ds, "n_chars", q=0.9).take_all()
+    )
+    # ceil(0.9*100)=90 -> cum 50,80,95 -> threshold value 3
+    assert got == [3] * 15 + [4] * 5
+    # q high enough that only the max survives
+    got99 = sorted(
+        r["n_chars"]
+        for r in filter_top_quantile(ds, "n_chars", q=0.99).take_all()
+    )
+    assert got99 == [4] * 5
