@@ -139,6 +139,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "rarest_token",
         "user_event_matrix",
         "funnel",
+        "pack_sequences",
+        "mix_domains",
+        "chunk_docs",
+        "top_decile_docs",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
