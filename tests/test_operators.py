@@ -1837,3 +1837,56 @@ def test_filter_top_quantile_disc_threshold(ray_session):
         for r in filter_top_quantile(ds, "n_chars", q=0.99).take_all()
     )
     assert got99 == [4] * 5
+
+
+def test_curation_operators_invariant_under_repartitioning(ray_session):
+    """pack_sequences, mix_domains, chunk_documents and
+    filter_top_quantile are integer-exact: identical results at 1, 7
+    and 32 partitions."""
+    ray = ray_session
+    from console_log_parser_ray.stages.events import filter_top_quantile
+    from console_log_parser_ray.stages.export import (
+        mix_domains,
+        pack_sequences,
+    )
+    from console_log_parser_ray.stages.textan import chunk_documents
+
+    rows = []
+    for i in range(300):
+        rows.append(
+            {
+                "doc_id": i,
+                "source": "s{}".format(i % 4),
+                "text": ("tok{} ".format(i % 9) * (i % 13 + 1)).strip(),
+                "n_chars": (i * 37) % 200,
+            }
+        )
+    tbl = pa.Table.from_pylist(rows)
+
+    def runs(np_):
+        ds = ray.data.from_arrow(tbl).repartition(np_)
+        pk = sorted(
+            (r["doc_id"], r["shard"], r["pack_id"])
+            for r in pack_sequences(ds, budget=16, n_shards=4).take_all()
+        )
+        mx = sorted(
+            r["doc_id"]
+            for r in mix_domains(
+                ds, {"s0": 3, "s1": 1, "s2": 2, "s3": 1}
+            ).take_all()
+        )
+        ck = sorted(
+            (r["doc_id"], r["chunk_idx"], r["chunk_text"])
+            for r in chunk_documents(ds, size=5, overlap=2).take_all()
+        )
+        tq = sorted(
+            r["doc_id"]
+            for r in filter_top_quantile(ds, "n_chars", 0.8).take_all()
+        )
+        return pk, mx, ck, tq
+
+    a = runs(1)
+    b = runs(7)
+    c = runs(32)
+    assert a == b == c
+    assert all(len(x) > 0 for x in a)
