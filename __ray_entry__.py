@@ -438,6 +438,17 @@ def _q_mix_domains(sf_dir: str):
     )
 
 
+def _q_event_gaps(sf_dir: str):
+    """Per-user inter-event gap (LAG delta, null for the user's first
+    event): users coarsened into 64 hash buckets before the one
+    groupby, vectorized lexsort+diff inside each bucket."""
+    from console_log_parser_ray.stages.events import event_gaps
+
+    return event_gaps(
+        _events(sf_dir).select_columns(["event_id", "user_id", "ts"])
+    )
+
+
 def _q_chunk_docs(sf_dir: str):
     """Context-window chunking into 32-token windows with 8-token
     overlap (step 24): stateless flat reshape, shared \\S+
@@ -1443,6 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_domains": _q_mix_domains,
         "chunk_docs": _q_chunk_docs,
         "top_decile_docs": _q_top_decile_docs,
+        "event_gaps": _q_event_gaps,
         "simhash_dups": _q_simhash_dups,
         "simhash_clusters": _q_simhash_clusters,
         "heavy_hitters": _q_heavy_hitters,
@@ -1636,6 +1648,14 @@ def oracle_sql() -> dict[str, str]:
             "JOIN th USING (source) "
             "WHERE ((doc_id & 2147483647) * 2654435761) "
             "% 4294967296 < thr"
+        ),
+        "event_gaps": (
+            # the LAG rule verbatim; ties broken by event_id on both
+            # sides; integer microseconds so the hash is exact
+            "SELECT event_id, user_id, ts, "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS gap_us "
+            "FROM events"
         ),
         "chunk_docs": (
             # identical rule: \S+ tokens; window i covers

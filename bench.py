@@ -143,6 +143,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "mix_domains",
         "chunk_docs",
         "top_decile_docs",
+        "event_gaps",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

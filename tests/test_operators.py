@@ -1890,3 +1890,36 @@ def test_curation_operators_invariant_under_repartitioning(ray_session):
     c = runs(32)
     assert a == b == c
     assert all(len(x) > 0 for x in a)
+
+
+def test_event_gaps_lag_rule(ray_session):
+    """Gap = delta to same user's previous event (ts, then event_id
+    order); first event per user is null; invariant to block layout."""
+    ray = ray_session
+    from console_log_parser_ray.stages.events import event_gaps
+
+    rows = [
+        {"event_id": 1, "user_id": 7, "ts": 100},
+        {"event_id": 2, "user_id": 7, "ts": 150},
+        {"event_id": 3, "user_id": 7, "ts": 150},  # tie -> id order
+        {"event_id": 4, "user_id": 9, "ts": 50},
+        {"event_id": 5, "user_id": 9, "ts": 500},
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r["ts"] for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+    want = {1: None, 2: 50, 3: 0, 4: None, 5: 450}
+    for np_ in (1, 4):
+        got = {
+            r["event_id"]: r["gap_us"]
+            for r in event_gaps(
+                ray.data.from_arrow(tbl).repartition(np_), n_buckets=8
+            ).take_all()
+        }
+        assert got == want
