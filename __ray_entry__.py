@@ -449,6 +449,44 @@ def _q_event_gaps(sf_dir: str):
     )
 
 
+def _q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event type: block-local pair
+    dedup before the one val-hash bucket shuffle, per-bucket exact
+    dedup + partial counts, tiny final key groupby."""
+    from console_log_parser_ray.stages.events import (
+        distinct_count_per_group,
+    )
+
+    return distinct_count_per_group(
+        _events(sf_dir).select_columns(["event_type", "user_id"])
+    )
+
+
+def _q_user_running(sf_dir: str):
+    """Per-user running aggregates (ROW_NUMBER + cumulative integer
+    cents): users coarsened into 64 hash buckets before the one
+    groupby, lexsort + cumsum-with-group-reset inside each bucket."""
+    from console_log_parser_ray.stages.events import running_user_totals
+
+    return running_user_totals(
+        _events(sf_dir).select_columns(
+            ["event_id", "user_id", "ts", "value"]
+        )
+    )
+
+
+def _q_dup_spans(sf_dir: str):
+    """Exact duplicated k-token-span counts per document (the
+    exact-substring-dedup signal): span-hash bucket groups compute
+    cross-document span frequency locally, partial+final doc groupby
+    folds the flags back."""
+    from console_log_parser_ray.stages.textan import dup_spans
+
+    return dup_spans(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), k=8
+    )
+
+
 def _q_chunk_docs(sf_dir: str):
     """Context-window chunking into 32-token windows with 8-token
     overlap (step 24): stateless flat reshape, shared \\S+
@@ -1455,6 +1493,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "top_decile_docs": _q_top_decile_docs,
         "event_gaps": _q_event_gaps,
+        "distinct_users": _q_distinct_users,
+        "user_running": _q_user_running,
+        "dup_spans": _q_dup_spans,
         "simhash_dups": _q_simhash_dups,
         "simhash_clusters": _q_simhash_clusters,
         "heavy_hitters": _q_heavy_hitters,
@@ -1656,6 +1697,39 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(ts) - lag(epoch_us(ts)) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS gap_us "
             "FROM events"
+        ),
+        "distinct_users": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct "
+            "FROM events GROUP BY event_type"
+        ),
+        "user_running": (
+            # integer cents (floor(value*100)) keep the running sum
+            # associative-exact; ties broken by event_id on both sides
+            "SELECT event_id, user_id, ts, "
+            "row_number() OVER w AS seq, "
+            "CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w "
+            "  AS BIGINT) AS run_cents FROM events "
+            "WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"
+        ),
+        "dup_spans": (
+            # identical rule: \S+ tokens, 8-token spans (1-based
+            # inclusive list slice), DISTINCT per (doc, span); a span
+            # is duplicated when >= 2 docs contain it; docs with < 8
+            # tokens emit nothing (inner-join semantics both sides)
+            "WITH t AS (SELECT doc_id, "
+            "  regexp_extract_all(text, '\\S+') AS tk FROM documents), "
+            "s AS (SELECT doc_id, tk, len(tk) AS n FROM t "
+            "  WHERE len(tk) >= 8), "
+            "g AS (SELECT doc_id, tk, "
+            "  unnest(generate_series(0, n - 8)) AS i FROM s), "
+            "d AS (SELECT DISTINCT doc_id, "
+            "  array_to_string(tk[i+1 : i+8], ' ') AS span FROM g), "
+            "df AS (SELECT span, count(*) AS df FROM d GROUP BY span) "
+            "SELECT d.doc_id, count(*) AS n_spans, "
+            "  CAST(count(*) FILTER (WHERE df.df >= 2) AS BIGINT) "
+            "    AS n_dup_spans "
+            "FROM d JOIN df USING (span) GROUP BY d.doc_id"
         ),
         "chunk_docs": (
             # identical rule: \S+ tokens; window i covers

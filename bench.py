@@ -144,6 +144,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "chunk_docs",
         "top_decile_docs",
         "event_gaps",
+        "distinct_users",
+        "user_running",
+        "dup_spans",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -719,3 +719,141 @@ def funnel_two_step(
         .groupby("jb")
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+def distinct_count_per_group(
+    ds, key_col: str = "event_type", val_col: str = "user_id",
+    n_buckets: int = 64,
+):
+    """Exact COUNT(DISTINCT val) per key -- the reach / unique-users
+    aggregate (reference G4's per-sink totals generalized to distinct
+    cardinality, main.py-style counters are plain counts).
+
+    Scale shape: (key, val) pairs are deduplicated INSIDE each block
+    first (an Arrow group_by -- no data leaves the task), so the one
+    shuffle carries at most the distinct pairs per block, not the raw
+    rows.  Buckets are keyed by a val hash alone: every pair with a
+    given val lands in exactly one bucket, so the per-bucket second
+    dedup is globally exact, and per-key partial counts from the
+    buckets sum to the answer in a final key groupby whose input is
+    n_buckets x n_keys tiny rows.  At 10^9 users nothing driver-side
+    ever sees a user id.
+    """
+
+    def local_distinct(b: pa.Table) -> pa.Table:
+        pairs = pa.table(
+            {
+                key_col: b.column(key_col),
+                val_col: b.column(val_col).cast(pa.int64()),
+            }
+        )
+        d = pairs.group_by([key_col, val_col]).aggregate([])
+        return pa.table(
+            {
+                "vb": _bucket31(
+                    d.column(val_col).combine_chunks(), n_buckets
+                ),
+                key_col: d.column(key_col),
+                val_col: d.column(val_col),
+            }
+        )
+
+    def count_in_bucket(tbl: pa.Table) -> pa.Table:
+        d = tbl.group_by([key_col, val_col]).aggregate([])
+        part = d.group_by(key_col).aggregate([(val_col, "count")])
+        return pa.table(
+            {
+                key_col: part.column(key_col),
+                "n_part": part.column(f"{val_col}_count").cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby("vb")
+        .map_groups(count_in_bucket, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("n_part"))
+        .rename_columns({"sum(n_part)": "n_distinct"})
+    )
+
+
+def running_user_totals(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    n_buckets: int = 64,
+):
+    """Per-user running aggregates over the event stream: the event's
+    ordinal within its user (ROW_NUMBER) and the user's cumulative
+    value total up to and including it (SUM OVER ... ROWS UNBOUNDED
+    PRECEDING) -- the prefix-sum window family that LTV / quota /
+    rate-limit features are built from.
+
+    Values are fixed-pointed to integer cents (floor(value * 100)) so
+    the running sum is associative-exact and the SQL mirror is
+    bit-identical -- a float running sum would be order-dependent.
+
+    Scale shape mirrors ``event_gaps``: users coarsen into
+    ``n_buckets`` hash buckets before the one groupby, so group
+    dispatch is bounded by the bucket count; inside a bucket one
+    lexsort + cumsum-with-group-reset computes every user's prefix
+    sums vectorized.
+    """
+
+    def project(b: pa.Table) -> pa.Table:
+        vals = b.column(value_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.floor(vals * 100.0).astype(np.int64)
+        users = b.column(user_col).combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                id_col: b.column(id_col).cast(pa.int64()),
+                user_col: users,
+                ts_col: b.column(ts_col),
+                "cents": pa.array(cents, pa.int64()),
+                "bucket": _bucket31(users, n_buckets),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(
+            [
+                (user_col, "ascending"),
+                (ts_col, "ascending"),
+                (id_col, "ascending"),
+            ]
+        )
+        n = tbl.num_rows
+        users = tbl.column(user_col).to_numpy(zero_copy_only=False)
+        cents = tbl.column("cents").to_numpy(zero_copy_only=False)
+        idx = np.arange(n, dtype=np.int64)
+        first = np.ones(n, dtype=bool)
+        if n:
+            first[1:] = users[1:] != users[:-1]
+        start = np.maximum.accumulate(np.where(first, idx, 0))
+        seq = idx - start + 1
+        cs = np.cumsum(cents)
+        # total strictly before each user's first row, broadcast down
+        before = np.where(first, cs - cents, 0)
+        base = before[start]
+        return pa.table(
+            {
+                id_col: tbl.column(id_col),
+                user_col: tbl.column(user_col),
+                ts_col: tbl.column(ts_col),
+                "seq": pa.array(seq, pa.int64()),
+                "run_cents": pa.array(cs - base, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -834,3 +834,127 @@ def rarest_token(
         .groupby("db")
         .map_groups(fold_candidates, batch_format="pyarrow")
     )
+
+
+def _explode_spans(
+    batch: pa.Table, text_col: str, id_col: str, k: int, n_buckets: int
+) -> pa.Table:
+    """Distinct (doc, k-token-span) rows for one batch, bucketed by a
+    span hash so every occurrence of a span string lands in ONE bucket
+    group.  Span strings are built by k vectorized object-array
+    concats over the flattened token tape -- no per-row Python loop."""
+    texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+    ids = batch.column(id_col).combine_chunks().cast(pa.int64())
+    lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+    flat_arr = lists.flatten()
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    # drop empty tokens ('' from leading/trailing whitespace) while
+    # keeping per-doc offsets consistent: rebuild the tape filtered
+    keep = pc.not_equal(flat_arr, "").to_numpy(zero_copy_only=False)
+    flat = flat_arr.to_numpy(zero_copy_only=False)[keep]
+    counts = np.add.reduceat(
+        np.concatenate([keep.astype(np.int64), [0]]),
+        offsets[:-1],
+    ) if len(texts) else np.zeros(0, dtype=np.int64)
+    counts = np.where(np.diff(offsets) == 0, 0, counts)
+    new_off = np.concatenate([[0], np.cumsum(counts)])
+    # span start positions: for each doc with n >= k tokens, starts
+    # new_off[d] .. new_off[d] + n - k
+    n_tok = counts
+    n_spans = np.maximum(n_tok - (k - 1), 0)
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), n_spans)
+    within = np.arange(int(n_spans.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(n_spans)])[:-1], n_spans
+    )
+    starts = new_off[doc_idx] + within
+    if len(starts):
+        span = flat[starts].astype(object)
+        for j in range(1, k):
+            span = span + " " + flat[starts + j]
+    else:
+        span = np.zeros(0, dtype=object)
+    pairs = pa.table(
+        {
+            id_col: pc.take(ids, pa.array(doc_idx, pa.int64())),
+            "span": pa.array(span, pa.string()),
+        }
+    )
+    d = pairs.group_by([id_col, "span"]).aggregate([])
+    spans = d.column("span").combine_chunks()
+    enc = pc.dictionary_encode(spans)
+    import pandas as pd
+
+    dict_hash = pd.util.hash_array(
+        enc.dictionary.to_numpy(zero_copy_only=False)
+    ).astype(np.int64, copy=False)
+    sb = np.abs(dict_hash[enc.indices.to_numpy(zero_copy_only=False)]) \
+        % n_buckets
+    return pa.table(
+        {
+            "sb": pa.array(sb.astype(np.int32), pa.int32()),
+            id_col: d.column(id_col),
+            "span": spans,
+        }
+    )
+
+
+def dup_spans(
+    ds, text_col="text", id_col="doc_id", k: int = 8, n_buckets: int = 64
+):
+    """Exact duplicated-span detection (the per-document signal of
+    exact-substring train-data dedup, Lee et al. 2022): for every
+    document with >= k tokens, how many of its distinct k-token spans
+    also appear verbatim in at least one OTHER document
+    (``n_dup_spans``) alongside its distinct-span total (``n_spans``).
+    All integers, so the SQL oracle is bit-exact.
+
+    Plan: explode to distinct (doc, span) rows per batch (vectorized
+    token tape + k object-array concats, one Arrow group_by); bucket by
+    a span hash so every occurrence row of a span lands in ONE bucket
+    group, where its cross-document frequency is a local bincount --
+    no span-keyed groupby, no DF table, no broadcast; then one
+    partial+final ``groupby(doc_id)`` sums the flags back to
+    documents.  Same two-shuffle shape as ``idf_rarity``; at 100 TB
+    you would hash spans to 128-bit fingerprints inside the explode to
+    cut shuffle bytes (collision-risk documented) -- here the span
+    string stays the key, so the result is exact.
+    """
+
+    def df_in_bucket(tbl: pa.Table) -> pa.Table:
+        d = tbl.group_by([id_col, "span"]).aggregate([])
+        enc = pc.dictionary_encode(d.column("span").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        df = np.bincount(codes, minlength=len(enc.dictionary))
+        dup = (df[codes] >= 2).astype(np.int64)
+        part = pa.table(
+            {
+                id_col: d.column(id_col),
+                "one": pa.array(np.ones(len(codes), np.int64)),
+                "dup": pa.array(dup, pa.int64()),
+            }
+        )
+        agg = part.group_by(id_col).aggregate([("one", "sum"), ("dup", "sum")])
+        return pa.table(
+            {
+                id_col: agg.column(id_col),
+                "n_part": agg.column("one_sum").cast(pa.int64()),
+                "d_part": agg.column("dup_sum").cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(
+            lambda b: _explode_spans(b, text_col, id_col, k, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("sb")
+        .map_groups(df_in_bucket, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("n_part"), Sum("d_part"))
+        .rename_columns(
+            {"sum(n_part)": "n_spans", "sum(d_part)": "n_dup_spans"}
+        )
+    )

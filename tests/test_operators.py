@@ -1923,3 +1923,94 @@ def test_event_gaps_lag_rule(ray_session):
             ).take_all()
         }
         assert got == want
+
+
+def test_distinct_count_per_group(ray_session):
+    """COUNT(DISTINCT user) per type is exact across duplicate pairs in
+    different blocks; invariant to block layout."""
+    ray = ray_session
+    from console_log_parser_ray.stages.events import (
+        distinct_count_per_group,
+    )
+
+    tbl = pa.table(
+        {
+            "event_type": pa.array(
+                ["a", "a", "a", "b", "b", "a", "b"], pa.string()
+            ),
+            "user_id": pa.array([1, 1, 2, 1, 1, 2, 3], pa.int64()),
+        }
+    )
+    want = {"a": 2, "b": 2}
+    for np_ in (1, 4):
+        got = {
+            r["event_type"]: r["n_distinct"]
+            for r in distinct_count_per_group(
+                ray.data.from_arrow(tbl).repartition(np_), n_buckets=8
+            ).take_all()
+        }
+        assert got == want
+
+
+def test_running_user_totals(ray_session):
+    """Per-user ROW_NUMBER and running integer-cents sum follow
+    (ts, event_id) order with group reset; invariant to block layout."""
+    ray = ray_session
+    from console_log_parser_ray.stages.events import running_user_totals
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 9, 9], pa.int64()),
+            "ts": pa.array([100, 150, 150, 500, 50], pa.timestamp("us")),
+            "value": pa.array([1.25, 0.015, -2.5, 10.0, 0.2], pa.float64()),
+        }
+    )
+    # user 7 order: id1(125), id2(1: floor(1.5)), id3(-250)
+    # user 9 order: id5(20) then id4(1000)
+    want = {
+        1: (1, 125),
+        2: (2, 126),
+        3: (3, -124),
+        5: (1, 20),
+        4: (2, 1020),
+    }
+    for np_ in (1, 4):
+        got = {
+            r["event_id"]: (r["seq"], r["run_cents"])
+            for r in running_user_totals(
+                ray.data.from_arrow(tbl).repartition(np_), n_buckets=8
+            ).take_all()
+        }
+        assert got == want
+
+
+def test_dup_spans(ray_session):
+    """A span counts as duplicated only when >= 2 DISTINCT docs contain
+    it: within-doc repetition doesn't count, short docs emit nothing;
+    invariant to block layout."""
+    ray = ray_session
+    from console_log_parser_ray.stages.textan import dup_spans
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                "a b c d e",      # spans: abc bcd cde
+                "z b c d y",      # spans: zbc bcd cdy -> shares bcd
+                "a b",            # too short for k=3
+                "q q q q",        # spans: qqq (distinct once), no dup
+            ],
+        }
+    )
+    want = {1: (3, 1), 2: (3, 1), 4: (1, 0)}
+    for np_ in (1, 4):
+        got = {
+            r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+            for r in dup_spans(
+                ray.data.from_arrow(tbl).repartition(np_),
+                k=3,
+                n_buckets=8,
+            ).take_all()
+        }
+        assert got == want
