@@ -449,6 +449,34 @@ def _q_event_gaps(sf_dir: str):
     )
 
 
+def _q_role_transitions(sf_dir: str):
+    """Global role-transition (Markov) counts over parsed
+    conversations: conv-hash bucket groups form every adjacent turn
+    pair vectorized; the final transition groupby sees only tiny
+    per-bucket partials."""
+    from console_log_parser_ray.stages.events import transition_counts
+
+    return transition_counts(
+        _parsed(sf_dir).select_columns(["conv_id", "turn_idx", "role"]),
+        key_col="conv_id",
+        order_col="turn_idx",
+        state_col="role",
+    )
+
+
+def _q_doc_rank(sf_dir: str):
+    """Exact global ROW_NUMBER over (n_chars DESC, doc_id) without a
+    global sort barrier: value-histogram offsets broadcast + per-value
+    ordinals inside value-hash bucket groups."""
+    from console_log_parser_ray.stages.relational import global_row_number
+
+    return global_row_number(
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+        value_col="n_chars",
+        id_col="doc_id",
+    )
+
+
 def _q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user_id) per event type: block-local pair
     dedup before the one val-hash bucket shuffle, per-bucket exact
@@ -1494,6 +1522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_decile_docs": _q_top_decile_docs,
         "event_gaps": _q_event_gaps,
         "distinct_users": _q_distinct_users,
+        "role_transitions": _q_role_transitions,
+        "doc_rank": _q_doc_rank,
         "user_running": _q_user_running,
         "dup_spans": _q_dup_spans,
         "simhash_dups": _q_simhash_dups,
@@ -1701,6 +1731,22 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct "
             "FROM events GROUP BY event_type"
+        ),
+        "role_transitions": (
+            # adjacent-turn pairs within each conversation in turn_idx
+            # order; ground-truth roles mirror the parse (parity pinned
+            # by the parse_structure oracle)
+            "WITH p AS (SELECT conv_id, expected_role AS role, "
+            "  lead(expected_role) OVER "
+            "  (PARTITION BY conv_id ORDER BY turn_idx) AS nxt "
+            f"  FROM {t}) "
+            "SELECT role AS from_state, nxt AS to_state, count(*) AS n "
+            "FROM p WHERE nxt IS NOT NULL GROUP BY role, nxt"
+        ),
+        "doc_rank": (
+            "SELECT doc_id, n_chars, "
+            "row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank "
+            "FROM documents"
         ),
         "user_running": (
             # integer cents (floor(value*100)) keep the running sum

@@ -147,6 +147,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "distinct_users",
         "user_running",
         "dup_spans",
+        "doc_rank",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -857,3 +857,103 @@ def running_user_totals(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def _string_bucket(arr: pa.ChunkedArray | pa.Array, n_buckets: int):
+    """int32 bucket ids for a string column: crc32 over the
+    dictionary-encoded distinct values, so hashing cost is per distinct
+    string per batch, not per row."""
+    import zlib
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    enc = pc.dictionary_encode(arr)
+    dv = enc.dictionary.to_pylist()
+    dh = np.array(
+        [zlib.crc32(s.encode()) % n_buckets for s in dv], dtype=np.int32
+    )
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    return pa.array(dh[codes], pa.int32())
+
+
+def transition_counts(
+    ds,
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    state_col: str = "role",
+    n_buckets: int = 64,
+):
+    """Global state-transition (Markov) counts over keyed ordered
+    sequences: for every adjacent pair of rows within a key (ordered
+    by ``order_col``), count (from_state -> to_state) occurrences
+    corpus-wide -- the turn-structure fingerprint of a conversation
+    corpus (who speaks after whom), and the skeleton of any n-gram-
+    over-events model.
+
+    Scale shape: keys coarsen into ``n_buckets`` hash buckets before
+    the one groupby (dispatch bounded by bucket count); inside a
+    bucket one lexsort + shifted compare forms every key's adjacent
+    pairs vectorized, and an Arrow group_by collapses them to
+    per-bucket (from, to, n) partials -- so the final transition
+    groupby sees at most n_buckets x |states|^2 tiny rows.
+    """
+
+    def project(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.table(
+            {
+                key_col: keys,
+                order_col: b.column(order_col).cast(pa.int64()),
+                state_col: b.column(state_col),
+                "bucket": _string_bucket(keys, n_buckets)
+                if pa.types.is_string(keys.type)
+                else _bucket31(keys.cast(pa.int64()), n_buckets),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(
+            [(key_col, "ascending"), (order_col, "ascending")]
+        )
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        states = tbl.column(state_col).combine_chunks()
+        n = len(keys)
+        if n < 2:
+            return pa.table(
+                {
+                    "from_state": pa.array([], pa.string()),
+                    "to_state": pa.array([], pa.string()),
+                    "n_part": pa.array([], pa.int64()),
+                }
+            )
+        same = keys[1:] == keys[:-1]
+        idx = np.nonzero(same)[0]
+        pairs = pa.table(
+            {
+                "from_state": states.take(pa.array(idx, pa.int64())),
+                "to_state": states.take(pa.array(idx + 1, pa.int64())),
+            }
+        )
+        agg = pairs.group_by(["from_state", "to_state"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "from_state": agg.column("from_state"),
+                "to_state": agg.column("to_state"),
+                "n_part": agg.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["from_state", "to_state"])
+        .aggregate(Sum("n_part"))
+        .rename_columns({"sum(n_part)": "n"})
+    )

@@ -259,3 +259,77 @@ def range_count_join(
     return tagged.groupby("__jb").map_groups(
         count_group, batch_format="pyarrow"
     )
+
+
+def global_row_number(
+    ds,
+    value_col: str,
+    id_col: str,
+    descending: bool = True,
+    out_col: str = "rank",
+    n_buckets: int = 64,
+):
+    """Exact global ``row_number() OVER (ORDER BY value [DESC], id)``
+    WITHOUT a global sort barrier -- the total-order rank primitive
+    (leaderboards, ordered training-shard ids, percentile exports)
+    that Ray Data's ``sort`` alone can't produce, since blocks don't
+    know their global offset.
+
+    Plan: (1) a value histogram via partial+final groupby -- bounded
+    by distinct values, not rows (same scale assumption as
+    ``dense_rank``, documented there); the cumulative counts become a
+    broadcast value -> rows-before-it offset table.  (2) rows bucket
+    by a value hash, so every row of a value lands in one group; a
+    lexsort gives each row its ordinal WITHIN its value run (id
+    tie-break), and rank = offset[value] + ordinal + 1.  Neither pass
+    moves more than (value, id) pairs; the corpus text never shuffles.
+    """
+    hist = ds.groupby(value_col).count().to_pandas()
+    hist = hist.sort_values(value_col, ascending=not descending)
+    before = hist["count()"].cumsum().shift(fill_value=0).to_numpy(
+        dtype=np.int64
+    )
+    vals_in_order = hist[value_col].to_numpy(dtype=np.int64)
+    asc = np.argsort(vals_in_order, kind="stable")
+    lookup_ref = ray.put((vals_in_order[asc], before[asc]))
+
+    def project(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                id_col: b.column(id_col).cast(pa.int64()),
+                value_col: v,
+                "vb": pc.cast(_mod(v, n_buckets), pa.int32()),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(
+            [
+                (value_col, "descending" if descending else "ascending"),
+                (id_col, "ascending"),
+            ]
+        )
+        vals = tbl.column(value_col).to_numpy(zero_copy_only=False)
+        n = len(vals)
+        idx = np.arange(n, dtype=np.int64)
+        first = np.ones(n, dtype=bool)
+        if n:
+            first[1:] = vals[1:] != vals[:-1]
+        start = np.maximum.accumulate(np.where(first, idx, 0))
+        ordinal = idx - start
+        sorted_vals, offsets = _cached_get(lookup_ref)
+        off = offsets[np.searchsorted(sorted_vals, vals)]
+        return pa.table(
+            {
+                id_col: tbl.column(id_col),
+                value_col: tbl.column(value_col),
+                out_col: pa.array(off + ordinal + 1, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("vb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

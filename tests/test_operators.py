@@ -2014,3 +2014,60 @@ def test_dup_spans(ray_session):
             ).take_all()
         }
         assert got == want
+
+
+def test_transition_counts(ray_session):
+    """Adjacent-pair transitions stay within a key and follow order_col;
+    counts are global across blocks; invariant to block layout."""
+    ray = ray_session
+    from console_log_parser_ray.stages.events import transition_counts
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(
+                ["c1", "c1", "c1", "c2", "c2", "c3"], pa.string()
+            ),
+            "turn_idx": pa.array([2, 0, 1, 1, 0, 0], pa.int64()),
+            "role": pa.array(
+                ["tool", "user", "asst", "asst", "user", "user"],
+                pa.string(),
+            ),
+        }
+    )
+    # c1 ordered: user->asst->tool; c2: user->asst; c3: single row
+    want = {("user", "asst"): 2, ("asst", "tool"): 1}
+    for np_ in (1, 4):
+        got = {
+            (r["from_state"], r["to_state"]): r["n"]
+            for r in transition_counts(
+                ray.data.from_arrow(tbl).repartition(np_), n_buckets=8
+            ).take_all()
+        }
+        assert got == want
+
+
+def test_global_row_number(ray_session):
+    """Exact ROW_NUMBER over (value DESC, id): dense ties get distinct
+    consecutive ranks by id; invariant to block layout."""
+    ray = ray_session
+    from console_log_parser_ray.stages.relational import global_row_number
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30, 40, 50], pa.int64()),
+            "n_chars": pa.array([5, 9, 5, 9, 1], pa.int64()),
+        }
+    )
+    # desc order: (9,20)=1 (9,40)=2 (5,10)=3 (5,30)=4 (1,50)=5
+    want = {20: 1, 40: 2, 10: 3, 30: 4, 50: 5}
+    for np_ in (1, 4):
+        got = {
+            r["doc_id"]: r["rank"]
+            for r in global_row_number(
+                ray.data.from_arrow(tbl).repartition(np_),
+                value_col="n_chars",
+                id_col="doc_id",
+                n_buckets=8,
+            ).take_all()
+        }
+        assert got == want
