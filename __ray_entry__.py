@@ -449,6 +449,20 @@ def _q_event_gaps(sf_dir: str):
     )
 
 
+def _q_user_rolling(sf_dir: str):
+    """Per-user moving-frame sum (ROWS 2 PRECEDING .. CURRENT ROW) of
+    integer cents: bounded user-hash buckets, one lexsort + prefix-sum
+    difference per bucket."""
+    from console_log_parser_ray.stages.events import rolling_user_sum
+
+    return rolling_user_sum(
+        _events(sf_dir).select_columns(
+            ["event_id", "user_id", "ts", "value"]
+        ),
+        window=3,
+    )
+
+
 def _q_role_transitions(sf_dir: str):
     """Global role-transition (Markov) counts over parsed
     conversations: conv-hash bucket groups form every adjacent turn
@@ -950,6 +964,106 @@ def _q_q3_join(sf_dir: str):
         .aggregate(Sum("pn"), Sum("ps"))
         .rename_columns({"sum(pn)": "n_items", "sum(ps)": "sum_qty"})
     )
+
+
+def _q_q10_returns(sf_dir: str):
+    """TPC-H Q10-shaped pipeline: returned-item revenue per customer
+    over one order-date year, top 20 -- a second multi-stage
+    composition over the co-partitioned hash join.  Revenue is
+    integer-exact milli-units (cents x (100 - discount pct)), so the
+    SQL mirror hashes bit-identically; the global top-k is block-local
+    partial top-k + one bounded fold (<= k rows per block shuffle)."""
+    import datetime
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.events import topk_per_group
+    from console_log_parser_ray.stages.relational import hash_join
+
+    lo = datetime.datetime(1999, 1, 1)
+    hi = datetime.datetime(2000, 1, 1)
+
+    def returned(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(b.column("l_extendedprice"), 100.0),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        disc = pc.cast(
+            pc.round(
+                pc.multiply(b.column("l_discount"), 100.0),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table(
+            {"l_orderkey": b.column("l_orderkey"), "rev": rev}
+        )
+
+    def in_window(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(b.column("o_orderdate"), pa.scalar(hi)),
+        )
+        return b.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+    ).map_batches(returned, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(in_window, batch_format="pyarrow")
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def local_rollup(b):
+        import pyarrow as pa
+
+        g = b.group_by("o_custkey").aggregate([("rev", "sum")])
+        return pa.table(
+            {
+                "o_custkey": g.column("o_custkey"),
+                "ps": g.column("rev_sum"),
+            }
+        )
+
+    per_cust = (
+        joined.map_batches(local_rollup, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("ps"))
+        .rename_columns({"sum(ps)": "revenue_milli"})
+    )
+
+    def add_const(b):
+        import numpy as np
+        import pyarrow as pa
+
+        return b.append_column(
+            "g", pa.array(np.zeros(b.num_rows, dtype=np.int64))
+        )
+
+    return topk_per_group(
+        per_cust.map_batches(add_const, batch_format="pyarrow"),
+        group_col="g",
+        val_col="revenue_milli",
+        k=20,
+        id_col="o_custkey",
+    ).drop_columns(["g"])
 
 
 def _q_lang_rank(sf_dir: str):
@@ -1524,6 +1638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "role_transitions": _q_role_transitions,
         "doc_rank": _q_doc_rank,
+        "user_rolling": _q_user_rolling,
+        "q10_returns": _q_q10_returns,
         "user_running": _q_user_running,
         "dup_spans": _q_dup_spans,
         "simhash_dups": _q_simhash_dups,
@@ -1747,6 +1863,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars, "
             "row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank "
             "FROM documents"
+        ),
+        "user_rolling": (
+            # bounded frame over integer cents; ties broken by
+            # event_id on both sides
+            "SELECT event_id, user_id, ts, "
+            "CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS win_cents FROM events"
+        ),
+        "q10_returns": (
+            # integer-exact revenue: cents x (100 - discount pct);
+            # 2-decimal inputs keep x*100 off the .5 rounding boundary
+            "WITH li AS (SELECT l_orderkey, "
+            "  CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "  * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev "
+            "  FROM lineitem WHERE l_returnflag = 'R'), "
+            "o AS (SELECT o_orderkey, o_custkey FROM orders "
+            "  WHERE o_orderdate >= TIMESTAMP '1999-01-01' "
+            "  AND o_orderdate < TIMESTAMP '2000-01-01') "
+            "SELECT o_custkey, CAST(sum(rev) AS BIGINT) "
+            "  AS revenue_milli "
+            "FROM li JOIN o ON l_orderkey = o_orderkey "
+            "GROUP BY o_custkey "
+            "ORDER BY revenue_milli DESC, o_custkey LIMIT 20"
         ),
         "user_running": (
             # integer cents (floor(value*100)) keep the running sum

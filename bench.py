@@ -148,6 +148,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "user_running",
         "dup_spans",
         "doc_rank",
+        "user_rolling",
+        "q10_returns",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -957,3 +957,83 @@ def transition_counts(
         .aggregate(Sum("n_part"))
         .rename_columns({"sum(n_part)": "n"})
     )
+
+
+def rolling_user_sum(
+    ds,
+    window: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    n_buckets: int = 64,
+):
+    """Per-user moving-frame sum: for every event, the sum of the
+    user's last ``window`` event values INCLUDING this one (``ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW``) -- the bounded-frame
+    sibling of ``running_user_totals``'s unbounded prefix sum, and the
+    skeleton of burst / velocity features.
+
+    Values fixed-point to integer cents so the frame sum is
+    associative-exact.  Same bounded-bucket shape as ``event_gaps``:
+    one groupby over ``n_buckets`` user-hash buckets; inside a bucket
+    one lexsort + prefix-sum difference (cs[i] - cs[i-window], clamped
+    at the user boundary) computes every frame vectorized.
+    """
+
+    def project(b: pa.Table) -> pa.Table:
+        vals = b.column(value_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.floor(vals * 100.0).astype(np.int64)
+        users = b.column(user_col).combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                id_col: b.column(id_col).cast(pa.int64()),
+                user_col: users,
+                ts_col: b.column(ts_col),
+                "cents": pa.array(cents, pa.int64()),
+                "bucket": _bucket31(users, n_buckets),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(
+            [
+                (user_col, "ascending"),
+                (ts_col, "ascending"),
+                (id_col, "ascending"),
+            ]
+        )
+        n = tbl.num_rows
+        users = tbl.column(user_col).to_numpy(zero_copy_only=False)
+        cents = tbl.column("cents").to_numpy(zero_copy_only=False)
+        idx = np.arange(n, dtype=np.int64)
+        first = np.ones(n, dtype=bool)
+        if n:
+            first[1:] = users[1:] != users[:-1]
+        start = np.maximum.accumulate(np.where(first, idx, 0))
+        cs = np.cumsum(cents)
+        before = np.where(first, cs - cents, 0)
+        base = before[start]  # total strictly before the user's run
+        prev = idx - window
+        clamped = np.maximum(prev, start - 1)
+        # cs just before the frame: cs[clamped] where the frame start
+        # is inside the run, else the pre-run base
+        frame_base = np.where(
+            clamped >= start, cs[np.maximum(clamped, 0)], base
+        )
+        return pa.table(
+            {
+                id_col: tbl.column(id_col),
+                user_col: tbl.column(user_col),
+                ts_col: tbl.column(ts_col),
+                "win_cents": pa.array(cs - frame_base, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

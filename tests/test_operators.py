@@ -2071,3 +2071,35 @@ def test_global_row_number(ray_session):
             ).take_all()
         }
         assert got == want
+
+
+def test_rolling_user_sum(ray_session):
+    """Frame = last `window` rows within the user in (ts, id) order,
+    clamped at the user boundary; invariant to block layout."""
+    ray = ray_session
+    from console_log_parser_ray.stages.events import rolling_user_sum
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7, 9, 9], pa.int64()),
+            "ts": pa.array(
+                [10, 20, 30, 40, 10, 20], pa.timestamp("us")
+            ),
+            "value": pa.array(
+                [0.01, 0.02, 0.03, 0.04, 0.10, 0.20], pa.float64()
+            ),
+        }
+    )
+    # window=3 cents frames: u7: 1,3,6,9  u9: 10,30
+    want = {1: 1, 2: 3, 3: 6, 4: 9, 5: 10, 6: 30}
+    for np_ in (1, 4):
+        got = {
+            r["event_id"]: r["win_cents"]
+            for r in rolling_user_sum(
+                ray.data.from_arrow(tbl).repartition(np_),
+                window=3,
+                n_buckets=8,
+            ).take_all()
+        }
+        assert got == want
