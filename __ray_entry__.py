@@ -449,6 +449,55 @@ def _q_event_gaps(sf_dir: str):
     )
 
 
+def _q_audience_overlap(sf_dir: str):
+    """Pairwise distinct-user overlap between event types via
+    per-bucket category-bitmask histograms -- at most 2^|types| rows
+    ever leave a bucket.  Categories passed sorted so list order ==
+    lexicographic pair order."""
+    from console_log_parser_ray.stages.events import audience_overlap
+
+    return audience_overlap(
+        _events(sf_dir).select_columns(["event_type", "user_id"]),
+        categories=("click", "error", "purchase", "signup", "view"),
+    )
+
+
+def _q_idle_customers(sf_dir: str):
+    """Anti-join: customers with NO order in 1999 (the novelty /
+    exclusion filter shape) via the co-partitioned hash_join's
+    left-anti mode -- neither side broadcasts."""
+    import datetime
+
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import hash_join
+
+    lo = datetime.datetime(1999, 1, 1)
+    hi = datetime.datetime(2000, 1, 1)
+
+    def in_window(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(b.column("o_orderdate"), pa.scalar(hi)),
+        )
+        return b.filter(keep).select(["o_custkey"])
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    ).map_batches(in_window, batch_format="pyarrow")
+    return hash_join(
+        cust, orders, on="c_custkey", right_on="o_custkey", how="anti"
+    )
+
+
 def _q_user_rolling(sf_dir: str):
     """Per-user moving-frame sum (ROWS 2 PRECEDING .. CURRENT ROW) of
     integer cents: bounded user-hash buckets, one lexsort + prefix-sum
@@ -1640,6 +1689,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rank": _q_doc_rank,
         "user_rolling": _q_user_rolling,
         "q10_returns": _q_q10_returns,
+        "audience_overlap": _q_audience_overlap,
+        "idle_customers": _q_idle_customers,
         "user_running": _q_user_running,
         "dup_spans": _q_dup_spans,
         "simhash_dups": _q_simhash_dups,
@@ -1872,6 +1923,22 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) "
             "AS win_cents FROM events"
+        ),
+        "audience_overlap": (
+            "WITH d AS (SELECT DISTINCT event_type, user_id "
+            "  FROM events) "
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "  count(*) AS n_both "
+            "FROM d a JOIN d b ON a.user_id = b.user_id "
+            "  AND a.event_type < b.event_type "
+            "GROUP BY a.event_type, b.event_type"
+        ),
+        "idle_customers": (
+            "SELECT c_custkey, c_nationkey FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders "
+            "  WHERE o_custkey = c.c_custkey "
+            "  AND o_orderdate >= TIMESTAMP '1999-01-01' "
+            "  AND o_orderdate < TIMESTAMP '2000-01-01')"
         ),
         "q10_returns": (
             # integer-exact revenue: cents x (100 - discount pct);

@@ -150,6 +150,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "doc_rank",
         "user_rolling",
         "q10_returns",
+        "audience_overlap",
+        "idle_customers",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

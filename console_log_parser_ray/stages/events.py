@@ -1037,3 +1037,95 @@ def rolling_user_sum(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def audience_overlap(
+    ds,
+    categories: tuple,
+    cat_col: str = "event_type",
+    user_col: str = "user_id",
+    n_buckets: int = 64,
+):
+    """Pairwise audience overlap: for every unordered pair of
+    categories, how many distinct users appear in BOTH -- the
+    co-occurrence / audience-intersection matrix (the exact core of
+    segment-overlap and source-affinity analyses).
+
+    Scale shape: (cat, user) pairs dedup inside each block, bucket by
+    a user hash (every row of a user lands in one group), and each
+    bucket reduces its users to a CATEGORY-BITMASK HISTOGRAM -- at
+    most 2^|categories| tiny rows per bucket, regardless of user
+    count.  The final groupby sums histograms, and the pairwise
+    expansion runs over that <= 2^T-row table (T = |categories|,
+    pinned by the caller; unknown categories raise).  No user id ever
+    reaches the driver.
+    """
+    cats = list(categories)
+    cat_set = pa.array(cats, pa.string())
+
+    def local_masks(b: pa.Table) -> pa.Table:
+        d = (
+            pa.table(
+                {
+                    cat_col: b.column(cat_col),
+                    user_col: b.column(user_col).cast(pa.int64()),
+                }
+            )
+            .group_by([cat_col, user_col])
+            .aggregate([])
+        )
+        ci = pc.index_in(d.column(cat_col), value_set=cat_set)
+        if ci.null_count:
+            bad = d.filter(pc.is_null(ci)).column(cat_col)[0].as_py()
+            raise ValueError(f"unknown category {bad!r}")
+        ci = ci.to_numpy(zero_copy_only=False).astype(np.int64)
+        users = d.column(user_col).to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(users, return_inverse=True)
+        masks = np.zeros(len(uu), dtype=np.int64)
+        np.bitwise_or.at(masks, inv, np.int64(1) << ci)
+        return pa.table(
+            {
+                "ub": _bucket31(pa.array(uu, pa.int64()), n_buckets),
+                user_col: pa.array(uu, pa.int64()),
+                "mask": pa.array(masks, pa.int64()),
+            }
+        )
+
+    def hist_in_bucket(tbl: pa.Table) -> pa.Table:
+        users = tbl.column(user_col).to_numpy(zero_copy_only=False)
+        masks = tbl.column("mask").to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(users, return_inverse=True)
+        full = np.zeros(len(uu), dtype=np.int64)
+        np.bitwise_or.at(full, inv, masks)
+        hm, hn = np.unique(full, return_counts=True)
+        return pa.table(
+            {
+                "mask": pa.array(hm, pa.int64()),
+                "n": pa.array(hn.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(local_masks, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(hist_in_bucket, batch_format="pyarrow")
+        .groupby("mask")
+        .aggregate(Sum("n"))
+        .to_pandas()  # <= 2^|categories| rows, independent of data size
+    )
+    masks = hist["mask"].to_numpy(dtype=np.int64)
+    counts = hist["sum(n)"].to_numpy(dtype=np.int64)
+    rows = []
+    for a in range(len(cats)):
+        for b_ in range(a + 1, len(cats)):
+            both = (masks >> a) & (masks >> b_) & 1
+            n_both = int(counts[both == 1].sum())
+            if n_both:
+                rows.append((cats[a], cats[b_], n_both))
+    import pandas as pd
+
+    return pd.DataFrame(
+        rows, columns=["type_a", "type_b", "n_both"]
+    )

@@ -2103,3 +2103,37 @@ def test_rolling_user_sum(ray_session):
             ).take_all()
         }
         assert got == want
+
+
+def test_audience_overlap(ray_session):
+    """Pairwise distinct-user intersections; duplicate events don't
+    inflate counts; users split across blocks still OR into one mask."""
+    ray = ray_session
+    from console_log_parser_ray.stages.events import audience_overlap
+
+    tbl = pa.table(
+        {
+            "event_type": pa.array(
+                ["a", "b", "a", "a", "b", "c", "a"], pa.string()
+            ),
+            "user_id": pa.array([1, 1, 1, 2, 2, 2, 3], pa.int64()),
+        }
+    )
+    # users: 1 -> {a,b}, 2 -> {a,b,c}, 3 -> {a}
+    want = {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+    for np_ in (1, 4):
+        df = audience_overlap(
+            ray.data.from_arrow(tbl).repartition(np_),
+            categories=("a", "b", "c"),
+            n_buckets=8,
+        )
+        got = {
+            (r.type_a, r.type_b): r.n_both for r in df.itertuples()
+        }
+        assert got == want
+    import pytest
+
+    with pytest.raises(Exception):
+        audience_overlap(
+            ray.data.from_arrow(tbl), categories=("a", "b"), n_buckets=8
+        )
