@@ -449,6 +449,22 @@ def _q_event_gaps(sf_dir: str):
     )
 
 
+def _q_doc_decile(sf_dir: str):
+    """Equi-depth decile binning (ntile(10) over length): the exact
+    global rank converts to its tile in place -- same two bounded
+    passes as doc_rank, no global sort barrier."""
+    from console_log_parser_ray.stages.relational import global_row_number
+
+    return global_row_number(
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+        value_col="n_chars",
+        id_col="doc_id",
+        descending=False,
+        out_col="tile",
+        ntile=10,
+    )
+
+
 def _q_audience_overlap(sf_dir: str):
     """Pairwise distinct-user overlap between event types via
     per-bucket category-bitmask histograms -- at most 2^|types| rows
@@ -1691,6 +1707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returns": _q_q10_returns,
         "audience_overlap": _q_audience_overlap,
         "idle_customers": _q_idle_customers,
+        "doc_decile": _q_doc_decile,
         "user_running": _q_user_running,
         "dup_spans": _q_dup_spans,
         "simhash_dups": _q_simhash_dups,
@@ -1923,6 +1940,11 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) "
             "AS win_cents FROM events"
+        ),
+        "doc_decile": (
+            "SELECT doc_id, n_chars, "
+            "ntile(10) OVER (ORDER BY n_chars, doc_id) AS tile "
+            "FROM documents"
         ),
         "audience_overlap": (
             "WITH d AS (SELECT DISTINCT event_type, user_id "

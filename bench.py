@@ -152,6 +152,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "q10_returns",
         "audience_overlap",
         "idle_customers",
+        "doc_decile",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

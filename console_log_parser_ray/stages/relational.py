@@ -268,6 +268,7 @@ def global_row_number(
     descending: bool = True,
     out_col: str = "rank",
     n_buckets: int = 64,
+    ntile: int | None = None,
 ):
     """Exact global ``row_number() OVER (ORDER BY value [DESC], id)``
     WITHOUT a global sort barrier -- the total-order rank primitive
@@ -283,12 +284,18 @@ def global_row_number(
     lexsort gives each row its ordinal WITHIN its value run (id
     tie-break), and rank = offset[value] + ordinal + 1.  Neither pass
     moves more than (value, id) pairs; the corpus text never shuffles.
+
+    With ``ntile=k`` the output column becomes the row's equi-depth
+    bin (``ntile(k) OVER`` the same order): the first ``N % k`` tiles
+    take ``N//k + 1`` rows, the rest ``N//k`` -- computed from the
+    exact rank, so it matches the SQL window function bit-for-bit.
     """
     hist = ds.groupby(value_col).count().to_pandas()
     hist = hist.sort_values(value_col, ascending=not descending)
     before = hist["count()"].cumsum().shift(fill_value=0).to_numpy(
         dtype=np.int64
     )
+    total = int(hist["count()"].sum())
     vals_in_order = hist[value_col].to_numpy(dtype=np.int64)
     asc = np.argsort(vals_in_order, kind="stable")
     lookup_ref = ray.put((vals_in_order[asc], before[asc]))
@@ -320,11 +327,21 @@ def global_row_number(
         ordinal = idx - start
         sorted_vals, offsets = _cached_get(lookup_ref)
         off = offsets[np.searchsorted(sorted_vals, vals)]
+        rank = off + ordinal + 1
+        if ntile:
+            q, r = divmod(total, ntile)
+            boundary = r * (q + 1)
+            r0 = rank - 1
+            rank = 1 + np.where(
+                r0 < boundary,
+                r0 // (q + 1),
+                r + (r0 - boundary) // max(q, 1),
+            )
         return pa.table(
             {
                 id_col: tbl.column(id_col),
                 value_col: tbl.column(value_col),
-                out_col: pa.array(off + ordinal + 1, pa.int64()),
+                out_col: pa.array(rank, pa.int64()),
             }
         )
 

@@ -2137,3 +2137,34 @@ def test_audience_overlap(ray_session):
         audience_overlap(
             ray.data.from_arrow(tbl), categories=("a", "b"), n_buckets=8
         )
+
+
+def test_global_ntile(ray_session):
+    """ntile semantics: first N%k tiles get N//k+1 rows; ties fall by
+    id order; invariant to block layout."""
+    ray = ray_session
+    from console_log_parser_ray.stages.relational import global_row_number
+
+    # 7 rows, k=3 -> tile sizes 3,2,2
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "n_chars": pa.array([5, 5, 5, 9, 9, 1, 1], pa.int64()),
+        }
+    )
+    # asc order: (1,6)(1,7)(5,1)(5,2)(5,3)(9,4)(9,5)
+    want = {6: 1, 7: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3}
+    for np_ in (1, 4):
+        got = {
+            r["doc_id"]: r["tile"]
+            for r in global_row_number(
+                ray.data.from_arrow(tbl).repartition(np_),
+                value_col="n_chars",
+                id_col="doc_id",
+                descending=False,
+                out_col="tile",
+                ntile=3,
+                n_buckets=8,
+            ).take_all()
+        }
+        assert got == want
