@@ -1071,8 +1071,19 @@ def _q_q10_returns(sf_dir: str):
             pa.int64(),
         )
         rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        # block-local pre-aggregation on the join key: the join (and
+        # its shuffle) then carries one row per distinct orderkey per
+        # block instead of one per lineitem -- integer sums stay exact
+        g = (
+            pa.table({"l_orderkey": b.column("l_orderkey"), "rev": rev})
+            .group_by("l_orderkey")
+            .aggregate([("rev", "sum")])
+        )
         return pa.table(
-            {"l_orderkey": b.column("l_orderkey"), "rev": rev}
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "rev": g.column("rev_sum"),
+            }
         )
 
     def in_window(b):
