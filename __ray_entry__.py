@@ -449,6 +449,36 @@ def _q_event_gaps(sf_dir: str):
     )
 
 
+def _q_conv_text(sf_dir: str):
+    """Per-conversation document reassembly (ordered newline join of
+    turn texts): one conv-bucket shuffle, one output row per
+    conversation -- the export twin of conv_fingerprint."""
+    from console_log_parser_ray.stages.dedup import conversation_texts
+
+    import ray.data
+
+    return conversation_texts(
+        ray.data.read_parquet(
+            _cache.ensure_transcripts(sf_dir),
+            columns=["conv_id", "turn_idx", "text"],
+        )
+    )
+
+
+def _q_mad_outliers(sf_dir: str):
+    """Robust MAD outlier flags on document length: two exact
+    percentile_disc medians from the compressed value histogram, one
+    stateless flag pass over the corpus."""
+    from console_log_parser_ray.stages.events import mad_outlier_flags
+
+    return mad_outlier_flags(
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+        value_col="n_chars",
+        id_col="doc_id",
+        k=3,
+    )
+
+
 def _q_doc_decile(sf_dir: str):
     """Equi-depth decile binning (ntile(10) over length): the exact
     global rank converts to its tile in place -- same two bounded
@@ -1719,6 +1749,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audience_overlap": _q_audience_overlap,
         "idle_customers": _q_idle_customers,
         "doc_decile": _q_doc_decile,
+        "conv_text": _q_conv_text,
+        "mad_outliers": _q_mad_outliers,
         "user_running": _q_user_running,
         "dup_spans": _q_dup_spans,
         "simhash_dups": _q_simhash_dups,
@@ -1956,6 +1988,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars, "
             "ntile(10) OVER (ORDER BY n_chars, doc_id) AS tile "
             "FROM documents"
+        ),
+        "conv_text": (
+            "SELECT conv_id, "
+            "string_agg(text, chr(10) ORDER BY turn_idx) AS conv_text, "
+            "count(*) AS n_turns "
+            f"FROM {t} GROUP BY conv_id"
+        ),
+        "mad_outliers": (
+            # percentile_disc medians (actual elements), all-integer
+            # comparison -- exact on both sides
+            "WITH med AS (SELECT quantile_disc(n_chars, 0.5) AS m "
+            "  FROM documents), "
+            "mad AS (SELECT quantile_disc("
+            "  abs(n_chars - (SELECT m FROM med)), 0.5) AS d "
+            "  FROM documents) "
+            "SELECT doc_id, n_chars, "
+            "abs(n_chars - (SELECT m FROM med)) > 3 * (SELECT d FROM mad) "
+            "  AS is_outlier FROM documents"
         ),
         "audience_overlap": (
             "WITH d AS (SELECT DISTINCT event_type, user_id "

@@ -153,6 +153,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "audience_overlap",
         "idle_customers",
         "doc_decile",
+        "mad_outliers",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

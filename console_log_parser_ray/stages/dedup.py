@@ -1316,3 +1316,56 @@ def dup_cluster_labels(
         )
 
     return nodes_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def conversation_texts(
+    ds, conv_col="conv_id", order_col="turn_idx", text_col="text",
+    n_buckets=64,
+):
+    """Per-conversation document reassembly: the newline-joined turn
+    texts in turn order plus the turn count -- the export shape that
+    turns a turn-level transcript table back into one training
+    document per conversation (the content twin of
+    ``conversation_fingerprints``, which emits only the md5).
+
+    Same single conv-bucket shuffle: conversations never split, each
+    bucket group emits one row per conversation.  Output volume equals
+    the input text volume, so this is a terminal export stage -- write
+    it, don't collect it.
+    """
+    import zlib
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        convs = b.column(conv_col).to_pylist()
+        buckets = [zlib.crc32(c.encode()) % n_buckets for c in convs]
+        return b.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(
+            [(conv_col, "ascending"), (order_col, "ascending")]
+        )
+        convs = tbl.column(conv_col).to_pylist()
+        texts = tbl.column(text_col).to_pylist()
+        out_c, out_t, out_n = [], [], []
+        i, n = 0, len(convs)
+        while i < n:
+            j = i
+            while j < n and convs[j] == convs[i]:
+                j += 1
+            out_c.append(convs[i])
+            out_t.append("\n".join(texts[i:j]))
+            out_n.append(j - i)
+            i = j
+        return pa.table(
+            {
+                conv_col: pa.array(out_c, pa.string()),
+                "conv_text": pa.array(out_t, pa.string()),
+                "n_turns": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -1129,3 +1129,53 @@ def audience_overlap(
     return pd.DataFrame(
         rows, columns=["type_a", "type_b", "n_both"]
     )
+
+
+def mad_outlier_flags(
+    ds, value_col: str, id_col: str, k: int = 3
+):
+    """Robust outlier flags by median absolute deviation: a row is an
+    outlier when ``|value - median| > k * MAD`` (both medians with
+    percentile_disc semantics -- actual elements, so the rule is
+    all-integer exact).  The scale-safe robust alternative to
+    mean/stddev filters, which heavy tails corrupt.
+
+    Scale shape: one value-histogram groupby per pass, bounded by
+    DISTINCT values, not rows (the ``dense_rank`` scale assumption);
+    the two medians are computed from the compressed (value, count)
+    distribution on the driver and enter the flag pass as two plain
+    int closures -- the corpus itself streams through one stateless
+    map.  The second histogram derives from the first (|v - med| is a
+    deterministic value transform), so the input scans ONCE for the
+    distribution and once for the flags.
+    """
+    hist = ds.groupby(value_col).count().to_pandas()
+    vals = hist[value_col].to_numpy(dtype=np.int64)
+    counts = hist["count()"].to_numpy(dtype=np.int64)
+
+    def disc_median(v: np.ndarray, c: np.ndarray) -> int:
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        total = int(c.sum())
+        rank = (total + 1) // 2  # ceil(0.5 * N), 1-based
+        cum = np.cumsum(c)
+        return int(v[np.searchsorted(cum, rank)])
+
+    med = disc_median(vals, counts)
+    mad = disc_median(np.abs(vals - med), counts)
+    thr = k * mad
+
+    def flag(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).cast(pa.int64())
+        dev = pc.abs(pc.subtract(v, pa.scalar(med, pa.int64())))
+        return pa.table(
+            {
+                id_col: b.column(id_col).cast(pa.int64()),
+                value_col: v,
+                "is_outlier": pc.greater(
+                    dev, pa.scalar(thr, pa.int64())
+                ),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")

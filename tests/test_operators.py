@@ -2168,3 +2168,59 @@ def test_global_ntile(ray_session):
             ).take_all()
         }
         assert got == want
+
+
+def test_mad_outlier_flags(ray_session):
+    """percentile_disc medians (ceil(N/2) rank), integer threshold;
+    planted heavy tail flags exactly the far points."""
+    ray = ray_session
+    from console_log_parser_ray.stages.events import mad_outlier_flags
+
+    # values: eight 10s, 12, 14, 1000 -> N=11, med=10 (rank 6),
+    # deviations sorted: 0x8,2,4,990 -> MAD=0 (rank 6)... use spread:
+    vals = [10, 12, 14, 16, 18, 20, 22, 24, 26, 1000]
+    # N=10, med = rank 5 asc = 18; |v-18| = 8,6,4,2,0,2,4,6,8,982
+    # sorted: 0,2,2,4,4,6,6,8,8,982 -> MAD = rank 5 = 4; thr = 12
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "n_chars": pa.array(vals, pa.int64()),
+        }
+    )
+    want_outliers = {9}  # only |1000-18| = 982 > 12
+    for np_ in (1, 4):
+        got = {
+            r["doc_id"]
+            for r in mad_outlier_flags(
+                ray.data.from_arrow(tbl).repartition(np_),
+                value_col="n_chars",
+                id_col="doc_id",
+                k=3,
+            ).take_all()
+            if r["is_outlier"]
+        }
+        assert got == want_outliers
+
+
+def test_conversation_texts(ray_session):
+    """Reassembly joins turn texts in turn order regardless of block
+    layout; n_turns matches."""
+    ray = ray_session
+    from console_log_parser_ray.stages.dedup import conversation_texts
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["b", "a", "a", "b"], pa.string()),
+            "turn_idx": pa.array([1, 1, 0, 0], pa.int64()),
+            "text": pa.array(["B1", "A1", "A0", "B0"], pa.string()),
+        }
+    )
+    want = {"a": ("A0\nA1", 2), "b": ("B0\nB1", 2)}
+    for np_ in (1, 4):
+        got = {
+            r["conv_id"]: (r["conv_text"], r["n_turns"])
+            for r in conversation_texts(
+                ray.data.from_arrow(tbl).repartition(np_), n_buckets=8
+            ).take_all()
+        }
+        assert got == want
