@@ -42,6 +42,10 @@ def _init_ray(num_cpus: int):
             num_cpus=num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
+            # workers occasionally print to driver stdout (observed: a
+            # Ray-internal reduce task emitting ':task_name'); keep the
+            # one-JSON-line stdout contract clean
+            log_to_driver=False,
         )
     return ray
 
@@ -154,6 +158,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "idle_customers",
         "doc_decile",
         "mad_outliers",
+        "conv_text",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
