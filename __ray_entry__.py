@@ -449,6 +449,18 @@ def _q_event_gaps(sf_dir: str):
     )
 
 
+def _q_props_extract(sf_dir: str):
+    """Schema-on-read: integer field out of the JSON props column via
+    one vectorized RE2 kernel; stateless, fuses into the read."""
+    from console_log_parser_ray.stages.events import extract_json_int
+
+    return extract_json_int(
+        _events(sf_dir).select_columns(["event_id", "props"]),
+        col="props",
+        key="k",
+    )
+
+
 def _q_conv_text(sf_dir: str):
     """Per-conversation document reassembly (ordered newline join of
     turn texts): one conv-bucket shuffle, one output row per
@@ -1751,6 +1763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decile": _q_doc_decile,
         "conv_text": _q_conv_text,
         "mad_outliers": _q_mad_outliers,
+        "props_extract": _q_props_extract,
         "user_running": _q_user_running,
         "dup_spans": _q_dup_spans,
         "simhash_dups": _q_simhash_dups,
@@ -1988,6 +2001,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars, "
             "ntile(10) OVER (ORDER BY n_chars, doc_id) AS tile "
             "FROM documents"
+        ),
+        "props_extract": (
+            # same RE2 rule both sides; '' (no match) -> null
+            "SELECT event_id, TRY_CAST(NULLIF(regexp_extract(props, "
+            "'\"k\":\\s*(-?\\d+)', 1), '') AS BIGINT) AS k FROM events"
         ),
         "conv_text": (
             "SELECT conv_id, "

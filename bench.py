@@ -159,6 +159,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "doc_decile",
         "mad_outliers",
         "conv_text",
+        "props_extract",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

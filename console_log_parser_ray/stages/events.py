@@ -1179,3 +1179,33 @@ def mad_outlier_flags(
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def extract_json_int(
+    ds, col: str = "props", key: str = "k",
+    id_col: str = "event_id", out_col: str | None = None,
+):
+    """Semi-structured extraction: pull an integer field out of a JSON
+    string column with one vectorized RE2 kernel per batch -- the
+    schema-on-read ETL step event pipelines apply before anything
+    relational.  Rows without the key yield null (mirrored by
+    NULLIF + TRY_CAST in the SQL oracle).  Stateless map; at 100 TB
+    this fuses into the read task, nothing shuffles.
+    """
+    out_col = out_col or key
+    pattern = '"' + key + '":\\s*(?P<v>-?\\d+)'
+
+    def fn(b: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(
+            pc.fill_null(b.column(col).combine_chunks(), ""),
+            pattern=pattern,
+        )
+        vals = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+        return pa.table(
+            {
+                id_col: b.column(id_col).cast(pa.int64()),
+                out_col: vals,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -2224,3 +2224,29 @@ def test_conversation_texts(ray_session):
             ).take_all()
         }
         assert got == want
+
+
+def test_extract_json_int(ray_session):
+    """Missing key, null row, and negative value all behave; invariant
+    to block layout."""
+    ray = ray_session
+    from console_log_parser_ray.stages.events import extract_json_int
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "props": pa.array(
+                ['{"k": 69}', '{"x": 1}', None, '{"k": -7}'],
+                pa.string(),
+            ),
+        }
+    )
+    want = {1: 69, 2: None, 3: None, 4: -7}
+    for np_ in (1, 4):
+        got = {
+            r["event_id"]: r["k"]
+            for r in extract_json_int(
+                ray.data.from_arrow(tbl).repartition(np_)
+            ).take_all()
+        }
+        assert got == want
