@@ -449,6 +449,20 @@ def _q_event_gaps(sf_dir: str):
     )
 
 
+def _q_user_history(sf_dir: str):
+    """Per-user ordered first-3 event-type history (collect_list
+    LIMIT k) plus total counts: bounded user-hash buckets, one
+    lexsort + ordinal mask per bucket."""
+    from console_log_parser_ray.stages.events import user_history
+
+    return user_history(
+        _events(sf_dir).select_columns(
+            ["event_id", "user_id", "ts", "event_type"]
+        ),
+        k=3,
+    )
+
+
 def _q_props_extract(sf_dir: str):
     """Schema-on-read: integer field out of the JSON props column via
     one vectorized RE2 kernel; stateless, fuses into the read."""
@@ -1764,6 +1778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_text": _q_conv_text,
         "mad_outliers": _q_mad_outliers,
         "props_extract": _q_props_extract,
+        "user_history": _q_user_history,
         "user_running": _q_user_running,
         "dup_spans": _q_dup_spans,
         "simhash_dups": _q_simhash_dups,
@@ -2006,6 +2021,13 @@ def oracle_sql() -> dict[str, str]:
             # same RE2 rule both sides; '' (no match) -> null
             "SELECT event_id, TRY_CAST(NULLIF(regexp_extract(props, "
             "'\"k\":\\s*(-?\\d+)', 1), '') AS BIGINT) AS k FROM events"
+        ),
+        "user_history": (
+            # ordered collect_list LIMIT 3 (1-based inclusive slice)
+            "SELECT user_id, array_to_string("
+            "list(event_type ORDER BY ts, event_id)[1:3], ',') "
+            "AS first_k, count(*) AS n_events "
+            "FROM events GROUP BY user_id"
         ),
         "conv_text": (
             "SELECT conv_id, "

@@ -160,6 +160,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "mad_outliers",
         "conv_text",
         "props_extract",
+        "user_history",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

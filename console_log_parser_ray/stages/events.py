@@ -1209,3 +1209,77 @@ def extract_json_int(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def user_history(
+    ds,
+    k: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    state_col: str = "event_type",
+    n_buckets: int = 64,
+):
+    """Per-user ordered history prefix: the user's first ``k`` event
+    states in (ts, id) order joined with commas, plus the total event
+    count -- the bounded "context window per entity" feature that
+    sequence models and abuse heuristics consume (a collect_list
+    LIMIT k, which Ray Data has no primitive for).
+
+    Scale shape: the usual bounded user-hash bucket groupby; inside a
+    bucket one lexsort + ordinal mask keeps at most ``k`` rows per
+    user, and a pandas group-join concatenates them (group dispatch at
+    the Ray level stays bounded by bucket count; the per-user join
+    walks <= k-row groups inside one bucket).
+    """
+
+    def project(b: pa.Table) -> pa.Table:
+        users = b.column(user_col).combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                id_col: b.column(id_col).cast(pa.int64()),
+                user_col: users,
+                ts_col: b.column(ts_col),
+                state_col: b.column(state_col),
+                "bucket": _bucket31(users, n_buckets),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(
+            [
+                (user_col, "ascending"),
+                (ts_col, "ascending"),
+                (id_col, "ascending"),
+            ]
+        )
+        n = tbl.num_rows
+        users = tbl.column(user_col).to_numpy(zero_copy_only=False)
+        idx = np.arange(n, dtype=np.int64)
+        first = np.ones(n, dtype=bool)
+        if n:
+            first[1:] = users[1:] != users[:-1]
+        start = np.maximum.accumulate(np.where(first, idx, 0))
+        ordinal = idx - start
+        uu, counts = np.unique(users, return_counts=True)
+        head = tbl.filter(pa.array(ordinal < k)).to_pandas()
+        joined = head.groupby(user_col, sort=True)[state_col].agg(
+            ",".join
+        )
+        return pa.table(
+            {
+                user_col: pa.array(
+                    joined.index.to_numpy(dtype="int64"), pa.int64()
+                ),
+                "first_k": pa.array(
+                    joined.to_numpy(dtype=object), pa.string()
+                ),
+                "n_events": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

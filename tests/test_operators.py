@@ -2250,3 +2250,36 @@ def test_extract_json_int(ray_session):
             ).take_all()
         }
         assert got == want
+
+
+def test_user_history(ray_session):
+    """First-k states in (ts, id) order; tie by id; users with fewer
+    than k events keep their full prefix; count is total events."""
+    ray = ray_session
+    from console_log_parser_ray.stages.events import user_history
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([5, 1, 2, 3, 4, 6], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7, 9, 9], pa.int64()),
+            "ts": pa.array(
+                [10, 10, 20, 30, 10, 5], pa.timestamp("us")
+            ),
+            "event_type": pa.array(
+                ["a", "b", "c", "d", "x", "y"], pa.string()
+            ),
+        }
+    )
+    # user 7 order: (10,1)=b (10,5)=a (20,2)=c (30,3)=d -> first3 b,a,c
+    # user 9 order: (5,6)=y (10,4)=x -> first3 y,x
+    want = {7: ("b,a,c", 4), 9: ("y,x", 2)}
+    for np_ in (1, 4):
+        got = {
+            r["user_id"]: (r["first_k"], r["n_events"])
+            for r in user_history(
+                ray.data.from_arrow(tbl).repartition(np_),
+                k=3,
+                n_buckets=8,
+            ).take_all()
+        }
+        assert got == want
