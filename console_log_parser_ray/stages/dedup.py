@@ -145,6 +145,39 @@ def exact_dedup(ds, text_col="text", id_col="doc_id", n_shuffle_buckets=256):
     )
 
 
+def _conv_bucket_col(
+    b: pa.Table, conv_col: str, n_buckets: int
+) -> pa.Array:
+    """Shuffle-bucket column for conversation keys: crc32 per DISTINCT
+    conv id (dictionary-encode once -- conversations repeat heavily
+    within a block, so the Python hash loop runs per distinct value,
+    not per row).  Null conv ids are rejected explicitly: a null
+    conversation key has no identity to group on, and silently
+    crc32-ing a placeholder would merge unrelated rows."""
+    import zlib
+
+    col = b.column(conv_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError(
+            f"null {conv_col!r} values are unsupported: conversation "
+            "operators group on the conv key; filter or impute nulls "
+            "upstream"
+        )
+    enc = pc.dictionary_encode(col)
+    dict_vals = enc.dictionary.to_pylist()
+    h = np.fromiter(
+        (zlib.crc32(s.encode()) % n_buckets for s in dict_vals),
+        dtype=np.int32,
+        count=len(dict_vals),
+    )
+    buckets = h[enc.indices.to_numpy(zero_copy_only=False)] if len(
+        dict_vals
+    ) else np.zeros(0, dtype=np.int32)
+    return pa.array(buckets, pa.int32())
+
+
 def conversation_fingerprints(
     ds, conv_col="conv_id", order_col="turn_idx", text_col="text",
     n_buckets=64,
@@ -160,17 +193,15 @@ def conversation_fingerprints(
     so one bucket's turns fit a worker (conversation-partitioned
     inputs can instead use the shuffle-free path below).
     """
-    import zlib
-
     def add_bucket(b: pa.Table) -> pa.Table:
-        convs = b.column(conv_col).to_pylist()
-        buckets = [zlib.crc32(c.encode()) % n_buckets for c in convs]
-        return b.append_column("bucket", pa.array(buckets, pa.int32()))
+        return b.append_column(
+            "bucket", _conv_bucket_col(b, conv_col, n_buckets)
+        )
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
         tbl = tbl.sort_by([(conv_col, "ascending"), (order_col, "ascending")])
         convs = tbl.column(conv_col).to_pylist()
-        texts = tbl.column(text_col).to_pylist()
+        texts = pc.fill_null(tbl.column(text_col), "").to_pylist()
         out_c, out_h, out_n = [], [], []
         i, n = 0, len(convs)
         while i < n:
@@ -1333,19 +1364,17 @@ def conversation_texts(
     the input text volume, so this is a terminal export stage -- write
     it, don't collect it.
     """
-    import zlib
-
     def add_bucket(b: pa.Table) -> pa.Table:
-        convs = b.column(conv_col).to_pylist()
-        buckets = [zlib.crc32(c.encode()) % n_buckets for c in convs]
-        return b.append_column("bucket", pa.array(buckets, pa.int32()))
+        return b.append_column(
+            "bucket", _conv_bucket_col(b, conv_col, n_buckets)
+        )
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
         tbl = tbl.sort_by(
             [(conv_col, "ascending"), (order_col, "ascending")]
         )
         convs = tbl.column(conv_col).to_pylist()
-        texts = tbl.column(text_col).to_pylist()
+        texts = pc.fill_null(tbl.column(text_col), "").to_pylist()
         out_c, out_t, out_n = [], [], []
         i, n = 0, len(convs)
         while i < n:

@@ -409,7 +409,9 @@ def event_gaps(
     )
 
 
-def filter_top_quantile(ds, value_col: str, q: float = 0.9):
+def filter_top_quantile(
+    ds, value_col: str, q: float = 0.9, max_distinct: int | None = None
+):
     """Keep rows at or above the global discrete ``q``-quantile of an
     INTEGER-valued column -- the "top decile by length/score" curation
     filter, exact (``percentile_disc`` semantics, so the SQL subquery
@@ -420,8 +422,12 @@ def filter_top_quantile(ds, value_col: str, q: float = 0.9):
     distinct-value rows (bounded for integer metrics like lengths or
     scores, independent of row count) reach the small Ray groupby;
     the driver folds that compressed distribution into the threshold.
-    Pass 2 is a stateless broadcast comparison.
+    The distinct-value assumption is ENFORCED: above ``max_distinct``
+    values the collect raises instead of OOMing the driver (the
+    ``bounded_histogram`` guard).  Pass 2 is a stateless broadcast
+    comparison.
     """
+    from .relational import DEFAULT_MAX_DISTINCT, bounded_histogram
 
     def partial(b: pa.Table) -> pa.Table:
         g = (
@@ -436,12 +442,18 @@ def filter_top_quantile(ds, value_col: str, q: float = 0.9):
             }
         )
 
-    dist = sorted(
-        (r[value_col], r["sum(n)"])
-        for r in ds.map_batches(partial, batch_format="pyarrow")
+    hist = bounded_histogram(
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(value_col)
-        .sum("n")
-        .take_all()
+        .sum("n"),
+        "filter_top_quantile",
+        max_distinct if max_distinct is not None else DEFAULT_MAX_DISTINCT,
+    )
+    dist = sorted(
+        zip(
+            hist[value_col].to_numpy(dtype=np.int64).tolist(),
+            hist["sum(n)"].to_numpy(dtype=np.int64).tolist(),
+        )
     )
     total = sum(n for _, n in dist)
     if total == 0:
@@ -501,7 +513,9 @@ def sample_per_group(
         )
         df = t.to_pandas()
         df = df.sort_values(["h", id_col], kind="mergesort")
-        df = df.groupby(group_col, sort=False).head(k)
+        # dropna=False: SQL GROUP BY (and Ray's final groupby) keep the
+        # null group, so the block-local partial must too
+        df = df.groupby(group_col, sort=False, dropna=False).head(k)
         return pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
 
     partial = ds.map_batches(local_topk, batch_format="pyarrow")
@@ -546,7 +560,9 @@ def topk_per_group(
         df = df.sort_values(
             [val_col, id_col], ascending=[False, True], kind="mergesort"
         )
-        df = df.groupby(group_col, sort=False).head(k)
+        # dropna=False: keep the null group in the partial (see
+        # sample_per_group)
+        df = df.groupby(group_col, sort=False, dropna=False).head(k)
         return pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
 
     partial = ds.map_batches(local_topk, batch_format="pyarrow")
@@ -691,26 +707,24 @@ def funnel_two_step(
         cand = cand.reset_index(drop=True)
         cand = cand[cand["t_us"] >= cand["s"]]
         conv = cand.groupby(user_col)["t_us"].min()
-        out = anchors.to_frame().join(conv.rename("c"), how="left")
-        converted = (out["c"] - out["s"] <= window_us) & out["c"].notna()
-        c = out["c"].to_numpy(dtype="float64")
-        no_conv = np.isnan(c)
+        # stay in int64 end-to-end: a left-join would promote the
+        # conversion column to float64 and lose exactness past 2^53 us
+        s = anchors.to_numpy(dtype="int64")
+        has = anchors.index.isin(conv.index)
+        sec = np.zeros(len(anchors), dtype=np.int64)
+        if has.any():
+            sec[has] = conv.reindex(anchors.index[has]).to_numpy(
+                dtype="int64"
+            )
+        converted = has & (sec - s <= window_us)
         return pa.table(
             {
                 user_col: pa.array(
-                    out.index.to_numpy(dtype="int64"), pa.int64()
+                    anchors.index.to_numpy(dtype="int64"), pa.int64()
                 ),
-                "first_us": pa.array(
-                    out["s"].to_numpy(dtype="int64"), pa.int64()
-                ),
-                "second_us": pa.array(
-                    np.where(no_conv, 0, c).astype(np.int64),
-                    pa.int64(),
-                    mask=no_conv,
-                ),
-                "converted": pa.array(
-                    converted.to_numpy(dtype=bool), pa.bool_()
-                ),
+                "first_us": pa.array(s, pa.int64()),
+                "second_us": pa.array(sec, pa.int64(), mask=~has),
+                "converted": pa.array(converted, pa.bool_()),
             }
         )
 
@@ -1132,7 +1146,8 @@ def audience_overlap(
 
 
 def mad_outlier_flags(
-    ds, value_col: str, id_col: str, k: int = 3
+    ds, value_col: str, id_col: str, k: int = 3,
+    max_distinct: int | None = None,
 ):
     """Robust outlier flags by median absolute deviation: a row is an
     outlier when ``|value - median| > k * MAD`` (both medians with
@@ -1141,7 +1156,8 @@ def mad_outlier_flags(
     mean/stddev filters, which heavy tails corrupt.
 
     Scale shape: one value-histogram groupby per pass, bounded by
-    DISTINCT values, not rows (the ``dense_rank`` scale assumption);
+    DISTINCT values, not rows (the ``dense_rank`` scale assumption,
+    enforced by the same ``bounded_histogram`` ``max_distinct`` guard);
     the two medians are computed from the compressed (value, count)
     distribution on the driver and enter the flag pass as two plain
     int closures -- the corpus itself streams through one stateless
@@ -1149,7 +1165,13 @@ def mad_outlier_flags(
     deterministic value transform), so the input scans ONCE for the
     distribution and once for the flags.
     """
-    hist = ds.groupby(value_col).count().to_pandas()
+    from .relational import DEFAULT_MAX_DISTINCT, bounded_histogram
+
+    hist = bounded_histogram(
+        ds.groupby(value_col).count(),
+        "mad_outlier_flags",
+        max_distinct if max_distinct is not None else DEFAULT_MAX_DISTINCT,
+    )
     vals = hist[value_col].to_numpy(dtype=np.int64)
     counts = hist["count()"].to_numpy(dtype=np.int64)
 

@@ -106,7 +106,7 @@ def pack_sequences(
                 "shard": _shard_col(ids, n_shards),
                 "n_tokens": pc.cast(
                     pc.count_substring_regex(
-                        batch.column(text_col), r"\S+"
+                        pc.fill_null(batch.column(text_col), ""), r"\S+"
                     ),
                     pa.int64(),
                 ),

@@ -38,6 +38,45 @@ _JOIN_TYPES = {
     "anti": "left anti",
 }
 
+# Default ceiling for the histogram-to-driver rank family.  2^21
+# distinct values x (two int64 columns + pandas overhead) stays well
+# under ~100 MB of driver heap; raise it explicitly when the driver is
+# provisioned for more.
+DEFAULT_MAX_DISTINCT = 2_000_000
+
+
+def bounded_histogram(hist_ds, what: str, max_distinct: int):
+    """Collect a (already aggregated) histogram Dataset to the driver
+    ONLY if its row count is within ``max_distinct``.
+
+    The rank family (``dense_rank``, ``global_row_number``,
+    ``filter_top_quantile``, ``mad_outlier_flags``) scales with the
+    DISTINCT values of the ranked column, not the row count -- fine
+    for integer metrics (lengths, scores), fatal for a float64 score
+    column at 100 TB where every value is distinct.  This guard makes
+    the assumption enforced instead of documented: the histogram is
+    materialized in the OBJECT STORE first (distributed, spillable),
+    its size checked with a metadata count, and only then collected.
+    Above the cap we raise with the remediation options rather than
+    OOM the driver.
+
+    Returns the histogram as a pandas DataFrame.
+    """
+    hist_ds = hist_ds.materialize()
+    n = hist_ds.count()
+    if n > max_distinct:
+        raise ValueError(
+            f"{what}: {n} distinct values exceed max_distinct="
+            f"{max_distinct}. Exact rank/quantile operators collect "
+            "the distinct-value histogram to the driver; at this "
+            "cardinality that would exhaust driver memory. Options: "
+            "rank a bucketized/rounded value (e.g. cast a float score "
+            "to fixed-point), raise max_distinct if the driver is "
+            "provisioned for it, or use an approximate quantile "
+            "sketch."
+        )
+    return hist_ds.to_pandas()
+
 
 def hash_join(
     left,
@@ -111,14 +150,17 @@ def hash_join(
 def dense_rank(
     ds, group_col: str, val_col: str, descending: bool = True,
     out_col: str = "rnk",
+    max_distinct: int = DEFAULT_MAX_DISTINCT,
 ):
     """Adds ``dense_rank() OVER (PARTITION BY group_col ORDER BY
     val_col [DESC])`` without shuffling the corpus.
 
-    Scale assumption: the (group, value) histogram fits the driver --
-    #groups x #distinct values (e.g. languages x document lengths),
-    independent of row count.  The histogram groupby combines
-    per-block partials, so shuffle volume is distinct pairs per block.
+    Scale assumption -- ENFORCED by ``bounded_histogram``: the (group,
+    value) histogram fits the driver -- #groups x #distinct values
+    (e.g. languages x document lengths), independent of row count;
+    above ``max_distinct`` pairs the collect raises instead of OOMing
+    the driver.  The histogram groupby combines per-block partials, so
+    shuffle volume is distinct pairs per block.
 
     The input lineage executes twice (histogram pass, attach pass) --
     deliberate: two streaming scans from storage beat pinning the
@@ -127,8 +169,9 @@ def dense_rank(
     materialized input can pass it materialized to fold the two passes
     onto cached blocks.
     """
-    hist = (
-        ds.groupby([group_col, val_col]).count().to_pandas()
+    hist = bounded_histogram(
+        ds.groupby([group_col, val_col]).count(),
+        "dense_rank", max_distinct,
     )  # bounded by distinct (group, value) pairs, not rows
     hist = hist.sort_values(
         [group_col, val_col], ascending=[True, not descending]
@@ -269,6 +312,7 @@ def global_row_number(
     out_col: str = "rank",
     n_buckets: int = 64,
     ntile: int | None = None,
+    max_distinct: int = DEFAULT_MAX_DISTINCT,
 ):
     """Exact global ``row_number() OVER (ORDER BY value [DESC], id)``
     WITHOUT a global sort barrier -- the total-order rank primitive
@@ -278,7 +322,8 @@ def global_row_number(
 
     Plan: (1) a value histogram via partial+final groupby -- bounded
     by distinct values, not rows (same scale assumption as
-    ``dense_rank``, documented there); the cumulative counts become a
+    ``dense_rank``, enforced by the same ``bounded_histogram``
+    ``max_distinct`` guard); the cumulative counts become a
     broadcast value -> rows-before-it offset table.  (2) rows bucket
     by a value hash, so every row of a value lands in one group; a
     lexsort gives each row its ordinal WITHIN its value run (id
@@ -290,7 +335,9 @@ def global_row_number(
     take ``N//k + 1`` rows, the rest ``N//k`` -- computed from the
     exact rank, so it matches the SQL window function bit-for-bit.
     """
-    hist = ds.groupby(value_col).count().to_pandas()
+    hist = bounded_histogram(
+        ds.groupby(value_col).count(), "global_row_number", max_distinct
+    )
     hist = hist.sort_values(value_col, ascending=not descending)
     before = hist["count()"].cumsum().shift(fill_value=0).to_numpy(
         dtype=np.int64
