@@ -94,11 +94,42 @@ def distinct_rows(ds, keys: list[str], n_buckets: int = 256):
 
 
 def _text_hash_batch(batch: pa.Table, text_col: str) -> pa.Table:
-    hashes = [
-        int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-        for t in batch.column(text_col).to_pylist()
-    ]
-    return batch.append_column("text_hash", pa.array(hashes, pa.uint64()))
+    """64-bit content hash per row, computed batch-at-a-time in native
+    code (polars' xxhash over the Arrow string buffer; pandas' C
+    hasher as the fallback) instead of a per-row Python blake2b loop.
+    The hash only PARTITIONS the dedup shuffle -- text itself stays
+    the equality key inside each bucket -- so it needs a fixed seed
+    (identical texts must land in one bucket from ANY worker process),
+    not cryptographic strength.  Null texts hash like empty strings;
+    the in-bucket comparison still tells them apart."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    try:
+        import polars as pl
+
+        h = (
+            pl.from_arrow(col, rechunk=False)
+            .hash(seed=0)
+            .to_numpy()
+            .astype(np.uint64, copy=False)
+        )
+    except Exception:
+        # no polars: the original per-row blake2b (still faster than
+        # pandas' object hasher on string payloads)
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                    "big",
+                )
+                for t in col.to_pylist()
+            ),
+            dtype=np.uint64,
+            count=len(col),
+        )
+    return batch.append_column("text_hash", pa.array(h, pa.uint64()))
 
 
 def exact_dedup(ds, text_col="text", id_col="doc_id", n_shuffle_buckets=256):
@@ -1052,13 +1083,16 @@ def embedding_near_dups(
     the recall test; computed per-bucket-free via a single group (kept
     deliberately simple -- it exists to validate the IVF path).
     """
-    from .similarity import _normalize, kmeans_centroids
+    from .similarity import _normalize, as_matrix, kmeans_centroids
 
     def pairs_in_bucket(tbl: pa.Table) -> pa.Table:
-        ids = np.asarray(tbl.column(id_col).to_pylist())
-        mat = _normalize(
-            np.array(tbl.column(vec_col).to_pylist(), dtype=np.float64)
+        ids = (
+            tbl.column(id_col)
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
         )
+        mat = _normalize(as_matrix(tbl.column(vec_col), dtype=np.float64))
         sims = mat @ mat.T
         ai, bi = np.where(sims >= threshold)
         keep = ids[ai] < ids[bi]
@@ -1092,25 +1126,23 @@ def embedding_near_dups(
 
     def assign_probes(b: pa.Table) -> pa.Table:
         cent = _cached_get(cent_ref)
-        mat = _normalize(
-            np.array(b.column(vec_col).to_pylist(), dtype=np.float64)
-        )
+        mat = _normalize(as_matrix(b.column(vec_col), dtype=np.float64))
         sims = mat @ cent.T
         k = min(n_probe, sims.shape[1])
         probes = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        ids = b.column(id_col).to_pylist()
-        out_bucket, out_id, out_vec = [], [], []
-        vecs = b.column(vec_col).to_pylist()
-        for r in range(len(ids)):
-            for c in probes[r]:
-                out_bucket.append(int(c))
-                out_id.append(ids[r])
-                out_vec.append(vecs[r])
+        # replicate each row into its k probe buckets with one take --
+        # no per-row Python loop
+        n = b.num_rows
+        row_idx = pa.array(
+            np.repeat(np.arange(n, dtype=np.int64), k), pa.int64()
+        )
         return pa.table(
             {
-                "bucket": pa.array(out_bucket, pa.int32()),
-                id_col: pa.array(out_id, pa.int64()),
-                vec_col: pa.array(out_vec),
+                "bucket": pa.array(
+                    probes.reshape(-1).astype(np.int32), pa.int32()
+                ),
+                id_col: b.column(id_col).cast(pa.int64()).take(row_idx),
+                vec_col: b.column(vec_col).take(row_idx),
             }
         )
 

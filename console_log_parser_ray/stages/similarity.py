@@ -15,11 +15,44 @@ import numpy as np
 import pyarrow as pa
 
 
-def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
-    arr = batch.column(col)
+def as_matrix(arr, dtype=np.float64) -> np.ndarray:
+    """2-D numpy view of an embedding column without the row-major
+    ``to_pylist`` round trip.
+
+    * ``fixed_size_list<float>`` -- flatten() is a zero-copy slice of
+      the values buffer; one reshape (plus at most one dtype cast)
+      yields the matrix.  The preferred storage type at scale.
+    * ``list``/``large_list`` with uniform lengths (how parquet
+      delivers fixed-dim embeddings) -- same flatten+reshape from the
+      offsets, no Python objects anywhere.
+    * ragged / null-bearing input -- falls back to the object path,
+      which raises the same numpy error a ragged matrix always did.
+    """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    return np.array(arr.to_pylist(), dtype=np.float32)
+    t = arr.type
+    if arr.null_count == 0 and pa.types.is_fixed_size_list(t):
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.astype(dtype, copy=False).reshape(
+            len(arr), t.list_size
+        )
+    if arr.null_count == 0 and (
+        pa.types.is_list(t) or pa.types.is_large_list(t)
+    ):
+        off = arr.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(off)
+        if len(widths) == 0:
+            return np.zeros((0, 0), dtype=dtype)
+        if (widths == widths[0]).all():
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(dtype, copy=False).reshape(
+                len(arr), int(widths[0])
+            )
+    return np.array(arr.to_pylist(), dtype=dtype)
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    return as_matrix(batch.column(col), dtype=np.float32)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -50,7 +83,12 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = _normalize(_batch_matrix(batch, self.vec_col))
-        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        ids = (
+            batch.column(self.id_col)
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
         sims = self.q @ vecs.T  # (n_query, n_batch)
         k = min(self.k, sims.shape[1])
         part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
@@ -264,11 +302,9 @@ def kmeans_clusters(ds, k: int = 8, n_assign: int = 2, vec_col="embedding",
     def f64_matrix(b: pa.Table) -> np.ndarray:
         # float64 straight from the Arrow list column -- the float32
         # roundtrip in _batch_matrix would diverge from the oracle's
-        # DOUBLE[] arithmetic
-        arr = b.column(vec_col)
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        return np.array(arr.to_pylist(), dtype=np.float64)
+        # DOUBLE[] arithmetic; list<double> storage makes this a pure
+        # flatten+reshape view (no element copy at all)
+        return as_matrix(b.column(vec_col), dtype=np.float64)
 
     def argmin_d2(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
         # direct (x-c)^2 form, matching the oracle's list_distance

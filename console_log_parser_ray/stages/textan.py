@@ -181,6 +181,49 @@ def _doc_ngrams(text: str, n: int) -> list:
     ]
 
 
+def _token_tape(texts: pa.Array):
+    """Vectorized batch tokenization: ONE RE2 split for the whole
+    batch, empty tokens filtered on the flat tape.  Returns
+    ``(flat, counts, new_off)`` -- the object-dtype token tape, the
+    per-document token count, and each document's start offset into
+    the tape (len = n_docs + 1).  The shared front half of every
+    n-gram/window operator; no per-row Python loop anywhere."""
+    lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+    flat_arr = lists.flatten()
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    keep = pc.not_equal(flat_arr, "").to_numpy(zero_copy_only=False)
+    flat = flat_arr.to_numpy(zero_copy_only=False)[keep]
+    counts = np.add.reduceat(
+        np.concatenate([keep.astype(np.int64), [0]]),
+        offsets[:-1],
+    ) if len(texts) else np.zeros(0, dtype=np.int64)
+    counts = np.where(np.diff(offsets) == 0, 0, counts)
+    new_off = np.concatenate([[0], np.cumsum(counts)])
+    return flat, counts, new_off
+
+
+def _ngram_tape(texts: pa.Array, n: int):
+    """Vectorized (doc_idx, n-gram string) explode over a batch of
+    texts: token tape + n object-array concats build every gram of
+    every document at once.  Returns ``(doc_idx, grams)`` numpy arrays
+    (int64 / object); documents with < n tokens emit nothing."""
+    flat, counts, new_off = _token_tape(texts)
+    n_grams = np.maximum(counts - (n - 1), 0)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), n_grams)
+    within = np.arange(int(n_grams.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(n_grams)])[:-1], n_grams
+    )
+    starts = new_off[doc_idx] + within
+    if len(starts):
+        gram = flat[starts].astype(object)
+        for j in range(1, n):
+            gram = gram + " " + flat[starts + j]
+    else:
+        gram = np.zeros(0, dtype=object)
+    return doc_idx, gram
+
+
 def chunk_documents(
     ds,
     size: int = 32,
@@ -199,8 +242,11 @@ def chunk_documents(
     tokens with single spaces.  Zero-token documents emit no chunks.
 
     Scale shape: stateless per-batch flat reshape (one doc in, ~n/step
-    rows out), no shuffle, no state; the only per-row Python is the
-    regex split itself, which has no Arrow kernel.  Output rows carry
+    rows out), no shuffle, no state, no per-row Python: one RE2 split
+    builds the batch token tape, window starts/widths come from
+    offset arithmetic, tokens are gathered once, and every chunk text
+    is built by a single vectorized ``pc.binary_join`` over a
+    ListArray view of the gather.  Output rows carry
     ``(doc_id, chunk_idx, n_chunk_tokens, chunk_text)``.
     """
 
@@ -209,25 +255,39 @@ def chunk_documents(
     step = size - overlap
 
     def fn(batch: pa.Table) -> pa.Table:
-        out_id, out_idx, out_n, out_txt = [], [], [], []
-        ids = batch.column(id_col).to_pylist()
-        for did, text in zip(ids, batch.column(text_col).to_pylist()):
-            toks = ascii_tokens(text or "")
-            n = len(toks)
-            i = 0
-            while i * step < n:
-                w = toks[i * step : i * step + size]
-                out_id.append(did)
-                out_idx.append(i)
-                out_n.append(len(w))
-                out_txt.append(" ".join(w))
-                i += 1
+        texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        ids = batch.column(id_col).combine_chunks().cast(pa.int64())
+        flat, counts, new_off = _token_tape(texts)
+        n_chunks = -(-counts // step) * (counts > 0)  # ceil, 0 if empty
+        doc_idx = np.repeat(
+            np.arange(len(counts), dtype=np.int64), n_chunks
+        )
+        total = int(n_chunks.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_chunks)])[:-1], n_chunks
+        )
+        starts = new_off[doc_idx] + within * step
+        widths = np.minimum(size, counts[doc_idx] - within * step)
+        # gather every chunk's tokens into one contiguous tape, then
+        # join each chunk in a single C kernel
+        g_off = np.concatenate([[0], np.cumsum(widths)])
+        pos = (
+            np.arange(int(g_off[-1]), dtype=np.int64)
+            - np.repeat(g_off[:-1], widths)
+            + np.repeat(starts, widths)
+        )
+        flat_pa = pa.array(flat, pa.string())
+        gathered = flat_pa.take(pa.array(pos, pa.int64()))
+        chunk_lists = pa.ListArray.from_arrays(
+            pa.array(g_off, pa.int32()), gathered
+        )
+        chunk_text = pc.binary_join(chunk_lists, " ")
         return pa.table(
             {
-                id_col: pa.array(out_id, pa.int64()),
-                "chunk_idx": pa.array(out_idx, pa.int64()),
-                "n_chunk_tokens": pa.array(out_n, pa.int64()),
-                "chunk_text": pa.array(out_txt, pa.string()),
+                id_col: pc.take(ids, pa.array(doc_idx, pa.int64())),
+                "chunk_idx": pa.array(within, pa.int64()),
+                "n_chunk_tokens": pa.array(widths, pa.int64()),
+                "chunk_text": chunk_text,
             }
         )
 
@@ -262,10 +322,10 @@ def decontaminate(
     from .dedup import _cached_get
 
     def bench_partial(batch: pa.Table) -> pa.Table:
-        grams = set()
-        for text in batch.column(text_col).to_pylist():
-            grams.update(_doc_ngrams(text, n))
-        return pa.table({"ngram": pa.array(sorted(grams), pa.string())})
+        texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        _, grams = _ngram_tape(texts, n)
+        uniq = pc.unique(pa.array(grams, pa.string()))
+        return pa.table({"ngram": uniq.sort()})
 
     grams: set = set()
     for tbl in bench_ds.map_batches(
@@ -283,24 +343,31 @@ def decontaminate(
     def fn(batch: pa.Table) -> pa.Table:
         bench_arr = _cached_get(bench_ref)
         ids = batch.column(id_col).cast(pa.int64())
-        flat, idx = [], []
-        for i, text in enumerate(batch.column(text_col).to_pylist()):
-            g = _doc_ngrams(text, n)
-            flat.extend(g)
-            idx.extend([i] * len(g))
+        texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        doc_idx, grams = _ngram_tape(texts, n)
         n_hits = np.zeros(batch.num_rows, dtype=np.int64)
-        if flat:
+        if len(grams):
             mask = pc.is_in(
-                pa.array(flat, pa.string()), value_set=bench_arr
+                pa.array(grams, pa.string()), value_set=bench_arr
             ).to_numpy(zero_copy_only=False)
-            # distinct hits per doc: only matching positions are touched
-            seen = set()
-            idx_np = np.asarray(idx, dtype=np.int64)
-            for j in np.flatnonzero(mask):
-                key = (int(idx_np[j]), flat[j])
-                if key not in seen:
-                    seen.add(key)
-                    n_hits[idx_np[j]] += 1
+            hit = np.flatnonzero(mask)
+            if len(hit):
+                # distinct (doc, gram) hits: only matching positions
+                # reach the (tiny) dedup group_by
+                d = (
+                    pa.table(
+                        {
+                            "i": pa.array(doc_idx[hit], pa.int64()),
+                            "g": pa.array(grams[hit], pa.string()),
+                        }
+                    )
+                    .group_by(["i", "g"])
+                    .aggregate([])
+                )
+                di = d.column("i").to_numpy(zero_copy_only=False)
+                n_hits = np.bincount(
+                    di, minlength=batch.num_rows
+                ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": ids,
@@ -315,26 +382,27 @@ def decontaminate(
 def ngram_topk(ds, n=3, k=20, text_col="text"):
     """Corpus-wide top-k token n-grams.
 
-    Scale shape: counts are pre-combined INSIDE each block (one Counter
-    per batch, emitting (ngram, partial-count) rows), so the shuffle
-    moves one row per distinct n-gram per block, never one per
-    occurrence; a single groupby-sum then a sort over the (small)
-    distinct-ngram table yields the exact global top-k, ties broken by
-    the n-gram string ascending.
+    Scale shape: counts are pre-combined INSIDE each block (one
+    vectorized gram explode + Arrow group_by per batch, emitting
+    (ngram, partial-count) rows), so the shuffle moves one row per
+    distinct n-gram per block, never one per occurrence; a single
+    groupby-sum then a sort over the (small) distinct-ngram table
+    yields the exact global top-k, ties broken by the n-gram string
+    ascending.
     """
-    from collections import Counter
 
     def partial(batch: pa.Table) -> pa.Table:
-        counts: Counter = Counter()
-        for text in batch.column(text_col).to_pylist():
-            toks = ascii_tokens(text)
-            counts.update(
-                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
-            )
+        texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        _, grams = _ngram_tape(texts, n)
+        g = (
+            pa.table({"ngram": pa.array(grams, pa.string())})
+            .group_by(["ngram"])
+            .aggregate([([], "count_all")])
+        )
         return pa.table(
             {
-                "ngram": pa.array(list(counts.keys()), pa.string()),
-                "n_partial": pa.array(list(counts.values()), pa.int64()),
+                "ngram": g.column("ngram"),
+                "n_partial": g.column("count_all").cast(pa.int64()),
             }
         )
 
@@ -845,35 +913,7 @@ def _explode_spans(
     concats over the flattened token tape -- no per-row Python loop."""
     texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
     ids = batch.column(id_col).combine_chunks().cast(pa.int64())
-    lists = pc.split_pattern_regex(texts, pattern=r"\s+")
-    flat_arr = lists.flatten()
-    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    offsets = offsets - offsets[0]
-    # drop empty tokens ('' from leading/trailing whitespace) while
-    # keeping per-doc offsets consistent: rebuild the tape filtered
-    keep = pc.not_equal(flat_arr, "").to_numpy(zero_copy_only=False)
-    flat = flat_arr.to_numpy(zero_copy_only=False)[keep]
-    counts = np.add.reduceat(
-        np.concatenate([keep.astype(np.int64), [0]]),
-        offsets[:-1],
-    ) if len(texts) else np.zeros(0, dtype=np.int64)
-    counts = np.where(np.diff(offsets) == 0, 0, counts)
-    new_off = np.concatenate([[0], np.cumsum(counts)])
-    # span start positions: for each doc with n >= k tokens, starts
-    # new_off[d] .. new_off[d] + n - k
-    n_tok = counts
-    n_spans = np.maximum(n_tok - (k - 1), 0)
-    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), n_spans)
-    within = np.arange(int(n_spans.sum()), dtype=np.int64) - np.repeat(
-        np.concatenate([[0], np.cumsum(n_spans)])[:-1], n_spans
-    )
-    starts = new_off[doc_idx] + within
-    if len(starts):
-        span = flat[starts].astype(object)
-        for j in range(1, k):
-            span = span + " " + flat[starts + j]
-    else:
-        span = np.zeros(0, dtype=object)
+    doc_idx, span = _ngram_tape(texts, k)
     pairs = pa.table(
         {
             id_col: pc.take(ids, pa.array(doc_idx, pa.int64())),

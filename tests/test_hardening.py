@@ -178,6 +178,159 @@ def test_rank_family_cardinality_guard(ray_session):
     assert out["rank"].tolist() == list(range(1, n + 1))
 
 
+def test_ngram_tape_matches_scalar_reference():
+    """The vectorized batch n-gram explode equals the per-row scalar
+    _doc_ngrams on adversarial whitespace shapes."""
+    import pyarrow.compute as pc
+
+    from console_log_parser_ray.stages.textan import (
+        _doc_ngrams,
+        _ngram_tape,
+    )
+
+    texts = [
+        "a b c d e",
+        "",
+        "   ",
+        "one",
+        "x  y\tz\n\nw",  # runs of mixed whitespace
+        " lead and trail ",
+        "p q",
+        "\t\n\f\r ",  # RE2 \s chars only
+        "a " * 50,
+    ]
+    for n in (1, 2, 3, 5):
+        doc_idx, grams = _ngram_tape(
+            pc.fill_null(pa.array(texts, pa.string()), ""), n
+        )
+        got = {}
+        for i, g in zip(doc_idx.tolist(), grams.tolist()):
+            got.setdefault(i, []).append(g)
+        for i, t in enumerate(texts):
+            assert got.get(i, []) == _doc_ngrams(t, n), (i, n)
+
+
+def test_chunk_documents_vectorized_matches_scalar(ray_session):
+    """The binary_join chunk builder equals the old per-row loop."""
+    from console_log_parser_ray.stages.textan import (
+        ascii_tokens,
+        chunk_documents,
+    )
+
+    texts = [
+        " ".join("tok%d" % j for j in range(n)) for n in (0, 1, 7, 8, 9, 40)
+    ] + ["  spaced   out\ttokens\nhere  ", None]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = (
+        chunk_documents(_ray_ds(tbl), size=8, overlap=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    # scalar reference
+    rows = []
+    step = 5
+    for did, text in enumerate(texts):
+        toks = ascii_tokens(text or "")
+        i = 0
+        while i * step < len(toks):
+            w = toks[i * step : i * step + 8]
+            rows.append((did, i, len(w), " ".join(w)))
+            i += 1
+    assert (
+        list(
+            out[
+                ["doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text"]
+            ].itertuples(index=False, name=None)
+        )
+        == rows
+    )
+
+
+def test_as_matrix_zero_copy_paths():
+    """as_matrix agrees with the to_pylist roundtrip on every storage
+    layout: fixed_size_list, uniform list, large_list, a sliced chunked
+    column, and the ragged fallback."""
+    from console_log_parser_ray.stages.similarity import as_matrix
+
+    rows = [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0], [7.5, -8.0, 9.25]]
+    want = np.array(rows, dtype=np.float64)
+
+    fixed = pa.array(rows, pa.list_(pa.float32(), 3))
+    assert pa.types.is_fixed_size_list(fixed.type)
+    np.testing.assert_array_equal(as_matrix(fixed), want)
+
+    var = pa.array(rows, pa.list_(pa.float64()))
+    np.testing.assert_array_equal(as_matrix(var), want)
+
+    large = pa.array(rows, pa.large_list(pa.float64()))
+    np.testing.assert_array_equal(as_matrix(large), want)
+
+    # sliced + chunked: offsets do not start at 0
+    chunked = pa.chunked_array([var.slice(1, 2), var.slice(0, 1)])
+    np.testing.assert_array_equal(
+        as_matrix(chunked), want[[1, 2, 0]]
+    )
+
+    ragged = pa.array([[1.0], [2.0, 3.0]], pa.list_(pa.float64()))
+    with pytest.raises(Exception):
+        as_matrix(ragged)
+
+
+def test_knn_same_result_fixed_size_list(ray_session):
+    """knn_bruteforce and embedding_near_dups return identical results
+    whether embeddings arrive as list<double> or fixed_size_list."""
+    import ray.data
+
+    from console_log_parser_ray.stages.dedup import embedding_near_dups
+    from console_log_parser_ray.stages.similarity import knn_bruteforce
+
+    rng = np.random.default_rng(7)
+    n, dim = 120, 8
+    mat = rng.normal(size=(n, dim))
+    mat[10] = mat[3] + 0.001  # planted near-dup
+    rows = [list(map(float, r)) for r in mat]
+    ids = list(range(n))
+    queries = (np.array([0, 1], dtype=np.int64), mat[:2])
+
+    results = {}
+    for name, typ in [
+        ("var", pa.list_(pa.float64())),
+        ("fixed", pa.list_(pa.float64(), dim)),
+    ]:
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(rows, typ),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        knn = (
+            knn_bruteforce(ds, queries, k=5)
+            .to_pandas()
+            .sort_values(["query_id", "cosine", "vec_id"])
+            .reset_index(drop=True)
+        )
+        dups = (
+            embedding_near_dups(ds, threshold=0.95, method="brute")
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        results[name] = (knn, dups)
+
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(results["var"][0], results["fixed"][0])
+    pdt.assert_frame_equal(results["var"][1], results["fixed"][1])
+    assert ((results["var"][1][["doc_a", "doc_b"]].to_numpy() == [3, 10]).all(axis=1)).any()
+
+
 def test_conv_bucket_col_matches_per_row_crc32(ray_session):
     """The dictionary-encoded bucket hash equals the old per-row crc32
     (same shuffle placement, so resume manifests stay stable)."""
