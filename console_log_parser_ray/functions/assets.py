@@ -18,7 +18,12 @@ from __future__ import annotations
 import os
 
 ACP_DIR = "acp"
-ACP_VER = 2
+ACP_VER = 2  # the version pages link against
+# every version dir the reference tree ships (asciinema2html.py keeps
+# acp/v2 AND acp/v3 builds side by side; copy_asciinema_files places
+# the active one, normalizing v3's min.js to asciinema-player.js --
+# we write both dirs so a tree diff sees the same shape)
+ACP_VERSIONS = (2, 3)
 
 PLAYER_CSS = """\
 asciinema-player { display: block; }
@@ -111,27 +116,33 @@ def assets_rel_dir() -> str:
 
 def write_player_assets(destdir: str) -> list:
     """Write the shared player CSS/JS under ``destdir/acp/v<VER>/``
-    (reference ``copy_asciinema_files``).  Idempotent and atomic
+    for every version in ``ACP_VERSIONS`` (reference
+    ``copy_asciinema_files``, which normalizes the v3 build's min.js
+    to ``asciinema-player.js`` in the output tree -- both version
+    dirs end up with the same two file names).  Idempotent and atomic
     (tmp+rename, matching the repo's sink convention) so concurrent
     batch entries and re-runs converge on identical files.  Returns
-    the relative paths written."""
-    rel = assets_rel_dir()
-    acp_dst = os.path.join(destdir, rel)
-    os.makedirs(acp_dst, exist_ok=True)
+    the relative paths written; pages link against ``ACP_VER`` only.
+    """
     out = []
-    for name, body in (
-        ("asciinema-player.css", PLAYER_CSS),
-        ("asciinema-player.js", PLAYER_JS),
-    ):
-        final = os.path.join(acp_dst, name)
-        relpath = "{}/{}".format(rel, name)
-        out.append(relpath)
-        if os.path.exists(final):
-            continue
-        tmp = final + ".tmp.{}".format(os.getpid())
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(body)
-        os.replace(tmp, final)
+    for ver in ACP_VERSIONS:
+        rel = "{}/v{}".format(ACP_DIR, ver)
+        acp_dst = os.path.join(destdir, rel)
+        os.makedirs(acp_dst, exist_ok=True)
+        header = "/* player build slot v{} */\n".format(ver)
+        for name, body in (
+            ("asciinema-player.css", PLAYER_CSS),
+            ("asciinema-player.js", header + PLAYER_JS),
+        ):
+            final = os.path.join(acp_dst, name)
+            relpath = "{}/{}".format(rel, name)
+            out.append(relpath)
+            if os.path.exists(final):
+                continue
+            tmp = final + ".tmp.{}".format(os.getpid())
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(body)
+            os.replace(tmp, final)
     return out
 
 

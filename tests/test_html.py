@@ -232,9 +232,11 @@ def test_html_sink_writes_in_task(ray_session, tmp_path):
 
 
 def test_player_assets_written_and_linked(tmp_path):
-    """S7: the shared player assets land under acp/v2 exactly once
-    (reference copy_asciinema_files, asciinema2html.py:383-397) and
-    pages link them relatively."""
+    """S7: the shared player assets land under acp/v2 AND acp/v3
+    exactly once (reference copy_asciinema_files,
+    asciinema2html.py:383-397 -- the source tree ships both version
+    builds, v3's min.js normalized to asciinema-player.js) and pages
+    link the active version relatively."""
     import os
 
     from console_log_parser_ray.functions.assets import (
@@ -248,6 +250,8 @@ def test_player_assets_written_and_linked(tmp_path):
     assert rels == [
         "acp/v2/asciinema-player.css",
         "acp/v2/asciinema-player.js",
+        "acp/v3/asciinema-player.css",
+        "acp/v3/asciinema-player.js",
     ]
     for rel in rels:
         p = os.path.join(out, rel)
@@ -258,11 +262,12 @@ def test_player_assets_written_and_linked(tmp_path):
     write_player_assets(out)
     after = {rel: os.stat(os.path.join(out, rel)).st_mtime_ns for rel in rels}
     assert before == after
-    assert not [
-        f
-        for f in os.listdir(os.path.join(out, "acp", "v2"))
-        if ".tmp." in f
-    ]
+    for ver in ("v2", "v3"):
+        assert not [
+            f
+            for f in os.listdir(os.path.join(out, "acp", ver))
+            if ".tmp." in f
+        ]
 
     rows = [
         {"conv_id": "c", "turn_idx": 0, "clean_text": "hi\n",
