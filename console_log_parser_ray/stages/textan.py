@@ -184,18 +184,20 @@ def _doc_ngrams(text: str, n: int) -> list:
 def _token_tape(texts: pa.Array):
     """Vectorized batch tokenization: ONE RE2 split for the whole
     batch, empty tokens filtered on the flat tape.  Returns
-    ``(flat, counts, new_off)`` -- the object-dtype token tape, the
-    per-document token count, and each document's start offset into
-    the tape (len = n_docs + 1).  The shared front half of every
-    n-gram/window operator; no per-row Python loop anywhere."""
+    ``(flat, counts, new_off)`` -- the token tape as an Arrow string
+    array (never Python objects), the per-document token count, and
+    each document's start offset into the tape (len = n_docs + 1).
+    The shared front half of every n-gram/window operator; no per-row
+    Python loop anywhere."""
     lists = pc.split_pattern_regex(texts, pattern=r"\s+")
     flat_arr = lists.flatten()
     offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     offsets = offsets - offsets[0]
-    keep = pc.not_equal(flat_arr, "").to_numpy(zero_copy_only=False)
-    flat = flat_arr.to_numpy(zero_copy_only=False)[keep]
+    keep = pc.not_equal(flat_arr, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    flat = flat_arr.filter(keep)
     counts = np.add.reduceat(
-        np.concatenate([keep.astype(np.int64), [0]]),
+        np.concatenate([keep_np.astype(np.int64), [0]]),
         offsets[:-1],
     ) if len(texts) else np.zeros(0, dtype=np.int64)
     counts = np.where(np.diff(offsets) == 0, 0, counts)
@@ -205,23 +207,31 @@ def _token_tape(texts: pa.Array):
 
 def _ngram_tape(texts: pa.Array, n: int):
     """Vectorized (doc_idx, n-gram string) explode over a batch of
-    texts: token tape + n object-array concats build every gram of
-    every document at once.  Returns ``(doc_idx, grams)`` numpy arrays
-    (int64 / object); documents with < n tokens emit nothing."""
+    texts: token tape + one strided gather + a single
+    ``pc.binary_join`` builds every gram of every document at once
+    (one allocation per gram -- the object-array concat chain pays
+    n-1 intermediate strings per gram and loses to it).  Returns
+    ``(doc_idx, grams)`` -- int64 numpy / pyarrow string array;
+    documents with < n tokens emit nothing."""
     flat, counts, new_off = _token_tape(texts)
     n_grams = np.maximum(counts - (n - 1), 0)
     doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), n_grams)
-    within = np.arange(int(n_grams.sum()), dtype=np.int64) - np.repeat(
+    total = int(n_grams.sum())
+    within = np.arange(total, dtype=np.int64) - np.repeat(
         np.concatenate([[0], np.cumsum(n_grams)])[:-1], n_grams
     )
     starts = new_off[doc_idx] + within
-    if len(starts):
-        gram = flat[starts].astype(object)
-        for j in range(1, n):
-            gram = gram + " " + flat[starts + j]
-    else:
-        gram = np.zeros(0, dtype=object)
-    return doc_idx, gram
+    if not total:
+        return doc_idx, pa.array([], pa.string())
+    # positions of every gram's tokens, row-major: gram g covers
+    # flat[starts[g] .. starts[g]+n)
+    pos = (starts[:, None] + np.arange(n, dtype=np.int64)).reshape(-1)
+    gathered = flat.take(pa.array(pos, pa.int64()))
+    lists = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (total + 1) * n, n, dtype=np.int32), pa.int32()),
+        gathered,
+    )
+    return doc_idx, pc.binary_join(lists, " ")
 
 
 def chunk_documents(
@@ -276,8 +286,7 @@ def chunk_documents(
             - np.repeat(g_off[:-1], widths)
             + np.repeat(starts, widths)
         )
-        flat_pa = pa.array(flat, pa.string())
-        gathered = flat_pa.take(pa.array(pos, pa.int64()))
+        gathered = flat.take(pa.array(pos, pa.int64()))
         chunk_lists = pa.ListArray.from_arrays(
             pa.array(g_off, pa.int32()), gathered
         )
@@ -324,8 +333,7 @@ def decontaminate(
     def bench_partial(batch: pa.Table) -> pa.Table:
         texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
         _, grams = _ngram_tape(texts, n)
-        uniq = pc.unique(pa.array(grams, pa.string()))
-        return pa.table({"ngram": uniq.sort()})
+        return pa.table({"ngram": pc.unique(grams).sort()})
 
     grams: set = set()
     for tbl in bench_ds.map_batches(
@@ -347,18 +355,19 @@ def decontaminate(
         doc_idx, grams = _ngram_tape(texts, n)
         n_hits = np.zeros(batch.num_rows, dtype=np.int64)
         if len(grams):
-            mask = pc.is_in(
-                pa.array(grams, pa.string()), value_set=bench_arr
-            ).to_numpy(zero_copy_only=False)
+            mask = pc.is_in(grams, value_set=bench_arr).to_numpy(
+                zero_copy_only=False
+            )
             hit = np.flatnonzero(mask)
             if len(hit):
                 # distinct (doc, gram) hits: only matching positions
                 # reach the (tiny) dedup group_by
+                hit_pa = pa.array(hit, pa.int64())
                 d = (
                     pa.table(
                         {
                             "i": pa.array(doc_idx[hit], pa.int64()),
-                            "g": pa.array(grams[hit], pa.string()),
+                            "g": grams.take(hit_pa),
                         }
                     )
                     .group_by(["i", "g"])
@@ -395,7 +404,7 @@ def ngram_topk(ds, n=3, k=20, text_col="text"):
         texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
         _, grams = _ngram_tape(texts, n)
         g = (
-            pa.table({"ngram": pa.array(grams, pa.string())})
+            pa.table({"ngram": grams})
             .group_by(["ngram"])
             .aggregate([([], "count_all")])
         )
@@ -706,15 +715,35 @@ def fingerprint(ds, text_col="text", id_col="doc_id"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _token_bucket_hashes(dict_vals: list, memo: dict) -> np.ndarray:
-    """Deterministic 63-bit hash per distinct token (blake2b, memoized
-    per process -- real corpora repeat tokens heavily across batches).
-    Used ONLY for shuffle bucketing: a collision costs balance, never
-    correctness (the string itself stays the join key)."""
+def _token_bucket_hashes(dict_vals, memo: dict) -> np.ndarray:
+    """Deterministic 63-bit hash per distinct token.  Used ONLY for
+    shuffle bucketing: a collision costs balance, never correctness
+    (the string itself stays the join key) -- so any fixed-seed hash
+    works as long as every worker process computes the same one.
+
+    Fast path: polars' xxhash over the whole dictionary array at once
+    (C speed, no memo needed).  Fallback without polars: the original
+    per-token blake2b loop, memoized per process because real corpora
+    repeat tokens heavily across batches."""
+    arr = (
+        dict_vals
+        if isinstance(dict_vals, pa.Array)
+        else pa.array(list(dict_vals), pa.string())
+    )
+    try:
+        import polars as pl
+
+        h = pl.from_arrow(arr, rechunk=False).hash(seed=0).to_numpy()
+        # clear the top bit BEFORE the signed cast: callers take % /
+        # np.bincount on the result and expect it non-negative
+        return (h.astype(np.uint64, copy=False) >> 1).astype(np.int64)
+    except ImportError:
+        pass
     import hashlib
 
-    out = np.empty(len(dict_vals), dtype=np.int64)
-    for i, s in enumerate(dict_vals):
+    vals = arr.to_pylist()
+    out = np.empty(len(vals), dtype=np.int64)
+    for i, s in enumerate(vals):
         h = memo.get(s)
         if h is None:
             h = (
@@ -757,9 +786,7 @@ def _explode_tok_occ(
     occ = pairs.group_by([id_col, "tok"]).aggregate([("tok", "count")])
     toks = occ.column("tok").combine_chunks()
     enc = pc.dictionary_encode(toks)
-    dict_hash = _token_bucket_hashes(
-        enc.dictionary.to_pylist(), _TOK_HASH_MEMO
-    )
+    dict_hash = _token_bucket_hashes(enc.dictionary, _TOK_HASH_MEMO)
     jb = dict_hash[enc.indices.to_numpy(zero_copy_only=False)] % n_buckets
     return pa.table(
         {
@@ -917,7 +944,7 @@ def _explode_spans(
     pairs = pa.table(
         {
             id_col: pc.take(ids, pa.array(doc_idx, pa.int64())),
-            "span": pa.array(span, pa.string()),
+            "span": span,
         }
     )
     d = pairs.group_by([id_col, "span"]).aggregate([])

@@ -204,7 +204,7 @@ def test_ngram_tape_matches_scalar_reference():
             pc.fill_null(pa.array(texts, pa.string()), ""), n
         )
         got = {}
-        for i, g in zip(doc_idx.tolist(), grams.tolist()):
+        for i, g in zip(doc_idx.tolist(), grams.to_pylist()):
             got.setdefault(i, []).append(g)
         for i, t in enumerate(texts):
             assert got.get(i, []) == _doc_ngrams(t, n), (i, n)
