@@ -420,14 +420,15 @@ def filter_top_quantile(
     Two passes, both shuffle-light: pass 1 pre-reduces every block to
     its (value, count) partials with an Arrow ``group_by`` -- only
     distinct-value rows (bounded for integer metrics like lengths or
-    scores, independent of row count) reach the small Ray groupby;
-    the driver folds that compressed distribution into the threshold.
-    The distinct-value assumption is ENFORCED: above ``max_distinct``
-    values the collect raises instead of OOMing the driver (the
-    ``bounded_histogram`` guard).  Pass 2 is a stateless broadcast
-    comparison.
+    scores, independent of row count) reach the small Ray groupby.
+    Under ``max_distinct`` values the driver folds the collected
+    distribution into the threshold; ABOVE the cap the collect never
+    happens -- the threshold comes from ``histogram_rank_select``, a
+    distributed binary search over the materialized histogram (same
+    exact ``percentile_disc`` answer, O(1) driver memory).  Pass 2 is
+    a stateless broadcast comparison.
     """
-    from .relational import DEFAULT_MAX_DISTINCT, bounded_histogram
+    from .relational import DEFAULT_MAX_DISTINCT, histogram_rank_select
 
     def partial(b: pa.Table) -> pa.Table:
         g = (
@@ -442,30 +443,37 @@ def filter_top_quantile(
             }
         )
 
-    hist = bounded_histogram(
+    hist_ds = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(value_col)
-        .sum("n"),
-        "filter_top_quantile",
-        max_distinct if max_distinct is not None else DEFAULT_MAX_DISTINCT,
+        .sum("n")
+        .materialize()
     )
-    dist = sorted(
-        zip(
-            hist[value_col].to_numpy(dtype=np.int64).tolist(),
-            hist["sum(n)"].to_numpy(dtype=np.int64).tolist(),
-        )
-    )
-    total = sum(n for _, n in dist)
-    if total == 0:
+    n_distinct = hist_ds.count()
+    if n_distinct == 0:
         return ds
-    target = max(1, int(np.ceil(q * total)))  # rank of the disc quantile
-    cum = 0
-    thr = dist[-1][0]
-    for v, n in dist:
-        cum += n
-        if cum >= target:
-            thr = v
-            break
+    cap = max_distinct if max_distinct is not None else DEFAULT_MAX_DISTINCT
+    if n_distinct <= cap:
+        hist = hist_ds.to_pandas()
+        dist = sorted(
+            zip(
+                hist[value_col].to_numpy(dtype=np.int64).tolist(),
+                hist["sum(n)"].to_numpy(dtype=np.int64).tolist(),
+            )
+        )
+        total = sum(n for _, n in dist)
+        target = max(1, int(np.ceil(q * total)))  # disc-quantile rank
+        cum = 0
+        thr = dist[-1][0]
+        for v, n in dist:
+            cum += n
+            if cum >= target:
+                thr = v
+                break
+    else:
+        total = int(hist_ds.sum("sum(n)"))
+        target = max(1, int(np.ceil(q * total)))
+        thr = histogram_rank_select(hist_ds, value_col, "sum(n)", target)
 
     def keep(b: pa.Table) -> pa.Table:
         return b.filter(
@@ -1156,35 +1164,69 @@ def mad_outlier_flags(
     mean/stddev filters, which heavy tails corrupt.
 
     Scale shape: one value-histogram groupby per pass, bounded by
-    DISTINCT values, not rows (the ``dense_rank`` scale assumption,
-    enforced by the same ``bounded_histogram`` ``max_distinct`` guard);
-    the two medians are computed from the compressed (value, count)
-    distribution on the driver and enter the flag pass as two plain
-    int closures -- the corpus itself streams through one stateless
-    map.  The second histogram derives from the first (|v - med| is a
-    deterministic value transform), so the input scans ONCE for the
-    distribution and once for the flags.
+    DISTINCT values, not rows (the ``dense_rank`` scale assumption).
+    Under ``max_distinct`` values the two medians are computed from
+    the collected (value, count) distribution on the driver; ABOVE the
+    cap nothing is collected -- each median comes from
+    ``histogram_rank_select`` (distributed binary search over the
+    materialized histogram; the deviation histogram for the MAD
+    derives from the value histogram with one tiny map+groupby, never
+    from the corpus).  Either way the medians enter the flag pass as
+    two plain int closures and the corpus itself streams through one
+    stateless map.  The input scans ONCE for the distribution and once
+    for the flags.
     """
-    from .relational import DEFAULT_MAX_DISTINCT, bounded_histogram
+    from .relational import DEFAULT_MAX_DISTINCT, histogram_rank_select
 
-    hist = bounded_histogram(
-        ds.groupby(value_col).count(),
-        "mad_outlier_flags",
-        max_distinct if max_distinct is not None else DEFAULT_MAX_DISTINCT,
-    )
-    vals = hist[value_col].to_numpy(dtype=np.int64)
-    counts = hist["count()"].to_numpy(dtype=np.int64)
+    hist_ds = ds.groupby(value_col).count().materialize()
+    n_distinct = hist_ds.count()
+    cap = max_distinct if max_distinct is not None else DEFAULT_MAX_DISTINCT
+    if n_distinct <= cap:
+        hist = hist_ds.to_pandas()
+        vals = hist[value_col].to_numpy(dtype=np.int64)
+        counts = hist["count()"].to_numpy(dtype=np.int64)
 
-    def disc_median(v: np.ndarray, c: np.ndarray) -> int:
-        order = np.argsort(v, kind="stable")
-        v, c = v[order], c[order]
-        total = int(c.sum())
-        rank = (total + 1) // 2  # ceil(0.5 * N), 1-based
-        cum = np.cumsum(c)
-        return int(v[np.searchsorted(cum, rank)])
+        def disc_median(v: np.ndarray, c: np.ndarray) -> int:
+            order = np.argsort(v, kind="stable")
+            v, c = v[order], c[order]
+            total = int(c.sum())
+            rank = (total + 1) // 2  # ceil(0.5 * N), 1-based
+            cum = np.cumsum(c)
+            return int(v[np.searchsorted(cum, rank)])
 
-    med = disc_median(vals, counts)
-    mad = disc_median(np.abs(vals - med), counts)
+        med = disc_median(vals, counts)
+        mad = disc_median(np.abs(vals - med), counts)
+    else:
+        total = int(hist_ds.sum("count()"))
+        rank = (total + 1) // 2
+        med = histogram_rank_select(hist_ds, value_col, "count()", rank)
+
+        def dev_hist(b: pa.Table) -> pa.Table:
+            dev = pc.abs(
+                pc.subtract(
+                    b.column(value_col).cast(pa.int64()),
+                    pa.scalar(med, pa.int64()),
+                )
+            )
+            g = (
+                pa.table({"dev": dev, "n": b.column("count()")})
+                .group_by(["dev"])
+                .aggregate([("n", "sum")])
+            )
+            return pa.table(
+                {
+                    "dev": g.column("dev"),
+                    "n": g.column("n_sum").cast(pa.int64()),
+                }
+            )
+
+        dev_ds = (
+            hist_ds.map_batches(dev_hist, batch_format="pyarrow")
+            .groupby("dev")
+            .sum("n")
+            .materialize()
+        )
+        mad = histogram_rank_select(dev_ds, "dev", "sum(n)", rank)
     thr = k * mad
 
     def flag(b: pa.Table) -> pa.Table:

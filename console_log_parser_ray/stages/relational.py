@@ -72,10 +72,61 @@ def bounded_histogram(hist_ds, what: str, max_distinct: int):
             "cardinality that would exhaust driver memory. Options: "
             "rank a bucketized/rounded value (e.g. cast a float score "
             "to fixed-point), raise max_distinct if the driver is "
-            "provisioned for it, or use an approximate quantile "
-            "sketch."
+            "provisioned for it, or -- for single-threshold shapes "
+            "like filter_top_quantile / mad_outlier_flags -- rely on "
+            "their built-in histogram_rank_select fallback, which "
+            "stays exact without collecting the histogram."
         )
     return hist_ds.to_pandas()
+
+
+def histogram_rank_select(
+    hist_ds, value_col: str, count_col: str, target_rank: int
+) -> int:
+    """Exact value at 1-based ``target_rank`` of the ascending value
+    order, computed from a MATERIALIZED (value, count) histogram
+    Dataset WITHOUT collecting it to the driver.
+
+    Driver-side binary search on the int64 value domain; each probe is
+    one small distributed filter+sum over the histogram's cached
+    blocks, so memory per probe is O(1) on the driver and the
+    histogram itself stays distributed.  <= 64 probes for any int64
+    domain (log2 of the value range).  This is the above-``max_distinct``
+    fallback for the single-threshold quantile shapes: same answer as
+    the collected-histogram path (``percentile_disc`` semantics --
+    smallest value whose cumulative count reaches the rank), different
+    memory contract.
+    """
+
+    def probe_sum(pivot: int) -> int:
+        def part(b: pa.Table) -> pa.Table:
+            mask = pc.less_equal(
+                b.column(value_col).cast(pa.int64()),
+                pa.scalar(int(pivot), pa.int64()),
+            )
+            s = pc.sum(
+                pc.if_else(
+                    mask,
+                    b.column(count_col).cast(pa.int64()),
+                    pa.scalar(0, pa.int64()),
+                )
+            )
+            return pa.table(
+                {"s": pa.array([s.as_py() or 0], pa.int64())}
+            )
+
+        out = hist_ds.map_batches(part, batch_format="pyarrow").sum("s")
+        return int(out or 0)
+
+    lo = int(hist_ds.min(value_col))
+    hi = int(hist_ds.max(value_col))
+    while lo < hi:
+        mid = (lo + hi) // 2  # floor division: correct for negatives
+        if probe_sum(mid) >= target_rank:
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo
 
 
 def hash_join(

@@ -129,10 +129,14 @@ def test_conversation_texts_null_handling(ray_session):
 
 
 def test_rank_family_cardinality_guard(ray_session):
-    """A high-cardinality value column must raise the documented
-    max_distinct error in every histogram-collecting rank operator
-    instead of silently pulling the histogram to the driver; the same
-    input under a sufficient cap still ranks correctly."""
+    """A high-cardinality value column must never pull the histogram
+    to the driver: the full-rank operators (dense_rank,
+    global_row_number) raise the documented max_distinct error; the
+    single-threshold operators (filter_top_quantile,
+    mad_outlier_flags) fall back to the distributed binary search and
+    return the EXACT same answer as the collected path."""
+    import pandas.testing as pdt
+
     from console_log_parser_ray.stages.events import (
         filter_top_quantile,
         mad_outlier_flags,
@@ -159,15 +163,34 @@ def test_rank_family_cardinality_guard(ray_session):
         lambda: global_row_number(
             _ray_ds(tbl), "score", "doc_id", max_distinct=100
         ),
-        lambda: filter_top_quantile(
-            _ray_ds(tbl), "score", max_distinct=100
-        ),
-        lambda: mad_outlier_flags(
-            _ray_ds(tbl), "score", "doc_id", max_distinct=100
-        ),
     ):
         with pytest.raises(ValueError, match="max_distinct"):
             build()
+
+    # threshold shapes: the above-cap binary-search fallback is exact
+    def frame(res):
+        return (
+            res.to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    for q in (0.5, 0.9):
+        a = frame(filter_top_quantile(_ray_ds(tbl), "score", q=q))
+        b = frame(
+            filter_top_quantile(
+                _ray_ds(tbl), "score", q=q, max_distinct=10
+            )
+        )
+        pdt.assert_frame_equal(a, b)
+        assert len(a)  # the filter kept something
+
+    a = frame(mad_outlier_flags(_ray_ds(tbl), "score", "doc_id"))
+    b = frame(
+        mad_outlier_flags(_ray_ds(tbl), "score", "doc_id", max_distinct=10)
+    )
+    pdt.assert_frame_equal(a, b)
+    assert a["is_outlier"].nunique() <= 2
 
     # under a sufficient cap the exact semantics are unchanged
     out = global_row_number(
@@ -176,6 +199,33 @@ def test_rank_family_cardinality_guard(ray_session):
     scores = out["score"].to_numpy()
     assert (np.diff(scores) < 0).all()  # descending total order
     assert out["rank"].tolist() == list(range(1, n + 1))
+
+
+def test_histogram_rank_select_exact(ray_session):
+    """The distributed binary search equals numpy's percentile-disc on
+    a skewed multi-count histogram, including negative values."""
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import (
+        histogram_rank_select,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = np.unique(rng.integers(-1000, 1000, size=80))
+    counts = rng.integers(1, 50, size=len(vals))
+    hist = pa.table(
+        {
+            "v": pa.array(vals, pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+        }
+    )
+    hist_ds = ray.data.from_arrow(hist).materialize()
+    expanded = np.repeat(vals, counts)
+    expanded.sort()
+    total = len(expanded)
+    for rank in (1, 2, total // 3, (total + 1) // 2, total - 1, total):
+        got = histogram_rank_select(hist_ds, "v", "n", rank)
+        assert got == int(expanded[rank - 1]), rank
 
 
 def test_ngram_tape_matches_scalar_reference():
