@@ -38,46 +38,19 @@ _JOIN_TYPES = {
     "anti": "left anti",
 }
 
-# Default ceiling for the histogram-to-driver rank family.  2^21
-# distinct values x (two int64 columns + pandas overhead) stays well
-# under ~100 MB of driver heap; raise it explicitly when the driver is
-# provisioned for more.
+# Ceiling for the histogram-to-driver fast path of the rank family.
+# The family scales with DISTINCT values of the ranked column, not the
+# row count -- fine for integer metrics (lengths, scores), fatal for a
+# float64 score column at 100 TB where every value is distinct.  Every
+# operator first MATERIALIZES its histogram in the object store
+# (distributed, spillable) and metadata-counts it; at or under the cap
+# the histogram is collected and broadcast (corpus never shuffles),
+# above it each operator switches to its data-plane path (bucketed
+# histogram ranking, two-level range prefix, or binary-search
+# threshold) -- same exact answers, O(ranges)/O(1) driver memory.
+# 2^21 distinct values x (two int64 columns + pandas overhead) stays
+# well under ~100 MB of driver heap.
 DEFAULT_MAX_DISTINCT = 2_000_000
-
-
-def bounded_histogram(hist_ds, what: str, max_distinct: int):
-    """Collect a (already aggregated) histogram Dataset to the driver
-    ONLY if its row count is within ``max_distinct``.
-
-    The rank family (``dense_rank``, ``global_row_number``,
-    ``filter_top_quantile``, ``mad_outlier_flags``) scales with the
-    DISTINCT values of the ranked column, not the row count -- fine
-    for integer metrics (lengths, scores), fatal for a float64 score
-    column at 100 TB where every value is distinct.  This guard makes
-    the assumption enforced instead of documented: the histogram is
-    materialized in the OBJECT STORE first (distributed, spillable),
-    its size checked with a metadata count, and only then collected.
-    Above the cap we raise with the remediation options rather than
-    OOM the driver.
-
-    Returns the histogram as a pandas DataFrame.
-    """
-    hist_ds = hist_ds.materialize()
-    n = hist_ds.count()
-    if n > max_distinct:
-        raise ValueError(
-            f"{what}: {n} distinct values exceed max_distinct="
-            f"{max_distinct}. Exact rank/quantile operators collect "
-            "the distinct-value histogram to the driver; at this "
-            "cardinality that would exhaust driver memory. Options: "
-            "rank a bucketized/rounded value (e.g. cast a float score "
-            "to fixed-point), raise max_distinct if the driver is "
-            "provisioned for it, or -- for single-threshold shapes "
-            "like filter_top_quantile / mad_outlier_flags -- rely on "
-            "their built-in histogram_rank_select fallback, which "
-            "stays exact without collecting the histogram."
-        )
-    return hist_ds.to_pandas()
 
 
 def histogram_rank_select(
@@ -198,20 +171,85 @@ def hash_join(
     )
 
 
+def _pair_bucket_col(tbl: pa.Table, col: str, n_buckets: int) -> pa.Array:
+    """Deterministic hash bucket of an arbitrary-typed key column
+    (pandas' fixed-key hash -- stable across worker processes; used
+    only for shuffle placement, the key itself stays the merge key)."""
+    h = pd.util.hash_array(
+        tbl.column(col).combine_chunks().to_numpy(zero_copy_only=False)
+    ).astype(np.int64, copy=False)
+    return pa.array((np.abs(h) % n_buckets).astype(np.int32), pa.int32())
+
+
+def _attach_rank_map(ds, rank_map, keys, out_col: str, n_buckets: int):
+    """Merge a (keys -> out_col) Dataset onto every row of ``ds`` via
+    ONE co-partitioned tagged-union shuffle keyed by a hash of
+    ``keys[-1]`` (the value column -- every map row for a value shares
+    its bucket with every data row of that value, whatever the other
+    keys are).  The big-cardinality complement of the ``ray.put``
+    broadcast attach: the corpus moves once, nothing is collected or
+    broadcast, group dispatch is bounded by the bucket count."""
+    schema = ds.schema()
+    names = list(schema.names)
+    types = {n: t for n, t in zip(schema.names, schema.types)}
+
+    def tag_rows(b: pa.Table) -> pa.Table:
+        cols = {n: b.column(n) for n in names}
+        cols[out_col] = pa.nulls(b.num_rows, pa.int64())
+        cols["__side"] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        cols["__jb"] = _pair_bucket_col(b, keys[-1], n_buckets)
+        return pa.table(cols)
+
+    def tag_map(b: pa.Table) -> pa.Table:
+        cols = {}
+        for n in names:
+            cols[n] = (
+                b.column(n) if n in keys else pa.nulls(b.num_rows, types[n])
+            )
+        cols[out_col] = b.column(out_col).cast(pa.int64())
+        cols["__side"] = pa.array(np.ones(b.num_rows, dtype=np.int8))
+        cols["__jb"] = _pair_bucket_col(b, keys[-1], n_buckets)
+        return pa.table(cols)
+
+    tagged = ds.map_batches(tag_rows, batch_format="pyarrow").union(
+        rank_map.map_batches(tag_map, batch_format="pyarrow")
+    )
+
+    def merge_group(tbl: pa.Table) -> pa.Table:
+        is_row = pc.equal(tbl.column("__side"), pa.scalar(0, pa.int8()))
+        rows = tbl.filter(is_row).select(names).to_pandas()
+        lk = (
+            tbl.filter(pc.invert(is_row))
+            .select(list(keys) + [out_col])
+            .to_pandas()
+        )
+        out = rows.merge(lk, on=list(keys), how="left")
+        out[out_col] = out[out_col].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return tagged.groupby("__jb").map_groups(
+        merge_group, batch_format="pyarrow"
+    )
+
+
 def dense_rank(
     ds, group_col: str, val_col: str, descending: bool = True,
     out_col: str = "rnk",
     max_distinct: int = DEFAULT_MAX_DISTINCT,
+    n_buckets: int = 64,
 ):
     """Adds ``dense_rank() OVER (PARTITION BY group_col ORDER BY
-    val_col [DESC])`` without shuffling the corpus.
+    val_col [DESC])`` -- exact at ANY cardinality.
 
-    Scale assumption -- ENFORCED by ``bounded_histogram``: the (group,
-    value) histogram fits the driver -- #groups x #distinct values
-    (e.g. languages x document lengths), independent of row count;
-    above ``max_distinct`` pairs the collect raises instead of OOMing
-    the driver.  The histogram groupby combines per-block partials, so
-    shuffle volume is distinct pairs per block.
+    The (group, value) histogram (shuffle volume = distinct pairs per
+    block, never rows) is the only state.  Under ``max_distinct``
+    pairs it is collected, ranked on the driver and broadcast, so the
+    corpus never shuffles.  ABOVE the cap nothing is collected: the
+    histogram is ranked IN the data plane (group-hash bucket groups --
+    a group's whole histogram slice lands in one bucket, so its dense
+    ranks are one local sort + cumcount) and merged back through one
+    co-partitioned value-hash shuffle.  Same answer, different memory
+    contract: the driver never holds more than block metadata.
 
     The input lineage executes twice (histogram pass, attach pass) --
     deliberate: two streaming scans from storage beat pinning the
@@ -220,25 +258,50 @@ def dense_rank(
     materialized input can pass it materialized to fold the two passes
     onto cached blocks.
     """
-    hist = bounded_histogram(
-        ds.groupby([group_col, val_col]).count(),
-        "dense_rank", max_distinct,
-    )  # bounded by distinct (group, value) pairs, not rows
-    hist = hist.sort_values(
-        [group_col, val_col], ascending=[True, not descending]
-    )
-    hist[out_col] = hist.groupby(group_col, sort=False).cumcount() + 1
-    lookup_ref = ray.put(
-        hist[[group_col, val_col, out_col]].reset_index(drop=True)
-    )
+    hist_ds = ds.groupby([group_col, val_col]).count().materialize()
+    n_pairs = hist_ds.count()
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        lk = _cached_get(lookup_ref)
-        out = df.merge(lk, on=[group_col, val_col], how="left")
-        out[out_col] = out[out_col].astype(np.int64)
-        return out
+    if n_pairs <= max_distinct:
+        hist = hist_ds.to_pandas()
+        hist = hist.sort_values(
+            [group_col, val_col], ascending=[True, not descending]
+        )
+        hist[out_col] = hist.groupby(group_col, sort=False).cumcount() + 1
+        lookup_ref = ray.put(
+            hist[[group_col, val_col, out_col]].reset_index(drop=True)
+        )
 
-    return ds.map_batches(attach, batch_format="pandas")
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            lk = _cached_get(lookup_ref)
+            out = df.merge(lk, on=[group_col, val_col], how="left")
+            out[out_col] = out[out_col].astype(np.int64)
+            return out
+
+        return ds.map_batches(attach, batch_format="pandas")
+
+    # big-cardinality path: rank the histogram in the data plane
+    def add_gb(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__gb", _pair_bucket_col(b, group_col, n_buckets)
+        )
+
+    def rank_in_bucket(tbl: pa.Table) -> pa.Table:
+        df = tbl.select([group_col, val_col]).to_pandas()
+        df = df.sort_values(
+            [group_col, val_col], ascending=[True, not descending],
+            kind="mergesort",
+        )
+        df[out_col] = df.groupby(group_col, sort=False).cumcount() + 1
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ranked = (
+        hist_ds.map_batches(add_gb, batch_format="pyarrow")
+        .groupby("__gb")
+        .map_groups(rank_in_bucket, batch_format="pyarrow")
+    )
+    return _attach_rank_map(
+        ds, ranked, (group_col, val_col), out_col, n_buckets
+    )
 
 
 def range_count_join(
@@ -372,9 +435,8 @@ def global_row_number(
     know their global offset.
 
     Plan: (1) a value histogram via partial+final groupby -- bounded
-    by distinct values, not rows (same scale assumption as
-    ``dense_rank``, enforced by the same ``bounded_histogram``
-    ``max_distinct`` guard); the cumulative counts become a
+    by distinct values, not rows (same ``max_distinct``-guarded scale
+    assumption as ``dense_rank``); the cumulative counts become a
     broadcast value -> rows-before-it offset table.  (2) rows bucket
     by a value hash, so every row of a value lands in one group; a
     lexsort gives each row its ordinal WITHIN its value run (id
@@ -385,18 +447,35 @@ def global_row_number(
     bin (``ntile(k) OVER`` the same order): the first ``N % k`` tiles
     take ``N//k + 1`` rows, the rest ``N//k`` -- computed from the
     exact rank, so it matches the SQL window function bit-for-bit.
+
+    ABOVE ``max_distinct`` distinct values nothing is collected: the
+    value -> rows-before-it offset table is computed in the data plane
+    by ``_global_value_offsets`` (two-level range partitioning -- the
+    driver sees only per-range totals, <= ~2x the range count) and
+    joined into the same value-hash bucket groups through the tagged
+    union instead of a broadcast.  Same exact ranks, O(ranges) driver
+    memory.
     """
-    hist = bounded_histogram(
-        ds.groupby(value_col).count(), "global_row_number", max_distinct
-    )
-    hist = hist.sort_values(value_col, ascending=not descending)
-    before = hist["count()"].cumsum().shift(fill_value=0).to_numpy(
-        dtype=np.int64
-    )
-    total = int(hist["count()"].sum())
-    vals_in_order = hist[value_col].to_numpy(dtype=np.int64)
-    asc = np.argsort(vals_in_order, kind="stable")
-    lookup_ref = ray.put((vals_in_order[asc], before[asc]))
+    hist_ds = ds.groupby(value_col).count().materialize()
+    n_vals = hist_ds.count()
+    big = n_vals > max_distinct
+
+    if not big:
+        hist = hist_ds.to_pandas()
+        hist = hist.sort_values(value_col, ascending=not descending)
+        before = hist["count()"].cumsum().shift(fill_value=0).to_numpy(
+            dtype=np.int64
+        )
+        total = int(hist["count()"].sum())
+        vals_in_order = hist[value_col].to_numpy(dtype=np.int64)
+        asc = np.argsort(vals_in_order, kind="stable")
+        lookup_ref = ray.put((vals_in_order[asc], before[asc]))
+        offsets_ds = None
+    else:
+        offsets_ds, total = _global_value_offsets(
+            hist_ds, value_col, "count()", descending, n_vals
+        )
+        lookup_ref = None
 
     def project(b: pa.Table) -> pa.Table:
         v = b.column(value_col).combine_chunks().cast(pa.int64())
@@ -404,11 +483,38 @@ def global_row_number(
             {
                 id_col: b.column(id_col).cast(pa.int64()),
                 value_col: v,
+                "__before": pa.nulls(b.num_rows, pa.int64()),
+                "vb": pc.cast(_mod(v, n_buckets), pa.int32()),
+            }
+        )
+
+    def tag_offsets(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                id_col: pa.nulls(b.num_rows, pa.int64()),
+                value_col: v,
+                "__before": b.column("__before").cast(pa.int64()),
                 "vb": pc.cast(_mod(v, n_buckets), pa.int32()),
             }
         )
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
+        if big:
+            # offset rows travel in-band: ids are null on them
+            is_row = pc.is_valid(tbl.column(id_col))
+            offs = tbl.filter(pc.invert(is_row))
+            tbl = tbl.filter(is_row)
+            off_vals = offs.column(value_col).to_numpy(
+                zero_copy_only=False
+            )
+            off_before = offs.column("__before").to_numpy(
+                zero_copy_only=False
+            )
+            o = np.argsort(off_vals, kind="stable")
+            sorted_vals, offsets = off_vals[o], off_before[o]
+        else:
+            sorted_vals, offsets = _cached_get(lookup_ref)
         tbl = tbl.sort_by(
             [
                 (value_col, "descending" if descending else "ascending"),
@@ -423,8 +529,11 @@ def global_row_number(
             first[1:] = vals[1:] != vals[:-1]
         start = np.maximum.accumulate(np.where(first, idx, 0))
         ordinal = idx - start
-        sorted_vals, offsets = _cached_get(lookup_ref)
-        off = offsets[np.searchsorted(sorted_vals, vals)]
+        off = (
+            offsets[np.searchsorted(sorted_vals, vals)]
+            if n
+            else np.zeros(0, dtype=np.int64)
+        )
         rank = off + ordinal + 1
         if ntile:
             q, r = divmod(total, ntile)
@@ -443,8 +552,115 @@ def global_row_number(
             }
         )
 
-    return (
-        ds.map_batches(project, batch_format="pyarrow")
-        .groupby("vb")
-        .map_groups(per_bucket, batch_format="pyarrow")
+    rows = ds.map_batches(project, batch_format="pyarrow")
+    if big:
+        rows = rows.union(
+            offsets_ds.map_batches(tag_offsets, batch_format="pyarrow")
+        )
+    return rows.groupby("vb").map_groups(
+        per_bucket, batch_format="pyarrow"
     )
+
+
+_SAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant
+
+
+def _global_value_offsets(
+    hist_ds, value_col: str, count_col: str, descending: bool,
+    n_vals: int, n_ranges: int = 4096,
+):
+    """Data-plane (value -> rows strictly before it) offset table for
+    the global total order, exact at any distinct-value cardinality.
+
+    Two-level range partitioning: (1) a deterministic multiplicative
+    hash samples ~2x``n_ranges`` distinct values as range boundaries
+    (the only rows the driver touches besides the per-range totals);
+    (2) per-range count totals fold to range-start offsets on the
+    driver (<= #ranges + 1 rows); (3) each range group locally sorts
+    its values and emits ``offset = range_start + local prefix`` -- a
+    distributed prefix sum whose driver state is O(ranges), not
+    O(distinct values).  Returns ``(offsets Dataset with __before
+    column, total row count)``.
+    """
+    p32 = min(
+        (1 << 32) - 1,
+        int((1 << 32) * min(1.0, (2.0 * n_ranges) / max(n_vals, 1))),
+    )
+
+    def sample(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).combine_chunks().cast(pa.int64())
+        v31 = pc.bit_wise_and(v, pa.scalar((1 << 31) - 1, pa.int64()))
+        h = pc.bit_wise_and(
+            pc.multiply(v31, pa.scalar(_SAMPLE_MULT, pa.int64())),
+            pa.scalar((1 << 32) - 1, pa.int64()),
+        )
+        keep = pc.less(h, pa.scalar(p32, pa.int64()))
+        return pa.table({value_col: v.filter(keep)})
+
+    bounds = np.unique(
+        np.array(
+            [
+                r[value_col]
+                for r in hist_ds.map_batches(
+                    sample, batch_format="pyarrow"
+                ).take_all()
+            ],
+            dtype=np.int64,
+        )
+    )
+
+    def add_range(b: pa.Table) -> pa.Table:
+        v = (
+            b.column(value_col)
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        r = np.searchsorted(bounds, v, side="right").astype(np.int32)
+        return pa.table(
+            {
+                "__r": pa.array(r, pa.int32()),
+                value_col: pa.array(v, pa.int64()),
+                "__n": b.column(count_col).cast(pa.int64()),
+            }
+        )
+
+    ranged = hist_ds.map_batches(
+        add_range, batch_format="pyarrow"
+    ).materialize()
+    totals = {
+        r["__r"]: r["sum(__n)"]
+        for r in ranged.groupby("__r").sum("__n").take_all()
+    }  # <= len(bounds) + 1 rows, independent of distinct values
+    order = sorted(totals, reverse=descending)  # value order of ranges
+    range_start: dict = {}
+    acc = 0
+    for rid in order:
+        range_start[rid] = acc
+        acc += totals[rid]
+    total = acc
+    start_keys = np.array(sorted(range_start), dtype=np.int64)
+    start_vals = np.array(
+        [range_start[k] for k in start_keys], dtype=np.int64
+    )
+    start_ref = ray.put((start_keys, start_vals))
+
+    def per_range(tbl: pa.Table) -> pa.Table:
+        keys, starts = _cached_get(start_ref)
+        v = tbl.column(value_col).to_numpy(zero_copy_only=False)
+        n = tbl.column("__n").to_numpy(zero_copy_only=False)
+        rid = int(tbl.column("__r")[0].as_py())
+        o = np.argsort(-v if descending else v, kind="stable")
+        local = np.cumsum(n[o]) - n[o]
+        base = int(starts[np.searchsorted(keys, rid)])
+        return pa.table(
+            {
+                value_col: pa.array(v[o], pa.int64()),
+                "__before": pa.array(base + local, pa.int64()),
+            }
+        )
+
+    offsets_ds = ranged.groupby("__r").map_groups(
+        per_range, batch_format="pyarrow"
+    )
+    return offsets_ds, total

@@ -130,12 +130,13 @@ def test_conversation_texts_null_handling(ray_session):
 
 def test_rank_family_cardinality_guard(ray_session):
     """A high-cardinality value column must never pull the histogram
-    to the driver: the full-rank operators (dense_rank,
-    global_row_number) raise the documented max_distinct error; the
-    single-threshold operators (filter_top_quantile,
-    mad_outlier_flags) fall back to the distributed binary search and
-    return the EXACT same answer as the collected path."""
+    to the driver, and every operator's above-cap data-plane path must
+    return the EXACT answer of the collected path: dense_rank ranks
+    its histogram in group-hash buckets, global_row_number builds the
+    offset table via two-level range prefix sums, and the threshold
+    operators binary-search the materialized histogram."""
     import pandas.testing as pdt
+    import ray.data
 
     from console_log_parser_ray.stages.events import (
         filter_top_quantile,
@@ -147,58 +148,74 @@ def test_rank_family_cardinality_guard(ray_session):
     )
 
     n = 500  # every value distinct, like a float score at scale
+    rng = np.random.default_rng(11)
+    scores = rng.permutation(
+        rng.integers(-(1 << 40), 1 << 40, size=4 * n)
+    )[:n]
     tbl = pa.table(
         {
             "doc_id": pa.array(list(range(n)), pa.int64()),
             "grp": pa.array(["g%d" % (i % 3) for i in range(n)]),
-            "score": pa.array(
-                [(i * 2654435761) % (1 << 31) for i in range(n)],
-                pa.int64(),
-            ),
+            "score": pa.array(scores, pa.int64()),
         }
     )
+    # multi-block input so bucket/range boundaries are actually crossed
+    def ds():
+        return ray.data.from_arrow(tbl).repartition(7)
 
-    for build in (
-        lambda: dense_rank(_ray_ds(tbl), "grp", "score", max_distinct=100),
-        lambda: global_row_number(
-            _ray_ds(tbl), "score", "doc_id", max_distinct=100
-        ),
-    ):
-        with pytest.raises(ValueError, match="max_distinct"):
-            build()
-
-    # threshold shapes: the above-cap binary-search fallback is exact
-    def frame(res):
+    def frame(res, sort_cols=("doc_id",)):
         return (
             res.to_pandas()
-            .sort_values("doc_id")
+            .sort_values(list(sort_cols))
             .reset_index(drop=True)
         )
 
-    for q in (0.5, 0.9):
-        a = frame(filter_top_quantile(_ray_ds(tbl), "score", q=q))
+    # full-rank shapes: big-cardinality data-plane path == collected
+    for desc in (True, False):
+        a = frame(dense_rank(ds(), "grp", "score", descending=desc))
         b = frame(
-            filter_top_quantile(
-                _ray_ds(tbl), "score", q=q, max_distinct=10
+            dense_rank(
+                ds(), "grp", "score", descending=desc, max_distinct=10
             )
+        )
+        pdt.assert_frame_equal(
+            a[sorted(a.columns)], b[sorted(b.columns)]
+        )
+
+        for nt in (None, 10):
+            a = frame(
+                global_row_number(
+                    ds(), "score", "doc_id", descending=desc, ntile=nt
+                )
+            )
+            b = frame(
+                global_row_number(
+                    ds(), "score", "doc_id", descending=desc, ntile=nt,
+                    max_distinct=10,
+                )
+            )
+            pdt.assert_frame_equal(a, b)
+    # sanity on the exact ranks themselves
+    out = frame(
+        global_row_number(ds(), "score", "doc_id", max_distinct=10),
+        sort_cols=("rank",),
+    )
+    assert (np.diff(out["score"].to_numpy()) < 0).all()
+    assert out["rank"].tolist() == list(range(1, n + 1))
+
+    # threshold shapes: the above-cap binary-search fallback is exact
+    for q in (0.5, 0.9):
+        a = frame(filter_top_quantile(ds(), "score", q=q))
+        b = frame(
+            filter_top_quantile(ds(), "score", q=q, max_distinct=10)
         )
         pdt.assert_frame_equal(a, b)
         assert len(a)  # the filter kept something
 
-    a = frame(mad_outlier_flags(_ray_ds(tbl), "score", "doc_id"))
-    b = frame(
-        mad_outlier_flags(_ray_ds(tbl), "score", "doc_id", max_distinct=10)
-    )
+    a = frame(mad_outlier_flags(ds(), "score", "doc_id"))
+    b = frame(mad_outlier_flags(ds(), "score", "doc_id", max_distinct=10))
     pdt.assert_frame_equal(a, b)
     assert a["is_outlier"].nunique() <= 2
-
-    # under a sufficient cap the exact semantics are unchanged
-    out = global_row_number(
-        _ray_ds(tbl), "score", "doc_id", max_distinct=n
-    ).to_pandas().sort_values("rank")
-    scores = out["score"].to_numpy()
-    assert (np.diff(scores) < 0).all()  # descending total order
-    assert out["rank"].tolist() == list(range(1, n + 1))
 
 
 def test_histogram_rank_select_exact(ray_session):
