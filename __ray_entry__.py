@@ -1728,6 +1728,66 @@ def _q_twebber_hops(sf_dir: str):
     return twebber_hops(frames)
 
 
+def _q_doc_rank_big(sf_dir: str):
+    """doc_rank forced onto the above-max_distinct data-plane path
+    (two-level range prefix offsets joined in-band, nothing collected
+    or broadcast) -- same SQL oracle as doc_rank, so the driver pins
+    big-path == collected-path exactness end to end."""
+    from console_log_parser_ray.stages.relational import global_row_number
+
+    return global_row_number(
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+        value_col="n_chars",
+        id_col="doc_id",
+        max_distinct=10,
+    )
+
+
+def _q_lang_rank_big(sf_dir: str):
+    """lang_rank forced onto the above-max_distinct path (histogram
+    ranked in group-hash buckets, merged via a co-partitioned
+    value-hash shuffle) -- same SQL oracle as lang_rank."""
+    from console_log_parser_ray.stages.relational import dense_rank
+
+    return dense_rank(
+        _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"]),
+        "lang",
+        "n_chars",
+        descending=True,
+        max_distinct=10,
+    )
+
+
+def _q_top_decile_big(sf_dir: str):
+    """top_decile_docs forced onto the above-max_distinct path (the
+    threshold comes from histogram_rank_select's distributed binary
+    search, O(1) driver memory) -- same SQL oracle as
+    top_decile_docs."""
+    from console_log_parser_ray.stages.events import filter_top_quantile
+
+    return filter_top_quantile(
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+        value_col="n_chars",
+        q=0.9,
+        max_distinct=10,
+    )
+
+
+def _q_mad_outliers_big(sf_dir: str):
+    """mad_outliers forced onto the above-max_distinct path (both
+    medians via histogram_rank_select; the deviation histogram derives
+    from the value histogram) -- same SQL oracle as mad_outliers."""
+    from console_log_parser_ray.stages.events import mad_outlier_flags
+
+    return mad_outlier_flags(
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+        value_col="n_chars",
+        id_col="doc_id",
+        k=3,
+        max_distinct=10,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -1814,6 +1874,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
+        "doc_rank_big": _q_doc_rank_big,
+        "lang_rank_big": _q_lang_rank_big,
+        "top_decile_big": _q_top_decile_big,
+        "mad_outliers_big": _q_mad_outliers_big,
     }
 
 
@@ -1826,7 +1890,7 @@ def oracle_sql() -> dict[str, str]:
     except Exception:
         pass
     t = f"read_parquet('{_SF001_GLOB}')"
-    return {
+    out = {
         "parse_clean_text": (
             "SELECT conv_id, turn_idx, expected_clean_text AS clean_text "
             f"FROM {t}"
@@ -2570,6 +2634,13 @@ def oracle_sql() -> dict[str, str]:
         # knn_ivf / knn_ivf_indexed (approximate by design)
         **_maybe_media_sql(),
     }
+    # the *_big variants force the above-max_distinct data-plane paths
+    # of the rank/threshold family; identical semantics, identical SQL
+    out["doc_rank_big"] = out["doc_rank"]
+    out["lang_rank_big"] = out["lang_rank"]
+    out["top_decile_big"] = out["top_decile_docs"]
+    out["mad_outliers_big"] = out["mad_outliers"]
+    return out
 
 
 def _sgr_spans_sql(t: str) -> str:
