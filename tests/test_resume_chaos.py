@@ -100,6 +100,58 @@ def _wait_done(proc, log_path, timeout=480):
     return log.split(b"DONE", 1)[1].split()
 
 
+def test_sharded_kill_midrun_resume_byte_identical(ray_session, tmp_path):
+    """The sharded plan commits all manifests from the driver AFTER
+    the task wave, so a SIGKILL mid-run leaves stale partial sink
+    files behind ZERO manifests -- the resume must wipe them
+    (clean_partition_outputs) and still converge byte-identical.  A
+    different failure surface than the bucketed in-task commits."""
+    from console_log_parser_ray.sources.cache import ensure_transcripts
+
+    src = ensure_transcripts(SF_DIR)  # keeps its _CONV_PARTITIONED marker
+
+    clean = str(tmp_path / "clean")
+    crash = str(tmp_path / "crash")
+
+    p = _spawn(src, clean, str(tmp_path / "clean.log"))
+    parts = _wait_done(p, str(tmp_path / "clean.log"))
+    n_shards = int(parts[0]) + int(parts[1])
+    want = _digests(clean)
+    assert want
+
+    # kill once a handful of shard tasks have written sink files --
+    # mid-wave by construction (manifests exist only post-wave)
+    p = _spawn(src, crash, str(tmp_path / "crash.log"))
+    deadline = time.time() + 480
+    killed = False
+    while time.time() < deadline:
+        if p.poll() is not None:
+            break
+        n = len(
+            glob.glob(
+                os.path.join(crash, "sinks", "**", "*.parquet"),
+                recursive=True,
+            )
+        )
+        if n >= 20:
+            os.killpg(p.pid, signal.SIGKILL)
+            killed = True
+            break
+        time.sleep(0.05)
+    assert killed, "run finished before the kill"
+    p.wait(timeout=60)
+    # partial sink output exists with no (or few) committed manifests
+    committed = len(
+        glob.glob(os.path.join(crash, "_manifest", "shard-*.json"))
+    )
+    assert committed < n_shards
+
+    p = _spawn(src, crash, str(tmp_path / "resume.log"))
+    parts = _wait_done(p, str(tmp_path / "resume.log"))
+    assert int(parts[0]) + int(parts[1]) == n_shards
+    assert _digests(crash) == want
+
+
 def test_bucketed_kill_midgather_resume_byte_identical(
     bucketed_input, tmp_path
 ):
