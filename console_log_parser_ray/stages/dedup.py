@@ -158,15 +158,23 @@ def exact_dedup(ds, text_col="text", id_col="doc_id", n_shuffle_buckets=256):
         return b.append_column("hash_bucket", hb)
 
     def keep_first(tbl: pa.Table) -> pa.Table:
-        texts = tbl.column(text_col).to_pylist()
-        ids = tbl.column(id_col).to_pylist()
-        best = {}  # text -> (min_id, row_index)
-        for i, (t, d) in enumerate(zip(texts, ids)):
-            cur = best.get(t)
-            if cur is None or d < cur[0]:
-                best[t] = (d, i)
-        rows = sorted(i for _, i in best.values())
-        return tbl.take(rows)
+        import pandas as pd
+
+        # C-level group-min over the text: one hash pass instead of a
+        # Python dict walk per row (text equality stays the dedup key,
+        # so hash-bucket collisions remain harmless)
+        df = pd.DataFrame(
+            {
+                "t": tbl.column(text_col).to_pandas(),
+                "i": tbl.column(id_col).to_pandas(),
+            }
+        )
+        rows = np.sort(
+            df.groupby("t", sort=False, dropna=False)["i"]
+            .idxmin()
+            .to_numpy()
+        )
+        return tbl.take(pa.array(rows, pa.int64()))
 
     return (
         hashed.map_batches(add_bucket, batch_format="pyarrow")
@@ -209,6 +217,42 @@ def _conv_bucket_col(
     return pa.array(buckets, pa.int32())
 
 
+def _conv_joined(
+    tbl: pa.Table, conv_col: str, order_col: str, text_col: str,
+    sep: str = "\n",
+):
+    """Sort one bucket group by (conv, order) and join each
+    conversation's turn texts with ``sep`` in ONE vectorized
+    ``pc.binary_join`` -- no Python walk over rows (the old per-row
+    boundary loop was the only O(rows) Python left in the reassembly
+    family).  Returns ``(conv_ids Array, joined Array, n_turns
+    int64 ndarray)``, one entry per conversation."""
+    tbl = tbl.sort_by(
+        [(conv_col, "ascending"), (order_col, "ascending")]
+    )
+    convs = tbl.column(conv_col).combine_chunks()
+    n = len(convs)
+    if n == 0:
+        return convs, pa.array([], pa.string()), np.zeros(0, np.int64)
+    neq = pc.not_equal(convs.slice(1), convs.slice(0, n - 1)).to_numpy(
+        zero_copy_only=False
+    )
+    starts = np.concatenate([[0], np.flatnonzero(neq) + 1]).astype(
+        np.int64
+    )
+    offsets = np.concatenate([starts, [n]])
+    texts = pc.fill_null(tbl.column(text_col).combine_chunks(), "")
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), pa.int32()), texts
+    )
+    joined = pc.binary_join(lists, sep)
+    return (
+        convs.take(pa.array(starts, pa.int64())),
+        joined,
+        np.diff(offsets).astype(np.int64),
+    )
+
+
 def conversation_fingerprints(
     ds, conv_col="conv_id", order_col="turn_idx", text_col="text",
     n_buckets=64,
@@ -230,24 +274,20 @@ def conversation_fingerprints(
         )
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
-        tbl = tbl.sort_by([(conv_col, "ascending"), (order_col, "ascending")])
-        convs = tbl.column(conv_col).to_pylist()
-        texts = pc.fill_null(tbl.column(text_col), "").to_pylist()
-        out_c, out_h, out_n = [], [], []
-        i, n = 0, len(convs)
-        while i < n:
-            j = i
-            while j < n and convs[j] == convs[i]:
-                j += 1
-            out_c.append(convs[i])
-            out_h.append(hashlib.md5("\n".join(texts[i:j]).encode()).hexdigest())
-            out_n.append(j - i)
-            i = j
+        convs, joined, n_turns = _conv_joined(
+            tbl, conv_col, order_col, text_col
+        )
+        # md5 per CONVERSATION (bounded by convs in the bucket, never
+        # rows); the digest itself runs at C speed over the joined text
+        hashes = [
+            hashlib.md5(s.encode()).hexdigest()
+            for s in joined.to_pylist()
+        ]
         return pa.table(
             {
-                conv_col: pa.array(out_c, pa.string()),
-                "conv_hash": pa.array(out_h, pa.string()),
-                "n_turns": pa.array(out_n, pa.int64()),
+                conv_col: convs,
+                "conv_hash": pa.array(hashes, pa.string()),
+                "n_turns": pa.array(n_turns, pa.int64()),
             }
         )
 
@@ -282,29 +322,20 @@ def conversation_fingerprints_path(input_path: str, **kwargs):
         for item in batch.column("item").to_pylist():
             tbl = pq.read_table(
                 item, columns=["conv_id", "turn_idx", "text"]
-            ).sort_by(
-                [("conv_id", "ascending"), ("turn_idx", "ascending")]
             )
-            convs = tbl.column("conv_id").to_pylist()
-            texts = tbl.column("text").to_pylist()
-            out_c, out_h, out_n = [], [], []
-            i, n = 0, len(convs)
-            while i < n:
-                j = i
-                while j < n and convs[j] == convs[i]:
-                    j += 1
-                out_c.append(convs[i])
-                out_h.append(
-                    hashlib.md5("\n".join(texts[i:j]).encode()).hexdigest()
-                )
-                out_n.append(j - i)
-                i = j
+            convs, joined, n_turns = _conv_joined(
+                tbl, "conv_id", "turn_idx", "text"
+            )
+            hashes = [
+                hashlib.md5(s.encode()).hexdigest()
+                for s in joined.to_pylist()
+            ]
             outs.append(
                 pa.table(
                     {
-                        "conv_id": pa.array(out_c, pa.string()),
-                        "conv_hash": pa.array(out_h, pa.string()),
-                        "n_turns": pa.array(out_n, pa.int64()),
+                        "conv_id": convs,
+                        "conv_hash": pa.array(hashes, pa.string()),
+                        "n_turns": pa.array(n_turns, pa.int64()),
                     }
                 )
             )
@@ -1402,26 +1433,14 @@ def conversation_texts(
         )
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
-        tbl = tbl.sort_by(
-            [(conv_col, "ascending"), (order_col, "ascending")]
+        convs, joined, n_turns = _conv_joined(
+            tbl, conv_col, order_col, text_col
         )
-        convs = tbl.column(conv_col).to_pylist()
-        texts = pc.fill_null(tbl.column(text_col), "").to_pylist()
-        out_c, out_t, out_n = [], [], []
-        i, n = 0, len(convs)
-        while i < n:
-            j = i
-            while j < n and convs[j] == convs[i]:
-                j += 1
-            out_c.append(convs[i])
-            out_t.append("\n".join(texts[i:j]))
-            out_n.append(j - i)
-            i = j
         return pa.table(
             {
-                conv_col: pa.array(out_c, pa.string()),
-                "conv_text": pa.array(out_t, pa.string()),
-                "n_turns": pa.array(out_n, pa.int64()),
+                conv_col: convs,
+                "conv_text": joined,
+                "n_turns": pa.array(n_turns, pa.int64()),
             }
         )
 
