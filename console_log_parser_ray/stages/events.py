@@ -124,44 +124,87 @@ def deterministic_sample(ds, rate_pct: int = 10, id_col="doc_id"):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
-def sessionize(ds, gap_us: int = 30 * 60 * 1_000_000, user_col="user_id", ts_col="ts"):
-    """Assign gap-based session ids per user; emits per-session rows."""
+def sessionize(
+    ds, gap_us: int = 30 * 60 * 1_000_000, user_col="user_id",
+    ts_col="ts", n_buckets: int = 64,
+):
+    """Assign gap-based session ids per user; emits per-session rows.
 
-    def per_user(tbl: pa.Table) -> pa.Table:
-        tbl = tbl.sort_by([(ts_col, "ascending"), ("event_id", "ascending")])
-        ts = tbl.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        new_sess = np.zeros(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            new_sess[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        sess = np.cumsum(new_sess)
-        user = tbl.column(user_col)[0].as_py()
-        n_sessions = int(sess[-1]) + 1 if len(ts) else 0
-        counts = np.bincount(sess, minlength=n_sessions)
-        starts = ts[np.searchsorted(sess, np.arange(n_sessions))]
+    Scale shape: users coarsen to hash buckets before the one groupby
+    (dispatch bounded by bucket count, never user count -- the
+    event_gaps recipe); inside a bucket ONE lexsort + boundary cumsum
+    resolves every user's sessions vectorized, no per-user Python."""
+
+    def project(b: pa.Table) -> pa.Table:
+        key = b.column(user_col).cast(pa.int64())
         return pa.table(
             {
-                "user_id": pa.array([user] * n_sessions, pa.int64()),
-                "session_id": pa.array(range(n_sessions), pa.int64()),
-                "n_events": pa.array(counts, pa.int64()),
-                "start_ts": pa.array(starts, pa.int64()),
+                "jb": _bucket31(key, n_buckets),
+                user_col: key,
+                "t": b.column(ts_col).cast(pa.int64()),
+                "e": b.column("event_id").cast(pa.int64()),
             }
         )
 
-    return ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
-
-
-def asof_join_events_orders(events_ds, orders_ds):
-    """For each event, the most recent order (by date) of the same user
-    at or before the event time.  Implemented as a per-key sort-merge:
-    both sides are tagged and unioned, then one grouped two-pointer walk
-    per user -- a single hash shuffle, no broadcast of the big side."""
-
-    def tag_events(b: pa.Table) -> pa.Table:
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = tbl.column(user_col).to_numpy(zero_copy_only=False)
+        t = tbl.column("t").to_numpy(zero_copy_only=False)
+        e = tbl.column("e").to_numpy(zero_copy_only=False)
+        n = len(u)
+        order = np.lexsort((e, t, u))
+        u, t = u[order], t[order]
+        user_change = np.ones(n, dtype=bool)
+        user_change[1:] = u[1:] != u[:-1]
+        boundary = user_change.copy()
+        if n > 1:
+            boundary[1:] |= (np.diff(t) > gap_us) & ~user_change[1:]
+        starts = np.flatnonzero(boundary)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        users_out = u[starts]
+        # per-user ordinal of each session
+        m = len(starts)
+        sess_uc = np.ones(m, dtype=bool)
+        sess_uc[1:] = users_out[1:] != users_out[:-1]
+        first = np.maximum.accumulate(
+            np.where(sess_uc, np.arange(m, dtype=np.int64), 0)
+        )
         return pa.table(
             {
-                "key": b.column("user_id").cast(pa.int64()),
+                "user_id": pa.array(users_out, pa.int64()),
+                "session_id": pa.array(
+                    np.arange(m, dtype=np.int64) - first, pa.int64()
+                ),
+                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+                "start_ts": pa.array(t[starts], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def asof_join_events_orders(events_ds, orders_ds, n_buckets: int = 64):
+    """For each event, the most recent order (by date) of the same user
+    at or before the event time.  Implemented as a tagged-union
+    sort-merge over user-HASH bucket groups: one shuffle, dispatch
+    bounded by the bucket count (never user count), and inside each
+    bucket a single lexsort + forward-fill resolves every user's
+    events vectorized -- the asof equivalent of the event_gaps recipe.
+    At equal (user, t) an order dated exactly at the event time
+    qualifies, ties among such orders resolving to the largest
+    orderkey (same semantics as the ordered sequential walk)."""
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        key = b.column("user_id").cast(pa.int64())
+        return pa.table(
+            {
+                "jb": _bucket31(key, n_buckets),
+                "key": key,
                 "t": b.column("ts").cast(pa.int64()),
-                "side": pa.array(["e"] * b.num_rows, pa.string()),
+                "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
                 "event_id": b.column("event_id").cast(pa.int64()),
                 "o_orderkey": pa.nulls(b.num_rows, pa.int64()),
                 "o_totalprice": pa.nulls(b.num_rows, pa.float64()),
@@ -169,11 +212,13 @@ def asof_join_events_orders(events_ds, orders_ds):
         )
 
     def tag_orders(b: pa.Table) -> pa.Table:
+        key = b.column("o_custkey").cast(pa.int64())
         return pa.table(
             {
-                "key": b.column("o_custkey").cast(pa.int64()),
+                "jb": _bucket31(key, n_buckets),
+                "key": key,
                 "t": b.column("o_orderdate").cast(pa.int64()),
-                "side": pa.array(["o"] * b.num_rows, pa.string()),
+                "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
                 "event_id": pa.nulls(b.num_rows, pa.int64()),
                 "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
                 "o_totalprice": b.column("o_totalprice").cast(pa.float64()),
@@ -185,37 +230,62 @@ def asof_join_events_orders(events_ds, orders_ds):
     both = ev.union(od)
 
     def walk(tbl: pa.Table) -> pa.Table:
-        tbl = tbl.sort_by(
-            [("t", "ascending"), ("side", "descending"), ("o_orderkey", "ascending")]
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        t = tbl.column("t").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        okey = (
+            pc.fill_null(tbl.column("o_orderkey"), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
-        # side 'o' sorts after 'e' descending-wise: at equal t an order
-        # dated exactly at the event time qualifies, so orders first.
-        sides = tbl.column("side").to_pylist()
-        ts = tbl.column("t").to_pylist()
-        ev_ids = tbl.column("event_id").to_pylist()
-        ok = tbl.column("o_orderkey").to_pylist()
-        op = tbl.column("o_totalprice").to_pylist()
-        last_key, last_price = None, None
-        out_e, out_k, out_p = [], [], []
-        for i in range(tbl.num_rows):
-            if sides[i] == "o":
-                last_key, last_price = ok[i], op[i]
-            else:
-                out_e.append(ev_ids[i])
-                out_k.append(last_key)
-                out_p.append(last_price)
+        price = (
+            pc.fill_null(tbl.column("o_totalprice"), 0.0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        eid = (
+            pc.fill_null(tbl.column("event_id"), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n = len(key)
+        # orders (side 0) before events (side 1) at equal (key, t);
+        # equal-t orders ascending by orderkey so the forward fill's
+        # "last seen" is the largest orderkey, like the ordered walk
+        order = np.lexsort((okey, side, t, key))
+        key_s, side_s = key[order], side[order]
+        is_order = side_s == 0
+        idx = np.arange(n, dtype=np.int64)
+        ffill = np.maximum.accumulate(np.where(is_order, idx, -1))
+        key_change = np.ones(n, dtype=bool)
+        key_change[1:] = key_s[1:] != key_s[:-1]
+        seg_start = np.maximum.accumulate(np.where(key_change, idx, 0))
+        ev_rows = np.flatnonzero(~is_order)
+        src = ffill[ev_rows]
+        valid = src >= seg_start[ev_rows]
+        src_safe = np.where(valid, src, 0)
+        okey_s = okey[order]
+        price_s = price[order]
         return pa.table(
             {
-                "event_id": pa.array(out_e, pa.int64()),
-                "last_orderkey": pa.array(out_k, pa.int64()),
-                "last_totalprice": pa.array(out_p, pa.float64()),
+                "event_id": pa.array(eid[order][ev_rows], pa.int64()),
+                "last_orderkey": pa.array(
+                    np.where(valid, okey_s[src_safe], -1),
+                    pa.int64(),
+                    mask=~valid,
+                ),
+                "last_totalprice": pa.array(
+                    np.where(valid, price_s[src_safe], 0.0),
+                    pa.float64(),
+                    mask=~valid,
+                ),
             }
         )
 
-    return both.groupby("key").map_groups(walk, batch_format="pyarrow")
+    return both.groupby("jb").map_groups(walk, batch_format="pyarrow")
 
 
-def twebber_hops(frames_ds, pair_col="pair_id"):
+def twebber_hops(frames_ds, pair_col="pair_id", n_buckets: int = 64):
     """Two-recording alignment: within each pair, frames from 'left' and
     'right' recordings interleave; emit hops (from_ts, to_ts) whenever
     the active side catches up past the paused side's position.
@@ -225,6 +295,11 @@ def twebber_hops(frames_ds, pair_col="pair_id"):
     the paused side's current absolute time, record a hop from the last
     local frame time, swap.  Input rows: (pair_id, side['left'/'right'],
     start_ts, frame_ts) with absolute = start_ts + frame_ts.
+
+    Scale shape: pairs coarsen to hash buckets (dispatch bounded by
+    bucket count, never pair count); the two-cursor walk itself is the
+    reference's inherently sequential algorithm, run per pair inside
+    the bucket.
     """
 
     def walk(tbl: pa.Table) -> pa.Table:
@@ -293,7 +368,35 @@ def twebber_hops(frames_ds, pair_col="pair_id"):
             }
         )
 
-    return frames_ds.groupby(pair_col).map_groups(walk, batch_format="pyarrow")
+    def add_bucket(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = pd.util.hash_array(
+            b.column(pair_col).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        ).astype(np.int64, copy=False)
+        return b.append_column(
+            "pb", pa.array((np.abs(h) % n_buckets).astype(np.int32))
+        )
+
+    def walk_bucket(tbl: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(tbl.column(pair_col).combine_chunks())
+        outs = []
+        for code in range(len(enc.dictionary)):
+            sub = tbl.filter(
+                pc.equal(enc.indices, pa.scalar(code, enc.indices.type))
+            ).drop_columns(["pb"])
+            outs.append(walk(sub))
+        if not outs:
+            return walk(tbl.drop_columns(["pb"]))
+        return pa.concat_tables(outs)
+
+    return (
+        frames_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(walk_bucket, batch_format="pyarrow")
+    )
 
 
 def group_quantiles(
