@@ -355,17 +355,32 @@ def conversation_exact_dedup(ds, **kwargs):
     input where a turn text may itself embed a newline, two different
     turn segmentations of the same character stream would alias to one
     hash; the turn count disambiguates them.
+
+    Scale shape: fingerprints shuffle by a HASH BUCKET of conv_hash
+    (dispatch bounded by the bucket count, never the number of
+    distinct fingerprints) and one vectorized pandas groupby-min per
+    bucket folds every fingerprint in it at once.
     """
+    from .relational import _pair_bucket_col
+
     fps = conversation_fingerprints(ds, **kwargs)
 
-    def keep_first(tbl: pa.Table) -> pa.Table:
-        i = pc.index(
-            tbl.column("conv_id"), pc.min(tbl.column("conv_id"))
-        ).as_py()
-        return tbl.slice(i, 1)
+    def bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("hb", _pair_bucket_col(b, "conv_hash", 64))
 
-    return fps.groupby(["conv_hash", "n_turns"]).map_groups(
-        keep_first, batch_format="pyarrow"
+    def keep_first(tbl: pa.Table) -> pa.Table:
+        keep = tbl.select(["conv_id", "conv_hash", "n_turns"])
+        df = keep.to_pandas()
+        df = df.sort_values("conv_id", kind="mergesort")
+        df = df.groupby(["conv_hash", "n_turns"], sort=False).head(1)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            keep.schema
+        )
+
+    return (
+        fps.map_batches(bucket, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(keep_first, batch_format="pyarrow")
     )
 
 

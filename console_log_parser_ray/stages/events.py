@@ -603,10 +603,13 @@ def sample_per_group(
 
     Scale shape: each block pre-reduces to its own per-group top-k
     (vectorized lexsort + bounded take), so the one shuffle moves at
-    most ``k`` rows per group PER BLOCK, never whole groups; the final
-    per-group fold is the same bounded reduction.  Output rows keep
-    ``(id, group)`` plus the hash so the fold needs no recompute.
+    most ``k`` rows per group PER BLOCK, never whole groups; partials
+    shuffle by a GROUP-HASH bucket (dispatch bounded by bucket count,
+    never group count) and one pandas sort+head per bucket folds every
+    group at once.  Output rows keep ``(id, group)`` plus the hash so
+    the fold needs no recompute.
     """
+    from .relational import _pair_bucket_col
 
     def hash_col(b: pa.Table):
         ids = b.column(id_col).cast(pa.int64())
@@ -627,17 +630,22 @@ def sample_per_group(
         # dropna=False: SQL GROUP BY (and Ray's final groupby) keep the
         # null group, so the block-local partial must too
         df = df.groupby(group_col, sort=False, dropna=False).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+        out = pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+        return out.append_column(
+            "gb", _pair_bucket_col(out, group_col, 64)
+        )
 
     partial = ds.map_batches(local_topk, batch_format="pyarrow")
 
     def fold(tbl: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            tbl, sort_keys=[("h", "ascending"), (id_col, "ascending")]
-        )
-        return tbl.take(idx[:k]).select([id_col, group_col])
+        df = tbl.select([id_col, group_col, "h"]).to_pandas()
+        df = df.sort_values(["h", id_col], kind="mergesort")
+        df = df.groupby(group_col, sort=False, dropna=False).head(k)
+        return pa.Table.from_pandas(
+            df[[id_col, group_col]], preserve_index=False
+        ).cast(tbl.select([id_col, group_col]).schema)
 
-    return partial.groupby(group_col).map_groups(
+    return partial.groupby("gb").map_groups(
         fold, batch_format="pyarrow"
     )
 
@@ -655,9 +663,12 @@ def topk_per_group(
 
     Same bounded-shuffle shape as ``sample_per_group``: each block
     pre-reduces to its own per-group top-k, so the one shuffle moves at
-    most ``k`` rows per group per block and the final per-group fold is
-    the same bounded reduction -- no group ever ships whole.
+    most ``k`` rows per group per block; partials shuffle by a
+    group-hash bucket (dispatch bounded by bucket count, never group
+    count) and one pandas sort+head per bucket folds every group at
+    once -- no group ever ships whole.
     """
+    from .relational import _pair_bucket_col
 
     def local_topk(b: pa.Table) -> pa.Table:
         t = pa.table(
@@ -674,18 +685,25 @@ def topk_per_group(
         # dropna=False: keep the null group in the partial (see
         # sample_per_group)
         df = df.groupby(group_col, sort=False, dropna=False).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+        out = pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+        return out.append_column(
+            "gb", _pair_bucket_col(out, group_col, 64)
+        )
 
     partial = ds.map_batches(local_topk, batch_format="pyarrow")
 
     def fold(tbl: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            tbl,
-            sort_keys=[(val_col, "descending"), (id_col, "ascending")],
+        keep = tbl.select([id_col, group_col, val_col])
+        df = keep.to_pandas()
+        df = df.sort_values(
+            [val_col, id_col], ascending=[False, True], kind="mergesort"
         )
-        return tbl.take(idx[:k])
+        df = df.groupby(group_col, sort=False, dropna=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            keep.schema
+        )
 
-    return partial.groupby(group_col).map_groups(
+    return partial.groupby("gb").map_groups(
         fold, batch_format="pyarrow"
     )
 
