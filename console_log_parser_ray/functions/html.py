@@ -514,9 +514,14 @@ def html_sink(parsed_ds, out_dir: str, palette: str = "MyDracula"):
     grouped tasks (atomic tmp+rename, so a retried task can never leave
     a truncated file); only the tiny (conv_id, n_cmds) index rows travel
     back to the driver for the single index.html write.
+
+    Scale shape: conversations shuffle by a conv-hash bucket (task
+    dispatch bounded by the bucket count, never the conversation
+    count); each bucket task renders its conversations in turn.
     """
     import os
 
+    from ..stages.dedup import _conv_bucket_col
     from .assets import assets_rel_dir, write_player_assets
 
     os.makedirs(out_dir, exist_ok=True)
@@ -545,8 +550,25 @@ def html_sink(parsed_ds, out_dir: str, palette: str = "MyDracula"):
             }
         )
 
-    docs = parsed_ds.groupby("conv_id").map_groups(
-        per_conv, batch_format="pyarrow"
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("__hb", _conv_bucket_col(b, "conv_id", 64))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(tbl.column("conv_id").combine_chunks())
+        outs = []
+        for code in range(len(enc.dictionary)):
+            sub = tbl.filter(
+                pc.equal(enc.indices, pa.scalar(code, enc.indices.type))
+            ).drop_columns(["__hb"])
+            outs.append(per_conv(sub))
+        return pa.concat_tables(outs)
+
+    docs = (
+        parsed_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
     entries = [
         (row["conv_id"], row["conv_id"], row["n_cmds"], [])

@@ -69,13 +69,16 @@ def parse_header(line: str) -> dict:
 def frames_to_turns(frames_ds):
     """Assemble frames into newline-delimited turns per conversation.
 
-    One shuffle keyed on conv_id; inside each group an ordered scan
-    buffers payload until LF, exactly like the reference's byteline
-    assembly (reference asciinema2html.py:303-308).  Partitioning
-    assumption: one recording's frames fit a worker; a giant recording
-    should be pre-split and routed through the runner's
-    heavy-conversation chunk path after assembly.
+    One shuffle keyed on a conv-hash BUCKET (task dispatch bounded by
+    the bucket count, never the recording count); inside each bucket an
+    ordered per-conversation scan buffers payload until LF, exactly
+    like the reference's byteline assembly (reference
+    asciinema2html.py:303-308).  Partitioning assumption: one
+    recording's frames fit a worker; a giant recording should be
+    pre-split and routed through the runner's heavy-conversation chunk
+    path after assembly.
     """
+    from ..stages.dedup import _conv_bucket_col
 
     def assemble(tbl: pa.Table) -> pa.Table:
         tbl = tbl.sort_by([("ts", "ascending"), ("frame_idx", "ascending")])
@@ -117,8 +120,25 @@ def frames_to_turns(frames_ds):
             }
         )
 
-    return frames_ds.groupby("conv_id").map_groups(
-        assemble, batch_format="pyarrow"
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("__hb", _conv_bucket_col(b, "conv_id", 64))
+
+    def assemble_bucket(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(tbl.column("conv_id").combine_chunks())
+        outs = []
+        for code in range(len(enc.dictionary)):
+            sub = tbl.filter(
+                pc.equal(enc.indices, pa.scalar(code, enc.indices.type))
+            ).drop_columns(["__hb"])
+            outs.append(assemble(sub))
+        return pa.concat_tables(outs)
+
+    return (
+        frames_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__hb")
+        .map_groups(assemble_bucket, batch_format="pyarrow")
     )
 
 
