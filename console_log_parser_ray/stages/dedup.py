@@ -227,6 +227,15 @@ def _conv_joined(
     boundary loop was the only O(rows) Python left in the reassembly
     family).  Returns ``(conv_ids Array, joined Array, n_turns
     int64 ndarray)``, one entry per conversation."""
+    if tbl.column(conv_col).null_count:
+        # unreachable via the conversation operators (the bucket
+        # column rejects nulls first) -- guard direct callers too:
+        # nulls sort last here and a null boundary comparison would
+        # silently merge the null group into its neighbor
+        raise ValueError(
+            f"null {conv_col!r} values are unsupported in "
+            "conversation reassembly; filter or impute nulls upstream"
+        )
     tbl = tbl.sort_by(
         [(conv_col, "ascending"), (order_col, "ascending")]
     )

@@ -128,6 +128,24 @@ def test_conversation_texts_null_handling(ray_session):
         conversation_texts(_ray_ds(bad)).to_pandas()
 
 
+def test_conv_joined_rejects_null_keys():
+    """The shared reassembly helper guards null conv keys itself (not
+    just via the bucket column): nulls sort last and a null boundary
+    comparison would silently merge the null group into its
+    neighbor."""
+    from console_log_parser_ray.stages.dedup import _conv_joined
+
+    bad = pa.table(
+        {
+            "conv_id": pa.array(["a", None, "a"], pa.string()),
+            "turn_idx": pa.array([0, 0, 1], pa.int64()),
+            "text": pa.array(["x", "y", "z"], pa.string()),
+        }
+    )
+    with pytest.raises(ValueError, match="null 'conv_id'"):
+        _conv_joined(bad, "conv_id", "turn_idx", "text")
+
+
 def test_rank_family_cardinality_guard(ray_session):
     """A high-cardinality value column must never pull the histogram
     to the driver, and every operator's above-cap data-plane path must
