@@ -1,0 +1,417 @@
+"""Random-seed differential sweep: re-run the window / aggregate /
+session / rank operator families against fresh adversarial random
+tables (heavy ties, tiny vocabularies, interleaved users) and compare
+every result to DuckDB — the same oracles the committed differential
+tests pin on ONE seed each, swept across arbitrarily many.
+
+This is the deep-check companion to ``tools/check_contract.py`` (which
+pins the fixed testdata tables): run it before a release to shake out
+seed-dependent edge cases without growing the pytest wall time.
+
+Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
+
+Exit 0 = every comparison equal.  Each seed covers:
+  - event_gaps / running totals / rolling sums / global row_number +
+    ntile / transition counts   (window family)
+  - distinct-count per group / audience overlap / MAD flags /
+    duplicated k-token spans    (aggregate family)
+  - sessionize / as-of join / two-step funnel / top-k per group
+  - dense_rank and filter_top_quantile on BOTH cardinality paths
+    (collected histogram AND the forced above-``max_distinct``
+    data-plane fallback, same SQL oracle)
+"""
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for p in (REPO, os.path.join(REPO, "tests")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+# Ray workers resolve the package relative to the driver cwd
+os.chdir(REPO)
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+failures = []
+
+
+def check(name, seed, mine_df, ref_df, keys, vals):
+    mine = mine_df.sort_values(keys).reset_index(drop=True)
+    ref = ref_df.sort_values(keys).reset_index(drop=True)
+    ok = len(mine) == len(ref)
+    if ok:
+        for c in vals:
+            a, b = mine[c], ref[c]
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                if not (
+                    ((a - b).abs().fillna(0) < 1e-9).all()
+                    and (a.isna() == b.isna()).all()
+                ):
+                    ok = False
+                    break
+            elif a.dtype.kind == "b" or b.dtype.kind == "b":
+                if a.astype(bool).tolist() != b.astype(bool).tolist():
+                    ok = False
+                    break
+            elif a.dtype.kind in "OU" or b.dtype.kind in "OU":
+                if a.astype(str).tolist() != b.astype(str).tolist():
+                    ok = False
+                    break
+            else:
+                if not pd.Series(a).astype("Int64").equals(
+                    pd.Series(b).astype("Int64")
+                ):
+                    ok = False
+                    break
+    if not ok:
+        failures.append((name, seed))
+        print(f"FAIL {name} seed={seed}", flush=True)
+
+
+def window_family(seed):
+    import test_window_differential as twd
+
+    tbl = twd._random_events(seed)
+    for fn in (
+        twd.test_event_gaps_random,
+        twd.test_running_totals_random,
+        twd.test_rolling_sum_random,
+        twd.test_global_rank_and_ntile_random,
+        twd.test_transition_counts_random,
+    ):
+        try:
+            fn(ray, tbl)
+        except Exception as e:  # noqa: BLE001
+            failures.append((fn.__name__, seed))
+            print(f"FAIL {fn.__name__} seed={seed}: {e!r}"[:300], flush=True)
+
+
+def aggregate_family(seed):
+    from console_log_parser_ray.stages.events import (
+        audience_overlap,
+        distinct_count_per_group,
+        mad_outlier_flags,
+    )
+    from console_log_parser_ray.stages.textan import dup_spans
+
+    rng = np.random.default_rng(seed)
+    n = 3000
+    ev = pa.table(
+        {
+            "event_type": pa.array(rng.choice(["a", "b", "c", "d"], n)),
+            "user_id": pa.array(rng.integers(1, 80, n).astype(np.int64)),
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+
+    ds = distinct_count_per_group(
+        ray.data.from_arrow(ev).repartition(9), n_buckets=16
+    )
+    ref = dict(
+        con.execute(
+            "SELECT event_type, COUNT(DISTINCT user_id) FROM events "
+            "GROUP BY event_type"
+        ).fetchall()
+    )
+    mine = {r["event_type"]: r["n_distinct"] for r in ds.take_all()}
+    if mine != ref:
+        failures.append(("distinct_count", seed))
+        print(f"FAIL distinct_count seed={seed}", flush=True)
+
+    df = audience_overlap(
+        ray.data.from_arrow(ev).repartition(9),
+        categories=("a", "b", "c", "d"),
+        n_buckets=16,
+    )
+    ref = {
+        (a, b): c
+        for a, b, c in con.execute(
+            "WITH d AS (SELECT DISTINCT event_type, user_id FROM events) "
+            "SELECT x.event_type, y.event_type, count(*) FROM d x "
+            "JOIN d y ON x.user_id = y.user_id "
+            "AND x.event_type < y.event_type GROUP BY 1, 2"
+        ).fetchall()
+    }
+    mine = {(r.type_a, r.type_b): r.n_both for r in df.itertuples()}
+    if mine != ref:
+        failures.append(("audience_overlap", seed))
+        print(f"FAIL audience_overlap seed={seed}", flush=True)
+
+    vals = np.concatenate(
+        [rng.integers(90, 111, 500), rng.integers(0, 1000, 30)]
+    ).astype(np.int64)
+    mt = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(vals), dtype=np.int64)),
+            "n_chars": pa.array(vals),
+        }
+    )
+    con2 = duckdb.connect()
+    con2.register("documents", mt)
+    ds = mad_outlier_flags(
+        ray.data.from_arrow(mt).repartition(9),
+        value_col="n_chars",
+        id_col="doc_id",
+        k=3,
+    )
+    ref = dict(
+        con2.execute(
+            "WITH med AS (SELECT quantile_disc(n_chars, 0.5) AS m "
+            "FROM documents), "
+            "mad AS (SELECT quantile_disc("
+            "abs(n_chars - (SELECT m FROM med)), 0.5) AS d "
+            "FROM documents) "
+            "SELECT doc_id, abs(n_chars - (SELECT m FROM med)) "
+            "> 3 * (SELECT d FROM mad) FROM documents"
+        ).fetchall()
+    )
+    mine = {r["doc_id"]: r["is_outlier"] for r in ds.take_all()}
+    if mine != ref:
+        failures.append(("mad_flags", seed))
+        print(f"FAIL mad_flags seed={seed}", flush=True)
+
+    vocab = ["w%d" % i for i in range(9)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 12))) for _ in range(120)
+    ]
+    dt = pa.table(
+        {
+            "doc_id": pa.array(np.arange(1, 121, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    con3 = duckdb.connect()
+    con3.register("documents", dt)
+    ds = dup_spans(ray.data.from_arrow(dt).repartition(9), k=3, n_buckets=16)
+    ref = {
+        d: (ns, nd)
+        for d, ns, nd in con3.execute(
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(text, '\\S+') AS tk FROM documents), "
+            "s AS (SELECT doc_id, tk, len(tk) AS n FROM t "
+            "WHERE len(tk) >= 3), "
+            "g AS (SELECT doc_id, tk, "
+            "unnest(generate_series(0, n - 3)) AS i FROM s), "
+            "d AS (SELECT DISTINCT doc_id, "
+            "array_to_string(tk[i+1 : i+3], ' ') AS span FROM g), "
+            "df AS (SELECT span, count(*) AS df FROM d GROUP BY span) "
+            "SELECT d.doc_id, count(*), "
+            "CAST(count(*) FILTER (WHERE df.df >= 2) AS BIGINT) "
+            "FROM d JOIN df USING (span) GROUP BY d.doc_id"
+        ).fetchall()
+    }
+    mine = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"]) for r in ds.take_all()
+    }
+    if mine != ref:
+        failures.append(("dup_spans", seed))
+        print(f"FAIL dup_spans seed={seed}", flush=True)
+
+
+def session_rank_family(seed):
+    from console_log_parser_ray.stages.events import (
+        asof_join_events_orders,
+        filter_top_quantile,
+        funnel_two_step,
+        sessionize,
+        topk_per_group,
+    )
+    from console_log_parser_ray.stages.relational import dense_rank
+
+    rng = np.random.default_rng(seed)
+    n, n_users = 2500, 41
+    # coarse stamps -> heavy ties AND real gaps around the 1800 s
+    # sessionize threshold
+    ev = pa.table(
+        {
+            "event_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "user_id": pa.array(
+                rng.integers(1, n_users + 1, n).astype(np.int64)
+            ),
+            "ts": pa.array(
+                rng.integers(0, 6, n).astype(np.int64) * 1_700_000_000,
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(
+                rng.choice(
+                    ["signup", "purchase", "click", "view", "error"], n
+                )
+            ),
+        }
+    )
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(1, 1501, dtype=np.int64)),
+            "lang": pa.array(
+                rng.choice(["en", "de", "fr", "ja", "pt"], 1500)
+            ),
+            "n_chars": pa.array(rng.integers(0, 40, 1500).astype(np.int64)),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(1, 901, dtype=np.int64)),
+            "o_custkey": pa.array(
+                rng.integers(1, n_users + 1, 900).astype(np.int64)
+            ),
+            "o_orderdate": pa.array(
+                rng.integers(0, 8, 900).astype(np.int64) * 1_500_000_000,
+                pa.timestamp("us"),
+            ),
+            "o_totalprice": pa.array(
+                np.floor(rng.uniform(0, 9000, 900) * 100) / 100.0,
+                pa.float64(),
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+    con.register("documents", docs)
+    con.register("orders", orders)
+
+    mine = sessionize(
+        ray.data.from_arrow(ev).repartition(7), n_buckets=16
+    ).to_pandas()
+    ref = con.execute(
+        "WITH flagged AS ("
+        "  SELECT user_id, event_id, epoch_us(ts) AS tus, "
+        "  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        "  (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 "
+        "  THEN 1 ELSE 0 END AS new_sess FROM events), "
+        "sessions AS ("
+        "  SELECT user_id, tus, CAST(sum(new_sess) OVER ("
+        "  PARTITION BY user_id ORDER BY tus, event_id "
+        "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
+        "  FROM flagged) "
+        "SELECT user_id, session_id, count(*) AS n_events, "
+        "min(tus) AS start_ts FROM sessions GROUP BY 1, 2"
+    ).fetchdf()
+    check(
+        "sessionize", seed, mine, ref,
+        ["user_id", "session_id"], ["n_events", "start_ts"],
+    )
+
+    mine = (
+        asof_join_events_orders(
+            ray.data.from_arrow(ev).repartition(7),
+            ray.data.from_arrow(orders).repartition(5),
+            n_buckets=16,
+        )
+        .select_columns(["event_id", "last_orderkey"])
+        .to_pandas()
+    )
+    ref = con.execute(
+        "SELECT e.event_id, ("
+        "  SELECT o.o_orderkey FROM orders o "
+        "  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+        "  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1"
+        ") AS last_orderkey FROM events e"
+    ).fetchdf()
+    check("asof", seed, mine, ref, ["event_id"], ["last_orderkey"])
+
+    mine = funnel_two_step(
+        ray.data.from_arrow(
+            ev.select(["user_id", "ts", "event_type"])
+        ).repartition(7),
+        first_ev="signup",
+        second_ev="purchase",
+        n_buckets=16,
+    ).to_pandas()
+    ref = con.execute(
+        "WITH s AS (SELECT user_id, min(epoch_us(ts)) AS first_us "
+        "FROM events WHERE event_type = 'signup' GROUP BY user_id) "
+        "SELECT s.user_id, s.first_us, "
+        "(SELECT min(epoch_us(e.ts)) FROM events e "
+        " WHERE e.user_id = s.user_id AND e.event_type = 'purchase' "
+        " AND epoch_us(e.ts) >= s.first_us) AS second_us, "
+        "coalesce((SELECT min(epoch_us(e.ts)) FROM events e "
+        " WHERE e.user_id = s.user_id AND e.event_type = 'purchase' "
+        " AND epoch_us(e.ts) >= s.first_us) - s.first_us "
+        " <= 604800000000, FALSE) AS converted "
+        "FROM s"
+    ).fetchdf()
+    check(
+        "funnel", seed, mine, ref,
+        ["user_id"], ["first_us", "second_us", "converted"],
+    )
+
+    mine = topk_per_group(
+        ray.data.from_arrow(docs).repartition(7), "lang", "n_chars", k=3
+    ).to_pandas()
+    ref = con.execute(
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "QUALIFY row_number() OVER "
+        "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3"
+    ).fetchdf()
+    check(
+        "topk_per_group", seed, mine, ref, ["doc_id"], ["lang", "n_chars"]
+    )
+
+    ref = con.execute(
+        "SELECT doc_id, lang, n_chars, "
+        "CAST(dense_rank() OVER "
+        "(PARTITION BY lang ORDER BY n_chars DESC) AS BIGINT) AS rnk "
+        "FROM documents"
+    ).fetchdf()
+    for label, kw in [
+        ("dense_rank", {}),
+        ("dense_rank_big", {"max_distinct": 10}),
+    ]:
+        mine = dense_rank(
+            ray.data.from_arrow(docs).repartition(7),
+            "lang",
+            "n_chars",
+            descending=True,
+            n_buckets=16,
+            **kw,
+        ).to_pandas()
+        check(label, seed, mine, ref, ["doc_id"], ["n_chars", "rnk"])
+
+    dd = docs.select(["doc_id", "n_chars"])
+    ref = con.execute(
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE n_chars >= "
+        "(SELECT quantile_disc(n_chars, 0.9) FROM documents)"
+    ).fetchdf()
+    for label, kw in [
+        ("top_quantile", {}),
+        ("top_quantile_big", {"max_distinct": 10}),
+    ]:
+        mine = filter_top_quantile(
+            ray.data.from_arrow(dd).repartition(7),
+            value_col="n_chars",
+            q=0.9,
+            **kw,
+        ).to_pandas()
+        check(label, seed, mine, ref, ["doc_id"], ["n_chars"])
+
+
+def main():
+    seeds = [int(s) for s in sys.argv[1:]] or [
+        11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
+    ]
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=16, include_dashboard=False)
+    for seed in seeds:
+        window_family(seed)
+        aggregate_family(seed)
+        session_rank_family(seed)
+        print(f"seed {seed}: ok", flush=True)
+    print(
+        f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
+        "(17 comparisons per seed)"
+    )
+    for f in failures:
+        print(" ", f)
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
