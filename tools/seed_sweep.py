@@ -392,6 +392,211 @@ def session_rank_family(seed):
         check(label, seed, mine, ref, ["doc_id"], ["n_chars"])
 
 
+def text_family(seed):
+    """The round-4 Arrow-token-tape rewrite targets: token stats,
+    fingerprints, n-gram/DF signals, line-repetition signals,
+    decontamination and exact dedup on a random multi-line corpus with
+    empty docs, duplicate texts, unicode and punctuation tokens."""
+    from console_log_parser_ray.stages.dedup import exact_dedup
+    from console_log_parser_ray.stages.events import deterministic_sample
+    from console_log_parser_ray.stages.textan import (
+        decontaminate,
+        fingerprint,
+        idf_rarity,
+        ngram_topk,
+        rarest_token,
+        rep_signals,
+        token_stats,
+    )
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array(
+        ["w%d" % i for i in range(8)] + ["héllo", "a.b!", "x,y", "§7"]
+    )
+    n_docs = 150
+
+    def mk_text():
+        lines = [
+            " ".join(rng.choice(vocab, rng.integers(0, 9)))
+            for _ in range(rng.integers(0, 7))
+        ]
+        return "\n".join(lines)
+
+    texts = [mk_text() for _ in range(n_docs)]
+    # planted exact duplicates and empty docs
+    for _ in range(20):
+        i, j = rng.integers(0, n_docs, 2)
+        texts[i] = texts[j]
+    for i in rng.integers(0, n_docs, 5):
+        texts[i] = ""
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(1, n_docs + 1, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    dds = lambda: ray.data.from_arrow(docs).repartition(7)  # noqa: E731
+
+    mine = token_stats(dds()).to_pandas()
+    ref = con.execute(
+        "SELECT doc_id, "
+        "len(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+        "len(regexp_extract_all(text, "
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces, "
+        "length(text) AS n_chars FROM documents"
+    ).fetchdf()
+    check(
+        "token_stats", seed, mine, ref,
+        ["doc_id"], ["n_tokens", "n_pieces", "n_chars"],
+    )
+
+    mine = fingerprint(dds()).to_pandas()
+    mine["fingerprint"] = mine["fingerprint"].astype("uint64")
+    ref = con.execute(
+        "SELECT doc_id, CAST(list_reduce("
+        "  list_prepend(CAST(0 AS HUGEINT),"
+        "    list_transform("
+        "      regexp_extract_all(array_to_string("
+        "        regexp_extract_all(text, '\\S+'), ' '), '.'),"
+        "      c -> CAST(unicode(c) AS HUGEINT))),"
+        "  (h, c) -> (h * 1000003 + c) % 2305843009213693951"
+        ") AS UBIGINT) AS fingerprint FROM documents"
+    ).fetchdf()
+    a = mine.sort_values("doc_id")["fingerprint"].tolist()
+    b = ref.sort_values("doc_id")["fingerprint"].tolist()
+    if a != b:
+        failures.append(("fingerprint", seed))
+        print(f"FAIL fingerprint seed={seed}", flush=True)
+
+    mine = ngram_topk(dds().select_columns(["text"]), n=3, k=20).to_pandas()
+    ref = con.execute(
+        "WITH toks AS (SELECT regexp_extract_all(text, '\\S+') AS tk "
+        "FROM documents), "
+        "g AS (SELECT unnest(list_transform("
+        "generate_series(1, len(tk) - 2), "
+        "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS ngram "
+        "FROM toks WHERE len(tk) >= 3) "
+        "SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM g "
+        "GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20"
+    ).fetchdf()
+    check("ngram_topk", seed, mine, ref, ["ngram"], ["n"])
+
+    mine = idf_rarity(dds()).to_pandas()
+    ref = con.execute(
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+        "FROM documents), "
+        "occ AS (SELECT doc_id, tok, count(*) AS n_occ FROM toks "
+        "GROUP BY doc_id, tok), "
+        "df AS (SELECT tok, count(*) AS df FROM occ GROUP BY tok) "
+        "SELECT o.doc_id, CAST(sum(o.n_occ) AS BIGINT) AS n_tokens, "
+        "CAST(sum(o.n_occ * d.df) AS BIGINT) AS sum_df, "
+        "CAST(count(*) FILTER (WHERE d.df = 1) AS BIGINT) AS n_hapax "
+        "FROM occ o JOIN df d USING (tok) GROUP BY o.doc_id"
+    ).fetchdf()
+    check(
+        "idf_rarity", seed, mine, ref,
+        ["doc_id"], ["n_tokens", "sum_df", "n_hapax"],
+    )
+
+    mine = rarest_token(dds()).to_pandas()
+    ref = con.execute(
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+        "FROM documents), "
+        "occ AS (SELECT DISTINCT doc_id, tok FROM toks), "
+        "df AS (SELECT tok, count(*) AS df FROM occ GROUP BY tok) "
+        "SELECT o.doc_id, o.tok AS rare_tok, d.df AS rare_df "
+        "FROM occ o JOIN df d USING (tok) "
+        "QUALIFY row_number() OVER "
+        "(PARTITION BY o.doc_id ORDER BY d.df, o.tok) = 1"
+    ).fetchdf()
+    check(
+        "rarest_token", seed, mine, ref,
+        ["doc_id"], ["rare_tok", "rare_df"],
+    )
+
+    mine = rep_signals(dds()).to_pandas()
+    ref = con.execute(
+        "WITH lines AS (SELECT doc_id, unnest(string_split(text, "
+        "  chr(10))) AS line FROM documents), "
+        "nz AS (SELECT doc_id, line FROM lines WHERE line <> ''), "
+        "per_line AS (SELECT doc_id, line, count(*) AS c FROM nz "
+        "  GROUP BY doc_id, line), "
+        "agg AS (SELECT doc_id, sum(c) AS n, count(*) AS d, "
+        "  max(c) AS t FROM per_line GROUP BY doc_id) "
+        "SELECT doc.doc_id, "
+        "CAST(coalesce(agg.n, 0) AS BIGINT) AS n_lines, "
+        "coalesce((agg.n - agg.d) * 1.0 / agg.n, 0.0) AS dup_line_frac, "
+        "coalesce(agg.t * 1.0 / agg.n, 0.0) AS top_line_frac "
+        "FROM documents doc LEFT JOIN agg USING (doc_id)"
+    ).fetchdf()
+    check(
+        "rep_signals", seed, mine, ref,
+        ["doc_id"], ["n_lines", "dup_line_frac", "top_line_frac"],
+    )
+
+    bench = deterministic_sample(dds(), rate_pct=5)
+    mine = decontaminate(dds(), bench, n=5).to_pandas()
+    ref = con.execute(
+        "WITH bench AS (SELECT text FROM documents "
+        "  WHERE ((doc_id & 2147483647) * 2654435761) % 4294967296 "
+        "  < 214748364), "
+        "bt AS (SELECT regexp_extract_all(text, '\\S+') AS tk "
+        "  FROM bench), "
+        "bg AS (SELECT DISTINCT ng AS ngram FROM ("
+        "  SELECT unnest(list_transform(generate_series(1, len(tk)-4), "
+        "    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], "
+        "    tk[i+4]))) AS ng FROM bt WHERE len(tk) >= 5)), "
+        "dt AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk "
+        "  FROM documents), "
+        "dg AS (SELECT DISTINCT doc_id, ng AS ngram FROM ("
+        "  SELECT doc_id, unnest(list_transform("
+        "    generate_series(1, len(tk)-4), "
+        "    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], "
+        "    tk[i+4]))) AS ng FROM dt WHERE len(tk) >= 5)), "
+        "hits AS (SELECT dg.doc_id, count(*) AS n_hits FROM dg "
+        "  JOIN bg USING (ngram) GROUP BY dg.doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) "
+        "AS n_hits, coalesce(h.n_hits, 0) > 0 AS contaminated "
+        "FROM documents d LEFT JOIN hits h USING (doc_id)"
+    ).fetchdf()
+    check(
+        "decontaminate", seed, mine, ref,
+        ["doc_id"], ["n_hits", "contaminated"],
+    )
+
+    def shift(b):
+        import pyarrow.compute as pc
+
+        return b.set_column(
+            b.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(b.column("doc_id"), 1_000_000),
+        )
+
+    doubled = dds().union(
+        dds().map_batches(shift, batch_format="pyarrow")
+    )
+    mine = sorted(
+        r["doc_id"]
+        for r in exact_dedup(doubled).select_columns(["doc_id"]).take_all()
+    )
+    ref = sorted(
+        r
+        for (r,) in con.execute(
+            "WITH all_docs AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, text FROM documents) "
+            "SELECT min(doc_id) FROM all_docs GROUP BY text"
+        ).fetchall()
+    )
+    if mine != ref:
+        failures.append(("dedup_exact", seed))
+        print(f"FAIL dedup_exact seed={seed}", flush=True)
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -402,10 +607,11 @@ def main():
         window_family(seed)
         aggregate_family(seed)
         session_rank_family(seed)
+        text_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(17 comparisons per seed)"
+        "(25 comparisons per seed)"
     )
     for f in failures:
         print(" ", f)
