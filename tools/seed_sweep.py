@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers:
+Exit 0 = every comparison equal.  Each seed covers 34 comparisons:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / audience overlap / MAD flags /
@@ -19,6 +19,13 @@ Exit 0 = every comparison equal.  Each seed covers:
   - dense_rank and filter_top_quantile on BOTH cardinality paths
     (collected histogram AND the forced above-``max_distinct``
     data-plane fallback, same SQL oracle)
+  - token_stats / fingerprint / ngram_topk / idf_rarity /
+    rarest_token / rep_signals / decontaminate / exact_dedup
+    (text family, random multi-line corpora with empty docs, planted
+    duplicates, unicode + punctuation tokens)
+  - hash_join inner/left/semi/anti / interval range-count join /
+    heavy hitters (skewed) / per-group discrete quantiles / pivot
+    counts / hopping windows    (relational + sketch family)
 """
 
 import os
@@ -56,6 +63,13 @@ def check(name, seed, mine_df, ref_df, keys, vals):
                     break
             elif a.dtype.kind == "b" or b.dtype.kind == "b":
                 if a.astype(bool).tolist() != b.astype(bool).tolist():
+                    ok = False
+                    break
+            elif a.dtype.kind == "M" or b.dtype.kind == "M":
+                # NaT maps to the same int64 sentinel on both sides
+                av = a.to_numpy(dtype="datetime64[ns]").astype(np.int64)
+                bv = b.to_numpy(dtype="datetime64[ns]").astype(np.int64)
+                if not (av == bv).all():
                     ok = False
                     break
             elif a.dtype.kind in "OU" or b.dtype.kind in "OU":
@@ -597,6 +611,212 @@ def text_family(seed):
         print(f"FAIL dedup_exact seed={seed}", flush=True)
 
 
+def relational_family(seed):
+    """Joins, interval join, heavy hitters, quantiles, pivot and
+    hopping windows on random skewed tables."""
+    from console_log_parser_ray.stages.events import (
+        group_quantiles,
+        hopping_window_agg,
+        pivot_counts,
+    )
+    from console_log_parser_ray.stages.relational import (
+        hash_join,
+        range_count_join,
+    )
+    from console_log_parser_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(seed)
+    n, n_users = 3000, 60
+    # Zipf-ish skew + one planted hot user for the heavy-hitter bound
+    uid = rng.zipf(1.4, n).astype(np.int64) % n_users + 1
+    uid[rng.integers(0, n, n // 10)] = 7
+    ev = pa.table(
+        {
+            "event_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "user_id": pa.array(uid),
+            "ts": pa.array(
+                rng.integers(0, 40, n).astype(np.int64) * 400_000_000_000,
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(
+                rng.choice(
+                    ["click", "error", "purchase", "signup", "view"], n
+                )
+            ),
+            "value": pa.array(
+                np.floor(rng.uniform(-50, 50, n) * 100) / 100.0,
+                pa.float64(),
+            ),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(1, 801, dtype=np.int64)),
+            "o_custkey": pa.array(
+                rng.integers(1, n_users + 21, 800).astype(np.int64)
+            ),
+            "o_orderdate": pa.array(
+                rng.integers(0, 40, 800).astype(np.int64) * 400_000_000_000,
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(
+                np.arange(1, n_users + 31, dtype=np.int64)
+            ),
+            "c_nationkey": pa.array(
+                rng.integers(0, 25, n_users + 30).astype(np.int64)
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+    con.register("orders", orders)
+    con.register("customer", cust)
+    cds = lambda: ray.data.from_arrow(cust).repartition(5)  # noqa: E731
+    ods = lambda: ray.data.from_arrow(orders).repartition(5)  # noqa: E731
+    eds = lambda: ray.data.from_arrow(ev).repartition(7)  # noqa: E731
+
+    for how, sql in [
+        (
+            "inner",
+            "SELECT c.c_custkey, c.c_nationkey, o.o_orderkey, "
+            "o.o_orderdate FROM customer c "
+            "JOIN orders o ON c.c_custkey = o.o_custkey",
+        ),
+        (
+            "left",
+            "SELECT c.c_custkey, c.c_nationkey, o.o_orderkey, "
+            "o.o_orderdate FROM customer c "
+            "LEFT JOIN orders o ON c.c_custkey = o.o_custkey",
+        ),
+    ]:
+        mine = hash_join(
+            cds(), ods(), on="c_custkey", right_on="o_custkey",
+            how=how, n_buckets=16,
+        ).to_pandas()
+        ref = con.execute(sql).fetchdf()
+        check(
+            f"hash_join_{how}", seed, mine, ref,
+            ["c_custkey", "o_orderkey"],
+            ["c_nationkey", "o_orderdate"],
+        )
+
+    for how, pred in [("semi", "EXISTS"), ("anti", "NOT EXISTS")]:
+        mine = hash_join(
+            cds(), ods(), on="c_custkey", right_on="o_custkey",
+            how=how, n_buckets=16,
+        ).to_pandas()
+        ref = con.execute(
+            "SELECT c_custkey, c_nationkey FROM customer c "
+            f"WHERE {pred} (SELECT 1 FROM orders "
+            "WHERE o_custkey = c.c_custkey)"
+        ).fetchdf()
+        check(
+            f"hash_join_{how}", seed, mine, ref,
+            ["c_custkey"], ["c_nationkey"],
+        )
+
+    week_us = 7 * 86400 * 1_000_000
+
+    def add_end(b):
+        import pyarrow.compute as pc
+
+        start = b.column("o_orderdate").cast(pa.int64())
+        return b.append_column(
+            "o_end", pc.add(start, pa.scalar(week_us, pa.int64()))
+        )
+
+    mine = range_count_join(
+        ods().map_batches(add_end, batch_format="pyarrow"),
+        eds().select_columns(["user_id", "ts"]),
+        on="o_custkey",
+        right_on="user_id",
+        start_col="o_orderdate",
+        end_col="o_end",
+        ts_col="ts",
+        keep_cols=["o_orderkey"],
+        n_buckets=16,
+    ).to_pandas()
+    ref = con.execute(
+        "SELECT o.o_orderkey, CAST(count(e.user_id) AS BIGINT) "
+        "AS n_events FROM orders o LEFT JOIN events e "
+        "ON e.user_id = o.o_custkey "
+        "AND e.ts >= o.o_orderdate "
+        "AND e.ts < o.o_orderdate + INTERVAL 7 DAY "
+        "GROUP BY o.o_orderkey"
+    ).fetchdf()
+    check(
+        "range_count_join", seed, mine, ref, ["o_orderkey"], ["n_events"]
+    )
+
+    k = 20
+    mine = heavy_hitters(
+        eds().select_columns(["user_id"]), "user_id", k=k
+    ).to_pandas()
+    ref = con.execute(
+        "SELECT user_id, count(*) AS n FROM events GROUP BY user_id "
+        f"HAVING count(*) * {k} > (SELECT count(*) FROM events)"
+    ).fetchdf()
+    if len(ref) == 0:
+        raise RuntimeError("heavy-hitter oracle empty; adjust skew")
+    check("heavy_hitters", seed, mine, ref, ["user_id"], ["n"])
+
+    mine = group_quantiles(
+        eds().select_columns(["event_type", "value"]),
+        "event_type",
+        "value",
+        qs=(0.5, 0.95),
+    ).to_pandas()
+    ref = con.execute(
+        "SELECT event_type, "
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50, "
+        "percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95 "
+        "FROM events GROUP BY event_type"
+    ).fetchdf()
+    check(
+        "group_quantiles", seed, mine, ref, ["event_type"], ["p50", "p95"]
+    )
+
+    mine = pivot_counts(
+        eds().select_columns(["user_id", "event_type"]),
+        "user_id",
+        "event_type",
+        categories=("click", "error", "purchase", "signup", "view"),
+    ).to_pandas()
+    ref = con.execute(
+        "SELECT user_id, "
+        "count(*) FILTER (WHERE event_type = 'click') AS n_click, "
+        "count(*) FILTER (WHERE event_type = 'error') AS n_error, "
+        "count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase, "
+        "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
+        "count(*) FILTER (WHERE event_type = 'view') AS n_view "
+        "FROM events GROUP BY user_id"
+    ).fetchdf()
+    check(
+        "pivot_counts", seed, mine, ref,
+        ["user_id"],
+        ["n_click", "n_error", "n_purchase", "n_signup", "n_view"],
+    )
+
+    mine = hopping_window_agg(
+        eds().select_columns(["event_type", "ts", "value"])
+    ).to_pandas()
+    ref = con.execute(
+        "WITH x AS (SELECT event_type, value, "
+        "unnest(generate_series(epoch_us(ts) // 900000000 - 3, "
+        'epoch_us(ts) // 900000000)) AS "window" FROM events) '
+        'SELECT event_type, "window", count(*) AS n, '
+        "max(value) AS value_max FROM x GROUP BY 1, 2"
+    ).fetchdf()
+    check(
+        "hopping_window", seed, mine, ref,
+        ["event_type", "window"], ["n", "value_max"],
+    )
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -608,10 +828,11 @@ def main():
         aggregate_family(seed)
         session_rank_family(seed)
         text_family(seed)
+        relational_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(25 comparisons per seed)"
+        "(34 comparisons per seed)"
     )
     for f in failures:
         print(" ", f)
