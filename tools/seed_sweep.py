@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 34 comparisons:
+Exit 0 = every comparison equal.  Each seed covers 39 comparisons:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / audience overlap / MAD flags /
@@ -26,6 +26,9 @@ Exit 0 = every comparison equal.  Each seed covers 34 comparisons:
   - hash_join inner/left/semi/anti / interval range-count join /
     heavy hitters (skewed) / per-group discrete quantiles / pivot
     counts / hopping windows    (relational + sketch family)
+  - minhash planted recall / simhash banding == brute hamming /
+    embedding near-dups == numpy all-pairs (+ IVF recall) / exact
+    kNN == numpy                (dedup + similarity family)
 """
 
 import os
@@ -817,6 +820,155 @@ def relational_family(seed):
     )
 
 
+def dedup_family(seed):
+    """MinHash planted-pair recall, SimHash banding vs brute-force
+    hamming, embedding near-dups vs a numpy all-pairs reference, and
+    exact kNN vs numpy -- seeded fresh each run."""
+    from console_log_parser_ray.stages.dedup import (
+        _simhash64,
+        embedding_near_dups,
+        minhash_near_dups,
+        ngram_jaccard,
+        simhash_near_dups,
+    )
+    from console_log_parser_ray.stages.similarity import knn_bruteforce
+
+    rng = np.random.default_rng(seed)
+
+    # --- minhash: planted ~0.8-jaccard pairs must be recovered
+    vocab = [f"w{i}" for i in range(5000)]
+    texts, ids = [], []
+    for i in range(60):
+        toks = [vocab[x] for x in rng.integers(0, len(vocab), 80)]
+        texts.append(" ".join(toks))
+        ids.append(i)
+        toks2 = [t for j, t in enumerate(toks) if j % 20 != 0]
+        texts.append(" ".join(toks2))
+        ids.append(i + 1000)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_dups(
+            ray.data.from_arrow(tbl), threshold=0.5
+        ).take_all()
+    }
+    planted = {(i, i + 1000) for i in range(60)}
+    textmap = dict(zip(ids, texts))
+    recall = len(got & planted) / len(planted)
+    fps = [
+        (a, b)
+        for a, b in got
+        if ngram_jaccard(textmap[a], textmap[b]) < 0.5
+    ]
+    if recall < 0.95 or fps:
+        failures.append(("minhash", seed))
+        print(f"FAIL minhash seed={seed} recall={recall} fps={fps[:3]}",
+              flush=True)
+
+    # --- simhash banding == brute-force hamming<=3 (full recall is a
+    # pigeonhole guarantee, not probabilistic)
+    svocab = np.array([f"t{i}" for i in range(40)])
+    stexts = [
+        " ".join(rng.choice(svocab, 30)) for _ in range(150)
+    ]
+    # planted low-hamming neighbors: copy with one token changed
+    for i in range(0, 150, 10):
+        t = stexts[i].split()
+        t[rng.integers(0, 30)] = "t0"
+        stexts[min(i + 1, 149)] = " ".join(t)
+    st = pa.table(
+        {
+            "doc_id": pa.array(np.arange(150, dtype=np.int64)),
+            "text": pa.array(stexts),
+        }
+    )
+    sigs = [_simhash64(t) for t in stexts]
+    brute = set()
+    for i in range(150):
+        for j in range(i + 1, 150):
+            if bin(sigs[i] ^ sigs[j]).count("1") <= 3:
+                brute.add((i, j))
+    mine = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dups(
+            ray.data.from_arrow(st), max_hamming=3
+        ).take_all()
+    }
+    if mine != brute:
+        failures.append(("simhash_pairs", seed))
+        print(f"FAIL simhash_pairs seed={seed}", flush=True)
+
+    # --- embedding near-dups: brute == numpy all-pairs; IVF subset
+    centers = rng.normal(size=(6, 12)) * 4
+    base = np.concatenate(
+        [c + rng.normal(size=(40, 12)) * 0.5 for c in centers]
+    )
+    noise = rng.normal(size=base.shape)
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    dup = base + 0.02 * np.linalg.norm(base, axis=1, keepdims=True) * noise
+    vids = list(range(len(base))) + [i + 10_000 for i in range(len(dup))]
+    mat = np.concatenate([base, dup])
+    vt = pa.table(
+        {
+            "vec_id": pa.array(vids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in mat]),
+        }
+    )
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    ref_pairs = set()
+    thr = 0.99
+    for i in range(len(vids)):
+        for j in range(i + 1, len(vids)):
+            if sims[i, j] >= thr:
+                a, b = sorted((vids[i], vids[j]))
+                ref_pairs.add((a, b))
+    ds = ray.data.from_arrow(vt)
+    brute_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in embedding_near_dups(
+            ds, threshold=thr, method="brute"
+        ).take_all()
+    }
+    if brute_pairs != ref_pairs or not ref_pairs:
+        failures.append(("embed_brute", seed))
+        print(f"FAIL embed_brute seed={seed}", flush=True)
+    ivf = {
+        (r["doc_a"], r["doc_b"])
+        for r in embedding_near_dups(
+            ds, threshold=thr, n_clusters=6, n_probe=2
+        ).take_all()
+    }
+    if not (ivf <= brute_pairs) or (
+        brute_pairs and len(ivf & brute_pairs) / len(brute_pairs) < 0.98
+    ):
+        failures.append(("embed_ivf", seed))
+        print(f"FAIL embed_ivf seed={seed}", flush=True)
+
+    # --- exact kNN vs numpy
+    kmat = rng.normal(size=(200, 16)).astype(np.float32)
+    kt = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in kmat]),
+        }
+    )
+    q_ids = [0, 1, 2]
+    res = knn_bruteforce(
+        ray.data.from_arrow(kt), (q_ids, kmat[:3].tolist()), k=5
+    ).take_all()
+    qn = kmat[:3] / np.linalg.norm(kmat[:3], axis=1, keepdims=True)
+    mn = kmat / np.linalg.norm(kmat, axis=1, keepdims=True)
+    ksims = qn @ mn.T
+    for qi in q_ids:
+        want = set(np.argsort(-ksims[qi])[:5].tolist())
+        got = {r["vec_id"] for r in res if r["query_id"] == qi}
+        if got != want:
+            failures.append(("knn", seed))
+            print(f"FAIL knn seed={seed} q={qi}", flush=True)
+            break
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -829,10 +981,11 @@ def main():
         session_rank_family(seed)
         text_family(seed)
         relational_family(seed)
+        dedup_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(34 comparisons per seed)"
+        "(39 comparisons per seed)"
     )
     for f in failures:
         print(" ", f)
