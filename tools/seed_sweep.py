@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 39 comparisons:
+Exit 0 = every comparison equal.  Each seed covers 40 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / audience overlap / MAD flags /
@@ -29,13 +29,21 @@ Exit 0 = every comparison equal.  Each seed covers 39 comparisons:
   - minhash planted recall / simhash banding == brute hamming /
     embedding near-dups == numpy all-pairs (+ IVF recall) / exact
     kNN == numpy                (dedup + similarity family)
+  - 12 fresh synthetic conversations: generator ground truth ==
+    in-process reference oracle == engine scan, per turn
+    (transcript family)
 """
 
 import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-for p in (REPO, os.path.join(REPO, "tests")):
+for p in (
+    REPO,
+    os.path.join(REPO, "tests"),
+    os.path.join(REPO, "tools"),
+    "/root/reference",
+):
     if p not in sys.path:
         sys.path.insert(0, p)
 # Ray workers resolve the package relative to the driver cwd
@@ -969,6 +977,50 @@ def dedup_family(seed):
             break
 
 
+def transcript_family(seed):
+    """Three-way agreement on fresh synthetic conversations: generator
+    ground truth == in-process reference oracle == engine scan, per
+    turn (clean text, role, command, cmd_count, in_vim).  The
+    transcript-domain analog of the DuckDB sweeps; needs
+    /root/reference on sys.path (skipped with a notice if absent)."""
+    try:
+        from refbridge import run_reference
+    except ImportError:
+        print("transcript family skipped: /root/reference not available")
+        return
+    from console_log_parser_ray.sources.synth import gen_conversation
+    from console_log_parser_ray.stages.scan import (
+        _fast_hints,
+        scan_conversation,
+    )
+
+    for ci in range(12):
+        turns = gen_conversation(ci, seed=seed, mean_turns=40)
+        lines = [(t.text + "\n").encode() for t in turns]
+        oracle = run_reference(lines)
+        texts = [t.text for t in turns]
+        hints = _fast_hints(pa.chunked_array([pa.array(texts)]))
+        cols, _ = scan_conversation(
+            "c", texts, list(range(len(texts))), [0] * len(texts),
+            hints=hints,
+        )
+        for i, t in enumerate(turns):
+            if not (
+                t.clean == oracle.per_line[i]
+                and cols["clean_text"][i] == t.clean
+                and cols["role"][i] == t.role
+                and cols["cmd_count"][i] == t.cmd
+                and cols["in_vim"][i] == t.in_vim
+                and cols["command"][i] == t.command
+            ):
+                failures.append(("transcript", seed))
+                print(
+                    f"FAIL transcript seed={seed} conv={ci} turn={i}",
+                    flush=True,
+                )
+                return
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -982,10 +1034,11 @@ def main():
         text_family(seed)
         relational_family(seed)
         dedup_family(seed)
+        transcript_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(39 comparisons per seed)"
+        "(40 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
