@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 40 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 41 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / audience overlap / MAD flags /
@@ -27,8 +27,9 @@ Exit 0 = every comparison equal.  Each seed covers 40 comparison groups:
     heavy hitters (skewed) / per-group discrete quantiles / pivot
     counts / hopping windows    (relational + sketch family)
   - minhash planted recall / simhash banding == brute hamming /
-    embedding near-dups == numpy all-pairs (+ IVF recall) / exact
-    kNN == numpy                (dedup + similarity family)
+    embedding near-dups == numpy all-pairs (+ IVF recall) /
+    deterministic k-means == numpy Lloyd's / exact kNN == numpy
+                                (dedup + similarity family)
   - 12 fresh synthetic conversations: generator ground truth ==
     in-process reference oracle == engine scan, per turn
     (transcript family)
@@ -953,6 +954,43 @@ def dedup_family(seed):
         failures.append(("embed_ivf", seed))
         print(f"FAIL embed_ivf seed={seed}", flush=True)
 
+    # --- deterministic Lloyd's k-means vs a numpy reference (same
+    # seeding rule: vectors of the k smallest ids; same tie/empty
+    # semantics)
+    from console_log_parser_ray.stages.similarity import kmeans_clusters
+
+    kvecs = rng.normal(size=(120, 8)).astype(np.float64)
+    kids = rng.permutation(10_000)[:120].astype(np.int64)
+    ktbl = pa.table(
+        {
+            "vec_id": pa.array(kids),
+            "embedding": pa.array([list(map(float, v)) for v in kvecs]),
+        }
+    )
+    kk, n_assign = 5, 2
+    mine_map = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_clusters(
+            ray.data.from_arrow(ktbl).repartition(7), k=kk,
+            n_assign=n_assign,
+        ).take_all()
+    }
+    order = np.argsort(kids)
+    cents = kvecs[order[:kk]].copy()
+    assign = None
+    for it in range(n_assign):
+        d2 = ((kvecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        if it < n_assign - 1:
+            for j in range(kk):
+                m = assign == j
+                if m.any():
+                    cents[j] = kvecs[m].mean(axis=0)
+    ref_map = dict(zip(kids.tolist(), assign.tolist()))
+    if mine_map != ref_map:
+        failures.append(("kmeans", seed))
+        print(f"FAIL kmeans seed={seed}", flush=True)
+
     # --- exact kNN vs numpy
     kmat = rng.normal(size=(200, 16)).astype(np.float32)
     kt = pa.table(
@@ -1038,7 +1076,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(40 comparison groups per seed)"
+        "(41 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
