@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 41 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 51 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / audience overlap / MAD flags /
@@ -33,6 +33,10 @@ Exit 0 = every comparison equal.  Each seed covers 41 comparison groups:
   - 12 fresh synthetic conversations: generator ground truth ==
     in-process reference oracle == engine scan, per turn
     (transcript family)
+  - JSON field extraction / ordered collect_list / context-window
+    chunking / sequence packing / domain mixing / shard placement /
+    deterministic sampling / groupby aggregates / tumbling windows /
+    per-user gap quantization   (misc projection + export family)
 """
 
 import os
@@ -1059,6 +1063,261 @@ def transcript_family(seed):
                 return
 
 
+def misc_family(seed):
+    """The projection / export / sampling shapes: JSON field
+    extraction, ordered collect_list, context-window chunking,
+    sequence packing, domain mixing, shard placement, deterministic
+    sampling, groupby aggregates, tumbling windows, and per-user gap
+    quantization."""
+    from console_log_parser_ray.sources.asciinema import quantize_gaps
+    from console_log_parser_ray.stages.events import (
+        deterministic_sample,
+        extract_json_int,
+        tumbling_window_agg,
+        user_history,
+    )
+    from console_log_parser_ray.stages.export import (
+        mix_domains,
+        pack_sequences,
+        shard_assignments,
+    )
+    from console_log_parser_ray.stages.textan import chunk_documents
+    from ray.data.aggregate import Count, Max, Min
+
+    rng = np.random.default_rng(seed)
+    n, n_users = 2500, 41
+    kvals = rng.integers(-500, 500, n)
+    props = [
+        (
+            '{"k": %d, "x": "y"}' % kvals[i]
+            if i % 3 != 0
+            else '{"x": "y"}'
+        )
+        for i in range(n)
+    ]
+    ev = pa.table(
+        {
+            "event_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "user_id": pa.array(
+                rng.integers(1, n_users + 1, n).astype(np.int64)
+            ),
+            "ts": pa.array(
+                rng.integers(0, 5000, n).astype(np.int64) * 173_000,
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(
+                rng.choice(
+                    ["click", "error", "purchase", "signup", "view"], n
+                )
+            ),
+            "value": pa.array(
+                np.floor(rng.uniform(-50, 50, n) * 100) / 100.0,
+                pa.float64(),
+            ),
+            "props": pa.array(props),
+        }
+    )
+    vocab = np.array(["w%d" % i for i in range(30)])
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 90)))
+        for _ in range(200)
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(1, 201, dtype=np.int64)),
+            "text": pa.array(texts),
+            "source": pa.array(
+                ["src%d" % i for i in rng.integers(0, 8, 200)]
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+    con.register("documents", docs)
+    eds = lambda: ray.data.from_arrow(ev).repartition(7)  # noqa: E731
+    dds = lambda: ray.data.from_arrow(docs).repartition(7)  # noqa: E731
+
+    mine = extract_json_int(
+        eds().select_columns(["event_id", "props"]), col="props", key="k"
+    ).to_pandas()
+    ref = con.execute(
+        "SELECT event_id, TRY_CAST(NULLIF(regexp_extract(props, "
+        "'\"k\":\\s*(-?\\d+)', 1), '') AS BIGINT) AS k FROM events"
+    ).fetchdf()
+    check("props_extract", seed, mine, ref, ["event_id"], ["k"])
+
+    mine = user_history(
+        eds().select_columns(
+            ["event_id", "user_id", "ts", "event_type"]
+        ),
+        k=3,
+    ).to_pandas()
+    ref = con.execute(
+        "SELECT user_id, array_to_string("
+        "list(event_type ORDER BY ts, event_id)[1:3], ',') "
+        "AS first_k, count(*) AS n_events "
+        "FROM events GROUP BY user_id"
+    ).fetchdf()
+    check(
+        "user_history", seed, mine, ref,
+        ["user_id"], ["first_k", "n_events"],
+    )
+
+    mine = chunk_documents(
+        dds().select_columns(["doc_id", "text"]), size=32, overlap=8
+    ).to_pandas()
+    ref = con.execute(
+        "WITH t AS (SELECT doc_id, "
+        "  regexp_extract_all(text, '\\S+') AS tk FROM documents), "
+        "s AS (SELECT doc_id, tk, len(tk) AS n FROM t "
+        "  WHERE len(tk) > 0), "
+        "c AS (SELECT doc_id, tk, n, "
+        "  unnest(generate_series(0, (n-1)//24)) AS chunk_idx "
+        "  FROM s) "
+        "SELECT doc_id, chunk_idx, "
+        "len(tk[chunk_idx*24+1 : chunk_idx*24+32]) AS n_chunk_tokens, "
+        "array_to_string(tk[chunk_idx*24+1 : chunk_idx*24+32], ' ') "
+        "  AS chunk_text FROM c"
+    ).fetchdf()
+    check(
+        "chunk_docs", seed, mine, ref,
+        ["doc_id", "chunk_idx"], ["n_chunk_tokens", "chunk_text"],
+    )
+
+    mine = pack_sequences(
+        dds().select_columns(["doc_id", "text"]), budget=512, n_shards=16
+    ).to_pandas()
+    ref = con.execute(
+        "WITH t AS (SELECT doc_id, "
+        "  ((doc_id & 2147483647) * 2654435761) "
+        "  % 4294967296 % 16 AS shard, "
+        "  len(regexp_extract_all(text, '\\S+')) AS n_tokens "
+        "  FROM documents), "
+        "c AS (SELECT doc_id, shard, n_tokens, "
+        "  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+        "  ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
+        "SELECT doc_id, shard, n_tokens, "
+        "CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id FROM c"
+    ).fetchdf()
+    check(
+        "pack_sequences", seed, mine, ref,
+        ["doc_id"], ["shard", "n_tokens", "pack_id"],
+    )
+
+    mine = mix_domains(
+        dds().select_columns(["doc_id", "source"]),
+        weight_fn=lambda s: int(s[3:]) % 4 + 1,
+    ).to_pandas()
+    ref = con.execute(
+        "WITH b AS (SELECT source, count(*) AS n, "
+        "  CAST(source[4:] AS BIGINT) % 4 + 1 AS wt "
+        "  FROM documents GROUP BY source), "
+        "m AS (SELECT n AS mn, wt AS mw FROM b "
+        "  ORDER BY n * 1.0 / wt, source LIMIT 1), "
+        "th AS (SELECT source, (4294967296 * (SELECT mn FROM m) "
+        "  * wt) // ((SELECT mw FROM m) * n) AS thr FROM b) "
+        "SELECT d.doc_id, d.source FROM documents d "
+        "JOIN th USING (source) "
+        "WHERE ((doc_id & 2147483647) * 2654435761) "
+        "% 4294967296 < thr"
+    ).fetchdf()
+    check("mix_domains", seed, mine, ref, ["doc_id"], ["source"])
+
+    mine = shard_assignments(
+        dds().select_columns(["doc_id"]), n_shards=16
+    ).to_pandas()
+    ref = con.execute(
+        "SELECT doc_id, ((doc_id & 2147483647) * 2654435761) "
+        "% 4294967296 % 16 AS shard FROM documents"
+    ).fetchdf()
+    check("shard_assign", seed, mine, ref, ["doc_id"], ["shard"])
+
+    mine = deterministic_sample(dds(), rate_pct=10).select_columns(
+        ["doc_id"]
+    ).to_pandas()
+    ref = con.execute(
+        "SELECT doc_id FROM documents "
+        "WHERE ((doc_id & 2147483647) * 2654435761) % 4294967296 "
+        "< 429496729"
+    ).fetchdf()
+    check("sample_docs", seed, mine, ref, ["doc_id"], [])
+
+    mine = (
+        eds()
+        .groupby("event_type")
+        .aggregate(Count(), Min("value"), Max("value"))
+        .rename_columns(
+            {"count()": "n", "min(value)": "vmin", "max(value)": "vmax"}
+        )
+        .to_pandas()
+    )
+    ref = con.execute(
+        "SELECT event_type, count(*) AS n, min(value) AS vmin, "
+        "max(value) AS vmax FROM events GROUP BY event_type"
+    ).fetchdf()
+    check(
+        "events_agg", seed, mine, ref,
+        ["event_type"], ["n", "vmin", "vmax"],
+    )
+
+    mine = tumbling_window_agg(eds()).to_pandas()
+    ref = con.execute(
+        "SELECT event_type, epoch_us(ts) // 3600000000 AS window, "
+        "count(*) AS n, max(value) AS value_max "
+        "FROM events GROUP BY 1, 2"
+    ).fetchdf()
+    check(
+        "tumbling_window", seed, mine, ref,
+        ["event_type", "window"], ["n", "value_max"],
+    )
+
+    # per-user gap quantization (reference frame-gap table semantics)
+    def per_user(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(
+            [("ts", "ascending"), ("event_id", "ascending")]
+        )
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(ts) < 2:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "gap_q": pa.array([], pa.float64()),
+                }
+            )
+        gaps = np.diff(ts) / 1e6
+        q = quantize_gaps(gaps)
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id").slice(1),
+                "gap_q": pa.array(q, pa.float64()),
+            }
+        )
+
+    mine = (
+        eds()
+        .select_columns(["event_id", "user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .to_pandas()
+    )
+    ref = con.execute(
+        "WITH g AS (SELECT event_id, "
+        "(epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id)) / 1000000.0 "
+        "AS gap FROM events) "
+        "SELECT event_id, CAST(CASE "
+        "WHEN gap >= 4 THEN 4 WHEN gap >= 2 THEN 2 "
+        "WHEN gap >= 1 THEN 1 WHEN gap >= 0.5 THEN 0.5 "
+        "WHEN gap >= 0.3 THEN 0.3 WHEN gap >= 0.18 THEN 0.18 "
+        "WHEN gap >= 0.1 THEN 0.1 WHEN gap >= 0.03 THEN 0.03 "
+        "ELSE gap END AS DOUBLE) AS gap_q "
+        "FROM g WHERE gap IS NOT NULL"
+    ).fetchdf()
+    check("quantize_gaps", seed, mine, ref, ["event_id"], ["gap_q"])
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -1073,10 +1332,11 @@ def main():
         relational_family(seed)
         dedup_family(seed)
         transcript_family(seed)
+        misc_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(41 comparison groups per seed)"
+        "(51 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
