@@ -685,6 +685,50 @@ def _q_rep_signals(sf_dir: str):
     return rep_signals(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_line_dedup(sf_dir: str):
+    """Corpus-level duplicate-line removal (C4 / CCNet boilerplate
+    strip): any non-empty line appearing in >= 2 distinct documents is
+    dropped from every document; documents are re-joined from the kept
+    lines in order.  Line document-frequencies are computed locally in
+    line-hash buckets (the idf_rarity shape -- no banned-set broadcast,
+    no driver collect), reassembly rides the shared vectorized
+    sort + binary_join used by conversation_texts.
+
+    The synthetic documents table is single-line, so the query plants
+    the boilerplate it must strip (mirrored in the SQL oracle): each
+    doc gains a footer line shared by its doc_id%7 group (banned --
+    df ~ docs/7) and a trailing empty line (structural, always kept),
+    while the original unique body line must survive."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from console_log_parser_ray.stages.dedup import line_dedup
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").cast(pa.int64())
+        footer = pc.binary_join_element_wise(
+            "BOILERPLATE-",
+            pc.cast(
+                pc.subtract(
+                    ids, pc.multiply(pc.divide(ids, 7), 7)
+                ),
+                pa.string(),
+            ),
+            "",
+        )
+        text = pc.binary_join_element_wise(
+            pc.fill_null(b.column("text"), ""), footer, "", "\n"
+        )
+        return pa.table({"doc_id": ids, "text": text})
+
+    planted = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+    )
+    return line_dedup(planted)
+
+
 def _q_quality(sf_dir: str):
     from console_log_parser_ray.stages.textan import quality_scores
 
@@ -1821,6 +1865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "token_stats": _q_token_stats,
         "rep_signals": _q_rep_signals,
+        "line_dedup": _q_line_dedup,
         "shard_assign": _q_shard_assign,
         "pack_sequences": _q_pack_sequences,
         "mix_domains": _q_mix_domains,
@@ -2212,6 +2257,36 @@ def oracle_sql() -> dict[str, str]:
             "  AS dup_line_frac, "
             "coalesce(agg.t * 1.0 / agg.n, 0.0) AS top_line_frac "
             "FROM documents doc LEFT JOIN agg USING (doc_id)"
+        ),
+        "line_dedup": (
+            # same definition (and the same planted boilerplate) as
+            # the engine: newline-split lines, a non-empty line in
+            # >= 2 distinct docs is banned everywhere, docs rebuilt
+            # from kept lines in order
+            "WITH planted AS (SELECT doc_id, coalesce(text, '') || "
+            "  chr(10) || 'BOILERPLATE-' || "
+            "  CAST(doc_id % 7 AS VARCHAR) || chr(10) AS text "
+            "  FROM documents), "
+            "lines AS (SELECT doc_id, unnest(ls) AS line, "
+            "  unnest(generate_series(1, len(ls))) AS li "
+            "  FROM (SELECT doc_id, string_split(coalesce(text, ''), "
+            "    chr(10)) AS ls FROM planted)), "
+            "df AS (SELECT line, count(DISTINCT doc_id) AS d "
+            "  FROM lines WHERE line <> '' GROUP BY line), "
+            "banned AS (SELECT line FROM df WHERE d >= 2), "
+            "kept AS (SELECT l.doc_id, l.li, l.line FROM lines l "
+            "  WHERE l.line = '' OR l.line NOT IN "
+            "    (SELECT line FROM banned)), "
+            "agg AS (SELECT doc_id, string_agg(line, chr(10) "
+            "  ORDER BY li) AS clean_text, count(*) AS n_kept "
+            "  FROM kept GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, count(*) AS n FROM lines "
+            "  GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "coalesce(a.clean_text, '') AS clean_text, "
+            "CAST(t.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed "
+            "FROM planted d JOIN tot t USING (doc_id) "
+            "LEFT JOIN agg a USING (doc_id)"
         ),
         "quality": (
             "SELECT doc_id, "

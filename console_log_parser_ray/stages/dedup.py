@@ -1473,3 +1473,181 @@ def conversation_texts(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def line_dedup(
+    ds,
+    text_col="text",
+    id_col="doc_id",
+    min_df: int = 2,
+    n_buckets: int = 64,
+):
+    """Corpus-level duplicate-LINE removal (the C4 / CCNet curation
+    step: any non-empty line that appears in ``min_df`` or more
+    distinct documents is boilerplate -- navigation chrome, license
+    headers, cookie banners -- and is stripped from EVERY document;
+    empty lines are structural and never banned).
+
+    Output: one row per input document -- ``doc_id``, ``clean_text``
+    (the kept lines re-joined with ``\\n`` in original order; ``""``
+    when every line was banned) and ``n_removed`` (lines dropped).
+
+    Plan (two shuffles, both on coarse hash buckets):
+
+    1. explode each batch to (line-bucket, doc, line_idx, line,
+       n_lines) rows with one vectorized split; every occurrence of a
+       given line string lands in ONE line-hash bucket, so its corpus
+       document-frequency is a local bincount there (the ``idf_rarity``
+       shape -- no line-keyed groupby, no banned-set broadcast, no
+       driver collect).  A sentinel row per document (line_idx = -1)
+       guarantees docs whose every line is banned still surface.
+    2. inside each line bucket: df per distinct line over distinct
+       (line, doc) pairs, drop rows of banned lines, emit survivors
+       keyed by a doc bucket; then one doc-bucket groupby reassembles
+       each document with the shared vectorized sort + ``binary_join``
+       reassembly used by ``conversation_texts``.
+
+    At 100 TB both shuffles move only the text that survives plus
+    O(docs) sentinel rows; dispatch is bounded by the bucket count,
+    never by line cardinality.  Empty lines and sentinels are bucketed
+    by doc id so the (huge) blank-line equivalence class never funnels
+    through one worker.
+    """
+    from .textan import _TOK_HASH_MEMO, _token_bucket_hashes
+
+    def explode(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b.column(text_col).combine_chunks(), "")
+        ids = b.column(id_col).combine_chunks().cast(pa.int64())
+        lists = pc.split_pattern(texts, pattern="\n")
+        flat = lists.flatten()
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offsets = offsets - offsets[0]
+        n_lines = np.diff(offsets)
+        row_idx = np.repeat(np.arange(len(texts), dtype=np.int64), n_lines)
+        line_idx = np.arange(len(flat), dtype=np.int64) - offsets[row_idx]
+        doc_rep = ids.take(pa.array(row_idx, pa.int64()))
+        docs_np = doc_rep.to_numpy(zero_copy_only=False)
+        # line-hash bucket for non-empty lines (all occurrences of a
+        # line in one group); empty lines are never banned, so spread
+        # them (and the sentinels) by doc id instead of funneling the
+        # blank-line class through a single bucket
+        enc = pc.dictionary_encode(flat)
+        dict_hash = _token_bucket_hashes(enc.dictionary, _TOK_HASH_MEMO)
+        lb = dict_hash[enc.indices.to_numpy(zero_copy_only=False)] % (
+            n_buckets
+        )
+        empty = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        lb = np.where(empty, docs_np % n_buckets, lb).astype(np.int32)
+        body = pa.table(
+            {
+                "lb": pa.array(lb, pa.int32()),
+                id_col: doc_rep,
+                "line_idx": pa.array(line_idx, pa.int64()),
+                "line": flat,
+                "n_lines": pa.array(n_lines[row_idx], pa.int64()),
+            }
+        )
+        sentinel = pa.table(
+            {
+                "lb": pa.array(
+                    (
+                        ids.to_numpy(zero_copy_only=False) % n_buckets
+                    ).astype(np.int32),
+                    pa.int32(),
+                ),
+                id_col: ids,
+                "line_idx": pa.array(
+                    np.full(len(ids), -1, np.int64), pa.int64()
+                ),
+                "line": pa.array([""] * len(ids), pa.string()),
+                "n_lines": pa.array(n_lines, pa.int64()),
+            }
+        )
+        return pa.concat_tables([body, sentinel])
+
+    def ban_in_bucket(tbl: pa.Table) -> pa.Table:
+        lines = tbl.column("line").combine_chunks()
+        docs = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        li = tbl.column("line_idx").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(lines)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        # df per distinct line over distinct (line, doc) pairs; only
+        # real non-empty rows participate (sentinels carry line_idx -1,
+        # empty lines are structural)
+        real = (li >= 0) & ~pc.equal(
+            enc.dictionary, ""
+        ).to_numpy(zero_copy_only=False)[codes]
+        order = np.lexsort((docs[real], codes[real]))
+        c_s, d_s = codes[real][order], docs[real][order]
+        first = np.ones(len(c_s), dtype=bool)
+        if len(c_s) > 1:
+            first[1:] = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
+        df = np.bincount(
+            c_s[first], minlength=len(enc.dictionary)
+        ).astype(np.int64)
+        banned_row = real & (df[codes] >= min_df)
+        keep = ~banned_row
+        out = tbl.filter(pa.array(keep)).drop_columns(["lb", "line"])
+        kept_lines = lines.filter(pa.array(keep))
+        docs_kept = out.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "db": pa.array(
+                    (docs_kept % n_buckets).astype(np.int32), pa.int32()
+                ),
+                id_col: out.column(id_col),
+                "line_idx": out.column("line_idx"),
+                "line": kept_lines,
+                "n_lines": out.column("n_lines"),
+            }
+        )
+
+    def reassemble(tbl: pa.Table) -> pa.Table:
+        li = tbl.column("line_idx").to_numpy(zero_copy_only=False)
+        sent = tbl.filter(pa.array(li < 0))
+        body = tbl.filter(pa.array(li >= 0))
+        doc_ids, joined, n_kept = _conv_joined(
+            body, id_col, "line_idx", "line"
+        )
+        # every doc has exactly one sentinel in this bucket; align
+        # n_lines onto the reassembled docs by position, then append
+        # the docs whose every line was banned (no kept rows at all)
+        all_ids = sent.column(id_col).to_numpy(zero_copy_only=False)
+        n_lines = sent.column("n_lines").to_numpy(zero_copy_only=False)
+        order = np.argsort(all_ids, kind="stable")
+        all_sorted, nl_sorted = all_ids[order], n_lines[order]
+        kept_np = doc_ids.to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(all_sorted, kept_np)
+        with_kept = pa.table(
+            {
+                id_col: doc_ids,
+                "clean_text": joined,
+                "n_removed": pa.array(
+                    nl_sorted[pos] - n_kept, pa.int64()
+                ),
+            }
+        )
+        hit = np.zeros(len(all_sorted), dtype=bool)
+        hit[pos] = True
+        empty_docs = pa.table(
+            {
+                id_col: pa.array(all_sorted[~hit], pa.int64()),
+                "clean_text": pa.array(
+                    [""] * int((~hit).sum()), pa.string()
+                ),
+                "n_removed": pa.array(nl_sorted[~hit], pa.int64()),
+            }
+        )
+        return pa.concat_tables([with_kept, empty_docs])
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("lb")
+        .map_groups(ban_in_bucket, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(reassemble, batch_format="pyarrow")
+    )
