@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 51 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 52 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / audience overlap / MAD flags /
@@ -20,7 +20,8 @@ Exit 0 = every comparison equal.  Each seed covers 51 comparison groups:
     (collected histogram AND the forced above-``max_distinct``
     data-plane fallback, same SQL oracle)
   - token_stats / fingerprint / ngram_topk / idf_rarity /
-    rarest_token / rep_signals / decontaminate / exact_dedup
+    rarest_token / rep_signals / decontaminate / exact_dedup /
+    corpus line_dedup
     (text family, random multi-line corpora with empty docs, planted
     duplicates, unicode + punctuation tokens)
   - hash_join inner/left/semi/anti / interval range-count join /
@@ -625,6 +626,40 @@ def text_family(seed):
     if mine != ref:
         failures.append(("dedup_exact", seed))
         print(f"FAIL dedup_exact seed={seed}", flush=True)
+
+    from console_log_parser_ray.stages.dedup import line_dedup
+
+    # corpus-level duplicate-line removal: the tiny vocabulary makes
+    # cross-doc repeated lines (and whole-line collisions) common, the
+    # planted duplicate texts guarantee fully-banned docs
+    mine = line_dedup(
+        dds(), min_df=2, n_buckets=int(rng.integers(1, 9))
+    ).to_pandas()
+    ref = con.execute(
+        "WITH lines AS (SELECT doc_id, unnest(ls) AS line, "
+        "  unnest(generate_series(1, len(ls))) AS li "
+        "  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls "
+        "    FROM documents)), "
+        "df AS (SELECT line, count(DISTINCT doc_id) AS d FROM lines "
+        "  WHERE line <> '' GROUP BY line), "
+        "banned AS (SELECT line FROM df WHERE d >= 2), "
+        "kept AS (SELECT l.doc_id, l.li, l.line FROM lines l "
+        "  WHERE l.line = '' OR l.line NOT IN "
+        "    (SELECT line FROM banned)), "
+        "agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY li) "
+        "  AS clean_text, count(*) AS n_kept FROM kept "
+        "  GROUP BY doc_id), "
+        "tot AS (SELECT doc_id, count(*) AS n FROM lines "
+        "  GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text, "
+        "CAST(t.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed "
+        "FROM documents d JOIN tot t USING (doc_id) "
+        "LEFT JOIN agg a USING (doc_id)"
+    ).fetchdf()
+    check(
+        "line_dedup", seed, mine, ref,
+        ["doc_id"], ["clean_text", "n_removed"],
+    )
 
 
 def relational_family(seed):
@@ -1336,7 +1371,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(51 comparison groups per seed)"
+        "(52 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
