@@ -685,6 +685,18 @@ def _q_rep_signals(sf_dir: str):
     return rep_signals(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_ngram_rep(sf_dir: str):
+    """Gopher-style n-gram repetition quality signals (duplicate- and
+    top-n-gram fractions for n=2,3,4) -- stateless map_batches over the
+    vectorized gram tape; exact-integer counts, one float64 division
+    each, so the SQL mirror is bit-for-bit."""
+    from console_log_parser_ray.stages.textan import ngram_rep_signals
+
+    return ngram_rep_signals(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    )
+
+
 def _q_line_dedup(sf_dir: str):
     """Corpus-level duplicate-line removal (C4 / CCNet boilerplate
     strip): any non-empty line appearing in >= 2 distinct documents is
@@ -1865,6 +1877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "token_stats": _q_token_stats,
         "rep_signals": _q_rep_signals,
+        "ngram_rep": _q_ngram_rep,
         "line_dedup": _q_line_dedup,
         "shard_assign": _q_shard_assign,
         "pack_sequences": _q_pack_sequences,
@@ -2257,6 +2270,52 @@ def oracle_sql() -> dict[str, str]:
             "  AS dup_line_frac, "
             "coalesce(agg.t * 1.0 / agg.n, 0.0) AS top_line_frac "
             "FROM documents doc LEFT JOIN agg USING (doc_id)"
+        ),
+        "ngram_rep": (
+            # same definition as the engine: whitespace tokens,
+            # overlapping n-grams, integer counts, one float64
+            # division per fraction
+            "WITH dt AS (SELECT doc_id, "
+            "  regexp_extract_all(text, '\\S+') AS tk FROM documents), "
+            "g2 AS (SELECT doc_id, unnest(list_transform("
+            "  generate_series(1, len(tk) - 1), "
+            "  i -> concat_ws(' ', tk[i], tk[i+1]))) AS g "
+            "  FROM dt WHERE len(tk) >= 2), "
+            "c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 "
+            "  GROUP BY doc_id, g), "
+            "a2 AS (SELECT doc_id, sum(c) AS n, count(*) AS d, "
+            "  max(c) AS t FROM c2 GROUP BY doc_id), "
+            "g3 AS (SELECT doc_id, unnest(list_transform("
+            "  generate_series(1, len(tk) - 2), "
+            "  i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS g "
+            "  FROM dt WHERE len(tk) >= 3), "
+            "c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 "
+            "  GROUP BY doc_id, g), "
+            "a3 AS (SELECT doc_id, sum(c) AS n, count(*) AS d, "
+            "  max(c) AS t FROM c3 GROUP BY doc_id), "
+            "g4 AS (SELECT doc_id, unnest(list_transform("
+            "  generate_series(1, len(tk) - 3), "
+            "  i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], "
+            "  tk[i+3]))) AS g FROM dt WHERE len(tk) >= 4), "
+            "c4 AS (SELECT doc_id, g, count(*) AS c FROM g4 "
+            "  GROUP BY doc_id, g), "
+            "a4 AS (SELECT doc_id, sum(c) AS n, count(*) AS d, "
+            "  max(c) AS t FROM c4 GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "CAST(coalesce(a2.n, 0) AS BIGINT) AS n_grams_2, "
+            "coalesce((a2.n - a2.d) * 1.0 / a2.n, 0.0) "
+            "  AS dup_2gram_frac, "
+            "coalesce(a2.t * 1.0 / a2.n, 0.0) AS top_2gram_frac, "
+            "CAST(coalesce(a3.n, 0) AS BIGINT) AS n_grams_3, "
+            "coalesce((a3.n - a3.d) * 1.0 / a3.n, 0.0) "
+            "  AS dup_3gram_frac, "
+            "coalesce(a3.t * 1.0 / a3.n, 0.0) AS top_3gram_frac, "
+            "CAST(coalesce(a4.n, 0) AS BIGINT) AS n_grams_4, "
+            "coalesce((a4.n - a4.d) * 1.0 / a4.n, 0.0) "
+            "  AS dup_4gram_frac, "
+            "coalesce(a4.t * 1.0 / a4.n, 0.0) AS top_4gram_frac "
+            "FROM documents d LEFT JOIN a2 USING (doc_id) "
+            "LEFT JOIN a3 USING (doc_id) LEFT JOIN a4 USING (doc_id)"
         ),
         "line_dedup": (
             # same definition (and the same planted boilerplate) as

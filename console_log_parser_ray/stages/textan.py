@@ -137,6 +137,67 @@ def rep_signals(ds, text_col="text", id_col="doc_id"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def ngram_rep_signals(ds, ns=(2, 3, 4), text_col="text", id_col="doc_id"):
+    """Gopher/MassiveText-style n-gram repetition signals per document
+    -- the token-n-gram twin of ``rep_signals``.  For each ``n`` in
+    ``ns``, over the document's whitespace tokens:
+
+    - ``n_grams_{n}``: number of (overlapping) n-gram occurrences,
+    - ``dup_{n}gram_frac``: ``(occurrences - distinct) / occurrences``,
+    - ``top_{n}gram_frac``: count of the most frequent n-gram over
+      occurrences;
+
+    fractions are 0.0 for documents with fewer than ``n`` tokens.
+    Counts are exact integers and each fraction is ONE float64
+    division of integers, so the DuckDB oracle matches bit-for-bit.
+
+    Scale shape: a stateless ``map_batches`` -- the gram explode
+    (vectorized ``_ngram_tape``: one strided gather + one
+    ``binary_join``) and the per-doc counting live inside one batch;
+    no shuffle, nothing leaves the task but one row per document.
+    """
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        cols = {id_col: ids}
+        for n in ns:
+            doc_idx, grams = _ngram_tape(texts, n)
+            total = np.zeros(len(batch), dtype=np.int64)
+            distinct = np.zeros(len(batch), dtype=np.int64)
+            top = np.zeros(len(batch), dtype=np.int64)
+            if len(doc_idx):
+                per = (
+                    pd.DataFrame(
+                        {"i": doc_idx, "g": grams.to_pandas().to_numpy()}
+                    )
+                    .groupby(["i", "g"], sort=False)
+                    .size()
+                )
+                by_doc = per.groupby(level="i")
+                agg = pd.DataFrame(
+                    {
+                        "n": by_doc.sum(),
+                        "d": by_doc.size(),
+                        "t": by_doc.max(),
+                    }
+                )
+                ii = agg.index.to_numpy()
+                total[ii] = agg["n"].to_numpy()
+                distinct[ii] = agg["d"].to_numpy()
+                top[ii] = agg["t"].to_numpy()
+            denom = np.where(total > 0, total, 1).astype(np.float64)
+            cols[f"n_grams_{n}"] = pa.array(total, pa.int64())
+            cols[f"dup_{n}gram_frac"] = pa.array(
+                (total - distinct) / denom, pa.float64()
+            )
+            cols[f"top_{n}gram_frac"] = pa.array(top / denom, pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def redact(ds, rules=DEFAULT_REDACT_RULES, text_col="text", out_col="redacted"):
     """Regex scrubbing (PII-style redaction) -- a vectorized
     replace_substring_regex chain per batch, rules applied in order."""

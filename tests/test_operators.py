@@ -2373,3 +2373,69 @@ def test_line_dedup_min_df_threshold(ray_session):
     )
     assert list(out.clean_text) == ["pair", "pair", "own"]
     assert list(out.n_removed) == [1, 1, 1]
+
+
+def test_ngram_rep_signals_fractions(ray_session):
+    """Gopher-style n-gram repetition signals: exact counts and
+    fractions vs the DuckDB formulation, including docs shorter than
+    n tokens (0.0 fractions) and heavy repetition."""
+    import duckdb
+    import pandas as pd
+    import ray
+
+    from console_log_parser_ray.stages.textan import ngram_rep_signals
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b a b a b",          # heavy bigram repetition
+                    "one two three four",   # all grams distinct
+                    "x",                    # < 2 tokens: all zero
+                    "",                     # empty
+                    "t t t t t",            # degenerate single token
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        ngram_rep_signals(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    ref = con.execute(
+        "WITH dt AS (SELECT doc_id, regexp_extract_all(text, '\\S+') "
+        "  AS tk FROM documents), "
+        "g2 AS (SELECT doc_id, unnest(list_transform("
+        "  generate_series(1, len(tk)-1), i -> concat_ws(' ', tk[i], "
+        "  tk[i+1]))) AS g FROM dt WHERE len(tk) >= 2), "
+        "c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 "
+        "  GROUP BY doc_id, g), "
+        "a2 AS (SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS t "
+        "  FROM c2 GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(a2.n, 0) AS BIGINT) AS n_grams_2, "
+        "coalesce((a2.n - a2.d) * 1.0 / a2.n, 0.0) AS dup_2gram_frac, "
+        "coalesce(a2.t * 1.0 / a2.n, 0.0) AS top_2gram_frac "
+        "FROM documents d LEFT JOIN a2 USING (doc_id) ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(
+        out[["doc_id", "n_grams_2", "dup_2gram_frac", "top_2gram_frac"]],
+        ref,
+        check_dtype=False,
+    )
+    r = out.set_index("doc_id")
+    # 'a b a b a b': 5 bigrams, 2 distinct ('a b' x3, 'b a' x2)
+    assert r.loc[0, "n_grams_2"] == 5
+    assert r.loc[0, "dup_2gram_frac"] == (5 - 2) / 5
+    assert r.loc[0, "top_2gram_frac"] == 3 / 5
+    assert r.loc[1, "dup_2gram_frac"] == 0.0
+    assert (r.loc[2] == 0).all() and (r.loc[3] == 0).all()
+    # 't t t t t': 4 identical bigrams, 3 identical trigrams
+    assert r.loc[4, "dup_2gram_frac"] == 3 / 4
+    assert r.loc[4, "top_3gram_frac"] == 1.0
+    assert r.loc[4, "n_grams_4"] == 2 and r.loc[4, "dup_4gram_frac"] == 0.5

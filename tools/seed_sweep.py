@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 52 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 53 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / audience overlap / MAD flags /
@@ -626,6 +626,59 @@ def text_family(seed):
     if mine != ref:
         failures.append(("dedup_exact", seed))
         print(f"FAIL dedup_exact seed={seed}", flush=True)
+
+    from console_log_parser_ray.stages.textan import ngram_rep_signals
+
+    # n-gram repetition fractions: the tiny vocabulary guarantees
+    # heavy within-doc gram repetition at every n
+    mine = ngram_rep_signals(dds()).to_pandas()
+    ref = con.execute(
+        "WITH dt AS (SELECT doc_id, regexp_extract_all(text, '\\S+') "
+        "  AS tk FROM documents), "
+        "g2 AS (SELECT doc_id, unnest(list_transform("
+        "  generate_series(1, len(tk)-1), i -> concat_ws(' ', tk[i], "
+        "  tk[i+1]))) AS g FROM dt WHERE len(tk) >= 2), "
+        "c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 "
+        "  GROUP BY doc_id, g), "
+        "a2 AS (SELECT doc_id, sum(c) AS n, count(*) AS d, "
+        "  max(c) AS t FROM c2 GROUP BY doc_id), "
+        "g3 AS (SELECT doc_id, unnest(list_transform("
+        "  generate_series(1, len(tk)-2), i -> concat_ws(' ', tk[i], "
+        "  tk[i+1], tk[i+2]))) AS g FROM dt WHERE len(tk) >= 3), "
+        "c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 "
+        "  GROUP BY doc_id, g), "
+        "a3 AS (SELECT doc_id, sum(c) AS n, count(*) AS d, "
+        "  max(c) AS t FROM c3 GROUP BY doc_id), "
+        "g4 AS (SELECT doc_id, unnest(list_transform("
+        "  generate_series(1, len(tk)-3), i -> concat_ws(' ', tk[i], "
+        "  tk[i+1], tk[i+2], tk[i+3]))) AS g FROM dt "
+        "  WHERE len(tk) >= 4), "
+        "c4 AS (SELECT doc_id, g, count(*) AS c FROM g4 "
+        "  GROUP BY doc_id, g), "
+        "a4 AS (SELECT doc_id, sum(c) AS n, count(*) AS d, "
+        "  max(c) AS t FROM c4 GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        "CAST(coalesce(a2.n, 0) AS BIGINT) AS n_grams_2, "
+        "coalesce((a2.n - a2.d) * 1.0 / a2.n, 0.0) AS dup_2gram_frac, "
+        "coalesce(a2.t * 1.0 / a2.n, 0.0) AS top_2gram_frac, "
+        "CAST(coalesce(a3.n, 0) AS BIGINT) AS n_grams_3, "
+        "coalesce((a3.n - a3.d) * 1.0 / a3.n, 0.0) AS dup_3gram_frac, "
+        "coalesce(a3.t * 1.0 / a3.n, 0.0) AS top_3gram_frac, "
+        "CAST(coalesce(a4.n, 0) AS BIGINT) AS n_grams_4, "
+        "coalesce((a4.n - a4.d) * 1.0 / a4.n, 0.0) AS dup_4gram_frac, "
+        "coalesce(a4.t * 1.0 / a4.n, 0.0) AS top_4gram_frac "
+        "FROM documents d LEFT JOIN a2 USING (doc_id) "
+        "LEFT JOIN a3 USING (doc_id) LEFT JOIN a4 USING (doc_id)"
+    ).fetchdf()
+    check(
+        "ngram_rep", seed, mine, ref,
+        ["doc_id"],
+        [
+            "n_grams_2", "dup_2gram_frac", "top_2gram_frac",
+            "n_grams_3", "dup_3gram_frac", "top_3gram_frac",
+            "n_grams_4", "dup_4gram_frac", "top_4gram_frac",
+        ],
+    )
 
     from console_log_parser_ray.stages.dedup import line_dedup
 
@@ -1371,7 +1424,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(52 comparison groups per seed)"
+        "(53 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
