@@ -685,6 +685,47 @@ def _q_rep_signals(sf_dir: str):
     return rep_signals(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup semantic deduplication over the embeddings table: the
+    deterministic distributed k-means (same recipe the `kmeans` query
+    pins) clusters the vectors, then inside each cluster any vector
+    with a smaller-id cosine>=0.9 neighbor is marked keep=false.  The
+    synthetic embeddings have no natural near-dups (max within-cluster
+    cosine ~0.6), so the query plants exact copies (vec_id+100000 for
+    every vec_id%5==0), mirrored in the SQL oracle -- planted copies
+    sit at cosine ~1.0, a 0.3-wide float-safety gap from tau on both
+    sides of the comparison."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from console_log_parser_ray.stages.similarity import semdedup
+
+    base = _embeddings(sf_dir).select_columns(["vec_id", "embedding"])
+
+    def copies(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").cast(pa.int64())
+        sel = pc.equal(
+            pc.subtract(
+                ids, pc.multiply(pc.divide(ids, 5), 5)
+            ),
+            0,
+        )
+        kept = b.filter(sel)
+        return pa.table(
+            {
+                "vec_id": pc.add(
+                    kept.column("vec_id").cast(pa.int64()), 100000
+                ),
+                "embedding": kept.column("embedding"),
+            }
+        )
+
+    planted = base.union(
+        base.map_batches(copies, batch_format="pyarrow")
+    )
+    return semdedup(planted, k=8, n_assign=2, tau=0.9)
+
+
 def _q_ngram_rep(sf_dir: str):
     """Gopher-style n-gram repetition quality signals (duplicate- and
     top-n-gram fractions for n=2,3,4) -- stateless map_batches over the
@@ -1872,6 +1913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "sample_stratified": _q_sample_stratified,
         "kmeans": _q_kmeans,
+        "semdedup": _q_semdedup,
         "token_jaccard": _q_token_jaccard,
         "embedding_near_dups": _q_embedding_near_dups,
         "simhash": _q_simhash,
@@ -2697,6 +2739,49 @@ def oracle_sql() -> dict[str, str]:
             "  ON r.node = e.doc_a OR r.node = e.doc_b) "
             "SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id, "
             "(min(lab) = node) AS canonical FROM reach GROUP BY node"
+        ),
+        "semdedup": (
+            # the kmeans CTE chain over the planted (copies) table,
+            # then: drop any vector with a smaller-id cosine>=0.9
+            # neighbor in its cluster
+            "WITH base AS (SELECT vec_id, embedding FROM embeddings "
+            "  UNION ALL SELECT vec_id + 100000, embedding "
+            "  FROM embeddings WHERE vec_id % 5 = 0), "
+            "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "  FROM base), "
+            "dim AS (SELECT max(len(v)) AS d FROM emb), "
+            "init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
+            "  AS cluster, v FROM emb ORDER BY vec_id LIMIT 8), "
+            "a1 AS (SELECT e.vec_id, i.cluster, "
+            "  row_number() OVER (PARTITION BY e.vec_id "
+            "    ORDER BY list_distance(e.v, i.v), i.cluster) AS rn "
+            "  FROM emb e CROSS JOIN init i), "
+            "asg1 AS (SELECT vec_id, cluster FROM a1 WHERE rn = 1), "
+            "m1 AS (SELECT a.cluster, gs.i AS pos, avg(e.v[gs.i]) "
+            "  AS val FROM emb e JOIN asg1 a USING (vec_id) "
+            "  CROSS JOIN (SELECT unnest(generate_series(1, "
+            "    (SELECT d FROM dim))) AS i) gs "
+            "  GROUP BY a.cluster, gs.i), "
+            "c1 AS (SELECT cluster, list(val ORDER BY pos) AS v "
+            "  FROM m1 GROUP BY cluster), "
+            "c1f AS (SELECT cluster, v FROM c1 UNION ALL "
+            "  SELECT cluster, v FROM init "
+            "  WHERE cluster NOT IN (SELECT cluster FROM c1)), "
+            "a2 AS (SELECT e.vec_id, c.cluster, "
+            "  row_number() OVER (PARTITION BY e.vec_id "
+            "    ORDER BY list_distance(e.v, c.v), c.cluster) AS rn "
+            "  FROM emb e CROSS JOIN c1f c), "
+            "asg AS (SELECT vec_id, CAST(cluster AS BIGINT) "
+            "  AS cluster FROM a2 WHERE rn = 1), "
+            "dup AS (SELECT DISTINCT a.vec_id FROM asg a "
+            "  JOIN asg b ON a.cluster = b.cluster "
+            "    AND b.vec_id < a.vec_id "
+            "  JOIN emb ea ON ea.vec_id = a.vec_id "
+            "  JOIN emb eb ON eb.vec_id = b.vec_id "
+            "  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.9) "
+            "SELECT a.vec_id, a.cluster, "
+            "a.vec_id NOT IN (SELECT vec_id FROM dup) AS keep "
+            "FROM asg a"
         ),
         "kmeans": (
             # Lloyd's unrolled: seed = 8 smallest vec_ids, assign by

@@ -278,7 +278,7 @@ def knn_ivf_indexed(
 
 
 def kmeans_clusters(ds, k: int = 8, n_assign: int = 2, vec_col="embedding",
-                    id_col="vec_id"):
+                    id_col="vec_id", keep_vec: bool = False):
     """Lloyd's k-means over an embedding column with DETERMINISTIC
     seeding: the initial centroids are the vectors of the ``k``
     smallest ids, and ``n_assign`` assignment rounds run with one
@@ -370,13 +370,64 @@ def kmeans_clusters(ds, k: int = 8, n_assign: int = 2, vec_col="embedding",
         c = _cached_get(final_ref)
         mat = f64_matrix(b)
         ids = b.column(id_col).cast(pa.int64())
+        cols = {
+            "vec_id": ids,
+            "cluster": pa.array(
+                argmin_d2(mat, c).astype(np.int64), pa.int64()
+            ),
+        }
+        if keep_vec:
+            # downstream within-cluster stages (semdedup) need the
+            # vector co-located with its assignment
+            cols[vec_col] = b.column(vec_col)
+        return pa.table(cols)
+
+    return ds.map_batches(assign_batch, batch_format="pyarrow")
+
+
+def semdedup(ds, k: int = 8, n_assign: int = 2, tau: float = 0.9,
+             vec_col="embedding", id_col="vec_id"):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embeddings with the deterministic distributed k-means
+    above, then inside each cluster drop every vector that has a
+    SMALLER-id neighbor at cosine similarity >= ``tau``.  Returns one
+    ``(vec_id, cluster, keep)`` row per vector -- the kept set is the
+    deterministic per-cluster representative frontier.
+
+    Scale shape: clustering never shuffles the corpus (broadcast
+    centroids + per-block partial sums); the single shuffle is the
+    cluster groupby, whose dispatch is bounded by ``k``.  The
+    within-cluster check is one normalized matmul -- O(m^2) per
+    cluster of size m, which is SemDeDup's own cost model: ``k`` must
+    grow with the corpus so clusters stay bounded (the paper runs 50k
+    clusters); at 100 TB you would also cap/shard oversized clusters.
+    Cosine runs in float64 on both sides, so with any ``tau`` sitting
+    in a gap of the similarity distribution the SQL oracle
+    (``list_cosine_similarity``) matches decision-for-decision.
+    """
+
+    def prune(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by([(id_col, "ascending")])
+        ids = tbl.column(id_col)
+        mat = as_matrix(tbl.column(vec_col), dtype=np.float64)
+        norm = np.linalg.norm(mat, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        mn = mat / norm
+        sims = mn @ mn.T
+        # removed_i = exists j < i (ids ascending) with cos >= tau
+        removed = np.tril(sims >= tau, -1).any(axis=1)
         return pa.table(
             {
-                "vec_id": ids,
-                "cluster": pa.array(
-                    argmin_d2(mat, c).astype(np.int64), pa.int64()
-                ),
+                id_col: ids,
+                "cluster": tbl.column("cluster"),
+                "keep": pa.array(~removed, pa.bool_()),
             }
         )
 
-    return ds.map_batches(assign_batch, batch_format="pyarrow")
+    assigned = kmeans_clusters(
+        ds, k=k, n_assign=n_assign, vec_col=vec_col, id_col=id_col,
+        keep_vec=True,
+    )
+    return assigned.groupby("cluster").map_groups(
+        prune, batch_format="pyarrow"
+    )

@@ -2439,3 +2439,62 @@ def test_ngram_rep_signals_fractions(ray_session):
     assert r.loc[4, "dup_2gram_frac"] == 3 / 4
     assert r.loc[4, "top_3gram_frac"] == 1.0
     assert r.loc[4, "n_grams_4"] == 2 and r.loc[4, "dup_4gram_frac"] == 0.5
+
+
+def test_semdedup_planted_copies(ray_session):
+    """SemDeDup: cluster with the deterministic k-means then drop
+    vectors with a smaller-id cosine>=tau neighbor in-cluster --
+    checked against a numpy reference implementing the identical
+    algorithm, with planted exact copies and a perturbed near-dup."""
+    import ray
+
+    from console_log_parser_ray.stages.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 8)).astype(np.float64)
+    ids = np.arange(60, dtype=np.int64)
+    # plant: exact copies of ids 0..9 at 1000+, plus one tiny
+    # perturbation (still cosine ~1) of id 10 at 2000
+    near = base[10] + 1e-6 * rng.normal(size=8)
+    vecs = np.concatenate([base, base[:10], near[None, :]])
+    vids = np.concatenate([ids, ids[:10] + 1000, [2000]])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(vids),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+        }
+    )
+    kk, tau = 4, 0.9
+    out = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in semdedup(
+            ray.data.from_arrow(tbl).repartition(5), k=kk, tau=tau
+        ).take_all()
+    }
+    # numpy reference: same seeding, same 2-round Lloyd's, same prune
+    order = np.argsort(vids)
+    cents = vecs[order[:kk]].copy()
+    for it in range(2):
+        d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        if it == 0:
+            for j in range(kk):
+                m = assign == j
+                if m.any():
+                    cents[j] = vecs[m].mean(axis=0)
+    sn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    ref = {}
+    for j in range(kk):
+        m = np.flatnonzero(assign == j)
+        m = m[np.argsort(vids[m])]
+        sims = sn[m] @ sn[m].T
+        removed = np.tril(sims >= tau, -1).any(axis=1)
+        for i, r in zip(m, removed):
+            ref[int(vids[i])] = (int(assign[i]), not bool(r))
+    assert out == ref
+    # every planted copy (and the perturbed near-dup) is removed;
+    # originals may also be organically close in 8-dim, so only the
+    # lowest id is unconditionally kept
+    assert all(not out[v][1] for v in range(1000, 1010))
+    assert not out[2000][1]
+    assert out[0][1]

@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 53 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 54 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / audience overlap / MAD flags /
@@ -29,7 +29,8 @@ Exit 0 = every comparison equal.  Each seed covers 53 comparison groups:
     counts / hopping windows    (relational + sketch family)
   - minhash planted recall / simhash banding == brute hamming /
     embedding near-dups == numpy all-pairs (+ IVF recall) /
-    deterministic k-means == numpy Lloyd's / exact kNN == numpy
+    deterministic k-means == numpy Lloyd's / SemDeDup == numpy
+    cluster + cosine prune / exact kNN == numpy
                                 (dedup + similarity family)
   - 12 fresh synthetic conversations: generator ground truth ==
     in-process reference oracle == engine scan, per turn
@@ -1083,6 +1084,54 @@ def dedup_family(seed):
         failures.append(("kmeans", seed))
         print(f"FAIL kmeans seed={seed}", flush=True)
 
+    # --- SemDeDup vs the same numpy reference + per-cluster cosine
+    # prune (planted copies guarantee removals; random normals in
+    # 8-dim also produce organic high-cosine pairs at tau=0.8)
+    from console_log_parser_ray.stages.similarity import semdedup
+
+    cp = kids % 3 == 0
+    svecs = np.concatenate([kvecs, kvecs[cp]])
+    sids = np.concatenate([kids, kids[cp] + 100_000])
+    stbl = pa.table(
+        {
+            "vec_id": pa.array(sids),
+            "embedding": pa.array([list(map(float, v)) for v in svecs]),
+        }
+    )
+    tau = 0.8
+    mine_sd = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in semdedup(
+            ray.data.from_arrow(stbl).repartition(7), k=kk,
+            n_assign=n_assign, tau=tau,
+        ).take_all()
+    }
+    order = np.argsort(sids)
+    cents = svecs[order[:kk]].copy()
+    assign = None
+    for it in range(n_assign):
+        d2 = ((svecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        if it < n_assign - 1:
+            for j in range(kk):
+                m = assign == j
+                if m.any():
+                    cents[j] = svecs[m].mean(axis=0)
+    norm = np.linalg.norm(svecs, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    sn = svecs / norm
+    ref_sd = {}
+    for j in range(kk):
+        m = np.flatnonzero(assign == j)
+        m = m[np.argsort(sids[m])]
+        sims = sn[m] @ sn[m].T
+        removed = np.tril(sims >= tau, -1).any(axis=1)
+        for i, r in zip(m, removed):
+            ref_sd[int(sids[i])] = (int(assign[i]), not bool(r))
+    if mine_sd != ref_sd:
+        failures.append(("semdedup", seed))
+        print(f"FAIL semdedup seed={seed}", flush=True)
+
     # --- exact kNN vs numpy
     kmat = rng.normal(size=(200, 16)).astype(np.float32)
     kt = pa.table(
@@ -1424,7 +1473,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(53 comparison groups per seed)"
+        "(54 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
