@@ -161,6 +161,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "conv_text",
         "props_extract",
         "user_history",
+        "line_dedup",
+        "ngram_rep",
+        "semdedup",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
