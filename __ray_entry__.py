@@ -625,6 +625,22 @@ def _q_distinct_users(sf_dir: str):
     )
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog-style approximate COUNT(DISTINCT user_id) per event
+    type (m=64 registers, murmur fmix32 value hash): the bounded-state
+    scale path beside the exact ``distinct_users`` -- 64 integers per
+    key leave each block regardless of value cardinality.  Every step
+    is integer-exact, so the DuckDB mirror agrees bit-for-bit
+    (including the single float division in ``est``)."""
+    from console_log_parser_ray.stages.events import (
+        approx_distinct_per_group,
+    )
+
+    return approx_distinct_per_group(
+        _events(sf_dir).select_columns(["event_type", "user_id"])
+    )
+
+
 def _q_user_running(sf_dir: str):
     """Per-user running aggregates (ROW_NUMBER + cumulative integer
     cents): users coarsened into 64 hash buckets before the one
@@ -1928,6 +1944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_decile_docs": _q_top_decile_docs,
         "event_gaps": _q_event_gaps,
         "distinct_users": _q_distinct_users,
+        "approx_distinct_users": _q_approx_distinct_users,
         "role_transitions": _q_role_transitions,
         "doc_rank": _q_doc_rank,
         "user_rolling": _q_user_rolling,
@@ -2150,6 +2167,41 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct "
             "FROM events GROUP BY event_type"
+        ),
+        "approx_distinct_users": (
+            # murmur3 fmix32 over the low 31 bits (HUGEINT multiply
+            # keeps the mod-2^32 products exact; numpy side wraps in
+            # uint64), then m=64 HLL registers; bin() length == integer
+            # bit length (DuckDB bin() never zero-pads).  The est
+            # numerator multiplies 0.709::DOUBLE by powers of two only,
+            # so both engines compute the identical double before the
+            # one division.
+            "WITH h0 AS (SELECT event_type, user_id & 2147483647 AS h "
+            "  FROM events), "
+            "h1 AS (SELECT event_type, xor(h, h >> 16) AS h FROM h0), "
+            "h2 AS (SELECT event_type, CAST((CAST(h AS HUGEINT) "
+            "  * 2246822507) % 4294967296 AS BIGINT) AS h FROM h1), "
+            "h3 AS (SELECT event_type, xor(h, h >> 13) AS h FROM h2), "
+            "h4 AS (SELECT event_type, CAST((CAST(h AS HUGEINT) "
+            "  * 3266489909) % 4294967296 AS BIGINT) AS h FROM h3), "
+            "h5 AS (SELECT event_type, xor(h, h >> 16) AS h FROM h4), "
+            "r AS (SELECT event_type, h % 64 AS reg, h // 64 AS w "
+            "  FROM h5), "
+            "rk AS (SELECT event_type, reg, MAX(27 - (CASE WHEN w = 0 "
+            "  THEN 0 ELSE length(bin(w)) END)) AS rnk "
+            "  FROM r GROUP BY event_type, reg), "
+            "agg AS (SELECT event_type, "
+            "  CAST(SUM(1::BIGINT << (27 - rnk)) AS BIGINT) "
+            "    AS inv_present, "
+            "  COUNT(*) AS n_present FROM rk GROUP BY event_type) "
+            "SELECT event_type, "
+            "  inv_present + (64 - n_present) * 134217728 "
+            "    AS inv_sum_scaled, "
+            "  64 - n_present AS n_zero_regs, "
+            "  (((0.709::DOUBLE * 64) * 64) * 134217728) "
+            "    / CAST(inv_present + (64 - n_present) * 134217728 "
+            "      AS DOUBLE) AS est "
+            "FROM agg"
         ),
         "role_transitions": (
             # adjacent-turn pairs within each conversation in turn_idx

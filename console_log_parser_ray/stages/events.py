@@ -1002,6 +1002,124 @@ def running_user_totals(
     )
 
 
+def approx_distinct_per_group(
+    ds, key_col: str = "event_type", val_col: str = "user_id",
+    n_kb: int = 16,
+):
+    """HyperLogLog-style approximate COUNT(DISTINCT val) per key --
+    the bounded-state scale path beside the exact
+    :func:`distinct_count_per_group` (which must shuffle every
+    distinct pair at least once; this shuffles 64 integers per key per
+    block, full stop).
+
+    m = 64 registers.  The value hash is a murmur3 fmix32 finalizer
+    over the low 31 bits (a plain multiplicative hash leaves
+    sequential ids badly mixed in the rank bits: +75% bias measured on
+    arange ids); the register index is its low 6 bits and the register
+    value the leading-zero rank of the remaining 26-bit word -- every
+    step is integer-exact, so the DuckDB mirror (xor/shift + HUGEINT
+    multiply mod 2^32, `bin()` string length for the bit length)
+    agrees bit-for-bit.  Output per key: ``inv_sum_scaled`` (the harmonic
+    denominator ``sum(2^-register)`` scaled by 2^27 -- an exact
+    BIGINT), ``n_zero_regs``, and ``est`` = the raw HLL estimate
+    ``alpha_64 * m^2 / inv_sum`` (alpha_64 = 0.709).  The single float
+    division of two identically-computed exact operands is
+    bit-reproducible against the SQL oracle; no small-range
+    correction is applied (its ``ln`` is not cross-engine
+    bit-stable -- use the exact operator when the count is small).
+
+    Scale shape: per-block (key, register) max partials (an Arrow
+    group_by -- nothing row-sized leaves the task), one Ray groupby on
+    a key-hash bucket folds n_blocks x keys x 64 tiny rows; dispatch
+    is bounded by ``n_kb``, never by key or value cardinality.
+    """
+
+    def local_regs(b: pa.Table) -> pa.Table:
+        vals = (
+            b.column(val_col)
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        h = (vals & 0x7FFFFFFF).astype(np.uint64)
+        h ^= h >> np.uint64(16)
+        h = (h * np.uint64(0x85EBCA6B)) & np.uint64(0xFFFFFFFF)
+        h ^= h >> np.uint64(13)
+        h = (h * np.uint64(0xC2B2AE35)) & np.uint64(0xFFFFFFFF)
+        h ^= h >> np.uint64(16)
+        hv = h.astype(np.int64)
+        bucket = hv & 63
+        w = hv >> 6  # 26-bit word
+        # frexp exponent == bit length for integers (exact in f64 up
+        # to 2^53); w == 0 -> exponent 0 -> rank 27, the max
+        rank = 27 - np.frexp(w.astype(np.float64))[1]
+        part = (
+            pa.table(
+                {
+                    key_col: b.column(key_col),
+                    "reg": pa.array(bucket.astype(np.int64), pa.int64()),
+                    "rank": pa.array(rank.astype(np.int64), pa.int64()),
+                }
+            )
+            .group_by([key_col, "reg"])
+            .aggregate([("rank", "max")])
+        )
+        return pa.table(
+            {
+                "kb": _string_bucket(
+                    part.column(key_col).combine_chunks(), n_kb
+                ),
+                key_col: part.column(key_col),
+                "reg": part.column("reg"),
+                "rank": part.column("rank_max"),
+            }
+        )
+
+    def fold_bucket(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "k": tbl.column(key_col).to_pandas(),
+                "reg": tbl.column("reg").to_numpy(zero_copy_only=False),
+                "rank": tbl.column("rank").to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        mx = df.groupby(["k", "reg"], sort=False)["rank"].max()
+        inv = pd.Series(
+            np.int64(1) << (27 - mx.to_numpy()), index=mx.index
+        )
+        per_key = inv.groupby(level="k")
+        inv_present = per_key.sum()
+        n_present = per_key.size()
+        n_zero = 64 - n_present
+        inv_sum = inv_present + n_zero * (1 << 27)
+        num = 0.709 * 64 * 64 * 134217728
+        return pa.table(
+            {
+                key_col: pa.array(inv_sum.index.to_list(), pa.string()),
+                "inv_sum_scaled": pa.array(
+                    inv_sum.to_numpy(), pa.int64()
+                ),
+                "n_zero_regs": pa.array(
+                    n_zero.to_numpy().astype(np.int64), pa.int64()
+                ),
+                "est": pa.array(
+                    num / inv_sum.to_numpy().astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(local_regs, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+    )
+
+
 def _string_bucket(arr: pa.ChunkedArray | pa.Array, n_buckets: int):
     """int32 bucket ids for a string column: crc32 over the
     dictionary-encoded distinct values, so hashing cost is per distinct
