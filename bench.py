@@ -149,6 +149,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "top_decile_docs",
         "event_gaps",
         "distinct_users",
+        "approx_distinct_users",
         "user_running",
         "dup_spans",
         "doc_rank",

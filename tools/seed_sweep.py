@@ -10,10 +10,11 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 54 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 55 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
-  - distinct-count per group / audience overlap / MAD flags /
+  - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
+    audience overlap / MAD flags /
     duplicated k-token spans    (aggregate family)
   - sessionize / as-of join / two-step funnel / top-k per group
   - dense_rank and filter_top_quantile on BOTH cardinality paths
@@ -155,6 +156,33 @@ def aggregate_family(seed):
     if mine != ref:
         failures.append(("distinct_count", seed))
         print(f"FAIL distinct_count seed={seed}", flush=True)
+
+    # HLL sketch: bit-exact vs the same DuckDB mirror the driver runs
+    import importlib
+
+    from console_log_parser_ray.stages.events import (
+        approx_distinct_per_group,
+    )
+
+    hll_sql = importlib.import_module("__ray_entry__").oracle_sql()[
+        "approx_distinct_users"
+    ]
+    hll_mine = {
+        r["event_type"]: (
+            r["inv_sum_scaled"],
+            r["n_zero_regs"],
+            r["est"],
+        )
+        for r in approx_distinct_per_group(
+            ray.data.from_arrow(ev).repartition(9), n_kb=4
+        ).take_all()
+    }
+    hll_ref = {
+        r[0]: (r[1], r[2], r[3]) for r in con.execute(hll_sql).fetchall()
+    }
+    if hll_mine != hll_ref:
+        failures.append(("approx_distinct", seed))
+        print(f"FAIL approx_distinct seed={seed}", flush=True)
 
     df = audience_overlap(
         ray.data.from_arrow(ev).repartition(9),
@@ -1473,7 +1501,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(54 comparison groups per seed)"
+        "(55 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
