@@ -1311,6 +1311,200 @@ def _q_q10_returns(sf_dir: str):
     ).drop_columns(["g"])
 
 
+def _q_q5_region_revenue(sf_dir: str):
+    """TPC-H Q5-shaped pipeline: local-supplier revenue per nation in
+    one region over one order-date year -- a six-table composition
+    that picks the join strategy by side size: region/nation resolved
+    driver-side (tiny constants), the filtered supplier (suppkey ->
+    nationkey) pair broadcast ONCE via ray.put and applied as
+    index_in/take per batch, and the two LARGE x LARGE joins (orders x
+    customer on custkey, lineitem x orders+customer on orderkey) as
+    co-partitioned hash joins with block-local pre-aggregation on the
+    join key.  Revenue is integer milli-units (cents x (100 -
+    discount pct)), so the SQL mirror hashes bit-identically."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.relational import hash_join
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    rkeys = region.filter(
+        _pc.equal(region.column("r_name"), "ASIA")
+    ).column("r_regionkey")
+    nat = nation.filter(
+        _pc.is_in(
+            nation.column("n_regionkey"), value_set=rkeys.combine_chunks()
+        )
+    )
+    # tiny constants: close over the <=25 in-region nation keys/names
+    nat_keys = [int(k) for k in nat.column("n_nationkey").to_pylist()]
+    nat_names = {
+        int(k): n
+        for k, n in zip(
+            nat.column("n_nationkey").to_pylist(),
+            nat.column("n_name").to_pylist(),
+        )
+    }
+    # small side: filtered supplier (suppkey -> nationkey), broadcast
+    # once -- two int64 arrays, applied per batch as index_in + take
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    sup = sup.filter(
+        _pc.is_in(
+            sup.column("s_nationkey"),
+            value_set=pa.array(nat_keys, pa.int64()),
+        )
+    )
+    sup_ref = ray.put(
+        (
+            sup.column("s_suppkey").combine_chunks(),
+            sup.column("s_nationkey").combine_chunks(),
+        )
+    )
+
+    def cust_in_region(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(
+            b.column("c_nationkey"), value_set=pa.array(nat_keys, pa.int64())
+        )
+        return b.filter(keep).select(["c_custkey", "c_nationkey"])
+
+    def in_window(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(b.column("o_orderdate"), pa.scalar(hi)),
+        )
+        return b.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    def rev_milli(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(b.column("l_extendedprice"), 100.0),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        disc = pc.cast(
+            pc.round(
+                pc.multiply(b.column("l_discount"), 100.0),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        rev = pc.multiply(
+            cents, pc.subtract(pa.scalar(100, pa.int64()), disc)
+        )
+        # pre-aggregate on the join PAIR (orderkey, suppkey): the
+        # shuffle then carries one row per distinct pair per block
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": b.column("l_orderkey"),
+                    "l_suppkey": b.column("l_suppkey"),
+                    "rev": rev,
+                }
+            )
+            .group_by(["l_orderkey", "l_suppkey"])
+            .aggregate([("rev", "sum")])
+        )
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "l_suppkey": g.column("l_suppkey"),
+                "rev": g.column("rev_sum"),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(in_window, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(cust_in_region, batch_format="pyarrow")
+    oc = hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey"
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(rev_milli, batch_format="pyarrow")
+    lo_joined = hash_join(li, oc, on="l_orderkey", right_on="o_orderkey")
+
+    def local_supplier_rollup(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from console_log_parser_ray.stages.dedup import _cached_get
+
+        sup_keys, sup_nat = _cached_get(sup_ref)
+        idx = pc.index_in(b.column("l_suppkey"), value_set=sup_keys)
+        s_nat = pc.take(sup_nat, idx)
+        # local-supplier predicate; unmatched suppliers yield null ==
+        # null -> filter drops them (inner-join semantics)
+        b = pa.table(
+            {"n_nationkey": s_nat, "rev": b.column("rev")}
+        ).filter(pc.equal(s_nat, b.column("c_nationkey")))
+        g = b.group_by("n_nationkey").aggregate([("rev", "sum")])
+        return pa.table(
+            {
+                "n_nationkey": g.column("n_nationkey"),
+                "ps": g.column("rev_sum"),
+            }
+        )
+
+    per_nation = (
+        lo_joined.map_batches(
+            local_supplier_rollup, batch_format="pyarrow"
+        )
+        .groupby("n_nationkey")
+        .aggregate(Sum("ps"))
+        .rename_columns({"sum(ps)": "revenue_milli"})
+    )
+
+    def name_nation(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        keys = pa.array(sorted(nat_names), pa.int64())
+        names = pa.array([nat_names[int(k)] for k in sorted(nat_names)])
+        idx = pc.index_in(b.column("n_nationkey"), value_set=keys)
+        return pa.table(
+            {
+                "n_name": pc.take(names, idx),
+                "revenue_milli": b.column("revenue_milli"),
+            }
+        )
+
+    return per_nation.map_batches(name_nation, batch_format="pyarrow")
+
+
 def _q_lang_rank(sf_dir: str):
     """Distributed window function: dense_rank of document length
     within its language partition, computed from the (lang, n_chars)
@@ -1949,6 +2143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rank": _q_doc_rank,
         "user_rolling": _q_user_rolling,
         "q10_returns": _q_q10_returns,
+        "q5_region_revenue": _q_q5_region_revenue,
         "audience_overlap": _q_audience_overlap,
         "idle_customers": _q_idle_customers,
         "doc_decile": _q_doc_decile,
@@ -2294,6 +2489,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM li JOIN o ON l_orderkey = o_orderkey "
             "GROUP BY o_custkey "
             "ORDER BY revenue_milli DESC, o_custkey LIMIT 20"
+        ),
+        "q5_region_revenue": (
+            # integer-exact revenue (same milli-unit convention as
+            # q10); local-supplier predicate c_nationkey = s_nationkey
+            "SELECT n_name, CAST(SUM("
+            "  CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "  * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+            ") AS BIGINT) AS revenue_milli "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "  AND l_suppkey = s_suppkey "
+            "  AND c_nationkey = s_nationkey "
+            "  AND s_nationkey = n_nationkey "
+            "  AND n_regionkey = r_regionkey AND r_name = 'ASIA' "
+            "  AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "  AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name"
         ),
         "user_running": (
             # integer cents (floor(value*100)) keep the running sum

@@ -155,6 +155,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "doc_rank",
         "user_rolling",
         "q10_returns",
+        "q5_region_revenue",
         "audience_overlap",
         "idle_customers",
         "doc_decile",
