@@ -1311,6 +1311,67 @@ def _q_q10_returns(sf_dir: str):
     ).drop_columns(["g"])
 
 
+def _q_bloom_urgent(sf_dir: str):
+    """Bloom-pushdown semi-join (stages/relational.bloom_semi_join):
+    lineitems of urgent orders, rolled up per return flag.  The urgent
+    order-key set is sketched into one 16 KiB bitmap (per-block
+    partials OR-folded, broadcast once), ~80%% of lineitem rows are
+    dropped BEFORE the co-partitioned shuffle, and the exact semi
+    hash_join verifies -- false positives only cost shuffle rows, so
+    the result equals the plain semi-join and the SQL mirror is
+    exact (quantities are integral doubles)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.relational import bloom_semi_join
+
+    urgent = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority"],
+        )
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .select_columns(["o_orderkey"])
+    )
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity", "l_returnflag"],
+    )
+    joined = bloom_semi_join(
+        li, urgent, on="l_orderkey", right_on="o_orderkey",
+        m_bits=1 << 17,
+    )
+
+    def local_rollup(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        g = (
+            pa.table(
+                {
+                    "l_returnflag": b.column("l_returnflag"),
+                    "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+                }
+            )
+            .group_by("l_returnflag")
+            .aggregate([("qty", "count"), ("qty", "sum")])
+        )
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "pn": g.column("qty_count"),
+                "ps": g.column("qty_sum"),
+            }
+        )
+
+    return (
+        joined.map_batches(local_rollup, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("pn"), Sum("ps"))
+        .rename_columns({"sum(pn)": "n_items", "sum(ps)": "sum_qty"})
+    )
+
+
 def _q_q5_region_revenue(sf_dir: str):
     """TPC-H Q5-shaped pipeline: local-supplier revenue per nation in
     one region over one order-date year -- a six-table composition
@@ -2144,6 +2205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rolling": _q_user_rolling,
         "q10_returns": _q_q10_returns,
         "q5_region_revenue": _q_q5_region_revenue,
+        "bloom_urgent": _q_bloom_urgent,
         "audience_overlap": _q_audience_overlap,
         "idle_customers": _q_idle_customers,
         "doc_decile": _q_doc_decile,
@@ -2489,6 +2551,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM li JOIN o ON l_orderkey = o_orderkey "
             "GROUP BY o_custkey "
             "ORDER BY revenue_milli DESC, o_custkey LIMIT 20"
+        ),
+        "bloom_urgent": (
+            # the bloom pushdown is exact (verify join after), so the
+            # mirror is the plain semi-join; quantities are integral
+            "SELECT l_returnflag, count(*) AS n_items, "
+            "  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) "
+            "  AS sum_qty "
+            "FROM lineitem WHERE l_orderkey IN "
+            "  (SELECT o_orderkey FROM orders "
+            "   WHERE o_orderpriority = '1-URGENT') "
+            "GROUP BY l_returnflag"
         ),
         "q5_region_revenue": (
             # integer-exact revenue (same milli-unit convention as

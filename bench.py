@@ -156,6 +156,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "user_rolling",
         "q10_returns",
         "q5_region_revenue",
+        "bloom_urgent",
         "audience_overlap",
         "idle_customers",
         "doc_decile",

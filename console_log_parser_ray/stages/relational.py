@@ -15,6 +15,12 @@
 * ``range_count_join`` -- equi + range interval join-aggregate
   (events-per-window counts) via equi-key co-partitioning and one
   vectorized boundary merge per bucket group.
+* ``bloom_semi_join`` -- exact semi/anti/inner join with a
+  Bloom-filter pushdown: the right key set is sketched into one
+  fixed-size bitmap (per-block partials OR-folded, broadcast once),
+  the left side is prefiltered before the shuffle, and the
+  co-partitioned ``hash_join`` verifies -- false positives cost
+  shuffle rows, never wrong answers.
 
 The reference has no joins beyond the tiny hopto lookup
 (``terminal2html.py:376-388``); these cover the relational verbs a
@@ -168,6 +174,122 @@ def hash_join(
 
     return tagged.groupby("__jb").map_groups(
         join_group, batch_format="pyarrow"
+    )
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, n_hashes: int):
+    """k bit positions per key via double hashing over two murmur
+    fmix32 finalizers (h2 forced odd so the probe sequence never
+    degenerates).  Returns an (n, k) int64 array of positions."""
+
+    def fmix32(x: np.ndarray) -> np.ndarray:
+        h = x.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        h ^= h >> np.uint64(16)
+        h = (h * np.uint64(0x85EBCA6B)) & np.uint64(0xFFFFFFFF)
+        h ^= h >> np.uint64(13)
+        h = (h * np.uint64(0xC2B2AE35)) & np.uint64(0xFFFFFFFF)
+        h ^= h >> np.uint64(16)
+        return h
+
+    x = keys.astype(np.int64).view(np.uint64)
+    h1 = fmix32(x ^ (x >> np.uint64(32)))
+    h2 = fmix32(x ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64)
+    return (
+        (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
+    ).astype(np.int64)
+
+
+def bloom_semi_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    n_buckets: int = 64,
+    how: str = "semi",
+):
+    """EXACT semi/anti/inner join with a Bloom-filter pushdown: the
+    right side's key set is sketched into an ``m_bits`` bitmap
+    (per-block partial bitmaps, OR-folded), the bitmap is broadcast
+    once via ``ray.put``, and the LEFT side is prefiltered before the
+    co-partitioned :func:`hash_join` verifies exactly -- false
+    positives cost only wasted shuffle rows, never wrong answers, and
+    false negatives cannot occur, so the result equals the plain join.
+
+    This is the scale pattern for a selective big x big semi-join: the
+    shuffle then carries ~selectivity x left rows instead of all of
+    them, at the price of one fixed-size bitmap per block on the
+    build side.  Driver/broadcast state is ``m_bits/8`` bytes
+    (default 128 KiB) regardless of either side's row count; size
+    ``m_bits`` to ~10 bits per expected distinct right key for a ~1%
+    false-positive rate.  Keys must be integer-castable.
+    """
+    right_on = right_on or on
+    nbytes = m_bits // 8
+
+    def block_bitmap(b: pa.Table) -> pa.Table:
+        keys = (
+            b.column(right_on)
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        pos = _bloom_positions(keys, m_bits, n_hashes).ravel()
+        np.bitwise_or.at(
+            bm, pos >> 3, np.left_shift(1, pos & 7).astype(np.uint8)
+        )
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    # one fixed-size bitmap per block comes back to the driver; the
+    # fold is bounded by block count x m_bits/8 bytes, never by rows
+    parts = (
+        right.map_batches(block_bitmap, batch_format="pyarrow")
+        .take_all()
+    )
+    folded = np.zeros(nbytes, dtype=np.uint8)
+    for p in parts:
+        folded |= np.frombuffer(p["bm"], dtype=np.uint8)
+    bm_ref = ray.put(folded)
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        bm = _cached_get(bm_ref)
+        keys = (
+            b.column(on)
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        pos = _bloom_positions(keys, m_bits, n_hashes)
+        hit = (
+            (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        ).all(axis=1)
+        if how == "anti":
+            # bloom misses are DEFINITE non-members: emit them
+            # directly; only bloom hits (maybe-members) need the
+            # exact verify
+            return b.filter(pa.array(~hit)), b.filter(pa.array(hit))
+        return b.filter(pa.array(hit))
+
+    if how == "anti":
+        definite = left.map_batches(
+            lambda t: prefilter(t)[0], batch_format="pyarrow"
+        )
+        maybe = left.map_batches(
+            lambda t: prefilter(t)[1], batch_format="pyarrow"
+        )
+        return definite.union(
+            hash_join(
+                maybe, right, on=on, right_on=right_on,
+                n_buckets=n_buckets, how="anti",
+            )
+        )
+    pre = left.map_batches(prefilter, batch_format="pyarrow")
+    return hash_join(
+        pre, right, on=on, right_on=right_on,
+        n_buckets=n_buckets, how=how,
     )
 
 

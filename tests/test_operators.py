@@ -1427,6 +1427,63 @@ def test_hash_join_semi_and_anti(ray_session):
     assert len(semi) + len(anti) == len(rows)
 
 
+def test_bloom_semi_join_exact_under_false_positives(ray_session):
+    """Bloom-pushdown semi/anti equal the plain joins even with a
+    deliberately tiny bitmap (dense false positives) -- the exact
+    verify join makes FPs a cost, never an answer; inner pushdown
+    keeps right columns and duplicate matches."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import bloom_semi_join
+
+    rng = np.random.default_rng(3)
+    lk = rng.integers(0, 500, 400).astype("int64")
+    left = pa.table(
+        {"k": pa.array(lk), "lv": pa.array(np.arange(400), pa.int64())}
+    )
+    rk = rng.choice(500, size=60, replace=False).astype("int64")
+    right = pa.table({"rk": pa.array(rk)})
+    lds = ray.data.from_arrow(left).repartition(5)
+    rds = ray.data.from_arrow(right).repartition(3)
+    members = set(rk.tolist())
+    rows = left.to_pylist()
+    # 256-bit bloom over 60 keys: FP rate is enormous on purpose
+    for m_bits in (256, 1 << 14):
+        semi = sorted(
+            (r["k"], r["lv"])
+            for r in bloom_semi_join(
+                lds, rds, on="k", right_on="rk", m_bits=m_bits,
+                n_buckets=8,
+            ).take_all()
+        )
+        assert semi == sorted(
+            (r["k"], r["lv"]) for r in rows if r["k"] in members
+        )
+        anti = sorted(
+            (r["k"], r["lv"])
+            for r in bloom_semi_join(
+                lds, rds, on="k", right_on="rk", m_bits=m_bits,
+                n_buckets=8, how="anti",
+            ).take_all()
+        )
+        assert anti == sorted(
+            (r["k"], r["lv"]) for r in rows if r["k"] not in members
+        )
+        assert len(semi) + len(anti) == len(rows)
+    inner = sorted(
+        (r["k"], r["lv"])
+        for r in bloom_semi_join(
+            lds, rds, on="k", right_on="rk", m_bits=256, n_buckets=8,
+            how="inner",
+        ).take_all()
+    )
+    assert inner == sorted(
+        (r["k"], r["lv"]) for r in rows if r["k"] in members
+    )  # rk is unique, so inner matches semi row-for-row here
+
+
 def test_hash_join_null_keys_sql_semantics(ray_session):
     """NULL keys never match (SQL semantics): dropped from inner,
     kept with null right columns in left outer."""
