@@ -368,6 +368,30 @@ def _q_event_quantiles(sf_dir: str):
     )
 
 
+def _q_sampled_quantiles(sf_dir: str):
+    """Hash-sampled per-group quantiles
+    (stages/events.sampled_group_quantiles): the scale path for
+    CONTINUOUS value columns where the exact quantile family's
+    distinct-value state equals the row count.  The fmix32 id-hash
+    sample is deterministic, so the SQL mirror running the same hash
+    chain sees the identical sample and percentile_disc matches
+    bit-for-bit."""
+    from console_log_parser_ray.stages.events import (
+        sampled_group_quantiles,
+    )
+
+    return sampled_group_quantiles(
+        _events(sf_dir).select_columns(
+            ["event_id", "event_type", "value"]
+        ),
+        "event_type",
+        "value",
+        id_col="event_id",
+        qs=(0.5, 0.95),
+        sample_mod=4,
+    )
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact heavy hitters over events.user_id via two-pass
     Misra-Gries (sketch -> merged candidates -> broadcast exact
@@ -2218,6 +2242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dups": _q_simhash_dups,
         "simhash_clusters": _q_simhash_clusters,
         "heavy_hitters": _q_heavy_hitters,
+        "sampled_quantiles": _q_sampled_quantiles,
         "event_quantiles": _q_event_quantiles,
         "quality": _q_quality,
         "lang_hist": _q_lang_hist,
@@ -2764,6 +2789,29 @@ def oracle_sql() -> dict[str, str]:
             "percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50, "
             "percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95 "
             "FROM events GROUP BY event_type"
+        ),
+        "sampled_quantiles": (
+            # identical fmix32 hash chain as approx_distinct_users
+            # (HUGEINT multiplies keep mod-2^32 exact); both engines
+            # then take percentile_disc over the SAME sample
+            "WITH h0 AS (SELECT event_type, value, "
+            "  event_id & 2147483647 AS h FROM events), "
+            "h1 AS (SELECT event_type, value, xor(h, h >> 16) AS h "
+            "  FROM h0), "
+            "h2 AS (SELECT event_type, value, CAST((CAST(h AS HUGEINT) "
+            "  * 2246822507) % 4294967296 AS BIGINT) AS h FROM h1), "
+            "h3 AS (SELECT event_type, value, xor(h, h >> 13) AS h "
+            "  FROM h2), "
+            "h4 AS (SELECT event_type, value, CAST((CAST(h AS HUGEINT) "
+            "  * 3266489909) % 4294967296 AS BIGINT) AS h FROM h3), "
+            "h5 AS (SELECT event_type, value, xor(h, h >> 16) AS h "
+            "  FROM h4) "
+            "SELECT event_type, "
+            "  percentile_disc(0.5) WITHIN GROUP (ORDER BY value) "
+            "    AS p50, "
+            "  percentile_disc(0.95) WITHIN GROUP (ORDER BY value) "
+            "    AS p95 "
+            "FROM h5 WHERE h % 4 = 0 GROUP BY event_type"
         ),
         "heavy_hitters": (
             # exact mirror of the two-pass MG result: frequency

@@ -134,6 +134,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "simhash_dups",
         "heavy_hitters",
         "event_quantiles",
+        "sampled_quantiles",
         "q3_join",
         "lang_rank",
         "idf_rarity",

@@ -437,6 +437,48 @@ def group_quantiles(
     )
 
 
+def sampled_group_quantiles(
+    ds,
+    group_col: str,
+    value_col: str,
+    id_col: str = "event_id",
+    qs=(0.5, 0.95),
+    sample_mod: int = 4,
+):
+    """Approximate per-group quantiles for CONTINUOUS (arbitrary-
+    cardinality) value columns: a deterministic murmur-fmix32 hash
+    sample of ~1/``sample_mod`` of the rows feeds the exact
+    discrete-quantile operator.
+
+    This is the scale path the exact quantile family can't cover: its
+    state is bounded by DISTINCT values, which for a float64 column
+    equals the row count.  Hash sampling bounds the per-group sort at
+    rows/``sample_mod`` with quantile error ~O(1/sqrt(group sample));
+    at 100 TB pick ``sample_mod`` so a group's sample fits a task
+    (e.g. 2^14 for ~10^6 of 10^10 rows).  Because the sample is
+    keyed on a stable id hash -- never ``random()`` -- the result is
+    deterministic and a SQL mirror running the same hash chain sees
+    the IDENTICAL sample, so the quantiles match bit-for-bit
+    (percentile_disc picks actual elements)."""
+
+    def sample(b: pa.Table) -> pa.Table:
+        ids = (
+            b.column(id_col)
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = _fmix32(ids) % sample_mod == 0
+        return b.filter(pa.array(keep)).select([group_col, value_col])
+
+    return group_quantiles(
+        ds.map_batches(sample, batch_format="pyarrow"),
+        group_col,
+        value_col,
+        qs=qs,
+    )
+
+
 def event_gaps(
     ds,
     user_col: str = "user_id",
@@ -1002,6 +1044,22 @@ def running_user_totals(
     )
 
 
+def _fmix32(vals: np.ndarray) -> np.ndarray:
+    """murmur3 fmix32 finalizer over the low 31 bits of an int64
+    array: well-avalanched even for sequential ids, and every step
+    (xor/shift + multiply mod 2^32) is exactly expressible in DuckDB
+    (HUGEINT multiply), so SQL oracles can mirror it bit-for-bit."""
+    h = (np.asarray(vals, dtype=np.int64) & 0x7FFFFFFF).astype(
+        np.uint64
+    )
+    h ^= h >> np.uint64(16)
+    h = (h * np.uint64(0x85EBCA6B)) & np.uint64(0xFFFFFFFF)
+    h ^= h >> np.uint64(13)
+    h = (h * np.uint64(0xC2B2AE35)) & np.uint64(0xFFFFFFFF)
+    h ^= h >> np.uint64(16)
+    return h.astype(np.int64)
+
+
 def approx_distinct_per_group(
     ds, key_col: str = "event_type", val_col: str = "user_id",
     n_kb: int = 16,
@@ -1041,13 +1099,7 @@ def approx_distinct_per_group(
             .combine_chunks()
             .to_numpy(zero_copy_only=False)
         )
-        h = (vals & 0x7FFFFFFF).astype(np.uint64)
-        h ^= h >> np.uint64(16)
-        h = (h * np.uint64(0x85EBCA6B)) & np.uint64(0xFFFFFFFF)
-        h ^= h >> np.uint64(13)
-        h = (h * np.uint64(0xC2B2AE35)) & np.uint64(0xFFFFFFFF)
-        h ^= h >> np.uint64(16)
-        hv = h.astype(np.int64)
+        hv = _fmix32(vals)
         bucket = hv & 63
         w = hv >> 6  # 26-bit word
         # frexp exponent == bit length for integers (exact in f64 up

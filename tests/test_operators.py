@@ -1089,6 +1089,58 @@ def test_group_quantiles_percentile_disc_semantics(ray_session):
     assert got["b"] == (7.5, 7.5)
 
 
+def test_sampled_group_quantiles(ray_session):
+    """Hash-sampled quantiles: deterministic (block-layout invariant),
+    equal to the exact disc-quantile of the locally-replicated sample,
+    and within a loose band of the true continuous quantile."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        _fmix32,
+        sampled_group_quantiles,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 20000
+    ids = np.arange(n, dtype=np.int64)
+    vals = rng.normal(50.0, 10.0, n)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(ids),
+            "g": pa.array(np.where(ids % 2 == 0, "a", "b")),
+            "value": pa.array(vals),
+        }
+    )
+    keep = _fmix32(ids) % 4 == 0
+    want = {}
+    for g, mask in (("a", ids % 2 == 0), ("b", ids % 2 == 1)):
+        s = np.sort(vals[keep & mask])
+        want[g] = (
+            float(s[int(np.ceil(0.5 * len(s))) - 1]),
+            float(s[int(np.ceil(0.95 * len(s))) - 1]),
+        )
+    base = None
+    for np_ in (1, 6):
+        got = {
+            r["g"]: (r["p50"], r["p95"])
+            for r in sampled_group_quantiles(
+                ray.data.from_arrow(tbl).repartition(np_),
+                "g",
+                "value",
+                id_col="event_id",
+                sample_mod=4,
+            ).take_all()
+        }
+        assert got == want
+        base = base or got
+    # true N(50,10): p50=50, p95~66.4; ~2500-row samples land close
+    for g in "ab":
+        assert abs(base[g][0] - 50.0) < 1.5
+        assert abs(base[g][1] - 66.45) < 2.5
+
+
 def test_resize_box_roundtrip_and_exactness(ray_session):
     import numpy as np
     import pyarrow as pa
