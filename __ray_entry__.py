@@ -368,6 +368,26 @@ def _q_event_quantiles(sf_dir: str):
     )
 
 
+def _q_cms_counts(sf_dir: str):
+    """Count-min sketch point-frequency estimates
+    (stages/sketch.count_min_counts) for 32 probe user ids: 4 x 1024
+    integer counters, per-block bincount partials, zero shuffle,
+    driver state bounded at d*w counters at any key cardinality.
+    The fmix32 hash chain is DuckDB-expressible, so the estimates --
+    overcounts included -- match the SQL mirror exactly."""
+    from console_log_parser_ray.stages.sketch import count_min_counts
+
+    import numpy as np
+
+    return count_min_counts(
+        _events(sf_dir).select_columns(["user_id"]),
+        "user_id",
+        probes=np.arange(1, 33),
+        d=4,
+        w=1024,
+    )
+
+
 def _q_sampled_quantiles(sf_dir: str):
     """Hash-sampled per-group quantiles
     (stages/events.sampled_group_quantiles): the scale path for
@@ -2243,6 +2263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_clusters": _q_simhash_clusters,
         "heavy_hitters": _q_heavy_hitters,
         "sampled_quantiles": _q_sampled_quantiles,
+        "cms_counts": _q_cms_counts,
         "event_quantiles": _q_event_quantiles,
         "quality": _q_quality,
         "lang_hist": _q_lang_hist,
@@ -2789,6 +2810,41 @@ def oracle_sql() -> dict[str, str]:
             "percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50, "
             "percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95 "
             "FROM events GROUP BY event_type"
+        ),
+        "cms_counts": (
+            # the exact same 4x1024 count-min table, built in SQL:
+            # per (row-hash i, position) counts, probe keys take the
+            # min over i with missing counters as 0.  The xor salt
+            # i*0x5BD1E995 is applied before the 31-bit mask, exactly
+            # as the numpy side does.
+            "WITH ik AS (SELECT i FROM range(0, 4) t(i)), "
+            "h0 AS (SELECT i, xor(user_id & 2147483647, "
+            "  i * 1540483477) & 2147483647 AS h "
+            "  FROM events CROSS JOIN ik), "
+            "h1 AS (SELECT i, xor(h, h >> 16) AS h FROM h0), "
+            "h2 AS (SELECT i, CAST((CAST(h AS HUGEINT) * 2246822507) "
+            "  % 4294967296 AS BIGINT) AS h FROM h1), "
+            "h3 AS (SELECT i, xor(h, h >> 13) AS h FROM h2), "
+            "h4 AS (SELECT i, CAST((CAST(h AS HUGEINT) * 3266489909) "
+            "  % 4294967296 AS BIGINT) AS h FROM h3), "
+            "h5 AS (SELECT i, xor(h, h >> 16) AS h FROM h4), "
+            "c AS (SELECT i, h % 1024 AS pos, count(*) AS cnt "
+            "  FROM h5 GROUP BY i, pos), "
+            "pk AS (SELECT u.user_id, ik.i FROM range(1, 33) "
+            "  u(user_id) CROSS JOIN ik), "
+            "p0 AS (SELECT user_id, i, xor(user_id & 2147483647, "
+            "  i * 1540483477) & 2147483647 AS h FROM pk), "
+            "p1 AS (SELECT user_id, i, xor(h, h >> 16) AS h FROM p0), "
+            "p2 AS (SELECT user_id, i, CAST((CAST(h AS HUGEINT) "
+            "  * 2246822507) % 4294967296 AS BIGINT) AS h FROM p1), "
+            "p3 AS (SELECT user_id, i, xor(h, h >> 13) AS h FROM p2), "
+            "p4 AS (SELECT user_id, i, CAST((CAST(h AS HUGEINT) "
+            "  * 3266489909) % 4294967296 AS BIGINT) AS h FROM p3), "
+            "p5 AS (SELECT user_id, i, xor(h, h >> 16) AS h FROM p4), "
+            "pp AS (SELECT user_id, i, h % 1024 AS pos FROM p5) "
+            "SELECT user_id, "
+            "  CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est "
+            "FROM pp LEFT JOIN c USING (i, pos) GROUP BY user_id"
         ),
         "sampled_quantiles": (
             # identical fmix32 hash chain as approx_distinct_users

@@ -135,6 +135,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "heavy_hitters",
         "event_quantiles",
         "sampled_quantiles",
+        "cms_counts",
         "q3_join",
         "lang_rank",
         "idf_rarity",

@@ -1,4 +1,5 @@
-"""Sketch-based operators: bounded-memory heavy hitters.
+"""Sketch-based operators: bounded-memory heavy hitters and
+count-min point-frequency estimates.
 
 ``heavy_hitters`` finds every value of a column whose frequency
 exceeds ``N / k`` EXACTLY, without ever shuffling the full
@@ -136,6 +137,79 @@ def heavy_hitters(ds, col: str, k: int = 100):
             {
                 col: pa.array(out_v.astype(np.int64), pa.int64()),
                 "n": pa.array(out_n, pa.int64()),
+            }
+        )
+    )
+
+
+def count_min_counts(
+    ds,
+    col: str,
+    probes,
+    d: int = 4,
+    w: int = 1024,
+):
+    """Count-min sketch: upper-bound frequency estimates for the
+    ``probes`` keys of ``ds[col]`` from ``d x w`` integer counters --
+    the point-frequency sibling of :func:`heavy_hitters` (top-k) and
+    ``events.approx_distinct_per_group`` (distinct count).
+
+    Guarantee: ``true <= est <= true + eps*N`` with probability
+    ``1 - (1/2)^d`` where ``eps ~ e/w`` (Cormode & Muthukrishnan
+    2005); estimates never undercount.  Each block reduces to at most
+    ``d*w`` nonzero (slot, count) partials (one vectorized bincount),
+    the driver fold holds exactly ``d*w`` int64 counters regardless of
+    row count or key cardinality, and nothing shuffles.
+
+    Row hashes are ``fmix32(key ^ (i * 0x5BD1E995))`` -- the same
+    DuckDB-expressible chain as the HLL sketch, so the whole estimate
+    is bit-reproducible against a SQL mirror.
+    """
+    from .events import _fmix32
+
+    probes = np.asarray(probes, dtype=np.int64)
+    mask31 = 0x7FFFFFFF
+
+    def positions(keys: np.ndarray) -> np.ndarray:
+        """(n, d) counter positions; row i uses an xor-salted fmix."""
+        out = np.empty((len(keys), d), dtype=np.int64)
+        base = keys & mask31
+        for i in range(d):
+            out[:, i] = _fmix32(base ^ (i * 0x5BD1E995)) % w + i * w
+        return out
+
+    def sketch_block(batch: pa.Table) -> pa.Table:
+        keys = (
+            batch.column(col)
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        cnt = np.bincount(positions(keys).ravel(), minlength=d * w)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "slot": pa.array(nz.astype(np.int64), pa.int64()),
+                "cnt": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    counters = np.zeros(d * w, dtype=np.int64)
+    for tbl in ds.map_batches(
+        sketch_block, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        s = tbl.column("slot").to_numpy(zero_copy_only=False)
+        c = tbl.column("cnt").to_numpy(zero_copy_only=False)
+        np.add.at(counters, s, c)
+
+    est = counters[positions(probes)].min(axis=1)
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                col: pa.array(probes, pa.int64()),
+                "est": pa.array(est, pa.int64()),
             }
         )
     )

@@ -2061,6 +2061,51 @@ def test_distinct_count_per_group(ray_session):
         assert got == want
 
 
+def test_count_min_counts(ray_session):
+    """CMS estimates never undercount, are block-layout invariant,
+    and respect the eps*N overcount bound with room to spare on a
+    skewed corpus much smaller than the counter table."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.sketch import count_min_counts
+
+    rng = np.random.default_rng(5)
+    # zipf-ish: key k appears ~3000/k times
+    keys = np.repeat(
+        np.arange(1, 41, dtype=np.int64),
+        (3000 / np.arange(1, 41)).astype(int),
+    )
+    rng.shuffle(keys)
+    tbl = pa.table({"user_id": pa.array(keys)})
+    true = {
+        int(k): int(c) for k, c in zip(*np.unique(keys, return_counts=True))
+    }
+    probes = list(range(1, 41)) + [999]  # 999 never occurs
+    base = None
+    for np_ in (1, 5):
+        got = {
+            r["user_id"]: r["est"]
+            for r in count_min_counts(
+                ray.data.from_arrow(tbl).repartition(np_),
+                "user_id",
+                probes=probes,
+                d=4,
+                w=1024,
+            ).take_all()
+        }
+        if base is None:
+            base = got
+        else:
+            assert got == base
+    n = len(keys)
+    for k in probes:
+        t = true.get(k, 0)
+        assert base[k] >= t  # never undercounts
+        assert base[k] <= t + int(np.e / 1024 * n) + 40  # loose eps*N
+
+
 def test_approx_distinct_per_group(ray_session):
     """HLL sketch: block-layout invariant (register max is
     order-free), integer outputs match a single-pass local replica,
