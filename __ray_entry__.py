@@ -368,6 +368,25 @@ def _q_event_quantiles(sf_dir: str):
     )
 
 
+def _q_winsorize(sf_dir: str):
+    """Per-group winsorization at the hash-sampled p95
+    (stages/events.winsorize_per_group): bounded threshold pass +
+    stateless clip; deterministic sample makes the SQL mirror's
+    LEAST() bit-identical to np.minimum."""
+    from console_log_parser_ray.stages.events import winsorize_per_group
+
+    return winsorize_per_group(
+        _events(sf_dir).select_columns(
+            ["event_id", "event_type", "value"]
+        ),
+        "event_type",
+        "value",
+        id_col="event_id",
+        q=0.95,
+        sample_mod=4,
+    )
+
+
 def _q_cms_counts(sf_dir: str):
     """Count-min sketch point-frequency estimates
     (stages/sketch.count_min_counts) for 32 probe user ids: 4 x 1024
@@ -2264,6 +2283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "sampled_quantiles": _q_sampled_quantiles,
         "cms_counts": _q_cms_counts,
+        "winsorize": _q_winsorize,
         "event_quantiles": _q_event_quantiles,
         "quality": _q_quality,
         "lang_hist": _q_lang_hist,
@@ -2810,6 +2830,32 @@ def oracle_sql() -> dict[str, str]:
             "percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50, "
             "percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95 "
             "FROM events GROUP BY event_type"
+        ),
+        "winsorize": (
+            # same fmix32 sample chain as sampled_quantiles -> per-type
+            # disc p95 threshold -> LEAST clip (LEFT JOIN + infinity
+            # coalesce mirrors the engine's "no sampled rows -> no
+            # clip" rule)
+            "WITH h0 AS (SELECT event_type, value, "
+            "  event_id & 2147483647 AS h FROM events), "
+            "h1 AS (SELECT event_type, value, xor(h, h >> 16) AS h "
+            "  FROM h0), "
+            "h2 AS (SELECT event_type, value, CAST((CAST(h AS HUGEINT) "
+            "  * 2246822507) % 4294967296 AS BIGINT) AS h FROM h1), "
+            "h3 AS (SELECT event_type, value, xor(h, h >> 13) AS h "
+            "  FROM h2), "
+            "h4 AS (SELECT event_type, value, CAST((CAST(h AS HUGEINT) "
+            "  * 3266489909) % 4294967296 AS BIGINT) AS h FROM h3), "
+            "h5 AS (SELECT event_type, value, xor(h, h >> 16) AS h "
+            "  FROM h4), "
+            "thr AS (SELECT event_type, "
+            "  percentile_disc(0.95) WITHIN GROUP (ORDER BY value) "
+            "    AS t "
+            "  FROM h5 WHERE h % 4 = 0 GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, "
+            "  LEAST(e.value, COALESCE(thr.t, 'infinity'::DOUBLE)) "
+            "    AS value_w "
+            "FROM events e LEFT JOIN thr USING (event_type)"
         ),
         "cms_counts": (
             # the exact same 4x1024 count-min table, built in SQL:

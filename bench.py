@@ -136,6 +136,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "event_quantiles",
         "sampled_quantiles",
         "cms_counts",
+        "winsorize",
         "q3_join",
         "lang_rank",
         "idf_rarity",

@@ -479,6 +479,62 @@ def sampled_group_quantiles(
     )
 
 
+def winsorize_per_group(
+    ds,
+    group_col: str,
+    value_col: str,
+    id_col: str = "event_id",
+    q: float = 0.95,
+    sample_mod: int = 4,
+):
+    """Winsorize (upper-clip) a continuous column at its per-group
+    hash-sampled ``q``-quantile -- the standard outlier-taming step
+    before scaling/normalization in a feature pipeline.
+
+    Two bounded passes: :func:`sampled_group_quantiles` yields one
+    threshold row per group (collected and broadcast -- fine for
+    low-cardinality groups like event types; co-partition a threshold
+    join instead if groups number in the millions), then one stateless
+    ``map_batches`` clips.  The threshold is deterministic (fmix32
+    id-hash sample + disc quantile), so a SQL mirror computes the
+    identical double and ``LEAST`` matches ``np.minimum``
+    bit-for-bit."""
+    qcol = "p{}".format(int(q * 100))
+    thr_rows = sampled_group_quantiles(
+        ds, group_col, value_col, id_col=id_col, qs=(q,),
+        sample_mod=sample_mod,
+    ).take_all()
+    thr = {r[group_col]: r[qcol] for r in thr_rows}
+
+    def clip(b: pa.Table) -> pa.Table:
+        groups = b.column(group_col).combine_chunks()
+        if isinstance(groups, pa.ChunkedArray):
+            groups = (
+                groups.chunk(0)
+                if groups.num_chunks
+                else pa.array([], type=groups.type)
+            )
+        # dictionary-encode: one threshold lookup per DISTINCT group
+        # value per batch, then one vectorized minimum
+        enc = groups.dictionary_encode()
+        tvals = np.array(
+            [thr.get(g.as_py(), np.inf) for g in enc.dictionary],
+            dtype=np.float64,
+        )
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        vals = b.column(value_col).to_numpy(zero_copy_only=False)
+        clipped = np.minimum(vals, tvals[idx]) if len(idx) else vals
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                group_col: groups,
+                "value_w": pa.array(clipped, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
 def event_gaps(
     ds,
     user_col: str = "user_id",
