@@ -387,6 +387,23 @@ def _q_winsorize(sf_dir: str):
     )
 
 
+def _q_zscore(sf_dir: str):
+    """Per-group z-score normalization (stages/events.zscore_per_group):
+    integer-exact moments (cent sums in unbounded ints / HUGEINT) +
+    a fixed IEEE-deterministic float epilogue, so both engines emit
+    identical doubles (operands stay under 2^53 at oracle scale)."""
+    from console_log_parser_ray.stages.events import zscore_per_group
+
+    return zscore_per_group(
+        _events(sf_dir).select_columns(
+            ["event_id", "event_type", "value"]
+        ),
+        "event_type",
+        "value",
+        id_col="event_id",
+    )
+
+
 def _q_cms_counts(sf_dir: str):
     """Count-min sketch point-frequency estimates
     (stages/sketch.count_min_counts) for 32 probe user ids: 4 x 1024
@@ -2284,6 +2301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_quantiles": _q_sampled_quantiles,
         "cms_counts": _q_cms_counts,
         "winsorize": _q_winsorize,
+        "zscore": _q_zscore,
         "event_quantiles": _q_event_quantiles,
         "quality": _q_quality,
         "lang_hist": _q_lang_hist,
@@ -2830,6 +2848,24 @@ def oracle_sql() -> dict[str, str]:
             "percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50, "
             "percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95 "
             "FROM events GROUP BY event_type"
+        ),
+        "zscore": (
+            # integer-exact moments (sum(BIGINT) is HUGEINT), then the
+            # same IEEE op sequence as the engine: mean = S/n,
+            # std = sqrt(double(n*SS - S*S))/n, z = (c - mean)/std;
+            # division/sqrt/subtract are correctly rounded, so doubles
+            # match bit-for-bit
+            "WITH c AS (SELECT event_id, event_type, "
+            "  CAST(floor(value * 100) AS BIGINT) AS c FROM events), "
+            "m AS (SELECT event_type, count(*) AS n, sum(c) AS s, "
+            "  sum(c*c) AS ss FROM c GROUP BY event_type), "
+            "ms AS (SELECT event_type, CAST(s AS DOUBLE) / n AS mean, "
+            "  sqrt(CAST(n*ss - s*s AS DOUBLE)) / n AS std FROM m) "
+            "SELECT c.event_id, c.event_type, "
+            "  CASE WHEN ms.std > 0 THEN "
+            "    (CAST(c.c AS DOUBLE) - ms.mean) / ms.std "
+            "  ELSE NULL END AS z "
+            "FROM c JOIN ms USING (event_type)"
         ),
         "winsorize": (
             # same fmix32 sample chain as sampled_quantiles -> per-type

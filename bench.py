@@ -137,6 +137,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "sampled_quantiles",
         "cms_counts",
         "winsorize",
+        "zscore",
         "q3_join",
         "lang_rank",
         "idf_rarity",

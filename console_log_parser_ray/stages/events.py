@@ -535,6 +535,123 @@ def winsorize_per_group(
     return ds.map_batches(clip, batch_format="pyarrow")
 
 
+def zscore_per_group(
+    ds,
+    group_col: str,
+    value_col: str,
+    id_col: str = "event_id",
+):
+    """Per-group z-score normalization of a 2-decimal value column,
+    bit-reproducible against SQL: moments are integer-exact (cent
+    sums S and squared-cent sums SS folded in unbounded Python ints /
+    HUGEINT), and the float epilogue is a fixed IEEE-deterministic
+    sequence -- mean = S/n, std = sqrt(double(n*SS - S*S))/n,
+    z = (c - mean)/std -- division, sqrt and subtraction are all
+    correctly rounded, so both engines emit identical doubles.
+
+    Scale shape: one streaming pass emits per-block (group, n, S, SS)
+    partials (an Arrow group_by -- block-sized state never leaves the
+    task); the driver fold and broadcast dict are bounded by GROUP
+    cardinality (event types, shard labels).  Zero-variance groups
+    emit null z."""
+
+    def partials(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(b.column(value_col), 100.0)),
+            pa.int64(),
+        )
+        sq = pc.multiply(cents, cents)
+        g = (
+            pa.table(
+                {
+                    group_col: b.column(group_col),
+                    "c": cents,
+                    "s": sq,
+                    "one": pa.array(
+                        np.ones(b.num_rows, dtype=np.int64)
+                    ),
+                }
+            )
+            .group_by(group_col)
+            .aggregate([("one", "sum"), ("c", "sum"), ("s", "sum")])
+        )
+        return pa.table(
+            {
+                group_col: g.column(group_col),
+                "n": g.column("one_sum"),
+                "s": g.column("c_sum"),
+                "ss": g.column("s_sum"),
+            }
+        )
+
+    # driver fold in unbounded Python ints: no overflow at any scale;
+    # state bounded by group cardinality
+    stats: dict = {}
+    for tbl in ds.map_batches(
+        partials, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for g, n, s, ss in zip(
+            tbl.column(group_col).to_pylist(),
+            tbl.column("n").to_pylist(),
+            tbl.column("s").to_pylist(),
+            tbl.column("ss").to_pylist(),
+        ):
+            pn, ps, pss = stats.get(g, (0, 0, 0))
+            stats[g] = (pn + n, ps + s, pss + ss)
+
+    mean_std = {}
+    for g, (n, s, ss) in stats.items():
+        mean = s / n
+        std = np.sqrt(np.float64(n * ss - s * s)) / n
+        mean_std[g] = (mean, std)
+
+    def normalize(b: pa.Table) -> pa.Table:
+        groups = b.column(group_col).combine_chunks()
+        if isinstance(groups, pa.ChunkedArray):
+            groups = (
+                groups.chunk(0)
+                if groups.num_chunks
+                else pa.array([], type=groups.type)
+            )
+        enc = groups.dictionary_encode()
+        means = np.array(
+            [mean_std.get(g.as_py(), (0.0, 0.0))[0] for g in enc.dictionary],
+            dtype=np.float64,
+        )
+        stds = np.array(
+            [mean_std.get(g.as_py(), (0.0, 0.0))[1] for g in enc.dictionary],
+            dtype=np.float64,
+        )
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cents = (
+            pc.cast(
+                pc.floor(pc.multiply(b.column(value_col), 100.0)),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        if len(idx):
+            sd = stds[idx]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                z = (cents - means[idx]) / sd
+            valid = sd > 0
+        else:
+            z = np.array([], dtype=np.float64)
+            valid = np.array([], dtype=bool)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                group_col: groups,
+                "z": pa.array(
+                    np.where(valid, z, 0.0), pa.float64(), mask=~valid
+                ),
+            }
+        )
+
+    return ds.map_batches(normalize, batch_format="pyarrow")
+
+
 def event_gaps(
     ds,
     user_col: str = "user_id",

@@ -2061,6 +2061,74 @@ def test_distinct_count_per_group(ray_session):
         assert got == want
 
 
+def test_winsorize_and_zscore_per_group(ray_session):
+    """Winsorize clips at the sampled disc-p95 (groups with no sampled
+    rows pass through); z-score matches numpy population moments on
+    cents and emits null for zero-variance groups.  Both block-layout
+    invariant."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        _fmix32,
+        winsorize_per_group,
+        zscore_per_group,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    g = np.where(ids % 2 == 0, "a", "b")
+    vals = np.round(rng.uniform(0, 100, n), 2)
+    # group "z": constant value -> zero variance
+    ids_z = np.arange(n, n + 8, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.concatenate([ids, ids_z])),
+            "g": pa.array(np.concatenate([g, ["z"] * 8])),
+            "value": pa.array(np.concatenate([vals, [7.5] * 8])),
+        }
+    )
+    keep = _fmix32(ids) % 4 == 0
+    thr = {}
+    for gg, mask in (("a", g == "a"), ("b", g == "b")):
+        s = np.sort(vals[keep & mask])
+        thr[gg] = float(s[int(np.ceil(0.95 * len(s))) - 1])
+    zkeep = _fmix32(ids_z) % 4 == 0
+    thr["z"] = 7.5 if zkeep.any() else np.inf
+
+    base_w = base_z = None
+    for np_ in (1, 6):
+        dsx = ray.data.from_arrow(tbl).repartition(np_)
+        got_w = {
+            r["event_id"]: r["value_w"]
+            for r in winsorize_per_group(
+                dsx, "g", "value", id_col="event_id"
+            ).take_all()
+        }
+        got_z = {
+            r["event_id"]: r["z"]
+            for r in zscore_per_group(
+                dsx, "g", "value", id_col="event_id"
+            ).take_all()
+        }
+        if base_w is None:
+            base_w, base_z = got_w, got_z
+        else:
+            assert got_w == base_w and got_z == base_z
+    for i in range(n):
+        assert base_w[i] == min(vals[i], thr[g[i]])
+    for i in range(n, n + 8):
+        assert base_z[i] is None  # zero variance -> null
+    for gg, mask in (("a", g == "a"), ("b", g == "b")):
+        c = np.floor(vals[mask] * 100)
+        mean, std = c.mean(), c.std()
+        zs = np.array([base_z[i] for i in ids[mask]])
+        want = (c - mean) / std
+        assert np.allclose(zs, want, atol=1e-9)
+
+
 def test_count_min_counts(ray_session):
     """CMS estimates never undercount, are block-layout invariant,
     and respect the eps*N overcount bound with room to spare on a
