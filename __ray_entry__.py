@@ -387,6 +387,23 @@ def _q_winsorize(sf_dir: str):
     )
 
 
+def _q_epoch_upsample(sf_dir: str):
+    """Fractional-epoch domain resampling
+    (stages/export.epoch_upsample): srcN gets 0.25*(1 + N%10) epochs,
+    so the corpus spans true downsampling (0.25x) through 2.5x
+    replication; the fractional remainder resolves per row on the
+    fmix32 id hash, bit-exactly mirrored by the SQL CROSS JOIN
+    range."""
+    from console_log_parser_ray.stages.export import epoch_upsample
+
+    return epoch_upsample(
+        _docs(sf_dir).select_columns(["doc_id", "source"]),
+        lambda g: 250 * (1 + int(g[3:]) % 10),
+        group_col="source",
+        id_col="doc_id",
+    )
+
+
 def _q_zscore(sf_dir: str):
     """Per-group z-score normalization (stages/events.zscore_per_group):
     integer-exact moments (cent sums in unbounded ints / HUGEINT) +
@@ -2302,6 +2319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": _q_cms_counts,
         "winsorize": _q_winsorize,
         "zscore": _q_zscore,
+        "epoch_upsample": _q_epoch_upsample,
         "event_quantiles": _q_event_quantiles,
         "quality": _q_quality,
         "lang_hist": _q_lang_hist,
@@ -2848,6 +2866,32 @@ def oracle_sql() -> dict[str, str]:
             "percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50, "
             "percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95 "
             "FROM events GROUP BY event_type"
+        ),
+        "epoch_upsample": (
+            # reps = em//1000 (+1 if fmix32(doc_id) % 1000 < em%1000);
+            # em <= 2500 so reps <= 3 and range(0,4) covers every copy
+            "WITH d AS (SELECT doc_id, source, 250 * (1 + "
+            "  (CAST(substr(source, 4) AS BIGINT) % 10)) AS em "
+            "  FROM documents), "
+            "h0 AS (SELECT doc_id, source, em, "
+            "  doc_id & 2147483647 AS h FROM d), "
+            "h1 AS (SELECT doc_id, source, em, xor(h, h >> 16) AS h "
+            "  FROM h0), "
+            "h2 AS (SELECT doc_id, source, em, CAST((CAST(h AS "
+            "  HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS h "
+            "  FROM h1), "
+            "h3 AS (SELECT doc_id, source, em, xor(h, h >> 13) AS h "
+            "  FROM h2), "
+            "h4 AS (SELECT doc_id, source, em, CAST((CAST(h AS "
+            "  HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS h "
+            "  FROM h3), "
+            "h5 AS (SELECT doc_id, source, em, xor(h, h >> 16) AS h "
+            "  FROM h4), "
+            "r AS (SELECT doc_id, source, em // 1000 + "
+            "  (CASE WHEN h % 1000 < em % 1000 THEN 1 ELSE 0 END) "
+            "  AS reps FROM h5) "
+            "SELECT doc_id, source, i AS epoch "
+            "FROM r, range(0, 4) t(i) WHERE i < reps"
         ),
         "zscore": (
             # integer-exact moments (sum(BIGINT) is HUGEINT), then the

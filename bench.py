@@ -149,6 +149,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "funnel",
         "pack_sequences",
         "mix_domains",
+        "epoch_upsample",
         "chunk_docs",
         "top_decile_docs",
         "event_gaps",

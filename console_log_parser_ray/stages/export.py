@@ -192,6 +192,68 @@ def mix_domains(ds, weight_fn, group_col: str = "source", id_col: str = "doc_id"
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def epoch_upsample(
+    ds,
+    epochs_fn,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    denom: int = 1000,
+):
+    """Fractional-epoch domain resampling -- the UPSAMPLING complement
+    of :func:`mix_domains`: each row of domain ``g`` is replicated
+    ``floor(e_g)`` or ``ceil(e_g)`` times (fractional part resolved
+    per row by the deterministic fmix32 id hash), so a mixture spec
+    like "2.7 epochs of wiki, 0.5 of web" realises exactly in one
+    stateless pass.  An ``epoch`` ordinal distinguishes the copies so
+    downstream shuffles/packing see distinct rows.
+
+    ``epochs_fn``: dict or callable giving INTEGER per-``denom``
+    epochs (2700 = 2.7 epochs).  Rows of domains mapping to 0 drop;
+    e < 1 is plain deterministic downsampling.  Everything is integer
+    arithmetic on the DuckDB-expressible hash chain, so a SQL mirror
+    (CROSS JOIN range + the same threshold test) matches exactly.
+    Expansion happens inside each block (``np.repeat`` + one Arrow
+    ``take``); no shuffle, no driver state beyond the domain map.
+    """
+    from .events import _fmix32
+
+    def reps_fn(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        groups = b.column(group_col)
+        enc = groups.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = (
+                enc.chunk(0)
+                if enc.num_chunks
+                else pa.array([], type=enc.type)
+            )
+        if callable(epochs_fn):
+            em_by_g = [int(epochs_fn(g.as_py()) or 0) for g in enc.dictionary]
+        else:
+            em_by_g = [
+                int(epochs_fn.get(g.as_py(), 0)) for g in enc.dictionary
+            ]
+        em = np.asarray(em_by_g, dtype=np.int64)[
+            enc.indices.to_numpy(zero_copy_only=False)
+            if len(enc)
+            else np.array([], dtype=np.int64)
+        ]
+        ids = (
+            b.column(id_col)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        reps = em // denom + (_fmix32(ids) % denom < em % denom)
+        idx = np.repeat(np.arange(b.num_rows), reps)
+        starts = np.cumsum(reps) - reps
+        epoch = np.arange(len(idx)) - np.repeat(starts, reps)
+        return b.take(pa.array(idx, pa.int64())).append_column(
+            "epoch", pa.array(epoch.astype(np.int64), pa.int64())
+        )
+
+    return ds.map_batches(reps_fn, batch_format="pyarrow")
+
+
 def export_shards(
     ds,
     out_dir: str,

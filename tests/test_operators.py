@@ -2061,6 +2061,47 @@ def test_distinct_count_per_group(ray_session):
         assert got == want
 
 
+def test_epoch_upsample(ray_session):
+    """Fractional-epoch resampling: per-row copies equal the local
+    replica's floor/ceil rule, epoch ordinals run 0..reps-1, e<1
+    downsamples, 0 drops the domain; block-layout invariant."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import _fmix32
+    from console_log_parser_ray.stages.export import epoch_upsample
+
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    dom = np.array(["a", "b", "c", "d"])[ids % 4]
+    em = {"a": 2700, "b": 1000, "c": 400, "d": 0}
+    tbl = pa.table({"doc_id": pa.array(ids), "source": pa.array(dom)})
+    emr = np.array([em[d] for d in dom], dtype=np.int64)
+    want_reps = emr // 1000 + (_fmix32(ids) % 1000 < emr % 1000)
+    base = None
+    for np_ in (1, 7):
+        rows = epoch_upsample(
+            ray.data.from_arrow(tbl).repartition(np_), em
+        ).take_all()
+        got = sorted((r["doc_id"], r["epoch"]) for r in rows)
+        if base is None:
+            base = got
+        else:
+            assert got == base
+    want = sorted(
+        (int(i), e) for i in ids for e in range(want_reps[i])
+    )
+    assert base == want
+    reps_by_dom = {
+        d: want_reps[dom == d].sum() / (n / 4) for d in "abcd"
+    }
+    assert 2.5 < reps_by_dom["a"] < 2.9  # ~2.7 epochs realised
+    assert reps_by_dom["b"] == 1.0
+    assert 0.3 < reps_by_dom["c"] < 0.5
+    assert reps_by_dom["d"] == 0.0
+
+
 def test_winsorize_and_zscore_per_group(ray_session):
     """Winsorize clips at the sampled disc-p95 (groups with no sampled
     rows pass through); z-score matches numpy population moments on
