@@ -2253,6 +2253,54 @@ def _q_mad_outliers_big(sf_dir: str):
     )
 
 
+#: BM25 query terms shared by the Ray query and its generated SQL
+#: oracle ("stream" never occurs in the synthetic corpus, pinning the
+#: df=0 / tf=0 zero-contribution path on both sides)
+_BM25_TERMS = ("join", "window", "hash", "stream")
+
+
+def _q_postings(sf_dir: str):
+    """Capped inverted index over documents: per token with df >= 2,
+    its document frequency and the 8 smallest containing doc ids
+    (stages/search.postings) -- token-hash buckets compute df locally
+    and emit at most k ids per token; one shuffle, vocabulary-sized
+    output."""
+    from console_log_parser_ray.stages.search import postings
+
+    return postings(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        k=8,
+        min_df=2,
+    )
+
+
+def _q_bm25(sf_dir: str):
+    """BM25 keyword scoring with the rational Robertson idf
+    (stages/search.bm25_keyword): one streaming projection to integer
+    (dl, tf) rows, driver-folded term statistics, one vectorized
+    scoring pass; zero shuffles, and the float score column is
+    bit-exact against the generated SQL mirror because both engines
+    evaluate the identical IEEE expression tree."""
+    from console_log_parser_ray.stages.search import bm25_keyword
+
+    return bm25_keyword(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), _BM25_TERMS
+    )
+
+
+def _q_token_budget(sf_dir: str):
+    """Per-language token-budget cap (stages/export.token_budget):
+    docs taken in deterministic hash order until each language's
+    running token total exceeds 2000 -- the cumulative-quota gate of
+    mixture curation, computed with the window-family bucket recipe."""
+    from console_log_parser_ray.stages.export import token_budget
+
+    return token_budget(
+        _docs(sf_dir).select_columns(["doc_id", "lang", "text"]),
+        budget=2000,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -2320,6 +2368,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize": _q_winsorize,
         "zscore": _q_zscore,
         "epoch_upsample": _q_epoch_upsample,
+        "postings": _q_postings,
+        "bm25": _q_bm25,
+        "token_budget": _q_token_budget,
         "event_quantiles": _q_event_quantiles,
         "quality": _q_quality,
         "lang_hist": _q_lang_hist,
@@ -3242,6 +3293,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) FILTER (WHERE d.df = 1) AS BIGINT) AS n_hapax "
             "FROM occ o JOIN df d USING (tok) GROUP BY o.doc_id"
         ),
+        "postings": (
+            "WITH raw AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+            "FROM documents), "
+            "toks AS (SELECT DISTINCT doc_id, tok FROM raw), "
+            "df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok), "
+            "r AS (SELECT tok, doc_id, row_number() OVER "
+            "(PARTITION BY tok ORDER BY doc_id) AS rn FROM toks) "
+            "SELECT d.tok, CAST(d.df AS BIGINT) AS df, "
+            "string_agg(CAST(r.doc_id AS VARCHAR), ',' "
+            "ORDER BY r.doc_id) AS posting "
+            "FROM df d JOIN r USING (tok) "
+            "WHERE r.rn <= 8 AND d.df >= 2 GROUP BY d.tok, d.df"
+        ),
+        "token_budget": (
+            # the same 31-bit-masked multiplicative hash as
+            # sample_docs; window SUM is the cumulative quota gate
+            "WITH t AS (SELECT doc_id, lang, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            "((doc_id & 2147483647) * 2654435761) % 4294967296 AS h "
+            "FROM documents), "
+            "c AS (SELECT doc_id, lang, n_tokens, "
+            "sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id) "
+            "AS cum FROM t) "
+            "SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(cum AS BIGINT) AS cum_tokens FROM c WHERE cum <= 2000"
+        ),
         "dedup_minhash": (
             # Exact all-pairs ground truth: shingle sets and Jaccard
             # are list arithmetic in DuckDB.  The LSH output equals
@@ -3426,6 +3504,11 @@ def oracle_sql() -> dict[str, str]:
     out["lang_rank_big"] = out["lang_rank"]
     out["top_decile_big"] = out["top_decile_docs"]
     out["mad_outliers_big"] = out["mad_outliers"]
+    # generated from the same term list as the Ray query, so the
+    # engine and its mirror can never drift
+    from console_log_parser_ray.stages.search import bm25_oracle_sql
+
+    out["bm25"] = bm25_oracle_sql(_BM25_TERMS)
     return out
 
 

@@ -254,6 +254,94 @@ def epoch_upsample(
     return ds.map_batches(reps_fn, batch_format="pyarrow")
 
 
+def token_budget(
+    ds,
+    budget: int,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+):
+    """Per-group token-budget cap -- the quota primitive of mixture
+    curation ("at most N tokens per language/domain per epoch"):
+    within each group, documents are taken in deterministic hash
+    order (the 31-bit multiplicative doc-id hash, ties by id) while
+    the running token total stays ``<= budget``; the rest drop.
+    Unlike top-k or ntile this gates on a CUMULATIVE quantity, so a
+    group's keep-count adapts to its document lengths.
+
+    Kept rows return with their token count and the inclusive running
+    total.  Everything is integer (token counts via one RE2 kernel,
+    the hash chain DuckDB-expressible), so the SQL mirror -- a window
+    ``SUM OVER (PARTITION BY grp ORDER BY h, id)`` -- is bit-exact.
+
+    Scale shape is the window-family recipe (``running_user_totals``):
+    groups coarsen into ``n_buckets`` hash buckets before the ONE
+    groupby (dispatch bounded by bucket count, never group
+    cardinality); inside a bucket one sort + cumsum-with-group-reset
+    computes every group's prefix sums vectorized.  Only the narrow
+    (id, group, n_tokens, h) projection shuffles -- text never leaves
+    the first pass.
+    """
+    from .events import _SAMPLE_MOD, _SAMPLE_MULT, _string_bucket
+
+    def project(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b.column(text_col).combine_chunks(), "")
+        nt = pc.count_substring_regex(texts, r"\S+").cast(pa.int64())
+        ids = b.column(id_col).combine_chunks().cast(pa.int64())
+        ids31 = pc.bit_wise_and(ids, pa.scalar((1 << 31) - 1, pa.int64()))
+        h = pc.bit_wise_and(
+            pc.multiply(ids31, pa.scalar(_SAMPLE_MULT, pa.int64())),
+            pa.scalar(_SAMPLE_MOD - 1, pa.int64()),
+        )
+        groups = b.column(group_col).combine_chunks()
+        return pa.table(
+            {
+                id_col: ids,
+                group_col: groups,
+                "n_tokens": nt,
+                "h": h,
+                "bucket": _string_bucket(groups, n_buckets),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(
+            [
+                (group_col, "ascending"),
+                ("h", "ascending"),
+                (id_col, "ascending"),
+            ]
+        )
+        n = tbl.num_rows
+        enc = pc.dictionary_encode(tbl.column(group_col).combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        nt = tbl.column("n_tokens").to_numpy(zero_copy_only=False)
+        idx = np.arange(n, dtype=np.int64)
+        first = np.ones(n, dtype=bool)
+        if n:
+            first[1:] = codes[1:] != codes[:-1]
+        cs = np.cumsum(nt)
+        before = np.where(first, cs - nt, 0)
+        start = np.maximum.accumulate(np.where(first, idx, 0))
+        cum = cs - before[start]
+        keep = cum <= budget
+        return pa.table(
+            {
+                id_col: tbl.column(id_col).filter(pa.array(keep)),
+                group_col: tbl.column(group_col).filter(pa.array(keep)),
+                "n_tokens": pa.array(nt[keep], pa.int64()),
+                "cum_tokens": pa.array(cum[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def export_shards(
     ds,
     out_dir: str,

@@ -1,0 +1,293 @@
+"""Retrieval primitives over the document corpus: a capped inverted
+index (token -> posting list) and BM25 keyword scoring.
+
+Both are corpus-wide text passes built on the same token-hash bucket
+front half as ``stages.textan.idf_rarity`` (every occurrence row of a
+token lands in exactly ONE bucket group, so document frequency is a
+local bincount -- no token-keyed groupby, no df-table broadcast), and
+both keep every intermediate an integer so the DuckDB SQL oracles are
+bit-exact.  BM25's floating-point score is derived from those integers
+through one fixed, literally-mirrored IEEE expression tree (see
+``bm25_keyword``), which keeps even the float column hash-identical
+across engines.
+
+At 100 TB:
+
+- ``postings`` moves one distinct (doc, token) row per pair through a
+  single shuffle whose dispatch is bounded by the bucket count; each
+  bucket emits at most ``k`` doc ids per surviving token, so output is
+  vocabulary-sized, not corpus-sized.  The ``max_df`` cut is applied
+  inside the bucket BEFORE any posting string is built -- stop-word
+  postings (the heavy hitters that would dominate output size) never
+  materialize.
+- ``bm25_keyword`` never shuffles the corpus at all: one streaming
+  pass projects each document to a (T+2)-integer row (T = number of
+  query terms), the global term statistics fold as per-block partials
+  on the driver (one tiny row per block), and scoring is a second
+  vectorized pass over the narrow projection.  The projection is
+  materialized between the two passes -- it is ~8*(T+2) bytes per
+  document, orders of magnitude under the raw text volume -- so the
+  expensive tokenize runs once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .textan import _explode_tok_occ
+
+
+def postings(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_df: int = 2,
+    max_df: int | None = None,
+    n_buckets: int = 64,
+):
+    """Capped inverted index: for every token with document frequency
+    in ``[min_df, max_df]``, its df and the ``k`` smallest doc ids
+    that contain it, comma-joined in ascending order -- the seed
+    structure of any sharded lexical search index.
+
+    Plan: the shared ``_explode_tok_occ`` front half (vectorized
+    split + one Arrow group_by per batch) emits distinct (doc, token)
+    rows bucketed by a token hash; inside each bucket group df is a
+    bincount, the df band is filtered first, and the capped posting
+    strings are built with one lexsort + offset-sliced ``ListArray``
+    + ``binary_join`` -- no per-token Python.  One shuffle total,
+    dispatch bounded by ``n_buckets``.
+    """
+
+    def build(tbl: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(tbl.column("tok").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        nvocab = len(enc.dictionary)
+        df = np.bincount(codes, minlength=nvocab)
+        lo = df >= min_df
+        if max_df is not None:
+            lo &= df <= max_df
+        keep_row = lo[codes]
+        if not keep_row.any():
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "posting": pa.array([], pa.string()),
+                }
+            )
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)[keep_row]
+        kept_codes = codes[keep_row]
+        # sort rows by (token, doc_id); within each token run, rank =
+        # index - run start, so "first k doc ids" is one boolean mask
+        order = np.lexsort((ids, kept_codes))
+        sc = kept_codes[order]
+        si = ids[order]
+        n = len(sc)
+        first = np.ones(n, dtype=bool)
+        first[1:] = sc[1:] != sc[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(first, idx, 0))
+        in_cap = (idx - start) < k
+        cap_ids = si[in_cap]
+        cap_codes = sc[in_cap]
+        # per surviving token: its capped count -> ListArray offsets
+        tok_codes = cap_codes[
+            np.concatenate(
+                ([True], cap_codes[1:] != cap_codes[:-1])
+            )
+        ]
+        counts = np.minimum(df[tok_codes], k)
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        id_strs = pc.cast(pa.array(cap_ids, pa.int64()), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets), id_strs)
+        return pa.table(
+            {
+                "tok": enc.dictionary.take(
+                    pa.array(tok_codes, pa.int64())
+                ),
+                "df": pa.array(df[tok_codes], pa.int64()),
+                "posting": pc.binary_join(lists, ","),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            lambda b: _explode_tok_occ(b, text_col, id_col, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("jb")
+        .map_groups(build, batch_format="pyarrow")
+    )
+
+
+#: BM25 shape parameters; 1-b and k1+1 are derived inside the score
+#: expression (1.0 - B, K1 + 1.0) so the SQL mirror can spell the
+#: SAME subexpressions and land on bit-identical doubles.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_project(
+    ds, terms: tuple, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Streaming projection of each document onto (doc length, per-term
+    term frequency) -- the integer sufficient statistics of BM25 for a
+    fixed query.  One vectorized pass; no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        n = len(texts)
+        lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+        flat = lists.flatten()
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offsets = offsets - offsets[0]
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        cols = {
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "dl": pa.array(
+                np.bincount(row_idx[nonempty], minlength=n), pa.int64()
+            ),
+        }
+        for j, term in enumerate(terms):
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            cols[f"tf{j}"] = pa.array(
+                np.bincount(row_idx[hit], minlength=n), pa.int64()
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bm25_keyword(
+    ds,
+    terms: tuple,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+):
+    """BM25 keyword scoring of every document against a fixed term
+    list: ``score = sum_t idf_t * tf_t*(k1+1) / (tf_t + k1*(1-b +
+    b*dl/avgdl))`` with the rational Robertson idf ``(N - df_t + 0.5)
+    / (df_t + 0.5)`` (no logarithm -- every operation is IEEE +,-,*,/
+    on values derived from exact integers, so the score column is
+    bit-reproducible on any engine that evaluates the same expression
+    tree, which the SQL oracle spells out literally).  Documents with
+    zero query-term hits are dropped; ``N`` and ``avgdl`` count
+    documents with at least one token (matching the unnest-based SQL
+    formulation, where token-less documents vanish).
+
+    Plan: ``bm25_project`` streams the corpus once into a narrow
+    integer table (materialized: ~8*(T+2) bytes/doc); global term
+    statistics fold as one tiny partial row per block on the driver;
+    a second vectorized pass scores.  Zero shuffles.
+    """
+    T = len(terms)
+    proj = bm25_project(
+        ds, terms, text_col=text_col, id_col=id_col
+    ).materialize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dl = batch.column("dl").to_numpy(zero_copy_only=False)
+        tok_docs = dl > 0
+        cols = {
+            "n": pa.array([int(tok_docs.sum())], pa.int64()),
+            "sdl": pa.array([int(dl.sum())], pa.int64()),
+        }
+        for j in range(T):
+            tf = batch.column(f"tf{j}").to_numpy(zero_copy_only=False)
+            cols[f"df{j}"] = pa.array([int((tf > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    parts = proj.map_batches(partial, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n"] for r in parts)
+    sum_dl = sum(r["sdl"] for r in parts)
+    dfs = [sum(r[f"df{j}"] for r in parts) for j in range(T)]
+    avgdl = np.float64(sum_dl) / np.float64(n_docs)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl = batch.column("dl").to_numpy(zero_copy_only=False)
+        dl_f = dl.astype(np.float64)
+        # norm = k1 * ((1 - b) + b * (dl / avgdl)), evaluated in this
+        # exact association; the SQL mirror writes the same tree
+        norm = np.float64(k1) * (
+            (np.float64(1.0) - np.float64(b))
+            + np.float64(b) * (dl_f / avgdl)
+        )
+        total = np.zeros(len(dl), dtype=np.float64)
+        n_hits = np.zeros(len(dl), dtype=np.int64)
+        for j in range(T):
+            tf = batch.column(f"tf{j}").to_numpy(zero_copy_only=False)
+            tf_f = tf.astype(np.float64)
+            idf = (np.float64(n_docs - dfs[j]) + np.float64(0.5)) / (
+                np.float64(dfs[j]) + np.float64(0.5)
+            )
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = idf * (
+                    (tf_f * (np.float64(k1) + np.float64(1.0)))
+                    / (tf_f + norm)
+                )
+            hit = tf > 0
+            # left-to-right term accumulation, tf=0 contributing an
+            # exact 0.0 -- the same order the SQL sum spells out
+            total = total + np.where(hit, s, np.float64(0.0))
+            n_hits += hit.astype(np.int64)
+        keep = n_hits > 0
+        return pa.table(
+            {
+                id_col: batch.column(id_col).filter(pa.array(keep)),
+                "n_hits": pa.array(n_hits[keep], pa.int64()),
+                "dl": pa.array(dl[keep], pa.int64()),
+                "score": pa.array(total[keep], pa.float64()),
+            }
+        )
+
+    return proj.map_batches(score, batch_format="pyarrow")
+
+
+def bm25_oracle_sql(
+    terms: tuple, k1: float = _BM25_K1, b: float = _BM25_B
+) -> str:
+    """The DuckDB mirror of ``bm25_keyword`` -- generated from the
+    same term list so engine and oracle can never drift, with every
+    float subexpression spelled in the association the engine uses."""
+    tf_cols = ", ".join(
+        f"count(*) FILTER (WHERE tok = '{t}') AS tf{j}"
+        for j, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"count(*) FILTER (WHERE tf{j} > 0) AS df{j}"
+        for j in range(len(terms))
+    )
+    norm = (
+        f"({k1} * ((1.0 - {b}) + {b} * "
+        "(CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))"
+    )
+    score = " + ".join(
+        f"(CASE WHEN tf{j} > 0 THEN "
+        f"((CAST(n - df{j} AS DOUBLE) + 0.5) / (CAST(df{j} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf{j} AS DOUBLE) * ({k1} + 1.0)) / "
+        f"(CAST(tf{j} AS DOUBLE) + {norm})) ELSE 0.0 END)"
+        for j in range(len(terms))
+    )
+    hits = " + ".join(
+        f"CAST(tf{j} > 0 AS BIGINT)" for j in range(len(terms))
+    )
+    anyhit = " OR ".join(f"tf{j} > 0" for j in range(len(terms)))
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents), "
+        f"dlt AS (SELECT doc_id, count(*) AS dl, {tf_cols} "
+        "FROM toks GROUP BY doc_id), "
+        f"g AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl, "
+        f"{df_cols} FROM dlt) "
+        f"SELECT doc_id, ({hits}) AS n_hits, dl, ({score}) AS score "
+        f"FROM dlt, g WHERE {anyhit}"
+    )
