@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 55 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 58 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -25,6 +25,8 @@ Exit 0 = every comparison equal.  Each seed covers 55 comparison groups:
     corpus line_dedup
     (text family, random multi-line corpora with empty docs, planted
     duplicates, unicode + punctuation tokens)
+  - postings / bm25 (bitwise-exact float) / token_budget
+                                (retrieval + quota family)
   - hash_join inner/left/semi/anti / interval range-count join /
     heavy hitters (skewed) / per-group discrete quantiles / pivot
     counts / hopping windows    (relational + sketch family)
@@ -67,6 +69,8 @@ failures = []
 
 
 def check(name, seed, mine_df, ref_df, keys, vals):
+    if len(mine_df) == 0 and len(ref_df) == 0:
+        return  # both empty (an empty Ray result may carry no schema)
     mine = mine_df.sort_values(keys).reset_index(drop=True)
     ref = ref_df.sort_values(keys).reset_index(drop=True)
     ok = len(mine) == len(ref)
@@ -741,6 +745,115 @@ def text_family(seed):
     check(
         "line_dedup", seed, mine, ref,
         ["doc_id"], ["clean_text", "n_removed"],
+    )
+
+
+def search_family(seed):
+    """Retrieval + quota family: capped inverted index, BM25 keyword
+    scoring (bit-exact float expression tree) and the per-group
+    token-budget gate on a random corpus with empty/null texts,
+    unicode tokens and non-contiguous shuffled doc ids."""
+    from console_log_parser_ray.stages.export import token_budget
+    from console_log_parser_ray.stages.search import (
+        bm25_keyword,
+        bm25_oracle_sql,
+        postings,
+    )
+
+    rng = np.random.default_rng(seed ^ 0x5EA2C4)
+    vocab = np.array(
+        ["w%d" % i for i in range(56)] + ["héllo", "a.b!", "x,y", "§7"]
+    )
+    # zipf-weighted draws spread document frequencies from ~2 to
+    # ~n_docs, so any random df band selects a non-trivial slice
+    zw = 1.0 / np.arange(1, len(vocab) + 1)
+    zw /= zw.sum()
+    n_docs = 160
+    ids = rng.permutation(np.arange(3, 4003, 25, dtype=np.int64))[
+        :n_docs
+    ]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 30), p=zw))
+        for _ in range(n_docs)
+    ]
+    texts[0] = ""
+    texts[1] = None
+    texts[2] = "  \t "
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": pa.array(
+                rng.choice(["en", "de", "zh"], n_docs).tolist()
+            ),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+
+    def dds():
+        return ray.data.from_arrow(tbl).repartition(
+            int(rng.integers(2, 9))
+        )
+
+    k = int(rng.integers(2, 7))
+    min_df = int(rng.integers(1, 4))
+    max_df = int(rng.integers(20, 120))
+    mine = postings(
+        dds(), k=k, min_df=min_df, max_df=max_df,
+        n_buckets=int(rng.integers(1, 9)),
+    ).to_pandas()
+    ref = con.execute(
+        "WITH raw AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(coalesce(text, ''), '\\S+')) AS tok "
+        "FROM documents), "
+        "toks AS (SELECT DISTINCT doc_id, tok FROM raw), "
+        "df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok), "
+        "r AS (SELECT tok, doc_id, row_number() OVER "
+        "(PARTITION BY tok ORDER BY doc_id) AS rn FROM toks) "
+        "SELECT d.tok, CAST(d.df AS BIGINT) AS df, "
+        "string_agg(CAST(r.doc_id AS VARCHAR), ',' ORDER BY r.doc_id) "
+        "AS posting FROM df d JOIN r USING (tok) "
+        f"WHERE r.rn <= {k} AND d.df BETWEEN {min_df} AND {max_df} "
+        "GROUP BY d.tok, d.df"
+    ).fetchdf()
+    check("postings", seed, mine, ref, ["tok"], ["df", "posting"])
+
+    terms = tuple(rng.choice(vocab, 3, replace=False)) + ("absent!",)
+    mine = bm25_keyword(dds(), terms).to_pandas()
+    sql = bm25_oracle_sql(terms).replace(
+        "regexp_extract_all(text",
+        "regexp_extract_all(coalesce(text, '')",
+    )
+    ref = con.execute(sql).fetchdf()
+    # exact bitwise equality for the IEEE-mirrored score column, not
+    # the check() tolerance: compare the raw bit patterns as integers
+    mine["score"] = mine["score"].to_numpy().view(np.int64)
+    ref["score"] = ref["score"].to_numpy().view(np.int64)
+    check(
+        "bm25", seed, mine, ref,
+        ["doc_id"], ["n_hits", "dl", "score"],
+    )
+
+    budget = int(rng.integers(30, 400))
+    mine = token_budget(
+        dds(), budget=budget, n_buckets=int(rng.integers(1, 9))
+    ).to_pandas()
+    ref = con.execute(
+        "WITH t AS (SELECT doc_id, lang, "
+        "len(regexp_extract_all(coalesce(text, ''), '\\S+')) "
+        "AS n_tokens, "
+        "((doc_id & 2147483647) * 2654435761) % 4294967296 AS h "
+        "FROM documents), "
+        "c AS (SELECT doc_id, lang, n_tokens, "
+        "sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id) "
+        "AS cum FROM t) "
+        "SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        f"CAST(cum AS BIGINT) AS cum_tokens FROM c WHERE cum <= {budget}"
+    ).fetchdf()
+    check(
+        "token_budget", seed, mine, ref,
+        ["doc_id"], ["lang", "n_tokens", "cum_tokens"],
     )
 
 
@@ -1494,6 +1607,7 @@ def main():
         aggregate_family(seed)
         session_rank_family(seed)
         text_family(seed)
+        search_family(seed)
         relational_family(seed)
         dedup_family(seed)
         transcript_family(seed)
@@ -1501,7 +1615,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(55 comparison groups per seed)"
+        "(58 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
