@@ -2301,6 +2301,18 @@ def _q_token_budget(sf_dir: str):
     )
 
 
+def _q_hash_embed(sf_dir: str):
+    """Feature-hashing vectorization (stages/search.hash_embed):
+    token -> md5-derived dimension with +/-1 sign, folded per doc into
+    sparse (doc, dim, weight) integer rows -- the model-free embedding
+    stage; stateless map_batches, zero shuffles."""
+    from console_log_parser_ray.stages.search import hash_embed
+
+    return hash_embed(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), dim=64
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -2371,6 +2383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": _q_postings,
         "bm25": _q_bm25,
         "token_budget": _q_token_budget,
+        "hash_embed": _q_hash_embed,
         "event_quantiles": _q_event_quantiles,
         "quality": _q_quality,
         "lang_hist": _q_lang_hist,
@@ -3306,6 +3319,20 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY r.doc_id) AS posting "
             "FROM df d JOIN r USING (tok) "
             "WHERE r.rn <= 8 AND d.df >= 2 GROUP BY d.tok, d.df"
+        ),
+        "hash_embed": (
+            # the same md5 feature-hash chain as the engine: first 8
+            # hex chars -> dimension, 9th nibble -> sign; signed
+            # counts cancelling to zero are dropped on both sides
+            "WITH raw AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+            "FROM documents), "
+            "m AS (SELECT doc_id, "
+            "('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS dim, "
+            "CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT < 8 "
+            "THEN 1 ELSE -1 END AS s FROM raw) "
+            "SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS weight "
+            "FROM m GROUP BY doc_id, dim HAVING sum(s) <> 0"
         ),
         "token_budget": (
             # the same 31-bit-masked multiplicative hash as

@@ -172,6 +172,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "line_dedup",
         "ngram_rep",
         "semdedup",
+        "postings",
+        "bm25",
+        "token_budget",
+        "hash_embed",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

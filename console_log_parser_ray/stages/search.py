@@ -252,6 +252,127 @@ def bm25_keyword(
     return proj.map_batches(score, batch_format="pyarrow")
 
 
+def _md5_dims(vocab: pa.Array, dim: int):
+    """(dim, sign) per DISTINCT token via md5 -- the engine-portable
+    feature-hashing chain (DuckDB spells it ``('0x' ||
+    substr(md5(tok),1,8))::BIGINT``).  Python cost is per distinct
+    token per batch, never per occurrence."""
+    import hashlib
+
+    dims = np.empty(len(vocab), dtype=np.int64)
+    signs = np.empty(len(vocab), dtype=np.int64)
+    for i, tok in enumerate(vocab.to_pylist()):
+        h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+        dims[i] = int(h[:8], 16) % dim
+        signs[i] = 1 if int(h[8], 16) < 8 else -1
+    return dims, signs
+
+
+def hash_embed(
+    ds, dim: int = 64, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Feature-hashing (hashing-trick) vectorization: each document's
+    bag of tokens folds into a ``dim``-dimensional signed-count vector
+    (token -> md5-derived dimension, +/-1 sign from the next md5
+    nibble -- the Weinberger et al. construction), emitted SPARSE as
+    (doc, dim, weight) rows with zero weights dropped.  The model-free
+    embedding stage of a curation pipeline: the output feeds the kNN /
+    k-means / ANN family without any trained encoder.
+
+    Integer end to end, so the SQL mirror (same md5 chain) is
+    bit-exact.  Stateless ``map_batches``: every token of a document
+    lives inside its own row, so the (doc, dim) fold completes
+    in-block with one weighted bincount -- ZERO shuffles at any corpus
+    size; md5 cost is per distinct token per batch (vocabularies
+    repeat), not per occurrence.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        ids = (
+            batch.column(id_col)
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n = len(texts)
+        lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+        flat = lists.flatten()
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offsets = offsets - offsets[0]
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        row_idx = row_idx[nonempty]
+        if len(row_idx) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "weight": pa.array([], pa.int64()),
+                }
+            )
+        enc = pc.dictionary_encode(flat)
+        vdims, vsigns = _md5_dims(enc.dictionary, dim)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        key = row_idx * dim + vdims[codes]
+        w = np.bincount(
+            key, weights=vsigns[codes], minlength=n * dim
+        ).astype(np.int64)
+        nz = np.flatnonzero(w)
+        return pa.table(
+            {
+                id_col: pa.array(ids[nz // dim], pa.int64()),
+                "dim": pa.array(nz % dim, pa.int64()),
+                "weight": pa.array(w[nz], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hash_embed_dense(
+    ds, dim: int = 64, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Dense companion of :func:`hash_embed`: the same signed-count
+    vectors as a ``fixed_size_list<float>`` ``embedding`` column
+    (zero-copy 2-D numpy view downstream), ready to chain into the
+    kNN / k-means / SemDeDup family.  Same zero-shuffle shape."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        n = len(texts)
+        lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+        flat = lists.flatten()
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offsets = offsets - offsets[0]
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        row_idx = row_idx[nonempty]
+        mat = np.zeros(n * dim, dtype=np.float64)
+        if len(row_idx):
+            enc = pc.dictionary_encode(flat)
+            vdims, vsigns = _md5_dims(enc.dictionary, dim)
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            np.add.at(mat, row_idx * dim + vdims[codes], vsigns[codes])
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.astype(np.float32)), dim
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "embedding": emb,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def bm25_oracle_sql(
     terms: tuple, k1: float = _BM25_K1, b: float = _BM25_B
 ) -> str:

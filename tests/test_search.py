@@ -178,6 +178,114 @@ def test_token_budget_random_vs_duckdb(ray_session, rand_docs):
     assert 0 < len(mine) < 400  # the budget genuinely gates
 
 
+def test_hash_embed_random_vs_duckdb(ray_session, rand_docs):
+    """Sparse feature-hash vectors vs the DuckDB md5 chain -- exact,
+    including unicode tokens and sign cancellations."""
+    ray = ray_session
+    from console_log_parser_ray.stages.search import hash_embed
+
+    # salt in unicode + punctuation tokens to pin utf-8 md5 parity
+    tbl = rand_docs.set_column(
+        2,
+        "text",
+        pa.array(
+            [
+                (t + " héllo §7 a.b!" if t else t)
+                for t in rand_docs.column("text").to_pylist()
+            ],
+            pa.string(),
+        ),
+    )
+    ds = hash_embed(
+        ray.data.from_arrow(tbl).repartition(6), dim=16
+    )
+    mine = {
+        (r["doc_id"], r["dim"]): r["weight"] for r in ds.take_all()
+    }
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    ref = {
+        (i, d): w
+        for i, d, w in con.execute(
+            "WITH raw AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(coalesce(text, ''), '\\S+')) "
+            "AS tok FROM documents), "
+            "m AS (SELECT doc_id, "
+            "('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS dim, "
+            "CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT < 8 "
+            "THEN 1 ELSE -1 END AS s FROM raw) "
+            "SELECT doc_id, dim, CAST(sum(s) AS BIGINT) FROM m "
+            "GROUP BY doc_id, dim HAVING sum(s) <> 0"
+        ).fetchall()
+    }
+    assert mine == ref and len(mine) > 100
+
+
+def test_hash_embed_dense_matches_sparse(ray_session, rand_docs):
+    ray = ray_session
+    from console_log_parser_ray.stages.search import (
+        hash_embed,
+        hash_embed_dense,
+    )
+
+    dim = 8
+    sparse = {
+        (r["doc_id"], r["dim"]): r["weight"]
+        for r in hash_embed(
+            ray.data.from_arrow(rand_docs), dim=dim
+        ).take_all()
+    }
+    for r in hash_embed_dense(
+        ray.data.from_arrow(rand_docs), dim=dim
+    ).take_all():
+        vec = r["embedding"]
+        assert len(vec) == dim
+        for d in range(dim):
+            assert vec[d] == float(sparse.get((r["doc_id"], d), 0))
+
+
+def test_hash_embed_dense_chains_into_knn(ray_session, rand_docs):
+    """The dense vectors feed the similarity family unchanged: exact
+    kNN over hash embeddings equals a local numpy brute force."""
+    ray = ray_session
+    import numpy as np
+
+    from console_log_parser_ray.stages.search import hash_embed_dense
+    from console_log_parser_ray.stages.similarity import knn_bruteforce
+
+    dim = 8
+    emb = hash_embed_dense(ray.data.from_arrow(rand_docs), dim=dim)
+    rows = emb.take_all()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    nz = np.linalg.norm(mat, axis=1) > 0
+    mat, ids = mat[nz], ids[nz]
+    q = mat[:2].copy()
+    got = knn_bruteforce(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(mat.reshape(-1)), dim
+                    ),
+                }
+            )
+        ),
+        (np.array([0, 1], dtype=np.int64), q),
+        k=3,
+    ).take_all()
+    # verify top-1 for query 0 against numpy cosine
+    def cos(a, b):
+        return float(
+            a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+
+    best = max(range(len(mat)), key=lambda i: cos(mat[i], q[0]))
+    top = [r for r in got if r["query_id"] == 0]
+    assert any(r["vec_id"] == ids[best] for r in top)
+
+
 def test_token_budget_boundary_inclusive(ray_session):
     """A doc whose inclusive running total EQUALS the budget is kept;
     the next one is dropped; zero-token docs ride along for free."""

@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 58 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 59 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -25,7 +25,7 @@ Exit 0 = every comparison equal.  Each seed covers 58 comparison groups:
     corpus line_dedup
     (text family, random multi-line corpora with empty docs, planted
     duplicates, unicode + punctuation tokens)
-  - postings / bm25 (bitwise-exact float) / token_budget
+  - postings / bm25 (bitwise-exact float) / hash_embed / token_budget
                                 (retrieval + quota family)
   - hash_join inner/left/semi/anti / interval range-count join /
     heavy hitters (skewed) / per-group discrete quantiles / pivot
@@ -835,6 +835,26 @@ def search_family(seed):
         ["doc_id"], ["n_hits", "dl", "score"],
     )
 
+    from console_log_parser_ray.stages.search import hash_embed
+
+    hd = int(rng.integers(4, 40))
+    mine = hash_embed(dds(), dim=hd).to_pandas()
+    ref = con.execute(
+        "WITH raw AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(coalesce(text, ''), '\\S+')) AS tok "
+        "FROM documents), "
+        "m AS (SELECT doc_id, "
+        f"('0x' || substr(md5(tok), 1, 8))::BIGINT % {hd} AS dim, "
+        "CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT < 8 "
+        "THEN 1 ELSE -1 END AS s FROM raw) "
+        "SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS weight "
+        "FROM m GROUP BY doc_id, dim HAVING sum(s) <> 0"
+    ).fetchdf()
+    check(
+        "hash_embed", seed, mine, ref,
+        ["doc_id", "dim"], ["weight"],
+    )
+
     budget = int(rng.integers(30, 400))
     mine = token_budget(
         dds(), budget=budget, n_buckets=int(rng.integers(1, 9))
@@ -1615,7 +1635,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(58 comparison groups per seed)"
+        "(59 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
