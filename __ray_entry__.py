@@ -2301,6 +2301,18 @@ def _q_token_budget(sf_dir: str):
     )
 
 
+def _q_bpe_pairs(sf_dir: str):
+    """Top-50 adjacent character pairs within tokens, occurrence-
+    weighted (stages/textan.bpe_pairs) -- one BPE tokenizer-training
+    iteration's merge-candidate table; per-block dictionary-encoded
+    partials, one small groupby-sum, exact top-k reduction."""
+    from console_log_parser_ray.stages.textan import bpe_pairs
+
+    return bpe_pairs(
+        _docs(sf_dir).select_columns(["text"]), k=50
+    )
+
+
 def _q_hash_embed(sf_dir: str):
     """Feature-hashing vectorization (stages/search.hash_embed):
     token -> md5-derived dimension with +/-1 sign, folded per doc into
@@ -2384,6 +2396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25": _q_bm25,
         "token_budget": _q_token_budget,
         "hash_embed": _q_hash_embed,
+        "bpe_pairs": _q_bpe_pairs,
         "event_quantiles": _q_event_quantiles,
         "quality": _q_quality,
         "lang_hist": _q_lang_hist,
@@ -3319,6 +3332,23 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY r.doc_id) AS posting "
             "FROM df d JOIN r USING (tok) "
             "WHERE r.rn <= 8 AND d.df >= 2 GROUP BY d.tok, d.df"
+        ),
+        "bpe_pairs": (
+            # one BPE iteration's merge-candidate table: adjacent
+            # char pairs inside tokens, occurrence-weighted;
+            # generate_series(1,0) is empty so 1-char tokens drop on
+            # both sides; ties by pair ascending
+            "WITH toks AS (SELECT "
+            "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+            "FROM documents), "
+            "idx AS (SELECT tok, "
+            "unnest(generate_series(1, length(tok) - 1)) AS i "
+            "FROM toks), "
+            "p AS (SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair "
+            "FROM idx), "
+            "c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair) "
+            "SELECT pair, CAST(n AS BIGINT) AS n FROM c "
+            "ORDER BY n DESC, pair LIMIT 50"
         ),
         "hash_embed": (
             # the same md5 feature-hash chain as the engine: first 8

@@ -176,6 +176,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "bm25",
         "token_budget",
         "hash_embed",
+        "bpe_pairs",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

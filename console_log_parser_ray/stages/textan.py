@@ -508,6 +508,98 @@ def ngram_topk(ds, n=3, k=20, text_col="text"):
     )
 
 
+def bpe_pairs(ds, k: int = 50, text_col: str = "text"):
+    """Corpus-wide top-k adjacent character pairs within tokens,
+    weighted by occurrence -- the candidate table of one BPE tokenizer
+    training iteration (the merge picked greedily is the global
+    argmax; re-running after applying merges iterates the algorithm).
+
+    Scale shape mirrors ``ngram_topk``: inside each block the token
+    tape is dictionary-encoded (vocabularies repeat heavily), pairs
+    are generated per DISTINCT token by a sliced-substring loop
+    bounded by the longest token (each step one zero-copy Arrow slice
+    kernel over the vocab array, never per occurrence), weighted by
+    the token's occurrence count, and pre-combined with one Arrow
+    group_by -- so the shuffle moves one row per distinct pair per
+    block; a single groupby-sum + block-local exact top-k reduction +
+    one small sort yield the global top-k, ties by pair ascending.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+        flat = lists.flatten()
+        enc = pc.dictionary_encode(flat)
+        vocab = enc.dictionary
+        occ = np.bincount(
+            enc.indices.to_numpy(zero_copy_only=False),
+            minlength=len(vocab),
+        )
+        lens = pc.utf8_length(vocab).to_numpy(zero_copy_only=False)
+        pair_chunks, w_chunks = [], []
+        max_len = int(lens.max(initial=0))
+        for i in range(max_len - 1):
+            has = lens >= i + 2
+            if not has.any():
+                break
+            sel = pa.array(np.flatnonzero(has), pa.int64())
+            pair_chunks.append(
+                pc.utf8_slice_codeunits(vocab.take(sel), i, i + 2)
+            )
+            w_chunks.append(occ[has])
+        if not pair_chunks:
+            return pa.table(
+                {
+                    "pair": pa.array([], pa.string()),
+                    "n_partial": pa.array([], pa.int64()),
+                }
+            )
+        pairs = pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in pair_chunks]
+        )
+        w = np.concatenate(w_chunks)
+        g = (
+            pa.table(
+                {"pair": pairs, "w": pa.array(w, pa.int64())}
+            )
+            .group_by(["pair"])
+            .aggregate([("w", "sum")])
+        )
+        return pa.table(
+            {
+                "pair": g.column("pair"),
+                "n_partial": g.column("w_sum").cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n_partial"))
+    )
+
+    def local_topk(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "pair": tbl.column("pair"),
+                "n": tbl.column("sum(n_partial)"),
+            }
+        )
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("pair", "ascending")]
+        )
+        return t.take(idx[:k])
+
+    return (
+        agg.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["n", "pair"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def quality_scores(ds, text_col="text", id_col="doc_id"):
     """Adds mechanical quality signals: mean token length, alpha ratio,
     space ratio, distinct-token ratio.

@@ -286,6 +286,60 @@ def test_hash_embed_dense_chains_into_knn(ray_session, rand_docs):
     assert any(r["vec_id"] == ids[best] for r in top)
 
 
+def test_bpe_pairs_random_vs_duckdb(ray_session, rand_docs):
+    """Occurrence-weighted char-pair counts (one BPE iteration) vs
+    the DuckDB substr mirror, unicode tokens included."""
+    ray = ray_session
+    from console_log_parser_ray.stages.textan import bpe_pairs
+
+    tbl = rand_docs.set_column(
+        2,
+        "text",
+        pa.array(
+            [
+                (t + " héllo héllo §7" if t else t)
+                for t in rand_docs.column("text").to_pylist()
+            ],
+            pa.string(),
+        ),
+    )
+    k = 30
+    mine = [
+        (r["pair"], r["n"])
+        for r in bpe_pairs(
+            ray.data.from_arrow(tbl).repartition(6), k=k
+        ).take_all()
+    ]
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    ref = con.execute(
+        "WITH toks AS (SELECT "
+        "unnest(regexp_extract_all(coalesce(text, ''), '\\S+')) AS tok "
+        "FROM documents), "
+        "idx AS (SELECT tok, "
+        "unnest(generate_series(1, length(tok) - 1)) AS i FROM toks), "
+        "p AS (SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair "
+        "FROM idx), "
+        "c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair) "
+        "SELECT pair, CAST(n AS BIGINT) FROM c "
+        f"ORDER BY n DESC, pair LIMIT {k}"
+    ).fetchall()
+    assert mine == [tuple(r) for r in ref]
+    assert any("é" in p or "§" in p for p, _ in mine)
+
+
+def test_bpe_pairs_single_char_tokens_drop(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.textan import bpe_pairs
+
+    tbl = pa.table({"text": pa.array(["a b c", "ab ab", ""])})
+    out = [
+        (r["pair"], r["n"])
+        for r in bpe_pairs(ray.data.from_arrow(tbl), k=10).take_all()
+    ]
+    assert out == [("ab", 2)]
+
+
 def test_token_budget_boundary_inclusive(ray_session):
     """A doc whose inclusive running total EQUALS the budget is kept;
     the next one is dropped; zero-token docs ride along for free."""

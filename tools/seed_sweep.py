@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 59 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 60 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -25,7 +25,8 @@ Exit 0 = every comparison equal.  Each seed covers 59 comparison groups:
     corpus line_dedup
     (text family, random multi-line corpora with empty docs, planted
     duplicates, unicode + punctuation tokens)
-  - postings / bm25 (bitwise-exact float) / hash_embed / token_budget
+  - postings / bm25 (bitwise-exact float) / hash_embed /
+    bpe_pairs / token_budget
                                 (retrieval + quota family)
   - hash_join inner/left/semi/anti / interval range-count join /
     heavy hitters (skewed) / per-group discrete quantiles / pivot
@@ -855,6 +856,30 @@ def search_family(seed):
         ["doc_id", "dim"], ["weight"],
     )
 
+    from console_log_parser_ray.stages.textan import bpe_pairs
+
+    bk = int(rng.integers(5, 40))
+    mine = pd.DataFrame(
+        [
+            (r["pair"], r["n"])
+            for r in bpe_pairs(dds(), k=bk).take_all()
+        ],
+        columns=["pair", "n"],
+    )
+    ref = con.execute(
+        "WITH toks AS (SELECT "
+        "unnest(regexp_extract_all(coalesce(text, ''), '\\S+')) "
+        "AS tok FROM documents), "
+        "idx AS (SELECT tok, "
+        "unnest(generate_series(1, length(tok) - 1)) AS i FROM toks), "
+        "p AS (SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair "
+        "FROM idx), "
+        "c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair) "
+        "SELECT pair, CAST(n AS BIGINT) AS n FROM c "
+        f"ORDER BY n DESC, pair LIMIT {bk}"
+    ).fetchdf()
+    check("bpe_pairs", seed, mine, ref, ["pair"], ["n"])
+
     budget = int(rng.integers(30, 400))
     mine = token_budget(
         dds(), budget=budget, n_buckets=int(rng.integers(1, 9))
@@ -1635,7 +1660,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(59 comparison groups per seed)"
+        "(60 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
