@@ -2325,6 +2325,82 @@ def _q_hash_embed(sf_dir: str):
     )
 
 
+def _q_rollup_pricing(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) over lineitem
+    (stages/relational.rollup_agg): finest level = one partial+final
+    groupby over integer cents, every subtotal level folded from the
+    finest aggregate -- base data read once."""
+    import ray.data
+    from console_log_parser_ray.stages.relational import rollup_agg
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+    return rollup_agg(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice"
+    )
+
+
+def _q_lang_pctrank(sf_dir: str):
+    """percent_rank() + cume_dist() OVER (PARTITION BY lang ORDER BY
+    n_chars) (stages/relational.rank_fractions_per_group): both
+    fractions collapse onto the (lang, n_chars) histogram; each value
+    is ONE IEEE division of exact integers, so the doubles are
+    bit-identical to DuckDB's."""
+    from console_log_parser_ray.stages.relational import (
+        rank_fractions_per_group,
+    )
+
+    return rank_fractions_per_group(
+        _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"]),
+        "lang",
+        "n_chars",
+    )
+
+
+def _q_lang_pctrank_big(sf_dir: str):
+    """lang_pctrank forced onto the above-max_distinct path (histogram
+    ranked in group-hash buckets, merged via the co-partitioned
+    value-hash _attach_map_cols shuffle -- nothing collected or
+    broadcast) -- same SQL oracle as lang_pctrank."""
+    from console_log_parser_ray.stages.relational import (
+        rank_fractions_per_group,
+    )
+
+    return rank_fractions_per_group(
+        _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"]),
+        "lang",
+        "n_chars",
+        max_distinct=10,
+    )
+
+
+def _q_user_gapfill(sf_dir: str):
+    """Dense per-user hourly series (stages/events.gapfill_user_windows):
+    tumbling-window counts densified with zero-filled gaps between each
+    user's first and last active window; per-block (user, window)
+    partials before the one user-hash bucket shuffle."""
+    from console_log_parser_ray.stages.events import gapfill_user_windows
+
+    return gapfill_user_windows(
+        _events(sf_dir).select_columns(["user_id", "ts"])
+    )
+
+
+def _q_latest_state(sf_dir: str):
+    """CDC last-writer-wins compaction (stages/events.latest_state):
+    one row per (user_id, event_type) -- the greatest (ts, event_id) --
+    blocks compact locally before the one key-hash bucket shuffle."""
+    from console_log_parser_ray.stages.events import latest_state
+
+    return latest_state(
+        _events(sf_dir).select_columns(
+            ["user_id", "event_type", "event_id", "ts", "value"]
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -2431,6 +2507,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_rank_big": _q_lang_rank_big,
         "top_decile_big": _q_top_decile_big,
         "mad_outliers_big": _q_mad_outliers_big,
+        "rollup_pricing": _q_rollup_pricing,
+        "lang_pctrank": _q_lang_pctrank,
+        "lang_pctrank_big": _q_lang_pctrank_big,
+        "user_gapfill": _q_user_gapfill,
+        "latest_state": _q_latest_state,
     }
 
 
@@ -3557,6 +3638,46 @@ def oracle_sql() -> dict[str, str]:
     }
     # the *_big variants force the above-max_distinct data-plane paths
     # of the rank/threshold family; identical semantics, identical SQL
+    out["rollup_pricing"] = (
+        # integer cents keep every sum associative-exact; ROLLUP's
+        # subtotal rows carry NULL rolled-up keys on both sides
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) "
+        "  AS BIGINT) AS sum_cents "
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    )
+    out["lang_pctrank"] = (
+        # both fractions are value-functions (ties share them): ONE
+        # IEEE division of exact integers each, bit-identical doubles
+        "SELECT doc_id, lang, n_chars, "
+        "percent_rank() OVER w AS pct_rank, "
+        "cume_dist() OVER w AS cume_dist "
+        "FROM documents WINDOW w AS (PARTITION BY lang ORDER BY n_chars)"
+    )
+    out["lang_pctrank_big"] = out["lang_pctrank"]
+    out["user_gapfill"] = (
+        # dense hourly grid per user between first and last active
+        # window; epoch_us // window matches the engine's ts cast
+        "WITH w AS (SELECT user_id, "
+        "    epoch_us(ts) // 3600000000 AS window_id FROM events), "
+        "c AS (SELECT user_id, window_id, count(*) AS n "
+        "  FROM w GROUP BY 1, 2), "
+        "b AS (SELECT user_id, min(window_id) AS lo, "
+        "    max(window_id) AS hi FROM c GROUP BY 1), "
+        "g AS (SELECT user_id, unnest(generate_series(lo, hi)) "
+        "    AS window_id FROM b) "
+        "SELECT g.user_id, g.window_id, "
+        "CAST(coalesce(c.n, 0) AS BIGINT) AS n_events "
+        "FROM g LEFT JOIN c USING (user_id, window_id)"
+    )
+    out["latest_state"] = (
+        # last-writer-wins: greatest (ts, event_id) per key; value
+        # rides along unchanged so the float column is hash-exact
+        "SELECT user_id, event_type, event_id, ts, value FROM events "
+        "QUALIFY row_number() OVER (PARTITION BY user_id, event_type "
+        "ORDER BY ts DESC, event_id DESC) = 1"
+    )
     out["doc_rank_big"] = out["doc_rank"]
     out["lang_rank_big"] = out["lang_rank"]
     out["top_decile_big"] = out["top_decile_docs"]

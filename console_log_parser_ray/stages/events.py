@@ -1811,3 +1811,165 @@ def user_history(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def gapfill_user_windows(
+    ds,
+    window_us: int = 3_600_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 64,
+):
+    """Dense per-user time series: events counted into tumbling
+    windows (ts // window), then every missing window between a
+    user's first and last active window emitted with count 0 -- the
+    gap-fill / densify step dashboards and rate models need before a
+    rolling pass.
+
+    Scale shape: per-block Arrow ``group_by`` shrinks each block to
+    its distinct (user, window) partials BEFORE the one user-hash
+    bucket shuffle (volume = active windows per block, never rows).
+    Inside a bucket the dense grid is built fully vectorized -- one
+    sort, per-user [min, max] bounds, one ``np.repeat`` + offset
+    arange for the grid, one ``searchsorted``-free positional scatter
+    of the observed counts.  The output is the dense grid itself, so
+    its size (sum of per-user window spans) is the operator's
+    inherent result, produced streaming per bucket -- nothing is
+    collected.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        users = b.column(user_col).combine_chunks().cast(pa.int64())
+        win = pc.cast(
+            pc.divide(
+                pc.cast(b.column(ts_col), pa.int64()),
+                pa.scalar(window_us, pa.int64()),
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                user_col: users,
+                "window_id": win,
+                "__one": pa.array(
+                    np.ones(b.num_rows, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by([user_col, "window_id"]).aggregate(
+            [("__one", "sum")]
+        )
+        g = g.rename_columns([user_col, "window_id", "__n"])
+        return g.append_column(
+            "bucket", _bucket31(g.column(user_col), n_buckets)
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        df = (
+            tbl.select([user_col, "window_id", "__n"])
+            .to_pandas()
+            .groupby([user_col, "window_id"], sort=True, as_index=False)[
+                "__n"
+            ]
+            .sum()
+        )
+        users = df[user_col].to_numpy(dtype=np.int64)
+        wins = df["window_id"].to_numpy(dtype=np.int64)
+        cnts = df["__n"].to_numpy(dtype=np.int64)
+        m = len(df)
+        if m == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    "window_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        first = np.ones(m, dtype=bool)
+        first[1:] = users[1:] != users[:-1]
+        last = np.roll(first, -1)
+        lo = wins[first]
+        hi = wins[last]
+        sizes = hi - lo + 1
+        offs = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        total = int(sizes.sum())
+        uidx = np.repeat(np.arange(len(lo), dtype=np.int64), sizes)
+        grid_w = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offs, sizes)
+            + np.repeat(lo, sizes)
+        )
+        n_events = np.zeros(total, dtype=np.int64)
+        row_user_ord = np.cumsum(first) - 1
+        pos = offs[row_user_ord] + (wins - lo[row_user_ord])
+        n_events[pos] = cnts
+        return pa.table(
+            {
+                user_col: pa.array(users[first][uidx], pa.int64()),
+                "window_id": pa.array(grid_w, pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def latest_state(
+    ds,
+    key_cols=("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+):
+    """CDC-style last-writer-wins compaction: one row per key -- the
+    row with the greatest (ts, id) -- turning an append-only
+    change/event stream into its latest-state snapshot (the merge
+    step of an upsert table format).
+
+    Deterministic total order: ties on ``ts`` break by ``id``
+    descending, so replays and re-runs converge on the same snapshot.
+
+    Scale shape: every block first compacts LOCALLY to at most one
+    row per key it contains (vectorized pandas sort + tail(1)), so
+    the one user-hash bucket shuffle carries per-block distinct keys,
+    never rows; the per-bucket fold repeats the identical rule on the
+    partials.  All non-key columns ride along unchanged -- no
+    arithmetic, so the SQL mirror is hash-exact including float
+    payloads.
+    """
+    key_cols = list(key_cols)
+    order = key_cols + [ts_col, id_col]
+
+    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order, kind="mergesort")
+        return df.groupby(key_cols, sort=False, dropna=False).tail(1)
+
+    def local_latest(b: pa.Table) -> pa.Table:
+        out = pa.Table.from_pandas(
+            keep_latest(b.to_pandas()), preserve_index=False
+        ).replace_schema_metadata(None)
+        return out.append_column(
+            "bucket",
+            _bucket31(
+                out.column(key_cols[0]).combine_chunks().cast(pa.int64()),
+                n_buckets,
+            ),
+        )
+
+    names = list(ds.schema().names)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            keep_latest(tbl.select(names).to_pandas()),
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(local_latest, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

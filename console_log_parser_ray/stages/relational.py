@@ -786,3 +786,226 @@ def _global_value_offsets(
         per_range, batch_format="pyarrow"
     )
     return offsets_ds, total
+
+
+def rollup_agg(
+    ds,
+    keys: list[str],
+    value_col: str,
+    out_n: str = "n_rows",
+    out_sum: str = "sum_cents",
+) -> pa.Table:
+    """``GROUP BY ROLLUP(keys...)`` -- the hierarchical-subtotal OLAP
+    aggregate: one result row per finest-level group plus, for every
+    prefix of ``keys``, a subtotal row with the rolled-up trailing
+    keys NULL, and one grand-total row.
+
+    Values are fixed-pointed to integer cents (floor(value * 100)) so
+    every sum is associative-exact and the SQL mirror agrees
+    bit-for-bit at any combine order.
+
+    Scale shape: the base data is read ONCE -- per-block Arrow
+    ``group_by`` partials at the finest level feed the one Ray
+    groupby-sum (shuffle volume = distinct finest groups per block,
+    never rows).  Every coarser level is an aggregate OF the finest
+    aggregate, whose cardinality is the operator's own output bound,
+    so the subtotal fold touches only that small table and never the
+    corpus.  (A ROLLUP whose finest level is driver-unboundable --
+    e.g. keyed on a float measure -- is the rank family's histogram
+    problem, not this operator's: ROLLUP keys are categorical by
+    construction.)
+    """
+    keys = list(keys)
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b.column(value_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.floor(vals * 100.0).astype(np.int64)
+        t = pa.table(
+            {
+                **{k: b.column(k) for k in keys},
+                "__one": pa.array(
+                    np.ones(b.num_rows, dtype=np.int64), pa.int64()
+                ),
+                "__cents": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by(keys).aggregate(
+            [("__one", "sum"), ("__cents", "sum")]
+        )
+        return g.rename_columns(keys + ["__one", "__cents"])
+
+    finest_ds = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .sum(["__one", "__cents"])
+    )
+    finest = pa.Table.from_pandas(
+        finest_ds.to_pandas(), preserve_index=False
+    ).rename_columns(keys + [out_n, out_sum])
+
+    key_types = {k: finest.schema.field(k).type for k in keys}
+    levels = [finest]
+    for depth in range(len(keys) - 1, -1, -1):
+        head = keys[:depth]
+        if head:
+            g = finest.group_by(head).aggregate(
+                [(out_n, "sum"), (out_sum, "sum")]
+            )
+            g = g.rename_columns(head + [out_n, out_sum])
+        else:
+            g = pa.table(
+                {
+                    out_n: pa.array(
+                        [pc.sum(finest.column(out_n)).as_py()], pa.int64()
+                    ),
+                    out_sum: pa.array(
+                        [pc.sum(finest.column(out_sum)).as_py()], pa.int64()
+                    ),
+                }
+            )
+        cols = {}
+        for k in keys:
+            cols[k] = (
+                g.column(k)
+                if k in head
+                else pa.nulls(g.num_rows, key_types[k])
+            )
+        cols[out_n] = g.column(out_n).cast(pa.int64())
+        cols[out_sum] = g.column(out_sum).cast(pa.int64())
+        levels.append(pa.table(cols))
+    return pa.concat_tables(
+        [lv.select(keys + [out_n, out_sum]) for lv in levels]
+    )
+
+
+def _attach_map_cols(
+    ds, map_ds, keys, out_cols: dict, n_buckets: int
+):
+    """Generalization of ``_attach_rank_map`` to several output
+    columns of arbitrary Arrow type: merges a ``(keys -> out_cols)``
+    map Dataset onto every row of ``ds`` via ONE co-partitioned
+    tagged-union shuffle keyed by a hash of ``keys[-1]`` (the value
+    column).  Nothing is collected or broadcast; group dispatch is
+    bounded by the bucket count."""
+    schema = ds.schema()
+    names = list(schema.names)
+    types = {n: t for n, t in zip(schema.names, schema.types)}
+    out_names = list(out_cols)
+
+    def tag_rows(b: pa.Table) -> pa.Table:
+        cols = {n: b.column(n) for n in names}
+        for oc, ot in out_cols.items():
+            cols[oc] = pa.nulls(b.num_rows, ot)
+        cols["__side"] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        cols["__jb"] = _pair_bucket_col(b, keys[-1], n_buckets)
+        return pa.table(cols)
+
+    def tag_map(b: pa.Table) -> pa.Table:
+        cols = {}
+        for n in names:
+            cols[n] = (
+                b.column(n) if n in keys else pa.nulls(b.num_rows, types[n])
+            )
+        for oc, ot in out_cols.items():
+            cols[oc] = b.column(oc).cast(ot)
+        cols["__side"] = pa.array(np.ones(b.num_rows, dtype=np.int8))
+        cols["__jb"] = _pair_bucket_col(b, keys[-1], n_buckets)
+        return pa.table(cols)
+
+    tagged = ds.map_batches(tag_rows, batch_format="pyarrow").union(
+        map_ds.map_batches(tag_map, batch_format="pyarrow")
+    )
+
+    def merge_group(tbl: pa.Table) -> pa.Table:
+        is_row = pc.equal(tbl.column("__side"), pa.scalar(0, pa.int8()))
+        rows = tbl.filter(is_row).select(names).to_pandas()
+        lk = (
+            tbl.filter(pc.invert(is_row))
+            .select(list(keys) + out_names)
+            .to_pandas()
+        )
+        out = rows.merge(lk, on=list(keys), how="left")
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return tagged.groupby("__jb").map_groups(
+        merge_group, batch_format="pyarrow"
+    )
+
+
+def rank_fractions_per_group(
+    ds,
+    group_col: str,
+    val_col: str,
+    pct_col: str = "pct_rank",
+    cd_col: str = "cume_dist",
+    max_distinct: int = DEFAULT_MAX_DISTINCT,
+    n_buckets: int = 64,
+):
+    """Adds ``percent_rank() OVER (PARTITION BY group_col ORDER BY
+    val_col)`` and ``cume_dist() OVER (...)`` -- exact at ANY
+    cardinality, bit-identical doubles.
+
+    Both fractions depend only on the row's VALUE (ties share them),
+    so the whole window collapses onto the (group, value) histogram
+    exactly like ``dense_rank``: percent_rank = (rank-1)/(n-1) with
+    rank-with-gaps = 1 + rows strictly before the value, cume_dist =
+    rows-at-or-before / n.  Each is ONE IEEE division of two exact
+    integers, so the DuckDB mirror matches bit-for-bit (no float
+    accumulation anywhere).
+
+    Under ``max_distinct`` (group, value) pairs the histogram is
+    collected, ranked on the driver and broadcast -- the corpus never
+    shuffles.  Above the cap nothing is collected: the histogram is
+    ranked inside group-hash bucket groups (a group's whole histogram
+    slice lands in one bucket, so its cumulative counts are one local
+    sort + cumsum) and merged back through one co-partitioned
+    value-hash shuffle (``_attach_map_cols``).
+    """
+
+    def _fractions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, val_col]).reset_index(drop=True)
+        cnt = df["count()"].to_numpy(dtype=np.int64)
+        grp = df.groupby(group_col, sort=False)
+        cum = grp["count()"].cumsum().to_numpy(dtype=np.int64)
+        n = grp["count()"].transform("sum").to_numpy(dtype=np.int64)
+        rank = cum - cnt + 1
+        pct = np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
+        df[pct_col] = pct
+        df[cd_col] = cum / n
+        return df[[group_col, val_col, pct_col, cd_col]]
+
+    hist_ds = ds.groupby([group_col, val_col]).count().materialize()
+    n_pairs = hist_ds.count()
+    out_cols = {pct_col: pa.float64(), cd_col: pa.float64()}
+
+    if n_pairs <= max_distinct:
+        lookup_ref = ray.put(_fractions(hist_ds.to_pandas()))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            lk = _cached_get(lookup_ref)
+            return df.merge(lk, on=[group_col, val_col], how="left")
+
+        return ds.map_batches(attach, batch_format="pandas")
+
+    def add_gb(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__gb", _pair_bucket_col(b, group_col, n_buckets)
+        )
+
+    def rank_in_bucket(tbl: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            _fractions(tbl.to_pandas()), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    ranked = (
+        hist_ds.map_batches(add_gb, batch_format="pyarrow")
+        .groupby("__gb")
+        .map_groups(rank_in_bucket, batch_format="pyarrow")
+    )
+    return _attach_map_cols(
+        ds, ranked, (group_col, val_col), out_cols, n_buckets
+    )

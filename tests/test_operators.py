@@ -2822,3 +2822,144 @@ def test_semdedup_planted_copies(ray_session):
     assert all(not out[v][1] for v in range(1000, 1010))
     assert not out[2000][1]
     assert out[0][1]
+
+
+def test_rollup_agg(ray_session):
+    """GROUP BY ROLLUP: finest rows + per-prefix subtotals + grand
+    total, integer-cent sums, vs DuckDB; invariant to block layout."""
+    ray = ray_session
+    import duckdb
+
+    from console_log_parser_ray.stages.relational import rollup_agg
+
+    tbl = pa.table(
+        {
+            "a": pa.array(["x", "x", "y", "y", "y"], pa.string()),
+            "b": pa.array(["p", "q", "p", "p", "q"], pa.string()),
+            "v": pa.array([1.25, 2.5, 0.99, 4.0, 10.01], pa.float64()),
+        }
+    )
+    want = duckdb.sql(
+        "SELECT a, b, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(CAST(floor(v * 100) AS BIGINT)) AS BIGINT) "
+        "AS sum_cents FROM tbl GROUP BY ROLLUP(a, b)"
+    ).df()
+    want = set(
+        (r.a, r.b, r.n_rows, r.sum_cents)
+        for r in want.itertuples()
+    )
+    for np_ in (1, 3):
+        got = rollup_agg(
+            ray.data.from_arrow(tbl).repartition(np_), ["a", "b"], "v"
+        ).to_pandas()
+        got_set = set(
+            (r.a, r.b, r.n_rows, r.sum_cents)
+            for r in got.itertuples()
+        )
+        assert got_set == want
+        assert len(got) == len(want)
+
+
+def test_rank_fractions_per_group(ray_session):
+    """percent_rank + cume_dist: ties share fractions, singleton group
+    gets (0.0, 1.0); doubles bit-equal DuckDB; big path == small."""
+    ray = ray_session
+    import duckdb
+
+    from console_log_parser_ray.stages.relational import (
+        rank_fractions_per_group,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(1, 7)), pa.int64()),
+            "g": pa.array(["a", "a", "a", "a", "b", "a"], pa.string()),
+            "v": pa.array([1, 1, 3, 7, 5, 3], pa.int64()),
+        }
+    )
+    want = duckdb.sql(
+        "SELECT doc_id, percent_rank() OVER w AS pr, "
+        "cume_dist() OVER w AS cd FROM tbl "
+        "WINDOW w AS (PARTITION BY g ORDER BY v)"
+    ).df()
+    want = {r.doc_id: (r.pr, r.cd) for r in want.itertuples()}
+    for cap in (1_000_000, 1):  # small path, then forced big path
+        got = rank_fractions_per_group(
+            ray.data.from_arrow(tbl).repartition(2),
+            "g",
+            "v",
+            max_distinct=cap,
+            n_buckets=8,
+        ).to_pandas()
+        got_map = {
+            r.doc_id: (r.pct_rank, r.cume_dist)
+            for r in got.itertuples()
+        }
+        # bit-exact: single IEEE division of exact ints on both sides
+        assert got_map == want
+
+
+def test_gapfill_user_windows(ray_session):
+    """Gap-fill: missing windows inside [min, max] per user emitted
+    with 0; partials merge across blocks; no fill outside the span."""
+    ray = ray_session
+    from console_log_parser_ray.stages.events import gapfill_user_windows
+
+    us = 3_600_000_000
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 1], pa.int64()),
+            # user 1: windows 0, 0, 3 (gap 1-2), plus one more in 0
+            # from another block; user 2: single window 5
+            "ts": pa.array(
+                [10, us - 1, 3 * us + 5, 5 * us, 20],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    want = {
+        (1, 0): 3,
+        (1, 1): 0,
+        (1, 2): 0,
+        (1, 3): 1,
+        (2, 5): 1,
+    }
+    for np_ in (1, 3):
+        got = gapfill_user_windows(
+            ray.data.from_arrow(tbl).repartition(np_), n_buckets=4
+        ).to_pandas()
+        got_map = {
+            (r.user_id, r.window_id): r.n_events
+            for r in got.itertuples()
+        }
+        assert got_map == want
+
+
+def test_latest_state(ray_session):
+    """Last-writer-wins: greatest (ts, id) per key survives, ts ties
+    break by id, payload rides along; cross-block duplicates fold."""
+    ray = ray_session
+    from console_log_parser_ray.stages.events import latest_state
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(
+                ["c", "c", "v", "c", "c"], pa.string()
+            ),
+            "event_id": pa.array([10, 11, 12, 13, 9], pa.int64()),
+            "ts": pa.array([100, 100, 50, 70, 70], pa.timestamp("us")),
+            "value": pa.array([1.5, 2.5, 3.5, 4.5, 5.5], pa.float64()),
+        }
+    )
+    # (1,c): ts tie 100/100 -> id 11 wins; (2,c): ts tie -> id 13 wins
+    want = {(1, "c"): (11, 2.5), (1, "v"): (12, 3.5), (2, "c"): (13, 4.5)}
+    for np_ in (1, 4):
+        got = latest_state(
+            ray.data.from_arrow(tbl).repartition(np_), n_buckets=4
+        ).to_pandas()
+        got_map = {
+            (r.user_id, r.event_type): (r.event_id, r.value)
+            for r in got.itertuples()
+        }
+        assert got_map == want
