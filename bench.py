@@ -177,6 +177,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "token_budget",
         "hash_embed",
         "bpe_pairs",
+        "rollup_pricing",
+        "lang_pctrank",
+        "user_gapfill",
+        "latest_state",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

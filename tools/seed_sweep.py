@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 60 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 65 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -43,6 +43,9 @@ Exit 0 = every comparison equal.  Each seed covers 60 comparison groups:
     chunking / sequence packing / domain mixing / shard placement /
     deterministic sampling / groupby aggregates / tumbling windows /
     per-user gap quantization   (misc projection + export family)
+  - ROLLUP subtotals / percent_rank+cume_dist on BOTH cardinality
+    paths (bit-exact doubles) / per-user gap-fill / last-writer-wins
+    compaction                  (OLAP + CDC family)
 """
 
 import os
@@ -1641,6 +1644,151 @@ def misc_family(seed):
     check("quantize_gaps", seed, mine, ref, ["event_id"], ["gap_q"])
 
 
+def olap_family(seed):
+    """ROLLUP subtotals, percent_rank/cume_dist (both cardinality
+    paths), per-user gap-fill and last-writer-wins compaction on
+    random skewed tables -- heavy ties, singleton groups, ts
+    collisions."""
+    from console_log_parser_ray.stages.events import (
+        gapfill_user_windows,
+        latest_state,
+    )
+    from console_log_parser_ray.stages.relational import (
+        rank_fractions_per_group,
+        rollup_agg,
+    )
+
+    rng = np.random.default_rng(seed + 13)
+    n = 2500
+    tbl = pa.table(
+        {
+            "a": pa.array(rng.choice(["x", "y", "z"], n)),
+            "b": pa.array(rng.choice(["p", "q", "r", "s"], n)),
+            "v": pa.array(
+                np.floor(rng.uniform(-40, 40, n) * 100) / 100.0,
+                pa.float64(),
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    mine = rollup_agg(
+        ray.data.from_arrow(tbl).repartition(6), ["a", "b"], "v"
+    ).to_pandas()
+    ref = con.execute(
+        "SELECT a, b, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(CAST(floor(v * 100) AS BIGINT)) AS BIGINT) "
+        "AS sum_cents FROM t GROUP BY ROLLUP(a, b)"
+    ).fetchdf()
+    # NULL subtotal keys: stringify so the sort key is total
+    mine[["a", "b"]] = mine[["a", "b"]].astype(str)
+    ref[["a", "b"]] = ref[["a", "b"]].astype(str)
+    check("rollup", seed, mine, ref, ["a", "b"], ["n_rows", "sum_cents"])
+
+    # rank fractions: small vocab of values -> massive ties; one
+    # singleton group planted (percent_rank 0.0 / cume_dist 1.0)
+    m = 1200
+    frame = pd.DataFrame(
+        {
+            "doc_id": np.arange(1, m + 1, dtype=np.int64),
+            "g": rng.choice(["de", "en", "fr", "ja"], m),
+            "v": rng.integers(0, 25, m).astype(np.int64),
+        }
+    )
+    frame.loc[m - 1, "g"] = "singleton"
+    ft = pa.Table.from_pandas(frame, preserve_index=False)
+    con.register("docs", ft)
+    ref = con.execute(
+        "SELECT doc_id, g, v, percent_rank() OVER w AS pct_rank, "
+        "cume_dist() OVER w AS cume_dist FROM docs "
+        "WINDOW w AS (PARTITION BY g ORDER BY v)"
+    ).fetchdf()
+    for label, cap in (("small", 10 ** 6), ("big", 1)):
+        mine = rank_fractions_per_group(
+            ray.data.from_arrow(ft).repartition(5),
+            "g",
+            "v",
+            max_distinct=cap,
+            n_buckets=16,
+        ).to_pandas()
+        check(
+            f"rank_fractions_{label}", seed, mine, ref,
+            ["doc_id"], ["g", "v", "pct_rank", "cume_dist"],
+        )
+
+    # gap-fill: clustered events leave real gaps; window ids from a
+    # coarse 400s bucket over a small ts range
+    k = 1800
+    ev = pa.table(
+        {
+            "user_id": pa.array(
+                rng.integers(1, 40, k).astype(np.int64)
+            ),
+            "ts": pa.array(
+                (rng.zipf(1.3, k).astype(np.int64) % 90)
+                * 400_000_000_000
+                + rng.integers(0, 1000, k).astype(np.int64),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    con.register("events", ev)
+    mine = gapfill_user_windows(
+        ray.data.from_arrow(ev).repartition(7),
+        window_us=3_600_000_000,
+        n_buckets=16,
+    ).to_pandas()
+    ref = con.execute(
+        "WITH w AS (SELECT user_id, epoch_us(ts) // 3600000000 AS "
+        "window_id FROM events), "
+        "c AS (SELECT user_id, window_id, count(*) AS n FROM w "
+        "GROUP BY 1, 2), "
+        "b AS (SELECT user_id, min(window_id) AS lo, max(window_id) "
+        "AS hi FROM c GROUP BY 1), "
+        "g AS (SELECT user_id, unnest(generate_series(lo, hi)) AS "
+        "window_id FROM b) "
+        "SELECT g.user_id, g.window_id, CAST(coalesce(c.n, 0) AS "
+        "BIGINT) AS n_events FROM g LEFT JOIN c USING "
+        "(user_id, window_id)"
+    ).fetchdf()
+    check(
+        "gapfill", seed, mine, ref,
+        ["user_id", "window_id"], ["n_events"],
+    )
+
+    # latest_state: few keys, many writers, planted exact (ts, key)
+    # collisions so the id tie-break decides
+    j = 2000
+    ts = rng.integers(0, 50, j).astype(np.int64) * 1_000_000
+    st = pa.table(
+        {
+            "user_id": pa.array(rng.integers(1, 12, j).astype(np.int64)),
+            "event_type": pa.array(rng.choice(["c", "v", "p"], j)),
+            "event_id": pa.array(
+                rng.permutation(np.arange(1, j + 1)).astype(np.int64)
+            ),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(
+                np.floor(rng.uniform(0, 9, j) * 100) / 100.0,
+                pa.float64(),
+            ),
+        }
+    )
+    con.register("st", st)
+    mine = latest_state(
+        ray.data.from_arrow(st).repartition(8), n_buckets=16
+    ).to_pandas()
+    ref = con.execute(
+        "SELECT user_id, event_type, event_id, ts, value FROM st "
+        "QUALIFY row_number() OVER (PARTITION BY user_id, event_type "
+        "ORDER BY ts DESC, event_id DESC) = 1"
+    ).fetchdf()
+    check(
+        "latest_state", seed, mine, ref,
+        ["user_id", "event_type"], ["event_id", "ts", "value"],
+    )
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -1657,10 +1805,11 @@ def main():
         dedup_family(seed)
         transcript_family(seed)
         misc_family(seed)
+        olap_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(60 comparison groups per seed)"
+        "(65 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
