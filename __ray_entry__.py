@@ -2401,6 +2401,66 @@ def _q_latest_state(sf_dir: str):
     )
 
 
+def _q_scd2_state(sf_dir: str):
+    """SCD-type-2 validity intervals from the event change log
+    (stages/events.scd2_intervals): each (user, event_type) change is
+    open from its own ts to the key's next change (lead), null-open
+    for the latest -- user-hash buckets, one lexsort + shifted vector
+    per bucket."""
+    from console_log_parser_ray.stages.events import scd2_intervals
+
+    return scd2_intervals(
+        _events(sf_dir).select_columns(
+            ["user_id", "event_type", "event_id", "ts"]
+        )
+    )
+
+
+def _q_user_time_rolling(sf_dir: str):
+    """Per-user event-time RANGE frame sum (1h preceding .. current,
+    peers included) of integer cents (stages/events.rolling_time_sum):
+    one lexsort + two bucket-wide searchsorted calls on a composite
+    per-user axis -- no per-row or per-user Python on the fast
+    path."""
+    from console_log_parser_ray.stages.events import rolling_time_sum
+
+    return rolling_time_sum(
+        _events(sf_dir).select_columns(
+            ["event_id", "user_id", "ts", "value"]
+        ),
+        window_us=3_600_000_000,
+    )
+
+
+def _q_outer_join_users(sf_dir: str):
+    """Full outer join (stages/relational.hash_join how='outer'):
+    event stream vs the customer dimension restricted to keys >= 100,
+    so BOTH unmatched directions appear -- events of users 0..99 keep
+    null customer columns, customers above the user range surface with
+    null event columns; keys coalesce into one column per SQL FULL
+    JOIN USING semantics.  Same co-partitioned one-shuffle plan as the
+    inner/left/semi/anti family."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import hash_join
+
+    def trim(b):
+        keep = pc.greater_equal(b.column("c_custkey"), 100)
+        return b.filter(keep)
+
+    events = _events(sf_dir).select_columns(
+        ["event_id", "user_id", "event_type"]
+    )
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(trim, batch_format="pyarrow")
+    return hash_join(
+        events, cust, on="user_id", right_on="c_custkey", how="outer"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -2512,6 +2572,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_pctrank_big": _q_lang_pctrank_big,
         "user_gapfill": _q_user_gapfill,
         "latest_state": _q_latest_state,
+        "scd2_state": _q_scd2_state,
+        "user_time_rolling": _q_user_time_rolling,
+        "outer_join_users": _q_outer_join_users,
     }
 
 
@@ -3677,6 +3740,31 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, event_type, event_id, ts, value FROM events "
         "QUALIFY row_number() OVER (PARTITION BY user_id, event_type "
         "ORDER BY ts DESC, event_id DESC) = 1"
+    )
+    out["scd2_state"] = (
+        # SCD2: interval open at the key's next change, null for the
+        # latest row of each (user, event_type) key
+        "SELECT user_id, event_type, event_id, ts AS valid_from, "
+        "lead(ts) OVER (PARTITION BY user_id, event_type "
+        "ORDER BY ts, event_id) AS valid_to FROM events"
+    )
+    out["user_time_rolling"] = (
+        # event-time RANGE frame over integer cents; peers (equal ts)
+        # share the frame on both sides, exactly the searchsorted
+        # semantics engine-side
+        "SELECT event_id, user_id, ts, "
+        "CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER "
+        "(PARTITION BY user_id ORDER BY ts RANGE BETWEEN "
+        "INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS win_cents FROM events"
+    )
+    out["outer_join_users"] = (
+        # FULL JOIN with the key coalesced into one column, matching
+        # Acero's coalesce_keys output
+        "SELECT e.event_id, coalesce(e.user_id, c.c_custkey) AS "
+        "user_id, e.event_type, c.c_mktsegment FROM events e "
+        "FULL OUTER JOIN (SELECT c_custkey, c_mktsegment FROM customer "
+        "WHERE c_custkey >= 100) c ON e.user_id = c.c_custkey"
     )
     out["doc_rank_big"] = out["doc_rank"]
     out["lang_rank_big"] = out["lang_rank"]

@@ -1973,3 +1973,175 @@ def latest_state(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def scd2_intervals(
+    ds,
+    user_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+):
+    """Change-log rows -> SCD-type-2 validity intervals: each change
+    of a (user, state) key is open from its own timestamp until the
+    key's NEXT change (``lead(ts)``), null for the key's latest row --
+    the standard warehouse shape for "what was true at time T" joins,
+    and the interval complement of ``latest_state``'s compaction.
+
+    Scale shape mirrors ``event_gaps`` with the sort reversed into a
+    LEAD: user-hash buckets bound group dispatch by bucket count, one
+    lexsort per bucket orders every (user, state) run, and the shifted
+    timestamp vector closes each interval vectorized; run boundaries
+    mask the final row of each key to null (open interval).
+    """
+
+    def project(b: pa.Table) -> pa.Table:
+        users = b.column(user_col).combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                user_col: users,
+                state_col: b.column(state_col),
+                id_col: b.column(id_col).cast(pa.int64()),
+                ts_col: b.column(ts_col),
+                "bucket": _bucket31(users, n_buckets),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(
+            [
+                (user_col, "ascending"),
+                (state_col, "ascending"),
+                (ts_col, "ascending"),
+                (id_col, "ascending"),
+            ]
+        )
+        n = tbl.num_rows
+        ts = tbl.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        users = tbl.column(user_col).to_numpy(zero_copy_only=False)
+        states = tbl.column(state_col).to_numpy(zero_copy_only=False)
+        nxt = np.zeros(n, dtype=np.int64)
+        closed = np.zeros(n, dtype=bool)
+        if n:
+            same = (users[1:] == users[:-1]) & (states[1:] == states[:-1])
+            nxt[:-1] = ts[1:]
+            closed[:-1] = same
+        return pa.table(
+            {
+                user_col: tbl.column(user_col),
+                state_col: tbl.column(state_col),
+                id_col: tbl.column(id_col),
+                "valid_from": tbl.column(ts_col),
+                "valid_to": pa.array(
+                    nxt, pa.timestamp("us"), mask=~closed
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def rolling_time_sum(
+    ds,
+    window_us: int = 3_600_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    n_buckets: int = 64,
+):
+    """Per-user event-TIME windowed sum (``RANGE BETWEEN <interval>
+    PRECEDING AND CURRENT ROW``): for every event, the sum of integer
+    cents over the same user's events in ``[ts - window_us, ts]``,
+    peers (equal timestamps) included on both frame edges exactly as
+    SQL RANGE frames demand.  The row-count frame sibling is
+    ``rolling_user_sum``; this one is what rate limits and velocity
+    features actually want, since event density varies.
+
+    Scale shape: user-hash buckets bound dispatch; inside a bucket one
+    lexsort + TWO vectorized ``searchsorted`` calls resolve every
+    row's frame.  Per-user timestamp runs are made globally monotone
+    by lifting onto a composite axis ``seg_id * span + (ts - t0)``
+    with ``span > (t_max - t_min) + window``, so a single searchsorted
+    over the whole bucket answers all users at once (a frame lower
+    bound can never cross into the previous user's span).  When
+    ``n_segments * span`` would overflow int64 (billions of users x a
+    years-long range in one bucket) the bucket falls back to a
+    per-user-segment searchsorted loop -- still vectorized per user.
+    """
+
+    def project(b: pa.Table) -> pa.Table:
+        vals = b.column(value_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.floor(vals * 100.0).astype(np.int64)
+        users = b.column(user_col).combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                id_col: b.column(id_col).cast(pa.int64()),
+                user_col: users,
+                ts_col: b.column(ts_col),
+                "cents": pa.array(cents, pa.int64()),
+                "bucket": _bucket31(users, n_buckets),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(
+            [
+                (user_col, "ascending"),
+                (ts_col, "ascending"),
+                (id_col, "ascending"),
+            ]
+        )
+        n = tbl.num_rows
+        users = tbl.column(user_col).to_numpy(zero_copy_only=False)
+        ts = tbl.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = tbl.column("cents").to_numpy(zero_copy_only=False)
+        win = np.zeros(n, dtype=np.int64)
+        if n:
+            first = np.ones(n, dtype=bool)
+            first[1:] = users[1:] != users[:-1]
+            seg = np.cumsum(first) - 1
+            t0 = int(ts.min())
+            span = int(ts.max()) - t0 + window_us + 2
+            csum = np.concatenate(
+                ([0], np.cumsum(cents, dtype=np.int64))
+            )
+            n_seg = int(seg[-1]) + 1
+            if n_seg * span < (1 << 62):
+                comp = seg * span + (ts - t0)
+                lo = np.searchsorted(comp, comp - window_us, "left")
+                hi = np.searchsorted(comp, comp, "right")
+                win = csum[hi] - csum[lo]
+            else:  # pathological range x segment count: per-user loop
+                starts = np.flatnonzero(first)
+                ends = np.append(starts[1:], n)
+                for s, e in zip(starts, ends):
+                    t = ts[s:e]
+                    lo = s + np.searchsorted(t, t - window_us, "left")
+                    hi = s + np.searchsorted(t, t, "right")
+                    win[s:e] = csum[hi] - csum[lo]
+        return pa.table(
+            {
+                id_col: tbl.column(id_col),
+                user_col: tbl.column(user_col),
+                ts_col: tbl.column(ts_col),
+                "win_cents": pa.array(win, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -40,6 +40,7 @@ from .dedup import _cached_get, _mod
 _JOIN_TYPES = {
     "inner": "inner",
     "left": "left outer",
+    "outer": "full outer",
     "semi": "left semi",
     "anti": "left anti",
 }

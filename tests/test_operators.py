@@ -2963,3 +2963,151 @@ def test_latest_state(ray_session):
             for r in got.itertuples()
         }
         assert got_map == want
+
+
+def test_scd2_intervals(ray_session):
+    """SCD2: valid_to = next change ts of the same (user, state) key
+    in (ts, id) order, null-open for the latest row; layout
+    invariant."""
+    import pandas as pd
+
+    ray = ray_session
+    from console_log_parser_ray.stages.events import scd2_intervals
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 1], pa.int64()),
+            "event_type": pa.array(
+                ["c", "c", "v", "c", "c"], pa.string()
+            ),
+            "event_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+            "ts": pa.array(
+                [100, 200, 150, 70, 200], pa.timestamp("us")
+            ),
+        }
+    )
+    # (1,c) in (ts,id) order: id10@100 -> id11@200 -> id14@200
+    want = {10: 200, 11: 200, 14: None, 12: None, 13: None}
+    for np_ in (1, 4):
+        got = scd2_intervals(
+            ray.data.from_arrow(tbl).repartition(np_), n_buckets=4
+        ).to_pandas()
+        got_map = {
+            int(r.event_id): (
+                None if pd.isna(r.valid_to) else r.valid_to.value // 1000
+            )
+            for r in got.itertuples()
+        }
+        assert got_map == want
+        assert len(got) == 5
+        from_map = {
+            int(r.event_id): r.valid_from.value // 1000
+            for r in got.itertuples()
+        }
+        assert from_map == {10: 100, 11: 200, 12: 150, 13: 70, 14: 200}
+
+
+def test_rolling_time_sum_range_frame(ray_session):
+    """Event-time RANGE frame vs the DuckDB window, randomized: peers
+    (equal ts) share the frame both ways, frame edge inclusive at
+    ts - window; both the composite-axis fast path and the forced
+    per-segment fallback (huge ts spread x many users) agree."""
+    import duckdb
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import rolling_time_sum
+
+    rng = np.random.default_rng(7)
+    n = 600
+    # second config pushes n_seg * span past 2^62 (40 segments x a
+    # ~2.4e17us spread in ONE bucket) -> the per-segment fallback,
+    # while staying inside Python datetime range for take_all
+    for base, spread, nb in (
+        (1_000_000, 0, 4),
+        (1_000_000_000, 240_000_000_000_000_000, 1),
+    ):
+        ts = base + rng.integers(0, 5000, n)
+        if spread:
+            ts = ts + rng.integers(0, 2, n) * spread
+        tbl = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "user_id": pa.array(
+                    rng.integers(0, 40, n), pa.int64()
+                ),
+                "ts": pa.array(ts.astype(np.int64), pa.timestamp("us")),
+                "value": pa.array(
+                    rng.integers(0, 500, n) / 100.0, pa.float64()
+                ),
+            }
+        )
+        con = duckdb.connect()
+        con.register("ev", tbl)
+        want = dict(
+            con.execute(
+                "SELECT event_id, CAST(sum(CAST(floor(value * 100) AS "
+                "BIGINT)) OVER (PARTITION BY user_id ORDER BY ts "
+                "RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) "
+                "AS BIGINT) FROM (SELECT event_id, user_id, "
+                "epoch_us(ts) AS ts, value FROM ev)"
+            ).fetchall()
+        )
+        got = {
+            r["event_id"]: r["win_cents"]
+            for r in rolling_time_sum(
+                ray.data.from_arrow(tbl).repartition(3),
+                window_us=1000,
+                n_buckets=nb,
+            ).take_all()
+        }
+        assert got == want
+
+
+def test_hash_join_full_outer(ray_session):
+    """FULL OUTER: both unmatched sides survive with the key coalesced
+    into one column; null keys never match and are kept unmatched from
+    both sides (SQL semantics)."""
+    import pandas as pd
+
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import hash_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, None], pa.int64()),
+            "lv": pa.array([10, 20, 30], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([2, 3, None], pa.int64()),
+            "rv": pa.array([200, 300, 999], pa.int64()),
+        }
+    )
+    got = hash_join(
+        ray.data.from_arrow(left).repartition(2),
+        ray.data.from_arrow(right).repartition(2),
+        on="k",
+        right_on="rk",
+        how="outer",
+        n_buckets=4,
+    ).to_pandas()
+    assert list(got.columns) == ["k", "lv", "rv"]
+    rows = {
+        (
+            None if pd.isna(r.k) else int(r.k),
+            None if pd.isna(r.lv) else int(r.lv),
+            None if pd.isna(r.rv) else int(r.rv),
+        )
+        for r in got.itertuples()
+    }
+    assert rows == {
+        (1, 10, None),
+        (2, 20, 200),
+        (None, 30, None),
+        (3, None, 300),
+        (None, None, 999),
+    }
+    assert len(got) == 5
