@@ -2401,6 +2401,25 @@ def _q_latest_state(sf_dir: str):
     )
 
 
+def _q_fuzzy_name_pairs(sf_dir: str):
+    """Edit-distance<=1 fuzzy self-join over customer names
+    (stages/dedup.fuzzy_pairs_ed1): FastSS deletion-neighborhood
+    signatures built vectorized (one Arrow slice+concat pass per
+    deletion position), signature-hash co-bucketing for candidates,
+    exact verify on the bounded candidate set, pair-level distinct."""
+    import ray.data
+
+    from console_log_parser_ray.stages.dedup import fuzzy_pairs_ed1
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    return fuzzy_pairs_ed1(
+        cust, id_col="c_custkey", text_col="c_name", max_len=64
+    )
+
+
 def _q_scd2_state(sf_dir: str):
     """SCD-type-2 validity intervals from the event change log
     (stages/events.scd2_intervals): each (user, event_type) change is
@@ -2573,6 +2592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gapfill": _q_user_gapfill,
         "latest_state": _q_latest_state,
         "scd2_state": _q_scd2_state,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -3740,6 +3760,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, event_type, event_id, ts, value FROM events "
         "QUALIFY row_number() OVER (PARTITION BY user_id, event_type "
         "ORDER BY ts DESC, event_id DESC) = 1"
+    )
+    out["fuzzy_name_pairs"] = (
+        # brute-force levenshtein oracle; the engine side generates
+        # candidates by FastSS deletion signatures instead
+        "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+        "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist "
+        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+        "WHERE levenshtein(a.c_name, b.c_name) <= 1"
     )
     out["scd2_state"] = (
         # SCD2: interval open at the key's next change, null for the

@@ -1651,3 +1651,184 @@ def line_dedup(
         .groupby("db")
         .map_groups(reassemble, batch_format="pyarrow")
     )
+
+
+def _ed_le1(s: str, t: str):
+    """Edit distance if <= 1 else None, in O(len) with early exit --
+    used only on candidate pairs already co-bucketed by a shared
+    deletion signature, so calls are bounded by candidate count."""
+    if s == t:
+        return 0
+    ls, lt = len(s), len(t)
+    d = ls - lt
+    if d == 0:
+        mism = 0
+        for a, b in zip(s, t):
+            if a != b:
+                mism += 1
+                if mism > 1:
+                    return None
+        return 1
+    if d == -1:
+        s, t, ls, lt = t, s, lt, ls
+    elif d != 1:
+        return None
+    i = 0
+    while i < lt and s[i] == t[i]:
+        i += 1
+    return 1 if s[i + 1:] == t[i:] else None
+
+
+def _tri_pairs(counts: np.ndarray):
+    """Row-index pairs (a < b) inside consecutive segments of the
+    given sizes, fully vectorized: for a segment of size m, all
+    m*(m-1)/2 intra-segment pairs."""
+    counts = counts.astype(np.int64)
+    starts = np.cumsum(counts) - counts
+    n = int(counts.sum())
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    rep = np.repeat(counts, counts) - 1 - pos  # pairs led by each row
+    total = int(rep.sum())
+    a = np.repeat(np.arange(n, dtype=np.int64), rep)
+    run_starts = np.cumsum(rep) - rep
+    b = a + (np.arange(total, dtype=np.int64) - np.repeat(run_starts, rep)) + 1
+    return a, b
+
+
+def fuzzy_pairs_ed1(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    max_len: int = 512,
+):
+    """Edit-distance<=1 fuzzy self-join (FastSS deletion
+    neighborhoods): every unordered id pair whose strings are within
+    one insertion / deletion / substitution, with the exact distance
+    (0 or 1).  The family member between ``exact_dedup`` (distance 0)
+    and MinHash (token-level similarity) -- what key-normalization
+    and typo-clustering pipelines want.
+
+    Completeness: two strings at edit distance <= 1 always share a
+    k=1 deletion signature (substitution: delete the differing
+    position on both; indel: the shorter string IS a deletion variant
+    of the longer; equality: the identity signature), so candidate
+    generation by signature-hash co-bucketing misses nothing.
+
+    Scale shape: signatures are built VECTORIZED -- one Arrow
+    slice+concat pass per deletion position (cost max_len passes over
+    the column, not per-row Python), hashed batch-at-a-time, deduped
+    per (sig, id) in-block -- then one bounded hash-bucket shuffle
+    groups equal signatures; per-signature candidate pairs expand by a
+    vectorized triangular index (``_tri_pairs``) and only the bounded
+    candidate set hits the per-pair verifier.  Cross-bucket duplicate
+    pairs (a pair can share several signatures) fold in a second tiny
+    ``distinct_rows`` shuffle that moves verified pairs only.  A hot
+    signature (many near-identical strings) is inherently quadratic in
+    its group -- same as any ED join's output -- so group size is the
+    partitioning assumption to watch; strings longer than ``max_len``
+    raise rather than silently ship max_len**2 signature bytes.
+    """
+    from .textan import _token_bucket_hashes
+
+    big = 1 << 30
+
+    def signatures(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).combine_chunks().cast(pa.int64())
+        texts = pc.fill_null(b.column(text_col).combine_chunks(), "")
+        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        if len(lens) and lens.max() > max_len:
+            raise ValueError(
+                f"fuzzy_pairs_ed1: string longer than max_len={max_len}"
+            )
+        sig_chunks = [texts]  # identity signature
+        id_np = ids.to_numpy(zero_copy_only=False)
+        id_chunks = [id_np]
+        txt_chunks = [texts]
+        lmax = int(lens.max()) if len(lens) else 0
+        for i in range(lmax):
+            sel = np.flatnonzero(lens > i)
+            if not len(sel):
+                continue
+            sub = texts.take(pa.array(sel, pa.int64()))
+            var = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(sub, 0, i),
+                pc.utf8_slice_codeunits(sub, i + 1, big),
+                "",
+            )
+            sig_chunks.append(var)
+            id_chunks.append(id_np[sel])
+            txt_chunks.append(sub)
+        sigs = pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in sig_chunks]
+        )
+        sh = _token_bucket_hashes(sigs, {})
+        out = pa.table(
+            {
+                "sh": pa.array(sh, pa.int64()),
+                id_col: pa.array(np.concatenate(id_chunks), pa.int64()),
+                text_col: pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                     else c for c in txt_chunks]
+                ),
+            }
+        )
+        # one row per (signature, id): "aa" yields "a" twice
+        d = out.group_by(["sh", id_col, text_col]).aggregate([])
+        return d.append_column(
+            "bucket",
+            pc.cast(
+                _pair_mod(d.column("sh").combine_chunks(), n_buckets),
+                pa.int32(),
+            ),
+        )
+
+    def pairs_in_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by([("sh", "ascending"), (id_col, "ascending")])
+        sh = tbl.column("sh").to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        texts_arr = tbl.column(text_col).combine_chunks()
+        n = len(sh)
+        out_a, out_b, out_d = [], [], []
+        if n:
+            first = np.ones(n, dtype=bool)
+            first[1:] = sh[1:] != sh[:-1]
+            counts = np.diff(
+                np.append(np.flatnonzero(first), n)
+            ).astype(np.int64)
+            a, b = _tri_pairs(counts)
+            keep = ids[a] != ids[b]
+            a, b = a[keep], b[keep]
+            # only CANDIDATE rows cross into Python for the verifier
+            ta = texts_arr.take(pa.array(a, pa.int64())).to_pylist()
+            tb = texts_arr.take(pa.array(b, pa.int64())).to_pylist()
+            for ai, bi, sa, sb in zip(ids[a], ids[b], ta, tb):
+                dist = _ed_le1(sa, sb)
+                if dist is not None:
+                    ia, ib = int(ai), int(bi)
+                    if ia > ib:
+                        ia, ib = ib, ia
+                    out_a.append(ia)
+                    out_b.append(ib)
+                    out_d.append(dist)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "dist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    cand = (
+        ds.map_batches(signatures, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+    )
+    return distinct_rows(cand, ["id_a", "id_b"], n_buckets=64)
+
+
+def _pair_mod(arr: pa.Array, n: int):
+    """Non-negative arr % n via pyarrow (BIGINT-overflow-safe)."""
+    q = pc.divide(arr, pa.scalar(n, pa.int64()))
+    return pc.subtract(arr, pc.multiply(q, pa.scalar(n, pa.int64())))

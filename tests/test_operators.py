@@ -3111,3 +3111,79 @@ def test_hash_join_full_outer(ray_session):
         (None, None, 999),
     }
     assert len(got) == 5
+
+
+def test_fuzzy_pairs_ed1(ray_session):
+    """FastSS ED<=1 self-join: substitution / insertion / deletion hit
+    at distance 1, exact duplicates at 0, transpositions (ED 2) and
+    far strings excluded; pairs sharing several signatures emit once;
+    randomized differential vs DuckDB levenshtein."""
+    import duckdb
+
+    import ray.data
+
+    from console_log_parser_ray.stages.dedup import fuzzy_pairs_ed1
+
+    rows = [
+        (1, "kitten"),
+        (2, "mitten"),   # sub -> d1 with 1
+        (3, "kitte"),    # del -> d1 with 1
+        (4, "kittens"),  # ins -> d1 with 1, d2 with 3
+        (5, "ktiten"),   # transposition of 1 -> ED 2, excluded
+        (6, "kitten"),   # exact dup of 1 -> d0
+        (7, "aa"),       # duplicate deletion sigs within one string
+        (8, "ab"),
+        (9, "zzzz"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t in rows], pa.string()),
+        }
+    )
+    want = {
+        (1, 2, 1), (1, 3, 1), (1, 4, 1), (1, 6, 0),
+        (2, 6, 1), (3, 6, 1), (4, 6, 1), (3, 4, None),
+        (7, 8, 1),
+    }
+    want = {(a, b, d) for (a, b, d) in want if d is not None}
+    for np_ in (1, 4):
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in fuzzy_pairs_ed1(
+                ray.data.from_arrow(tbl).repartition(np_), n_buckets=8
+            ).take_all()
+        }
+        assert got == want
+
+    # randomized: short strings over a tiny alphabet force plenty of
+    # near-misses; oracle = brute-force levenshtein
+    rng = np.random.default_rng(11)
+    n = 250
+    texts = [
+        "".join(rng.choice(list("abc"), size=rng.integers(0, 5)))
+        for _ in range(n)
+    ]
+    rtbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", rtbl)
+    oracle = {
+        tuple(r)
+        for r in con.execute(
+            "SELECT a.doc_id, b.doc_id, CAST(levenshtein(a.text, "
+            "b.text) AS BIGINT) FROM t a JOIN t b ON "
+            "a.doc_id < b.doc_id WHERE levenshtein(a.text, b.text) <= 1"
+        ).fetchall()
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs_ed1(
+            ray.data.from_arrow(rtbl).repartition(3), n_buckets=8
+        ).take_all()
+    }
+    assert got == oracle
