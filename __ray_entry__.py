@@ -2420,6 +2420,34 @@ def _q_fuzzy_name_pairs(sf_dir: str):
     )
 
 
+def _q_cooccur_top(sf_dir: str):
+    """Top-50 document-level co-occurrence pairs over the 64
+    highest-DF tokens (stages/textan.cooccur_topk): token-hash-bucket
+    DF + bounded per-bucket top-V candidates for the vocab, then dense
+    V^2 bincount partials per block and one tiny pair groupby."""
+    from console_log_parser_ray.stages.textan import cooccur_topk
+
+    return cooccur_topk(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        vocab_size=64,
+        k=50,
+    )
+
+
+def _q_profile_orders(sf_dir: str):
+    """Per-column table profile of orders (stages/profile.
+    profile_table): exact row / null / distinct counts per column;
+    block-local per-column value dedup, value-hash buckets, and a
+    schema-width-bounded driver assembly."""
+    import ray.data
+
+    from console_log_parser_ray.stages.profile import profile_table
+
+    return profile_table(
+        ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    )
+
+
 def _q_scd2_state(sf_dir: str):
     """SCD-type-2 validity intervals from the event change log
     (stages/events.scd2_intervals): each (user, event_type) change is
@@ -2593,6 +2621,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_state": _q_latest_state,
         "scd2_state": _q_scd2_state,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "cooccur_top": _q_cooccur_top,
+        "profile_orders": _q_profile_orders,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -3768,6 +3798,24 @@ def oracle_sql() -> dict[str, str]:
         "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist "
         "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
         "WHERE levenshtein(a.c_name, b.c_name) <= 1"
+    )
+    out["cooccur_top"] = (
+        # binary collation on both sides: vocab-id order engine-side
+        # IS lexicographic token order, so a.t < b.t pairs identically
+        "WITH tk AS (SELECT doc_id, unnest(regexp_extract_all("
+        "coalesce(text, ''), '\\S+')) AS t FROM documents), "
+        "tok AS (SELECT DISTINCT doc_id, t FROM tk), "
+        "df AS (SELECT t, count(*) AS df FROM tok GROUP BY t), "
+        "vocab AS (SELECT t FROM df ORDER BY df DESC, t LIMIT 64), "
+        "p AS (SELECT a.t AS ta, b.t AS tb, count(*) AS n "
+        "FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t "
+        "WHERE a.t IN (SELECT t FROM vocab) "
+        "AND b.t IN (SELECT t FROM vocab) GROUP BY 1, 2) "
+        "SELECT ta AS token_a, tb AS token_b, CAST(n AS BIGINT) AS "
+        "n_docs FROM p ORDER BY n_docs DESC, token_a, token_b LIMIT 50"
+    )
+    out["profile_orders"] = (
+        "SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders UNION ALL SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM orders UNION ALL SELECT 'o_orderstatus' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(o_orderstatus) AS BIGINT) AS n_nulls, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct FROM orders UNION ALL SELECT 'o_totalprice' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(o_totalprice) AS BIGINT) AS n_nulls, CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct FROM orders UNION ALL SELECT 'o_orderdate' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(o_orderdate) AS BIGINT) AS n_nulls, CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_distinct FROM orders UNION ALL SELECT 'o_orderpriority' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(o_orderpriority) AS BIGINT) AS n_nulls, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct FROM orders"
     )
     out["scd2_state"] = (
         # SCD2: interval open at the key's next change, null for the

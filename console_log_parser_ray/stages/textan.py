@@ -1178,3 +1178,149 @@ def dup_spans(
             {"sum(n_part)": "n_spans", "sum(d_part)": "n_dup_spans"}
         )
     )
+
+
+def cooccur_topk(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 64,
+    k: int = 50,
+    n_buckets: int = 64,
+):
+    """Top-k document-level token co-occurrence (word association
+    mining): restrict to the ``vocab_size`` highest-document-frequency
+    tokens, count for every unordered vocab pair the number of
+    documents containing BOTH, return the ``k`` strongest pairs
+    (ties: token order).  The integer skeleton of PMI / collocation
+    scoring -- the float PMI is one log of these counts away and
+    deliberately left to the caller so the aggregate stays exact.
+
+    Scale shape: pass 1 reuses ``_explode_tok_occ``'s distinct
+    (doc, token) explode; token-hash buckets compute exact per-token
+    DF locally and keep only their own top ``vocab_size`` candidates,
+    so the driver-side final vocab selection sees at most
+    ``n_buckets * vocab_size`` rows (never token cardinality).  Pass 2
+    re-explodes each block, keeps vocab members only (one
+    ``pc.index_in`` per block against the broadcast sorted vocab), and
+    bincounts pair keys ``a * V + b`` into a dense ``V^2`` partial per
+    block -- the one groupby that follows sums at most ``V*(V-1)/2``
+    keys.  Vocab-id order IS lexicographic token order, so ``a < b``
+    matches the SQL ``a.t < b.t`` pairing exactly.
+    """
+    from ray.data.aggregate import Sum
+
+    vs = int(vocab_size)
+
+    def df_in_bucket(tbl: pa.Table) -> pa.Table:
+        d = tbl.group_by("tok").aggregate([(id_col, "count")])
+        out = pa.table(
+            {
+                "tok": d.column("tok"),
+                "df": d.column(f"{id_col}_count").cast(pa.int64()),
+            }
+        ).sort_by([("df", "descending"), ("tok", "ascending")])
+        return out.slice(0, vs)
+
+    cand = (
+        ds.map_batches(
+            lambda b: _explode_tok_occ(b, text_col, id_col, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("jb")
+        .map_groups(df_in_bucket, batch_format="pyarrow")
+        .to_pandas()  # bounded: n_buckets * vocab_size candidate rows
+    )
+    cand = cand.sort_values(
+        ["df", "tok"], ascending=[False, True]
+    ).head(vs)
+    vocab = pa.array(sorted(cand["tok"]), pa.string())
+    v = len(vocab)
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        n = len(texts)
+        if n == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "n_part": pa.array([], pa.int64()),
+                }
+            )
+        lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+        flat = lists.flatten()
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offsets = offsets - offsets[0]
+        row_idx = np.repeat(
+            np.arange(n, dtype=np.int64), np.diff(offsets)
+        )
+        vid = pc.index_in(flat, value_set=vocab)
+        mask = pc.is_valid(vid).to_numpy(zero_copy_only=False)
+        rows = row_idx[mask]
+        vids = vid.to_numpy(zero_copy_only=False)[mask].astype(np.int64)
+        if not len(rows):
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "n_part": pa.array([], pa.int64()),
+                }
+            )
+        # distinct (row, vid), ordered so in-row vids ascend
+        pair_key = rows * v + vids
+        pair_key = np.unique(pair_key)
+        rows = pair_key // v
+        vids = pair_key - rows * v
+        first = np.ones(len(rows), dtype=bool)
+        first[1:] = rows[1:] != rows[:-1]
+        counts = np.diff(
+            np.append(np.flatnonzero(first), len(rows))
+        ).astype(np.int64)
+        from .dedup import _tri_pairs
+
+        a, b = _tri_pairs(counts)
+        if not len(a):
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "n_part": pa.array([], pa.int64()),
+                }
+            )
+        keys = vids[a] * v + vids[b]
+        cnt = np.bincount(keys, minlength=v * v)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "key": pa.array(nz.astype(np.int64), pa.int64()),
+                "n_part": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    def label(batch: pa.Table) -> pa.Table:
+        keys = batch.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "token_a": vocab.take(
+                    pa.array(keys // v, pa.int64())
+                ),
+                "token_b": vocab.take(
+                    pa.array(keys % v, pa.int64())
+                ),
+                "n_docs": batch.column(
+                    "sum(n_part)"
+                ).cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n_part"))
+        .map_batches(label, batch_format="pyarrow")
+        .sort(
+            ["n_docs", "token_a", "token_b"],
+            descending=[True, False, False],
+        )
+        .limit(k)
+    )

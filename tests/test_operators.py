@@ -3187,3 +3187,91 @@ def test_fuzzy_pairs_ed1(ray_session):
         ).take_all()
     }
     assert got == oracle
+
+
+def test_cooccur_topk(ray_session):
+    """Doc-level co-occurrence over the top-DF vocab vs the DuckDB
+    formulation: within-doc repeats count once, vocab boundary ties
+    break by token, pair order is lexicographic; randomized corpus."""
+    import duckdb
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import cooccur_topk
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i:02d}" for i in range(30)]
+    docs = [
+        " ".join(rng.choice(words, size=rng.integers(0, 12)))
+        for _ in range(120)
+    ] + ["", "   "]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    for vs, k in ((8, 10), (16, 25)):
+        want = con.execute(
+            "WITH tk AS (SELECT doc_id, unnest(regexp_extract_all("
+            "coalesce(text, ''), '\\S+')) AS t FROM documents), "
+            "tok AS (SELECT DISTINCT doc_id, t FROM tk), "
+            "df AS (SELECT t, count(*) AS df FROM tok GROUP BY t), "
+            f"vocab AS (SELECT t FROM df ORDER BY df DESC, t LIMIT {vs}), "
+            "p AS (SELECT a.t ta, b.t tb, count(*) n FROM tok a "
+            "JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t "
+            "WHERE a.t IN (SELECT t FROM vocab) AND b.t IN "
+            "(SELECT t FROM vocab) GROUP BY 1, 2) "
+            "SELECT ta, tb, CAST(n AS BIGINT) FROM p "
+            f"ORDER BY n DESC, ta, tb LIMIT {k}"
+        ).fetchall()
+        got = [
+            (r["token_a"], r["token_b"], r["n_docs"])
+            for r in cooccur_topk(
+                ray.data.from_arrow(tbl).repartition(3),
+                vocab_size=vs,
+                k=k,
+                n_buckets=4,
+            ).take_all()
+        ]
+        assert got == [tuple(w) for w in want]
+
+
+def test_profile_table(ray_session):
+    """Per-column profile: nulls excluded from distinct, mixed types
+    compared through injective string casts, all-null column profiles
+    with n_distinct 0, duplicate values across blocks fold."""
+    import ray.data
+
+    from console_log_parser_ray.stages.profile import profile_table
+
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 1, 2, None, 3], pa.int64()),
+            "b": pa.array(
+                ["x", None, "x", "y", None], pa.string()
+            ),
+            "c": pa.array([None] * 5, pa.float64()),
+            "d": pa.array(
+                [1.5, 1.5, 2.25, -7.0, 0.1], pa.float64()
+            ),
+        }
+    )
+    want = {
+        "a": (5, 1, 3),
+        "b": (5, 2, 2),
+        "c": (5, 5, 0),
+        "d": (5, 0, 4),
+    }
+    for np_ in (1, 4):
+        got = profile_table(
+            ray.data.from_arrow(tbl).repartition(np_), n_buckets=4
+        )
+        got_map = {
+            r.col_name: (r.n_rows, r.n_nulls, r.n_distinct)
+            for r in got.itertuples()
+        }
+        assert got_map == want
+        assert list(got["col_name"]) == sorted(got["col_name"])
