@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 65 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 73 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -46,6 +46,10 @@ Exit 0 = every comparison equal.  Each seed covers 65 comparison groups:
   - ROLLUP subtotals / percent_rank+cume_dist on BOTH cardinality
     paths (bit-exact doubles) / per-user gap-fill / last-writer-wins
     compaction                  (OLAP + CDC family)
+  - SCD2 lead intervals / event-time RANGE rolling sums (3 windows) /
+    FULL OUTER join with null keys / FastSS ED<=1 fuzzy join /
+    co-occurrence top-k / table profiling
+                                (round-4 CDC + fuzzy family)
 """
 
 import os
@@ -1789,6 +1793,225 @@ def olap_family(seed):
     )
 
 
+def cdc_fuzzy_family(seed):
+    """Round-4 additions: SCD2 intervals (lead), event-time RANGE
+    rolling sums, FULL OUTER join (nulls on both sides), FastSS ED<=1
+    fuzzy self-join, co-occurrence top-k, and table profiling --
+    random skewed tables with ts collisions, null keys and tiny
+    alphabets."""
+    from console_log_parser_ray.stages.dedup import fuzzy_pairs_ed1
+    from console_log_parser_ray.stages.events import (
+        rolling_time_sum,
+        scd2_intervals,
+    )
+    from console_log_parser_ray.stages.profile import profile_table
+    from console_log_parser_ray.stages.relational import hash_join
+    from console_log_parser_ray.stages.textan import cooccur_topk
+
+    rng = np.random.default_rng(seed + 29)
+    n = 2000
+    ev = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(
+                rng.integers(0, 25, n).astype(np.int64)
+            ),
+            "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+            # coarse grid -> plenty of exact ts collisions (peers)
+            "ts": pa.array(
+                (rng.integers(0, 400, n) * 250).astype(np.int64),
+                pa.timestamp("us"),
+            ),
+            "value": pa.array(
+                rng.integers(0, 2000, n) / 100.0, pa.float64()
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("ev", ev)
+    eds = ray.data.from_arrow(ev).repartition(5)
+
+    mine = scd2_intervals(eds, n_buckets=8).to_pandas()
+    ref = con.execute(
+        "SELECT user_id, event_type, event_id, ts AS valid_from, "
+        "lead(ts) OVER (PARTITION BY user_id, event_type "
+        "ORDER BY ts, event_id) AS valid_to FROM ev"
+    ).fetchdf()
+    check(
+        "scd2_intervals", seed, mine, ref,
+        ["event_id"], ["user_id", "event_type", "valid_from", "valid_to"],
+    )
+
+    for w in (1, 999, 100000):
+        mine = rolling_time_sum(
+            eds, window_us=w, n_buckets=8
+        ).to_pandas()
+        ref = con.execute(
+            "SELECT event_id, user_id, ts, CAST(sum(CAST(floor(value "
+            "* 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY "
+            f"ts RANGE BETWEEN {w} PRECEDING AND CURRENT ROW) AS "
+            "BIGINT) AS win_cents FROM (SELECT event_id, user_id, "
+            "epoch_us(ts) AS ts, value FROM ev)"
+        ).fetchdf()
+        mine["ts"] = mine["ts"].astype("int64")
+        check(
+            f"rolling_time_sum_w{w}", seed, mine, ref,
+            ["event_id"], ["user_id", "ts", "win_cents"],
+        )
+
+    # FULL OUTER with null keys on both sides and partial overlap
+    nl, nr = 600, 500
+    lk = rng.integers(0, 120, nl).astype(np.float64)
+    rk = rng.integers(60, 200, nr).astype(np.float64)
+    lk[rng.random(nl) < 0.05] = np.nan
+    rk[rng.random(nr) < 0.05] = np.nan
+    left = pa.table(
+        {
+            "k": pa.array(
+                [None if np.isnan(x) else int(x) for x in lk],
+                pa.int64(),
+            ),
+            "lv": pa.array(np.arange(nl, dtype=np.int64)),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array(
+                [None if np.isnan(x) else int(x) for x in rk],
+                pa.int64(),
+            ),
+            "rv": pa.array(np.arange(nr, dtype=np.int64) + 10000),
+        }
+    )
+    con.register("l", left)
+    con.register("r", right)
+    mine = hash_join(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(3),
+        on="k",
+        right_on="rk",
+        how="outer",
+        n_buckets=8,
+    ).to_pandas()
+    ref = con.execute(
+        "SELECT coalesce(l.k, r.rk) AS k, l.lv, r.rv FROM l "
+        "FULL OUTER JOIN r ON l.k = r.rk"
+    ).fetchdf()
+    check(
+        "full_outer_join", seed, mine, ref,
+        ["k", "lv", "rv"], ["k", "lv", "rv"],
+    )
+
+    # ED<=1 fuzzy join on a tiny alphabet (dense near-miss space)
+    m = 300
+    strs = [
+        "".join(rng.choice(list("abc"), size=rng.integers(0, 5)))
+        for _ in range(m)
+    ]
+    st = pa.table(
+        {
+            "doc_id": pa.array(np.arange(m, dtype=np.int64)),
+            "text": pa.array(strs, pa.string()),
+        }
+    )
+    con.register("s", st)
+    mine = fuzzy_pairs_ed1(
+        ray.data.from_arrow(st).repartition(4), n_buckets=8
+    ).to_pandas()
+    ref = con.execute(
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist "
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+        "WHERE levenshtein(a.text, b.text) <= 1"
+    ).fetchdf()
+    check(
+        "fuzzy_pairs_ed1", seed, mine, ref,
+        ["id_a", "id_b"], ["dist"],
+    )
+
+    # co-occurrence over a small vocab with boundary ties
+    docs = [
+        " ".join(rng.choice([f"t{i}" for i in range(18)],
+                            size=rng.integers(0, 10)))
+        for _ in range(250)
+    ] + [""]
+    dt = pa.table(
+        {
+            "doc_id": pa.array(
+                np.arange(len(docs), dtype=np.int64)
+            ),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    con.register("documents", dt)
+    mine = cooccur_topk(
+        ray.data.from_arrow(dt).repartition(3),
+        vocab_size=8,
+        k=15,
+        n_buckets=4,
+    ).to_pandas()
+    ref = con.execute(
+        "WITH tk AS (SELECT doc_id, unnest(regexp_extract_all("
+        "coalesce(text, ''), '\\S+')) AS t FROM documents), "
+        "tok AS (SELECT DISTINCT doc_id, t FROM tk), "
+        "df AS (SELECT t, count(*) AS df FROM tok GROUP BY t), "
+        "vocab AS (SELECT t FROM df ORDER BY df DESC, t LIMIT 8), "
+        "p AS (SELECT a.t AS token_a, b.t AS token_b, count(*) AS n "
+        "FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t "
+        "WHERE a.t IN (SELECT t FROM vocab) AND b.t IN "
+        "(SELECT t FROM vocab) GROUP BY 1, 2) "
+        "SELECT token_a, token_b, CAST(n AS BIGINT) AS n_docs FROM p "
+        "ORDER BY n_docs DESC, token_a, token_b LIMIT 15"
+    ).fetchdf()
+    # top-k is ordered on both sides; compare positionally
+    mp = mine.reset_index(drop=True)
+    rp = ref.reset_index(drop=True)
+    ok = len(mp) == len(rp) and (
+        len(mp) == 0 or mp.equals(rp.astype(mp.dtypes.to_dict()))
+    )
+    if not ok:
+        failures.append(("cooccur_topk", seed))
+        print(f"FAIL cooccur_topk seed={seed}", flush=True)
+
+    # profile: mixed types, null stripes, an all-null column
+    p = 800
+    prof = pa.table(
+        {
+            "i": pa.array(
+                [None if x < 0 else int(x)
+                 for x in rng.integers(-2, 40, p)],
+                pa.int64(),
+            ),
+            "s": pa.array(
+                [None if x < 0 else f"v{int(x)}"
+                 for x in rng.integers(-1, 12, p)],
+                pa.string(),
+            ),
+            "f": pa.array(
+                rng.integers(0, 60, p) / 8.0, pa.float64()
+            ),
+            "z": pa.array([None] * p, pa.float64()),
+        }
+    )
+    con.register("pt", prof)
+    mine = profile_table(
+        ray.data.from_arrow(prof).repartition(5), n_buckets=4
+    )
+    ref = con.execute(
+        " UNION ALL ".join(
+            f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS "
+            f"n_rows, CAST(count(*) - count({c}) AS BIGINT) AS "
+            f"n_nulls, CAST(count(DISTINCT {c}) AS BIGINT) AS "
+            f"n_distinct FROM pt"
+            for c in ("i", "s", "f", "z")
+        )
+    ).fetchdf()
+    check(
+        "profile_table", seed, mine, ref,
+        ["col_name"], ["n_rows", "n_nulls", "n_distinct"],
+    )
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -1806,10 +2029,11 @@ def main():
         transcript_family(seed)
         misc_family(seed)
         olap_family(seed)
+        cdc_fuzzy_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(65 comparison groups per seed)"
+        "(73 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
