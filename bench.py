@@ -181,6 +181,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "lang_pctrank",
         "user_gapfill",
         "latest_state",
+        "scd2_state",
+        "user_time_rolling",
+        "outer_join_users",
+        "fuzzy_name_pairs",
+        "cooccur_top",
+        "profile_orders",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
