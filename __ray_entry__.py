@@ -2448,6 +2448,107 @@ def _q_profile_orders(sf_dir: str):
     )
 
 
+def _q_regr_price_qty(sf_dir: str):
+    """Per-flag least-squares price-vs-quantity regression from exact
+    integer moments (stages/relational.group_regression): one Arrow
+    group_by partial per block, one tiny groupby-sum, closed-form IEEE
+    finish mirrored literally in the SQL oracle."""
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import group_regression
+
+    return group_regression(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        ),
+        group_col="l_returnflag",
+        x_col="l_quantity",
+        y_col="l_extendedprice",
+        x_scale=1,
+        y_scale=100,
+    )
+
+
+def _q_snapshot_diff_cust(sf_dir: str):
+    """CDC snapshot diff (stages/relational.snapshot_diff): customer
+    vs a deterministically-simulated next snapshot (keys < 50 removed,
+    every 7th balance bumped, keys < 25 cloned as additions at
+    +1000000); classification over one co-partitioned FULL OUTER
+    join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import snapshot_diff
+
+    cols = ["c_custkey", "c_acctbal", "c_mktsegment"]
+    old = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=cols
+    )
+
+    def modify(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("c_custkey"), 50))
+        k = b.column("c_custkey")
+        bump = pc.equal(
+            pc.subtract(
+                k, pc.multiply(pc.divide(k, 7), pa.scalar(7, pa.int32()))
+            ),
+            0,
+        )
+        bal = pc.if_else(
+            bump,
+            pc.add(b.column("c_acctbal"), pa.scalar(1.0)),
+            b.column("c_acctbal"),
+        )
+        return pa.table(
+            {
+                "c_custkey": k,
+                "c_acctbal": bal,
+                "c_mktsegment": b.column("c_mktsegment"),
+            }
+        )
+
+    def additions(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("c_custkey"), 25))
+        return pa.table(
+            {
+                "c_custkey": pc.add(
+                    b.column("c_custkey").cast(pa.int64()),
+                    pa.scalar(1000000, pa.int64()),
+                ),
+                "c_acctbal": b.column("c_acctbal"),
+                "c_mktsegment": b.column("c_mktsegment"),
+            }
+        )
+
+    new = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=cols
+    )
+    new = new.map_batches(modify, batch_format="pyarrow").union(
+        new.map_batches(additions, batch_format="pyarrow")
+    )
+    return snapshot_diff(
+        old, new, key="c_custkey",
+        compare_cols=["c_acctbal", "c_mktsegment"],
+    )
+
+
+def _q_throttled_events(sf_dir: str):
+    """Debounce / rate-limit filter (stages/events.throttle_events):
+    keep an event iff first of its (user, type) key or > 10 min after
+    the key's previous raw event (LAG semantics); bucketized lexsort +
+    vectorized diff mask."""
+    from console_log_parser_ray.stages.events import throttle_events
+
+    return throttle_events(
+        _events(sf_dir).select_columns(
+            ["event_id", "user_id", "event_type", "ts"]
+        ),
+        window_us=600_000_000,
+    )
+
+
 def _q_scd2_state(sf_dir: str):
     """SCD-type-2 validity intervals from the event change log
     (stages/events.scd2_intervals): each (user, event_type) change is
@@ -2623,6 +2724,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "cooccur_top": _q_cooccur_top,
         "profile_orders": _q_profile_orders,
+        "regr_price_qty": _q_regr_price_qty,
+        "snapshot_diff_cust": _q_snapshot_diff_cust,
+        "throttled_events": _q_throttled_events,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -3816,6 +3920,49 @@ def oracle_sql() -> dict[str, str]:
     )
     out["profile_orders"] = (
         "SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders UNION ALL SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM orders UNION ALL SELECT 'o_orderstatus' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(o_orderstatus) AS BIGINT) AS n_nulls, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct FROM orders UNION ALL SELECT 'o_totalprice' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(o_totalprice) AS BIGINT) AS n_nulls, CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct FROM orders UNION ALL SELECT 'o_orderdate' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(o_orderdate) AS BIGINT) AS n_nulls, CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_distinct FROM orders UNION ALL SELECT 'o_orderpriority' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(o_orderpriority) AS BIGINT) AS n_nulls, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct FROM orders"
+    )
+    out["regr_price_qty"] = (
+        # moments are exact BIGINTs; slope/intercept mirror the
+        # engine's IEEE expression tree literally (products AFTER
+        # the double cast)
+        "WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) "
+        "AS n_obs, "
+        "CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sx, "
+        "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) "
+        "AS BIGINT) AS sy, "
+        "CAST(sum(CAST(floor(l_quantity) AS BIGINT) * "
+        "CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sxx, "
+        "CAST(sum(CAST(floor(l_quantity) AS BIGINT) * "
+        "CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy "
+        "FROM lineitem GROUP BY 1), "
+        "m2 AS (SELECT *, (CAST(n_obs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n_obs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope FROM m) "
+        "SELECT l_returnflag, n_obs, sx, sy, sxx, sxy, slope, "
+        "(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / "
+        "CAST(n_obs AS DOUBLE) AS intercept FROM m2"
+    )
+    out["snapshot_diff_cust"] = (
+        "WITH newsnap AS (SELECT c_custkey, CASE WHEN c_custkey % 7 "
+        "= 0 THEN c_acctbal + 1.0 ELSE c_acctbal END AS c_acctbal, "
+        "c_mktsegment FROM customer WHERE c_custkey >= 50 UNION ALL "
+        "SELECT c_custkey + 1000000, c_acctbal, c_mktsegment FROM "
+        "customer WHERE c_custkey < 25) "
+        "SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey, "
+        "CASE WHEN n.c_custkey IS NULL THEN 'removed' "
+        "WHEN o.c_custkey IS NULL THEN 'added' "
+        "WHEN o.c_acctbal = n.c_acctbal AND o.c_mktsegment = "
+        "n.c_mktsegment THEN 'same' ELSE 'changed' END AS status, "
+        "o.c_acctbal AS c_acctbal_old, n.c_acctbal AS c_acctbal_new, "
+        "o.c_mktsegment AS c_mktsegment_old, "
+        "n.c_mktsegment AS c_mktsegment_new "
+        "FROM customer o FULL OUTER JOIN newsnap n "
+        "ON o.c_custkey = n.c_custkey"
+    )
+    out["throttled_events"] = (
+        "SELECT event_id, user_id, event_type, ts FROM ("
+        "SELECT event_id, user_id, event_type, ts, "
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type "
+        "ORDER BY ts, event_id) AS prev FROM events) "
+        "WHERE prev IS NULL OR epoch_us(ts) - prev > 600000000"
     )
     out["scd2_state"] = (
         # SCD2: interval open at the key's next change, null for the

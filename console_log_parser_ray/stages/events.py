@@ -2145,3 +2145,70 @@ def rolling_time_sum(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def throttle_events(
+    ds,
+    window_us: int,
+    user_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+):
+    """Rate-limit / debounce filter: keep an event iff it is the
+    first of its (user, type) key or strictly more than ``window_us``
+    after the key's PREVIOUS event (LAG semantics -- each event is
+    throttled against its raw predecessor, the SQL-expressible variant
+    of debouncing; the kept-chain variant is an FSM, not a window).
+
+    Same bounded recipe as ``event_gaps``: user-hash buckets, one
+    lexsort per bucket over (user, type, ts, id), vectorized diff +
+    boundary mask, then a filter -- rows stream out, nothing
+    driver-side.
+    """
+
+    def project(b: pa.Table) -> pa.Table:
+        users = b.column(user_col).combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                id_col: b.column(id_col).cast(pa.int64()),
+                user_col: users,
+                state_col: b.column(state_col),
+                ts_col: b.column(ts_col),
+                "bucket": _bucket31(users, n_buckets),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(
+            [
+                (user_col, "ascending"),
+                (state_col, "ascending"),
+                (ts_col, "ascending"),
+                (id_col, "ascending"),
+            ]
+        )
+        n = tbl.num_rows
+        keep = np.ones(n, dtype=bool)
+        if n:
+            ts = tbl.column(ts_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            users = tbl.column(user_col).to_numpy(zero_copy_only=False)
+            states = tbl.column(state_col).to_numpy(
+                zero_copy_only=False
+            )
+            same = (users[1:] == users[:-1]) & (
+                states[1:] == states[:-1]
+            )
+            keep[1:] = ~same | (np.diff(ts) > window_us)
+        return tbl.select(
+            [id_col, user_col, state_col, ts_col]
+        ).filter(pa.array(keep))
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -1010,3 +1010,185 @@ def rank_fractions_per_group(
     return _attach_map_cols(
         ds, ranked, (group_col, val_col), out_cols, n_buckets
     )
+
+
+def group_regression(
+    ds,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1,
+    y_scale: int = 100,
+):
+    """Per-group simple linear regression (least squares y = a*x + b)
+    from exact integer moments -- the distributed skeleton of
+    per-segment trend features (price sensitivity, drift slopes).
+
+    Both columns are fixed-pointed (``floor(col * scale)``) so the
+    five moments (n, Sx, Sy, Sxx, Sxy) are associative-exact BIGINT
+    sums; slope and intercept are then a fixed IEEE double expression
+    over those exact integers, so an SQL mirror that casts the same
+    moments to DOUBLE and applies the same expression tree is
+    bit-identical.  Products are computed AFTER the float cast
+    (``nf * sxyf``), never in int64, so a billion-row group cannot
+    overflow the moment arithmetic (each individual moment is the
+    scale bound the caller owns).
+
+    Scale shape: one Arrow ``group_by`` per block reduces to <=
+    n_groups partial rows before the single Ray groupby-sum; the
+    closed-form finish touches n_groups rows.  A group with a single
+    distinct x yields den = 0 -> IEEE inf/nan, same as the SQL mirror.
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = np.floor(
+            b.column(x_col).cast(pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            * x_scale
+        ).astype(np.int64)
+        y = np.floor(
+            b.column(y_col).cast(pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            * y_scale
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                group_col: b.column(group_col),
+                "n_p": pa.array(np.ones(len(x), np.int64)),
+                "sx_p": pa.array(x),
+                "sy_p": pa.array(y),
+                "sxx_p": pa.array(x * x),
+                "sxy_p": pa.array(x * y),
+            }
+        )
+        return t.group_by(group_col).aggregate(
+            [
+                ("n_p", "sum"),
+                ("sx_p", "sum"),
+                ("sy_p", "sum"),
+                ("sxx_p", "sum"),
+                ("sxy_p", "sum"),
+            ]
+        ).rename_columns(
+            [group_col, "n_p", "sx_p", "sy_p", "sxx_p", "sxy_p"]
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("sum(n_p)").to_numpy(zero_copy_only=False)
+        sx = b.column("sum(sx_p)").to_numpy(zero_copy_only=False)
+        sy = b.column("sum(sy_p)").to_numpy(zero_copy_only=False)
+        sxx = b.column("sum(sxx_p)").to_numpy(zero_copy_only=False)
+        sxy = b.column("sum(sxy_p)").to_numpy(zero_copy_only=False)
+        nf = n.astype(np.float64)
+        sxf = sx.astype(np.float64)
+        syf = sy.astype(np.float64)
+        sxxf = sxx.astype(np.float64)
+        sxyf = sxy.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = (nf * sxyf - sxf * syf) / (nf * sxxf - sxf * sxf)
+            intercept = (syf - slope * sxf) / nf
+        return pa.table(
+            {
+                group_col: b.column(group_col),
+                "n_obs": pa.array(n, pa.int64()),
+                "sx": pa.array(sx, pa.int64()),
+                "sy": pa.array(sy, pa.int64()),
+                "sxx": pa.array(sxx, pa.int64()),
+                "sxy": pa.array(sxy, pa.int64()),
+                "slope": pa.array(slope, pa.float64()),
+                "intercept": pa.array(intercept, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n_p"), Sum("sx_p"), Sum("sy_p"),
+            Sum("sxx_p"), Sum("sxy_p"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def snapshot_diff(
+    old_ds,
+    new_ds,
+    key: str,
+    compare_cols: list[str],
+    n_buckets: int = 64,
+):
+    """CDC snapshot comparison: classify every key across two table
+    snapshots as ``added`` (new only), ``removed`` (old only),
+    ``changed`` (present in both, any compare column differs) or
+    ``same`` -- the diff step of an incremental-ingest / anti-entropy
+    pipeline, and the consumer-side complement of ``latest_state`` /
+    ``scd2_intervals``.
+
+    Built on the co-partitioned FULL OUTER ``hash_join`` (one
+    shuffle): the old side's columns are suffixed ``_old`` before the
+    join, presence is derived from a per-side sentinel (so a snapshot
+    whose payload columns are ALL null still classifies correctly),
+    and the comparison is one vectorized null-safe equality chain per
+    block.  Keys must be unique per snapshot (it diffs snapshots, not
+    logs -- compact with ``latest_state`` first).
+    """
+
+    def tag_old(b: pa.Table) -> pa.Table:
+        cols = {key: b.column(key)}
+        for c in compare_cols:
+            cols[f"{c}_old"] = b.column(c)
+        cols["__in_old"] = pa.array(
+            np.ones(b.num_rows, dtype=np.int8)
+        )
+        return pa.table(cols)
+
+    def tag_new(b: pa.Table) -> pa.Table:
+        cols = {"__newkey": b.column(key)}
+        for c in compare_cols:
+            cols[f"{c}_new"] = b.column(c)
+        cols["__in_new"] = pa.array(
+            np.ones(b.num_rows, dtype=np.int8)
+        )
+        return pa.table(cols)
+
+    joined = hash_join(
+        old_ds.map_batches(tag_old, batch_format="pyarrow"),
+        new_ds.map_batches(tag_new, batch_format="pyarrow"),
+        on=key,
+        right_on="__newkey",
+        how="outer",
+        n_buckets=n_buckets,
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        in_old = pc.is_valid(b.column("__in_old"))
+        in_new = pc.is_valid(b.column("__in_new"))
+        same = pa.array(np.ones(b.num_rows, dtype=bool))
+        for c in compare_cols:
+            o, n_ = b.column(f"{c}_old"), b.column(f"{c}_new")
+            # null-safe equality: both-null counts as equal
+            eq = pc.fill_null(pc.equal(o, n_), False)
+            both_null = pc.and_(pc.is_null(o), pc.is_null(n_))
+            same = pc.and_(same, pc.or_(eq, both_null))
+        status = pc.if_else(
+            pc.and_(in_old, pc.invert(in_new)),
+            pa.scalar("removed"),
+            pc.if_else(
+                pc.and_(in_new, pc.invert(in_old)),
+                pa.scalar("added"),
+                pc.if_else(
+                    same, pa.scalar("same"), pa.scalar("changed")
+                ),
+            ),
+        )
+        cols = {key: b.column(key), "status": status}
+        for c in compare_cols:
+            cols[f"{c}_old"] = b.column(f"{c}_old")
+            cols[f"{c}_new"] = b.column(f"{c}_new")
+        return pa.table(cols)
+
+    return joined.map_batches(classify, batch_format="pyarrow")

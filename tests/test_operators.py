@@ -3275,3 +3275,135 @@ def test_profile_table(ray_session):
         }
         assert got_map == want
         assert list(got["col_name"]) == sorted(got["col_name"])
+
+
+def test_group_regression(ray_session):
+    """Closed-form least squares from integer moments vs numpy
+    polyfit-free reference; degenerate group (single distinct x)
+    yields non-finite like SQL double division; layout invariant."""
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import group_regression
+
+    rng = np.random.default_rng(3)
+    n = 500
+    g = rng.choice(["a", "b"], n)
+    x = rng.integers(1, 50, n).astype(np.float64)
+    y = np.where(g == "a", 3 * x + 7, -2 * x + 100) + rng.integers(
+        0, 5, n
+    )
+    y = y / 100.0  # engine applies y_scale=100 -> back to ints
+    tbl = pa.table(
+        {
+            "g": pa.array(g),
+            "x": pa.array(x, pa.float64()),
+            "y": pa.array(y, pa.float64()),
+        }
+    )
+    want = {}
+    for grp in ("a", "b"):
+        m = g == grp
+        xi = np.floor(x[m]).astype(np.int64)
+        yi = np.floor(y[m] * 100).astype(np.int64)
+        nf, sxf, syf = float(m.sum()), float(xi.sum()), float(yi.sum())
+        sxxf, sxyf = float((xi * xi).sum()), float((xi * yi).sum())
+        slope = (nf * sxyf - sxf * syf) / (nf * sxxf - sxf * sxf)
+        want[grp] = (slope, (syf - slope * sxf) / nf)
+    for np_ in (1, 4):
+        got = group_regression(
+            ray.data.from_arrow(tbl).repartition(np_),
+            group_col="g",
+            x_col="x",
+            y_col="y",
+        ).to_pandas()
+        got_map = {
+            r.g: (r.slope, r.intercept) for r in got.itertuples()
+        }
+        assert got_map == want  # bit-exact
+
+    # degenerate: one distinct x in the group -> den == 0 -> inf/nan
+    d = pa.table(
+        {
+            "g": pa.array(["z", "z"]),
+            "x": pa.array([5.0, 5.0], pa.float64()),
+            "y": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    got = group_regression(
+        ray.data.from_arrow(d), group_col="g", x_col="x", y_col="y"
+    ).to_pandas()
+    assert not np.isfinite(got["slope"].iloc[0])
+
+
+def test_snapshot_diff(ray_session):
+    """Added / removed / changed / same classification; null-safe
+    payload compare (null == null is 'same', null vs value is
+    'changed'); all-null payload rows still classify by presence."""
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import snapshot_diff
+
+    old = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "v": pa.array([10, 20, None, None, None], pa.int64()),
+        }
+    )
+    new = pa.table(
+        {
+            "k": pa.array([2, 3, 4, 5, 6], pa.int64()),
+            "v": pa.array([20, 30, None, 55, None], pa.int64()),
+        }
+    )
+    want = {
+        1: "removed",
+        2: "same",
+        3: "changed",   # null -> 30
+        4: "same",      # null == null
+        5: "changed",   # null -> 55
+        6: "added",
+    }
+    for np_ in (1, 3):
+        got = snapshot_diff(
+            ray.data.from_arrow(old).repartition(np_),
+            ray.data.from_arrow(new).repartition(np_),
+            key="k",
+            compare_cols=["v"],
+            n_buckets=4,
+        ).to_pandas()
+        got_map = {int(r.k): r.status for r in got.itertuples()}
+        assert got_map == want
+
+
+def test_throttle_events(ray_session):
+    """LAG-throttle: first of key kept, strictly-greater-than-window
+    gaps kept, boundary gap == window dropped; keys independent."""
+    ray = ray_session
+    from console_log_parser_ray.stages.events import throttle_events
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7, 7, 9], pa.int64()),
+            "event_type": pa.array(
+                ["c", "c", "c", "v", "c", "c"], pa.string()
+            ),
+            # gaps within (7,c): 100 (== window, dropped),
+            # 101 (> window, kept), then 50 (dropped)
+            "ts": pa.array(
+                [1000, 1100, 1201, 1150, 1251, 500],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    want = {1, 3, 4, 6}
+    for np_ in (1, 4):
+        got = {
+            r["event_id"]
+            for r in throttle_events(
+                ray.data.from_arrow(tbl).repartition(np_),
+                window_us=100,
+                n_buckets=4,
+            ).take_all()
+        }
+        assert got == want
