@@ -2549,6 +2549,18 @@ def _q_throttled_events(sf_dir: str):
     )
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weighted top-k sample of documents by length
+    (stages/export.weighted_sample): md5-PRF uniform x (n_chars + 1),
+    block-local top-k candidates, tiny final sort+limit -- the corpus
+    never shuffles."""
+    from console_log_parser_ray.stages.export import weighted_sample
+
+    return weighted_sample(
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]), k=200
+    )
+
+
 def _q_scd2_state(sf_dir: str):
     """SCD-type-2 validity intervals from the event change log
     (stages/events.scd2_intervals): each (user, event_type) change is
@@ -2727,6 +2739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regr_price_qty": _q_regr_price_qty,
         "snapshot_diff_cust": _q_snapshot_diff_cust,
         "throttled_events": _q_throttled_events,
+        "weighted_sample": _q_weighted_sample,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -3963,6 +3976,15 @@ def oracle_sql() -> dict[str, str]:
         "lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type "
         "ORDER BY ts, event_id) AS prev FROM events) "
         "WHERE prev IS NULL OR epoch_us(ts) - prev > 600000000"
+    )
+    out["weighted_sample"] = (
+        # identical md5 + IEEE chain: 52-bit hex prefix -> exact
+        # double in [0,1), one multiply, ties by id
+        "SELECT doc_id, n_chars, "
+        "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))"
+        "::BIGINT AS DOUBLE) / 4503599627370496.0) * "
+        "(CAST(n_chars AS DOUBLE) + 1.0) AS score FROM documents "
+        "ORDER BY score DESC, doc_id LIMIT 200"
     )
     out["scd2_state"] = (
         # SCD2: interval open at the key's next change, null for the

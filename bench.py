@@ -187,6 +187,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "fuzzy_name_pairs",
         "cooccur_top",
         "profile_orders",
+        "regr_price_qty",
+        "snapshot_diff_cust",
+        "throttled_events",
+        "weighted_sample",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

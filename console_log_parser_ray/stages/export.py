@@ -410,3 +410,66 @@ def export_shards(
         json.dump(manifest, fh, indent=1, sort_keys=True)
     os.replace(tmp, mpath)
     return counts
+
+
+def weighted_sample(
+    ds,
+    k: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+):
+    """Deterministic weighted top-k sample: every row draws a
+    pseudo-uniform ``u(id)`` from the md5 of its id's decimal string
+    (52 bits -> an EXACT double in [0,1)) and is kept iff its score
+    ``u * (weight + 1)`` ranks in the global top ``k`` (ties: smaller
+    id).  Higher-weight rows win proportionally more often, re-runs
+    and other engines (the SQL oracle spells the identical md5 + IEEE
+    chain) pick the SAME sample -- the property grid-search /
+    curriculum pipelines need from a "random" subset.
+
+    Scale shape: each block reduces to its own top ``k`` candidates
+    (vectorized argpartition-free sort, k rows out per block), and
+    only candidates enter the final tiny sort+limit; the corpus never
+    shuffles.  The md5 draw is a per-row Python loop by design -- it
+    is the cross-engine-portable PRF (same cost profile as
+    ``hash_embed``'s per-token chain); swap in a vectorized hash when
+    SQL parity is not required.
+    """
+    import hashlib
+
+    two52 = float(1 << 52)
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).combine_chunks().cast(pa.int64())
+        w = b.column(weight_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        id_np = ids.to_numpy(zero_copy_only=False)
+        hv = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+                for i in id_np
+            ),
+            dtype=np.int64,
+            count=len(id_np),
+        )
+        u = hv.astype(np.float64) / two52
+        score = u * (w + 1.0)
+        order = np.lexsort((id_np, -score))[:k]
+        order = np.sort(order)  # stable block layout
+        take = pa.array(order, pa.int64())
+        return pa.table(
+            {
+                id_col: ids.take(take),
+                weight_col: b.column(weight_col).combine_chunks().take(
+                    take
+                ),
+                "score": pa.array(score[order], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["score", id_col], descending=[True, False])
+        .limit(k)
+    )

@@ -3407,3 +3407,46 @@ def test_throttle_events(ray_session):
             ).take_all()
         }
         assert got == want
+
+
+def test_weighted_sample(ray_session):
+    """Deterministic weighted top-k: exact equality with a single-
+    process md5 reference at any layout; k larger than the corpus
+    returns everything; zero-weight rows can still win via u * 1."""
+    import hashlib
+
+    import ray.data
+
+    from console_log_parser_ray.stages.export import weighted_sample
+
+    rng = np.random.default_rng(9)
+    n = 400
+    w = rng.integers(0, 1000, n)
+    w[:5] = 0
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "n_chars": pa.array(w.astype(np.int64), pa.int64()),
+        }
+    )
+    scores = np.array(
+        [
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+                / float(1 << 52)
+            )
+            * (float(wi) + 1.0)
+            for i, wi in enumerate(w)
+        ]
+    )
+    order = np.lexsort((np.arange(n), -scores))
+    for k in (25, 1000):
+        want = [(int(i), scores[i]) for i in order[:k]]
+        for np_ in (1, 5):
+            got = [
+                (r["doc_id"], r["score"])
+                for r in weighted_sample(
+                    ray.data.from_arrow(tbl).repartition(np_), k=k
+                ).take_all()
+            ]
+            assert got == want

@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 73 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 79 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -48,7 +48,9 @@ Exit 0 = every comparison equal.  Each seed covers 73 comparison groups:
     compaction                  (OLAP + CDC family)
   - SCD2 lead intervals / event-time RANGE rolling sums (3 windows) /
     FULL OUTER join with null keys / FastSS ED<=1 fuzzy join /
-    co-occurrence top-k / table profiling
+    co-occurrence top-k / table profiling / per-group regression
+    (bit-exact moments) / snapshot diff (null-safe compare) /
+    LAG-throttle (2 windows) / weighted sampling (md5 PRF, 2 k's)
                                 (round-4 CDC + fuzzy family)
 """
 
@@ -2011,6 +2013,143 @@ def cdc_fuzzy_family(seed):
         ["col_name"], ["n_rows", "n_nulls", "n_distinct"],
     )
 
+    # per-group regression: exact moments + bit-exact IEEE finish
+    from console_log_parser_ray.stages.export import weighted_sample
+    from console_log_parser_ray.stages.events import throttle_events
+    from console_log_parser_ray.stages.relational import (
+        group_regression,
+        snapshot_diff,
+    )
+
+    rt = pa.table(
+        {
+            "g": pa.array(rng.choice(["p", "q", "r"], 1500)),
+            "x": pa.array(
+                rng.integers(1, 20, 1500).astype(np.float64)
+            ),
+            "y": pa.array(
+                rng.integers(0, 5000, 1500) / 100.0, pa.float64()
+            ),
+        }
+    )
+    con.register("rt", rt)
+    mine = group_regression(
+        ray.data.from_arrow(rt).repartition(5),
+        group_col="g", x_col="x", y_col="y",
+    ).to_pandas()
+    slope_sql = (
+        "(CAST(n_obs AS DOUBLE) * CAST(sxy AS DOUBLE) - "
+        "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(CAST(n_obs AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    ref = con.execute(
+        "WITH m AS (SELECT g, CAST(count(*) AS BIGINT) AS n_obs, "
+        "CAST(sum(CAST(floor(x) AS BIGINT)) AS BIGINT) AS sx, "
+        "CAST(sum(CAST(floor(y * 100) AS BIGINT)) AS BIGINT) AS sy, "
+        "CAST(sum(CAST(floor(x) AS BIGINT) * CAST(floor(x) AS BIGINT)) "
+        "AS BIGINT) AS sxx, "
+        "CAST(sum(CAST(floor(x) AS BIGINT) * CAST(floor(y * 100) AS "
+        "BIGINT)) AS BIGINT) AS sxy FROM rt GROUP BY 1), "
+        f"m2 AS (SELECT *, {slope_sql} AS slope FROM m) "
+        "SELECT g, n_obs, sx, sy, sxx, sxy, slope, "
+        "(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / "
+        "CAST(n_obs AS DOUBLE) AS intercept FROM m2"
+    ).fetchdf()
+    check(
+        "group_regression", seed, mine, ref, ["g"],
+        ["n_obs", "sx", "sy", "sxx", "sxy", "slope", "intercept"],
+    )
+
+    # snapshot diff: random overlap, null payload stripes on both
+    # sides (engine equality is null-safe -> IS NOT DISTINCT FROM)
+    ks = rng.permutation(400)
+    ov = pa.table(
+        {
+            "k": pa.array(ks[:300].astype(np.int64)),
+            "v": pa.array(
+                [None if x < 0 else int(x)
+                 for x in rng.integers(-2, 10, 300)],
+                pa.int64(),
+            ),
+        }
+    )
+    nv = pa.table(
+        {
+            "k": pa.array(ks[100:].astype(np.int64)),
+            "v": pa.array(
+                [None if x < 0 else int(x)
+                 for x in rng.integers(-2, 10, 300)],
+                pa.int64(),
+            ),
+        }
+    )
+    con.register("oldsnap", ov)
+    con.register("newsnap", nv)
+    mine = snapshot_diff(
+        ray.data.from_arrow(ov).repartition(4),
+        ray.data.from_arrow(nv).repartition(3),
+        key="k", compare_cols=["v"], n_buckets=8,
+    ).to_pandas()
+    ref = con.execute(
+        "SELECT coalesce(o.k, n.k) AS k, CASE "
+        "WHEN n.k IS NULL THEN 'removed' "
+        "WHEN o.k IS NULL THEN 'added' "
+        "WHEN o.v IS NOT DISTINCT FROM n.v THEN 'same' "
+        "ELSE 'changed' END AS status, o.v AS v_old, n.v AS v_new "
+        "FROM oldsnap o FULL OUTER JOIN newsnap n ON o.k = n.k"
+    ).fetchdf()
+    check(
+        "snapshot_diff", seed, mine, ref, ["k"],
+        ["status", "v_old", "v_new"],
+    )
+
+    # LAG-throttle with heavy ts collisions
+    for w in (0, 500):
+        mine = throttle_events(eds, window_us=w, n_buckets=8).to_pandas()
+        ref = con.execute(
+            "SELECT event_id, user_id, event_type, ts FROM ("
+            "SELECT event_id, user_id, event_type, ts, "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) AS prev FROM ev) "
+            f"WHERE prev IS NULL OR epoch_us(ts) - prev > {w}"
+        ).fetchdf()
+        check(
+            f"throttle_w{w}", seed, mine, ref, ["event_id"],
+            ["user_id", "event_type", "ts"],
+        )
+
+    # weighted sample: md5-PRF chain, zero weights, k > corpus
+    wt = pa.table(
+        {
+            "doc_id": pa.array(
+                rng.permutation(5000)[:600].astype(np.int64)
+            ),
+            "n_chars": pa.array(
+                rng.integers(0, 300, 600).astype(np.int64)
+            ),
+        }
+    )
+    con.register("wt", wt)
+    for kk in (40, 5000):
+        mine = weighted_sample(
+            ray.data.from_arrow(wt).repartition(4), k=kk
+        ).to_pandas()
+        ref = con.execute(
+            "SELECT doc_id, n_chars, "
+            "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, "
+            "13))::BIGINT AS DOUBLE) / 4503599627370496.0) * "
+            "(CAST(n_chars AS DOUBLE) + 1.0) AS score FROM wt "
+            f"ORDER BY score DESC, doc_id LIMIT {kk}"
+        ).fetchdf()
+        # ordered top-k: compare positionally (scores bit-exact)
+        mp = mine.reset_index(drop=True)
+        rp = ref.reset_index(drop=True)
+        if not (len(mp) == len(rp) and (mp["doc_id"] == rp["doc_id"]).all()
+                and (mp["score"] == rp["score"]).all()):
+            failures.append((f"weighted_sample_k{kk}", seed))
+            print(f"FAIL weighted_sample_k{kk} seed={seed}", flush=True)
+
 
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
@@ -2033,7 +2172,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(73 comparison groups per seed)"
+        "(79 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
