@@ -2561,6 +2561,59 @@ def _q_weighted_sample(sf_dir: str):
     )
 
 
+def _q_cube_pricing(sf_dir: str):
+    """GROUP BY CUBE(returnflag, linestatus) with a GROUPING() bitmask
+    (stages/relational.cube_agg): finest-level per-block partials +
+    one groupby-sum; all subset lattices fold from the finest
+    aggregate."""
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import cube_agg
+
+    return cube_agg(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+        ),
+        keys=["l_returnflag", "l_linestatus"],
+        value_col="l_extendedprice",
+    )
+
+
+def _q_window_reach(sf_dir: str):
+    """Distinct users per tumbling hour (reach): window id derived per
+    block, then the exact COUNT(DISTINCT) recipe
+    (stages/events.distinct_count_per_group) -- block-local pair
+    dedup, val-hash buckets, per-key partial sums."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from console_log_parser_ray.stages.events import (
+        distinct_count_per_group,
+    )
+
+    us = 3_600_000_000
+
+    def add_window(b: pa.Table) -> pa.Table:
+        w = pc.divide(
+            b.column("ts").cast(pa.int64()), pa.scalar(us, pa.int64())
+        )
+        return pa.table(
+            {
+                "window_id": w,
+                "user_id": b.column("user_id"),
+            }
+        )
+
+    return distinct_count_per_group(
+        _events(sf_dir)
+        .select_columns(["ts", "user_id"])
+        .map_batches(add_window, batch_format="pyarrow"),
+        key_col="window_id",
+        val_col="user_id",
+    )
+
+
 def _q_scd2_state(sf_dir: str):
     """SCD-type-2 validity intervals from the event change log
     (stages/events.scd2_intervals): each (user, event_type) change is
@@ -2740,6 +2793,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff_cust": _q_snapshot_diff_cust,
         "throttled_events": _q_throttled_events,
         "weighted_sample": _q_weighted_sample,
+        "cube_pricing": _q_cube_pricing,
+        "window_reach": _q_window_reach,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -3985,6 +4040,19 @@ def oracle_sql() -> dict[str, str]:
         "::BIGINT AS DOUBLE) / 4503599627370496.0) * "
         "(CAST(n_chars AS DOUBLE) + 1.0) AS score FROM documents "
         "ORDER BY score DESC, doc_id LIMIT 200"
+    )
+    out["cube_pricing"] = (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS "
+        "grouping_id, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS "
+        "BIGINT) AS sum_cents FROM lineitem "
+        "GROUP BY CUBE(l_returnflag, l_linestatus)"
+    )
+    out["window_reach"] = (
+        "SELECT epoch_us(ts) // 3600000000 AS window_id, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
+        "FROM events GROUP BY 1"
     )
     out["scd2_state"] = (
         # SCD2: interval open at the key's next change, null for the

@@ -191,6 +191,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "snapshot_diff_cust",
         "throttled_events",
         "weighted_sample",
+        "cube_pricing",
+        "window_reach",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

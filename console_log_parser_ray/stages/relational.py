@@ -1192,3 +1192,132 @@ def snapshot_diff(
         return pa.table(cols)
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def cube_agg(
+    ds,
+    keys: list[str],
+    value_col: str,
+    out_n: str = "n_rows",
+    out_sum: str = "sum_cents",
+) -> pa.Table:
+    """``GROUP BY CUBE(keys...)`` -- every subset of the grouping
+    keys, with a SQL ``GROUPING()`` bitmask column (``grouping_id``,
+    first key = most significant bit) so subtotal NULLs are
+    distinguishable from data NULLs -- the full OLAP lattice that
+    ``rollup_agg``'s prefix hierarchy is a slice of.
+
+    Same scale contract as ``rollup_agg``: integer-cent sums are
+    associative-exact; the base data is read ONCE into per-block
+    finest-level Arrow partials + one Ray groupby-sum, and all
+    ``2^d - 1`` coarser subsets fold from the finest aggregate, whose
+    cardinality is the operator's own output bound (CUBE keys are
+    categorical by construction).
+    """
+    from itertools import combinations
+
+    keys = list(keys)
+    key_types = {
+        k: ds.schema().types[ds.schema().names.index(k)] for k in keys
+    }
+    # Ray's sort-based groupby cannot order null keys; group on
+    # (filled value, null flag) pairs and restore the nulls after --
+    # exact for any key content, including data NULLs (which CUBE must
+    # keep distinct from its own subtotal NULLs)
+    flags = [f"__nv_{k}" for k in keys]
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b.column(value_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.floor(vals * 100.0).astype(np.int64)
+        cols = {}
+        for k in keys:
+            c = b.column(k)
+            fill = (
+                pa.scalar("", pa.string())
+                if pa.types.is_string(key_types[k])
+                else pa.scalar(0, key_types[k])
+            )
+            cols[k] = pc.fill_null(c, fill)
+            cols[f"__nv_{k}"] = pc.cast(pc.is_null(c), pa.int8())
+        cols["__one"] = pa.array(
+            np.ones(b.num_rows, dtype=np.int64), pa.int64()
+        )
+        cols["__cents"] = pa.array(cents, pa.int64())
+        t = pa.table(cols)
+        g = t.group_by(keys + flags).aggregate(
+            [("__one", "sum"), ("__cents", "sum")]
+        )
+        return g.rename_columns(keys + flags + ["__one", "__cents"])
+
+    finest_ds = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys + flags)
+        .sum(["__one", "__cents"])
+    )
+    finest = pa.Table.from_pandas(
+        finest_ds.to_pandas(), preserve_index=False
+    ).rename_columns(keys + flags + [out_n, out_sum])
+    restored = {}
+    for k in keys:
+        isnull = pc.cast(
+            finest.column(f"__nv_{k}").combine_chunks(), pa.bool_()
+        )
+        restored[k] = pc.if_else(
+            isnull,
+            pa.scalar(None, key_types[k]),
+            finest.column(k).combine_chunks().cast(key_types[k]),
+        )
+    finest = pa.table(
+        {
+            **restored,
+            out_n: finest.column(out_n).cast(pa.int64()),
+            out_sum: finest.column(out_sum).cast(pa.int64()),
+        }
+    )
+    d = len(keys)
+    levels = []
+    for r in range(d, -1, -1):
+        for subset in combinations(range(d), r):
+            head = [keys[i] for i in subset]
+            gid = sum(1 << (d - 1 - i) for i in range(d)
+                      if i not in subset)
+            if len(head) == d:
+                g = finest
+            elif head:
+                g = finest.group_by(head).aggregate(
+                    [(out_n, "sum"), (out_sum, "sum")]
+                ).rename_columns(head + [out_n, out_sum])
+            else:
+                g = pa.table(
+                    {
+                        out_n: pa.array(
+                            [pc.sum(finest.column(out_n)).as_py() or 0],
+                            pa.int64(),
+                        ),
+                        out_sum: pa.array(
+                            [pc.sum(finest.column(out_sum)).as_py() or 0],
+                            pa.int64(),
+                        ),
+                    }
+                )
+            cols = {}
+            for k in keys:
+                cols[k] = (
+                    g.column(k)
+                    if k in head
+                    else pa.nulls(g.num_rows, key_types[k])
+                )
+            cols["grouping_id"] = pa.array(
+                np.full(g.num_rows, gid, dtype=np.int64), pa.int64()
+            )
+            cols[out_n] = g.column(out_n).cast(pa.int64())
+            cols[out_sum] = g.column(out_sum).cast(pa.int64())
+            levels.append(pa.table(cols))
+    return pa.concat_tables(
+        [
+            lv.select(keys + ["grouping_id", out_n, out_sum])
+            for lv in levels
+        ]
+    )

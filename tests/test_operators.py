@@ -3450,3 +3450,56 @@ def test_weighted_sample(ray_session):
                 ).take_all()
             ]
             assert got == want
+
+
+def test_cube_agg(ray_session):
+    """CUBE lattice vs DuckDB GROUP BY CUBE with GROUPING() bitmask:
+    data NULLs in a key column stay distinguishable from subtotal
+    NULLs via grouping_id; integer-cent sums exact; layout
+    invariant."""
+    import duckdb
+
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import cube_agg
+
+    rng = np.random.default_rng(13)
+    n = 900
+    a = rng.choice(["x", "y", "z"], n).astype(object)
+    a[rng.random(n) < 0.1] = None  # data nulls vs subtotal nulls
+    tbl = pa.table(
+        {
+            "a": pa.array(list(a), pa.string()),
+            "b": pa.array(rng.choice(["p", "q"], n)),
+            "v": pa.array(
+                np.floor(rng.uniform(-30, 30, n) * 100) / 100.0,
+                pa.float64(),
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    ref = con.execute(
+        "SELECT a, b, CAST(GROUPING(a, b) AS BIGINT) AS grouping_id, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(CAST(floor(v * 100) AS BIGINT)) AS BIGINT) AS "
+        "sum_cents FROM t GROUP BY CUBE(a, b)"
+    ).fetchdf()
+    want = {
+        (r.a if isinstance(r.a, str) else None,
+         r.b if isinstance(r.b, str) else None,
+         r.grouping_id): (r.n_rows, r.sum_cents)
+        for r in ref.itertuples()
+    }
+    for np_ in (1, 4):
+        got = cube_agg(
+            ray.data.from_arrow(tbl).repartition(np_),
+            keys=["a", "b"],
+            value_col="v",
+        )
+        got_map = {}
+        for r in got.to_pandas().itertuples():
+            ka = r.a if isinstance(r.a, str) else None
+            kb = r.b if isinstance(r.b, str) else None
+            got_map[(ka, kb, r.grouping_id)] = (r.n_rows, r.sum_cents)
+        assert got_map == want

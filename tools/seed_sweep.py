@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 79 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 80 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -50,7 +50,8 @@ Exit 0 = every comparison equal.  Each seed covers 79 comparison groups:
     FULL OUTER join with null keys / FastSS ED<=1 fuzzy join /
     co-occurrence top-k / table profiling / per-group regression
     (bit-exact moments) / snapshot diff (null-safe compare) /
-    LAG-throttle (2 windows) / weighted sampling (md5 PRF, 2 k's)
+    LAG-throttle (2 windows) / weighted sampling (md5 PRF, 2 k's) /
+    CUBE with data-null keys (GROUPING bitmask)
                                 (round-4 CDC + fuzzy family)
 """
 
@@ -2150,6 +2151,39 @@ def cdc_fuzzy_family(seed):
             failures.append((f"weighted_sample_k{kk}", seed))
             print(f"FAIL weighted_sample_k{kk} seed={seed}", flush=True)
 
+    # CUBE with data-null keys vs DuckDB GROUPING bitmask
+    from console_log_parser_ray.stages.relational import cube_agg
+
+    na = rng.choice(["x", "y", "z"], 1000).astype(object)
+    na[rng.random(1000) < 0.12] = None
+    ct = pa.table(
+        {
+            "a": pa.array(list(na), pa.string()),
+            "b": pa.array(rng.choice(["p", "q"], 1000)),
+            "v": pa.array(
+                np.floor(rng.uniform(-30, 30, 1000) * 100) / 100.0,
+                pa.float64(),
+            ),
+        }
+    )
+    con.register("ct", ct)
+    mine = cube_agg(
+        ray.data.from_arrow(ct).repartition(4),
+        keys=["a", "b"], value_col="v",
+    ).to_pandas()
+    ref = con.execute(
+        "SELECT a, b, CAST(GROUPING(a, b) AS BIGINT) AS grouping_id, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(CAST(floor(v * 100) AS BIGINT)) AS BIGINT) AS "
+        "sum_cents FROM ct GROUP BY CUBE(a, b)"
+    ).fetchdf()
+    mine[["a", "b"]] = mine[["a", "b"]].astype(str)
+    ref[["a", "b"]] = ref[["a", "b"]].astype(str)
+    check(
+        "cube_agg", seed, mine, ref, ["a", "b", "grouping_id"],
+        ["n_rows", "sum_cents"],
+    )
+
 
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
@@ -2172,7 +2206,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(79 comparison groups per seed)"
+        "(80 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
