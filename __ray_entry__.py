@@ -2614,6 +2614,23 @@ def _q_window_reach(sf_dir: str):
     )
 
 
+def _q_event_quantiles_cont(sf_dir: str):
+    """Interpolated per-type value quantiles (percentile_cont
+    semantics, stages/events.quantile_cont_per_group): exact integer
+    order statistics + one fixed IEEE interpolation, bit-identical to
+    the SQL mirror's expression tree."""
+    from console_log_parser_ray.stages.events import (
+        quantile_cont_per_group,
+    )
+
+    return quantile_cont_per_group(
+        _events(sf_dir).select_columns(["event_type", "value"]),
+        group_col="event_type",
+        value_col="value",
+        qs=(0.5, 0.9),
+    )
+
+
 def _q_scd2_state(sf_dir: str):
     """SCD-type-2 validity intervals from the event change log
     (stages/events.scd2_intervals): each (user, event_type) change is
@@ -2653,6 +2670,7 @@ def _q_outer_join_users(sf_dir: str):
     null event columns; keys coalesce into one column per SQL FULL
     JOIN USING semantics.  Same co-partitioned one-shuffle plan as the
     inner/left/semi/anti family."""
+    import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data
 
@@ -2669,8 +2687,16 @@ def _q_outer_join_users(sf_dir: str):
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_mktsegment"],
     ).map_batches(trim, batch_format="pyarrow")
+    # explicit schemas: skip the limit-1 probe of the lazy sides
     return hash_join(
-        events, cust, on="user_id", right_on="c_custkey", how="outer"
+        events, cust, on="user_id", right_on="c_custkey", how="outer",
+        left_schema=pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()),
+             ("event_type", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]
+        )
     )
 
 
@@ -2795,6 +2821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "cube_pricing": _q_cube_pricing,
         "window_reach": _q_window_reach,
+        "event_quantiles_cont": _q_event_quantiles_cont,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -4053,6 +4080,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT epoch_us(ts) // 3600000000 AS window_id, "
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
         "FROM events GROUP BY 1"
+    )
+    out["event_quantiles_cont"] = (
+        "WITH v AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c FROM events), r AS (SELECT event_type, c, row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM v), p AS (SELECT event_type, max(n) AS n, max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN c END) AS lo50, max(CASE WHEN rn = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN c END) AS hi50, max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1 THEN c END) AS lo90, max(CASE WHEN rn = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1 THEN c END) AS hi90 FROM r GROUP BY event_type) SELECT event_type, CAST(lo50 AS DOUBLE) + (CAST(hi50 AS DOUBLE) - CAST(lo50 AS DOUBLE)) * (CAST(n - 1 AS DOUBLE) * 0.5 - floor(CAST(n - 1 AS DOUBLE) * 0.5)) AS p50_cents, CAST(lo90 AS DOUBLE) + (CAST(hi90 AS DOUBLE) - CAST(lo90 AS DOUBLE)) * (CAST(n - 1 AS DOUBLE) * 0.9 - floor(CAST(n - 1 AS DOUBLE) * 0.9)) AS p90_cents FROM p"
     )
     out["scd2_state"] = (
         # SCD2: interval open at the key's next change, null for the

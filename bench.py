@@ -193,6 +193,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "weighted_sample",
         "cube_pricing",
         "window_reach",
+        "event_quantiles_cont",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

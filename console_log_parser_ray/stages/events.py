@@ -2212,3 +2212,52 @@ def throttle_events(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def quantile_cont_per_group(
+    ds,
+    group_col: str,
+    value_col: str,
+    qs=(0.5, 0.9),
+    scale: int = 100,
+):
+    """Exact per-group INTERPOLATED quantiles (``percentile_cont``
+    semantics): at fractional rank ``h = (n-1) * q`` the result is
+    ``lo + (hi - lo) * (h - floor(h))`` over the two neighboring order
+    statistics -- the continuous sibling of ``group_quantiles``'
+    discrete pick, needed when a smooth threshold (latency SLOs,
+    budget caps) matters more than membership.
+
+    Values are fixed-pointed (``floor(value * scale)``) so the order
+    statistics are exact integers and the one interpolation is a
+    fixed IEEE expression over them -- an SQL mirror spelling the same
+    expression tree is bit-identical.
+
+    Partitioning assumption: same as ``group_quantiles`` (a group's
+    values fit one task; pre-compress to (group, value, count) for
+    high-cardinality keys -- interpolation over the compressed
+    distribution is exact too since order statistics survive
+    compression).
+    """
+
+    def per_group(tbl: pa.Table) -> pa.Table:
+        raw = tbl.column(value_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        vals = np.sort(np.floor(raw * scale).astype(np.int64))
+        n = len(vals)
+        row = {group_col: [tbl.column(group_col)[0].as_py()]}
+        nf = np.float64(n - 1)
+        for q in qs:
+            h = nf * np.float64(q)
+            lo = vals[int(np.floor(h))]
+            hi = vals[int(np.ceil(h))]
+            res = np.float64(lo) + (
+                np.float64(hi) - np.float64(lo)
+            ) * (h - np.floor(h))
+            row["p{}_cents".format(int(q * 100))] = [float(res)]
+        return pa.table(row)
+
+    return ds.groupby(group_col).map_groups(
+        per_group, batch_format="pyarrow"
+    )

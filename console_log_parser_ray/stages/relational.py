@@ -116,6 +116,8 @@ def hash_join(
     right_on: str | None = None,
     n_buckets: int = 64,
     how: str = "inner",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Co-partitioned hash join of two Datasets on integer keys.
 
@@ -125,11 +127,20 @@ def hash_join(
     Acero hash join.  Size ``n_buckets`` so one bucket of the LARGER
     side fits a worker (at cluster scale: ~4x total cores).  Keys must
     be integer-castable; non-key column names must not collide.
+
+    Pass ``left_schema`` / ``right_schema`` when the caller already
+    knows a side's schema: probing a LAZY (mapped/filtered) side via
+    ``Dataset.schema()`` runs a limit-1 plan, which costs a pipeline
+    startup per call and whose early-cancel exercises a sporadic Ray
+    core race (task_manager CHECK, observed on this Ray build) --
+    known schemas skip the probe entirely.
     """
     right_on = right_on or on
     join_type = _JOIN_TYPES[how]
-    lf = [(n, t) for n, t in zip(left.schema().names, left.schema().types)]
-    rf = [(n, t) for n, t in zip(right.schema().names, right.schema().types)]
+    ls = left_schema if left_schema is not None else left.schema()
+    rs = right_schema if right_schema is not None else right.schema()
+    lf = [(n, t) for n, t in zip(ls.names, ls.types)]
+    rf = [(n, t) for n, t in zip(rs.names, rs.types)]
     l_names = [n for n, _ in lf]
     r_names = [n for n, _ in rf]
     clash = (set(l_names) & set(r_names)) - {on} if on == right_on else (
@@ -1135,7 +1146,24 @@ def snapshot_diff(
     and the comparison is one vectorized null-safe equality chain per
     block.  Keys must be unique per snapshot (it diffs snapshots, not
     logs -- compact with ``latest_state`` first).
+
+    Both snapshots must share the key/compare column types (they are
+    snapshots of ONE table); the tag schemas are derived from the old
+    side alone so a lazily-derived new side is never schema-probed
+    (see ``hash_join`` on the limit-1 probe).
     """
+    base = old_ds.schema()
+    types = dict(zip(base.names, base.types))
+    old_tag_schema = pa.schema(
+        [(key, types[key])]
+        + [(f"{c}_old", types[c]) for c in compare_cols]
+        + [("__in_old", pa.int8())]
+    )
+    new_tag_schema = pa.schema(
+        [("__newkey", types[key])]
+        + [(f"{c}_new", types[c]) for c in compare_cols]
+        + [("__in_new", pa.int8())]
+    )
 
     def tag_old(b: pa.Table) -> pa.Table:
         cols = {key: b.column(key)}
@@ -1162,6 +1190,8 @@ def snapshot_diff(
         right_on="__newkey",
         how="outer",
         n_buckets=n_buckets,
+        left_schema=old_tag_schema,
+        right_schema=new_tag_schema,
     )
 
     def classify(b: pa.Table) -> pa.Table:

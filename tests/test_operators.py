@@ -3503,3 +3503,66 @@ def test_cube_agg(ray_session):
             kb = r.b if isinstance(r.b, str) else None
             got_map[(ka, kb, r.grouping_id)] = (r.n_rows, r.sum_cents)
         assert got_map == want
+
+
+def test_quantile_cont_per_group(ray_session):
+    """percentile_cont semantics, bit-exact vs the explicit IEEE lerp
+    over integer order statistics; exact-index q (frac 0) degenerates
+    to the order statistic; singleton group returns its value."""
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        quantile_cont_per_group,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 700
+    g = rng.choice(["a", "b", "c"], n)
+    v = rng.integers(0, 500, n) / 100.0
+    tbl = pa.table(
+        {
+            "g": pa.array(g),
+            "value": pa.array(v, pa.float64()),
+        }
+    )
+    want = {}
+    for grp in ("a", "b", "c"):
+        vals = np.sort(
+            np.floor(v[g == grp] * 100).astype(np.int64)
+        )
+        nf = np.float64(len(vals) - 1)
+        row = []
+        for q in (0.5, 0.9):
+            h = nf * np.float64(q)
+            lo, hi = vals[int(np.floor(h))], vals[int(np.ceil(h))]
+            row.append(
+                float(
+                    np.float64(lo)
+                    + (np.float64(hi) - np.float64(lo))
+                    * (h - np.floor(h))
+                )
+            )
+        want[grp] = tuple(row)
+    for np_ in (1, 4):
+        got = quantile_cont_per_group(
+            ray.data.from_arrow(tbl).repartition(np_),
+            group_col="g",
+            value_col="value",
+            qs=(0.5, 0.9),
+        ).to_pandas()
+        got_map = {
+            r.g: (r.p50_cents, r.p90_cents) for r in got.itertuples()
+        }
+        assert got_map == want
+
+    s = pa.table(
+        {
+            "g": pa.array(["solo"]),
+            "value": pa.array([1.23], pa.float64()),
+        }
+    )
+    got = quantile_cont_per_group(
+        ray.data.from_arrow(s), group_col="g", value_col="value"
+    ).to_pandas()
+    assert got["p50_cents"].iloc[0] == 123.0
+    assert got["p90_cents"].iloc[0] == 123.0

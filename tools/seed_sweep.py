@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 80 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 81 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -51,7 +51,8 @@ Exit 0 = every comparison equal.  Each seed covers 80 comparison groups:
     co-occurrence top-k / table profiling / per-group regression
     (bit-exact moments) / snapshot diff (null-safe compare) /
     LAG-throttle (2 windows) / weighted sampling (md5 PRF, 2 k's) /
-    CUBE with data-null keys (GROUPING bitmask)
+    CUBE with data-null keys (GROUPING bitmask) / interpolated
+    percentile_cont (bit-exact lerp)
                                 (round-4 CDC + fuzzy family)
 """
 
@@ -2184,6 +2185,42 @@ def cdc_fuzzy_family(seed):
         ["n_rows", "sum_cents"],
     )
 
+    # interpolated quantiles: same IEEE lerp in SQL over order stats
+    from console_log_parser_ray.stages.events import (
+        quantile_cont_per_group,
+    )
+
+    mine = quantile_cont_per_group(
+        eds.select_columns(["event_type", "value"]),
+        group_col="event_type", value_col="value", qs=(0.5, 0.9),
+    ).to_pandas()
+    ref = con.execute(
+        "WITH v AS (SELECT event_type, CAST(floor(value * 100) AS "
+        "BIGINT) AS c FROM ev), "
+        "r AS (SELECT event_type, c, row_number() OVER (PARTITION BY "
+        "event_type ORDER BY c) AS rn, count(*) OVER (PARTITION BY "
+        "event_type) AS n FROM v), "
+        "p AS (SELECT event_type, max(n) AS n, "
+        "max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) "
+        "AS BIGINT) + 1 THEN c END) AS lo50, "
+        "max(CASE WHEN rn = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.5) "
+        "AS BIGINT) + 1 THEN c END) AS hi50, "
+        "max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9) "
+        "AS BIGINT) + 1 THEN c END) AS lo90, "
+        "max(CASE WHEN rn = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.9) "
+        "AS BIGINT) + 1 THEN c END) AS hi90 FROM r GROUP BY 1) "
+        "SELECT event_type, CAST(lo50 AS DOUBLE) + (CAST(hi50 AS "
+        "DOUBLE) - CAST(lo50 AS DOUBLE)) * (CAST(n - 1 AS DOUBLE) * "
+        "0.5 - floor(CAST(n - 1 AS DOUBLE) * 0.5)) AS p50_cents, "
+        "CAST(lo90 AS DOUBLE) + (CAST(hi90 AS DOUBLE) - CAST(lo90 AS "
+        "DOUBLE)) * (CAST(n - 1 AS DOUBLE) * 0.9 - floor(CAST(n - 1 "
+        "AS DOUBLE) * 0.9)) AS p90_cents FROM p"
+    ).fetchdf()
+    check(
+        "quantile_cont", seed, mine, ref, ["event_type"],
+        ["p50_cents", "p90_cents"],
+    )
+
 
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
@@ -2206,7 +2243,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(80 comparison groups per seed)"
+        "(81 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
