@@ -2631,6 +2631,37 @@ def _q_event_quantiles_cont(sf_dir: str):
     )
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Daily cohort-retention triangle (stages/events.
+    cohort_retention): block-local distinct (user, window) pairs, ONE
+    user-hash bucket groupby derives cohorts in-bucket (no join
+    shuffle), tiny (cohort, window) partial sums."""
+    from console_log_parser_ray.stages.events import cohort_retention
+
+    return cohort_retention(
+        _events(sf_dir).select_columns(["user_id", "ts"])
+    )
+
+
+def _q_knn_graph(sf_dir: str):
+    """Exact kNN graph over quantized integer embeddings
+    (stages/similarity.knn_graph): floor(e*1000) makes every dot
+    product an exact sub-2^53 integer, so the float64 matmul and the
+    SQL list_dot_product mirror agree bitwise; corpus broadcast once,
+    per-block vectorized stable-argsort top-k."""
+    import ray.data
+
+    from console_log_parser_ray.stages.similarity import knn_graph
+
+    return knn_graph(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        ),
+        k=5,
+    )
+
+
 def _q_scd2_state(sf_dir: str):
     """SCD-type-2 validity intervals from the event change log
     (stages/events.scd2_intervals): each (user, event_type) change is
@@ -2822,6 +2853,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_pricing": _q_cube_pricing,
         "window_reach": _q_window_reach,
         "event_quantiles_cont": _q_event_quantiles_cont,
+        "cohort_retention": _q_cohort_retention,
+        "knn_graph": _q_knn_graph,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -4083,6 +4116,25 @@ def oracle_sql() -> dict[str, str]:
     )
     out["event_quantiles_cont"] = (
         "WITH v AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c FROM events), r AS (SELECT event_type, c, row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM v), p AS (SELECT event_type, max(n) AS n, max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN c END) AS lo50, max(CASE WHEN rn = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN c END) AS hi50, max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1 THEN c END) AS lo90, max(CASE WHEN rn = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1 THEN c END) AS hi90 FROM r GROUP BY event_type) SELECT event_type, CAST(lo50 AS DOUBLE) + (CAST(hi50 AS DOUBLE) - CAST(lo50 AS DOUBLE)) * (CAST(n - 1 AS DOUBLE) * 0.5 - floor(CAST(n - 1 AS DOUBLE) * 0.5)) AS p50_cents, CAST(lo90 AS DOUBLE) + (CAST(hi90 AS DOUBLE) - CAST(lo90 AS DOUBLE)) * (CAST(n - 1 AS DOUBLE) * 0.9 - floor(CAST(n - 1 AS DOUBLE) * 0.9)) AS p90_cents FROM p"
+    )
+    out["cohort_retention"] = (
+        "WITH w AS (SELECT DISTINCT user_id, epoch_us(ts) // "
+        "86400000000 AS win FROM events), "
+        "c AS (SELECT user_id, min(win) AS cohort FROM w GROUP BY 1) "
+        "SELECT c.cohort, w.win, CAST(count(*) AS BIGINT) AS n_users "
+        "FROM w JOIN c USING (user_id) GROUP BY 1, 2"
+    )
+    out["knn_graph"] = (
+        # quantized integer dots: exact in double at ANY summation
+        # order, so list_dot_product mirrors the numpy matmul bitwise
+        "WITH q AS (SELECT vec_id, list_transform(embedding, "
+        "x -> floor(CAST(x AS DOUBLE) * 1000)) AS e FROM embeddings), "
+        "p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+        "list_dot_product(a.e, b.e) AS dot, row_number() OVER "
+        "(PARTITION BY a.vec_id ORDER BY list_dot_product(a.e, b.e) "
+        "DESC, b.vec_id) AS rn FROM q a JOIN q b ON "
+        "a.vec_id <> b.vec_id) "
+        "SELECT vec_id, neighbor_id, dot FROM p WHERE rn <= 5"
     )
     out["scd2_state"] = (
         # SCD2: interval open at the key's next change, null for the

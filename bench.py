@@ -194,6 +194,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "cube_pricing",
         "window_reach",
         "event_quantiles_cont",
+        "cohort_retention",
+        "knn_graph",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

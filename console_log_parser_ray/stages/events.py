@@ -2261,3 +2261,77 @@ def quantile_cont_per_group(
     return ds.groupby(group_col).map_groups(
         per_group, batch_format="pyarrow"
     )
+
+
+def cohort_retention(
+    ds,
+    window_us: int = 86_400_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 64,
+):
+    """Cohort retention matrix: users bucket into the window of their
+    FIRST activity (the cohort), and each (cohort, window) cell counts
+    the distinct cohort members active in that window -- the standard
+    growth-analytics triangle, built entirely from bounded pieces.
+
+    Scale shape: per-block DISTINCT (user, window) pairs first (Arrow
+    group_by in-task, so the shuffle carries at most one row per pair
+    per block), ONE user-hash bucket groupby both dedups pairs exactly
+    and derives each user's cohort (min window) inside the bucket --
+    every pair of a user lands in one bucket, so cohort and activity
+    co-locate with no join -- then the final groupby sums tiny
+    (cohort, window) partials.  Nothing driver-side, dispatch bounded
+    by bucket count.
+    """
+    from ray.data.aggregate import Sum
+
+    def local_pairs(b: pa.Table) -> pa.Table:
+        users = b.column(user_col).combine_chunks().cast(pa.int64())
+        w = pc.divide(
+            b.column(ts_col).cast(pa.int64()),
+            pa.scalar(window_us, pa.int64()),
+        )
+        pairs = pa.table({user_col: users, "win": w})
+        d = pairs.group_by([user_col, "win"]).aggregate([])
+        return d.append_column(
+            "bucket",
+            _bucket31(d.column(user_col).combine_chunks(), n_buckets),
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        d = tbl.group_by([user_col, "win"]).aggregate([])
+        cohort = d.group_by(user_col).aggregate([("win", "min")])
+        merged = d.join(
+            cohort, keys=[user_col], join_type="inner"
+        )
+        part = merged.group_by(["win_min", "win"]).aggregate(
+            [(user_col, "count")]
+        )
+        return pa.table(
+            {
+                "cohort": part.column("win_min").cast(pa.int64()),
+                "win": part.column("win").cast(pa.int64()),
+                "n_part": part.column(f"{user_col}_count").cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort": b.column("cohort"),
+                "win": b.column("win"),
+                "n_users": b.column("sum(n_part)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(local_pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["cohort", "win"])
+        .aggregate(Sum("n_part"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

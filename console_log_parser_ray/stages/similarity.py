@@ -431,3 +431,84 @@ def semdedup(ds, k: int = 8, n_assign: int = 2, tau: float = 0.9,
     return assigned.groupby("cluster").map_groups(
         prune, batch_format="pyarrow"
     )
+
+
+def knn_graph(
+    ds,
+    k: int = 5,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Exact k-nearest-neighbor GRAPH by quantized inner product: for
+    every vector, its top-``k`` neighbors (self excluded) ranked by
+    the dot product of ``floor(e * scale)`` integer embeddings, ties
+    by neighbor id.  The construction step of kNN-graph clustering /
+    graph-based dedup, and the corpus-vs-corpus sibling of
+    ``knn_bruteforce``'s query-vs-corpus top-k.
+
+    Quantization is the exactness trick: every pairwise product and
+    64-term sum stays below 2^53, so float64 matmul is EXACT and
+    order-independent -- an SQL mirror over the same quantized lists
+    (``list_dot_product``) is bit-identical, with no float-summation-
+    order caveat.
+
+    Scale shape: the quantized corpus matrix is ``ray.put`` ONCE and
+    each block computes its rows' scores against it vectorized --
+    identical contract to ``knn_bruteforce``'s broadcast (fits-in-
+    worker-memory assumption, ~2 bytes/dim/row at int16 scale); above
+    that, ``knn_ivf``'s bucketed variant is the scale path and this
+    operator is its exact small-corpus baseline.
+    """
+    import ray
+
+    rows = ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    m = np.floor(
+        np.array([r[vec_col] for r in rows], dtype=np.float64) * scale
+    )
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    corpus_ref = ray.put((ids, m))
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        from .dedup import _cached_get
+
+        c_ids, c_m = _cached_get(corpus_ref)
+        q = np.floor(as_matrix(b.column(vec_col)) * scale)
+        q_ids = b.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n, c = len(q_ids), len(c_ids)
+        if n == 0 or c == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "dot": pa.array([], pa.float64()),
+                }
+            )
+        scores = q @ c_m.T  # exact: integer-valued floats < 2^53
+        # self-exclusion: corpus ids are sorted, locate each query row
+        pos = np.searchsorted(c_ids, q_ids)
+        has_self = (pos < c) & (c_ids[np.minimum(pos, c - 1)] == q_ids)
+        scores[np.flatnonzero(has_self), pos[has_self]] = -np.inf
+        # top-k by (score desc, neighbor id asc): corpus columns are
+        # already id-ascending, so a STABLE argsort of -score breaks
+        # ties by id -- fully vectorized, no per-row Python
+        kk = min(k, c)
+        idx = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+        dst = c_ids[idx]
+        dot = np.take_along_axis(scores, idx, axis=1)
+        keep = np.isfinite(dot).ravel()  # drop self-only padding rows
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.repeat(q_ids, kk)[keep], pa.int64()
+                ),
+                "neighbor_id": pa.array(dst.ravel()[keep], pa.int64()),
+                "dot": pa.array(dot.ravel()[keep], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(block_topk, batch_format="pyarrow")

@@ -3566,3 +3566,78 @@ def test_quantile_cont_per_group(ray_session):
     ).to_pandas()
     assert got["p50_cents"].iloc[0] == 123.0
     assert got["p90_cents"].iloc[0] == 123.0
+
+
+def test_cohort_retention(ray_session):
+    """Cohort = window of first activity; cells count DISTINCT active
+    cohort members (duplicate events don't inflate); cross-block
+    users fold into one cohort."""
+    ray = ray_session
+    from console_log_parser_ray.stages.events import cohort_retention
+
+    us = 100
+    # user 1: wins 0,0,1,3 ; user 2: wins 1,1 ; user 3: win 3
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [5, 50, 150, 350, 120, 160, 399],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    want = {
+        (0, 0): 1, (0, 1): 1, (0, 3): 1,   # cohort 0 = user 1
+        (1, 1): 1,                          # cohort 1 = user 2
+        (3, 3): 1,                          # cohort 3 = user 3
+    }
+    for np_ in (1, 4):
+        got = cohort_retention(
+            ray.data.from_arrow(tbl).repartition(np_),
+            window_us=us,
+            n_buckets=4,
+        ).to_pandas()
+        got_map = {
+            (r.cohort, r.win): r.n_users for r in got.itertuples()
+        }
+        assert got_map == want
+
+
+def test_knn_graph(ray_session):
+    """Exact kNN graph vs brute-force numpy on quantized integers:
+    self excluded, ties broken by neighbor id, k > corpus clamps."""
+    import ray.data
+
+    from console_log_parser_ray.stages.similarity import knn_graph
+
+    rng = np.random.default_rng(17)
+    n, d = 60, 8
+    vecs = rng.uniform(-1, 1, (n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    q = np.floor(vecs.astype(np.float64) * 1000)
+    scores = q @ q.T
+    np.fill_diagonal(scores, -np.inf)
+    for k in (4, 100):
+        kk = min(k, n)
+        want = set()
+        for i in range(n):
+            idx = np.lexsort((ids, -scores[i]))[:kk]
+            idx = idx[np.isfinite(scores[i][idx])]
+            for j in idx:
+                want.add((i, int(ids[j]), scores[i][j]))
+        got = {
+            (r["vec_id"], r["neighbor_id"], r["dot"])
+            for r in knn_graph(
+                ray.data.from_arrow(tbl).repartition(3), k=k
+            ).take_all()
+        }
+        assert got == want

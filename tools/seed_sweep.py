@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 81 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 83 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -52,7 +52,8 @@ Exit 0 = every comparison equal.  Each seed covers 81 comparison groups:
     (bit-exact moments) / snapshot diff (null-safe compare) /
     LAG-throttle (2 windows) / weighted sampling (md5 PRF, 2 k's) /
     CUBE with data-null keys (GROUPING bitmask) / interpolated
-    percentile_cont (bit-exact lerp)
+    percentile_cont (bit-exact lerp) / cohort retention /
+    exact kNN graph (quantized-integer dots == numpy)
                                 (round-4 CDC + fuzzy family)
 """
 
@@ -2221,6 +2222,57 @@ def cdc_fuzzy_family(seed):
         ["p50_cents", "p90_cents"],
     )
 
+    # cohort retention: distinct-activity triangle on the same events
+    from console_log_parser_ray.stages.events import cohort_retention
+
+    mine = cohort_retention(
+        eds.select_columns(["user_id", "ts"]),
+        window_us=25_000, n_buckets=8,
+    ).to_pandas()
+    ref = con.execute(
+        "WITH w AS (SELECT DISTINCT user_id, epoch_us(ts) // 25000 "
+        "AS win FROM ev), "
+        "c AS (SELECT user_id, min(win) AS cohort FROM w GROUP BY 1) "
+        "SELECT c.cohort, w.win, CAST(count(*) AS BIGINT) AS n_users "
+        "FROM w JOIN c USING (user_id) GROUP BY 1, 2"
+    ).fetchdf()
+    check(
+        "cohort_retention", seed, mine, ref,
+        ["cohort", "win"], ["n_users"],
+    )
+
+    # exact kNN graph vs numpy brute force on quantized integers
+    from console_log_parser_ray.stages.similarity import knn_graph
+
+    nv = 80
+    emb = rng.uniform(-1, 1, (nv, 12)).astype(np.float32)
+    et = pa.table(
+        {
+            "vec_id": pa.array(np.arange(nv, dtype=np.int64)),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in emb],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    qm = np.floor(emb.astype(np.float64) * 1000)
+    sc = qm @ qm.T
+    np.fill_diagonal(sc, -np.inf)
+    want = set()
+    for i in range(nv):
+        idx = np.lexsort((np.arange(nv), -sc[i]))[:6]
+        for j in idx:
+            want.add((i, int(j), sc[i][j]))
+    got = {
+        (r["vec_id"], r["neighbor_id"], r["dot"])
+        for r in knn_graph(
+            ray.data.from_arrow(et).repartition(3), k=6
+        ).take_all()
+    }
+    if got != want:
+        failures.append(("knn_graph", seed))
+        print(f"FAIL knn_graph seed={seed}", flush=True)
+
 
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
@@ -2243,7 +2295,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(81 comparison groups per seed)"
+        "(83 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
