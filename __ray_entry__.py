@@ -2662,6 +2662,77 @@ def _q_knn_graph(sf_dir: str):
     )
 
 
+def _q_merge_customers(sf_dir: str):
+    """MERGE INTO (stages/events.merge_upsert): apply a deterministic
+    CDC change batch (bump every 7th balance, delete keys < 50, insert
+    clones at +1000000 -- deletes sequenced after updates) to the
+    customer snapshot; result equals snapshot_diff's simulated target
+    by construction, pinned by the same SQL."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from console_log_parser_ray.stages.events import merge_upsert
+
+    cols = ["c_custkey", "c_acctbal", "c_mktsegment"]
+    base = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=cols
+    )
+
+    def changes(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").cast(pa.int64())
+        bal = b.column("c_acctbal")
+        seg = b.column("c_mktsegment")
+        parts = []
+        bump = pc.equal(
+            pc.subtract(
+                k, pc.multiply(pc.divide(k, 7), pa.scalar(7, pa.int64()))
+            ),
+            0,
+        )
+        upd = pa.table(
+            {
+                "c_custkey": k,
+                "c_acctbal": pc.add(bal, pa.scalar(1.0)),
+                "c_mktsegment": seg,
+            }
+        ).filter(bump)
+        parts.append((upd, "u", 1))
+        dele = pa.table(
+            {"c_custkey": k, "c_acctbal": bal, "c_mktsegment": seg}
+        ).filter(pc.less(k, 50))
+        parts.append((dele, "d", 2))
+        ins = pa.table(
+            {
+                "c_custkey": pc.add(k, pa.scalar(1000000, pa.int64())),
+                "c_acctbal": bal,
+                "c_mktsegment": seg,
+            }
+        ).filter(pc.less(k, 25))
+        parts.append((ins, "u", 1))
+        out = []
+        for t, op, seq in parts:
+            out.append(
+                t.append_column(
+                    "op",
+                    pa.array(np.full(t.num_rows, op, object), pa.string()),
+                ).append_column(
+                    "change_seq",
+                    pa.array(
+                        np.full(t.num_rows, seq, np.int64), pa.int64()
+                    ),
+                )
+            )
+        return pa.concat_tables(out)
+
+    return merge_upsert(
+        base,
+        base.map_batches(changes, batch_format="pyarrow"),
+        key_cols=["c_custkey"],
+    )
+
+
 def _q_scd2_state(sf_dir: str):
     """SCD-type-2 validity intervals from the event change log
     (stages/events.scd2_intervals): each (user, event_type) change is
@@ -2855,6 +2926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_quantiles_cont": _q_event_quantiles_cont,
         "cohort_retention": _q_cohort_retention,
         "knn_graph": _q_knn_graph,
+        "merge_customers": _q_merge_customers,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -4135,6 +4207,14 @@ def oracle_sql() -> dict[str, str]:
         "DESC, b.vec_id) AS rn FROM q a JOIN q b ON "
         "a.vec_id <> b.vec_id) "
         "SELECT vec_id, neighbor_id, dot FROM p WHERE rn <= 5"
+    )
+    out["merge_customers"] = (
+        # the merge result IS snapshot_diff's simulated next snapshot
+        "SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN "
+        "c_acctbal + 1.0 ELSE c_acctbal END AS c_acctbal, "
+        "c_mktsegment FROM customer WHERE c_custkey >= 50 "
+        "UNION ALL SELECT c_custkey + 1000000, c_acctbal, "
+        "c_mktsegment FROM customer WHERE c_custkey < 25"
     )
     out["scd2_state"] = (
         # SCD2: interval open at the key's next change, null for the

@@ -196,6 +196,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "event_quantiles_cont",
         "cohort_retention",
         "knn_graph",
+        "merge_customers",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -2335,3 +2335,80 @@ def cohort_retention(
         .aggregate(Sum("n_part"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def merge_upsert(
+    base_ds,
+    changes_ds,
+    key_cols,
+    op_col: str = "op",
+    seq_col: str = "change_seq",
+    n_buckets: int = 64,
+):
+    """MERGE INTO: apply a CDC change batch (upserts ``op='u'`` and
+    deletes ``op='d'``, ordered per key by ``seq_col`` -- base rows
+    rank as seq 0) to a base snapshot, producing the next snapshot.
+    The write-side completion of the CDC family: ``latest_state``
+    compacts a log, ``snapshot_diff`` compares the result, this
+    operator PRODUCES it.
+
+    Payload columns are everything except keys / op / seq, and must
+    match between base and changes (a snapshot and its change feed
+    share a schema; deletes may carry null payloads).  ``seq_col``
+    must be a positive int64, unique per key within the batch -- the
+    caller's change-log order.
+
+    Scale shape: one union + the ``latest_state`` bounded compaction
+    (blocks compact locally to <= 1 row per contained key BEFORE the
+    single key-hash bucket shuffle), then a vectorized tombstone
+    filter.  Neither snapshot is ever collected or broadcast.
+    """
+    payload = [
+        c
+        for c in base_ds.schema().names
+        if c not in set(key_cols) | {op_col, seq_col}
+    ]
+    key_cols = list(key_cols)
+
+    def tag_base(b: pa.Table) -> pa.Table:
+        cols = {k: b.column(k) for k in key_cols}
+        for c in payload:
+            cols[c] = b.column(c)
+        cols[op_col] = pa.array(
+            np.full(b.num_rows, "u", dtype=object), pa.string()
+        )
+        cols[seq_col] = pa.array(
+            np.zeros(b.num_rows, dtype=np.int64), pa.int64()
+        )
+        return pa.table(cols)
+
+    def project_changes(b: pa.Table) -> pa.Table:
+        cols = {k: b.column(k) for k in key_cols}
+        for c in payload:
+            cols[c] = b.column(c)
+        cols[op_col] = b.column(op_col)
+        cols[seq_col] = b.column(seq_col).cast(pa.int64())
+        return pa.table(cols)
+
+    unioned = base_ds.map_batches(
+        tag_base, batch_format="pyarrow"
+    ).union(
+        changes_ds.map_batches(project_changes, batch_format="pyarrow")
+    )
+
+    def add_tb(b: pa.Table) -> pa.Table:
+        return b.append_column("__tb", b.column(seq_col))
+
+    compacted = latest_state(
+        unioned.map_batches(add_tb, batch_format="pyarrow"),
+        key_cols=key_cols,
+        ts_col=seq_col,
+        id_col="__tb",
+        n_buckets=n_buckets,
+    )
+
+    def live(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b.column(op_col), pa.scalar("d"))
+        return b.filter(keep).select(key_cols + payload)
+
+    return compacted.map_batches(live, batch_format="pyarrow")

@@ -3641,3 +3641,37 @@ def test_knn_graph(ray_session):
             ).take_all()
         }
         assert got == want
+
+
+def test_merge_upsert(ray_session):
+    """MERGE: delete wins over an earlier update (seq order), update
+    replaces payload, insert adds, untouched base rows survive, a
+    delete of a nonexistent key is a no-op; layout invariant."""
+    import ray.data
+
+    from console_log_parser_ray.stages.events import merge_upsert
+
+    base = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array([10, 20, 30, 40], pa.int64()),
+        }
+    )
+    changes = pa.table(
+        {
+            "k": pa.array([2, 2, 3, 5, 9], pa.int64()),
+            "v": pa.array([21, None, 31, 50, None], pa.int64()),
+            "op": pa.array(["u", "d", "u", "u", "d"], pa.string()),
+            "change_seq": pa.array([1, 2, 1, 1, 1], pa.int64()),
+        }
+    )
+    want = {1: 10, 3: 31, 4: 40, 5: 50}
+    for np_ in (1, 3):
+        got = merge_upsert(
+            ray.data.from_arrow(base).repartition(np_),
+            ray.data.from_arrow(changes).repartition(np_),
+            key_cols=["k"],
+            n_buckets=4,
+        ).to_pandas()
+        got_map = {int(r.k): int(r.v) for r in got.itertuples()}
+        assert got_map == want

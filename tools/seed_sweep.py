@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 83 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 84 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -53,7 +53,8 @@ Exit 0 = every comparison equal.  Each seed covers 83 comparison groups:
     LAG-throttle (2 windows) / weighted sampling (md5 PRF, 2 k's) /
     CUBE with data-null keys (GROUPING bitmask) / interpolated
     percentile_cont (bit-exact lerp) / cohort retention /
-    exact kNN graph (quantized-integer dots == numpy)
+    exact kNN graph (quantized-integer dots == numpy) / MERGE upsert
+    (random change batch == sequential apply)
                                 (round-4 CDC + fuzzy family)
 """
 
@@ -2273,6 +2274,47 @@ def cdc_fuzzy_family(seed):
         failures.append(("knn_graph", seed))
         print(f"FAIL knn_graph seed={seed}", flush=True)
 
+    # MERGE: random change batch vs a pandas reference apply
+    from console_log_parser_ray.stages.events import merge_upsert
+
+    bk = rng.permutation(300)[:200].astype(np.int64)
+    mb = pa.table(
+        {
+            "k": pa.array(bk),
+            "v": pa.array(rng.integers(0, 100, 200).astype(np.int64)),
+        }
+    )
+    ck = rng.integers(0, 320, 150).astype(np.int64)
+    ops = rng.choice(["u", "d"], 150)
+    cv = rng.integers(100, 200, 150).astype(np.int64)
+    mc = pa.table(
+        {
+            "k": pa.array(ck),
+            "v": pa.array(cv),
+            "op": pa.array(ops),
+            "change_seq": pa.array(
+                np.arange(1, 151, dtype=np.int64)
+            ),
+        }
+    )
+    state = {int(k): int(v) for k, v in zip(bk, mb.column("v").to_pylist())}
+    for k, o, v in zip(ck, ops, cv):
+        if o == "d":
+            state.pop(int(k), None)
+        else:
+            state[int(k)] = int(v)
+    got = {
+        int(r["k"]): int(r["v"])
+        for r in merge_upsert(
+            ray.data.from_arrow(mb).repartition(4),
+            ray.data.from_arrow(mc).repartition(3),
+            key_cols=["k"], n_buckets=8,
+        ).take_all()
+    }
+    if got != state:
+        failures.append(("merge_upsert", seed))
+        print(f"FAIL merge_upsert seed={seed}", flush=True)
+
 
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
@@ -2295,7 +2337,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(83 comparison groups per seed)"
+        "(84 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
