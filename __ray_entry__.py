@@ -2733,6 +2733,18 @@ def _q_merge_customers(sf_dir: str):
     )
 
 
+def _q_bool_search(sf_dir: str):
+    """Boolean-AND retrieval gate (stages/search.bool_search): docs
+    whose token set contains every query term; zero shuffles, one
+    tokenize + vectorized membership per block."""
+    from console_log_parser_ray.stages.search import bool_search
+
+    return bool_search(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        terms=["batch", "scan", "spark"],
+    )
+
+
 def _q_scd2_state(sf_dir: str):
     """SCD-type-2 validity intervals from the event change log
     (stages/events.scd2_intervals): each (user, event_type) change is
@@ -2927,6 +2939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "knn_graph": _q_knn_graph,
         "merge_customers": _q_merge_customers,
+        "bool_search": _q_bool_search,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -4215,6 +4228,14 @@ def oracle_sql() -> dict[str, str]:
         "c_mktsegment FROM customer WHERE c_custkey >= 50 "
         "UNION ALL SELECT c_custkey + 1000000, c_acctbal, "
         "c_mktsegment FROM customer WHERE c_custkey < 25"
+    )
+    out["bool_search"] = (
+        "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all("
+        "coalesce(text, ''), '\\S+')) AS t FROM documents) "
+        "SELECT doc_id FROM documents WHERE "
+        "doc_id IN (SELECT doc_id FROM tok WHERE t = 'batch') AND "
+        "doc_id IN (SELECT doc_id FROM tok WHERE t = 'scan') AND "
+        "doc_id IN (SELECT doc_id FROM tok WHERE t = 'spark')"
     )
     out["scd2_state"] = (
         # SCD2: interval open at the key's next change, null for the

@@ -197,6 +197,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "cohort_retention",
         "knn_graph",
         "merge_customers",
+        "bool_search",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -412,3 +412,48 @@ def bm25_oracle_sql(
         f"SELECT doc_id, ({hits}) AS n_hits, dl, ({score}) AS score "
         f"FROM dlt, g WHERE {anyhit}"
     )
+
+
+def bool_search(ds, terms, text_col="text", id_col="doc_id"):
+    """Boolean-AND retrieval: the documents whose token set contains
+    EVERY query term -- the filtering leg of the retrieval family
+    (``build_postings`` is the index, ``bm25`` the ranking; this is
+    the candidate gate).  Zero shuffles: one tokenize + T vectorized
+    membership checks per block, a bincount-any per term, and a mask
+    AND -- the matching ids stream straight out.
+    """
+    terms = list(terms)
+
+    def match(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b.column(text_col).combine_chunks(), "")
+        n = len(texts)
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+        flat = lists.flatten()
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offsets = offsets - offsets[0]
+        row_idx = np.repeat(
+            np.arange(n, dtype=np.int64), np.diff(offsets)
+        )
+        ok = np.ones(n, dtype=bool)
+        for t in terms:
+            hit = pc.equal(flat, pa.scalar(t)).to_numpy(
+                zero_copy_only=False
+            )
+            per_row = np.zeros(n, dtype=np.int64)
+            if hit.any():
+                np.add.at(per_row, row_idx[hit], 1)
+            ok &= per_row > 0
+        return pa.table(
+            {
+                id_col: b.column(id_col)
+                .combine_chunks()
+                .cast(pa.int64())
+                .filter(pa.array(ok)),
+            }
+        )
+
+    return ds.map_batches(match, batch_format="pyarrow")

@@ -3675,3 +3675,38 @@ def test_merge_upsert(ray_session):
         ).to_pandas()
         got_map = {int(r.k): int(r.v) for r in got.itertuples()}
         assert got_map == want
+
+
+def test_bool_search(ray_session):
+    """AND semantics: all terms must appear as whole tokens (no
+    substring hits), empty/null docs never match, repeats don't
+    double-count; layout invariant."""
+    import ray.data
+
+    from console_log_parser_ray.stages.search import bool_search
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma",
+                    "alpha alpha beta",
+                    "alphabet beta",     # substring must NOT match
+                    "beta",
+                    "",
+                    None,
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    for np_ in (1, 3):
+        got = {
+            r["doc_id"]
+            for r in bool_search(
+                ray.data.from_arrow(tbl).repartition(np_),
+                terms=["alpha", "beta"],
+            ).take_all()
+        }
+        assert got == {1, 2}

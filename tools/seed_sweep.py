@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 84 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 85 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -54,7 +54,7 @@ Exit 0 = every comparison equal.  Each seed covers 84 comparison groups:
     CUBE with data-null keys (GROUPING bitmask) / interpolated
     percentile_cont (bit-exact lerp) / cohort retention /
     exact kNN graph (quantized-integer dots == numpy) / MERGE upsert
-    (random change batch == sequential apply)
+    (random change batch == sequential apply) / boolean-AND retrieval
                                 (round-4 CDC + fuzzy family)
 """
 
@@ -2315,6 +2315,24 @@ def cdc_fuzzy_family(seed):
         failures.append(("merge_upsert", seed))
         print(f"FAIL merge_upsert seed={seed}", flush=True)
 
+    # boolean-AND retrieval vs the tokenized SQL membership mirror
+    from console_log_parser_ray.stages.search import bool_search
+
+    terms = [f"t{i}" for i in rng.choice(18, size=2, replace=False)]
+    mine = bool_search(
+        ray.data.from_arrow(dt).repartition(3), terms=terms
+    ).to_pandas()
+    cond = " AND ".join(
+        f"doc_id IN (SELECT doc_id FROM dtok WHERE t = '{t}')"
+        for t in terms
+    )
+    ref = con.execute(
+        "WITH dtok AS (SELECT doc_id, unnest(regexp_extract_all("
+        "coalesce(text, ''), '\\S+')) AS t FROM documents) "
+        f"SELECT doc_id FROM documents WHERE {cond}"
+    ).fetchdf()
+    check("bool_search", seed, mine, ref, ["doc_id"], ["doc_id"])
+
 
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
@@ -2337,7 +2355,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(84 comparison groups per seed)"
+        "(85 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
