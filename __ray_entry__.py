@@ -2745,6 +2745,32 @@ def _q_bool_search(sf_dir: str):
     )
 
 
+def _q_salted_join(sf_dir: str):
+    """Skew-salted co-partitioned join (stages/relational.hash_join
+    salt=4): left rows round-robin over salt sub-buckets, right rows
+    replicate into all of them -- identical output to the unsalted
+    join, but a hot key now splits across salt workers instead of
+    OOMing one."""
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import hash_join
+
+    return hash_join(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_linenumber"],
+        ),
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority"],
+        ),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        how="inner",
+        salt=4,
+    )
+
+
 def _q_scd2_state(sf_dir: str):
     """SCD-type-2 validity intervals from the event change log
     (stages/events.scd2_intervals): each (user, event_type) change is
@@ -2940,6 +2966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": _q_knn_graph,
         "merge_customers": _q_merge_customers,
         "bool_search": _q_bool_search,
+        "salted_join": _q_salted_join,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -4236,6 +4263,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_id IN (SELECT doc_id FROM tok WHERE t = 'batch') AND "
         "doc_id IN (SELECT doc_id FROM tok WHERE t = 'scan') AND "
         "doc_id IN (SELECT doc_id FROM tok WHERE t = 'spark')"
+    )
+    out["salted_join"] = (
+        "SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
     )
     out["scd2_state"] = (
         # SCD2: interval open at the key's next change, null for the

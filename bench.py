@@ -198,6 +198,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "knn_graph",
         "merge_customers",
         "bool_search",
+        "salted_join",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

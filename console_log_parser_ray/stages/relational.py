@@ -118,6 +118,7 @@ def hash_join(
     how: str = "inner",
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    salt: int = 1,
 ):
     """Co-partitioned hash join of two Datasets on integer keys.
 
@@ -134,9 +135,23 @@ def hash_join(
     startup per call and whose early-cancel exercises a sporadic Ray
     core race (task_manager CHECK, observed on this Ray build) --
     known schemas skip the probe entirely.
+
+    ``salt > 1`` splits HOT KEYS: every left row lands in one of
+    ``salt`` sub-buckets of its key bucket (any assignment is correct
+    -- each sub-bucket sees the full right side for its keys), and
+    each right row replicates into all ``salt`` sub-buckets.  A key
+    with a billion left rows then costs ``salt`` workers 1/salt of
+    the rows each instead of OOMing one, at the price of
+    ``salt x |right|`` shuffle volume -- the standard skew trade.
+    Valid for inner/left/semi/anti (left-side multiplicities are
+    untouched); full outer would emit right-unmatched rows once per
+    sub-bucket and is rejected.
     """
     right_on = right_on or on
     join_type = _JOIN_TYPES[how]
+    salt = int(salt)
+    if salt > 1 and how == "outer":
+        raise ValueError("salt requires a left-preserving join, not outer")
     ls = left_schema if left_schema is not None else left.schema()
     rs = right_schema if right_schema is not None else right.schema()
     lf = [(n, t) for n, t in zip(ls.names, ls.types)]
@@ -153,8 +168,30 @@ def hash_join(
         def tag(b: pa.Table) -> pa.Table:
             n = b.num_rows
             key = b.column(key_col).cast(pa.int64())
+            if salt == 1:
+                jb_col = pc.cast(_mod(key, n_buckets), pa.int32())
+            else:
+                # null keys never match any row; pin them to
+                # sub-bucket 0 so the numpy lift below stays total
+                jb = pc.fill_null(
+                    pc.cast(_mod(key, n_buckets), pa.int32()),
+                    pa.scalar(0, pa.int32()),
+                ).to_numpy(zero_copy_only=False).astype(np.int64)
+                if side == 0:
+                    # any per-row assignment is correct; round-robin
+                    # spreads a hot key evenly
+                    jb = jb * salt + (np.arange(n) % salt)
+                else:
+                    # right rows cover every sub-bucket of their key
+                    jb = (jb * salt)[np.repeat(np.arange(n), salt)] + \
+                        np.tile(np.arange(salt), n)
+                    b = b.take(
+                        pa.array(np.repeat(np.arange(n), salt))
+                    )
+                    n = b.num_rows
+                jb_col = pa.array(jb.astype(np.int32), pa.int32())
             cols = {
-                "__jb": pc.cast(_mod(key, n_buckets), pa.int32()),
+                "__jb": jb_col,
                 "__side": pa.array(np.full(n, side, dtype=np.int8)),
             }
             for name, _ in own:

@@ -3710,3 +3710,56 @@ def test_bool_search(ray_session):
             ).take_all()
         }
         assert got == {1, 2}
+
+
+def test_hash_join_salted(ray_session):
+    """Salted skew join returns EXACTLY the unsalted results for
+    inner/left/semi/anti — incl. duplicate left rows on a hot key and
+    null keys on both sides; outer + salt is rejected."""
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import hash_join
+
+    rng = np.random.default_rng(33)
+    n = 800
+    # hot key 7 takes half the left side
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 40, n))
+    left = pa.table(
+        {
+            "k": pa.array(
+                [None if i < 5 else int(x)
+                 for i, x in enumerate(keys)],
+                pa.int64(),
+            ),
+            "lv": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array(
+                [None, 7, 7, 1, 2, 3, 50], pa.int64()
+            ),
+            "rv": pa.array(
+                np.arange(7, dtype=np.int64) + 100
+            ),
+        }
+    )
+    lds = ray.data.from_arrow(left).repartition(4)
+    rds = ray.data.from_arrow(right).repartition(2)
+    for how in ("inner", "left", "semi", "anti"):
+        plain = hash_join(
+            lds, rds, on="k", right_on="rk", how=how, n_buckets=8
+        ).to_pandas()
+        salted = hash_join(
+            lds, rds, on="k", right_on="rk", how=how, n_buckets=8,
+            salt=4,
+        ).to_pandas()
+        key_cols = list(plain.columns)
+        a = plain.sort_values(key_cols).reset_index(drop=True)
+        b = salted.sort_values(key_cols).reset_index(drop=True)
+        assert a.equals(b), how
+        assert len(a) > 0
+    with pytest.raises(ValueError):
+        hash_join(
+            lds, rds, on="k", right_on="rk", how="outer", salt=2
+        )

@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 85 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 89 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -54,7 +54,8 @@ Exit 0 = every comparison equal.  Each seed covers 85 comparison groups:
     CUBE with data-null keys (GROUPING bitmask) / interpolated
     percentile_cont (bit-exact lerp) / cohort retention /
     exact kNN graph (quantized-integer dots == numpy) / MERGE upsert
-    (random change batch == sequential apply) / boolean-AND retrieval
+    (random change batch == sequential apply) / boolean-AND retrieval /
+    salted skew join == unsalted (4 join types)
                                 (round-4 CDC + fuzzy family)
 """
 
@@ -2333,6 +2334,49 @@ def cdc_fuzzy_family(seed):
     ).fetchdf()
     check("bool_search", seed, mine, ref, ["doc_id"], ["doc_id"])
 
+    # salted skew join == unsalted (Zipf-hot left key, null keys)
+    from console_log_parser_ray.stages.relational import hash_join as _hj
+
+    hotk = np.where(
+        rng.random(700) < 0.6, 3, rng.integers(0, 30, 700)
+    ).astype(np.float64)
+    hotk[rng.random(700) < 0.03] = np.nan
+    sl = pa.table(
+        {
+            "k": pa.array(
+                [None if np.isnan(x) else int(x) for x in hotk],
+                pa.int64(),
+            ),
+            "lv": pa.array(np.arange(700, dtype=np.int64)),
+        }
+    )
+    sr = pa.table(
+        {
+            "rk": pa.array(
+                [None if x < 0 else int(x)
+                 for x in rng.integers(-2, 35, 60)],
+                pa.int64(),
+            ),
+            "rv": pa.array(np.arange(60, dtype=np.int64)),
+        }
+    )
+    slds = ray.data.from_arrow(sl).repartition(4)
+    srds = ray.data.from_arrow(sr).repartition(2)
+    for how in ("inner", "left", "semi", "anti"):
+        plain = _hj(
+            slds, srds, on="k", right_on="rk", how=how, n_buckets=8
+        ).to_pandas()
+        salted = _hj(
+            slds, srds, on="k", right_on="rk", how=how, n_buckets=8,
+            salt=5,
+        ).to_pandas()
+        cc = list(plain.columns)
+        a = plain.sort_values(cc).reset_index(drop=True)
+        bb = salted.sort_values(cc).reset_index(drop=True)
+        if not a.equals(bb):
+            failures.append((f"salted_join_{how}", seed))
+            print(f"FAIL salted_join_{how} seed={seed}", flush=True)
+
 
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
@@ -2355,7 +2399,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(85 comparison groups per seed)"
+        "(89 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
