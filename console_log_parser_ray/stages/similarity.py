@@ -439,6 +439,7 @@ def knn_graph(
     scale: int = 1000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_broadcast_rows: int = 2_000_000,
 ):
     """Exact k-nearest-neighbor GRAPH by quantized inner product: for
     every vector, its top-``k`` neighbors (self excluded) ranked by
@@ -458,10 +459,22 @@ def knn_graph(
     identical contract to ``knn_bruteforce``'s broadcast (fits-in-
     worker-memory assumption, ~2 bytes/dim/row at int16 scale); above
     that, ``knn_ivf``'s bucketed variant is the scale path and this
-    operator is its exact small-corpus baseline.
+    operator is its exact small-corpus baseline.  The broadcast is
+    GUARDED: a corpus over ``max_broadcast_rows`` raises (with the
+    row count) instead of silently OOMing the driver -- switch to
+    ``knn_ivf`` / ``embedding_near_dups`` above the cap, exactly the
+    rank family's cardinality-cap contract.
     """
     import ray
 
+    n_rows = ds.count()  # metadata-cheap on parquet reads
+    if n_rows > max_broadcast_rows:
+        raise ValueError(
+            f"knn_graph: corpus has {n_rows} rows > max_broadcast_rows"
+            f"={max_broadcast_rows}; the exact graph broadcasts the "
+            "whole quantized corpus -- use knn_ivf for large corpora "
+            "or raise the cap if workers have the memory"
+        )
     rows = ds.select_columns([id_col, vec_col]).take_all()
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     m = np.floor(

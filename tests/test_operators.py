@@ -3763,3 +3763,25 @@ def test_hash_join_salted(ray_session):
         hash_join(
             lds, rds, on="k", right_on="rk", how="outer", salt=2
         )
+
+
+def test_knn_graph_broadcast_guard(ray_session):
+    """The exact-graph corpus broadcast is capped: over
+    max_broadcast_rows raises with guidance instead of OOMing the
+    driver (the rank family's cardinality-cap contract)."""
+    import ray.data
+
+    from console_log_parser_ray.stages.similarity import knn_graph
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(10, dtype=np.int64)),
+            "embedding": pa.array(
+                [[0.1, 0.2]] * 10, pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        knn_graph(ds, k=2, max_broadcast_rows=5)
+    assert knn_graph(ds, k=2, max_broadcast_rows=10).count() == 20
