@@ -2771,6 +2771,23 @@ def _q_salted_join(sf_dir: str):
     )
 
 
+def _q_class_centroids(sf_dir: str):
+    """Per-label embedding centroids from exact integer sums
+    (stages/similarity.class_centroids): quantized per-block segmented
+    sums -> one tiny (label, dim) groupby -> one IEEE division per
+    cell; no float-summation order dependence."""
+    import ray.data
+
+    from console_log_parser_ray.stages.similarity import class_centroids
+
+    return class_centroids(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["label", "embedding"],
+        )
+    )
+
+
 def _q_scd2_state(sf_dir: str):
     """SCD-type-2 validity intervals from the event change log
     (stages/events.scd2_intervals): each (user, event_type) change is
@@ -2967,6 +2984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_customers": _q_merge_customers,
         "bool_search": _q_bool_search,
         "salted_join": _q_salted_join,
+        "class_centroids": _q_class_centroids,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -4263,6 +4281,20 @@ def oracle_sql() -> dict[str, str]:
         "doc_id IN (SELECT doc_id FROM tok WHERE t = 'batch') AND "
         "doc_id IN (SELECT doc_id FROM tok WHERE t = 'scan') AND "
         "doc_id IN (SELECT doc_id FROM tok WHERE t = 'spark')"
+    )
+    out["class_centroids"] = (
+        # zipped unnests; quantized sums are exact BIGINTs, the mean
+        # is the same single IEEE division both sides
+        "WITH q AS (SELECT label, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e "
+        "FROM embeddings), "
+        "u AS (SELECT label, unnest(e) AS v, "
+        "unnest(generate_series(1, len(e))) AS dim FROM q) "
+        "SELECT CAST(label AS BIGINT) AS label, dim, "
+        "CAST(count(*) AS BIGINT) AS n_obs, "
+        "CAST(sum(v) AS BIGINT) AS sum_q, "
+        "CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q "
+        "FROM u GROUP BY 1, 2"
     )
     out["salted_join"] = (
         "SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority "

@@ -199,6 +199,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "merge_customers",
         "bool_search",
         "salted_join",
+        "class_centroids",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

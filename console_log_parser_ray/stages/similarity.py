@@ -525,3 +525,87 @@ def knn_graph(
         )
 
     return ds.map_batches(block_topk, batch_format="pyarrow")
+
+
+def class_centroids(
+    ds,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+):
+    """Per-class embedding centroid from EXACT integer sums: quantize
+    ``floor(e * scale)``, sum per (label, dimension) -- associative-
+    exact BIGINTs -- and finish with one IEEE division per cell.  The
+    distributed skeleton of a nearest-class-mean classifier / cluster
+    summary, with none of the float-summation order-dependence that
+    makes naive distributed mean-pooling irreproducible.
+
+    Scale shape: one ``np.add.at`` segmented sum per block reduces to
+    (labels-in-block x dims) partial rows before the single Ray
+    groupby-sum; the corpus never shuffles and nothing is collected.
+    Output: one row per (label, dim 1..D) with n_obs, sum_q and the
+    mean -- pivot driver-side if a matrix is wanted (labels x dims is
+    the operator's own output bound).
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        m = np.floor(as_matrix(b.column(vec_col)) * scale)
+        labels = b.column(label_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(labels) == 0 or m.size == 0:
+            return pa.table(
+                {
+                    label_col: pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "s_part": pa.array([], pa.int64()),
+                    "n_part": pa.array([], pa.int64()),
+                }
+            )
+        d = m.shape[1]
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(uniq))
+        return pa.table(
+            {
+                label_col: pa.array(
+                    np.repeat(uniq, d), pa.int64()
+                ),
+                "dim": pa.array(
+                    np.tile(np.arange(1, d + 1, dtype=np.int64),
+                            len(uniq)),
+                    pa.int64(),
+                ),
+                "s_part": pa.array(
+                    sums.ravel().astype(np.int64), pa.int64()
+                ),
+                "n_part": pa.array(
+                    np.repeat(counts.astype(np.int64), d), pa.int64()
+                ),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b.column("sum(s_part)").to_numpy(zero_copy_only=False)
+        n = b.column("sum(n_part)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                label_col: b.column(label_col),
+                "dim": b.column("dim"),
+                "n_obs": pa.array(n.astype(np.int64), pa.int64()),
+                "sum_q": pa.array(s.astype(np.int64), pa.int64()),
+                "mean_q": pa.array(
+                    s.astype(np.float64) / n.astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby([label_col, "dim"])
+        .aggregate(Sum("s_part"), Sum("n_part"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

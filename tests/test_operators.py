@@ -3785,3 +3785,45 @@ def test_knn_graph_broadcast_guard(ray_session):
     with pytest.raises(ValueError, match="max_broadcast_rows"):
         knn_graph(ds, k=2, max_broadcast_rows=5)
     assert knn_graph(ds, k=2, max_broadcast_rows=10).count() == 20
+
+
+def test_class_centroids(ray_session):
+    """Exact integer centroid sums vs a single-process numpy
+    reference, bit-equal means at any block layout; singleton label
+    covered."""
+    import ray.data
+
+    from console_log_parser_ray.stages.similarity import class_centroids
+
+    rng = np.random.default_rng(41)
+    n, d = 200, 6
+    vecs = rng.uniform(-1, 1, (n, d)).astype(np.float32)
+    labels = rng.integers(0, 4, n).astype(np.int64)
+    labels[-1] = 99  # singleton class
+    tbl = pa.table(
+        {
+            "label": pa.array(labels),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    q = np.floor(vecs.astype(np.float64) * 1000)
+    want = {}
+    for lab in np.unique(labels):
+        sub = q[labels == lab]
+        for dim in range(d):
+            s = float(sub[:, dim].sum())
+            want[(int(lab), dim + 1)] = (
+                len(sub), int(s), s / float(len(sub))
+            )
+    for np_ in (1, 5):
+        got = class_centroids(
+            ray.data.from_arrow(tbl).repartition(np_)
+        ).to_pandas()
+        got_map = {
+            (int(r.label), int(r.dim)): (r.n_obs, r.sum_q, r.mean_q)
+            for r in got.itertuples()
+        }
+        assert got_map == want

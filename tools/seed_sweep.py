@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 89 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 90 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -53,7 +53,7 @@ Exit 0 = every comparison equal.  Each seed covers 89 comparison groups:
     LAG-throttle (2 windows) / weighted sampling (md5 PRF, 2 k's) /
     CUBE with data-null keys (GROUPING bitmask) / interpolated
     percentile_cont (bit-exact lerp) / cohort retention /
-    exact kNN graph (quantized-integer dots == numpy) / MERGE upsert
+    exact kNN graph + class centroids (quantized ints == numpy) / MERGE upsert
     (random change batch == sequential apply) / boolean-AND retrieval /
     salted skew join == unsalted (4 join types)
                                 (round-4 CDC + fuzzy family)
@@ -2275,6 +2275,37 @@ def cdc_fuzzy_family(seed):
         failures.append(("knn_graph", seed))
         print(f"FAIL knn_graph seed={seed}", flush=True)
 
+    # per-class centroids: exact integer sums == numpy reference
+    from console_log_parser_ray.stages.similarity import class_centroids
+
+    cl = rng.integers(0, 5, nv).astype(np.int64)
+    ct2 = pa.table(
+        {
+            "label": pa.array(cl),
+            "embedding": et.column("embedding"),
+        }
+    )
+    qq = np.floor(emb.astype(np.float64) * 1000)
+    wantc = {}
+    for lab in np.unique(cl):
+        sub = qq[cl == lab]
+        for dim in range(sub.shape[1]):
+            sv = float(sub[:, dim].sum())
+            wantc[(int(lab), dim + 1)] = (
+                len(sub), int(sv), sv / float(len(sub))
+            )
+    gotc = {
+        (int(r["label"]), int(r["dim"])): (
+            r["n_obs"], r["sum_q"], r["mean_q"]
+        )
+        for r in class_centroids(
+            ray.data.from_arrow(ct2).repartition(3)
+        ).take_all()
+    }
+    if gotc != wantc:
+        failures.append(("class_centroids", seed))
+        print(f"FAIL class_centroids seed={seed}", flush=True)
+
     # MERGE: random change batch vs a pandas reference apply
     from console_log_parser_ray.stages.events import merge_upsert
 
@@ -2399,7 +2430,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(89 comparison groups per seed)"
+        "(90 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
