@@ -2788,6 +2788,20 @@ def _q_class_centroids(sf_dir: str):
     )
 
 
+def _q_top_paths(sf_dir: str):
+    """Top-25 session paths (stages/events.top_paths): sessionize's
+    gap rule, vectorized path join per bucket, (path, n) partials
+    into one aggregated top-k."""
+    from console_log_parser_ray.stages.events import top_paths
+
+    return top_paths(
+        _events(sf_dir).select_columns(
+            ["user_id", "ts", "event_id", "event_type"]
+        ),
+        k=25,
+    )
+
+
 def _q_scd2_state(sf_dir: str):
     """SCD-type-2 validity intervals from the event change log
     (stages/events.scd2_intervals): each (user, event_type) change is
@@ -2985,6 +2999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_search": _q_bool_search,
         "salted_join": _q_salted_join,
         "class_centroids": _q_class_centroids,
+        "top_paths": _q_top_paths,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -4295,6 +4310,9 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(v) AS BIGINT) AS sum_q, "
         "CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q "
         "FROM u GROUP BY 1, 2"
+    )
+    out["top_paths"] = (
+        "WITH s AS (SELECT user_id, event_type, ts, event_id, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS newsess FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s2 AS (SELECT *, SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s), p AS (SELECT user_id, sid, string_agg(event_type, '>' ORDER BY ts, event_id) AS path FROM s2 GROUP BY 1, 2) SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 25"
     )
     out["salted_join"] = (
         "SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority "

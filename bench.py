@@ -200,6 +200,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "bool_search",
         "salted_join",
         "class_centroids",
+        "top_paths",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

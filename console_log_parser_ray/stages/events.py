@@ -2412,3 +2412,100 @@ def merge_upsert(
         return b.filter(keep).select(key_cols + payload)
 
     return compacted.map_batches(live, batch_format="pyarrow")
+
+
+def top_paths(
+    ds,
+    gap_us: int = 30 * 60 * 1_000_000,
+    k: int = 25,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    n_buckets: int = 64,
+):
+    """Top-k session paths (sequence mining): sessions cut on the
+    same gap rule as ``sessionize``, each session's ordered event
+    types joined into a ``a>b>c`` path string, paths counted
+    corpus-wide, strongest ``k`` returned (ties: path order).  The
+    "what do users actually do" aggregate funnels are sliced from.
+
+    Scale shape: the ``sessionize`` bucket recipe builds every
+    session's path VECTORIZED (one lexsort, boundary cumsum, one
+    ``pc.binary_join`` over a ListArray built from the boundary
+    offsets -- no per-session Python), and each bucket group emits
+    only its (path, n) partials; the final groupby's shuffle volume
+    is distinct paths per bucket, and sort+limit sees only the
+    aggregated path table.
+    """
+    from ray.data.aggregate import Sum
+
+    def project(b: pa.Table) -> pa.Table:
+        key = b.column(user_col).cast(pa.int64())
+        return pa.table(
+            {
+                "jb": _bucket31(key, n_buckets),
+                user_col: key,
+                "t": b.column(ts_col).cast(pa.int64()),
+                "e": b.column("event_id").cast(pa.int64()),
+                state_col: b.column(state_col),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = tbl.column(user_col).to_numpy(zero_copy_only=False)
+        t = tbl.column("t").to_numpy(zero_copy_only=False)
+        e = tbl.column("e").to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "path": pa.array([], pa.string()),
+                    "n_part": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((e, t, u))
+        u, t = u[order], t[order]
+        states = (
+            tbl.column(state_col)
+            .combine_chunks()
+            .take(pa.array(order, pa.int64()))
+        )
+        user_change = np.ones(n, dtype=bool)
+        user_change[1:] = u[1:] != u[:-1]
+        boundary = user_change.copy()
+        if n > 1:
+            boundary[1:] |= (np.diff(t) > gap_us) & ~user_change[1:]
+        starts = np.flatnonzero(boundary)
+        offsets = np.concatenate([starts, [n]]).astype(np.int32)
+        sessions = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), states
+        )
+        paths = pc.binary_join(sessions, ">")
+        part = pa.table({"path": paths}).group_by("path").aggregate(
+            [("path", "count")]
+        )
+        return pa.table(
+            {
+                "path": part.column("path"),
+                "n_part": part.column("path_count").cast(pa.int64()),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "path": b.column("path"),
+                "n_sessions": b.column("sum(n_part)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Sum("n_part"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["n_sessions", "path"], descending=[True, False])
+        .limit(k)
+    )

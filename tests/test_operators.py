@@ -3827,3 +3827,55 @@ def test_class_centroids(ray_session):
             for r in got.itertuples()
         }
         assert got_map == want
+
+
+def test_top_paths(ray_session):
+    """Session paths vs the DuckDB string_agg mirror on a random
+    gap-heavy table: single-event sessions, cross-block users, tie
+    ordering by (ts, event_id)."""
+    import duckdb
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import top_paths
+
+    rng = np.random.default_rng(47)
+    n = 1200
+    tbl = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 30, n), pa.int64()),
+            "ts": pa.array(
+                (rng.integers(0, 3000, n) * 17).astype(np.int64),
+                pa.timestamp("us"),
+            ),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", tbl)
+    gap = 5000
+    want = con.execute(
+        "WITH s AS (SELECT user_id, event_type, ts, event_id, "
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) "
+        f"- lag(epoch_us(ts)) OVER w > {gap} THEN 1 ELSE 0 END AS ns "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, "
+        "event_id)), "
+        "s2 AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER "
+        "BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s), "
+        "p AS (SELECT user_id, sid, string_agg(event_type, '>' "
+        "ORDER BY ts, event_id) AS path FROM s2 GROUP BY 1, 2) "
+        "SELECT path, CAST(count(*) AS BIGINT) FROM p GROUP BY 1 "
+        "ORDER BY 2 DESC, 1 LIMIT 15"
+    ).fetchall()
+    for np_ in (1, 4):
+        got = [
+            (r["path"], r["n_sessions"])
+            for r in top_paths(
+                ray.data.from_arrow(tbl).repartition(np_),
+                gap_us=gap,
+                k=15,
+                n_buckets=4,
+            ).take_all()
+        ]
+        assert got == [tuple(w) for w in want]

@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 90 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 92 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -55,7 +55,8 @@ Exit 0 = every comparison equal.  Each seed covers 90 comparison groups:
     percentile_cont (bit-exact lerp) / cohort retention /
     exact kNN graph + class centroids (quantized ints == numpy) / MERGE upsert
     (random change batch == sequential apply) / boolean-AND retrieval /
-    salted skew join == unsalted (4 join types)
+    salted skew join == unsalted (4 join types) / session-path
+    mining (string_agg mirror, 2 gaps)
                                 (round-4 CDC + fuzzy family)
 """
 
@@ -2408,6 +2409,38 @@ def cdc_fuzzy_family(seed):
             failures.append((f"salted_join_{how}", seed))
             print(f"FAIL salted_join_{how} seed={seed}", flush=True)
 
+    # session-path mining vs the string_agg mirror (2 gaps)
+    from console_log_parser_ray.stages.events import top_paths
+
+    for gp in (400, 40_000):
+        mine = top_paths(
+            eds.select_columns(
+                ["user_id", "ts", "event_id", "event_type"]
+            ),
+            gap_us=gp, k=20, n_buckets=8,
+        ).to_pandas()
+        ref = con.execute(
+            "WITH s AS (SELECT user_id, event_type, ts, event_id, "
+            "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR "
+            f"epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gp} THEN 1 "
+            "ELSE 0 END AS ns FROM ev WINDOW w AS (PARTITION BY "
+            "user_id ORDER BY ts, event_id)), "
+            "s2 AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid "
+            "FROM s), "
+            "p AS (SELECT user_id, sid, string_agg(event_type, '>' "
+            "ORDER BY ts, event_id) AS path FROM s2 GROUP BY 1, 2) "
+            "SELECT path, CAST(count(*) AS BIGINT) AS n_sessions "
+            "FROM p GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20"
+        ).fetchdf()
+        mp = mine.reset_index(drop=True)
+        rp = ref.reset_index(drop=True)
+        if not (len(mp) == len(rp) and
+                (mp["path"] == rp["path"]).all() and
+                (mp["n_sessions"] == rp["n_sessions"]).all()):
+            failures.append((f"top_paths_g{gp}", seed))
+            print(f"FAIL top_paths_g{gp} seed={seed}", flush=True)
+
 
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
@@ -2430,7 +2463,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(90 comparison groups per seed)"
+        "(92 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
