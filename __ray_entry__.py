@@ -2871,6 +2871,61 @@ def _q_outer_join_users(sf_dir: str):
     )
 
 
+def _q_unigram_lm(sf_dir: str):
+    """CCNet-style unigram-LM quality score: per-doc log-probability
+    under the corpus's own unigram distribution, quantized to integer
+    micro-nats via libm ln (bit-identical to DuckDB's ln; numpy's
+    SIMD log is not) so every sum is order-free int64
+    (stages/textan.unigram_logprob)."""
+    from console_log_parser_ray.stages.textan import unigram_logprob
+
+    return unigram_logprob(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def _q_vocab_oov(sf_dir: str):
+    """Vocabulary coverage: top-1000 token vocab by occurrence count
+    (per-bucket top-V candidates, driver folds <= buckets*V rows),
+    then per-doc OOV occurrence counts + one IEEE-division rate
+    (stages/textan.vocab_oov)."""
+    from console_log_parser_ray.stages.textan import vocab_oov
+
+    return vocab_oov(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), vocab_size=1000
+    )
+
+
+def _q_pagerank_parts(sf_dir: str):
+    """Integer-quantized PageRank (3 damped iterations, pure int64 --
+    bit-identical on any partitioning) over the symmetrized
+    supplier<->part co-occurrence graph from lineitem
+    (stages/graph.pagerank)."""
+    import ray.data
+
+    from console_log_parser_ray.stages.graph import pagerank, symmetric_edges
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_partkey"],
+    )
+    edges = symmetric_edges(
+        li, "l_suppkey", "l_partkey", b_offset=1_000_000_000
+    )
+    return pagerank(edges, iterations=3)
+
+
+_DEDUP_PRIORITY = ("src3", "src1", "src0")
+
+
+def _q_dedup_priority(sf_dir: str):
+    """Cross-source exact dedup keeping the highest-priority source's
+    copy per identical text (rank = index in the priority list,
+    unlisted sources last, ties by min id)
+    (stages/dedup.exact_dedup_priority)."""
+    from console_log_parser_ray.stages.dedup import exact_dedup_priority
+
+    return exact_dedup_priority(_docs(sf_dir), _DEDUP_PRIORITY)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -3000,6 +3055,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_join": _q_salted_join,
         "class_centroids": _q_class_centroids,
         "top_paths": _q_top_paths,
+        "unigram_lm": _q_unigram_lm,
+        "vocab_oov": _q_vocab_oov,
+        "pagerank_parts": _q_pagerank_parts,
+        "dedup_priority": _q_dedup_priority,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -4317,6 +4376,79 @@ def oracle_sql() -> dict[str, str]:
     out["salted_join"] = (
         "SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority "
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    )
+    out["unigram_lm"] = (
+        # per-token log-prob quantized to integer micro-nats; ln is
+        # libm on both sides (math.log engine-side), floor of the
+        # identical expression tree, so sums are exact int64 and the
+        # avg is the same single IEEE division
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+        "FROM documents), "
+        "occ AS (SELECT doc_id, tok, count(*) AS n_occ FROM toks "
+        "GROUP BY doc_id, tok), "
+        "cnt AS (SELECT tok, CAST(sum(n_occ) AS BIGINT) AS c FROM occ "
+        "GROUP BY tok), "
+        "tot AS (SELECT CAST(sum(n_occ) AS BIGINT) AS ct FROM occ), "
+        "lp AS (SELECT tok, CAST(floor((ln(CAST(c AS DOUBLE)) - "
+        "ln(CAST((SELECT ct FROM tot) AS DOUBLE))) * 1000000.0) "
+        "AS BIGINT) AS lp FROM cnt) "
+        "SELECT o.doc_id, CAST(sum(o.n_occ) AS BIGINT) AS n_tokens, "
+        "CAST(sum(o.n_occ * l.lp) AS BIGINT) AS logprob_q, "
+        "CAST(sum(o.n_occ * l.lp) AS DOUBLE) / "
+        "CAST(1000000 * sum(o.n_occ) AS DOUBLE) AS avg_logprob "
+        "FROM occ o JOIN lp l USING (tok) GROUP BY o.doc_id"
+    )
+    out["vocab_oov"] = (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+        "FROM documents), "
+        "cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
+        "vocab AS (SELECT tok FROM cnt QUALIFY "
+        "row_number() OVER (ORDER BY c DESC, tok) <= 1000) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) FILTER (WHERE tok NOT IN "
+        "(SELECT tok FROM vocab)) AS BIGINT) AS n_oov, "
+        "CAST(count(*) FILTER (WHERE tok NOT IN "
+        "(SELECT tok FROM vocab)) AS DOUBLE) / "
+        "CAST(count(*) AS DOUBLE) AS oov_rate "
+        "FROM toks GROUP BY doc_id"
+    )
+    out["pagerank_parts"] = (
+        # integer-quantized PageRank, 3 damped iterations unrolled;
+        # every division is a floor over non-negative int64 on both
+        # sides, so ranks are bit-identical on any partitioning
+        "WITH pairs AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p "
+        "FROM lineitem), "
+        "edges AS (SELECT s AS src, p + 1000000000 AS dst FROM pairs "
+        "UNION ALL SELECT p + 1000000000 AS src, s AS dst FROM pairs), "
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges "
+        "GROUP BY src), "
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM deg), "
+        "r0 AS (SELECT src AS node, 1000000000000 // nn AS r "
+        "FROM deg CROSS JOIN n), "
+        "s1 AS (SELECT e.dst AS node, CAST(sum(r.r // g.d) AS BIGINT) "
+        "AS s FROM edges e JOIN r0 r ON e.src = r.node "
+        "JOIN deg g ON e.src = g.src GROUP BY e.dst), "
+        "r1 AS (SELECT node, (15 * 1000000000000) // (100 * nn) + "
+        "(85 * s) // 100 AS r FROM s1 CROSS JOIN n), "
+        "s2 AS (SELECT e.dst AS node, CAST(sum(r.r // g.d) AS BIGINT) "
+        "AS s FROM edges e JOIN r1 r ON e.src = r.node "
+        "JOIN deg g ON e.src = g.src GROUP BY e.dst), "
+        "r2 AS (SELECT node, (15 * 1000000000000) // (100 * nn) + "
+        "(85 * s) // 100 AS r FROM s2 CROSS JOIN n), "
+        "s3 AS (SELECT e.dst AS node, CAST(sum(r.r // g.d) AS BIGINT) "
+        "AS s FROM edges e JOIN r2 r ON e.src = r.node "
+        "JOIN deg g ON e.src = g.src GROUP BY e.dst), "
+        "r3 AS (SELECT node, (15 * 1000000000000) // (100 * nn) + "
+        "(85 * s) // 100 AS r FROM s3 CROSS JOIN n) "
+        "SELECT node, CAST(r AS BIGINT) AS rank_q FROM r3"
+    )
+    out["dedup_priority"] = (
+        "SELECT * FROM documents QUALIFY row_number() OVER "
+        "(PARTITION BY text ORDER BY CASE source "
+        "WHEN 'src3' THEN 0 WHEN 'src1' THEN 1 WHEN 'src0' THEN 2 "
+        "ELSE 3 END, doc_id) = 1"
     )
     out["scd2_state"] = (
         # SCD2: interval open at the key's next change, null for the

@@ -201,6 +201,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "salted_join",
         "class_centroids",
         "top_paths",
+        "unigram_lm",
+        "vocab_oov",
+        "pagerank_parts",
+        "dedup_priority",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -1832,3 +1832,70 @@ def _pair_mod(arr: pa.Array, n: int):
     """Non-negative arr % n via pyarrow (BIGINT-overflow-safe)."""
     q = pc.divide(arr, pa.scalar(n, pa.int64()))
     return pc.subtract(arr, pc.multiply(q, pa.scalar(n, pa.int64())))
+
+
+def exact_dedup_priority(
+    ds,
+    priority: tuple,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shuffle_buckets: int = 256,
+):
+    """Cross-source exact dedup: keep, per identical text, the copy
+    from the highest-priority source -- the "prefer the curated copy
+    over the crawled one" rule every multi-source corpus merge needs.
+    A source's rank is its index in ``priority`` (earlier = better);
+    sources not listed rank after all listed ones, ties break on the
+    minimum id.
+
+    Same plan as ``exact_dedup`` (coarse 64-bit text-hash bucket
+    shuffle, collision-safe in-group text equality); the winner rule
+    is one lexsort over (text, rank, id) per bucket group, with the
+    source->rank map applied per DISTINCT source value (dictionary
+    encode), never per row.
+    """
+    rank_of = {s: i for i, s in enumerate(priority)}
+    unk = len(priority)
+
+    hashed = ds.map_batches(
+        lambda b: _text_hash_batch(b, text_col), batch_format="pyarrow"
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        hb = pc.cast(
+            pc.bit_wise_and(
+                b.column("text_hash"),
+                pa.scalar(n_shuffle_buckets - 1, pa.uint64()),
+            ),
+            pa.int32(),
+        )
+        return b.append_column("hash_bucket", hb)
+
+    def keep_best(tbl: pa.Table) -> pa.Table:
+        texts = pc.dictionary_encode(tbl.column(text_col).combine_chunks())
+        codes = texts.indices.to_numpy(zero_copy_only=False)
+        src = pc.dictionary_encode(tbl.column(source_col).combine_chunks())
+        dict_ranks = np.array(
+            [rank_of.get(s, unk) for s in src.dictionary.to_pylist()],
+            np.int64,
+        )
+        ranks = dict_ranks[src.indices.to_numpy(zero_copy_only=False)]
+        ids = (
+            tbl.column(id_col)
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((ids, ranks, codes))
+        first = np.concatenate(
+            [[True], codes[order][1:] != codes[order][:-1]]
+        )
+        return tbl.take(pa.array(np.sort(order[first]), pa.int64()))
+
+    return (
+        hashed.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("hash_bucket")
+        .map_groups(keep_best, batch_format="pyarrow")
+        .drop_columns(["text_hash", "hash_bucket"])
+    )

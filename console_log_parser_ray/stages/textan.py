@@ -7,6 +7,7 @@ heuristic), and rolling-hash document fingerprinting.
 
 from __future__ import annotations
 
+import math
 import re
 
 import numpy as np
@@ -1324,3 +1325,199 @@ def cooccur_topk(
         )
         .limit(k)
     )
+
+
+def unigram_logprob(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    scale: int = 1_000_000,
+):
+    """CCNet-style unigram language-model quality score: each
+    document's log-probability under the corpus's own unigram
+    distribution (low average log-prob = rare/garbled vocabulary --
+    the classic perplexity-filter signal, with the corpus itself as
+    the LM so no external model is needed).
+
+    Exactness contract: per-token log-probabilities are QUANTIZED to
+    integer micro-nats, ``lp(tok) = floor((ln(c_tok) - ln(C)) *
+    scale)`` with ``c_tok`` the token's corpus occurrence count and
+    ``C`` the corpus total.  ``ln`` is evaluated by ``math.log``
+    (libm), which is bit-identical to DuckDB's ``ln`` (numpy's SIMD
+    log is NOT -- it diverges at the ULP); the quantized values are
+    then plain int64, so every downstream sum is order-free and the
+    SQL mirror is exact.  The one float column, ``avg_logprob``, is a
+    single IEEE division of exact integers.
+
+    Plan: pass 1 streams the corpus once for the total token count
+    ``C`` (per-block partials, zero shuffle, one driver scalar); pass
+    2 is the shared ``_explode_tok_occ`` front half -- token-hash
+    bucket groups own every occurrence row of their tokens, so each
+    token's corpus count (and its ``math.log``, evaluated once per
+    DISTINCT count value) is computed locally, no vocabulary table,
+    no broadcast -- followed by one partial+final ``groupby(doc_id)``
+    over integer contributions.  Documents with zero tokens vanish
+    (the unnest-based SQL shape).
+    """
+
+    def count_part(b: pa.Table) -> pa.Table:
+        n = pc.sum(
+            pc.count_substring_regex(
+                pc.fill_null(b.column(text_col), ""), _TOKEN_RE
+            )
+        ).as_py()
+        return pa.table({"n": pa.array([int(n or 0)], pa.int64())})
+
+    parts = ds.map_batches(count_part, batch_format="pyarrow").take_all()
+    c_total = sum(r["n"] for r in parts)
+    if c_total == 0:
+        raise ValueError("unigram_logprob: corpus has no tokens")
+    ln_total = math.log(float(c_total))
+    scale_f = float(scale)
+
+    def lp_in_bucket(tbl: pa.Table) -> pa.Table:
+        # every occurrence row of a token is in this group, so its
+        # corpus count is a local weighted bincount
+        enc = pc.dictionary_encode(tbl.column("tok").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        n_occ = tbl.column("n_occ").to_numpy(zero_copy_only=False)
+        cnt = np.zeros(len(enc.dictionary), np.int64)
+        np.add.at(cnt, codes, n_occ)
+        # math.log once per DISTINCT count value (libm == DuckDB ln);
+        # the expression tree mirrors the SQL literally:
+        # floor((ln(c) - ln(C)) * scale)
+        uniq = np.unique(cnt)
+        lp_uniq = np.array(
+            [
+                math.floor((math.log(float(c)) - ln_total) * scale_f)
+                for c in uniq
+            ],
+            np.int64,
+        )
+        row_lp = lp_uniq[np.searchsorted(uniq, cnt)][codes]
+        return pa.table(
+            {
+                id_col: tbl.column(id_col),
+                "occ": tbl.column("n_occ"),
+                "lp": pa.array(n_occ * row_lp, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("sum(occ)").to_numpy(zero_copy_only=False)
+        lp = b.column("sum(lp)").to_numpy(zero_copy_only=False)
+        # ONE IEEE division of exact integers (int64 -> float64 is
+        # exact below 2^53) -- the SQL mirror casts the same way
+        avg = lp.astype(np.float64) / (scale * n).astype(np.float64)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "n_tokens": pa.array(n, pa.int64()),
+                "logprob_q": pa.array(lp, pa.int64()),
+                "avg_logprob": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            lambda b: _explode_tok_occ(b, text_col, id_col, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("jb")
+        .map_groups(lp_in_bucket, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("occ"), Sum("lp"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def vocab_oov(
+    ds,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+):
+    """Vocabulary coverage: build the corpus's top-``vocab_size``
+    token vocabulary (by occurrence count, ties by token ascending)
+    and score every document's out-of-vocabulary rate against it --
+    the tokenizer-coverage check run before committing a vocab to a
+    training run.
+
+    Plan: pass 1 reuses the token-hash bucket front half; a token
+    lives wholly in one bucket, so the global top-V is a subset of
+    the union of per-bucket top-Vs -- each bucket emits at most V
+    candidate rows and the driver folds <= n_buckets * V rows (never
+    the vocabulary).  Pass 2 broadcasts the tiny vocab array and
+    counts OOV occurrences per document vectorized (one split + one
+    ``pc.is_in`` + one segmented sum per batch, zero shuffles).
+    Integer counts end to end; ``oov_rate`` is one IEEE division.
+    Zero-token documents vanish (the unnest-based SQL shape).
+    """
+
+    def bucket_top(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by("tok").aggregate([("n_occ", "sum")])
+        toks = agg.column("tok").combine_chunks()
+        cnts = agg.column("n_occ_sum").to_numpy(zero_copy_only=False)
+        order = np.lexsort(
+            (np.asarray(toks.to_pylist(), dtype=object), -cnts)
+        )[:vocab_size]
+        return pa.table(
+            {
+                "tok": toks.take(pa.array(order, pa.int64())),
+                "c": pa.array(cnts[order], pa.int64()),
+            }
+        )
+
+    cand = (
+        ds.map_batches(
+            lambda b: _explode_tok_occ(b, text_col, id_col, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("jb")
+        .map_groups(bucket_top, batch_format="pyarrow")
+        .take_all()
+    )
+    cand.sort(key=lambda r: (-r["c"], r["tok"]))
+    vocab = pa.array([r["tok"] for r in cand[:vocab_size]], pa.string())
+
+    def oov_batch(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b.column(text_col).combine_chunks(), "")
+        lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+        flat = lists.flatten()
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offsets = offsets - offsets[0]
+        row_idx = np.repeat(
+            np.arange(len(texts), dtype=np.int64), np.diff(offsets)
+        )
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        oov = pc.invert(
+            pc.is_in(flat, value_set=vocab)
+        ).to_numpy(zero_copy_only=False)
+        n_tok = np.bincount(
+            row_idx, weights=nonempty, minlength=len(texts)
+        ).astype(np.int64)
+        n_oov = np.bincount(
+            row_idx, weights=nonempty & oov, minlength=len(texts)
+        ).astype(np.int64)
+        keep = n_tok > 0
+        rate = n_oov[keep].astype(np.float64) / n_tok[keep].astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                id_col: b.column(id_col).combine_chunks().filter(
+                    pa.array(keep)
+                ),
+                "n_tokens": pa.array(n_tok[keep], pa.int64()),
+                "n_oov": pa.array(n_oov[keep], pa.int64()),
+                "oov_rate": pa.array(rate, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(oov_batch, batch_format="pyarrow")

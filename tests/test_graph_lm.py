@@ -1,0 +1,236 @@
+"""Tests for the graph (pagerank) and LM-quality (unigram logprob,
+vocab/OOV, priority dedup) operator families."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _pagerank_reference(edges, iterations=3, quantum=10**12):
+    """Pure-Python integer reference: same floor arithmetic."""
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    n = len(deg)
+    r = {u: quantum // n for u in deg}
+    base = (15 * quantum) // (100 * n)
+    for _ in range(iterations):
+        s = defaultdict(int)
+        for u, v in edges:
+            s[v] += r[u] // deg[u]
+        r = {v: base + (85 * sv) // 100 for v, sv in s.items()}
+    return r
+
+
+def test_pagerank_matches_integer_reference(ray_session):
+    ray = ray_session
+    rng = np.random.default_rng(7)
+    # random symmetric graph: every node has outdeg and indeg >= 1
+    pairs = set()
+    for _ in range(300):
+        a, b = rng.integers(0, 40, 2)
+        if a != b:
+            pairs.add((int(a), int(b)))
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    from console_log_parser_ray.stages.graph import pagerank
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    got = {r["node"]: r["rank_q"] for r in pagerank(ds, iterations=3).take_all()}
+    want = _pagerank_reference(edges, iterations=3)
+    assert got == want
+    # mass conserved up to floor losses (one unit per floor division)
+    total = sum(got.values())
+    assert 0 <= 10**12 - total < 10**12 * 1e-6
+    # partition invariance: a different bucket count is bit-identical
+    got17 = {
+        r["node"]: r["rank_q"]
+        for r in pagerank(ds, iterations=3, n_buckets=17).take_all()
+    }
+    assert got17 == got
+
+
+def test_pagerank_hub_ranks_highest(ray_session):
+    ray = ray_session
+    # star graph: hub 0 linked to 1..9 both ways
+    edges = [(0, i) for i in range(1, 10)] + [(i, 0) for i in range(1, 10)]
+    from console_log_parser_ray.stages.graph import pagerank
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    got = {r["node"]: r["rank_q"] for r in pagerank(ds).take_all()}
+    assert got[0] == max(got.values())
+    assert len(set(got[i] for i in range(1, 10))) == 1
+
+
+def test_symmetric_edges_dedup_and_offset(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.graph import symmetric_edges
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 1, 2, 2], pa.int64()),
+                "b": pa.array([5, 5, 5, 6], pa.int64()),
+            }
+        )
+    )
+    rows = sorted(
+        (r["src"], r["dst"])
+        for r in symmetric_edges(ds, "a", "b", b_offset=100).take_all()
+    )
+    assert rows == [
+        (1, 105),
+        (2, 105),
+        (2, 106),
+        (105, 1),
+        (105, 2),
+        (106, 2),
+    ]
+
+
+def test_unigram_logprob_hand_computed(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.textan import unigram_logprob
+
+    # corpus: 6 tokens total; counts: a=3, b=2, c=1
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a a b", "b a c", "", None], pa.string()),
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in unigram_logprob(
+            ray.data.from_arrow(docs), n_buckets=4
+        ).take_all()
+    }
+    # zero-token docs vanish (the unnest-based SQL shape)
+    assert set(out) == {1, 2}
+    lnc = math.log(6.0)
+    lp = {
+        t: math.floor((math.log(float(c)) - lnc) * 1e6)
+        for t, c in {"a": 3, "b": 2, "c": 1}.items()
+    }
+    want1 = 2 * lp["a"] + lp["b"]
+    want2 = lp["b"] + lp["a"] + lp["c"]
+    assert out[1]["n_tokens"] == 3 and out[1]["logprob_q"] == want1
+    assert out[2]["n_tokens"] == 3 and out[2]["logprob_q"] == want2
+    assert out[1]["avg_logprob"] == np.float64(want1) / np.float64(3e6)
+    # rarer vocabulary scores lower
+    assert out[2]["avg_logprob"] < out[1]["avg_logprob"]
+
+
+def test_unigram_logprob_partition_invariant(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.textan import unigram_logprob
+
+    rng = np.random.default_rng(11)
+    texts = [
+        " ".join(rng.choice(list("abcdefgh"), rng.integers(1, 30)))
+        for _ in range(200)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(200), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    a = {
+        r["doc_id"]: (r["n_tokens"], r["logprob_q"], r["avg_logprob"])
+        for r in unigram_logprob(ray.data.from_arrow(tbl)).take_all()
+    }
+    b = {
+        r["doc_id"]: (r["n_tokens"], r["logprob_q"], r["avg_logprob"])
+        for r in unigram_logprob(
+            ray.data.from_arrow(tbl).repartition(7), n_buckets=5
+        ).take_all()
+    }
+    assert a == b
+
+
+def test_vocab_oov_cut_and_ties(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.textan import vocab_oov
+
+    # counts: x=3, y=2, z=2, w=1 -> V=2 vocab is {x, y} (tie y<z)
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["x x y z", "x y z w", ""], pa.string()),
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in vocab_oov(
+            ray.data.from_arrow(docs), vocab_size=2, n_buckets=3
+        ).take_all()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 1
+    assert out[2]["n_tokens"] == 4 and out[2]["n_oov"] == 2
+    assert out[2]["oov_rate"] == np.float64(2) / np.float64(4)
+
+
+def test_exact_dedup_priority(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.dedup import exact_dedup_priority
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "source": pa.array(
+                ["crawl", "curated", "other", "crawl", "crawl", "books"],
+                pa.string(),
+            ),
+            "text": pa.array(
+                ["dup", "dup", "dup", "solo", "tie", "tie"], pa.string()
+            ),
+        }
+    )
+    out = exact_dedup_priority(
+        ray.data.from_arrow(docs),
+        priority=("curated", "books", "crawl"),
+        n_shuffle_buckets=4,
+    ).take_all()
+    kept = {r["text"]: (r["doc_id"], r["source"]) for r in out}
+    # "dup": curated wins over crawl; "other" is unlisted -> last
+    assert kept["dup"] == (2, "curated")
+    assert kept["solo"] == (4, "crawl")
+    # "tie": books (rank 1) beats crawl (rank 2) regardless of id
+    assert kept["tie"] == (6, "books")
+    assert len(out) == 3
+
+
+def test_exact_dedup_priority_id_tiebreak(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.dedup import exact_dedup_priority
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([9, 3, 5], pa.int64()),
+            "source": pa.array(["s", "s", "s"], pa.string()),
+            "text": pa.array(["t", "t", "t"], pa.string()),
+        }
+    )
+    out = exact_dedup_priority(
+        ray.data.from_arrow(docs), priority=("s",)
+    ).take_all()
+    assert [r["doc_id"] for r in out] == [3]

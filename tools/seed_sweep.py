@@ -2442,6 +2442,142 @@ def cdc_fuzzy_family(seed):
             print(f"FAIL top_paths_g{gp} seed={seed}", flush=True)
 
 
+def graph_lm_family(seed):
+    """Round-4 closing additions: integer-quantized PageRank (vs a
+    pure-Python integer reference on a random symmetric graph),
+    unigram-LM logprob quality scores, vocabulary/OOV coverage, and
+    cross-source priority dedup (each vs DuckDB on a random
+    multi-source corpus with planted duplicates)."""
+    from console_log_parser_ray.stages.dedup import exact_dedup_priority
+    from console_log_parser_ray.stages.graph import pagerank
+    from console_log_parser_ray.stages.textan import (
+        unigram_logprob,
+        vocab_oov,
+    )
+
+    rng = np.random.default_rng(seed)
+
+    # --- pagerank: random symmetric multigraph, python int reference
+    pairs = set()
+    while len(pairs) < 120:
+        a, b = rng.integers(0, 30, 2)
+        if a != b:
+            pairs.add((int(a), int(b)))
+    edges = [e for p_ in pairs for e in (p_, p_[::-1])]
+    eds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    ).repartition(5)
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    n = len(deg)
+    r = {u: 10**12 // n for u in deg}
+    base = (15 * 10**12) // (100 * n)
+    for _ in range(3):
+        acc = defaultdict(int)
+        for u, v in edges:
+            acc[v] += r[u] // deg[u]
+        r = {v: base + (85 * sv) // 100 for v, sv in acc.items()}
+    mine = pagerank(eds, iterations=3, n_buckets=13).to_pandas()
+    ref = pd.DataFrame(
+        {"node": list(r), "rank_q": [r[k] for k in r]}
+    )
+    check("pagerank", seed, mine, ref, ["node"], ["rank_q"])
+
+    # --- shared random multi-source corpus
+    vocab = np.array(
+        ["t%d" % i for i in range(12)] + ["ünïc", "x!y", "9.9"]
+    )
+    n_docs = 120
+
+    def mk_text():
+        return " ".join(rng.choice(vocab, rng.integers(0, 25)))
+
+    texts = [mk_text() for _ in range(n_docs)]
+    for _ in range(15):
+        i, j = rng.integers(0, n_docs, 2)
+        texts[i] = texts[j]
+    for i in rng.integers(0, n_docs, 4):
+        texts[i] = ""
+    sources = rng.choice(["s0", "s1", "s2", "s3"], n_docs)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(1, n_docs + 1, dtype=np.int64)),
+            "source": pa.array(sources),
+            "text": pa.array(texts),
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    dds = lambda: ray.data.from_arrow(docs).repartition(7)  # noqa: E731
+
+    mine = unigram_logprob(dds(), n_buckets=9).to_pandas()
+    ref = con.execute(
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+        "FROM documents), "
+        "occ AS (SELECT doc_id, tok, count(*) AS n_occ FROM toks "
+        "GROUP BY doc_id, tok), "
+        "cnt AS (SELECT tok, CAST(sum(n_occ) AS BIGINT) AS c FROM occ "
+        "GROUP BY tok), "
+        "tot AS (SELECT CAST(sum(n_occ) AS BIGINT) AS ct FROM occ), "
+        "lp AS (SELECT tok, CAST(floor((ln(CAST(c AS DOUBLE)) - "
+        "ln(CAST((SELECT ct FROM tot) AS DOUBLE))) * 1000000.0) "
+        "AS BIGINT) AS lp FROM cnt) "
+        "SELECT o.doc_id, CAST(sum(o.n_occ) AS BIGINT) AS n_tokens, "
+        "CAST(sum(o.n_occ * l.lp) AS BIGINT) AS logprob_q, "
+        "CAST(sum(o.n_occ * l.lp) AS DOUBLE) / "
+        "CAST(1000000 * sum(o.n_occ) AS DOUBLE) AS avg_logprob "
+        "FROM occ o JOIN lp l USING (tok) GROUP BY o.doc_id"
+    ).fetchdf()
+    check(
+        "unigram_logprob", seed, mine, ref,
+        ["doc_id"], ["n_tokens", "logprob_q", "avg_logprob"],
+    )
+
+    v = int(rng.integers(3, 10))
+    mine = vocab_oov(dds(), vocab_size=v, n_buckets=9).to_pandas()
+    ref = con.execute(
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+        "FROM documents), "
+        "cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
+        "vocab AS (SELECT tok FROM cnt QUALIFY "
+        f"row_number() OVER (ORDER BY c DESC, tok) <= {v}) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) FILTER (WHERE tok NOT IN "
+        "(SELECT tok FROM vocab)) AS BIGINT) AS n_oov, "
+        "CAST(count(*) FILTER (WHERE tok NOT IN "
+        "(SELECT tok FROM vocab)) AS DOUBLE) / "
+        "CAST(count(*) AS DOUBLE) AS oov_rate "
+        "FROM toks GROUP BY doc_id"
+    ).fetchdf()
+    check(
+        "vocab_oov", seed, mine, ref,
+        ["doc_id"], ["n_tokens", "n_oov", "oov_rate"],
+    )
+
+    mine = exact_dedup_priority(
+        dds(), priority=("s2", "s0"), n_shuffle_buckets=8
+    ).to_pandas()
+    ref = con.execute(
+        "SELECT * FROM documents QUALIFY row_number() OVER "
+        "(PARTITION BY text ORDER BY CASE source "
+        "WHEN 's2' THEN 0 WHEN 's0' THEN 1 ELSE 2 END, doc_id) = 1"
+    ).fetchdf()
+    check(
+        "dedup_priority", seed, mine, ref,
+        ["doc_id"], ["source", "text"],
+    )
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -2460,10 +2596,11 @@ def main():
         misc_family(seed)
         olap_family(seed)
         cdc_fuzzy_family(seed)
+        graph_lm_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(92 comparison groups per seed)"
+        "(96 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
