@@ -2913,6 +2913,32 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iterations=3)
 
 
+def _q_bigram_lm(sf_dir: str):
+    """Bigram conditional-LM quality score (KenLM-shaped sibling of
+    unigram_lm): per-doc sum of quantized ln(c2(w1,w2)/c1(w1)) over
+    adjacent token pairs; bucketing by hash(w1) co-locates each
+    bigram with its conditioning unigram so both counts are
+    bucket-local (stages/textan.bigram_logprob)."""
+    from console_log_parser_ray.stages.textan import bigram_logprob
+
+    return bigram_logprob(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def _q_twap(sf_dir: str):
+    """Per-user time-weighted average of the event value stream
+    (integer cents x ms weights, one IEEE division; uniform
+    window-family bucket recipe) (stages/events.time_weighted_avg)."""
+    import ray.data
+
+    from console_log_parser_ray.stages.events import time_weighted_avg
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return time_weighted_avg(ev)
+
+
 _DEDUP_PRIORITY = ("src3", "src1", "src0")
 
 
@@ -3059,6 +3085,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_oov": _q_vocab_oov,
         "pagerank_parts": _q_pagerank_parts,
         "dedup_priority": _q_dedup_priority,
+        "bigram_lm": _q_bigram_lm,
+        "twap": _q_twap,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -4449,6 +4477,52 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY text ORDER BY CASE source "
         "WHEN 'src3' THEN 0 WHEN 'src1' THEN 1 WHEN 'src0' THEN 2 "
         "ELSE 3 END, doc_id) = 1"
+    )
+    out["bigram_lm"] = (
+        # zipped unnests build aligned (w1, w2) pairs; c1 is the sum
+        # of its bigram counts so conditionals normalize exactly; the
+        # quantized lp is the same floor/ln expression tree as the
+        # engine's (libm ln both sides)
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_extract_all(text, '\\S+') AS tk FROM documents), "
+        "big AS (SELECT doc_id, "
+        "unnest(list_transform(generate_series(1, len(tk)-1), "
+        "i -> tk[i])) AS w1, "
+        "unnest(list_transform(generate_series(1, len(tk)-1), "
+        "i -> tk[i+1])) AS w2 FROM toks WHERE len(tk) >= 2), "
+        "occ AS (SELECT doc_id, w1, w2, count(*) AS n_occ FROM big "
+        "GROUP BY ALL), "
+        "c2 AS (SELECT w1, w2, CAST(sum(n_occ) AS BIGINT) AS c "
+        "FROM occ GROUP BY w1, w2), "
+        "c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM c2 "
+        "GROUP BY w1), "
+        "lp AS (SELECT a.w1, a.w2, CAST(floor((ln(CAST(a.c AS DOUBLE)) "
+        "- ln(CAST(b.c1 AS DOUBLE))) * 1000000.0) AS BIGINT) AS lp "
+        "FROM c2 a JOIN c1 b ON a.w1 = b.w1) "
+        "SELECT o.doc_id, CAST(sum(o.n_occ) AS BIGINT) AS n_bigrams, "
+        "CAST(sum(o.n_occ * l.lp) AS BIGINT) AS logprob2_q, "
+        "CAST(sum(o.n_occ * l.lp) AS DOUBLE) / "
+        "CAST(1000000 * sum(o.n_occ) AS DOUBLE) AS avg_logprob2 "
+        "FROM occ o JOIN lp l ON o.w1 = l.w1 AND o.w2 = l.w2 "
+        "GROUP BY o.doc_id"
+    )
+    out["twap"] = (
+        # integer cents x ms interval weights under (ts, id) order;
+        # the last event of a user contributes nothing; one IEEE
+        # division, null when the span is all zero-length
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, "
+        "CAST(floor(value * 100) AS BIGINT) AS cents FROM events), "
+        "iv AS (SELECT user_id, cents, "
+        "(lead(us) OVER w - us) // 1000 AS dt_ms FROM e "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+        "agg AS (SELECT user_id, CAST(count(dt_ms) AS BIGINT) AS "
+        "n_intervals, CAST(sum(cents * dt_ms) AS BIGINT) AS "
+        "weighted_cents_ms, CAST(sum(dt_ms) AS BIGINT) AS span_ms "
+        "FROM iv WHERE dt_ms IS NOT NULL GROUP BY user_id) "
+        "SELECT user_id, n_intervals, weighted_cents_ms, span_ms, "
+        "CASE WHEN span_ms > 0 THEN CAST(weighted_cents_ms AS DOUBLE) "
+        "/ CAST(100 * span_ms AS DOUBLE) END AS twap "
+        "FROM agg WHERE n_intervals > 0"
     )
     out["scd2_state"] = (
         # SCD2: interval open at the key's next change, null for the

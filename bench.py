@@ -205,6 +205,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "vocab_oov",
         "pagerank_parts",
         "dedup_priority",
+        "bigram_lm",
+        "twap",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

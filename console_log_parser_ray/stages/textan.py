@@ -1521,3 +1521,143 @@ def vocab_oov(
         )
 
     return ds.map_batches(oov_batch, batch_format="pyarrow")
+
+
+def bigram_logprob(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    scale: int = 1_000_000,
+):
+    """Bigram conditional-LM quality score -- the KenLM-shaped sibling
+    of ``unigram_logprob``: each document's log-probability under the
+    corpus's own bigram model, ``sum over adjacent pairs (w1, w2) of
+    ln(c2(w1,w2) / c1(w1))`` with ``c2`` the corpus bigram count and
+    ``c1(w1) = sum_w2 c2(w1, w2)`` (occurrences of ``w1`` followed by
+    anything -- the conditional's own normalizer, so probabilities
+    per ``w1`` sum to 1 exactly).
+
+    Same exactness contract as the unigram operator: per-pair
+    log-probs quantized to integer micro-nats with libm ``ln``
+    (``math.log`` == DuckDB ``ln`` bit-for-bit; the surrounding
+    subtract/multiply/floor are single-rounding IEEE ops, identical
+    in numpy), sums order-free int64, one IEEE division at the end.
+
+    Plan: the batch explode builds aligned (w1, w2) arrays from the
+    shared token tape (two strided gathers, no string concat) and
+    pre-aggregates per (doc, w1, w2); bucketing by a hash of ``w1``
+    co-locates every bigram with its conditioning unigram, so BOTH
+    counts are local to one bucket group -- no second table, no join,
+    no broadcast.  One partial+final ``groupby(doc_id)`` finishes.
+    Documents with < 2 tokens vanish (the SQL mirror's
+    ``len(tk) >= 2`` shape).
+    """
+    empty = pa.schema(
+        [
+            ("jb", pa.int32()),
+            (id_col, pa.int64()),
+            ("w1", pa.string()),
+            ("w2", pa.string()),
+            ("n_occ", pa.int64()),
+        ]
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b.column(text_col).combine_chunks(), "")
+        ids = b.column(id_col).combine_chunks().cast(pa.int64())
+        flat, counts, new_off = _token_tape(texts)
+        n_grams = np.maximum(counts - 1, 0)
+        total = int(n_grams.sum())
+        if not total:
+            return empty.empty_table()
+        doc_idx = np.repeat(
+            np.arange(len(counts), dtype=np.int64), n_grams
+        )
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_grams)])[:-1], n_grams
+        )
+        starts = new_off[doc_idx] + within
+        pairs = pa.table(
+            {
+                id_col: pc.take(ids, pa.array(doc_idx, pa.int64())),
+                "w1": flat.take(pa.array(starts, pa.int64())),
+                "w2": flat.take(pa.array(starts + 1, pa.int64())),
+            }
+        )
+        occ = pairs.group_by([id_col, "w1", "w2"]).aggregate(
+            [("w2", "count")]
+        )
+        enc = pc.dictionary_encode(occ.column("w1").combine_chunks())
+        dict_hash = _token_bucket_hashes(enc.dictionary, _TOK_HASH_MEMO)
+        jb = dict_hash[enc.indices.to_numpy(zero_copy_only=False)] % (
+            n_buckets
+        )
+        return pa.table(
+            {
+                "jb": pa.array(jb.astype(np.int32), pa.int32()),
+                id_col: occ.column(id_col),
+                "w1": enc.dictionary.take(enc.indices),
+                "w2": occ.column("w2"),
+                "n_occ": occ.column("w2_count").cast(pa.int64()),
+            }
+        )
+
+    scale_f = float(scale)
+
+    def _ln_lookup(vals: np.ndarray) -> np.ndarray:
+        uniq = np.unique(vals)
+        lns = np.array([math.log(float(v)) for v in uniq], np.float64)
+        return lns[np.searchsorted(uniq, vals)]
+
+    def lp_in_bucket(tbl: pa.Table) -> pa.Table:
+        n_occ = tbl.column("n_occ").to_numpy(zero_copy_only=False)
+        e1 = pc.dictionary_encode(tbl.column("w1").combine_chunks())
+        e2 = pc.dictionary_encode(tbl.column("w2").combine_chunks())
+        k1 = e1.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k2 = e2.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # c1(w1): every bigram row with this w1 is in this group
+        c1 = np.zeros(len(e1.dictionary), np.int64)
+        np.add.at(c1, k1, n_occ)
+        # c2(w1, w2) via a combined code
+        comb = k1 * (len(e2.dictionary) + 1) + k2
+        uniq, inv = np.unique(comb, return_inverse=True)
+        c2u = np.zeros(len(uniq), np.int64)
+        np.add.at(c2u, inv, n_occ)
+        # floor((ln(c2) - ln(c1)) * scale): ln from libm per DISTINCT
+        # count value; subtract/multiply/floor are exact-IEEE and
+        # identical in numpy and DuckDB
+        lp = np.floor(
+            (_ln_lookup(c2u[inv]) - _ln_lookup(c1[k1])) * scale_f
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: tbl.column(id_col),
+                "occ": tbl.column("n_occ"),
+                "lp": pa.array(n_occ * lp, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("sum(occ)").to_numpy(zero_copy_only=False)
+        lp = b.column("sum(lp)").to_numpy(zero_copy_only=False)
+        avg = lp.astype(np.float64) / (scale * n).astype(np.float64)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "n_bigrams": pa.array(n, pa.int64()),
+                "logprob2_q": pa.array(lp, pa.int64()),
+                "avg_logprob2": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(lp_in_bucket, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("occ"), Sum("lp"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -234,3 +234,117 @@ def test_exact_dedup_priority_id_tiebreak(ray_session):
         ray.data.from_arrow(docs), priority=("s",)
     ).take_all()
     assert [r["doc_id"] for r in out] == [3]
+
+
+def test_bigram_logprob_hand_computed(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.textan import bigram_logprob
+
+    # bigrams: (a,b)x2 from docs 1,2; (b,a) once; c1(a)=2, c1(b)=1
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a b a", "a b", "solo", ""], pa.string()),
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bigram_logprob(
+            ray.data.from_arrow(docs), n_buckets=4
+        ).take_all()
+    }
+    # docs with < 2 tokens vanish
+    assert set(out) == {1, 2}
+    # c2(a,b)=2, c2(b,a)=1, c1(a)=2, c1(b)=1
+    lp_ab = math.floor((math.log(2.0) - math.log(2.0)) * 1e6)
+    lp_ba = math.floor((math.log(1.0) - math.log(1.0)) * 1e6)
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["logprob2_q"] == lp_ab + lp_ba == 0
+    assert out[2]["n_bigrams"] == 1 and out[2]["logprob2_q"] == lp_ab
+
+
+def test_bigram_logprob_partition_invariant(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.textan import bigram_logprob
+
+    rng = np.random.default_rng(23)
+    texts = [
+        " ".join(rng.choice(list("abcd"), rng.integers(0, 20)))
+        for _ in range(150)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(150), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    a = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob2_q"], r["avg_logprob2"])
+        for r in bigram_logprob(ray.data.from_arrow(tbl)).take_all()
+    }
+    b = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob2_q"], r["avg_logprob2"])
+        for r in bigram_logprob(
+            ray.data.from_arrow(tbl).repartition(6), n_buckets=7
+        ).take_all()
+    }
+    assert a == b
+    # conditional probs normalize: a doc of one repeated token pair
+    # has logprob 0 only if that bigram is its w1's sole continuation
+    assert len(a) > 0
+
+
+def test_time_weighted_avg_hand_computed(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.events import time_weighted_avg
+
+    us = 1_000  # 1ms in us
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 8, 9, 9], pa.int64()),
+            "ts": pa.array(
+                [0, 10 * us, 30 * us, 5 * us, 100, 100], pa.timestamp("us")
+            ),
+            "value": pa.array([1.0, 2.0, 99.0, 5.0, 3.0, 4.0]),
+        }
+    )
+    out = {
+        r["user_id"]: r
+        for r in time_weighted_avg(
+            ray.data.from_arrow(tbl), n_buckets=4
+        ).take_all()
+    }
+    # user 8 has one event -> vanishes; user 9's one interval is
+    # zero-length (same ts, dt_ms = 0) -> kept with null twap
+    assert set(out) == {7, 9}
+    # user 7: 100c x 10ms + 200c x 20ms = 5000 cents-ms over 30ms
+    r7 = out[7]
+    assert r7["n_intervals"] == 2
+    assert r7["weighted_cents_ms"] == 100 * 10 + 200 * 20
+    assert r7["span_ms"] == 30
+    assert r7["twap"] == np.float64(5000) / np.float64(3000)
+    assert out[9]["span_ms"] == 0 and out[9]["twap"] is None
+
+
+def test_time_weighted_avg_tie_order(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.events import time_weighted_avg
+
+    # two events at the same ts: the (ts, id) order decides which
+    # value holds through the following interval
+    tbl = pa.table(
+        {
+            "event_id": pa.array([2, 1, 3], pa.int64()),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array([0, 0, 1000], pa.timestamp("us")),
+            "value": pa.array([9.0, 1.0, 0.0]),
+        }
+    )
+    (row,) = time_weighted_avg(
+        ray.data.from_arrow(tbl), n_buckets=2
+    ).take_all()
+    # order: id 1 (100c) then id 2 (900c) then id 3; the 1ms interval
+    # belongs to id 2's value
+    assert row["weighted_cents_ms"] == 900
+    assert row["span_ms"] == 1

@@ -2450,7 +2450,9 @@ def graph_lm_family(seed):
     multi-source corpus with planted duplicates)."""
     from console_log_parser_ray.stages.dedup import exact_dedup_priority
     from console_log_parser_ray.stages.graph import pagerank
+    from console_log_parser_ray.stages.events import time_weighted_avg
     from console_log_parser_ray.stages.textan import (
+        bigram_logprob,
         unigram_logprob,
         vocab_oov,
     )
@@ -2577,6 +2579,86 @@ def graph_lm_family(seed):
         ["doc_id"], ["source", "text"],
     )
 
+    mine = bigram_logprob(dds(), n_buckets=9).to_pandas()
+    ref = con.execute(
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_extract_all(text, '\\S+') AS tk FROM documents), "
+        "big AS (SELECT doc_id, "
+        "unnest(list_transform(generate_series(1, len(tk)-1), "
+        "i -> tk[i])) AS w1, "
+        "unnest(list_transform(generate_series(1, len(tk)-1), "
+        "i -> tk[i+1])) AS w2 FROM toks WHERE len(tk) >= 2), "
+        "occ AS (SELECT doc_id, w1, w2, count(*) AS n_occ FROM big "
+        "GROUP BY ALL), "
+        "c2 AS (SELECT w1, w2, CAST(sum(n_occ) AS BIGINT) AS c "
+        "FROM occ GROUP BY w1, w2), "
+        "c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM c2 "
+        "GROUP BY w1), "
+        "lp AS (SELECT a.w1, a.w2, CAST(floor((ln(CAST(a.c AS DOUBLE)) "
+        "- ln(CAST(b.c1 AS DOUBLE))) * 1000000.0) AS BIGINT) AS lp "
+        "FROM c2 a JOIN c1 b ON a.w1 = b.w1) "
+        "SELECT o.doc_id, CAST(sum(o.n_occ) AS BIGINT) AS n_bigrams, "
+        "CAST(sum(o.n_occ * l.lp) AS BIGINT) AS logprob2_q, "
+        "CAST(sum(o.n_occ * l.lp) AS DOUBLE) / "
+        "CAST(1000000 * sum(o.n_occ) AS DOUBLE) AS avg_logprob2 "
+        "FROM occ o JOIN lp l ON o.w1 = l.w1 AND o.w2 = l.w2 "
+        "GROUP BY o.doc_id"
+    ).fetchdf()
+    check(
+        "bigram_logprob", seed, mine, ref,
+        ["doc_id"], ["n_bigrams", "logprob2_q", "avg_logprob2"],
+    )
+
+    # --- TWAP over a random event stream with ts ties and singletons
+    n_ev = 400
+    ev = pa.table(
+        {
+            "event_id": pa.array(
+                np.arange(1, n_ev + 1, dtype=np.int64)
+            ),
+            "user_id": pa.array(
+                rng.integers(1, 40, n_ev).astype(np.int64)
+            ),
+            "ts": pa.array(
+                rng.integers(0, 50, n_ev).astype("datetime64[us]")
+                .astype("datetime64[us]")
+            ),
+            "value": pa.array(rng.uniform(-5, 5, n_ev)),
+        }
+    )
+    # microsecond-scale ties are the adversarial case; also spread
+    # some events over wide gaps
+    wide = rng.integers(0, n_ev, 50)
+    tsv = ev.column("ts").to_numpy(zero_copy_only=False).copy()
+    tsv[wide] = tsv[wide] + np.timedelta64(10**9, "us")
+    ev = ev.set_column(2, "ts", pa.array(tsv))
+    con2 = duckdb.connect()
+    con2.register("events", ev)
+    mine = time_weighted_avg(
+        ray.data.from_arrow(ev).repartition(6), n_buckets=7
+    ).to_pandas()
+    ref = con2.execute(
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, "
+        "CAST(floor(value * 100) AS BIGINT) AS cents FROM events), "
+        "iv AS (SELECT user_id, cents, "
+        "(lead(us) OVER w - us) // 1000 AS dt_ms FROM e "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+        "agg AS (SELECT user_id, CAST(count(dt_ms) AS BIGINT) AS "
+        "n_intervals, CAST(sum(cents * dt_ms) AS BIGINT) AS "
+        "weighted_cents_ms, CAST(sum(dt_ms) AS BIGINT) AS span_ms "
+        "FROM iv WHERE dt_ms IS NOT NULL GROUP BY user_id) "
+        "SELECT user_id, n_intervals, weighted_cents_ms, span_ms, "
+        "CASE WHEN span_ms > 0 THEN CAST(weighted_cents_ms AS DOUBLE) "
+        "/ CAST(100 * span_ms AS DOUBLE) END AS twap "
+        "FROM agg WHERE n_intervals > 0"
+    ).fetchdf()
+    check(
+        "twap", seed, mine, ref,
+        ["user_id"],
+        ["n_intervals", "weighted_cents_ms", "span_ms", "twap"],
+    )
+
+
 
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
@@ -2600,7 +2682,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(96 comparison groups per seed)"
+        "(98 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
