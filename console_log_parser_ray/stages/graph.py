@@ -30,6 +30,7 @@ def pagerank(
     quantum: int = 10**12,
     damp_num: int = 85,
     damp_den: int = 100,
+    max_broadcast_nodes: int = 5_000_000,
 ):
     """Integer-quantized PageRank over a directed edge table
     ``(src, dst)`` (int64 node ids, rows need not be distinct --
@@ -48,17 +49,24 @@ def pagerank(
     in-edges would silently leave the rank vector after the first
     groupby.
 
-    Scale shape: outdegrees come from per-block partial counts + one
-    tiny ``groupby(src)``; the degree column is attached to the edge
-    table through ONE co-partitioned ``hash_join`` and the result is
-    materialized once (the standard PageRank trade -- at cluster
-    scale you would write it hash-partitioned and keep the rank
-    vector co-partitioned on the same key).  Each iteration is one
-    co-partitioned join of the tiny ``(node, r)`` vector against the
-    edges plus one ``groupby(dst)`` sum; the rank vector (bounded by
-    node count, never edge count) is materialized per iteration to
-    keep plans shallow.  Nothing ever collects to the driver but the
-    node count.
+    Scale shape (size-adaptive, the repo's usual two-path recipe):
+    outdegrees come from per-block partial counts + one tiny
+    ``groupby(src)``.  Up to ``max_broadcast_nodes`` nodes, the rank
+    AND degree vectors broadcast once per iteration via ``ray.put``
+    (two sorted int64 arrays) and each iteration is ONE stateless
+    streaming pass over the materialized edge table -- per-block
+    Arrow ``group_by`` partials of integer contributions, driver-
+    folded with ``np.add.at`` -- zero shuffles after setup (the
+    k-means / Misra-Gries partial-fold pattern; int64 sums are
+    order-free so the result is bit-identical to the join path).
+    Above the cap, the degree column is attached through ONE
+    co-partitioned ``hash_join`` (materialized once) and each
+    iteration is one co-partitioned join of the ``(node, r)`` vector
+    against the edges plus one ``groupby(dst)`` sum -- nothing ever
+    collects to the driver but the node count, at the price of one
+    edge-table shuffle per iteration (the standard distributed-
+    PageRank trade; at cluster scale you would keep the edge table
+    hash-partitioned on src and co-locate the rank vector).
     """
     from console_log_parser_ray.stages.relational import hash_join
 
@@ -101,6 +109,68 @@ def pagerank(
                 "src": b.column("src").cast(pa.int64()),
                 "dst": b.column("dst").cast(pa.int64()),
             }
+        )
+
+    if n_nodes <= max_broadcast_nodes:
+        import ray
+
+        node_arr = []
+        deg_arr = []
+        for b in deg.iter_batches(batch_format="pyarrow"):
+            node_arr.append(b.column("node").to_numpy(zero_copy_only=False))
+            deg_arr.append(b.column("deg").to_numpy(zero_copy_only=False))
+        nodes = np.concatenate(node_arr)
+        order = np.argsort(nodes, kind="stable")
+        nodes = nodes[order]
+        deg_vec = np.concatenate(deg_arr)[order]
+        r_vec = np.full(n_nodes, r0, np.int64)
+        # materialize the (possibly lazily deduped) edge table once;
+        # each iteration is then pure map tasks over cached blocks
+        edges_cast = edges.map_batches(
+            cast_edges, batch_format="pyarrow"
+        ).materialize()
+
+        for _ in range(iterations):
+            ref = ray.put((nodes, deg_vec, r_vec))
+
+            def contrib_partial(b: pa.Table) -> pa.Table:
+                nd, dg, rv = ray.get(ref)
+                src = b.column("src").to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(nd, src)
+                c = rv[idx] // dg[idx]
+                part = pa.table(
+                    {
+                        "dst": b.column("dst"),
+                        "c": pa.array(c, pa.int64()),
+                    }
+                ).group_by("dst").aggregate([("c", "sum")])
+                return part
+
+            s_vec = np.zeros(n_nodes, np.int64)
+            for b in (
+                edges_cast.map_batches(
+                    contrib_partial, batch_format="pyarrow"
+                ).iter_batches(batch_format="pyarrow")
+            ):
+                di = np.searchsorted(
+                    nodes, b.column("dst").to_numpy(zero_copy_only=False)
+                )
+                np.add.at(
+                    s_vec,
+                    di,
+                    b.column("c_sum").to_numpy(zero_copy_only=False),
+                )
+            r_vec = base + (damp_num * s_vec) // damp_den
+
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "rank_q": pa.array(r_vec, pa.int64()),
+                }
+            )
         )
 
     edges_deg = (

@@ -58,6 +58,15 @@ def test_pagerank_matches_integer_reference(ray_session):
         for r in pagerank(ds, iterations=3, n_buckets=17).take_all()
     }
     assert got17 == got
+    # the above-cap co-partitioned-join path is bit-identical to the
+    # broadcast partial-fold path
+    got_join = {
+        r["node"]: r["rank_q"]
+        for r in pagerank(
+            ds, iterations=3, max_broadcast_nodes=0
+        ).take_all()
+    }
+    assert got_join == got
 
 
 def test_pagerank_hub_ranks_highest(ray_session):
