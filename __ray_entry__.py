@@ -2924,6 +2924,37 @@ def _q_bigram_lm(sf_dir: str):
     return bigram_logprob(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_token_entropy(sf_dir: str):
+    """Per-document Shannon entropy of the document's own token
+    distribution in integer micro-nats (the repetitiveness quality
+    signal; fully batch-local, zero shuffles)
+    (stages/textan.token_entropy)."""
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import token_entropy
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return token_entropy(docs)
+
+
+def _q_kmv_users(sf_dir: str):
+    """KMV (bottom-k) distinct-count sketch over event user_ids:
+    the k smallest md5-prefix hashes plus the running estimate
+    curve, bit-reproducible vs the SQL mirror
+    (stages/sketch.kmv_distinct)."""
+    import ray.data
+
+    from console_log_parser_ray.stages.sketch import kmv_distinct
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    return kmv_distinct(ev, "user_id", k=256)
+
+
 def _q_twap(sf_dir: str):
     """Per-user time-weighted average of the event value stream
     (integer cents x ms weights, one IEEE division; uniform
@@ -3087,6 +3118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_priority": _q_dedup_priority,
         "bigram_lm": _q_bigram_lm,
         "twap": _q_twap,
+        "token_entropy": _q_token_entropy,
+        "kmv_users": _q_kmv_users,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -4523,6 +4556,40 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN span_ms > 0 THEN CAST(weighted_cents_ms AS DOUBLE) "
         "/ CAST(100 * span_ms AS DOUBLE) END AS twap "
         "FROM agg WHERE n_intervals > 0"
+    )
+    out["token_entropy"] = (
+        # per token type: c * floor((ln(n) - ln(c)) * scale); ln is
+        # libm on both sides, so entropy_q sums are exact int64 and
+        # avg_entropy is the same single IEEE division
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+        "FROM documents), "
+        "occ AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c "
+        "FROM toks GROUP BY doc_id, tok), "
+        "tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n "
+        "FROM occ GROUP BY doc_id) "
+        "SELECT o.doc_id, t.n AS n_tokens, "
+        "CAST(sum(o.c * CAST(floor((ln(CAST(t.n AS DOUBLE)) - "
+        "ln(CAST(o.c AS DOUBLE))) * 1000000.0) AS BIGINT)) AS BIGINT) "
+        "AS entropy_q, "
+        "CAST(sum(o.c * CAST(floor((ln(CAST(t.n AS DOUBLE)) - "
+        "ln(CAST(o.c AS DOUBLE))) * 1000000.0) AS BIGINT)) AS DOUBLE) "
+        "/ CAST(1000000 * t.n AS DOUBLE) AS avg_entropy "
+        "FROM occ o JOIN tot t USING (doc_id) GROUP BY o.doc_id, t.n"
+    )
+    out["kmv_users"] = (
+        # bottom-k sketch: k smallest 60-bit md5-prefix hashes of the
+        # distinct user ids + the running KMV estimate, every cell an
+        # exact integer on both sides ((j-1) << 60 floor-divided by
+        # the j-th hash; HUGEINT for the shifted numerator)
+        "WITH h AS (SELECT DISTINCT ('0x' || "
+        "substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h "
+        "FROM events WHERE user_id IS NOT NULL), "
+        "r AS (SELECT h, CAST(row_number() OVER (ORDER BY h) "
+        "AS BIGINT) AS rank FROM h ORDER BY h LIMIT 256) "
+        "SELECT rank, h, CAST((CAST(rank - 1 AS HUGEINT) * "
+        "CAST(1152921504606846976 AS HUGEINT)) // CAST(h AS HUGEINT) "
+        "AS BIGINT) AS est FROM r ORDER BY rank"
     )
     out["scd2_state"] = (
         # SCD2: interval open at the key's next change, null for the

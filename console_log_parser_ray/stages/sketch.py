@@ -213,3 +213,81 @@ def count_min_counts(
             }
         )
     )
+
+
+def kmv_distinct(ds, col: str, k: int = 256, hex_digits: int = 15):
+    """K-minimum-values (KMV / bottom-k) distinct-count sketch over a
+    column: keep the ``k`` smallest distinct hash values; the running
+    estimate at prefix size ``j`` is ``(j - 1) / U_j`` with ``U_j``
+    the ``j``-th smallest hash normalized to [0, 1) (Bar-Yossef et
+    al. 2002; Beyer et al., SIGMOD 2007).  The classic bounded-state
+    answer to COUNT(DISTINCT) at 100 TB: an exact distinct count is
+    an all-to-all shuffle of the whole key space, this is O(k) rows
+    per block and an O(blocks x k) driver fold, no shuffle at all.
+
+    Exactness contract (vs the SQL mirror, not vs the true count --
+    the sketch is approximate BY DESIGN but bit-reproducible): the
+    hash is the first ``hex_digits`` hex chars of md5 of the value's
+    decimal string (DuckDB: ``('0x' || substr(md5(CAST(col AS
+    VARCHAR)), 1, 15))::BIGINT``, 60 bits), hashed once per DISTINCT
+    value per block via dictionary encode; the estimate divisor is
+    the exact integer floor ``((j - 1) << 60) // h_j`` on both sides,
+    so every output cell is bit-identical.  Nulls are dropped (the
+    SQL ``WHERE col IS NOT NULL`` shape).
+
+    Returns ``(rank, h, est)`` -- the sketch itself plus the running
+    estimate curve; ``est`` at ``rank = k`` is the point estimate,
+    with relative error ~ 1/sqrt(k - 2).
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    full = 1 << (4 * hex_digits)
+
+    def minhash_part(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col).combine_chunks()
+        arr = arr.drop_null().cast(pa.string())
+        vals = pc.unique(arr)
+        hs = np.unique(
+            np.fromiter(
+                (
+                    int(
+                        hashlib.md5(v.encode()).hexdigest()[:hex_digits],
+                        16,
+                    )
+                    for v in vals.to_pylist()
+                ),
+                np.int64,
+                count=len(vals),
+            )
+        )[:k]
+        return pa.table({"h": pa.array(hs, pa.int64())})
+
+    parts = []
+    for tbl in ds.map_batches(
+        minhash_part, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        parts.append(tbl.column("h").to_numpy(zero_copy_only=False))
+    hs = (
+        np.unique(np.concatenate(parts))[:k]
+        if parts
+        else np.empty(0, np.int64)
+    )
+    ranks = np.arange(1, len(hs) + 1, dtype=np.int64)
+    # Python ints: (j-1) << 60 exceeds int64; both sides floor-divide
+    est = np.fromiter(
+        (((int(j) - 1) * full) // int(h) for j, h in zip(ranks, hs)),
+        np.int64,
+        count=len(hs),
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array(ranks, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "est": pa.array(est, pa.int64()),
+            }
+        )
+    )

@@ -1661,3 +1661,78 @@ def bigram_logprob(
         .aggregate(Sum("occ"), Sum("lp"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def token_entropy(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+):
+    """Per-document Shannon entropy of the document's OWN token
+    distribution, in integer micro-nats -- the repetitiveness /
+    diversity quality signal (near-zero entropy = template or
+    single-token spam text; the Gopher-class filter alongside
+    ``quality_signals`` and ``repetition_signals``).
+
+    Exactness contract: a token TYPE with in-doc count ``c`` in a
+    document of ``n`` tokens contributes ``c * floor((ln(n) - ln(c))
+    * scale)``; ``ln`` is ``math.log`` (libm, bit-identical to
+    DuckDB's ``ln`` -- numpy's SIMD log is not), evaluated once per
+    DISTINCT count value, and the floor/multiply run in IEEE double
+    with the identical expression tree, so the summed ``entropy_q``
+    is exact int64 and ``avg_entropy`` (nats) is one IEEE division.
+
+    Scale shape: a document is one row, so the whole operator is
+    batch-local -- one vectorized split + one Arrow ``group_by`` per
+    batch, zero shuffles, no vocabulary, no broadcast.  Zero-token
+    documents vanish (the unnest-based SQL shape).
+    """
+    scale_f = float(scale)
+
+    def ent_batch(b: pa.Table) -> pa.Table:
+        occ = _explode_tok_occ(b, text_col, id_col, n_buckets=1)
+        ids = occ.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "entropy_q": pa.array([], pa.int64()),
+                    "avg_entropy": pa.array([], pa.float64()),
+                }
+            )
+        n_occ = occ.column("n_occ").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids_s, c = ids[order], n_occ[order]
+        starts = np.flatnonzero(np.r_[True, ids_s[1:] != ids_s[:-1]])
+        doc_ids = ids_s[starts]
+        n_tok = np.add.reduceat(c, starts)
+        seg = np.repeat(
+            np.arange(len(starts), dtype=np.int64),
+            np.diff(np.r_[starts, len(ids_s)]),
+        )
+        # math.log once per DISTINCT value (libm == DuckDB ln); the
+        # expression tree mirrors the SQL literally:
+        # floor((ln(n) - ln(c)) * scale) * c
+        vals = np.unique(np.concatenate([c, n_tok]))
+        ln_map = np.array(
+            [math.log(float(v)) for v in vals], np.float64
+        )
+        ln_c = ln_map[np.searchsorted(vals, c)]
+        ln_n = ln_map[np.searchsorted(vals, n_tok)][seg]
+        contrib = c * np.floor((ln_n - ln_c) * scale_f).astype(np.int64)
+        ent_q = np.add.reduceat(contrib, starts)
+        avg = ent_q.astype(np.float64) / (scale * n_tok).astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                id_col: pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "entropy_q": pa.array(ent_q, pa.int64()),
+                "avg_entropy": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(ent_batch, batch_format="pyarrow")

@@ -357,3 +357,134 @@ def test_time_weighted_avg_tie_order(ray_session):
     # belongs to id 2's value
     assert row["weighted_cents_ms"] == 900
     assert row["span_ms"] == 1
+
+
+def _entropy_reference(text, scale=1_000_000):
+    from collections import Counter
+
+    toks = text.split()
+    n = len(toks)
+    cnt = Counter(toks)
+    q = sum(
+        c * math.floor((math.log(float(n)) - math.log(float(c))) * scale)
+        for c in cnt.values()
+    )
+    return n, q, q / (scale * n)
+
+
+def test_token_entropy_hand_computed(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.textan import token_entropy
+
+    docs = {
+        1: "a b c d",            # uniform: max entropy ln(4)
+        2: "x x x x x",          # single type: entropy 0
+        3: "cat cat dog",        # 2/3, 1/3 mix
+        4: "  lone  ",           # one token after split
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), pa.int64()),
+                "text": pa.array(list(docs.values()), pa.string()),
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["entropy_q"], r["avg_entropy"])
+        for r in token_entropy(ds).take_all()
+    }
+    assert set(got) == set(docs)
+    for did, text in docs.items():
+        assert got[did] == _entropy_reference(text)
+    assert got[2][1] == 0
+    # uniform doc: avg == floor(ln(4)*scale)/scale exactly
+    assert got[1][1] == 4 * math.floor(math.log(4.0) * 1_000_000)
+
+
+def test_token_entropy_partition_invariant_and_empty(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.textan import token_entropy
+
+    rng = np.random.default_rng(11)
+    vocab = ["t%d" % i for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(1, 60)))
+        for _ in range(200)
+    ] + ["", "   "]  # zero-token docs vanish
+    ds1 = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["entropy_q"])
+        for r in token_entropy(ds1).take_all()
+    }
+    assert len(got) == 200  # the two empty docs vanished
+    rep = token_entropy(
+        ds1.repartition(13)
+    ).take_all()
+    got13 = {r["doc_id"]: (r["n_tokens"], r["entropy_q"]) for r in rep}
+    assert got13 == got
+    for did, (n, q) in got.items():
+        rn, rq, _ = _entropy_reference(texts[did])
+        assert (n, q) == (rn, rq)
+
+
+def test_kmv_distinct_matches_reference_and_partitioning(ray_session):
+    ray = ray_session
+    import hashlib
+
+    from console_log_parser_ray.stages.sketch import kmv_distinct
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 4000, 20000).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"user_id": pa.array(vals, pa.int64())})
+    )
+    k = 64
+    got = kmv_distinct(ds, "user_id", k=k).take_all()
+    # brute-force reference: same md5-prefix hash over distinct values
+    hs = sorted(
+        {
+            int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            for v in set(vals.tolist())
+        }
+    )[:k]
+    assert [r["h"] for r in got] == hs
+    assert [r["rank"] for r in got] == list(range(1, k + 1))
+    for r in got:
+        assert r["est"] == ((r["rank"] - 1) << 60) // r["h"]
+    # point estimate lands within ~4/sqrt(k-2) of the truth
+    true = len(set(vals.tolist()))
+    est = got[-1]["est"]
+    assert abs(est - true) / true < 4 / math.sqrt(k - 2)
+    # partition-invariant (per-block partials fold to the same sketch)
+    got7 = kmv_distinct(
+        ds.repartition(7), "user_id", k=k
+    ).take_all()
+    assert [(r["rank"], r["h"], r["est"]) for r in got7] == [
+        (r["rank"], r["h"], r["est"]) for r in got
+    ]
+
+
+def test_kmv_distinct_small_exact_and_nulls(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.sketch import kmv_distinct
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(
+                    [1, 2, 2, 3, None, 3, 3], pa.int64()
+                )
+            }
+        )
+    )
+    got = kmv_distinct(ds, "user_id", k=16).take_all()
+    # distinct {1,2,3} < k: the sketch IS the full distinct hash set
+    assert len(got) == 3

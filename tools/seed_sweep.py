@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 92 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 100 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -58,6 +58,9 @@ Exit 0 = every comparison equal.  Each seed covers 92 comparison groups:
     salted skew join == unsalted (4 join types) / session-path
     mining (string_agg mirror, 2 gaps)
                                 (round-4 CDC + fuzzy family)
+  - integer PageRank == python int reference / unigram + bigram LM
+    logprob / vocab OOV / priority dedup / TWAP / token entropy /
+    KMV bottom-k sketch         (round-4 graph + LM family)
 """
 
 import os
@@ -2658,6 +2661,49 @@ def graph_lm_family(seed):
         ["n_intervals", "weighted_cents_ms", "span_ms", "twap"],
     )
 
+    # --- per-document token entropy over the shared corpus
+    from console_log_parser_ray.stages.textan import token_entropy
+
+    mine = token_entropy(dds()).to_pandas()
+    ref = con.execute(
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+        "FROM documents), "
+        "occ AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c "
+        "FROM toks GROUP BY doc_id, tok), "
+        "tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n "
+        "FROM occ GROUP BY doc_id) "
+        "SELECT o.doc_id, t.n AS n_tokens, "
+        "CAST(sum(o.c * CAST(floor((ln(CAST(t.n AS DOUBLE)) - "
+        "ln(CAST(o.c AS DOUBLE))) * 1000000.0) AS BIGINT)) AS BIGINT) "
+        "AS entropy_q, "
+        "CAST(sum(o.c * CAST(floor((ln(CAST(t.n AS DOUBLE)) - "
+        "ln(CAST(o.c AS DOUBLE))) * 1000000.0) AS BIGINT)) AS DOUBLE) "
+        "/ CAST(1000000 * t.n AS DOUBLE) AS avg_entropy "
+        "FROM occ o JOIN tot t USING (doc_id) GROUP BY o.doc_id, t.n"
+    ).fetchdf()
+    check(
+        "token_entropy", seed, mine, ref,
+        ["doc_id"], ["n_tokens", "entropy_q", "avg_entropy"],
+    )
+
+    # --- KMV bottom-k sketch over the TWAP event stream's user ids
+    from console_log_parser_ray.stages.sketch import kmv_distinct
+
+    mine = kmv_distinct(
+        ray.data.from_arrow(ev).repartition(6), "user_id", k=20
+    ).to_pandas()
+    ref = con2.execute(
+        "WITH h AS (SELECT DISTINCT ('0x' || "
+        "substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h "
+        "FROM events WHERE user_id IS NOT NULL), "
+        "r AS (SELECT h, CAST(row_number() OVER (ORDER BY h) "
+        "AS BIGINT) AS rank FROM h ORDER BY h LIMIT 20) "
+        "SELECT rank, h, CAST((CAST(rank - 1 AS HUGEINT) * "
+        "CAST(1152921504606846976 AS HUGEINT)) // CAST(h AS HUGEINT) "
+        "AS BIGINT) AS est FROM r ORDER BY rank"
+    ).fetchdf()
+    check("kmv_distinct", seed, mine, ref, ["rank"], ["h", "est"])
 
 
 def main():
@@ -2682,7 +2728,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(98 comparison groups per seed)"
+        "(100 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
