@@ -2940,6 +2940,36 @@ def _q_token_entropy(sf_dir: str):
     return token_entropy(docs)
 
 
+def _q_domain_kl(sf_dir: str):
+    """Per-source KL divergence of the source's unigram distribution
+    from the whole corpus (integer micro-nats; token-hash bucket
+    groups own both counts locally — the domain-shift diagnostic)
+    (stages/textan.domain_kl)."""
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import domain_kl
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+    return domain_kl(docs)
+
+
+def _q_pmi_topk(sf_dir: str):
+    """Top-k adjacent-token collocations by quantized PMI (word2vec
+    phrase detection; two post-aggregation bucket shuffles, the
+    corpus never shuffles) (stages/textan.pmi_topk)."""
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import pmi_topk
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return pmi_topk(docs, k=25, min_count=5)
+
+
 def _q_kmv_users(sf_dir: str):
     """KMV (bottom-k) distinct-count sketch over event user_ids:
     the k smallest md5-prefix hashes plus the running estimate
@@ -3120,6 +3150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twap": _q_twap,
         "token_entropy": _q_token_entropy,
         "kmv_users": _q_kmv_users,
+        "domain_kl": _q_domain_kl,
+        "pmi_topk": _q_pmi_topk,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -4576,6 +4608,60 @@ def oracle_sql() -> dict[str, str]:
         "ln(CAST(o.c AS DOUBLE))) * 1000000.0) AS BIGINT)) AS DOUBLE) "
         "/ CAST(1000000 * t.n AS DOUBLE) AS avg_entropy "
         "FROM occ o JOIN tot t USING (doc_id) GROUP BY o.doc_id, t.n"
+    )
+    out["domain_kl"] = (
+        # same floor/ln micro-nat tree as the engine, left-to-right
+        "WITH toks AS (SELECT source, "
+        "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+        "FROM documents), "
+        "ct AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_ct "
+        "FROM toks GROUP BY source, tok), "
+        "cc AS (SELECT source, CAST(sum(c_ct) AS BIGINT) AS c_c "
+        "FROM ct GROUP BY source), "
+        "t AS (SELECT tok, CAST(sum(c_ct) AS BIGINT) AS c_t "
+        "FROM ct GROUP BY tok), "
+        "tot AS (SELECT CAST(sum(c_ct) AS BIGINT) AS c FROM ct) "
+        "SELECT ct.source, cc.c_c AS n_tokens, "
+        "CAST(sum(ct.c_ct * CAST(floor((ln(CAST(ct.c_ct AS DOUBLE)) "
+        "- ln(CAST(cc.c_c AS DOUBLE)) - ln(CAST(t.c_t AS DOUBLE)) + "
+        "ln(CAST((SELECT c FROM tot) AS DOUBLE))) * 1000000.0) "
+        "AS BIGINT)) AS BIGINT) AS kl_q, "
+        "CAST(sum(ct.c_ct * CAST(floor((ln(CAST(ct.c_ct AS DOUBLE)) "
+        "- ln(CAST(cc.c_c AS DOUBLE)) - ln(CAST(t.c_t AS DOUBLE)) + "
+        "ln(CAST((SELECT c FROM tot) AS DOUBLE))) * 1000000.0) "
+        "AS BIGINT)) AS DOUBLE) / CAST(1000000 * cc.c_c AS DOUBLE) "
+        "AS kl_nats "
+        "FROM ct JOIN cc USING (source) JOIN t USING (tok) "
+        "GROUP BY ct.source, cc.c_c"
+    )
+    out["pmi_topk"] = (
+        # PMI with p2 from the bigram stream and p1 from the token
+        # stream; identical floor/ln micro-nat tree, exact top-k cut
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_extract_all(text, '\\S+') AS tk FROM documents), "
+        "uni AS (SELECT unnest(tk) AS tok FROM toks), "
+        "c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni "
+        "GROUP BY tok), "
+        "n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni), "
+        "big AS (SELECT unnest(list_transform("
+        "generate_series(1, len(tk)-1), i -> tk[i])) AS w1, "
+        "unnest(list_transform(generate_series(1, len(tk)-1), "
+        "i -> tk[i+1])) AS w2 FROM toks WHERE len(tk) >= 2), "
+        "c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c "
+        "FROM big GROUP BY w1, w2), "
+        "n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM big), "
+        "p AS (SELECT c2.w1, c2.w2, c2.c AS c2, "
+        "CAST(floor((ln(CAST(c2.c AS DOUBLE)) - "
+        "ln(CAST((SELECT n FROM n2) AS DOUBLE)) - "
+        "ln(CAST(a.c AS DOUBLE)) - ln(CAST(b.c AS DOUBLE)) + "
+        "ln(CAST((SELECT n FROM n1) AS DOUBLE)) + "
+        "ln(CAST((SELECT n FROM n1) AS DOUBLE))) * 1000000.0) "
+        "AS BIGINT) AS pmi_q "
+        "FROM c2 JOIN c1 a ON c2.w1 = a.tok "
+        "JOIN c1 b ON c2.w2 = b.tok WHERE c2.c >= 5) "
+        "SELECT w1, w2, c2, pmi_q FROM p QUALIFY "
+        "row_number() OVER (ORDER BY pmi_q DESC, w1, w2) <= 25 "
+        "ORDER BY pmi_q DESC, w1, w2"
     )
     out["kmv_users"] = (
         # bottom-k sketch: k smallest 60-bit md5-prefix hashes of the

@@ -1736,3 +1736,483 @@ def token_entropy(
         )
 
     return ds.map_batches(ent_batch, batch_format="pyarrow")
+
+
+def domain_kl(
+    ds,
+    class_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    scale: int = 1_000_000,
+):
+    """Per-class KL divergence of the class's unigram distribution
+    from the whole-corpus distribution, ``KL(P_class || P_corpus)``
+    in integer micro-nats -- the domain-shift diagnostic run before
+    committing a domain-mixing recipe (a class whose KL is near zero
+    adds no diversity; a huge KL flags vocabulary drift).
+
+    Exactness contract: a token type with in-class count ``c_ct``
+    contributes ``c_ct * floor((ln(c_ct) - ln(C_c) - ln(c_t) +
+    ln(C)) * scale)`` (``C_c`` class total, ``c_t`` corpus count of
+    the token, ``C`` corpus total); ``ln`` is ``math.log`` (libm ==
+    DuckDB ``ln``), evaluated once per DISTINCT count value, floor in
+    IEEE double with the identical left-to-right expression tree --
+    exact int64 sums, one IEEE division for ``kl_nats``.
+
+    Scale shape: classes are bounded (sources, languages), tokens are
+    not.  Pass 1 computes the per-class totals from per-block
+    partials (driver fold bounded by class count).  Pass 2 is the
+    shared token-hash bucket front half with the class id carried:
+    a bucket group owns every occurrence row of its tokens, so BOTH
+    the per-(class, token) count and the corpus count of the token
+    are bucket-local -- no vocabulary table, no join, no broadcast of
+    anything unbounded; each bucket emits <= n_classes partial rows
+    and the driver folds <= n_buckets x n_classes of them (both
+    factors bounded -- a Ray groupby here would pay a full fixed
+    all-to-all for a few hundred rows).  One shuffle total, over
+    (class, tok, n_occ) rows (post-aggregation size).
+    """
+
+    def class_part(b: pa.Table) -> pa.Table:
+        cls = pc.fill_null(b.column(class_col).combine_chunks(), "")
+        n = pc.count_substring_regex(
+            pc.fill_null(b.column(text_col), ""), _TOKEN_RE
+        ).cast(pa.int64())
+        return (
+            pa.table({"cls": cls, "n": n})
+            .group_by("cls")
+            .aggregate([("n", "sum")])
+        )
+
+    totals: dict[str, int] = {}
+    for tbl in ds.map_batches(
+        class_part, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for cls, n in zip(
+            tbl.column("cls").to_pylist(), tbl.column("n_sum").to_pylist()
+        ):
+            totals[cls] = totals.get(cls, 0) + int(n)
+    totals = {c: n for c, n in totals.items() if n > 0}
+    if not totals:
+        raise ValueError("domain_kl: corpus has no tokens")
+    classes = sorted(totals)
+    class_id = {c: i for i, c in enumerate(classes)}
+    c_total = sum(totals.values())
+    ln_total = math.log(float(c_total))
+    ln_cc = np.array(
+        [math.log(float(totals[c])) for c in classes], np.float64
+    )
+    cc_arr = np.array([totals[c] for c in classes], np.int64)
+    scale_f = float(scale)
+
+    def explode_cls(b: pa.Table) -> pa.Table:
+        cls = pc.fill_null(b.column(class_col).combine_chunks(), "")
+        enc = pc.dictionary_encode(cls)
+        dmap = np.array(
+            [class_id.get(c, -1) for c in enc.dictionary.to_pylist()],
+            np.int64,
+        )
+        cid = pa.array(
+            dmap[enc.indices.to_numpy(zero_copy_only=False)], pa.int64()
+        )
+        return _explode_tok_occ(
+            b.set_column(
+                b.schema.get_field_index(class_col), class_col, cid
+            ).rename_columns(
+                [
+                    "cid" if name == class_col else name
+                    for name in b.column_names
+                ]
+            ),
+            text_col,
+            "cid",
+            n_buckets,
+        )
+
+    def kl_in_bucket(tbl: pa.Table) -> pa.Table:
+        # every occurrence row of a token is in this group: both the
+        # (class, token) count and the token's corpus count are local
+        agg = tbl.group_by(["cid", "tok"]).aggregate([("n_occ", "sum")])
+        cid = agg.column("cid").to_numpy(zero_copy_only=False)
+        c_ct = agg.column("n_occ_sum").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(agg.column("tok").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        c_t = np.zeros(len(enc.dictionary), np.int64)
+        np.add.at(c_t, codes, c_ct)
+        vals = np.unique(np.concatenate([c_ct, c_t]))
+        ln_map = np.array(
+            [math.log(float(v)) for v in vals], np.float64
+        )
+        ln_cct = ln_map[np.searchsorted(vals, c_ct)]
+        ln_ct = ln_map[np.searchsorted(vals, c_t)][codes]
+        # identical left-to-right tree:
+        # floor((ln(c_ct) - ln(C_c) - ln(c_t) + ln(C)) * scale)
+        contrib = c_ct * np.floor(
+            (ln_cct - ln_cc[cid] - ln_ct + ln_total) * scale_f
+        ).astype(np.int64)
+        part = np.zeros(len(classes), np.int64)
+        np.add.at(part, cid, contrib)
+        nz = np.flatnonzero(part != 0)
+        # keep zero-sum classes that do appear in the bucket so every
+        # class with tokens survives to the final groupby
+        seen = np.unique(cid)
+        keep = np.union1d(nz, seen)
+        return pa.table(
+            {
+                "cid": pa.array(keep, pa.int64()),
+                "klp": pa.array(part[keep], pa.int64()),
+            }
+        )
+
+    import ray.data
+
+    kl_acc = np.zeros(len(classes), np.int64)
+    seen_cls = np.zeros(len(classes), bool)
+    for tbl in (
+        ds.map_batches(explode_cls, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(kl_in_bucket, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        cid = tbl.column("cid").to_numpy(zero_copy_only=False)
+        np.add.at(
+            kl_acc, cid, tbl.column("klp").to_numpy(zero_copy_only=False)
+        )
+        seen_cls[cid] = True
+    cid = np.flatnonzero(seen_cls)
+    klq = kl_acc[cid]
+    n_tok = cc_arr[cid]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                class_col: pa.array(
+                    [classes[i] for i in cid], pa.string()
+                ),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "kl_q": pa.array(klq, pa.int64()),
+                "kl_nats": pa.array(
+                    klq.astype(np.float64)
+                    / (scale * n_tok).astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+    )
+
+
+def pmi_topk(
+    ds,
+    text_col: str = "text",
+    k: int = 25,
+    min_count: int = 5,
+    n_buckets: int = 64,
+    scale: int = 1_000_000,
+):
+    """Top-``k`` adjacent-token collocations by pointwise mutual
+    information -- the word2vec phrase-detection signal (Mikolov et
+    al. 2013 score with explicit probabilities): ``PMI(w1, w2) =
+    ln p2(w1,w2) - ln p1(w1) - ln p1(w2)`` with ``p2`` from the
+    bigram stream (``N2`` pairs) and ``p1`` from the token stream
+    (``N1`` tokens), restricted to pairs seen >= ``min_count`` times.
+
+    Exactness contract: ``pmi_q = floor((ln(c2) - ln(N2) - ln(c1w1)
+    - ln(c1w2) + ln(N1) + ln(N1)) * scale)`` -- libm ``ln`` once per
+    DISTINCT count, the same left-to-right IEEE tree as the SQL, so
+    the quantized PMI and the (pmi_q DESC, w1, w2) top-k cut are
+    bit-exact.
+
+    Scale shape: one corpus explode emits per-batch pre-aggregated
+    unigram rows keyed by ``hash(tok)`` and bigram rows keyed by
+    ``hash(w1)`` into the SAME bucket space, so bucket pass 1 owns
+    every occurrence of its tokens AND of the pairs they lead:
+    ``c1(w1)`` attaches locally and ``min_count`` prunes the pair
+    table to collocation candidates before anything else moves.
+    Pass 2 re-buckets the surviving candidates by ``hash(w2)``
+    together with the (vocabulary-sized, post-aggregation) unigram
+    count rows -- ``c1(w2)`` attaches locally, each bucket emits its
+    own top-``k`` under the full sort key, and the driver folds
+    <= n_buckets x k rows.  Two shuffles, both over post-aggregation
+    rows; the corpus itself never shuffles.
+    """
+    empty = pa.schema(
+        [
+            ("jb", pa.int32()),
+            ("w1", pa.string()),
+            ("w2", pa.string()),
+            ("n_occ", pa.int64()),
+            ("kind", pa.int8()),
+        ]
+    )
+
+    def count_part(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b.column(text_col), "")
+        n1 = pc.sum(pc.count_substring_regex(texts, _TOKEN_RE)).as_py()
+        _, counts, _ = _token_tape(
+            pc.fill_null(b.column(text_col).combine_chunks(), "")
+        )
+        n2 = int(np.maximum(counts - 1, 0).sum())
+        return pa.table(
+            {
+                "n1": pa.array([int(n1 or 0)], pa.int64()),
+                "n2": pa.array([n2], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(count_part, batch_format="pyarrow").take_all()
+    n1_total = sum(r["n1"] for r in parts)
+    n2_total = sum(r["n2"] for r in parts)
+    if n2_total == 0:
+        raise ValueError("pmi_topk: corpus has no adjacent pairs")
+    ln_n1 = math.log(float(n1_total))
+    ln_n2 = math.log(float(n2_total))
+    scale_f = float(scale)
+
+    def explode(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b.column(text_col).combine_chunks(), "")
+        flat, counts, new_off = _token_tape(texts)
+        if len(flat) == 0:
+            return empty.empty_table()
+        uni = (
+            pa.table({"w1": flat})
+            .group_by("w1")
+            .aggregate([("w1", "count")])
+        )
+        e = pc.dictionary_encode(uni.column("w1").combine_chunks())
+        h = _token_bucket_hashes(e.dictionary, _TOK_HASH_MEMO)
+        jb_u = h[e.indices.to_numpy(zero_copy_only=False)] % n_buckets
+        out = [
+            pa.table(
+                {
+                    "jb": pa.array(jb_u.astype(np.int32), pa.int32()),
+                    "w1": uni.column("w1"),
+                    "w2": pa.array([""] * len(uni), pa.string()),
+                    "n_occ": uni.column("w1_count").cast(pa.int64()),
+                    "kind": pa.array(
+                        np.zeros(len(uni), np.int8), pa.int8()
+                    ),
+                }
+            )
+        ]
+        n_grams = np.maximum(counts - 1, 0)
+        total = int(n_grams.sum())
+        if total:
+            doc_idx = np.repeat(
+                np.arange(len(counts), dtype=np.int64), n_grams
+            )
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(n_grams)])[:-1], n_grams
+            )
+            starts = new_off[doc_idx] + within
+            pairs = (
+                pa.table(
+                    {
+                        "w1": flat.take(pa.array(starts, pa.int64())),
+                        "w2": flat.take(
+                            pa.array(starts + 1, pa.int64())
+                        ),
+                    }
+                )
+                .group_by(["w1", "w2"])
+                .aggregate([("w2", "count")])
+            )
+            e1 = pc.dictionary_encode(pairs.column("w1").combine_chunks())
+            h1 = _token_bucket_hashes(e1.dictionary, _TOK_HASH_MEMO)
+            jb_p = (
+                h1[e1.indices.to_numpy(zero_copy_only=False)] % n_buckets
+            )
+            out.append(
+                pa.table(
+                    {
+                        "jb": pa.array(
+                            jb_p.astype(np.int32), pa.int32()
+                        ),
+                        "w1": pairs.column("w1"),
+                        "w2": pairs.column("w2"),
+                        "n_occ": pairs.column("w2_count").cast(
+                            pa.int64()
+                        ),
+                        "kind": pa.array(
+                            np.ones(len(pairs), np.int8), pa.int8()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    def bucket1(tbl: pa.Table) -> pa.Table:
+        kind = tbl.column("kind").to_numpy(zero_copy_only=False)
+        n_occ = tbl.column("n_occ").to_numpy(zero_copy_only=False)
+        w1 = tbl.column("w1").combine_chunks()
+        # c1 per local token (all corpus occurrences are here)
+        e1 = pc.dictionary_encode(w1)
+        k1 = e1.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = np.zeros(len(e1.dictionary), np.int64)
+        np.add.at(c1, k1[kind == 0], n_occ[kind == 0])
+        h_all = _token_bucket_hashes(e1.dictionary, _TOK_HASH_MEMO)
+        # re-emit the aggregated unigram rows, routed by hash(tok)
+        seen = np.unique(k1[kind == 0])
+        out = [
+            pa.table(
+                {
+                    "jb2": pa.array(
+                        (h_all[seen] % n_buckets).astype(np.int32),
+                        pa.int32(),
+                    ),
+                    "w1": e1.dictionary.take(
+                        pa.array(seen, pa.int64())
+                    ),
+                    "w2": pa.array([""] * len(seen), pa.string()),
+                    "c2": pa.array(c1[seen], pa.int64()),
+                    "c1w1": pa.array(
+                        np.zeros(len(seen), np.int64), pa.int64()
+                    ),
+                    "kind": pa.array(
+                        np.zeros(len(seen), np.int8), pa.int8()
+                    ),
+                }
+            )
+        ]
+        # pair counts + min_count prune + local c1(w1) attach
+        pr = kind == 1
+        if pr.any():
+            sub = pa.table(
+                {
+                    "w1": w1.filter(pa.array(pr)),
+                    "w2": tbl.column("w2").combine_chunks().filter(
+                        pa.array(pr)
+                    ),
+                    "n_occ": pa.array(n_occ[pr], pa.int64()),
+                }
+            )
+            agg = sub.group_by(["w1", "w2"]).aggregate([("n_occ", "sum")])
+            c2 = agg.column("n_occ_sum").to_numpy(zero_copy_only=False)
+            keep = c2 >= min_count
+            if keep.any():
+                kept = agg.filter(pa.array(keep))
+                ek = pc.dictionary_encode(
+                    kept.column("w1").combine_chunks()
+                )
+                # kept w1 dictionary is a subset of e1.dictionary's
+                # value space; re-look-up its c1 by value
+                pos = pc.index_in(ek.dictionary, e1.dictionary)
+                c1w1 = c1[pos.to_numpy(zero_copy_only=False)][
+                    ek.indices.to_numpy(zero_copy_only=False)
+                ]
+                ew2 = pc.dictionary_encode(
+                    kept.column("w2").combine_chunks()
+                )
+                h2 = _token_bucket_hashes(ew2.dictionary, _TOK_HASH_MEMO)
+                jb2 = (
+                    h2[ew2.indices.to_numpy(zero_copy_only=False)]
+                    % n_buckets
+                )
+                out.append(
+                    pa.table(
+                        {
+                            "jb2": pa.array(
+                                jb2.astype(np.int32), pa.int32()
+                            ),
+                            "w1": kept.column("w1"),
+                            "w2": kept.column("w2"),
+                            "c2": kept.column("n_occ_sum").cast(
+                                pa.int64()
+                            ),
+                            "c1w1": pa.array(c1w1, pa.int64()),
+                            "kind": pa.array(
+                                np.ones(len(kept), np.int8), pa.int8()
+                            ),
+                        }
+                    )
+                )
+        return pa.concat_tables(out)
+
+    def _ln_per_distinct(vals: np.ndarray) -> np.ndarray:
+        uniq = np.unique(vals)
+        lns = np.array([math.log(float(v)) for v in uniq], np.float64)
+        return lns[np.searchsorted(uniq, vals)]
+
+    def bucket2(tbl: pa.Table) -> pa.Table:
+        kind = tbl.column("kind").to_numpy(zero_copy_only=False)
+        uni_mask = kind == 0
+        pair_mask = ~uni_mask
+        if not pair_mask.any():
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "c2": pa.array([], pa.int64()),
+                    "pmi_q": pa.array([], pa.int64()),
+                }
+            )
+        toks = tbl.column("w1").combine_chunks().filter(
+            pa.array(uni_mask)
+        )
+        c1_vals = tbl.column("c2").to_numpy(zero_copy_only=False)[
+            uni_mask
+        ]
+        w2 = tbl.column("w2").combine_chunks().filter(
+            pa.array(pair_mask)
+        )
+        pos = pc.index_in(w2, toks).to_numpy(zero_copy_only=False)
+        c1w2 = c1_vals[pos]
+        c2 = tbl.column("c2").to_numpy(zero_copy_only=False)[pair_mask]
+        c1w1 = tbl.column("c1w1").to_numpy(zero_copy_only=False)[
+            pair_mask
+        ]
+        # identical left-to-right tree: floor((ln(c2) - ln(N2) -
+        # ln(c1w1) - ln(c1w2) + ln(N1) + ln(N1)) * scale)
+        pmi = np.floor(
+            (
+                _ln_per_distinct(c2)
+                - ln_n2
+                - _ln_per_distinct(c1w1)
+                - _ln_per_distinct(c1w2)
+                + ln_n1
+                + ln_n1
+            )
+            * scale_f
+        ).astype(np.int64)
+        w1p = tbl.column("w1").combine_chunks().filter(
+            pa.array(pair_mask)
+        )
+        order = np.lexsort(
+            (
+                np.asarray(w2.to_pylist(), dtype=object),
+                np.asarray(w1p.to_pylist(), dtype=object),
+                -pmi,
+            )
+        )[:k]
+        idx = pa.array(order, pa.int64())
+        return pa.table(
+            {
+                "w1": w1p.take(idx),
+                "w2": w2.take(idx),
+                "c2": pa.array(c2[order], pa.int64()),
+                "pmi_q": pa.array(pmi[order], pa.int64()),
+            }
+        )
+
+    import ray.data
+
+    cand = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(bucket1, batch_format="pyarrow")
+        .groupby("jb2")
+        .map_groups(bucket2, batch_format="pyarrow")
+        .take_all()
+    )
+    cand.sort(key=lambda r: (-r["pmi_q"], r["w1"], r["w2"]))
+    cand = cand[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "w1": pa.array([r["w1"] for r in cand], pa.string()),
+                "w2": pa.array([r["w2"] for r in cand], pa.string()),
+                "c2": pa.array([r["c2"] for r in cand], pa.int64()),
+                "pmi_q": pa.array(
+                    [r["pmi_q"] for r in cand], pa.int64()
+                ),
+            }
+        )
+    )

@@ -488,3 +488,132 @@ def test_kmv_distinct_small_exact_and_nulls(ray_session):
     got = kmv_distinct(ds, "user_id", k=16).take_all()
     # distinct {1,2,3} < k: the sketch IS the full distinct hash set
     assert len(got) == 3
+
+
+def _kl_reference(docs_by_class, scale=1_000_000):
+    """Pure-Python integer reference for domain_kl."""
+    from collections import Counter
+
+    ct = {c: Counter() for c in docs_by_class}
+    for c, texts in docs_by_class.items():
+        for t in texts:
+            ct[c].update(t.split())
+    cc = {c: sum(v.values()) for c, v in ct.items() if sum(v.values())}
+    corpus = Counter()
+    for c in cc:
+        corpus.update(ct[c])
+    ctot = sum(cc.values())
+    out = {}
+    for c in cc:
+        q = sum(
+            n
+            * math.floor(
+                (
+                    math.log(float(n))
+                    - math.log(float(cc[c]))
+                    - math.log(float(corpus[t]))
+                    + math.log(float(ctot))
+                )
+                * scale
+            )
+            for t, n in ct[c].items()
+        )
+        out[c] = (cc[c], q)
+    return out
+
+
+def test_domain_kl_reference_and_partitioning(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.textan import domain_kl
+
+    rng = np.random.default_rng(17)
+    vocab = ["v%d" % i for i in range(25)]
+    by_class = {
+        "narrow": [
+            " ".join(rng.choice(vocab[:5], rng.integers(1, 20)))
+            for _ in range(60)
+        ],
+        "broad": [
+            " ".join(rng.choice(vocab, rng.integers(1, 20)))
+            for _ in range(60)
+        ],
+        "empty": ["", "  "],
+    }
+    rows = [
+        (c, t) for c, texts in by_class.items() for t in texts
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    ref = _kl_reference(by_class)
+    got = {
+        r["source"]: (r["n_tokens"], r["kl_q"])
+        for r in domain_kl(ds, n_buckets=9).take_all()
+    }
+    assert got == ref  # all-empty class vanished
+    assert "empty" not in got
+    # narrow vocabulary diverges more than the full-vocab class
+    assert got["narrow"][1] / got["narrow"][0] > got["broad"][1] / (
+        got["broad"][0]
+    )
+    got5 = {
+        r["source"]: (r["n_tokens"], r["kl_q"])
+        for r in domain_kl(
+            ds.repartition(11), n_buckets=5
+        ).take_all()
+    }
+    assert got5 == got
+
+
+def test_pmi_topk_planted_collocation(ray_session):
+    ray = ray_session
+    from console_log_parser_ray.stages.textan import pmi_topk
+
+    rng = np.random.default_rng(23)
+    vocab = ["u%d" % i for i in range(30)]
+    texts = []
+    for _ in range(150):
+        toks = list(rng.choice(vocab, rng.integers(2, 25)))
+        if rng.random() < 0.6:
+            pos = int(rng.integers(0, len(toks)))
+            toks[pos:pos] = ["san", "francisco"]
+        texts.append(" ".join(toks))
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(texts, pa.string())})
+    )
+    got = pmi_topk(ds, k=10, min_count=3, n_buckets=7).take_all()
+    assert (got[0]["w1"], got[0]["w2"]) == ("san", "francisco")
+    # exact integer PMI of the planted pair, recomputed by hand
+    from collections import Counter
+
+    uni, big = Counter(), Counter()
+    for t in texts:
+        tk = t.split()
+        uni.update(tk)
+        big.update(zip(tk, tk[1:]))
+    n1, n2 = sum(uni.values()), sum(big.values())
+    c2 = big[("san", "francisco")]
+    want = math.floor(
+        (
+            math.log(float(c2))
+            - math.log(float(n2))
+            - math.log(float(uni["san"]))
+            - math.log(float(uni["francisco"]))
+            + math.log(float(n1))
+            + math.log(float(n1))
+        )
+        * 1_000_000
+    )
+    assert got[0]["pmi_q"] == want and got[0]["c2"] == c2
+    # partition/bucket invariance of the whole top-k
+    got2 = pmi_topk(
+        ds.repartition(9), k=10, min_count=3, n_buckets=13
+    ).take_all()
+    assert [(r["w1"], r["w2"], r["c2"], r["pmi_q"]) for r in got2] == [
+        (r["w1"], r["w2"], r["c2"], r["pmi_q"]) for r in got
+    ]

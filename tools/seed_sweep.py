@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 100 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 102 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -59,7 +59,7 @@ Exit 0 = every comparison equal.  Each seed covers 100 comparison groups:
     mining (string_agg mirror, 2 gaps)
                                 (round-4 CDC + fuzzy family)
   - integer PageRank == python int reference / unigram + bigram LM
-    logprob / vocab OOV / priority dedup / TWAP / token entropy /
+    logprob / vocab OOV / priority dedup / TWAP / token entropy / domain KL / PMI collocations /
     KMV bottom-k sketch         (round-4 graph + LM family)
 """
 
@@ -2705,6 +2705,82 @@ def graph_lm_family(seed):
     ).fetchdf()
     check("kmv_distinct", seed, mine, ref, ["rank"], ["h", "est"])
 
+    # --- per-class KL divergence over the shared multi-source corpus
+    from console_log_parser_ray.stages.textan import domain_kl
+
+    mine = domain_kl(dds(), n_buckets=9).to_pandas()
+    ref = con.execute(
+        "WITH toks AS (SELECT source, "
+        "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+        "FROM documents), "
+        "ct AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_ct "
+        "FROM toks GROUP BY source, tok), "
+        "cc AS (SELECT source, CAST(sum(c_ct) AS BIGINT) AS c_c "
+        "FROM ct GROUP BY source), "
+        "t AS (SELECT tok, CAST(sum(c_ct) AS BIGINT) AS c_t "
+        "FROM ct GROUP BY tok), "
+        "tot AS (SELECT CAST(sum(c_ct) AS BIGINT) AS c FROM ct) "
+        "SELECT ct.source, cc.c_c AS n_tokens, "
+        "CAST(sum(ct.c_ct * CAST(floor((ln(CAST(ct.c_ct AS DOUBLE)) "
+        "- ln(CAST(cc.c_c AS DOUBLE)) - ln(CAST(t.c_t AS DOUBLE)) + "
+        "ln(CAST((SELECT c FROM tot) AS DOUBLE))) * 1000000.0) "
+        "AS BIGINT)) AS BIGINT) AS kl_q, "
+        "CAST(sum(ct.c_ct * CAST(floor((ln(CAST(ct.c_ct AS DOUBLE)) "
+        "- ln(CAST(cc.c_c AS DOUBLE)) - ln(CAST(t.c_t AS DOUBLE)) + "
+        "ln(CAST((SELECT c FROM tot) AS DOUBLE))) * 1000000.0) "
+        "AS BIGINT)) AS DOUBLE) / CAST(1000000 * cc.c_c AS DOUBLE) "
+        "AS kl_nats "
+        "FROM ct JOIN cc USING (source) JOIN t USING (tok) "
+        "GROUP BY ct.source, cc.c_c"
+    ).fetchdf()
+    check(
+        "domain_kl", seed, mine, ref,
+        ["source"], ["n_tokens", "kl_q", "kl_nats"],
+    )
+
+    # --- PMI collocations over the shared corpus (low min_count so
+    # random pairs clear it)
+    from console_log_parser_ray.stages.textan import pmi_topk
+
+    mine = pmi_topk(
+        dds(), k=15, min_count=2, n_buckets=7
+    ).to_pandas()
+    ref = con.execute(
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_extract_all(text, '\\S+') AS tk FROM documents), "
+        "uni AS (SELECT unnest(tk) AS tok FROM toks), "
+        "c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni "
+        "GROUP BY tok), "
+        "n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni), "
+        "big AS (SELECT unnest(list_transform("
+        "generate_series(1, len(tk)-1), i -> tk[i])) AS w1, "
+        "unnest(list_transform(generate_series(1, len(tk)-1), "
+        "i -> tk[i+1])) AS w2 FROM toks WHERE len(tk) >= 2), "
+        "c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c "
+        "FROM big GROUP BY w1, w2), "
+        "n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM big), "
+        "p AS (SELECT c2.w1, c2.w2, c2.c AS c2, "
+        "CAST(floor((ln(CAST(c2.c AS DOUBLE)) - "
+        "ln(CAST((SELECT n FROM n2) AS DOUBLE)) - "
+        "ln(CAST(a.c AS DOUBLE)) - ln(CAST(b.c AS DOUBLE)) + "
+        "ln(CAST((SELECT n FROM n1) AS DOUBLE)) + "
+        "ln(CAST((SELECT n FROM n1) AS DOUBLE))) * 1000000.0) "
+        "AS BIGINT) AS pmi_q "
+        "FROM c2 JOIN c1 a ON c2.w1 = a.tok "
+        "JOIN c1 b ON c2.w2 = b.tok WHERE c2.c >= 2) "
+        "SELECT w1, w2, c2, pmi_q FROM p QUALIFY "
+        "row_number() OVER (ORDER BY pmi_q DESC, w1, w2) <= 15 "
+        "ORDER BY pmi_q DESC, w1, w2"
+    ).fetchdf()
+    if len(mine) != len(ref) or not (
+        (mine["w1"].values == ref["w1"].values).all()
+        and (mine["w2"].values == ref["w2"].values).all()
+        and (mine["c2"].values == ref["c2"].values).all()
+        and (mine["pmi_q"].values == ref["pmi_q"].values).all()
+    ):
+        failures.append(("pmi_topk", seed))
+        print(f"FAIL pmi_topk seed={seed}", flush=True)
+
 
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
@@ -2728,7 +2804,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(100 comparison groups per seed)"
+        "(102 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
