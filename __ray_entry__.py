@@ -2970,6 +2970,35 @@ def _q_pmi_topk(sf_dir: str):
     return pmi_topk(docs, k=25, min_count=5)
 
 
+def _q_split_assign(sf_dir: str):
+    """Deterministic md5-PRF train/val/test split assignment
+    (stateless, re-run/engine-stable — eval sets stay uncontaminated
+    when the corpus regrows) (stages/export.split_assign)."""
+    import ray.data
+
+    from console_log_parser_ray.stages.export import split_assign
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return split_assign(docs)
+
+
+def _q_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources (token-hash
+    buckets own class memberships; additive boolean-matrix partials)
+    (stages/textan.vocab_overlap)."""
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import vocab_overlap
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+    return vocab_overlap(docs)
+
+
 def _q_kmv_users(sf_dir: str):
     """KMV (bottom-k) distinct-count sketch over event user_ids:
     the k smallest md5-prefix hashes plus the running estimate
@@ -3152,6 +3181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_users": _q_kmv_users,
         "domain_kl": _q_domain_kl,
         "pmi_topk": _q_pmi_topk,
+        "split_assign_docs": _q_split_assign,
+        "vocab_overlap": _q_vocab_overlap,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -4662,6 +4693,36 @@ def oracle_sql() -> dict[str, str]:
         "SELECT w1, w2, c2, pmi_q FROM p QUALIFY "
         "row_number() OVER (ORDER BY pmi_q DESC, w1, w2) <= 25 "
         "ORDER BY pmi_q DESC, w1, w2"
+    )
+    out["split_assign_docs"] = (
+        # same md5 52-bit-prefix -> exact-double chain as
+        # weighted_sample; the cut literals parse to the same IEEE
+        # doubles on both sides
+        "SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS "
+        "VARCHAR)), 1, 13))::BIGINT AS DOUBLE) / 4503599627370496.0 "
+        "AS u, "
+        "CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, "
+        "13))::BIGINT / 4503599627370496.0 < 0.9 THEN 'train' "
+        "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, "
+        "13))::BIGINT / 4503599627370496.0 < 0.95 THEN 'val' "
+        "ELSE 'test' END AS split FROM documents"
+    )
+    out["vocab_overlap"] = (
+        "WITH toks AS (SELECT DISTINCT source, "
+        "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+        "FROM documents), "
+        "sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n "
+        "FROM toks GROUP BY source), "
+        "i AS (SELECT a.source AS src_a, b.source AS src_b, "
+        "CAST(count(*) AS BIGINT) AS n_common FROM toks a "
+        "JOIN toks b ON a.tok = b.tok AND a.source < b.source "
+        "GROUP BY 1, 2) "
+        "SELECT i.src_a, i.src_b, i.n_common, "
+        "sa.n + sb.n - i.n_common AS n_union, "
+        "CAST(i.n_common AS DOUBLE) / "
+        "CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard "
+        "FROM i JOIN sz sa ON i.src_a = sa.source "
+        "JOIN sz sb ON i.src_b = sb.source"
     )
     out["kmv_users"] = (
         # bottom-k sketch: k smallest 60-bit md5-prefix hashes of the

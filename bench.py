@@ -207,6 +207,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "dedup_priority",
         "bigram_lm",
         "twap",
+        "token_entropy",
+        "kmv_users",
+        "domain_kl",
+        "pmi_topk",
+        "split_assign_docs",
+        "vocab_overlap",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

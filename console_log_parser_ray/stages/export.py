@@ -473,3 +473,58 @@ def weighted_sample(
         .sort(["score", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+def split_assign(
+    ds,
+    id_col: str = "doc_id",
+    labels: tuple = ("train", "val", "test"),
+    cuts: tuple = (0.9, 0.95),
+):
+    """Deterministic train/val/test split assignment: every row draws
+    the same pseudo-uniform ``u(id)`` as ``weighted_sample`` (md5 of
+    the id's decimal string, 52-bit prefix -> an EXACT double in
+    [0, 1)) and gets ``labels[i]`` for the first cut with ``u <
+    cuts[i]`` (the last label catches the rest).  Re-runs, other
+    engines, and later incremental batches assign the SAME row the
+    SAME split -- the property that keeps eval sets uncontaminated
+    when the corpus regrows.
+
+    The cut points are compared as the exact IEEE doubles the caller
+    wrote, so the SQL mirror (same literals, same md5/2^52 chain) is
+    bit-identical.  Stateless ``map_batches``: no shuffle, no state,
+    scales with the read.  The md5 draw is the cross-engine-portable
+    PRF (see ``weighted_sample``); swap in a vectorized hash when SQL
+    parity is not required.
+    """
+    import hashlib
+
+    if len(cuts) != len(labels) - 1:
+        raise ValueError("split_assign: need len(labels)-1 cuts")
+    two52 = float(1 << 52)
+    bounds = np.array(list(cuts) + [np.inf], np.float64)
+    lab_arr = pa.array(list(labels), pa.string())
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).combine_chunks().cast(pa.int64())
+        id_np = ids.to_numpy(zero_copy_only=False)
+        hv = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+                for i in id_np
+            ),
+            dtype=np.int64,
+            count=len(id_np),
+        )
+        u = hv.astype(np.float64) / two52
+        # u < cuts[i] first-match == searchsorted right on the bounds
+        idx = np.searchsorted(bounds, u, side="right")
+        return pa.table(
+            {
+                id_col: ids,
+                "u": pa.array(u, pa.float64()),
+                "split": lab_arr.take(pa.array(idx, pa.int64())),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

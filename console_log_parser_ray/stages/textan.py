@@ -2216,3 +2216,148 @@ def pmi_topk(
             }
         )
     )
+
+
+def vocab_overlap(
+    ds,
+    class_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Pairwise vocabulary Jaccard between classes: for every class
+    pair ``a < b`` (label order) with at least one shared token,
+    ``n_common = |V_a intersect V_b|``, ``n_union = |V_a| + |V_b| -
+    n_common`` and their ratio -- the cheap corpus-diversity matrix
+    read next to ``domain_kl`` when composing a domain mix (all
+    integers plus one IEEE division, so the SQL mirror is exact).
+
+    Scale shape: classes are bounded, vocabularies are not.  The
+    batch explode emits DISTINCT (class, token) rows keyed by a
+    token hash; a bucket group owns every class membership of its
+    tokens, so the per-class sizes and the per-pair intersection
+    counts are one boolean membership matrix and one ``M.T @ M``
+    per bucket -- additive partials because a token lives in exactly
+    ONE bucket.  The driver folds <= n_buckets x n_classes^2 partial
+    rows; the corpus never shuffles, one (class, tok) shuffle total.
+    """
+    empty = pa.schema(
+        [("jb", pa.int32()), ("cls", pa.string()), ("tok", pa.string())]
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b.column(text_col).combine_chunks(), "")
+        cls = pc.fill_null(b.column(class_col).combine_chunks(), "")
+        flat, counts, _ = _token_tape(texts)
+        if len(flat) == 0:
+            return empty.empty_table()
+        row_idx = np.repeat(
+            np.arange(len(counts), dtype=np.int64), counts
+        )
+        pairs = (
+            pa.table(
+                {
+                    "cls": pc.take(cls, pa.array(row_idx, pa.int64())),
+                    "tok": flat,
+                }
+            )
+            .group_by(["cls", "tok"])
+            .aggregate([])
+        )
+        enc = pc.dictionary_encode(pairs.column("tok").combine_chunks())
+        h = _token_bucket_hashes(enc.dictionary, _TOK_HASH_MEMO)
+        jb = h[enc.indices.to_numpy(zero_copy_only=False)] % n_buckets
+        return pa.table(
+            {
+                "jb": pa.array(jb.astype(np.int32), pa.int32()),
+                "cls": pairs.column("cls"),
+                "tok": pairs.column("tok"),
+            }
+        )
+
+    def overlap_in_bucket(tbl: pa.Table) -> pa.Table:
+        # distinct (class, token) again -- batches may repeat pairs
+        dd = (
+            pa.table(
+                {
+                    "cls": tbl.column("cls").combine_chunks(),
+                    "tok": tbl.column("tok").combine_chunks(),
+                }
+            )
+            .group_by(["cls", "tok"])
+            .aggregate([])
+        )
+        et = pc.dictionary_encode(dd.column("tok").combine_chunks())
+        ec = pc.dictionary_encode(dd.column("cls").combine_chunks())
+        tcode = et.indices.to_numpy(zero_copy_only=False)
+        ccode = ec.indices.to_numpy(zero_copy_only=False)
+        n_t, n_c = len(et.dictionary), len(ec.dictionary)
+        m = np.zeros((n_t, n_c), bool)
+        m[tcode, ccode] = True
+        sizes = m.sum(0).astype(np.int64)
+        inter = m.T.astype(np.int64) @ m.astype(np.int64)
+        cls_names = ec.dictionary.to_pylist()
+        out_a, out_b, out_n = [], [], []
+        for i in range(n_c):
+            for j in range(n_c):
+                if i == j or cls_names[i] >= cls_names[j]:
+                    continue
+                if inter[i, j]:
+                    out_a.append(cls_names[i])
+                    out_b.append(cls_names[j])
+                    out_n.append(int(inter[i, j]))
+        return pa.table(
+            {
+                "cls_a": pa.array(out_a + cls_names, pa.string()),
+                "cls_b": pa.array(
+                    out_b + [""] * n_c, pa.string()
+                ),
+                "n": pa.array(
+                    out_n + [int(s) for s in sizes], pa.int64()
+                ),
+                "kind": pa.array(
+                    [1] * len(out_a) + [0] * n_c, pa.int8()
+                ),
+            }
+        )
+
+    import ray.data
+
+    sizes: dict[str, int] = {}
+    inter: dict[tuple, int] = {}
+    for tbl in (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(overlap_in_bucket, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for a, b_, n, kd in zip(
+            tbl.column("cls_a").to_pylist(),
+            tbl.column("cls_b").to_pylist(),
+            tbl.column("n").to_pylist(),
+            tbl.column("kind").to_pylist(),
+        ):
+            if kd == 0:
+                sizes[a] = sizes.get(a, 0) + int(n)
+            else:
+                inter[(a, b_)] = inter.get((a, b_), 0) + int(n)
+    rows = sorted(inter)
+    n_common = np.array([inter[p] for p in rows], np.int64)
+    n_union = np.array(
+        [sizes[a] + sizes[b_] - inter[(a, b_)] for a, b_ in rows],
+        np.int64,
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src_a": pa.array([p[0] for p in rows], pa.string()),
+                "src_b": pa.array([p[1] for p in rows], pa.string()),
+                "n_common": pa.array(n_common, pa.int64()),
+                "n_union": pa.array(n_union, pa.int64()),
+                "jaccard": pa.array(
+                    n_common.astype(np.float64)
+                    / n_union.astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+    )

@@ -3879,3 +3879,105 @@ def test_top_paths(ray_session):
             ).take_all()
         ]
         assert got == [tuple(w) for w in want]
+
+
+def test_split_assign_deterministic_and_stable(ray_session):
+    ray = ray_session
+    import hashlib
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from console_log_parser_ray.stages.export import split_assign
+
+    ids = np.arange(1, 2001, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    got = {
+        r["doc_id"]: (r["u"], r["split"])
+        for r in split_assign(ds).take_all()
+    }
+    assert len(got) == 2000
+    for i in (1, 500, 1999):
+        u = int(
+            hashlib.md5(str(i).encode()).hexdigest()[:13], 16
+        ) / float(1 << 52)
+        want = "train" if u < 0.9 else ("val" if u < 0.95 else "test")
+        assert got[i] == (u, want)
+    # fractions land near the cuts
+    from collections import Counter
+
+    c = Counter(v[1] for v in got.values())
+    assert abs(c["train"] / 2000 - 0.9) < 0.03
+    # growing the corpus NEVER reassigns an existing row
+    ds2 = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(np.arange(1, 4001, dtype=np.int64))}
+        )
+    )
+    got2 = {
+        r["doc_id"]: (r["u"], r["split"])
+        for r in split_assign(ds2).take_all()
+    }
+    assert all(got2[i] == got[i] for i in ids)
+    # custom labels/cuts validate
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_assign(ds, labels=("a", "b"), cuts=(0.1, 0.2))
+
+
+def test_vocab_overlap_reference_and_partitioning(ray_session):
+    ray = ray_session
+    import numpy as np
+    import pyarrow as pa
+
+    from console_log_parser_ray.stages.textan import vocab_overlap
+
+    rng = np.random.default_rng(41)
+    vocab = ["v%d" % i for i in range(40)]
+    ranges = {"a": (0, 20), "b": (10, 30), "c": (30, 40), "z": (0, 0)}
+    rows = []
+    for cls, (lo, hi) in ranges.items():
+        for _ in range(40):
+            take = (
+                rng.choice(vocab[lo:hi], rng.integers(1, 12))
+                if hi > lo
+                else []
+            )
+            rows.append((cls, " ".join(take)))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_common"], r["n_union"])
+        for r in vocab_overlap(ds, n_buckets=5).take_all()
+    }
+    # python set reference
+    vs = {}
+    for cls, text in rows:
+        vs.setdefault(cls, set()).update(text.split())
+    vs = {c: v for c, v in vs.items() if v}
+    want = {}
+    for a in vs:
+        for b in vs:
+            if a < b and vs[a] & vs[b]:
+                want[(a, b)] = (
+                    len(vs[a] & vs[b]),
+                    len(vs[a] | vs[b]),
+                )
+    assert got == want
+    assert ("a", "c") not in got  # disjoint ranges share nothing
+    assert not any("z" in p for p in got)  # empty class vanished
+    got2 = {
+        (r["src_a"], r["src_b"]): (r["n_common"], r["n_union"])
+        for r in vocab_overlap(
+            ds.repartition(9), n_buckets=11
+        ).take_all()
+    }
+    assert got2 == got

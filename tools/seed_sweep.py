@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 102 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 104 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -59,7 +59,7 @@ Exit 0 = every comparison equal.  Each seed covers 102 comparison groups:
     mining (string_agg mirror, 2 gaps)
                                 (round-4 CDC + fuzzy family)
   - integer PageRank == python int reference / unigram + bigram LM
-    logprob / vocab OOV / priority dedup / TWAP / token entropy / domain KL / PMI collocations /
+    logprob / vocab OOV / priority dedup / TWAP / token entropy / domain KL / PMI collocations / split assignment / vocab overlap /
     KMV bottom-k sketch         (round-4 graph + LM family)
 """
 
@@ -2781,6 +2781,48 @@ def graph_lm_family(seed):
         failures.append(("pmi_topk", seed))
         print(f"FAIL pmi_topk seed={seed}", flush=True)
 
+    # --- md5-PRF split assignment over the shared corpus ids
+    from console_log_parser_ray.stages.export import split_assign
+
+    mine = split_assign(dds()).to_pandas()
+    ref = con.execute(
+        "SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS "
+        "VARCHAR)), 1, 13))::BIGINT AS DOUBLE) / 4503599627370496.0 "
+        "AS u, "
+        "CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, "
+        "13))::BIGINT / 4503599627370496.0 < 0.9 THEN 'train' "
+        "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, "
+        "13))::BIGINT / 4503599627370496.0 < 0.95 THEN 'val' "
+        "ELSE 'test' END AS split FROM documents"
+    ).fetchdf()
+    check("split_assign", seed, mine, ref, ["doc_id"], ["u", "split"])
+
+    # --- pairwise vocabulary Jaccard over the shared corpus
+    from console_log_parser_ray.stages.textan import vocab_overlap
+
+    mine = vocab_overlap(dds(), n_buckets=9).to_pandas()
+    ref = con.execute(
+        "WITH toks AS (SELECT DISTINCT source, "
+        "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+        "FROM documents), "
+        "sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n "
+        "FROM toks GROUP BY source), "
+        "i AS (SELECT a.source AS src_a, b.source AS src_b, "
+        "CAST(count(*) AS BIGINT) AS n_common FROM toks a "
+        "JOIN toks b ON a.tok = b.tok AND a.source < b.source "
+        "GROUP BY 1, 2) "
+        "SELECT i.src_a, i.src_b, i.n_common, "
+        "sa.n + sb.n - i.n_common AS n_union, "
+        "CAST(i.n_common AS DOUBLE) / "
+        "CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard "
+        "FROM i JOIN sz sa ON i.src_a = sa.source "
+        "JOIN sz sb ON i.src_b = sb.source"
+    ).fetchdf()
+    check(
+        "vocab_overlap", seed, mine, ref,
+        ["src_a", "src_b"], ["n_common", "n_union", "jaccard"],
+    )
+
 
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
@@ -2804,7 +2846,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(102 comparison groups per seed)"
+        "(104 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
