@@ -2999,6 +2999,21 @@ def _q_vocab_overlap(sf_dir: str):
     return vocab_overlap(docs)
 
 
+def _q_user_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution
+    (behavioral diversity; integer micro-nats, uniform window-family
+    bucket recipe) (stages/events.group_entropy)."""
+    import ray.data
+
+    from console_log_parser_ray.stages.events import group_entropy
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    return group_entropy(ev)
+
+
 def _q_kmv_users(sf_dir: str):
     """KMV (bottom-k) distinct-count sketch over event user_ids:
     the k smallest md5-prefix hashes plus the running estimate
@@ -3183,6 +3198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_topk": _q_pmi_topk,
         "split_assign_docs": _q_split_assign,
         "vocab_overlap": _q_vocab_overlap,
+        "user_entropy": _q_user_entropy,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -4723,6 +4739,20 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard "
         "FROM i JOIN sz sa ON i.src_a = sa.source "
         "JOIN sz sb ON i.src_b = sb.source"
+    )
+    out["user_entropy"] = (
+        "WITH c AS (SELECT user_id, event_type, "
+        "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+        "t AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n "
+        "FROM c GROUP BY 1) "
+        "SELECT c.user_id, t.n AS n_events, "
+        "CAST(sum(c.c * CAST(floor((ln(CAST(t.n AS DOUBLE)) - "
+        "ln(CAST(c.c AS DOUBLE))) * 1000000.0) AS BIGINT)) AS BIGINT) "
+        "AS entropy_q, "
+        "CAST(sum(c.c * CAST(floor((ln(CAST(t.n AS DOUBLE)) - "
+        "ln(CAST(c.c AS DOUBLE))) * 1000000.0) AS BIGINT)) AS DOUBLE) "
+        "/ CAST(1000000 * t.n AS DOUBLE) AS entropy_nats "
+        "FROM c JOIN t USING (user_id) GROUP BY c.user_id, t.n"
     )
     out["kmv_users"] = (
         # bottom-k sketch: k smallest 60-bit md5-prefix hashes of the

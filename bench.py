@@ -213,6 +213,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "pmi_topk",
         "split_assign_docs",
         "vocab_overlap",
+        "user_entropy",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -3981,3 +3981,57 @@ def test_vocab_overlap_reference_and_partitioning(ray_session):
         ).take_all()
     }
     assert got2 == got
+
+
+def test_group_entropy_reference_and_partitioning(ray_session):
+    ray = ray_session
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from console_log_parser_ray.stages.events import group_entropy
+
+    rng = np.random.default_rng(47)
+    keys = rng.integers(1, 60, 3000).astype(np.int64)
+    vals = rng.choice(["a", "b", "c", "d"], 3000)
+    # one single-type user: entropy exactly 0
+    keys = np.concatenate([keys, np.full(20, 999, np.int64)])
+    vals = np.concatenate([vals, np.full(20, "only")])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(keys),
+                "event_type": pa.array(vals),
+            }
+        )
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["entropy_q"])
+        for r in group_entropy(ds, n_buckets=7).take_all()
+    }
+    from collections import Counter, defaultdict
+
+    per = defaultdict(Counter)
+    for k, v in zip(keys.tolist(), vals.tolist()):
+        per[k][v] += 1
+    want = {}
+    for k, cnt in per.items():
+        n = sum(cnt.values())
+        q = sum(
+            c
+            * math.floor(
+                (math.log(float(n)) - math.log(float(c))) * 1_000_000
+            )
+            for c in cnt.values()
+        )
+        want[k] = (n, q)
+    assert got == want
+    assert got[999] == (20, 0)
+    got2 = {
+        r["user_id"]: (r["n_events"], r["entropy_q"])
+        for r in group_entropy(
+            ds.repartition(11), n_buckets=13
+        ).take_all()
+    }
+    assert got2 == got

@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 104 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 105 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -59,7 +59,7 @@ Exit 0 = every comparison equal.  Each seed covers 104 comparison groups:
     mining (string_agg mirror, 2 gaps)
                                 (round-4 CDC + fuzzy family)
   - integer PageRank == python int reference / unigram + bigram LM
-    logprob / vocab OOV / priority dedup / TWAP / token entropy / domain KL / PMI collocations / split assignment / vocab overlap /
+    logprob / vocab OOV / priority dedup / TWAP / token entropy / domain KL / PMI collocations / split assignment / vocab overlap / per-key categorical entropy /
     KMV bottom-k sketch         (round-4 graph + LM family)
 """
 
@@ -2823,6 +2823,39 @@ def graph_lm_family(seed):
         ["src_a", "src_b"], ["n_common", "n_union", "jaccard"],
     )
 
+    # --- per-key categorical entropy over the TWAP event stream
+    from console_log_parser_ray.stages.events import group_entropy
+
+    ev2 = ev.append_column(
+        "event_type",
+        pa.array(
+            rng.choice(["v", "c", "b"], ev.num_rows), pa.string()
+        ),
+    )
+    mine = group_entropy(
+        ray.data.from_arrow(ev2).repartition(6), n_buckets=7
+    ).to_pandas()
+    con3 = duckdb.connect()
+    con3.register("events", ev2)
+    ref = con3.execute(
+        "WITH c AS (SELECT user_id, event_type, "
+        "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+        "t AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n "
+        "FROM c GROUP BY 1) "
+        "SELECT c.user_id, t.n AS n_events, "
+        "CAST(sum(c.c * CAST(floor((ln(CAST(t.n AS DOUBLE)) - "
+        "ln(CAST(c.c AS DOUBLE))) * 1000000.0) AS BIGINT)) AS BIGINT) "
+        "AS entropy_q, "
+        "CAST(sum(c.c * CAST(floor((ln(CAST(t.n AS DOUBLE)) - "
+        "ln(CAST(c.c AS DOUBLE))) * 1000000.0) AS BIGINT)) AS DOUBLE) "
+        "/ CAST(1000000 * t.n AS DOUBLE) AS entropy_nats "
+        "FROM c JOIN t USING (user_id) GROUP BY c.user_id, t.n"
+    ).fetchdf()
+    check(
+        "group_entropy", seed, mine, ref,
+        ["user_id"], ["n_events", "entropy_q", "entropy_nats"],
+    )
+
 
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
@@ -2846,7 +2879,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(104 comparison groups per seed)"
+        "(105 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
