@@ -3014,6 +3014,34 @@ def _q_user_entropy(sf_dir: str):
     return group_entropy(ev)
 
 
+def _q_hybrid_rrf(sf_dir: str):
+    """Hybrid sparse+dense retrieval: BM25 keyword leg fused with an
+    embedding-cosine leg by reciprocal rank (1/(60+r) per leg); both
+    legs distributed, only the two top-m rankings reach the driver
+    (stages/search.hybrid_rrf)."""
+    import pyarrow.parquet as pq
+
+    from console_log_parser_ray.stages.search import hybrid_rrf
+
+    qvec = (
+        pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        .sort_by("vec_id")
+        .column("embedding")[0]
+        .as_py()
+    )
+    return hybrid_rrf(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        _embeddings(sf_dir),
+        _BM25_TERMS,
+        (0, qvec),
+        m=100,
+        k=20,
+    )
+
+
 def _q_kmv_users(sf_dir: str):
     """KMV (bottom-k) distinct-count sketch over event user_ids:
     the k smallest md5-prefix hashes plus the running estimate
@@ -3199,6 +3227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign_docs": _q_split_assign,
         "vocab_overlap": _q_vocab_overlap,
         "user_entropy": _q_user_entropy,
+        "hybrid_rrf": _q_hybrid_rrf,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -4753,6 +4782,30 @@ def oracle_sql() -> dict[str, str]:
         "ln(CAST(c.c AS DOUBLE))) * 1000000.0) AS BIGINT)) AS DOUBLE) "
         "/ CAST(1000000 * t.n AS DOUBLE) AS entropy_nats "
         "FROM c JOIN t USING (user_id) GROUP BY c.user_id, t.n"
+    )
+    from console_log_parser_ray.stages.search import bm25_oracle_sql
+
+    out["hybrid_rrf"] = (
+        # both legs' orderings are the ones their standalone oracles
+        # pin; the fused score is two IEEE divisions + one addition
+        "WITH bm AS (SELECT doc_id, score FROM ("
+        + bm25_oracle_sql(_BM25_TERMS)
+        + ")), "
+        "br AS (SELECT doc_id, CAST(row_number() OVER "
+        "(ORDER BY score DESC, doc_id) AS BIGINT) AS ra FROM bm "
+        "QUALIFY ra <= 100), "
+        "kr AS (SELECT e.vec_id AS doc_id, CAST(row_number() OVER "
+        "(ORDER BY list_cosine_similarity((SELECT embedding FROM "
+        "embeddings WHERE vec_id = 0), e.embedding) DESC, e.vec_id) "
+        "AS BIGINT) AS rb FROM embeddings e QUALIFY rb <= 100), "
+        "u AS (SELECT COALESCE(br.doc_id, kr.doc_id) AS doc_id, "
+        "br.ra, kr.rb FROM br FULL OUTER JOIN kr "
+        "ON br.doc_id = kr.doc_id) "
+        "SELECT doc_id, ra AS rank_bm25, rb AS rank_knn, "
+        "COALESCE(1.0 / (60 + ra), 0.0) + "
+        "COALESCE(1.0 / (60 + rb), 0.0) AS rrf "
+        "FROM u QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id) "
+        "<= 20"
     )
     out["kmv_users"] = (
         # bottom-k sketch: k smallest 60-bit md5-prefix hashes of the

@@ -214,6 +214,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "split_assign_docs",
         "vocab_overlap",
         "user_entropy",
+        "hybrid_rrf",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

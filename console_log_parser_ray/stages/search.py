@@ -457,3 +457,88 @@ def bool_search(ds, terms, text_col="text", id_col="doc_id"):
         )
 
     return ds.map_batches(match, batch_format="pyarrow")
+
+
+def hybrid_rrf(
+    docs,
+    embeddings,
+    terms: tuple,
+    query,
+    m: int = 100,
+    k: int = 20,
+    c: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+):
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009): the BM25 keyword leg and the embedding-cosine leg
+    each produce their top-``m`` ranking over the same id space, and
+    a document's fused score is ``1/(c + rank_bm25) + 1/(c +
+    rank_knn)`` (a missing leg contributes 0) -- the standard way
+    modern RAG stacks combine sparse and dense retrieval without
+    score calibration.
+
+    Exactness: ranks are integers from each leg's own deterministic
+    ordering (``(score DESC, id)`` / ``(cosine DESC, id)`` -- the
+    orderings both legs' standalone oracles already pin), and the
+    fused score is exactly two IEEE divisions and one addition in the
+    same association as the SQL mirror, so the fused top-``k`` cut is
+    bit-exact.
+
+    Scale shape: both legs stay fully distributed (BM25's zero-shuffle
+    projection+score passes; kNN's broadcast-query partial top-k);
+    only the two top-``m`` rankings -- 2m bounded rows -- reach the
+    driver for the fusion, which is a dict merge.  ``query`` is
+    ``(query_id, vector)`` for the dense leg.
+    """
+    import ray.data
+
+    from console_log_parser_ray.stages.similarity import knn_bruteforce
+
+    bm_rows = (
+        bm25_keyword(docs, terms, text_col=text_col, id_col=id_col)
+        .sort(["score", id_col], descending=[True, False])
+        .limit(m)
+        .take_all()
+    )
+    rank_bm = {r[id_col]: i + 1 for i, r in enumerate(bm_rows)}
+
+    qid, qvec = query
+    kn_rows = knn_bruteforce(
+        embeddings, ([qid], [qvec]), k=m, vec_col=vec_col,
+        id_col=vec_id_col,
+    ).take_all()
+    kn_rows.sort(key=lambda r: (-r["cosine"], r[vec_id_col]))
+    rank_kn = {r[vec_id_col]: i + 1 for i, r in enumerate(kn_rows)}
+
+    ids = sorted(set(rank_bm) | set(rank_kn))
+    ra = [rank_bm.get(i) for i in ids]
+    rb = [rank_kn.get(i) for i in ids]
+    rrf = [
+        (1.0 / np.float64(c + a) if a is not None else 0.0)
+        + (1.0 / np.float64(c + b) if b is not None else 0.0)
+        for a, b in zip(ra, rb)
+    ]
+    order = sorted(
+        range(len(ids)), key=lambda i: (-rrf[i], ids[i])
+    )[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array(
+                    [ids[i] for i in order], pa.int64()
+                ),
+                "rank_bm25": pa.array(
+                    [ra[i] for i in order], pa.int64()
+                ),
+                "rank_knn": pa.array(
+                    [rb[i] for i in order], pa.int64()
+                ),
+                "rrf": pa.array(
+                    [rrf[i] for i in order], pa.float64()
+                ),
+            }
+        )
+    )

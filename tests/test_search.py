@@ -360,3 +360,67 @@ def test_token_budget_boundary_inclusive(ray_session):
     # the zero-token doc never exceeds the budget, so it is kept
     # regardless of its hash position
     assert any(r["n_tokens"] == 0 for r in out)
+
+
+def test_hybrid_rrf_fusion_arithmetic(ray_session):
+    ray = ray_session
+    import numpy as np
+    import pyarrow as pa
+
+    from console_log_parser_ray.stages.search import hybrid_rrf
+
+    # doc 0: strong in BOTH legs; doc 1: keyword-only; doc 2:
+    # vector-only; doc 3: in neither
+    texts = [
+        "alpha alpha alpha beta",
+        "alpha beta alpha beta alpha",
+        "nothing relevant here",
+        "completely off topic",
+    ]
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8)
+    vecs = [
+        (base + rng.normal(scale=0.01, size=8)).tolist(),  # ~query
+        (-base + rng.normal(scale=0.01, size=8)).tolist(),
+        (base + rng.normal(scale=0.02, size=8)).tolist(),
+        (-base + rng.normal(scale=0.02, size=8)).tolist(),
+    ]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "embedding": pa.array(vecs),
+            }
+        )
+    )
+    got = hybrid_rrf(
+        docs, emb, ("alpha", "beta"), (0, base.tolist()), m=3, k=4
+    ).take_all()
+    by_id = {r["doc_id"]: r for r in got}
+    # doc 0 leads both legs -> top fused score
+    assert got[0]["doc_id"] == 0
+    # fused score is exactly the two-division IEEE sum
+    for r in got:
+        a = (
+            1.0 / np.float64(60 + r["rank_bm25"])
+            if r["rank_bm25"] is not None
+            else 0.0
+        )
+        b = (
+            1.0 / np.float64(60 + r["rank_knn"])
+            if r["rank_knn"] is not None
+            else 0.0
+        )
+        assert r["rrf"] == a + b
+    # single-leg docs carry a null rank on the missing leg
+    assert by_id[1]["rank_bm25"] is not None
+    assert 2 in by_id and by_id[2]["rank_bm25"] is None
+    assert by_id[2]["rank_knn"] is not None
