@@ -3057,6 +3057,75 @@ def _q_kmv_users(sf_dir: str):
     return kmv_distinct(ev, "user_id", k=256)
 
 
+def _q_skyline_orders(sf_dir: str):
+    """2-D Pareto frontier over orders -- highest-price, earliest-date
+    trade-offs (stages/relational.skyline_2d): block-local frontier
+    prune (sound: in-block dominance implies global dominance) +
+    guarded single-task merge of the bounded candidate set."""
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import skyline_2d
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    return skyline_2d(orders, "o_totalprice", "o_orderdate")
+
+
+def _q_user_streaks(sf_dir: str):
+    """Gaps-and-islands per user: distinct active days split into
+    maximal consecutive-day runs; active-day count, run count, and
+    longest run (stages/events.activity_streaks) -- block-local
+    (user, day) dedup, one key-hash bucket shuffle, reduceat folds."""
+    import ray.data
+
+    from console_log_parser_ray.stages.events import activity_streaks
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"],
+    )
+    return activity_streaks(ev)
+
+
+def _q_corr_matrix(sf_dir: str):
+    """Pearson correlation matrix over the lineitem numerics from
+    exact fixed-point moments (stages/relational.corr_matrix): one
+    stateless streaming pass, zero shuffles, arbitrary-precision
+    driver fold of one partial row per block, IEEE finish mirrored
+    literally in the SQL oracle."""
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import corr_matrix
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ],
+    )
+    return corr_matrix(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        [1, 1, 100, 100],
+    )
+
+
+def _q_setsim_pairs(sf_dir: str):
+    """Exact threshold set-similarity self-join (prefix filtering)
+    over the planted corpus: every pair with 3-token-shingle Jaccard
+    >= 0.85 plus exact intersection/union sizes
+    (stages/dedup.setsim_join) -- the deterministic, full-recall
+    complement of dedup_minhash's LSH on the same ground truth."""
+    from console_log_parser_ray.stages.dedup import setsim_join
+
+    return setsim_join(_minhash_aug(sf_dir), 0.85)
+
+
 def _q_twap(sf_dir: str):
     """Per-user time-weighted average of the event value stream
     (integer cents x ms weights, one IEEE division; uniform
@@ -3228,6 +3297,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_overlap": _q_vocab_overlap,
         "user_entropy": _q_user_entropy,
         "hybrid_rrf": _q_hybrid_rrf,
+        "skyline_orders": _q_skyline_orders,
+        "user_streaks": _q_user_streaks,
+        "corr_matrix": _q_corr_matrix,
+        "setsim_pairs": _q_setsim_pairs,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -4827,6 +4900,108 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, event_type, event_id, ts AS valid_from, "
         "lead(ts) OVER (PARTITION BY user_id, event_type "
         "ORDER BY ts, event_id) AS valid_to FROM events"
+    )
+    out["skyline_orders"] = (
+        # 2-D skyline (maximize price, minimize date): on distinct
+        # points sorted price-desc, a point is on the frontier iff it
+        # is the min-date row of its price AND its date is strictly
+        # below every higher-price point's running minimum; ties on
+        # both dimensions all survive via the final equality join
+        "WITH pts AS (SELECT DISTINCT o_totalprice AS x, "
+        "o_orderdate AS y FROM orders), "
+        "fx AS (SELECT x, min(y) AS y FROM pts GROUP BY x), "
+        "r AS (SELECT x, y, min(y) OVER (ORDER BY x DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev "
+        "FROM fx), "
+        "sky AS (SELECT x, y FROM r WHERE prev IS NULL OR y < prev) "
+        "SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate "
+        "FROM orders o JOIN sky s "
+        "ON o.o_totalprice = s.x AND o.o_orderdate = s.y"
+    )
+    out["user_streaks"] = (
+        # gaps-and-islands: day - row_number() is constant within a
+        # maximal consecutive-day run
+        "WITH d AS (SELECT DISTINCT user_id, "
+        "epoch_us(ts) // 86400000000 AS day FROM events), "
+        "i AS (SELECT user_id, day, day - row_number() OVER "
+        "(PARTITION BY user_id ORDER BY day) AS island FROM d), "
+        "s AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS "
+        "len FROM i GROUP BY 1, 2) "
+        "SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days, "
+        "CAST(count(*) AS BIGINT) AS n_streaks, "
+        "CAST(max(len) AS BIGINT) AS longest_streak "
+        "FROM s GROUP BY user_id"
+    )
+    _cm_cols = [
+        ("l_quantity", "1"),
+        ("l_extendedprice", "1"),
+        ("l_discount", "100"),
+        ("l_tax", "100"),
+    ]
+    _cm_q = ", ".join(
+        f"CAST(floor({c} * {s}) AS BIGINT) AS v{i}"
+        for i, (c, s) in enumerate(_cm_cols)
+    )
+    _cm_sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for i in range(4):
+        _cm_sums.append(f"sum(v{i}) AS s{i}")
+        for j in range(i, 4):
+            _cm_sums.append(f"sum(v{i} * v{j}) AS ss{i}_{j}")
+    _cm_rows = []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            _cm_rows.append(
+                f"SELECT '{_cm_cols[i][0]}' AS col_x, "
+                f"'{_cm_cols[j][0]}' AS col_y, n, "
+                f"(CAST(n AS DOUBLE) * CAST(ss{i}_{j} AS DOUBLE) - "
+                f"CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE)) / "
+                f"(sqrt(CAST(n AS DOUBLE) * CAST(ss{i}_{i} AS DOUBLE)"
+                f" - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE)) * "
+                f"sqrt(CAST(n AS DOUBLE) * CAST(ss{j}_{j} AS DOUBLE)"
+                f" - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE))) "
+                f"AS corr FROM m"
+            )
+    out["corr_matrix"] = (
+        # exact fixed-point moments (BIGINT products summed into
+        # DuckDB's HUGEINT accumulator = the engine's Python-int
+        # fold), then the identical IEEE expression tree
+        f"WITH q AS (SELECT {_cm_q} FROM lineitem), "
+        f"m AS (SELECT {', '.join(_cm_sums)} FROM q) "
+        + " UNION ALL ".join(_cm_rows)
+    )
+    out["setsim_pairs"] = (
+        # exact all-pairs ground truth over the same planted corpus as
+        # dedup_minhash: 3-token shingle sets (whole-doc join for
+        # docs under 3 tokens), Jaccard >= 0.85 with exact
+        # intersection / union sizes
+        "WITH raw AS (SELECT doc_id, "
+        "regexp_extract_all(text, '\\S+') AS toks FROM documents), "
+        "pert AS (SELECT doc_id + 1000000 AS doc_id, "
+        "CASE WHEN len(toks) >= 60 THEN list_concat("
+        "toks[1:len(toks)//2], toks[len(toks)//2+2:]) "
+        "ELSE toks END AS toks FROM raw), "
+        "base AS (SELECT * FROM raw UNION ALL SELECT * FROM pert), "
+        "idx AS (SELECT doc_id, toks, unnest(generate_series(1, "
+        "greatest(len(toks) - 2, 0))) AS i FROM base), "
+        "win AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' "
+        "|| toks[i+2] AS shingle FROM idx), "
+        "short AS (SELECT doc_id, array_to_string(toks, ' ') AS "
+        "shingle FROM base WHERE len(toks) > 0 AND len(toks) < 3), "
+        "d AS (SELECT DISTINCT doc_id, shingle FROM "
+        "(SELECT * FROM win UNION ALL SELECT * FROM short)), "
+        "sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM d "
+        "GROUP BY 1), "
+        "i2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(count(*) AS BIGINT) AS n_inter FROM d a JOIN d b "
+        "USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, n_inter, "
+        "sa.n + sb.n - n_inter AS n_union, "
+        "CAST(n_inter AS DOUBLE) / "
+        "CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard "
+        "FROM i2 JOIN sz sa ON doc_a = sa.doc_id "
+        "JOIN sz sb ON doc_b = sb.doc_id "
+        "WHERE CAST(n_inter AS DOUBLE) / "
+        "CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.85"
     )
     out["user_time_rolling"] = (
         # event-time RANGE frame over integer cents; peers (equal ts)

@@ -1899,3 +1899,318 @@ def exact_dedup_priority(
         .map_groups(keep_best, batch_format="pyarrow")
         .drop_columns(["text_hash", "hash_bucket"])
     )
+
+
+def setsim_join(
+    ds,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_df_buckets: int = 64,
+    n_pair_buckets: int = 256,
+    ds_schema: pa.Schema | None = None,
+):
+    """Exact threshold set-similarity self-join (prefix filtering, the
+    PPJoin family): every unordered id pair whose k-token shingle sets
+    have Jaccard >= ``threshold``, with the exact intersection / union
+    sizes -- the deterministic complement of MinHash+LSH
+    (``minhash_near_dups`` trades exactness for fewer passes; this
+    operator guarantees EVERY qualifying pair, no banding floor, no
+    probabilistic recall argument).
+
+    Completeness (the prefix-filter theorem): under ANY global total
+    order on shingles, two sets r, s with J(r,s) >= t must overlap
+    within their first ``|x| - ceil(t*|x|) + 1`` shingles, so candidate
+    generation from prefix shingles alone misses nothing.  The order
+    used is (document frequency, shingle-hash, shingle) ascending --
+    rarest first, which minimizes candidate-group sizes; the string
+    tie-break makes the order total even under a 63-bit hash collision,
+    and ``ceil`` is evaluated in exact rational arithmetic
+    (``Fraction(str(threshold))``) so a float rounding can never
+    shorten a prefix.
+
+    Scale shape: shingles explode VECTORIZED (``_ngram_tape``), the DF
+    table is a partial+final count keyed by shingle hash (one bucket
+    shuffle; a hash collision merges two DF rows, which only perturbs
+    the ORDER, never correctness), DF attaches to the doc-shingle rows
+    by a co-partitioned ``hash_join`` (both sides large, neither
+    broadcast), prefixes are cut per doc inside doc-hash bucket groups
+    (one lexsort each), candidate pairs expand by the vectorized
+    triangular index inside shingle-hash buckets, fold in one
+    ``distinct_rows`` pass, and only the bounded candidate set flows
+    through the two grouped text joins into the exact verifier.  The
+    doc-shingle explode is LAZY and recomputed for the DF pass rather
+    than materialized -- two streaming tokenization passes instead of
+    pinning a corpus-sized intermediate in the object store.
+
+    A hot shingle (boilerplate shared by millions of docs) makes its
+    candidate group quadratic -- the inherent output bound of any
+    similarity join; DF-ascending ordering is exactly the mitigation
+    (boilerplate sorts LAST and rarely enters a prefix).  Documents
+    with zero tokens emit nothing and can never pair (mirrors the SQL
+    formulation, which requires a shared shingle).
+    """
+    from fractions import Fraction
+
+    from .relational import hash_join
+    from .textan import _ngram_tape, _token_bucket_hashes, _token_tape
+
+    frac = Fraction(str(threshold))
+    t_num, t_den = frac.numerator, frac.denominator
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = (
+            b.column(id_col)
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        texts = pc.fill_null(b.column(text_col).combine_chunks(), "")
+        doc_idx, grams = _ngram_tape(texts, k)
+        parts_i = [ids[doc_idx]]
+        parts_s = [grams]
+        # docs with 0 < n_tokens < k contribute their whole-doc join
+        # (the _shingles short-doc rule)
+        flat, counts, new_off = _token_tape(texts)
+        short = np.flatnonzero((counts > 0) & (counts < k))
+        if len(short):
+            # build one list array over the short docs' token runs
+            starts = new_off[short]
+            ends = new_off[short + 1]
+            idx = np.concatenate(
+                [np.arange(s, e) for s, e in zip(starts, ends)]
+            )
+            lens = (ends - starts).astype(np.int32)
+            offs = np.concatenate([[0], np.cumsum(lens)]).astype(
+                np.int32
+            )
+            la = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()),
+                flat.take(pa.array(idx, pa.int64())),
+            )
+            parts_i.append(ids[short])
+            parts_s.append(pc.binary_join(la, " "))
+        tbl = pa.table(
+            {
+                id_col: pa.array(
+                    np.concatenate(parts_i), pa.int64()
+                ),
+                "shingle": pa.concat_arrays(
+                    [
+                        p.combine_chunks()
+                        if isinstance(p, pa.ChunkedArray)
+                        else p
+                        for p in parts_s
+                    ]
+                ),
+            }
+        )
+        d = tbl.group_by([id_col, "shingle"]).aggregate([])
+        # per-doc distinct set size, attached block-locally
+        sz = d.group_by(id_col).aggregate([([], "count_all")])
+        pos = pc.index_in(
+            d.column(id_col), value_set=sz.column(id_col)
+        )
+        size = pc.take(sz.column("count_all"), pos)
+        sh = _token_bucket_hashes(
+            d.column("shingle").combine_chunks(), {}
+        )
+        return pa.table(
+            {
+                "sh_hash": pa.array(sh, pa.int64()),
+                "shingle": d.column("shingle"),
+                id_col: d.column(id_col),
+                "set_size": size.cast(pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["sh_hash"]).group_by("sh_hash").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "dfb": _pair_mod(
+                    g.column("sh_hash").combine_chunks(), n_df_buckets
+                ),
+                "sh_hash": g.column("sh_hash"),
+                "df_p": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def df_final(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by("sh_hash").aggregate([("df_p", "sum")])
+        return pa.table(
+            {
+                "sh_hash": g.column("sh_hash"),
+                "df": g.column("df_p_sum").cast(pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("dfb")
+        .map_groups(df_final, batch_format="pyarrow")
+    )
+
+    joined = hash_join(
+        rows,
+        df_tbl,
+        on="sh_hash",
+        n_buckets=n_df_buckets,
+        left_schema=pa.schema(
+            [
+                ("sh_hash", pa.int64()),
+                ("shingle", pa.string()),
+                (id_col, pa.int64()),
+                ("set_size", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("sh_hash", pa.int64()), ("df", pa.int64())]
+        ),
+    )
+
+    def tag_doc(b: pa.Table) -> pa.Table:
+        from .events import _bucket31
+
+        return b.append_column(
+            "db",
+            _bucket31(
+                b.column(id_col).combine_chunks(), n_df_buckets
+            ),
+        )
+
+    def prefix_in_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(
+            [
+                (id_col, "ascending"),
+                ("df", "ascending"),
+                ("sh_hash", "ascending"),
+                ("shingle", "ascending"),
+            ]
+        )
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        size = tbl.column("set_size").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if not n:
+            return pa.table(
+                {
+                    "sh_hash": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                }
+            )
+        first = np.ones(n, dtype=bool)
+        first[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.r_[starts, n])
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+        o_min = -((-t_num * size) // t_den)  # exact ceil(t * size)
+        p_len = size - o_min + 1
+        keep = pos < p_len
+        return pa.table(
+            {
+                "sh_hash": tbl.column("sh_hash").filter(
+                    pa.array(keep)
+                ),
+                id_col: tbl.column(id_col).filter(pa.array(keep)),
+            }
+        )
+
+    prefixes = (
+        joined.map_batches(tag_doc, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(prefix_in_bucket, batch_format="pyarrow")
+    )
+
+    def tag_pair_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "cb",
+            pc.cast(
+                _pair_mod(
+                    b.column("sh_hash").combine_chunks(),
+                    n_pair_buckets,
+                ),
+                pa.int32(),
+            ),
+        )
+
+    def pairs_in_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(
+            [("sh_hash", "ascending"), (id_col, "ascending")]
+        )
+        sh = tbl.column("sh_hash").to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(sh)
+        if not n:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                }
+            )
+        first = np.ones(n, dtype=bool)
+        first[1:] = sh[1:] != sh[:-1]
+        counts = np.diff(
+            np.append(np.flatnonzero(first), n)
+        ).astype(np.int64)
+        a, b = _tri_pairs(counts)
+        # ids ascend within each group, so a < b positionally => by id
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[a], pa.int64()),
+                "doc_b": pa.array(ids[b], pa.int64()),
+            }
+        )
+
+    cand = (
+        prefixes.map_batches(tag_pair_bucket, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+    )
+    cand = distinct_rows(cand, ["doc_a", "doc_b"], n_buckets=64)
+
+    docs = ds
+    with_a = _attach_text(
+        cand, docs, "doc_a", "doc_b", None, text_col, id_col, "text_a"
+    )
+    with_both = _attach_text(
+        with_a, docs, "doc_b", "doc_a", "text_a", text_col, id_col,
+        "text_b",
+    )
+    thr = float(threshold)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_pylist()
+        b = batch.column("doc_b").to_pylist()
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        oa, ob, oi, ou, oj = [], [], [], [], []
+        for ai, bi, x, y in zip(a, b, ta, tb):
+            sa, sb = _shingles(x or "", k), _shingles(y or "", k)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union == 0:
+                continue
+            j = inter / union
+            if j >= thr:
+                oa.append(ai)
+                ob.append(bi)
+                oi.append(inter)
+                ou.append(union)
+                oj.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(oa, pa.int64()),
+                "doc_b": pa.array(ob, pa.int64()),
+                "n_inter": pa.array(oi, pa.int64()),
+                "n_union": pa.array(ou, pa.int64()),
+                "jaccard": pa.array(oj, pa.float64()),
+            }
+        )
+
+    return with_both.map_batches(verify, batch_format="pyarrow")

@@ -2714,3 +2714,83 @@ def group_entropy(
         .groupby("kb")
         .map_groups(entropy_in_bucket, batch_format="pyarrow")
     )
+
+
+def activity_streaks(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 64,
+    day_us: int = 86_400_000_000,
+):
+    """Gaps-and-islands per key: collapse events to distinct active
+    days, split each key's day sequence into maximal runs of
+    CONSECUTIVE days, and report per key the active-day count, the
+    number of runs, and the longest run -- the retention "streak"
+    feature (and the generic islands detector: any integer axis works
+    via ``day_us``).
+
+    Scale shape (the uniform window-family recipe): (key, day) pairs
+    are deduplicated INSIDE each block first, so the one key-hash
+    bucket shuffle carries at most distinct pairs per block; the
+    in-bucket fold re-deduplicates (cross-block repeats of the same
+    day merge exactly), then one lexsort + two ``reduceat`` passes
+    compute every run length -- no per-key Python, dispatch bounded by
+    bucket count.
+    """
+
+    def local_days(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).combine_chunks().cast(pa.int64())
+        ts = b.column(ts_col).combine_chunks().cast(pa.int64())
+        days = pc.divide(
+            pc.subtract(
+                ts, pc.if_else(pc.less(ts, 0), pa.scalar(day_us - 1, pa.int64()), pa.scalar(0, pa.int64()))
+            ),
+            pa.scalar(day_us, pa.int64()),
+        )
+        t = pa.table({key_col: keys, "day": days})
+        d = t.group_by([key_col, "day"]).aggregate([])
+        return pa.table(
+            {
+                "kb": _bucket31(d.column(key_col).combine_chunks(), n_buckets),
+                key_col: d.column(key_col),
+                "day": d.column("day"),
+            }
+        )
+
+    def streaks_in_bucket(tbl: pa.Table) -> pa.Table:
+        d = tbl.group_by([key_col, "day"]).aggregate([])
+        keys = d.column(key_col).to_numpy(zero_copy_only=False)
+        days = d.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((days, keys))
+        k_s, day_s = keys[order], days[order]
+        n = len(k_s)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (k_s[1:] != k_s[:-1]) | (day_s[1:] != day_s[:-1] + 1)
+        run_starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.r_[run_starts, n]).astype(np.int64)
+        run_key = k_s[run_starts]
+        key_starts = np.flatnonzero(
+            np.r_[True, run_key[1:] != run_key[:-1]]
+        )
+        out_key = run_key[key_starts]
+        n_active = np.add.reduceat(run_len, key_starts)
+        longest = np.maximum.reduceat(run_len, key_starts)
+        n_streaks = np.diff(np.r_[key_starts, len(run_len)]).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                key_col: pa.array(out_key, pa.int64()),
+                "n_active_days": pa.array(n_active, pa.int64()),
+                "n_streaks": pa.array(n_streaks, pa.int64()),
+                "longest_streak": pa.array(longest, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(local_days, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(streaks_in_bucket, batch_format="pyarrow")
+    )

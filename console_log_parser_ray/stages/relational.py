@@ -1388,3 +1388,177 @@ def cube_agg(
             for lv in levels
         ]
     )
+
+
+def _skyline_key_np(col: pa.ChunkedArray) -> np.ndarray:
+    """Comparable numpy view of a skyline dimension: temporal and
+    integer columns stay exact int64; floats stay float64."""
+    t = col.type
+    if pa.types.is_temporal(t) or pa.types.is_integer(t):
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+
+
+def skyline_2d(ds, max_col: str, min_col: str, max_candidates: int = 5_000_000):
+    """2-D skyline (Pareto frontier): every row not dominated by any
+    other row, where p dominates q iff ``p.max_col >= q.max_col`` and
+    ``p.min_col <= q.min_col`` with at least one strict -- the
+    multi-objective "best trade-offs" query (e.g. highest-price,
+    earliest-date orders).  Rows tied on BOTH dimensions are mutual
+    non-dominators: all of them are kept iff their point survives.
+
+    Scale shape: the per-block pass is a sound PRUNE -- a row dominated
+    inside its own block is dominated globally, so dropping it can
+    never change the answer -- and only block-frontier candidates
+    reach the final single-task merge.  For statistically independent
+    dimensions the expected frontier of an n-row block is O(log n), so
+    the candidate set is ~blocks x log(block), not the corpus; an
+    adversarial input (all points on one anti-chain) degrades to the
+    full dataset, so the merge is guarded: candidates are counted
+    (metadata of the materialized prune output, nothing is collected)
+    and the merge refuses above ``max_candidates`` instead of silently
+    funnelling 100 TB through one task.
+
+    Nulls in either dimension are rejected (dominance is undefined);
+    the reference engine has no multi-objective operator -- this is
+    net-new surface for curation fronts (e.g. quality-vs-toxicity).
+    """
+
+    def block_skyline(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        xc = t.column(max_col).combine_chunks()
+        yc = t.column(min_col).combine_chunks()
+        if xc.null_count or yc.null_count:
+            raise ValueError(
+                "skyline_2d: null values in a skyline dimension"
+            )
+        x = _skyline_key_np(t.column(max_col))
+        y = _skyline_key_np(t.column(min_col))
+        order = np.lexsort((y, -x))  # x desc, then y asc
+        xs, ys = x[order], y[order]
+        n = len(xs)
+        # distinct (x, y) points in sorted order
+        d = np.empty(n, dtype=bool)
+        d[0] = True
+        d[1:] = (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
+        xd, yd = xs[d], ys[d]
+        m = len(xd)
+        # within a distinct-point list sorted (x desc, y asc), a point
+        # is non-dominated iff it is the first of its x (same-x
+        # predecessors have strictly smaller y) AND its y is strictly
+        # below every higher-x point's y (the running minimum)
+        fx = np.empty(m, dtype=bool)
+        fx[0] = True
+        fx[1:] = xd[1:] != xd[:-1]
+        sky = np.zeros(m, dtype=bool)
+        idx_f = np.flatnonzero(fx)
+        yf = yd[idx_f]
+        keep_f = np.empty(len(idx_f), dtype=bool)
+        keep_f[0] = True
+        if len(idx_f) > 1:
+            keep_f[1:] = yf[1:] < np.minimum.accumulate(yf)[:-1]
+        sky[idx_f] = keep_f
+        # map every row to its distinct point and keep skyline members
+        row_pt = np.cumsum(d) - 1
+        keep_rows = sky[row_pt]
+        return t.take(pa.array(order[keep_rows]))
+
+    cand = ds.map_batches(block_skyline, batch_format="pyarrow").materialize()
+    n_cand = cand.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"skyline_2d: {n_cand} frontier candidates exceed "
+            f"max_candidates={max_candidates}; the input is close to "
+            "one giant anti-chain -- partition it (e.g. per group) or "
+            "raise the cap explicitly"
+        )
+    return cand.repartition(1).map_batches(
+        block_skyline, batch_format="pyarrow", batch_size=None
+    )
+
+
+def corr_matrix(ds, cols: list[str], scales: list[int]) -> pa.Table:
+    """Pearson correlation matrix over ``cols`` from exact fixed-point
+    moments -- the one-pass feature-redundancy screen (which numeric
+    signals move together) run before feature selection.
+
+    Each column is fixed-pointed (``floor(col * scale)``) so every
+    moment (n, S_i, S_ij) is an exact integer; per-block partial sums
+    stay in int64 (caller owns the bound ``max|x_i*x_j| * block_rows
+    < 2^63`` via the scales -- the reason the defaults quantize prices
+    to whole units, not cents), and the driver folds one tiny partial
+    row per block in arbitrary-precision Python ints, so no corpus
+    size can overflow the global moments.  The correlation itself is a
+    fixed IEEE expression over the exact moments (every moment cast to
+    double FIRST, then the textbook formula), so an SQL mirror that
+    sums the same BIGINT products into HUGEINT and applies the same
+    expression tree is bit-identical.
+
+    Scale shape: one stateless streaming pass, zero shuffles; driver
+    state is O(blocks x d^2) integers (the k-means partial-fold
+    pattern).  A constant column yields a zero denominator -> IEEE
+    nan, same as the SQL mirror.  Output: one row per unordered pair
+    (col_x < col_y by position), columns (col_x, col_y, n, corr).
+    """
+    import math
+
+    d = len(cols)
+    if len(scales) != d:
+        raise ValueError("corr_matrix: one scale per column required")
+
+    def partials(b: pa.Table) -> pa.Table:
+        arrs = [
+            np.floor(
+                b.column(c).cast(pa.float64()).to_numpy(
+                    zero_copy_only=False
+                )
+                * s
+            ).astype(np.int64)
+            for c, s in zip(cols, scales)
+        ]
+        row: dict[str, list[int]] = {"n_p": [b.num_rows]}
+        for i in range(d):
+            row[f"s{i}"] = [int(arrs[i].sum())]
+            for j in range(i, d):
+                row[f"ss{i}_{j}"] = [int((arrs[i] * arrs[j]).sum())]
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in row.items()}
+        )
+
+    part_rows = ds.map_batches(
+        partials, batch_format="pyarrow"
+    ).take_all()
+    # arbitrary-precision fold: block partials are int64, totals are not
+    tot: dict[str, int] = {}
+    for r in part_rows:
+        for k, v in r.items():
+            tot[k] = tot.get(k, 0) + int(v)
+    n = tot.get("n_p", 0)
+    nf = float(n)
+    out_x, out_y, out_corr = [], [], []
+    for i in range(d):
+        for j in range(i + 1, d):
+            sx = float(tot.get(f"s{i}", 0))
+            sy = float(tot.get(f"s{j}", 0))
+            sxx = float(tot.get(f"ss{i}_{i}", 0))
+            syy = float(tot.get(f"ss{j}_{j}", 0))
+            sxy = float(tot.get(f"ss{i}_{j}", 0))
+            num = nf * sxy - sx * sy
+            den = math.sqrt(nf * sxx - sx * sx) * math.sqrt(
+                nf * syy - sy * sy
+            )
+            out_x.append(cols[i])
+            out_y.append(cols[j])
+            try:
+                out_corr.append(num / den)
+            except ZeroDivisionError:
+                out_corr.append(float("nan"))
+    return pa.table(
+        {
+            "col_x": pa.array(out_x, pa.string()),
+            "col_y": pa.array(out_y, pa.string()),
+            "n": pa.array([n] * len(out_x), pa.int64()),
+            "corr": pa.array(out_corr, pa.float64()),
+        }
+    )

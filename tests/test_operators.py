@@ -4035,3 +4035,227 @@ def test_group_entropy_reference_and_partitioning(ray_session):
         ).take_all()
     }
     assert got2 == got
+
+
+def test_skyline_2d_bruteforce_and_partitioning(ray_session):
+    ray = ray_session
+    import numpy as np
+    import pyarrow as pa
+
+    from console_log_parser_ray.stages.relational import skyline_2d
+
+    rng = np.random.default_rng(53)
+    n = 4000
+    x = rng.integers(0, 40, n).astype(np.int64)  # maximize
+    y = rng.integers(0, 40, n).astype(np.int64)  # minimize
+    # planted exact-duplicate frontier points and same-x ties
+    x[:3] = 39
+    y[:3] = 0
+    tbl = pa.table(
+        {
+            "rid": pa.array(np.arange(n, dtype=np.int64)),
+            "x": pa.array(x),
+            "y": pa.array(y),
+        }
+    )
+    got = {
+        r["rid"]
+        for r in skyline_2d(
+            ray.data.from_arrow(tbl).repartition(9), "x", "y"
+        ).take_all()
+    }
+    want = set()
+    for i in range(n):
+        dominated = bool(
+            np.any(
+                (x >= x[i])
+                & (y <= y[i])
+                & ((x > x[i]) | (y < y[i]))
+            )
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want
+    assert {0, 1, 2} <= got
+    got2 = {
+        r["rid"]
+        for r in skyline_2d(
+            ray.data.from_arrow(tbl).repartition(2), "x", "y"
+        ).take_all()
+    }
+    assert got2 == got
+    # guard trips on an anti-chain wider than the cap
+    import pytest as _pytest
+
+    anti = pa.table(
+        {
+            "x": pa.array(np.arange(100, dtype=np.int64)),
+            "y": pa.array(np.arange(100, dtype=np.int64)),
+        }
+    )
+    with _pytest.raises(ValueError, match="frontier candidates"):
+        skyline_2d(
+            ray.data.from_arrow(anti), "x", "y", max_candidates=10
+        ).take_all()
+
+
+def test_activity_streaks_reference_and_partitioning(ray_session):
+    ray = ray_session
+    import numpy as np
+    import pyarrow as pa
+
+    from console_log_parser_ray.stages.events import activity_streaks
+
+    rng = np.random.default_rng(59)
+    day_us = 86_400_000_000
+    users = rng.integers(0, 40, 5000).astype(np.int64)
+    days = rng.integers(0, 25, 5000).astype(np.int64)
+    # in-day jitter must not matter
+    ts = days * day_us + rng.integers(0, day_us, 5000)
+    # a single-event user and a perfectly contiguous user
+    users = np.concatenate([users, [777], np.full(10, 888)])
+    ts = np.concatenate(
+        [ts, [3 * day_us + 5], (np.arange(10) + 2) * day_us + 1]
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(users),
+                "ts": pa.array(ts, pa.int64()),
+            }
+        )
+    ).repartition(7)
+    got = {
+        r["user_id"]: (
+            r["n_active_days"],
+            r["n_streaks"],
+            r["longest_streak"],
+        )
+        for r in activity_streaks(ds, n_buckets=5).take_all()
+    }
+    from collections import defaultdict
+
+    per = defaultdict(set)
+    for u, t in zip(users.tolist(), ts.tolist()):
+        per[u].add(t // day_us)
+    want = {}
+    for u, dset in per.items():
+        ds_sorted = sorted(dset)
+        runs = []
+        cur = 1
+        for a, b in zip(ds_sorted, ds_sorted[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        want[u] = (len(dset), len(runs), max(runs))
+    assert got == want
+    assert got[777] == (1, 1, 1)
+    assert got[888] == (10, 1, 10)
+
+
+def test_corr_matrix_exact_moments(ray_session):
+    ray = ray_session
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from console_log_parser_ray.stages.relational import corr_matrix
+
+    rng = np.random.default_rng(61)
+    n = 9000
+    a = rng.normal(10, 3, n)
+    b = 2.0 * a + rng.normal(0, 1, n)  # strongly correlated
+    c = rng.uniform(0, 5, n)  # independent
+    tbl = pa.table(
+        {
+            "a": pa.array(a),
+            "b": pa.array(b),
+            "c": pa.array(c),
+        }
+    )
+    out = corr_matrix(
+        ray.data.from_arrow(tbl).repartition(6),
+        ["a", "b", "c"],
+        [100, 100, 100],
+    )
+    got = {
+        (r["col_x"], r["col_y"]): (r["n"], r["corr"])
+        for r in out.to_pylist()
+    }
+    qa = np.floor(a * 100).astype(object)
+    qb = np.floor(b * 100).astype(object)
+    qc = np.floor(c * 100).astype(object)
+
+    def ref(x, y):
+        nn = float(n)
+        sx, sy = float(sum(x)), float(sum(y))
+        sxx = float(sum(v * v for v in x))
+        syy = float(sum(v * v for v in y))
+        sxy = float(sum(u * v for u, v in zip(x, y)))
+        return (nn * sxy - sx * sy) / (
+            math.sqrt(nn * sxx - sx * sx)
+            * math.sqrt(nn * syy - sy * sy)
+        )
+
+    assert got[("a", "b")] == (n, ref(qa, qb))
+    assert got[("a", "c")] == (n, ref(qa, qc))
+    assert got[("b", "c")] == (n, ref(qb, qc))
+    assert got[("a", "b")][1] > 0.95
+    assert abs(got[("a", "c")][1]) < 0.1
+
+
+def test_setsim_join_bruteforce(ray_session):
+    ray = ray_session
+    import numpy as np
+    import pyarrow as pa
+
+    from console_log_parser_ray.stages.dedup import _shingles, setsim_join
+
+    rng = np.random.default_rng(67)
+    vocab = np.array([f"w{i}" for i in range(300)])
+    texts = []
+    for i in range(120):
+        lo, hi = (40, 70) if i < 40 else (8, 40)
+        toks = list(vocab[rng.integers(0, 300, rng.integers(lo, hi))])
+        texts.append(" ".join(toks))
+    # planted near-copies: drop one middle token
+    base_n = len(texts)
+    for i in range(40):
+        toks = texts[i].split()
+        p = len(toks) // 2
+        texts.append(" ".join(toks[:p] + toks[p + 1 :]))
+    ids = list(range(base_n)) + [1000 + i for i in range(40)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(5)
+    for thr in (0.6, 0.85):
+        got = {
+            (r["doc_a"], r["doc_b"]): (
+                r["n_inter"],
+                r["n_union"],
+                r["jaccard"],
+            )
+            for r in setsim_join(
+                ds, thr, n_df_buckets=7, n_pair_buckets=11
+            ).take_all()
+        }
+        sets = {i: _shingles(t, 3) for i, t in zip(ids, texts)}
+        want = {}
+        for ii, ai in enumerate(ids):
+            for bj in ids[ii + 1 :]:
+                sa, sb = sets[ai], sets[bj]
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                if union and inter / union >= thr:
+                    want[(ai, bj)] = (inter, union, inter / union)
+        assert got == want
+        assert len(want) >= 30  # planted pairs qualify
