@@ -3126,6 +3126,38 @@ def _q_setsim_pairs(sf_dir: str):
     return setsim_join(_minhash_aug(sf_dir), 0.85)
 
 
+def _q_nearest_click(sf_dir: str):
+    """Bidirectional nearest-in-time join: each purchase matched to
+    the same user's closest click either way
+    (stages/events.nearest_event_join) -- one user-hash bucket
+    shuffle, searchsorted neighbor resolution, deterministic
+    (gap, ts, id) tie rule mirrored in the SQL row_number."""
+    from console_log_parser_ray.stages.events import nearest_event_join
+
+    return nearest_event_join(
+        _events(sf_dir).select_columns(
+            ["event_id", "user_id", "event_type", "ts"]
+        ),
+        anchor_type="purchase",
+        near_type="click",
+    )
+
+
+def _q_mutual_info(sf_dir: str):
+    """PMI between document language and source in integer micro-nats
+    (stages/textan.mutual_info): per-block cell partials bounded by
+    the categorical cross product, driver fold, zero shuffles."""
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import mutual_info
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "source"],
+    )
+    return mutual_info(docs)
+
+
 def _q_twap(sf_dir: str):
     """Per-user time-weighted average of the event value stream
     (integer cents x ms weights, one IEEE division; uniform
@@ -3301,6 +3333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_streaks": _q_user_streaks,
         "corr_matrix": _q_corr_matrix,
         "setsim_pairs": _q_setsim_pairs,
+        "nearest_click": _q_nearest_click,
+        "lang_source_mi": _q_mutual_info,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
     }
@@ -4968,6 +5002,38 @@ def oracle_sql() -> dict[str, str]:
         f"WITH q AS (SELECT {_cm_q} FROM lineitem), "
         f"m AS (SELECT {', '.join(_cm_sums)} FROM q) "
         + " UNION ALL ".join(_cm_rows)
+    )
+    out["nearest_click"] = (
+        # nearest neighbor in time, either direction; deterministic
+        # (gap, candidate ts, candidate id) tie rule
+        "WITH a AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'click'), "
+        "j AS (SELECT a.event_id AS anchor_id, a.user_id, "
+        "a.ts AS anchor_ts, c.event_id AS near_id, c.ts AS near_ts, "
+        "CAST(abs(epoch_us(a.ts) - epoch_us(c.ts)) AS BIGINT) AS "
+        "gap_us, row_number() OVER (PARTITION BY a.event_id "
+        "ORDER BY abs(epoch_us(a.ts) - epoch_us(c.ts)), c.ts, "
+        "c.event_id) AS rn FROM a JOIN c USING (user_id)) "
+        "SELECT anchor_id, user_id, anchor_ts, near_id, near_ts, "
+        "gap_us FROM j WHERE rn = 1"
+    )
+    out["lang_source_mi"] = (
+        # PMI in integer micro-nats, identical floor/ln tree
+        "WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) "
+        "AS c_xy FROM documents GROUP BY 1, 2), "
+        "mx AS (SELECT lang, CAST(sum(c_xy) AS BIGINT) AS c_x "
+        "FROM c GROUP BY 1), "
+        "my AS (SELECT source, CAST(sum(c_xy) AS BIGINT) AS c_y "
+        "FROM c GROUP BY 1), "
+        "t AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM c) "
+        "SELECT c.lang, c.source, c.c_xy, mx.c_x, my.c_y, t.n, "
+        "CAST(floor((ln(CAST(c.c_xy AS DOUBLE)) + "
+        "ln(CAST(t.n AS DOUBLE)) - ln(CAST(mx.c_x AS DOUBLE)) - "
+        "ln(CAST(my.c_y AS DOUBLE))) * 1000000.0) AS BIGINT) AS "
+        "pmi_q FROM c JOIN mx USING (lang) "
+        "JOIN my USING (source) CROSS JOIN t"
     )
     out["setsim_pairs"] = (
         # exact all-pairs ground truth over the same planted corpus as

@@ -215,6 +215,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "vocab_overlap",
         "user_entropy",
         "hybrid_rrf",
+        "skyline_orders",
+        "user_streaks",
+        "corr_matrix",
+        "setsim_pairs",
+        "nearest_click",
+        "lang_source_mi",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -2794,3 +2794,168 @@ def activity_streaks(
         .groupby("kb")
         .map_groups(streaks_in_bucket, batch_format="pyarrow")
     )
+
+
+def nearest_event_join(
+    ds,
+    anchor_type: str = "purchase",
+    near_type: str = "click",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+):
+    """Nearest-neighbor temporal join: for every ``anchor_type`` event,
+    the same user's ``near_type`` event CLOSEST in time in either
+    direction -- the bidirectional generalization of the as-of join
+    (which only looks backward), i.e. "which click does this purchase
+    belong to".  Deterministic tie rule, mirrored in SQL: order
+    candidates by (absolute gap, candidate ts, candidate id) and keep
+    the first; anchors whose user has no candidate are dropped (inner
+    semantics).
+
+    Scale shape: both event classes are prefiltered and co-located by
+    ONE user-hash bucket shuffle; inside a bucket one lexsort orders
+    the candidate axis and three ``searchsorted`` calls per anchor
+    column resolve the left/right neighbors and the first-id row of
+    the chosen timestamp -- no per-user Python on the fast path (the
+    composite segment*span axis, with the same per-segment fallback as
+    ``rolling_time_sum`` when segments x span would overflow int64).
+    """
+
+    def project(b: pa.Table) -> pa.Table:
+        et = b.column(type_col)
+        keep = pc.or_(
+            pc.equal(et, anchor_type), pc.equal(et, near_type)
+        )
+        t = b.filter(keep)
+        users = t.column(user_col).combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                user_col: users,
+                ts_col: t.column(ts_col),
+                "is_anchor": pc.equal(t.column(type_col), anchor_type),
+                "bucket": _bucket31(users, n_buckets),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(
+            [
+                (user_col, "ascending"),
+                (ts_col, "ascending"),
+                (id_col, "ascending"),
+            ]
+        )
+        users = tbl.column(user_col).to_numpy(zero_copy_only=False)
+        ts = tbl.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        is_a = tbl.column("is_anchor").to_numpy(zero_copy_only=False)
+        n = len(users)
+        tcol = tbl.column(ts_col).type
+        empty = pa.table(
+            {
+                "anchor_id": pa.array([], pa.int64()),
+                user_col: pa.array([], pa.int64()),
+                "anchor_ts": pa.array([], tcol),
+                "near_id": pa.array([], pa.int64()),
+                "near_ts": pa.array([], tcol),
+                "gap_us": pa.array([], pa.int64()),
+            }
+        )
+        if not n:
+            return empty
+        first = np.ones(n, dtype=bool)
+        first[1:] = users[1:] != users[:-1]
+        seg = np.cumsum(first) - 1
+        a_idx = np.flatnonzero(is_a)
+        c_idx = np.flatnonzero(~is_a)
+        if not len(a_idx) or not len(c_idx):
+            return empty
+        t0 = int(ts.min())
+        span = int(ts.max()) - t0 + 2
+        n_seg = int(seg[-1]) + 1
+        if n_seg * span >= (1 << 62):  # pathological: per-user loop
+            rows = []
+            starts = np.flatnonzero(first)
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                la = [i for i in range(s, e) if is_a[i]]
+                lc = [i for i in range(s, e) if not is_a[i]]
+                for i in la:
+                    best = min(
+                        lc,
+                        key=lambda j: (abs(int(ts[j]) - int(ts[i])),
+                                       int(ts[j]), int(ids[j])),
+                        default=None,
+                    )
+                    if best is not None:
+                        rows.append((i, best))
+            if not rows:
+                return empty
+            ai = np.array([r[0] for r in rows], np.int64)
+            ci = np.array([r[1] for r in rows], np.int64)
+        else:
+            comp = seg * span + (ts - t0)
+            comp_c = comp[c_idx]
+            ts_c = ts[c_idx]
+            seg_c = seg[c_idx]
+            comp_a = comp[a_idx]
+            ts_a = ts[a_idx]
+            seg_a = seg[a_idx]
+            pos = np.searchsorted(comp_c, comp_a, "left")
+            u_lo = np.searchsorted(comp_c, seg_a * span, "left")
+            u_hi = np.searchsorted(comp_c, (seg_a + 1) * span, "left")
+            has_l = pos > u_lo
+            has_r = pos < u_hi
+            keep = has_l | has_r
+            if not keep.any():
+                return empty
+            posk = pos[keep]
+            d_l = np.where(
+                has_l[keep],
+                ts_a[keep] - ts_c[np.maximum(posk - 1, 0)],
+                np.iinfo(np.int64).max,
+            )
+            d_r = np.where(
+                has_r[keep],
+                ts_c[np.minimum(posk, len(ts_c) - 1)] - ts_a[keep],
+                np.iinfo(np.int64).max,
+            )
+            take_left = d_l <= d_r  # equal distance -> earlier ts
+            chosen_ts = np.where(
+                take_left,
+                ts_c[np.maximum(posk - 1, 0)],
+                ts_c[np.minimum(posk, len(ts_c) - 1)],
+            )
+            # first candidate row of the chosen (user, ts) => lowest id
+            ci = c_idx[
+                np.searchsorted(
+                    comp_c, seg_a[keep] * span + (chosen_ts - t0),
+                    "left",
+                )
+            ]
+            ai = a_idx[keep]
+        gap = np.abs(ts[ci] - ts[ai])
+        take_a = pa.array(ai, pa.int64())
+        take_c = pa.array(ci, pa.int64())
+        return pa.table(
+            {
+                "anchor_id": pa.array(ids[ai], pa.int64()),
+                user_col: pa.array(users[ai], pa.int64()),
+                "anchor_ts": tbl.column(ts_col).take(take_a),
+                "near_id": pa.array(ids[ci], pa.int64()),
+                "near_ts": tbl.column(ts_col).take(take_c),
+                "gap_us": pa.array(gap, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

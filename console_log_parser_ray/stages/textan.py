@@ -2361,3 +2361,89 @@ def vocab_overlap(
             }
         )
     )
+
+
+def mutual_info(
+    ds,
+    col_x: str = "lang",
+    col_y: str = "source",
+    scale: int = 1_000_000,
+):
+    """Pointwise mutual information between two categorical columns --
+    the association profile (which languages concentrate in which
+    sources) behind stratification decisions, in the family's integer
+    micro-nat quantization: each observed cell gets ``pmi_q =
+    floor((ln(c_xy) + ln(N) - ln(c_x) - ln(c_y)) * scale)`` with
+    ``math.log`` (libm == DuckDB ``ln``) and the identical expression
+    tree, so the SQL mirror is bit-exact; total MI in nats is
+    ``sum(c_xy * pmi_q) / (scale * N)`` on either side.
+
+    Scale shape: per-block Arrow ``group_by`` reduces raw rows to
+    (x, y, count) partials BOUNDED by the cell count -- the operator's
+    stated contract is categorical columns (cells = |X| x |Y|, not
+    rows) -- and the driver folds blocks x cells tiny rows (the
+    domain_kl pattern: a Ray groupby here would pay a full all-to-all
+    for a few hundred rows).  Marginals derive from the folded cells;
+    zero shuffles, one streaming pass.
+    """
+    import math
+
+    from collections import Counter
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                col_x: pc.fill_null(
+                    b.column(col_x).combine_chunks(), ""
+                ),
+                col_y: pc.fill_null(
+                    b.column(col_y).combine_chunks(), ""
+                ),
+            }
+        )
+        return t.group_by([col_x, col_y]).aggregate(
+            [([], "count_all")]
+        )
+
+    cells: Counter = Counter()
+    for r in ds.map_batches(
+        partials, batch_format="pyarrow"
+    ).take_all():
+        cells[(r[col_x], r[col_y])] += int(r["count_all"])
+    n = sum(cells.values())
+    cx: Counter = Counter()
+    cy: Counter = Counter()
+    for (x, y), c in cells.items():
+        cx[x] += c
+        cy[y] += c
+    xs, ys, cxy_l, cx_l, cy_l, pmi_l = [], [], [], [], [], []
+    for (x, y), c in sorted(cells.items()):
+        xs.append(x)
+        ys.append(y)
+        cxy_l.append(c)
+        cx_l.append(cx[x])
+        cy_l.append(cy[y])
+        pmi_l.append(
+            int(
+                math.floor(
+                    (
+                        math.log(float(c))
+                        + math.log(float(n))
+                        - math.log(float(cx[x]))
+                        - math.log(float(cy[y]))
+                    )
+                    * float(scale)
+                )
+            )
+        )
+    return pa.table(
+        {
+            col_x: pa.array(xs, pa.string()),
+            col_y: pa.array(ys, pa.string()),
+            "c_xy": pa.array(cxy_l, pa.int64()),
+            "c_x": pa.array(cx_l, pa.int64()),
+            "c_y": pa.array(cy_l, pa.int64()),
+            "n": pa.array([n] * len(xs), pa.int64()),
+            "pmi_q": pa.array(pmi_l, pa.int64()),
+        }
+    )

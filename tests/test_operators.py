@@ -4259,3 +4259,117 @@ def test_setsim_join_bruteforce(ray_session):
                     want[(ai, bj)] = (inter, union, inter / union)
         assert got == want
         assert len(want) >= 30  # planted pairs qualify
+
+
+def test_nearest_event_join_bruteforce(ray_session):
+    ray = ray_session
+    import numpy as np
+    import pyarrow as pa
+
+    from console_log_parser_ray.stages.events import nearest_event_join
+
+    rng = np.random.default_rng(71)
+    n = 6000
+    users = rng.integers(0, 50, n).astype(np.int64)
+    ts = rng.integers(0, 10_000, n).astype(np.int64)  # heavy ties
+    kinds = rng.choice(["purchase", "click", "view"], n)
+    ids = np.arange(n, dtype=np.int64)
+    # a user with anchors but no candidates
+    users = np.concatenate([users, [900, 900]])
+    ts = np.concatenate([ts, [5, 6]])
+    kinds = np.concatenate([kinds, ["purchase", "view"]])
+    ids = np.concatenate([ids, [10_000, 10_001]])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(ids),
+                "user_id": pa.array(users),
+                "event_type": pa.array(kinds),
+                "ts": pa.array(ts, pa.int64()),
+            }
+        )
+    ).repartition(7)
+    got = {
+        r["anchor_id"]: (r["near_id"], r["gap_us"])
+        for r in nearest_event_join(ds, n_buckets=5).take_all()
+    }
+    want = {}
+    for i in range(len(ids)):
+        if kinds[i] != "purchase":
+            continue
+        best = None
+        for j in range(len(ids)):
+            if kinds[j] != "click" or users[j] != users[i]:
+                continue
+            key = (abs(int(ts[j]) - int(ts[i])), int(ts[j]), int(ids[j]))
+            if best is None or key < best[0]:
+                best = (key, int(ids[j]))
+        if best is not None:
+            want[int(ids[i])] = (best[1], best[0][0])
+    assert got == want
+    assert 10_000 not in got
+
+
+def test_mutual_info_reference(ray_session):
+    ray = ray_session
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from console_log_parser_ray.stages.textan import mutual_info
+
+    rng = np.random.default_rng(73)
+    # correlated categoricals: y leans on x
+    x = rng.choice(["en", "de", "fr"], 5000, p=[0.5, 0.3, 0.2])
+    y = np.where(
+        rng.random(5000) < 0.7,
+        np.char.add("s_", x),
+        rng.choice(["s_en", "s_de", "s_fr"], 5000),
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(list(x), pa.string()),
+                "source": pa.array(list(y), pa.string()),
+            }
+        )
+    ).repartition(6)
+    out = mutual_info(ds).to_pylist()
+    from collections import Counter
+
+    cells = Counter(zip(x.tolist(), y.tolist()))
+    cx = Counter(x.tolist())
+    cy = Counter(y.tolist())
+    n = 5000
+    want = {}
+    for (a, b), c in cells.items():
+        want[(a, b)] = (
+            c,
+            cx[a],
+            cy[b],
+            int(
+                math.floor(
+                    (
+                        math.log(float(c))
+                        + math.log(float(n))
+                        - math.log(float(cx[a]))
+                        - math.log(float(cy[b]))
+                    )
+                    * 1e6
+                )
+            ),
+        )
+    got = {
+        (r["lang"], r["source"]): (
+            r["c_xy"],
+            r["c_x"],
+            r["c_y"],
+            r["pmi_q"],
+        )
+        for r in out
+    }
+    assert got == want
+    assert all(r["n"] == n for r in out)
+    # matched cells (en, s_en) must have positive PMI
+    assert got[("en", "s_en")][3] > 0

@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 105 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 111 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -2857,6 +2857,277 @@ def graph_lm_family(seed):
     )
 
 
+def pareto_setsim_family(seed):
+    """Skyline / streaks / correlation matrix / set-similarity join
+    vs DuckDB on adversarial random tables (heavy ties, planted
+    duplicates, planted near-copies)."""
+    rng = np.random.default_rng(seed)
+
+    # --- 2-D skyline vs the declarative NOT EXISTS definition
+    from console_log_parser_ray.stages.relational import skyline_2d
+
+    n = 800
+    sky_tbl = pa.table(
+        {
+            "rid": pa.array(np.arange(n, dtype=np.int64)),
+            "x": pa.array(
+                rng.integers(0, 25, n).astype(np.int64)
+            ),
+            "y": pa.array(
+                rng.integers(0, 25, n).astype(np.int64)
+            ),
+        }
+    )
+    mine = skyline_2d(
+        ray.data.from_arrow(sky_tbl).repartition(6), "x", "y"
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("pts", sky_tbl)
+    ref = con.execute(
+        "SELECT rid, x, y FROM pts o WHERE NOT EXISTS ("
+        "SELECT 1 FROM pts p WHERE p.x >= o.x AND p.y <= o.y "
+        "AND (p.x > o.x OR p.y < o.y))"
+    ).fetchdf()
+    check("skyline_2d", seed, mine, ref, ["rid"], ["x", "y"])
+
+    # --- gaps-and-islands streaks over integer-µs timestamps
+    from console_log_parser_ray.stages.events import activity_streaks
+
+    day_us = 86_400_000_000
+    m = 4000
+    st_tbl = pa.table(
+        {
+            "user_id": pa.array(
+                rng.integers(0, 60, m).astype(np.int64)
+            ),
+            "ts": pa.array(
+                rng.integers(0, 30, m).astype(np.int64) * day_us
+                + rng.integers(0, day_us, m)
+            ),
+        }
+    )
+    mine = activity_streaks(
+        ray.data.from_arrow(st_tbl).repartition(5), n_buckets=7
+    ).to_pandas()
+    con.register("sev", st_tbl)
+    ref = con.execute(
+        "WITH d AS (SELECT DISTINCT user_id, ts // 86400000000 AS "
+        "day FROM sev), "
+        "i AS (SELECT user_id, day, day - row_number() OVER "
+        "(PARTITION BY user_id ORDER BY day) AS island FROM d), "
+        "s AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS "
+        "len FROM i GROUP BY 1, 2) "
+        "SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days, "
+        "CAST(count(*) AS BIGINT) AS n_streaks, "
+        "CAST(max(len) AS BIGINT) AS longest_streak "
+        "FROM s GROUP BY user_id"
+    ).fetchdf()
+    check(
+        "activity_streaks", seed, mine, ref,
+        ["user_id"], ["n_active_days", "n_streaks", "longest_streak"],
+    )
+
+    # --- exact-moment correlation matrix (bit-exact doubles)
+    from console_log_parser_ray.stages.relational import corr_matrix
+
+    p = 6000
+    ca = rng.normal(5, 2, p)
+    cb = -1.5 * ca + rng.normal(0, 0.5, p)
+    cc = rng.uniform(0, 9, p)
+    cm_tbl = pa.table(
+        {"a": pa.array(ca), "b": pa.array(cb), "c": pa.array(cc)}
+    )
+    mine = corr_matrix(
+        ray.data.from_arrow(cm_tbl).repartition(5),
+        ["a", "b", "c"],
+        [100, 100, 100],
+    ).to_pandas()
+    con.register("cm", cm_tbl)
+    rows = []
+    cols3 = ["a", "b", "c"]
+    for i in range(3):
+        for j in range(i + 1, 3):
+            rows.append(
+                f"SELECT '{cols3[i]}' AS col_x, '{cols3[j]}' AS "
+                f"col_y, n, (CAST(n AS DOUBLE) * CAST(ss{i}_{j} AS "
+                f"DOUBLE) - CAST(s{i} AS DOUBLE) * CAST(s{j} AS "
+                f"DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(ss{i}_{i}"
+                f" AS DOUBLE) - CAST(s{i} AS DOUBLE) * CAST(s{i} AS "
+                f"DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(ss{j}_{j} "
+                f"AS DOUBLE) - CAST(s{j} AS DOUBLE) * CAST(s{j} AS "
+                f"DOUBLE))) AS corr FROM mo"
+            )
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for i in range(3):
+        sums.append(f"sum(v{i}) AS s{i}")
+        for j in range(i, 3):
+            sums.append(f"sum(v{i} * v{j}) AS ss{i}_{j}")
+    qcols = ", ".join(
+        f"CAST(floor({c} * 100) AS BIGINT) AS v{i}"
+        for i, c in enumerate(cols3)
+    )
+    ref = con.execute(
+        f"WITH q AS (SELECT {qcols} FROM cm), "
+        f"mo AS (SELECT {', '.join(sums)} FROM q) "
+        + " UNION ALL ".join(rows)
+    ).fetchdf()
+    mine_s = mine.sort_values(["col_x", "col_y"]).reset_index(drop=True)
+    ref_s = ref.sort_values(["col_x", "col_y"]).reset_index(drop=True)
+    if not (
+        mine_s["corr"].tolist() == ref_s["corr"].tolist()
+        and mine_s["n"].tolist() == ref_s["n"].tolist()
+    ):
+        failures.append(("corr_matrix", seed))
+        print(f"FAIL corr_matrix seed={seed}", flush=True)
+
+    # --- exact set-similarity join vs all-pairs ground truth
+    from console_log_parser_ray.stages.dedup import setsim_join
+
+    vocab = np.array([f"t{i}" for i in range(200)])
+    texts, ids = [], []
+    for i in range(90):
+        lo, hi = (40, 70) if i < 30 else (5, 40)
+        texts.append(
+            " ".join(vocab[rng.integers(0, 200, rng.integers(lo, hi))])
+        )
+        ids.append(i)
+    for i in range(30):
+        toks = texts[i].split()
+        q = len(toks) // 2
+        texts.append(" ".join(toks[:q] + toks[q + 1 :]))
+        ids.append(1000 + i)
+    ss_tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    thr = [0.6, 0.9][seed % 2]
+    mine = setsim_join(
+        ray.data.from_arrow(ss_tbl).repartition(4),
+        thr,
+        n_df_buckets=7,
+        n_pair_buckets=11,
+    ).to_pandas()
+    con.register("ssdocs", ss_tbl)
+    ref = con.execute(
+        "WITH base AS (SELECT doc_id, regexp_extract_all(text, "
+        "'\\S+') AS toks FROM ssdocs), "
+        "idx AS (SELECT doc_id, toks, unnest(generate_series(1, "
+        "greatest(len(toks) - 2, 0))) AS i FROM base), "
+        "win AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' "
+        "|| toks[i+2] AS shingle FROM idx), "
+        "short AS (SELECT doc_id, array_to_string(toks, ' ') AS "
+        "shingle FROM base WHERE len(toks) > 0 AND len(toks) < 3), "
+        "d AS (SELECT DISTINCT doc_id, shingle FROM "
+        "(SELECT * FROM win UNION ALL SELECT * FROM short)), "
+        "sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sn "
+        "FROM d GROUP BY 1), "
+        "i2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(count(*) AS BIGINT) AS n_inter FROM d a JOIN d b "
+        "USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, n_inter, "
+        "sa.sn + sb.sn - n_inter AS n_union, "
+        "CAST(n_inter AS DOUBLE) / "
+        "CAST(sa.sn + sb.sn - n_inter AS DOUBLE) AS jaccard "
+        "FROM i2 JOIN sz sa ON doc_a = sa.doc_id "
+        "JOIN sz sb ON doc_b = sb.doc_id "
+        "WHERE CAST(n_inter AS DOUBLE) / "
+        f"CAST(sa.sn + sb.sn - n_inter AS DOUBLE) >= {thr}"
+    ).fetchdf()
+    check(
+        "setsim_join", seed, mine, ref,
+        ["doc_a", "doc_b"], ["n_inter", "n_union", "jaccard"],
+    )
+
+
+def nearest_mi_family(seed):
+    """Nearest-in-time join + categorical PMI vs DuckDB on random
+    tie-heavy tables."""
+    rng = np.random.default_rng(seed + 17)
+
+    from console_log_parser_ray.stages.events import nearest_event_join
+
+    n = 5000
+    ev_tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(
+                rng.integers(0, 80, n).astype(np.int64)
+            ),
+            "event_type": pa.array(
+                rng.choice(["purchase", "click", "view"], n)
+            ),
+            "ts": pa.array(
+                rng.integers(0, 20_000, n).astype(np.int64)
+            ),
+        }
+    )
+    mine = nearest_event_join(
+        ray.data.from_arrow(ev_tbl).repartition(6), n_buckets=7
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("nev", ev_tbl)
+    ref = con.execute(
+        "WITH a AS (SELECT event_id, user_id, ts FROM nev "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT event_id, user_id, ts FROM nev "
+        "WHERE event_type = 'click'), "
+        "j AS (SELECT a.event_id AS anchor_id, a.user_id, "
+        "a.ts AS anchor_ts, c.event_id AS near_id, c.ts AS near_ts, "
+        "CAST(abs(a.ts - c.ts) AS BIGINT) AS gap_us, "
+        "row_number() OVER (PARTITION BY a.event_id "
+        "ORDER BY abs(a.ts - c.ts), c.ts, c.event_id) AS rn "
+        "FROM a JOIN c USING (user_id)) "
+        "SELECT anchor_id, user_id, anchor_ts, near_id, near_ts, "
+        "gap_us FROM j WHERE rn = 1"
+    ).fetchdf()
+    check(
+        "nearest_event_join", seed, mine, ref,
+        ["anchor_id"],
+        ["user_id", "anchor_ts", "near_id", "near_ts", "gap_us"],
+    )
+
+    from console_log_parser_ray.stages.textan import mutual_info
+
+    m = 4000
+    mx = rng.choice(["a", "b", "c", "d"], m)
+    my = np.where(
+        rng.random(m) < 0.6,
+        np.char.add("s_", mx),
+        rng.choice(["s_a", "s_b", "s_c", "s_d"], m),
+    )
+    mi_tbl = pa.table(
+        {
+            "lang": pa.array(list(mx), pa.string()),
+            "source": pa.array(list(my), pa.string()),
+        }
+    )
+    mine = mutual_info(
+        ray.data.from_arrow(mi_tbl).repartition(5)
+    ).to_pandas()
+    con.register("midocs", mi_tbl)
+    ref = con.execute(
+        "WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) "
+        "AS c_xy FROM midocs GROUP BY 1, 2), "
+        "mx AS (SELECT lang, CAST(sum(c_xy) AS BIGINT) AS c_x "
+        "FROM c GROUP BY 1), "
+        "my AS (SELECT source, CAST(sum(c_xy) AS BIGINT) AS c_y "
+        "FROM c GROUP BY 1), "
+        "t AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM c) "
+        "SELECT c.lang, c.source, c.c_xy, mx.c_x, my.c_y, t.n, "
+        "CAST(floor((ln(CAST(c.c_xy AS DOUBLE)) + "
+        "ln(CAST(t.n AS DOUBLE)) - ln(CAST(mx.c_x AS DOUBLE)) - "
+        "ln(CAST(my.c_y AS DOUBLE))) * 1000000.0) AS BIGINT) AS "
+        "pmi_q FROM c JOIN mx USING (lang) "
+        "JOIN my USING (source) CROSS JOIN t"
+    ).fetchdf()
+    check(
+        "mutual_info", seed, mine, ref,
+        ["lang", "source"], ["c_xy", "c_x", "c_y", "n", "pmi_q"],
+    )
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -2876,10 +3147,12 @@ def main():
         olap_family(seed)
         cdc_fuzzy_family(seed)
         graph_lm_family(seed)
+        pareto_setsim_family(seed)
+        nearest_mi_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(105 comparison groups per seed)"
+        "(111 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
