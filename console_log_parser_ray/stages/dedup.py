@@ -1909,7 +1909,8 @@ def setsim_join(
     k: int = 3,
     n_df_buckets: int = 64,
     n_pair_buckets: int = 256,
-    ds_schema: pa.Schema | None = None,
+    max_broadcast_shingles: int = 8_000_000,
+    broadcast_pair_limit: int = 2_000_000,
 ):
     """Exact threshold set-similarity self-join (prefix filtering, the
     PPJoin family): every unordered id pair whose k-token shingle sets
@@ -1930,19 +1931,25 @@ def setsim_join(
     (``Fraction(str(threshold))``) so a float rounding can never
     shorten a prefix.
 
-    Scale shape: shingles explode VECTORIZED (``_ngram_tape``), the DF
-    table is a partial+final count keyed by shingle hash (one bucket
-    shuffle; a hash collision merges two DF rows, which only perturbs
-    the ORDER, never correctness), DF attaches to the doc-shingle rows
-    by a co-partitioned ``hash_join`` (both sides large, neither
-    broadcast), prefixes are cut per doc inside doc-hash bucket groups
-    (one lexsort each), candidate pairs expand by the vectorized
-    triangular index inside shingle-hash buckets, fold in one
-    ``distinct_rows`` pass, and only the bounded candidate set flows
-    through the two grouped text joins into the exact verifier.  The
-    doc-shingle explode is LAZY and recomputed for the DF pass rather
-    than materialized -- two streaming tokenization passes instead of
-    pinning a corpus-sized intermediate in the object store.
+    Size-adaptive plan (the broadcast-vs-shuffle choice a planner
+    makes, same contract as ``minhash_near_dups``):
+
+    * The DF table's row bound is METADATA-counted from the
+      materialized per-block partials; within
+      ``max_broadcast_shingles`` the (hash -> df) arrays fold on the
+      driver (vectorized bincount, bounded by the count just taken)
+      and broadcast once via ``ray.put``, and -- because the explode
+      emits each document's rows contiguously inside its own output
+      table -- the prefix cut happens IN-BLOCK with zero shuffles;
+      candidate-pair expansion (one bucket shuffle) plus the
+      ``distinct_rows`` fold are then the only wide steps, and the
+      bounded pair set verifies against broadcast texts
+      (``_verify_broadcast``'s shape, emitting exact inter/union).
+    * Above the caps nothing is ever collected: DF becomes a
+      partial+final bucket groupby, attaches by a co-partitioned
+      ``hash_join``, prefixes cut inside doc-hash bucket groups, and
+      texts attach through the two grouped joins -- the corpus-scale
+      path, one extra shuffle per step but O(1) driver memory.
 
     A hot shingle (boilerplate shared by millions of docs) makes its
     candidate group quadratic -- the inherent output bound of any
@@ -1953,13 +1960,18 @@ def setsim_join(
     """
     from fractions import Fraction
 
-    from .relational import hash_join
+    import ray as _ray
+
     from .textan import _ngram_tape, _token_bucket_hashes, _token_tape
 
     frac = Fraction(str(threshold))
     t_num, t_den = frac.numerator, frac.denominator
+    thr = float(threshold)
 
     def explode(b: pa.Table) -> pa.Table:
+        """Distinct (shingle-hash, shingle, doc, set-size) rows; each
+        document's rows stay contiguous inside the output table (the
+        in-block prefix cut of the fast path depends on this)."""
         ids = (
             b.column(id_col)
             .combine_chunks()
@@ -1975,7 +1987,6 @@ def setsim_join(
         flat, counts, new_off = _token_tape(texts)
         short = np.flatnonzero((counts > 0) & (counts < k))
         if len(short):
-            # build one list array over the short docs' token runs
             starts = new_off[short]
             ends = new_off[short + 1]
             idx = np.concatenate(
@@ -2007,7 +2018,6 @@ def setsim_join(
             }
         )
         d = tbl.group_by([id_col, "shingle"]).aggregate([])
-        # per-doc distinct set size, attached block-locally
         sz = d.group_by(id_col).aggregate([([], "count_all")])
         pos = pc.index_in(
             d.column(id_col), value_set=sz.column(id_col)
@@ -2025,67 +2035,10 @@ def setsim_join(
             }
         )
 
-    rows = ds.map_batches(explode, batch_format="pyarrow")
-
-    def df_partial(b: pa.Table) -> pa.Table:
-        g = b.select(["sh_hash"]).group_by("sh_hash").aggregate(
-            [([], "count_all")]
-        )
-        return pa.table(
-            {
-                "dfb": _pair_mod(
-                    g.column("sh_hash").combine_chunks(), n_df_buckets
-                ),
-                "sh_hash": g.column("sh_hash"),
-                "df_p": g.column("count_all").cast(pa.int64()),
-            }
-        )
-
-    def df_final(tbl: pa.Table) -> pa.Table:
-        g = tbl.group_by("sh_hash").aggregate([("df_p", "sum")])
-        return pa.table(
-            {
-                "sh_hash": g.column("sh_hash"),
-                "df": g.column("df_p_sum").cast(pa.int64()),
-            }
-        )
-
-    df_tbl = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .map_batches(df_partial, batch_format="pyarrow")
-        .groupby("dfb")
-        .map_groups(df_final, batch_format="pyarrow")
-    )
-
-    joined = hash_join(
-        rows,
-        df_tbl,
-        on="sh_hash",
-        n_buckets=n_df_buckets,
-        left_schema=pa.schema(
-            [
-                ("sh_hash", pa.int64()),
-                ("shingle", pa.string()),
-                (id_col, pa.int64()),
-                ("set_size", pa.int64()),
-            ]
-        ),
-        right_schema=pa.schema(
-            [("sh_hash", pa.int64()), ("df", pa.int64())]
-        ),
-    )
-
-    def tag_doc(b: pa.Table) -> pa.Table:
-        from .events import _bucket31
-
-        return b.append_column(
-            "db",
-            _bucket31(
-                b.column(id_col).combine_chunks(), n_df_buckets
-            ),
-        )
-
-    def prefix_in_bucket(tbl: pa.Table) -> pa.Table:
+    def _prefix_rows(tbl: pa.Table) -> pa.Table:
+        """(sh_hash, doc) prefix rows from rows carrying df; sorts by
+        (doc, df, hash, shingle) and cuts each doc's exact-rational
+        prefix."""
         tbl = tbl.sort_by(
             [
                 (id_col, "ascending"),
@@ -2110,8 +2063,7 @@ def setsim_join(
         counts = np.diff(np.r_[starts, n])
         pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
         o_min = -((-t_num * size) // t_den)  # exact ceil(t * size)
-        p_len = size - o_min + 1
-        keep = pos < p_len
+        keep = pos < (size - o_min + 1)
         return pa.table(
             {
                 "sh_hash": tbl.column("sh_hash").filter(
@@ -2121,11 +2073,128 @@ def setsim_join(
             }
         )
 
-    prefixes = (
-        joined.map_batches(tag_doc, batch_format="pyarrow")
-        .groupby("db")
-        .map_groups(prefix_in_bucket, batch_format="pyarrow")
-    )
+    def df_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["sh_hash"]).group_by("sh_hash").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "sh_hash": g.column("sh_hash"),
+                "df_p": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    # ---- DF bound: materialized per-block partials, metadata count
+    dfp = ds.map_batches(
+        lambda b: df_partial(explode(b)), batch_format="pyarrow"
+    ).materialize()
+    df_bound = dfp.count()
+
+    if df_bound <= max_broadcast_shingles:
+        # ---------------- broadcast fast path ----------------
+        hs, cs = [], []
+        for b in dfp.iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            hs.append(
+                b.column("sh_hash").to_numpy(zero_copy_only=False)
+            )
+            cs.append(b.column("df_p").to_numpy(zero_copy_only=False))
+        h_all = (
+            np.concatenate(hs) if hs else np.zeros(0, np.int64)
+        )
+        c_all = (
+            np.concatenate(cs) if cs else np.zeros(0, np.int64)
+        )
+        uniq, inv = np.unique(h_all, return_inverse=True)
+        dfv = np.bincount(
+            inv, weights=c_all.astype(np.float64)
+        ).astype(np.int64)
+        df_ref = _ray.put((uniq, dfv))
+
+        def prefix_block(b: pa.Table) -> pa.Table:
+            rows = explode(b)
+            h, d = _cached_get(df_ref)
+            sh = rows.column("sh_hash").to_numpy(
+                zero_copy_only=False
+            )
+            dfc = (
+                d[np.searchsorted(h, sh)]
+                if len(sh)
+                else np.zeros(0, np.int64)
+            )
+            rows = rows.append_column(
+                "df", pa.array(dfc, pa.int64())
+            )
+            return _prefix_rows(rows)
+
+        prefixes = ds.map_batches(
+            prefix_block, batch_format="pyarrow"
+        )
+    else:
+        # ---------------- corpus-scale join path ----------------
+        from .relational import hash_join
+
+        def df_bucket(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "dfb",
+                pc.cast(
+                    _pair_mod(
+                        b.column("sh_hash").combine_chunks(),
+                        n_df_buckets,
+                    ),
+                    pa.int32(),
+                ),
+            )
+
+        def df_final(tbl: pa.Table) -> pa.Table:
+            g = tbl.group_by("sh_hash").aggregate([("df_p", "sum")])
+            return pa.table(
+                {
+                    "sh_hash": g.column("sh_hash"),
+                    "df": g.column("df_p_sum").cast(pa.int64()),
+                }
+            )
+
+        df_tbl = (
+            dfp.map_batches(df_bucket, batch_format="pyarrow")
+            .groupby("dfb")
+            .map_groups(df_final, batch_format="pyarrow")
+        )
+        rows = ds.map_batches(explode, batch_format="pyarrow")
+        joined = hash_join(
+            rows,
+            df_tbl,
+            on="sh_hash",
+            n_buckets=n_df_buckets,
+            left_schema=pa.schema(
+                [
+                    ("sh_hash", pa.int64()),
+                    ("shingle", pa.string()),
+                    (id_col, pa.int64()),
+                    ("set_size", pa.int64()),
+                ]
+            ),
+            right_schema=pa.schema(
+                [("sh_hash", pa.int64()), ("df", pa.int64())]
+            ),
+        )
+
+        def tag_doc(b: pa.Table) -> pa.Table:
+            from .events import _bucket31
+
+            return b.append_column(
+                "db",
+                _bucket31(
+                    b.column(id_col).combine_chunks(), n_df_buckets
+                ),
+            )
+
+        prefixes = (
+            joined.map_batches(tag_doc, batch_format="pyarrow")
+            .groupby("db")
+            .map_groups(_prefix_rows, batch_format="pyarrow")
+        )
 
     def tag_pair_bucket(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -2172,26 +2241,17 @@ def setsim_join(
         .groupby("cb")
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
     )
-    cand = distinct_rows(cand, ["doc_a", "doc_b"], n_buckets=64)
+    cand = distinct_rows(
+        cand, ["doc_a", "doc_b"], n_buckets=64
+    ).materialize()
 
-    docs = ds
-    with_a = _attach_text(
-        cand, docs, "doc_a", "doc_b", None, text_col, id_col, "text_a"
-    )
-    with_both = _attach_text(
-        with_a, docs, "doc_b", "doc_a", "text_a", text_col, id_col,
-        "text_b",
-    )
-    thr = float(threshold)
-
-    def verify(batch: pa.Table) -> pa.Table:
+    def _verify_tbl(batch: pa.Table, tx) -> pa.Table:
         a = batch.column("doc_a").to_pylist()
         b = batch.column("doc_b").to_pylist()
-        ta = batch.column("text_a").to_pylist()
-        tb = batch.column("text_b").to_pylist()
         oa, ob, oi, ou, oj = [], [], [], [], []
-        for ai, bi, x, y in zip(a, b, ta, tb):
-            sa, sb = _shingles(x or "", k), _shingles(y or "", k)
+        for ai, bi in zip(a, b):
+            sa = _shingles(tx[ai] or "", k)
+            sb = _shingles(tx[bi] or "", k)
             inter = len(sa & sb)
             union = len(sa) + len(sb) - inter
             if union == 0:
@@ -2213,4 +2273,65 @@ def setsim_join(
             }
         )
 
-    return with_both.map_batches(verify, batch_format="pyarrow")
+    if cand.count() <= broadcast_pair_limit:
+        # texts of candidate docs only: filtered narrow scan,
+        # broadcast once (the _verify_broadcast shape)
+        wanted = set()
+        for b in cand.iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            wanted.update(b.column("doc_a").to_pylist())
+            wanted.update(b.column("doc_b").to_pylist())
+        wanted_ref = _ray.put(wanted)
+
+        def keep_wanted(b: pa.Table) -> pa.Table:
+            w = _cached_get(wanted_ref)
+            ids_np = b.column(id_col).to_pylist()
+            mask = pa.array([i in w for i in ids_np], pa.bool_())
+            return b.select([id_col, text_col]).filter(mask)
+
+        texts = {}
+        for b in ds.map_batches(
+            keep_wanted, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            texts.update(
+                zip(
+                    b.column(id_col).to_pylist(),
+                    b.column(text_col).to_pylist(),
+                )
+            )
+        texts_ref = _ray.put(texts)
+
+        def verify_b(batch: pa.Table) -> pa.Table:
+            return _verify_tbl(batch, _cached_get(texts_ref))
+
+        return cand.map_batches(
+            verify_b, batch_format="pyarrow", batch_size=4096
+        )
+
+    # corpus-scale verify: texts attach through two grouped joins
+    with_a = _attach_text(
+        cand, ds, "doc_a", "doc_b", None, text_col, id_col, "text_a"
+    )
+    with_both = _attach_text(
+        with_a, ds, "doc_b", "doc_a", "text_a", text_col, id_col,
+        "text_b",
+    )
+
+    def verify_j(batch: pa.Table) -> pa.Table:
+        tx = {}
+        tx.update(
+            zip(
+                batch.column("doc_a").to_pylist(),
+                batch.column("text_a").to_pylist(),
+            )
+        )
+        tx.update(
+            zip(
+                batch.column("doc_b").to_pylist(),
+                batch.column("text_b").to_pylist(),
+            )
+        )
+        return _verify_tbl(batch, tx)
+
+    return with_both.map_batches(verify_j, batch_format="pyarrow")

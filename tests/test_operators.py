@@ -4237,7 +4237,14 @@ def test_setsim_join_bruteforce(ray_session):
             }
         )
     ).repartition(5)
-    for thr in (0.6, 0.85):
+    for thr, caps in (
+        (0.6, {}),
+        (0.85, {}),
+        # force the corpus-scale join path (DF groupby+join, grouped
+        # text attach) so both sides of the size-adaptive plan are
+        # pinned to the same brute-force oracle
+        (0.85, {"max_broadcast_shingles": 0, "broadcast_pair_limit": 0}),
+    ):
         got = {
             (r["doc_a"], r["doc_b"]): (
                 r["n_inter"],
@@ -4245,7 +4252,7 @@ def test_setsim_join_bruteforce(ray_session):
                 r["jaccard"],
             )
             for r in setsim_join(
-                ds, thr, n_df_buckets=7, n_pair_buckets=11
+                ds, thr, n_df_buckets=7, n_pair_buckets=11, **caps
             ).take_all()
         }
         sets = {i: _shingles(t, 3) for i, t in zip(ids, texts)}
