@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 111 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 112 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -3040,6 +3040,21 @@ def pareto_setsim_family(seed):
         ["doc_a", "doc_b"], ["n_inter", "n_union", "jaccard"],
     )
 
+    # same oracle, corpus-scale join path forced (caps at 0): pins
+    # both sides of the size-adaptive plan on every seed
+    mine = setsim_join(
+        ray.data.from_arrow(ss_tbl).repartition(4),
+        thr,
+        n_df_buckets=7,
+        n_pair_buckets=11,
+        max_broadcast_shingles=0,
+        broadcast_pair_limit=0,
+    ).to_pandas()
+    check(
+        "setsim_join_joinpath", seed, mine, ref,
+        ["doc_a", "doc_b"], ["n_inter", "n_union", "jaccard"],
+    )
+
 
 def nearest_mi_family(seed):
     """Nearest-in-time join + categorical PMI vs DuckDB on random
@@ -3152,7 +3167,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(111 comparison groups per seed)"
+        "(112 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
