@@ -1490,7 +1490,7 @@ def _q_q5_region_revenue(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Sum
 
-    from console_log_parser_ray.stages.relational import hash_join
+    from console_log_parser_ray.stages.relational import lookup_join
 
     lo = datetime.datetime(1996, 1, 1)
     hi = datetime.datetime(1997, 1, 1)
@@ -1604,8 +1604,18 @@ def _q_q5_region_revenue(sf_dir: str):
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_nationkey"],
     ).map_batches(cust_in_region, batch_format="pyarrow")
-    oc = hash_join(
-        orders, cust, on="o_custkey", right_on="c_custkey"
+    # both composition joins are size-adaptive: the filtered customer
+    # side and the window-filtered oc side are metadata-counted and
+    # broadcast when bounded (zero shuffles on the big side), falling
+    # back to the co-partitioned hash_join above the cap
+    oc = lookup_join(
+        orders,
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
     ).select_columns(["o_orderkey", "c_nationkey"])
 
     li = ray.data.read_parquet(
@@ -1613,7 +1623,19 @@ def _q_q5_region_revenue(sf_dir: str):
         columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                  "l_discount"],
     ).map_batches(rev_milli, batch_format="pyarrow")
-    lo_joined = hash_join(li, oc, on="l_orderkey", right_on="o_orderkey")
+    lo_joined = lookup_join(
+        li,
+        oc,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("rev", pa.int64()),
+            ]
+        ),
+    )
 
     def local_supplier_rollup(b):
         import pyarrow as pa

@@ -226,6 +226,137 @@ def hash_join(
     )
 
 
+def lookup_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    max_broadcast_rows: int = 5_000_000,
+    n_buckets: int = 64,
+    left_schema: pa.Schema | None = None,
+    salt: int = 1,
+):
+    """Size-adaptive equi-join: broadcast-lookup plan when the right
+    side is provably small, ``hash_join`` fallback when it is not --
+    the broadcast-vs-shuffle choice a planner makes, on the same
+    metadata-count contract as ``setsim_join`` / ``minhash_near_dups``.
+
+    The right side is MATERIALIZED (distributed, spillable) and its
+    row count read from block metadata -- nothing is collected to
+    decide.  At or under ``max_broadcast_rows`` the right table is
+    folded once on the driver (bounded by the count just taken),
+    sorted by key, and ``ray.put`` once; every left batch then
+    resolves ALL its matches with two ``np.searchsorted`` calls and a
+    vectorized range expansion (duplicate right keys emit every
+    pairing, exactly like the shuffle join), so the LEFT side -- the
+    corpus -- never shuffles at all.  Above the cap the already-
+    materialized right side flows into the co-partitioned
+    ``hash_join`` unchanged (same exact answer, one shuffle, O(1)
+    driver memory).
+
+    Supports inner / left / semi / anti (left-preserving joins; a
+    broadcast side cannot track right-unmatched rows for full outer).
+    Null keys never match, matching SQL.  Output column order is
+    identical to ``hash_join``: left columns then right non-key
+    columns.  The cap counts ROWS -- project the right side to the
+    needed columns first, as with any broadcast.
+    """
+    right_on = right_on or on
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"lookup_join: unsupported how={how!r}")
+
+    rmat = right.materialize()
+    if rmat.count() > max_broadcast_rows:
+        return hash_join(
+            left,
+            rmat,
+            on,
+            right_on=right_on,
+            n_buckets=n_buckets,
+            how=how,
+            left_schema=left_schema,
+            salt=salt,
+        )
+
+    parts = [
+        b
+        for b in rmat.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    rtbl = (
+        pa.concat_tables(parts, promote_options="default")
+        if parts
+        else pa.table(
+            {
+                n: pa.array([], t)
+                for n, t in zip(rmat.schema().names, rmat.schema().types)
+            }
+        )
+    )
+    # null right keys can never match: drop them at fold time
+    rtbl = rtbl.filter(pc.is_valid(rtbl.column(right_on)))
+    rkeys = (
+        rtbl.column(right_on)
+        .combine_chunks()
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    order = np.argsort(rkeys, kind="stable")
+    rkeys = rkeys[order]
+    payload_names = [n for n in rtbl.column_names if n != right_on]
+    payload = rtbl.select(payload_names).take(pa.array(order)) if (
+        payload_names
+    ) else None
+    side_ref = ray.put((rkeys, payload))
+
+    ls = left_schema if left_schema is not None else left.schema()
+    clash = (set(ls.names) & set(payload_names))
+    if clash:
+        raise ValueError(f"column name collision: {sorted(clash)}")
+
+    def probe(b: pa.Table) -> pa.Table:
+        keys_sorted, pay = _cached_get(side_ref)
+        key = b.column(on).combine_chunks().cast(pa.int64())
+        valid = pc.is_valid(key).to_numpy(zero_copy_only=False)
+        k = pc.fill_null(key, 0).to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(keys_sorted, k, side="left")
+        hi = np.searchsorted(keys_sorted, k, side="right")
+        counts = np.where(valid, hi - lo, 0).astype(np.int64)
+        if how == "semi":
+            return b.take(pa.array(np.flatnonzero(counts > 0)))
+        if how == "anti":
+            return b.take(pa.array(np.flatnonzero(counts == 0)))
+        matched = np.flatnonzero(counts > 0)
+        c = counts[matched]
+        total = int(c.sum())
+        starts = np.cumsum(c) - c  # empty-safe exclusive prefix sum
+        lidx = np.repeat(matched, c)
+        ridx = (
+            np.repeat(lo[matched], c)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(starts, c)
+        )
+        out = b.take(pa.array(lidx))
+        cols = {n: out.column(n) for n in out.column_names}
+        for n in payload_names:
+            cols[n] = pay.column(n).take(pa.array(ridx))
+        result = pa.table(cols) if cols else out
+        if how == "left":
+            un = np.flatnonzero(counts == 0)
+            if len(un):
+                ut = b.take(pa.array(un))
+                ucols = {n: ut.column(n) for n in ut.column_names}
+                for n in payload_names:
+                    ucols[n] = pa.nulls(
+                        len(un), pay.schema.field(n).type
+                    )
+                result = pa.concat_tables([result, pa.table(ucols)])
+        return result
+
+    return left.map_batches(probe, batch_format="pyarrow")
+
+
 def _bloom_positions(keys: np.ndarray, m_bits: int, n_hashes: int):
     """k bit positions per key via double hashing over two murmur
     fmix32 finalizers (h2 forced odd so the probe sequence never

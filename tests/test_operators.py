@@ -4380,3 +4380,112 @@ def test_mutual_info_reference(ray_session):
     assert all(r["n"] == n for r in out)
     # matched cells (en, s_en) must have positive PMI
     assert got[("en", "s_en")][3] > 0
+
+
+def test_lookup_join_differential_vs_hash_join(ray_session):
+    """Size-adaptive broadcast lookup join: every (how, plan) combo
+    equals the co-partitioned hash_join and a brute-force local join
+    on a corpus with duplicate right keys AND null keys on both
+    sides; the above-cap fallback is forced with max_broadcast_rows=0."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import (
+        hash_join,
+        lookup_join,
+    )
+
+    rng = np.random.default_rng(41)
+    lk = rng.integers(0, 40, 500).astype(object)
+    lk[rng.choice(500, 20, replace=False)] = None  # null left keys
+    left = pa.table(
+        {
+            "k": pa.array(list(lk), pa.int64()),
+            "lv": pa.array(np.arange(500, dtype=np.int64)),
+        }
+    )
+    # duplicate right keys (multi-match) + null right keys
+    rk = list(rng.integers(10, 55, 70).astype(object))
+    rk[3] = None
+    rk[40] = None
+    right = pa.table(
+        {
+            "rk": pa.array(rk, pa.int64()),
+            "rv": pa.array(np.arange(70, dtype=np.int64) * 7),
+        }
+    )
+
+    rrows = [
+        (r["rk"], r["rv"]) for r in right.to_pylist() if r["rk"] is not None
+    ]
+    want = {"inner": [], "left": [], "semi": [], "anti": []}
+    for r in left.to_pylist():
+        matches = [rv for k2, rv in rrows if k2 == r["k"]] if (
+            r["k"] is not None
+        ) else []
+        for rv in matches:
+            want["inner"].append((r["k"], r["lv"], rv))
+            want["left"].append((r["k"], r["lv"], rv))
+        if matches:
+            want["semi"].append((r["k"], r["lv"]))
+        else:
+            want["left"].append((r["k"], r["lv"], None))
+            want["anti"].append((r["k"], r["lv"]))
+    for v in want.values():
+        v.sort(key=lambda t: tuple((x is None, x) for x in t))
+
+    lds = ray.data.from_arrow(left).repartition(6)
+    rds = ray.data.from_arrow(right).repartition(3)
+    key = lambda t: tuple((x is None, x) for x in t)
+    for how in ("inner", "left", "semi", "anti"):
+        for cap in (5_000_000, 0):  # broadcast plan, forced fallback
+            res = lookup_join(
+                lds, rds, on="k", right_on="rk", how=how,
+                max_broadcast_rows=cap, n_buckets=7,
+            ).take_all()
+            if how in ("semi", "anti"):
+                got = sorted(((r["k"], r["lv"]) for r in res), key=key)
+            else:
+                got = sorted(
+                    ((r["k"], r["lv"], r["rv"]) for r in res), key=key
+                )
+            assert got == want[how], (how, cap)
+        hj = hash_join(
+            lds, rds, on="k", right_on="rk", how=how, n_buckets=7
+        ).take_all()
+        if how in ("semi", "anti"):
+            gh = sorted(((r["k"], r["lv"]) for r in hj), key=key)
+        else:
+            gh = sorted(((r["k"], r["lv"], r["rv"]) for r in hj), key=key)
+        assert gh == want[how], ("hash_join", how)
+
+
+def test_lookup_join_no_payload_and_collision(ray_session):
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import lookup_join
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 3], pa.int64()),
+         "lv": pa.array([10, 20, 30], pa.int64())}
+    )
+    # right side with ONLY the key column: semi/anti still work
+    right = pa.table({"rk": pa.array([2, 2, 9], pa.int64())})
+    lds = ray.data.from_arrow(left)
+    rds = ray.data.from_arrow(right)
+    semi = lookup_join(lds, rds, on="k", right_on="rk", how="semi")
+    assert sorted(r["k"] for r in semi.take_all()) == [2]
+    # inner with no payload keeps left columns, multiplicity 2
+    inner = lookup_join(lds, rds, on="k", right_on="rk", how="inner")
+    assert sorted(r["lv"] for r in inner.take_all()) == [20, 20]
+    bad = pa.table(
+        {"rk": pa.array([1], pa.int64()),
+         "lv": pa.array([99], pa.int64())}
+    )
+    with pytest.raises(ValueError, match="collision"):
+        lookup_join(lds, ray.data.from_arrow(bad), on="k", right_on="rk")
