@@ -1205,11 +1205,12 @@ def _q_q3_join(sf_dir: str):
     import datetime
 
     import numpy as np
+    import pyarrow as pa
     import ray
     import ray.data
     from ray.data.aggregate import Sum
 
-    from console_log_parser_ray.stages.relational import hash_join
+    from console_log_parser_ray.stages.relational import lookup_join
 
     cutoff = datetime.datetime(1998, 6, 1)
     cust = ray.data.read_parquet(
@@ -1265,7 +1266,18 @@ def _q_q3_join(sf_dir: str):
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_quantity", "l_shipdate"],
     ).map_batches(shipped_after, batch_format="pyarrow")
-    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    # size-adaptive: the date+segment-filtered orders side is
+    # metadata-counted and broadcast when bounded (lineitem never
+    # shuffles), co-partitioned hash_join above the cap
+    joined = lookup_join(
+        li,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_quantity", pa.float64())]
+        ),
+    )
 
     def local_rollup(b):
         # Arrow hash pre-aggregation per block: the joined blocks are
@@ -1306,11 +1318,12 @@ def _q_q10_returns(sf_dir: str):
     partial top-k + one bounded fold (<= k rows per block shuffle)."""
     import datetime
 
+    import pyarrow as pa
     import ray.data
     from ray.data.aggregate import Sum
 
     from console_log_parser_ray.stages.events import topk_per_group
-    from console_log_parser_ray.stages.relational import hash_join
+    from console_log_parser_ray.stages.relational import lookup_join
 
     lo = datetime.datetime(1999, 1, 1)
     hi = datetime.datetime(2000, 1, 1)
@@ -1371,7 +1384,18 @@ def _q_q10_returns(sf_dir: str):
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     ).map_batches(in_window, batch_format="pyarrow")
-    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    # size-adaptive: the one-year-window orders side broadcasts when
+    # bounded (pre-aggregated lineitem never shuffles), co-partitioned
+    # hash_join above the cap
+    joined = lookup_join(
+        li,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("rev", pa.int64())]
+        ),
+    )
 
     def local_rollup(b):
         import pyarrow as pa
