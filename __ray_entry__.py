@@ -1196,10 +1196,11 @@ def _q_asof_last_order(sf_dir: str):
 
 def _q_q3_join(sf_dir: str):
     """TPC-H Q3-shaped pipeline: broadcast semi-join of the tiny
-    filtered customer side into orders, then a LARGE x LARGE
-    co-partitioned hash join (stages/relational.hash_join) of filtered
-    orders with filtered lineitem on the order key -- the shuffle-join
-    complement of orders_enrich's broadcast join -- then a grouped
+    filtered customer side into orders, then a size-adaptive join
+    (stages/relational.lookup_join) of filtered lineitem with filtered
+    orders on the order key -- broadcast probe while the filtered
+    orders side is metadata-bounded, co-partitioned hash_join above
+    the cap -- then a grouped
     rollup.  Aggregates are count + integral-quantity sums, so the SQL
     mirror is exact."""
     import datetime
@@ -1312,7 +1313,8 @@ def _q_q3_join(sf_dir: str):
 def _q_q10_returns(sf_dir: str):
     """TPC-H Q10-shaped pipeline: returned-item revenue per customer
     over one order-date year, top 20 -- a second multi-stage
-    composition over the co-partitioned hash join.  Revenue is
+    composition over the size-adaptive lookup_join (broadcast probe
+    at bounded scale, co-partitioned hash_join above the cap).  Revenue is
     integer-exact milli-units (cents x (100 - discount pct)), so the
     SQL mirror hashes bit-identically; the global top-k is block-local
     partial top-k + one bounded fold (<= k rows per block shuffle)."""
@@ -1499,9 +1501,11 @@ def _q_q5_region_revenue(sf_dir: str):
     that picks the join strategy by side size: region/nation resolved
     driver-side (tiny constants), the filtered supplier (suppkey ->
     nationkey) pair broadcast ONCE via ray.put and applied as
-    index_in/take per batch, and the two LARGE x LARGE joins (orders x
-    customer on custkey, lineitem x orders+customer on orderkey) as
-    co-partitioned hash joins with block-local pre-aggregation on the
+    index_in/take per batch, and the two composition joins (orders x
+    customer on custkey, lineitem x orders+customer on orderkey)
+    size-adaptive (stages/relational.lookup_join: broadcast probe
+    while the filtered side is metadata-bounded, co-partitioned
+    hash_join above the cap) with block-local pre-aggregation on the
     join key.  Revenue is integer milli-units (cents x (100 -
     discount pct)), so the SQL mirror hashes bit-identically."""
     import datetime

@@ -7,6 +7,11 @@
   by the key cardinality, and neither side is ever broadcast or
   materialized -- the complement of the broadcast join in
   ``stages/enrich.py`` (small side) for when BOTH sides are big.
+* ``lookup_join`` -- the size-adaptive planner over the two: the
+  right side is materialized and metadata-counted; bounded sides are
+  key-sorted, broadcast once and probed per left batch (searchsorted
+  + vectorized multi-match expansion -- the corpus never shuffles),
+  unbounded sides fall back to the co-partitioned ``hash_join``.
 * ``dense_rank`` -- distributed ``dense_rank() OVER (PARTITION BY g
   ORDER BY v)``: a partial+final groupby builds the (group, value)
   histogram (shuffle volume = distinct pairs per block, not rows),
