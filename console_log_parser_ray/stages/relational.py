@@ -238,6 +238,7 @@ def lookup_join(
     right_on: str | None = None,
     how: str = "inner",
     max_broadcast_rows: int = 5_000_000,
+    max_broadcast_bytes: int = 256 * 1024**2,
     n_buckets: int = 64,
     left_schema: pa.Schema | None = None,
     salt: int = 1,
@@ -264,15 +265,22 @@ def lookup_join(
     broadcast side cannot track right-unmatched rows for full outer).
     Null keys never match, matching SQL.  Output column order is
     identical to ``hash_join``: left columns then right non-key
-    columns.  The cap counts ROWS -- project the right side to the
-    needed columns first, as with any broadcast.
+    columns.  BOTH caps are metadata reads: ``max_broadcast_rows``
+    bounds the row count and ``max_broadcast_bytes`` the serialized
+    block bytes, so a narrow-but-deep side and a shallow-but-wide
+    side (long strings, embeddings) each trip their own guard --
+    still project the right side to the needed columns first, as
+    with any broadcast.
     """
     right_on = right_on or on
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"lookup_join: unsupported how={how!r}")
 
     rmat = right.materialize()
-    if rmat.count() > max_broadcast_rows:
+    if (
+        rmat.count() > max_broadcast_rows
+        or (rmat.size_bytes() or 0) > max_broadcast_bytes
+    ):
         return hash_join(
             left,
             rmat,

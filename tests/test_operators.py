@@ -4440,10 +4440,14 @@ def test_lookup_join_differential_vs_hash_join(ray_session):
     rds = ray.data.from_arrow(right).repartition(3)
     key = lambda t: tuple((x is None, x) for x in t)
     for how in ("inner", "left", "semi", "anti"):
-        for cap in (5_000_000, 0):  # broadcast plan, forced fallback
+        for caps in (
+            {},  # broadcast plan
+            {"max_broadcast_rows": 0},  # row-cap fallback
+            {"max_broadcast_bytes": 0},  # byte-cap fallback
+        ):
             res = lookup_join(
                 lds, rds, on="k", right_on="rk", how=how,
-                max_broadcast_rows=cap, n_buckets=7,
+                n_buckets=7, **caps,
             ).take_all()
             if how in ("semi", "anti"):
                 got = sorted(((r["k"], r["lv"]) for r in res), key=key)
@@ -4451,7 +4455,7 @@ def test_lookup_join_differential_vs_hash_join(ray_session):
                 got = sorted(
                     ((r["k"], r["lv"], r["rv"]) for r in res), key=key
                 )
-            assert got == want[how], (how, cap)
+            assert got == want[how], (how, caps)
         hj = hash_join(
             lds, rds, on="k", right_on="rk", how=how, n_buckets=7
         ).take_all()
