@@ -712,6 +712,7 @@ def minhash_near_dups(
     id_col="doc_id",
     k=3,
     broadcast_pair_limit=2_000_000,
+    max_broadcast_text_bytes: int = 1 << 30,
 ):
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
 
@@ -731,9 +732,12 @@ def minhash_near_dups(
         ds, text_col=text_col, id_col=id_col, k=k, dedup=False
     ).materialize()
     if cand.count() <= broadcast_pair_limit:
-        return _verify_broadcast(
-            ds, cand, threshold, text_col, id_col, k
+        fast = _verify_broadcast(
+            ds, cand, threshold, text_col, id_col, k,
+            max_text_bytes=max_broadcast_text_bytes,
         )
+        if fast is not None:  # None = candidate texts over byte budget
+            return fast
 
     # attach text_a keyed on doc_a (deduping cross-band pair copies
     # inside the same join groups), then text_b keyed on doc_b
@@ -772,11 +776,21 @@ def _simhash_token_hash(tok: str) -> int:
     return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
 
 
-def _verify_broadcast(ds, cand, threshold, text_col, id_col, k):
+def _verify_broadcast(
+    ds, cand, threshold, text_col, id_col, k,
+    max_text_bytes: int = 1 << 30,
+):
     """Small-candidate-set verify: fetch ONLY the candidate documents'
     texts (narrow scan + id filter; bounded by the candidate set) and
     verify pairs against the broadcast map -- one driver-side dedup,
-    zero extra shuffles."""
+    zero extra shuffles.
+
+    The filtered text set is MATERIALIZED and metadata-byte-counted
+    before anything is collected: the pair count bounds how many
+    documents are fetched but not how large each is, so a candidate
+    set of few-but-huge documents would otherwise blow the driver
+    fold.  Returns ``None`` above ``max_text_bytes`` -- the caller
+    falls through to its grouped-join verify plan."""
     import ray
 
     pairs = set()
@@ -795,11 +809,13 @@ def _verify_broadcast(ds, cand, threshold, text_col, id_col, k):
         )
         return b.select([id_col, text_col]).filter(mask)
 
+    filt = ds.map_batches(
+        keep_wanted, batch_format="pyarrow"
+    ).materialize()
+    if (filt.size_bytes() or 0) > max_text_bytes:
+        return None
     texts = {}
-    for b in (
-        ds.map_batches(keep_wanted, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow", batch_size=None)
-    ):
+    for b in filt.iter_batches(batch_format="pyarrow", batch_size=None):
         texts.update(
             zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist())
         )
@@ -1911,6 +1927,7 @@ def setsim_join(
     n_pair_buckets: int = 256,
     max_broadcast_shingles: int = 8_000_000,
     broadcast_pair_limit: int = 2_000_000,
+    max_broadcast_text_bytes: int = 1 << 30,
 ):
     """Exact threshold set-similarity self-join (prefix filtering, the
     PPJoin family): every unordered id pair whose k-token shingle sets
@@ -2275,7 +2292,10 @@ def setsim_join(
 
     if cand.count() <= broadcast_pair_limit:
         # texts of candidate docs only: filtered narrow scan,
-        # broadcast once (the _verify_broadcast shape)
+        # broadcast once (the _verify_broadcast shape).  The filtered
+        # set is materialized and metadata-byte-counted first -- the
+        # pair cap bounds how many docs are fetched, not how large
+        # each is; over-budget falls through to the join verify.
         wanted = set()
         for b in cand.iter_batches(
             batch_format="pyarrow", batch_size=None
@@ -2290,24 +2310,28 @@ def setsim_join(
             mask = pa.array([i in w for i in ids_np], pa.bool_())
             return b.select([id_col, text_col]).filter(mask)
 
-        texts = {}
-        for b in ds.map_batches(
+        filt = ds.map_batches(
             keep_wanted, batch_format="pyarrow"
-        ).iter_batches(batch_format="pyarrow", batch_size=None):
-            texts.update(
-                zip(
-                    b.column(id_col).to_pylist(),
-                    b.column(text_col).to_pylist(),
+        ).materialize()
+        if (filt.size_bytes() or 0) <= max_broadcast_text_bytes:
+            texts = {}
+            for b in filt.iter_batches(
+                batch_format="pyarrow", batch_size=None
+            ):
+                texts.update(
+                    zip(
+                        b.column(id_col).to_pylist(),
+                        b.column(text_col).to_pylist(),
+                    )
                 )
+            texts_ref = _ray.put(texts)
+
+            def verify_b(batch: pa.Table) -> pa.Table:
+                return _verify_tbl(batch, _cached_get(texts_ref))
+
+            return cand.map_batches(
+                verify_b, batch_format="pyarrow", batch_size=4096
             )
-        texts_ref = _ray.put(texts)
-
-        def verify_b(batch: pa.Table) -> pa.Table:
-            return _verify_tbl(batch, _cached_get(texts_ref))
-
-        return cand.map_batches(
-            verify_b, batch_format="pyarrow", batch_size=4096
-        )
 
     # corpus-scale verify: texts attach through two grouped joins
     with_a = _attach_text(

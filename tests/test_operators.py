@@ -87,18 +87,23 @@ def _docs_table():
     return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
 
 
-@pytest.mark.parametrize("pair_limit", [2_000_000, 0])
-def test_minhash_near_dups_recover_planted(ray_session, pair_limit):
-    """pair_limit=0 forces the grouped-join verify (the at-scale path);
-    the default takes the bounded-broadcast fast path."""
+@pytest.mark.parametrize(
+    "caps",
+    [
+        {},  # bounded-broadcast fast path
+        {"broadcast_pair_limit": 0},  # pair-count fallback
+        {"max_broadcast_text_bytes": 0},  # byte-budget fallback
+    ],
+)
+def test_minhash_near_dups_recover_planted(ray_session, caps):
+    """Forced caps exercise the grouped-join verify (the at-scale
+    path); the default takes the bounded-broadcast fast path."""
     ray = ray_session
     from console_log_parser_ray.stages.dedup import minhash_near_dups, ngram_jaccard
 
     tbl = _docs_table()
     ds = ray.data.from_arrow(tbl)
-    pairs = minhash_near_dups(
-        ds, threshold=0.5, broadcast_pair_limit=pair_limit
-    ).take_all()
+    pairs = minhash_near_dups(ds, threshold=0.5, **caps).take_all()
     got = {(r["doc_a"], r["doc_b"]) for r in pairs}
     planted = {(i, i + 1000) for i in range(60)}
     # every planted pair has true jaccard >= 0.5 and must be recovered
@@ -4244,6 +4249,9 @@ def test_setsim_join_bruteforce(ray_session):
         # text attach) so both sides of the size-adaptive plan are
         # pinned to the same brute-force oracle
         (0.85, {"max_broadcast_shingles": 0, "broadcast_pair_limit": 0}),
+        # mixed plan: broadcast DF + in-block prefix, but candidate
+        # texts over byte budget -> grouped-join verify
+        (0.85, {"max_broadcast_text_bytes": 0}),
     ):
         got = {
             (r["doc_a"], r["doc_b"]): (
