@@ -1768,6 +1768,21 @@ def _q_funnel(sf_dir: str):
     )
 
 
+def _q_funnel3(sf_dir: str):
+    """Three-step ordered funnel (stages/events.funnel_steps): per
+    user with a signup, the first signup, the first view at or after
+    it, the first purchase at or after that, and 14-day full-chain
+    conversion -- k-1 vectorized merge+group-min rounds per user-hash
+    bucket, int64-exact end to end."""
+    from console_log_parser_ray.stages.events import funnel_steps
+
+    return funnel_steps(
+        _events(sf_dir).select_columns(["user_id", "ts", "event_type"]),
+        steps=["signup", "view", "purchase"],
+        window_us=14 * 86400 * 1_000_000,
+    )
+
+
 def _q_user_event_matrix(sf_dir: str):
     """Pivot / crosstab (stages/events.pivot_counts): one row per user
     with a count column per event type -- per-batch Arrow group-by
@@ -3335,6 +3350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rarest_token": _q_rarest_token,
         "user_event_matrix": _q_user_event_matrix,
         "funnel": _q_funnel,
+        "funnel3": _q_funnel3,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -4214,6 +4230,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents "
             "QUALIFY row_number() OVER "
             "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3"
+        ),
+        "funnel3": (
+            "WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS s1_us "
+            "FROM events WHERE event_type = 'signup' GROUP BY user_id), "
+            "s2 AS (SELECT s1.user_id, s1.s1_us, "
+            "(SELECT min(epoch_us(e.ts)) FROM events e "
+            " WHERE e.user_id = s1.user_id AND e.event_type = 'view' "
+            " AND epoch_us(e.ts) >= s1.s1_us) AS s2_us FROM s1), "
+            "s3 AS (SELECT s2.user_id, s2.s1_us, s2.s2_us, "
+            "CASE WHEN s2.s2_us IS NULL THEN NULL ELSE "
+            "(SELECT min(epoch_us(e.ts)) FROM events e "
+            " WHERE e.user_id = s2.user_id "
+            " AND e.event_type = 'purchase' "
+            " AND epoch_us(e.ts) >= s2.s2_us) END AS s3_us FROM s2) "
+            "SELECT user_id, s1_us, s2_us, s3_us, "
+            "coalesce(s3_us - s1_us <= 1209600000000, FALSE) "
+            "AS converted FROM s3"
         ),
         "funnel": (
             "WITH s AS (SELECT user_id, min(epoch_us(ts)) AS first_us "

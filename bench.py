@@ -147,6 +147,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "rarest_token",
         "user_event_matrix",
         "funnel",
+        "funnel3",
         "pack_sequences",
         "mix_domains",
         "epoch_upsample",

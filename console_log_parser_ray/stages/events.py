@@ -1079,6 +1079,110 @@ def funnel_two_step(
     )
 
 
+def funnel_steps(
+    ds,
+    steps: list[str],
+    window_us: int = 7 * 86400 * 1_000_000,
+    user_col="user_id",
+    ts_col="ts",
+    type_col="event_type",
+    n_buckets: int = 64,
+):
+    """k-step ordered funnel: for every user with at least one
+    ``steps[0]`` event, the time of their first one, then for each
+    later step the first event of that type AT OR AFTER the previous
+    step's time (null once any step is missed, and all later steps
+    stay null), plus whether the whole chain completed within
+    ``window_us`` of step 1 -- the k-step generalization of
+    ``funnel_two_step`` (signup -> activation -> purchase journeys).
+
+    Step event types must be distinct; ties share the `>=` rule of
+    the two-step operator, so an equal-timestamp later-step event
+    satisfies its step.
+
+    Scale shape: the stream is filtered to the k event types before
+    the one user-hash bucket shuffle, and each bucket group resolves
+    ALL its users with k-1 vectorized pandas merge+group-min rounds
+    over aligned int64 arrays -- no per-user dispatch, no float64
+    promotion (exact past 2^53 us), driver sees nothing.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_steps needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel_steps: step event types must be distinct")
+    k = len(steps)
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        types = b.column(type_col)
+        keep = pc.is_in(types, value_set=pa.array(steps))
+        t = b.filter(keep)
+        key = t.column(user_col).cast(pa.int64())
+        si = pc.index_in(
+            t.column(type_col), value_set=pa.array(steps)
+        ).cast(pa.int8())
+        return pa.table(
+            {
+                "jb": _bucket31(key, n_buckets),
+                user_col: key,
+                "t_us": t.column(ts_col).cast(pa.int64()),
+                "step": si,
+            }
+        )
+
+    def resolve(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = tbl.select([user_col, "t_us", "step"]).to_pandas()
+        anchors = (
+            df[df["step"] == 0].groupby(user_col)["t_us"].min()
+        )
+        users = anchors.index
+        prev = anchors.to_numpy(dtype="int64")
+        reached = np.ones(len(users), dtype=bool)
+        cols = [prev.copy()]
+        masks = [reached.copy()]
+        for i in range(1, k):
+            cur = np.zeros(len(users), dtype=np.int64)
+            new_reached = np.zeros(len(users), dtype=bool)
+            if reached.any():
+                pf = pd.Series(
+                    prev[reached], index=users[reached], name="prev"
+                )
+                cand = df[df["step"] == i].merge(
+                    pf, left_on=user_col, right_index=True
+                )
+                cand = cand.reset_index(drop=True)
+                cand = cand[cand["t_us"] >= cand["prev"]]
+                got = cand.groupby(user_col)["t_us"].min()
+                hit = users.isin(got.index)
+                if hit.any():
+                    cur[hit] = got.reindex(users[hit]).to_numpy(
+                        dtype="int64"
+                    )
+                new_reached = hit
+            prev, reached = cur, new_reached
+            cols.append(cur.copy())
+            masks.append(new_reached.copy())
+        converted = masks[-1] & (cols[-1] - cols[0] <= window_us)
+        out = {
+            user_col: pa.array(
+                users.to_numpy(dtype="int64"), pa.int64()
+            )
+        }
+        for i in range(k):
+            out[f"s{i + 1}_us"] = pa.array(
+                cols[i], pa.int64(), mask=~masks[i]
+            )
+        out["converted"] = pa.array(converted, pa.bool_())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(prefilter, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
 def distinct_count_per_group(
     ds, key_col: str = "event_type", val_col: str = "user_id",
     n_buckets: int = 64,

@@ -4501,3 +4501,71 @@ def test_lookup_join_no_payload_and_collision(ray_session):
     )
     with pytest.raises(ValueError, match="collision"):
         lookup_join(lds, ray.data.from_arrow(bad), on="k", right_on="rk")
+
+
+def test_funnel_steps_bruteforce(ray_session):
+    """k-step funnel vs a per-user python walk on a random tie-heavy
+    stream; 3 and 4 steps, including users who stall at every depth."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import funnel_steps
+
+    rng = np.random.default_rng(53)
+    n = 4000
+    types = ["a", "b", "c", "d", "x"]
+    tbl = pa.table(
+        {
+            "user_id": pa.array(
+                rng.integers(0, 120, n).astype(np.int64)
+            ),
+            "ts": pa.array(
+                rng.integers(0, 500, n).astype(np.int64)  # heavy ties
+            ),
+            "event_type": pa.array(rng.choice(types, n)),
+        }
+    )
+    rows = list(
+        zip(
+            tbl.column("user_id").to_pylist(),
+            tbl.column("ts").to_pylist(),
+            tbl.column("event_type").to_pylist(),
+        )
+    )
+
+    def brute(steps, window):
+        out = {}
+        users = {u for u, _, t in rows if t == steps[0]}
+        for u in users:
+            mine = [(ts, t) for uu, ts, t in rows if uu == u]
+            cur = min(ts for ts, t in mine if t == steps[0])
+            cols = [cur]
+            for s in steps[1:]:
+                nxt = [
+                    ts for ts, t in mine if t == s and ts >= cols[-1]
+                    if cols[-1] is not None
+                ] if cols[-1] is not None else []
+                cols.append(min(nxt) if nxt else None)
+            conv = cols[-1] is not None and cols[-1] - cols[0] <= window
+            out[u] = (tuple(cols), conv)
+        return out
+
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    for steps, window in ([["a", "b", "c"], 200], [["a", "b", "c", "d"], 450]):
+        got = {}
+        for r in funnel_steps(
+            ds, steps, window_us=window, n_buckets=7
+        ).take_all():
+            got[r["user_id"]] = (
+                tuple(r[f"s{i + 1}_us"] for i in range(len(steps))),
+                r["converted"],
+            )
+        assert got == brute(steps, window)
+
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_steps(ds, ["a", "a", "b"])
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel_steps(ds, ["a"])
