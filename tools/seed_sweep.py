@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 112 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 113 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -3143,6 +3143,58 @@ def nearest_mi_family(seed):
     )
 
 
+def funnel_steps_family(seed):
+    """k-step ordered funnel vs DuckDB nested correlated subqueries
+    on a random tie-heavy event stream."""
+    rng = np.random.default_rng(seed + 29)
+
+    from console_log_parser_ray.stages.events import funnel_steps
+
+    n = 6000
+    ev_tbl = pa.table(
+        {
+            "user_id": pa.array(
+                rng.integers(0, 150, n).astype(np.int64)
+            ),
+            "ts": pa.array(
+                rng.integers(0, 700, n).astype(np.int64)
+            ),
+            "event_type": pa.array(
+                rng.choice(["a", "b", "c", "x"], n)
+            ),
+        }
+    )
+    window = int(rng.integers(50, 400))
+    mine = funnel_steps(
+        ray.data.from_arrow(ev_tbl).repartition(6),
+        ["a", "b", "c"],
+        window_us=window,
+        n_buckets=7,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("fev", ev_tbl)
+    ref = con.execute(
+        "WITH s1 AS (SELECT user_id, min(ts) AS s1_us FROM fev "
+        "WHERE event_type = 'a' GROUP BY user_id), "
+        "s2 AS (SELECT s1.user_id, s1.s1_us, "
+        "(SELECT min(e.ts) FROM fev e WHERE e.user_id = s1.user_id "
+        " AND e.event_type = 'b' AND e.ts >= s1.s1_us) AS s2_us "
+        "FROM s1), "
+        "s3 AS (SELECT s2.user_id, s2.s1_us, s2.s2_us, "
+        "CASE WHEN s2.s2_us IS NULL THEN NULL ELSE "
+        "(SELECT min(e.ts) FROM fev e WHERE e.user_id = s2.user_id "
+        " AND e.event_type = 'c' AND e.ts >= s2.s2_us) END AS s3_us "
+        "FROM s2) "
+        "SELECT user_id, s1_us, s2_us, s3_us, "
+        f"coalesce(s3_us - s1_us <= {window}, FALSE) AS converted "
+        "FROM s3"
+    ).fetchdf()
+    check(
+        "funnel_steps", seed, mine, ref,
+        ["user_id"], ["s1_us", "s2_us", "s3_us", "converted"],
+    )
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -3164,10 +3216,11 @@ def main():
         graph_lm_family(seed)
         pareto_setsim_family(seed)
         nearest_mi_family(seed)
+        funnel_steps_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(112 comparison groups per seed)"
+        "(113 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
