@@ -1768,6 +1768,26 @@ def _q_funnel(sf_dir: str):
     )
 
 
+def _q_grok_prompt(sf_dir: str):
+    """Generic grok/regex parse (stages/textan.grok_extract): the raw
+    transcript turns' OSC-0 window title (``ESC ] 0 ; user@host: cwd
+    BEL``) extracted into typed (osc_user, osc_host, osc_cwd) columns
+    -- the reusable schema-on-read sibling of the transcript FSM's
+    OSC/prompt-cwd surface (reference terminalparser J3), one RE2
+    kernel per batch, no shuffle."""
+    from console_log_parser_ray.stages.textan import grok_extract
+
+    return grok_extract(
+        _transcripts_ds(sf_dir).select_columns(
+            ["conv_id", "turn_idx", "text"]
+        ),
+        pattern=(
+            "\x1b\\]0;(?P<osc_user>[a-z]+)@"
+            "(?P<osc_host>[A-Za-z0-9-]+): (?P<osc_cwd>[^\x07]*)\x07"
+        ),
+    )
+
+
 def _q_funnel3(sf_dir: str):
     """Three-step ordered funnel (stages/events.funnel_steps): per
     user with a signup, the first signup, the first view at or after
@@ -3351,6 +3371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_matrix": _q_user_event_matrix,
         "funnel": _q_funnel,
         "funnel3": _q_funnel3,
+        "grok_prompt": _q_grok_prompt,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -4230,6 +4251,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents "
             "QUALIFY row_number() OVER "
             "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3"
+        ),
+        "grok_prompt": (
+            "SELECT conv_id, turn_idx, "
+            "CASE WHEN m THEN regexp_extract(text, "
+            "e'\\x1b\\\\]0;([a-z]+)@([A-Za-z0-9-]+): ([^\\x07]*)\\x07'"
+            ", 1) END AS osc_user, "
+            "CASE WHEN m THEN regexp_extract(text, "
+            "e'\\x1b\\\\]0;([a-z]+)@([A-Za-z0-9-]+): ([^\\x07]*)\\x07'"
+            ", 2) END AS osc_host, "
+            "CASE WHEN m THEN regexp_extract(text, "
+            "e'\\x1b\\\\]0;([a-z]+)@([A-Za-z0-9-]+): ([^\\x07]*)\\x07'"
+            ", 3) END AS osc_cwd "
+            "FROM (SELECT conv_id, turn_idx, text, regexp_matches(text,"
+            " e'\\x1b\\\\]0;([a-z]+)@([A-Za-z0-9-]+): ([^\\x07]*)\\x07'"
+            f") AS m FROM {t})"
         ),
         "funnel3": (
             "WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS s1_us "

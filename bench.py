@@ -148,6 +148,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "user_event_matrix",
         "funnel",
         "funnel3",
+        "grok_prompt",
         "pack_sequences",
         "mix_domains",
         "epoch_upsample",

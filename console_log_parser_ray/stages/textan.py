@@ -199,6 +199,47 @@ def ngram_rep_signals(ds, ns=(2, 3, 4), text_col="text", id_col="doc_id"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def grok_extract(
+    ds,
+    pattern: str,
+    col: str = "text",
+    keep_cols: tuple = ("conv_id", "turn_idx"),
+    casts: dict | None = None,
+    drop_unmatched: bool = False,
+):
+    """Grok-style regex parse: every named group in ``pattern``
+    becomes an output column, typed via ``casts`` (group name -> Arrow
+    type) -- the generic schema-on-read ETL step the north-star
+    describes (``map_batches over Arrow byte columns extracts control
+    sequences, prompts, commands``), reusable beyond the transcript
+    FSM for any line-structured log.
+
+    One vectorized RE2 ``pc.extract_regex`` kernel per batch (first
+    match per row, the regexp_extract SQL convention); rows that do
+    not match keep null group columns unless ``drop_unmatched``.
+    Stateless map: no shuffle, fuses into the read, scales with the
+    scan.  DuckDB runs the same RE2 syntax, so oracles mirror
+    group-for-group (CASE WHEN regexp_matches THEN regexp_extract END
+    reproduces the null-vs-empty-group semantics exactly).
+    """
+
+    def fn(b: pa.Table) -> pa.Table:
+        s = pc.fill_null(b.column(col).combine_chunks(), "")
+        ext = pc.extract_regex(s, pattern=pattern)
+        cols = {c: b.column(c) for c in keep_cols}
+        for field in ext.type:
+            v = pc.struct_field(ext, field.name)
+            if casts and field.name in casts:
+                v = pc.cast(v, casts[field.name])
+            cols[field.name] = v
+        t = pa.table(cols)
+        if drop_unmatched:
+            t = t.filter(pc.is_valid(ext))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def redact(ds, rules=DEFAULT_REDACT_RULES, text_col="text", out_col="redacted"):
     """Regex scrubbing (PII-style redaction) -- a vectorized
     replace_substring_regex chain per batch, rules applied in order."""

@@ -4569,3 +4569,45 @@ def test_funnel_steps_bruteforce(ray_session):
         funnel_steps(ds, ["a", "a", "b"])
     with pytest.raises(ValueError, match="at least 2"):
         funnel_steps(ds, ["a"])
+
+
+def test_grok_extract(ray_session):
+    """Named-group regex -> typed columns: casts, null text, unmatched
+    rows (null groups vs dropped), first-match convention."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import grok_extract
+
+    tbl = pa.table(
+        {
+            "rid": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "GET /a/b 200 17ms",
+                    "POST /c 500 3ms and GET /z 200 1ms",  # first match
+                    None,
+                    "no match here",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    pat = r"(?P<verb>GET|POST) (?P<path>\S+) (?P<code>\d+) (?P<ms>\d+)ms"
+    rows = {
+        r["rid"]: (r["verb"], r["path"], r["code"], r["ms"])
+        for r in grok_extract(
+            ds, pat, col="text", keep_cols=("rid",),
+            casts={"code": pa.int64(), "ms": pa.int64()},
+        ).take_all()
+    }
+    assert rows[1] == ("GET", "/a/b", 200, 17)
+    assert rows[2] == ("POST", "/c", 500, 3)  # first match only
+    assert rows[3] == (None, None, None, None)
+    assert rows[4] == (None, None, None, None)
+    kept = grok_extract(
+        ds, pat, col="text", keep_cols=("rid",), drop_unmatched=True
+    ).take_all()
+    assert sorted(r["rid"] for r in kept) == [1, 2]
