@@ -1788,6 +1788,33 @@ def _q_grok_prompt(sf_dir: str):
     )
 
 
+def _q_grok_dispatch(sf_dir: str):
+    """Ordered multi-pattern grok (stages/textan.grok_dispatch): the
+    two prompt dialects of the raw transcript corpus -- OSC-0 window
+    title and the SGR-colored MINGW64 prompt -- extracted into shared
+    (user, host, cwd) columns with a per-row dialect tag; first match
+    wins, one RE2 kernel per pattern per batch, no shuffle."""
+    from console_log_parser_ray.stages.textan import grok_dispatch
+
+    return grok_dispatch(
+        _transcripts_ds(sf_dir).select_columns(
+            ["conv_id", "turn_idx", "text"]
+        ),
+        patterns=[
+            (
+                "osc_title",
+                "\x1b\\]0;(?P<user>[a-z]+)@"
+                "(?P<host>[A-Za-z0-9-]+): (?P<cwd>[^\x07]*)\x07",
+            ),
+            (
+                "mingw",
+                "\x1b\\[32m(?P<user>[a-z]+)@(?P<host>[A-Za-z0-9-]+) "
+                "\x1b\\[35mMINGW64 \x1b\\[33m(?P<cwd>[^\x1b]*)",
+            ),
+        ],
+    )
+
+
 def _q_funnel3(sf_dir: str):
     """Three-step ordered funnel (stages/events.funnel_steps): per
     user with a signup, the first signup, the first view at or after
@@ -3372,6 +3399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": _q_funnel,
         "funnel3": _q_funnel3,
         "grok_prompt": _q_grok_prompt,
+        "grok_dialects": _q_grok_dispatch,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -4251,6 +4279,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents "
             "QUALIFY row_number() OVER "
             "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3"
+        ),
+        "grok_dialects": (
+            "SELECT conv_id, turn_idx, "
+            "CASE WHEN m1 THEN 'osc_title' WHEN m2 THEN 'mingw' END "
+            "AS grok_tag, "
+            "CASE WHEN m1 THEN regexp_extract(text, "
+            "e'\\x1b\\\\]0;([a-z]+)@([A-Za-z0-9-]+): ([^\\x07]*)\\x07'"
+            ", 1) WHEN m2 THEN regexp_extract(text, "
+            "e'\\x1b\\\\[32m([a-z]+)@([A-Za-z0-9-]+) "
+            "\\x1b\\\\[35mMINGW64 \\x1b\\\\[33m([^\\x1b]*)', 1) END "
+            "AS \"user\", "
+            "CASE WHEN m1 THEN regexp_extract(text, "
+            "e'\\x1b\\\\]0;([a-z]+)@([A-Za-z0-9-]+): ([^\\x07]*)\\x07'"
+            ", 2) WHEN m2 THEN regexp_extract(text, "
+            "e'\\x1b\\\\[32m([a-z]+)@([A-Za-z0-9-]+) "
+            "\\x1b\\\\[35mMINGW64 \\x1b\\\\[33m([^\\x1b]*)', 2) END "
+            "AS host, "
+            "CASE WHEN m1 THEN regexp_extract(text, "
+            "e'\\x1b\\\\]0;([a-z]+)@([A-Za-z0-9-]+): ([^\\x07]*)\\x07'"
+            ", 3) WHEN m2 THEN regexp_extract(text, "
+            "e'\\x1b\\\\[32m([a-z]+)@([A-Za-z0-9-]+) "
+            "\\x1b\\\\[35mMINGW64 \\x1b\\\\[33m([^\\x1b]*)', 3) END "
+            "AS cwd "
+            "FROM (SELECT conv_id, turn_idx, text, "
+            "regexp_matches(text, "
+            "e'\\x1b\\\\]0;([a-z]+)@([A-Za-z0-9-]+): ([^\\x07]*)\\x07'"
+            ") AS m1, regexp_matches(text, "
+            "e'\\x1b\\\\[32m([a-z]+)@([A-Za-z0-9-]+) "
+            "\\x1b\\\\[35mMINGW64 \\x1b\\\\[33m([^\\x1b]*)') AS m2 "
+            f"FROM {t})"
         ),
         "grok_prompt": (
             "SELECT conv_id, turn_idx, "

@@ -149,6 +149,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "funnel",
         "funnel3",
         "grok_prompt",
+        "grok_dialects",
         "pack_sequences",
         "mix_domains",
         "epoch_upsample",

@@ -240,6 +240,63 @@ def grok_extract(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def grok_dispatch(
+    ds,
+    patterns: list,
+    col: str = "text",
+    keep_cols: tuple = ("conv_id", "turn_idx"),
+    casts: dict | None = None,
+    tag_col: str = "grok_tag",
+):
+    """Ordered multi-pattern grok: ``patterns`` is a list of
+    ``(tag, pattern)`` pairs tried in order; the FIRST matching
+    pattern tags the row (``tag_col``) and fills its named groups,
+    later patterns never override -- the classic grok fallback chain
+    (one message format per source dialect).  Group names may repeat
+    across patterns (same semantic field from different dialects);
+    the output carries the UNION of all group names, null where the
+    winning pattern lacks the group or no pattern matches.
+
+    Vectorized: one RE2 ``pc.extract_regex`` per pattern per batch,
+    merged by precedence with ``pc.if_else`` -- no row loop, no
+    shuffle, fuses into the read.  DuckDB mirrors it with a CASE
+    chain over ``regexp_matches`` (same RE2 engine).
+    """
+    # union of group names, first-seen order (stable output schema)
+    names: list = []
+    for _, pat in patterns:
+        for g in re.findall(r"\(\?P<([A-Za-z_][A-Za-z0-9_]*)>", pat):
+            if g not in names:
+                names.append(g)
+
+    def fn(b: pa.Table) -> pa.Table:
+        s = pc.fill_null(b.column(col).combine_chunks(), "")
+        n = len(s)
+        tag = pa.nulls(n, pa.string())
+        vals = {g: pa.nulls(n, pa.string()) for g in names}
+        claimed = pa.array(np.zeros(n, dtype=bool))
+        for t, pat in patterns:
+            ext = pc.extract_regex(s, pattern=pat)
+            win = pc.and_(pc.is_valid(ext), pc.invert(claimed))
+            claimed = pc.or_(claimed, win)
+            tag = pc.if_else(win, pa.scalar(t, pa.string()), tag)
+            for field in ext.type:
+                vals[field.name] = pc.if_else(
+                    win, pc.struct_field(ext, field.name),
+                    vals[field.name],
+                )
+        cols = {c: b.column(c) for c in keep_cols}
+        cols[tag_col] = tag
+        for g in names:
+            v = vals[g]
+            if casts and g in casts:
+                v = pc.cast(v, casts[g])
+            cols[g] = v
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def redact(ds, rules=DEFAULT_REDACT_RULES, text_col="text", out_col="redacted"):
     """Regex scrubbing (PII-style redaction) -- a vectorized
     replace_substring_regex chain per batch, rules applied in order."""

@@ -4611,3 +4611,48 @@ def test_grok_extract(ray_session):
         ds, pat, col="text", keep_cols=("rid",), drop_unmatched=True
     ).take_all()
     assert sorted(r["rid"] for r in kept) == [1, 2]
+
+
+def test_grok_dispatch(ray_session):
+    """Ordered fallback patterns: first match wins, shared group
+    names merge across dialects, unmatched rows stay null-tagged."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import grok_dispatch
+
+    tbl = pa.table(
+        {
+            "rid": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "GET /a 200",          # matches both; p1 wins
+                    "POST /b",             # only p2
+                    "weird",               # neither
+                    None,                  # null text
+                    "GET /c 404",          # p1
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    out = {
+        r["rid"]: (r["grok_tag"], r["verb"], r["path"], r["code"])
+        for r in grok_dispatch(
+            ds,
+            [
+                ("with_code", r"(?P<verb>\w+) (?P<path>\S+) (?P<code>\d+)"),
+                ("bare", r"(?P<verb>\w+) (?P<path>\S+)"),
+            ],
+            col="text",
+            keep_cols=("rid",),
+            casts={"code": pa.int64()},
+        ).take_all()
+    }
+    assert out[1] == ("with_code", "GET", "/a", 200)
+    assert out[2] == ("bare", "POST", "/b", None)
+    assert out[3] == (None, None, None, None)
+    assert out[4] == (None, None, None, None)
+    assert out[5] == ("with_code", "GET", "/c", 404)
