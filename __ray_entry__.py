@@ -1815,6 +1815,33 @@ def _q_grok_dispatch(sf_dir: str):
     )
 
 
+def _q_log_templates(sf_dir: str):
+    """Drain-style log template mining (stages/textan.log_templates):
+    the 50 most frequent masked line templates of the document corpus
+    (hex/UUID/number fields replaced by placeholders) with counts and
+    a deterministic example line -- batch-local line explode + RE2
+    mask chain + per-block partial counts; the shuffle moves one row
+    per distinct template per block."""
+    from console_log_parser_ray.stages.textan import log_templates
+
+    return log_templates(
+        _docs(sf_dir).select_columns(["text"]), k=50
+    )
+
+
+def _q_multiline_records(sf_dir: str):
+    """Multiline log-record assembly (stages/textan.stitch_multiline):
+    continuation lines (leading space/tab) stitched onto the preceding
+    record, one row per record with its ordinal, text and line count
+    -- a stateless batch-local explode + cumsum + re-join, no
+    shuffle."""
+    from console_log_parser_ray.stages.textan import stitch_multiline
+
+    return stitch_multiline(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    )
+
+
 def _q_funnel3(sf_dir: str):
     """Three-step ordered funnel (stages/events.funnel_steps): per
     user with a signup, the first signup, the first view at or after
@@ -3400,6 +3427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel3": _q_funnel3,
         "grok_prompt": _q_grok_prompt,
         "grok_dialects": _q_grok_dispatch,
+        "log_templates": _q_log_templates,
+        "multiline_records": _q_multiline_records,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -3895,6 +3924,41 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a4.t * 1.0 / a4.n, 0.0) AS top_4gram_frac "
             "FROM documents d LEFT JOIN a2 USING (doc_id) "
             "LEFT JOIN a3 USING (doc_id) LEFT JOIN a4 USING (doc_id)"
+        ),
+        "log_templates": (
+            # same mask chain as stages/textan.DEFAULT_TEMPLATE_MASKS,
+            # in the same order (hex and UUID before bare numbers);
+            # RE2 syntax shared by pyarrow and DuckDB
+            "WITH lines AS (SELECT unnest(string_split("
+            "  coalesce(text, ''), chr(10))) AS line FROM documents), "
+            "nz AS (SELECT line FROM lines WHERE line <> ''), "
+            "m AS (SELECT line, regexp_replace(regexp_replace("
+            "regexp_replace(line, '0x[0-9a-fA-F]+', '<HEX>', 'g'), "
+            "'\\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+            "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\b', '<UUID>', 'g'), "
+            "'[0-9]+', '<N>', 'g') AS template FROM nz) "
+            "SELECT template, CAST(count(*) AS BIGINT) AS n, "
+            "min(line) AS example FROM m GROUP BY template "
+            "ORDER BY n DESC, template LIMIT 50"
+        ),
+        "multiline_records": (
+            # continuation = leading space/tab; record id = running
+            # count of record-start lines within the document
+            "WITH lines AS (SELECT doc_id, unnest(ls) AS line, "
+            "  unnest(generate_series(1, len(ls))) AS li "
+            "  FROM (SELECT doc_id, string_split(coalesce(text, ''), "
+            "    chr(10)) AS ls FROM documents)), "
+            "m AS (SELECT doc_id, li, line, CASE WHEN "
+            "  regexp_matches(line, '^[\\t ]') THEN 0 ELSE 1 END "
+            "  AS st FROM lines), "
+            "r AS (SELECT doc_id, li, line, CAST(sum(st) OVER ("
+            "  PARTITION BY doc_id ORDER BY li "
+            "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rec_idx "
+            "  FROM m) "
+            "SELECT doc_id, rec_idx, string_agg(line, chr(10) "
+            "ORDER BY li) AS rec_text, "
+            "CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM r GROUP BY doc_id, rec_idx"
         ),
         "line_dedup": (
             # same definition (and the same planted boilerplate) as

@@ -2545,3 +2545,178 @@ def mutual_info(
             "pmi_q": pa.array(pmi_l, pa.int64()),
         }
     )
+
+
+# Variable-field masks for log-template mining, applied in order:
+# hex literals before bare numbers (else ``0x1f`` leaves ``0x<N>f``),
+# UUIDs before bare numbers for the same reason.  RE2 syntax on both
+# sides, so the DuckDB oracle states the identical chain.
+DEFAULT_TEMPLATE_MASKS = (
+    (r"0x[0-9a-fA-F]+", "<HEX>"),
+    (
+        r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b",
+        "<UUID>",
+    ),
+    (r"[0-9]+", "<N>"),
+)
+
+
+def log_templates(
+    ds,
+    k: int = 50,
+    text_col: str = "text",
+    masks=DEFAULT_TEMPLATE_MASKS,
+):
+    """Log template mining (Drain-style, deterministic): explode each
+    document into newline-split non-empty lines, mask the variable
+    fields (hex ids, UUIDs, numbers) with an ordered RE2 replace
+    chain, and return the ``k`` most frequent resulting templates with
+    their counts and a deterministic example line (the lexicographic
+    minimum of the raw lines that produced the template) -- the
+    standard first pass of log analytics (template extraction a la He
+    et al.'s Drain), reduced to an exact, oracle-checkable rule.
+
+    Scale shape mirrors ``ngram_topk``: the line explosion lives only
+    inside one batch; masking is a vectorized ``replace_substring_regex``
+    chain over the exploded lines; each block pre-combines to one
+    (template, partial-count, partial-min-example) row per distinct
+    template, so the shuffle moves one row per distinct template per
+    block, never one per line; a single groupby fold + exact
+    block-local top-k reduction + one small sort yield the global
+    top-k, ties by template ascending.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(
+            pc.fill_null(batch.column(text_col).combine_chunks(), ""),
+            pattern="\n",
+        )
+        flat = lines.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        tmpl = flat
+        for pat, repl in masks:
+            tmpl = pc.replace_substring_regex(
+                tmpl, pattern=pat, replacement=repl
+            )
+        g = (
+            pa.table({"template": tmpl, "line": flat})
+            .group_by(["template"])
+            .aggregate([([], "count_all"), ("line", "min")])
+        )
+        return pa.table(
+            {
+                "template": g.column("template"),
+                "n_partial": g.column("count_all").cast(pa.int64()),
+                "ex_partial": g.column("line_min"),
+            }
+        )
+
+    from ray.data.aggregate import Min, Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("template")
+        .aggregate(Sum("n_partial"), Min("ex_partial"))
+    )
+
+    def local_topk(tbl: pa.Table) -> pa.Table:
+        # exact reduction (see ngram_topk): a row outside its block's
+        # top-k cannot be in the global top-k
+        t = pa.table(
+            {
+                "template": tbl.column("template"),
+                "n": tbl.column("sum(n_partial)"),
+                "example": tbl.column("min(ex_partial)"),
+            }
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("n", "descending"), ("template", "ascending")],
+        )
+        return t.take(idx[:k])
+
+    return (
+        agg.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["n", "template"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def stitch_multiline(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Multiline log-record assembly: split each document into
+    newline-separated lines and stitch CONTINUATION lines (those
+    starting with a space or tab -- the stack-trace / wrapped-payload
+    convention) onto the preceding record.  One output row per record:
+    the document id, the record's ordinal within the document
+    (``rec_idx``, 1-based; a document whose first line is itself a
+    continuation yields a leading record 0), the stitched text (lines
+    re-joined with newlines) and its line count.
+
+    Scale shape: a stateless ``map_batches`` -- each document's lines
+    live in one row, so the explode, the record-id cumsum over the
+    line starts and the per-record re-join are all batch-local numpy /
+    pandas kernels; no shuffle, nothing leaves the task but the
+    stitched records.
+    """
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "rec_idx": pa.array([], pa.int64()),
+                    "rec_text": pa.array([], pa.string()),
+                    "n_lines": pa.array([], pa.int64()),
+                }
+            )
+        ids = batch.column(id_col).cast(pa.int64())
+        lines = pc.split_pattern(
+            pc.fill_null(batch.column(text_col).combine_chunks(), ""),
+            pattern="\n",
+        )
+        flat = lines.flatten()
+        counts = pc.list_value_length(lines).to_numpy(
+            zero_copy_only=False
+        )
+        row_idx = np.repeat(np.arange(len(batch)), counts)
+        is_cont = pc.match_substring_regex(
+            flat, pattern=r"^[\t ]"
+        ).to_numpy(zero_copy_only=False)
+        # record id = running count of record-start lines per document
+        starts = (~is_cont).astype(np.int64)
+        cum = np.cumsum(starts)
+        # cum value just before each document's first line (split of a
+        # string always yields >= 1 line, so every doc owns a segment)
+        ends = np.cumsum(counts)
+        prev = np.concatenate(([0], cum[ends[:-1] - 1]))
+        rec = cum - np.repeat(prev, counts)
+        df = pd.DataFrame(
+            {
+                "i": row_idx,
+                "rec": rec,
+                "line": flat.to_pandas().to_numpy(),
+            }
+        )
+        g = df.groupby(["i", "rec"], sort=True)
+        joined = g["line"].agg("\n".join)
+        n_lines = g.size()
+        ii = joined.index.get_level_values("i").to_numpy()
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(ii, pa.int64())),
+                "rec_idx": pa.array(
+                    joined.index.get_level_values("rec").to_numpy(),
+                    pa.int64(),
+                ),
+                "rec_text": pa.array(joined.to_numpy(), pa.string()),
+                "n_lines": pa.array(n_lines.to_numpy(), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

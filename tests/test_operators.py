@@ -4656,3 +4656,172 @@ def test_grok_dispatch(ray_session):
     assert out[3] == (None, None, None, None)
     assert out[4] == (None, None, None, None)
     assert out[5] == ("with_code", "GET", "/c", 404)
+
+
+def test_log_templates_differential(ray_session):
+    """Drain-lite template mining == DuckDB regexp_replace chain +
+    GROUP BY on a random multi-line log corpus (hex ids, UUIDs,
+    numbers, continuation noise, empty and null docs)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import log_templates
+
+    rng = np.random.default_rng(41)
+    shapes = [
+        "ERROR conn {a} refused from 10.0.{a}.{b}",
+        "INFO user u{a} logged in sess 0x{a:x}",
+        "WARN disk {a}% full on /dev/sd{b}",
+        "TRACE req {uuid} took {b} ms",
+    ]
+    uuid = "deadbeef-0000-4100-8200-0123456789ab"
+    docs = []
+    for _ in range(150):
+        lines = []
+        for _ in range(rng.integers(0, 8)):
+            s = shapes[rng.integers(0, len(shapes))]
+            lines.append(
+                s.format(
+                    a=int(rng.integers(0, 5000)),
+                    b=int(rng.integers(0, 5000)),
+                    uuid=uuid,
+                )
+            )
+        docs.append("\n".join(lines))
+    docs[0], docs[1] = "", None
+    tbl = pa.table({"text": pa.array(docs, pa.string())})
+    mine = log_templates(
+        ray.data.from_arrow(tbl).repartition(7), k=10
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    uu = (
+        "\\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\b"
+    )
+    ref = con.execute(
+        "WITH lines AS (SELECT unnest(string_split("
+        "  coalesce(text, ''), chr(10))) AS line FROM documents), "
+        "nz AS (SELECT line FROM lines WHERE line <> ''), "
+        "m AS (SELECT line, regexp_replace(regexp_replace("
+        "regexp_replace(line, '0x[0-9a-fA-F]+', '<HEX>', 'g'), "
+        f"'{uu}', '<UUID>', 'g'), "
+        "'[0-9]+', '<N>', 'g') AS template FROM nz) "
+        "SELECT template, CAST(count(*) AS BIGINT) AS n, "
+        "min(line) AS example FROM m GROUP BY template "
+        "ORDER BY n DESC, template LIMIT 10"
+    ).fetchdf()
+    assert mine["template"].tolist() == ref["template"].tolist()
+    assert mine["n"].tolist() == ref["n"].tolist()
+    assert mine["example"].tolist() == ref["example"].tolist()
+    # masks actually collapsed the variable fields
+    assert any("<N>" in t for t in mine["template"])
+    assert any("<UUID>" in t for t in mine["template"])
+    assert any("<HEX>" in t for t in mine["template"])
+
+
+def test_stitch_multiline_pinned(ray_session):
+    """Continuation lines (leading space/tab) attach to the preceding
+    record; a continuation-first document yields record 0; empty and
+    null docs yield one empty single-line record."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import stitch_multiline
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a\n  cont1\n\tcont2\nb\nc\n d",
+                    "  orphan\nx",
+                    "",
+                    None,
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    rows = {
+        (r["doc_id"], r["rec_idx"]): (r["rec_text"], r["n_lines"])
+        for r in stitch_multiline(
+            ray.data.from_arrow(tbl).repartition(2)
+        ).take_all()
+    }
+    assert rows[(1, 1)] == ("a\n  cont1\n\tcont2", 3)
+    assert rows[(1, 2)] == ("b", 1)
+    assert rows[(1, 3)] == ("c\n d", 2)
+    assert rows[(2, 0)] == ("  orphan", 1)
+    assert rows[(2, 1)] == ("x", 1)
+    assert rows[(3, 1)] == ("", 1)
+    assert rows[(4, 1)] == ("", 1)
+    assert len(rows) == 7
+
+
+def test_stitch_multiline_differential(ray_session):
+    """stitch_multiline == DuckDB window-cumsum + string_agg on a
+    random corpus mixing starts, continuations and blank lines."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import stitch_multiline
+
+    rng = np.random.default_rng(43)
+    pool = ["start %d", "  cont %d", "\tcont %d", "", "  ", "mid %d"]
+    docs = []
+    for _ in range(120):
+        lines = [
+            pool[rng.integers(0, len(pool))] % rng.integers(0, 99)
+            if "%d" in pool[rng.integers(0, len(pool))]
+            else pool[rng.integers(0, len(pool))]
+            for _ in range(rng.integers(0, 9))
+        ]
+        docs.append("\n".join(lines))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(120, dtype=np.int64)),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    mine = (
+        stitch_multiline(ray.data.from_arrow(tbl).repartition(7))
+        .to_pandas()
+        .sort_values(["doc_id", "rec_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    ref = (
+        con.execute(
+            "WITH lines AS (SELECT doc_id, unnest(ls) AS line, "
+            "  unnest(generate_series(1, len(ls))) AS li "
+            "  FROM (SELECT doc_id, string_split(coalesce(text, ''), "
+            "    chr(10)) AS ls FROM documents)), "
+            "m AS (SELECT doc_id, li, line, CASE WHEN "
+            "  regexp_matches(line, '^[\\t ]') THEN 0 ELSE 1 END "
+            "  AS st FROM lines), "
+            "r AS (SELECT doc_id, li, line, CAST(sum(st) OVER ("
+            "  PARTITION BY doc_id ORDER BY li "
+            "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rec_idx "
+            "  FROM m) "
+            "SELECT doc_id, rec_idx, string_agg(line, chr(10) "
+            "ORDER BY li) AS rec_text, "
+            "CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM r GROUP BY doc_id, rec_idx"
+        )
+        .fetchdf()
+        .sort_values(["doc_id", "rec_idx"])
+        .reset_index(drop=True)
+    )
+    assert mine["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert mine["rec_idx"].tolist() == ref["rec_idx"].tolist()
+    assert mine["rec_text"].tolist() == ref["rec_text"].tolist()
+    assert mine["n_lines"].tolist() == ref["n_lines"].tolist()
