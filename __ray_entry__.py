@@ -1842,6 +1842,21 @@ def _q_multiline_records(sf_dir: str):
     )
 
 
+def _q_error_bursts(sf_dir: str):
+    """Error-rate burst detection (stages/events.error_bursts):
+    maximal runs of consecutive 15-min windows holding >= 3 error
+    events, with burst length, total and peak counts -- per-block
+    window pre-counts fold into a windows table bounded by time-span
+    (not rows); the island scan is one vectorized data-plane task."""
+    from console_log_parser_ray.stages.events import error_bursts
+
+    return error_bursts(
+        _events(sf_dir).select_columns(["ts", "event_type"]),
+        window_us=900 * 1_000_000,
+        threshold=3,
+    )
+
+
 def _q_funnel3(sf_dir: str):
     """Three-step ordered funnel (stages/events.funnel_steps): per
     user with a signup, the first signup, the first view at or after
@@ -3429,6 +3444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grok_dialects": _q_grok_dispatch,
         "log_templates": _q_log_templates,
         "multiline_records": _q_multiline_records,
+        "error_bursts": _q_error_bursts,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -3924,6 +3940,23 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a4.t * 1.0 / a4.n, 0.0) AS top_4gram_frac "
             "FROM documents d LEFT JOIN a2 USING (doc_id) "
             "LEFT JOIN a3 USING (doc_id) LEFT JOIN a4 USING (doc_id)"
+        ),
+        "error_bursts": (
+            # gaps-and-islands over hot tumbling windows: consecutive
+            # hot windows share (w - row_number)
+            "WITH w AS (SELECT epoch_us(ts) // 900000000 AS w, "
+            "  CAST(count(*) AS BIGINT) AS n FROM events "
+            "  WHERE event_type = 'error' GROUP BY 1), "
+            "hot AS (SELECT w, n FROM w WHERE n >= 3), "
+            "isl AS (SELECT w, n, w - row_number() OVER (ORDER BY w) "
+            "  AS grp FROM hot), "
+            "b AS (SELECT grp, min(w) AS w_start, max(w) AS w_end, "
+            "  CAST(count(*) AS BIGINT) AS n_windows, "
+            "  CAST(sum(n) AS BIGINT) AS total_events, "
+            "  max(n) AS peak_events FROM isl GROUP BY grp) "
+            "SELECT CAST(row_number() OVER (ORDER BY w_start) "
+            "AS BIGINT) AS burst_id, w_start, w_end, n_windows, "
+            "total_events, peak_events FROM b"
         ),
         "log_templates": (
             # same mask chain as stages/textan.DEFAULT_TEMPLATE_MASKS,

@@ -3063,3 +3063,102 @@ def nearest_event_join(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def error_bursts(
+    ds,
+    window_us: int = 900 * 1_000_000,
+    threshold: int = 3,
+    match: str = "error",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+):
+    """Burst detection over an event stream: tumble the matching
+    events into ``window_us`` windows, call a window HOT when it holds
+    ``>= threshold`` events, and return every maximal run of
+    CONSECUTIVE hot windows (the gaps-and-islands rule: a cold or
+    empty window ends the burst) with its start/end window, length,
+    total event count and peak single-window count -- the standard
+    alerting primitive of log analytics (error-rate spike detection).
+
+    Scale shape: the stream is filtered and pre-counted per block
+    (one (window, partial-count) row per distinct window per block),
+    then one small groupby folds the counts -- the windows table is
+    bounded by time-span / window size, INDEPENDENT of row count, so
+    the final island scan runs as one vectorized data-plane task over
+    that bounded table (repartition(1) + numpy reduceat), never a
+    driver collect.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column(type_col), match))
+        w = pc.divide(
+            t.column(ts_col).cast(pa.int64()),
+            pa.scalar(window_us, pa.int64()),
+        )
+        g = (
+            pa.table({"w": w})
+            .group_by(["w"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "w": g.column("w"),
+                "n_partial": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("n_partial"))
+    )
+
+    def islands(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "burst_id": pa.array([], pa.int64()),
+                "w_start": pa.array([], pa.int64()),
+                "w_end": pa.array([], pa.int64()),
+                "n_windows": pa.array([], pa.int64()),
+                "total_events": pa.array([], pa.int64()),
+                "peak_events": pa.array([], pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        w = tbl.column("w").to_numpy(zero_copy_only=False)
+        n = tbl.column("sum(n_partial)").to_numpy(zero_copy_only=False)
+        order = np.argsort(w, kind="stable")
+        w, n = w[order], n[order]
+        hot = n >= threshold
+        w, n = w[hot], n[hot]
+        if len(w) == 0:
+            return empty
+        # consecutive hot windows share (w - ordinal)
+        grp = w - np.arange(len(w), dtype=np.int64)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(grp) != 0) + 1)
+        )
+        ends = np.concatenate((starts[1:], [len(w)]))
+        return pa.table(
+            {
+                "burst_id": pa.array(
+                    np.arange(1, len(starts) + 1, dtype=np.int64)
+                ),
+                "w_start": pa.array(w[starts], pa.int64()),
+                "w_end": pa.array(w[ends - 1], pa.int64()),
+                "n_windows": pa.array(ends - starts, pa.int64()),
+                "total_events": pa.array(
+                    np.add.reduceat(n, starts), pa.int64()
+                ),
+                "peak_events": pa.array(
+                    np.maximum.reduceat(n, starts), pa.int64()
+                ),
+            }
+        )
+
+    return agg.repartition(1).map_batches(
+        islands, batch_format="pyarrow"
+    )

@@ -4825,3 +4825,66 @@ def test_stitch_multiline_differential(ray_session):
     assert mine["rec_idx"].tolist() == ref["rec_idx"].tolist()
     assert mine["rec_text"].tolist() == ref["rec_text"].tolist()
     assert mine["n_lines"].tolist() == ref["n_lines"].tolist()
+
+
+def test_error_bursts_differential(ray_session):
+    """error_bursts == DuckDB gaps-and-islands over hot tumbling
+    windows, on a random stream with planted dense stretches."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import error_bursts
+
+    rng = np.random.default_rng(47)
+    # sparse background + planted dense stretches around two hours
+    ts = rng.integers(0, 40, 800).astype(np.int64) * 100_000_000
+    dense = np.concatenate(
+        [
+            rng.integers(500, 900, 300),
+            rng.integers(2000, 2300, 250),
+        ]
+    ).astype(np.int64) * 1_000_000
+    ts = np.concatenate([ts, dense])
+    types = rng.choice(["error", "click"], len(ts), p=[0.7, 0.3])
+    tbl = pa.table(
+        {
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(types),
+        }
+    )
+    win, thr = 60 * 1_000_000, 4
+    mine = (
+        error_bursts(
+            ray.data.from_arrow(tbl).repartition(7),
+            window_us=win,
+            threshold=thr,
+        )
+        .to_pandas()
+        .sort_values("burst_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", tbl)
+    ref = con.execute(
+        f"WITH w AS (SELECT epoch_us(ts) // {win} AS w, "
+        "  CAST(count(*) AS BIGINT) AS n FROM events "
+        "  WHERE event_type = 'error' GROUP BY 1), "
+        f"hot AS (SELECT w, n FROM w WHERE n >= {thr}), "
+        "isl AS (SELECT w, n, w - row_number() OVER (ORDER BY w) "
+        "  AS grp FROM hot), "
+        "b AS (SELECT grp, min(w) AS w_start, max(w) AS w_end, "
+        "  CAST(count(*) AS BIGINT) AS n_windows, "
+        "  CAST(sum(n) AS BIGINT) AS total_events, "
+        "  max(n) AS peak_events FROM isl GROUP BY grp) "
+        "SELECT CAST(row_number() OVER (ORDER BY w_start) AS BIGINT) "
+        "AS burst_id, w_start, w_end, n_windows, total_events, "
+        "peak_events FROM b"
+    ).fetchdf()
+    assert len(mine) >= 2  # the planted stretches actually burst
+    for c in (
+        "burst_id w_start w_end n_windows total_events peak_events"
+    ).split():
+        assert mine[c].tolist() == ref[c].tolist(), c
