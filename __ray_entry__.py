@@ -3067,6 +3067,43 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iterations=3)
 
 
+def _q_part_triangles(sf_dir: str):
+    """Per-node triangle counts (stages/graph.triangle_counts) over
+    the 1998+ part co-purchase graph (distinct part pairs sharing an
+    order, stages/graph.cooccur_pair_edges): exact enumeration via
+    ordered-wedge join + packed-key semi join, both through the
+    co-partitioned hash_join; per-node counts from per-block
+    partials."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from console_log_parser_ray.stages.graph import (
+        cooccur_pair_edges,
+        triangle_counts,
+    )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_shipdate"],
+    )
+    cutoff = pa.scalar(883612800000000, pa.int64())  # 1998-01-01 UTC us
+
+    def recent(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            b.column("l_shipdate").cast(pa.int64()), cutoff
+        )
+        return b.filter(keep).select(["l_orderkey", "l_partkey"])
+
+    edges = cooccur_pair_edges(
+        li.map_batches(recent, batch_format="pyarrow"),
+        "l_orderkey",
+        "l_partkey",
+    )
+    return triangle_counts(edges)
+
+
 def _q_bigram_lm(sf_dir: str):
     """Bigram conditional-LM quality score (KenLM-shaped sibling of
     unigram_lm): per-doc sum of quantized ln(c2(w1,w2)/c1(w1)) over
@@ -3445,6 +3482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_templates": _q_log_templates,
         "multiline_records": _q_multiline_records,
         "error_bursts": _q_error_bursts,
+        "part_triangles": _q_part_triangles,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -3940,6 +3978,23 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a4.t * 1.0 / a4.n, 0.0) AS top_4gram_frac "
             "FROM documents d LEFT JOIN a2 USING (doc_id) "
             "LEFT JOIN a3 USING (doc_id) LEFT JOIN a4 USING (doc_id)"
+        ),
+        "part_triangles": (
+            # ordered edge orientation (a < b) counts each triangle
+            # once; per-node counts unnest the three corners
+            "WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem "
+            "  WHERE l_shipdate >= TIMESTAMP '1998-01-01'), "
+            "e AS (SELECT DISTINCT l1.l_partkey AS a, "
+            "  l2.l_partkey AS b FROM li l1 JOIN li l2 "
+            "  ON l1.l_orderkey = l2.l_orderkey "
+            "  AND l1.l_partkey < l2.l_partkey), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            "  FROM e e1 JOIN e e2 ON e1.b = e2.a "
+            "  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) "
+            "SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM ("
+            "  SELECT x AS node FROM tri UNION ALL "
+            "  SELECT y FROM tri UNION ALL SELECT z FROM tri) "
+            "GROUP BY node"
         ),
         "error_bursts": (
             # gaps-and-islands over hot tumbling windows: consecutive

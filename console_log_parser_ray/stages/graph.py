@@ -283,3 +283,202 @@ def symmetric_edges(ds, a_col: str, b_col: str, b_offset: int = 0):
         ds.map_batches(project, batch_format="pyarrow"), ["a", "b"]
     )
     return pairs.map_batches(both_ways, batch_format="pyarrow")
+
+
+def cooccur_pair_edges(
+    ds,
+    group_col: str,
+    item_col: str,
+    n_buckets: int = 64,
+):
+    """Distinct unordered co-occurrence edges: one ``(a, b)`` row
+    (``a < b``, int64) per pair of items sharing at least one group
+    (parts in an order, tokens in a doc, users in a session) -- the
+    standard projection of a bipartite membership table onto an item
+    graph.
+
+    CONTRACT: item ids in ``[0, 2^31)`` so a pair packs into one
+    int64 for the dedup bucket key.  Pair volume is
+    ``sum over groups of C(group_size, 2)`` -- bound group size
+    upstream for heavy-tailed memberships.
+
+    Scale shape: one group-hash bucket shuffle (a group's rows all
+    land in one bucket; the in-bucket self-merge is a vectorized
+    pandas merge per bucket, dispatch bounded by bucket count), then
+    one pair-key-hash bucket shuffle for the global distinct -- no
+    driver collect, no broadcast.
+    """
+    import pandas as pd
+
+    from .events import _bucket31
+
+    def project(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).cast(pa.int64())
+        return pa.table(
+            {
+                "jb": _bucket31(g, n_buckets),
+                "g": g,
+                "i": b.column(item_col).cast(pa.int64()),
+            }
+        )
+
+    def pairs_in_bucket(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        df = (
+            tbl.select(["g", "i"]).to_pandas().drop_duplicates()
+        )
+        m = df.merge(df, on="g")
+        m = m[m["i_x"] < m["i_y"]]
+        out = m[["i_x", "i_y"]].drop_duplicates()
+        a = pa.array(out["i_x"].to_numpy(dtype="int64"), pa.int64())
+        b_ = pa.array(out["i_y"].to_numpy(dtype="int64"), pa.int64())
+        key = pc.bit_wise_or(
+            pc.shift_left(a, pa.scalar(32, pa.int64())), b_
+        )
+        return pa.table(
+            {"kb": _bucket31(key, n_buckets), "a": a, "b": b_}
+        )
+
+    def distinct_in_bucket(tbl: pa.Table) -> pa.Table:
+        df = tbl.select(["a", "b"]).to_pandas().drop_duplicates()
+        return pa.table(
+            {
+                "a": pa.array(df["a"].to_numpy(dtype="int64")),
+                "b": pa.array(df["b"].to_numpy(dtype="int64")),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(distinct_in_bucket, batch_format="pyarrow")
+    )
+
+
+def triangle_counts(edges, n_buckets: int = 64):
+    """Per-node triangle participation counts over a DISTINCT
+    undirected edge table ``(a, b)`` with ``a < b`` (int64 node ids in
+    ``[0, 2^31)``): for every node, how many triangles contain it --
+    the local clustering signal of graph analytics.
+
+    Exact enumeration via the classic two-join plan, with the ordered
+    edge orientation making each triangle count exactly once:
+    wedges ``x < y < z`` come from joining edges on the shared middle
+    vertex (``e1.b = e2.a``), then a semi join closes the wedge
+    against the packed ``(x, z)`` edge key.
+
+    Scale shape: both joins are the co-partitioned ``hash_join``
+    (one bucket shuffle each, Acero per bucket); per-node counts are
+    per-block partials + one small groupby.  Wedge volume is
+    ``sum over nodes of C(out-degree, 2)`` -- the inherent cost of
+    exact triangle enumeration; for heavy-tailed degree
+    distributions, cap or sample high-degree nodes upstream.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .relational import hash_join
+
+    sch_xy = pa.schema([("x", pa.int64()), ("y", pa.int64())])
+    sch_yz = pa.schema([("wy", pa.int64()), ("z", pa.int64())])
+
+    def as_xy(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": b.column("a").cast(pa.int64()),
+                "y": b.column("b").cast(pa.int64()),
+            }
+        )
+
+    def as_yz(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "wy": b.column("a").cast(pa.int64()),
+                "z": b.column("b").cast(pa.int64()),
+            }
+        )
+
+    wedges = hash_join(
+        edges.map_batches(as_xy, batch_format="pyarrow"),
+        edges.map_batches(as_yz, batch_format="pyarrow"),
+        on="y",
+        right_on="wy",
+        how="inner",
+        n_buckets=n_buckets,
+        left_schema=sch_xy,
+        right_schema=sch_yz,
+    )
+
+    def pack_wedge(b: pa.Table) -> pa.Table:
+        x = b.column("x").cast(pa.int64())
+        z = b.column("z").cast(pa.int64())
+        key = pc.bit_wise_or(
+            pc.shift_left(x, pa.scalar(32, pa.int64())), z
+        )
+        return pa.table(
+            {"key": key, "x": x, "y": b.column("y").cast(pa.int64()),
+             "z": z}
+        )
+
+    def pack_edge(b: pa.Table) -> pa.Table:
+        a = b.column("a").cast(pa.int64())
+        bb = b.column("b").cast(pa.int64())
+        return pa.table(
+            {
+                "ekey": pc.bit_wise_or(
+                    pc.shift_left(a, pa.scalar(32, pa.int64())), bb
+                )
+            }
+        )
+
+    sch_w = pa.schema(
+        [("key", pa.int64()), ("x", pa.int64()), ("y", pa.int64()),
+         ("z", pa.int64())]
+    )
+    sch_e = pa.schema([("ekey", pa.int64())])
+    closed = hash_join(
+        wedges.map_batches(pack_wedge, batch_format="pyarrow"),
+        edges.map_batches(pack_edge, batch_format="pyarrow"),
+        on="key",
+        right_on="ekey",
+        how="semi",
+        n_buckets=n_buckets,
+        left_schema=sch_w,
+        right_schema=sch_e,
+    )
+
+    def node_partials(b: pa.Table) -> pa.Table:
+        nodes = pa.chunked_array(
+            [b.column("x"), b.column("y"), b.column("z")]
+        ).combine_chunks()
+        g = (
+            pa.table({"node": nodes})
+            .group_by(["node"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "node": g.column("node"),
+                "n_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        closed.map_batches(node_partials, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("n_part"))
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "n_tri": b.column("sum(n_part)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

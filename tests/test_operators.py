@@ -4888,3 +4888,63 @@ def test_error_bursts_differential(ray_session):
         "burst_id w_start w_end n_windows total_events peak_events"
     ).split():
         assert mine[c].tolist() == ref[c].tolist(), c
+
+
+def test_triangle_counts_differential(ray_session):
+    """cooccur_pair_edges + triangle_counts == DuckDB distinct-pair
+    projection + 3-way self-join on a random bipartite membership
+    table (dense groups guarantee triangles)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.graph import (
+        cooccur_pair_edges,
+        triangle_counts,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 1500
+    tbl = pa.table(
+        {
+            "grp": pa.array(rng.integers(0, 200, n).astype(np.int64)),
+            "item": pa.array(rng.integers(0, 120, n).astype(np.int64)),
+        }
+    )
+    con = duckdb.connect()
+    con.register("m", tbl)
+    edges = cooccur_pair_edges(
+        ray.data.from_arrow(tbl).repartition(7),
+        "grp",
+        "item",
+        n_buckets=16,
+    )
+    mine_e = sorted((r["a"], r["b"]) for r in edges.take_all())
+    ref_e = sorted(
+        con.execute(
+            "SELECT DISTINCT m1.item AS a, m2.item AS b FROM m m1 "
+            "JOIN m m2 ON m1.grp = m2.grp AND m1.item < m2.item"
+        ).fetchall()
+    )
+    assert mine_e == ref_e
+    mine_t = {
+        r["node"]: r["n_tri"]
+        for r in triangle_counts(edges, n_buckets=16).take_all()
+    }
+    ref_t = dict(
+        con.execute(
+            "WITH e AS (SELECT DISTINCT m1.item AS a, m2.item AS b "
+            "  FROM m m1 JOIN m m2 ON m1.grp = m2.grp "
+            "  AND m1.item < m2.item), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            "  FROM e e1 JOIN e e2 ON e1.b = e2.a "
+            "  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) "
+            "SELECT node, CAST(count(*) AS BIGINT) FROM ("
+            "  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+            "  UNION ALL SELECT z FROM tri) GROUP BY node"
+        ).fetchall()
+    )
+    assert mine_t == ref_t
+    assert sum(mine_t.values()) % 3 == 0 and sum(mine_t.values()) > 0
