@@ -3067,6 +3067,20 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iterations=3)
 
 
+def _q_decay_score(sf_dir: str):
+    """Recency-decayed engagement score (stages/events.decay_score):
+    per user, values halve once per elapsed day before 2024-02-01 --
+    integer cents x power-of-two weights, order-free exact sums,
+    one final IEEE division; per-block group-by partials, one small
+    groupby, no sort."""
+    from console_log_parser_ray.stages.events import decay_score
+
+    return decay_score(
+        _events(sf_dir).select_columns(["user_id", "ts", "value"]),
+        t_ref_us=1706745600000000,  # 2024-02-01 UTC, just past the data
+    )
+
+
 def _q_part_triangles(sf_dir: str):
     """Per-node triangle counts (stages/graph.triangle_counts) over
     the 1998+ part co-purchase graph (distinct part pairs sharing an
@@ -3483,6 +3497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multiline_records": _q_multiline_records,
         "error_bursts": _q_error_bursts,
         "part_triangles": _q_part_triangles,
+        "decay_score": _q_decay_score,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -3978,6 +3993,21 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a4.t * 1.0 / a4.n, 0.0) AS top_4gram_frac "
             "FROM documents d LEFT JOIN a2 USING (doc_id) "
             "LEFT JOIN a3 USING (doc_id) LEFT JOIN a4 USING (doc_id)"
+        ),
+        "decay_score": (
+            # same integer rule: cents = floor(value*100), age days
+            # clamped to [0, 31], weight = 1 << (31 - age); the only
+            # float op is the final division
+            "WITH q AS (SELECT user_id, "
+            "CAST(floor(value * 100) AS BIGINT) * "
+            "(CAST(1 AS BIGINT) << CAST(31 - least(greatest("
+            "(1706745600000000 - epoch_us(ts)) // 86400000000, 0), 31)"
+            " AS INTEGER)) AS contrib FROM events) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(contrib) AS BIGINT) AS decayed_q, "
+            "CAST(sum(contrib) AS BIGINT) / (100.0 * "
+            "(CAST(1 AS BIGINT) << 31)) AS decay_score "
+            "FROM q GROUP BY user_id"
         ),
         "part_triangles": (
             # ordered edge orientation (a < b) counts each triangle

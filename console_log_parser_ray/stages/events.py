@@ -3162,3 +3162,105 @@ def error_bursts(
     return agg.repartition(1).map_batches(
         islands, batch_format="pyarrow"
     )
+
+
+def decay_score(
+    ds,
+    t_ref_us: int,
+    half_life_us: int = 86400 * 1_000_000,
+    max_halvings: int = 31,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+):
+    """Per-entity exponentially time-decayed engagement score: each
+    event contributes its value halved once per elapsed ``half_life``
+    before ``t_ref`` -- the recency-weighted activity prior of
+    ranking / recommendation pipelines, reduced to an exact integer
+    rule so any partitioning (and the SQL mirror) agrees bit-for-bit.
+
+    Rule: ``age = clamp((t_ref_us - ts_us) // half_life_us, 0,
+    max_halvings)`` and the event contributes ``cents * 2^(max_halvings
+    - age)`` with ``cents = floor(value * 100)`` -- all int64, sums
+    order-free.  Output per entity: ``n_events``, the integer
+    ``decayed_q`` sum, and ``decay_score = decayed_q / (100.0 *
+    2^max_halvings)`` (one IEEE division).  int64 bound:
+    ``max_cents * 2^max_halvings * events_per_entity < 2^63`` --
+    at the default 31 halvings, ~43M cent-events per entity.
+
+    Scale shape: per-block Arrow group-by partials (user, partial sum,
+    partial count) -- one row per distinct user per block crosses the
+    one small groupby; no sort, no window, no driver collect.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        age = pc.divide(
+            pc.subtract(
+                pa.scalar(int(t_ref_us), pa.int64()),
+                b.column(ts_col).cast(pa.int64()),
+            ),
+            pa.scalar(int(half_life_us), pa.int64()),
+        )
+        age = pc.max_element_wise(age, pa.scalar(0, pa.int64()))
+        age = pc.min_element_wise(
+            age, pa.scalar(int(max_halvings), pa.int64())
+        )
+        cents = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    b.column(val_col).cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        )
+        contrib = pc.multiply(
+            cents,
+            pc.shift_left(
+                pa.scalar(1, pa.int64()),
+                pc.subtract(
+                    pa.scalar(int(max_halvings), pa.int64()), age
+                ),
+            ),
+        )
+        g = (
+            pa.table(
+                {
+                    user_col: b.column(user_col).cast(pa.int64()),
+                    "q": contrib,
+                }
+            )
+            .group_by([user_col])
+            .aggregate([("q", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                user_col: g.column(user_col),
+                "q_part": g.column("q_sum").cast(pa.int64()),
+                "n_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(user_col)
+        .aggregate(Sum("q_part"), Sum("n_part"))
+    )
+    denom = 100.0 * float(1 << int(max_halvings))
+
+    def finish(b: pa.Table) -> pa.Table:
+        q = b.column("sum(q_part)").cast(pa.int64())
+        return pa.table(
+            {
+                user_col: b.column(user_col),
+                "n_events": b.column("sum(n_part)").cast(pa.int64()),
+                "decayed_q": q,
+                "decay_score": pc.divide(
+                    q.cast(pa.float64()),
+                    pa.scalar(denom, pa.float64()),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

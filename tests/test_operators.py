@@ -4948,3 +4948,71 @@ def test_triangle_counts_differential(ray_session):
     )
     assert mine_t == ref_t
     assert sum(mine_t.values()) % 3 == 0 and sum(mine_t.values()) > 0
+
+
+def test_decay_score_differential(ray_session):
+    """decay_score == DuckDB integer cents x power-of-two weights on a
+    random stream straddling the reference time (future events clamp
+    to age 0, ancient ones to max_halvings)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import decay_score
+
+    rng = np.random.default_rng(53)
+    n = 3000
+    t_ref = 50 * 86400 * 1_000_000
+    ts = rng.integers(
+        -10 * 86400_000_000, 120 * 86400_000_000, n
+    ).astype(np.int64)
+    tbl = pa.table(
+        {
+            "user_id": pa.array(
+                rng.integers(1, 60, n).astype(np.int64)
+            ),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(
+                np.floor(rng.uniform(-20, 500, n) * 100) / 100.0,
+                pa.float64(),
+            ),
+        }
+    )
+    mine = (
+        decay_score(
+            ray.data.from_arrow(tbl).repartition(7),
+            t_ref_us=t_ref,
+            max_halvings=20,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", tbl)
+    ref = (
+        con.execute(
+            "WITH q AS (SELECT user_id, "
+            "CAST(floor(value * 100) AS BIGINT) * "
+            "(CAST(1 AS BIGINT) << CAST(20 - least(greatest("
+            f"({t_ref} - epoch_us(ts)) // 86400000000, 0), 20) "
+            "AS INTEGER)) AS contrib FROM events) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(contrib) AS BIGINT) AS decayed_q, "
+            "CAST(sum(contrib) AS BIGINT) / (100.0 * "
+            "(CAST(1 AS BIGINT) << 20)) AS decay_score "
+            "FROM q GROUP BY user_id"
+        )
+        .fetchdf()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert mine["user_id"].tolist() == ref["user_id"].tolist()
+    assert mine["n_events"].tolist() == ref["n_events"].tolist()
+    assert mine["decayed_q"].tolist() == ref["decayed_q"].tolist()
+    # bit-exact: one identical IEEE division on both sides
+    a = mine["decay_score"].to_numpy().view(np.int64)
+    b = ref["decay_score"].to_numpy().view(np.int64)
+    assert (a == b).all()
