@@ -3067,6 +3067,54 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iterations=3)
 
 
+def _q_price_band_pairs(sf_dir: str):
+    """Numeric band self-join (stages/relational.band_join): order
+    pairs whose total prices differ by <= $5.00, integer-cents exact
+    -- left side replicated to the three neighbor bands, one
+    co-partitioned equality hash_join on the band, vectorized exact
+    |diff| filter, id_a < id_b once per pair."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import band_join
+
+    def cents(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "okey": b.column("o_orderkey").cast(pa.int64()),
+                "cents": pc.cast(
+                    pc.floor(
+                        pc.multiply(
+                            b.column("o_totalprice").cast(pa.float64()),
+                            pa.scalar(100.0, pa.float64()),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def orders():
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_totalprice"],
+        ).map_batches(cents, batch_format="pyarrow")
+
+    return band_join(
+        orders(),
+        orders(),
+        val_col="cents",
+        id_col="okey",
+        right_val_col="cents",
+        right_id_col="okey",
+        eps_q=500,
+        antisym=True,
+    )
+
+
 def _q_decay_score(sf_dir: str):
     """Recency-decayed engagement score (stages/events.decay_score):
     per user, values halve once per elapsed day before 2024-02-01 --
@@ -3498,6 +3546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "error_bursts": _q_error_bursts,
         "part_triangles": _q_part_triangles,
         "decay_score": _q_decay_score,
+        "price_band_pairs": _q_price_band_pairs,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -3993,6 +4042,22 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a4.t * 1.0 / a4.n, 0.0) AS top_4gram_frac "
             "FROM documents d LEFT JOIN a2 USING (doc_id) "
             "LEFT JOIN a3 USING (doc_id) LEFT JOIN a4 USING (doc_id)"
+        ),
+        "price_band_pairs": (
+            # same banded plan as the engine (a naive inequality
+            # self-join is quadratic on both sides): replicate to the
+            # three neighbor bands, equality-join on the band, exact
+            # |diff| filter; id_a < id_b keeps each pair once
+            "WITH o AS (SELECT o_orderkey AS id, "
+            "  CAST(floor(o_totalprice * 100) AS BIGINT) AS c "
+            "  FROM orders), "
+            "b AS (SELECT id, c, c // 500 AS band FROM o), "
+            "r AS (SELECT id, c, band FROM b "
+            "  UNION ALL SELECT id, c, band + 1 FROM b "
+            "  UNION ALL SELECT id, c, band - 1 FROM b) "
+            "SELECT a.id AS id_a, a.c AS val_a, x.id AS id_b, "
+            "x.c AS val_b FROM r a JOIN b x ON a.band = x.band "
+            "AND abs(a.c - x.c) <= 500 AND a.id < x.id"
         ),
         "decay_score": (
             # same integer rule: cents = floor(value*100), age days

@@ -1706,3 +1706,103 @@ def corr_matrix(ds, cols: list[str], scales: list[int]) -> pa.Table:
             "corr": pa.array(out_corr, pa.float64()),
         }
     )
+
+
+def band_join(
+    left,
+    right,
+    val_col: str,
+    id_col: str,
+    right_val_col: str,
+    right_id_col: str,
+    eps_q: int,
+    n_buckets: int = 64,
+    antisym: bool = False,
+):
+    """Numeric band join: all pairs with ``|a - b| <= eps_q`` over
+    INTEGER-QUANTIZED value columns (the caller quantizes floats --
+    e.g. cents -- so the predicate, the bands and the SQL mirror are
+    exact; no float epsilon ambiguity).  The fuzzy-numeric record
+    linkage / near-price matching shape that equality joins cannot
+    express and naive inequality joins turn quadratic.
+
+    Plan: band id = ``value // eps_q`` (floor division, negatives
+    included); a qualifying pair's bands differ by at most 1, so the
+    LEFT side replicates to bands ``{b-1, b, b+1}`` (3x left rows,
+    documented) and one equality ``hash_join`` on the band meets every
+    candidate exactly once (at the right row's own band); a vectorized
+    exact ``|diff| <= eps_q`` filter closes.  ``antisym=True`` keeps
+    ``id_a < id_b`` only -- each unordered pair of a self join appears
+    exactly once.
+
+    Scale shape: one co-partitioned bucket shuffle (the band key);
+    candidate volume is sum over bands of ``3 * |left_band| *
+    |right_band|`` -- size ``eps_q`` so bands stay small, and salt
+    hot bands upstream for heavily-tied value distributions.
+    Output columns: ``id_a, val_a, id_b, val_b``.
+    """
+    sch_l = pa.schema(
+        [("band", pa.int64()), ("id_a", pa.int64()),
+         ("val_a", pa.int64())]
+    )
+    sch_r = pa.schema(
+        [("rband", pa.int64()), ("id_b", pa.int64()),
+         ("val_b", pa.int64())]
+    )
+
+    def rep(b: pa.Table) -> pa.Table:
+        v = b.column(val_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ids = b.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        band = np.floor_divide(v, np.int64(eps_q))
+        return pa.table(
+            {
+                "band": pa.array(
+                    np.concatenate([band - 1, band, band + 1]),
+                    pa.int64(),
+                ),
+                "id_a": pa.array(np.tile(ids, 3), pa.int64()),
+                "val_a": pa.array(np.tile(v, 3), pa.int64()),
+            }
+        )
+
+    def tag(b: pa.Table) -> pa.Table:
+        v = b.column(right_val_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "rband": pa.array(
+                    np.floor_divide(v, np.int64(eps_q)), pa.int64()
+                ),
+                "id_b": b.column(right_id_col).cast(pa.int64()),
+                "val_b": pa.array(v, pa.int64()),
+            }
+        )
+
+    j = hash_join(
+        left.map_batches(rep, batch_format="pyarrow"),
+        right.map_batches(tag, batch_format="pyarrow"),
+        on="band",
+        right_on="rband",
+        how="inner",
+        n_buckets=n_buckets,
+        left_schema=sch_l,
+        right_schema=sch_r,
+    )
+
+    def close(b: pa.Table) -> pa.Table:
+        diff = pc.abs(pc.subtract(b.column("val_a"), b.column("val_b")))
+        keep = pc.less_equal(diff, pa.scalar(int(eps_q), pa.int64()))
+        if antisym:
+            keep = pc.and_(
+                keep, pc.less(b.column("id_a"), b.column("id_b"))
+            )
+        return b.filter(keep).select(
+            ["id_a", "val_a", "id_b", "val_b"]
+        )
+
+    return j.map_batches(close, batch_format="pyarrow")

@@ -5016,3 +5016,69 @@ def test_decay_score_differential(ray_session):
     a = mine["decay_score"].to_numpy().view(np.int64)
     b = ref["decay_score"].to_numpy().view(np.int64)
     assert (a == b).all()
+
+
+def test_band_join_differential(ray_session):
+    """band_join == DuckDB banded self-join on random values with
+    negatives (floor-division bands), ties, and both antisym and
+    two-table modes."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import band_join
+
+    rng = np.random.default_rng(59)
+    n = 800
+    vals = rng.integers(-3000, 3000, n).astype(np.int64)
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    eps = 37
+    dds = lambda: ray.data.from_arrow(tbl).repartition(7)  # noqa: E731
+    mine = sorted(
+        (r["id_a"], r["id_b"], r["val_a"], r["val_b"])
+        for r in band_join(
+            dds(), dds(), "v", "id", "v", "id",
+            eps_q=eps, n_buckets=16, antisym=True,
+        ).take_all()
+    )
+    ref = sorted(
+        con.execute(
+            "SELECT a.id, b.id, a.v, b.v FROM t a JOIN t b "
+            f"ON abs(a.v - b.v) <= {eps} AND a.id < b.id"
+        ).fetchall()
+    )
+    assert mine == ref and len(ref) > 100
+
+    # two-table mode (no antisym): every qualifying ordered pair once
+    small = pa.table(
+        {
+            "id": pa.array([901, 902, 903], pa.int64()),
+            "v": pa.array([-2995, 0, 2999], pa.int64()),
+        }
+    )
+    con.register("s", small)
+    mine = sorted(
+        (r["id_a"], r["id_b"])
+        for r in band_join(
+            ray.data.from_arrow(small),
+            dds(),
+            "v", "id", "v", "id",
+            eps_q=eps, n_buckets=16,
+        ).take_all()
+    )
+    ref = sorted(
+        con.execute(
+            "SELECT s.id, t.id FROM s JOIN t "
+            f"ON abs(s.v - t.v) <= {eps}"
+        ).fetchall()
+    )
+    assert mine == ref and len(ref) > 0
