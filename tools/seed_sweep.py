@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 113 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 119 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -61,6 +61,10 @@ Exit 0 = every comparison equal.  Each seed covers 113 comparison groups:
   - integer PageRank == python int reference / unigram + bigram LM
     logprob / vocab OOV / priority dedup / TWAP / token entropy / domain KL / PMI collocations / split assignment / vocab overlap / per-key categorical entropy /
     KMV bottom-k sketch         (round-4 graph + LM family)
+  - log template mining / multiline record stitching / error-burst
+    islands / decayed engagement scores (bit-exact division) /
+    numeric band self-join (negatives) / co-occurrence triangle
+    counts               (round-4b log-pipeline + graph family)
 """
 
 import os
@@ -3195,6 +3199,244 @@ def funnel_steps_family(seed):
     )
 
 
+def log_pipeline_family(seed):
+    """Round-4b log-analytics + graph + band-join operators vs DuckDB
+    on fresh random inputs: template mining, multiline stitching,
+    burst islands, decayed scores, band self-join, triangle counts."""
+    rng = np.random.default_rng(seed + 71)
+
+    from console_log_parser_ray.stages.events import (
+        decay_score,
+        error_bursts,
+    )
+    from console_log_parser_ray.stages.graph import (
+        cooccur_pair_edges,
+        triangle_counts,
+    )
+    from console_log_parser_ray.stages.relational import band_join
+    from console_log_parser_ray.stages.textan import (
+        log_templates,
+        stitch_multiline,
+    )
+
+    # --- random multi-line log corpus
+    shapes = [
+        "ERROR conn %d refused from 10.0.%d.%d",
+        "INFO user u%d logged in sess 0x%x",
+        "WARN disk %d%% full on /dev/sd%d",
+        "  at frame %d of stack",
+        "\tcaused by 0x%04x",
+        "",
+    ]
+    docs = []
+    for _ in range(130):
+        lines = []
+        for _ in range(rng.integers(0, 9)):
+            import re as _re
+
+            s = shapes[rng.integers(0, len(shapes))]
+            n_args = len(_re.findall(r"%(?:\d+)?[dx]", s))
+            args = tuple(
+                int(rng.integers(0, 3000)) for _ in range(n_args)
+            )
+            lines.append(s % args if args else s)
+        docs.append("\n".join(lines))
+    docs[0], docs[1] = "", None
+    dt = pa.table({"text": pa.array(docs, pa.string())})
+    dt2 = dt.append_column(
+        "doc_id", pa.array(np.arange(len(docs), dtype=np.int64))
+    )
+    con = duckdb.connect()
+    con.register("documents", dt2)
+    uu = (
+        "\\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\b"
+    )
+    k = int(rng.integers(5, 25))
+    mine = log_templates(
+        ray.data.from_arrow(dt).repartition(7), k=k
+    ).to_pandas()
+    ref = con.execute(
+        "WITH lines AS (SELECT unnest(string_split("
+        "  coalesce(text, ''), chr(10))) AS line FROM documents), "
+        "nz AS (SELECT line FROM lines WHERE line <> ''), "
+        "m AS (SELECT line, regexp_replace(regexp_replace("
+        "regexp_replace(line, '0x[0-9a-fA-F]+', '<HEX>', 'g'), "
+        f"'{uu}', '<UUID>', 'g'), "
+        "'[0-9]+', '<N>', 'g') AS template FROM nz) "
+        "SELECT template, CAST(count(*) AS BIGINT) AS n, "
+        "min(line) AS example FROM m GROUP BY template "
+        f"ORDER BY n DESC, template LIMIT {k}"
+    ).fetchdf()
+    check(
+        "log_templates", seed, mine, ref,
+        ["template"], ["n", "example"],
+    )
+
+    mine = stitch_multiline(
+        ray.data.from_arrow(dt2).repartition(7)
+    ).to_pandas()
+    ref = con.execute(
+        "WITH lines AS (SELECT doc_id, unnest(ls) AS line, "
+        "  unnest(generate_series(1, len(ls))) AS li "
+        "  FROM (SELECT doc_id, string_split(coalesce(text, ''), "
+        "    chr(10)) AS ls FROM documents)), "
+        "m AS (SELECT doc_id, li, line, CASE WHEN "
+        "  regexp_matches(line, '^[\\t ]') THEN 0 ELSE 1 END "
+        "  AS st FROM lines), "
+        "r AS (SELECT doc_id, li, line, CAST(sum(st) OVER ("
+        "  PARTITION BY doc_id ORDER BY li "
+        "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rec_idx FROM m) "
+        "SELECT doc_id, rec_idx, string_agg(line, chr(10) "
+        "ORDER BY li) AS rec_text, CAST(count(*) AS BIGINT) "
+        "AS n_lines FROM r GROUP BY doc_id, rec_idx"
+    ).fetchdf()
+    check(
+        "stitch_multiline", seed, mine, ref,
+        ["doc_id", "rec_idx"], ["rec_text", "n_lines"],
+    )
+
+    # --- burst islands + decayed scores on a random event stream
+    n = 2500
+    ts = rng.integers(0, 3000, n).astype(np.int64) * 1_000_000
+    ev = pa.table(
+        {
+            "user_id": pa.array(
+                rng.integers(1, 40, n).astype(np.int64)
+            ),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(
+                rng.choice(["error", "click"], n, p=[0.6, 0.4])
+            ),
+            "value": pa.array(
+                np.floor(rng.uniform(-30, 300, n) * 100) / 100.0,
+                pa.float64(),
+            ),
+        }
+    )
+    con.register("events", ev)
+    win = int(rng.integers(20, 200)) * 1_000_000
+    thr = int(rng.integers(2, 6))
+    mine = error_bursts(
+        ray.data.from_arrow(ev).repartition(7),
+        window_us=win,
+        threshold=thr,
+    ).to_pandas()
+    ref = con.execute(
+        f"WITH w AS (SELECT epoch_us(ts) // {win} AS w, "
+        "  CAST(count(*) AS BIGINT) AS n FROM events "
+        "  WHERE event_type = 'error' GROUP BY 1), "
+        f"hot AS (SELECT w, n FROM w WHERE n >= {thr}), "
+        "isl AS (SELECT w, n, w - row_number() OVER (ORDER BY w) "
+        "  AS grp FROM hot), "
+        "b AS (SELECT grp, min(w) AS w_start, max(w) AS w_end, "
+        "  CAST(count(*) AS BIGINT) AS n_windows, "
+        "  CAST(sum(n) AS BIGINT) AS total_events, "
+        "  max(n) AS peak_events FROM isl GROUP BY grp) "
+        "SELECT CAST(row_number() OVER (ORDER BY w_start) AS BIGINT) "
+        "AS burst_id, w_start, w_end, n_windows, total_events, "
+        "peak_events FROM b"
+    ).fetchdf()
+    check(
+        "error_bursts", seed, mine, ref,
+        ["burst_id"],
+        ["w_start", "w_end", "n_windows", "total_events",
+         "peak_events"],
+    )
+
+    t_ref = int(rng.integers(1000, 4000)) * 1_000_000
+    hl = int(rng.integers(50, 500)) * 1_000_000
+    mh = int(rng.integers(5, 25))
+    mine = decay_score(
+        ray.data.from_arrow(ev).repartition(7),
+        t_ref_us=t_ref,
+        half_life_us=hl,
+        max_halvings=mh,
+    ).to_pandas()
+    ref = con.execute(
+        "WITH q AS (SELECT user_id, "
+        "CAST(floor(value * 100) AS BIGINT) * "
+        f"(CAST(1 AS BIGINT) << CAST({mh} - least(greatest("
+        f"({t_ref} - epoch_us(ts)) // {hl}, 0), {mh}) AS INTEGER)) "
+        "AS contrib FROM events) "
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(sum(contrib) AS BIGINT) AS decayed_q, "
+        "CAST(sum(contrib) AS BIGINT) / (100.0 * "
+        f"(CAST(1 AS BIGINT) << {mh})) AS decay_score "
+        "FROM q GROUP BY user_id"
+    ).fetchdf()
+    check(
+        "decay_score", seed, mine, ref,
+        ["user_id"], ["n_events", "decayed_q", "decay_score"],
+    )
+
+    # --- band self-join on random (negative-inclusive) values
+    bt = pa.table(
+        {
+            "id": pa.array(np.arange(1, 501, dtype=np.int64)),
+            "v": pa.array(
+                rng.integers(-2000, 2000, 500).astype(np.int64)
+            ),
+        }
+    )
+    con.register("bt", bt)
+    eps = int(rng.integers(5, 80))
+    bds = lambda: ray.data.from_arrow(bt).repartition(5)  # noqa: E731
+    mine_p = sorted(
+        (r["id_a"], r["id_b"])
+        for r in band_join(
+            bds(), bds(), "v", "id", "v", "id",
+            eps_q=eps, n_buckets=16, antisym=True,
+        ).take_all()
+    )
+    ref_p = sorted(
+        con.execute(
+            "SELECT a.id, b.id FROM bt a JOIN bt b "
+            f"ON abs(a.v - b.v) <= {eps} AND a.id < b.id"
+        ).fetchall()
+    )
+    if mine_p != ref_p:
+        failures.append(("band_join", seed))
+        print(f"FAIL band_join seed={seed}", flush=True)
+
+    # --- triangle counts over a random co-occurrence graph
+    mt = pa.table(
+        {
+            "grp": pa.array(
+                rng.integers(0, 120, 900).astype(np.int64)
+            ),
+            "item": pa.array(
+                rng.integers(0, 80, 900).astype(np.int64)
+            ),
+        }
+    )
+    con.register("mt", mt)
+    edges = cooccur_pair_edges(
+        ray.data.from_arrow(mt).repartition(5), "grp", "item",
+        n_buckets=16,
+    )
+    mine_t = {
+        r["node"]: r["n_tri"]
+        for r in triangle_counts(edges, n_buckets=16).take_all()
+    }
+    ref_t = dict(
+        con.execute(
+            "WITH e AS (SELECT DISTINCT m1.item AS a, m2.item AS b "
+            "  FROM mt m1 JOIN mt m2 ON m1.grp = m2.grp "
+            "  AND m1.item < m2.item), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            "  FROM e e1 JOIN e e2 ON e1.b = e2.a "
+            "  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) "
+            "SELECT node, CAST(count(*) AS BIGINT) FROM ("
+            "  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+            "  UNION ALL SELECT z FROM tri) GROUP BY node"
+        ).fetchall()
+    )
+    if mine_t != ref_t:
+        failures.append(("triangle_counts", seed))
+        print(f"FAIL triangle_counts seed={seed}", flush=True)
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -3217,10 +3459,11 @@ def main():
         pareto_setsim_family(seed)
         nearest_mi_family(seed)
         funnel_steps_family(seed)
+        log_pipeline_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(113 comparison groups per seed)"
+        "(119 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
