@@ -3067,6 +3067,51 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iterations=3)
 
 
+def _q_phrase_search(sf_dir: str):
+    """Exact token-phrase search (stages/textan.phrase_search): per
+    document, the count of overlapping positions starting the token
+    sequence 'table hash' -- one vectorized gram tape + equality +
+    bincount per batch, fully batch-local, no shuffle."""
+    from console_log_parser_ray.stages.textan import phrase_search
+
+    return phrase_search(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        phrase="table hash",
+    )
+
+
+def _q_mlm_mask(sf_dir: str):
+    """Deterministic MLM corruption (stages/textan.mlm_mask): mask
+    every token whose md5 PRF over (doc_id, ordinal) falls under 15%,
+    emit corrupted text + ordered labels + mask count -- content-
+    independent sampling, re-run-stable, stateless per batch."""
+    from console_log_parser_ray.stages.textan import mlm_mask
+
+    return mlm_mask(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        rate_pct=15,
+    )
+
+
+def _q_gini_priority(sf_dir: str):
+    """Per-group Gini concentration (stages/events.gini_by_group):
+    how unequally order spend distributes within each order priority
+    -- integer cents, tie-invariant rank-weighted sums, one float
+    division; group-hash buckets + one lexsort per bucket."""
+    import ray.data
+
+    from console_log_parser_ray.stages.events import gini_by_group
+
+    return gini_by_group(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderpriority", "o_totalprice"],
+        ),
+        group_col="o_orderpriority",
+        val_col="o_totalprice",
+    )
+
+
 def _q_price_band_pairs(sf_dir: str):
     """Numeric band self-join (stages/relational.band_join): order
     pairs whose total prices differ by <= $5.00, integer-cents exact
@@ -3547,6 +3592,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangles": _q_part_triangles,
         "decay_score": _q_decay_score,
         "price_band_pairs": _q_price_band_pairs,
+        "phrase_search": _q_phrase_search,
+        "mlm_mask": _q_mlm_mask,
+        "gini_priority": _q_gini_priority,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -4042,6 +4090,57 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a4.t * 1.0 / a4.n, 0.0) AS top_4gram_frac "
             "FROM documents d LEFT JOIN a2 USING (doc_id) "
             "LEFT JOIN a3 USING (doc_id) LEFT JOIN a4 USING (doc_id)"
+        ),
+        "phrase_search": (
+            # overlapping token-adjacency hits: the n-gram equality,
+            # not a substring LIKE (which ignores token boundaries)
+            "WITH t AS (SELECT doc_id, regexp_extract_all("
+            "coalesce(text, ''), '\\S+') AS tk FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, len(tk) - 1), "
+            "i -> concat_ws(' ', tk[i], tk[i+1]))) AS gram FROM t "
+            "WHERE len(tk) >= 2) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits "
+            "FROM g WHERE gram = 'table hash' GROUP BY doc_id"
+        ),
+        "mlm_mask": (
+            # identical md5 PRF over (doc_id, 1-based ordinal); label
+            # string coalesces to '' for unmasked/empty docs
+            "WITH t AS (SELECT doc_id, regexp_extract_all("
+            "coalesce(text, ''), '\\S+') AS tk FROM documents), "
+            "tok AS (SELECT doc_id, unnest(tk) AS tok, "
+            "unnest(generate_series(1, len(tk))) AS j FROM t), "
+            "m AS (SELECT doc_id, j, tok, "
+            "('0x' || substr(md5(doc_id || ':' || j), 1, 8))::BIGINT "
+            "% 100 < 15 AS is_m FROM tok), "
+            "agg AS (SELECT doc_id, "
+            "string_agg(CASE WHEN is_m THEN '<MASK>' ELSE tok END, "
+            "' ' ORDER BY j) AS corrupted, "
+            "coalesce(string_agg(CASE WHEN is_m THEN tok END, '|' "
+            "ORDER BY j), '') AS labels, "
+            "CAST(count(*) FILTER (WHERE is_m) AS BIGINT) AS n_masked "
+            "FROM m GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(a.corrupted, '') AS corrupted, "
+            "coalesce(a.labels, '') AS labels, "
+            "CAST(coalesce(a.n_masked, 0) AS BIGINT) AS n_masked "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        "gini_priority": (
+            # rank-weighted sum is tie-invariant, so row_number over
+            # ties in any order yields the same integer sums
+            "WITH c AS (SELECT o_orderpriority, "
+            "CAST(floor(o_totalprice * 100) AS BIGINT) AS v "
+            "FROM orders), "
+            "r AS (SELECT o_orderpriority, v, row_number() OVER ("
+            "PARTITION BY o_orderpriority ORDER BY v) AS i FROM c), "
+            "a AS (SELECT o_orderpriority, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(v) AS BIGINT) AS s, "
+            "CAST(sum(i * v) AS BIGINT) AS iv "
+            "FROM r GROUP BY o_orderpriority) "
+            "SELECT o_orderpriority, n, s AS sum_q, "
+            "2 * iv - (n + 1) * s AS gini_num, n * s AS gini_den, "
+            "(2 * iv - (n + 1) * s) / (1.0 * n * s) AS gini FROM a"
         ),
         "price_band_pairs": (
             # same banded plan as the engine (a naive inequality

@@ -3264,3 +3264,97 @@ def decay_score(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def gini_by_group(
+    ds,
+    group_col: str,
+    val_col: str,
+    quant: int = 100,
+    n_buckets: int = 64,
+):
+    """Per-group Gini concentration index over a NON-NEGATIVE value
+    column -- the inequality / skew profiler (how concentrated is
+    spend per priority class, tokens per domain, traffic per key).
+
+    Exact integer rule (so any partitioning and the SQL mirror agree):
+    values quantize to ``v = floor(value * quant)``; with the group's
+    values ascending (ties in any order -- the rank-weighted sum is
+    tie-invariant), ``gini_num = 2 * sum(i * v_i) - (n + 1) * sum(v)``
+    and ``gini_den = n * sum(v)``; ``gini = gini_num / gini_den`` is
+    the ONE float division.  int64 bound: ``n^2 * mean_v / 2 < 2^63``
+    -- ~10^9 rows per group at 10^4 quanta mean.
+
+    Scale shape: the window-family recipe -- group-hash buckets
+    (a group's rows land in one bucket), one lexsort per bucket, the
+    rank-weighted sums via vectorized segment arithmetic; one row per
+    group leaves the bucket.
+    """
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        g = b.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        v = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    b.column(val_col).cast(pa.float64()),
+                    pa.scalar(float(quant), pa.float64()),
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "jb": _string_bucket(g, n_buckets),
+                "grp": g,
+                "v": v,
+            }
+        )
+
+    def resolve(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        grp = tbl.column("grp").to_pandas().to_numpy()
+        v = tbl.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, grp))
+        grp, v = grp[order], v[order]
+        # group starts on the sorted tape
+        new_grp = np.ones(len(grp), dtype=bool)
+        new_grp[1:] = grp[1:] != grp[:-1]
+        starts = np.flatnonzero(new_grp)
+        sizes = np.diff(np.concatenate([starts, [len(grp)]]))
+        i = (
+            np.arange(len(grp), dtype=np.int64)
+            - np.repeat(starts, sizes)
+            + 1
+        )
+        s = np.add.reduceat(v, starts)
+        iv = np.add.reduceat(i * v, starts)
+        n = sizes.astype(np.int64)
+        num = 2 * iv - (n + 1) * s
+        den = n * s
+        gini = np.divide(
+            num.astype(np.float64),
+            den.astype(np.float64),
+            out=np.full(len(n), np.nan),
+            where=den != 0,
+        )
+        return pa.table(
+            {
+                group_col: pa.array(grp[starts]),
+                "n": pa.array(n, pa.int64()),
+                "sum_q": pa.array(s, pa.int64()),
+                "gini_num": pa.array(num, pa.int64()),
+                "gini_den": pa.array(den, pa.int64()),
+                "gini": pa.array(
+                    np.where(den != 0, gini, np.nan), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prefilter, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

@@ -2720,3 +2720,136 @@ def stitch_multiline(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def phrase_search(
+    ds,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Exact token-phrase search: per document, how many positions
+    start an exact token-sequence match of ``phrase`` (OVERLAPPING
+    occurrences count -- ``a a a`` holds two ``a a`` hits), under the
+    shared RE2 ``\\S+`` tokenization; documents with zero hits are
+    dropped.  The retrieval primitive a bag-of-words index cannot
+    answer (term adjacency), stated as an n-gram equality so the SQL
+    mirror is exact.
+
+    Scale shape: fully batch-local -- a document's tokens live in its
+    own row, so the phrase match is ONE vectorized gram tape
+    (``_ngram_tape``) + one ``pc.equal`` + one bincount per batch;
+    no shuffle, no index build, no per-row Python.
+    """
+    terms = ascii_tokens(phrase)
+    if not terms:
+        raise ValueError("phrase_search: empty phrase")
+    n = len(terms)
+    target = " ".join(terms)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        doc_idx, grams = _ngram_tape(texts, n)
+        hit = pc.equal(grams, target).to_numpy(zero_copy_only=False)
+        counts = np.bincount(
+            doc_idx[hit], minlength=len(batch)
+        ).astype(np.int64)
+        keep = counts > 0
+        return pa.table(
+            {
+                id_col: ids.filter(pa.array(keep)),
+                "n_hits": pa.array(counts[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mlm_mask(
+    ds,
+    rate_pct: int = 15,
+    mask_token: str = "<MASK>",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Deterministic MLM-style corruption: mask every token whose
+    md5-PRF over ``(doc_id, position)`` falls under ``rate_pct`` --
+    the masked-language-model sample preparation step, made
+    re-run-stable (no RNG) and SQL-mirrorable by hashing the document
+    id and token ordinal, never the token text (so mask positions are
+    independent of content, as sampling should be).
+
+    Rule: token ``j`` (1-based) of document ``d`` is masked iff
+    ``('0x' || substr(md5(d || ':' || j), 1, 8))::int % 100 <
+    rate_pct``.  Output per document: the corrupted text (tokens
+    re-joined with single spaces), the pipe-joined masked tokens in
+    order (the MLM labels), and ``n_masked``.
+
+    Scale shape: stateless per-batch -- one token tape, one vectorized
+    md5 over the (id, ordinal) pairs, two ``pc.binary_join`` rebuilds;
+    no shuffle, no state.
+    """
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        flat, counts, new_off = _token_tape(texts)
+        doc_of = np.repeat(
+            ids.to_numpy(zero_copy_only=False), counts
+        )
+        total = int(counts.sum())
+        ordinal = np.arange(total, dtype=np.int64) - np.repeat(
+            new_off[: len(counts)], counts
+        ) + 1
+        # vectorized-enough md5 PRF: one digest per token of the
+        # batch over small ascii keys (C speed, no Python parsing)
+        keys = np.char.add(
+            np.char.add(doc_of.astype("U20"), ":"),
+            ordinal.astype("U20"),
+        )
+        masked = np.fromiter(
+            (
+                int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % 100
+                < rate_pct
+                for k in keys
+            ),
+            dtype=bool,
+            count=total,
+        )
+        out_tok = pc.if_else(
+            pa.array(masked), pa.scalar(mask_token, pa.string()), flat
+        )
+        off32 = pa.array(
+            np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        )
+        corrupted = pc.binary_join(
+            pa.ListArray.from_arrays(off32, out_tok), " "
+        )
+        # labels: the masked tokens of each doc, in order
+        lab_counts = np.bincount(
+            np.repeat(np.arange(len(counts)), counts)[masked],
+            minlength=len(counts),
+        )
+        lab_off = pa.array(
+            np.concatenate([[0], np.cumsum(lab_counts)]).astype(
+                np.int32
+            )
+        )
+        labels = pc.binary_join(
+            pa.ListArray.from_arrays(lab_off, flat.filter(pa.array(masked))),
+            "|",
+        )
+        return pa.table(
+            {
+                id_col: ids,
+                "corrupted": corrupted,
+                "labels": labels,
+                "n_masked": pa.array(
+                    lab_counts.astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

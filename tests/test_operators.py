@@ -5082,3 +5082,195 @@ def test_band_join_differential(ray_session):
         ).fetchall()
     )
     assert mine == ref and len(ref) > 0
+
+
+def test_phrase_search_overlap_and_differential(ray_session):
+    """Overlapping occurrences count ('a a a' holds two 'a a' hits);
+    random-corpus differential vs the DuckDB gram mirror."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import phrase_search
+
+    pinned = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["a a a", "x a a y a a", "aa a", None], pa.string()
+            ),
+        }
+    )
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_search(
+            ray.data.from_arrow(pinned), "a a"
+        ).take_all()
+    }
+    assert got == {1: 2, 2: 2}
+
+    rng = np.random.default_rng(61)
+    vocab = np.array(["w0", "w1", "w2", "w3", "héllo"])
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 25)))
+        for _ in range(200)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    mine = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_search(
+            ray.data.from_arrow(tbl).repartition(7), "w1 w2 w1"
+        ).take_all()
+    }
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    ref = dict(
+        con.execute(
+            "WITH t AS (SELECT doc_id, regexp_extract_all("
+            "coalesce(text, ''), '\\S+') AS tk FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, len(tk) - 2), "
+            "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS gram "
+            "FROM t WHERE len(tk) >= 3) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) FROM g "
+            "WHERE gram = 'w1 w2 w1' GROUP BY doc_id"
+        ).fetchall()
+    )
+    assert mine == ref and len(ref) > 0
+
+
+def test_mlm_mask_differential(ray_session):
+    """mlm_mask == DuckDB md5-PRF mirror on a random corpus with
+    empty, null and unicode docs; mask positions depend only on
+    (doc_id, ordinal), never on content."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import mlm_mask
+
+    rng = np.random.default_rng(67)
+    vocab = np.array(["alpha", "béta", "x,y", "42", "z"])
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 15)))
+        for _ in range(150)
+    ]
+    texts[0], texts[1] = "", None
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(
+                rng.permutation(np.arange(7, 7 + 150)).astype(np.int64)
+            ),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    mine = (
+        mlm_mask(ray.data.from_arrow(tbl).repartition(7), rate_pct=30)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    ref = (
+        con.execute(
+            "WITH t AS (SELECT doc_id, regexp_extract_all("
+            "coalesce(text, ''), '\\S+') AS tk FROM documents), "
+            "tok AS (SELECT doc_id, unnest(tk) AS tok, "
+            "unnest(generate_series(1, len(tk))) AS j FROM t), "
+            "m AS (SELECT doc_id, j, tok, "
+            "('0x' || substr(md5(doc_id || ':' || j), 1, 8))::BIGINT "
+            "% 100 < 30 AS is_m FROM tok), "
+            "agg AS (SELECT doc_id, "
+            "string_agg(CASE WHEN is_m THEN '<MASK>' ELSE tok END, "
+            "' ' ORDER BY j) AS corrupted, "
+            "coalesce(string_agg(CASE WHEN is_m THEN tok END, '|' "
+            "ORDER BY j), '') AS labels, "
+            "CAST(count(*) FILTER (WHERE is_m) AS BIGINT) "
+            "AS n_masked FROM m GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(a.corrupted, '') AS corrupted, "
+            "coalesce(a.labels, '') AS labels, "
+            "CAST(coalesce(a.n_masked, 0) AS BIGINT) AS n_masked "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
+        )
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "corrupted", "labels", "n_masked"):
+        assert mine[c].tolist() == ref[c].tolist(), c
+    assert mine["n_masked"].sum() > 0
+
+
+def test_gini_by_group_differential(ray_session):
+    """gini_by_group == DuckDB rank-weighted integer sums on random
+    tie-heavy groups; a constant-valued group has gini 0, a
+    one-hot group approaches (n-1)/n."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import gini_by_group
+
+    rng = np.random.default_rng(71)
+    n = 2000
+    grp = rng.choice(["a", "b", "c", "konst", "onehot"], n)
+    val = np.floor(rng.uniform(0, 300, n) * 100) / 100.0
+    val[grp == "konst"] = 7.25
+    val[grp == "onehot"] = 0.0
+    one_idx = np.flatnonzero(grp == "onehot")
+    if len(one_idx):
+        val[one_idx[0]] = 99.0
+    tbl = pa.table(
+        {
+            "g": pa.array(list(grp), pa.string()),
+            "value": pa.array(val, pa.float64()),
+        }
+    )
+    mine = (
+        gini_by_group(
+            ray.data.from_arrow(tbl).repartition(7), "g", "value",
+            n_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    ref = (
+        con.execute(
+            "WITH c AS (SELECT g, CAST(floor(value * 100) AS BIGINT) "
+            "AS v FROM t), "
+            "r AS (SELECT g, v, row_number() OVER (PARTITION BY g "
+            "ORDER BY v) AS i FROM c), "
+            "a AS (SELECT g, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(v) AS BIGINT) AS s, "
+            "CAST(sum(i * v) AS BIGINT) AS iv FROM r GROUP BY g) "
+            "SELECT g, n, s AS sum_q, 2 * iv - (n + 1) * s "
+            "AS gini_num, n * s AS gini_den, "
+            "(2 * iv - (n + 1) * s) / (1.0 * n * s) AS gini FROM a"
+        )
+        .fetchdf()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    for c in ("g", "n", "sum_q", "gini_num", "gini_den"):
+        assert mine[c].tolist() == ref[c].tolist(), c
+    gm = dict(zip(mine["g"], mine["gini"]))
+    assert gm["konst"] == 0.0
+    assert gm["onehot"] > 0.9
+    a = mine["gini"].to_numpy().view(np.int64)
+    b = ref["gini"].to_numpy().view(np.int64)
+    assert (a == b).all()
