@@ -3067,6 +3067,28 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iterations=3)
 
 
+def _q_interp_at_orders(sf_dir: str):
+    """Time-series resampling join (stages/events.interp_join): each
+    order's customer event value linearly interpolated at the order
+    date (hold-last / backfill at the edges, prev-wins at equal
+    times) -- tagged union + one user-hash bucket shuffle, two
+    vectorized merge_asof passes per bucket, bit-exact lerp."""
+    import ray.data
+
+    from console_log_parser_ray.stages.events import interp_join
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    return interp_join(
+        orders,
+        _events(sf_dir).select_columns(
+            ["user_id", "ts", "value", "event_id"]
+        ),
+    )
+
+
 def _q_phrase_search(sf_dir: str):
     """Exact token-phrase search (stages/textan.phrase_search): per
     document, the count of overlapping positions starting the token
@@ -3595,6 +3617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "mlm_mask": _q_mlm_mask,
         "gini_priority": _q_gini_priority,
+        "interp_at_orders": _q_interp_at_orders,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -4090,6 +4113,33 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a4.t * 1.0 / a4.n, 0.0) AS top_4gram_frac "
             "FROM documents d LEFT JOIN a2 USING (doc_id) "
             "LEFT JOIN a3 USING (doc_id) LEFT JOIN a4 USING (doc_id)"
+        ),
+        "interp_at_orders": (
+            # bracketing events via correlated subqueries with the
+            # engine's tie rules; the lerp is the identical IEEE
+            # float64 expression (int64 diffs, one division)
+            "WITH p AS (SELECT o.o_orderkey, "
+            "epoch_us(o.o_orderdate) AS tq, "
+            "(SELECT epoch_us(e.ts) FROM events e WHERE e.user_id = "
+            "o.o_custkey AND e.ts <= o.o_orderdate ORDER BY e.ts "
+            "DESC, e.event_id DESC LIMIT 1) AS tp, "
+            "(SELECT e.value FROM events e WHERE e.user_id = "
+            "o.o_custkey AND e.ts <= o.o_orderdate ORDER BY e.ts "
+            "DESC, e.event_id DESC LIMIT 1) AS vp, "
+            "(SELECT epoch_us(e.ts) FROM events e WHERE e.user_id = "
+            "o.o_custkey AND e.ts >= o.o_orderdate ORDER BY e.ts "
+            "ASC, e.event_id ASC LIMIT 1) AS tn, "
+            "(SELECT e.value FROM events e WHERE e.user_id = "
+            "o.o_custkey AND e.ts >= o.o_orderdate ORDER BY e.ts "
+            "ASC, e.event_id ASC LIMIT 1) AS vn FROM orders o) "
+            "SELECT o_orderkey, tp AS t_prev_us, vp AS v_prev, "
+            "tn AS t_next_us, vn AS v_next, "
+            "CASE WHEN tp IS NOT NULL AND tn IS NOT NULL "
+            "AND tp <> tn THEN vp + (vn - vp) * "
+            "(CAST(tq - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE)) "
+            "WHEN tp IS NOT NULL THEN vp "
+            "WHEN tn IS NOT NULL THEN vn ELSE NULL END AS v_interp "
+            "FROM p"
         ),
         "phrase_search": (
             # overlapping token-adjacency hits: the n-gram equality,

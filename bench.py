@@ -224,6 +224,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "setsim_pairs",
         "nearest_click",
         "lang_source_mi",
+        "log_templates",
+        "multiline_records",
+        "error_bursts",
+        "part_triangles",
+        "decay_score",
+        "price_band_pairs",
+        "phrase_search",
+        "mlm_mask",
+        "gini_priority",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -5274,3 +5274,118 @@ def test_gini_by_group_differential(ray_session):
     a = mine["gini"].to_numpy().view(np.int64)
     b = ref["gini"].to_numpy().view(np.int64)
     assert (a == b).all()
+
+
+def test_interp_join_differential(ray_session):
+    """interp_join == DuckDB correlated bracketing subqueries + the
+    identical IEEE lerp, on a random stream with heavy timestamp ties,
+    query-time exact hits, and entities with no events at all."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import interp_join
+
+    rng = np.random.default_rng(73)
+    ne, nq, nu = 2000, 600, 50
+    ev = pa.table(
+        {
+            "user_id": pa.array(
+                rng.integers(1, nu + 1, ne).astype(np.int64)
+            ),
+            "ts": pa.array(
+                rng.integers(0, 30, ne).astype(np.int64)
+                * 1_000_000_000,
+                pa.timestamp("us"),
+            ),
+            "value": pa.array(
+                np.floor(rng.uniform(-40, 40, ne) * 100) / 100.0,
+                pa.float64(),
+            ),
+            "event_id": pa.array(
+                np.arange(1, ne + 1, dtype=np.int64)
+            ),
+        }
+    )
+    q = pa.table(
+        {
+            "o_orderkey": pa.array(
+                np.arange(1, nq + 1, dtype=np.int64)
+            ),
+            # users up to nu+10: some have no events -> all-null row
+            "o_custkey": pa.array(
+                rng.integers(1, nu + 11, nq).astype(np.int64)
+            ),
+            # half the probes land exactly on event stamps
+            "o_orderdate": pa.array(
+                np.where(
+                    rng.random(nq) < 0.5,
+                    rng.integers(0, 30, nq) * 1_000_000_000,
+                    rng.integers(-2, 32 * 10**9, nq),
+                ).astype(np.int64),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    mine = (
+        interp_join(
+            ray.data.from_arrow(q).repartition(5),
+            ray.data.from_arrow(ev).repartition(7),
+            n_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+    con.register("orders", q)
+    ref = (
+        con.execute(
+            "WITH p AS (SELECT o.o_orderkey, "
+            "epoch_us(o.o_orderdate) AS tq, "
+            "(SELECT epoch_us(e.ts) FROM events e WHERE e.user_id = "
+            "o.o_custkey AND e.ts <= o.o_orderdate ORDER BY e.ts "
+            "DESC, e.event_id DESC LIMIT 1) AS tp, "
+            "(SELECT e.value FROM events e WHERE e.user_id = "
+            "o.o_custkey AND e.ts <= o.o_orderdate ORDER BY e.ts "
+            "DESC, e.event_id DESC LIMIT 1) AS vp, "
+            "(SELECT epoch_us(e.ts) FROM events e WHERE e.user_id = "
+            "o.o_custkey AND e.ts >= o.o_orderdate ORDER BY e.ts "
+            "ASC, e.event_id ASC LIMIT 1) AS tn, "
+            "(SELECT e.value FROM events e WHERE e.user_id = "
+            "o.o_custkey AND e.ts >= o.o_orderdate ORDER BY e.ts "
+            "ASC, e.event_id ASC LIMIT 1) AS vn FROM orders o) "
+            "SELECT o_orderkey, tp AS t_prev_us, vp AS v_prev, "
+            "tn AS t_next_us, vn AS v_next, "
+            "CASE WHEN tp IS NOT NULL AND tn IS NOT NULL "
+            "AND tp <> tn THEN vp + (vn - vp) * "
+            "(CAST(tq - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE)) "
+            "WHEN tp IS NOT NULL THEN vp "
+            "WHEN tn IS NOT NULL THEN vn ELSE NULL END AS v_interp "
+            "FROM p"
+        )
+        .fetchdf()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert mine["o_orderkey"].tolist() == ref["o_orderkey"].tolist()
+    for c in ("t_prev_us", "t_next_us"):
+        a, b = mine[c], ref[c]
+        assert (a.isna() == b.isna()).all(), c
+        assert a.dropna().astype("int64").tolist() == \
+            b.dropna().astype("int64").tolist(), c
+    for c in ("v_prev", "v_next", "v_interp"):
+        a = mine[c].to_numpy()
+        b = ref[c].to_numpy()
+        assert (np.isnan(a) == np.isnan(b)).all(), c
+        # bit-exact where present: identical IEEE expressions
+        assert (
+            a[~np.isnan(a)].view(np.int64)
+            == b[~np.isnan(b)].view(np.int64)
+        ).all(), c
+    # corpus actually exercised the edge rules
+    assert mine["v_interp"].isna().sum() > 0
+    assert (mine["t_prev_us"] == mine["t_next_us"]).sum() > 0
