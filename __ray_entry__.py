@@ -3067,6 +3067,43 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iterations=3)
 
 
+def _q_orders_in_flight(sf_dir: str):
+    """Interval concurrency (stages/events.interval_concurrency): for
+    every order (active for 7 days from its date), how many orders
+    are in flight at its start instant -- global order statistics via
+    a time-span-bounded bucket histogram + broadcast prefix + one
+    bucket-key shuffle with local searchsorted; no global sort."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        interval_concurrency,
+    )
+
+    week = 7 * 86400 * 1_000_000
+
+    def spans(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = b.column("o_orderdate").cast(pa.int64())
+        return pa.table(
+            {
+                "okey": b.column("o_orderkey").cast(pa.int64()),
+                "s_us": s,
+                "e_us": pc.add(s, pa.scalar(week, pa.int64())),
+            }
+        )
+
+    iv = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    ).map_batches(spans, batch_format="pyarrow")
+    return interval_concurrency(
+        iv, id_col="okey", start_col="s_us", end_col="e_us"
+    )
+
+
 def _q_interp_at_orders(sf_dir: str):
     """Time-series resampling join (stages/events.interp_join): each
     order's customer event value linearly interpolated at the order
@@ -3618,6 +3655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlm_mask": _q_mlm_mask,
         "gini_priority": _q_gini_priority,
         "interp_at_orders": _q_interp_at_orders,
+        "orders_in_flight": _q_orders_in_flight,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -4113,6 +4151,25 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a4.t * 1.0 / a4.n, 0.0) AS top_4gram_frac "
             "FROM documents d LEFT JOIN a2 USING (doc_id) "
             "LEFT JOIN a3 USING (doc_id) LEFT JOIN a4 USING (doc_id)"
+        ),
+        "orders_in_flight": (
+            # n_active(t) = #(starts <= t) - #(ends <= t); RANGE
+            # frames make equal-time boundaries peer-inclusive, the
+            # engine's tie rule (end at t no longer active)
+            "WITH iv AS (SELECT o_orderkey AS okey, "
+            "epoch_us(o_orderdate) AS s, "
+            "epoch_us(o_orderdate) + 604800000000 AS e FROM orders), "
+            "b AS (SELECT okey, s AS t, 1 AS is_start FROM iv "
+            "UNION ALL SELECT okey, e, 0 FROM iv), "
+            "w AS (SELECT okey, t, is_start, "
+            "count(*) FILTER (WHERE is_start = 1) OVER (ORDER BY t "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS c_s, "
+            "count(*) FILTER (WHERE is_start = 0) OVER (ORDER BY t "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS c_e FROM b) "
+            "SELECT okey, CAST(c_s - c_e AS BIGINT) AS n_active "
+            "FROM w WHERE is_start = 1"
         ),
         "interp_at_orders": (
             # bracketing events via correlated subqueries with the

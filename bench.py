@@ -233,6 +233,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "phrase_search",
         "mlm_mask",
         "gini_priority",
+        "interp_at_orders",
+        "orders_in_flight",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

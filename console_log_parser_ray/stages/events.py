@@ -3498,3 +3498,156 @@ def interp_join(
     return both.groupby("jb").map_groups(
         resolve, batch_format="pyarrow"
     )
+
+
+def interval_concurrency(
+    ds,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_us: int = 3600 * 1_000_000,
+    max_buckets: int = 4_000_000,
+):
+    """For every interval, how many intervals of the WHOLE table
+    (itself included) are active at its start instant, under
+    ``active(t) = start <= t < end`` -- the orders-in-flight /
+    concurrent-sessions load profiler.  Pure rank arithmetic, stated
+    so the SQL mirror is exact: ``n_active(t) = #(starts <= t) -
+    #(ends <= t)`` (an interval ending exactly at ``t`` is no longer
+    active; one starting exactly at ``t`` is).
+
+    Scale shape -- global order statistics WITHOUT a global sort:
+    pass A folds per-block partials into a (time-bucket, n_starts,
+    n_ends) histogram BOUNDED BY TIME SPAN / bucket size, independent
+    of row count (guarded by ``max_buckets`` -- the materialized
+    histogram is metadata-counted before collection, the rank-family
+    contract); its exclusive prefix sums broadcast once via
+    ``ray.put``.  Pass B co-locates each bucket's boundary values and
+    probe rows with ONE bucket-key shuffle; inside a bucket two local
+    ``searchsorted`` calls plus the broadcast prefix resolve every
+    probe.  No driver-side per-row work, no global sort.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import _cached_get
+
+    def part_a(b: pa.Table) -> pa.Table:
+        s = b.column(start_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        e = b.column(end_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        tb = np.concatenate(
+            [
+                np.floor_divide(s, np.int64(bucket_us)),
+                np.floor_divide(e, np.int64(bucket_us)),
+            ]
+        )
+        is_s = np.concatenate(
+            [np.ones(len(s), np.int64), np.zeros(len(e), np.int64)]
+        )
+        g = (
+            pa.table(
+                {
+                    "tb": pa.array(tb, pa.int64()),
+                    "ns": pa.array(is_s, pa.int64()),
+                    "ne": pa.array(1 - is_s, pa.int64()),
+                }
+            )
+            .group_by(["tb"])
+            .aggregate([("ns", "sum"), ("ne", "sum")])
+        )
+        return pa.table(
+            {
+                "tb": g.column("tb"),
+                "ns_part": g.column("ns_sum").cast(pa.int64()),
+                "ne_part": g.column("ne_sum").cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(part_a, batch_format="pyarrow")
+        .groupby("tb")
+        .aggregate(Sum("ns_part"), Sum("ne_part"))
+        .materialize()
+    )
+    n_buckets_seen = hist.count()
+    if n_buckets_seen > max_buckets:
+        raise ValueError(
+            f"interval_concurrency: {n_buckets_seen} time buckets "
+            f"exceed max_buckets={max_buckets}; raise bucket_us "
+            "(coarser buckets) or max_buckets"
+        )
+    hp = hist.to_pandas().sort_values("tb")
+    tb_sorted = hp["tb"].to_numpy(dtype="int64")
+    ns = hp["sum(ns_part)"].to_numpy(dtype="int64")
+    ne = hp["sum(ne_part)"].to_numpy(dtype="int64")
+    pre_s = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    pre_e = np.concatenate([[0], np.cumsum(ne)[:-1]])
+    ref = ray.put((tb_sorted, pre_s, pre_e))
+
+    def part_b(b: pa.Table) -> pa.Table:
+        s = b.column(start_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        e = b.column(end_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ids = b.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sb = np.floor_divide(s, np.int64(bucket_us))
+        eb = np.floor_divide(e, np.int64(bucket_us))
+        # kind 1 = start boundary (doubles as the probe row: the
+        # probe instant IS the interval's start), kind 0 = end
+        return pa.table(
+            {
+                "tb": pa.array(np.concatenate([sb, eb]), pa.int64()),
+                "t": pa.array(np.concatenate([s, e]), pa.int64()),
+                "kind": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(len(s), np.int8),
+                            np.zeros(len(e), np.int8),
+                        ]
+                    ),
+                    pa.int8(),
+                ),
+                "pid": pa.array(
+                    np.concatenate([ids, np.zeros(len(e), np.int64)]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def resolve(tbl: pa.Table) -> pa.Table:
+        tb_sorted_, pre_s_, pre_e_ = _cached_get(ref)
+        t = tbl.column("t").to_numpy(zero_copy_only=False)
+        kind = tbl.column("kind").to_numpy(zero_copy_only=False)
+        pid = tbl.column("pid").to_numpy(zero_copy_only=False)
+        tb = int(tbl.column("tb")[0].as_py())
+        bi = int(np.searchsorted(tb_sorted_, tb))
+        starts = np.sort(t[kind == 1])
+        ends = np.sort(t[kind == 0])
+        probe_t = t[kind == 1]
+        c = (
+            pre_s_[bi]
+            + np.searchsorted(starts, probe_t, side="right")
+            - pre_e_[bi]
+            - np.searchsorted(ends, probe_t, side="right")
+        )
+        return pa.table(
+            {
+                id_col: pa.array(pid[kind == 1], pa.int64()),
+                "n_active": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(part_b, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

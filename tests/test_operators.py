@@ -5389,3 +5389,70 @@ def test_interp_join_differential(ray_session):
     # corpus actually exercised the edge rules
     assert mine["v_interp"].isna().sum() > 0
     assert (mine["t_prev_us"] == mine["t_next_us"]).sum() > 0
+
+
+def test_interval_concurrency_differential(ray_session):
+    """interval_concurrency == DuckDB RANGE-frame boundary ranks on
+    random intervals with heavy boundary ties (ends meeting starts at
+    the same instant); negative times exercise floor-division
+    bucketing; the bucket guard trips on a tiny max_buckets."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        interval_concurrency,
+    )
+
+    rng = np.random.default_rng(79)
+    n = 1200
+    s = (rng.integers(-50, 300, n) * 10_000_000).astype(np.int64)
+    dur = (rng.integers(1, 40, n) * 10_000_000).astype(np.int64)
+    tbl = pa.table(
+        {
+            "iid": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "s_us": pa.array(s, pa.int64()),
+            "e_us": pa.array(s + dur, pa.int64()),
+        }
+    )
+    mine = {
+        r["iid"]: r["n_active"]
+        for r in interval_concurrency(
+            ray.data.from_arrow(tbl).repartition(7),
+            id_col="iid",
+            start_col="s_us",
+            end_col="e_us",
+            bucket_us=170_000_000,
+        ).take_all()
+    }
+    con = duckdb.connect()
+    con.register("iv", tbl)
+    ref = dict(
+        con.execute(
+            "WITH b AS (SELECT iid, s_us AS t, 1 AS is_start FROM iv "
+            "UNION ALL SELECT iid, e_us, 0 FROM iv), "
+            "w AS (SELECT iid, t, is_start, "
+            "count(*) FILTER (WHERE is_start = 1) OVER (ORDER BY t "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS c_s, "
+            "count(*) FILTER (WHERE is_start = 0) OVER (ORDER BY t "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS c_e FROM b) "
+            "SELECT iid, CAST(c_s - c_e AS BIGINT) FROM w "
+            "WHERE is_start = 1"
+        ).fetchall()
+    )
+    assert mine == ref
+    assert max(mine.values()) > 3  # overlaps actually occurred
+    with pytest.raises(ValueError, match="max_buckets"):
+        interval_concurrency(
+            ray.data.from_arrow(tbl),
+            id_col="iid",
+            start_col="s_us",
+            end_col="e_us",
+            bucket_us=1,
+            max_buckets=10,
+        )
