@@ -4933,6 +4933,13 @@ def test_triangle_counts_differential(ray_session):
         r["node"]: r["n_tri"]
         for r in triangle_counts(edges, n_buckets=16).take_all()
     }
+    # forced semi-join fallback (above-cap path) must agree
+    mine_t2 = {
+        r["node"]: r["n_tri"]
+        for r in triangle_counts(
+            edges, n_buckets=16, max_broadcast_edges=0
+        ).take_all()
+    }
     ref_t = dict(
         con.execute(
             "WITH e AS (SELECT DISTINCT m1.item AS a, m2.item AS b "
@@ -4947,6 +4954,7 @@ def test_triangle_counts_differential(ray_session):
         ).fetchall()
     )
     assert mine_t == ref_t
+    assert mine_t2 == ref_t
     assert sum(mine_t.values()) % 3 == 0 and sum(mine_t.values()) > 0
 
 
