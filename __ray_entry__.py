@@ -3219,6 +3219,54 @@ def _q_price_band_pairs(sf_dir: str):
     )
 
 
+def _q_khop_parts(sf_dir: str):
+    """Bounded-depth BFS (stages/graph.khop_reach): minimum hop count
+    to every part within 2 hops of the seed parts (partkey % 97 == 0)
+    over the 1998+ co-purchase graph -- broadcast-frontier expansion,
+    one edge scan per hop, zero shuffles after the edge build."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from console_log_parser_ray.stages.graph import (
+        cooccur_pair_edges,
+        khop_reach,
+    )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_shipdate"],
+    )
+    cutoff = pa.scalar(883612800000000, pa.int64())  # 1998-01-01 UTC us
+
+    def recent(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            b.column("l_shipdate").cast(pa.int64()), cutoff
+        )
+        return b.filter(keep).select(["l_orderkey", "l_partkey"])
+
+    recent_li = li.map_batches(recent, batch_format="pyarrow")
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").cast(pa.int64())
+        import numpy as np
+
+        v = pk.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": pa.array(np.unique(v[v % 97 == 0]), pa.int64())}
+        )
+
+    seeds = (
+        recent_li.map_batches(seed_partial, batch_format="pyarrow")
+        .to_pandas()["node"]
+        .unique()
+        .tolist()
+    )
+    edges = cooccur_pair_edges(recent_li, "l_orderkey", "l_partkey")
+    return khop_reach(edges, seeds, k=2)
+
+
 def _q_decay_score(sf_dir: str):
     """Recency-decayed engagement score (stages/events.decay_score):
     per user, values halve once per elapsed day before 2024-02-01 --
@@ -3656,6 +3704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_priority": _q_gini_priority,
         "interp_at_orders": _q_interp_at_orders,
         "orders_in_flight": _q_orders_in_flight,
+        "khop_parts": _q_khop_parts,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -4151,6 +4200,27 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a4.t * 1.0 / a4.n, 0.0) AS top_4gram_frac "
             "FROM documents d LEFT JOIN a2 USING (doc_id) "
             "LEFT JOIN a3 USING (doc_id) LEFT JOIN a4 USING (doc_id)"
+        ),
+        "khop_parts": (
+            # recursive CTE with UNION (set) semantics bounds rows by
+            # nodes x hops; min(hop) = BFS level, matching the
+            # broadcast-frontier engine exactly
+            "WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey "
+            "  FROM lineitem "
+            "  WHERE l_shipdate >= TIMESTAMP '1998-01-01'), "
+            "e AS (SELECT DISTINCT l1.l_partkey AS a, "
+            "  l2.l_partkey AS b FROM li l1 JOIN li l2 "
+            "  ON l1.l_orderkey = l2.l_orderkey "
+            "  AND l1.l_partkey < l2.l_partkey), "
+            "sym AS (SELECT a, b FROM e "
+            "  UNION ALL SELECT b, a FROM e), "
+            "seeds AS (SELECT DISTINCT l_partkey AS node FROM li "
+            "  WHERE l_partkey % 97 = 0), "
+            "r(node, hop) AS (SELECT node, 0 FROM seeds "
+            "  UNION SELECT sym.b, r.hop + 1 FROM r "
+            "  JOIN sym ON sym.a = r.node WHERE r.hop < 2) "
+            "SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM r "
+            "GROUP BY node"
         ),
         "orders_in_flight": (
             # n_active(t) = #(starts <= t) - #(ends <= t); RANGE

@@ -235,6 +235,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "gini_priority",
         "interp_at_orders",
         "orders_in_flight",
+        "khop_parts",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -525,3 +525,94 @@ def triangle_counts(
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def khop_reach(
+    edges,
+    seeds,
+    k: int = 3,
+    max_nodes: int = 5_000_000,
+):
+    """Minimum-hop labels for every node within ``k`` hops of a seed
+    set over an undirected DISTINCT edge table ``(a, b)`` -- the
+    bounded-depth BFS of graph exploration (crawl frontier expansion,
+    blast-radius analysis).  Output: one ``(node, hop)`` row per
+    reached node (seeds at hop 0), ``hop`` = the minimum hop count.
+
+    Scale shape: broadcast-frontier BFS (the PageRank partial-fold
+    recipe).  The edge table MATERIALIZES once and is scanned once
+    per hop; the frontier/visited sets are bounded by NODE count
+    (guarded by ``max_nodes``), broadcast per hop via ``ray.put``
+    (sorted int64 arrays); each scan emits per-block DISTINCT new
+    neighbors only, so the driver fold per hop is bounded by new
+    nodes, never edges.  k passes, zero shuffles.
+    """
+    import ray
+
+    from .dedup import _cached_get
+
+    edges = edges.materialize()
+    visited = np.unique(np.asarray(sorted(seeds), dtype=np.int64))
+    if len(visited) == 0:
+        return pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "hop": pa.array([], pa.int64()),
+            }
+        )
+    out_nodes = [visited]
+    out_hops = [np.zeros(len(visited), dtype=np.int64)]
+    frontier = visited
+    for hop in range(1, k + 1):
+        if len(frontier) == 0:
+            break
+        ref = ray.put((frontier, visited))
+
+        def expand(b: pa.Table) -> pa.Table:
+            fr, vis = _cached_get(ref)
+            a = b.column("a").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            bb = b.column("b").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            hits = np.concatenate(
+                [
+                    bb[_sorted_member(a, fr)],
+                    a[_sorted_member(bb, fr)],
+                ]
+            )
+            hits = np.unique(hits)
+            hits = hits[~_sorted_member(hits, vis)]
+            return pa.table({"n": pa.array(hits, pa.int64())})
+
+        new = edges.map_batches(
+            expand, batch_format="pyarrow"
+        ).to_pandas()
+        frontier = np.unique(new["n"].to_numpy(dtype="int64"))
+        if len(frontier) == 0:
+            break
+        visited = np.union1d(visited, frontier)
+        if len(visited) > max_nodes:
+            raise ValueError(
+                f"khop_reach: visited set {len(visited)} exceeds "
+                f"max_nodes={max_nodes}"
+            )
+        out_nodes.append(frontier)
+        out_hops.append(np.full(len(frontier), hop, dtype=np.int64))
+    return pa.table(
+        {
+            "node": pa.array(np.concatenate(out_nodes), pa.int64()),
+            "hop": pa.array(np.concatenate(out_hops), pa.int64()),
+        }
+    )
+
+
+def _sorted_member(values, sorted_arr):
+    """Boolean membership of ``values`` in a SORTED int64 array --
+    one searchsorted, no hash set."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(values), dtype=bool)
+    pos = np.searchsorted(sorted_arr, values)
+    pos = np.minimum(pos, len(sorted_arr) - 1)
+    return sorted_arr[pos] == values

@@ -5464,3 +5464,58 @@ def test_interval_concurrency_differential(ray_session):
             bucket_us=1,
             max_buckets=10,
         )
+
+
+def test_khop_reach_differential(ray_session):
+    """khop_reach == DuckDB recursive-CTE min-hop BFS on a random
+    sparse graph; isolated seeds stay at hop 0, empty seeds yield an
+    empty table."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.graph import khop_reach
+
+    rng = np.random.default_rng(83)
+    n_nodes, n_edges = 400, 900
+    a = rng.integers(0, n_nodes, n_edges)
+    b = rng.integers(0, n_nodes, n_edges)
+    m = a < b
+    e = np.unique(np.stack([a[m], b[m]], axis=1), axis=0)
+    tbl = pa.table(
+        {
+            "a": pa.array(e[:, 0], pa.int64()),
+            "b": pa.array(e[:, 1], pa.int64()),
+        }
+    )
+    # 999 is isolated (no edges touch it): stays a hop-0 row
+    seeds = [0, 7, 13, 999]
+    mine = khop_reach(
+        ray.data.from_arrow(tbl).repartition(5), seeds, k=3
+    )
+    md = dict(
+        zip(
+            mine.column("node").to_pylist(),
+            mine.column("hop").to_pylist(),
+        )
+    )
+    con = duckdb.connect()
+    con.register("e", tbl)
+    ref = dict(
+        con.execute(
+            "WITH RECURSIVE sym AS (SELECT a, b FROM e "
+            "UNION ALL SELECT b, a FROM e), "
+            "r(node, hop) AS ("
+            "SELECT unnest([0,7,13,999]::BIGINT[]), 0 "
+            "UNION SELECT sym.b, r.hop + 1 FROM r "
+            "JOIN sym ON sym.a = r.node WHERE r.hop < 3) "
+            "SELECT node, CAST(min(hop) AS BIGINT) FROM r "
+            "GROUP BY node"
+        ).fetchall()
+    )
+    assert md == ref
+    assert md[999] == 0 and max(md.values()) == 3
+    empty = khop_reach(ray.data.from_arrow(tbl), [], k=3)
+    assert empty.num_rows == 0
