@@ -10,7 +10,7 @@ seed-dependent edge cases without growing the pytest wall time.
 
 Usage: python tools/seed_sweep.py [seed ...]   (defaults to 10 seeds)
 
-Exit 0 = every comparison equal.  Each seed covers 119 comparison groups:
+Exit 0 = every comparison equal.  Each seed covers 125 comparison groups:
   - event_gaps / running totals / rolling sums / global row_number +
     ntile / transition counts   (window family)
   - distinct-count per group / HLL approx-distinct (bit-exact mirror) /
@@ -65,6 +65,9 @@ Exit 0 = every comparison equal.  Each seed covers 119 comparison groups:
     islands / decayed engagement scores (bit-exact division) /
     numeric band self-join (negatives) / co-occurrence triangle
     counts               (round-4b log-pipeline + graph family)
+  - per-group Gini / phrase search / MLM masking (md5 PRF) /
+    interpolation join (bit-exact lerp) / interval concurrency /
+    k-hop BFS min-hop     (round-4c resample + graph family)
 """
 
 import os
@@ -3437,6 +3440,281 @@ def log_pipeline_family(seed):
         print(f"FAIL triangle_counts seed={seed}", flush=True)
 
 
+def resample_graph_family(seed):
+    """Round-4c operators vs DuckDB on fresh random inputs: per-group
+    Gini, phrase search, MLM masking, interpolation join, interval
+    concurrency, k-hop BFS."""
+    rng = np.random.default_rng(seed + 101)
+
+    from console_log_parser_ray.stages.events import (
+        gini_by_group,
+        interp_join,
+        interval_concurrency,
+    )
+    from console_log_parser_ray.stages.graph import khop_reach
+    from console_log_parser_ray.stages.textan import (
+        mlm_mask,
+        phrase_search,
+    )
+
+    con = duckdb.connect()
+
+    # --- Gini on tie-heavy groups
+    n = 1500
+    gt = pa.table(
+        {
+            "g": pa.array(
+                list(rng.choice(["a", "b", "c", "d"], n)), pa.string()
+            ),
+            "value": pa.array(
+                np.floor(rng.uniform(0, 200, n) * 100) / 100.0,
+                pa.float64(),
+            ),
+        }
+    )
+    con.register("gt", gt)
+    mine = gini_by_group(
+        ray.data.from_arrow(gt).repartition(6), "g", "value",
+        n_buckets=8,
+    ).to_pandas()
+    ref = con.execute(
+        "WITH c AS (SELECT g, CAST(floor(value * 100) AS BIGINT) "
+        "AS v FROM gt), "
+        "r AS (SELECT g, v, row_number() OVER (PARTITION BY g "
+        "ORDER BY v) AS i FROM c), "
+        "a AS (SELECT g, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(v) AS BIGINT) AS s, "
+        "CAST(sum(i * v) AS BIGINT) AS iv FROM r GROUP BY g) "
+        "SELECT g, n, s AS sum_q, 2 * iv - (n + 1) * s AS gini_num, "
+        "n * s AS gini_den, (2 * iv - (n + 1) * s) / (1.0 * n * s) "
+        "AS gini FROM a"
+    ).fetchdf()
+    check(
+        "gini_by_group", seed, mine, ref,
+        ["g"], ["n", "sum_q", "gini_num", "gini_den", "gini"],
+    )
+
+    # --- phrase search + MLM mask on a random tiny-vocab corpus
+    vocab = np.array(["p", "q", "r", "s"])
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 20)))
+        for _ in range(120)
+    ]
+    texts[0], texts[1] = "", None
+    dt = pa.table(
+        {
+            "doc_id": pa.array(np.arange(120, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    con.register("documents", dt)
+    mine_p = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_search(
+            ray.data.from_arrow(dt).repartition(6), "p q"
+        ).take_all()
+    }
+    ref_p = dict(
+        con.execute(
+            "WITH t AS (SELECT doc_id, regexp_extract_all("
+            "coalesce(text, ''), '\\S+') AS tk FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, len(tk) - 1), "
+            "i -> concat_ws(' ', tk[i], tk[i+1]))) AS gram FROM t "
+            "WHERE len(tk) >= 2) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) FROM g "
+            "WHERE gram = 'p q' GROUP BY doc_id"
+        ).fetchall()
+    )
+    if mine_p != ref_p:
+        failures.append(("phrase_search", seed))
+        print(f"FAIL phrase_search seed={seed}", flush=True)
+
+    rate = int(rng.integers(5, 60))
+    mine = mlm_mask(
+        ray.data.from_arrow(dt).repartition(6), rate_pct=rate
+    ).to_pandas()
+    ref = con.execute(
+        "WITH t AS (SELECT doc_id, regexp_extract_all("
+        "coalesce(text, ''), '\\S+') AS tk FROM documents), "
+        "tok AS (SELECT doc_id, unnest(tk) AS tok, "
+        "unnest(generate_series(1, len(tk))) AS j FROM t), "
+        "m AS (SELECT doc_id, j, tok, "
+        "('0x' || substr(md5(doc_id || ':' || j), 1, 8))::BIGINT "
+        f"% 100 < {rate} AS is_m FROM tok), "
+        "agg AS (SELECT doc_id, "
+        "string_agg(CASE WHEN is_m THEN '<MASK>' ELSE tok END, ' ' "
+        "ORDER BY j) AS corrupted, "
+        "coalesce(string_agg(CASE WHEN is_m THEN tok END, '|' "
+        "ORDER BY j), '') AS labels, "
+        "CAST(count(*) FILTER (WHERE is_m) AS BIGINT) AS n_masked "
+        "FROM m GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(a.corrupted, '') AS corrupted, "
+        "coalesce(a.labels, '') AS labels, "
+        "CAST(coalesce(a.n_masked, 0) AS BIGINT) AS n_masked "
+        "FROM documents d LEFT JOIN agg a USING (doc_id)"
+    ).fetchdf()
+    check(
+        "mlm_mask", seed, mine, ref,
+        ["doc_id"], ["corrupted", "labels", "n_masked"],
+    )
+
+    # --- interpolation join with ties and event-less users
+    ne, nq, nu = 1500, 400, 40
+    ev = pa.table(
+        {
+            "user_id": pa.array(
+                rng.integers(1, nu + 1, ne).astype(np.int64)
+            ),
+            "ts": pa.array(
+                rng.integers(0, 25, ne).astype(np.int64)
+                * 1_000_000_000,
+                pa.timestamp("us"),
+            ),
+            "value": pa.array(
+                np.floor(rng.uniform(-30, 30, ne) * 100) / 100.0,
+                pa.float64(),
+            ),
+            "event_id": pa.array(
+                np.arange(1, ne + 1, dtype=np.int64)
+            ),
+        }
+    )
+    q = pa.table(
+        {
+            "o_orderkey": pa.array(
+                np.arange(1, nq + 1, dtype=np.int64)
+            ),
+            "o_custkey": pa.array(
+                rng.integers(1, nu + 9, nq).astype(np.int64)
+            ),
+            "o_orderdate": pa.array(
+                rng.integers(-2, 27 * 10**9, nq).astype(np.int64),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    con.register("events", ev)
+    con.register("orders", q)
+    mine = interp_join(
+        ray.data.from_arrow(q).repartition(4),
+        ray.data.from_arrow(ev).repartition(6),
+        n_buckets=8,
+    ).to_pandas()
+    ref = con.execute(
+        "WITH p AS (SELECT o.o_orderkey, "
+        "epoch_us(o.o_orderdate) AS tq, "
+        "(SELECT epoch_us(e.ts) FROM events e WHERE e.user_id = "
+        "o.o_custkey AND e.ts <= o.o_orderdate ORDER BY e.ts DESC, "
+        "e.event_id DESC LIMIT 1) AS tp, "
+        "(SELECT e.value FROM events e WHERE e.user_id = "
+        "o.o_custkey AND e.ts <= o.o_orderdate ORDER BY e.ts DESC, "
+        "e.event_id DESC LIMIT 1) AS vp, "
+        "(SELECT epoch_us(e.ts) FROM events e WHERE e.user_id = "
+        "o.o_custkey AND e.ts >= o.o_orderdate ORDER BY e.ts ASC, "
+        "e.event_id ASC LIMIT 1) AS tn, "
+        "(SELECT e.value FROM events e WHERE e.user_id = "
+        "o.o_custkey AND e.ts >= o.o_orderdate ORDER BY e.ts ASC, "
+        "e.event_id ASC LIMIT 1) AS vn FROM orders o) "
+        "SELECT o_orderkey, tp AS t_prev_us, vp AS v_prev, "
+        "tn AS t_next_us, vn AS v_next, "
+        "CASE WHEN tp IS NOT NULL AND tn IS NOT NULL AND tp <> tn "
+        "THEN vp + (vn - vp) * (CAST(tq - tp AS DOUBLE) / "
+        "CAST(tn - tp AS DOUBLE)) "
+        "WHEN tp IS NOT NULL THEN vp "
+        "WHEN tn IS NOT NULL THEN vn ELSE NULL END AS v_interp "
+        "FROM p"
+    ).fetchdf()
+    check(
+        "interp_join", seed, mine, ref,
+        ["o_orderkey"],
+        ["t_prev_us", "v_prev", "t_next_us", "v_next", "v_interp"],
+    )
+
+    # --- interval concurrency with boundary ties
+    ni = 800
+    s = (rng.integers(-40, 200, ni) * 10_000_000).astype(np.int64)
+    d = (rng.integers(1, 30, ni) * 10_000_000).astype(np.int64)
+    iv = pa.table(
+        {
+            "iid": pa.array(np.arange(1, ni + 1, dtype=np.int64)),
+            "s_us": pa.array(s, pa.int64()),
+            "e_us": pa.array(s + d, pa.int64()),
+        }
+    )
+    con.register("iv", iv)
+    mine_c = {
+        r["iid"]: r["n_active"]
+        for r in interval_concurrency(
+            ray.data.from_arrow(iv).repartition(5),
+            id_col="iid",
+            start_col="s_us",
+            end_col="e_us",
+            bucket_us=int(rng.integers(3, 40)) * 10_000_000,
+        ).take_all()
+    }
+    ref_c = dict(
+        con.execute(
+            "WITH b AS (SELECT iid, s_us AS t, 1 AS is_start FROM iv "
+            "UNION ALL SELECT iid, e_us, 0 FROM iv), "
+            "w AS (SELECT iid, t, is_start, "
+            "count(*) FILTER (WHERE is_start = 1) OVER (ORDER BY t "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS c_s, "
+            "count(*) FILTER (WHERE is_start = 0) OVER (ORDER BY t "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS c_e FROM b) "
+            "SELECT iid, CAST(c_s - c_e AS BIGINT) FROM w "
+            "WHERE is_start = 1"
+        ).fetchall()
+    )
+    if mine_c != ref_c:
+        failures.append(("interval_concurrency", seed))
+        print(f"FAIL interval_concurrency seed={seed}", flush=True)
+
+    # --- k-hop BFS on a random sparse graph
+    a = rng.integers(0, 300, 700)
+    b_ = rng.integers(0, 300, 700)
+    m = a < b_
+    e = np.unique(np.stack([a[m], b_[m]], axis=1), axis=0)
+    et = pa.table(
+        {
+            "a": pa.array(e[:, 0], pa.int64()),
+            "b": pa.array(e[:, 1], pa.int64()),
+        }
+    )
+    con.register("e", et)
+    seeds_k = sorted(
+        int(x) for x in rng.choice(300, 3, replace=False)
+    )
+    kk = int(rng.integers(1, 4))
+    mine_t = khop_reach(
+        ray.data.from_arrow(et).repartition(5), seeds_k, k=kk
+    )
+    md = dict(
+        zip(
+            mine_t.column("node").to_pylist(),
+            mine_t.column("hop").to_pylist(),
+        )
+    )
+    seed_list = ",".join(str(x) for x in seeds_k)
+    ref_t = dict(
+        con.execute(
+            "WITH RECURSIVE sym AS (SELECT a, b FROM e "
+            "UNION ALL SELECT b, a FROM e), "
+            "r(node, hop) AS ("
+            f"SELECT unnest([{seed_list}]::BIGINT[]), 0 "
+            "UNION SELECT sym.b, r.hop + 1 FROM r "
+            f"JOIN sym ON sym.a = r.node WHERE r.hop < {kk}) "
+            "SELECT node, CAST(min(hop) AS BIGINT) FROM r "
+            "GROUP BY node"
+        ).fetchall()
+    )
+    if md != ref_t:
+        failures.append(("khop_reach", seed))
+        print(f"FAIL khop_reach seed={seed}", flush=True)
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -3460,10 +3738,11 @@ def main():
         nearest_mi_family(seed)
         funnel_steps_family(seed)
         log_pipeline_family(seed)
+        resample_graph_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(119 comparison groups per seed)"
+        "(125 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
