@@ -3219,6 +3219,59 @@ def _q_price_band_pairs(sf_dir: str):
     )
 
 
+def _q_melt_lineitem(sf_dir: str):
+    """Unpivot / melt (stages/relational.melt): lineitem's four
+    numeric measures reshaped wide -> long, one row per (line,
+    measure) -- stateless per-batch concat of per-column projections,
+    no shuffle."""
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import melt
+
+    return melt(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=[
+                "l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax",
+            ],
+        ),
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=[
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+        ],
+    )
+
+
+def _q_dq_orders(sf_dir: str):
+    """Declarative data-quality gate (stages/profile.constraint_report):
+    null / positivity / uniqueness / referential-integrity violation
+    counts over orders -- row checks as per-block predicate sums,
+    uniqueness and FK through value-hash bucket dedup (no broadcast,
+    no driver collect)."""
+    import ray.data
+
+    from console_log_parser_ray.stages.profile import constraint_report
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+        ],
+    )
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey"],
+    )
+    return constraint_report(
+        orders,
+        not_null=("o_orderdate",),
+        positive=("o_totalprice",),
+        unique=("o_orderkey",),
+        fk=(("o_custkey", cust, "c_custkey"),),
+    )
+
+
 def _q_khop_parts(sf_dir: str):
     """Bounded-depth BFS (stages/graph.khop_reach): minimum hop count
     to every part within 2 hops of the seed parts (partkey % 97 == 0)
@@ -3705,6 +3758,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interp_at_orders": _q_interp_at_orders,
         "orders_in_flight": _q_orders_in_flight,
         "khop_parts": _q_khop_parts,
+        "melt_lineitem": _q_melt_lineitem,
+        "dq_orders": _q_dq_orders,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -4200,6 +4255,34 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a4.t * 1.0 / a4.n, 0.0) AS top_4gram_frac "
             "FROM documents d LEFT JOIN a2 USING (doc_id) "
             "LEFT JOIN a3 USING (doc_id) LEFT JOIN a4 USING (doc_id)"
+        ),
+        "melt_lineitem": (
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS "
+            "variable, CAST(l_quantity AS DOUBLE) AS value "
+            "FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, "
+            "'l_extendedprice', CAST(l_extendedprice AS DOUBLE) "
+            "FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, "
+            "'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, "
+            "'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem"
+        ),
+        "dq_orders": (
+            "SELECT 'fk:o_custkey' AS \"constraint\", "
+            "CAST(count(*) FILTER (WHERE o_custkey IS NOT NULL AND "
+            "o_custkey NOT IN (SELECT c_custkey FROM customer "
+            "WHERE c_custkey IS NOT NULL)) AS BIGINT) "
+            "AS n_violations FROM orders "
+            "UNION ALL SELECT 'not_null:o_orderdate', "
+            "CAST(count(*) FILTER (WHERE o_orderdate IS NULL) "
+            "AS BIGINT) FROM orders "
+            "UNION ALL SELECT 'positive:o_totalprice', "
+            "CAST(count(*) FILTER (WHERE o_totalprice IS NULL OR "
+            "o_totalprice <= 0) AS BIGINT) FROM orders "
+            "UNION ALL SELECT 'unique:o_orderkey', "
+            "CAST(count(o_orderkey) - count(DISTINCT o_orderkey) "
+            "AS BIGINT) FROM orders ORDER BY 1"
         ),
         "khop_parts": (
             # recursive CTE with UNION (set) semantics bounds rows by

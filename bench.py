@@ -236,6 +236,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "interp_at_orders",
         "orders_in_flight",
         "khop_parts",
+        "melt_lineitem",
+        "dq_orders",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -110,3 +110,209 @@ def profile_table(ds, columns: list[str] | None = None, n_buckets: int = 64):
         out["n_distinct"].fillna(0).astype("int64")
     )  # an all-null column never reaches the distinct pass
     return out.sort_values("col_name").reset_index(drop=True)
+
+
+def constraint_report(
+    ds,
+    not_null: tuple = (),
+    positive: tuple = (),
+    unique: tuple = (),
+    fk: tuple = (),
+    n_buckets: int = 64,
+):
+    """Declarative data-quality gate: evaluate constraint specs over a
+    table and return ``(constraint, n_violations)`` -- the contract
+    check a pipeline runs before promoting a new drop.  Constraint
+    kinds and their exact SQL meanings:
+
+    - ``not_null``: column names; violation = NULL value.
+    - ``positive``: column names; violation = NULL or ``value <= 0``.
+    - ``unique``: column names; violations = ``count(col) -
+      count(DISTINCT col)`` (null rows are not counted -- SQL
+      ``count(DISTINCT)`` semantics).
+    - ``fk``: ``(col, ref_ds, ref_col)`` triples; violation = a
+      non-null value absent from the reference column.
+
+    Scale shape: row-level checks are per-block vectorized predicate
+    sums (one partial row per constraint per block, one tiny groupby).
+    ``unique`` reuses the value-hash bucket dedup of
+    ``profile_table`` (repeated values never leave their block).
+    ``fk`` runs the per-block DISTINCT values of the child column
+    through a value-hash bucket groupby against the reference side's
+    distinct values (both sides bucket on the same hash, missing keys
+    weighted by their child occurrence counts) -- no broadcast, no
+    driver collect.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .events import _bucket31
+
+    parts = []
+
+    row_checks = [("not_null:" + c, c, "null") for c in not_null]
+    row_checks += [("positive:" + c, c, "pos") for c in positive]
+    if row_checks:
+
+        def row_partials(b: pa.Table) -> pa.Table:
+            names, viol = [], []
+            for label, c, kind in row_checks:
+                col = b.column(c)
+                if kind == "null":
+                    n = col.null_count
+                else:
+                    n = col.null_count + pc.sum(
+                        pc.if_else(
+                            pc.less_equal(
+                                pc.fill_null(
+                                    col.cast(pa.float64()), 1.0
+                                ),
+                                0.0,
+                            ),
+                            1,
+                            0,
+                        )
+                    ).as_py()
+                names.append(label)
+                viol.append(int(n))
+            return pa.table(
+                {
+                    "constraint": pa.array(names, pa.string()),
+                    "v_part": pa.array(viol, pa.int64()),
+                }
+            )
+
+        parts.append(
+            ds.map_batches(row_partials, batch_format="pyarrow")
+            .groupby("constraint")
+            .aggregate(Sum("v_part"))
+            .to_pandas()
+            .rename(columns={"sum(v_part)": "n_violations"})
+        )
+
+    for c in unique:
+
+        def mk_unique(col):
+            def partial(b: pa.Table) -> pa.Table:
+                v = b.column(col).combine_chunks().drop_null()
+                g = (
+                    pa.table({"v": v.cast(pa.int64())})
+                    .group_by(["v"])
+                    .aggregate([([], "count_all")])
+                )
+                return pa.table(
+                    {
+                        "vb": _bucket31(g.column("v"), n_buckets),
+                        "v": g.column("v"),
+                        "n": g.column("count_all").cast(pa.int64()),
+                    }
+                )
+
+            def per_bucket(tbl: pa.Table) -> pa.Table:
+                g = tbl.group_by(["v"]).aggregate([("n", "sum")])
+                dup = pc.sum(
+                    pc.subtract(
+                        g.column("n_sum"),
+                        pa.scalar(1, pa.int64()),
+                    )
+                ).as_py()
+                return pa.table(
+                    {"d_part": pa.array([int(dup or 0)], pa.int64())}
+                )
+
+            return partial, per_bucket
+
+        pfn, bfn = mk_unique(c)
+        dups = (
+            ds.map_batches(pfn, batch_format="pyarrow")
+            .groupby("vb")
+            .map_groups(bfn, batch_format="pyarrow")
+            .sum("d_part")
+        )
+        parts.append(
+            pd.DataFrame(
+                {
+                    "constraint": ["unique:" + c],
+                    "n_violations": [int(dups or 0)],
+                }
+            )
+        )
+
+    for c, ref_ds, ref_c in fk:
+
+        def mk_fk(col, rcol):
+            def child_partial(b: pa.Table) -> pa.Table:
+                v = b.column(col).combine_chunks().drop_null()
+                g = (
+                    pa.table({"v": v.cast(pa.int64())})
+                    .group_by(["v"])
+                    .aggregate([([], "count_all")])
+                )
+                return pa.table(
+                    {
+                        "vb": _bucket31(g.column("v"), n_buckets),
+                        "v": g.column("v"),
+                        "n": g.column("count_all").cast(pa.int64()),
+                        "is_ref": pa.array(
+                            np.zeros(g.num_rows, dtype=bool)
+                        ),
+                    }
+                )
+
+            def ref_partial(b: pa.Table) -> pa.Table:
+                v = (
+                    b.column(rcol)
+                    .combine_chunks()
+                    .drop_null()
+                    .unique()
+                )
+                return pa.table(
+                    {
+                        "vb": _bucket31(
+                            v.cast(pa.int64()), n_buckets
+                        ),
+                        "v": v.cast(pa.int64()),
+                        "n": pa.array(
+                            np.zeros(len(v), dtype=np.int64)
+                        ),
+                        "is_ref": pa.array(
+                            np.ones(len(v), dtype=bool)
+                        ),
+                    }
+                )
+
+            def per_bucket(tbl: pa.Table) -> pa.Table:
+                df = tbl.select(["v", "n", "is_ref"]).to_pandas()
+                ref_vals = set(df.loc[df["is_ref"], "v"])
+                child = df[~df["is_ref"]]
+                missing = child[~child["v"].isin(ref_vals)]
+                return pa.table(
+                    {
+                        "d_part": pa.array(
+                            [int(missing["n"].sum())], pa.int64()
+                        )
+                    }
+                )
+
+            return child_partial, ref_partial, per_bucket
+
+        cfn, rfn, bfn = mk_fk(c, ref_c)
+        miss = (
+            ds.map_batches(cfn, batch_format="pyarrow")
+            .union(ref_ds.map_batches(rfn, batch_format="pyarrow"))
+            .groupby("vb")
+            .map_groups(bfn, batch_format="pyarrow")
+            .sum("d_part")
+        )
+        parts.append(
+            pd.DataFrame(
+                {
+                    "constraint": ["fk:" + c],
+                    "n_violations": [int(miss or 0)],
+                }
+            )
+        )
+
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values("constraint").reset_index(drop=True)

@@ -1806,3 +1806,34 @@ def band_join(
         )
 
     return j.map_batches(close, batch_format="pyarrow")
+
+
+def melt(
+    ds,
+    id_cols: list,
+    value_cols: list,
+    var_col: str = "variable",
+    val_col: str = "value",
+):
+    """Unpivot (wide -> long): one output row per input row per value
+    column, carrying the id columns, the source column's name and its
+    value cast to float64 (numeric melt -- the reshape every metrics
+    store and plotting layer wants).  Column order and the cast are
+    stated so DuckDB's UNPIVOT mirrors exactly.
+
+    Scale shape: stateless ``map_batches`` -- per batch one
+    ``pa.concat_tables`` over per-column projections (zero-copy id
+    columns, one cast per value column); no shuffle, output streams
+    at ``len(value_cols)`` x input rows.
+    """
+
+    def fn(b: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {ic: b.column(ic) for ic in id_cols}
+            cols[var_col] = pa.array([c] * len(b), pa.string())
+            cols[val_col] = b.column(c).cast(pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

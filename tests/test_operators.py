@@ -5519,3 +5519,105 @@ def test_khop_reach_differential(ray_session):
     assert md[999] == 0 and max(md.values()) == 3
     empty = khop_reach(ray.data.from_arrow(tbl), [], k=3)
     assert empty.num_rows == 0
+
+
+def test_melt_differential(ray_session):
+    """melt == DuckDB UNION ALL unpivot on a random wide table with
+    nulls (null measures melt to null values)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import melt
+
+    rng = np.random.default_rng(89)
+    n = 300
+    m1 = rng.uniform(0, 10, n)
+    m2 = rng.uniform(-5, 5, n)
+    m1[rng.random(n) < 0.1] = np.nan
+    tbl = pa.table(
+        {
+            "rid": pa.array(np.arange(n, dtype=np.int64)),
+            "m1": pa.array(m1, pa.float64()),
+            "m2": pa.array(m2, pa.float64()),
+        }
+    )
+    mine = (
+        melt(
+            ray.data.from_arrow(tbl).repartition(5),
+            id_cols=["rid"],
+            value_cols=["m1", "m2"],
+        )
+        .to_pandas()
+        .sort_values(["rid", "variable"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    ref = (
+        con.execute(
+            "SELECT rid, 'm1' AS variable, m1 AS value FROM t "
+            "UNION ALL SELECT rid, 'm2', m2 FROM t"
+        )
+        .fetchdf()
+        .sort_values(["rid", "variable"])
+        .reset_index(drop=True)
+    )
+    assert mine["rid"].tolist() == ref["rid"].tolist()
+    assert mine["variable"].tolist() == ref["variable"].tolist()
+    a, b = mine["value"].to_numpy(), ref["value"].to_numpy()
+    assert (np.isnan(a) == np.isnan(b)).all()
+    assert (a[~np.isnan(a)] == b[~np.isnan(b)]).all()
+
+
+def test_constraint_report_planted(ray_session):
+    """constraint_report counts exactly the planted violations: nulls,
+    non-positives, duplicate keys and dangling foreign keys."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.profile import constraint_report
+
+    n = 500
+    rng = np.random.default_rng(97)
+    key = np.arange(1, n + 1, dtype=np.int64)
+    key[10] = key[11] = 7777  # 2 extra copies of one key -> wait: two rows share 7777
+    key[20] = 7777            # third copy
+    price = rng.uniform(1, 100, n)
+    price[[3, 4]] = 0.0
+    price[5] = -2.5
+    price_arr = pa.array(price, pa.float64())
+    price_arr = pa.array(
+        [None if i == 6 else float(price[i]) for i in range(n)],
+        pa.float64(),
+    )
+    date = pa.array(
+        [None if i in (1, 2) else 1000 + i for i in range(n)],
+        pa.int64(),
+    )
+    cust_np = rng.integers(1, 40, n).astype(np.int64)
+    cust_np[[30, 31, 32]] = 9999
+    cust = pa.array(cust_np, pa.int64())
+    t = pa.table(
+        {"k": pa.array(key), "d": date, "p": price_arr, "c": cust}
+    )
+    ref_t = pa.table(
+        {"rk": pa.array(np.arange(1, 40, dtype=np.int64))}
+    )
+    out = constraint_report(
+        ray.data.from_arrow(t).repartition(7),
+        not_null=("d",),
+        positive=("p",),
+        unique=("k",),
+        fk=(("c", ray.data.from_arrow(ref_t), "rk"),),
+        n_buckets=16,
+    )
+    got = dict(zip(out["constraint"], out["n_violations"]))
+    assert got["not_null:d"] == 2
+    assert got["positive:p"] == 4  # two zeros, one negative, one null
+    assert got["unique:k"] == 2  # three copies of 7777 -> 2 extras
+    assert got["fk:c"] == 3
