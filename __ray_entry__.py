@@ -3219,6 +3219,37 @@ def _q_price_band_pairs(sf_dir: str):
     )
 
 
+def _q_session_entry_exit(sf_dir: str):
+    """Session entry/exit matrix (stages/events.session_entry_exit):
+    sessions per (first event type, last event type) under the
+    30-minute gap rule -- one lexsort + boundary cumsum per user-hash
+    bucket, partial pair counts, one tiny groupby."""
+    from console_log_parser_ray.stages.events import session_entry_exit
+
+    return session_entry_exit(
+        _events(sf_dir).select_columns(
+            ["user_id", "ts", "event_id", "event_type"]
+        )
+    )
+
+
+def _q_cusum_alerts(sf_dir: str):
+    """One-sided CUSUM drift alarms (stages/events.cusum_alerts):
+    per-user events whose cumulative positive deviation from a $50.00
+    target exceeds $500.00 -- the sequential change detector via its
+    prefix-minus-running-min closed form, integer cents exact, one
+    lexsort + vectorized segmented cumsum/min per bucket."""
+    from console_log_parser_ray.stages.events import cusum_alerts
+
+    return cusum_alerts(
+        _events(sf_dir).select_columns(
+            ["user_id", "ts", "event_id", "value"]
+        ),
+        target_cents=5000,
+        h_cents=50000,
+    )
+
+
 def _q_melt_lineitem(sf_dir: str):
     """Unpivot / melt (stages/relational.melt): lineitem's four
     numeric measures reshaped wide -> long, one row per (line,
@@ -3760,6 +3791,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "khop_parts": _q_khop_parts,
         "melt_lineitem": _q_melt_lineitem,
         "dq_orders": _q_dq_orders,
+        "session_entry_exit": _q_session_entry_exit,
+        "cusum_alerts": _q_cusum_alerts,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -4255,6 +4288,48 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a4.t * 1.0 / a4.n, 0.0) AS top_4gram_frac "
             "FROM documents d LEFT JOIN a2 USING (doc_id) "
             "LEFT JOIN a3 USING (doc_id) LEFT JOIN a4 USING (doc_id)"
+        ),
+        "session_entry_exit": (
+            # same gap rule as the sessionize oracle; first/last via
+            # bidirectional row_number inside each session
+            "WITH flagged AS (SELECT user_id, event_id, event_type, "
+            "epoch_us(ts) AS tus, CASE WHEN epoch_us(ts) - "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) > 1800000000 THEN 1 ELSE 0 END "
+            "AS new_sess FROM events), "
+            "s AS (SELECT user_id, event_type, tus, event_id, "
+            "CAST(sum(new_sess) OVER (PARTITION BY user_id "
+            "ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) "
+            "AS BIGINT) AS sid FROM flagged), "
+            "r AS (SELECT user_id, sid, event_type, "
+            "row_number() OVER (PARTITION BY user_id, sid "
+            "ORDER BY tus, event_id) AS rn_a, "
+            "row_number() OVER (PARTITION BY user_id, sid "
+            "ORDER BY tus DESC, event_id DESC) AS rn_d FROM s), "
+            "fe AS (SELECT user_id, sid, "
+            "max(CASE WHEN rn_a = 1 THEN event_type END) "
+            "AS entry_type, "
+            "max(CASE WHEN rn_d = 1 THEN event_type END) "
+            "AS exit_type FROM r GROUP BY user_id, sid) "
+            "SELECT entry_type, exit_type, "
+            "CAST(count(*) AS BIGINT) AS n_sessions FROM fe "
+            "GROUP BY 1, 2"
+        ),
+        "cusum_alerts": (
+            # closed form S_i = P_i - min(0, running min of P):
+            # cumsum + running-min windows, integer cents end-to-end
+            "WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
+            "CAST(floor(value * 100) AS BIGINT) - 5000 AS dev "
+            "FROM events), "
+            "p AS (SELECT user_id, event_id, t, CAST(sum(dev) OVER ("
+            "PARTITION BY user_id ORDER BY t, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl FROM c), "
+            "m AS (SELECT user_id, event_id, t, pl, "
+            "least(CAST(min(pl) OVER (PARTITION BY user_id "
+            "ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) "
+            "AS BIGINT), 0) AS rmin FROM p) "
+            "SELECT user_id, event_id, t AS t_us, pl - rmin "
+            "AS cusum_q FROM m WHERE pl - rmin >= 50000"
         ),
         "melt_lineitem": (
             "SELECT l_orderkey, l_linenumber, 'l_quantity' AS "

@@ -238,6 +238,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "khop_parts",
         "melt_lineitem",
         "dq_orders",
+        "session_entry_exit",
+        "cusum_alerts",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -3651,3 +3651,193 @@ def interval_concurrency(
         .groupby("tb")
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+def session_entry_exit(
+    ds,
+    gap_us: int = 30 * 60 * 1_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    n_buckets: int = 64,
+):
+    """Entry/exit transition matrix over gap-based sessions: sessions
+    form per user under the ``sessionize`` rule (a gap > ``gap_us``
+    starts a new session; events order by ``(ts, id)``); each session
+    contributes its FIRST and LAST event type, and the output counts
+    sessions per ``(entry_type, exit_type)`` pair -- the landing/exit-
+    page analysis of web analytics.
+
+    Scale shape: the sessionize recipe -- user-hash buckets, ONE
+    lexsort + boundary cumsum per bucket resolves every session's
+    first/last rows vectorized; per-bucket partial pair counts, one
+    tiny groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    def project(b: pa.Table) -> pa.Table:
+        key = b.column(user_col).cast(pa.int64())
+        return pa.table(
+            {
+                "jb": _bucket31(key, n_buckets),
+                "u": key,
+                "t": b.column(ts_col).cast(pa.int64()),
+                "e": b.column(id_col).cast(pa.int64()),
+                "et": b.column(type_col),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("u").to_numpy(zero_copy_only=False)
+        t = tbl.column("t").to_numpy(zero_copy_only=False)
+        e = tbl.column("e").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u_s, t_s = u[order], t[order]
+        et = tbl.column("et").to_pandas().to_numpy()[order]
+        new_sess = np.ones(len(u_s), dtype=bool)
+        if len(u_s) > 1:
+            same = u_s[1:] == u_s[:-1]
+            new_sess[1:] = ~same | (t_s[1:] - t_s[:-1] > gap_us)
+        starts = np.flatnonzero(new_sess)
+        ends = np.concatenate([starts[1:] - 1, [len(u_s) - 1]])
+        g = (
+            pa.table(
+                {
+                    "entry_type": pa.array(et[starts], pa.string()),
+                    "exit_type": pa.array(et[ends], pa.string()),
+                }
+            )
+            .group_by(["entry_type", "exit_type"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "entry_type": g.column("entry_type"),
+                "exit_type": g.column("exit_type"),
+                "n_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["entry_type", "exit_type"])
+        .aggregate(Sum("n_part"))
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entry_type": b.column("entry_type"),
+                "exit_type": b.column("exit_type"),
+                "n_sessions": b.column("sum(n_part)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def cusum_alerts(
+    ds,
+    target_cents: int,
+    h_cents: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    n_buckets: int = 64,
+):
+    """Per-entity one-sided CUSUM drift alarms: over each user's
+    events ordered by ``(ts, id)``, the CUSUM statistic ``S_i =
+    max(0, S_{i-1} + (cents_i - target_cents))`` flags upward drift
+    when ``S_i >= h_cents`` -- the classic sequential change
+    detector, computable VECTORIZED (and in SQL) via its closed form
+    ``S_i = P_i - min(0, P_1..P_i)`` over the deviation prefix sums
+    ``P``.  Integer cents end-to-end, so any partitioning and the
+    mirror agree exactly.  Output: one row per alerting event with
+    its CUSUM value.
+
+    Scale shape: the window-family recipe -- user-hash buckets, one
+    lexsort + segment cumsum / running-min per bucket; only alert
+    rows leave the task.
+    """
+
+    def project(b: pa.Table) -> pa.Table:
+        key = b.column(user_col).cast(pa.int64())
+        cents = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    b.column(val_col).cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "jb": _bucket31(key, n_buckets),
+                "u": key,
+                "t": b.column(ts_col).cast(pa.int64()),
+                "e": b.column(id_col).cast(pa.int64()),
+                "c": cents,
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("u").to_numpy(zero_copy_only=False)
+        t = tbl.column("t").to_numpy(zero_copy_only=False)
+        e = tbl.column("e").to_numpy(zero_copy_only=False)
+        c = tbl.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u_s, t_s, e_s, c_s = u[order], t[order], e[order], c[order]
+        dev = c_s - np.int64(target_cents)
+        # segmented prefix sums: global cumsum minus each segment's
+        # leading offset
+        P = np.cumsum(dev)
+        new_u = np.ones(len(u_s), dtype=bool)
+        if len(u_s) > 1:
+            new_u[1:] = u_s[1:] != u_s[:-1]
+        seg_starts = np.flatnonzero(new_u)
+        seg_sizes = np.diff(np.concatenate([seg_starts, [len(u_s)]]))
+        base = np.repeat(
+            np.concatenate([[0], P[seg_starts[1:] - 1]])
+            if len(seg_starts) > 1
+            else np.zeros(1, dtype=np.int64),
+            seg_sizes,
+        )
+        Pl = P - base  # per-user prefix sums
+        # running min of (0, Pl_1..Pl_i) per segment, fully
+        # vectorized: give each segment a strictly DECREASING offset
+        # larger than the global value spread, so a single global
+        # minimum.accumulate never carries a previous segment's
+        # (higher-offset) values into the current one
+        rm = np.minimum(Pl, np.where(new_u, 0, np.int64(2**62)))
+        if len(seg_starts) > 1:
+            spread = np.int64(
+                max(int(Pl.max()) - min(int(Pl.min()), 0), 0) + 1
+            )
+            seg_of = np.repeat(
+                np.arange(len(seg_starts), dtype=np.int64), seg_sizes
+            )
+            off = (np.int64(len(seg_starts)) - seg_of) * spread
+            run_min = np.minimum.accumulate(rm + off) - off
+        else:
+            run_min = np.minimum.accumulate(rm)
+        S = Pl - run_min
+        alert = S >= np.int64(h_cents)
+        return pa.table(
+            {
+                user_col: pa.array(u_s[alert], pa.int64()),
+                id_col: pa.array(e_s[alert], pa.int64()),
+                "t_us": pa.array(t_s[alert], pa.int64()),
+                "cusum_q": pa.array(S[alert], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

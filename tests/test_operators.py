@@ -5621,3 +5621,142 @@ def test_constraint_report_planted(ray_session):
     assert got["positive:p"] == 4  # two zeros, one negative, one null
     assert got["unique:k"] == 2  # three copies of 7777 -> 2 extras
     assert got["fk:c"] == 3
+
+
+def test_session_entry_exit_differential(ray_session):
+    """session_entry_exit == DuckDB sessionize + bidirectional
+    row_number on a tie-heavy random stream (single-event sessions
+    have entry == exit)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import session_entry_exit
+
+    rng = np.random.default_rng(101)
+    n = 2500
+    ev = pa.table(
+        {
+            "user_id": pa.array(
+                rng.integers(1, 40, n).astype(np.int64)
+            ),
+            "ts": pa.array(
+                rng.integers(0, 6, n).astype(np.int64) * 1_700_000_000,
+                pa.timestamp("us"),
+            ),
+            "event_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "event_type": pa.array(
+                rng.choice(["a", "b", "c", "d"], n)
+            ),
+        }
+    )
+    mine = {
+        (r["entry_type"], r["exit_type"]): r["n_sessions"]
+        for r in session_entry_exit(
+            ray.data.from_arrow(ev).repartition(7), n_buckets=16
+        ).take_all()
+    }
+    con = duckdb.connect()
+    con.register("events", ev)
+    ref = {
+        (a, b): c
+        for a, b, c in con.execute(
+            "WITH flagged AS (SELECT user_id, event_id, event_type, "
+            "epoch_us(ts) AS tus, CASE WHEN epoch_us(ts) - "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) > 1800000000 THEN 1 ELSE 0 END "
+            "AS new_sess FROM events), "
+            "s AS (SELECT user_id, event_type, tus, event_id, "
+            "CAST(sum(new_sess) OVER (PARTITION BY user_id "
+            "ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) "
+            "AS BIGINT) AS sid FROM flagged), "
+            "r AS (SELECT user_id, sid, event_type, "
+            "row_number() OVER (PARTITION BY user_id, sid "
+            "ORDER BY tus, event_id) AS rn_a, "
+            "row_number() OVER (PARTITION BY user_id, sid "
+            "ORDER BY tus DESC, event_id DESC) AS rn_d FROM s), "
+            "fe AS (SELECT user_id, sid, "
+            "max(CASE WHEN rn_a = 1 THEN event_type END) AS e1, "
+            "max(CASE WHEN rn_d = 1 THEN event_type END) AS e2 "
+            "FROM r GROUP BY user_id, sid) "
+            "SELECT e1, e2, CAST(count(*) AS BIGINT) FROM fe "
+            "GROUP BY 1, 2"
+        ).fetchall()
+    }
+    assert mine == ref and sum(mine.values()) > 30
+
+
+def test_cusum_alerts_differential(ray_session):
+    """cusum_alerts == brute-force sequential CUSUM (the recurrence,
+    not the closed form) AND the DuckDB window mirror, on a drifting
+    random stream."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import cusum_alerts
+
+    rng = np.random.default_rng(103)
+    n, nu = 3000, 25
+    uid = rng.integers(1, nu + 1, n).astype(np.int64)
+    ts = rng.integers(0, 10**7, n).astype(np.int64)
+    # values hover near the target, then drift up for high event ids
+    vals = np.floor(rng.uniform(40, 60, n) * 100) / 100.0
+    drift = rng.random(n) < 0.25
+    vals[drift] = np.floor(rng.uniform(70, 90, drift.sum()) * 100) / 100.0
+    ev = pa.table(
+        {
+            "user_id": pa.array(uid),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    target, h = 5000, 20000
+    mine = {
+        r["event_id"]: r["cusum_q"]
+        for r in cusum_alerts(
+            ray.data.from_arrow(ev).repartition(7),
+            target_cents=target,
+            h_cents=h,
+            n_buckets=16,
+        ).take_all()
+    }
+    # brute force: the literal recurrence per user
+    order = np.lexsort(
+        (np.arange(1, n + 1), ts, uid)
+    )
+    brute = {}
+    s_by_u = {}
+    for i in order:
+        u = uid[i]
+        s = max(
+            0, s_by_u.get(u, 0) + int(np.floor(vals[i] * 100)) - target
+        )
+        s_by_u[u] = s
+        if s >= h:
+            brute[i + 1] = s
+    assert mine == brute and len(brute) > 20
+    con = duckdb.connect()
+    con.register("events", ev)
+    ref = dict(
+        con.execute(
+            "WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
+            f"CAST(floor(value * 100) AS BIGINT) - {target} AS dev "
+            "FROM events), "
+            "p AS (SELECT user_id, event_id, t, CAST(sum(dev) OVER ("
+            "PARTITION BY user_id ORDER BY t, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl FROM c), "
+            "m AS (SELECT user_id, event_id, t, pl, "
+            "least(CAST(min(pl) OVER (PARTITION BY user_id "
+            "ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) "
+            "AS BIGINT), 0) AS rmin FROM p) "
+            "SELECT event_id, pl - rmin FROM m "
+            f"WHERE pl - rmin >= {h}"
+        ).fetchall()
+    )
+    assert mine == ref
