@@ -3219,6 +3219,22 @@ def _q_price_band_pairs(sf_dir: str):
     )
 
 
+def _q_lang_top_sources(sf_dir: str):
+    """Top-k categories per group with OTHER rollup
+    (stages/events.topk_with_other): each language's two biggest
+    sources plus one '<OTHER>' row -- per-block pair partials, one
+    pair groupby, group-hash bucket rank; output bounded by k+1 rows
+    per group."""
+    from console_log_parser_ray.stages.events import topk_with_other
+
+    return topk_with_other(
+        _docs(sf_dir).select_columns(["lang", "source"]),
+        group_col="lang",
+        cat_col="source",
+        k=2,
+    )
+
+
 def _q_session_entry_exit(sf_dir: str):
     """Session entry/exit matrix (stages/events.session_entry_exit):
     sessions per (first event type, last event type) under the
@@ -3793,6 +3809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_orders": _q_dq_orders,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
+        "lang_top_sources": _q_lang_top_sources,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -4288,6 +4305,18 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a4.t * 1.0 / a4.n, 0.0) AS top_4gram_frac "
             "FROM documents d LEFT JOIN a2 USING (doc_id) "
             "LEFT JOIN a3 USING (doc_id) LEFT JOIN a4 USING (doc_id)"
+        ),
+        "lang_top_sources": (
+            "WITH c AS (SELECT lang, source, "
+            "CAST(count(*) AS BIGINT) AS n FROM documents "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT lang, source, n, row_number() OVER ("
+            "PARTITION BY lang ORDER BY n DESC, source) AS rk "
+            "FROM c), "
+            "m AS (SELECT lang, CASE WHEN rk <= 2 THEN source "
+            "ELSE '<OTHER>' END AS source, n FROM r) "
+            "SELECT lang, source, CAST(sum(n) AS BIGINT) AS n "
+            "FROM m GROUP BY 1, 2"
         ),
         "session_entry_exit": (
             # same gap rule as the sessionize oracle; first/last via

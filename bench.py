@@ -240,6 +240,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "dq_orders",
         "session_entry_exit",
         "cusum_alerts",
+        "lang_top_sources",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -3841,3 +3841,94 @@ def cusum_alerts(
         .groupby("jb")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def topk_with_other(
+    ds,
+    group_col: str,
+    cat_col: str,
+    k: int = 2,
+    n_buckets: int = 64,
+):
+    """Top-k categories per group with an OTHER rollup: for every
+    group, the ``k`` most frequent values of ``cat_col`` (ties by
+    category ascending) keep their own rows and everything else
+    collapses into one ``'<OTHER>'`` row -- the dashboard-legend
+    reduction that keeps per-group output bounded no matter the
+    category cardinality.
+
+    Scale shape: per-block Arrow group-by partials (one row per
+    distinct (group, category) per block) -> one groupby fold on the
+    pair -> group-hash bucket reduction where each group's (small)
+    category histogram ranks vectorized; output rows per group are
+    bounded by k+1.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "g": b.column(group_col),
+                    "c": b.column(cat_col),
+                }
+            )
+            .group_by(["g", "c"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "g": g.column("g"),
+                "c": g.column("c"),
+                "n_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "c"])
+        .aggregate(Sum("n_part"))
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        g = b.column("g")
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        return pa.table(
+            {
+                "jb": _string_bucket(g, n_buckets),
+                "g": g,
+                "c": b.column("c"),
+                "n": b.column("sum(n_part)").cast(pa.int64()),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = tbl.select(["g", "c", "n"]).to_pandas()
+        df = df.sort_values(
+            ["g", "n", "c"], ascending=[True, False, True]
+        )
+        rank = df.groupby("g", sort=False).cumcount()
+        df["c"] = np.where(rank < k, df["c"], "<OTHER>")
+        out = (
+            df.groupby(["g", "c"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                group_col: pa.array(out["g"].to_numpy()),
+                cat_col: pa.array(out["c"].to_numpy()),
+                "n": pa.array(
+                    out["n"].to_numpy(dtype="int64"), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        folded.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -5760,3 +5760,63 @@ def test_cusum_alerts_differential(ray_session):
         ).fetchall()
     )
     assert mine == ref
+
+
+def test_topk_with_other_differential(ray_session):
+    """topk_with_other == DuckDB rank + CASE rollup on random skewed
+    categories; groups with <= k categories emit no OTHER row."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import topk_with_other
+
+    rng = np.random.default_rng(107)
+    n = 3000
+    tbl = pa.table(
+        {
+            "g": pa.array(
+                list(rng.choice(["x", "y", "z", "solo"], n)),
+                pa.string(),
+            ),
+            "c": pa.array(
+                list(
+                    np.where(
+                        rng.random(n) < 0.95,
+                        rng.choice(list("abcdefgh"), n),
+                        "only",
+                    )
+                ),
+                pa.string(),
+            ),
+        }
+    )
+    k = int(rng.integers(1, 4))
+    mine = {
+        (r["g"], r["c"]): r["n"]
+        for r in topk_with_other(
+            ray.data.from_arrow(tbl).repartition(7),
+            "g",
+            "c",
+            k=k,
+            n_buckets=8,
+        ).take_all()
+    }
+    con = duckdb.connect()
+    con.register("t", tbl)
+    ref = {
+        (g, c): v
+        for g, c, v in con.execute(
+            "WITH cc AS (SELECT g, c, CAST(count(*) AS BIGINT) AS n "
+            "FROM t GROUP BY 1, 2), "
+            "r AS (SELECT g, c, n, row_number() OVER (PARTITION BY g "
+            "ORDER BY n DESC, c) AS rk FROM cc), "
+            f"m AS (SELECT g, CASE WHEN rk <= {k} THEN c "
+            "ELSE '<OTHER>' END AS c, n FROM r) "
+            "SELECT g, c, CAST(sum(n) AS BIGINT) FROM m GROUP BY 1, 2"
+        ).fetchall()
+    }
+    assert mine == ref
+    assert any(c == "<OTHER>" for _, c in mine)
