@@ -1718,6 +1718,7 @@ def band_join(
     eps_q: int,
     n_buckets: int = 64,
     antisym: bool = False,
+    salt: int = 1,
 ):
     """Numeric band join: all pairs with ``|a - b| <= eps_q`` over
     INTEGER-QUANTIZED value columns (the caller quantizes floats --
@@ -1737,9 +1738,12 @@ def band_join(
 
     Scale shape: one co-partitioned bucket shuffle (the band key);
     candidate volume is sum over bands of ``3 * |left_band| *
-    |right_band|`` -- size ``eps_q`` so bands stay small, and salt
-    hot bands upstream for heavily-tied value distributions.
-    Output columns: ``id_a, val_a, id_b, val_b``.
+    |right_band|`` -- size ``eps_q`` so bands stay small.  For
+    heavily-tied value distributions (one HOT band holding a large
+    fraction of rows), pass ``salt > 1``: it forwards to
+    ``hash_join``'s hot-key splitter, spreading each band's left rows
+    over ``salt`` sub-buckets at the price of ``salt x`` right-side
+    replication.  Output columns: ``id_a, val_a, id_b, val_b``.
     """
     sch_l = pa.schema(
         [("band", pa.int64()), ("id_a", pa.int64()),
@@ -1792,6 +1796,7 @@ def band_join(
         n_buckets=n_buckets,
         left_schema=sch_l,
         right_schema=sch_r,
+        salt=salt,
     )
 
     def close(b: pa.Table) -> pa.Table:

@@ -5091,6 +5091,32 @@ def test_band_join_differential(ray_session):
     )
     assert mine == ref and len(ref) > 0
 
+    # hot-band salting: a heavily-tied distribution (every row the
+    # same value) must produce identical pairs with salt > 1
+    hot = pa.table(
+        {
+            "id": pa.array(np.arange(1, 61, dtype=np.int64)),
+            "v": pa.array(np.full(60, 42, dtype=np.int64)),
+        }
+    )
+    con.register("hot", hot)
+    mine = sorted(
+        (r["id_a"], r["id_b"])
+        for r in band_join(
+            ray.data.from_arrow(hot).repartition(4),
+            ray.data.from_arrow(hot).repartition(4),
+            "v", "id", "v", "id",
+            eps_q=5, n_buckets=8, antisym=True, salt=4,
+        ).take_all()
+    )
+    ref = sorted(
+        con.execute(
+            "SELECT a.id, b.id FROM hot a JOIN hot b "
+            "ON abs(a.v - b.v) <= 5 AND a.id < b.id"
+        ).fetchall()
+    )
+    assert mine == ref and len(ref) == 60 * 59 // 2
+
 
 def test_phrase_search_overlap_and_differential(ray_session):
     """Overlapping occurrences count ('a a a' holds two 'a a' hits);
