@@ -3319,6 +3319,59 @@ def _q_dq_orders(sf_dir: str):
     )
 
 
+def _q_new_returning(sf_dir: str):
+    """Daily new-vs-returning users (stages/events.new_vs_returning):
+    per-block DISTINCT (user, day) pairs, one user-hash bucket
+    groupby dedups AND derives first-seen days join-free, final sum
+    over tiny per-day partials."""
+    from console_log_parser_ray.stages.events import new_vs_returning
+
+    return new_vs_returning(
+        _events(sf_dir).select_columns(["user_id", "ts"])
+    )
+
+
+def _q_daily_acf(sf_dir: str):
+    """Calendar-lag autocorrelation of the daily event-count series
+    (stages/events.acf_daily), lags 1..7 -- exact integer moment sums
+    (Python ints == SQL HUGEINT); the only driver-side collect is the
+    daily series, bounded by calendar span."""
+    from console_log_parser_ray.stages.events import acf_daily
+
+    return acf_daily(_events(sf_dir).select_columns(["ts"]), max_lag=7)
+
+
+def _q_benford_orders(sf_dir: str):
+    """Benford first-digit screen over o_totalprice
+    (stages/profile.benford_digits): leading digit of the exact
+    integer cents (decimal string, never float log10), per-block
+    partial counts, 9-row result with share / expectation /
+    chi-square terms."""
+    import ray.data
+
+    from console_log_parser_ray.stages.profile import benford_digits
+
+    return benford_digits(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_totalprice"],
+        ),
+        "o_totalprice",
+    )
+
+
+def _q_quota_docs(sf_dir: str):
+    """Largest-remainder apportionment of a 10k-doc sampling budget
+    across sources (stages/export.quota_alloc): exact integer
+    allocations summing to the budget, arbitrary-precision arithmetic
+    (SQL mirror in HUGEINT), driver sees one row per source."""
+    from console_log_parser_ray.stages.export import quota_alloc
+
+    return quota_alloc(
+        _docs(sf_dir).select_columns(["source"]), budget=10_000
+    )
+
+
 def _q_khop_parts(sf_dir: str):
     """Bounded-depth BFS (stages/graph.khop_reach): minimum hop count
     to every part within 2 hops of the seed parts (partkey % 97 == 0)
@@ -3807,6 +3860,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "khop_parts": _q_khop_parts,
         "melt_lineitem": _q_melt_lineitem,
         "dq_orders": _q_dq_orders,
+        "new_returning": _q_new_returning,
+        "daily_acf": _q_daily_acf,
+        "benford_orders": _q_benford_orders,
+        "quota_docs": _q_quota_docs,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -4359,6 +4416,76 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT), 0) AS rmin FROM p) "
             "SELECT user_id, event_id, t AS t_us, pl - rmin "
             "AS cusum_q FROM m WHERE pl - rmin >= 50000"
+        ),
+        "new_returning": (
+            "WITH p AS (SELECT DISTINCT epoch_us(ts) // 86400000000 "
+            "AS day, user_id FROM events), "
+            "f AS (SELECT user_id, min(day) AS fday FROM p "
+            "GROUP BY 1) "
+            "SELECT p.day, CAST(count(*) AS BIGINT) AS n_active, "
+            "CAST(count(*) FILTER (WHERE f.fday = p.day) AS BIGINT) "
+            "AS n_new, "
+            "CAST(count(*) FILTER (WHERE f.fday < p.day) AS BIGINT) "
+            "AS n_returning "
+            "FROM p JOIN f USING (user_id) GROUP BY p.day"
+        ),
+        "daily_acf": (
+            # exact HUGEINT moment sums; the engine's Python-int
+            # driver finish is the same closed form
+            "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), "
+            "l AS (SELECT unnest(generate_series(1, 7)) AS lag), "
+            "p AS (SELECT l.lag, a.n AS x, b.n AS y FROM l "
+            "CROSS JOIN d a JOIN d b ON b.day = a.day + l.lag), "
+            "m AS (SELECT lag, CAST(count(*) AS BIGINT) AS m, "
+            "sum(CAST(x AS HUGEINT)) AS sx, "
+            "sum(CAST(y AS HUGEINT)) AS sy, "
+            "sum(CAST(x AS HUGEINT) * y) AS sxy, "
+            "sum(CAST(x AS HUGEINT) * x) AS sxx, "
+            "sum(CAST(y AS HUGEINT) * y) AS syy FROM p GROUP BY 1) "
+            "SELECT l.lag, CAST(coalesce(m.m, 0) AS BIGINT) "
+            "AS n_pairs, "
+            "CASE WHEN m.m > 1 AND m.m * m.sxx - m.sx * m.sx > 0 "
+            "AND m.m * m.syy - m.sy * m.sy > 0 THEN "
+            "CAST(m.m * m.sxy - m.sx * m.sy AS DOUBLE) / "
+            "sqrt(CAST(m.m * m.sxx - m.sx * m.sx AS DOUBLE) * "
+            "CAST(m.m * m.syy - m.sy * m.sy AS DOUBLE)) "
+            "ELSE NULL END AS acf "
+            "FROM l LEFT JOIN m USING (lag)"
+        ),
+        "benford_orders": (
+            # first digit from the decimal string of exact integer
+            # cents -- never float log10 digit extraction
+            "WITH c AS (SELECT CAST(floor(o_totalprice * 100) "
+            "AS BIGINT) AS cents FROM orders "
+            "WHERE o_totalprice IS NOT NULL), "
+            "h AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) "
+            "AS BIGINT) AS digit, CAST(count(*) AS BIGINT) AS n "
+            "FROM c WHERE cents >= 1 GROUP BY 1), "
+            "t AS (SELECT sum(n) AS tot FROM h), "
+            "b AS (SELECT digit, n, "
+            "CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share, "
+            "log10(1.0 + 1.0 / digit) AS benford_p, "
+            "CAST(tot AS DOUBLE) * log10(1.0 + 1.0 / digit) AS e "
+            "FROM h, t) "
+            "SELECT digit, n, share, benford_p, "
+            "(CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e "
+            "AS chi2_term FROM b"
+        ),
+        "quota_docs": (
+            # Hamilton largest-remainder apportionment in HUGEINT
+            "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY 1), "
+            "t AS (SELECT source, n, CAST(10000 AS HUGEINT) * n AS q, "
+            "sum(n) OVER () AS tot FROM c), "
+            "b AS (SELECT source, n, CAST(q // tot AS BIGINT) "
+            "AS base, q % tot AS rem FROM t), "
+            "r AS (SELECT source, n, base, rem, row_number() OVER ("
+            "ORDER BY rem DESC, source) AS rk, "
+            "sum(base) OVER () AS basesum FROM b) "
+            "SELECT source, n AS n_docs, CAST(base + CASE WHEN "
+            "rk <= 10000 - basesum THEN 1 ELSE 0 END AS BIGINT) "
+            "AS alloc FROM r"
         ),
         "melt_lineitem": (
             "SELECT l_orderkey, l_linenumber, 'l_quantity' AS "

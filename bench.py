@@ -241,6 +241,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "session_entry_exit",
         "cusum_alerts",
         "lang_top_sources",
+        "new_returning",
+        "daily_acf",
+        "benford_orders",
+        "quota_docs",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -3932,3 +3932,185 @@ def topk_with_other(
         .groupby("jb")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def new_vs_returning(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    day_us: int = 86_400_000_000,
+    n_buckets: int = 64,
+):
+    """Daily new-vs-returning split: for every day, the number of
+    DISTINCT active users, how many of them were seen for the first
+    time that day, and how many had prior history -- the growth
+    dashboard's top line.
+
+    Scale shape: per-block DISTINCT (user, day) pairs first (an
+    in-task Arrow group_by, so repeated activity never leaves the
+    block), then ONE user-hash bucket groupby dedups pairs exactly
+    AND derives each user's first day inside the bucket (every pair
+    of a user lands in one bucket, so "new" needs no join), emitting
+    per-day partial counts; the final groupby sums at most
+    ``n_buckets`` rows per day.  Nothing driver-side.
+    """
+    from ray.data.aggregate import Sum
+
+    def local_pairs(b: pa.Table) -> pa.Table:
+        users = b.column(user_col).combine_chunks().cast(pa.int64())
+        day = pc.divide(
+            b.column(ts_col).cast(pa.int64()),
+            pa.scalar(day_us, pa.int64()),
+        )
+        d = (
+            pa.table({"u": users, "day": day})
+            .group_by(["u", "day"])
+            .aggregate([])
+        )
+        u = d.column("u")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        return pa.table(
+            {
+                "jb": _bucket31(u, n_buckets),
+                "u": u,
+                "day": d.column("day"),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("u").to_numpy(zero_copy_only=False)
+        day = tbl.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, u))
+        u_s, d_s = u[order], day[order]
+        # dedup (user, day) pairs across blocks
+        keep = np.ones(len(u_s), dtype=bool)
+        if len(u_s) > 1:
+            keep[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+        u_s, d_s = u_s[keep], d_s[keep]
+        new_u = np.ones(len(u_s), dtype=bool)
+        if len(u_s) > 1:
+            new_u[1:] = u_s[1:] != u_s[:-1]
+        # first (smallest) day of each user's segment marks "new"
+        first_day = np.repeat(d_s[new_u], np.diff(
+            np.concatenate([np.flatnonzero(new_u), [len(u_s)]])
+        ))
+        is_new = d_s == first_day
+        days, inv = np.unique(d_s, return_inverse=True)
+        act = np.bincount(inv, minlength=len(days))
+        new = np.bincount(inv, weights=is_new, minlength=len(days))
+        return pa.table(
+            {
+                "day": pa.array(days, pa.int64()),
+                "act_part": pa.array(act.astype(np.int64), pa.int64()),
+                "new_part": pa.array(new.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        act = b.column("sum(act_part)").cast(pa.int64())
+        new = b.column("sum(new_part)").cast(pa.int64())
+        return pa.table(
+            {
+                "day": b.column("day"),
+                "n_active": act,
+                "n_new": new,
+                "n_returning": pc.subtract(act, new),
+            }
+        )
+
+    return (
+        ds.map_batches(local_pairs, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("act_part"), Sum("new_part"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def acf_daily(
+    ds,
+    ts_col: str = "ts",
+    max_lag: int = 7,
+    day_us: int = 86_400_000_000,
+):
+    """Calendar-lag autocorrelation of the daily event-count series:
+    for each lag k in 1..max_lag, the Pearson correlation between
+    (count on day d, count on day d+k) over every day pair where BOTH
+    days have events -- the seasonality probe behind "is traffic
+    weekly-periodic".
+
+    Exactness: the daily series folds from per-block integer partial
+    counts; the correlation finishes from exact arbitrary-precision
+    integer moment sums (Python ints, matching SQL HUGEINT), so block
+    layout cannot perturb the result.  Days with zero events are
+    absent from the series (pairs require both endpoints present),
+    mirroring the SQL self-join on day = day + k.
+
+    Scale shape: one tiny groupby folds per-block day partials; the
+    ONLY driver-side materialization is the daily series itself,
+    bounded by the calendar span (< 40k rows for a century of data),
+    never by row count.  Returns a ``max_lag``-row pyarrow Table
+    (lag, n_pairs, acf).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(
+            b.column(ts_col).cast(pa.int64()),
+            pa.scalar(day_us, pa.int64()),
+        )
+        g = (
+            pa.table({"day": day})
+            .group_by("day")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "day": g.column("day"),
+                "n_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_part"))
+        .take_all()
+    )
+    # bounded by the calendar span, not the data size
+    series = {int(r["day"]): int(r["sum(n_part)"]) for r in rows}
+    lags, n_pairs, acfs = [], [], []
+    for k in range(1, max_lag + 1):
+        sx = sy = sxy = sxx = syy = m = 0  # exact Python ints
+        for d, x in series.items():
+            y = series.get(d + k)
+            if y is None:
+                continue
+            m += 1
+            sx += x
+            sy += y
+            sxy += x * y
+            sxx += x * x
+            syy += y * y
+        num = m * sxy - sx * sy
+        dx = m * sxx - sx * sx
+        dy = m * syy - sy * sy
+        acf = (
+            float(num) / math.sqrt(float(dx) * float(dy))
+            if m > 1 and dx > 0 and dy > 0
+            else None
+        )
+        lags.append(k)
+        n_pairs.append(m)
+        acfs.append(acf)
+    return pa.table(
+        {
+            "lag": pa.array(lags, pa.int64()),
+            "n_pairs": pa.array(n_pairs, pa.int64()),
+            "acf": pa.array(acfs, pa.float64()),
+        }
+    )

@@ -528,3 +528,75 @@ def split_assign(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def quota_alloc(ds, budget: int, group_col: str = "source"):
+    """Largest-remainder apportionment: split an integer sampling
+    ``budget`` across groups proportionally to their row counts, with
+    EXACT integer outputs that sum to the budget -- the quota step a
+    mixture-weighted export runs before drawing per-domain samples
+    (``mix_domains`` consumes rates; this produces the exact counts).
+
+    Method (Hamilton): each group gets ``floor(budget * n_g / N)``;
+    the ``budget - sum(floors)`` leftover units go to the groups with
+    the largest remainders ``(budget * n_g) mod N`` (ties broken by
+    group ascending).  All arithmetic in arbitrary-precision Python
+    ints (the SQL mirror uses HUGEINT), so a 10^12-row group cannot
+    overflow.
+
+    Scale shape: per-block Arrow group_by partial counts -> one tiny
+    groupby; the driver sees one row per group (bounded by group
+    cardinality -- domains/languages, not rows).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"g": b.column(group_col)})
+            .group_by("g")
+            .aggregate([([], "count_all")])
+        )
+        col = g.column("g")
+        # Ray's sort-based groupby cannot order null string keys;
+        # fold on (filled value, is-null flag) and restore after
+        return pa.table(
+            {
+                "gk": pc.fill_null(pc.cast(col, pa.string()), ""),
+                "gn": pc.is_null(col).cast(pa.int64()),
+                "n_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["gk", "gn"])
+        .aggregate(Sum("n_part"))
+        .take_all()
+    )
+    counts = sorted(
+        (
+            (None if r["gn"] else r["gk"], int(r["sum(n_part)"]))
+            for r in rows
+        ),
+        key=lambda t: (t[0] is None, t[0] or ""),  # SQL NULLS LAST
+    )
+    total = sum(n for _, n in counts)
+    base = [(budget * n) // total for _, n in counts]
+    rem = [(budget * n) % total for _, n in counts]
+    k = budget - sum(base)
+    # k largest remainders get one extra unit (ties: group ascending)
+    order = sorted(
+        range(len(counts)),
+        key=lambda i: (-rem[i], counts[i][0] is None, counts[i][0] or ""),
+    )
+    extra = set(order[:k])
+    return pa.table(
+        {
+            group_col: pa.array([g for g, _ in counts], pa.string()),
+            "n_docs": pa.array([n for _, n in counts], pa.int64()),
+            "alloc": pa.array(
+                [base[i] + (1 if i in extra else 0) for i in range(len(counts))],
+                pa.int64(),
+            ),
+        }
+    )

@@ -316,3 +316,83 @@ def constraint_report(
 
     out = pd.concat(parts, ignore_index=True)
     return out.sort_values("constraint").reset_index(drop=True)
+
+
+def benford_digits(ds, val_col: str):
+    """Benford's-law first-digit screen over a positive currency
+    column: observed count and share per leading digit 1..9 of the
+    integer cents, the Benford expectation ``log10(1 + 1/d)``, and
+    each digit's chi-square contribution -- the classic
+    fabricated-data / ingestion-bug smoke alarm.
+
+    Exactness: digits come from the decimal string of the exact
+    integer cents (never float log10, whose rounding at powers of
+    ten differs across libms); counts fold from per-block integer
+    partials; the float columns finish from exact integers with the
+    same expression shape as the SQL mirror.  Values with cents < 1
+    are excluded (no leading digit).
+
+    Scale shape: one 9-row groupby over per-block partials; the
+    driver sees only the 9-row digit histogram.
+    """
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    b.column(val_col).cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        )
+        cents = pc.drop_null(cents)
+        cents = cents.filter(pc.greater_equal(cents, 1))
+        digit = pc.cast(
+            pc.utf8_slice_codeunits(
+                pc.cast(cents, pa.string()), 0, 1
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"digit": digit})
+            .group_by("digit")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "digit": g.column("digit"),
+                "n_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n_part"))
+        .take_all()
+    )
+    hist = sorted(
+        (int(r["digit"]), int(r["sum(n_part)"])) for r in rows
+    )
+    total = sum(n for _, n in hist)
+    digits, ns, shares, ps, chi2 = [], [], [], [], []
+    for d, n in hist:
+        p = float(np.log10(1.0 + 1.0 / d))
+        e = float(total) * p
+        digits.append(d)
+        ns.append(n)
+        shares.append(float(n) / float(total))
+        ps.append(p)
+        chi2.append((float(n) - e) * (float(n) - e) / e)
+    return pa.table(
+        {
+            "digit": pa.array(digits, pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+            "share": pa.array(shares, pa.float64()),
+            "benford_p": pa.array(ps, pa.float64()),
+            "chi2_term": pa.array(chi2, pa.float64()),
+        }
+    )

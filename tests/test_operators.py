@@ -5846,3 +5846,227 @@ def test_topk_with_other_differential(ray_session):
     }
     assert mine == ref
     assert any(c == "<OTHER>" for _, c in mine)
+
+
+def test_new_vs_returning_differential(ray_session):
+    """new_vs_returning == DuckDB distinct-pair + first-day mirror on
+    a random multi-day stream; active = new + returning everywhere."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import new_vs_returning
+
+    rng = np.random.default_rng(109)
+    n, nu = 4000, 60
+    uid = rng.integers(1, nu + 1, n).astype(np.int64)
+    # ~20 days, heavy repeats within a day
+    ts = rng.integers(0, 20 * 86_400_000_000, n).astype(np.int64)
+    ev = pa.table(
+        {
+            "user_id": pa.array(uid),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    mine = {
+        r["day"]: (r["n_active"], r["n_new"], r["n_returning"])
+        for r in new_vs_returning(
+            ray.data.from_arrow(ev).repartition(7), n_buckets=8
+        ).take_all()
+    }
+    con = duckdb.connect()
+    con.register("events", ev)
+    ref = {
+        d: (a, nn, nr)
+        for d, a, nn, nr in con.execute(
+            "WITH p AS (SELECT DISTINCT epoch_us(ts) // 86400000000 "
+            "AS day, user_id FROM events), "
+            "f AS (SELECT user_id, min(day) AS fday FROM p "
+            "GROUP BY 1) "
+            "SELECT p.day, CAST(count(*) AS BIGINT), "
+            "CAST(count(*) FILTER (WHERE f.fday = p.day) AS BIGINT), "
+            "CAST(count(*) FILTER (WHERE f.fday < p.day) AS BIGINT) "
+            "FROM p JOIN f USING (user_id) GROUP BY p.day"
+        ).fetchall()
+    }
+    assert mine == ref
+    assert all(a == nn + nr for a, nn, nr in mine.values())
+    assert sum(nn for _, nn, _ in mine.values()) == nu
+
+
+def test_acf_daily_differential(ray_session):
+    """acf_daily == the DuckDB HUGEINT-moment mirror on a random
+    series with missing days; a planted perfectly periodic series
+    gives acf ~= 1 at its period."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import acf_daily
+
+    rng = np.random.default_rng(110)
+    # random counts on a random subset of 40 days
+    days = np.flatnonzero(rng.random(40) < 0.8)
+    reps = rng.integers(1, 30, len(days))
+    day_of = np.repeat(days, reps).astype(np.int64)
+    ts = day_of * 86_400_000_000 + rng.integers(
+        0, 86_400_000_000, len(day_of)
+    )
+    ev = pa.table({"ts": pa.array(ts, pa.timestamp("us"))})
+    mine = acf_daily(
+        ray.data.from_arrow(ev).repartition(7), max_lag=5
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("events", ev)
+    ref = con.execute(
+        "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), "
+        "l AS (SELECT unnest(generate_series(1, 5)) AS lag), "
+        "p AS (SELECT l.lag, a.n AS x, b.n AS y FROM l "
+        "CROSS JOIN d a JOIN d b ON b.day = a.day + l.lag), "
+        "m AS (SELECT lag, CAST(count(*) AS BIGINT) AS m, "
+        "sum(CAST(x AS HUGEINT)) AS sx, "
+        "sum(CAST(y AS HUGEINT)) AS sy, "
+        "sum(CAST(x AS HUGEINT) * y) AS sxy, "
+        "sum(CAST(x AS HUGEINT) * x) AS sxx, "
+        "sum(CAST(y AS HUGEINT) * y) AS syy FROM p GROUP BY 1) "
+        "SELECT l.lag, CAST(coalesce(m.m, 0) AS BIGINT) AS n_pairs, "
+        "CASE WHEN m.m > 1 AND m.m * m.sxx - m.sx * m.sx > 0 "
+        "AND m.m * m.syy - m.sy * m.sy > 0 THEN "
+        "CAST(m.m * m.sxy - m.sx * m.sy AS DOUBLE) / "
+        "sqrt(CAST(m.m * m.sxx - m.sx * m.sx AS DOUBLE) * "
+        "CAST(m.m * m.syy - m.sy * m.sy AS DOUBLE)) "
+        "ELSE NULL END AS acf "
+        "FROM l LEFT JOIN m USING (lag) ORDER BY l.lag"
+    ).fetchdf()
+    mine = mine.sort_values("lag").reset_index(drop=True)
+    assert list(mine["lag"]) == list(ref["lag"])
+    assert list(mine["n_pairs"]) == list(ref["n_pairs"])
+    for a, b in zip(mine["acf"], ref["acf"]):
+        if a is None or (isinstance(a, float) and np.isnan(a)):
+            assert b is None or np.isnan(b)
+        else:
+            assert abs(a - b) < 1e-12
+    # planted period-3 series: acf at lag 3 is ~1
+    per = np.repeat(
+        np.arange(30, dtype=np.int64),
+        np.tile([5, 17, 40], 10),
+    )
+    ev2 = pa.table(
+        {"ts": pa.array(per * 86_400_000_000, pa.timestamp("us"))}
+    )
+    got = {
+        r["lag"]: r["acf"]
+        for r in acf_daily(
+            ray.data.from_arrow(ev2).repartition(3), max_lag=3
+        ).to_pylist()
+    }
+    assert got[3] > 0.999
+
+
+def test_benford_digits_differential(ray_session):
+    """benford_digits == the DuckDB string-digit mirror on random
+    log-uniform prices; shares sum to 1, sub-cent and null values
+    are excluded."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.profile import benford_digits
+
+    rng = np.random.default_rng(111)
+    n = 5000
+    vals = 10.0 ** rng.uniform(-3, 5, n)
+    vals = np.floor(vals * 100) / 100.0
+    v = vals.astype(object)
+    v[rng.random(n) < 0.02] = None  # nulls excluded
+    tbl = pa.table({"o_totalprice": pa.array(list(v), pa.float64())})
+    mine = benford_digits(
+        ray.data.from_arrow(tbl).repartition(7), "o_totalprice"
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("orders", tbl)
+    ref = con.execute(
+        "WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) "
+        "AS cents FROM orders WHERE o_totalprice IS NOT NULL), "
+        "h AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) "
+        "AS BIGINT) AS digit, CAST(count(*) AS BIGINT) AS n FROM c "
+        "WHERE cents >= 1 GROUP BY 1), "
+        "t AS (SELECT sum(n) AS tot FROM h), "
+        "b AS (SELECT digit, n, "
+        "CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share, "
+        "log10(1.0 + 1.0 / digit) AS benford_p, "
+        "CAST(tot AS DOUBLE) * log10(1.0 + 1.0 / digit) AS e "
+        "FROM h, t) "
+        "SELECT digit, n, share, benford_p, "
+        "(CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e "
+        "AS chi2_term FROM b ORDER BY digit"
+    ).fetchdf()
+    mine = mine.sort_values("digit").reset_index(drop=True)
+    assert list(mine["digit"]) == list(ref["digit"])
+    assert list(mine["n"]) == list(ref["n"])
+    for col in ("share", "benford_p", "chi2_term"):
+        assert np.allclose(mine[col], ref[col], atol=1e-12)
+    assert abs(mine["share"].sum() - 1.0) < 1e-12
+
+
+def test_quota_alloc_differential(ray_session):
+    """quota_alloc == the DuckDB HUGEINT largest-remainder mirror on
+    random skewed groups (null group included); allocations sum to
+    the budget exactly."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.export import quota_alloc
+
+    rng = np.random.default_rng(112)
+    n = 3000
+    groups = np.array(
+        ["web", "book", "code", "wiki", "chat", "rare"], dtype=object
+    )
+    g = groups[
+        np.minimum(
+            rng.geometric(0.45, n) - 1, len(groups) - 1
+        )
+    ].astype(object)
+    g[rng.random(n) < 0.01] = None  # SQL GROUP BY keeps null groups
+    tbl = pa.table({"source": pa.array(list(g), pa.string())})
+    budget = int(rng.integers(100, 5000))
+    mine = {
+        r["source"]: (r["n_docs"], r["alloc"])
+        for r in quota_alloc(
+            ray.data.from_arrow(tbl).repartition(7),
+            budget=budget,
+            group_col="source",
+        ).to_pylist()
+    }
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    ref = {
+        s: (nd, al)
+        for s, nd, al in con.execute(
+            "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY 1), "
+            f"t AS (SELECT source, n, CAST({budget} AS HUGEINT) * n "
+            "AS q, sum(n) OVER () AS tot FROM c), "
+            "b AS (SELECT source, n, CAST(q // tot AS BIGINT) "
+            "AS base, q % tot AS rem FROM t), "
+            "r AS (SELECT source, n, base, rem, row_number() OVER ("
+            "ORDER BY rem DESC, source) AS rk, "
+            "sum(base) OVER () AS basesum FROM b) "
+            "SELECT source, n AS n_docs, CAST(base + CASE WHEN "
+            f"rk <= {budget} - basesum THEN 1 ELSE 0 END AS BIGINT) "
+            "AS alloc FROM r"
+        ).fetchall()
+    }
+    assert mine == ref
+    assert sum(a for _, a in mine.values()) == budget
