@@ -58,6 +58,8 @@ Exit 0 = every comparison equal.  Each seed covers 125 comparison groups:
     salted skew join == unsalted (4 join types) / session-path
     mining (string_agg mirror, 2 gaps)
                                 (round-4 CDC + fuzzy family)
+  - new-vs-returning / daily ACF / Benford digits / quota
+    allocation (null groups)   (growth + quality family)
   - integer PageRank == python int reference / unigram + bigram LM
     logprob / vocab OOV / priority dedup / TWAP / token entropy / domain KL / PMI collocations / split assignment / vocab overlap / per-key categorical entropy /
     KMV bottom-k sketch         (round-4 graph + LM family)
@@ -3715,6 +3717,156 @@ def resample_graph_family(seed):
         print(f"FAIL khop_reach seed={seed}", flush=True)
 
 
+def growth_quality_family(seed):
+    """Round-4d operators vs DuckDB on fresh random inputs: daily
+    new-vs-returning, daily-series ACF, Benford digit screen,
+    largest-remainder quota allocation."""
+    rng = np.random.default_rng(seed + 131)
+
+    from console_log_parser_ray.stages.events import (
+        acf_daily,
+        new_vs_returning,
+    )
+    from console_log_parser_ray.stages.export import quota_alloc
+    from console_log_parser_ray.stages.profile import benford_digits
+
+    con = duckdb.connect()
+    day_us = 86_400_000_000
+
+    # --- new vs returning on a random multi-day stream
+    n, nu = 2500, int(rng.integers(10, 80))
+    ev = pa.table(
+        {
+            "user_id": pa.array(
+                rng.integers(1, nu + 1, n).astype(np.int64)
+            ),
+            "ts": pa.array(
+                rng.integers(0, 15 * day_us, n).astype(np.int64),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    con.register("events", ev)
+    mine = new_vs_returning(
+        ray.data.from_arrow(ev).repartition(6), n_buckets=8
+    ).to_pandas()
+    ref = con.execute(
+        "WITH p AS (SELECT DISTINCT epoch_us(ts) // 86400000000 "
+        "AS day, user_id FROM events), "
+        "f AS (SELECT user_id, min(day) AS fday FROM p GROUP BY 1) "
+        "SELECT p.day, CAST(count(*) AS BIGINT) AS n_active, "
+        "CAST(count(*) FILTER (WHERE f.fday = p.day) AS BIGINT) "
+        "AS n_new, "
+        "CAST(count(*) FILTER (WHERE f.fday < p.day) AS BIGINT) "
+        "AS n_returning FROM p JOIN f USING (user_id) GROUP BY p.day"
+    ).fetchdf()
+    check(
+        "new_vs_returning", seed, mine, ref,
+        ["day"], ["n_active", "n_new", "n_returning"],
+    )
+
+    # --- ACF over the same stream (missing days possible)
+    lag = int(rng.integers(2, 8))
+    mine = acf_daily(
+        ray.data.from_arrow(ev).repartition(6), max_lag=lag
+    ).to_pandas()
+    ref = con.execute(
+        "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), "
+        f"l AS (SELECT unnest(generate_series(1, {lag})) AS lag), "
+        "p AS (SELECT l.lag, a.n AS x, b.n AS y FROM l "
+        "CROSS JOIN d a JOIN d b ON b.day = a.day + l.lag), "
+        "m AS (SELECT lag, CAST(count(*) AS BIGINT) AS m, "
+        "sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy, "
+        "sum(CAST(x AS HUGEINT) * y) AS sxy, "
+        "sum(CAST(x AS HUGEINT) * x) AS sxx, "
+        "sum(CAST(y AS HUGEINT) * y) AS syy FROM p GROUP BY 1) "
+        "SELECT l.lag, CAST(coalesce(m.m, 0) AS BIGINT) AS n_pairs, "
+        "CASE WHEN m.m > 1 AND m.m * m.sxx - m.sx * m.sx > 0 "
+        "AND m.m * m.syy - m.sy * m.sy > 0 THEN "
+        "CAST(m.m * m.sxy - m.sx * m.sy AS DOUBLE) / "
+        "sqrt(CAST(m.m * m.sxx - m.sx * m.sx AS DOUBLE) * "
+        "CAST(m.m * m.syy - m.sy * m.sy AS DOUBLE)) ELSE NULL END "
+        "AS acf FROM l LEFT JOIN m USING (lag)"
+    ).fetchdf()
+    check(
+        "acf_daily", seed, mine, ref, ["lag"], ["n_pairs", "acf"]
+    )
+
+    # --- Benford on log-uniform prices with nulls and sub-cent rows
+    m = 3000
+    vals = 10.0 ** rng.uniform(-3, 5, m)
+    vals = np.floor(vals * 100) / 100.0
+    v = vals.astype(object)
+    v[rng.random(m) < 0.03] = None
+    ot = pa.table({"o_totalprice": pa.array(list(v), pa.float64())})
+    con.register("orders", ot)
+    mine = benford_digits(
+        ray.data.from_arrow(ot).repartition(6), "o_totalprice"
+    ).to_pandas()
+    ref = con.execute(
+        "WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) "
+        "AS cents FROM orders WHERE o_totalprice IS NOT NULL), "
+        "h AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) "
+        "AS BIGINT) AS digit, CAST(count(*) AS BIGINT) AS n FROM c "
+        "WHERE cents >= 1 GROUP BY 1), "
+        "t AS (SELECT sum(n) AS tot FROM h), "
+        "b AS (SELECT digit, n, "
+        "CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share, "
+        "log10(1.0 + 1.0 / digit) AS benford_p, "
+        "CAST(tot AS DOUBLE) * log10(1.0 + 1.0 / digit) AS e "
+        "FROM h, t) "
+        "SELECT digit, n, share, benford_p, "
+        "(CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e "
+        "AS chi2_term FROM b"
+    ).fetchdf()
+    check(
+        "benford_digits", seed, mine, ref,
+        ["digit"], ["n", "share", "benford_p", "chi2_term"],
+    )
+
+    # --- quota allocation on skewed groups with a null group
+    k = 2000
+    groups = np.array(
+        ["web", "book", "code", "wiki", "chat", "rare"], dtype=object
+    )
+    g = groups[
+        np.minimum(rng.geometric(0.4, k) - 1, len(groups) - 1)
+    ].astype(object)
+    g[rng.random(k) < 0.01] = None
+    dt = pa.table({"source": pa.array(list(g), pa.string())})
+    con.register("documents", dt)
+    budget = int(rng.integers(50, 4000))
+    mine = quota_alloc(
+        ray.data.from_arrow(dt).repartition(6),
+        budget=budget,
+        group_col="source",
+    ).to_pandas()
+    ref = con.execute(
+        "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n "
+        "FROM documents GROUP BY 1), "
+        f"t AS (SELECT source, n, CAST({budget} AS HUGEINT) * n AS q, "
+        "sum(n) OVER () AS tot FROM c), "
+        "b AS (SELECT source, n, CAST(q // tot AS BIGINT) AS base, "
+        "q % tot AS rem FROM t), "
+        "r AS (SELECT source, n, base, rem, row_number() OVER ("
+        "ORDER BY rem DESC, source) AS rk, "
+        "sum(base) OVER () AS basesum FROM b) "
+        "SELECT source, n AS n_docs, CAST(base + CASE WHEN "
+        f"rk <= {budget} - basesum THEN 1 ELSE 0 END AS BIGINT) "
+        "AS alloc FROM r"
+    ).fetchdf()
+    mine["source"] = mine["source"].fillna("<null>")
+    ref["source"] = ref["source"].fillna("<null>")
+    check(
+        "quota_alloc", seed, mine, ref,
+        ["source"], ["n_docs", "alloc"],
+    )
+    if int(mine["alloc"].sum()) != budget:
+        failures.append(("quota_alloc_sum", seed))
+        print(f"FAIL quota_alloc_sum seed={seed}", flush=True)
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -3739,10 +3891,11 @@ def main():
         funnel_steps_family(seed)
         log_pipeline_family(seed)
         resample_graph_family(seed)
+        growth_quality_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(125 comparison groups per seed)"
+        "(130 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
