@@ -3372,6 +3372,28 @@ def _q_quota_docs(sf_dir: str):
     )
 
 
+def _q_wmedian_qty(sf_dir: str):
+    """Revenue-weighted median quantity per return flag
+    (stages/events.weighted_median_per_group): exact integer-cent
+    weights over the compressed distinct-(group, value) distribution,
+    one group-hash bucket shuffle, pandas segment cumsum resolve."""
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        weighted_median_per_group,
+    )
+
+    return weighted_median_per_group(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        ),
+        group_col="l_returnflag",
+        value_col="l_quantity",
+        weight_col="l_extendedprice",
+    )
+
+
 def _q_khop_parts(sf_dir: str):
     """Bounded-depth BFS (stages/graph.khop_reach): minimum hop count
     to every part within 2 hops of the seed parts (partkey % 97 == 0)
@@ -3864,6 +3886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_acf": _q_daily_acf,
         "benford_orders": _q_benford_orders,
         "quota_docs": _q_quota_docs,
+        "wmedian_qty": _q_wmedian_qty,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -4471,6 +4494,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT digit, n, share, benford_p, "
             "(CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e "
             "AS chi2_term FROM b"
+        ),
+        "wmedian_qty": (
+            # lower weighted median over the compressed (group, value)
+            # weight histogram, integer cents exact
+            "WITH c AS (SELECT l_returnflag AS g, l_quantity AS v, "
+            "CAST(floor(l_extendedprice * 100) AS BIGINT) AS w "
+            "FROM lineitem WHERE l_quantity IS NOT NULL "
+            "AND l_extendedprice IS NOT NULL), "
+            "a AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS wv "
+            "FROM c GROUP BY 1, 2), "
+            "r AS (SELECT g, v, wv, CAST(sum(wv) OVER (PARTITION BY g "
+            "ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw, "
+            "CAST(sum(wv) OVER (PARTITION BY g) AS BIGINT) AS tw "
+            "FROM a) "
+            "SELECT g AS l_returnflag, max(tw) AS total_w_cents, "
+            "min(CASE WHEN 2 * cw >= tw THEN v END) AS wmedian "
+            "FROM r GROUP BY 1"
         ),
         "quota_docs": (
             # Hamilton largest-remainder apportionment in HUGEINT

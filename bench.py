@@ -245,6 +245,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "daily_acf",
         "benford_orders",
         "quota_docs",
+        "wmedian_qty",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -4114,3 +4114,112 @@ def acf_daily(
             "acf": pa.array(acfs, pa.float64()),
         }
     )
+
+
+def weighted_median_per_group(
+    ds,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    n_buckets: int = 64,
+):
+    """Per-group lower weighted median: the smallest value whose
+    cumulative weight reaches half the group's total -- "the quantity
+    at which half the revenue sits", the robust center an unweighted
+    median misses when row importance varies.
+
+    Weights are exact integer cents (``floor(w * 100)``), so cumsums
+    and the half-total comparison are order-independent and the SQL
+    mirror agrees bit-for-bit; rows with a null value or weight are
+    excluded (SQL aggregate-ignore-null convention); a null GROUP is
+    kept as its own group.  Per-group total weight must fit int64
+    (2^63 cents ~ 9 * 10^16 dollars).
+
+    Scale shape: per-block Arrow group_by compresses to distinct
+    (group, value, weight-sum) rows -- repeated values never leave the
+    block -- then ONE group-hash bucket shuffle; each bucket merges
+    its partials and resolves medians with one pandas sort + segment
+    cumsum.  State is bounded by DISTINCT values per group (the
+    quantile-family assumption); for continuous float columns at
+    100 TB, quantize or hash-sample first as `sampled_group_quantiles`
+    does.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).combine_chunks()
+        v = b.column(value_col).cast(pa.float64())
+        w = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    b.column(weight_col).cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "gk": pc.fill_null(pc.cast(g, pa.string()), ""),
+                "gn": pc.is_null(g).cast(pa.int64()),
+                "v": v,
+                "w": w,
+            }
+        ).filter(
+            pc.and_(pc.is_valid(v), pc.is_valid(w))
+        )
+        a = t.group_by(["gk", "gn", "v"]).aggregate([("w", "sum")])
+        gk = a.column("gk")
+        if isinstance(gk, pa.ChunkedArray):
+            gk = gk.combine_chunks()
+        return pa.table(
+            {
+                "jb": _string_bucket(gk, n_buckets),
+                "gk": gk,
+                "gn": a.column("gn"),
+                "v": a.column("v"),
+                "w": a.column("w_sum").cast(pa.int64()),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = tbl.select(["gk", "gn", "v", "w"]).to_pandas()
+        # merge cross-block partials for the same (group, value)
+        df = (
+            df.groupby(["gk", "gn", "v"], sort=False, dropna=False)[
+                "w"
+            ]
+            .sum()
+            .reset_index()
+        )
+        df = df.sort_values(["gk", "gn", "v"])
+        df["cw"] = df.groupby(["gk", "gn"], sort=False)["w"].cumsum()
+        tw = df.groupby(["gk", "gn"], sort=False)["w"].transform(
+            "sum"
+        )
+        df["tw"] = tw
+        hit = df[2 * df["cw"] >= tw]
+        first = hit.groupby(["gk", "gn"], sort=False).head(1)
+        groups = [
+            None if gn else gk
+            for gk, gn in zip(first["gk"], first["gn"])
+        ]
+        return pa.table(
+            {
+                group_col: pa.array(groups, pa.string()),
+                "total_w_cents": pa.array(
+                    first["tw"].to_numpy(dtype="int64"), pa.int64()
+                ),
+                "wmedian": pa.array(
+                    first["v"].to_numpy(dtype="float64"),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

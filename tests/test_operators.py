@@ -6070,3 +6070,79 @@ def test_quota_alloc_differential(ray_session):
     }
     assert mine == ref
     assert sum(a for _, a in mine.values()) == budget
+
+
+def test_weighted_median_differential(ray_session):
+    """weighted_median_per_group == the DuckDB cumulative-weight
+    mirror on random tie-heavy values with null groups, values and
+    weights; degenerates to the plain lower median when weights are
+    constant."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        weighted_median_per_group,
+    )
+
+    rng = np.random.default_rng(113)
+    n = 4000
+    g = np.array(["a", "b", "c", "d"], dtype=object)[
+        rng.integers(0, 4, n)
+    ].astype(object)
+    g[rng.random(n) < 0.02] = None
+    v = np.floor(rng.uniform(0, 30, n)).astype(object)  # heavy ties
+    v[rng.random(n) < 0.02] = None
+    w = (np.floor(rng.uniform(0.5, 500, n) * 100) / 100.0).astype(
+        object
+    )
+    w[rng.random(n) < 0.02] = None
+    tbl = pa.table(
+        {
+            "g": pa.array(list(g), pa.string()),
+            "v": pa.array(list(v), pa.float64()),
+            "w": pa.array(list(w), pa.float64()),
+        }
+    )
+    mine = {
+        r["g"]: (r["total_w_cents"], r["wmedian"])
+        for r in weighted_median_per_group(
+            ray.data.from_arrow(tbl).repartition(7),
+            "g",
+            "v",
+            "w",
+            n_buckets=8,
+        ).take_all()
+    }
+    con = duckdb.connect()
+    con.register("t", tbl)
+    ref = {
+        gg: (tw, wm)
+        for gg, tw, wm in con.execute(
+            "WITH c AS (SELECT g, v, CAST(floor(w * 100) AS BIGINT) "
+            "AS w FROM t WHERE v IS NOT NULL AND w IS NOT NULL), "
+            "a AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS wv FROM c "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT g, v, wv, CAST(sum(wv) OVER ("
+            "PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) "
+            "AS BIGINT) AS cw, CAST(sum(wv) OVER (PARTITION BY g) "
+            "AS BIGINT) AS tw FROM a) "
+            "SELECT g, max(tw), "
+            "min(CASE WHEN 2 * cw >= tw THEN v END) FROM r GROUP BY 1"
+        ).fetchall()
+    }
+    assert mine == ref and None in mine
+    # constant weights -> plain lower median (percentile_disc 0.5)
+    tbl2 = pa.table(
+        {
+            "g": pa.array(["x"] * 7, pa.string()),
+            "v": pa.array([5.0, 1.0, 9.0, 3.0, 7.0, 3.0, 8.0]),
+            "w": pa.array([1.0] * 7),
+        }
+    )
+    got = weighted_median_per_group(
+        ray.data.from_arrow(tbl2).repartition(3), "g", "v", "w"
+    ).take_all()
+    assert got[0]["wmedian"] == 5.0
