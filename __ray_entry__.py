@@ -3372,6 +3372,95 @@ def _q_quota_docs(sf_dir: str):
     )
 
 
+def _q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary-growth curve over documents
+    (stages/textan.vocab_growth): cumulative tokens and distinct
+    types at 10 doc-id checkpoints -- token-hash bucket
+    first-occurrence fold, buckets x checkpoints partials only."""
+    from console_log_parser_ray.stages.textan import vocab_growth
+
+    return vocab_growth(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        n_checkpoints=10,
+    )
+
+
+def _keep_sum_qty_over_300(b):
+    import pyarrow.compute as pc
+
+    return b.filter(pc.greater(b.column("sum_qty"), 300))
+
+
+def _q_q18_big_orders(sf_dir: str):
+    """TPC-H Q18-shaped composition: orders whose total line quantity
+    exceeds 300 units, with their customer names -- block-local
+    per-orderkey integer quantity partials, one groupby + HAVING
+    filter, then two size-adaptive lookup_joins (the qualifying-order
+    set is tiny, so neither orders nor customer ever shuffles)."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.relational import lookup_join
+
+    def qty_partial(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        qty = pc.cast(
+            pc.round(b.column("l_quantity"), ndigits=0), pa.int64()
+        )
+        g = (
+            pa.table({"l_orderkey": b.column("l_orderkey"), "q": qty})
+            .group_by("l_orderkey")
+            .aggregate([("q", "sum")])
+        )
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "q": g.column("q_sum"),
+            }
+        )
+
+    big = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_quantity"],
+        )
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("q"))
+        .rename_columns({"sum(q)": "sum_qty"})
+        .map_batches(_keep_sum_qty_over_300, batch_format="pyarrow")
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+        ],
+    )
+    with_orders = lookup_join(
+        orders,
+        big,
+        on="o_orderkey",
+        right_on="l_orderkey",
+    )
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    joined = lookup_join(
+        cust,
+        with_orders,
+        on="c_custkey",
+        right_on="o_custkey",
+    )
+    return joined.select_columns(
+        ["c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+         "sum_qty"]
+    )
+
+
 def _q_wmedian_qty(sf_dir: str):
     """Revenue-weighted median quantity per return flag
     (stages/events.weighted_median_per_group): exact integer-cent
@@ -3887,6 +3976,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_orders": _q_benford_orders,
         "quota_docs": _q_quota_docs,
         "wmedian_qty": _q_wmedian_qty,
+        "vocab_growth_docs": _q_vocab_growth,
+        "q18_big_orders": _q_q18_big_orders,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -4494,6 +4585,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT digit, n, share, benford_p, "
             "(CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e "
             "AS chi2_term FROM b"
+        ),
+        "vocab_growth_docs": (
+            # Heaps-law curve: cumulative tokens / distinct types at
+            # (k * max_id) // 10 checkpoints
+            "WITH t AS (SELECT doc_id, unnest(regexp_extract_all("
+            "coalesce(text, ''), '\\S+')) AS tok FROM documents), "
+            "f AS (SELECT tok, min(doc_id) AS fd FROM t GROUP BY 1), "
+            "mx AS (SELECT max(doc_id) AS m FROM documents), "
+            "c AS (SELECT k, (k * m) // 10 AS ckd FROM "
+            "(SELECT unnest(generate_series(1, 10)) AS k), mx) "
+            "SELECT c.k, c.ckd AS ck_doc, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM t "
+            "WHERE doc_id <= c.ckd) AS n_tokens, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM f "
+            "WHERE fd <= c.ckd) AS n_types FROM c"
+        ),
+        "q18_big_orders": (
+            "WITH s AS (SELECT l_orderkey, CAST(sum(CAST(round("
+            "l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
+            "FROM lineitem GROUP BY 1 "
+            "HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300) "
+            "SELECT c.c_name, o.o_orderkey, o.o_orderdate, "
+            "o.o_totalprice, s.sum_qty "
+            "FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey"
         ),
         "wmedian_qty": (
             # lower weighted median over the compressed (group, value)

@@ -246,6 +246,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "benford_orders",
         "quota_docs",
         "wmedian_qty",
+        "vocab_growth_docs",
+        "q18_big_orders",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -2853,3 +2853,91 @@ def mlm_mask(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def vocab_growth(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_checkpoints: int = 10,
+    n_buckets: int = 64,
+):
+    """Vocabulary-growth (Heaps'-law) curve: at each of
+    ``n_checkpoints`` doc-id checkpoints, the cumulative token count
+    and cumulative DISTINCT-type count over all documents with id <=
+    the checkpoint -- the corpus diagnostic behind "is more data still
+    adding new vocabulary", and the empirical V(N) ~ K*N^beta fit
+    input.
+
+    Checkpoints are ``(k * max_id) // n_checkpoints`` for k = 1..n,
+    so both sides derive them from the data deterministically.
+
+    Scale shape: the shared ``_explode_tok_occ`` front half compresses
+    each block to distinct (doc, token, n_occ) rows bucketed by token
+    hash; each bucket derives per-token first-occurrence ids and folds
+    BOTH curves to ``n_checkpoints`` partial rows (searchsorted over
+    the bucket's sorted first-ids / doc-ordered occurrence cumsum), so
+    the final groupby sees buckets x checkpoints tiny rows.  The one
+    driver-side scalar is ``max(doc_id)``.
+    """
+    from ray.data.aggregate import Sum
+
+    mx = int(ds.max(id_col))
+    cks = [
+        (k * mx) // n_checkpoints for k in range(1, n_checkpoints + 1)
+    ]
+    cks_arr = np.array(cks, dtype=np.int64)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        doc = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        occ = tbl.column("n_occ").to_numpy(zero_copy_only=False)
+        toks = tbl.column("tok")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        enc = pc.dictionary_encode(toks)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        fd = np.full(len(enc.dictionary), np.iinfo(np.int64).max)
+        np.minimum.at(fd, codes, doc)
+        fd.sort()
+        types_part = np.searchsorted(fd, cks_arr, side="right")
+        order = np.argsort(doc, kind="stable")
+        doc_sorted = doc[order]
+        cum = np.cumsum(occ[order])
+        pos = np.searchsorted(doc_sorted, cks_arr, side="right")
+        occ_part = np.where(pos > 0, cum[pos - 1], 0)
+        return pa.table(
+            {
+                "k": pa.array(
+                    np.arange(1, n_checkpoints + 1, dtype=np.int64)
+                ),
+                "tok_part": pa.array(
+                    occ_part.astype(np.int64), pa.int64()
+                ),
+                "typ_part": pa.array(
+                    types_part.astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": b.column("k"),
+                "ck_doc": pa.array(cks_arr[k - 1], pa.int64()),
+                "n_tokens": b.column("sum(tok_part)").cast(pa.int64()),
+                "n_types": b.column("sum(typ_part)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            lambda b: _explode_tok_occ(b, text_col, id_col, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("tok_part"), Sum("typ_part"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

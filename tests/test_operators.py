@@ -6146,3 +6146,61 @@ def test_weighted_median_differential(ray_session):
         ray.data.from_arrow(tbl2).repartition(3), "g", "v", "w"
     ).take_all()
     assert got[0]["wmedian"] == 5.0
+
+
+def test_vocab_growth_differential(ray_session):
+    """vocab_growth == the DuckDB first-occurrence mirror on a random
+    tiny-vocab corpus (empty/null docs, unicode tokens); curves are
+    monotone and end at the corpus totals."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import vocab_growth
+
+    rng = np.random.default_rng(115)
+    vocab = np.array(
+        ["alpha", "beta", "gamma", "delta", "épsilon", "zeta."]
+    )
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 25)))
+        for _ in range(150)
+    ]
+    texts[0], texts[1] = "", None
+    dt = pa.table(
+        {
+            "doc_id": pa.array(np.arange(150, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    mine = (
+        vocab_growth(
+            ray.data.from_arrow(dt).repartition(7),
+            n_checkpoints=8,
+            n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", dt)
+    ref = con.execute(
+        "WITH t AS (SELECT doc_id, unnest(regexp_extract_all("
+        "coalesce(text, ''), '\\S+')) AS tok FROM documents), "
+        "f AS (SELECT tok, min(doc_id) AS fd FROM t GROUP BY 1), "
+        "mx AS (SELECT max(doc_id) AS m FROM documents), "
+        "c AS (SELECT k, (k * m) // 8 AS ckd FROM "
+        "(SELECT unnest(generate_series(1, 8)) AS k), mx) "
+        "SELECT c.k, c.ckd AS ck_doc, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM t "
+        "WHERE doc_id <= c.ckd) AS n_tokens, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM f "
+        "WHERE fd <= c.ckd) AS n_types FROM c ORDER BY c.k"
+    ).fetchdf()
+    assert mine.values.tolist() == ref.values.tolist()
+    assert (mine["n_tokens"].diff().dropna() >= 0).all()
+    assert (mine["n_types"].diff().dropna() >= 0).all()
+    assert mine["n_types"].iloc[-1] <= len(vocab)
