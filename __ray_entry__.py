@@ -3461,6 +3461,20 @@ def _q_q18_big_orders(sf_dir: str):
     )
 
 
+def _q_ab_click_view(sf_dir: str):
+    """Per-day Welch's t between click and view event values
+    (stages/events.welch_ab): exact integer moment partials per
+    block, one tiny groupby, calendar-bounded per-day finish with
+    the identical float expression as the SQL mirror."""
+    from console_log_parser_ray.stages.events import welch_ab
+
+    return welch_ab(
+        _events(sf_dir).select_columns(["event_type", "ts", "value"]),
+        variant_a="click",
+        variant_b="view",
+    )
+
+
 def _q_wmedian_qty(sf_dir: str):
     """Revenue-weighted median quantity per return flag
     (stages/events.weighted_median_per_group): exact integer-cent
@@ -3978,6 +3992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wmedian_qty": _q_wmedian_qty,
         "vocab_growth_docs": _q_vocab_growth,
         "q18_big_orders": _q_q18_big_orders,
+        "ab_click_view": _q_ab_click_view,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -4610,6 +4625,34 @@ def oracle_sql() -> dict[str, str]:
             "o.o_totalprice, s.sum_qty "
             "FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey "
             "JOIN customer c ON c.c_custkey = o.o_custkey"
+        ),
+        "ab_click_view": (
+            # Welch's t from exact HUGEINT moments, identical float
+            # expression shape as the engine finish
+            "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "event_type AS v, CAST(floor(value * 100) AS BIGINT) AS x "
+            "FROM events WHERE event_type IN ('click', 'view') "
+            "AND value IS NOT NULL), "
+            "a AS (SELECT day, v, CAST(count(*) AS BIGINT) AS n, "
+            "sum(CAST(x AS HUGEINT)) AS sx, "
+            "sum(CAST(x AS HUGEINT) * x) AS sxx FROM c GROUP BY 1, 2), "
+            "j AS (SELECT a.day, a.n AS na, a.sx AS sxa, a.sxx AS sxxa, "
+            "b.n AS nb, b.sx AS sxb, b.sxx AS sxxb "
+            "FROM a JOIN a b ON a.day = b.day "
+            "AND a.v = 'click' AND b.v = 'view'), "
+            "w AS (SELECT day, na, nb, "
+            "CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS ma, "
+            "CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb, "
+            "CASE WHEN na > 1 THEN CAST(na * sxxa - sxa * sxa "
+            "AS DOUBLE) / CAST(na * (na - 1) AS DOUBLE) END AS va, "
+            "CASE WHEN nb > 1 THEN CAST(nb * sxxb - sxb * sxb "
+            "AS DOUBLE) / CAST(nb * (nb - 1) AS DOUBLE) END AS vb "
+            "FROM j) "
+            "SELECT day, na AS n_a, nb AS n_b, ma / 100.0 AS mean_a, "
+            "mb / 100.0 AS mean_b, "
+            "CASE WHEN va IS NOT NULL AND vb IS NOT NULL "
+            "AND va / na + vb / nb > 0 THEN "
+            "(ma - mb) / sqrt(va / na + vb / nb) END AS t_stat FROM w"
         ),
         "wmedian_qty": (
             # lower weighted median over the compressed (group, value)

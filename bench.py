@@ -248,6 +248,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "wmedian_qty",
         "vocab_growth_docs",
         "q18_big_orders",
+        "ab_click_view",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

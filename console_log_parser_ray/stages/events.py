@@ -4223,3 +4223,139 @@ def weighted_median_per_group(
         .groupby("jb")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def welch_ab(
+    ds,
+    variant_a: str,
+    variant_b: str,
+    variant_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    day_us: int = 86_400_000_000,
+    n_buckets: int = 64,
+):
+    """Per-day Welch's t-test between two variants: for every day
+    where BOTH variants have events, the per-variant count / mean and
+    the unequal-variance t statistic over the metric column -- the A/B
+    readout dashboards recompute daily.
+
+    Exactness: per-variant moment sums (n, sum, sum-of-squares) fold
+    from exact integer cents, and the float finish (means, Welch
+    variance, t) applies the same expression shape as the SQL mirror,
+    so block layout cannot perturb the statistic.  ``t_stat`` is NULL
+    when either side has n < 2 or the pooled standard error is zero;
+    rows with a null metric are excluded.  Per-(day, variant)
+    sum-of-squares must fit int64 (~10^5 rows x $10^4 values per cell
+    at the worst; quantize coarser above that).
+
+    Scale shape: one Arrow group_by partial per block (rows = days x
+    2 per block), one tiny groupby, per-day finish grouped on the
+    calendar-bounded day key.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(
+                b.column(variant_col),
+                value_set=pa.array([variant_a, variant_b]),
+            ),
+            pc.is_valid(b.column(val_col)),
+        )
+        t = b.filter(keep)
+        day = pc.divide(
+            t.column(ts_col).cast(pa.int64()),
+            pa.scalar(day_us, pa.int64()),
+        )
+        x = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    t.column(val_col).cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {
+                    "day": day,
+                    "v": t.column(variant_col),
+                    "x": x,
+                    "xx": pc.multiply(x, x),
+                }
+            )
+            .group_by(["day", "v"])
+            .aggregate([([], "count_all"), ("x", "sum"), ("xx", "sum")])
+        )
+        return pa.table(
+            {
+                "day": g.column("day"),
+                "v": g.column("v"),
+                "n_part": g.column("count_all").cast(pa.int64()),
+                "sx_part": g.column("x_sum").cast(pa.int64()),
+                "sxx_part": g.column("xx_sum").cast(pa.int64()),
+            }
+        )
+
+    def per_day(tbl: pa.Table) -> pa.Table:
+        import math
+
+        stats = {}
+        for r in tbl.to_pylist():
+            stats[r["v"]] = (r["n"], r["sx"], r["sxx"])
+        if variant_a not in stats or variant_b not in stats:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "n_a": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                    "mean_a": pa.array([], pa.float64()),
+                    "mean_b": pa.array([], pa.float64()),
+                    "t_stat": pa.array([], pa.float64()),
+                }
+            )
+        na, sxa, sxxa = stats[variant_a]
+        nb, sxb, sxxb = stats[variant_b]
+        ma = float(sxa) / float(na)
+        mb = float(sxb) / float(nb)
+        va = (
+            float(na * sxxa - sxa * sxa) / float(na * (na - 1))
+            if na > 1
+            else None
+        )
+        vb = (
+            float(nb * sxxb - sxb * sxb) / float(nb * (nb - 1))
+            if nb > 1
+            else None
+        )
+        t_stat = None
+        if va is not None and vb is not None and va / na + vb / nb > 0:
+            t_stat = (ma - mb) / math.sqrt(va / na + vb / nb)
+        return pa.table(
+            {
+                "day": pa.array([tbl.column("day")[0].as_py()], pa.int64()),
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "mean_a": pa.array([ma / 100.0], pa.float64()),
+                "mean_b": pa.array([mb / 100.0], pa.float64()),
+                "t_stat": pa.array([t_stat], pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "v"])
+        .aggregate(Sum("n_part"), Sum("sx_part"), Sum("sxx_part"))
+        .rename_columns(
+            {
+                "sum(n_part)": "n",
+                "sum(sx_part)": "sx",
+                "sum(sxx_part)": "sxx",
+            }
+        )
+        .groupby("day")
+        .map_groups(per_day, batch_format="pyarrow")
+    )

@@ -6204,3 +6204,83 @@ def test_vocab_growth_differential(ray_session):
     assert (mine["n_tokens"].diff().dropna() >= 0).all()
     assert (mine["n_types"].diff().dropna() >= 0).all()
     assert mine["n_types"].iloc[-1] <= len(vocab)
+
+
+def test_welch_ab_differential(ray_session):
+    """welch_ab == the DuckDB HUGEINT-moment mirror on random drifted
+    variants (nulls, n=1 days, other-variant noise rows); a planted
+    large shift gives |t| >> 0."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import welch_ab
+
+    rng = np.random.default_rng(117)
+    n = 6000
+    day_us = 86_400_000_000
+    vtypes = np.array(["A", "B", "other"], dtype=object)
+    v = vtypes[rng.choice([0, 0, 1, 1, 2], n)]
+    ts = rng.integers(0, 12 * day_us, n).astype(np.int64)
+    vals = np.floor(rng.uniform(1, 80, n) * 100) / 100.0
+    # plant a shift on variant B after day 6
+    shift = (v == "B") & (ts > 6 * day_us)
+    vals[shift] = vals[shift] + 40.0
+    valso = vals.astype(object)
+    valso[rng.random(n) < 0.02] = None
+    ev = pa.table(
+        {
+            "event_type": pa.array(list(v), pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(list(valso), pa.float64()),
+        }
+    )
+    mine = (
+        welch_ab(
+            ray.data.from_arrow(ev).repartition(7),
+            variant_a="A",
+            variant_b="B",
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+    ref = con.execute(
+        "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+        "event_type AS v, CAST(floor(value * 100) AS BIGINT) AS x "
+        "FROM events WHERE event_type IN ('A', 'B') "
+        "AND value IS NOT NULL), "
+        "a AS (SELECT day, v, CAST(count(*) AS BIGINT) AS n, "
+        "sum(CAST(x AS HUGEINT)) AS sx, "
+        "sum(CAST(x AS HUGEINT) * x) AS sxx FROM c GROUP BY 1, 2), "
+        "j AS (SELECT a.day, a.n AS na, a.sx AS sxa, a.sxx AS sxxa, "
+        "b.n AS nb, b.sx AS sxb, b.sxx AS sxxb "
+        "FROM a JOIN a b ON a.day = b.day "
+        "AND a.v = 'A' AND b.v = 'B'), "
+        "w AS (SELECT day, na, nb, "
+        "CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS ma, "
+        "CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb, "
+        "CASE WHEN na > 1 THEN CAST(na * sxxa - sxa * sxa AS DOUBLE) "
+        "/ CAST(na * (na - 1) AS DOUBLE) END AS va, "
+        "CASE WHEN nb > 1 THEN CAST(nb * sxxb - sxb * sxb AS DOUBLE) "
+        "/ CAST(nb * (nb - 1) AS DOUBLE) END AS vb FROM j) "
+        "SELECT day, na AS n_a, nb AS n_b, ma / 100.0 AS mean_a, "
+        "mb / 100.0 AS mean_b, "
+        "CASE WHEN va IS NOT NULL AND vb IS NOT NULL "
+        "AND va / na + vb / nb > 0 THEN "
+        "(ma - mb) / sqrt(va / na + vb / nb) END AS t_stat FROM w "
+        "ORDER BY day"
+    ).fetchdf()
+    assert list(mine["day"]) == list(ref["day"])
+    for c in ("n_a", "n_b"):
+        assert list(mine[c]) == list(ref[c])
+    for c in ("mean_a", "mean_b", "t_stat"):
+        a, b = mine[c], ref[c]
+        assert ((a - b).abs().fillna(0) < 1e-9).all()
+        assert (a.isna() == b.isna()).all()
+    late = mine[mine["day"] > 6]["t_stat"].dropna()
+    assert (late < -5).all()  # planted +$40 shift on B
