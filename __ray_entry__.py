@@ -3475,6 +3475,19 @@ def _q_ab_click_view(sf_dir: str):
     )
 
 
+def _q_km_retention(sf_dir: str):
+    """Kaplan-Meier retention over user activity spans
+    (stages/events.km_retention): right-censored at the corpus's
+    final day; per-user min/max bucket fold compresses to a
+    calendar-bounded (duration, censored) histogram; survival product
+    multiplies in ascending-duration order on both sides."""
+    from console_log_parser_ray.stages.events import km_retention
+
+    return km_retention(
+        _events(sf_dir).select_columns(["user_id", "ts"])
+    )
+
+
 def _q_wmedian_qty(sf_dir: str):
     """Revenue-weighted median quantity per return flag
     (stages/events.weighted_median_per_group): exact integer-cent
@@ -3993,6 +4006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth_docs": _q_vocab_growth,
         "q18_big_orders": _q_q18_big_orders,
         "ab_click_view": _q_ab_click_view,
+        "km_retention": _q_km_retention,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -4653,6 +4667,28 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN va IS NOT NULL AND vb IS NOT NULL "
             "AND va / na + vb / nb > 0 THEN "
             "(ma - mb) / sqrt(va / na + vb / nb) END AS t_stat FROM w"
+        ),
+        "km_retention": (
+            # KM estimator: at-risk counts everyone with span >= t
+            # (censored included); steps only at death durations;
+            # window product() multiplies ascending like cumprod
+            "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 "
+            "AS day FROM events), "
+            "u AS (SELECT user_id, min(day) AS f, max(day) AS l "
+            "FROM e GROUP BY 1), "
+            "mx AS (SELECT max(day) AS m FROM e), "
+            "d AS (SELECT l - f AS dur, "
+            "CASE WHEN l = m THEN 1 ELSE 0 END AS cens FROM u, mx), "
+            "h AS (SELECT dur, CAST(count(*) FILTER (WHERE cens = 0) "
+            "AS BIGINT) AS deaths, CAST(count(*) AS BIGINT) AS total "
+            "FROM d GROUP BY 1), "
+            "r AS (SELECT dur, deaths, CAST((SELECT sum(h2.total) "
+            "FROM h h2 WHERE h2.dur >= h.dur) AS BIGINT) AS at_risk "
+            "FROM h WHERE deaths > 0) "
+            "SELECT dur, deaths, at_risk, "
+            "product(1.0 - CAST(deaths AS DOUBLE) / "
+            "CAST(at_risk AS DOUBLE)) OVER (ORDER BY dur "
+            "ROWS UNBOUNDED PRECEDING) AS survival FROM r"
         ),
         "wmedian_qty": (
             # lower weighted median over the compressed (group, value)

@@ -249,6 +249,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "vocab_growth_docs",
         "q18_big_orders",
         "ab_click_view",
+        "km_retention",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -4359,3 +4359,146 @@ def welch_ab(
         .groupby("day")
         .map_groups(per_day, batch_format="pyarrow")
     )
+
+
+def km_retention(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    day_us: int = 86_400_000_000,
+    n_buckets: int = 64,
+):
+    """Kaplan-Meier retention curve over user activity spans: each
+    user's observed lifetime is ``last active day - first active
+    day``; users still active on the corpus's final day are
+    right-CENSORED (their true lifetime exceeds the window).  For
+    every duration with at least one uncensored end, the curve
+    reports deaths, the at-risk count (all users with span >= t,
+    censored included), and the KM survival estimate
+    ``S(t) = prod_{t' <= t} (1 - d/n)`` -- the churn analysis that a
+    naive "average lifetime" biases by ignoring censoring.
+
+    Exactness: deaths / at-risk fold from integer partials; the
+    survival product multiplies ``(1 - d/n)`` in ascending-duration
+    order on both sides (numpy cumprod == SQL window ``product()``),
+    so results agree bit-for-bit.
+
+    Scale shape: per-block Arrow per-user min/max partials, ONE
+    user-hash bucket groupby resolves true spans and compresses to
+    (duration, censored) count partials; the final fold and the
+    driver-side finish are bounded by the calendar span, never user
+    count.  One extra tiny aggregate derives the observation end.
+    """
+    from ray.data.aggregate import Sum
+
+    import datetime as _dt
+
+    _raw = ds.max(ts_col)
+    if isinstance(_raw, _dt.datetime):
+        # exact integer microseconds (never float .timestamp())
+        _epoch = _dt.datetime(1970, 1, 1, tzinfo=_raw.tzinfo)
+        _delta = _raw - _epoch
+        m_us = (
+            _delta.days * 86_400_000_000
+            + _delta.seconds * 1_000_000
+            + _delta.microseconds
+        )
+    else:  # already integer microseconds
+        m_us = int(_raw)
+    m_day = m_us // day_us
+
+    def partial(b: pa.Table) -> pa.Table:
+        users = b.column(user_col).combine_chunks().cast(pa.int64())
+        day = pc.divide(
+            b.column(ts_col).cast(pa.int64()),
+            pa.scalar(day_us, pa.int64()),
+        )
+        g = (
+            pa.table({"u": users, "day": day})
+            .group_by("u")
+            .aggregate([("day", "min"), ("day", "max")])
+        )
+        u = g.column("u")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        return pa.table(
+            {
+                "jb": _bucket31(u, n_buckets),
+                "u": u,
+                "f": g.column("day_min"),
+                "l": g.column("day_max"),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        df = tbl.select(["u", "f", "l"]).to_pandas()
+        agg = df.groupby("u", sort=False).agg(
+            f=("f", "min"), l=("l", "max")
+        )
+        dur = (agg["l"] - agg["f"]).to_numpy(dtype="int64")
+        cens = (agg["l"].to_numpy(dtype="int64") == m_day).astype(
+            np.int64
+        )
+        import pandas as pd
+
+        h = (
+            pd.DataFrame({"dur": dur, "cens": cens})
+            .groupby(["dur", "cens"], sort=False)
+            .size()
+            .reset_index(name="n_part")
+        )
+        return pa.table(
+            {
+                "dur": pa.array(
+                    h["dur"].to_numpy(dtype="int64"), pa.int64()
+                ),
+                "cens": pa.array(
+                    h["cens"].to_numpy(dtype="int64"), pa.int64()
+                ),
+                "n_part": pa.array(
+                    h["n_part"].to_numpy(dtype="int64"), pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["dur", "cens"])
+        .aggregate(Sum("n_part"))
+        .take_all()
+    )
+    # calendar-span-bounded finish
+    from collections import defaultdict
+
+    deaths = defaultdict(int)
+    totals = defaultdict(int)
+    for r in rows:
+        totals[int(r["dur"])] += int(r["sum(n_part)"])
+        if not r["cens"]:
+            deaths[int(r["dur"])] += int(r["sum(n_part)"])
+    durs = sorted(totals)
+    total_users = sum(totals.values())
+    out_d, out_death, out_risk, out_s = [], [], [], []
+    seen_before = 0
+    surv = 1.0
+    for t in durs:
+        at_risk = total_users - seen_before
+        seen_before += totals[t]
+        d = deaths.get(t, 0)
+        if d == 0:
+            continue
+        surv = surv * (1.0 - float(d) / float(at_risk))
+        out_d.append(t)
+        out_death.append(d)
+        out_risk.append(at_risk)
+        out_s.append(surv)
+    return pa.table(
+        {
+            "dur": pa.array(out_d, pa.int64()),
+            "deaths": pa.array(out_death, pa.int64()),
+            "at_risk": pa.array(out_risk, pa.int64()),
+            "survival": pa.array(out_s, pa.float64()),
+        }
+    )

@@ -6284,3 +6284,77 @@ def test_welch_ab_differential(ray_session):
         assert (a.isna() == b.isna()).all()
     late = mine[mine["day"] > 6]["t_stat"].dropna()
     assert (late < -5).all()  # planted +$40 shift on B
+
+
+def test_km_retention_differential(ray_session):
+    """km_retention == the DuckDB KM mirror on a random sparse-user
+    stream (varied spans, heavy censoring); survival is monotone
+    non-increasing in (0, 1]."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import km_retention
+
+    rng = np.random.default_rng(119)
+    day_us = 86_400_000_000
+    rows_u, rows_t = [], []
+    for u in range(1, 200):
+        start = int(rng.integers(0, 25))
+        span = int(rng.integers(0, 25 - start + 1))
+        k = int(rng.integers(1, 6))
+        days = np.concatenate(
+            [[start, start + span],
+             rng.integers(start, start + span + 1, k)]
+        )
+        for d in days:
+            rows_u.append(u)
+            rows_t.append(
+                int(d) * day_us + int(rng.integers(0, day_us))
+            )
+    ev = pa.table(
+        {
+            "user_id": pa.array(rows_u, pa.int64()),
+            "ts": pa.array(
+                np.array(rows_t, dtype=np.int64), pa.timestamp("us")
+            ),
+        }
+    )
+    mine = (
+        km_retention(
+            ray.data.from_arrow(ev).repartition(7), n_buckets=8
+        )
+        .to_pandas()
+        .sort_values("dur")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+    ref = con.execute(
+        "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 "
+        "AS day FROM events), "
+        "u AS (SELECT user_id, min(day) AS f, max(day) AS l FROM e "
+        "GROUP BY 1), "
+        "mx AS (SELECT max(day) AS m FROM e), "
+        "d AS (SELECT l - f AS dur, CASE WHEN l = m THEN 1 ELSE 0 END "
+        "AS cens FROM u, mx), "
+        "h AS (SELECT dur, CAST(count(*) FILTER (WHERE cens = 0) "
+        "AS BIGINT) AS deaths, CAST(count(*) AS BIGINT) AS total "
+        "FROM d GROUP BY 1), "
+        "r AS (SELECT dur, deaths, CAST((SELECT sum(h2.total) FROM "
+        "h h2 WHERE h2.dur >= h.dur) AS BIGINT) AS at_risk FROM h "
+        "WHERE deaths > 0) "
+        "SELECT dur, deaths, at_risk, product(1.0 - "
+        "CAST(deaths AS DOUBLE) / CAST(at_risk AS DOUBLE)) "
+        "OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS survival "
+        "FROM r ORDER BY dur"
+    ).fetchdf()
+    assert list(mine["dur"]) == list(ref["dur"])
+    assert list(mine["deaths"]) == list(ref["deaths"])
+    assert list(mine["at_risk"]) == list(ref["at_risk"])
+    assert ((mine["survival"] - ref["survival"]).abs() < 1e-12).all()
+    s = mine["survival"].to_numpy()
+    assert len(s) > 5 and (np.diff(s) <= 0).all()
+    assert (s > 0).all() and (s <= 1).all()
