@@ -59,7 +59,8 @@ Exit 0 = every comparison equal.  Each seed covers 125 comparison groups:
     mining (string_agg mirror, 2 gaps)
                                 (round-4 CDC + fuzzy family)
   - new-vs-returning / daily ACF / Benford digits / quota
-    allocation (null groups)   (growth + quality family)
+    allocation (null groups) / weighted median / vocab growth /
+    Welch A/B / KM retention   (growth + quality family)
   - integer PageRank == python int reference / unigram + bigram LM
     logprob / vocab OOV / priority dedup / TWAP / token entropy / domain KL / PMI collocations / split assignment / vocab overlap / per-key categorical entropy /
     KMV bottom-k sketch         (round-4 graph + LM family)
@@ -3866,6 +3867,193 @@ def growth_quality_family(seed):
         failures.append(("quota_alloc_sum", seed))
         print(f"FAIL quota_alloc_sum seed={seed}", flush=True)
 
+    # --- weighted median on tie-heavy values, null group/value/weight
+    from console_log_parser_ray.stages.events import (
+        km_retention,
+        weighted_median_per_group,
+        welch_ab,
+    )
+    from console_log_parser_ray.stages.textan import vocab_growth
+
+    n = 2500
+    g = np.array(["a", "b", "c"], dtype=object)[
+        rng.integers(0, 3, n)
+    ].astype(object)
+    g[rng.random(n) < 0.02] = None
+    v = np.floor(rng.uniform(0, 25, n)).astype(object)
+    v[rng.random(n) < 0.02] = None
+    w = (np.floor(rng.uniform(0.5, 300, n) * 100) / 100.0).astype(
+        object
+    )
+    w[rng.random(n) < 0.02] = None
+    wt = pa.table(
+        {
+            "g": pa.array(list(g), pa.string()),
+            "v": pa.array(list(v), pa.float64()),
+            "w": pa.array(list(w), pa.float64()),
+        }
+    )
+    con.register("wt", wt)
+    mine = weighted_median_per_group(
+        ray.data.from_arrow(wt).repartition(6), "g", "v", "w",
+        n_buckets=8,
+    ).to_pandas()
+    ref = con.execute(
+        "WITH c AS (SELECT g, v, CAST(floor(w * 100) AS BIGINT) AS w "
+        "FROM wt WHERE v IS NOT NULL AND w IS NOT NULL), "
+        "a AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS wv FROM c "
+        "GROUP BY 1, 2), "
+        "r AS (SELECT g, v, wv, CAST(sum(wv) OVER (PARTITION BY g "
+        "ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw, "
+        "CAST(sum(wv) OVER (PARTITION BY g) AS BIGINT) AS tw FROM a) "
+        "SELECT g, max(tw) AS total_w_cents, "
+        "min(CASE WHEN 2 * cw >= tw THEN v END) AS wmedian FROM r "
+        "GROUP BY 1"
+    ).fetchdf()
+    mine["g"] = mine["g"].fillna("<null>")
+    ref["g"] = ref["g"].fillna("<null>")
+    check(
+        "weighted_median", seed, mine, ref,
+        ["g"], ["total_w_cents", "wmedian"],
+    )
+
+    # --- vocab growth on a random tiny-vocab corpus
+    vocab = np.array(["pp", "qq", "rr", "ss", "tt"])
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 18)))
+        for _ in range(110)
+    ]
+    texts[0], texts[1] = "", None
+    vt = pa.table(
+        {
+            "doc_id": pa.array(np.arange(110, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    con.register("vg_documents", vt)
+    ncp = int(rng.integers(4, 12))
+    mine = vocab_growth(
+        ray.data.from_arrow(vt).repartition(6),
+        n_checkpoints=ncp,
+        n_buckets=8,
+    ).to_pandas()
+    ref = con.execute(
+        "WITH t AS (SELECT doc_id, unnest(regexp_extract_all("
+        "coalesce(text, ''), '\\S+')) AS tok FROM vg_documents), "
+        "f AS (SELECT tok, min(doc_id) AS fd FROM t GROUP BY 1), "
+        "mx AS (SELECT max(doc_id) AS m FROM vg_documents), "
+        f"c AS (SELECT k, (k * m) // {ncp} AS ckd FROM "
+        f"(SELECT unnest(generate_series(1, {ncp})) AS k), mx) "
+        "SELECT c.k, c.ckd AS ck_doc, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM t "
+        "WHERE doc_id <= c.ckd) AS n_tokens, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM f "
+        "WHERE fd <= c.ckd) AS n_types FROM c"
+    ).fetchdf()
+    check(
+        "vocab_growth", seed, mine, ref,
+        ["k"], ["ck_doc", "n_tokens", "n_types"],
+    )
+
+    # --- Welch A/B on drifted variants
+    n = 3000
+    day_us = 86_400_000_000
+    vv = np.array(["A", "B", "zz"], dtype=object)[
+        rng.choice([0, 0, 1, 1, 2], n)
+    ]
+    ts2 = rng.integers(0, 10 * day_us, n).astype(np.int64)
+    vals = np.floor(rng.uniform(1, 60, n) * 100) / 100.0
+    vals[(vv == "B") & (ts2 > 5 * day_us)] += 25.0
+    vo = vals.astype(object)
+    vo[rng.random(n) < 0.02] = None
+    at = pa.table(
+        {
+            "event_type": pa.array(list(vv), pa.string()),
+            "ts": pa.array(ts2, pa.timestamp("us")),
+            "value": pa.array(list(vo), pa.float64()),
+        }
+    )
+    con.register("ab_events", at)
+    mine = welch_ab(
+        ray.data.from_arrow(at).repartition(6),
+        variant_a="A",
+        variant_b="B",
+    ).to_pandas()
+    ref = con.execute(
+        "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+        "event_type AS v, CAST(floor(value * 100) AS BIGINT) AS x "
+        "FROM ab_events WHERE event_type IN ('A', 'B') "
+        "AND value IS NOT NULL), "
+        "a AS (SELECT day, v, CAST(count(*) AS BIGINT) AS n, "
+        "sum(CAST(x AS HUGEINT)) AS sx, "
+        "sum(CAST(x AS HUGEINT) * x) AS sxx FROM c GROUP BY 1, 2), "
+        "j AS (SELECT a.day, a.n AS na, a.sx AS sxa, a.sxx AS sxxa, "
+        "b.n AS nb, b.sx AS sxb, b.sxx AS sxxb FROM a JOIN a b "
+        "ON a.day = b.day AND a.v = 'A' AND b.v = 'B'), "
+        "w AS (SELECT day, na, nb, "
+        "CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS ma, "
+        "CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb, "
+        "CASE WHEN na > 1 THEN CAST(na * sxxa - sxa * sxa AS DOUBLE) "
+        "/ CAST(na * (na - 1) AS DOUBLE) END AS va, "
+        "CASE WHEN nb > 1 THEN CAST(nb * sxxb - sxb * sxb AS DOUBLE) "
+        "/ CAST(nb * (nb - 1) AS DOUBLE) END AS vb FROM j) "
+        "SELECT day, na AS n_a, nb AS n_b, ma / 100.0 AS mean_a, "
+        "mb / 100.0 AS mean_b, CASE WHEN va IS NOT NULL "
+        "AND vb IS NOT NULL AND va / na + vb / nb > 0 THEN "
+        "(ma - mb) / sqrt(va / na + vb / nb) END AS t_stat FROM w"
+    ).fetchdf()
+    check(
+        "welch_ab", seed, mine, ref,
+        ["day"], ["n_a", "n_b", "mean_a", "mean_b", "t_stat"],
+    )
+
+    # --- KM retention on sparse random spans
+    rows_u, rows_t = [], []
+    for u in range(1, 120):
+        start = int(rng.integers(0, 20))
+        span = int(rng.integers(0, 20 - start + 1))
+        for d in np.concatenate(
+            [[start, start + span],
+             rng.integers(start, start + span + 1, 3)]
+        ):
+            rows_u.append(u)
+            rows_t.append(int(d) * day_us + int(rng.integers(0, day_us)))
+    kt = pa.table(
+        {
+            "user_id": pa.array(rows_u, pa.int64()),
+            "ts": pa.array(
+                np.array(rows_t, dtype=np.int64), pa.timestamp("us")
+            ),
+        }
+    )
+    con.register("km_events", kt)
+    mine = km_retention(
+        ray.data.from_arrow(kt).repartition(6), n_buckets=8
+    ).to_pandas()
+    ref = con.execute(
+        "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 "
+        "AS day FROM km_events), "
+        "u AS (SELECT user_id, min(day) AS f, max(day) AS l FROM e "
+        "GROUP BY 1), "
+        "mx AS (SELECT max(day) AS m FROM e), "
+        "d AS (SELECT l - f AS dur, CASE WHEN l = m THEN 1 ELSE 0 END "
+        "AS cens FROM u, mx), "
+        "h AS (SELECT dur, CAST(count(*) FILTER (WHERE cens = 0) "
+        "AS BIGINT) AS deaths, CAST(count(*) AS BIGINT) AS total "
+        "FROM d GROUP BY 1), "
+        "r AS (SELECT dur, deaths, CAST((SELECT sum(h2.total) FROM "
+        "h h2 WHERE h2.dur >= h.dur) AS BIGINT) AS at_risk FROM h "
+        "WHERE deaths > 0) "
+        "SELECT dur, deaths, at_risk, product(1.0 - "
+        "CAST(deaths AS DOUBLE) / CAST(at_risk AS DOUBLE)) "
+        "OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS survival "
+        "FROM r"
+    ).fetchdf()
+    check(
+        "km_retention", seed, mine, ref,
+        ["dur"], ["deaths", "at_risk", "survival"],
+    )
+
 
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
@@ -3895,7 +4083,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(130 comparison groups per seed)"
+        "(134 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
