@@ -3488,6 +3488,21 @@ def _q_km_retention(sf_dir: str):
     )
 
 
+def _q_mwu_click_view(sf_dir: str):
+    """Mann-Whitney U + KS D between click and view values
+    (stages/events.rank_sum_test): distinct-value histogram fold
+    (metadata-counted, max_distinct-guarded collect), exact
+    arbitrary-precision rank/tie arithmetic, identical float finish
+    as the SQL mirror."""
+    from console_log_parser_ray.stages.events import rank_sum_test
+
+    return rank_sum_test(
+        _events(sf_dir).select_columns(["event_type", "value"]),
+        variant_a="click",
+        variant_b="view",
+    )
+
+
 def _q_wmedian_qty(sf_dir: str):
     """Revenue-weighted median quantity per return flag
     (stages/events.weighted_median_per_group): exact integer-cent
@@ -4007,6 +4022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_big_orders": _q_q18_big_orders,
         "ab_click_view": _q_ab_click_view,
         "km_retention": _q_km_retention,
+        "mwu_click_view": _q_mwu_click_view,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -4689,6 +4705,46 @@ def oracle_sql() -> dict[str, str]:
             "product(1.0 - CAST(deaths AS DOUBLE) / "
             "CAST(at_risk AS DOUBLE)) OVER (ORDER BY dur "
             "ROWS UNBOUNDED PRECEDING) AS survival FROM r"
+        ),
+        "mwu_click_view": (
+            # tie-corrected Mann-Whitney U + KS D from the distinct-
+            # value histogram, HUGEINT rank/tie arithmetic
+            "WITH c AS (SELECT CAST(floor(value * 100) AS BIGINT) "
+            "AS x, event_type AS v FROM events "
+            "WHERE event_type IN ('click', 'view') "
+            "AND value IS NOT NULL), "
+            "h AS (SELECT x, CAST(count(*) FILTER (WHERE v = 'click') "
+            "AS BIGINT) AS ca, CAST(count(*) FILTER ("
+            "WHERE v = 'view') AS BIGINT) AS cb FROM c GROUP BY 1), "
+            "o AS (SELECT x, ca, cb, ca + cb AS t, "
+            "CAST(coalesce(sum(ca + cb) OVER (ORDER BY x "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) AS cumb, "
+            "CAST(sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) "
+            "AS BIGINT) AS cuma_run, "
+            "CAST(sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) "
+            "AS BIGINT) AS cumb_run FROM h), "
+            "tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, "
+            "CAST(sum(cb) AS BIGINT) AS nb FROM h), "
+            "agg AS (SELECT sum(CAST(ca AS HUGEINT) * "
+            "(2 * cumb + t + 1)) AS two_ua, "
+            "sum(CAST(t AS HUGEINT) * t * t - t) AS tie, "
+            "max(abs(CAST(cuma_run AS DOUBLE) / "
+            "(SELECT CAST(na AS DOUBLE) FROM tot) - "
+            "CAST(cumb_run AS DOUBLE) / "
+            "(SELECT CAST(nb AS DOUBLE) FROM tot))) AS ks_d FROM o), "
+            "fin AS (SELECT t.na, t.nb, "
+            "CAST(a.two_ua - CAST(t.na AS HUGEINT) * (t.na + 1) "
+            "AS DOUBLE) / 2.0 AS u_a, "
+            "CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE) / 2.0 AS mu, "
+            "CAST(CAST(t.na AS HUGEINT) * t.nb AS DOUBLE) * "
+            "(CAST(t.na + t.nb + 1 AS DOUBLE) - CAST(a.tie AS DOUBLE) "
+            "/ CAST(CAST(t.na + t.nb AS HUGEINT) * "
+            "(t.na + t.nb - 1) AS DOUBLE)) / 12.0 AS vr, "
+            "a.ks_d FROM tot t, agg a) "
+            "SELECT na AS n_a, nb AS n_b, u_a, "
+            "CASE WHEN vr > 0 THEN (u_a - mu) / sqrt(vr) END AS z, "
+            "ks_d FROM fin"
         ),
         "wmedian_qty": (
             # lower weighted median over the compressed (group, value)

@@ -250,6 +250,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "q18_big_orders",
         "ab_click_view",
         "km_retention",
+        "mwu_click_view",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -4502,3 +4502,139 @@ def km_retention(
             "survival": pa.array(out_s, pa.float64()),
         }
     )
+
+
+def rank_sum_test(
+    ds,
+    variant_a: str,
+    variant_b: str,
+    variant_col: str = "event_type",
+    val_col: str = "value",
+    max_distinct: int = 2_000_000,
+):
+    """Nonparametric two-sample comparison: the Mann-Whitney U
+    statistic (tie-corrected normal z) and the Kolmogorov-Smirnov D
+    between two variants' metric distributions -- the A/B readout
+    that, unlike Welch's t, needs no normality and resists outliers.
+
+    Both statistics are functions of the distinct-value histogram
+    only: per distinct cent value, the per-variant counts, cumulative
+    counts and average ranks.  All rank/tie arithmetic runs in exact
+    arbitrary-precision Python ints (the SQL mirror uses HUGEINT),
+    and the float finish applies the same expression shape, so the
+    sides agree bit-for-bit.  ``z`` is NULL at zero variance (all
+    values tied).
+
+    Scale shape: per-block Arrow (value, variant) count partials ->
+    one groupby; the folded histogram is METADATA-counted and only
+    collected under ``max_distinct`` distinct values (the
+    rank-family guard) -- above it the call raises with instructions
+    to quantize the metric first, exactly like the dense_rank family.
+    Rows with a null metric are excluded.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(
+                b.column(variant_col),
+                value_set=pa.array([variant_a, variant_b]),
+            ),
+            pc.is_valid(b.column(val_col)),
+        )
+        t = b.filter(keep)
+        x = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    t.column(val_col).cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"x": x, "v": t.column(variant_col)})
+            .group_by(["x", "v"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "x": g.column("x"),
+                "v": g.column("v"),
+                "n_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    hist_ds = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["x", "v"])
+        .aggregate(Sum("n_part"))
+        .materialize()
+    )
+    n_rows = hist_ds.count()
+    if n_rows > max_distinct:
+        raise ValueError(
+            f"rank_sum_test: {n_rows} distinct (value, variant) rows "
+            f"exceed max_distinct={max_distinct}; quantize the metric "
+            "(coarser cents) or hash-sample rows first"
+        )
+    ca_map, cb_map = {}, {}
+    for r in hist_ds.take_all():
+        if r["v"] == variant_a:
+            ca_map[int(r["x"])] = int(r["sum(n_part)"])
+        else:
+            cb_map[int(r["x"])] = int(r["sum(n_part)"])
+    na = sum(ca_map.values())
+    nb = sum(cb_map.values())
+    if na == 0 or nb == 0:
+        return pa.table(
+            {
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "u_a": pa.array([None], pa.float64()),
+                "z": pa.array([None], pa.float64()),
+                "ks_d": pa.array([None], pa.float64()),
+            }
+        )
+    two_ua = 0
+    tie = 0
+    cumb = 0  # combined count strictly below v
+    cuma_run = 0
+    cumb_run = 0
+    ks_d = 0.0
+    for x in sorted(set(ca_map) | set(cb_map)):
+        ca = ca_map.get(x, 0)
+        cb = cb_map.get(x, 0)
+        t = ca + cb
+        two_ua += ca * (2 * cumb + t + 1)
+        tie += t * t * t - t
+        cumb += t
+        cuma_run += ca
+        cumb_run += cb
+        gap = abs(
+            float(cuma_run) / float(na) - float(cumb_run) / float(nb)
+        )
+        if gap > ks_d:
+            ks_d = gap
+    u_a = float(two_ua - na * (na + 1)) / 2.0
+    nn = na + nb
+    mu = float(na) * float(nb) / 2.0
+    var = (
+        float(na * nb)
+        * (float(nn + 1) - float(tie) / float(nn * (nn - 1)))
+        / 12.0
+        if nn > 1
+        else 0.0
+    )
+    z = (u_a - mu) / math.sqrt(var) if var > 0 else None
+    return pa.table(
+        {
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "u_a": pa.array([u_a], pa.float64()),
+            "z": pa.array([z], pa.float64()),
+            "ks_d": pa.array([ks_d], pa.float64()),
+        }
+    )

@@ -6358,3 +6358,101 @@ def test_km_retention_differential(ray_session):
     s = mine["survival"].to_numpy()
     assert len(s) > 5 and (np.diff(s) <= 0).all()
     assert (s > 0).all() and (s <= 1).all()
+
+
+def test_rank_sum_test_differential(ray_session):
+    """rank_sum_test == DuckDB mirror AND scipy-free brute force on a
+    tie-heavy random sample; a planted location shift gives |z| >> 0
+    and the guard trips above max_distinct."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import rank_sum_test
+
+    rng = np.random.default_rng(121)
+    n = 3000
+    v = np.array(["A", "B", "noise"], dtype=object)[
+        rng.choice([0, 1, 1, 2], n)
+    ]
+    vals = np.floor(rng.uniform(0, 40, n)) / 2.0  # heavy ties
+    vals[v == "B"] += 1.5  # planted shift
+    vo = vals.astype(object)
+    vo[rng.random(n) < 0.02] = None
+    ev = pa.table(
+        {
+            "event_type": pa.array(list(v), pa.string()),
+            "value": pa.array(list(vo), pa.float64()),
+        }
+    )
+    got = rank_sum_test(
+        ray.data.from_arrow(ev).repartition(7), "A", "B"
+    ).to_pylist()[0]
+    con = duckdb.connect()
+    con.register("events", ev)
+    ref = con.execute(
+        "WITH c AS (SELECT CAST(floor(value * 100) AS BIGINT) AS x, "
+        "event_type AS v FROM events WHERE event_type IN ('A', 'B') "
+        "AND value IS NOT NULL), "
+        "h AS (SELECT x, CAST(count(*) FILTER (WHERE v = 'A') "
+        "AS BIGINT) AS ca, CAST(count(*) FILTER (WHERE v = 'B') "
+        "AS BIGINT) AS cb FROM c GROUP BY 1), "
+        "o AS (SELECT x, ca, cb, ca + cb AS t, "
+        "CAST(coalesce(sum(ca + cb) OVER (ORDER BY x ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb, "
+        "CAST(sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) "
+        "AS BIGINT) AS cuma_run, "
+        "CAST(sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) "
+        "AS BIGINT) AS cumb_run FROM h), "
+        "tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, "
+        "CAST(sum(cb) AS BIGINT) AS nb FROM h), "
+        "agg AS (SELECT sum(CAST(ca AS HUGEINT) * (2 * cumb + t + 1)) "
+        "AS two_ua, sum(CAST(t AS HUGEINT) * t * t - t) AS tie, "
+        "max(abs(CAST(cuma_run AS DOUBLE) / (SELECT CAST(na AS "
+        "DOUBLE) FROM tot) - CAST(cumb_run AS DOUBLE) / (SELECT "
+        "CAST(nb AS DOUBLE) FROM tot))) AS ks_d FROM o), "
+        "fin AS (SELECT t.na, t.nb, CAST(a.two_ua - CAST(t.na AS "
+        "HUGEINT) * (t.na + 1) AS DOUBLE) / 2.0 AS u_a, "
+        "CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE) / 2.0 AS mu, "
+        "CAST(CAST(t.na AS HUGEINT) * t.nb AS DOUBLE) * "
+        "(CAST(t.na + t.nb + 1 AS DOUBLE) - CAST(a.tie AS DOUBLE) / "
+        "CAST(CAST(t.na + t.nb AS HUGEINT) * (t.na + t.nb - 1) "
+        "AS DOUBLE)) / 12.0 AS vr, a.ks_d FROM tot t, agg a) "
+        "SELECT na, nb, u_a, CASE WHEN vr > 0 THEN (u_a - mu) / "
+        "sqrt(vr) END AS z, ks_d FROM fin"
+    ).fetchone()
+    assert (got["n_a"], got["n_b"]) == (ref[0], ref[1])
+    assert abs(got["u_a"] - ref[2]) < 1e-9
+    assert abs(got["z"] - ref[3]) < 1e-9
+    assert abs(got["ks_d"] - ref[4]) < 1e-12
+    # brute-force U from average ranks (pure numpy, independent path)
+    mask = np.array([x is not None for x in vo]) & np.isin(v, ["A", "B"])
+    xs = np.floor(np.array([x or 0 for x in vo])[mask] * 100).astype(
+        np.int64
+    )
+    sides = v[mask]
+    order = np.argsort(xs, kind="stable")
+    xs_s, sides_s = xs[order], sides[order]
+    ranks = np.empty(len(xs_s), dtype=np.float64)
+    i = 0
+    while i < len(xs_s):
+        j = i
+        while j < len(xs_s) and xs_s[j] == xs_s[i]:
+            j += 1
+        ranks[i:j] = (i + 1 + j) / 2.0
+        i = j
+    na = int((sides_s == "A").sum())
+    u_brute = float(ranks[sides_s == "A"].sum()) - na * (na + 1) / 2.0
+    assert abs(got["u_a"] - u_brute) < 1e-6
+    assert got["z"] < -3  # planted +1.5 shift on B
+    # guard: cap smaller than the distinct-value count raises
+    with pytest.raises(ValueError, match="max_distinct"):
+        rank_sum_test(
+            ray.data.from_arrow(ev).repartition(3),
+            "A",
+            "B",
+            max_distinct=5,
+        )
