@@ -3503,6 +3503,18 @@ def _q_mwu_click_view(sf_dir: str):
     )
 
 
+def _q_late_events(sf_dir: str):
+    """Watermark lateness audit (stages/events.late_events): running
+    max event time over arrival order via range buckets + broadcast
+    exclusive prefix maxes; per-day totals of events arriving more
+    than an hour behind the watermark."""
+    from console_log_parser_ray.stages.events import late_events
+
+    return late_events(
+        _events(sf_dir).select_columns(["event_id", "ts"])
+    )
+
+
 def _q_wmedian_qty(sf_dir: str):
     """Revenue-weighted median quantity per return flag
     (stages/events.weighted_median_per_group): exact integer-cent
@@ -4023,6 +4035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_click_view": _q_ab_click_view,
         "km_retention": _q_km_retention,
         "mwu_click_view": _q_mwu_click_view,
+        "late_events": _q_late_events,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -4745,6 +4758,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT na AS n_a, nb AS n_b, u_a, "
             "CASE WHEN vr > 0 THEN (u_a - mu) / sqrt(vr) END AS z, "
             "ks_d FROM fin"
+        ),
+        "late_events": (
+            # watermark = running max event time over arrival order
+            "WITH w AS (SELECT event_id, ts, epoch_us(max(ts) OVER ("
+            "ORDER BY event_id ROWS UNBOUNDED PRECEDING)) - "
+            "epoch_us(ts) AS late_us FROM events) "
+            "SELECT epoch_us(ts) // 86400000000 AS day, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(count(*) FILTER (WHERE late_us > 3600000000) "
+            "AS BIGINT) AS n_late, "
+            "CAST(max(late_us) AS BIGINT) AS max_late_us "
+            "FROM w GROUP BY 1"
         ),
         "wmedian_qty": (
             # lower weighted median over the compressed (group, value)

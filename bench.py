@@ -251,6 +251,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "ab_click_view",
         "km_retention",
         "mwu_click_view",
+        "late_events",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -4638,3 +4638,125 @@ def rank_sum_test(
             "ks_d": pa.array([ks_d], pa.float64()),
         }
     )
+
+
+def late_events(
+    ds,
+    threshold_us: int = 3_600_000_000,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    day_us: int = 86_400_000_000,
+    n_buckets: int = 64,
+):
+    """Watermark lateness accounting: replaying events in ARRIVAL
+    order (``id_col``), the watermark is the running maximum event
+    time seen so far; an event's lateness is ``watermark - its event
+    time``.  Output: per event-time day, total events, events later
+    than ``threshold_us``, and the worst lateness -- the
+    out-of-orderness audit that sizes allowed-lateness windows before
+    a streaming deployment.
+
+    The running max is a GLOBAL sequential dependency, made
+    distributed the same way ``interval_concurrency`` resolves global
+    order statistics: arrival ids range-partition into ``n_buckets``
+    contiguous buckets, a first tiny pass folds per-bucket max event
+    times (<= n_buckets rows to the driver), exclusive prefix maxes
+    broadcast, and the second pass computes every bucket's running
+    max locally (one sort + ``maximum.accumulate``) seeded by its
+    prefix.  Two streaming scans, integer microseconds end-to-end.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    mn_id = int(ds.min(id_col))
+    mx_id = int(ds.max(id_col))
+    width = (mx_id - mn_id) // n_buckets + 1
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).cast(pa.int64())
+        rb = pc.divide(
+            pc.subtract(ids, pa.scalar(mn_id, pa.int64())),
+            pa.scalar(width, pa.int64()),
+        )
+        return pa.table(
+            {
+                "rb": rb,
+                "i": ids,
+                "t": b.column(ts_col).cast(pa.int64()),
+            }
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def max_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["rb", "t"]).group_by("rb").aggregate(
+            [("t", "max")]
+        )
+        return pa.table(
+            {"rb": g.column("rb"), "tmax": g.column("t_max")}
+        )
+
+    bucket_rows = (
+        bucketed.map_batches(max_partial, batch_format="pyarrow")
+        .groupby("rb")
+        .aggregate(Max("tmax"))
+        .take_all()
+    )  # <= n_buckets rows
+    bmax = {int(r["rb"]): int(r["max(tmax)"]) for r in bucket_rows}
+    prefix = {}
+    run = None
+    for rb in sorted(bmax):
+        prefix[rb] = run  # exclusive: max over all earlier buckets
+        run = bmax[rb] if run is None else max(run, bmax[rb])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        rb = int(tbl.column("rb")[0].as_py())
+        i = tbl.column("i").to_numpy(zero_copy_only=False)
+        t = tbl.column("t").to_numpy(zero_copy_only=False)
+        order = np.argsort(i, kind="stable")
+        t_s = t[order]
+        wm = np.maximum.accumulate(t_s)
+        if prefix.get(rb) is not None:
+            wm = np.maximum(wm, np.int64(prefix[rb]))
+        late = wm - t_s
+        day = t_s // np.int64(day_us)
+        days, inv = np.unique(day, return_inverse=True)
+        n_ev = np.bincount(inv, minlength=len(days))
+        n_late = np.bincount(
+            inv,
+            weights=(late > np.int64(threshold_us)),
+            minlength=len(days),
+        )
+        mx_late = np.zeros(len(days), dtype=np.int64)
+        np.maximum.at(mx_late, inv, late)
+        return pa.table(
+            {
+                "day": pa.array(days, pa.int64()),
+                "ev_part": pa.array(
+                    n_ev.astype(np.int64), pa.int64()
+                ),
+                "late_part": pa.array(
+                    n_late.astype(np.int64), pa.int64()
+                ),
+                "mxl_part": pa.array(mx_late, pa.int64()),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": b.column("day"),
+                "n_events": b.column("sum(ev_part)").cast(pa.int64()),
+                "n_late": b.column("sum(late_part)").cast(pa.int64()),
+                "max_late_us": b.column("max(mxl_part)").cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    return (
+        bucketed.groupby("rb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("ev_part"), Sum("late_part"), Max("mxl_part"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

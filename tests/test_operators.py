@@ -6456,3 +6456,68 @@ def test_rank_sum_test_differential(ray_session):
             "B",
             max_distinct=5,
         )
+
+
+def test_late_events_differential(ray_session):
+    """late_events == the DuckDB running-max watermark mirror AND a
+    literal sequential replay, on a shuffled-arrival random stream."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import late_events
+
+    rng = np.random.default_rng(123)
+    n = 4000
+    day_us = 86_400_000_000
+    # event times roughly follow arrival, with heavy jitter so some
+    # arrive far behind the watermark
+    base = np.sort(rng.integers(0, 9 * day_us, n)).astype(np.int64)
+    jitter = rng.integers(-2 * day_us, day_us // 4, n)
+    ts = np.maximum(base + jitter, 0).astype(np.int64)
+    # non-contiguous, shuffled arrival ids
+    ids = rng.permutation(np.arange(1, 3 * n, 3, dtype=np.int64))
+    order = np.argsort(ids)  # arrival replay order
+    ev = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    thr = int(6 * 3_600_000_000)
+    mine = {
+        r["day"]: (r["n_events"], r["n_late"], r["max_late_us"])
+        for r in late_events(
+            ray.data.from_arrow(ev).repartition(7),
+            threshold_us=thr,
+            n_buckets=8,
+        ).take_all()
+    }
+    con = duckdb.connect()
+    con.register("events", ev)
+    ref = {
+        d: (a, b, c)
+        for d, a, b, c in con.execute(
+            "WITH w AS (SELECT event_id, ts, epoch_us(max(ts) OVER ("
+            "ORDER BY event_id ROWS UNBOUNDED PRECEDING)) - "
+            "epoch_us(ts) AS late_us FROM events) "
+            "SELECT epoch_us(ts) // 86400000000 AS day, "
+            "CAST(count(*) AS BIGINT), "
+            f"CAST(count(*) FILTER (WHERE late_us > {thr}) AS BIGINT), "
+            "CAST(max(late_us) AS BIGINT) FROM w GROUP BY 1"
+        ).fetchall()
+    }
+    assert mine == ref
+    # literal sequential replay
+    wm = -1
+    agg = {}
+    for k in order:
+        wm = max(wm, int(ts[k]))
+        late = wm - int(ts[k])
+        d = int(ts[k]) // day_us
+        e, l, m = agg.get(d, (0, 0, 0))
+        agg[d] = (e + 1, l + (late > thr), max(m, late))
+    assert mine == agg
+    assert sum(l for _, l, _ in mine.values()) > 0
