@@ -3909,6 +3909,147 @@ def _q_dedup_priority(sf_dir: str):
     return exact_dedup_priority(_docs(sf_dir), _DEDUP_PRIORITY)
 
 
+def _q_chisq_click_weekend(sf_dir: str):
+    """2x2 chi-square independence: is being a click (vs view)
+    independent of landing on a weekend?
+    (stages/events.chi2_contingency_2x2): per-block integer cell
+    partials, zero shuffle, single-float-expression statistics."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from console_log_parser_ray.stages.events import (
+        chi2_contingency_2x2,
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_in(
+                    b.column("event_type"),
+                    value_set=pa.array(["click", "view"]),
+                ),
+                pc.is_valid(b.column("ts")),
+            )
+        )
+        day = pc.divide(
+            t.column("ts").cast(pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()),
+        )
+        d4 = pc.add(day, pa.scalar(4, pa.int64()))
+        seven = pa.scalar(7, pa.int64())
+        # (day + 4) % 7 -- pyarrow has no mod kernel; epoch days are
+        # positive so truncating divide matches SQL %
+        dow = pc.subtract(d4, pc.multiply(pc.divide(d4, seven), seven))
+        return pa.table(
+            {
+                "a": pc.equal(t.column("event_type"), pa.scalar("click")),
+                "b": pc.is_in(dow, value_set=pa.array([0, 6], pa.int64())),
+            }
+        )
+
+    flags = (
+        _events(sf_dir)
+        .select_columns(["event_type", "ts"])
+        .map_batches(proj, batch_format="pyarrow")
+    )
+    return chi2_contingency_2x2(flags)
+
+
+def _q_spearman_qty_price(sf_dir: str):
+    """Exact tie-aware Spearman rank correlation between quantity and
+    price cents (stages/events.spearman_corr): joint distinct-value
+    histogram fold under the rank-family guard, doubled-rank HUGEINT
+    moment arithmetic, identical float finish as the SQL mirror."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import spearman_corr
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": b.column("l_quantity").cast(pa.int64()),
+                "y": pc.cast(
+                    pc.floor(
+                        pc.multiply(
+                            b.column("l_extendedprice").cast(
+                                pa.float64()
+                            ),
+                            pa.scalar(100.0, pa.float64()),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        _os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice"],
+    ).map_batches(proj, batch_format="pyarrow")
+    return spearman_corr(li)
+
+
+def _q_slo_burn(sf_dir: str):
+    """Two-window SLO burn-rate alerting over hourly error rates
+    (stages/events.slo_burn_alerts): one hour groupby of per-block
+    partials, span-bounded hourly table, integer cross-multiplied
+    thresholds, calendar RANGE windows via searchsorted prefix
+    diffs."""
+    from console_log_parser_ray.stages.events import slo_burn_alerts
+
+    return slo_burn_alerts(
+        _events(sf_dir).select_columns(["event_type", "ts"])
+    )
+
+
+def _q_dow_profile(sf_dir: str):
+    """Day-of-week seasonality profile per event type
+    (stages/events.dow_seasonality): (key, day) count partials +
+    distinct-day calendar, exact-integer rates with a single float
+    finish."""
+    from console_log_parser_ray.stages.events import dow_seasonality
+
+    return dow_seasonality(
+        _events(sf_dir).select_columns(["event_type", "ts"])
+    )
+
+
+def _q_flesch_docs(sf_dir: str):
+    """Per-document Flesch reading ease from three RE2 counts
+    (stages/textan.readability_scores): stateless vectorized
+    map_batches, single-float-expression score, bit-identical to the
+    regexp_extract_all SQL mirror."""
+    from console_log_parser_ray.stages.textan import readability_scores
+
+    return readability_scores(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    )
+
+
+def _q_split_leakage(sf_dir: str):
+    """Split-leakage audit per source under split_assign's md5 draw
+    (stages/export.split_leakage): per-block partial pivot counts,
+    one group-keyed shuffle, exact integer outputs."""
+    import os as _os
+
+    import ray.data
+
+    from console_log_parser_ray.stages.export import split_leakage
+
+    return split_leakage(
+        ray.data.read_parquet(
+            _os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source"],
+        )
+    )
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -4036,6 +4177,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "km_retention": _q_km_retention,
         "mwu_click_view": _q_mwu_click_view,
         "late_events": _q_late_events,
+        "chisq_click_weekend": _q_chisq_click_weekend,
+        "spearman_qty_price": _q_spearman_qty_price,
+        "slo_burn": _q_slo_burn,
+        "dow_profile": _q_dow_profile,
+        "flesch_docs": _q_flesch_docs,
+        "split_leakage_docs": _q_split_leakage,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -6421,6 +6568,152 @@ def oracle_sql() -> dict[str, str]:
     out["lang_rank_big"] = out["lang_rank"]
     out["top_decile_big"] = out["top_decile_docs"]
     out["mad_outliers_big"] = out["mad_outliers"]
+    out["chisq_click_weekend"] = (
+        # 2x2 chi-square / Yates / phi / odds ratio from four exact
+        # cell counts; weekday by pure epoch integer arithmetic
+        "WITH c AS (SELECT (event_type = 'click') AS a, "
+        "(((epoch_us(ts) // 86400000000) + 4) % 7) IN (0, 6) AS b "
+        "FROM events WHERE event_type IN ('click', 'view') "
+        "AND ts IS NOT NULL), "
+        "f AS (SELECT CAST(count(*) FILTER (WHERE a AND b) AS BIGINT) "
+        "AS n11, CAST(count(*) FILTER (WHERE a AND NOT b) AS BIGINT) "
+        "AS n10, CAST(count(*) FILTER (WHERE NOT a AND b) AS BIGINT) "
+        "AS n01, CAST(count(*) FILTER (WHERE NOT a AND NOT b) "
+        "AS BIGINT) AS n00 FROM c), "
+        "g AS (SELECT n11, n10, n01, n00, "
+        "n11 + n10 + n01 + n00 AS n, n11 + n10 AS r1, "
+        "n01 + n00 AS r0, n11 + n01 AS c1, n10 + n00 AS c0, "
+        "CAST(n11 AS HUGEINT) * n00 - CAST(n10 AS HUGEINT) * n01 "
+        "AS d FROM f), "
+        "h AS (SELECT *, CAST(r1 AS HUGEINT) * r0 * c1 * c0 AS den "
+        "FROM g) "
+        "SELECT n11, n10, n01, n00, "
+        "CASE WHEN den > 0 THEN CAST(CAST(n AS HUGEINT) * d * d "
+        "AS DOUBLE) / CAST(den AS DOUBLE) END AS chi2, "
+        "CASE WHEN den > 0 THEN (CASE WHEN 2 * abs(d) - n > 0 THEN "
+        "CAST(CAST(n AS HUGEINT) * (2 * abs(d) - n) * "
+        "(2 * abs(d) - n) AS DOUBLE) / CAST(4 * den AS DOUBLE) "
+        "ELSE 0.0 END) END AS chi2_yates, "
+        "CASE WHEN den > 0 THEN CAST(d AS DOUBLE) / "
+        "sqrt(CAST(CAST(r1 AS HUGEINT) * r0 AS DOUBLE) * "
+        "CAST(CAST(c1 AS HUGEINT) * c0 AS DOUBLE)) END AS phi, "
+        "CASE WHEN CAST(n10 AS HUGEINT) * n01 > 0 THEN "
+        "CAST(CAST(n11 AS HUGEINT) * n00 AS DOUBLE) / "
+        "CAST(CAST(n10 AS HUGEINT) * n01 AS DOUBLE) END "
+        "AS odds_ratio FROM h"
+    )
+    out["spearman_qty_price"] = (
+        # tie-aware Spearman via doubled average ranks; every moment
+        # is an exact HUGEINT, one float finish
+        "WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS x, "
+        "CAST(floor(l_extendedprice * 100) AS BIGINT) AS y "
+        "FROM lineitem WHERE l_quantity IS NOT NULL "
+        "AND l_extendedprice IS NOT NULL), "
+        "h AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n "
+        "FROM c GROUP BY 1, 2), "
+        "mx AS (SELECT x, CAST(sum(n) AS BIGINT) AS nx FROM h "
+        "GROUP BY 1), "
+        "rx AS (SELECT x, nx, CAST(2 * coalesce(sum(nx) OVER ("
+        "ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+        "PRECEDING), 0) + nx + 1 AS BIGINT) AS r FROM mx), "
+        "my AS (SELECT y, CAST(sum(n) AS BIGINT) AS ny FROM h "
+        "GROUP BY 1), "
+        "ry AS (SELECT y, ny, CAST(2 * coalesce(sum(ny) OVER ("
+        "ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+        "PRECEDING), 0) + ny + 1 AS BIGINT) AS r FROM my), "
+        "s AS (SELECT CAST(sum(n) AS HUGEINT) AS nn FROM h), "
+        "sx AS (SELECT sum(CAST(nx AS HUGEINT) * r) AS v1, "
+        "sum(CAST(nx AS HUGEINT) * r * r) AS v2, "
+        "CAST(count(*) AS BIGINT) AS nd FROM rx), "
+        "sy AS (SELECT sum(CAST(ny AS HUGEINT) * r) AS v1, "
+        "sum(CAST(ny AS HUGEINT) * r * r) AS v2, "
+        "CAST(count(*) AS BIGINT) AS nd FROM ry), "
+        "sxy AS (SELECT sum(CAST(h.n AS HUGEINT) * rx.r * ry.r) "
+        "AS v FROM h JOIN rx USING (x) JOIN ry USING (y)) "
+        "SELECT CAST(s.nn AS BIGINT) AS n, sx.nd AS nd_x, "
+        "sy.nd AS nd_y, "
+        "CASE WHEN s.nn * sx.v2 - sx.v1 * sx.v1 > 0 "
+        "AND s.nn * sy.v2 - sy.v1 * sy.v1 > 0 THEN "
+        "CAST(s.nn * sxy.v - sx.v1 * sy.v1 AS DOUBLE) / "
+        "sqrt(CAST(s.nn * sx.v2 - sx.v1 * sx.v1 AS DOUBLE) * "
+        "CAST(s.nn * sy.v2 - sy.v1 * sy.v1 AS DOUBLE)) END AS rho "
+        "FROM s, sx, sy, sxy"
+    )
+    out["slo_burn"] = (
+        # two-window burn rule, integer cross-multiplication only;
+        # RANGE window over hour values matches the searchsorted
+        # prefix-diff exactly
+        "WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour, "
+        "CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER ("
+        "WHERE event_type = 'error') AS BIGINT) AS e FROM events "
+        "WHERE ts IS NOT NULL GROUP BY 1), "
+        "w AS (SELECT hour, n, e, CAST(sum(n) OVER (ORDER BY hour "
+        "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS nw, "
+        "CAST(sum(e) OVER (ORDER BY hour RANGE BETWEEN 5 PRECEDING "
+        "AND CURRENT ROW) AS BIGINT) AS ew FROM h) "
+        "SELECT hour, n AS n_events, e AS n_errors, nw AS n_window, "
+        "ew AS e_window, (e * 10 > n AND ew * 20 > nw) AS alert "
+        "FROM w"
+    )
+    out["dow_profile"] = (
+        # weekday by epoch integer arithmetic; distinct-day calendar
+        # weights partially-covered weeks correctly
+        "WITH c AS (SELECT event_type AS k, "
+        "epoch_us(ts) // 86400000000 AS day FROM events "
+        "WHERE ts IS NOT NULL AND event_type IS NOT NULL), "
+        "kd AS (SELECT k, (day + 4) % 7 AS dow, "
+        "CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2), "
+        "dd AS (SELECT (day + 4) % 7 AS dow, "
+        "CAST(count(*) AS BIGINT) AS nd FROM ("
+        "SELECT DISTINCT day FROM c) GROUP BY 1), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS d_total FROM ("
+        "SELECT DISTINCT day FROM c)), "
+        "nk AS (SELECT k, CAST(sum(n) AS BIGINT) AS n_k FROM kd "
+        "GROUP BY 1) "
+        "SELECT kd.k, CAST(kd.dow AS BIGINT) AS dow, "
+        "kd.n AS n_events, dd.nd AS n_days, "
+        "CAST(kd.n AS DOUBLE) / CAST(dd.nd AS DOUBLE) "
+        "AS events_per_day, "
+        "CAST(kd.n * tot.d_total AS DOUBLE) / "
+        "CAST(dd.nd * nk.n_k AS DOUBLE) AS season_idx "
+        "FROM kd JOIN dd USING (dow) JOIN nk USING (k), tot"
+    )
+    out["flesch_docs"] = (
+        # three RE2 counts -> one float expression, identical
+        # association both sides
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+')) "
+        "AS BIGINT) AS n_words, "
+        "CAST(greatest(len(regexp_extract_all(coalesce(text, ''), "
+        "'[.!?]+')), 1) AS BIGINT) AS n_sentences, "
+        "CAST(len(regexp_extract_all(coalesce(text, ''), "
+        "'[aeiouyAEIOUY]+')) AS BIGINT) AS n_syllables, "
+        "CASE WHEN len(regexp_extract_all(coalesce(text, ''), "
+        "'\\S+')) > 0 THEN 206.835 - 1.015 * ("
+        "CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+')) "
+        "AS DOUBLE) / CAST(greatest(len(regexp_extract_all("
+        "coalesce(text, ''), '[.!?]+')), 1) AS DOUBLE)) - 84.6 * ("
+        "CAST(len(regexp_extract_all(coalesce(text, ''), "
+        "'[aeiouyAEIOUY]+')) AS DOUBLE) / "
+        "CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+')) "
+        "AS DOUBLE)) END AS flesch FROM documents"
+    )
+    out["split_leakage_docs"] = (
+        # same md5 52-bit-prefix chain and cut literals as
+        # split_assign_docs, folded per source
+        "WITH s AS (SELECT source, CASE WHEN ('0x' || substr(md5("
+        "CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT / "
+        "4503599627370496.0 < 0.9 THEN 0 WHEN ('0x' || substr(md5("
+        "CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT / "
+        "4503599627370496.0 < 0.95 THEN 1 ELSE 2 END AS si "
+        "FROM documents), "
+        "f AS (SELECT source, CAST(count(*) FILTER (WHERE si = 0) "
+        "AS BIGINT) AS n_train, CAST(count(*) FILTER (WHERE si = 1) "
+        "AS BIGINT) AS n_val, CAST(count(*) FILTER (WHERE si = 2) "
+        "AS BIGINT) AS n_test FROM s GROUP BY 1) "
+        "SELECT source, n_train, n_val, n_test, "
+        "(n_train > 0 AND n_test > 0) AS leaky FROM f"
+    )
     # generated from the same term list as the Ray query, so the
     # engine and its mirror can never drift
     from console_log_parser_ray.stages.search import bm25_oracle_sql

@@ -252,6 +252,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "km_retention",
         "mwu_click_view",
         "late_events",
+        "chisq_click_weekend",
+        "spearman_qty_price",
+        "slo_burn",
+        "dow_profile",
+        "flesch_docs",
+        "split_leakage_docs",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -4760,3 +4760,418 @@ def late_events(
         .aggregate(Sum("ev_part"), Sum("late_part"), Max("mxl_part"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def chi2_contingency_2x2(ds, a_col: str = "a", b_col: str = "b"):
+    """Exact 2x2 chi-square independence test between two boolean
+    columns, plus the Yates-corrected statistic, the phi coefficient
+    and the odds ratio -- the categorical counterpart of ``welch_ab``
+    / ``rank_sum_test`` that answers "is conversion independent of
+    the variant" from counts alone.
+
+    The whole test is a function of four cell counts, so the
+    distributed part is one per-block partial fold of
+    ``(n11, n10, n01, n00)`` (ints, combine-order-exact) and the
+    statistics are SINGLE float expressions of exact integers,
+    mirrored verbatim in the SQL oracle:
+
+        d    = n11*n00 - n10*n01            (exact int)
+        chi2 = n*d^2 / (r1*r0*c1*c0)        (one float division)
+        yates uses (2|d| - n) halves scaled by 4 to stay integral
+
+    All products run in arbitrary-precision Python ints (HUGEINT on
+    the SQL side), so 10^12-row inputs cannot overflow.  Rows with a
+    null flag on either side are excluded (SQL boolean FILTER
+    semantics).  No shuffle at all: partials stream, the driver folds
+    four integers.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(b.column(a_col)), pc.is_valid(b.column(b_col))
+        )
+        t = b.filter(keep)
+        a = t.column(a_col).cast(pa.bool_())
+        bb = t.column(b_col).cast(pa.bool_())
+        na = pc.invert(a)
+        nb = pc.invert(bb)
+
+        def cnt(x, y):
+            return pc.sum(
+                pc.cast(pc.and_(x, y), pa.int64()), min_count=0
+            ).as_py()
+
+        return pa.table(
+            {
+                "n11": pa.array([cnt(a, bb)], pa.int64()),
+                "n10": pa.array([cnt(a, nb)], pa.int64()),
+                "n01": pa.array([cnt(na, bb)], pa.int64()),
+                "n00": pa.array([cnt(na, nb)], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("n11"), Sum("n10"), Sum("n01"), Sum("n00"))
+    )
+    n11 = int(agg["sum(n11)"] or 0)
+    n10 = int(agg["sum(n10)"] or 0)
+    n01 = int(agg["sum(n01)"] or 0)
+    n00 = int(agg["sum(n00)"] or 0)
+    n = n11 + n10 + n01 + n00
+    r1, r0 = n11 + n10, n01 + n00
+    c1, c0 = n11 + n01, n10 + n00
+    den = r1 * r0 * c1 * c0
+    d = n11 * n00 - n10 * n01
+    if den > 0:
+        chi2 = float(n * d * d) / float(den)
+        phi = float(d) / math.sqrt(float(r1 * r0) * float(c1 * c0))
+        hy = 2 * abs(d) - n  # doubled |d| - n/2 halves
+        chi2_yates = (
+            float(n * hy * hy) / float(4 * den) if hy > 0 else 0.0
+        )
+    else:
+        chi2 = phi = chi2_yates = None
+    odds = (
+        float(n11 * n00) / float(n10 * n01) if n10 * n01 > 0 else None
+    )
+    return pa.table(
+        {
+            "n11": pa.array([n11], pa.int64()),
+            "n10": pa.array([n10], pa.int64()),
+            "n01": pa.array([n01], pa.int64()),
+            "n00": pa.array([n00], pa.int64()),
+            "chi2": pa.array([chi2], pa.float64()),
+            "chi2_yates": pa.array([chi2_yates], pa.float64()),
+            "phi": pa.array([phi], pa.float64()),
+            "odds_ratio": pa.array([odds], pa.float64()),
+        }
+    )
+
+
+def spearman_corr(
+    ds,
+    x_col: str = "x",
+    y_col: str = "y",
+    max_distinct: int = 2_000_000,
+):
+    """Exact tie-aware Spearman rank correlation between two integer
+    metric columns: Pearson correlation over average ranks, computed
+    entirely from the JOINT distinct-value histogram -- the monotone-
+    association readout that, unlike Pearson on raw values, ignores
+    outliers and nonlinearity.
+
+    Average ranks with ties are half-integers; both sides work with
+    DOUBLED ranks ``R(v) = 2*cum_before(v) + n(v) + 1`` so every
+    moment (S_x, S_xx, S_xy, ...) is an exact integer --
+    arbitrary-precision Python ints here, HUGEINT in the SQL mirror
+    -- and the correlation is one float expression of exact ints
+    (the doubling cancels):
+
+        rho = (N*S_xy - S_x*S_y) /
+              sqrt((N*S_xx - S_x^2) * (N*S_yy - S_y^2))
+
+    Scale shape: per-block Arrow (x, y) count partials -> one
+    groupby; the folded joint histogram is metadata-counted and only
+    collected under ``max_distinct`` (the rank-family guard -- above
+    it the call raises with quantize-first instructions).  Null on
+    either side excludes the row.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(b.column(x_col)), pc.is_valid(b.column(y_col))
+        )
+        t = b.filter(keep)
+        g = (
+            pa.table(
+                {
+                    "x": t.column(x_col).cast(pa.int64()),
+                    "y": t.column(y_col).cast(pa.int64()),
+                }
+            )
+            .group_by(["x", "y"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "x": g.column("x"),
+                "y": g.column("y"),
+                "n_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    hist_ds = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Sum("n_part"))
+        .materialize()
+    )
+    n_rows = hist_ds.count()
+    if n_rows > max_distinct:
+        raise ValueError(
+            f"spearman_corr: {n_rows} distinct (x, y) pairs exceed "
+            f"max_distinct={max_distinct}; quantize the metrics "
+            "(coarser cents) or hash-sample rows first"
+        )
+    xs, ys, ns = [], [], []
+    for r in hist_ds.take_all():
+        xs.append(int(r["x"]))
+        ys.append(int(r["y"]))
+        ns.append(int(r["sum(n_part)"]))
+    if not ns:
+        return pa.table(
+            {
+                "n": pa.array([0], pa.int64()),
+                "nd_x": pa.array([0], pa.int64()),
+                "nd_y": pa.array([0], pa.int64()),
+                "rho": pa.array([None], pa.float64()),
+            }
+        )
+    nx_map: dict = {}
+    ny_map: dict = {}
+    for x, y, c in zip(xs, ys, ns):
+        nx_map[x] = nx_map.get(x, 0) + c
+        ny_map[y] = ny_map.get(y, 0) + c
+
+    def doubled_ranks(marg: dict) -> dict:
+        out = {}
+        cum = 0
+        for v in sorted(marg):
+            out[v] = 2 * cum + marg[v] + 1
+            cum += marg[v]
+        return out
+
+    rx = doubled_ranks(nx_map)
+    ry = doubled_ranks(ny_map)
+    big_n = sum(ns)
+    sx = sum(c * rx[x] for x, c in nx_map.items())
+    sxx = sum(c * rx[x] * rx[x] for x, c in nx_map.items())
+    sy = sum(c * ry[y] for y, c in ny_map.items())
+    syy = sum(c * ry[y] * ry[y] for y, c in ny_map.items())
+    sxy = sum(c * rx[x] * ry[y] for x, y, c in zip(xs, ys, ns))
+    num = big_n * sxy - sx * sy
+    dx = big_n * sxx - sx * sx
+    dy = big_n * syy - sy * sy
+    rho = (
+        float(num) / math.sqrt(float(dx) * float(dy))
+        if dx > 0 and dy > 0
+        else None
+    )
+    return pa.table(
+        {
+            "n": pa.array([big_n], pa.int64()),
+            "nd_x": pa.array([len(nx_map)], pa.int64()),
+            "nd_y": pa.array([len(ny_map)], pa.int64()),
+            "rho": pa.array([rho], pa.float64()),
+        }
+    )
+
+
+def slo_burn_alerts(
+    ds,
+    err_type: str = "error",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    hour_us: int = 3_600_000_000,
+    window_hours: int = 6,
+    short_num: int = 1,
+    short_den: int = 10,
+    long_num: int = 1,
+    long_den: int = 20,
+    max_hours: int = 2_000_000,
+):
+    """Multi-window SLO burn-rate alerting: per hour, the error count
+    and total, the trailing ``window_hours`` RANGE-window sums over
+    hour VALUES (calendar hours, so gaps in traffic do not stretch
+    the window), and an alert flag that fires only when BOTH the
+    fast window (this hour's error rate > short_num/short_den) and
+    the slow window (trailing rate > long_num/long_den) burn -- the
+    standard two-window pager rule that ignores one-hour blips and
+    slow drips alike.
+
+    All comparisons are integer cross-multiplications
+    (``e * den > num * n``), so the output is ints + bools --
+    combine-order-exact and bit-identical to the SQL mirror's RANGE
+    window.  Scale shape: one (hour) groupby of per-block partials
+    (shuffle volume = distinct hours per block); the folded hourly
+    table is metadata-counted and only collected under ``max_hours``
+    (a century of hours is ~876k rows -- the table is bounded by the
+    time span, never by event volume); the trailing sums resolve
+    with two searchsorted prefix-diffs.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b.column(ts_col)))
+        hour = pc.divide(
+            t.column(ts_col).cast(pa.int64()),
+            pa.scalar(hour_us, pa.int64()),
+        )
+        is_err = pc.cast(
+            pc.equal(t.column(type_col), pa.scalar(err_type)),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"hour": hour, "e": pc.fill_null(is_err, 0)})
+            .group_by("hour")
+            .aggregate([("e", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "hour": g.column("hour"),
+                "e_part": g.column("e_sum").cast(pa.int64()),
+                "n_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("e_part"), Sum("n_part"))
+        .materialize()
+    )
+    n_rows = hourly.count()
+    if n_rows > max_hours:
+        raise ValueError(
+            f"slo_burn_alerts: {n_rows} distinct hours exceed "
+            f"max_hours={max_hours}; coarsen hour_us"
+        )
+    rows = hourly.take_all()
+    hours = np.array([int(r["hour"]) for r in rows], np.int64)
+    errs = np.array([int(r["sum(e_part)"]) for r in rows], np.int64)
+    tots = np.array([int(r["sum(n_part)"]) for r in rows], np.int64)
+    order = np.argsort(hours, kind="stable")
+    hours, errs, tots = hours[order], errs[order], tots[order]
+    ce = np.concatenate([[0], np.cumsum(errs)])
+    cn = np.concatenate([[0], np.cumsum(tots)])
+    # RANGE BETWEEN (window_hours-1) PRECEDING AND CURRENT ROW over
+    # hour VALUES: first index with hour >= h - (window_hours - 1)
+    lo = np.searchsorted(hours, hours - np.int64(window_hours - 1))
+    hi = np.arange(1, len(hours) + 1)
+    e_w = ce[hi] - ce[lo]
+    n_w = cn[hi] - cn[lo]
+    alert = (errs * np.int64(short_den) > np.int64(short_num) * tots) & (
+        e_w * np.int64(long_den) > np.int64(long_num) * n_w
+    )
+    return pa.table(
+        {
+            "hour": pa.array(hours, pa.int64()),
+            "n_events": pa.array(tots, pa.int64()),
+            "n_errors": pa.array(errs, pa.int64()),
+            "n_window": pa.array(n_w.astype(np.int64), pa.int64()),
+            "e_window": pa.array(e_w.astype(np.int64), pa.int64()),
+            "alert": pa.array(alert, pa.bool_()),
+        }
+    )
+
+
+def dow_seasonality(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    day_us: int = 86_400_000_000,
+    max_days: int = 2_000_000,
+):
+    """Day-of-week seasonality profile per key: events per calendar
+    day of that weekday, and the seasonality index -- the ratio of
+    the key's per-day rate on that weekday to the key's overall
+    per-day rate -- the traffic-shape audit run before picking
+    maintenance windows or normalizing anomaly thresholds.
+
+    Weekday is pure integer arithmetic on epoch microseconds
+    (``dow = (epoch_day + 4) % 7``, 0 = Sunday), identical on both
+    sides -- no timezone or locale functions involved.  Day counts
+    per weekday come from the corpus's DISTINCT event days (bounded
+    by the time span, guarded by ``max_days``), so partially-covered
+    weeks weight correctly.  Both outputs are single float
+    expressions of exact integers:
+
+        events_per_day = n / nd
+        season_idx     = (n * d_total) / (nd * n_key_total)
+
+    Scale shape: one (key, dow) groupby of per-block count partials
+    plus one (day) groupby for the distinct-day calendar; both folded
+    tables are tiny (keys x 7 and span-days rows).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(ts_col)),
+                pc.is_valid(b.column(key_col)),
+            )
+        )
+        day = pc.divide(
+            t.column(ts_col).cast(pa.int64()),
+            pa.scalar(day_us, pa.int64()),
+        )
+        g = (
+            pa.table({"k": t.column(key_col), "day": day})
+            .group_by(["k", "day"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "k": g.column("k"),
+                "day": g.column("day"),
+                "n_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    day_tbl = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["k", "day"])
+        .aggregate(Sum("n_part"))
+        .materialize()
+    )
+    n_rows = day_tbl.count()
+    if n_rows > max_days:
+        raise ValueError(
+            f"dow_seasonality: {n_rows} (key, day) rows exceed "
+            f"max_days={max_days}; coarsen day_us"
+        )
+    per_kd: dict = {}
+    days: set = set()
+    for r in day_tbl.take_all():
+        k, day, c = r["k"], int(r["day"]), int(r["sum(n_part)"])
+        per_kd[(k, day)] = per_kd.get((k, day), 0) + c
+        days.add(day)
+    dow_days: dict = {}
+    for day in days:
+        dw = (day + 4) % 7
+        dow_days[dw] = dow_days.get(dw, 0) + 1
+    d_total = len(days)
+    n_key: dict = {}
+    n_kd: dict = {}
+    for (k, day), c in per_kd.items():
+        dw = (day + 4) % 7
+        n_key[k] = n_key.get(k, 0) + c
+        n_kd[(k, dw)] = n_kd.get((k, dw), 0) + c
+    ks, dws, nev, ndy, epd, idx = [], [], [], [], [], []
+    for (k, dw) in sorted(n_kd):
+        n = n_kd[(k, dw)]
+        nd = dow_days[dw]
+        ks.append(k)
+        dws.append(dw)
+        nev.append(n)
+        ndy.append(nd)
+        epd.append(float(n) / float(nd))
+        idx.append(float(n * d_total) / float(nd * n_key[k]))
+    return pa.table(
+        {
+            "k": pa.array(ks, pa.string()),
+            "dow": pa.array(dws, pa.int64()),
+            "n_events": pa.array(nev, pa.int64()),
+            "n_days": pa.array(ndy, pa.int64()),
+            "events_per_day": pa.array(epd, pa.float64()),
+            "season_idx": pa.array(idx, pa.float64()),
+        }
+    )

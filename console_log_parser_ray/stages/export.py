@@ -600,3 +600,83 @@ def quota_alloc(ds, budget: int, group_col: str = "source"):
             ),
         }
     )
+
+
+def split_leakage(
+    ds,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    labels: tuple = ("train", "val", "test"),
+    cuts: tuple = (0.9, 0.95),
+):
+    """Split-leakage audit: for every group (source / domain /
+    conversation), how many of its rows ``split_assign``'s id-hash
+    draw lands in each split, and whether the group LEAKS -- has rows
+    in both train and the final (eval) split.  Row-level hash splits
+    leak every multi-row group by construction; this is the check a
+    pipeline runs to decide it must split by group key instead.
+
+    Same md5 52-bit-prefix -> exact-double chain and cut literals as
+    ``split_assign``/``weighted_sample``, so the SQL mirror assigns
+    identical splits.  Scale shape: per-block partial pivot counts
+    (group x |labels| ints) -> one small groupby keyed by group; no
+    text moves, output bounded by group cardinality.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    if len(cuts) != len(labels) - 1:
+        raise ValueError("split_leakage: need len(labels)-1 cuts")
+    two52 = float(1 << 52)
+    bounds = np.array(list(cuts) + [np.inf], np.float64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).combine_chunks().cast(pa.int64())
+        id_np = ids.to_numpy(zero_copy_only=False)
+        hv = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+                for i in id_np
+            ),
+            dtype=np.int64,
+            count=len(id_np),
+        )
+        idx = np.searchsorted(bounds, hv.astype(np.float64) / two52,
+                              side="right")
+        cols = {"g": b.column(group_col)}
+        for li in range(len(labels)):
+            cols[f"s{li}"] = pa.array(
+                (idx == li).astype(np.int64), pa.int64()
+            )
+        g = (
+            pa.table(cols)
+            .group_by("g")
+            .aggregate([(f"s{li}", "sum") for li in range(len(labels))])
+        )
+        out = {"g": g.column("g")}
+        for li in range(len(labels)):
+            out[f"s{li}_part"] = g.column(f"s{li}_sum").cast(pa.int64())
+        return pa.table(out)
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(*[Sum(f"s{li}_part") for li in range(len(labels))])
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        out = {group_col: b.column("g")}
+        for li, lab in enumerate(labels):
+            out[f"n_{lab}"] = b.column(f"sum(s{li}_part)").cast(
+                pa.int64()
+            )
+        out["leaky"] = pc.and_(
+            pc.greater(out[f"n_{labels[0]}"], pa.scalar(0, pa.int64())),
+            pc.greater(
+                out[f"n_{labels[-1]}"], pa.scalar(0, pa.int64())
+            ),
+        )
+        return pa.table(out)
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -6521,3 +6521,326 @@ def test_late_events_differential(ray_session):
         agg[d] = (e + 1, l + (late > thr), max(m, late))
     assert mine == agg
     assert sum(l for _, l, _ in mine.values()) > 0
+
+
+def test_chi2_contingency_2x2_differential(ray_session):
+    """chi2_contingency_2x2 == hand formula on a planted-association
+    random table; independence gives chi2 ~ 0 on a balanced design."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        chi2_contingency_2x2,
+    )
+
+    rng = np.random.default_rng(77)
+    n = 5000
+    a = rng.random(n) < 0.4
+    # planted dependence: b more likely when a
+    b = rng.random(n) < np.where(a, 0.7, 0.3)
+    ao = a.astype(object)
+    bo = b.astype(object)
+    ao[rng.random(n) < 0.03] = None
+    bo[rng.random(n) < 0.03] = None
+    t = pa.table(
+        {
+            "a": pa.array(list(ao), pa.bool_()),
+            "b": pa.array(list(bo), pa.bool_()),
+        }
+    )
+    got = chi2_contingency_2x2(
+        ray.data.from_arrow(t).repartition(5)
+    ).to_pylist()[0]
+    keep = np.array([x is not None and y is not None
+                     for x, y in zip(ao, bo)])
+    av, bv = a[keep], b[keep]
+    n11 = int(np.sum(av & bv))
+    n10 = int(np.sum(av & ~bv))
+    n01 = int(np.sum(~av & bv))
+    n00 = int(np.sum(~av & ~bv))
+    assert (got["n11"], got["n10"], got["n01"], got["n00"]) == (
+        n11,
+        n10,
+        n01,
+        n00,
+    )
+    nn = n11 + n10 + n01 + n00
+    r1, r0, c1, c0 = n11 + n10, n01 + n00, n11 + n01, n10 + n00
+    d = n11 * n00 - n10 * n01
+    chi2 = float(nn * d * d) / float(r1 * r0 * c1 * c0)
+    assert got["chi2"] == chi2
+    assert got["phi"] == float(d) / math.sqrt(
+        float(r1 * r0) * float(c1 * c0)
+    )
+    # brute-force expected-count formulation agrees to float noise
+    exp = np.array(
+        [
+            [r1 * c1 / nn, r1 * c0 / nn],
+            [r0 * c1 / nn, r0 * c0 / nn],
+        ]
+    )
+    obs = np.array([[n11, n10], [n01, n00]], dtype=float)
+    assert abs(chi2 - float(((obs - exp) ** 2 / exp).sum())) < 1e-6
+    assert got["chi2"] > 100.0  # the planted association is strong
+    assert got["odds_ratio"] > 1.0
+
+
+def test_spearman_corr_differential(ray_session):
+    """spearman_corr == pandas average-rank Pearson on a tie-heavy
+    random sample; the guard trips above max_distinct."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import spearman_corr
+
+    rng = np.random.default_rng(99)
+    n = 4000
+    x = rng.integers(0, 60, n)  # heavy ties
+    y = 3 * x + rng.integers(-40, 40, n)  # monotone-ish + noise
+    xo, yo = x.astype(object), y.astype(object)
+    xo[rng.random(n) < 0.02] = None
+    yo[rng.random(n) < 0.02] = None
+    t = pa.table(
+        {
+            "x": pa.array(list(xo), pa.int64()),
+            "y": pa.array(list(yo), pa.int64()),
+        }
+    )
+    got = spearman_corr(
+        ray.data.from_arrow(t).repartition(6)
+    ).to_pylist()[0]
+    df = pd.DataFrame({"x": xo, "y": yo}).dropna()
+    rx = df["x"].rank(method="average")
+    ry = df["y"].rank(method="average")
+    ref = float(np.corrcoef(rx, ry)[0, 1])
+    assert got["n"] == len(df)
+    assert abs(got["rho"] - ref) < 1e-9
+    assert got["rho"] > 0.8  # planted monotone association
+    with pytest.raises(ValueError, match="max_distinct"):
+        spearman_corr(ray.data.from_arrow(t), max_distinct=10)
+
+
+def test_slo_burn_alerts_differential(ray_session):
+    """slo_burn_alerts == pandas RANGE-window brute force, including
+    hour gaps (calendar window, not row window)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import slo_burn_alerts
+
+    rng = np.random.default_rng(5)
+    n = 6000
+    # hours with deliberate gaps + a planted burst
+    hours = np.sort(rng.choice(np.arange(0, 300, dtype=np.int64), n))
+    hours = hours[(hours % 13 != 0)]  # punch gaps
+    kinds = np.where(
+        rng.random(len(hours)) < np.where(hours % 50 < 3, 0.5, 0.02),
+        "error",
+        "click",
+    )
+    t = pa.table(
+        {
+            "event_type": pa.array(list(kinds), pa.string()),
+            "ts": pa.array(
+                hours * 3_600_000_000 + 7, pa.timestamp("us")
+            ),
+        }
+    )
+    got = (
+        slo_burn_alerts(ray.data.from_arrow(t).repartition(4))
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"hour": hours, "err": kinds == "error"})
+    h = (
+        df.groupby("hour")
+        .agg(n=("err", "size"), e=("err", "sum"))
+        .reset_index()
+    )
+    nw, ew = [], []
+    for hr in h["hour"]:
+        m = (h["hour"] >= hr - 5) & (h["hour"] <= hr)
+        nw.append(int(h.loc[m, "n"].sum()))
+        ew.append(int(h.loc[m, "e"].sum()))
+    assert list(got["hour"]) == list(h["hour"])
+    assert list(got["n_events"]) == list(h["n"])
+    assert list(got["n_errors"]) == list(h["e"])
+    assert list(got["n_window"]) == nw
+    assert list(got["e_window"]) == ew
+    ref_alert = (h["e"].to_numpy() * 10 > h["n"].to_numpy()) & (
+        np.array(ew) * 20 > np.array(nw)
+    )
+    assert list(got["alert"]) == list(ref_alert)
+    assert ref_alert.any()  # the planted burst fires
+
+
+def test_dow_seasonality_differential(ray_session):
+    """dow_seasonality == pandas brute force with a planted weekend
+    spike; distinct-day calendar weights partial weeks."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import dow_seasonality
+
+    rng = np.random.default_rng(17)
+    n = 8000
+    days = rng.integers(0, 45, n)  # ~6.4 weeks: partial coverage
+    dow = (days + 4) % 7
+    keep = rng.random(n) < np.where(np.isin(dow, (0, 6)), 0.9, 0.4)
+    days = days[keep]
+    kinds = np.where(rng.random(len(days)) < 0.5, "click", "view")
+    t = pa.table(
+        {
+            "event_type": pa.array(list(kinds), pa.string()),
+            "ts": pa.array(
+                days * 86_400_000_000 + 123, pa.timestamp("us")
+            ),
+        }
+    )
+    got = (
+        dow_seasonality(ray.data.from_arrow(t).repartition(4))
+        .to_pandas()
+        .sort_values(["k", "dow"])
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame(
+        {"k": kinds, "day": days, "dow": (days + 4) % 7}
+    )
+    d_total = df["day"].nunique()
+    dd = df.drop_duplicates("day").groupby("dow").size()
+    ref = (
+        df.groupby(["k", "dow"])
+        .size()
+        .reset_index(name="n")
+        .sort_values(["k", "dow"])
+        .reset_index(drop=True)
+    )
+    nk = df.groupby("k").size()
+    assert list(got["k"]) == list(ref["k"])
+    assert list(got["dow"]) == list(ref["dow"])
+    assert list(got["n_events"]) == list(ref["n"])
+    for _, r in got.iterrows():
+        assert r["n_days"] == dd[r["dow"]]
+        assert r["events_per_day"] == float(r["n_events"]) / float(
+            dd[r["dow"]]
+        )
+        assert r["season_idx"] == float(
+            r["n_events"] * d_total
+        ) / float(dd[r["dow"]] * nk[r["k"]])
+    # weekend dows (0, 6) were planted hotter
+    wk = got[got["dow"].isin((0, 6))]["season_idx"].mean()
+    wd = got[~got["dow"].isin((0, 6))]["season_idx"].mean()
+    assert wk > wd
+
+
+def test_readability_scores_differential(ray_session):
+    """readability_scores == python re brute force; empty / null
+    text gives NULL score; punctuation-free prose is one sentence."""
+    import re
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import readability_scores
+
+    texts = [
+        "The quick brown fox jumps. It runs! Does it rest?",
+        "no punctuation here just words",
+        "",
+        None,
+        "aeiou bcdfg xyz!!!",
+        "Syllables are approximated by vowel groups, imperfectly.",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        readability_scores(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, txt in enumerate(texts):
+        s = txt or ""
+        w = len(re.findall(r"\S+", s))
+        se = max(len(re.findall(r"[.!?]+", s)), 1)
+        sy = len(re.findall(r"[aeiouyAEIOUY]+", s))
+        row = got.iloc[i]
+        assert row["n_words"] == w
+        assert row["n_sentences"] == se
+        assert row["n_syllables"] == sy
+        if w == 0:
+            assert row["flesch"] != row["flesch"]  # NaN/NULL
+        else:
+            assert row["flesch"] == 206.835 - 1.015 * (
+                float(w) / float(se)
+            ) - 84.6 * (float(sy) / float(w))
+
+
+def test_split_leakage_differential(ray_session):
+    """split_leakage == hashlib brute force; counts sum to group
+    sizes and multi-row groups leak under the row-level hash."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.export import split_leakage
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    groups = np.array([f"g{int(i)}" for i in rng.integers(0, 12, n)])
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": pa.array(list(groups), pa.string()),
+        }
+    )
+    got = (
+        split_leakage(
+            ray.data.from_arrow(t).repartition(5),
+            group_col="source",
+        )
+        .to_pandas()
+        .set_index("source")
+    )
+    two52 = float(1 << 52)
+    ref: dict = {}
+    for i, g in zip(ids, groups):
+        u = (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+            / two52
+        )
+        si = 0 if u < 0.9 else (1 if u < 0.95 else 2)
+        ref.setdefault(g, [0, 0, 0])[si] += 1
+    assert len(got) == len(ref)
+    for g, (a, b, c) in ref.items():
+        row = got.loc[g]
+        assert (row["n_train"], row["n_val"], row["n_test"]) == (
+            a,
+            b,
+            c,
+        )
+        assert bool(row["leaky"]) == (a > 0 and c > 0)

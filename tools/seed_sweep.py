@@ -4055,6 +4055,286 @@ def growth_quality_family(seed):
     )
 
 
+
+def stats_quality_family(seed):
+    """Round-4e operators vs DuckDB on fresh random inputs: 2x2
+    chi-square, Spearman rank correlation, SLO burn alerts,
+    day-of-week seasonality, Flesch readability, split leakage."""
+    rng = np.random.default_rng(seed + 151)
+
+    from console_log_parser_ray.stages.events import (
+        chi2_contingency_2x2,
+        dow_seasonality,
+        slo_burn_alerts,
+        spearman_corr,
+    )
+    from console_log_parser_ray.stages.export import split_leakage
+    from console_log_parser_ray.stages.textan import readability_scores
+
+    con = duckdb.connect()
+
+    # --- 2x2 chi-square on planted-association booleans with nulls
+    n = 2000
+    a = rng.random(n) < rng.uniform(0.2, 0.8)
+    b = rng.random(n) < np.where(a, 0.65, 0.35)
+    ao, bo = a.astype(object), b.astype(object)
+    ao[rng.random(n) < 0.04] = None
+    bo[rng.random(n) < 0.04] = None
+    flags = pa.table(
+        {
+            "a": pa.array(list(ao), pa.bool_()),
+            "b": pa.array(list(bo), pa.bool_()),
+        }
+    )
+    con.register("flags", flags)
+    mine = chi2_contingency_2x2(
+        ray.data.from_arrow(flags).repartition(5)
+    ).to_pandas()
+    ref = con.execute(
+        "WITH c AS (SELECT a, b FROM flags WHERE a IS NOT NULL "
+        "AND b IS NOT NULL), "
+        "f AS (SELECT CAST(count(*) FILTER (WHERE a AND b) AS BIGINT) "
+        "AS n11, CAST(count(*) FILTER (WHERE a AND NOT b) AS BIGINT) "
+        "AS n10, CAST(count(*) FILTER (WHERE NOT a AND b) AS BIGINT) "
+        "AS n01, CAST(count(*) FILTER (WHERE NOT a AND NOT b) "
+        "AS BIGINT) AS n00 FROM c), "
+        "g AS (SELECT n11, n10, n01, n00, n11 + n10 + n01 + n00 AS n, "
+        "n11 + n10 AS r1, n01 + n00 AS r0, n11 + n01 AS c1, "
+        "n10 + n00 AS c0, CAST(n11 AS HUGEINT) * n00 - "
+        "CAST(n10 AS HUGEINT) * n01 AS d FROM f), "
+        "h AS (SELECT *, CAST(r1 AS HUGEINT) * r0 * c1 * c0 AS den "
+        "FROM g) "
+        "SELECT n11, n10, n01, n00, "
+        "CASE WHEN den > 0 THEN CAST(CAST(n AS HUGEINT) * d * d "
+        "AS DOUBLE) / CAST(den AS DOUBLE) END AS chi2, "
+        "CASE WHEN den > 0 THEN (CASE WHEN 2 * abs(d) - n > 0 THEN "
+        "CAST(CAST(n AS HUGEINT) * (2 * abs(d) - n) * (2 * abs(d) - n) "
+        "AS DOUBLE) / CAST(4 * den AS DOUBLE) ELSE 0.0 END) END "
+        "AS chi2_yates, "
+        "CASE WHEN den > 0 THEN CAST(d AS DOUBLE) / "
+        "sqrt(CAST(CAST(r1 AS HUGEINT) * r0 AS DOUBLE) * "
+        "CAST(CAST(c1 AS HUGEINT) * c0 AS DOUBLE)) END AS phi, "
+        "CASE WHEN CAST(n10 AS HUGEINT) * n01 > 0 THEN "
+        "CAST(CAST(n11 AS HUGEINT) * n00 AS DOUBLE) / "
+        "CAST(CAST(n10 AS HUGEINT) * n01 AS DOUBLE) END AS odds_ratio "
+        "FROM h"
+    ).fetchdf()
+    check(
+        "chi2_2x2", seed, mine, ref,
+        ["n11"], ["n10", "n01", "n00", "chi2", "chi2_yates", "phi",
+                  "odds_ratio"],
+    )
+
+    # --- Spearman on a tie-heavy monotone-plus-noise pair with nulls
+    m = 2500
+    x = rng.integers(0, 50, m)
+    y = 2 * x + rng.integers(-30, 30, m)
+    xo, yo = x.astype(object), y.astype(object)
+    xo[rng.random(m) < 0.03] = None
+    yo[rng.random(m) < 0.03] = None
+    xy = pa.table(
+        {
+            "x": pa.array(list(xo), pa.int64()),
+            "y": pa.array(list(yo), pa.int64()),
+        }
+    )
+    con.register("xy", xy)
+    mine = spearman_corr(
+        ray.data.from_arrow(xy).repartition(6)
+    ).to_pandas()
+    ref = con.execute(
+        "WITH c AS (SELECT x, y FROM xy WHERE x IS NOT NULL "
+        "AND y IS NOT NULL), "
+        "h AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM c "
+        "GROUP BY 1, 2), "
+        "mx AS (SELECT x, CAST(sum(n) AS BIGINT) AS nx FROM h "
+        "GROUP BY 1), "
+        "rx AS (SELECT x, nx, CAST(2 * coalesce(sum(nx) OVER ("
+        "ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+        "), 0) + nx + 1 AS BIGINT) AS r FROM mx), "
+        "my AS (SELECT y, CAST(sum(n) AS BIGINT) AS ny FROM h "
+        "GROUP BY 1), "
+        "ry AS (SELECT y, ny, CAST(2 * coalesce(sum(ny) OVER ("
+        "ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+        "), 0) + ny + 1 AS BIGINT) AS r FROM my), "
+        "s AS (SELECT CAST(sum(n) AS HUGEINT) AS nn FROM h), "
+        "sx AS (SELECT sum(CAST(nx AS HUGEINT) * r) AS v1, "
+        "sum(CAST(nx AS HUGEINT) * r * r) AS v2, "
+        "CAST(count(*) AS BIGINT) AS nd FROM rx), "
+        "sy AS (SELECT sum(CAST(ny AS HUGEINT) * r) AS v1, "
+        "sum(CAST(ny AS HUGEINT) * r * r) AS v2, "
+        "CAST(count(*) AS BIGINT) AS nd FROM ry), "
+        "sxy AS (SELECT sum(CAST(h.n AS HUGEINT) * rx.r * ry.r) AS v "
+        "FROM h JOIN rx USING (x) JOIN ry USING (y)) "
+        "SELECT CAST(s.nn AS BIGINT) AS n, sx.nd AS nd_x, "
+        "sy.nd AS nd_y, CASE WHEN s.nn * sx.v2 - sx.v1 * sx.v1 > 0 "
+        "AND s.nn * sy.v2 - sy.v1 * sy.v1 > 0 THEN "
+        "CAST(s.nn * sxy.v - sx.v1 * sy.v1 AS DOUBLE) / "
+        "sqrt(CAST(s.nn * sx.v2 - sx.v1 * sx.v1 AS DOUBLE) * "
+        "CAST(s.nn * sy.v2 - sy.v1 * sy.v1 AS DOUBLE)) END AS rho "
+        "FROM s, sx, sy, sxy"
+    ).fetchdf()
+    check("spearman", seed, mine, ref, ["n"], ["nd_x", "nd_y", "rho"])
+
+    # --- SLO burn over gappy hours with a planted burst
+    k = 4000
+    hours = rng.choice(np.arange(0, 240, dtype=np.int64), k)
+    hours = hours[(hours % int(rng.integers(7, 15)) != 0)]
+    kinds = np.where(
+        rng.random(len(hours)) < np.where(hours % 40 < 2, 0.6, 0.03),
+        "error", "ok",
+    )
+    ev = pa.table(
+        {
+            "event_type": pa.array(list(kinds), pa.string()),
+            "ts": pa.array(
+                hours * 3_600_000_000 + 11, pa.timestamp("us")
+            ),
+        }
+    )
+    con.register("sev", ev)
+    mine = slo_burn_alerts(
+        ray.data.from_arrow(ev).repartition(5)
+    ).to_pandas()
+    ref = con.execute(
+        "WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour, "
+        "CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER ("
+        "WHERE event_type = 'error') AS BIGINT) AS e FROM sev "
+        "WHERE ts IS NOT NULL GROUP BY 1), "
+        "w AS (SELECT hour, n, e, CAST(sum(n) OVER (ORDER BY hour "
+        "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS nw, "
+        "CAST(sum(e) OVER (ORDER BY hour RANGE BETWEEN 5 PRECEDING "
+        "AND CURRENT ROW) AS BIGINT) AS ew FROM h) "
+        "SELECT hour, n AS n_events, e AS n_errors, nw AS n_window, "
+        "ew AS e_window, (e * 10 > n AND ew * 20 > nw) AS alert FROM w"
+    ).fetchdf()
+    check(
+        "slo_burn", seed, mine, ref,
+        ["hour"], ["n_events", "n_errors", "n_window", "e_window",
+                   "alert"],
+    )
+
+    # --- day-of-week seasonality over a partially-covered span
+    j = 3000
+    day_us = 86_400_000_000
+    days = rng.integers(0, int(rng.integers(20, 60)), j)
+    kinds = np.array(["click", "view", "buy"])[rng.integers(0, 3, j)]
+    ev2 = pa.table(
+        {
+            "event_type": pa.array(list(kinds), pa.string()),
+            "ts": pa.array(days * day_us + 99, pa.timestamp("us")),
+        }
+    )
+    con.register("dev", ev2)
+    mine = dow_seasonality(
+        ray.data.from_arrow(ev2).repartition(4)
+    ).to_pandas()
+    ref = con.execute(
+        "WITH c AS (SELECT event_type AS k, "
+        "epoch_us(ts) // 86400000000 AS day FROM dev "
+        "WHERE ts IS NOT NULL AND event_type IS NOT NULL), "
+        "kd AS (SELECT k, (day + 4) % 7 AS dow, "
+        "CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2), "
+        "dd AS (SELECT (day + 4) % 7 AS dow, CAST(count(*) AS BIGINT) "
+        "AS nd FROM (SELECT DISTINCT day FROM c) GROUP BY 1), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS d_total FROM ("
+        "SELECT DISTINCT day FROM c)), "
+        "nk AS (SELECT k, CAST(sum(n) AS BIGINT) AS n_k FROM kd "
+        "GROUP BY 1) "
+        "SELECT kd.k, CAST(kd.dow AS BIGINT) AS dow, kd.n AS n_events, "
+        "dd.nd AS n_days, CAST(kd.n AS DOUBLE) / CAST(dd.nd AS DOUBLE) "
+        "AS events_per_day, CAST(kd.n * tot.d_total AS DOUBLE) / "
+        "CAST(dd.nd * nk.n_k AS DOUBLE) AS season_idx "
+        "FROM kd JOIN dd USING (dow) JOIN nk USING (k), tot"
+    ).fetchdf()
+    check(
+        "dow_seasonality", seed, mine, ref,
+        ["k", "dow"], ["n_events", "n_days", "events_per_day",
+                       "season_idx"],
+    )
+
+    # --- Flesch readability on random word/punctuation soup
+    words = ["alpha", "bee", "cry", "dough", "eye", "xyzzy", "rhythm",
+             "queueing", "a", "I"]
+    puncts = ["", ".", "!", "?", "...", "?!", " "]
+    docs = []
+    for i in range(400):
+        L = int(rng.integers(0, 30))
+        parts = []
+        for _ in range(L):
+            parts.append(words[int(rng.integers(0, len(words)))])
+            parts.append(puncts[int(rng.integers(0, len(puncts)))])
+        docs.append(" ".join(parts))
+    docs[0] = ""
+    dt = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    con.register("docs2", dt)
+    mine = readability_scores(
+        ray.data.from_arrow(dt).repartition(3)
+    ).to_pandas()
+    ref = con.execute(
+        "SELECT doc_id, CAST(len(regexp_extract_all(coalesce(text, "
+        "''), '\\S+')) AS BIGINT) AS n_words, "
+        "CAST(greatest(len(regexp_extract_all(coalesce(text, ''), "
+        "'[.!?]+')), 1) AS BIGINT) AS n_sentences, "
+        "CAST(len(regexp_extract_all(coalesce(text, ''), "
+        "'[aeiouyAEIOUY]+')) AS BIGINT) AS n_syllables, "
+        "CASE WHEN len(regexp_extract_all(coalesce(text, ''), "
+        "'\\S+')) > 0 THEN 206.835 - 1.015 * (CAST(len("
+        "regexp_extract_all(coalesce(text, ''), '\\S+')) AS DOUBLE) "
+        "/ CAST(greatest(len(regexp_extract_all(coalesce(text, ''), "
+        "'[.!?]+')), 1) AS DOUBLE)) - 84.6 * (CAST(len("
+        "regexp_extract_all(coalesce(text, ''), '[aeiouyAEIOUY]+')) "
+        "AS DOUBLE) / CAST(len(regexp_extract_all(coalesce(text, "
+        "''), '\\S+')) AS DOUBLE)) END AS flesch FROM docs2"
+    ).fetchdf()
+    check(
+        "readability", seed, mine, ref,
+        ["doc_id"], ["n_words", "n_sentences", "n_syllables",
+                     "flesch"],
+    )
+
+    # --- split leakage over random group sizes
+    g = 2200
+    ids = rng.choice(np.arange(100000, dtype=np.int64), g,
+                     replace=False)
+    grp = np.array([f"s{int(v)}" for v in rng.integers(0, 15, g)])
+    lt = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": pa.array(list(grp), pa.string()),
+        }
+    )
+    con.register("ldocs", lt)
+    mine = split_leakage(
+        ray.data.from_arrow(lt).repartition(5), group_col="source"
+    ).to_pandas()
+    ref = con.execute(
+        "WITH s AS (SELECT source, CASE WHEN ('0x' || substr(md5("
+        "CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT / "
+        "4503599627370496.0 < 0.9 THEN 0 WHEN ('0x' || substr(md5("
+        "CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT / "
+        "4503599627370496.0 < 0.95 THEN 1 ELSE 2 END AS si "
+        "FROM ldocs), "
+        "f AS (SELECT source, CAST(count(*) FILTER (WHERE si = 0) "
+        "AS BIGINT) AS n_train, CAST(count(*) FILTER (WHERE si = 1) "
+        "AS BIGINT) AS n_val, CAST(count(*) FILTER (WHERE si = 2) "
+        "AS BIGINT) AS n_test FROM f2 GROUP BY 1) "
+        "SELECT source, n_train, n_val, n_test, "
+        "(n_train > 0 AND n_test > 0) AS leaky FROM f".replace(
+            "f2", "s"
+        )
+    ).fetchdf()
+    check(
+        "split_leakage", seed, mine, ref,
+        ["source"], ["n_train", "n_val", "n_test", "leaky"],
+    )
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -4080,10 +4360,11 @@ def main():
         log_pipeline_family(seed)
         resample_graph_family(seed)
         growth_quality_family(seed)
+        stats_quality_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(134 comparison groups per seed)"
+        "(140 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
