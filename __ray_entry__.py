@@ -4050,6 +4050,82 @@ def _q_split_leakage(sf_dir: str):
 
 
 
+def _q_part_clustering(sf_dir: str):
+    """Per-node local clustering coefficient over the 1998+ part
+    co-purchase graph (stages/graph.clustering_coefficients):
+    degree fold + triangle_counts meeting in one co-partitioned left
+    hash_join; cc is a single float expression of exact ints."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from console_log_parser_ray.stages.graph import (
+        clustering_coefficients,
+        cooccur_pair_edges,
+    )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_shipdate"],
+    )
+    cutoff = pa.scalar(883612800000000, pa.int64())  # 1998-01-01 UTC us
+
+    def recent(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            b.column("l_shipdate").cast(pa.int64()), cutoff
+        )
+        return b.filter(keep).select(["l_orderkey", "l_partkey"])
+
+    edges = cooccur_pair_edges(
+        li.map_batches(recent, batch_format="pyarrow"),
+        "l_orderkey",
+        "l_partkey",
+    )
+    return clustering_coefficients(edges)
+
+
+def _q_attribution(sf_dir: str):
+    """Last-touch conversion attribution of purchases to the most
+    recent click/view within 7 days
+    (stages/events.last_touch_attribution): one user-hash bucket
+    shuffle, in-bucket lexsort + searchsorted predecessor, integer
+    partial folds."""
+    from console_log_parser_ray.stages.events import (
+        last_touch_attribution,
+    )
+
+    return last_touch_attribution(
+        _events(sf_dir).select_columns(
+            ["event_id", "user_id", "event_type", "ts", "value"]
+        )
+    )
+
+
+def _q_psi_drift(sf_dir: str):
+    """Population Stability Index drift profile of event values
+    between the two halves of the corpus span
+    (stages/events.psi_drift): reference-decile bins via the repo's
+    percentile_disc rule, guarded histogram fold, libm-ln float
+    finish."""
+    from console_log_parser_ray.stages.events import psi_drift
+
+    return psi_drift(_events(sf_dir).select_columns(["ts", "value"]))
+
+
+def _q_interarrival_exp(sf_dir: str):
+    """Exponential inter-arrival MLE + one-sample KS per event type
+    (stages/events.interarrival_fit): range-bucketed LAG gaps with
+    per-key prefix stitching, guarded (key, gap) histogram fold,
+    libm-exp ECDF comparison at both step sides."""
+    from console_log_parser_ray.stages.events import interarrival_fit
+
+    return interarrival_fit(
+        _events(sf_dir).select_columns(["event_type", "ts"])
+    )
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -4183,6 +4259,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_profile": _q_dow_profile,
         "flesch_docs": _q_flesch_docs,
         "split_leakage_docs": _q_split_leakage,
+        "part_clustering": _q_part_clustering,
+        "attribution": _q_attribution,
+        "psi_value_drift": _q_psi_drift,
+        "interarrival_exp": _q_interarrival_exp,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -6713,6 +6793,111 @@ def oracle_sql() -> dict[str, str]:
         "AS BIGINT) AS n_test FROM s GROUP BY 1) "
         "SELECT source, n_train, n_val, n_test, "
         "(n_train > 0 AND n_test > 0) AS leaky FROM f"
+    )
+    out["part_clustering"] = (
+        # degrees + per-node triangles over the ordered edge table;
+        # cc = 2*tri / (d*(d-1)), one float expression of exact ints
+        "WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1998-01-01'), "
+        "e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b "
+        "FROM li l1 JOIN li l2 ON l1.l_orderkey = l2.l_orderkey "
+        "AND l1.l_partkey < l2.l_partkey), "
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 "
+        "JOIN e e2 ON e1.b = e2.a "
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        "tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM ("
+        "SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+        "UNION ALL SELECT z FROM tri) GROUP BY node), "
+        "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree "
+        "FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) "
+        "GROUP BY node) "
+        "SELECT d.node, d.degree, "
+        "CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri, "
+        "CASE WHEN d.degree >= 2 THEN "
+        "CAST(2 * coalesce(tc.n_tri, 0) AS DOUBLE) / "
+        "CAST(d.degree * (d.degree - 1) AS DOUBLE) END AS cc "
+        "FROM deg d LEFT JOIN tc USING (node)"
+    )
+    out["attribution"] = (
+        # last-touch within 7 days; tie rule (ts DESC, id DESC)
+        # matches the engine's (user, ts, id) lexsort predecessor
+        "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t, "
+        "CAST(floor(value * 100) AS BIGINT) AS cents FROM events "
+        "WHERE event_type = 'purchase' AND ts IS NOT NULL), "
+        "tch AS (SELECT event_id, user_id, epoch_us(ts) AS t, "
+        "event_type FROM events WHERE event_type IN ('click', 'view') "
+        "AND ts IS NOT NULL), "
+        "j AS (SELECT p.event_id AS pid, tch.event_type AS attr, "
+        "row_number() OVER (PARTITION BY p.event_id "
+        "ORDER BY tch.t DESC, tch.event_id DESC) AS rk FROM p "
+        "JOIN tch ON p.user_id = tch.user_id AND tch.t < p.t "
+        "AND tch.t >= p.t - 604800000000), "
+        "b AS (SELECT pid, attr FROM j WHERE rk = 1), "
+        "u AS (SELECT coalesce(b.attr, 'none') AS attr_type, p.cents "
+        "FROM p LEFT JOIN b ON b.pid = p.event_id) "
+        "SELECT attr_type, CAST(count(*) AS BIGINT) AS n_conversions, "
+        "CAST(sum(cents) AS BIGINT) AS sum_value_cents FROM u "
+        "GROUP BY 1"
+    )
+    out["psi_value_drift"] = (
+        # reference-decile PSI; edges via the percentile_disc rule
+        # ceil(i*A/10) in exact integer arithmetic
+        "WITH span AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts)))"
+        " // 2 AS mid FROM events), "
+        "c AS (SELECT (epoch_us(ts) >= span.mid) AS cur, "
+        "CAST(floor(value * 100) AS BIGINT) AS v FROM events, span "
+        "WHERE ts IS NOT NULL AND value IS NOT NULL), "
+        "h AS (SELECT cur, v, CAST(count(*) AS BIGINT) AS n FROM c "
+        "GROUP BY 1, 2), "
+        "tot AS (SELECT CAST(sum(n) FILTER (WHERE NOT cur) AS BIGINT) "
+        "AS ta, CAST(sum(n) FILTER (WHERE cur) AS BIGINT) AS tb "
+        "FROM h), "
+        "rc AS (SELECT v, CAST(sum(n) OVER (ORDER BY v "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h "
+        "WHERE NOT cur), "
+        "idx AS (SELECT unnest(generate_series(1, 9)) AS i), "
+        "ed AS (SELECT i, min(v) AS edge FROM idx, rc, tot "
+        "WHERE rc.cum >= (i * tot.ta + 9) // 10 GROUP BY i), "
+        "bins AS (SELECT h.cur, (SELECT count(*) FROM ed "
+        "WHERE ed.edge < h.v) AS bin, CAST(sum(h.n) AS BIGINT) AS n "
+        "FROM h GROUP BY 1, 2), "
+        "g AS (SELECT bin, CAST(coalesce(sum(n) FILTER ("
+        "WHERE NOT cur), 0) AS BIGINT) AS a, "
+        "CAST(coalesce(sum(n) FILTER (WHERE cur), 0) AS BIGINT) AS b "
+        "FROM bins GROUP BY 1) "
+        "SELECT CAST(bin AS BIGINT) AS bin, a AS n_ref, b AS n_cur, "
+        "CASE WHEN a > 0 AND b > 0 THEN "
+        "(CAST(a AS DOUBLE) / CAST(tot.ta AS DOUBLE) - "
+        "CAST(b AS DOUBLE) / CAST(tot.tb AS DOUBLE)) * "
+        "ln(CAST(a * tot.tb AS DOUBLE) / CAST(b * tot.ta AS DOUBLE)) "
+        "END AS psi_contrib FROM g, tot"
+    )
+    out["interarrival_exp"] = (
+        # LAG gaps per key; KS vs Exp(1/mean) at both ECDF step sides
+        "WITH o AS (SELECT event_type AS k, epoch_us(ts) AS t "
+        "FROM events WHERE ts IS NOT NULL "
+        "AND event_type IS NOT NULL), "
+        "g AS (SELECT k, t - lag(t) OVER (PARTITION BY k ORDER BY t) "
+        "AS gap FROM o), "
+        "h AS (SELECT k, gap, CAST(count(*) AS BIGINT) AS c FROM g "
+        "WHERE gap IS NOT NULL GROUP BY 1, 2), "
+        "tot AS (SELECT k, CAST(sum(c) AS BIGINT) AS n, "
+        "CAST(sum(CAST(gap AS HUGEINT) * c) AS BIGINT) AS s FROM h "
+        "GROUP BY 1), "
+        "r AS (SELECT k, gap, c, CAST(sum(c) OVER (PARTITION BY k "
+        "ORDER BY gap ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+        "FROM h), "
+        "d AS (SELECT r.k, greatest("
+        "abs(CAST(r.cum - r.c AS DOUBLE) / CAST(t.n AS DOUBLE) - "
+        "(1 - exp(-(CAST(r.gap AS DOUBLE) / (CAST(t.s AS DOUBLE) / "
+        "CAST(t.n AS DOUBLE)))))), "
+        "abs(CAST(r.cum AS DOUBLE) / CAST(t.n AS DOUBLE) - "
+        "(1 - exp(-(CAST(r.gap AS DOUBLE) / (CAST(t.s AS DOUBLE) / "
+        "CAST(t.n AS DOUBLE))))))) AS dd FROM r JOIN tot t USING (k)) "
+        "SELECT t.k AS event_type, t.n AS n_gaps, t.s AS sum_gap_us, "
+        "CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) AS mean_gap_us, "
+        "d2.ks AS ks_d FROM tot t JOIN (SELECT k, max(dd) AS ks "
+        "FROM d GROUP BY 1) d2 USING (k)"
     )
     # generated from the same term list as the Ray query, so the
     # engine and its mirror can never drift

@@ -258,6 +258,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "dow_profile",
         "flesch_docs",
         "split_leakage_docs",
+        "part_clustering",
+        "attribution",
+        "psi_value_drift",
+        "interarrival_exp",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -5175,3 +5175,497 @@ def dow_seasonality(
             "season_idx": pa.array(idx, pa.float64()),
         }
     )
+
+
+def last_touch_attribution(
+    ds,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("click", "view"),
+    window_us: int = 7 * 86_400 * 1_000_000,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    n_buckets: int = 64,
+):
+    """Last-touch conversion attribution: every ``conversion_type``
+    event is credited to the same user's most recent ``touch_types``
+    event STRICTLY earlier and within ``window_us``; conversions with
+    no such touch land in the ``'none'`` row.  Output per attributed
+    touch type: conversion count and integer-cent value sum -- the
+    channel-performance rollup of marketing analytics.
+
+    Deterministic tie rule, mirrored in SQL (``ORDER BY t.ts DESC,
+    t.event_id DESC``): latest touch timestamp wins, then the largest
+    touch id.  Scale shape: conversions and touches are prefiltered
+    and co-located by ONE user-hash bucket shuffle; inside a bucket
+    one lexsort over (user, ts, id) and one ``searchsorted`` resolve
+    every conversion's predecessor (the sort order makes "last row
+    strictly before ts" exactly the (max ts, max id) touch); per-type
+    partial (count, cents, valid) rows fold in one tiny groupby.
+    ``sum_value_cents`` is NULL when no attributed conversion carried
+    a value (SQL SUM semantics).
+    """
+    from ray.data.aggregate import Sum
+
+    touch_list = list(touch_types)
+
+    def project(b: pa.Table) -> pa.Table:
+        et = b.column(type_col)
+        keep = pc.and_(
+            pc.or_(
+                pc.equal(et, conversion_type),
+                pc.is_in(et, value_set=pa.array(touch_list)),
+            ),
+            pc.is_valid(b.column(ts_col)),
+        )
+        t = b.filter(keep)
+        users = t.column(user_col).combine_chunks().cast(pa.int64())
+        cents_f = pc.floor(
+            pc.multiply(
+                t.column(val_col).cast(pa.float64()),
+                pa.scalar(100.0, pa.float64()),
+            )
+        )
+        return pa.table(
+            {
+                "u": users,
+                "t": t.column(ts_col).cast(pa.int64()),
+                "i": t.column(id_col).cast(pa.int64()),
+                "et": t.column(type_col),
+                "is_conv": pc.equal(t.column(type_col), conversion_type),
+                "cents": pc.cast(cents_f, pa.int64()),
+                "bucket": _bucket31(users, n_buckets),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(
+            [("u", "ascending"), ("t", "ascending"), ("i", "ascending")]
+        )
+        u = tbl.column("u").to_numpy(zero_copy_only=False)
+        ts = tbl.column("t").to_numpy(zero_copy_only=False)
+        is_c = tbl.column("is_conv").to_numpy(zero_copy_only=False)
+        et = tbl.column("et").to_numpy(zero_copy_only=False)
+        cents = tbl.column("cents")
+        n = len(u)
+        empty = pa.table(
+            {
+                "attr_type": pa.array([], pa.string()),
+                "n_part": pa.array([], pa.int64()),
+                "v_part": pa.array([], pa.int64()),
+                "nv_part": pa.array([], pa.int64()),
+            }
+        )
+        if not n:
+            return empty
+        c_idx = np.flatnonzero(is_c)
+        t_idx = np.flatnonzero(~is_c)
+        if not len(c_idx):
+            return empty
+        attr = np.full(len(c_idx), "none", dtype=object)
+        if len(t_idx):
+            # composite (user, ts) axis over the touch rows; within
+            # equal (u, ts) the lexsort leaves max id LAST, so the
+            # predecessor row is exactly the (max ts, max id) touch
+            t0 = int(ts.min())
+            span = int(ts.max()) - t0 + 2
+            uniq, seg = np.unique(u, return_inverse=True)
+            if len(uniq) * span < (1 << 62):
+                comp = seg.astype(np.int64) * span + (ts - t0)
+                comp_t = comp[t_idx]
+                pos = np.searchsorted(comp_t, comp[c_idx], "left")
+                lo = np.searchsorted(
+                    comp_t, seg[c_idx].astype(np.int64) * span, "left"
+                )
+                has = pos > lo
+                cand = t_idx[np.maximum(pos - 1, 0)]
+                ok = has & (
+                    ts[c_idx] - ts[np.where(has, cand, 0)]
+                    <= np.int64(window_us)
+                ) & (ts[c_idx] > ts[np.where(has, cand, 0)])
+                attr[ok] = et[cand[ok]]
+            else:  # pathological span: per-user python walk
+                starts = np.flatnonzero(
+                    np.r_[True, u[1:] != u[:-1]]
+                )
+                ends = np.append(starts[1:], n)
+                for s, e in zip(starts, ends):
+                    local_t = [j for j in range(s, e) if not is_c[j]]
+                    for k, i in enumerate(c_idx):
+                        if not (s <= i < e):
+                            continue
+                        best = None
+                        for j in local_t:
+                            if ts[j] < ts[i] and ts[i] - ts[j] <= window_us:
+                                best = j
+                        if best is not None:
+                            attr[np.flatnonzero(c_idx == i)[0]] = et[best]
+        c_cents = cents.take(pa.array(c_idx, pa.int64()))
+        g = (
+            pa.table(
+                {
+                    "attr_type": pa.array(list(attr), pa.string()),
+                    "v": pc.fill_null(c_cents, 0),
+                    "nv": pc.cast(pc.is_valid(c_cents), pa.int64()),
+                }
+            )
+            .group_by("attr_type")
+            .aggregate([("v", "sum"), ("nv", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "attr_type": g.column("attr_type"),
+                "n_part": g.column("count_all").cast(pa.int64()),
+                "v_part": g.column("v_sum").cast(pa.int64()),
+                "nv_part": g.column("nv_sum").cast(pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("attr_type")
+        .aggregate(Sum("n_part"), Sum("v_part"), Sum("nv_part"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        v = b.column("sum(v_part)").cast(pa.int64())
+        nv = b.column("sum(nv_part)").cast(pa.int64())
+        return pa.table(
+            {
+                "attr_type": b.column("attr_type"),
+                "n_conversions": b.column("sum(n_part)").cast(
+                    pa.int64()
+                ),
+                "sum_value_cents": pc.if_else(
+                    pc.greater(nv, pa.scalar(0, pa.int64())),
+                    v,
+                    pa.scalar(None, pa.int64()),
+                ),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+
+def _ts_scalar_us(v):
+    """Driver-side timestamp scalar -> exact integer epoch
+    microseconds (never float .timestamp(): a microsecond fraction is
+    not a dyadic rational, so the float round-trip can be off by 1)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        delta = v - epoch
+        return (
+            delta.days * 86_400_000_000
+            + delta.seconds * 1_000_000
+            + delta.microseconds
+        )
+    return int(v)
+
+
+def psi_drift(
+    ds,
+    val_col: str = "value",
+    ts_col: str = "ts",
+    n_bins: int = 10,
+    max_distinct: int = 2_000_000,
+):
+    """Population Stability Index drift profile: the corpus's time
+    span splits at its midpoint into a REFERENCE and a CURRENT
+    period; the reference's integer-cent value distribution defines
+    ``n_bins`` percentile_disc decile edges, and each bin reports
+    both periods' counts plus its PSI contribution
+
+        (a/A - b/B) * ln((a*B) / (b*A))
+
+    -- the model-monitoring readout (sum of contributions; PSI > 0.2
+    is the classic retrain alarm) that, unlike the KS D, localizes
+    WHERE the distribution moved.  The contribution is one float
+    expression of four exact integers with libm ``ln`` (bit-identical
+    to DuckDB's), NULL when a bin is empty on either side.
+
+    Scale shape: one min/max ts aggregate picks the midpoint; one
+    (side, cents) groupby of per-block count partials folds the two
+    compressed distributions; the fold is metadata-counted and only
+    collected under ``max_distinct`` (the rank-family guard).  Edges
+    use the repo's percentile_disc rule: smallest value whose
+    cumulative count reaches ``ceil(i*A/n_bins)`` (exact integer
+    arithmetic).  Bin id = number of edges strictly below the value,
+    so duplicate edges collapse bins identically on both sides.
+    """
+    import math
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    span = ds.aggregate(Min(ts_col), Max(ts_col))
+    mid = (
+        _ts_scalar_us(span[f"min({ts_col})"])
+        + _ts_scalar_us(span[f"max({ts_col})"])
+    ) // 2
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(ts_col)),
+                pc.is_valid(b.column(val_col)),
+            )
+        )
+        cur = pc.greater_equal(
+            t.column(ts_col).cast(pa.int64()), pa.scalar(mid, pa.int64())
+        )
+        v = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    t.column(val_col).cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"cur": cur, "v": v})
+            .group_by(["cur", "v"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "cur": g.column("cur"),
+                "v": g.column("v"),
+                "n_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    hist_ds = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cur", "v"])
+        .aggregate(Sum("n_part"))
+        .materialize()
+    )
+    n_rows = hist_ds.count()
+    if n_rows > max_distinct:
+        raise ValueError(
+            f"psi_drift: {n_rows} distinct (side, value) rows exceed "
+            f"max_distinct={max_distinct}; quantize the metric first"
+        )
+    ref_map: dict = {}
+    cur_map: dict = {}
+    for r in hist_ds.take_all():
+        m = cur_map if r["cur"] else ref_map
+        m[int(r["v"])] = m.get(int(r["v"]), 0) + int(r["sum(n_part)"])
+    big_a = sum(ref_map.values())
+    big_b = sum(cur_map.values())
+    if big_a == 0 or big_b == 0:
+        return pa.table(
+            {
+                "bin": pa.array([], pa.int64()),
+                "n_ref": pa.array([], pa.int64()),
+                "n_cur": pa.array([], pa.int64()),
+                "psi_contrib": pa.array([], pa.float64()),
+            }
+        )
+    # percentile_disc edges of the reference distribution
+    edges = []
+    ref_vals = sorted(ref_map)
+    cums = np.cumsum([ref_map[v] for v in ref_vals])
+    for i in range(1, n_bins):
+        target = (i * big_a + n_bins - 1) // n_bins  # ceil(i*A/n)
+        edges.append(ref_vals[int(np.searchsorted(cums, target))])
+    edges_arr = np.array(edges, np.int64)  # ascending by construction
+    bins_a: dict = {}
+    bins_b: dict = {}
+    for v, c in ref_map.items():
+        k = int(np.searchsorted(edges_arr, v, "left"))  # edges < v
+        bins_a[k] = bins_a.get(k, 0) + c
+    for v, c in cur_map.items():
+        k = int(np.searchsorted(edges_arr, v, "left"))
+        bins_b[k] = bins_b.get(k, 0) + c
+    out_bin, out_a, out_b, out_psi = [], [], [], []
+    for k in sorted(set(bins_a) | set(bins_b)):
+        a = bins_a.get(k, 0)
+        b = bins_b.get(k, 0)
+        out_bin.append(k)
+        out_a.append(a)
+        out_b.append(b)
+        if a > 0 and b > 0:
+            out_psi.append(
+                (float(a) / float(big_a) - float(b) / float(big_b))
+                * math.log(float(a * big_b) / float(b * big_a))
+            )
+        else:
+            out_psi.append(None)
+    return pa.table(
+        {
+            "bin": pa.array(out_bin, pa.int64()),
+            "n_ref": pa.array(out_a, pa.int64()),
+            "n_cur": pa.array(out_b, pa.int64()),
+            "psi_contrib": pa.array(out_psi, pa.float64()),
+        }
+    )
+
+
+def interarrival_fit(
+    ds,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    n_buckets: int = 64,
+    max_distinct: int = 2_000_000,
+):
+    """Exponential inter-arrival goodness-of-fit per key: the MLE
+    mean gap (exact integer sum / count) and the one-sample KS
+    statistic of the observed gap distribution against
+    ``Exp(1/mean)`` -- the burstiness audit that says whether a
+    stream is Poisson (KS small) or clumped/periodic (KS large),
+    evaluated at both sides of every ECDF step.
+
+    Gaps are successive differences of the per-key SORTED timestamp
+    sequence -- a global order dependency, distributed with the
+    ``late_events`` recipe: timestamps range-partition into
+    ``n_buckets`` contiguous buckets, a first tiny pass folds
+    per-(key, bucket) max timestamps (<= keys x buckets rows),
+    exclusive prefix maxes per key broadcast, and each bucket then
+    diffs its sorted local timestamps seeded by the key's prefix --
+    exactly the LAG-over-sorted gaps, computed in two streaming
+    scans.  The (key, gap) distinct histogram folds under the
+    rank-family guard; the finish uses libm ``exp`` (bit-identical
+    to DuckDB's) in the same expression tree as the SQL mirror, and
+    the KS max is combine-order-exact.
+    """
+    import math
+
+    from ray.data.aggregate import Max, Sum
+
+    mn_us = _ts_scalar_us(ds.min(ts_col))
+    mx_us = _ts_scalar_us(ds.max(ts_col))
+    width = (mx_us - mn_us) // n_buckets + 1
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(ts_col)),
+                pc.is_valid(b.column(type_col)),
+            )
+        )
+        ts = t.column(ts_col).cast(pa.int64())
+        rb = pc.divide(
+            pc.subtract(ts, pa.scalar(mn_us, pa.int64())),
+            pa.scalar(width, pa.int64()),
+        )
+        return pa.table(
+            {"k": t.column(type_col), "rb": rb, "t": ts}
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def max_partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["k", "rb", "t"])
+            .group_by(["k", "rb"])
+            .aggregate([("t", "max")])
+        )
+        return pa.table(
+            {
+                "k": g.column("k"),
+                "rb": g.column("rb"),
+                "tmax": g.column("t_max"),
+            }
+        )
+
+    bounds = (
+        bucketed.map_batches(max_partial, batch_format="pyarrow")
+        .groupby(["k", "rb"])
+        .aggregate(Max("tmax"))
+        .take_all()
+    )  # <= keys x n_buckets rows
+    per_key: dict = {}
+    for r in bounds:
+        per_key.setdefault(r["k"], {})[int(r["rb"])] = int(
+            r["max(tmax)"]
+        )
+    prefix: dict = {}
+    for k, m in per_key.items():
+        run = None
+        for rb in sorted(m):
+            prefix[(k, rb)] = run  # last ts of earlier buckets
+            run = m[rb] if run is None else max(run, m[rb])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("k")[0].as_py()
+        rb = int(tbl.column("rb")[0].as_py())
+        t = np.sort(tbl.column("t").to_numpy(zero_copy_only=False))
+        pre = prefix.get((k, rb))
+        if pre is not None:
+            t = np.concatenate([[np.int64(pre)], t])
+        if len(t) < 2:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.string()),
+                    "gap": pa.array([], pa.int64()),
+                    "c_part": pa.array([], pa.int64()),
+                }
+            )
+        gaps = np.diff(t)
+        vals, cnt = np.unique(gaps, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array([k] * len(vals), pa.string()),
+                "gap": pa.array(vals, pa.int64()),
+                "c_part": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist_ds = (
+        bucketed.groupby(["k", "rb"])
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["k", "gap"])
+        .aggregate(Sum("c_part"))
+        .materialize()
+    )
+    n_rows = hist_ds.count()
+    if n_rows > max_distinct:
+        raise ValueError(
+            f"interarrival_fit: {n_rows} distinct (key, gap) rows "
+            f"exceed max_distinct={max_distinct}; quantize timestamps"
+        )
+    per: dict = {}
+    for r in hist_ds.take_all():
+        per.setdefault(r["k"], {})[int(r["gap"])] = int(
+            r["sum(c_part)"]
+        )
+    ks_out, ng_out, sg_out, mg_out, d_out = [], [], [], [], []
+    for k in sorted(per):
+        hist = per[k]
+        n = sum(hist.values())
+        s = sum(g * c for g, c in hist.items())
+        mean = float(s) / float(n)
+        cum = 0
+        d = 0.0
+        for g in sorted(hist):
+            c = hist[g]
+            f_exp = 1.0 - math.exp(-(float(g) / mean))
+            lo = abs(float(cum) / float(n) - f_exp)
+            cum += c
+            hi = abs(float(cum) / float(n) - f_exp)
+            if lo > d:
+                d = lo
+            if hi > d:
+                d = hi
+        ks_out.append(k)
+        ng_out.append(n)
+        sg_out.append(s)
+        mg_out.append(mean)
+        d_out.append(d)
+    return pa.table(
+        {
+            "event_type": pa.array(ks_out, pa.string()),
+            "n_gaps": pa.array(ng_out, pa.int64()),
+            "sum_gap_us": pa.array(sg_out, pa.int64()),
+            "mean_gap_us": pa.array(mg_out, pa.float64()),
+            "ks_d": pa.array(d_out, pa.float64()),
+        }
+    )

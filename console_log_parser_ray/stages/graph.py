@@ -616,3 +616,106 @@ def _sorted_member(values, sorted_arr):
     pos = np.searchsorted(sorted_arr, values)
     pos = np.minimum(pos, len(sorted_arr) - 1)
     return sorted_arr[pos] == values
+
+
+def clustering_coefficients(
+    edges,
+    n_buckets: int = 64,
+    max_broadcast_edges: int = 20_000_000,
+):
+    """Per-node local clustering coefficient over a DISTINCT
+    undirected edge table ``(a, b)`` with ``a < b``:
+    ``cc = 2 * n_tri / (degree * (degree - 1))`` -- how close each
+    node's neighborhood is to a clique, the standard community-
+    structure signal on top of ``triangle_counts``.
+
+    Degrees fold from per-block partial counts of both edge
+    endpoints (one node-keyed groupby, shuffle volume = distinct
+    nodes per block); triangles come from ``triangle_counts`` (same
+    edge table, same broadcast/semi-join close).  The two per-node
+    tables -- both bounded by NODE count, not edge count -- meet in
+    one co-partitioned LEFT ``hash_join`` (nodes without triangles
+    keep cc = 0), and the coefficient is a single float expression
+    of exact integers, mirrored verbatim in SQL.  Degree-1 nodes get
+    a NULL coefficient (undefined neighborhood).
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .relational import hash_join
+
+    edges = edges.materialize()
+
+    def degree_partials(b: pa.Table) -> pa.Table:
+        nodes = pa.chunked_array(
+            [b.column("a").combine_chunks(), b.column("b").combine_chunks()]
+        )
+        g = (
+            pa.table({"node": nodes})
+            .group_by(["node"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "node": g.column("node"),
+                "d_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def rename_deg(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "degree": b.column("sum(d_part)").cast(pa.int64()),
+            }
+        )
+
+    degrees = (
+        edges.map_batches(degree_partials, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d_part"))
+        .map_batches(rename_deg, batch_format="pyarrow")
+    )
+    tris = triangle_counts(
+        edges,
+        n_buckets=n_buckets,
+        max_broadcast_edges=max_broadcast_edges,
+    )
+    joined = hash_join(
+        degrees,
+        tris,
+        on="node",
+        n_buckets=n_buckets,
+        how="left",
+        left_schema=pa.schema(
+            [("node", pa.int64()), ("degree", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("node", pa.int64()), ("n_tri", pa.int64())]
+        ),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        d = b.column("degree").to_numpy(zero_copy_only=False)
+        t = pc.fill_null(b.column("n_tri"), 0).to_numpy(
+            zero_copy_only=False
+        )
+        den = d * (d - 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cc = (2.0 * t.astype(np.float64)) / den.astype(np.float64)
+        cc_col = pc.if_else(
+            pa.array(d >= 2, pa.bool_()),
+            pa.array(np.where(d >= 2, cc, 0.0), pa.float64()),
+            pa.scalar(None, pa.float64()),
+        )
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "degree": pa.array(d, pa.int64()),
+                "n_tri": pa.array(t.astype(np.int64), pa.int64()),
+                "cc": cc_col,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -6844,3 +6844,257 @@ def test_split_leakage_differential(ray_session):
             c,
         )
         assert bool(row["leaky"]) == (a > 0 and c > 0)
+
+
+def test_clustering_coefficients_differential(ray_session):
+    """clustering_coefficients == brute-force adjacency enumeration
+    on a random graph; degree-1 nodes get NULL, triangle-free get 0."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.graph import (
+        clustering_coefficients,
+    )
+
+    rng = np.random.default_rng(13)
+    n_nodes = 60
+    pairs = sorted(
+        {
+            (int(a), int(b))
+            for a, b in rng.integers(0, n_nodes, (400, 2))
+            if a < b
+        }
+    )
+    edges = pa.table(
+        {
+            "a": pa.array([p[0] for p in pairs], pa.int64()),
+            "b": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+    got = (
+        clustering_coefficients(
+            ray.data.from_arrow(edges).repartition(4), n_buckets=8
+        )
+        .to_pandas()
+        .set_index("node")
+        .sort_index()
+    )
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert set(got.index) == set(adj)
+    for node, nbrs in adj.items():
+        d = len(nbrs)
+        t = sum(
+            1
+            for x, y in itertools.combinations(sorted(nbrs), 2)
+            if y in adj.get(x, ())
+        )
+        row = got.loc[node]
+        assert row["degree"] == d
+        assert row["n_tri"] == t
+        if d >= 2:
+            assert row["cc"] == (2.0 * t) / float(d * (d - 1))
+        else:
+            assert row["cc"] != row["cc"]  # NULL
+
+
+def test_last_touch_attribution_differential(ray_session):
+    """last_touch_attribution == python brute force with the
+    (ts DESC, id DESC) tie rule, window cut, and 'none' fallback."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        last_touch_attribution,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    W = 1000
+    users = rng.integers(0, 40, n)
+    ts = rng.integers(0, 20000, n)
+    kinds = np.array(["purchase", "click", "view", "noise"])[
+        rng.choice([0, 1, 2, 3], n, p=[0.2, 0.35, 0.35, 0.1])
+    ]
+    vals = np.round(rng.uniform(0, 50, n), 2).astype(object)
+    vals[rng.random(n) < 0.05] = None
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(list(kinds), pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(list(vals), pa.float64()),
+        }
+    )
+    got = (
+        last_touch_attribution(
+            ray.data.from_arrow(t).repartition(6),
+            window_us=W,
+            n_buckets=8,
+        )
+        .to_pandas()
+        .set_index("attr_type")
+    )
+    ref: dict = {}
+    df = pd.DataFrame(
+        {"id": np.arange(n), "u": users, "t": ts, "k": kinds,
+         "v": vals}
+    )
+    touches = df[df["k"].isin(("click", "view"))]
+    for _, p in df[df["k"] == "purchase"].iterrows():
+        cand = touches[
+            (touches["u"] == p["u"])
+            & (touches["t"] < p["t"])
+            & (touches["t"] >= p["t"] - W)
+        ]
+        if len(cand):
+            best = cand.sort_values(
+                ["t", "id"], ascending=False
+            ).iloc[0]
+            key = best["k"]
+        else:
+            key = "none"
+        cents = (
+            None if p["v"] is None else int(np.floor(p["v"] * 100))
+        )
+        agg = ref.setdefault(key, [0, 0, 0])
+        agg[0] += 1
+        if cents is not None:
+            agg[1] += cents
+            agg[2] += 1
+    assert set(got.index) == set(ref)
+    for k, (cnt, cents, nv) in ref.items():
+        row = got.loc[k]
+        assert row["n_conversions"] == cnt
+        if nv:
+            assert row["sum_value_cents"] == cents
+        else:
+            assert pd.isna(row["sum_value_cents"])
+
+
+def test_psi_drift_differential(ray_session):
+    """psi_drift == python brute force with a planted mean shift in
+    the second half; contributions localize the drift."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import psi_drift
+
+    rng = np.random.default_rng(41)
+    n = 9000
+    ts = np.sort(rng.integers(0, 10_000_000, n))
+    mid = (int(ts.min()) + int(ts.max())) // 2
+    vals = rng.normal(20, 5, n)
+    vals[ts >= mid] += 4.0  # planted drift
+    t = pa.table(
+        {
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    got = (
+        psi_drift(ray.data.from_arrow(t).repartition(5))
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    cents = np.floor(vals * 100).astype(np.int64)
+    ref_v = np.sort(cents[ts < mid])
+    cur_v = cents[ts >= mid]
+    A, B = len(ref_v), len(cur_v)
+    edges = []
+    for i in range(1, 10):
+        target = (i * A + 9) // 10
+        edges.append(ref_v[target - 1])  # smallest with cum >= target
+    edges = np.array(edges, np.int64)
+    ba = np.bincount(np.searchsorted(edges, ref_v, "left"),
+                     minlength=10)
+    bb = np.bincount(np.searchsorted(edges, cur_v, "left"),
+                     minlength=10)
+    psi_total = 0.0
+    for k in range(10):
+        a, b = int(ba[k]), int(bb[k])
+        row = got.loc[k]
+        assert row["n_ref"] == a and row["n_cur"] == b
+        if a > 0 and b > 0:
+            contrib = (a / A - b / B) * math.log((a * B) / (b * A))
+            assert abs(row["psi_contrib"] - contrib) < 1e-12
+            psi_total += contrib
+    assert psi_total > 0.2  # the planted shift alarms
+
+
+def test_interarrival_fit_differential(ray_session):
+    """interarrival_fit == python brute force; a planted periodic
+    stream scores a much larger KS than an exponential one."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import interarrival_fit
+
+    rng = np.random.default_rng(53)
+    exp_ts = np.cumsum(
+        rng.exponential(1000, 3000).astype(np.int64) + 1
+    )
+    per_ts = np.arange(3000, dtype=np.int64) * 1000 + 17
+    rows_t, rows_k = [], []
+    for k, arr in (("poissonish", exp_ts), ("periodic", per_ts)):
+        rows_t.extend(arr.tolist())
+        rows_k.extend([k] * len(arr))
+    order = rng.permutation(len(rows_t))  # arrival order scrambled
+    t = pa.table(
+        {
+            "event_type": pa.array(
+                [rows_k[i] for i in order], pa.string()
+            ),
+            "ts": pa.array(
+                np.array([rows_t[i] for i in order], np.int64),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    got = (
+        interarrival_fit(
+            ray.data.from_arrow(t).repartition(7), n_buckets=16
+        )
+        .to_pandas()
+        .set_index("event_type")
+    )
+    for k, arr in (("poissonish", exp_ts), ("periodic", per_ts)):
+        gaps = np.diff(np.sort(arr))
+        n = len(gaps)
+        s = int(gaps.sum())
+        mean = float(s) / float(n)
+        vals, cnt = np.unique(gaps, return_counts=True)
+        cum = 0
+        d = 0.0
+        for g, c in zip(vals, cnt):
+            fe = 1.0 - math.exp(-(float(g) / mean))
+            d = max(d, abs(cum / n - fe))
+            cum += int(c)
+            d = max(d, abs(cum / n - fe))
+        row = got.loc[k]
+        assert row["n_gaps"] == n
+        assert row["sum_gap_us"] == s
+        assert row["mean_gap_us"] == mean
+        assert abs(row["ks_d"] - d) < 1e-12
+    assert got.loc["periodic", "ks_d"] > 3 * got.loc[
+        "poissonish", "ks_d"
+    ]

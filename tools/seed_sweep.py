@@ -4335,6 +4335,216 @@ def stats_quality_family(seed):
     )
 
 
+    # --- clustering coefficients on a random graph
+    from console_log_parser_ray.stages.graph import (
+        clustering_coefficients,
+    )
+
+    nn = int(rng.integers(30, 80))
+    pr = sorted(
+        {
+            (int(a), int(b))
+            for a, b in rng.integers(0, nn, (300, 2))
+            if a < b
+        }
+    )
+    eds = pa.table(
+        {
+            "a": pa.array([q[0] for q in pr], pa.int64()),
+            "b": pa.array([q[1] for q in pr], pa.int64()),
+        }
+    )
+    con.register("eds", eds)
+    mine = clustering_coefficients(
+        ray.data.from_arrow(eds).repartition(4), n_buckets=8
+    ).to_pandas()
+    ref = con.execute(
+        "WITH e AS (SELECT a, b FROM eds), "
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 "
+        "JOIN e e2 ON e1.b = e2.a "
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        "tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM ("
+        "SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+        "UNION ALL SELECT z FROM tri) GROUP BY node), "
+        "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree "
+        "FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) "
+        "GROUP BY node) "
+        "SELECT d.node, d.degree, "
+        "CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri, "
+        "CASE WHEN d.degree >= 2 THEN "
+        "CAST(2 * coalesce(tc.n_tri, 0) AS DOUBLE) / "
+        "CAST(d.degree * (d.degree - 1) AS DOUBLE) END AS cc "
+        "FROM deg d LEFT JOIN tc USING (node)"
+    ).fetchdf()
+    check(
+        "clustering_coeff", seed, mine, ref,
+        ["node"], ["degree", "n_tri", "cc"],
+    )
+
+    # --- last-touch attribution on a random event stream
+    from console_log_parser_ray.stages.events import (
+        last_touch_attribution,
+    )
+
+    ne = 3000
+    wus = int(rng.integers(500, 3000))
+    ev3 = pa.table(
+        {
+            "event_id": pa.array(np.arange(ne), pa.int64()),
+            "user_id": pa.array(
+                rng.integers(0, 30, ne).astype(np.int64)
+            ),
+            "event_type": pa.array(
+                list(
+                    np.array(["purchase", "click", "view", "x"])[
+                        rng.choice([0, 1, 2, 3], ne,
+                                   p=[0.2, 0.35, 0.35, 0.1])
+                    ]
+                ),
+                pa.string(),
+            ),
+            "ts": pa.array(
+                rng.integers(0, 30000, ne).astype(np.int64),
+                pa.timestamp("us"),
+            ),
+            "value": pa.array(
+                np.round(rng.uniform(0, 40, ne), 2), pa.float64()
+            ),
+        }
+    )
+    con.register("aev", ev3)
+    mine = last_touch_attribution(
+        ray.data.from_arrow(ev3).repartition(5),
+        window_us=wus,
+        n_buckets=8,
+    ).to_pandas()
+    ref = con.execute(
+        "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t, "
+        "CAST(floor(value * 100) AS BIGINT) AS cents FROM aev "
+        "WHERE event_type = 'purchase' AND ts IS NOT NULL), "
+        "tch AS (SELECT event_id, user_id, epoch_us(ts) AS t, "
+        "event_type FROM aev WHERE event_type IN ('click', 'view') "
+        "AND ts IS NOT NULL), "
+        "j AS (SELECT p.event_id AS pid, tch.event_type AS attr, "
+        "row_number() OVER (PARTITION BY p.event_id "
+        "ORDER BY tch.t DESC, tch.event_id DESC) AS rk FROM p "
+        "JOIN tch ON p.user_id = tch.user_id AND tch.t < p.t "
+        f"AND tch.t >= p.t - {wus}), "
+        "b AS (SELECT pid, attr FROM j WHERE rk = 1), "
+        "u AS (SELECT coalesce(b.attr, 'none') AS attr_type, p.cents "
+        "FROM p LEFT JOIN b ON b.pid = p.event_id) "
+        "SELECT attr_type, CAST(count(*) AS BIGINT) AS n_conversions, "
+        "CAST(sum(cents) AS BIGINT) AS sum_value_cents FROM u "
+        "GROUP BY 1"
+    ).fetchdf()
+    check(
+        "attribution", seed, mine, ref,
+        ["attr_type"], ["n_conversions", "sum_value_cents"],
+    )
+
+    # --- PSI drift with a planted second-half shift
+    from console_log_parser_ray.stages.events import psi_drift
+
+    np_ = 6000
+    tsv = np.sort(rng.integers(0, 5_000_000, np_)).astype(np.int64)
+    vv = rng.normal(15, 4, np_)
+    vv[tsv >= (int(tsv.min()) + int(tsv.max())) // 2] += rng.uniform(
+        0, 5
+    )
+    pt = pa.table(
+        {
+            "ts": pa.array(tsv, pa.timestamp("us")),
+            "value": pa.array(vv, pa.float64()),
+        }
+    )
+    con.register("pev", pt)
+    mine = psi_drift(
+        ray.data.from_arrow(pt).repartition(5)
+    ).to_pandas()
+    ref = con.execute(
+        "WITH span AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts)))"
+        " // 2 AS mid FROM pev), "
+        "c AS (SELECT (epoch_us(ts) >= span.mid) AS cur, "
+        "CAST(floor(value * 100) AS BIGINT) AS v FROM pev, span "
+        "WHERE ts IS NOT NULL AND value IS NOT NULL), "
+        "h AS (SELECT cur, v, CAST(count(*) AS BIGINT) AS n FROM c "
+        "GROUP BY 1, 2), "
+        "tot AS (SELECT CAST(sum(n) FILTER (WHERE NOT cur) AS BIGINT) "
+        "AS ta, CAST(sum(n) FILTER (WHERE cur) AS BIGINT) AS tb "
+        "FROM h), "
+        "rc AS (SELECT v, CAST(sum(n) OVER (ORDER BY v "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h "
+        "WHERE NOT cur), "
+        "idx AS (SELECT unnest(generate_series(1, 9)) AS i), "
+        "ed AS (SELECT i, min(v) AS edge FROM idx, rc, tot "
+        "WHERE rc.cum >= (i * tot.ta + 9) // 10 GROUP BY i), "
+        "bins AS (SELECT h.cur, (SELECT count(*) FROM ed "
+        "WHERE ed.edge < h.v) AS bin, CAST(sum(h.n) AS BIGINT) AS n "
+        "FROM h GROUP BY 1, 2), "
+        "g AS (SELECT bin, CAST(coalesce(sum(n) FILTER ("
+        "WHERE NOT cur), 0) AS BIGINT) AS a, "
+        "CAST(coalesce(sum(n) FILTER (WHERE cur), 0) AS BIGINT) AS b "
+        "FROM bins GROUP BY 1) "
+        "SELECT CAST(bin AS BIGINT) AS bin, a AS n_ref, b AS n_cur, "
+        "CASE WHEN a > 0 AND b > 0 THEN "
+        "(CAST(a AS DOUBLE) / CAST(tot.ta AS DOUBLE) - "
+        "CAST(b AS DOUBLE) / CAST(tot.tb AS DOUBLE)) * "
+        "ln(CAST(a * tot.tb AS DOUBLE) / CAST(b * tot.ta AS DOUBLE)) "
+        "END AS psi_contrib FROM g, tot"
+    ).fetchdf()
+    check(
+        "psi_drift", seed, mine, ref,
+        ["bin"], ["n_ref", "n_cur", "psi_contrib"],
+    )
+
+    # --- exponential inter-arrival fit per key
+    from console_log_parser_ray.stages.events import interarrival_fit
+
+    ni = 3000
+    kk = np.array(["a", "b", "c"])[rng.integers(0, 3, ni)]
+    ti = rng.integers(0, 2_000_000, ni).astype(np.int64)
+    it = pa.table(
+        {
+            "event_type": pa.array(list(kk), pa.string()),
+            "ts": pa.array(ti, pa.timestamp("us")),
+        }
+    )
+    con.register("iev", it)
+    mine = interarrival_fit(
+        ray.data.from_arrow(it).repartition(6), n_buckets=16
+    ).to_pandas()
+    ref = con.execute(
+        "WITH o AS (SELECT event_type AS k, epoch_us(ts) AS t "
+        "FROM iev WHERE ts IS NOT NULL AND event_type IS NOT NULL), "
+        "g AS (SELECT k, t - lag(t) OVER (PARTITION BY k ORDER BY t) "
+        "AS gap FROM o), "
+        "h AS (SELECT k, gap, CAST(count(*) AS BIGINT) AS c FROM g "
+        "WHERE gap IS NOT NULL GROUP BY 1, 2), "
+        "tot AS (SELECT k, CAST(sum(c) AS BIGINT) AS n, "
+        "CAST(sum(CAST(gap AS HUGEINT) * c) AS BIGINT) AS s FROM h "
+        "GROUP BY 1), "
+        "r AS (SELECT k, gap, c, CAST(sum(c) OVER (PARTITION BY k "
+        "ORDER BY gap ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+        "FROM h), "
+        "d AS (SELECT r.k, greatest("
+        "abs(CAST(r.cum - r.c AS DOUBLE) / CAST(t.n AS DOUBLE) - "
+        "(1 - exp(-(CAST(r.gap AS DOUBLE) / (CAST(t.s AS DOUBLE) / "
+        "CAST(t.n AS DOUBLE)))))), "
+        "abs(CAST(r.cum AS DOUBLE) / CAST(t.n AS DOUBLE) - "
+        "(1 - exp(-(CAST(r.gap AS DOUBLE) / (CAST(t.s AS DOUBLE) / "
+        "CAST(t.n AS DOUBLE))))))) AS dd FROM r JOIN tot t USING (k)) "
+        "SELECT t.k AS event_type, t.n AS n_gaps, t.s AS sum_gap_us, "
+        "CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) AS mean_gap_us, "
+        "d2.ks AS ks_d FROM tot t JOIN (SELECT k, max(dd) AS ks "
+        "FROM d GROUP BY 1) d2 USING (k)"
+    ).fetchdf()
+    check(
+        "interarrival_fit", seed, mine, ref,
+        ["event_type"], ["n_gaps", "sum_gap_us", "mean_gap_us",
+                         "ks_d"],
+    )
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -4364,7 +4574,7 @@ def main():
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(140 comparison groups per seed)"
+        "(144 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
