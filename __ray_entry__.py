@@ -4126,6 +4126,30 @@ def _q_interarrival_exp(sf_dir: str):
 
 
 
+def _q_hysteresis(sf_dir: str):
+    """Schmitt-trigger alerting per event_type: ON at value >= 100,
+    OFF at value < 40, hold between (stages/events.hysteresis_alerts)
+    -- range-bucketed last_value(mark IGNORE NULLS) with a
+    keys x buckets carried-state fold."""
+    from console_log_parser_ray.stages.events import hysteresis_alerts
+
+    return hysteresis_alerts(
+        _events(sf_dir).select_columns(["event_type", "ts", "value"])
+    )
+
+
+def _q_fano(sf_dir: str):
+    """Burstiness per event_type: Fano factor of 6-hour tumbling
+    window counts over the full span, empty windows included
+    (stages/events.fano_factor) -- exact int64 count/square partials,
+    one float division per key."""
+    from console_log_parser_ray.stages.events import fano_factor
+
+    return fano_factor(
+        _events(sf_dir).select_columns(["event_type", "ts"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -4263,6 +4287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution": _q_attribution,
         "psi_value_drift": _q_psi_drift,
         "interarrival_exp": _q_interarrival_exp,
+        "hysteresis_alerts": _q_hysteresis,
+        "fano_burstiness": _q_fano,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -6898,6 +6924,46 @@ def oracle_sql() -> dict[str, str]:
         "CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) AS mean_gap_us, "
         "d2.ks AS ks_d FROM tot t JOIN (SELECT k, max(dd) AS ks "
         "FROM d GROUP BY 1) d2 USING (k)"
+    )
+    out["hysteresis_alerts"] = (
+        # state = last_value(mark IGNORE NULLS) over (ts, value);
+        # alert = OFF/NULL -> ON edge; ties in (ts, value) share a
+        # mark, so the lag pairing is order-independent
+        "WITH o AS (SELECT event_type AS k, epoch_us(ts) AS t, value "
+        "AS v FROM events WHERE ts IS NOT NULL AND event_type IS NOT "
+        "NULL AND value IS NOT NULL), "
+        "m AS (SELECT k, t, v, CASE WHEN v >= 100.0 THEN 1 "
+        "WHEN v < 40.0 THEN 0 END AS mk FROM o), "
+        "s AS (SELECT k, t, v, last_value(mk IGNORE NULLS) OVER "
+        "(PARTITION BY k ORDER BY t, v ROWS UNBOUNDED PRECEDING) "
+        "AS st FROM m), "
+        "s2 AS (SELECT k, st, lag(st) OVER (PARTITION BY k "
+        "ORDER BY t, v) AS pst FROM s) "
+        "SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(coalesce(sum(CASE WHEN st = 1 THEN 1 END), 0) "
+        "AS BIGINT) AS n_on, "
+        "CAST(coalesce(sum(CASE WHEN st = 1 AND (pst IS NULL OR "
+        "pst <> 1) THEN 1 END), 0) AS BIGINT) AS n_alerts "
+        "FROM s2 GROUP BY 1"
+    )
+    out["fano_burstiness"] = (
+        # Fano = (n*S2 - S1^2) / (n*S1) over ALL windows in the span
+        # (empty windows are zeros: they move n, not the sums)
+        "WITH span AS (SELECT epoch_us(min(ts)) AS mn, "
+        "epoch_us(max(ts)) AS mx FROM events WHERE ts IS NOT NULL), "
+        "o AS (SELECT event_type AS k, (epoch_us(ts) - span.mn) // "
+        "21600000000 AS win FROM events, span WHERE ts IS NOT NULL "
+        "AND event_type IS NOT NULL), "
+        "wc AS (SELECT k, win, CAST(count(*) AS BIGINT) AS c FROM o "
+        "GROUP BY 1, 2), "
+        "agg AS (SELECT k, CAST(sum(c) AS BIGINT) AS s1, "
+        "CAST(sum(c * c) AS BIGINT) AS s2 FROM wc GROUP BY 1), "
+        "nw AS (SELECT (mx - mn) // 21600000000 + 1 AS n FROM span) "
+        "SELECT k AS event_type, CAST(nw.n AS BIGINT) AS n_windows, "
+        "s1 AS n_events, "
+        "CAST(CAST(nw.n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 "
+        "AS DOUBLE) / CAST(CAST(nw.n AS HUGEINT) * s1 AS DOUBLE) "
+        "AS fano FROM agg, nw"
     )
     # generated from the same term list as the Ray query, so the
     # engine and its mirror can never drift

@@ -262,6 +262,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "attribution",
         "psi_value_drift",
         "interarrival_exp",
+        "hysteresis_alerts",
+        "fano_burstiness",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -5669,3 +5669,239 @@ def interarrival_fit(
             "ks_d": pa.array(d_out, pa.float64()),
         }
     )
+
+
+def hysteresis_alerts(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    hi: float = 100.0,
+    lo: float = 40.0,
+    n_buckets: int = 64,
+):
+    """Two-threshold (Schmitt-trigger) alerting per key: the alert
+    state turns ON when value >= ``hi``, OFF when value < ``lo``, and
+    HOLDS between the thresholds -- the debounced paging rule every
+    monitoring stack uses so a metric oscillating around one threshold
+    doesn't flap.  Reports, per key, the number of alerts fired
+    (OFF->ON transitions), the number of samples spent in the ON
+    state, and the sample count.
+
+    The state recurrence is last_value(mark IGNORE NULLS) over the
+    (ts, value)-ordered stream (mark = 1 / 0 / NULL per row), which
+    makes it distributable with the repo's range-bucket prefix recipe
+    (``late_events``): rows hash into n_buckets CONTIGUOUS time
+    buckets, one grouped pass summarizes each (key, bucket) --
+    first/last mark, counts split at the first mark, internal
+    transitions -- and a keys x buckets driver fold threads the
+    carried state through bucket order.  Rows before a bucket's first
+    mark inherit the carried state; the first mark fires an alert only
+    if the carried state was not already ON.  Ties in (ts, value)
+    share a mark, so the fold is order-independent within ties --
+    bit-identical to the SQL window mirror.
+    """
+    mn_us = _ts_scalar_us(ds.min(ts_col))
+    mx_us = _ts_scalar_us(ds.max(ts_col))
+    width = (mx_us - mn_us) // n_buckets + 1
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_valid(b.column(ts_col)),
+                    pc.is_valid(b.column(key_col)),
+                ),
+                pc.is_valid(b.column(val_col)),
+            )
+        )
+        ts = t.column(ts_col).cast(pa.int64())
+        rb = pc.divide(
+            pc.subtract(ts, pa.scalar(mn_us, pa.int64())),
+            pa.scalar(width, pa.int64()),
+        )
+        return pa.table(
+            {
+                "k": t.column(key_col),
+                "rb": rb,
+                "t": ts,
+                "v": t.column(val_col).cast(pa.float64()),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("k")[0].as_py()
+        rb = int(tbl.column("rb")[0].as_py())
+        t = tbl.column("t").to_numpy(zero_copy_only=False)
+        v = tbl.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, t))
+        vv = v[order]
+        m = np.where(
+            vv >= hi, np.int8(1), np.where(vv < lo, np.int8(0), np.int8(-1))
+        )
+        n_rows = len(m)
+        idx = np.flatnonzero(m >= 0)
+        if idx.size == 0:
+            first_mark, last_mark = None, None
+            unknown, n_on_known, alerts_internal = n_rows, 0, 0
+        else:
+            first = int(idx[0])
+            unknown = first
+            mm = m[first:]
+            valid = mm >= 0
+            pos = np.where(valid, np.arange(mm.size), -1)
+            np.maximum.accumulate(pos, out=pos)
+            st = mm[pos]  # pos >= 0: mm[0] is valid
+            n_on_known = int((st == 1).sum())
+            alerts_internal = int(
+                ((st[1:] == 1) & (st[:-1] != 1)).sum()
+            )
+            first_mark = int(mm[0])
+            last_mark = int(st[-1])
+        return pa.table(
+            {
+                "k": pa.array([k], pa.string()),
+                "rb": pa.array([rb], pa.int64()),
+                "n_rows": pa.array([n_rows], pa.int64()),
+                "unknown": pa.array([unknown], pa.int64()),
+                "n_on_known": pa.array([n_on_known], pa.int64()),
+                "alerts_internal": pa.array([alerts_internal], pa.int64()),
+                "first_mark": pa.array([first_mark], pa.int8()),
+                "last_mark": pa.array([last_mark], pa.int8()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["k", "rb"])
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .take_all()
+    )  # <= keys x n_buckets rows
+    per_key: dict = {}
+    for r in rows:
+        per_key.setdefault(r["k"], {})[int(r["rb"])] = r
+    out_k, out_n, out_on, out_alerts = [], [], [], []
+    for k in sorted(per_key):
+        seed = None  # carried state entering the next bucket
+        n_rows = n_on = n_alerts = 0
+        for rb in sorted(per_key[k]):
+            r = per_key[k][rb]
+            n_rows += int(r["n_rows"])
+            n_on += int(r["n_on_known"])
+            if seed == 1:
+                n_on += int(r["unknown"])
+            n_alerts += int(r["alerts_internal"])
+            if r["first_mark"] is not None:
+                if int(r["first_mark"]) == 1 and seed != 1:
+                    n_alerts += 1
+                seed = int(r["last_mark"])
+        out_k.append(k)
+        out_n.append(n_rows)
+        out_on.append(n_on)
+        out_alerts.append(n_alerts)
+    return pa.table(
+        {
+            "event_type": pa.array(out_k, pa.string()),
+            "n_rows": pa.array(out_n, pa.int64()),
+            "n_on": pa.array(out_on, pa.int64()),
+            "n_alerts": pa.array(out_alerts, pa.int64()),
+        }
+    )
+
+
+def fano_factor(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_us: int = 21_600_000_000,
+):
+    """Burstiness index per key: the Fano factor (variance / mean) of
+    per-tumbling-window event counts over the corpus's FULL observed
+    span -- empty windows count as zeros, so a stream that fires all
+    its events in one burst scores high even though its non-empty
+    windows look uniform.  Fano == 1 is Poisson; > 1 over-dispersed
+    (bursty); < 1 regular.
+
+    Exact shape: windows over [min ts, max ts] globally (one tiny
+    min/max aggregate); per-block (key, window) count partials fold
+    through one bounded groupby (keys x windows rows); per key the
+    population variance over ALL n windows reduces to the closed form
+
+        fano = (n * sum(c^2) - (sum c)^2) / (n * sum c)
+
+    where empty windows contribute nothing to either sum -- so the
+    fold never materializes the zeros.  All sums are exact int64
+    partials; the single float division happens once per key, in the
+    same expression tree as the SQL mirror.
+    """
+    from ray.data.aggregate import Sum
+
+    mn_us = _ts_scalar_us(ds.min(ts_col))
+    mx_us = _ts_scalar_us(ds.max(ts_col))
+    n_windows = (mx_us - mn_us) // window_us + 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(ts_col)),
+                pc.is_valid(b.column(key_col)),
+            )
+        )
+        win = pc.divide(
+            pc.subtract(
+                t.column(ts_col).cast(pa.int64()),
+                pa.scalar(mn_us, pa.int64()),
+            ),
+            pa.scalar(window_us, pa.int64()),
+        )
+        g = (
+            pa.table({"k": t.column(key_col), "win": win})
+            .group_by(["k", "win"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "k": g.column("k"),
+                "win": g.column("win"),
+                "c_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def square(b: pa.Table) -> pa.Table:
+        c = b.column("sum(c_part)").cast(pa.int64())
+        return pa.table(
+            {
+                "k": b.column("k"),
+                "s1_part": c,
+                "s2_part": pc.multiply(c, c),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["k", "win"])
+        .aggregate(Sum("c_part"))
+        .map_batches(square, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("s1_part"), Sum("s2_part"))
+        .take_all()
+    )  # one row per key
+    out_k, out_nw, out_ev, out_f = [], [], [], []
+    for r in sorted(agg, key=lambda r: r["k"]):
+        s1 = int(r["sum(s1_part)"])
+        s2 = int(r["sum(s2_part)"])
+        out_k.append(r["k"])
+        out_nw.append(n_windows)
+        out_ev.append(s1)
+        # exact int arithmetic; ONE rounding at the float division
+        out_f.append(
+            float(n_windows * s2 - s1 * s1) / float(n_windows * s1)
+        )
+    return pa.table(
+        {
+            "event_type": pa.array(out_k, pa.string()),
+            "n_windows": pa.array(out_nw, pa.int64()),
+            "n_events": pa.array(out_ev, pa.int64()),
+            "fano": pa.array(out_f, pa.float64()),
+        }
+    )

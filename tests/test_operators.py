@@ -7098,3 +7098,109 @@ def test_interarrival_fit_differential(ray_session):
     assert got.loc["periodic", "ks_d"] > 3 * got.loc[
         "poissonish", "ks_d"
     ]
+
+
+def test_hysteresis_alerts_differential(ray_session):
+    """hysteresis_alerts == python brute force on a crafted stream:
+    flapping inside the band must NOT re-alert; crossing below lo
+    re-arms."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import hysteresis_alerts
+
+    rng = np.random.default_rng(71)
+    n = 8000
+    ts = rng.choice(
+        np.arange(0, 50_000_000, 7, dtype=np.int64), n, replace=False
+    )
+    vals = rng.uniform(0, 150, n)
+    keys = rng.choice(["a", "b", "c"], n)
+    t = pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    got = (
+        hysteresis_alerts(
+            ray.data.from_arrow(t).repartition(6),
+            hi=100.0,
+            lo=40.0,
+            n_buckets=16,
+        )
+        .to_pandas()
+        .set_index("event_type")
+    )
+    for k in ("a", "b", "c"):
+        mask = keys == k
+        order = np.lexsort((vals[mask], ts[mask]))
+        v = vals[mask][order]
+        state = None
+        n_on = n_alerts = 0
+        for x in v:
+            if x >= 100.0:
+                if state != 1:
+                    n_alerts += 1
+                state = 1
+            elif x < 40.0:
+                state = 0
+            if state == 1:
+                n_on += 1
+        row = got.loc[k]
+        assert row["n_rows"] == int(mask.sum())
+        assert row["n_on"] == n_on
+        assert row["n_alerts"] == n_alerts
+        # flapping in (lo, hi) can never out-alert the ON samples
+        assert row["n_alerts"] <= row["n_on"]
+
+
+def test_fano_factor_differential(ray_session):
+    """fano_factor == python brute force INCLUDING empty windows; a
+    bursty stream scores far above a uniform one."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import fano_factor
+
+    w = 1000
+    uniform = np.arange(0, 100_000, 50, dtype=np.int64)  # 2 per window
+    burst = np.concatenate(
+        [
+            np.arange(0, 500, 1, dtype=np.int64),  # one packed window
+            np.array([99_999], np.int64),  # pins the same global span
+        ]
+    )
+    rows_t = np.concatenate([uniform, burst])
+    rows_k = ["uniform"] * len(uniform) + ["burst"] * len(burst)
+    t = pa.table(
+        {
+            "event_type": pa.array(rows_k, pa.string()),
+            "ts": pa.array(rows_t, pa.timestamp("us")),
+        }
+    )
+    got = (
+        fano_factor(
+            ray.data.from_arrow(t).repartition(5), window_us=w
+        )
+        .to_pandas()
+        .set_index("event_type")
+    )
+    mn, mx = int(rows_t.min()), int(rows_t.max())
+    n_win = (mx - mn) // w + 1
+    for k, arr in (("uniform", uniform), ("burst", burst)):
+        counts = np.bincount((arr - mn) // w, minlength=n_win)
+        assert len(counts) == n_win
+        fano = counts.var() / counts.mean()
+        row = got.loc[k]
+        assert row["n_windows"] == n_win
+        assert row["n_events"] == len(arr)
+        assert abs(row["fano"] - fano) < 1e-9
+    assert (
+        got.loc["burst", "fano"] > 50 * got.loc["uniform", "fano"]
+    )
