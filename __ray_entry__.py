@@ -4150,6 +4150,30 @@ def _q_fano(sf_dir: str):
     )
 
 
+def _q_changepoint(sf_dir: str):
+    """Binary-segmentation changepoint per event_type: the split of
+    the (ts, value)-ordered integer-cent series minimizing two-segment
+    SSE (stages/events.changepoint_mean) -- range-bucketed exact
+    prefix sums, one float g(i) per candidate, (g DESC, i ASC)
+    tie-break."""
+    from console_log_parser_ray.stages.events import changepoint_mean
+
+    return changepoint_mean(
+        _events(sf_dir).select_columns(["event_type", "ts", "value"])
+    )
+
+
+def _q_window_movers(sf_dir: str):
+    """Largest count jump between consecutive non-empty 6-hour
+    windows per event_type (stages/events.window_movers) -- bounded
+    (key, window) count fold + keys x windows driver scan."""
+    from console_log_parser_ray.stages.events import window_movers
+
+    return window_movers(
+        _events(sf_dir).select_columns(["event_type", "ts"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -4289,6 +4313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_exp": _q_interarrival_exp,
         "hysteresis_alerts": _q_hysteresis,
         "fano_burstiness": _q_fano,
+        "changepoint_value": _q_changepoint,
+        "window_movers": _q_window_movers,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -6964,6 +6990,53 @@ def oracle_sql() -> dict[str, str]:
         "CAST(CAST(nw.n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 "
         "AS DOUBLE) / CAST(CAST(nw.n AS HUGEINT) * s1 AS DOUBLE) "
         "AS fano FROM agg, nw"
+    )
+    out["changepoint_value"] = (
+        # argmax of g(i) = S1L^2/i + S1R^2/(n-i) over left sizes i in
+        # [1, n-1]; exact HUGEINT squares, one float expression, ties
+        # to the smallest i -- same tree as the Ray side
+        "WITH o AS (SELECT event_type AS k, epoch_us(ts) AS t, "
+        "CAST(floor(value * 100) AS BIGINT) AS v FROM events WHERE "
+        "ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT "
+        "NULL), "
+        "w AS (SELECT k, t, v, CAST(row_number() OVER "
+        "(PARTITION BY k ORDER BY t, v) AS BIGINT) AS nl, "
+        "CAST(sum(v) OVER (PARTITION BY k ORDER BY t, v "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s1l, "
+        "CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n, "
+        "CAST(sum(v) OVER (PARTITION BY k) AS BIGINT) AS s1 FROM o), "
+        "g AS (SELECT k, nl, t, n, s1l, s1, "
+        "CAST(CAST(s1l AS HUGEINT) * s1l AS DOUBLE) / "
+        "CAST(nl AS DOUBLE) + "
+        "CAST(CAST(s1 - s1l AS HUGEINT) * (s1 - s1l) AS DOUBLE) / "
+        "CAST(n - nl AS DOUBLE) AS gst FROM w WHERE nl < n), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY k "
+        "ORDER BY gst DESC, nl ASC) AS rn FROM g) "
+        "SELECT k AS event_type, n AS n_rows, nl AS split_n, "
+        "t AS split_ts_us, "
+        "CAST(s1l AS DOUBLE) / CAST(nl AS DOUBLE) AS mean_left, "
+        "CAST(s1 - s1l AS DOUBLE) / CAST(n - nl AS DOUBLE) "
+        "AS mean_right, gst AS gstat FROM r WHERE rn = 1"
+    )
+    out["window_movers"] = (
+        # max count step between consecutive NON-EMPTY windows; the
+        # LAG's NULL first row drops single-window keys
+        "WITH span AS (SELECT epoch_us(min(ts)) AS mn FROM events "
+        "WHERE ts IS NOT NULL), "
+        "o AS (SELECT event_type AS k, (epoch_us(ts) - span.mn) // "
+        "21600000000 AS win FROM events, span WHERE ts IS NOT NULL "
+        "AND event_type IS NOT NULL), "
+        "wc AS (SELECT k, win, CAST(count(*) AS BIGINT) AS c FROM o "
+        "GROUP BY 1, 2), "
+        "d AS (SELECT k, win, c, lag(win) OVER (PARTITION BY k "
+        "ORDER BY win) AS pwin, lag(c) OVER (PARTITION BY k "
+        "ORDER BY win) AS pc FROM wc), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY k "
+        "ORDER BY c - pc DESC, win ASC) AS rn FROM d "
+        "WHERE pwin IS NOT NULL) "
+        "SELECT k AS event_type, win, pwin AS prev_win, "
+        "pc AS c_prev, c AS c_cur, c - pc AS delta "
+        "FROM r WHERE rn = 1"
     )
     # generated from the same term list as the Ray query, so the
     # engine and its mirror can never drift

@@ -264,6 +264,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "interarrival_exp",
         "hysteresis_alerts",
         "fano_burstiness",
+        "changepoint_value",
+        "window_movers",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

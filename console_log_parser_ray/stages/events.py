@@ -5905,3 +5905,314 @@ def fano_factor(
             "fano": pa.array(out_f, pa.float64()),
         }
     )
+
+
+def changepoint_mean(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    n_buckets: int = 64,
+):
+    """Single changepoint per key (binary segmentation, first level):
+    the split of the (ts, value)-ordered series that MINIMIZES the
+    two-segment sum of squared errors -- equivalently maximizes
+
+        g(i) = S1L(i)^2 / i  +  (S1 - S1L(i))^2 / (n - i)
+
+    over left sizes i in [1, n-1] (total sum of squares is split-
+    invariant, so only the means term moves).  Values quantize to
+    integer cents, so every prefix sum is an exact int64 and g is ONE
+    float expression of exact integers -- bit-identical to the SQL
+    window mirror, including the (g DESC, i ASC) tie-break.
+
+    Distribution is the range-bucket prefix recipe: a per-block
+    partial folds (key, bucket) -> (count, sum) through a tiny
+    groupby (keys x buckets rows), the driver prefix-scans it into
+    carried (rows-before, sum-before) seeds plus per-key totals, and
+    ONE grouped pass scans each bucket's sorted rows with vectorized
+    cumsums, emitting only its local argmax candidate.  The int64
+    square is exact below |S1| ~ 3e9 cents (guarded: falls back to a
+    per-candidate exact-int loop above it).
+    """
+    from ray.data.aggregate import Sum
+
+    mn_us = _ts_scalar_us(ds.min(ts_col))
+    mx_us = _ts_scalar_us(ds.max(ts_col))
+    width = (mx_us - mn_us) // n_buckets + 1
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_valid(b.column(ts_col)),
+                    pc.is_valid(b.column(key_col)),
+                ),
+                pc.is_valid(b.column(val_col)),
+            )
+        )
+        ts = t.column(ts_col).cast(pa.int64())
+        rb = pc.divide(
+            pc.subtract(ts, pa.scalar(mn_us, pa.int64())),
+            pa.scalar(width, pa.int64()),
+        )
+        cents = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    t.column(val_col).cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"k": t.column(key_col), "rb": rb, "t": ts, "v": cents}
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def sum_partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.group_by(["k", "rb"])
+            .aggregate([("v", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "k": g.column("k"),
+                "rb": g.column("rb"),
+                "s1_part": g.column("v_sum").cast(pa.int64()),
+                "n_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    bounds = (
+        bucketed.map_batches(sum_partial, batch_format="pyarrow")
+        .groupby(["k", "rb"])
+        .aggregate(Sum("s1_part"), Sum("n_part"))
+        .take_all()
+    )  # <= keys x n_buckets rows
+    per_key: dict = {}
+    for r in bounds:
+        per_key.setdefault(r["k"], {})[int(r["rb"])] = (
+            int(r["sum(n_part)"]),
+            int(r["sum(s1_part)"]),
+        )
+    seeds: dict = {}
+    totals: dict = {}
+    for k, m in per_key.items():
+        pre_n = pre_s = 0
+        for rb in sorted(m):
+            seeds[(k, rb)] = (pre_n, pre_s)
+            pre_n += m[rb][0]
+            pre_s += m[rb][1]
+        totals[k] = (pre_n, pre_s)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.array([], pa.string()),
+                "g": pa.array([], pa.float64()),
+                "idx": pa.array([], pa.int64()),
+                "split_t": pa.array([], pa.int64()),
+                "s1l": pa.array([], pa.int64()),
+            }
+        )
+        k = tbl.column("k")[0].as_py()
+        rb = int(tbl.column("rb")[0].as_py())
+        n_tot, s1_tot = totals[k]
+        if n_tot < 2:
+            return empty
+        pre_n, pre_s = seeds[(k, rb)]
+        t = tbl.column("t").to_numpy(zero_copy_only=False)
+        v = tbl.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, t))
+        t, v = t[order], v[order]
+        nl = pre_n + 1 + np.arange(len(v), dtype=np.int64)
+        s1l = pre_s + np.cumsum(v)
+        keep = nl < n_tot  # left sizes 1..n-1 only
+        nl, s1l, t = nl[keep], s1l[keep], t[keep]
+        if len(nl) == 0:
+            return empty
+        s1r = s1_tot - s1l
+        nr = n_tot - nl
+        big = max(
+            int(np.abs(s1l).max()), int(np.abs(s1r).max())
+        )
+        if big < 3_000_000_000:
+            gl = (s1l * s1l).astype(np.float64) / nl.astype(
+                np.float64
+            )
+            gr = (s1r * s1r).astype(np.float64) / nr.astype(
+                np.float64
+            )
+            g = gl + gr
+            j = int(np.argmax(g))  # first occurrence = smallest idx
+            best = (float(g[j]), int(nl[j]), int(t[j]), int(s1l[j]))
+        else:  # exact-int squares above the int64-square guard
+            best = None
+            for j in range(len(nl)):
+                gg = float(int(s1l[j]) * int(s1l[j])) / float(
+                    int(nl[j])
+                ) + float(int(s1r[j]) * int(s1r[j])) / float(
+                    int(nr[j])
+                )
+                if best is None or gg > best[0]:
+                    best = (gg, int(nl[j]), int(t[j]), int(s1l[j]))
+        return pa.table(
+            {
+                "k": pa.array([k], pa.string()),
+                "g": pa.array([best[0]], pa.float64()),
+                "idx": pa.array([best[1]], pa.int64()),
+                "split_t": pa.array([best[2]], pa.int64()),
+                "s1l": pa.array([best[3]], pa.int64()),
+            }
+        )
+
+    cands = (
+        bucketed.groupby(["k", "rb"])
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .take_all()
+    )  # <= keys x n_buckets candidate rows
+    best: dict = {}
+    for r in cands:
+        k = r["k"]
+        cur = (float(r["g"]), -int(r["idx"]))
+        if k not in best or cur > (
+            float(best[k]["g"]),
+            -int(best[k]["idx"]),
+        ):
+            best[k] = r
+    out_k, out_n, out_i, out_t, out_ml, out_mr, out_g = (
+        [],
+        [],
+        [],
+        [],
+        [],
+        [],
+        [],
+    )
+    for k in sorted(best):
+        r = best[k]
+        n_tot, s1_tot = totals[k]
+        i, s1l = int(r["idx"]), int(r["s1l"])
+        out_k.append(k)
+        out_n.append(n_tot)
+        out_i.append(i)
+        out_t.append(int(r["split_t"]))
+        out_ml.append(float(s1l) / float(i))
+        out_mr.append(float(s1_tot - s1l) / float(n_tot - i))
+        out_g.append(float(r["g"]))
+    return pa.table(
+        {
+            "event_type": pa.array(out_k, pa.string()),
+            "n_rows": pa.array(out_n, pa.int64()),
+            "split_n": pa.array(out_i, pa.int64()),
+            "split_ts_us": pa.array(out_t, pa.int64()),
+            "mean_left": pa.array(out_ml, pa.float64()),
+            "mean_right": pa.array(out_mr, pa.float64()),
+            "gstat": pa.array(out_g, pa.float64()),
+        }
+    )
+
+
+def window_movers(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_us: int = 21_600_000_000,
+    max_distinct: int = 2_000_000,
+):
+    """Largest traffic jump per key: the maximum count increase
+    between consecutive NON-EMPTY tumbling windows (LAG over the
+    per-window counts, ordered by window id; ties broken by the
+    earliest window) -- the "what spiked, and when" readout over a
+    sparse activity profile.
+
+    One bounded (key, window) count groupby (per-block partials fold
+    inside the shuffle's map side); the sparse profile is metadata-
+    counted against ``max_distinct`` (the rank-family guard) before
+    the keys x windows driver scan picks each key's best step.  Keys
+    with fewer than two active windows have no step and drop out,
+    exactly like LAG's NULL first row in the SQL mirror.
+    """
+    from ray.data.aggregate import Sum
+
+    mn_us = _ts_scalar_us(ds.min(ts_col))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(ts_col)),
+                pc.is_valid(b.column(key_col)),
+            )
+        )
+        win = pc.divide(
+            pc.subtract(
+                t.column(ts_col).cast(pa.int64()),
+                pa.scalar(mn_us, pa.int64()),
+            ),
+            pa.scalar(window_us, pa.int64()),
+        )
+        g = (
+            pa.table({"k": t.column(key_col), "win": win})
+            .group_by(["k", "win"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "k": g.column("k"),
+                "win": g.column("win"),
+                "c_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    prof = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["k", "win"])
+        .aggregate(Sum("c_part"))
+        .materialize()
+    )
+    n_rows = prof.count()
+    if n_rows > max_distinct:
+        raise ValueError(
+            f"window_movers: {n_rows} distinct (key, window) rows "
+            f"exceed max_distinct={max_distinct}; widen the window"
+        )
+    per: dict = {}
+    for r in prof.take_all():
+        per.setdefault(r["k"], {})[int(r["win"])] = int(
+            r["sum(c_part)"]
+        )
+    out = {
+        "event_type": [],
+        "win": [],
+        "prev_win": [],
+        "c_prev": [],
+        "c_cur": [],
+        "delta": [],
+    }
+    for k in sorted(per):
+        wins = sorted(per[k])
+        if len(wins) < 2:
+            continue
+        best = None
+        for pw, w in zip(wins, wins[1:]):
+            d = per[k][w] - per[k][pw]
+            if best is None or d > best[0]:
+                best = (d, w, pw)
+        out["event_type"].append(k)
+        out["win"].append(best[1])
+        out["prev_win"].append(best[2])
+        out["c_prev"].append(per[k][best[2]])
+        out["c_cur"].append(per[k][best[1]])
+        out["delta"].append(best[0])
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "win": pa.array(out["win"], pa.int64()),
+            "prev_win": pa.array(out["prev_win"], pa.int64()),
+            "c_prev": pa.array(out["c_prev"], pa.int64()),
+            "c_cur": pa.array(out["c_cur"], pa.int64()),
+            "delta": pa.array(out["delta"], pa.int64()),
+        }
+    )

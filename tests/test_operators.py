@@ -7204,3 +7204,107 @@ def test_fano_factor_differential(ray_session):
     assert (
         got.loc["burst", "fano"] > 50 * got.loc["uniform", "fano"]
     )
+
+
+def test_changepoint_mean_differential(ray_session):
+    """changepoint_mean == python brute force over every split; a
+    planted level shift is recovered exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import changepoint_mean
+
+    rng = np.random.default_rng(97)
+    n = 6000
+    ts = rng.choice(
+        np.arange(0, 40_000_000, 3, dtype=np.int64), n, replace=False
+    )
+    keys = rng.choice(["a", "b"], n)
+    vals = rng.uniform(10, 20, n)
+    shift_at = 25_000_000
+    vals[(keys == "a") & (ts >= shift_at)] += 30.0  # planted shift
+    t = pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    got = (
+        changepoint_mean(
+            ray.data.from_arrow(t).repartition(6), n_buckets=16
+        )
+        .to_pandas()
+        .set_index("event_type")
+    )
+    for k in ("a", "b"):
+        mask = keys == k
+        order = np.lexsort((vals[mask], ts[mask]))
+        tt = ts[mask][order]
+        cents = np.floor(vals[mask][order] * 100).astype(np.int64)
+        nn = len(cents)
+        s1l = np.cumsum(cents)[:-1]
+        nl = np.arange(1, nn, dtype=np.int64)
+        s1 = int(cents.sum())
+        g = (s1l * s1l).astype(np.float64) / nl + (
+            (s1 - s1l) * (s1 - s1l)
+        ).astype(np.float64) / (nn - nl)
+        j = int(np.argmax(g))
+        row = got.loc[k]
+        assert row["n_rows"] == nn
+        assert row["split_n"] == j + 1
+        assert row["split_ts_us"] == tt[j]
+        assert row["gstat"] == g[j]
+        assert row["mean_left"] == float(int(s1l[j])) / float(j + 1)
+    # the planted shift is recovered at the right boundary
+    a_ts = np.sort(ts[keys == "a"])
+    expect_split = int((a_ts < shift_at).sum())
+    assert got.loc["a", "split_n"] == expect_split
+    assert got.loc["a", "mean_right"] - got.loc["a", "mean_left"] > 25
+
+
+def test_window_movers_differential(ray_session):
+    """window_movers == python LAG brute force; single-active-window
+    keys drop out."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import window_movers
+
+    rng = np.random.default_rng(13)
+    w = 1000
+    rows_t, rows_k = [], []
+    # key a: ramp with a big jump; key b: one window only
+    rows_t.append(0)  # pins min ts so window ids align at 0
+    rows_k.append("a")
+    for win, c in ((0, 2), (2, 5), (3, 40), (7, 1)):
+        rows_t.extend(
+            (win * w + rng.integers(0, w, c)).tolist()
+        )
+        rows_k.extend(["a"] * c)
+    rows_t.extend([5 * w + 10] * 4)
+    rows_k.extend(["b"] * 4)
+    t = pa.table(
+        {
+            "event_type": pa.array(rows_k, pa.string()),
+            "ts": pa.array(
+                np.array(rows_t, np.int64), pa.timestamp("us")
+            ),
+        }
+    )
+    got = (
+        window_movers(
+            ray.data.from_arrow(t).repartition(4), window_us=w
+        )
+        .to_pandas()
+        .set_index("event_type")
+    )
+    assert "b" not in got.index  # one active window -> no step
+    row = got.loc["a"]
+    assert row["win"] == 3 and row["prev_win"] == 2
+    assert row["c_prev"] == 5 and row["c_cur"] == 40
+    assert row["delta"] == 35
