@@ -4174,6 +4174,28 @@ def _q_window_movers(sf_dir: str):
     )
 
 
+def _q_log_odds(sf_dir: str):
+    """Monroe weighted log-odds (corpus Dirichlet prior) of src1 vs
+    the rest, top 50 by z (stages/textan.log_odds_tokens) --
+    token-hash bucket counts, per-bucket top-k merge."""
+    from console_log_parser_ray.stages.textan import log_odds_tokens
+
+    return log_odds_tokens(
+        _docs(sf_dir).select_columns(["source", "text"])
+    )
+
+
+def _q_token_burstiness(sf_dir: str):
+    """Church-Gale burstiness occ/df, df >= 5, top 50
+    (stages/textan.token_burstiness) -- bucket-local exact df/occ,
+    one float ratio per token."""
+    from console_log_parser_ray.stages.textan import token_burstiness
+
+    return token_burstiness(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -4315,6 +4337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fano_burstiness": _q_fano,
         "changepoint_value": _q_changepoint,
         "window_movers": _q_window_movers,
+        "log_odds_src1": _q_log_odds,
+        "token_burstiness": _q_token_burstiness,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -7037,6 +7061,40 @@ def oracle_sql() -> dict[str, str]:
         "SELECT k AS event_type, win, pwin AS prev_win, "
         "pc AS c_prev, c AS c_cur, c - pc AS delta "
         "FROM r WHERE rn = 1"
+    )
+    out["log_odds_src1"] = (
+        # Monroe log-odds, corpus prior: x1=y_a+aw, x2=n_a+a0-y_a-aw,
+        # x3=y_b+aw, x4=n_b+a0-y_b-aw; identical left-to-right tree
+        "WITH toks AS (SELECT (coalesce(source, '') = 'src1') AS ga, "
+        "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+        "FROM documents), "
+        "ct AS (SELECT tok, CAST(coalesce(count(*) FILTER "
+        "(WHERE ga), 0) AS BIGINT) AS ya, "
+        "CAST(coalesce(count(*) FILTER (WHERE NOT ga), 0) AS BIGINT) "
+        "AS yb FROM toks GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(ya) AS BIGINT) AS na, "
+        "CAST(sum(yb) AS BIGINT) AS nb FROM ct) "
+        "SELECT tok, ya AS y_a, yb AS y_b, "
+        "(ln(CAST(ya + ya + yb AS DOUBLE)) - "
+        "ln(CAST(na + na + nb - ya - ya - yb AS DOUBLE)) - "
+        "ln(CAST(yb + ya + yb AS DOUBLE)) + "
+        "ln(CAST(nb + na + nb - yb - ya - yb AS DOUBLE))) / "
+        "sqrt(1.0 / CAST(ya + ya + yb AS DOUBLE) + "
+        "1.0 / CAST(yb + ya + yb AS DOUBLE)) AS z "
+        "FROM ct, tot ORDER BY z DESC, tok ASC LIMIT 50"
+    )
+    out["token_burstiness"] = (
+        # Church-Gale occ/df, df >= 5; one float ratio per token
+        "WITH pairs AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+        "FROM documents), "
+        "po AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c "
+        "FROM pairs GROUP BY 1, 2), "
+        "t AS (SELECT tok, CAST(count(*) AS BIGINT) AS df, "
+        "CAST(sum(c) AS BIGINT) AS occ FROM po GROUP BY 1) "
+        "SELECT tok, df, occ, CAST(occ AS DOUBLE) / "
+        "CAST(df AS DOUBLE) AS burst FROM t WHERE df >= 5 "
+        "ORDER BY burst DESC, tok ASC LIMIT 50"
     )
     # generated from the same term list as the Ray query, so the
     # engine and its mirror can never drift

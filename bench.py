@@ -266,6 +266,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "fano_burstiness",
         "changepoint_value",
         "window_movers",
+        "log_odds_src1",
+        "token_burstiness",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

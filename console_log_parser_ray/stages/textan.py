@@ -2996,3 +2996,211 @@ def readability_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def log_odds_tokens(
+    ds,
+    group_col: str = "source",
+    group_a: str = "src1",
+    text_col: str = "text",
+    k: int = 50,
+    n_buckets: int = 64,
+):
+    """Monroe-style weighted log-odds with an informative Dirichlet
+    prior (Monroe, Colaresi & Quinn 2008, "Fightin' Words"): which
+    tokens are most distinctive of group A (``group_col ==
+    group_a``) vs the rest, with the WHOLE CORPUS as the prior so
+    rare tokens don't dominate the way raw log-odds ratios do.
+
+    Per token w (y_a/y_b group counts, n_a/n_b group totals, prior
+    alpha_w = corpus count, alpha_0 = corpus total):
+
+        delta = ln(y_a + a_w) - ln(n_a + a_0 - y_a - a_w)
+              - ln(y_b + a_w) + ln(n_b + a_0 - y_b - a_w)
+        z     = delta / sqrt(1/(y_a + a_w) + 1/(y_b + a_w))
+
+    Every log/sqrt argument is an exact int64, ``ln`` is libm
+    ``math.log`` evaluated once per DISTINCT argument (== DuckDB
+    ``ln``), the expression tree is identical left-to-right on both
+    sides, and the top-k cut orders by (z DESC, token ASC).
+
+    Scale shape: pass 1 folds the two group token totals from
+    per-block partials (2 numbers).  Pass 2 is the shared token-hash
+    bucket front half with the group flag carried: a bucket owns
+    every occurrence row of its tokens, so y_a, y_b AND the prior
+    alpha_w are bucket-local; each bucket emits only its local top-k
+    and the driver merges <= n_buckets x k candidates.  One shuffle,
+    over (flag, tok, n_occ) post-aggregation rows.
+    """
+
+    def flagged(b: pa.Table) -> pa.Table:
+        src = pc.fill_null(b.column(group_col).combine_chunks(), "")
+        flag = pc.cast(
+            pc.equal(src, pa.scalar(group_a)), pa.int64()
+        )
+        return pa.table(
+            {"ga": flag, text_col: b.column(text_col)}
+        )
+
+    def group_part(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.fill_null(b.column(text_col), ""), _TOKEN_RE
+        ).cast(pa.int64())
+        g = (
+            pa.table({"ga": b.column("ga"), "n": n})
+            .group_by("ga")
+            .aggregate([("n", "sum")])
+        )
+        return g
+
+    flagged_ds = ds.map_batches(flagged, batch_format="pyarrow")
+    n_a = n_b = 0
+    for tbl in flagged_ds.map_batches(
+        group_part, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for ga, n in zip(
+            tbl.column("ga").to_pylist(), tbl.column("n_sum").to_pylist()
+        ):
+            if int(ga) == 1:
+                n_a += int(n)
+            else:
+                n_b += int(n)
+    a0 = n_a + n_b
+    if a0 == 0:
+        raise ValueError("log_odds_tokens: corpus has no tokens")
+
+    def explode_flag(b: pa.Table) -> pa.Table:
+        return _explode_tok_occ(b, text_col, "ga", n_buckets)
+
+    def topk_in_bucket(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(["ga", "tok"]).aggregate([("n_occ", "sum")])
+        ga = agg.column("ga").to_numpy(zero_copy_only=False)
+        cnt = agg.column("n_occ_sum").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(agg.column("tok").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        n_tok = len(enc.dictionary)
+        ya = np.zeros(n_tok, np.int64)
+        yb = np.zeros(n_tok, np.int64)
+        np.add.at(ya, codes[ga == 1], cnt[ga == 1])
+        np.add.at(yb, codes[ga == 0], cnt[ga == 0])
+        aw = ya + yb
+        x1 = ya + aw
+        x2 = n_a + a0 - ya - aw
+        x3 = yb + aw
+        x4 = n_b + a0 - yb - aw
+        args = np.unique(np.concatenate([x1, x2, x3, x4]))
+        ln_map = np.array(
+            [math.log(float(v)) for v in args], np.float64
+        )
+
+        def ln(x):
+            return ln_map[np.searchsorted(args, x)]
+
+        z = (ln(x1) - ln(x2) - ln(x3) + ln(x4)) / np.sqrt(
+            1.0 / x1.astype(np.float64) + 1.0 / x3.astype(np.float64)
+        )
+        toks = np.asarray(enc.dictionary.to_pylist())
+        order = np.lexsort((toks, -z))[:k]
+        return pa.table(
+            {
+                "tok": pa.array(toks[order].tolist(), pa.string()),
+                "y_a": pa.array(ya[order], pa.int64()),
+                "y_b": pa.array(yb[order], pa.int64()),
+                "z": pa.array(z[order], pa.float64()),
+            }
+        )
+
+    cands = (
+        flagged_ds.map_batches(explode_flag, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(topk_in_bucket, batch_format="pyarrow")
+        .take_all()
+    )  # <= n_buckets x k rows
+    cands.sort(key=lambda r: (-r["z"], r["tok"]))
+    cands = cands[:k]
+    return pa.table(
+        {
+            "tok": pa.array([r["tok"] for r in cands], pa.string()),
+            "y_a": pa.array([r["y_a"] for r in cands], pa.int64()),
+            "y_b": pa.array([r["y_b"] for r in cands], pa.int64()),
+            "z": pa.array([r["z"] for r in cands], pa.float64()),
+        }
+    )
+
+
+def token_burstiness(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 5,
+    k: int = 50,
+    n_buckets: int = 64,
+):
+    """Church-Gale token burstiness: occurrences-per-document-
+    containing (occ / df) for every token with df >= ``min_df``,
+    top-k -- the "which words clump" readout (function words score
+    ~occ/df near their per-doc rate; topical words concentrate and
+    score high), used to pick candidate keyterms and stop-lists.
+
+    occ and df are exact bucket-local integers on the shared
+    token-hash front half (every (doc, token) row of a token lands
+    in one bucket); the ratio is ONE float division per token and
+    the cut orders by (ratio DESC, token ASC), each bucket emitting
+    only its local top-k.
+    """
+
+    def topk_in_bucket(tbl: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(tbl.column("tok").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        n_tok = len(enc.dictionary)
+        df = np.bincount(codes, minlength=n_tok).astype(np.int64)
+        occ = np.zeros(n_tok, np.int64)
+        np.add.at(
+            occ,
+            codes,
+            tbl.column("n_occ").to_numpy(zero_copy_only=False),
+        )
+        keep = df >= min_df
+        if not keep.any():
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "occ": pa.array([], pa.int64()),
+                    "burst": pa.array([], pa.float64()),
+                }
+            )
+        df, occ = df[keep], occ[keep]
+        toks = np.asarray(enc.dictionary.to_pylist())[keep]
+        burst = occ.astype(np.float64) / df.astype(np.float64)
+        order = np.lexsort((toks, -burst))[:k]
+        return pa.table(
+            {
+                "tok": pa.array(toks[order].tolist(), pa.string()),
+                "df": pa.array(df[order], pa.int64()),
+                "occ": pa.array(occ[order], pa.int64()),
+                "burst": pa.array(burst[order], pa.float64()),
+            }
+        )
+
+    cands = (
+        ds.map_batches(
+            lambda b: _explode_tok_occ(b, text_col, id_col, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("jb")
+        .map_groups(topk_in_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    cands.sort(key=lambda r: (-r["burst"], r["tok"]))
+    cands = cands[:k]
+    return pa.table(
+        {
+            "tok": pa.array([r["tok"] for r in cands], pa.string()),
+            "df": pa.array([r["df"] for r in cands], pa.int64()),
+            "occ": pa.array([r["occ"] for r in cands], pa.int64()),
+            "burst": pa.array(
+                [r["burst"] for r in cands], pa.float64()
+            ),
+        }
+    )

@@ -7308,3 +7308,112 @@ def test_window_movers_differential(ray_session):
     assert row["win"] == 3 and row["prev_win"] == 2
     assert row["c_prev"] == 5 and row["c_cur"] == 40
     assert row["delta"] == 35
+
+
+def test_log_odds_tokens_differential(ray_session):
+    """log_odds_tokens == python brute force; a token planted only in
+    group A tops the ranking."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import log_odds_tokens
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    docs, srcs = [], []
+    for i in range(300):
+        is_a = i % 3 == 0
+        words = list(rng.choice(vocab, 20))
+        if is_a:
+            words.extend(["aardvark"] * 3)  # planted A-only token
+        docs.append(" ".join(words))
+        srcs.append("A" if is_a else f"B{i % 4}")
+    t = pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    got = log_odds_tokens(
+        ray.data.from_arrow(t).repartition(5),
+        group_a="A",
+        k=10,
+        n_buckets=8,
+    ).to_pandas()
+    # brute force
+    ya_map, yb_map = {}, {}
+    for s, d in zip(srcs, docs):
+        m = ya_map if s == "A" else yb_map
+        for w in d.split():
+            m[w] = m.get(w, 0) + 1
+    na, nb = sum(ya_map.values()), sum(yb_map.values())
+    a0 = na + nb
+    rows = []
+    for w in set(ya_map) | set(yb_map):
+        ya, yb = ya_map.get(w, 0), yb_map.get(w, 0)
+        aw = ya + yb
+        z = (
+            math.log(ya + aw)
+            - math.log(na + a0 - ya - aw)
+            - math.log(yb + aw)
+            + math.log(nb + a0 - yb - aw)
+        ) / math.sqrt(1.0 / (ya + aw) + 1.0 / (yb + aw))
+        rows.append((w, ya, yb, z))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    assert got["tok"].tolist() == [r[0] for r in rows[:10]]
+    assert got["y_a"].tolist() == [r[1] for r in rows[:10]]
+    assert got["z"].tolist() == [r[3] for r in rows[:10]]
+    assert got["tok"][0] == "aardvark"
+
+
+def test_token_burstiness_differential(ray_session):
+    """token_burstiness == python brute force; a clumped token beats
+    an evenly spread one of equal total count."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import token_burstiness
+
+    docs = []
+    for i in range(60):
+        words = ["filler", "common"]
+        if i < 6:
+            words.extend(["clumpy"] * 10)  # 60 occ in 6 docs
+        if i % 1 == 0:
+            words.append("spread")  # 60 occ in 60 docs
+        docs.append(" ".join(words))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(60), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    got = token_burstiness(
+        ray.data.from_arrow(t).repartition(4),
+        min_df=5,
+        k=10,
+        n_buckets=4,
+    ).to_pandas()
+    df_map, occ_map = {}, {}
+    for i, d in enumerate(docs):
+        seen = set()
+        for w in d.split():
+            occ_map[w] = occ_map.get(w, 0) + 1
+            seen.add(w)
+        for w in seen:
+            df_map[w] = df_map.get(w, 0) + 1
+    rows = [
+        (w, df_map[w], occ_map[w], occ_map[w] / df_map[w])
+        for w in df_map
+        if df_map[w] >= 5
+    ]
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    assert got["tok"].tolist() == [r[0] for r in rows[:10]]
+    assert got["burst"].tolist() == [r[3] for r in rows[:10]]
+    assert got["tok"][0] == "clumpy"
