@@ -4196,6 +4196,123 @@ def _q_token_burstiness(sf_dir: str):
     )
 
 
+def _q_mmr(sf_dir: str):
+    """Maximal Marginal Relevance pick of 10 diverse vectors around
+    vec_id 0 (stages/similarity.mmr_select) -- k streaming argmax
+    passes, selected matrix broadcast per step, integer-only
+    output."""
+    import ray.data
+
+    from console_log_parser_ray.stages.similarity import mmr_select
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return mmr_select(emb, query_id=0, k=10)
+
+
+def _q_q4_priority(sf_dir: str):
+    """TPC-H Q4-shaped order-priority check: orders in 1995-Q3 with
+    at least one line item shipped more than 60 days after the order
+    date, counted per priority -- size-adaptive lookup_join
+    (broadcast under the cap) + distinct-order dedup + bounded
+    rollup."""
+    import datetime
+
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from console_log_parser_ray.stages.relational import lookup_join
+
+    lo = datetime.datetime(1995, 7, 1)
+    hi = datetime.datetime(1995, 10, 1)
+    late_us = 60 * 86_400_000_000  # 60 days in microseconds
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def in_window(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return b.filter(
+            pc.and_(
+                pc.greater_equal(
+                    b.column("o_orderdate"), pa.scalar(lo)
+                ),
+                pc.less(b.column("o_orderdate"), pa.scalar(hi)),
+            )
+        )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+    joined = lookup_join(
+        li,
+        orders.map_batches(in_window, batch_format="pyarrow"),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        how="inner",
+    )
+
+    def late_pairs(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = b.filter(
+            pc.greater(
+                b.column("l_shipdate").cast(pa.int64()),
+                pc.add(
+                    b.column("o_orderdate").cast(pa.int64()),
+                    pa.scalar(late_us, pa.int64()),
+                ),
+            )
+        )
+        # per-block distinct (order, priority) partial: the final
+        # groupby then sees one row per (order, block)
+        return (
+            t.select(["l_orderkey", "o_orderpriority"])
+            .group_by(["l_orderkey", "o_orderpriority"])
+            .aggregate([([], "count_all")])
+            .select(["l_orderkey", "o_orderpriority"])
+        )
+
+    def ones(b):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "one": pa.array([1] * b.num_rows, pa.int64()),
+            }
+        )
+
+    res = (
+        joined.map_batches(late_pairs, batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderpriority"])
+        .aggregate(Count())
+        .map_batches(ones, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("one"))
+    )
+
+    def rename(b):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "order_count": b.column("sum(one)").cast(pa.int64()),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -4339,6 +4456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_movers": _q_window_movers,
         "log_odds_src1": _q_log_odds,
         "token_burstiness": _q_token_burstiness,
+        "mmr_diverse": _q_mmr,
+        "q4_priority": _q_q4_priority,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -7096,6 +7215,20 @@ def oracle_sql() -> dict[str, str]:
         "CAST(df AS DOUBLE) AS burst FROM t WHERE df >= 5 "
         "ORDER BY burst DESC, tok ASC LIMIT 50"
     )
+    out["q4_priority"] = (
+        # EXISTS semi over the 60-day-late predicate, per priority
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS "
+        "order_count FROM orders WHERE o_orderdate >= TIMESTAMP "
+        "'1995-07-01' AND o_orderdate < TIMESTAMP '1995-10-01' AND "
+        "EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = "
+        "o_orderkey AND epoch_us(l_shipdate) > "
+        "epoch_us(o_orderdate) + 5184000000000) GROUP BY 1"
+    )
+    # generated from the same parameters as the Ray calls, so the
+    # engine and its mirrors can never drift
+    from console_log_parser_ray.stages.similarity import mmr_oracle_sql
+
+    out["mmr_diverse"] = mmr_oracle_sql(query_id=0, k=10)
     # generated from the same term list as the Ray query, so the
     # engine and its mirror can never drift
     from console_log_parser_ray.stages.search import bm25_oracle_sql

@@ -268,6 +268,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "window_movers",
         "log_odds_src1",
         "token_burstiness",
+        "mmr_diverse",
+        "q4_priority",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

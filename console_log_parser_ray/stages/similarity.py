@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def as_matrix(arr, dtype=np.float64) -> np.ndarray:
@@ -608,4 +609,196 @@ def class_centroids(
         .groupby([label_col, "dim"])
         .aggregate(Sum("s_part"), Sum("n_part"))
         .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def mmr_select(
+    ds,
+    query_id: int = 0,
+    k: int = 10,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): greedily pick ``k`` vectors maximizing
+
+        score(d) = lam * cos(d, q) - mu * max_{s in selected} cos(d, s)
+
+    -- the diversity-aware retrieval cut used to de-redundify RAG
+    contexts and training-data subsets (plain top-k by cos(d, q)
+    returns k near-copies of the best hit; MMR penalizes each
+    candidate by its similarity to what is already chosen).  The
+    query is the corpus vector with id ``query_id``; ties break to
+    the smaller id; the query itself is eligible (it wins step 1 with
+    cos = 1, matching the SQL mirror).
+
+    Scale shape: one tiny filtered take fetches the query vector; each
+    of the k steps broadcasts the (<= k x dim) selected matrix via
+    ``ray.put`` and streams ONE map_batches pass that emits a single
+    per-block argmax row (cosines are one matmul per block), so the
+    corpus never shuffles and never materializes -- k streaming
+    passes total, the iterative-refinement contract shared with
+    ``kmeans_clusters``.  Returns (rnk, vec_id) only: selection is
+    integer-exact; scores stay internal so float formatting can't
+    perturb the contract.
+    """
+    import math
+
+    import ray
+
+    from .dedup import _cached_get
+
+    def pick(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_valid(b.column(id_col)),
+            pc.is_valid(b.column(vec_col)),
+        )
+        t = b.filter(m)
+        return t.filter(
+            pc.equal(
+                t.column(id_col).cast(pa.int64()),
+                pa.scalar(int(query_id), pa.int64()),
+            )
+        ).select([vec_col])
+
+    qrows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    if not qrows:
+        raise ValueError(f"mmr_select: no vector with id {query_id}")
+    qv = np.asarray(qrows[0][vec_col], dtype=np.float64)
+    qn = math.sqrt(float(np.dot(qv, qv)))
+
+    selected: list = []
+    for _ in range(k):
+        sel_ids = np.array([i for i, _ in selected], np.int64)
+        sel_mat = (
+            np.stack([v for _, v in selected])
+            if selected
+            else np.zeros((0, len(qv)), np.float64)
+        )
+        ref = ray.put((sel_ids, sel_mat, qv, qn))
+
+        def best(b: pa.Table, _ref=ref) -> pa.Table:
+            empty = pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "vec": pa.array(
+                        [], pa.list_(pa.float64())
+                    ),
+                }
+            )
+            s_ids, s_mat, q, q_norm = _cached_get(_ref)
+            t = b.filter(
+                pc.and_(
+                    pc.is_valid(b.column(id_col)),
+                    pc.is_valid(b.column(vec_col)),
+                )
+            )
+            if t.num_rows == 0:
+                return empty
+            ids = t.column(id_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            mat = as_matrix(t.column(vec_col), dtype=np.float64)
+            keep = ~np.isin(ids, s_ids)
+            if not keep.any():
+                return empty
+            ids, mat = ids[keep], mat[keep]
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            simq = (mat @ q) / (norms * q_norm)
+            if len(s_ids):
+                sn = np.sqrt((s_mat * s_mat).sum(axis=1))
+                sims = (mat @ s_mat.T) / (
+                    norms[:, None] * sn[None, :]
+                )
+                pen = sims.max(axis=1)
+            else:
+                pen = np.zeros(len(ids), np.float64)
+            score = lam * simq - mu * pen
+            j = int(np.lexsort((ids, -score))[0])
+            return pa.table(
+                {
+                    "vec_id": pa.array([ids[j]], pa.int64()),
+                    "score": pa.array(
+                        [float(score[j])], pa.float64()
+                    ),
+                    "vec": pa.array(
+                        [mat[j].tolist()], pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+        cands = ds.map_batches(best, batch_format="pyarrow").take_all()
+        if not cands:
+            break
+        win = max(cands, key=lambda r: (r["score"], -int(r["vec_id"])))
+        selected.append(
+            (int(win["vec_id"]), np.asarray(win["vec"], np.float64))
+        )
+    return pa.table(
+        {
+            "rnk": pa.array(
+                range(1, len(selected) + 1), pa.int64()
+            ),
+            "vec_id": pa.array(
+                [i for i, _ in selected], pa.int64()
+            ),
+        }
+    )
+
+
+def mmr_oracle_sql(
+    query_id: int = 0,
+    k: int = 10,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> str:
+    """Iteration-unrolled SQL mirror of ``mmr_select`` (the
+    ``kmeans`` oracle pattern): step i's CTE re-scores every not-yet-
+    selected vector against the i-1 previous picks via
+    ``list_cosine_similarity`` + ``greatest`` and keeps the (score
+    DESC, vec_id ASC) head.  Generated from the same parameters as
+    the engine call, so the two can never drift."""
+    ctes = [
+        # MATERIALIZED: DuckDB would otherwise inline sq into every
+        # unrolled step and re-open the parquet once per reference
+        "emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] "
+        "AS v FROM embeddings WHERE vec_id IS NOT NULL AND "
+        "embedding IS NOT NULL)",
+        f"q AS (SELECT v FROM emb WHERE vec_id = {int(query_id)})",
+        "sq AS MATERIALIZED (SELECT e.vec_id, e.v, "
+        "list_cosine_similarity(e.v, (SELECT v FROM q)) AS simq "
+        "FROM emb e)",
+    ]
+    for i in range(1, k + 1):
+        if i == 1:
+            pen = "0.0"
+            excl = ""
+        else:
+            sims = ", ".join(
+                f"list_cosine_similarity(sq.v, (SELECT v FROM s{j}))"
+                for j in range(1, i)
+            )
+            pen = f"greatest({sims})"
+            ids = " UNION ALL ".join(
+                f"SELECT vec_id FROM s{j}" for j in range(1, i)
+            )
+            excl = f"WHERE vec_id NOT IN ({ids}) "
+        ctes.append(
+            # each step MATERIALIZED too: later steps reference it
+            # several times (greatest + NOT IN) and plain CTEs inline
+            # exponentially across the unroll
+            f"s{i} AS MATERIALIZED (SELECT vec_id, v, {lam} * simq "
+            f"- {mu} * {pen} AS score FROM sq {excl}"
+            "ORDER BY score DESC, vec_id ASC LIMIT 1)"
+        )
+    heads = " UNION ALL ".join(
+        f"SELECT {i} AS rnk, vec_id FROM s{i}" for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT CAST(rnk AS BIGINT) AS rnk, vec_id FROM ({heads})"
     )

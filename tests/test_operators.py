@@ -7417,3 +7417,98 @@ def test_token_burstiness_differential(ray_session):
     assert got["tok"].tolist() == [r[0] for r in rows[:10]]
     assert got["burst"].tolist() == [r[3] for r in rows[:10]]
     assert got["tok"][0] == "clumpy"
+
+
+def test_mmr_select_differential(ray_session):
+    """mmr_select == python greedy brute force; the diversity penalty
+    must displace the query's nearest (redundant) neighbors."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.similarity import mmr_select
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(4, 16))
+    vecs, ids = [], []
+    for i in range(120):
+        # four tight clusters: plain top-k would pick one cluster
+        v = base[i % 4] + rng.normal(scale=0.05, size=16)
+        vecs.append(v)
+        ids.append(i)
+    mat = np.array(vecs, np.float64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+    got = mmr_select(
+        ray.data.from_arrow(t).repartition(5),
+        query_id=0,
+        k=8,
+        lam=0.3,
+        mu=0.7,
+    ).to_pandas()
+    # brute force greedy
+    q = mat[0]
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    simq = (mat @ q) / (norms * np.sqrt(q @ q))
+    selected = []
+    for _ in range(8):
+        best = None
+        for i in range(len(mat)):
+            if i in selected:
+                continue
+            pen = max(
+                (
+                    float(mat[i] @ mat[s])
+                    / (norms[i] * norms[s])
+                    for s in selected
+                ),
+                default=0.0,
+            )
+            sc = 0.3 * simq[i] - 0.7 * pen
+            if best is None or (sc, -i) > best[:2]:
+                best = (sc, -i, i)
+        selected.append(best[2])
+    assert got["vec_id"].tolist() == selected
+    assert got["rnk"].tolist() == list(range(1, 9))
+    # diversity: all four clusters appear in the first four picks
+    assert {s % 4 for s in selected[:4]} == {0, 1, 2, 3}
+
+
+def test_mmr_oracle_sql_matches_engine(ray_session):
+    """The generated unrolled SQL returns the same selection as the
+    engine on a random corpus."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.similarity import (
+        mmr_oracle_sql,
+        mmr_select,
+    )
+
+    rng = np.random.default_rng(19)
+    mat = rng.normal(size=(200, 12))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    got = mmr_select(
+        ray.data.from_arrow(t).repartition(4), query_id=7, k=6
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("embeddings", t.to_pandas())
+    want = con.execute(mmr_oracle_sql(query_id=7, k=6)).df()
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
