@@ -4313,6 +4313,28 @@ def _q_q4_priority(sf_dir: str):
     return res.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_alert_cooldown(sf_dir: str):
+    """Cooldown-throttled alerts per event_type, 4-day cooldown
+    (stages/events.alert_cooldown) -- bounded driver-iterative min
+    passes; recursive-CTE oracle."""
+    from console_log_parser_ray.stages.events import alert_cooldown
+
+    return alert_cooldown(
+        _events(sf_dir).select_columns(["event_type", "ts"])
+    )
+
+
+def _q_mase(sf_dir: str):
+    """Seasonal-naive MASE over zero-filled 6-hour windows with a
+    1-day period (stages/events.mase_seasonal) -- bounded count fold
+    + exact integer absolute-error sums."""
+    from console_log_parser_ray.stages.events import mase_seasonal
+
+    return mase_seasonal(
+        _events(sf_dir).select_columns(["event_type", "ts"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -4458,6 +4480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_burstiness": _q_token_burstiness,
         "mmr_diverse": _q_mmr,
         "q4_priority": _q_q4_priority,
+        "alert_cooldown": _q_alert_cooldown,
+        "mase_windows": _q_mase,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -7214,6 +7238,51 @@ def oracle_sql() -> dict[str, str]:
         "SELECT tok, df, occ, CAST(occ AS DOUBLE) / "
         "CAST(df AS DOUBLE) AS burst FROM t WHERE df >= 5 "
         "ORDER BY burst DESC, tok ASC LIMIT 50"
+    )
+    out["alert_cooldown"] = (
+        # the pager-throttling greedy as a recursive CTE: each level
+        # finds the next event >= last fired + cooldown per key
+        "WITH RECURSIVE o AS (SELECT event_type AS k, epoch_us(ts) "
+        "AS t FROM events WHERE ts IS NOT NULL AND event_type IS "
+        "NOT NULL), "
+        "em AS (SELECT k, min(t) AS t, CAST(1 AS BIGINT) AS i "
+        "FROM o GROUP BY k "
+        "UNION ALL "
+        "SELECT em.k, (SELECT min(o.t) FROM o WHERE o.k = em.k AND "
+        "o.t >= em.t + 345600000000), em.i + 1 FROM em "
+        "WHERE (SELECT min(o.t) FROM o WHERE o.k = em.k AND "
+        "o.t >= em.t + 345600000000) IS NOT NULL) "
+        "SELECT k AS event_type, i AS alert_idx, t AS alert_ts_us "
+        "FROM em"
+    )
+    out["mase_windows"] = (
+        # zero-filled per-key window series; MASE from exact integer
+        # absolute-error sums, cross-multiplied before the division
+        "WITH span AS (SELECT epoch_us(min(ts)) AS mn, "
+        "epoch_us(max(ts)) AS mx FROM events WHERE ts IS NOT NULL), "
+        "nw AS (SELECT (mx - mn) // 21600000000 + 1 AS n FROM span), "
+        "o AS (SELECT event_type AS k, (epoch_us(ts) - span.mn) // "
+        "21600000000 AS win FROM events, span WHERE ts IS NOT NULL "
+        "AND event_type IS NOT NULL), "
+        "keys AS (SELECT DISTINCT k FROM o), "
+        "grid AS (SELECT k, gs.win FROM keys, (SELECT "
+        "unnest(generate_series(0, (SELECT n FROM nw) - 1)) AS win) "
+        "gs), "
+        "wc AS (SELECT k, win, CAST(count(*) AS BIGINT) AS c FROM o "
+        "GROUP BY 1, 2), "
+        "f AS (SELECT g.k, g.win, coalesce(wc.c, 0) AS c FROM grid "
+        "g LEFT JOIN wc ON wc.k = g.k AND wc.win = g.win), "
+        "d AS (SELECT k, c, lag(c, 4) OVER (PARTITION BY k ORDER BY "
+        "win) AS cp, lag(c, 1) OVER (PARTITION BY k ORDER BY win) "
+        "AS c1 FROM f), "
+        "agg AS (SELECT k, CAST(sum(abs(c - cp)) AS BIGINT) AS num, "
+        "CAST(sum(abs(c - c1)) AS BIGINT) AS den FROM d GROUP BY 1) "
+        "SELECT k AS event_type, CAST((SELECT n FROM nw) AS BIGINT) "
+        "AS n_windows, num AS sae_seasonal, den AS sae_naive, "
+        "CASE WHEN num IS NOT NULL AND den IS NOT NULL AND den > 0 "
+        "THEN CAST(num * ((SELECT n FROM nw) - 1) AS DOUBLE) / "
+        "CAST(den * ((SELECT n FROM nw) - 4) AS DOUBLE) END AS mase "
+        "FROM agg"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

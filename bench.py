@@ -270,6 +270,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "token_burstiness",
         "mmr_diverse",
         "q4_priority",
+        "alert_cooldown",
+        "mase_windows",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -6216,3 +6216,224 @@ def window_movers(
             "delta": pa.array(out["delta"], pa.int64()),
         }
     )
+
+
+def alert_cooldown(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    cooldown_us: int = 345_600_000_000,
+):
+    """Cooldown-deduplicated alerts per key: the first event fires,
+    then every later event is suppressed until ``cooldown_us`` has
+    passed since the last FIRED alert -- the pager-throttling greedy
+    whose recurrence (each emission depends on the previous emission,
+    not on a fixed window) famously resists plain window SQL; the
+    mirror is a recursive CTE.
+
+    Distribution exploits the output bound, not an ordering trick:
+    fired alerts are >= cooldown apart, so a key fires at most
+    span/cooldown + 1 times.  Round 0 is one bounded per-key min
+    aggregate; every later round broadcasts the per-key thresholds
+    (last fired + cooldown) and streams ONE map_batches pass whose
+    per-block partials fold driver-side (keys x blocks tiny rows) --
+    all keys advance simultaneously, so the pass count is the MAX
+    alert count over keys, not the sum.  The corpus never shuffles
+    and never materializes.
+    """
+    import ray
+
+    from .dedup import _cached_get
+
+    def min_partial(b: pa.Table, thr=None) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(ts_col)),
+                pc.is_valid(b.column(key_col)),
+            )
+        )
+        tbl = pa.table(
+            {
+                "k": t.column(key_col),
+                "t": t.column(ts_col).cast(pa.int64()),
+            }
+        )
+        if thr is not None:
+            ks, lim = _cached_get(thr)
+            kmap = {k: i for i, k in enumerate(ks)}
+            enc = pc.dictionary_encode(
+                tbl.column("k").combine_chunks()
+            )
+            # Python loop over DISTINCT keys only, never over rows
+            dmap = np.array(
+                [
+                    kmap.get(x, -1)
+                    for x in enc.dictionary.to_pylist()
+                ],
+                np.int64,
+            )
+            idx = dmap[enc.indices.to_numpy(zero_copy_only=False)]
+            tt = tbl.column("t").to_numpy(zero_copy_only=False)
+            keep = (idx >= 0) & (tt >= lim[np.maximum(idx, 0)])
+            tbl = tbl.filter(pa.array(keep))
+        return tbl.group_by("k").aggregate([("t", "min")])
+
+    def fold(parts) -> dict:
+        out: dict = {}
+        for tbl in parts.iter_batches(batch_format="pyarrow"):
+            for k, t in zip(
+                tbl.column("k").to_pylist(),
+                tbl.column("t_min").to_pylist(),
+            ):
+                if t is not None and (k not in out or t < out[k]):
+                    out[k] = int(t)
+        return out
+
+    fired: list = []
+    last = fold(ds.map_batches(min_partial, batch_format="pyarrow"))
+    idx = {k: 1 for k in last}
+    for k in sorted(last):
+        fired.append((k, 1, last[k]))
+    while last:
+        ks = sorted(last)
+        lim = np.array(
+            [last[k] + cooldown_us for k in ks], np.int64
+        )
+        ref = ray.put((ks, lim))
+        nxt = fold(
+            ds.map_batches(
+                lambda b, _r=ref: min_partial(b, thr=_r),
+                batch_format="pyarrow",
+            )
+        )
+        last = {}
+        for k in sorted(nxt):
+            idx[k] += 1
+            fired.append((k, idx[k], nxt[k]))
+            last[k] = nxt[k]
+    fired.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([f[0] for f in fired], pa.string()),
+            "alert_idx": pa.array([f[1] for f in fired], pa.int64()),
+            "alert_ts_us": pa.array(
+                [f[2] for f in fired], pa.int64()
+            ),
+        }
+    )
+
+
+def mase_seasonal(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_us: int = 21_600_000_000,
+    period: int = 4,
+    max_distinct: int = 2_000_000,
+):
+    """Seasonal-naive forecast accuracy per key: MASE of the
+    per-window count series (windows over the corpus's full span,
+    empty windows ZERO-FILLED) against the seasonal-naive forecast
+    c[w - period] --
+
+        MASE = (sae_seasonal / (n - period)) / (sae_naive / (n - 1))
+
+    where sae_seasonal sums |c[w] - c[w-period]| and sae_naive sums
+    the one-step |c[w] - c[w-1]| (the denominator every forecast
+    benchmark scales by).  MASE < 1 means real periodicity at
+    ``period`` windows.  Both sums are exact int64; the single float
+    division uses the cross-multiplied exact integers.
+
+    Scale shape: one bounded (key, window) count groupby; the sparse
+    profile is metadata-counted against ``max_distinct`` before the
+    keys x windows zero-filled driver scan (two np.abs diffs per
+    key).
+    """
+    from ray.data.aggregate import Sum
+
+    mn_us = _ts_scalar_us(ds.min(ts_col))
+    mx_us = _ts_scalar_us(ds.max(ts_col))
+    n_windows = (mx_us - mn_us) // window_us + 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(ts_col)),
+                pc.is_valid(b.column(key_col)),
+            )
+        )
+        win = pc.divide(
+            pc.subtract(
+                t.column(ts_col).cast(pa.int64()),
+                pa.scalar(mn_us, pa.int64()),
+            ),
+            pa.scalar(window_us, pa.int64()),
+        )
+        g = (
+            pa.table({"k": t.column(key_col), "win": win})
+            .group_by(["k", "win"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "k": g.column("k"),
+                "win": g.column("win"),
+                "c_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    prof = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["k", "win"])
+        .aggregate(Sum("c_part"))
+        .materialize()
+    )
+    n_rows = prof.count()
+    keys_seen: set = set()
+    per: dict = {}
+    for r in prof.take_all():
+        per.setdefault(r["k"], {})[int(r["win"])] = int(
+            r["sum(c_part)"]
+        )
+        keys_seen.add(r["k"])
+    if n_rows > max_distinct or len(keys_seen) * n_windows > max_distinct:
+        raise ValueError(
+            f"mase_seasonal: zero-filled grid "
+            f"{len(keys_seen)}x{n_windows} exceeds "
+            f"max_distinct={max_distinct}; widen the window"
+        )
+    out_k, out_n, out_num, out_den, out_m = [], [], [], [], []
+    for k in sorted(per):
+        c = np.zeros(n_windows, np.int64)
+        for w, v in per[k].items():
+            c[w] = v
+        num = (
+            int(np.abs(c[period:] - c[:-period]).sum())
+            if n_windows > period
+            else None
+        )
+        den = (
+            int(np.abs(c[1:] - c[:-1]).sum())
+            if n_windows > 1
+            else None
+        )
+        out_k.append(k)
+        out_n.append(n_windows)
+        out_num.append(num)
+        out_den.append(den)
+        if num is not None and den is not None and den > 0:
+            out_m.append(
+                float(num * (n_windows - 1))
+                / float(den * (n_windows - period))
+            )
+        else:
+            out_m.append(None)
+    return pa.table(
+        {
+            "event_type": pa.array(out_k, pa.string()),
+            "n_windows": pa.array(out_n, pa.int64()),
+            "sae_seasonal": pa.array(out_num, pa.int64()),
+            "sae_naive": pa.array(out_den, pa.int64()),
+            "mase": pa.array(out_m, pa.float64()),
+        }
+    )

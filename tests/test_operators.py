@@ -7512,3 +7512,123 @@ def test_mmr_oracle_sql_matches_engine(ray_session):
     con.register("embeddings", t.to_pandas())
     want = con.execute(mmr_oracle_sql(query_id=7, k=6)).df()
     assert got["vec_id"].tolist() == want["vec_id"].tolist()
+
+
+def test_alert_cooldown_differential(ray_session):
+    """alert_cooldown == python greedy; suppressed events inside the
+    cooldown never fire."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import alert_cooldown
+
+    rng = np.random.default_rng(23)
+    rows_t, rows_k = [], []
+    for k in ("a", "b", "c"):
+        ts = np.sort(
+            rng.choice(
+                np.arange(0, 1_000_000, dtype=np.int64),
+                400,
+                replace=False,
+            )
+        )
+        rows_t.extend(ts.tolist())
+        rows_k.extend([k] * len(ts))
+    t = pa.table(
+        {
+            "event_type": pa.array(rows_k, pa.string()),
+            "ts": pa.array(
+                np.array(rows_t, np.int64), pa.timestamp("us")
+            ),
+        }
+    )
+    C = 37_000
+    got = alert_cooldown(
+        ray.data.from_arrow(t).repartition(6), cooldown_us=C
+    ).to_pandas()
+    for k in ("a", "b", "c"):
+        ts = np.sort(
+            np.array(
+                [r for r, kk in zip(rows_t, rows_k) if kk == k],
+                np.int64,
+            )
+        )
+        fired = [int(ts[0])]
+        for x in ts[1:]:
+            if x >= fired[-1] + C:
+                fired.append(int(x))
+        sub = got[got["event_type"] == k]
+        assert sub["alert_ts_us"].tolist() == fired
+        assert sub["alert_idx"].tolist() == list(
+            range(1, len(fired) + 1)
+        )
+        # every gap between consecutive alerts respects the cooldown
+        assert (np.diff(fired) >= C).all()
+
+
+def test_mase_seasonal_differential(ray_session):
+    """mase_seasonal == python brute force with zero-fill; a planted
+    periodic stream scores MASE << 1, a trend scores > 1."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import mase_seasonal
+
+    w, p = 1000, 4
+    rows_t, rows_k = [], []
+    rng = np.random.default_rng(3)
+    # periodic: counts cycle 1,5,9,2 per window over 40 windows
+    pat = [1, 5, 9, 2]
+    for win in range(40):
+        c = pat[win % p]
+        rows_t.extend(
+            (win * w + rng.integers(0, w, c)).tolist()
+        )
+        rows_k.extend(["periodic"] * c)
+    # trending: count == win
+    for win in range(40):
+        rows_t.extend(
+            (win * w + rng.integers(0, w, win + 1)).tolist()
+        )
+        rows_k.extend(["trend"] * (win + 1))
+    rows_t.extend([0, 39 * w + 999])  # pin the span on both keys
+    rows_k.extend(["periodic", "trend"])
+    t = pa.table(
+        {
+            "event_type": pa.array(rows_k, pa.string()),
+            "ts": pa.array(
+                np.array(rows_t, np.int64), pa.timestamp("us")
+            ),
+        }
+    )
+    got = (
+        mase_seasonal(
+            ray.data.from_arrow(t).repartition(5),
+            window_us=w,
+            period=p,
+        )
+        .to_pandas()
+        .set_index("event_type")
+    )
+    n = 40
+    for k in ("periodic", "trend"):
+        mask = [kk == k for kk in rows_k]
+        ts = np.array(
+            [r for r, m in zip(rows_t, mask) if m], np.int64
+        )
+        c = np.bincount(ts // w, minlength=n).astype(np.int64)
+        num = int(np.abs(c[p:] - c[:-p]).sum())
+        den = int(np.abs(c[1:] - c[:-1]).sum())
+        row = got.loc[k]
+        assert row["n_windows"] == n
+        assert row["sae_seasonal"] == num
+        assert row["sae_naive"] == den
+        assert row["mase"] == float(num * (n - 1)) / float(
+            den * (n - p)
+        )
+    assert got.loc["periodic", "mase"] < 0.5
+    assert got.loc["trend", "mase"] > 1.0
