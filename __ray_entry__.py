@@ -4335,6 +4335,51 @@ def _q_mase(sf_dir: str):
     )
 
 
+def _q_ols_trend(sf_dir: str):
+    """Per-event-type OLS trend of integer-cent value vs day index
+    (stages/events.ols_trend) -- exact int64 sufficient statistics,
+    Python big-int cross terms, one float conversion per factor."""
+    from console_log_parser_ray.stages.events import ols_trend
+
+    return ols_trend(
+        _events(sf_dir).select_columns(["event_type", "ts", "value"])
+    )
+
+
+def _q_assortativity(sf_dir: str):
+    """Degree assortativity of the 1998+ part co-purchase graph
+    (stages/graph.degree_assortativity over cooccur_pair_edges) --
+    bounded degree fold broadcast once, per-block exact partials."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from console_log_parser_ray.stages.graph import (
+        cooccur_pair_edges,
+        degree_assortativity,
+    )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_shipdate"],
+    )
+    cutoff = pa.scalar(883612800000000, pa.int64())  # 1998-01-01 us
+
+    def recent(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            b.column("l_shipdate").cast(pa.int64()), cutoff
+        )
+        return b.filter(keep).select(["l_orderkey", "l_partkey"])
+
+    edges = cooccur_pair_edges(
+        li.map_batches(recent, batch_format="pyarrow"),
+        "l_orderkey",
+        "l_partkey",
+    )
+    return degree_assortativity(edges)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -4482,6 +4527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_priority": _q_q4_priority,
         "alert_cooldown": _q_alert_cooldown,
         "mase_windows": _q_mase,
+        "ols_trend": _q_ols_trend,
+        "part_assortativity": _q_assortativity,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -7283,6 +7330,65 @@ def oracle_sql() -> dict[str, str]:
         "THEN CAST(num * ((SELECT n FROM nw) - 1) AS DOUBLE) / "
         "CAST(den * ((SELECT n FROM nw) - 4) AS DOUBLE) END AS mase "
         "FROM agg"
+    )
+    out["ols_trend"] = (
+        # day-quantized normal equations; HUGEINT cross terms, one
+        # DOUBLE conversion per factor -- same tree as the engine
+        "WITH span AS (SELECT epoch_us(min(ts)) AS mn FROM events "
+        "WHERE ts IS NOT NULL), "
+        "o AS (SELECT event_type AS k, (epoch_us(ts) - span.mn) // "
+        "86400000000 AS t, CAST(floor(value * 100) AS BIGINT) AS v "
+        "FROM events, span WHERE ts IS NOT NULL AND event_type IS "
+        "NOT NULL AND value IS NOT NULL), "
+        "s AS (SELECT k, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(t) AS BIGINT) AS st, CAST(sum(v) AS BIGINT) AS sv, "
+        "CAST(sum(CAST(t AS HUGEINT) * v) AS BIGINT) AS stv, "
+        "CAST(sum(CAST(t AS HUGEINT) * t) AS BIGINT) AS st2, "
+        "CAST(sum(CAST(v AS HUGEINT) * v) AS BIGINT) AS sv2 "
+        "FROM o GROUP BY 1), "
+        "f AS (SELECT k, n, st, sv, "
+        "CAST(n AS HUGEINT) * stv - CAST(st AS HUGEINT) * sv AS num, "
+        "CAST(n AS HUGEINT) * st2 - CAST(st AS HUGEINT) * st AS "
+        "denx, "
+        "CAST(n AS HUGEINT) * sv2 - CAST(sv AS HUGEINT) * sv AS "
+        "deny FROM s) "
+        "SELECT k AS event_type, n, "
+        "CASE WHEN denx > 0 THEN CAST(num AS DOUBLE) / "
+        "CAST(denx AS DOUBLE) END AS slope_cents_per_day, "
+        "CASE WHEN denx > 0 THEN (CAST(sv AS DOUBLE) - "
+        "CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) * "
+        "CAST(st AS DOUBLE)) / CAST(n AS DOUBLE) END AS "
+        "intercept_cents, "
+        "CASE WHEN denx > 0 AND deny > 0 THEN CAST(num AS DOUBLE) * "
+        "CAST(num AS DOUBLE) / (CAST(denx AS DOUBLE) * "
+        "CAST(deny AS DOUBLE)) END AS r2 FROM f"
+    )
+    out["part_assortativity"] = (
+        # Newman degree assortativity over the directed edge list
+        "WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1998-01-01'), "
+        "e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b "
+        "FROM li l1 JOIN li l2 ON l1.l_orderkey = l2.l_orderkey "
+        "AND l1.l_partkey < l2.l_partkey), "
+        "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM "
+        "(SELECT a AS node FROM e UNION ALL SELECT b FROM e) "
+        "GROUP BY 1), "
+        "p AS (SELECT da.d AS x, db.d AS y FROM e "
+        "JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b "
+        "UNION ALL SELECT db.d, da.d FROM e "
+        "JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b), "
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS m, "
+        "CAST(sum(x) AS BIGINT) AS sx, "
+        "CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy, "
+        "CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sx2 FROM p) "
+        "SELECT m AS n_directed_edges, sx AS sum_deg, "
+        "sxy AS sum_xy, sx2 AS sum_x2, "
+        "CASE WHEN CAST(m AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) "
+        "* sx > 0 THEN "
+        "CAST(CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx "
+        "AS DOUBLE) / CAST(CAST(m AS HUGEINT) * sx2 - "
+        "CAST(sx AS HUGEINT) * sx AS DOUBLE) END AS assortativity "
+        "FROM s"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

@@ -272,6 +272,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "q4_priority",
         "alert_cooldown",
         "mase_windows",
+        "ols_trend",
+        "part_assortativity",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -6437,3 +6437,147 @@ def mase_seasonal(
             "mase": pa.array(out_m, pa.float64()),
         }
     )
+
+
+def ols_trend(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    day_us: int = 86_400_000_000,
+):
+    """Per-key least-squares trend of value (integer cents) against
+    the DAY INDEX since the corpus start: slope, intercept and R^2
+    from the closed-form normal equations
+
+        slope = (n*Stv - St*Sv) / (n*St2 - St^2)
+
+    -- the "is this metric drifting, and how fast" readout.  Time is
+    quantized to days against the global min BEFORE any product, so
+    every sufficient statistic (n, St, Sv, Stv, St2, Sv2) is an exact
+    int64 per-block partial (epoch-microsecond regressors would
+    overflow the squares); the driver finishes each key with Python
+    big-int cross terms and ONE float conversion per factor --
+    bit-identical to the SQL mirror's HUGEINT/DOUBLE tree.  Keys are
+    bounded, so the fold is a tiny groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    mn_us = _ts_scalar_us(ds.min(ts_col))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_valid(b.column(ts_col)),
+                    pc.is_valid(b.column(key_col)),
+                ),
+                pc.is_valid(b.column(val_col)),
+            )
+        )
+        day = pc.divide(
+            pc.subtract(
+                t.column(ts_col).cast(pa.int64()),
+                pa.scalar(mn_us, pa.int64()),
+            ),
+            pa.scalar(day_us, pa.int64()),
+        )
+        v = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    t.column(val_col).cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        )
+        tt = day.to_numpy(zero_copy_only=False)
+        vv = v.to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "k": t.column(key_col),
+                    "one": pa.array(
+                        np.ones(len(tt), np.int64), pa.int64()
+                    ),
+                    "t1": day,
+                    "v1": v,
+                    "tv": pa.array(tt * vv, pa.int64()),
+                    "t2": pa.array(tt * tt, pa.int64()),
+                    "v2": pa.array(vv * vv, pa.int64()),
+                }
+            )
+            .group_by("k")
+            .aggregate(
+                [
+                    ("one", "sum"),
+                    ("t1", "sum"),
+                    ("v1", "sum"),
+                    ("tv", "sum"),
+                    ("t2", "sum"),
+                    ("v2", "sum"),
+                ]
+            )
+        )
+        return g.rename_columns(
+            ["k", "n_p", "st_p", "sv_p", "stv_p", "st2_p", "sv2_p"]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            Sum("n_p"),
+            Sum("st_p"),
+            Sum("sv_p"),
+            Sum("stv_p"),
+            Sum("st2_p"),
+            Sum("sv2_p"),
+        )
+        .take_all()
+    )  # one row per key
+    out = {c: [] for c in (
+        "event_type", "n", "slope_cents_per_day",
+        "intercept_cents", "r2",
+    )}
+    for r in sorted(agg, key=lambda r: r["k"]):
+        n = int(r["sum(n_p)"])
+        st = int(r["sum(st_p)"])
+        sv = int(r["sum(sv_p)"])
+        stv = int(r["sum(stv_p)"])
+        st2 = int(r["sum(st2_p)"])
+        sv2 = int(r["sum(sv2_p)"])
+        num = n * stv - st * sv
+        denx = n * st2 - st * st
+        deny = n * sv2 - sv * sv
+        out["event_type"].append(r["k"])
+        out["n"].append(n)
+        if denx > 0:
+            slope = float(num) / float(denx)
+            out["slope_cents_per_day"].append(slope)
+            out["intercept_cents"].append(
+                (float(sv) - slope * float(st)) / float(n)
+            )
+        else:
+            out["slope_cents_per_day"].append(None)
+            out["intercept_cents"].append(None)
+        if denx > 0 and deny > 0:
+            out["r2"].append(
+                float(num) * float(num)
+                / (float(denx) * float(deny))
+            )
+        else:
+            out["r2"].append(None)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "slope_cents_per_day": pa.array(
+                out["slope_cents_per_day"], pa.float64()
+            ),
+            "intercept_cents": pa.array(
+                out["intercept_cents"], pa.float64()
+            ),
+            "r2": pa.array(out["r2"], pa.float64()),
+        }
+    )

@@ -719,3 +719,102 @@ def clustering_coefficients(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def degree_assortativity(edges, max_distinct: int = 2_000_000):
+    """Degree assortativity coefficient of an undirected graph
+    (Newman 2002): the Pearson correlation of endpoint degrees over
+    the DIRECTED edge list (each undirected edge contributes both
+    orientations) --
+
+        r = (M*Sxy - Sx^2) / (M*Sx2 - Sx^2)
+
+    (x and y are interchangeable by symmetry).  r > 0: hubs attach
+    to hubs (social-style); r < 0: hubs attach to leaves
+    (dependency/co-purchase-style).
+
+    Scale shape: degrees fold through one bounded endpoint groupby
+    (node count, metadata-guarded against ``max_distinct``) and
+    broadcast once as a sorted (nodes, degs) pair; every edge block
+    then resolves both endpoint degrees with two searchsorted gathers
+    and emits ONE exact-int64 partial row; the driver folds blocks
+    with Python big-int cross terms and one float division.  Edges
+    never shuffle.
+    """
+    import ray
+
+    from ray.data.aggregate import Count
+
+    from .dedup import _cached_get
+
+    def ends(b: pa.Table) -> pa.Table:
+        a = b.column("a").combine_chunks().cast(pa.int64())
+        bb = b.column("b").combine_chunks().cast(pa.int64())
+        return pa.table(
+            {"n": pa.concat_arrays([a, bb])}
+        )
+
+    deg_ds = (
+        edges.map_batches(ends, batch_format="pyarrow")
+        .groupby("n")
+        .aggregate(Count())
+        .materialize()
+    )
+    n_nodes = deg_ds.count()
+    if n_nodes > max_distinct:
+        raise ValueError(
+            f"degree_assortativity: {n_nodes} nodes exceed "
+            f"max_distinct={max_distinct}"
+        )
+    rows = deg_ds.take_all()
+    nodes = np.array(sorted(int(r["n"]) for r in rows), np.int64)
+    degs = np.zeros(len(nodes), np.int64)
+    for r in rows:
+        degs[np.searchsorted(nodes, int(r["n"]))] = int(r["count()"])
+    ref = ray.put((nodes, degs))
+
+    def part(b: pa.Table, _r=ref) -> pa.Table:
+        nd, dg = _cached_get(_r)
+        a = b.column("a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bb = b.column("b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        da = dg[np.searchsorted(nd, a)]
+        db = dg[np.searchsorted(nd, bb)]
+        return pa.table(
+            {
+                "m": pa.array([2 * len(a)], pa.int64()),
+                "sx": pa.array([int((da + db).sum())], pa.int64()),
+                "sxy": pa.array(
+                    [2 * int((da * db).sum())], pa.int64()
+                ),
+                "sx2": pa.array(
+                    [int((da * da).sum() + (db * db).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    m = sx = sxy = sx2 = 0
+    for tbl in edges.map_batches(
+        part, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for i in range(tbl.num_rows):
+            m += int(tbl.column("m")[i].as_py())
+            sx += int(tbl.column("sx")[i].as_py())
+            sxy += int(tbl.column("sxy")[i].as_py())
+            sx2 += int(tbl.column("sx2")[i].as_py())
+    num = m * sxy - sx * sx
+    den = m * sx2 - sx * sx
+    r = float(num) / float(den) if den > 0 else None
+    return pa.table(
+        {
+            "n_directed_edges": pa.array([m], pa.int64()),
+            "sum_deg": pa.array([sx], pa.int64()),
+            "sum_xy": pa.array([sxy], pa.int64()),
+            "sum_x2": pa.array([sx2], pa.int64()),
+            "assortativity": pa.array([r], pa.float64()),
+        }
+    )

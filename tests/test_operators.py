@@ -7632,3 +7632,116 @@ def test_mase_seasonal_differential(ray_session):
         )
     assert got.loc["periodic", "mase"] < 0.5
     assert got.loc["trend", "mase"] > 1.0
+
+
+def test_ols_trend_differential(ray_session):
+    """ols_trend == numpy polyfit-grade brute force; a planted linear
+    drift is recovered with r2 near 1."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import ols_trend
+
+    rng = np.random.default_rng(31)
+    day_us = 1000
+    rows_t, rows_k, rows_v = [], [], []
+    for k, slope in (("up", 3.0), ("flat", 0.0)):
+        for _ in range(3000):
+            t = int(rng.integers(0, 50 * day_us))
+            v = 100.0 + slope * (t // day_us) + rng.uniform(-1, 1)
+            rows_t.append(t)
+            rows_k.append(k)
+            rows_v.append(v)
+    rows_t.append(0)  # pin the global min
+    rows_k.append("up")
+    rows_v.append(100.0)
+    t = pa.table(
+        {
+            "event_type": pa.array(rows_k, pa.string()),
+            "ts": pa.array(
+                np.array(rows_t, np.int64), pa.timestamp("us")
+            ),
+            "value": pa.array(rows_v, pa.float64()),
+        }
+    )
+    got = (
+        ols_trend(
+            ray.data.from_arrow(t).repartition(7), day_us=day_us
+        )
+        .to_pandas()
+        .set_index("event_type")
+    )
+    for k in ("up", "flat"):
+        mask = np.array([kk == k for kk in rows_k])
+        days = (np.array(rows_t)[mask] // day_us).astype(np.int64)
+        cents = np.floor(np.array(rows_v)[mask] * 100).astype(
+            np.int64
+        )
+        n = int(mask.sum())
+        st, sv = int(days.sum()), int(cents.sum())
+        stv = int((days * cents).sum())
+        st2 = int((days * days).sum())
+        sv2 = int((cents * cents).sum())
+        num = n * stv - st * sv
+        denx = n * st2 - st * st
+        deny = n * sv2 - sv * sv
+        row = got.loc[k]
+        assert row["n"] == n
+        assert row["slope_cents_per_day"] == float(num) / float(denx)
+        assert row["r2"] == float(num) * float(num) / (
+            float(denx) * float(deny)
+        )
+    assert abs(got.loc["up", "slope_cents_per_day"] - 300) < 15
+    assert got.loc["up", "r2"] > 0.95
+    assert abs(got.loc["flat", "slope_cents_per_day"]) < 15
+
+
+def test_degree_assortativity_differential(ray_session):
+    """degree_assortativity == python brute force; a star graph is
+    maximally disassortative."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.graph import (
+        degree_assortativity,
+    )
+
+    # star 0-(1..8) plus a triangle 10-11-12
+    edges = [(0, i) for i in range(1, 9)] + [
+        (10, 11),
+        (10, 12),
+        (11, 12),
+    ]
+    t = pa.table(
+        {
+            "a": pa.array([a for a, _ in edges], pa.int64()),
+            "b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    got = degree_assortativity(
+        ray.data.from_arrow(t).repartition(3)
+    ).to_pandas()
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = []
+    for a, b in edges:
+        xs.append((deg[a], deg[b]))
+        xs.append((deg[b], deg[a]))
+    m = len(xs)
+    sx = sum(x for x, _ in xs)
+    sxy = sum(x * y for x, y in xs)
+    sx2 = sum(x * x for x, _ in xs)
+    r = float(m * sxy - sx * sx) / float(m * sx2 - sx * sx)
+    row = got.iloc[0]
+    assert row["n_directed_edges"] == m
+    assert row["sum_deg"] == sx
+    assert row["sum_xy"] == sxy
+    assert row["sum_x2"] == sx2
+    assert row["assortativity"] == r
+    assert r < 0  # star dominates: disassortative
