@@ -4380,6 +4380,34 @@ def _q_assortativity(sf_dir: str):
     return degree_assortativity(edges)
 
 
+def _q_basket_rules(sf_dir: str):
+    """Association rules over order baskets: support >= 2 part pairs
+    ranked by lift (stages/graph.association_rules) -- group-bucket
+    pair-count partials, broadcast item counts, per-block top-k."""
+    import ray.data
+
+    from console_log_parser_ray.stages.graph import association_rules
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+    return association_rules(li, "l_orderkey", "l_partkey")
+
+
+def _q_markov_entropy(sf_dir: str):
+    """Per-state next-event conditional entropy of the user event
+    chain (stages/events.markov_entropy) -- transition_counts fold +
+    micro-nat quantized finish."""
+    from console_log_parser_ray.stages.events import markov_entropy
+
+    return markov_entropy(
+        _events(sf_dir).select_columns(
+            ["user_id", "ts", "event_type"]
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -4529,6 +4557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mase_windows": _q_mase,
         "ols_trend": _q_ols_trend,
         "part_assortativity": _q_assortativity,
+        "basket_rules": _q_basket_rules,
+        "markov_entropy": _q_markov_entropy,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -7389,6 +7419,50 @@ def oracle_sql() -> dict[str, str]:
         "AS DOUBLE) / CAST(CAST(m AS HUGEINT) * sx2 - "
         "CAST(sx AS HUGEINT) * sx AS DOUBLE) END AS assortativity "
         "FROM s"
+    )
+    out["basket_rules"] = (
+        # distinct-group support counts; HUGEINT lift products, one
+        # DOUBLE conversion per factor; (lift DESC, a, b) top-k
+        "WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS "
+        "i FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey "
+        "IS NOT NULL), "
+        "n AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS ng "
+        "FROM li), "
+        "ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM li "
+        "GROUP BY 1), "
+        "pcnt AS (SELECT x.i AS a, y.i AS b, CAST(count(*) AS "
+        "BIGINT) AS cab FROM li x JOIN li y ON x.g = y.g AND "
+        "x.i < y.i GROUP BY 1, 2), "
+        "f AS (SELECT a, b, cab, ca.c AS ca, cb.c AS cb FROM pcnt "
+        "JOIN ic ca ON ca.i = a JOIN ic cb ON cb.i = b "
+        "WHERE cab >= 2) "
+        "SELECT a, b, cab AS support, "
+        "CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE) AS conf_ab, "
+        "CAST(cab AS DOUBLE) / CAST(cb AS DOUBLE) AS conf_ba, "
+        "CAST(CAST(ng AS HUGEINT) * cab AS DOUBLE) / "
+        "CAST(CAST(ca AS HUGEINT) * cb AS DOUBLE) AS lift "
+        "FROM f, n ORDER BY lift DESC, a, b LIMIT 50"
+    )
+    out["markov_entropy"] = (
+        # micro-nat quantized conditional entropy per from-state
+        "WITH o AS (SELECT user_id AS u, epoch_us(ts) AS t, "
+        "event_type AS s FROM events WHERE user_id IS NOT NULL AND "
+        "ts IS NOT NULL AND event_type IS NOT NULL), "
+        "p AS (SELECT u, s AS f, lead(s) OVER (PARTITION BY u "
+        "ORDER BY t) AS nxt FROM o), "
+        "c AS (SELECT f, nxt, CAST(count(*) AS BIGINT) AS n FROM p "
+        "WHERE nxt IS NOT NULL GROUP BY 1, 2), "
+        "tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS cf FROM c "
+        "GROUP BY 1) "
+        "SELECT c.f AS from_state, tot.cf AS n_from, "
+        "CAST(-sum(c.n * CAST(floor((ln(CAST(c.n AS DOUBLE)) - "
+        "ln(CAST(tot.cf AS DOUBLE))) * 1000000.0) AS BIGINT)) "
+        "AS BIGINT) AS h_q, "
+        "CAST(CAST(-sum(c.n * CAST(floor((ln(CAST(c.n AS DOUBLE)) - "
+        "ln(CAST(tot.cf AS DOUBLE))) * 1000000.0) AS BIGINT)) "
+        "AS BIGINT) AS DOUBLE) / CAST(1000000 * tot.cf AS DOUBLE) "
+        "AS h_nats "
+        "FROM c JOIN tot USING (f) GROUP BY c.f, tot.cf"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

@@ -274,6 +274,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "mase_windows",
         "ols_trend",
         "part_assortativity",
+        "basket_rules",
+        "markov_entropy",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

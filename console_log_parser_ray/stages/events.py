@@ -6581,3 +6581,86 @@ def ols_trend(
             "r2": pa.array(out["r2"], pa.float64()),
         }
     )
+
+
+def markov_entropy(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    scale: int = 1_000_000,
+):
+    """Conditional next-event entropy per state of the first-order
+    Markov chain over keyed event sequences: for each from-state i,
+
+        H(next | i) = -sum_j (c_ij / c_i) ln(c_ij / c_i)
+
+    -- low entropy means the state's successor is predictable (a
+    scripted flow); the uniform-over-states maximum means no
+    sequential structure.  Rows with a null key/ts/state drop BEFORE
+    pairing, so adjacency skips them exactly like the SQL mirror's
+    filtered CTE.
+
+    Exactness contract (the ``domain_kl`` micro-nat rule): each
+    transition type contributes ``c_ij * floor((ln(c_ij) - ln(c_i))
+    * scale)`` with libm ``ln`` -- exact int64 sums, one IEEE
+    division per state for ``h_nats``.  The transition fold is
+    ``transition_counts`` (key-hash bucket lexsort, |states|^2
+    bounded output); the finish is driver-side over that tiny table.
+    Assumes (key, ts) is unique per key (holds for the events
+    corpus); equal-ts orderings would be ambiguous in SQL too.
+    """
+    import math
+
+    def clean(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_valid(b.column(key_col)),
+                    pc.is_valid(b.column(ts_col)),
+                ),
+                pc.is_valid(b.column(state_col)),
+            )
+        )
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                ts_col: t.column(ts_col).cast(pa.int64()),
+                state_col: t.column(state_col),
+            }
+        )
+
+    trans = transition_counts(
+        ds.map_batches(clean, batch_format="pyarrow"),
+        key_col=key_col,
+        order_col=ts_col,
+        state_col=state_col,
+    ).take_all()  # <= |states|^2 rows
+    per: dict = {}
+    for r in trans:
+        per.setdefault(r["from_state"], {})[r["to_state"]] = int(
+            r["n"]
+        )
+    out_f, out_n, out_hq, out_h = [], [], [], []
+    for f in sorted(per):
+        cf = sum(per[f].values())
+        hq = -sum(
+            n
+            * math.floor(
+                (math.log(float(n)) - math.log(float(cf)))
+                * float(scale)
+            )
+            for n in per[f].values()
+        )
+        out_f.append(f)
+        out_n.append(cf)
+        out_hq.append(hq)
+        out_h.append(float(hq) / float(scale * cf))
+    return pa.table(
+        {
+            "from_state": pa.array(out_f, pa.string()),
+            "n_from": pa.array(out_n, pa.int64()),
+            "h_q": pa.array(out_hq, pa.int64()),
+            "h_nats": pa.array(out_h, pa.float64()),
+        }
+    )

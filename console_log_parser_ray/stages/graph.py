@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data.aggregate import Sum
 
@@ -816,5 +817,220 @@ def degree_assortativity(edges, max_distinct: int = 2_000_000):
             "sum_xy": pa.array([sxy], pa.int64()),
             "sum_x2": pa.array([sx2], pa.int64()),
             "assortativity": pa.array([r], pa.float64()),
+        }
+    )
+
+
+def association_rules(
+    ds,
+    group_col: str,
+    item_col: str,
+    min_support: int = 2,
+    k: int = 50,
+    n_buckets: int = 64,
+    max_distinct: int = 2_000_000,
+):
+    """Market-basket association rules over a (group, item)
+    membership table: for every unordered item pair with
+    co-occurrence support >= ``min_support``,
+
+        conf(a->b) = c_ab / c_a        (directed confidences)
+        lift       = n_groups * c_ab / (c_a * c_b)
+
+    top-k by (lift DESC, a, b) -- lift > 1 means the pair co-occurs
+    more than independence predicts.  All counts are exact distinct-
+    group integers; conf/lift are one float expression each from
+    exact int products (the SQL mirror uses the same HUGEINT ->
+    DOUBLE tree).
+
+    Scale shape: groups hash into buckets (a group's rows land in ONE
+    bucket), so the in-bucket self-merge emits per-bucket PAIR COUNT
+    partials (not distinct edges -- this is the counting sibling of
+    ``cooccur_pair_edges``) that fold through one (a, b) groupby;
+    per-item distinct-group counts fold the same way (bounded by item
+    count, metadata-guarded, broadcast once); n_groups is one
+    distinct-group count.  The support filter prunes the pair table
+    before the broadcast-finish, which emits only per-block top-k
+    candidates.
+    """
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import _cached_get
+    from .events import _bucket31
+
+    def project(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(group_col)),
+                pc.is_valid(b.column(item_col)),
+            )
+        )
+        g = t.column(group_col).cast(pa.int64())
+        d = (
+            pa.table({"g": g, "i": t.column(item_col).cast(pa.int64())})
+            .group_by(["g", "i"])
+            .aggregate([([], "count_all")])
+        )
+        gg = d.column("g").combine_chunks()
+        return pa.table(
+            {
+                "jb": _bucket31(gg, n_buckets),
+                "g": gg,
+                "i": d.column("i"),
+            }
+        )
+
+    proj = ds.map_batches(project, batch_format="pyarrow")
+
+    # n_groups: distinct groups (groups partition into buckets, so a
+    # per-bucket distinct count is an exact partial)
+    def g_part(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = int(
+            tbl.select(["g"]).to_pandas()["g"].nunique()
+        )
+        return pa.table({"n_part": pa.array([n], pa.int64())})
+
+    n_groups = int(
+        proj.groupby("jb")
+        .map_groups(g_part, batch_format="pyarrow")
+        .sum("n_part")
+        or 0
+    )
+    if n_groups == 0:
+        raise ValueError("association_rules: no groups")
+
+    # per-item distinct-group counts (bounded by item count)
+    def i_part(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = tbl.select(["g", "i"]).to_pandas().drop_duplicates()
+        c = df.groupby("i", sort=False).size()
+        return pa.table(
+            {
+                "i": pa.array(
+                    c.index.to_numpy(dtype="int64"), pa.int64()
+                ),
+                "c_part": pa.array(
+                    c.to_numpy(dtype="int64"), pa.int64()
+                ),
+            }
+        )
+
+    ic_ds = (
+        proj.groupby("jb")
+        .map_groups(i_part, batch_format="pyarrow")
+        .groupby("i")
+        .aggregate(Sum("c_part"))
+        .materialize()
+    )
+    n_items = ic_ds.count()
+    if n_items > max_distinct:
+        raise ValueError(
+            f"association_rules: {n_items} items exceed "
+            f"max_distinct={max_distinct}"
+        )
+    rows = ic_ds.take_all()
+    items = np.array(sorted(int(r["i"]) for r in rows), np.int64)
+    icounts = np.zeros(len(items), np.int64)
+    for r in rows:
+        icounts[np.searchsorted(items, int(r["i"]))] = int(
+            r["sum(c_part)"]
+        )
+    ref = ray.put((items, icounts, n_groups))
+
+    def pair_part(tbl: pa.Table) -> pa.Table:
+        df = tbl.select(["g", "i"]).to_pandas().drop_duplicates()
+        m = df.merge(df, on="g")
+        m = m[m["i_x"] < m["i_y"]]
+        c = m.groupby(["i_x", "i_y"], sort=False).size()
+        idx = c.index
+        return pa.table(
+            {
+                "a": pa.array(
+                    idx.get_level_values(0).to_numpy(dtype="int64"),
+                    pa.int64(),
+                ),
+                "b": pa.array(
+                    idx.get_level_values(1).to_numpy(dtype="int64"),
+                    pa.int64(),
+                ),
+                "c_part": pa.array(
+                    c.to_numpy(dtype="int64"), pa.int64()
+                ),
+            }
+        )
+
+    def finish(b: pa.Table, _r=ref) -> pa.Table:
+        its, ics, ng = _cached_get(_r)
+        cab = b.column("sum(c_part)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = cab >= min_support
+        if not keep.any():
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "support": pa.array([], pa.int64()),
+                    "conf_ab": pa.array([], pa.float64()),
+                    "conf_ba": pa.array([], pa.float64()),
+                    "lift": pa.array([], pa.float64()),
+                }
+            )
+        a = b.column("a").to_numpy(zero_copy_only=False)[keep]
+        bb = b.column("b").to_numpy(zero_copy_only=False)[keep]
+        cab = cab[keep]
+        ca = ics[np.searchsorted(its, a)]
+        cb = ics[np.searchsorted(its, bb)]
+        lift = (ng * cab).astype(np.float64) / (ca * cb).astype(
+            np.float64
+        )
+        order = np.lexsort((bb, a, -lift))[:k]
+        return pa.table(
+            {
+                "a": pa.array(a[order], pa.int64()),
+                "b": pa.array(bb[order], pa.int64()),
+                "support": pa.array(cab[order], pa.int64()),
+                "conf_ab": pa.array(
+                    cab[order].astype(np.float64)
+                    / ca[order].astype(np.float64),
+                    pa.float64(),
+                ),
+                "conf_ba": pa.array(
+                    cab[order].astype(np.float64)
+                    / cb[order].astype(np.float64),
+                    pa.float64(),
+                ),
+                "lift": pa.array(lift[order], pa.float64()),
+            }
+        )
+
+    cands = (
+        proj.groupby("jb")
+        .map_groups(pair_part, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("c_part"))
+        .map_batches(finish, batch_format="pyarrow")
+        .take_all()
+    )
+    cands.sort(key=lambda r: (-r["lift"], r["a"], r["b"]))
+    cands = cands[:k]
+    cols = ("a", "b", "support", "conf_ab", "conf_ba", "lift")
+    types = (
+        pa.int64(),
+        pa.int64(),
+        pa.int64(),
+        pa.float64(),
+        pa.float64(),
+        pa.float64(),
+    )
+    return pa.table(
+        {
+            c: pa.array([r[c] for r in cands], t)
+            for c, t in zip(cols, types)
         }
     )

@@ -7745,3 +7745,142 @@ def test_degree_assortativity_differential(ray_session):
     assert row["sum_x2"] == sx2
     assert row["assortativity"] == r
     assert r < 0  # star dominates: disassortative
+
+
+def test_association_rules_differential(ray_session):
+    """association_rules == python brute force; a planted always-
+    together pair tops the lift ranking."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.graph import association_rules
+
+    rng = np.random.default_rng(67)
+    rows_g, rows_i = [], []
+    for g in range(300):
+        items = set(rng.choice(50, rng.integers(2, 6), replace=False))
+        if g % 30 == 0:
+            items |= {100, 101}  # planted pair, rare singletons
+        for i in items:
+            rows_g.append(g)
+            rows_i.append(int(i))
+            # duplicate membership rows must not inflate support
+            if g % 7 == 0:
+                rows_g.append(g)
+                rows_i.append(int(i))
+    t = pa.table(
+        {
+            "g": pa.array(rows_g, pa.int64()),
+            "i": pa.array(rows_i, pa.int64()),
+        }
+    )
+    got = association_rules(
+        ray.data.from_arrow(t).repartition(6),
+        "g",
+        "i",
+        min_support=2,
+        k=20,
+        n_buckets=8,
+    ).to_pandas()
+    # brute force
+    baskets = {}
+    for g, i in zip(rows_g, rows_i):
+        baskets.setdefault(g, set()).add(i)
+    ng = len(baskets)
+    ic, pc_ = {}, {}
+    for items in baskets.values():
+        for i in items:
+            ic[i] = ic.get(i, 0) + 1
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                pc_[(s[x], s[y])] = pc_.get((s[x], s[y]), 0) + 1
+    rows = []
+    for (a, b), cab in pc_.items():
+        if cab >= 2:
+            rows.append(
+                (
+                    a,
+                    b,
+                    cab,
+                    float(ng * cab) / float(ic[a] * ic[b]),
+                )
+            )
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    top = rows[:20]
+    assert got["a"].tolist() == [r[0] for r in top]
+    assert got["b"].tolist() == [r[1] for r in top]
+    assert got["support"].tolist() == [r[2] for r in top]
+    assert got["lift"].tolist() == [r[3] for r in top]
+    assert (got["a"][0], got["b"][0]) == (100, 101)
+
+
+def test_markov_entropy_differential(ray_session):
+    """markov_entropy == python brute force; a deterministic chain
+    scores zero entropy, a uniform one scores ~ln(2)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import markov_entropy
+
+    rng = np.random.default_rng(83)
+    rows_u, rows_t, rows_s = [], [], []
+    # user block 1: deterministic A->B->A->B
+    for u in range(20):
+        for j in range(50):
+            rows_u.append(u)
+            rows_t.append(j * 100 + u)
+            rows_s.append("A" if j % 2 == 0 else "B")
+    # user block 2: C followed by coin-flip C/D
+    for u in range(100, 120):
+        for j in range(50):
+            rows_u.append(u)
+            rows_t.append(j * 100 + u)
+            rows_s.append("C" if j == 0 else rng.choice(["C", "D"]))
+    t = pa.table(
+        {
+            "user_id": pa.array(rows_u, pa.int64()),
+            "ts": pa.array(
+                np.array(rows_t, np.int64), pa.timestamp("us")
+            ),
+            "event_type": pa.array(rows_s, pa.string()),
+        }
+    )
+    got = (
+        markov_entropy(ray.data.from_arrow(t).repartition(6))
+        .to_pandas()
+        .set_index("from_state")
+    )
+    # brute force
+    trans = {}
+    seqs = {}
+    for u, tt, s in zip(rows_u, rows_t, rows_s):
+        seqs.setdefault(u, []).append((tt, s))
+    for u, seq in seqs.items():
+        seq.sort()
+        for (_, f), (_, nx) in zip(seq, seq[1:]):
+            trans.setdefault(f, {})[nx] = (
+                trans.setdefault(f, {}).get(nx, 0) + 1
+            )
+    for f, m in trans.items():
+        cf = sum(m.values())
+        hq = -sum(
+            n
+            * math.floor(
+                (math.log(float(n)) - math.log(float(cf))) * 1e6
+            )
+            for n in m.values()
+        )
+        row = got.loc[f]
+        assert row["n_from"] == cf
+        assert row["h_q"] == hq
+        assert row["h_nats"] == float(hq) / float(1_000_000 * cf)
+    assert got.loc["A", "h_nats"] < 1e-5  # deterministic
+    assert abs(got.loc["C", "h_nats"] - math.log(2)) < 0.1
+    assert abs(got.loc["D", "h_nats"] - math.log(2)) < 0.1
