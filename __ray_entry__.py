@@ -4408,6 +4408,28 @@ def _q_markov_entropy(sf_dir: str):
     )
 
 
+def _q_bursty_users(sf_dir: str):
+    """Top-50 burstiest users by per-user windowed Fano factor
+    (stages/events.bursty_users) -- fully data-plane, per-block
+    top-k candidates only."""
+    from console_log_parser_ray.stages.events import bursty_users
+
+    return bursty_users(
+        _events(sf_dir).select_columns(["user_id", "ts"])
+    )
+
+
+def _q_bot_regularity(sf_dir: str):
+    """Most metronomic users by inter-event gap CV
+    (stages/events.bot_regularity) -- user-hash bucket lexsort+diff,
+    exact second-quantized sums."""
+    from console_log_parser_ray.stages.events import bot_regularity
+
+    return bot_regularity(
+        _events(sf_dir).select_columns(["user_id", "ts"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -4559,6 +4581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_assortativity": _q_assortativity,
         "basket_rules": _q_basket_rules,
         "markov_entropy": _q_markov_entropy,
+        "bursty_users": _q_bursty_users,
+        "bot_regularity": _q_bot_regularity,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -7463,6 +7487,40 @@ def oracle_sql() -> dict[str, str]:
         "AS BIGINT) AS DOUBLE) / CAST(1000000 * tot.cf AS DOUBLE) "
         "AS h_nats "
         "FROM c JOIN tot USING (f) GROUP BY c.f, tot.cf"
+    )
+    out["bursty_users"] = (
+        # per-user Fano over the global window grid, zeros implicit
+        "WITH span AS (SELECT epoch_us(min(ts)) AS mn, "
+        "epoch_us(max(ts)) AS mx FROM events WHERE ts IS NOT NULL), "
+        "nw AS (SELECT (mx - mn) // 21600000000 + 1 AS n FROM span), "
+        "o AS (SELECT user_id AS u, (epoch_us(ts) - span.mn) // "
+        "21600000000 AS win FROM events, span WHERE ts IS NOT NULL "
+        "AND user_id IS NOT NULL), "
+        "wc AS (SELECT u, win, CAST(count(*) AS BIGINT) AS c FROM o "
+        "GROUP BY 1, 2), "
+        "agg AS (SELECT u, CAST(sum(c) AS BIGINT) AS s1, "
+        "CAST(sum(c * c) AS BIGINT) AS s2 FROM wc GROUP BY 1) "
+        "SELECT u AS user_id, s1 AS n_events, "
+        "CAST(CAST((SELECT n FROM nw) AS HUGEINT) * s2 - "
+        "CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / "
+        "CAST(CAST((SELECT n FROM nw) AS HUGEINT) * s1 AS DOUBLE) "
+        "AS fano FROM agg WHERE s1 >= 20 "
+        "ORDER BY fano DESC, u ASC LIMIT 50"
+    )
+    out["bot_regularity"] = (
+        # per-user gap CV in whole seconds; sqrt of exact ints
+        "WITH o AS (SELECT user_id AS u, epoch_us(ts) AS t FROM "
+        "events WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+        "g AS (SELECT u, (t - lag(t) OVER (PARTITION BY u ORDER BY "
+        "t)) // 1000000 AS gap FROM o), "
+        "agg AS (SELECT u, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(gap) AS BIGINT) AS s1, "
+        "CAST(sum(CAST(gap AS HUGEINT) * gap) AS BIGINT) AS s2 "
+        "FROM g WHERE gap IS NOT NULL GROUP BY 1) "
+        "SELECT u AS user_id, n AS n_gaps, "
+        "sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * "
+        "s1 AS DOUBLE)) / CAST(s1 AS DOUBLE) AS cv FROM agg "
+        "WHERE n >= 20 AND s1 > 0 ORDER BY cv ASC, u ASC LIMIT 50"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

@@ -276,6 +276,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "part_assortativity",
         "basket_rules",
         "markov_entropy",
+        "bursty_users",
+        "bot_regularity",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -6664,3 +6664,235 @@ def markov_entropy(
             "h_nats": pa.array(out_h, pa.float64()),
         }
     )
+
+
+def bursty_users(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_us: int = 21_600_000_000,
+    min_events: int = 20,
+    k: int = 50,
+):
+    """Burstiest users: per-user Fano factor of tumbling-window event
+    counts over the corpus's full span (empty windows as zeros, the
+    ``fano_factor`` statistic keyed by an UNBOUNDED column), top-k by
+    (fano DESC, user ASC) among users with >= ``min_events`` events.
+
+    Unlike ``fano_factor`` (bounded keys, driver finish) this stays
+    entirely in the data plane: per-block (user, window) count
+    partials -> one bounded-ish (user, window) groupby -> per-block
+    per-user square partials -> one per-user groupby -> a vectorized
+    finish that emits only per-block top-k candidates.  Empty windows
+    never materialize (they move only the closed-form n), so the
+    shuffle volume is the sparse activity profile, not users x
+    windows.
+    """
+    from ray.data.aggregate import Sum
+
+    mn_us = _ts_scalar_us(ds.min(ts_col))
+    mx_us = _ts_scalar_us(ds.max(ts_col))
+    n_windows = (mx_us - mn_us) // window_us + 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(ts_col)),
+                pc.is_valid(b.column(user_col)),
+            )
+        )
+        win = pc.divide(
+            pc.subtract(
+                t.column(ts_col).cast(pa.int64()),
+                pa.scalar(mn_us, pa.int64()),
+            ),
+            pa.scalar(window_us, pa.int64()),
+        )
+        g = (
+            pa.table(
+                {"u": t.column(user_col).cast(pa.int64()), "win": win}
+            )
+            .group_by(["u", "win"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "u": g.column("u"),
+                "win": g.column("win"),
+                "c_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def square(b: pa.Table) -> pa.Table:
+        c = b.column("sum(c_part)").cast(pa.int64())
+        g = (
+            pa.table(
+                {
+                    "u": b.column("u"),
+                    "s1": c,
+                    "s2": pc.multiply(c, c),
+                }
+            )
+            .group_by("u")
+            .aggregate([("s1", "sum"), ("s2", "sum")])
+        )
+        return g.rename_columns(["u", "s1_p", "s2_p"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        s1 = b.column("sum(s1_p)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        s2 = b.column("sum(s2_p)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = s1 >= min_events
+        u, s1, s2 = u[keep], s1[keep], s2[keep]
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "fano": pa.array([], pa.float64()),
+                }
+            )
+        fano = (n_windows * s2 - s1 * s1).astype(
+            np.float64
+        ) / (n_windows * s1).astype(np.float64)
+        order = np.lexsort((u, -fano))[:k]
+        return pa.table(
+            {
+                "user_id": pa.array(u[order], pa.int64()),
+                "n_events": pa.array(s1[order], pa.int64()),
+                "fano": pa.array(fano[order], pa.float64()),
+            }
+        )
+
+    cands = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["u", "win"])
+        .aggregate(Sum("c_part"))
+        .map_batches(square, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Sum("s1_p"), Sum("s2_p"))
+        .map_batches(finish, batch_format="pyarrow")
+        .take_all()
+    )
+    cands.sort(key=lambda r: (-r["fano"], r["user_id"]))
+    cands = cands[:k]
+    return pa.table(
+        {
+            "user_id": pa.array(
+                [r["user_id"] for r in cands], pa.int64()
+            ),
+            "n_events": pa.array(
+                [r["n_events"] for r in cands], pa.int64()
+            ),
+            "fano": pa.array([r["fano"] for r in cands], pa.float64()),
+        }
+    )
+
+
+def bot_regularity(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    min_gaps: int = 20,
+    k: int = 50,
+    n_buckets: int = 64,
+):
+    """Most metronomic users: the coefficient of variation of each
+    user's inter-event gaps (quantized to whole SECONDS so the sum of
+    squares stays exact int64 at any span),
+
+        cv = sqrt(n * S2 - S1^2) / S1
+
+    ascending -- a human's gaps are heavy-tailed (cv >~ 1); a cron
+    job or scripted bot pins cv near 0.  Top-k by (cv ASC, user ASC)
+    among users with >= ``min_gaps`` gaps and a positive gap sum.
+
+    Scale shape: users hash into buckets (a user's whole sequence
+    lands in one group), one lexsort + diff inside the bucket forms
+    every user's gaps vectorized, per-user exact sums finish locally
+    and each bucket emits only its top-k candidates -- one shuffle,
+    no driver fold beyond buckets x k rows.
+    """
+
+    def project(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(ts_col)),
+                pc.is_valid(b.column(user_col)),
+            )
+        )
+        u = t.column(user_col).cast(pa.int64())
+        return pa.table(
+            {
+                "jb": _bucket31(u, n_buckets),
+                "u": u,
+                "t": t.column(ts_col).cast(pa.int64()),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "cv": pa.array([], pa.float64()),
+            }
+        )
+        u = tbl.column("u").to_numpy(zero_copy_only=False)
+        t = tbl.column("t").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        same = u[1:] == u[:-1]
+        gaps = (t[1:] - t[:-1]) // 1_000_000  # whole seconds
+        gu = u[1:][same]
+        gaps = gaps[same]
+        if len(gaps) == 0:
+            return empty
+        # per-user exact sums via segmented reduction
+        uniq, inv = np.unique(gu, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        # int64 scatter-adds (a float64 bincount would lose exactness
+        # past 2^53)
+        s1 = np.zeros(len(uniq), np.int64)
+        np.add.at(s1, inv, gaps)
+        s2 = np.zeros(len(uniq), np.int64)
+        np.add.at(s2, inv, gaps * gaps)
+        keep = (n >= min_gaps) & (s1 > 0)
+        uniq, n, s1, s2 = uniq[keep], n[keep], s1[keep], s2[keep]
+        if len(uniq) == 0:
+            return empty
+        cv = np.sqrt(
+            (n * s2 - s1 * s1).astype(np.float64)
+        ) / s1.astype(np.float64)
+        order = np.lexsort((uniq, cv))[:k]
+        return pa.table(
+            {
+                "user_id": pa.array(uniq[order], pa.int64()),
+                "n_gaps": pa.array(n[order], pa.int64()),
+                "cv": pa.array(cv[order], pa.float64()),
+            }
+        )
+
+    cands = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    cands.sort(key=lambda r: (r["cv"], r["user_id"]))
+    cands = cands[:k]
+    return pa.table(
+        {
+            "user_id": pa.array(
+                [r["user_id"] for r in cands], pa.int64()
+            ),
+            "n_gaps": pa.array(
+                [r["n_gaps"] for r in cands], pa.int64()
+            ),
+            "cv": pa.array([r["cv"] for r in cands], pa.float64()),
+        }
+    )

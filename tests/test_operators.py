@@ -7884,3 +7884,107 @@ def test_markov_entropy_differential(ray_session):
     assert got.loc["A", "h_nats"] < 1e-5  # deterministic
     assert abs(got.loc["C", "h_nats"] - math.log(2)) < 0.1
     assert abs(got.loc["D", "h_nats"] - math.log(2)) < 0.1
+
+
+def test_bursty_users_differential(ray_session):
+    """bursty_users == python brute force incl. empty windows; a
+    one-burst user dominates a uniform one."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import bursty_users
+
+    w = 1000
+    rows_u, rows_t = [], []
+    # user 1 uniform (2/window over 50 windows), user 2 bursty
+    rows_u += [1] * 100
+    rows_t += list(range(0, 50_000, 500))
+    rows_u += [2] * 101
+    rows_t += list(range(200, 300)) + [49_999]
+    t = pa.table(
+        {
+            "user_id": pa.array(rows_u, pa.int64()),
+            "ts": pa.array(
+                np.array(rows_t, np.int64), pa.timestamp("us")
+            ),
+        }
+    )
+    got = bursty_users(
+        ray.data.from_arrow(t).repartition(4),
+        window_us=w,
+        min_events=20,
+        k=10,
+    ).to_pandas()
+    mn, mx = 0, 49_999
+    n = (mx - mn) // w + 1
+    rows = []
+    for u in (1, 2):
+        ts = np.array(
+            [tt for uu, tt in zip(rows_u, rows_t) if uu == u],
+            np.int64,
+        )
+        c = np.bincount((ts - mn) // w, minlength=n).astype(np.int64)
+        s1, s2 = int(c.sum()), int((c * c).sum())
+        rows.append((u, s1, float(n * s2 - s1 * s1) / float(n * s1)))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    assert got["user_id"].tolist() == [r[0] for r in rows]
+    assert got["n_events"].tolist() == [r[1] for r in rows]
+    assert got["fano"].tolist() == [r[2] for r in rows]
+    assert got["user_id"][0] == 2
+
+
+def test_bot_regularity_differential(ray_session):
+    """bot_regularity == python brute force; a metronomic user ranks
+    above a heavy-tailed one."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import bot_regularity
+
+    rng = np.random.default_rng(7)
+    rows_u, rows_t = [], []
+    rows_u += [5] * 60  # bot: exactly every 10s
+    rows_t += (np.arange(60, dtype=np.int64) * 10_000_000).tolist()
+    rows_u += [9] * 60  # human-ish: lognormal gaps
+    rows_t += np.cumsum(
+        (rng.lognormal(16, 1.0, 60)).astype(np.int64) + 1
+    ).tolist()
+    t = pa.table(
+        {
+            "user_id": pa.array(rows_u, pa.int64()),
+            "ts": pa.array(
+                np.array(rows_t, np.int64), pa.timestamp("us")
+            ),
+        }
+    )
+    got = bot_regularity(
+        ray.data.from_arrow(t).repartition(4),
+        min_gaps=20,
+        k=10,
+        n_buckets=4,
+    ).to_pandas()
+    rows = []
+    for u in (5, 9):
+        ts = np.sort(
+            np.array(
+                [tt for uu, tt in zip(rows_u, rows_t) if uu == u],
+                np.int64,
+            )
+        )
+        gaps = np.diff(ts) // 1_000_000
+        n = len(gaps)
+        s1, s2 = int(gaps.sum()), int((gaps * gaps).sum())
+        rows.append(
+            (u, n, math.sqrt(float(n * s2 - s1 * s1)) / float(s1))
+        )
+    rows.sort(key=lambda r: (r[2], r[0]))
+    assert got["user_id"].tolist() == [r[0] for r in rows]
+    assert got["n_gaps"].tolist() == [r[1] for r in rows]
+    assert got["cv"].tolist() == [r[2] for r in rows]
+    assert got["user_id"][0] == 5 and got["cv"][0] < 0.01
