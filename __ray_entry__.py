@@ -4430,6 +4430,249 @@ def _q_bot_regularity(sf_dir: str):
     )
 
 
+def _q_q7_nation_flows(sf_dir: str):
+    """TPC-H Q7-shaped trade-flow matrix: 1996 revenue between every
+    (supplier nation, customer nation) pair, cross-nation only --
+    the deepest join chain in the registry: lineitem x orders via
+    size-adaptive lookup_join, supplier/customer/nation dimensions
+    broadcast once as sorted key arrays, revenue in exact
+    cent-hundredths (the q5 convention)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from console_log_parser_ray.stages.dedup import _cached_get
+    from console_log_parser_ray.stages.relational import lookup_join
+
+    def _key_map(path, key, val):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(sf_dir, path), columns=[key, val]
+        )
+        k = np.asarray(t.column(key).to_pylist(), np.int64)
+        v = np.asarray(t.column(val).to_pylist())
+        order = np.argsort(k)
+        return k[order], v[order]
+
+    sk, sn = _key_map("supplier.parquet", "s_suppkey", "s_nationkey")
+    ck, cn = _key_map("customer.parquet", "c_custkey", "c_nationkey")
+    nk, nname = _key_map("nation.parquet", "n_nationkey", "n_name")
+    ref = ray.put(
+        (sk, sn.astype(np.int64), ck, cn.astype(np.int64))
+    )
+    names = {int(k): str(v) for k, v in zip(nk, nname)}
+
+    import datetime
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def in_year(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return b.filter(
+            pc.and_(
+                pc.greater_equal(
+                    b.column("o_orderdate"), pa.scalar(lo)
+                ),
+                pc.less(b.column("o_orderdate"), pa.scalar(hi)),
+            )
+        ).select(["o_orderkey", "o_custkey"])
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+    joined = lookup_join(
+        li,
+        orders.map_batches(in_year, batch_format="pyarrow"),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        how="inner",
+    )
+
+    def flows(b, _r=ref):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        s_k, s_n, c_k, c_n = _cached_get(_r)
+        supp = b.column("l_suppkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cust = b.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sn_ = s_n[np.searchsorted(s_k, supp)]
+        cn_ = c_n[np.searchsorted(c_k, cust)]
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    b.column("l_extendedprice").cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        disc = pc.cast(
+            pc.round(
+                pc.multiply(
+                    b.column("l_discount").cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        rev = cents * (100 - disc)
+        keep = sn_ != cn_
+        g = (
+            pa.table(
+                {
+                    "sn": pa.array(sn_[keep], pa.int64()),
+                    "cn": pa.array(cn_[keep], pa.int64()),
+                    "rev": pa.array(rev[keep], pa.int64()),
+                    "one": pa.array(
+                        np.ones(int(keep.sum()), np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+            .group_by(["sn", "cn"])
+            .aggregate([("rev", "sum"), ("one", "sum")])
+        )
+        return g.rename_columns(["sn", "cn", "rev_p", "n_p"])
+
+    agg = (
+        joined.map_batches(flows, batch_format="pyarrow")
+        .groupby(["sn", "cn"])
+        .aggregate(Sum("rev_p"), Sum("n_p"))
+        .take_all()
+    )  # <= nations^2 rows
+    agg.sort(key=lambda r: (int(r["sn"]), int(r["cn"])))
+    return pa.table(
+        {
+            "supp_nation": pa.array(
+                [names[int(r["sn"])] for r in agg], pa.string()
+            ),
+            "cust_nation": pa.array(
+                [names[int(r["cn"])] for r in agg], pa.string()
+            ),
+            "revenue_milli": pa.array(
+                [int(r["sum(rev_p)"]) for r in agg], pa.int64()
+            ),
+            "n_items": pa.array(
+                [int(r["sum(n_p)"]) for r in agg], pa.int64()
+            ),
+        }
+    )
+
+
+def _q_brand_returns(sf_dir: str):
+    """Return rate by part brand: broadcast part dimension, exact
+    integer quantity sums, one float ratio per brand."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.dedup import _cached_get
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"],
+    )
+    pk = np.asarray(t.column("p_partkey").to_pylist(), np.int64)
+    br = np.asarray(t.column("p_brand").to_pylist())
+    order = np.argsort(pk)
+    pk, br = pk[order], br[order]
+    brands = sorted(set(br.tolist()))
+    bid = {b: i for i, b in enumerate(brands)}
+    bidx = np.array([bid[b] for b in br], np.int64)
+    ref = ray.put((pk, bidx))
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_returnflag", "l_quantity"],
+    )
+
+    def partial(b, _r=ref):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        p_k, b_i = _cached_get(_r)
+        part = b.column("l_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        qty = pc.cast(
+            pc.round(b.column("l_quantity").cast(pa.float64())),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        ret = pc.equal(
+            b.column("l_returnflag"), pa.scalar("R")
+        ).to_numpy(zero_copy_only=False)
+        bi = b_i[np.searchsorted(p_k, part)]
+        n_b = len(brands)
+        tot = np.zeros(n_b, np.int64)
+        retq = np.zeros(n_b, np.int64)
+        np.add.at(tot, bi, qty)
+        np.add.at(retq, bi[ret], qty[ret])
+        nz = np.flatnonzero(tot > 0)
+        return pa.table(
+            {
+                "bi": pa.array(nz, pa.int64()),
+                "tot_p": pa.array(tot[nz], pa.int64()),
+                "ret_p": pa.array(retq[nz], pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("bi")
+        .aggregate(Sum("tot_p"), Sum("ret_p"))
+        .take_all()
+    )  # one row per brand
+    agg.sort(key=lambda r: int(r["bi"]))
+    return pa.table(
+        {
+            "p_brand": pa.array(
+                [brands[int(r["bi"])] for r in agg], pa.string()
+            ),
+            "qty_returned": pa.array(
+                [int(r["sum(ret_p)"]) for r in agg], pa.int64()
+            ),
+            "qty_total": pa.array(
+                [int(r["sum(tot_p)"]) for r in agg], pa.int64()
+            ),
+            "return_rate": pa.array(
+                [
+                    float(int(r["sum(ret_p)"]))
+                    / float(int(r["sum(tot_p)"]))
+                    for r in agg
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -4583,6 +4826,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_entropy": _q_markov_entropy,
         "bursty_users": _q_bursty_users,
         "bot_regularity": _q_bot_regularity,
+        "q7_nation_flows": _q_q7_nation_flows,
+        "brand_returns": _q_brand_returns,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -7521,6 +7766,34 @@ def oracle_sql() -> dict[str, str]:
         "sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * "
         "s1 AS DOUBLE)) / CAST(s1 AS DOUBLE) AS cv FROM agg "
         "WHERE n >= 20 AND s1 > 0 ORDER BY cv ASC, u ASC LIMIT 50"
+    )
+    out["q7_nation_flows"] = (
+        # cross-nation 1996 trade flows, q5 cent-hundredth revenue
+        "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+        "AS revenue_milli, CAST(count(*) AS BIGINT) AS n_items "
+        "FROM lineitem, orders, supplier, customer, nation ns, "
+        "nation nc WHERE l_orderkey = o_orderkey AND l_suppkey = "
+        "s_suppkey AND o_custkey = c_custkey AND s_nationkey = "
+        "ns.n_nationkey AND c_nationkey = nc.n_nationkey AND "
+        "s_nationkey <> c_nationkey AND o_orderdate >= TIMESTAMP "
+        "'1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY 1, 2"
+    )
+    out["brand_returns"] = (
+        # exact integer quantity sums per brand, one float ratio
+        "SELECT p_brand, CAST(coalesce(sum(CAST(round(l_quantity) "
+        "AS BIGINT)) FILTER (WHERE l_returnflag = 'R'), 0) "
+        "AS BIGINT) AS qty_returned, "
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS "
+        "qty_total, "
+        "CAST(coalesce(sum(CAST(round(l_quantity) AS BIGINT)) "
+        "FILTER (WHERE l_returnflag = 'R'), 0) AS DOUBLE) / "
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS "
+        "return_rate FROM lineitem JOIN part ON p_partkey = "
+        "l_partkey GROUP BY 1 HAVING sum(CAST(round(l_quantity) AS "
+        "BIGINT)) > 0"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

@@ -278,6 +278,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "markov_entropy",
         "bursty_users",
         "bot_regularity",
+        "q7_nation_flows",
+        "brand_returns",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
