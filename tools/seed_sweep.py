@@ -4545,6 +4545,452 @@ def stats_quality_family(seed):
     )
 
 
+
+def alerting_trend_family(seed):
+    """Round-4f alerting/forecast operators vs DuckDB on fresh random
+    inputs: hysteresis, Fano (bounded + per-user), changepoint,
+    window movers, cooldown alerts, MASE, OLS trend, Markov entropy,
+    bot regularity."""
+    rng = np.random.default_rng(seed + 171)
+
+    from console_log_parser_ray.stages.events import (
+        alert_cooldown,
+        bot_regularity,
+        bursty_users,
+        changepoint_mean,
+        fano_factor,
+        hysteresis_alerts,
+        markov_entropy,
+        mase_seasonal,
+        ols_trend,
+        window_movers,
+    )
+
+    con = duckdb.connect()
+
+    n = 4000
+    ts = rng.choice(
+        np.arange(0, 40_000_000, 3, dtype=np.int64), n, replace=False
+    )
+    keys = rng.choice(["a", "b", "c"], n)
+    vals = rng.uniform(0, 150, n)
+    vals[(keys == "a") & (ts >= 25_000_000)] += rng.uniform(20, 60)
+    ev = pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "ts": pa.array(ts, pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    con.register("ev", ev)
+    ds = ray.data.from_arrow(ev).repartition(6)
+
+    mine = hysteresis_alerts(ds, n_buckets=16).to_pandas()
+    ref = con.execute(
+        "WITH m AS (SELECT event_type AS k, ts AS t, value AS v, "
+        "CASE WHEN value >= 100.0 THEN 1 WHEN value < 40.0 THEN 0 "
+        "END AS mk FROM ev), "
+        "s AS (SELECT k, t, v, last_value(mk IGNORE NULLS) OVER "
+        "(PARTITION BY k ORDER BY t, v ROWS UNBOUNDED PRECEDING) "
+        "AS st FROM m), "
+        "s2 AS (SELECT k, st, lag(st) OVER (PARTITION BY k "
+        "ORDER BY t, v) AS pst FROM s) "
+        "SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(coalesce(sum(CASE WHEN st = 1 THEN 1 END), 0) AS "
+        "BIGINT) AS n_on, CAST(coalesce(sum(CASE WHEN st = 1 AND "
+        "(pst IS NULL OR pst <> 1) THEN 1 END), 0) AS BIGINT) AS "
+        "n_alerts FROM s2 GROUP BY 1"
+    ).fetchdf()
+    check("hysteresis", seed, mine, ref, ["event_type"],
+          ["n_rows", "n_on", "n_alerts"])
+
+    W = 977_000
+    mine = fano_factor(ds, window_us=W).to_pandas()
+    ref = con.execute(f"""
+        WITH span AS (SELECT min(ts) AS mn, max(ts) AS mx FROM ev),
+        o AS (SELECT event_type AS k, (ts - span.mn) // {W} AS win
+              FROM ev, span),
+        wc AS (SELECT k, win, CAST(count(*) AS BIGINT) AS c FROM o
+               GROUP BY 1, 2),
+        agg AS (SELECT k, CAST(sum(c) AS BIGINT) AS s1,
+                CAST(sum(c * c) AS BIGINT) AS s2 FROM wc GROUP BY 1),
+        nw AS (SELECT (mx - mn) // {W} + 1 AS n FROM span)
+        SELECT k AS event_type, CAST(nw.n AS BIGINT) AS n_windows,
+        s1 AS n_events,
+        CAST(CAST(nw.n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1
+        AS DOUBLE) / CAST(CAST(nw.n AS HUGEINT) * s1 AS DOUBLE)
+        AS fano FROM agg, nw""").fetchdf()
+    check("fano", seed, mine, ref, ["event_type"],
+          ["n_windows", "n_events", "fano"])
+
+    mine = changepoint_mean(ds, n_buckets=16).to_pandas()
+    ref = con.execute(
+        "WITH o AS (SELECT event_type AS k, ts AS t, "
+        "CAST(floor(value * 100) AS BIGINT) AS v FROM ev), "
+        "w AS (SELECT k, t, v, CAST(row_number() OVER (PARTITION BY "
+        "k ORDER BY t, v) AS BIGINT) AS nl, CAST(sum(v) OVER "
+        "(PARTITION BY k ORDER BY t, v ROWS UNBOUNDED PRECEDING) AS "
+        "BIGINT) AS s1l, CAST(count(*) OVER (PARTITION BY k) AS "
+        "BIGINT) AS n, CAST(sum(v) OVER (PARTITION BY k) AS BIGINT) "
+        "AS s1 FROM o), "
+        "g AS (SELECT k, nl, t, n, s1l, s1, CAST(CAST(s1l AS "
+        "HUGEINT) * s1l AS DOUBLE) / CAST(nl AS DOUBLE) + "
+        "CAST(CAST(s1 - s1l AS HUGEINT) * (s1 - s1l) AS DOUBLE) / "
+        "CAST(n - nl AS DOUBLE) AS gst FROM w WHERE nl < n), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY "
+        "gst DESC, nl ASC) AS rn FROM g) "
+        "SELECT k AS event_type, n AS n_rows, nl AS split_n, "
+        "t AS split_ts_us, CAST(s1l AS DOUBLE) / CAST(nl AS DOUBLE) "
+        "AS mean_left, CAST(s1 - s1l AS DOUBLE) / CAST(n - nl AS "
+        "DOUBLE) AS mean_right, gst AS gstat FROM r WHERE rn = 1"
+    ).fetchdf()
+    check("changepoint", seed, mine, ref, ["event_type"],
+          ["n_rows", "split_n", "split_ts_us", "mean_left",
+           "mean_right"])
+
+    mine = window_movers(ds, window_us=W).to_pandas()
+    ref = con.execute(f"""
+        WITH span AS (SELECT min(ts) AS mn FROM ev),
+        o AS (SELECT event_type AS k, (ts - span.mn) // {W} AS win
+              FROM ev, span),
+        wc AS (SELECT k, win, CAST(count(*) AS BIGINT) AS c FROM o
+               GROUP BY 1, 2),
+        d AS (SELECT k, win, c, lag(win) OVER (PARTITION BY k ORDER
+              BY win) AS pwin, lag(c) OVER (PARTITION BY k ORDER BY
+              win) AS pc FROM wc),
+        r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY
+              c - pc DESC, win ASC) AS rn FROM d
+              WHERE pwin IS NOT NULL)
+        SELECT k AS event_type, win, pwin AS prev_win, pc AS c_prev,
+        c AS c_cur, c - pc AS delta FROM r WHERE rn = 1""").fetchdf()
+    check("window_movers", seed, mine, ref, ["event_type"],
+          ["win", "prev_win", "c_prev", "c_cur", "delta"])
+
+    C = 3_100_000
+    mine = alert_cooldown(ds, cooldown_us=C).to_pandas()
+    ref = con.execute(f"""
+        WITH RECURSIVE o AS (SELECT event_type AS k, ts AS t FROM ev),
+        em AS (SELECT k, min(t) AS t, CAST(1 AS BIGINT) AS i FROM o
+               GROUP BY k
+               UNION ALL
+               SELECT em.k, (SELECT min(o.t) FROM o WHERE o.k = em.k
+               AND o.t >= em.t + {C}), em.i + 1 FROM em
+               WHERE (SELECT min(o.t) FROM o WHERE o.k = em.k AND
+               o.t >= em.t + {C}) IS NOT NULL)
+        SELECT k AS event_type, i AS alert_idx, t AS alert_ts_us
+        FROM em""").fetchdf()
+    check("alert_cooldown", seed, mine, ref,
+          ["event_type", "alert_idx"], ["alert_ts_us"])
+
+    mine = mase_seasonal(ds, window_us=W, period=4).to_pandas()
+    ref = con.execute(f"""
+        WITH span AS (SELECT min(ts) AS mn, max(ts) AS mx FROM ev),
+        nw AS (SELECT (mx - mn) // {W} + 1 AS n FROM span),
+        o AS (SELECT event_type AS k, (ts - span.mn) // {W} AS win
+              FROM ev, span),
+        keys AS (SELECT DISTINCT k FROM o),
+        grid AS (SELECT k, gs.win FROM keys, (SELECT
+            unnest(generate_series(0, (SELECT n FROM nw) - 1)) AS
+            win) gs),
+        wc AS (SELECT k, win, CAST(count(*) AS BIGINT) AS c FROM o
+               GROUP BY 1, 2),
+        f AS (SELECT g.k, g.win, coalesce(wc.c, 0) AS c FROM grid g
+              LEFT JOIN wc ON wc.k = g.k AND wc.win = g.win),
+        d AS (SELECT k, c, lag(c, 4) OVER (PARTITION BY k ORDER BY
+              win) AS cp, lag(c, 1) OVER (PARTITION BY k ORDER BY
+              win) AS c1 FROM f),
+        agg AS (SELECT k, CAST(sum(abs(c - cp)) AS BIGINT) AS num,
+                CAST(sum(abs(c - c1)) AS BIGINT) AS den FROM d
+                GROUP BY 1)
+        SELECT k AS event_type, CAST((SELECT n FROM nw) AS BIGINT)
+        AS n_windows, num AS sae_seasonal, den AS sae_naive,
+        CASE WHEN num IS NOT NULL AND den IS NOT NULL AND den > 0
+        THEN CAST(num * ((SELECT n FROM nw) - 1) AS DOUBLE) /
+        CAST(den * ((SELECT n FROM nw) - 4) AS DOUBLE) END AS mase
+        FROM agg""").fetchdf()
+    check("mase", seed, mine, ref, ["event_type"],
+          ["n_windows", "sae_seasonal", "sae_naive", "mase"])
+
+    D = 811_000
+    mine = ols_trend(ds, day_us=D).to_pandas()
+    ref = con.execute(f"""
+        WITH span AS (SELECT min(ts) AS mn FROM ev),
+        o AS (SELECT event_type AS k, (ts - span.mn) // {D} AS t,
+              CAST(floor(value * 100) AS BIGINT) AS v FROM ev, span),
+        s AS (SELECT k, CAST(count(*) AS BIGINT) AS n, CAST(sum(t)
+              AS BIGINT) AS st, CAST(sum(v) AS BIGINT) AS sv,
+              CAST(sum(CAST(t AS HUGEINT) * v) AS BIGINT) AS stv,
+              CAST(sum(CAST(t AS HUGEINT) * t) AS BIGINT) AS st2,
+              CAST(sum(CAST(v AS HUGEINT) * v) AS BIGINT) AS sv2
+              FROM o GROUP BY 1),
+        f AS (SELECT k, n, st, sv,
+              CAST(n AS HUGEINT) * stv - CAST(st AS HUGEINT) * sv
+              AS num,
+              CAST(n AS HUGEINT) * st2 - CAST(st AS HUGEINT) * st
+              AS denx,
+              CAST(n AS HUGEINT) * sv2 - CAST(sv AS HUGEINT) * sv
+              AS deny FROM s)
+        SELECT k AS event_type, n,
+        CASE WHEN denx > 0 THEN CAST(num AS DOUBLE) /
+        CAST(denx AS DOUBLE) END AS slope_cents_per_day,
+        CASE WHEN denx > 0 THEN (CAST(sv AS DOUBLE) -
+        CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) *
+        CAST(st AS DOUBLE)) / CAST(n AS DOUBLE) END AS
+        intercept_cents,
+        CASE WHEN denx > 0 AND deny > 0 THEN CAST(num AS DOUBLE) *
+        CAST(num AS DOUBLE) / (CAST(denx AS DOUBLE) *
+        CAST(deny AS DOUBLE)) END AS r2 FROM f""").fetchdf()
+    check("ols_trend", seed, mine, ref, ["event_type"],
+          ["n", "slope_cents_per_day", "intercept_cents", "r2"])
+
+    m = 3000
+    users = rng.integers(0, 25, m)
+    uts = rng.choice(
+        np.arange(0, 9_000_000, dtype=np.int64), m, replace=False
+    )
+    states = rng.choice(["s", "t", "u", "v"], m)
+    uev = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(uts, pa.int64()),
+            "event_type": pa.array(states, pa.string()),
+        }
+    )
+    con.register("uev", uev)
+    uds = ray.data.from_arrow(uev).repartition(5)
+
+    mine = markov_entropy(uds).to_pandas()
+    ref = con.execute(
+        "WITH p AS (SELECT user_id AS u, event_type AS f, "
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) "
+        "AS nxt FROM uev), "
+        "c AS (SELECT f, nxt, CAST(count(*) AS BIGINT) AS n FROM p "
+        "WHERE nxt IS NOT NULL GROUP BY 1, 2), "
+        "tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS cf FROM c "
+        "GROUP BY 1) "
+        "SELECT c.f AS from_state, tot.cf AS n_from, "
+        "CAST(-sum(c.n * CAST(floor((ln(CAST(c.n AS DOUBLE)) - "
+        "ln(CAST(tot.cf AS DOUBLE))) * 1000000.0) AS BIGINT)) AS "
+        "BIGINT) AS h_q, "
+        "CAST(CAST(-sum(c.n * CAST(floor((ln(CAST(c.n AS DOUBLE)) - "
+        "ln(CAST(tot.cf AS DOUBLE))) * 1000000.0) AS BIGINT)) AS "
+        "BIGINT) AS DOUBLE) / CAST(1000000 * tot.cf AS DOUBLE) AS "
+        "h_nats FROM c JOIN tot USING (f) GROUP BY c.f, tot.cf"
+    ).fetchdf()
+    check("markov_entropy", seed, mine, ref, ["from_state"],
+          ["n_from", "h_q", "h_nats"])
+
+    WU = 331_000
+    mine = bursty_users(
+        uds, window_us=WU, min_events=20, k=30
+    ).to_pandas()
+    ref = con.execute(f"""
+        WITH span AS (SELECT min(ts) AS mn, max(ts) AS mx FROM uev),
+        nw AS (SELECT (mx - mn) // {WU} + 1 AS n FROM span),
+        o AS (SELECT user_id AS u, (ts - span.mn) // {WU} AS win
+              FROM uev, span),
+        wc AS (SELECT u, win, CAST(count(*) AS BIGINT) AS c FROM o
+               GROUP BY 1, 2),
+        agg AS (SELECT u, CAST(sum(c) AS BIGINT) AS s1,
+                CAST(sum(c * c) AS BIGINT) AS s2 FROM wc GROUP BY 1)
+        SELECT u AS user_id, s1 AS n_events,
+        CAST(CAST((SELECT n FROM nw) AS HUGEINT) * s2 -
+        CAST(s1 AS HUGEINT) * s1 AS DOUBLE) /
+        CAST(CAST((SELECT n FROM nw) AS HUGEINT) * s1 AS DOUBLE)
+        AS fano FROM agg WHERE s1 >= 20
+        ORDER BY fano DESC, u ASC LIMIT 30""").fetchdf()
+    check("bursty_users", seed, mine, ref, ["user_id"],
+          ["n_events", "fano"])
+
+    mine = bot_regularity(
+        uds, min_gaps=20, k=30, n_buckets=8
+    ).to_pandas()
+    ref = con.execute("""
+        WITH g AS (SELECT user_id AS u, (ts - lag(ts) OVER
+              (PARTITION BY user_id ORDER BY ts)) // 1000000 AS gap
+              FROM uev),
+        agg AS (SELECT u, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(gap) AS BIGINT) AS s1,
+                CAST(sum(CAST(gap AS HUGEINT) * gap) AS BIGINT) AS
+                s2 FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        SELECT u AS user_id, n AS n_gaps,
+        sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) *
+        s1 AS DOUBLE)) / CAST(s1 AS DOUBLE) AS cv FROM agg
+        WHERE n >= 20 AND s1 > 0 ORDER BY cv ASC, u ASC
+        LIMIT 30""").fetchdf()
+    check("bot_regularity", seed, mine, ref, ["user_id"],
+          ["n_gaps", "cv"])
+
+
+def rules_mmr_family(seed):
+    """Round-4f basket/text/graph/embedding operators vs DuckDB on
+    fresh random inputs: association rules, Monroe log-odds, token
+    burstiness, degree assortativity, MMR selection."""
+    rng = np.random.default_rng(seed + 181)
+
+    from console_log_parser_ray.stages.graph import (
+        association_rules,
+        degree_assortativity,
+    )
+    from console_log_parser_ray.stages.similarity import (
+        mmr_oracle_sql,
+        mmr_select,
+    )
+    from console_log_parser_ray.stages.textan import (
+        log_odds_tokens,
+        token_burstiness,
+    )
+
+    con = duckdb.connect()
+
+    rows_g, rows_i = [], []
+    for g in range(250):
+        for i in rng.choice(40, rng.integers(2, 6), replace=False):
+            rows_g.append(g)
+            rows_i.append(int(i))
+    basket = pa.table(
+        {
+            "g": pa.array(rows_g, pa.int64()),
+            "i": pa.array(rows_i, pa.int64()),
+        }
+    )
+    con.register("basket", basket)
+    mine = association_rules(
+        ray.data.from_arrow(basket).repartition(5), "g", "i",
+        min_support=2, k=40, n_buckets=8,
+    ).to_pandas()
+    ref = con.execute("""
+        WITH li AS (SELECT DISTINCT g, i FROM basket),
+        n AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS ng FROM li),
+        ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM li
+               GROUP BY 1),
+        pcnt AS (SELECT x.i AS a, y.i AS b, CAST(count(*) AS BIGINT)
+                 AS cab FROM li x JOIN li y ON x.g = y.g AND
+                 x.i < y.i GROUP BY 1, 2),
+        f AS (SELECT a, b, cab, ca.c AS ca, cb.c AS cb FROM pcnt
+              JOIN ic ca ON ca.i = a JOIN ic cb ON cb.i = b
+              WHERE cab >= 2)
+        SELECT a, b, cab AS support,
+        CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE) AS conf_ab,
+        CAST(cab AS DOUBLE) / CAST(cb AS DOUBLE) AS conf_ba,
+        CAST(CAST(ng AS HUGEINT) * cab AS DOUBLE) /
+        CAST(CAST(ca AS HUGEINT) * cb AS DOUBLE) AS lift
+        FROM f, n ORDER BY lift DESC, a, b LIMIT 40""").fetchdf()
+    check("assoc_rules", seed, mine, ref, ["a", "b"],
+          ["support", "conf_ab", "conf_ba", "lift"])
+
+    vocab = [f"w{i}" for i in range(30)]
+    docs, srcs = [], []
+    for i in range(200):
+        docs.append(
+            " ".join(rng.choice(vocab, rng.integers(5, 25)))
+        )
+        srcs.append(rng.choice(["A", "B", "C"]))
+    dt = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "source": pa.array(srcs, pa.string()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    con.register("docs", dt)
+    mine = log_odds_tokens(
+        ray.data.from_arrow(dt).repartition(5), group_a="A", k=25,
+        n_buckets=8,
+    ).to_pandas()
+    ref = con.execute(r"""
+        WITH toks AS (SELECT (coalesce(source, '') = 'A') AS ga,
+              unnest(regexp_extract_all(text, '\S+')) AS tok
+              FROM docs),
+        ct AS (SELECT tok, CAST(coalesce(count(*) FILTER (WHERE ga),
+               0) AS BIGINT) AS ya, CAST(coalesce(count(*) FILTER
+               (WHERE NOT ga), 0) AS BIGINT) AS yb FROM toks
+               GROUP BY 1),
+        tot AS (SELECT CAST(sum(ya) AS BIGINT) AS na,
+                CAST(sum(yb) AS BIGINT) AS nb FROM ct)
+        SELECT tok, ya AS y_a, yb AS y_b,
+        (ln(CAST(ya + ya + yb AS DOUBLE)) -
+        ln(CAST(na + na + nb - ya - ya - yb AS DOUBLE)) -
+        ln(CAST(yb + ya + yb AS DOUBLE)) +
+        ln(CAST(nb + na + nb - yb - ya - yb AS DOUBLE))) /
+        sqrt(1.0 / CAST(ya + ya + yb AS DOUBLE) +
+        1.0 / CAST(yb + ya + yb AS DOUBLE)) AS z
+        FROM ct, tot ORDER BY z DESC, tok ASC
+        LIMIT 25""").fetchdf()
+    check("log_odds", seed, mine, ref, ["tok"], ["y_a", "y_b", "z"])
+
+    mine = token_burstiness(
+        ray.data.from_arrow(dt).repartition(5), min_df=5, k=25,
+        n_buckets=8,
+    ).to_pandas()
+    ref = con.execute(r"""
+        WITH pairs AS (SELECT doc_id,
+              unnest(regexp_extract_all(text, '\S+')) AS tok
+              FROM docs),
+        po AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+               FROM pairs GROUP BY 1, 2),
+        t AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+              CAST(sum(c) AS BIGINT) AS occ FROM po GROUP BY 1)
+        SELECT tok, df, occ, CAST(occ AS DOUBLE) / CAST(df AS DOUBLE)
+        AS burst FROM t WHERE df >= 5 ORDER BY burst DESC, tok ASC
+        LIMIT 25""").fetchdf()
+    check("token_burst", seed, mine, ref, ["tok"],
+          ["df", "occ", "burst"])
+
+    pairs = set()
+    while len(pairs) < 150:
+        a, b = rng.integers(0, 60, 2)
+        if a != b:
+            pairs.add((min(int(a), int(b)), max(int(a), int(b))))
+    et = pa.table(
+        {
+            "a": pa.array([p[0] for p in sorted(pairs)], pa.int64()),
+            "b": pa.array([p[1] for p in sorted(pairs)], pa.int64()),
+        }
+    )
+    con.register("edges", et)
+    mine = degree_assortativity(
+        ray.data.from_arrow(et).repartition(4)
+    ).to_pandas()
+    ref = con.execute("""
+        WITH deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+              (SELECT a AS node FROM edges UNION ALL SELECT b FROM
+              edges) GROUP BY 1),
+        p AS (SELECT da.d AS x, db.d AS y FROM edges e JOIN deg da
+              ON da.node = e.a JOIN deg db ON db.node = e.b
+              UNION ALL SELECT db.d, da.d FROM edges e JOIN deg da
+              ON da.node = e.a JOIN deg db ON db.node = e.b),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS
+              BIGINT) AS sx, CAST(sum(CAST(x AS HUGEINT) * y) AS
+              BIGINT) AS sxy, CAST(sum(CAST(x AS HUGEINT) * x) AS
+              BIGINT) AS sx2 FROM p)
+        SELECT m AS n_directed_edges, sx AS sum_deg, sxy AS sum_xy,
+        sx2 AS sum_x2, CASE WHEN CAST(m AS HUGEINT) * sx2 -
+        CAST(sx AS HUGEINT) * sx > 0 THEN CAST(CAST(m AS HUGEINT) *
+        sxy - CAST(sx AS HUGEINT) * sx AS DOUBLE) /
+        CAST(CAST(m AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx
+        AS DOUBLE) END AS assortativity FROM s""").fetchdf()
+    check("assortativity", seed, mine, ref, ["n_directed_edges"],
+          ["sum_deg", "sum_xy", "sum_x2", "assortativity"])
+
+    mat = rng.normal(size=(150, 10))
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(150), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    con.register("embeddings", emb.to_pandas())
+    qid = int(rng.integers(0, 150))
+    mine = mmr_select(
+        ray.data.from_arrow(emb).repartition(4), query_id=qid, k=6
+    ).to_pandas()
+    ref = con.execute(mmr_oracle_sql(query_id=qid, k=6)).fetchdf()
+    check("mmr", seed, mine, ref, ["rnk"], ["vec_id"])
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -4571,10 +5017,12 @@ def main():
         resample_graph_family(seed)
         growth_quality_family(seed)
         stats_quality_family(seed)
+        alerting_trend_family(seed)
+        rules_mmr_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(144 comparison groups per seed)"
+        "(159 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
