@@ -4673,6 +4673,28 @@ def _q_brand_returns(sf_dir: str):
     )
 
 
+def _q_wilson_ctr(sf_dir: str):
+    """Wilson 95% lower-bound click/(click+view) ranking per user
+    (stages/events.wilson_ctr) -- exact count partials, bitwise-
+    matching float tree."""
+    from console_log_parser_ray.stages.events import wilson_ctr
+
+    return wilson_ctr(
+        _events(sf_dir).select_columns(["user_id", "event_type"])
+    )
+
+
+def _q_target_encode(sf_dir: str):
+    """Smoothed target encoding of value by event_type
+    (stages/events.target_encode) -- one bounded groupby, exact cent
+    sums, one float expression per category."""
+    from console_log_parser_ray.stages.events import target_encode
+
+    return target_encode(
+        _events(sf_dir).select_columns(["event_type", "value"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -4828,6 +4850,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bot_regularity": _q_bot_regularity,
         "q7_nation_flows": _q_q7_nation_flows,
         "brand_returns": _q_brand_returns,
+        "wilson_ctr": _q_wilson_ctr,
+        "target_encode": _q_target_encode,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -7794,6 +7818,36 @@ def oracle_sql() -> dict[str, str]:
         "return_rate FROM lineitem JOIN part ON p_partkey = "
         "l_partkey GROUP BY 1 HAVING sum(CAST(round(l_quantity) AS "
         "BIGINT)) > 0"
+    )
+    out["wilson_ctr"] = (
+        # Wilson lower bound; identical literal/op order both sides
+        "WITH c AS (SELECT user_id AS u, "
+        "CAST(count(*) FILTER (WHERE event_type = 'click') AS "
+        "BIGINT) AS c, CAST(count(*) FILTER (WHERE event_type = "
+        "'view') AS BIGINT) AS v FROM events WHERE user_id IS NOT "
+        "NULL AND event_type IS NOT NULL GROUP BY 1), "
+        "f AS (SELECT u, c, v, c + v AS n, "
+        "CAST(c AS DOUBLE) / CAST(c + v AS DOUBLE) AS p, "
+        "CAST(c + v AS DOUBLE) AS nf FROM c WHERE c + v >= 20) "
+        "SELECT u AS user_id, c AS clicks, v AS views, p AS ctr, "
+        "(p + 1.96 * 1.96 / (2.0 * nf) - 1.96 * "
+        "sqrt((p * (1.0 - p) + 1.96 * 1.96 / (4.0 * nf)) / nf)) / "
+        "(1.0 + 1.96 * 1.96 / nf) AS wilson_lb "
+        "FROM f ORDER BY wilson_lb DESC, u ASC LIMIT 50"
+    )
+    out["target_encode"] = (
+        # shrinkage toward the global cent mean, m = 50
+        "WITH o AS (SELECT event_type AS cat, CAST(floor(value * "
+        "100) AS BIGINT) AS v FROM events WHERE event_type IS NOT "
+        "NULL AND value IS NOT NULL), "
+        "s AS (SELECT cat, CAST(sum(v) AS BIGINT) AS sv, "
+        "CAST(count(*) AS BIGINT) AS n FROM o GROUP BY 1), "
+        "g AS (SELECT CAST(sum(sv) AS BIGINT) AS sg, "
+        "CAST(sum(n) AS BIGINT) AS ng FROM s) "
+        "SELECT cat AS category, n, sv AS sum_cents, "
+        "(CAST(sv AS DOUBLE) + 50.0 * (CAST(g.sg AS DOUBLE) / "
+        "CAST(g.ng AS DOUBLE))) / (CAST(n AS DOUBLE) + 50.0) AS "
+        "enc_cents FROM s, g"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

@@ -280,6 +280,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "bot_regularity",
         "q7_nation_flows",
         "brand_returns",
+        "wilson_ctr",
+        "target_encode",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

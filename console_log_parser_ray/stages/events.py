@@ -6896,3 +6896,193 @@ def bot_regularity(
             "cv": pa.array([r["cv"] for r in cands], pa.float64()),
         }
     )
+
+
+def wilson_ctr(
+    ds,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    pos_type: str = "click",
+    neg_type: str = "view",
+    min_n: int = 20,
+    k: int = 50,
+):
+    """Wilson-score lower-bound click-through ranking per user: the
+    95% lower confidence bound on clicks/(clicks+views),
+
+        wlb = (p + z^2/2n - z*sqrt((p(1-p) + z^2/4n)/n)) / (1 + z^2/n)
+
+    with z = 1.96 -- the "how do I rank small-sample rates without
+    letting 1/1 beat 80/100" formula (Wilson 1927; the standard
+    comment-ranking bound).  Counts are exact int64 partials; wlb is
+    ONE float expression per user with the identical literal/op order
+    as the SQL mirror, so the doubles match bitwise.  Top-k by
+    (wlb DESC, user ASC) among users with n >= ``min_n``; per-block
+    top-k candidates only.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(user_col)),
+                pc.is_valid(b.column(type_col)),
+            )
+        )
+        is_pos = pc.cast(
+            pc.equal(t.column(type_col), pa.scalar(pos_type)),
+            pa.int64(),
+        )
+        is_neg = pc.cast(
+            pc.equal(t.column(type_col), pa.scalar(neg_type)),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {
+                    "u": t.column(user_col).cast(pa.int64()),
+                    "c": is_pos,
+                    "v": is_neg,
+                }
+            )
+            .group_by("u")
+            .aggregate([("c", "sum"), ("v", "sum")])
+        )
+        return g.rename_columns(["u", "c_p", "v_p"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        c = b.column("sum(c_p)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        v = b.column("sum(v_p)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = c + v
+        keep = n >= min_n
+        u, c, v, n = u[keep], c[keep], v[keep], n[keep]
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "clicks": pa.array([], pa.int64()),
+                    "views": pa.array([], pa.int64()),
+                    "ctr": pa.array([], pa.float64()),
+                    "wilson_lb": pa.array([], pa.float64()),
+                }
+            )
+        nf = n.astype(np.float64)
+        p = c.astype(np.float64) / nf
+        # identical literal/op order as the SQL mirror
+        wlb = (
+            p
+            + 1.96 * 1.96 / (2.0 * nf)
+            - 1.96
+            * np.sqrt((p * (1.0 - p) + 1.96 * 1.96 / (4.0 * nf)) / nf)
+        ) / (1.0 + 1.96 * 1.96 / nf)
+        order = np.lexsort((u, -wlb))[:k]
+        return pa.table(
+            {
+                "user_id": pa.array(u[order], pa.int64()),
+                "clicks": pa.array(c[order], pa.int64()),
+                "views": pa.array(v[order], pa.int64()),
+                "ctr": pa.array(p[order], pa.float64()),
+                "wilson_lb": pa.array(wlb[order], pa.float64()),
+            }
+        )
+
+    cands = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Sum("c_p"), Sum("v_p"))
+        .map_batches(finish, batch_format="pyarrow")
+        .take_all()
+    )
+    cands.sort(key=lambda r: (-r["wilson_lb"], r["user_id"]))
+    cands = cands[:k]
+    cols = ("user_id", "clicks", "views", "ctr", "wilson_lb")
+    types = (pa.int64(), pa.int64(), pa.int64(), pa.float64(),
+             pa.float64())
+    return pa.table(
+        {
+            c: pa.array([r[c] for r in cands], t)
+            for c, t in zip(cols, types)
+        }
+    )
+
+
+def target_encode(
+    ds,
+    cat_col: str = "event_type",
+    val_col: str = "value",
+    smoothing: int = 50,
+):
+    """Smoothed target (mean) encoding per category -- the leakage-
+    averse feature-engineering standard: a category's encoding is its
+    mean response shrunk toward the global mean by ``smoothing``
+    pseudo-observations,
+
+        enc = (sum_c + m * global_mean) / (n_c + m)
+
+    so a 3-row category sits near the prior while a 10k-row one keeps
+    its own mean.  Values quantize to integer cents; per-category and
+    global sums are exact int64 partials from ONE bounded groupby;
+    the encoding is one float expression with the same tree as the
+    SQL mirror.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(cat_col)),
+                pc.is_valid(b.column(val_col)),
+            )
+        )
+        cents = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    t.column(val_col).cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        )
+        n1 = pa.array(np.ones(t.num_rows, np.int64), pa.int64())
+        g = (
+            pa.table(
+                {"cat": t.column(cat_col), "s": cents, "one": n1}
+            )
+            .group_by("cat")
+            .aggregate([("s", "sum"), ("one", "sum")])
+        )
+        return g.rename_columns(["cat", "s_p", "n_p"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cat")
+        .aggregate(Sum("s_p"), Sum("n_p"))
+        .take_all()
+    )  # one row per category
+    sg = sum(int(r["sum(s_p)"]) for r in agg)
+    ng = sum(int(r["sum(n_p)"]) for r in agg)
+    if ng == 0:
+        raise ValueError("target_encode: no rows")
+    m = float(smoothing)
+    gm = float(sg) / float(ng)
+    out_c, out_n, out_s, out_e = [], [], [], []
+    for r in sorted(agg, key=lambda r: r["cat"]):
+        n = int(r["sum(n_p)"])
+        s = int(r["sum(s_p)"])
+        out_c.append(r["cat"])
+        out_n.append(n)
+        out_s.append(s)
+        out_e.append((float(s) + m * gm) / (float(n) + m))
+    return pa.table(
+        {
+            "category": pa.array(out_c, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+            "sum_cents": pa.array(out_s, pa.int64()),
+            "enc_cents": pa.array(out_e, pa.float64()),
+        }
+    )

@@ -7988,3 +7988,93 @@ def test_bot_regularity_differential(ray_session):
     assert got["n_gaps"].tolist() == [r[1] for r in rows]
     assert got["cv"].tolist() == [r[2] for r in rows]
     assert got["user_id"][0] == 5 and got["cv"][0] < 0.01
+
+
+def test_wilson_ctr_differential(ray_session):
+    """wilson_ctr == python brute force; 2/2 must NOT outrank
+    16/20."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import wilson_ctr
+
+    rows_u, rows_t = [], []
+    # user 1: 16 clicks / 4 views; user 2: 24 clicks / 1 view;
+    # user 3: all views
+    for u, c, v in ((1, 16, 4), (2, 24, 1), (3, 0, 25)):
+        rows_u += [u] * (c + v)
+        rows_t += ["click"] * c + ["view"] * v
+    t = pa.table(
+        {
+            "user_id": pa.array(rows_u, pa.int64()),
+            "event_type": pa.array(rows_t, pa.string()),
+        }
+    )
+    got = wilson_ctr(
+        ray.data.from_arrow(t).repartition(4), min_n=20, k=10
+    ).to_pandas()
+    rows = []
+    for u, c, v in ((1, 16, 4), (2, 24, 1), (3, 0, 25)):
+        n = c + v
+        p = c / n
+        wlb = (
+            p
+            + 1.96 * 1.96 / (2.0 * n)
+            - 1.96
+            * math.sqrt((p * (1.0 - p) + 1.96 * 1.96 / (4.0 * n)) / n)
+        ) / (1.0 + 1.96 * 1.96 / n)
+        rows.append((u, c, v, p, wlb))
+    rows.sort(key=lambda r: (-r[4], r[0]))
+    assert got["user_id"].tolist() == [r[0] for r in rows]
+    assert got["wilson_lb"].tolist() == [r[4] for r in rows]
+    assert got["user_id"][0] == 2
+    # the zero-click user's bound is pinned at ~0
+    assert got.set_index("user_id").loc[3, "wilson_lb"] < 0.01
+
+
+def test_target_encode_differential(ray_session):
+    """target_encode == python brute force; a tiny category shrinks
+    to the prior, a huge one keeps its mean."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import target_encode
+
+    rng = np.random.default_rng(3)
+    cats = ["big"] * 5000 + ["tiny"] * 3
+    vals = np.concatenate(
+        [rng.uniform(10, 11, 5000), np.array([500.0, 510.0, 520.0])]
+    )
+    t = pa.table(
+        {
+            "event_type": pa.array(cats, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    got = (
+        target_encode(
+            ray.data.from_arrow(t).repartition(5), smoothing=50
+        )
+        .to_pandas()
+        .set_index("category")
+    )
+    cents = np.floor(vals * 100).astype(np.int64)
+    sg, ng = int(cents.sum()), len(cents)
+    gm = float(sg) / float(ng)
+    for cat in ("big", "tiny"):
+        mask = np.array([c == cat for c in cats])
+        s, n = int(cents[mask].sum()), int(mask.sum())
+        enc = (float(s) + 50.0 * gm) / (float(n) + 50.0)
+        row = got.loc[cat]
+        assert row["n"] == n and row["sum_cents"] == s
+        assert row["enc_cents"] == enc
+    # the 3-row category lands near the prior, far from its raw mean
+    assert abs(got.loc["tiny", "enc_cents"] - gm * 1.0) < 3500
+    assert got.loc["tiny", "enc_cents"] < 51000 / 10
+    assert abs(got.loc["big", "enc_cents"] - 1050) < 20
