@@ -4695,6 +4695,37 @@ def _q_target_encode(sf_dir: str):
     )
 
 
+def _q_ttfp(sf_dir: str):
+    """Signup-to-first-purchase latency quantiles per weekly cohort:
+    stages/events.time_to_convert composed with the exact
+    group_quantiles operator."""
+    from console_log_parser_ray.stages.events import (
+        group_quantiles,
+        time_to_convert,
+    )
+
+    deltas = time_to_convert(
+        _events(sf_dir).select_columns(
+            ["user_id", "ts", "event_type"]
+        )
+    )
+    return group_quantiles(
+        deltas, "cohort_week", "delta_days", qs=(0.5, 0.9)
+    )
+
+
+def _q_rfm(sf_dir: str):
+    """RFM tercile segmentation with exact percentile_disc edges
+    (stages/events.rfm_segments)."""
+    from console_log_parser_ray.stages.events import rfm_segments
+
+    return rfm_segments(
+        _events(sf_dir).select_columns(
+            ["user_id", "ts", "event_type", "value"]
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -4852,6 +4883,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_returns": _q_brand_returns,
         "wilson_ctr": _q_wilson_ctr,
         "target_encode": _q_target_encode,
+        "ttfp_cohorts": _q_ttfp,
+        "rfm_segments": _q_rfm,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -7848,6 +7881,66 @@ def oracle_sql() -> dict[str, str]:
         "(CAST(sv AS DOUBLE) + 50.0 * (CAST(g.sg AS DOUBLE) / "
         "CAST(g.ng AS DOUBLE))) / (CAST(n AS DOUBLE) + 50.0) AS "
         "enc_cents FROM s, g"
+    )
+    out["ttfp_cohorts"] = (
+        # first purchase at/after first signup, weekly cohorts,
+        # percentile_disc latency quantiles (cast DOUBLE to match
+        # the engine's float columns)
+        "WITH mn AS (SELECT epoch_us(min(ts)) AS m FROM events "
+        "WHERE ts IS NOT NULL), "
+        "s AS (SELECT user_id AS u, min(epoch_us(ts)) AS s FROM "
+        "events WHERE event_type = 'signup' AND user_id IS NOT NULL "
+        "AND ts IS NOT NULL GROUP BY 1), "
+        "p AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS p FROM "
+        "events e JOIN s ON s.u = e.user_id WHERE e.event_type = "
+        "'purchase' AND e.ts IS NOT NULL AND epoch_us(e.ts) >= s.s "
+        "GROUP BY 1), "
+        "d AS (SELECT (s.s - mn.m) // 604800000000 AS cohort_week, "
+        "(p.p - s.s) // 86400000000 AS delta_days FROM s "
+        "JOIN p USING (u), mn) "
+        "SELECT cohort_week, CAST(percentile_disc(0.5) WITHIN GROUP "
+        "(ORDER BY delta_days) AS DOUBLE) AS p50, "
+        "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY "
+        "delta_days) AS DOUBLE) AS p90 FROM d GROUP BY 1"
+    )
+    out["rfm_segments"] = (
+        # tercile edges via the cum-count percentile_disc rule;
+        # bucket = edges strictly below the value
+        "WITH mx AS (SELECT epoch_us(max(ts)) AS m FROM events "
+        "WHERE ts IS NOT NULL), "
+        "u AS (SELECT user_id AS uid, CAST((mx.m - "
+        "max(epoch_us(ts))) // 86400000000 AS BIGINT) AS r, "
+        "CAST(count(*) AS BIGINT) AS f, "
+        "CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)) "
+        "FILTER (WHERE event_type = 'purchase' AND value IS NOT "
+        "NULL), 0) AS BIGINT) AS mval FROM events, mx WHERE user_id "
+        "IS NOT NULL AND ts IS NOT NULL GROUP BY user_id, mx.m), "
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u), "
+        "idx AS (SELECT unnest(generate_series(1, 2)) AS i), "
+        "rc AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS "
+        "UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM (SELECT r AS "
+        "v, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1)), "
+        "red AS (SELECT i, min(v) AS edge FROM idx, rc, n WHERE "
+        "rc.cum >= (i * n.n + 2) // 3 GROUP BY i), "
+        "fc AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS "
+        "UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM (SELECT f AS "
+        "v, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1)), "
+        "fed AS (SELECT i, min(v) AS edge FROM idx, fc, n WHERE "
+        "fc.cum >= (i * n.n + 2) // 3 GROUP BY i), "
+        "mc AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS "
+        "UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM (SELECT mval "
+        "AS v, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1)), "
+        "med AS (SELECT i, min(v) AS edge FROM idx, mc, n WHERE "
+        "mc.cum >= (i * n.n + 2) // 3 GROUP BY i), "
+        "b AS (SELECT (SELECT count(*) FROM red WHERE edge < u.r) "
+        "AS r_bucket, (SELECT count(*) FROM fed WHERE edge < u.f) "
+        "AS f_bucket, (SELECT count(*) FROM med WHERE edge < "
+        "u.mval) AS m_bucket FROM u) "
+        "SELECT CAST(r_bucket AS BIGINT) AS r_bucket, "
+        "CAST(f_bucket AS BIGINT) AS f_bucket, "
+        "CAST(m_bucket AS BIGINT) AS m_bucket, "
+        "CAST(count(*) AS BIGINT) AS n_users FROM b "
+        "GROUP BY 1, 2, 3"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

@@ -282,6 +282,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "brand_returns",
         "wilson_ctr",
         "target_encode",
+        "ttfp_cohorts",
+        "rfm_segments",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -7086,3 +7086,297 @@ def target_encode(
             "enc_cents": pa.array(out_e, pa.float64()),
         }
     )
+
+
+def time_to_convert(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    convert_type: str = "purchase",
+    cohort_us: int = 604_800_000_000,
+    day_us: int = 86_400_000_000,
+    n_buckets: int = 64,
+):
+    """Per-user time from first ``start_type`` event to the first
+    ``convert_type`` event AT OR AFTER it, bucketed into signup
+    cohorts -- one (cohort_week, delta_days) row per converting
+    user, the raw material for activation-latency curves.
+
+    The "first purchase not before the signup" predicate couples the
+    two minima, so blockwise partials can't finish it; users hash
+    into buckets (a user's rows land in one group) and one
+    vectorized pandas pass per bucket resolves both minima --
+    the established user-sequence recipe, one shuffle of the
+    type-prefiltered rows only.
+    """
+    mn_us = _ts_scalar_us(ds.min(ts_col))
+
+    def project(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_valid(b.column(ts_col)),
+                    pc.is_valid(b.column(user_col)),
+                ),
+                pc.is_in(
+                    b.column(type_col),
+                    value_set=pa.array([start_type, convert_type]),
+                ),
+            )
+        )
+        u = t.column(user_col).cast(pa.int64())
+        return pa.table(
+            {
+                "jb": _bucket31(u, n_buckets),
+                "u": u,
+                "t": t.column(ts_col).cast(pa.int64()),
+                "is_start": pc.equal(
+                    t.column(type_col), pa.scalar(start_type)
+                ),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        df = tbl.select(["u", "t", "is_start"]).to_pandas()
+        s = df[df["is_start"]].groupby("u")["t"].min()
+        conv = df[~df["is_start"]].merge(
+            s.rename("s"), left_on="u", right_index=True
+        )
+        conv = conv[conv["t"] >= conv["s"]]
+        if len(conv) == 0:
+            return pa.table(
+                {
+                    "cohort_week": pa.array([], pa.int64()),
+                    "delta_days": pa.array([], pa.int64()),
+                }
+            )
+        p = conv.groupby("u").agg(p=("t", "min"), s=("s", "min"))
+        cohort = (p["s"].to_numpy() - mn_us) // cohort_us
+        delta = (p["p"].to_numpy() - p["s"].to_numpy()) // day_us
+        return pa.table(
+            {
+                "cohort_week": pa.array(
+                    cohort.astype(np.int64), pa.int64()
+                ),
+                "delta_days": pa.array(
+                    delta.astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def rfm_segments(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    val_col: str = "value",
+    pos_type: str = "purchase",
+    day_us: int = 86_400_000_000,
+    max_distinct: int = 2_000_000,
+):
+    """RFM tercile segmentation: each user scores Recency (days since
+    last event, vs corpus end), Frequency (event count) and Monetary
+    (purchase cents); tercile edges per metric use the repo's
+    percentile_disc rule (smallest value whose cumulative USER count
+    reaches ceil(i*n/3)) over the metric's distinct-value histogram,
+    and a user's bucket is the number of edges strictly below its
+    value -- 27 possible (r, f, m) segments, reported with user
+    counts.  The marketing-standard cohort cut, exact end to end.
+
+    Scale shape: one bounded per-user groupby (Max/Count/Sum
+    partials) materializes the user-profile table (distributed,
+    spillable); ONE pass folds all three (metric, value) histograms
+    together (guarded by ``max_distinct``, the rank-family rule);
+    the 6 edges broadcast back into a stateless segment-assignment
+    map and a 27-row groupby.
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    mx_us = _ts_scalar_us(ds.max(ts_col))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(ts_col)),
+                pc.is_valid(b.column(user_col)),
+            )
+        )
+        cents = pc.if_else(
+            pc.and_(
+                pc.equal(t.column(type_col), pa.scalar(pos_type)),
+                pc.is_valid(t.column(val_col)),
+            ),
+            pc.cast(
+                pc.floor(
+                    pc.multiply(
+                        pc.fill_null(
+                            t.column(val_col).cast(pa.float64()), 0.0
+                        ),
+                        pa.scalar(100.0, pa.float64()),
+                    )
+                ),
+                pa.int64(),
+            ),
+            pa.scalar(0, pa.int64()),
+        )
+        n1 = pa.array(np.ones(t.num_rows, np.int64), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "u": t.column(user_col).cast(pa.int64()),
+                    "last_t": t.column(ts_col).cast(pa.int64()),
+                    "one": n1,
+                    "cents": cents,
+                }
+            )
+            .group_by("u")
+            .aggregate(
+                [("last_t", "max"), ("one", "sum"), ("cents", "sum")]
+            )
+        )
+        return g.rename_columns(["u", "lt_p", "f_p", "m_p"])
+
+    users = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Max("lt_p"), Sum("f_p"), Sum("m_p"))
+        .materialize()
+    )
+
+    def metrics(b: pa.Table) -> pa.Table:
+        lt = b.column("max(lt_p)").cast(pa.int64())
+        r = pc.divide(
+            pc.subtract(pa.scalar(mx_us, pa.int64()), lt),
+            pa.scalar(day_us, pa.int64()),
+        )
+        return pa.table(
+            {
+                "u": b.column("u"),
+                "r": r,
+                "f": b.column("sum(f_p)").cast(pa.int64()),
+                "m": b.column("sum(m_p)").cast(pa.int64()),
+            }
+        )
+
+    prof = users.map_batches(metrics, batch_format="pyarrow")
+
+    def hist_part(b: pa.Table) -> pa.Table:
+        outs = []
+        for mid, col in ((0, "r"), (1, "f"), (2, "m")):
+            g = (
+                b.select([col])
+                .group_by(col)
+                .aggregate([([], "count_all")])
+            )
+            outs.append(
+                pa.table(
+                    {
+                        "mid": pa.array(
+                            np.full(g.num_rows, mid, np.int64),
+                            pa.int64(),
+                        ),
+                        "v": g.column(col).cast(pa.int64()),
+                        "c_part": g.column("count_all").cast(
+                            pa.int64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    hist = (
+        prof.map_batches(hist_part, batch_format="pyarrow")
+        .groupby(["mid", "v"])
+        .aggregate(Sum("c_part"))
+        .materialize()
+    )
+    if hist.count() > max_distinct:
+        raise ValueError(
+            "rfm_segments: metric histograms exceed "
+            f"max_distinct={max_distinct}; quantize the metrics"
+        )
+    per: dict = {0: {}, 1: {}, 2: {}}
+    for row in hist.take_all():
+        per[int(row["mid"])][int(row["v"])] = int(row["sum(c_part)"])
+    n_users = sum(per[0].values())
+    edges = {}
+    for mid in (0, 1, 2):
+        vals = sorted(per[mid])
+        cums = np.cumsum([per[mid][v] for v in vals])
+        e = []
+        for i in (1, 2):
+            target = (i * n_users + 2) // 3  # ceil(i*n/3)
+            e.append(vals[int(np.searchsorted(cums, target))])
+        edges[mid] = np.array(e, np.int64)
+    e_r, e_f, e_m = edges[0], edges[1], edges[2]
+
+    def assign(b: pa.Table) -> pa.Table:
+        r = b.column("r").to_numpy(zero_copy_only=False)
+        f = b.column("f").to_numpy(zero_copy_only=False)
+        m = b.column("m").to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "r_bucket": pa.array(
+                        np.searchsorted(e_r, r, "left"), pa.int64()
+                    ),
+                    "f_bucket": pa.array(
+                        np.searchsorted(e_f, f, "left"), pa.int64()
+                    ),
+                    "m_bucket": pa.array(
+                        np.searchsorted(e_m, m, "left"), pa.int64()
+                    ),
+                }
+            )
+            .group_by(["r_bucket", "f_bucket", "m_bucket"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "r_bucket": g.column("r_bucket"),
+                "f_bucket": g.column("f_bucket"),
+                "m_bucket": g.column("m_bucket"),
+                "n_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = (
+        prof.map_batches(assign, batch_format="pyarrow")
+        .groupby(["r_bucket", "f_bucket", "m_bucket"])
+        .aggregate(_Sum("n_part"))
+        .take_all()
+    )  # <= 27 rows
+    agg.sort(
+        key=lambda r: (
+            int(r["r_bucket"]),
+            int(r["f_bucket"]),
+            int(r["m_bucket"]),
+        )
+    )
+    return pa.table(
+        {
+            "r_bucket": pa.array(
+                [int(r["r_bucket"]) for r in agg], pa.int64()
+            ),
+            "f_bucket": pa.array(
+                [int(r["f_bucket"]) for r in agg], pa.int64()
+            ),
+            "m_bucket": pa.array(
+                [int(r["m_bucket"]) for r in agg], pa.int64()
+            ),
+            "n_users": pa.array(
+                [int(r["sum(n_part)"]) for r in agg], pa.int64()
+            ),
+        }
+    )

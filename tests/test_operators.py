@@ -8078,3 +8078,132 @@ def test_target_encode_differential(ray_session):
     assert abs(got.loc["tiny", "enc_cents"] - gm * 1.0) < 3500
     assert got.loc["tiny", "enc_cents"] < 51000 / 10
     assert abs(got.loc["big", "enc_cents"] - 1050) < 20
+
+
+def test_time_to_convert_differential(ray_session):
+    """time_to_convert == python brute force; pre-signup purchases
+    never count and non-converters drop out."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import time_to_convert
+
+    rows = [
+        # u1: signup at 10d, purchase before (ignored) and at 12d
+        (1, 5, "purchase"),
+        (1, 10, "signup"),
+        (1, 12, "purchase"),
+        (1, 20, "purchase"),
+        # u2: signup at 1d, never purchases
+        (2, 1, "signup"),
+        (2, 3, "click"),
+        # u3: two signups (first wins), purchase at 30d
+        (3, 8, "signup"),
+        (3, 9, "signup"),
+        (3, 30, "purchase"),
+        # u4: purchase only -> no signup, drops out
+        (4, 2, "purchase"),
+    ]
+    day = 86_400_000_000
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] * day for r in rows], np.int64),
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(
+                [r[2] for r in rows], pa.string()
+            ),
+        }
+    )
+    got = (
+        time_to_convert(
+            ray.data.from_arrow(t).repartition(3), n_buckets=4
+        )
+        .to_pandas()
+        .sort_values("delta_days")
+        .reset_index(drop=True)
+    )
+    # u1: cohort (10d-1d)//7d = 1, delta 2; u3: cohort (8-1)//7 = 1,
+    # delta 22
+    assert len(got) == 2
+    assert got["delta_days"].tolist() == [2, 22]
+    assert got["cohort_week"].tolist() == [1, 1]
+
+
+def test_rfm_segments_differential(ray_session):
+    """rfm_segments == python brute force with percentile_disc
+    tercile edges."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import rfm_segments
+
+    rng = np.random.default_rng(29)
+    rows_u, rows_t, rows_e, rows_v = [], [], [], []
+    day = 86_400_000_000
+    for u in range(60):
+        n_ev = int(rng.integers(1, 40))
+        for _ in range(n_ev):
+            rows_u.append(u)
+            rows_t.append(int(rng.integers(0, 30 * day)))
+            is_p = rng.random() < 0.3
+            rows_e.append("purchase" if is_p else "view")
+            rows_v.append(float(rng.uniform(1, 200)) if is_p else None)
+    t = pa.table(
+        {
+            "user_id": pa.array(rows_u, pa.int64()),
+            "ts": pa.array(
+                np.array(rows_t, np.int64), pa.timestamp("us")
+            ),
+            "event_type": pa.array(rows_e, pa.string()),
+            "value": pa.array(rows_v, pa.float64()),
+        }
+    )
+    got = rfm_segments(
+        ray.data.from_arrow(t).repartition(5)
+    ).to_pandas()
+    # brute force
+    mx = max(rows_t)
+    prof = {}
+    for u, tt, e, v in zip(rows_u, rows_t, rows_e, rows_v):
+        r = prof.setdefault(u, {"last": 0, "f": 0, "m": 0})
+        r["last"] = max(r["last"], tt)
+        r["f"] += 1
+        if e == "purchase" and v is not None:
+            r["m"] += int(np.floor(v * 100))
+    users = sorted(prof)
+    n = len(users)
+    cols = {
+        "r": [(mx - prof[u]["last"]) // day for u in users],
+        "f": [prof[u]["f"] for u in users],
+        "m": [prof[u]["m"] for u in users],
+    }
+    edges = {}
+    for k, vals in cols.items():
+        sv = sorted(vals)
+        edges[k] = [
+            sv[(i * n + 2) // 3 - 1] for i in (1, 2)
+        ]  # smallest value with cum >= ceil(i*n/3)
+    seg = {}
+    for i, u in enumerate(users):
+        key = tuple(
+            sum(1 for e in edges[k] if e < cols[k][i])
+            for k in ("r", "f", "m")
+        )
+        seg[key] = seg.get(key, 0) + 1
+    want = sorted((k[0], k[1], k[2], v) for k, v in seg.items())
+    gl = list(
+        zip(
+            got["r_bucket"],
+            got["f_bucket"],
+            got["m_bucket"],
+            got["n_users"],
+        )
+    )
+    assert gl == want
