@@ -748,6 +748,10 @@ def degree_assortativity(edges, max_distinct: int = 2_000_000):
 
     from .dedup import _cached_get
 
+    # two consumers (degree fold, partial pass) -- materialize the
+    # edge build once instead of re-running its shuffles per pass
+    edges = edges.materialize()
+
     def ends(b: pa.Table) -> pa.Table:
         a = b.column("a").combine_chunks().cast(pa.int64())
         bb = b.column("b").combine_chunks().cast(pa.int64())
@@ -882,90 +886,127 @@ def association_rules(
             }
         )
 
+    # single consumer (the jb shuffle) -- keep the projection
+    # streaming
     proj = ds.map_batches(project, batch_format="pyarrow")
 
-    # n_groups: distinct groups (groups partition into buckets, so a
-    # per-bucket distinct count is an exact partial)
-    def g_part(tbl: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        n = int(
-            tbl.select(["g"]).to_pandas()["g"].nunique()
-        )
-        return pa.table({"n_part": pa.array([n], pa.int64())})
-
-    n_groups = int(
-        proj.groupby("jb")
-        .map_groups(g_part, batch_format="pyarrow")
-        .sum("n_part")
-        or 0
-    )
-    if n_groups == 0:
-        raise ValueError("association_rules: no groups")
-
-    # per-item distinct-group counts (bounded by item count)
-    def i_part(tbl: pa.Table) -> pa.Table:
+    # ONE bucketed pass emits the per-bucket PAIR-COUNT partials
+    # and, as sentinel rows, the per-item distinct-group count
+    # partials plus the bucket's distinct-group total: a group lives
+    # in exactly one bucket, so all three are exact partials, and a
+    # single (a, b) groupby folds them together -- two all-to-alls
+    # total (the jb shuffle and this fold) instead of four, since
+    # Ray's fixed per-shuffle cost dominates at this output size.
+    # Sentinels: (i, -1) = item count, (-1, -1) = group count; item
+    # ids must be >= 0.
+    def bucket_part(tbl: pa.Table) -> pa.Table:
         import pandas as pd
 
         df = tbl.select(["g", "i"]).to_pandas().drop_duplicates()
-        c = df.groupby("i", sort=False).size()
+        if (df["i"] < 0).any():
+            raise ValueError(
+                "association_rules: item ids must be >= 0"
+            )
+        m = df.merge(df, on="g")
+        m = m[m["i_x"] < m["i_y"]]
+        c = m.groupby(["i_x", "i_y"], sort=False).size()
+        idx = c.index
+        ic = df.groupby("i", sort=False).size()
+        a = np.concatenate(
+            [
+                idx.get_level_values(0).to_numpy(dtype="int64"),
+                ic.index.to_numpy(dtype="int64"),
+                [-1],
+            ]
+        )
+        b = np.concatenate(
+            [
+                idx.get_level_values(1).to_numpy(dtype="int64"),
+                np.full(len(ic), -1, np.int64),
+                [-1],
+            ]
+        )
+        cnt = np.concatenate(
+            [
+                c.to_numpy(dtype="int64"),
+                ic.to_numpy(dtype="int64"),
+                [df["g"].nunique()],
+            ]
+        )
+        packed = a * np.int64(4_294_967_296) + b
         return pa.table(
             {
-                "i": pa.array(
-                    c.index.to_numpy(dtype="int64"), pa.int64()
+                "kb": _bucket31(
+                    pa.array(packed, pa.int64()), n_buckets
                 ),
-                "c_part": pa.array(
-                    c.to_numpy(dtype="int64"), pa.int64()
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "c_part": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def fold_pairs(tbl: pa.Table) -> pa.Table:
+        g = (
+            tbl.select(["a", "b", "c_part"])
+            .group_by(["a", "b"])
+            .aggregate([("c_part", "sum")])
+        )
+        return pa.table(
+            {
+                "a": g.column("a"),
+                "b": g.column("b"),
+                "sum(c_part)": g.column("c_part_sum").cast(
+                    pa.int64()
                 ),
             }
         )
 
-    ic_ds = (
+    # pair-key-hash bucket fold (one all-to-all, dispatch bounded by
+    # bucket count) -- measured 4x cheaper than a two-column
+    # sort-aggregate at the same row count
+    folded = (
         proj.groupby("jb")
-        .map_groups(i_part, batch_format="pyarrow")
-        .groupby("i")
-        .aggregate(Sum("c_part"))
+        .map_groups(bucket_part, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(fold_pairs, batch_format="pyarrow")
         .materialize()
     )
-    n_items = ic_ds.count()
+
+    def sentinels(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.less(b.column("b"), pa.scalar(0, pa.int64()))
+        )
+
+    rows = folded.map_batches(
+        sentinels, batch_format="pyarrow"
+    ).take_all()  # items + 1 rows, bounded
+    n_items = len(rows) - 1
     if n_items > max_distinct:
         raise ValueError(
             f"association_rules: {n_items} items exceed "
             f"max_distinct={max_distinct}"
         )
-    rows = ic_ds.take_all()
-    items = np.array(sorted(int(r["i"]) for r in rows), np.int64)
+    n_groups = sum(
+        int(r["sum(c_part)"]) for r in rows if int(r["a"]) < 0
+    )
+    if n_groups == 0:
+        raise ValueError("association_rules: no groups")
+    rows = [r for r in rows if int(r["a"]) >= 0]
+    items = np.array(sorted(int(r["a"]) for r in rows), np.int64)
     icounts = np.zeros(len(items), np.int64)
     for r in rows:
-        icounts[np.searchsorted(items, int(r["i"]))] = int(
+        icounts[np.searchsorted(items, int(r["a"]))] = int(
             r["sum(c_part)"]
         )
     ref = ray.put((items, icounts, n_groups))
 
-    def pair_part(tbl: pa.Table) -> pa.Table:
-        df = tbl.select(["g", "i"]).to_pandas().drop_duplicates()
-        m = df.merge(df, on="g")
-        m = m[m["i_x"] < m["i_y"]]
-        c = m.groupby(["i_x", "i_y"], sort=False).size()
-        idx = c.index
-        return pa.table(
-            {
-                "a": pa.array(
-                    idx.get_level_values(0).to_numpy(dtype="int64"),
-                    pa.int64(),
-                ),
-                "b": pa.array(
-                    idx.get_level_values(1).to_numpy(dtype="int64"),
-                    pa.int64(),
-                ),
-                "c_part": pa.array(
-                    c.to_numpy(dtype="int64"), pa.int64()
-                ),
-            }
-        )
-
     def finish(b: pa.Table, _r=ref) -> pa.Table:
         its, ics, ng = _cached_get(_r)
+        b = b.filter(
+            pc.greater_equal(
+                b.column("b"), pa.scalar(0, pa.int64())
+            )
+        )  # sentinel rows are not pairs
         cab = b.column("sum(c_part)").cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )
@@ -1009,14 +1050,9 @@ def association_rules(
             }
         )
 
-    cands = (
-        proj.groupby("jb")
-        .map_groups(pair_part, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Sum("c_part"))
-        .map_batches(finish, batch_format="pyarrow")
-        .take_all()
-    )
+    cands = folded.map_batches(
+        finish, batch_format="pyarrow"
+    ).take_all()
     cands.sort(key=lambda r: (-r["lift"], r["a"], r["b"]))
     cands = cands[:k]
     cols = ("a", "b", "support", "conf_ab", "conf_ba", "lift")
