@@ -4726,6 +4726,33 @@ def _q_rfm(sf_dir: str):
     )
 
 
+def _q_bounce(sf_dir: str):
+    """Gap-rule bounce rate over user event sequences
+    (stages/events.bounce_rate) -- one user-hash bucket shuffle, two
+    exact integers out."""
+    from console_log_parser_ray.stages.events import bounce_rate
+
+    return bounce_rate(
+        _events(sf_dir).select_columns(["user_id", "ts"])
+    )
+
+
+def _q_concentration(sf_dir: str):
+    """Top-1% customer revenue share with an exact percentile_disc
+    threshold (stages/events.revenue_concentration)."""
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        revenue_concentration,
+    )
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+    return revenue_concentration(orders)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -4885,6 +4912,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode": _q_target_encode,
         "ttfp_cohorts": _q_ttfp,
         "rfm_segments": _q_rfm,
+        "bounce_rate": _q_bounce,
+        "revenue_top1pct": _q_concentration,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -7941,6 +7970,39 @@ def oracle_sql() -> dict[str, str]:
         "CAST(m_bucket AS BIGINT) AS m_bucket, "
         "CAST(count(*) AS BIGINT) AS n_users FROM b "
         "GROUP BY 1, 2, 3"
+    )
+    out["bounce_rate"] = (
+        # gap-rule sessions; bounce = single-event session
+        "WITH o AS (SELECT user_id AS u, epoch_us(ts) AS t FROM "
+        "events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+        "m AS (SELECT u, t, CASE WHEN lag(t) OVER (PARTITION BY u "
+        "ORDER BY t) IS NULL OR t - lag(t) OVER (PARTITION BY u "
+        "ORDER BY t) > 172800000000 THEN 1 ELSE 0 END AS is_new "
+        "FROM o), "
+        "s AS (SELECT u, sum(is_new) OVER (PARTITION BY u ORDER BY "
+        "t ROWS UNBOUNDED PRECEDING) AS sid FROM m), "
+        "c AS (SELECT u, sid, count(*) AS c FROM s GROUP BY 1, 2) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_sessions, "
+        "CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS "
+        "n_bounced, CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) / "
+        "CAST(count(*) AS DOUBLE) AS bounce_rate FROM c"
+    )
+    out["revenue_top1pct"] = (
+        # percentile_disc 0.99 threshold over per-customer cents;
+        # ties at the threshold included
+        "WITH u AS (SELECT o_custkey AS k, CAST(sum(CAST(round("
+        "o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev FROM "
+        "orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT "
+        "NULL GROUP BY 1), "
+        "t AS (SELECT percentile_disc(0.99) WITHIN GROUP (ORDER BY "
+        "rev) AS thr FROM u) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_customers, "
+        "CAST(count(*) FILTER (WHERE rev >= t.thr) AS BIGINT) AS "
+        "n_top, CAST(t.thr AS BIGINT) AS thr_cents, "
+        "CAST(sum(rev) FILTER (WHERE rev >= t.thr) AS BIGINT) AS "
+        "top_cents, CAST(sum(rev) AS BIGINT) AS total_cents, "
+        "CAST(sum(rev) FILTER (WHERE rev >= t.thr) AS DOUBLE) / "
+        "CAST(sum(rev) AS DOUBLE) AS share FROM u, t GROUP BY t.thr"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

@@ -284,6 +284,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "target_encode",
         "ttfp_cohorts",
         "rfm_segments",
+        "bounce_rate",
+        "revenue_top1pct",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

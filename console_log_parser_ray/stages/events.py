@@ -7380,3 +7380,180 @@ def rfm_segments(
             ),
         }
     )
+
+
+def bounce_rate(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_us: int = 172_800_000_000,
+    n_buckets: int = 64,
+):
+    """Corpus bounce rate under the gap sessionization rule: a
+    session starts at a user's first event or after a gap >
+    ``gap_us``; a BOUNCE is a single-event session -- the engagement
+    headline every web-analytics report opens with.
+
+    One user-hash bucket shuffle (a user's sequence lands in one
+    group); inside the bucket one lexsort + diff marks session
+    starts, session sizes fall out of the start-index differences,
+    and the bucket emits two exact integers.  Driver fold is
+    blocks x 2 ints; the rate is ONE float division.
+    """
+
+    def project(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(ts_col)),
+                pc.is_valid(b.column(user_col)),
+            )
+        )
+        u = t.column(user_col).cast(pa.int64())
+        return pa.table(
+            {
+                "jb": _bucket31(u, n_buckets),
+                "u": u,
+                "t": t.column(ts_col).cast(pa.int64()),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("u").to_numpy(zero_copy_only=False)
+        t = tbl.column("t").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        new_user = np.ones(len(u), bool)
+        new_user[1:] = u[1:] != u[:-1]
+        gap_break = np.zeros(len(u), bool)
+        gap_break[1:] = (t[1:] - t[:-1]) > gap_us
+        starts = np.flatnonzero(new_user | gap_break)
+        sizes = np.diff(np.append(starts, len(u)))
+        return pa.table(
+            {
+                "s_part": pa.array([len(starts)], pa.int64()),
+                "b_part": pa.array(
+                    [int((sizes == 1).sum())], pa.int64()
+                ),
+            }
+        )
+
+    n_sessions = n_bounced = 0
+    for tbl in (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        n_sessions += int(pc.sum(tbl.column("s_part")).as_py() or 0)
+        n_bounced += int(pc.sum(tbl.column("b_part")).as_py() or 0)
+    rate = (
+        float(n_bounced) / float(n_sessions) if n_sessions else None
+    )
+    return pa.table(
+        {
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "n_bounced": pa.array([n_bounced], pa.int64()),
+            "bounce_rate": pa.array([rate], pa.float64()),
+        }
+    )
+
+
+def revenue_concentration(
+    ds,
+    key_col: str = "o_custkey",
+    val_col: str = "o_totalprice",
+    q: float = 0.99,
+    max_distinct: int = 2_000_000,
+):
+    """Revenue concentration: what share of total revenue comes from
+    the top (1-q) fraction of customers -- the 80/20 audit.  The
+    threshold is the exact percentile_disc q-quantile of per-customer
+    revenue (integer cents); the share counts every customer AT OR
+    ABOVE it (ties included on both sides).
+
+    One bounded per-customer groupby; the distinct-revenue histogram
+    folds under the rank-family guard; threshold, top sum and total
+    all come from that compressed histogram -- exact integers, one
+    float division.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(key_col)),
+                pc.is_valid(b.column(val_col)),
+            )
+        )
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    t.column(val_col).cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {"k": t.column(key_col).cast(pa.int64()), "v": cents}
+            )
+            .group_by("k")
+            .aggregate([("v", "sum")])
+        )
+        return g.rename_columns(["k", "v_p"])
+
+    def hist_part(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["sum(v_p)"])
+            .rename_columns(["rev"])
+            .group_by("rev")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "rev": g.column("rev").cast(pa.int64()),
+                "c_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    hist_ds = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("v_p"))
+        .map_batches(hist_part, batch_format="pyarrow")
+        .groupby("rev")
+        .aggregate(Sum("c_part"))
+        .materialize()
+    )
+    if hist_ds.count() > max_distinct:
+        raise ValueError(
+            "revenue_concentration: distinct revenue values exceed "
+            f"max_distinct={max_distinct}; quantize"
+        )
+    hist = {
+        int(r["rev"]): int(r["sum(c_part)"])
+        for r in hist_ds.take_all()
+    }
+    n = sum(hist.values())
+    if n == 0:
+        raise ValueError("revenue_concentration: no customers")
+    vals = sorted(hist)
+    cums = np.cumsum([hist[v] for v in vals])
+    target = int(np.ceil(q * n))  # percentile_disc rank
+    thr = vals[int(np.searchsorted(cums, target))]
+    total = sum(v * c for v, c in hist.items())
+    top = sum(v * c for v, c in hist.items() if v >= thr)
+    n_top = sum(c for v, c in hist.items() if v >= thr)
+    return pa.table(
+        {
+            "n_customers": pa.array([n], pa.int64()),
+            "n_top": pa.array([n_top], pa.int64()),
+            "thr_cents": pa.array([thr], pa.int64()),
+            "top_cents": pa.array([top], pa.int64()),
+            "total_cents": pa.array([total], pa.int64()),
+            "share": pa.array(
+                [float(top) / float(total)], pa.float64()
+            ),
+        }
+    )

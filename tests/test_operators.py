@@ -8207,3 +8207,96 @@ def test_rfm_segments_differential(ray_session):
         )
     )
     assert gl == want
+
+
+def test_bounce_rate_differential(ray_session):
+    """bounce_rate == python brute force; sessions split only at
+    gaps > gap_us and user boundaries."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import bounce_rate
+
+    G = 1000
+    rows = [
+        # u1: [0, 500, 900] one session, then [5000] bounce
+        (1, 0),
+        (1, 500),
+        (1, 900),
+        (1, 5000),
+        # u2: single event -> bounce
+        (2, 42),
+        # u3: exactly-G gap does NOT split (> rule)
+        (3, 0),
+        (3, 1000),
+        # u4: G+1 gap splits into two bounces
+        (4, 0),
+        (4, 1001),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], np.int64),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    got = bounce_rate(
+        ray.data.from_arrow(t).repartition(3),
+        gap_us=G,
+        n_buckets=4,
+    ).to_pandas()
+    # sessions: u1 x2 (one bounce), u2 x1 (bounce), u3 x1 (no
+    # bounce), u4 x2 (two bounces) = 6 sessions, 4 bounces
+    assert got["n_sessions"][0] == 6
+    assert got["n_bounced"][0] == 4
+    assert got["bounce_rate"][0] == 4.0 / 6.0
+
+
+def test_revenue_concentration_differential(ray_session):
+    """revenue_concentration == python brute force; a planted whale
+    takes most of the share."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        revenue_concentration,
+    )
+
+    rng = np.random.default_rng(59)
+    ks, vs = [], []
+    for k in range(200):
+        for _ in range(int(rng.integers(1, 4))):
+            ks.append(k)
+            vs.append(float(rng.uniform(10, 100)))
+    ks += [999] * 5
+    vs += [100000.0] * 5  # whale
+    t = pa.table(
+        {
+            "o_custkey": pa.array(ks, pa.int64()),
+            "o_totalprice": pa.array(vs, pa.float64()),
+        }
+    )
+    got = revenue_concentration(
+        ray.data.from_arrow(t).repartition(5), q=0.99
+    ).to_pandas()
+    rev = {}
+    for k, v in zip(ks, vs):
+        rev[k] = rev.get(k, 0) + int(round(v * 100))
+    vals = sorted(rev.values())
+    n = len(vals)
+    thr = vals[int(np.ceil(0.99 * n)) - 1]
+    top = sum(v for v in vals if v >= thr)
+    total = sum(vals)
+    row = got.iloc[0]
+    assert row["n_customers"] == n
+    assert row["thr_cents"] == thr
+    assert row["top_cents"] == top
+    assert row["total_cents"] == total
+    assert row["share"] == float(top) / float(total)
+    assert row["share"] > 0.9  # the whale dominates
