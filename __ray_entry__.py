@@ -4753,6 +4753,27 @@ def _q_concentration(sf_dir: str):
     return revenue_concentration(orders)
 
 
+def _q_js(sf_dir: str):
+    """Jensen-Shannon value drift between time halves
+    (stages/events.js_divergence) -- micro-nat exact, guarded
+    histogram fold."""
+    from console_log_parser_ray.stages.events import js_divergence
+
+    return js_divergence(
+        _events(sf_dir).select_columns(["ts", "value"])
+    )
+
+
+def _q_ttr(sf_dir: str):
+    """Type-token ratio per source (stages/textan.ttr_by_source) --
+    bucket-local distinct-type partials, exact ints."""
+    from console_log_parser_ray.stages.textan import ttr_by_source
+
+    return ttr_by_source(
+        _docs(sf_dir).select_columns(["source", "text"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -4914,6 +4935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": _q_rfm,
         "bounce_rate": _q_bounce,
         "revenue_top1pct": _q_concentration,
+        "js_value_drift": _q_js,
+        "ttr_by_source": _q_ttr,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -8003,6 +8026,51 @@ def oracle_sql() -> dict[str, str]:
         "top_cents, CAST(sum(rev) AS BIGINT) AS total_cents, "
         "CAST(sum(rev) FILTER (WHERE rev >= t.thr) AS DOUBLE) / "
         "CAST(sum(rev) AS DOUBLE) AS share FROM u, t GROUP BY t.thr"
+    )
+    out["js_value_drift"] = (
+        # symmetric micro-nat JS over integer-cent histograms;
+        # rational ratio 2aB/(aB+bA) inside each ln
+        "WITH span AS (SELECT (epoch_us(min(ts)) + "
+        "epoch_us(max(ts))) // 2 AS mid FROM events), "
+        "c AS (SELECT (epoch_us(ts) >= span.mid) AS cur, "
+        "CAST(floor(value * 100) AS BIGINT) AS v FROM events, span "
+        "WHERE ts IS NOT NULL AND value IS NOT NULL), "
+        "h AS (SELECT cur, v, CAST(count(*) AS BIGINT) AS n FROM c "
+        "GROUP BY 1, 2), "
+        "w AS (SELECT coalesce(a.v, b.v) AS v, "
+        "CAST(coalesce(a.n, 0) AS BIGINT) AS a, "
+        "CAST(coalesce(b.n, 0) AS BIGINT) AS b FROM "
+        "(SELECT v, n FROM h WHERE NOT cur) a FULL JOIN "
+        "(SELECT v, n FROM h WHERE cur) b USING (v)), "
+        "tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta, "
+        "CAST(sum(b) AS BIGINT) AS tb FROM w), "
+        "q AS (SELECT "
+        "CAST(coalesce(sum(CASE WHEN a > 0 THEN a * CAST(floor(("
+        "ln(CAST(2 * CAST(a AS HUGEINT) * tb AS DOUBLE)) - "
+        "ln(CAST(CAST(a AS HUGEINT) * tb + CAST(b AS HUGEINT) * ta "
+        "AS DOUBLE))) * 1000000.0) AS BIGINT) END), 0) AS BIGINT) "
+        "AS qa, "
+        "CAST(coalesce(sum(CASE WHEN b > 0 THEN b * CAST(floor(("
+        "ln(CAST(2 * CAST(b AS HUGEINT) * ta AS DOUBLE)) - "
+        "ln(CAST(CAST(b AS HUGEINT) * ta + CAST(a AS HUGEINT) * tb "
+        "AS DOUBLE))) * 1000000.0) AS BIGINT) END), 0) AS BIGINT) "
+        "AS qb FROM w, tot) "
+        "SELECT tot.ta AS n_ref, tot.tb AS n_cur, q.qa AS js_q_ref, "
+        "q.qb AS js_q_cur, "
+        "0.5 * (CAST(q.qa AS DOUBLE) / CAST(1000000 * tot.ta AS "
+        "DOUBLE)) + 0.5 * (CAST(q.qb AS DOUBLE) / CAST(1000000 * "
+        "tot.tb AS DOUBLE)) AS js_nats FROM q, tot"
+    )
+    out["ttr_by_source"] = (
+        # distinct types / occurrences per source, one float ratio
+        "WITH toks AS (SELECT coalesce(source, '') AS source, "
+        "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+        "FROM documents), "
+        "agg AS (SELECT source, CAST(count(*) AS BIGINT) AS "
+        "n_tokens, CAST(count(DISTINCT tok) AS BIGINT) AS n_types "
+        "FROM toks GROUP BY 1) "
+        "SELECT source, n_tokens, n_types, CAST(n_types AS DOUBLE) "
+        "/ CAST(n_tokens AS DOUBLE) AS ttr FROM agg"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

@@ -286,6 +286,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "rfm_segments",
         "bounce_rate",
         "revenue_top1pct",
+        "js_value_drift",
+        "ttr_by_source",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

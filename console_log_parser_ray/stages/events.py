@@ -7557,3 +7557,121 @@ def revenue_concentration(
             ),
         }
     )
+
+
+def js_divergence(
+    ds,
+    val_col: str = "value",
+    ts_col: str = "ts",
+    scale: int = 1_000_000,
+    max_distinct: int = 2_000_000,
+):
+    """Jensen-Shannon divergence between the first and second half of
+    the corpus's time span over the integer-cent value distribution
+    -- the SYMMETRIC, bounded (<= ln 2) drift score, the PSI/KS
+    sibling that never blows up on empty bins.
+
+        JS = 0.5*KL(P||M) + 0.5*KL(Q||M),  M = (P + Q) / 2
+
+    Each KL term uses the repo's micro-nat rule with the rational
+    ratio p_i/m_i = 2*a_i*B / (a_i*B + b_i*A): a bin contributes
+    ``a_i * floor((ln(2*a_i*B) - ln(a_i*B + b_i*A)) * scale)`` --
+    Python big-int log arguments, libm ``ln``, exact int64 sums, one
+    float expression at the end.  The (side, cents) histogram folds
+    under the rank-family guard, as in ``psi_drift``.
+    """
+    import math
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    span = ds.aggregate(Min(ts_col), Max(ts_col))
+    mid = (
+        _ts_scalar_us(span[f"min({ts_col})"])
+        + _ts_scalar_us(span[f"max({ts_col})"])
+    ) // 2
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(ts_col)),
+                pc.is_valid(b.column(val_col)),
+            )
+        )
+        cur = pc.greater_equal(
+            t.column(ts_col).cast(pa.int64()),
+            pa.scalar(mid, pa.int64()),
+        )
+        v = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    t.column(val_col).cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"cur": cur, "v": v})
+            .group_by(["cur", "v"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "cur": g.column("cur"),
+                "v": g.column("v"),
+                "n_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    hist_ds = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cur", "v"])
+        .aggregate(Sum("n_part"))
+        .materialize()
+    )
+    if hist_ds.count() > max_distinct:
+        raise ValueError(
+            "js_divergence: histogram exceeds "
+            f"max_distinct={max_distinct}; quantize the metric"
+        )
+    a_map: dict = {}
+    b_map: dict = {}
+    for r in hist_ds.take_all():
+        m = b_map if r["cur"] else a_map
+        m[int(r["v"])] = m.get(int(r["v"]), 0) + int(r["sum(n_part)"])
+    big_a = sum(a_map.values())
+    big_b = sum(b_map.values())
+    if big_a == 0 or big_b == 0:
+        raise ValueError("js_divergence: one side is empty")
+    qa = qb = 0
+    for v in set(a_map) | set(b_map):
+        a = a_map.get(v, 0)
+        b = b_map.get(v, 0)
+        if a > 0:
+            qa += a * math.floor(
+                (
+                    math.log(float(2 * a * big_b))
+                    - math.log(float(a * big_b + b * big_a))
+                )
+                * float(scale)
+            )
+        if b > 0:
+            qb += b * math.floor(
+                (
+                    math.log(float(2 * b * big_a))
+                    - math.log(float(b * big_a + a * big_b))
+                )
+                * float(scale)
+            )
+    js = 0.5 * (float(qa) / float(scale * big_a)) + 0.5 * (
+        float(qb) / float(scale * big_b)
+    )
+    return pa.table(
+        {
+            "n_ref": pa.array([big_a], pa.int64()),
+            "n_cur": pa.array([big_b], pa.int64()),
+            "js_q_ref": pa.array([qa], pa.int64()),
+            "js_q_cur": pa.array([qb], pa.int64()),
+            "js_nats": pa.array([js], pa.float64()),
+        }
+    )

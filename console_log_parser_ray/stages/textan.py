@@ -3204,3 +3204,111 @@ def token_burstiness(
             ),
         }
     )
+
+
+def ttr_by_source(
+    ds,
+    class_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Type-token ratio per source: distinct token types / token
+    occurrences -- the lexical-diversity screen (template-generated
+    or boilerplate-heavy sources pin a low TTR; diverse prose sits
+    high).  Exact integers; the ratio is one float division.
+
+    Scale shape: pass 1 folds the bounded class list (the
+    ``domain_kl`` recipe) and broadcasts class ids; pass 2 is the
+    shared token-hash bucket front half with the class id carried --
+    a bucket owns every (class, token) row of its tokens, so the
+    per-class DISTINCT-TYPE count is a bucket-local partial, and the
+    per-class folds are <= n_buckets x n_classes tiny rows.
+    """
+    classes: set = set()
+    for tbl in ds.map_batches(
+        lambda b: pa.table(
+            {
+                "c": pc.unique(
+                    pc.fill_null(
+                        b.column(class_col).combine_chunks(), ""
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        classes.update(tbl.column("c").to_pylist())
+    classes = sorted(classes)
+    class_id = {c: i for i, c in enumerate(classes)}
+
+    def explode_cls(b: pa.Table) -> pa.Table:
+        cls = pc.fill_null(b.column(class_col).combine_chunks(), "")
+        enc = pc.dictionary_encode(cls)
+        dmap = np.array(
+            [class_id[c] for c in enc.dictionary.to_pylist()],
+            np.int64,
+        )
+        cid = pa.array(
+            dmap[enc.indices.to_numpy(zero_copy_only=False)],
+            pa.int64(),
+        )
+        return _explode_tok_occ(
+            pa.table({"cid": cid, text_col: b.column(text_col)}),
+            text_col,
+            "cid",
+            n_buckets,
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(["cid", "tok"]).aggregate(
+            [("n_occ", "sum")]
+        )
+        cid = agg.column("cid").to_numpy(zero_copy_only=False)
+        occ = agg.column("n_occ_sum").to_numpy(zero_copy_only=False)
+        n_cls = len(classes)
+        types = np.bincount(cid, minlength=n_cls).astype(np.int64)
+        toks = np.zeros(n_cls, np.int64)
+        np.add.at(toks, cid, occ)
+        nz = np.flatnonzero(types > 0)
+        return pa.table(
+            {
+                "cid": pa.array(nz, pa.int64()),
+                "ty_p": pa.array(types[nz], pa.int64()),
+                "tk_p": pa.array(toks[nz], pa.int64()),
+            }
+        )
+
+    n_types = np.zeros(len(classes), np.int64)
+    n_toks = np.zeros(len(classes), np.int64)
+    for tbl in (
+        ds.map_batches(explode_cls, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        ci = tbl.column("cid").to_numpy(zero_copy_only=False)
+        np.add.at(
+            n_types, ci, tbl.column("ty_p").to_numpy(
+                zero_copy_only=False
+            )
+        )
+        np.add.at(
+            n_toks, ci, tbl.column("tk_p").to_numpy(
+                zero_copy_only=False
+            )
+        )
+    keep = n_toks > 0
+    return pa.table(
+        {
+            "source": pa.array(
+                [c for c, k in zip(classes, keep) if k], pa.string()
+            ),
+            "n_tokens": pa.array(n_toks[keep], pa.int64()),
+            "n_types": pa.array(n_types[keep], pa.int64()),
+            "ttr": pa.array(
+                n_types[keep].astype(np.float64)
+                / n_toks[keep].astype(np.float64),
+                pa.float64(),
+            ),
+        }
+    )

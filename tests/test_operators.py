@@ -8300,3 +8300,106 @@ def test_revenue_concentration_differential(ray_session):
     assert row["total_cents"] == total
     assert row["share"] == float(top) / float(total)
     assert row["share"] > 0.9  # the whale dominates
+
+
+def test_js_divergence_differential(ray_session):
+    """js_divergence == python brute force; identical halves score
+    ~0, a planted shift scores large but <= ln 2."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import js_divergence
+
+    rng = np.random.default_rng(101)
+    n = 8000
+    ts = np.sort(rng.integers(0, 10_000_000, n))
+    mid = (int(ts.min()) + int(ts.max())) // 2
+    vals = rng.normal(20, 3, n)
+    vals[ts >= mid] += 25.0  # near-disjoint halves
+    t = pa.table(
+        {
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    got = js_divergence(
+        ray.data.from_arrow(t).repartition(5)
+    ).to_pandas()
+    cents = np.floor(vals * 100).astype(np.int64)
+    am, bm = {}, {}
+    for c, tt in zip(cents, ts):
+        m = bm if tt >= mid else am
+        m[int(c)] = m.get(int(c), 0) + 1
+    A, B = sum(am.values()), sum(bm.values())
+    qa = qb = 0
+    for v in set(am) | set(bm):
+        a, b = am.get(v, 0), bm.get(v, 0)
+        if a > 0:
+            qa += a * math.floor(
+                (math.log(2 * a * B) - math.log(a * B + b * A))
+                * 1e6
+            )
+        if b > 0:
+            qb += b * math.floor(
+                (math.log(2 * b * A) - math.log(b * A + a * B))
+                * 1e6
+            )
+    row = got.iloc[0]
+    assert row["n_ref"] == A and row["n_cur"] == B
+    assert row["js_q_ref"] == qa and row["js_q_cur"] == qb
+    js = 0.5 * (qa / (1e6 * A)) + 0.5 * (qb / (1e6 * B))
+    assert abs(row["js_nats"] - js) < 1e-12
+    assert 0.6 < row["js_nats"] <= math.log(2) + 1e-9
+
+
+def test_ttr_by_source_differential(ray_session):
+    """ttr_by_source == python brute force; a repetitive source pins
+    a lower TTR than a diverse one."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import ttr_by_source
+
+    rng = np.random.default_rng(13)
+    docs, srcs = [], []
+    for i in range(80):
+        docs.append("spam spam spam eggs")
+        srcs.append("boiler")
+    for i in range(80):
+        docs.append(" ".join(f"u{i}_{j}" for j in range(4)))
+        srcs.append("diverse")
+    docs.append("null source doc")
+    srcs.append(None)
+    t = pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    got = (
+        ttr_by_source(
+            ray.data.from_arrow(t).repartition(5), n_buckets=8
+        )
+        .to_pandas()
+        .set_index("source")
+    )
+    occ, typ = {}, {}
+    for s, d in zip(srcs, docs):
+        s = s or ""
+        for w in d.split():
+            occ[s] = occ.get(s, 0) + 1
+        typ.setdefault(s, set()).update(d.split())
+    for s in ("boiler", "diverse", ""):
+        row = got.loc[s]
+        assert row["n_tokens"] == occ[s]
+        assert row["n_types"] == len(typ[s])
+        assert row["ttr"] == len(typ[s]) / occ[s]
+    assert (
+        got.loc["diverse", "ttr"] > 10 * got.loc["boiler", "ttr"]
+    )
