@@ -4774,6 +4774,62 @@ def _q_ttr(sf_dir: str):
     )
 
 
+def _q_ri_audit(sf_dir: str):
+    """Referential-integrity audit: orphan counts for the four
+    foreign-key relationships, each via the size-adaptive anti
+    lookup_join (broadcast key set under the cap); exact counts."""
+    import pyarrow as pa
+    import ray.data
+
+    from console_log_parser_ray.stages.relational import lookup_join
+
+    rels = (
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+    )
+    names, totals, orphans = [], [], []
+    for name, child, ck, parent, pk in rels:
+        c = ray.data.read_parquet(
+            os.path.join(sf_dir, f"{child}.parquet"), columns=[ck]
+        )
+        p = ray.data.read_parquet(
+            os.path.join(sf_dir, f"{parent}.parquet"), columns=[pk]
+        )
+        n_child = c.count()
+        n_orphan = lookup_join(
+            c, p, on=ck, right_on=pk, how="anti"
+        ).count()
+        names.append(name)
+        totals.append(n_child)
+        orphans.append(n_orphan)
+    return pa.table(
+        {
+            "relationship": pa.array(names, pa.string()),
+            "n_child_rows": pa.array(totals, pa.int64()),
+            "n_orphans": pa.array(orphans, pa.int64()),
+        }
+    )
+
+
+def _q_session_durations(sf_dir: str):
+    """Gap-rule session duration quantiles
+    (stages/events.session_duration_quantiles) -- bucket-local
+    session resolution + guarded histogram fold."""
+    from console_log_parser_ray.stages.events import (
+        session_duration_quantiles,
+    )
+
+    return session_duration_quantiles(
+        _events(sf_dir).select_columns(["user_id", "ts"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -4937,6 +4993,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_top1pct": _q_concentration,
         "js_value_drift": _q_js,
         "ttr_by_source": _q_ttr,
+        "ri_audit": _q_ri_audit,
+        "session_durations": _q_session_durations,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -8071,6 +8129,47 @@ def oracle_sql() -> dict[str, str]:
         "FROM toks GROUP BY 1) "
         "SELECT source, n_tokens, n_types, CAST(n_types AS DOUBLE) "
         "/ CAST(n_tokens AS DOUBLE) AS ttr FROM agg"
+    )
+    out["ri_audit"] = (
+        # NOT EXISTS orphan counts per relationship
+        "SELECT * FROM ("
+        "SELECT 'lineitem.l_orderkey->orders' AS relationship, "
+        "CAST(count(*) AS BIGINT) AS n_child_rows, "
+        "CAST(count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM "
+        "orders WHERE o_orderkey = l_orderkey) AND l_orderkey IS "
+        "NOT NULL) AS BIGINT) AS n_orphans FROM lineitem "
+        "UNION ALL SELECT 'lineitem.l_partkey->part', "
+        "CAST(count(*) AS BIGINT), CAST(count(*) FILTER (WHERE NOT "
+        "EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey) "
+        "AND l_partkey IS NOT NULL) AS BIGINT) FROM lineitem "
+        "UNION ALL SELECT 'lineitem.l_suppkey->supplier', "
+        "CAST(count(*) AS BIGINT), CAST(count(*) FILTER (WHERE NOT "
+        "EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = "
+        "l_suppkey) AND l_suppkey IS NOT NULL) AS BIGINT) "
+        "FROM lineitem "
+        "UNION ALL SELECT 'orders.o_custkey->customer', "
+        "CAST(count(*) AS BIGINT), CAST(count(*) FILTER (WHERE NOT "
+        "EXISTS (SELECT 1 FROM customer WHERE c_custkey = "
+        "o_custkey) AND o_custkey IS NOT NULL) AS BIGINT) "
+        "FROM orders)"
+    )
+    out["session_durations"] = (
+        # gap-rule sessions; percentile_disc over whole-second
+        # durations, cast DOUBLE to match the engine's float output
+        "WITH o AS (SELECT user_id AS u, epoch_us(ts) AS t FROM "
+        "events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+        "m AS (SELECT u, t, CASE WHEN lag(t) OVER (PARTITION BY u "
+        "ORDER BY t) IS NULL OR t - lag(t) OVER (PARTITION BY u "
+        "ORDER BY t) > 172800000000 THEN 1 ELSE 0 END AS is_new "
+        "FROM o), "
+        "s AS (SELECT u, t, sum(is_new) OVER (PARTITION BY u ORDER "
+        "BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m), "
+        "d AS (SELECT (max(t) - min(t)) // 1000000 AS dur FROM s "
+        "GROUP BY u, sid) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_sessions, "
+        "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dur) AS "
+        "DOUBLE) AS p50_secs, CAST(percentile_disc(0.95) WITHIN "
+        "GROUP (ORDER BY dur) AS DOUBLE) AS p95_secs FROM d"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

@@ -288,6 +288,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "revenue_top1pct",
         "js_value_drift",
         "ttr_by_source",
+        "ri_audit",
+        "session_durations",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -7697,3 +7697,93 @@ def js_divergence(
             "js_nats": pa.array([js], pa.float64()),
         }
     )
+
+
+def session_duration_quantiles(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_us: int = 172_800_000_000,
+    qs=(0.5, 0.95),
+    n_buckets: int = 64,
+    max_distinct: int = 2_000_000,
+):
+    """Exact percentile_disc quantiles of gap-rule session DURATIONS
+    (whole seconds, last event minus first) over every session in
+    the corpus, plus the session count -- the dwell-time readout
+    behind every engagement dashboard.
+
+    Sessions resolve inside user-hash buckets (one lexsort + diff,
+    as in ``bounce_rate``); each bucket emits its (duration, count)
+    histogram partial, the global histogram folds under the
+    rank-family guard, and the quantiles come from the compressed
+    distribution -- bit-identical to SQL's discrete percentile.
+    """
+    from ray.data.aggregate import Sum
+
+    def project(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(ts_col)),
+                pc.is_valid(b.column(user_col)),
+            )
+        )
+        u = t.column(user_col).cast(pa.int64())
+        return pa.table(
+            {
+                "jb": _bucket31(u, n_buckets),
+                "u": u,
+                "t": t.column(ts_col).cast(pa.int64()),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("u").to_numpy(zero_copy_only=False)
+        t = tbl.column("t").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        new_user = np.ones(len(u), bool)
+        new_user[1:] = u[1:] != u[:-1]
+        gap_break = np.zeros(len(u), bool)
+        gap_break[1:] = (t[1:] - t[:-1]) > gap_us
+        starts = np.flatnonzero(new_user | gap_break)
+        ends = np.append(starts[1:], len(u)) - 1
+        dur = (t[ends] - t[starts]) // 1_000_000
+        vals, cnt = np.unique(dur, return_counts=True)
+        return pa.table(
+            {
+                "d": pa.array(vals, pa.int64()),
+                "c_part": pa.array(
+                    cnt.astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    hist_ds = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(Sum("c_part"))
+        .materialize()
+    )
+    if hist_ds.count() > max_distinct:
+        raise ValueError(
+            "session_duration_quantiles: histogram exceeds "
+            f"max_distinct={max_distinct}; coarsen the unit"
+        )
+    hist = {
+        int(r["d"]): int(r["sum(c_part)"])
+        for r in hist_ds.take_all()
+    }
+    n = sum(hist.values())
+    vals = sorted(hist)
+    cums = np.cumsum([hist[v] for v in vals])
+    out = {"n_sessions": pa.array([n], pa.int64())}
+    for q in qs:
+        target = int(np.ceil(q * n))
+        v = vals[int(np.searchsorted(cums, target))]
+        out[f"p{int(q * 100)}_secs"] = pa.array(
+            [float(v)], pa.float64()
+        )
+    return pa.table(out)

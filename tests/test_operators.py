@@ -8403,3 +8403,62 @@ def test_ttr_by_source_differential(ray_session):
     assert (
         got.loc["diverse", "ttr"] > 10 * got.loc["boiler", "ttr"]
     )
+
+
+def test_session_duration_quantiles_differential(ray_session):
+    """session_duration_quantiles == python brute force with the
+    same percentile_disc rule."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        session_duration_quantiles,
+    )
+
+    rng = np.random.default_rng(43)
+    G = 10_000_000  # 10s gap rule
+    rows_u, rows_t = [], []
+    for u in range(40):
+        t = 0
+        for _ in range(int(rng.integers(2, 30))):
+            t += int(rng.integers(1, 20_000_000))
+            rows_u.append(u)
+            rows_t.append(t)
+    t = pa.table(
+        {
+            "user_id": pa.array(rows_u, pa.int64()),
+            "ts": pa.array(
+                np.array(rows_t, np.int64), pa.timestamp("us")
+            ),
+        }
+    )
+    got = session_duration_quantiles(
+        ray.data.from_arrow(t).repartition(5),
+        gap_us=G,
+        n_buckets=8,
+    ).to_pandas()
+    durs = []
+    seqs = {}
+    for u, tt in zip(rows_u, rows_t):
+        seqs.setdefault(u, []).append(tt)
+    for u, ts_list in seqs.items():
+        ts_list.sort()
+        start = prev = ts_list[0]
+        for x in ts_list[1:]:
+            if x - prev > G:
+                durs.append((prev - start) // 1_000_000)
+                start = x
+            prev = x
+        durs.append((prev - start) // 1_000_000)
+    durs.sort()
+    n = len(durs)
+    row = got.iloc[0]
+    assert row["n_sessions"] == n
+    assert row["p50_secs"] == float(
+        durs[int(np.ceil(0.5 * n)) - 1]
+    )
+    assert row["p95_secs"] == float(
+        durs[int(np.ceil(0.95 * n)) - 1]
+    )
