@@ -4991,6 +4991,263 @@ def rules_mmr_family(seed):
     check("mmr", seed, mine, ref, ["rnk"], ["vec_id"])
 
 
+
+def engagement_family(seed):
+    """Round-4g operators vs DuckDB on fresh random inputs: Wilson
+    CTR, target encoding, time-to-convert, RFM, bounce rate, revenue
+    concentration, JS drift, TTR, session durations."""
+    rng = np.random.default_rng(seed + 191)
+
+    from console_log_parser_ray.stages.events import (
+        bounce_rate,
+        group_quantiles,
+        js_divergence,
+        revenue_concentration,
+        rfm_segments,
+        session_duration_quantiles,
+        target_encode,
+        time_to_convert,
+        wilson_ctr,
+    )
+    from console_log_parser_ray.stages.textan import ttr_by_source
+
+    con = duckdb.connect()
+
+    n = 5000
+    ev = pa.table(
+        {
+            "user_id": pa.array(
+                rng.integers(0, 60, n), pa.int64()
+            ),
+            "ts": pa.array(
+                rng.choice(
+                    np.arange(0, 80_000_000, dtype=np.int64),
+                    n,
+                    replace=False,
+                ),
+                pa.int64(),
+            ),
+            "event_type": pa.array(
+                rng.choice(
+                    ["click", "view", "signup", "purchase"], n
+                ),
+                pa.string(),
+            ),
+            "value": pa.array(
+                rng.uniform(1, 300, n), pa.float64()
+            ),
+        }
+    )
+    con.register("ev", ev)
+    ds = ray.data.from_arrow(ev).repartition(6)
+
+    mine = wilson_ctr(ds, min_n=10, k=30).to_pandas()
+    ref = con.execute("""
+        WITH c AS (SELECT user_id AS u,
+          CAST(count(*) FILTER (WHERE event_type = 'click') AS
+          BIGINT) AS c, CAST(count(*) FILTER (WHERE event_type =
+          'view') AS BIGINT) AS v FROM ev GROUP BY 1),
+        f AS (SELECT u, c, v, CAST(c AS DOUBLE) / CAST(c + v AS
+          DOUBLE) AS p, CAST(c + v AS DOUBLE) AS nf FROM c
+          WHERE c + v >= 10)
+        SELECT u AS user_id, c AS clicks, v AS views, p AS ctr,
+        (p + 1.96 * 1.96 / (2.0 * nf) - 1.96 *
+        sqrt((p * (1.0 - p) + 1.96 * 1.96 / (4.0 * nf)) / nf)) /
+        (1.0 + 1.96 * 1.96 / nf) AS wilson_lb
+        FROM f ORDER BY wilson_lb DESC, u ASC LIMIT 30""").fetchdf()
+    check("wilson_ctr", seed, mine, ref, ["user_id"],
+          ["clicks", "views", "ctr", "wilson_lb"])
+
+    mine = target_encode(ds, smoothing=50).to_pandas()
+    ref = con.execute("""
+        WITH o AS (SELECT event_type AS cat, CAST(floor(value *
+          100) AS BIGINT) AS v FROM ev),
+        s AS (SELECT cat, CAST(sum(v) AS BIGINT) AS sv,
+          CAST(count(*) AS BIGINT) AS n FROM o GROUP BY 1),
+        g AS (SELECT CAST(sum(sv) AS BIGINT) AS sg,
+          CAST(sum(n) AS BIGINT) AS ng FROM s)
+        SELECT cat AS category, n, sv AS sum_cents,
+        (CAST(sv AS DOUBLE) + 50.0 * (CAST(g.sg AS DOUBLE) /
+        CAST(g.ng AS DOUBLE))) / (CAST(n AS DOUBLE) + 50.0)
+        AS enc_cents FROM s, g""").fetchdf()
+    check("target_encode", seed, mine, ref, ["category"],
+          ["n", "sum_cents", "enc_cents"])
+
+    mine = group_quantiles(
+        time_to_convert(ds, cohort_us=20_000_000, day_us=500_000,
+                        n_buckets=8),
+        "cohort_week", "delta_days", qs=(0.5, 0.9),
+    ).to_pandas()
+    ref = con.execute("""
+        WITH mn AS (SELECT min(ts) AS m FROM ev),
+        s AS (SELECT user_id AS u, min(ts) AS s FROM ev WHERE
+          event_type = 'signup' GROUP BY 1),
+        p AS (SELECT e.user_id AS u, min(e.ts) AS p FROM ev e JOIN
+          s ON s.u = e.user_id WHERE e.event_type = 'purchase' AND
+          e.ts >= s.s GROUP BY 1),
+        d AS (SELECT (s.s - mn.m) // 20000000 AS cohort_week,
+          (p.p - s.s) // 500000 AS delta_days FROM s
+          JOIN p USING (u), mn)
+        SELECT cohort_week, CAST(percentile_disc(0.5) WITHIN GROUP
+        (ORDER BY delta_days) AS DOUBLE) AS p50,
+        CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY
+        delta_days) AS DOUBLE) AS p90 FROM d GROUP BY 1""").fetchdf()
+    check("ttfp", seed, mine, ref, ["cohort_week"], ["p50", "p90"])
+
+    mine = rfm_segments(ds, day_us=500_000).to_pandas()
+    ref = con.execute("""
+        WITH mx AS (SELECT max(ts) AS m FROM ev),
+        u AS (SELECT user_id AS uid, CAST((mx.m - max(ts)) //
+          500000 AS BIGINT) AS r, CAST(count(*) AS BIGINT) AS f,
+          CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT))
+          FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT)
+          AS mval FROM ev, mx GROUP BY user_id, mx.m),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        idx AS (SELECT unnest(generate_series(1, 2)) AS i),
+        rc AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS
+          UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM (SELECT r AS
+          v, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1)),
+        red AS (SELECT i, min(v) AS edge FROM idx, rc, n WHERE
+          rc.cum >= (i * n.n + 2) // 3 GROUP BY i),
+        fc AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS
+          UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM (SELECT f AS
+          v, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1)),
+        fed AS (SELECT i, min(v) AS edge FROM idx, fc, n WHERE
+          fc.cum >= (i * n.n + 2) // 3 GROUP BY i),
+        mc AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS
+          UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM (SELECT mval
+          AS v, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1)),
+        med AS (SELECT i, min(v) AS edge FROM idx, mc, n WHERE
+          mc.cum >= (i * n.n + 2) // 3 GROUP BY i),
+        b AS (SELECT (SELECT count(*) FROM red WHERE edge < u.r)
+          AS r_bucket, (SELECT count(*) FROM fed WHERE edge < u.f)
+          AS f_bucket, (SELECT count(*) FROM med WHERE edge <
+          u.mval) AS m_bucket FROM u)
+        SELECT CAST(r_bucket AS BIGINT) AS r_bucket,
+        CAST(f_bucket AS BIGINT) AS f_bucket,
+        CAST(m_bucket AS BIGINT) AS m_bucket,
+        CAST(count(*) AS BIGINT) AS n_users FROM b
+        GROUP BY 1, 2, 3""").fetchdf()
+    check("rfm", seed, mine, ref,
+          ["r_bucket", "f_bucket", "m_bucket"], ["n_users"])
+
+    G = 900_000
+    mine = bounce_rate(ds, gap_us=G, n_buckets=8).to_pandas()
+    ref = con.execute(f"""
+        WITH m AS (SELECT user_id AS u, ts AS t, CASE WHEN lag(ts)
+          OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts -
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > {G}
+          THEN 1 ELSE 0 END AS is_new FROM ev),
+        s AS (SELECT u, sum(is_new) OVER (PARTITION BY u ORDER BY
+          t ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        c AS (SELECT u, sid, count(*) AS c FROM s GROUP BY 1, 2)
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_bounced,
+        CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) /
+        CAST(count(*) AS DOUBLE) AS bounce_rate FROM c""").fetchdf()
+    check("bounce", seed, mine, ref, ["n_sessions"],
+          ["n_bounced", "bounce_rate"])
+
+    mine = session_duration_quantiles(
+        ds, gap_us=G, n_buckets=8
+    ).to_pandas()
+    ref = con.execute(f"""
+        WITH m AS (SELECT user_id AS u, ts AS t, CASE WHEN lag(ts)
+          OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts -
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > {G}
+          THEN 1 ELSE 0 END AS is_new FROM ev),
+        s AS (SELECT u, t, sum(is_new) OVER (PARTITION BY u ORDER
+          BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        d AS (SELECT (max(t) - min(t)) // 1000000 AS dur FROM s
+          GROUP BY u, sid)
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dur) AS
+        DOUBLE) AS p50_secs, CAST(percentile_disc(0.95) WITHIN
+        GROUP (ORDER BY dur) AS DOUBLE) AS p95_secs
+        FROM d""").fetchdf()
+    check("session_durs", seed, mine, ref, ["n_sessions"],
+          ["p50_secs", "p95_secs"])
+
+    mine = js_divergence(ds).to_pandas()
+    ref = con.execute("""
+        WITH span AS (SELECT (min(ts) + max(ts)) // 2 AS mid
+          FROM ev),
+        c AS (SELECT (ts >= span.mid) AS cur, CAST(floor(value *
+          100) AS BIGINT) AS v FROM ev, span),
+        h AS (SELECT cur, v, CAST(count(*) AS BIGINT) AS n FROM c
+          GROUP BY 1, 2),
+        w AS (SELECT coalesce(a.v, b.v) AS v, CAST(coalesce(a.n,
+          0) AS BIGINT) AS a, CAST(coalesce(b.n, 0) AS BIGINT) AS b
+          FROM (SELECT v, n FROM h WHERE NOT cur) a FULL JOIN
+          (SELECT v, n FROM h WHERE cur) b USING (v)),
+        tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b)
+          AS BIGINT) AS tb FROM w),
+        q AS (SELECT CAST(coalesce(sum(CASE WHEN a > 0 THEN a *
+          CAST(floor((ln(CAST(2 * CAST(a AS HUGEINT) * tb AS
+          DOUBLE)) - ln(CAST(CAST(a AS HUGEINT) * tb + CAST(b AS
+          HUGEINT) * ta AS DOUBLE))) * 1000000.0) AS BIGINT) END),
+          0) AS BIGINT) AS qa, CAST(coalesce(sum(CASE WHEN b > 0
+          THEN b * CAST(floor((ln(CAST(2 * CAST(b AS HUGEINT) * ta
+          AS DOUBLE)) - ln(CAST(CAST(b AS HUGEINT) * ta + CAST(a
+          AS HUGEINT) * tb AS DOUBLE))) * 1000000.0) AS BIGINT)
+          END), 0) AS BIGINT) AS qb FROM w, tot)
+        SELECT tot.ta AS n_ref, tot.tb AS n_cur, q.qa AS js_q_ref,
+        q.qb AS js_q_cur, 0.5 * (CAST(q.qa AS DOUBLE) /
+        CAST(1000000 * tot.ta AS DOUBLE)) + 0.5 * (CAST(q.qb AS
+        DOUBLE) / CAST(1000000 * tot.tb AS DOUBLE)) AS js_nats
+        FROM q, tot""").fetchdf()
+    check("js_drift", seed, mine, ref, ["n_ref"],
+          ["n_cur", "js_q_ref", "js_q_cur", "js_nats"])
+
+    mine = revenue_concentration(
+        ds, key_col="user_id", val_col="value", q=0.9
+    ).to_pandas()
+    ref = con.execute("""
+        WITH u AS (SELECT user_id AS k, CAST(sum(CAST(round(value
+          * 100) AS BIGINT)) AS BIGINT) AS rev FROM ev GROUP BY 1),
+        t AS (SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY
+          rev) AS thr FROM u)
+        SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        CAST(count(*) FILTER (WHERE rev >= t.thr) AS BIGINT) AS
+        n_top, CAST(t.thr AS BIGINT) AS thr_cents, CAST(sum(rev)
+        FILTER (WHERE rev >= t.thr) AS BIGINT) AS top_cents,
+        CAST(sum(rev) AS BIGINT) AS total_cents, CAST(sum(rev)
+        FILTER (WHERE rev >= t.thr) AS DOUBLE) / CAST(sum(rev) AS
+        DOUBLE) AS share FROM u, t GROUP BY t.thr""").fetchdf()
+    check("rev_conc", seed, mine, ref, ["n_customers"],
+          ["n_top", "thr_cents", "top_cents", "total_cents",
+           "share"])
+
+    vocab = [f"w{i}" for i in range(25)]
+    docs, srcs = [], []
+    for i in range(150):
+        docs.append(
+            " ".join(rng.choice(vocab, rng.integers(3, 20)))
+        )
+        srcs.append(rng.choice(["A", "B", "C"]))
+    dt = pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    con.register("docs2", dt)
+    mine = ttr_by_source(
+        ray.data.from_arrow(dt).repartition(4), n_buckets=8
+    ).to_pandas()
+    ref = con.execute(r"""
+        WITH toks AS (SELECT coalesce(source, '') AS source,
+          unnest(regexp_extract_all(text, '\S+')) AS tok
+          FROM docs2),
+        agg AS (SELECT source, CAST(count(*) AS BIGINT) AS
+          n_tokens, CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+          FROM toks GROUP BY 1)
+        SELECT source, n_tokens, n_types, CAST(n_types AS DOUBLE) /
+        CAST(n_tokens AS DOUBLE) AS ttr FROM agg""").fetchdf()
+    check("ttr", seed, mine, ref, ["source"],
+          ["n_tokens", "n_types", "ttr"])
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -5019,10 +5276,11 @@ def main():
         stats_quality_family(seed)
         alerting_trend_family(seed)
         rules_mmr_family(seed)
+        engagement_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(159 comparison groups per seed)"
+        "(168 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
