@@ -4830,6 +4830,24 @@ def _q_session_durations(sf_dir: str):
     )
 
 
+def _q_chapman(sf_dir: str):
+    """Chapman capture-recapture user-population estimate between
+    time halves (stages/events.chapman_estimate)."""
+    from console_log_parser_ray.stages.events import chapman_estimate
+
+    return chapman_estimate(
+        _events(sf_dir).select_columns(["user_id", "ts"])
+    )
+
+
+def _q_dow_hour(sf_dir: str):
+    """Day-of-week x hour activity heatmap in timezone-free epoch
+    arithmetic (stages/events.dow_hour_counts)."""
+    from console_log_parser_ray.stages.events import dow_hour_counts
+
+    return dow_hour_counts(_events(sf_dir).select_columns(["ts"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -4995,6 +5013,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttr_by_source": _q_ttr,
         "ri_audit": _q_ri_audit,
         "session_durations": _q_session_durations,
+        "chapman_users": _q_chapman,
+        "dow_hour_heatmap": _q_dow_hour,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -8170,6 +8190,29 @@ def oracle_sql() -> dict[str, str]:
         "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dur) AS "
         "DOUBLE) AS p50_secs, CAST(percentile_disc(0.95) WITHIN "
         "GROUP (ORDER BY dur) AS DOUBLE) AS p95_secs FROM d"
+    )
+    out["chapman_users"] = (
+        # (n1+1)(n2+1)/(m+1) - 1; exact integer flags per user
+        "WITH span AS (SELECT (epoch_us(min(ts)) + "
+        "epoch_us(max(ts))) // 2 AS mid FROM events WHERE ts IS "
+        "NOT NULL), "
+        "u AS (SELECT user_id AS u, max(CASE WHEN epoch_us(ts) < "
+        "span.mid THEN 1 ELSE 0 END) AS a, max(CASE WHEN "
+        "epoch_us(ts) >= span.mid THEN 1 ELSE 0 END) AS b FROM "
+        "events, span WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+        "GROUP BY 1) "
+        "SELECT CAST(sum(a) AS BIGINT) AS n_first, "
+        "CAST(sum(b) AS BIGINT) AS n_second, "
+        "CAST(sum(a * b) AS BIGINT) AS n_both, "
+        "CAST((sum(a) + 1) * (sum(b) + 1) AS DOUBLE) / "
+        "CAST(sum(a * b) + 1 AS DOUBLE) - 1.0 AS chapman_n FROM u"
+    )
+    out["dow_hour_heatmap"] = (
+        # pure epoch arithmetic: dow = (days + 4) % 7, Sunday = 0
+        "SELECT ((epoch_us(ts) // 86400000000 + 4) % 7) AS dow, "
+        "(epoch_us(ts) % 86400000000) // 3600000000 AS hour, "
+        "CAST(count(*) AS BIGINT) AS n FROM events WHERE ts IS NOT "
+        "NULL GROUP BY 1, 2"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

@@ -290,6 +290,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "ttr_by_source",
         "ri_audit",
         "session_durations",
+        "chapman_users",
+        "dow_hour_heatmap",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -7787,3 +7787,154 @@ def session_duration_quantiles(
             [float(v)], pa.float64()
         )
     return pa.table(out)
+
+
+def chapman_estimate(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Chapman capture-recapture population estimate: treat the two
+    halves of the corpus's time span as independent sightings and
+    estimate the TRUE population (users who exist but may never have
+    been observed) as
+
+        N_hat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+
+    (n1/n2 = distinct users per half, m = users seen in both) -- the
+    ecology estimator that answers "how many users do we actually
+    have, given incomplete logging".  Exact integer counts; N_hat is
+    one float expression.
+
+    Scale shape: per-block distinct (user, half) flag partials fold
+    through one bounded per-user groupby (Max of each flag); the
+    three totals are per-block integer sums -- no user id ever
+    reaches the driver.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    span = ds.aggregate(Min(ts_col), Max(ts_col))
+    mid = (
+        _ts_scalar_us(span[f"min({ts_col})"])
+        + _ts_scalar_us(span[f"max({ts_col})"])
+    ) // 2
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(ts_col)),
+                pc.is_valid(b.column(user_col)),
+            )
+        )
+        cur = pc.cast(
+            pc.greater_equal(
+                t.column(ts_col).cast(pa.int64()),
+                pa.scalar(mid, pa.int64()),
+            ),
+            pa.int64(),
+        )
+        first = pc.subtract(pa.scalar(1, pa.int64()), cur)
+        g = (
+            pa.table(
+                {
+                    "u": t.column(user_col).cast(pa.int64()),
+                    "a": first,
+                    "b": cur,
+                }
+            )
+            .group_by("u")
+            .aggregate([("a", "max"), ("b", "max")])
+        )
+        return g.rename_columns(["u", "a_p", "b_p"])
+
+    def sums(b: pa.Table) -> pa.Table:
+        a = b.column("max(a_p)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bb = b.column("max(b_p)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "n1": pa.array([int(a.sum())], pa.int64()),
+                "n2": pa.array([int(bb.sum())], pa.int64()),
+                "m": pa.array([int((a * bb).sum())], pa.int64()),
+            }
+        )
+
+    n1 = n2 = m = 0
+    for tbl in (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Max("a_p"), Max("b_p"))
+        .map_batches(sums, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        n1 += int(pc.sum(tbl.column("n1")).as_py() or 0)
+        n2 += int(pc.sum(tbl.column("n2")).as_py() or 0)
+        m += int(pc.sum(tbl.column("m")).as_py() or 0)
+    est = float((n1 + 1) * (n2 + 1)) / float(m + 1) - 1.0
+    return pa.table(
+        {
+            "n_first": pa.array([n1], pa.int64()),
+            "n_second": pa.array([n2], pa.int64()),
+            "n_both": pa.array([m], pa.int64()),
+            "chapman_n": pa.array([est], pa.float64()),
+        }
+    )
+
+
+def dow_hour_counts(
+    ds,
+    ts_col: str = "ts",
+):
+    """Activity heatmap: event counts per (day-of-week, hour-of-day)
+    in pure epoch arithmetic (1970-01-01 was a Thursday, so dow =
+    (days + 4) % 7 with Sunday = 0) -- timezone-free and therefore
+    bit-identical across engines, unlike calendar functions.  One
+    bounded 7 x 24 groupby of per-block count partials.
+    """
+    from ray.data.aggregate import Sum
+
+    day_us = 86_400_000_000
+    hour_us = 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b.column(ts_col)))
+        us = t.column(ts_col).cast(pa.int64())
+        days = pc.divide(us, pa.scalar(day_us, pa.int64()))
+        dow = pc.subtract(
+            pc.add(days, pa.scalar(4, pa.int64())),
+            pc.multiply(
+                pc.divide(
+                    pc.add(days, pa.scalar(4, pa.int64())),
+                    pa.scalar(7, pa.int64()),
+                ),
+                pa.scalar(7, pa.int64()),
+            ),
+        )
+        hour = pc.divide(
+            pc.subtract(
+                us, pc.multiply(days, pa.scalar(day_us, pa.int64()))
+            ),
+            pa.scalar(hour_us, pa.int64()),
+        )
+        g = (
+            pa.table({"dow": dow, "hour": hour})
+            .group_by(["dow", "hour"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "dow": g.column("dow"),
+                "hour": g.column("hour"),
+                "n_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["dow", "hour"])
+        .aggregate(Sum("n_part"))
+        .rename_columns({"sum(n_part)": "n"})
+    )

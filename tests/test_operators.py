@@ -8462,3 +8462,81 @@ def test_session_duration_quantiles_differential(ray_session):
     assert row["p95_secs"] == float(
         durs[int(np.ceil(0.95 * n)) - 1]
     )
+
+
+def test_chapman_estimate_differential(ray_session):
+    """chapman_estimate == python brute force; full overlap recovers
+    ~the observed population, disjoint halves blow the estimate up."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import chapman_estimate
+
+    rows_u, rows_t = [], []
+    # 30 users seen in both halves, 10 only first, 10 only second
+    for u in range(30):
+        rows_u += [u, u]
+        rows_t += [100 + u, 9000 + u]
+    for u in range(100, 110):
+        rows_u.append(u)
+        rows_t.append(200 + u)
+    for u in range(200, 210):
+        rows_u.append(u)
+        rows_t.append(9100 + u)
+    rows_u += [999, 998]
+    rows_t += [0, 10000]  # pin the span
+    t = pa.table(
+        {
+            "user_id": pa.array(rows_u, pa.int64()),
+            "ts": pa.array(
+                np.array(rows_t, np.int64), pa.timestamp("us")
+            ),
+        }
+    )
+    got = chapman_estimate(
+        ray.data.from_arrow(t).repartition(4)
+    ).to_pandas()
+    mid = (0 + 10000) // 2
+    a_set = {u for u, tt in zip(rows_u, rows_t) if tt < mid}
+    b_set = {u for u, tt in zip(rows_u, rows_t) if tt >= mid}
+    n1, n2, m = len(a_set), len(b_set), len(a_set & b_set)
+    row = got.iloc[0]
+    assert row["n_first"] == n1
+    assert row["n_second"] == n2
+    assert row["n_both"] == m
+    assert row["chapman_n"] == float((n1 + 1) * (n2 + 1)) / float(
+        m + 1
+    ) - 1.0
+    # with strong overlap the estimate sits near the true 52
+    assert 45 < row["chapman_n"] < 65
+
+
+def test_dow_hour_counts_differential(ray_session):
+    """dow_hour_counts == python brute force epoch arithmetic."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import dow_hour_counts
+
+    rng = np.random.default_rng(17)
+    ts = rng.integers(0, 40 * 86_400_000_000, 5000)
+    t = pa.table(
+        {"ts": pa.array(ts.astype(np.int64), pa.timestamp("us"))}
+    )
+    got = (
+        dow_hour_counts(ray.data.from_arrow(t).repartition(5))
+        .to_pandas()
+        .set_index(["dow", "hour"])["n"]
+        .to_dict()
+    )
+    want = {}
+    for x in ts:
+        days = x // 86_400_000_000
+        dow = (days + 4) % 7
+        hour = (x % 86_400_000_000) // 3_600_000_000
+        want[(dow, hour)] = want.get((dow, hour), 0) + 1
+    assert got == want
