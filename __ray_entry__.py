@@ -4848,6 +4848,216 @@ def _q_dow_hour(sf_dir: str):
     return dow_hour_counts(_events(sf_dir).select_columns(["ts"]))
 
 
+def _q_brand_reorder(sf_dir: str):
+    """Repeat-purchase rate by brand: fraction of (customer, part)
+    pairs ordered in two or more distinct orders -- distinct
+    (order, part) fold, size-adaptive customer attach, packed-key
+    pair counts, broadcast brand finish."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from console_log_parser_ray.stages.dedup import _cached_get
+    from console_log_parser_ray.stages.relational import lookup_join
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"],
+    )
+    pk = np.asarray(t.column("p_partkey").to_pylist(), np.int64)
+    br = np.asarray(t.column("p_brand").to_pylist())
+    order = np.argsort(pk)
+    pk, br = pk[order], br[order]
+    brands = sorted(set(br.tolist()))
+    bid = {b: i for i, b in enumerate(brands)}
+    bidx = np.array([bid[b] for b in br], np.int64)
+    ref = ray.put((pk, bidx))
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+
+    def op_partial(b):
+        import pyarrow as pa
+
+        g = (
+            pa.table(
+                {
+                    "o": b.column("l_orderkey").cast(pa.int64()),
+                    "p": b.column("l_partkey").cast(pa.int64()),
+                }
+            )
+            .group_by(["o", "p"])
+            .aggregate([([], "count_all")])
+        )
+        return g.select(["o", "p"])
+
+    # global distinct (order, part): the groupby's keys ARE the set
+    op = (
+        li.map_batches(op_partial, batch_format="pyarrow")
+        .groupby(["o", "p"])
+        .aggregate(Count())
+        .map_batches(
+            lambda b: b.select(["o", "p"]),
+            batch_format="pyarrow",
+        )
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    j = lookup_join(
+        op, orders, on="o", right_on="o_orderkey", how="inner"
+    )
+
+    def pack_cp(b):
+        import numpy as np
+        import pyarrow as pa
+
+        c = b.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        p = b.column("p").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        g = (
+            pa.table(
+                {
+                    "cp": pa.array(
+                        c * np.int64(4_294_967_296) + p, pa.int64()
+                    ),
+                    "one": pa.array(
+                        np.ones(len(c), np.int64), pa.int64()
+                    ),
+                }
+            )
+            .group_by("cp")
+            .aggregate([("one", "sum")])
+        )
+        return g.rename_columns(["cp", "n_p"])
+
+    def brand_part(b, _r=ref):
+        import numpy as np
+        import pyarrow as pa
+
+        p_k, b_i = _cached_get(_r)
+        cp = b.column("cp").to_numpy(zero_copy_only=False)
+        n = b.column("sum(n_p)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        part = cp % np.int64(4_294_967_296)
+        bi = b_i[np.searchsorted(p_k, part)]
+        n_b = len(brands)
+        pairs = np.zeros(n_b, np.int64)
+        rep = np.zeros(n_b, np.int64)
+        np.add.at(pairs, bi, 1)
+        np.add.at(rep, bi[n >= 2], 1)
+        nz = np.flatnonzero(pairs > 0)
+        return pa.table(
+            {
+                "bi": pa.array(nz, pa.int64()),
+                "pair_p": pa.array(pairs[nz], pa.int64()),
+                "rep_p": pa.array(rep[nz], pa.int64()),
+            }
+        )
+
+    agg = (
+        j.map_batches(pack_cp, batch_format="pyarrow")
+        .groupby("cp")
+        .aggregate(Sum("n_p"))
+        .map_batches(brand_part, batch_format="pyarrow")
+        .groupby("bi")
+        .aggregate(Sum("pair_p"), Sum("rep_p"))
+        .take_all()
+    )
+    agg.sort(key=lambda r: int(r["bi"]))
+    return pa.table(
+        {
+            "p_brand": pa.array(
+                [brands[int(r["bi"])] for r in agg], pa.string()
+            ),
+            "n_pairs": pa.array(
+                [int(r["sum(pair_p)"]) for r in agg], pa.int64()
+            ),
+            "n_repeat": pa.array(
+                [int(r["sum(rep_p)"]) for r in agg], pa.int64()
+            ),
+            "reorder_rate": pa.array(
+                [
+                    float(int(r["sum(rep_p)"]))
+                    / float(int(r["sum(pair_p)"]))
+                    for r in agg
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _q_order_size_hist(sf_dir: str):
+    """Items-per-order histogram: two bounded count folds."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    import pyarrow as pa
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey"],
+    )
+
+    def partial(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = b.filter(pc.is_valid(b.column("l_orderkey")))
+        g = (
+            pa.table(
+                {"o": t.column("l_orderkey").cast(pa.int64())}
+            )
+            .group_by("o")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "o": g.column("o"),
+                "c_p": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def hist_part(b):
+        import pyarrow as pa
+
+        g = (
+            pa.table(
+                {"n_items": b.column("sum(c_p)").cast(pa.int64())}
+            )
+            .group_by("n_items")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "n_items": g.column("n_items"),
+                "h_p": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("o")
+        .aggregate(Sum("c_p"))
+        .map_batches(hist_part, batch_format="pyarrow")
+        .groupby("n_items")
+        .aggregate(Sum("h_p"))
+        .rename_columns({"sum(h_p)": "n_orders"})
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -5015,6 +5225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_durations": _q_session_durations,
         "chapman_users": _q_chapman,
         "dow_hour_heatmap": _q_dow_hour,
+        "brand_reorder": _q_brand_reorder,
+        "order_size_hist": _q_order_size_hist,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -8213,6 +8425,26 @@ def oracle_sql() -> dict[str, str]:
         "(epoch_us(ts) % 86400000000) // 3600000000 AS hour, "
         "CAST(count(*) AS BIGINT) AS n FROM events WHERE ts IS NOT "
         "NULL GROUP BY 1, 2"
+    )
+    out["brand_reorder"] = (
+        # (customer, part) pairs with >= 2 distinct orders, by brand
+        "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM "
+        "lineitem), "
+        "cp AS (SELECT o_custkey AS c, l_partkey AS p, "
+        "CAST(count(*) AS BIGINT) AS n FROM op JOIN orders ON "
+        "o_orderkey = l_orderkey GROUP BY 1, 2), "
+        "j AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_pairs, "
+        "CAST(coalesce(count(*) FILTER (WHERE n >= 2), 0) AS "
+        "BIGINT) AS n_repeat FROM cp JOIN part ON p_partkey = p "
+        "GROUP BY 1) "
+        "SELECT p_brand, n_pairs, n_repeat, CAST(n_repeat AS "
+        "DOUBLE) / CAST(n_pairs AS DOUBLE) AS reorder_rate FROM j"
+    )
+    out["order_size_hist"] = (
+        "SELECT n_items, CAST(count(*) AS BIGINT) AS n_orders FROM "
+        "(SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items "
+        "FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1) "
+        "GROUP BY 1"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

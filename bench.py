@@ -292,6 +292,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "session_durations",
         "chapman_users",
         "dow_hour_heatmap",
+        "brand_reorder",
+        "order_size_hist",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
