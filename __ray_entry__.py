@@ -5058,6 +5058,164 @@ def _q_order_size_hist(sf_dir: str):
     )
 
 
+def _q_profile_events(sf_dir: str):
+    """Per-column profile of the events table (stages/profile.
+    profile_table reused on a second table): exact row / null /
+    distinct counts per column."""
+    import ray.data
+
+    from console_log_parser_ray.stages.profile import profile_table
+
+    return profile_table(
+        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+
+
+def _q_brand_growth(sf_dir: str):
+    """Brand growth-share grid: each brand's revenue share of the
+    whole corpus and its second-half/first-half growth ratio --
+    exact cent-hundredth revenue per (brand, half), one float per
+    output column."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.dedup import _cached_get
+    from console_log_parser_ray.stages.relational import lookup_join
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"],
+    )
+    pk = np.asarray(t.column("p_partkey").to_pylist(), np.int64)
+    br = np.asarray(t.column("p_brand").to_pylist())
+    order = np.argsort(pk)
+    pk, br = pk[order], br[order]
+    brands = sorted(set(br.tolist()))
+    bid = {b: i for i, b in enumerate(brands)}
+    bidx = np.array([bid[b] for b in br], np.int64)
+    ref = ray.put((pk, bidx))
+
+    # orders span midpoint (exact integer microseconds)
+    import duckdb
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    )
+    mn = orders.min("o_orderdate")
+    mx = orders.max("o_orderdate")
+    from console_log_parser_ray.stages.events import _ts_scalar_us
+
+    mid = (_ts_scalar_us(mn) + _ts_scalar_us(mx)) // 2
+
+    j = lookup_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        how="inner",
+    )
+
+    def partial(b, _r=ref):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        p_k, b_i = _cached_get(_r)
+        part = b.column("l_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    b.column("l_extendedprice").cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        disc = pc.cast(
+            pc.round(
+                pc.multiply(
+                    b.column("l_discount").cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        rev = cents * (100 - disc)
+        cur = (
+            b.column("o_orderdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            >= mid
+        )
+        bi = b_i[np.searchsorted(p_k, part)]
+        n_b = len(brands)
+        r1 = np.zeros(n_b, np.int64)
+        r2 = np.zeros(n_b, np.int64)
+        np.add.at(r1, bi[~cur], rev[~cur])
+        np.add.at(r2, bi[cur], rev[cur])
+        nz = np.flatnonzero((r1 != 0) | (r2 != 0))
+        return pa.table(
+            {
+                "bi": pa.array(nz, pa.int64()),
+                "r1_p": pa.array(r1[nz], pa.int64()),
+                "r2_p": pa.array(r2[nz], pa.int64()),
+            }
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("bi")
+        .aggregate(Sum("r1_p"), Sum("r2_p"))
+        .take_all()
+    )
+    agg.sort(key=lambda r: int(r["bi"]))
+    tot = sum(
+        int(r["sum(r1_p)"]) + int(r["sum(r2_p)"]) for r in agg
+    )
+    out = {
+        "p_brand": [],
+        "rev_first": [],
+        "rev_second": [],
+        "share": [],
+        "growth": [],
+    }
+    for r in agg:
+        r1 = int(r["sum(r1_p)"])
+        r2 = int(r["sum(r2_p)"])
+        out["p_brand"].append(brands[int(r["bi"])])
+        out["rev_first"].append(r1)
+        out["rev_second"].append(r2)
+        out["share"].append(float(r1 + r2) / float(tot))
+        out["growth"].append(
+            float(r2) / float(r1) if r1 > 0 else None
+        )
+    return pa.table(
+        {
+            "p_brand": pa.array(out["p_brand"], pa.string()),
+            "rev_first": pa.array(out["rev_first"], pa.int64()),
+            "rev_second": pa.array(out["rev_second"], pa.int64()),
+            "share": pa.array(out["share"], pa.float64()),
+            "growth": pa.array(out["growth"], pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -5227,6 +5385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_hour_heatmap": _q_dow_hour,
         "brand_reorder": _q_brand_reorder,
         "order_size_hist": _q_order_size_hist,
+        "profile_events": _q_profile_events,
+        "brand_growth_share": _q_brand_growth,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -8445,6 +8605,47 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items "
         "FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1) "
         "GROUP BY 1"
+    )
+    out["profile_events"] = (
+        "SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS "
+        "n_rows, CAST(count(*) - count(event_id) AS BIGINT) AS "
+        "n_nulls, CAST(count(DISTINCT event_id) AS BIGINT) AS "
+        "n_distinct FROM events "
+        "UNION ALL SELECT 'ts', CAST(count(*) AS BIGINT), "
+        "CAST(count(*) - count(ts) AS BIGINT), "
+        "CAST(count(DISTINCT ts) AS BIGINT) FROM events "
+        "UNION ALL SELECT 'user_id', CAST(count(*) AS BIGINT), "
+        "CAST(count(*) - count(user_id) AS BIGINT), "
+        "CAST(count(DISTINCT user_id) AS BIGINT) FROM events "
+        "UNION ALL SELECT 'event_type', CAST(count(*) AS BIGINT), "
+        "CAST(count(*) - count(event_type) AS BIGINT), "
+        "CAST(count(DISTINCT event_type) AS BIGINT) FROM events "
+        "UNION ALL SELECT 'value', CAST(count(*) AS BIGINT), "
+        "CAST(count(*) - count(value) AS BIGINT), "
+        "CAST(count(DISTINCT value) AS BIGINT) FROM events "
+        "UNION ALL SELECT 'props', CAST(count(*) AS BIGINT), "
+        "CAST(count(*) - count(props) AS BIGINT), "
+        "CAST(count(DISTINCT props) AS BIGINT) FROM events"
+    )
+    out["brand_growth_share"] = (
+        # per-brand revenue by order-date half; share + growth
+        "WITH span AS (SELECT (epoch_us(min(o_orderdate)) + "
+        "epoch_us(max(o_orderdate))) // 2 AS mid FROM orders), "
+        "r AS (SELECT p_brand, (epoch_us(o_orderdate) >= span.mid) "
+        "AS cur, CAST(sum(CAST(round(l_extendedprice * 100) AS "
+        "BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) "
+        "AS BIGINT) AS rev FROM lineitem, orders, part, span WHERE "
+        "l_orderkey = o_orderkey AND p_partkey = l_partkey "
+        "GROUP BY 1, 2), "
+        "g AS (SELECT p_brand, CAST(coalesce(sum(rev) FILTER "
+        "(WHERE NOT cur), 0) AS BIGINT) AS r1, "
+        "CAST(coalesce(sum(rev) FILTER (WHERE cur), 0) AS BIGINT) "
+        "AS r2 FROM r GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(r1 + r2) AS BIGINT) AS t FROM g) "
+        "SELECT p_brand, r1 AS rev_first, r2 AS rev_second, "
+        "CAST(r1 + r2 AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share, "
+        "CASE WHEN r1 > 0 THEN CAST(r2 AS DOUBLE) / "
+        "CAST(r1 AS DOUBLE) END AS growth FROM g, tot"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

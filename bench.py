@@ -294,6 +294,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "dow_hour_heatmap",
         "brand_reorder",
         "order_size_hist",
+        "profile_events",
+        "brand_growth_share",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
