@@ -4883,7 +4883,10 @@ def _q_brand_reorder(sf_dir: str):
     )
 
     def op_partial(b):
+        import numpy as np
         import pyarrow as pa
+
+        from console_log_parser_ray.stages.events import _bucket31
 
         g = (
             pa.table(
@@ -4895,17 +4898,40 @@ def _q_brand_reorder(sf_dir: str):
             .group_by(["o", "p"])
             .aggregate([([], "count_all")])
         )
-        return g.select(["o", "p"])
+        o = g.column("o").to_numpy(zero_copy_only=False)
+        p = g.column("p").to_numpy(zero_copy_only=False)
+        packed = o * np.int64(4_294_967_296) + p
+        return pa.table(
+            {
+                "kb": _bucket31(pa.array(packed, pa.int64()), 64),
+                "o": g.column("o"),
+                "p": g.column("p"),
+            }
+        )
 
-    # global distinct (order, part): the groupby's keys ARE the set
+    def op_distinct(tbl):
+        import pandas as pd
+        import pyarrow as pa
+
+        df = tbl.select(["o", "p"]).to_pandas().drop_duplicates()
+        return pa.table(
+            {
+                "o": pa.array(
+                    df["o"].to_numpy(dtype="int64"), pa.int64()
+                ),
+                "p": pa.array(
+                    df["p"].to_numpy(dtype="int64"), pa.int64()
+                ),
+            }
+        )
+
+    # global distinct (order, part) via ONE pair-key bucket fold
+    # (dispatch bounded by bucket count, no two-column
+    # sort-aggregate)
     op = (
         li.map_batches(op_partial, batch_format="pyarrow")
-        .groupby(["o", "p"])
-        .aggregate(Count())
-        .map_batches(
-            lambda b: b.select(["o", "p"]),
-            batch_format="pyarrow",
-        )
+        .groupby("kb")
+        .map_groups(op_distinct, batch_format="pyarrow")
     )
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
@@ -4925,6 +4951,8 @@ def _q_brand_reorder(sf_dir: str):
         p = b.column("p").cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )
+        from console_log_parser_ray.stages.events import _bucket31
+
         g = (
             pa.table(
                 {
@@ -4939,7 +4967,25 @@ def _q_brand_reorder(sf_dir: str):
             .group_by("cp")
             .aggregate([("one", "sum")])
         )
-        return g.rename_columns(["cp", "n_p"])
+        g = g.rename_columns(["cp", "n_p"])
+        return g.append_column(
+            "kb", _bucket31(g.column("cp").combine_chunks(), 64)
+        )
+
+    def fold_cp(tbl):
+        import pyarrow as pa
+
+        g = (
+            tbl.select(["cp", "n_p"])
+            .group_by("cp")
+            .aggregate([("n_p", "sum")])
+        )
+        return pa.table(
+            {
+                "cp": g.column("cp"),
+                "sum(n_p)": g.column("n_p_sum").cast(pa.int64()),
+            }
+        )
 
     def brand_part(b, _r=ref):
         import numpy as np
@@ -4968,8 +5014,8 @@ def _q_brand_reorder(sf_dir: str):
 
     agg = (
         j.map_batches(pack_cp, batch_format="pyarrow")
-        .groupby("cp")
-        .aggregate(Sum("n_p"))
+        .groupby("kb")
+        .map_groups(fold_cp, batch_format="pyarrow")
         .map_batches(brand_part, batch_format="pyarrow")
         .groupby("bi")
         .aggregate(Sum("pair_p"), Sum("rep_p"))
@@ -5015,6 +5061,8 @@ def _q_order_size_hist(sf_dir: str):
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        from console_log_parser_ray.stages.events import _bucket31
+
         t = b.filter(pc.is_valid(b.column("l_orderkey")))
         g = (
             pa.table(
@@ -5025,33 +5073,40 @@ def _q_order_size_hist(sf_dir: str):
         )
         return pa.table(
             {
+                "kb": _bucket31(g.column("o").combine_chunks(), 64),
                 "o": g.column("o"),
                 "c_p": g.column("count_all").cast(pa.int64()),
             }
         )
 
-    def hist_part(b):
+    def fold_hist(tbl):
         import pyarrow as pa
 
+        # orders partition into buckets: fold per-order counts, then
+        # the bucket's histogram partial -- one all-to-all total
         g = (
+            tbl.select(["o", "c_p"])
+            .group_by("o")
+            .aggregate([("c_p", "sum")])
+        )
+        h = (
             pa.table(
-                {"n_items": b.column("sum(c_p)").cast(pa.int64())}
+                {"n_items": g.column("c_p_sum").cast(pa.int64())}
             )
             .group_by("n_items")
             .aggregate([([], "count_all")])
         )
         return pa.table(
             {
-                "n_items": g.column("n_items"),
-                "h_p": g.column("count_all").cast(pa.int64()),
+                "n_items": h.column("n_items"),
+                "h_p": h.column("count_all").cast(pa.int64()),
             }
         )
 
     return (
         li.map_batches(partial, batch_format="pyarrow")
-        .groupby("o")
-        .aggregate(Sum("c_p"))
-        .map_batches(hist_part, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(fold_hist, batch_format="pyarrow")
         .groupby("n_items")
         .aggregate(Sum("h_p"))
         .rename_columns({"sum(h_p)": "n_orders"})
@@ -5213,6 +5268,118 @@ def _q_brand_growth(sf_dir: str):
             "share": pa.array(out["share"], pa.float64()),
             "growth": pa.array(out["growth"], pa.float64()),
         }
+    )
+
+
+def _q_tool_rules(sf_dir: str):
+    """Association rules between TOOLS used in the same conversation
+    (stages/graph.association_rules on the enriched transcripts):
+    which tools co-occur beyond independence.  Tool ids are assigned
+    in sorted order so the int pair order matches the SQL mirror's
+    string order."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from console_log_parser_ray.stages.graph import association_rules
+
+    ds = _enriched(sf_dir)
+
+    tools: set = set()
+    for tbl in ds.map_batches(
+        lambda b: pa.table(
+            {
+                "t": pc.unique(
+                    pc.fill_null(b.column("tool").combine_chunks(), "")
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        tools.update(tbl.column("t").to_pylist())
+    tools.discard("")
+    tools = sorted(tools)
+    tid = {t: i for i, t in enumerate(tools)}
+
+    def project(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column("tool")),
+                pc.not_equal(b.column("tool"), pa.scalar("")),
+            )
+        )
+        g = pc.cast(
+            pc.utf8_slice_codeunits(
+                t.column("conv_id").combine_chunks(), 4, 2**30
+            ),
+            pa.int64(),
+        )
+        enc = pc.dictionary_encode(t.column("tool").combine_chunks())
+        dmap = np.array(
+            [tid[x] for x in enc.dictionary.to_pylist()], np.int64
+        )
+        i = pa.array(
+            dmap[enc.indices.to_numpy(zero_copy_only=False)],
+            pa.int64(),
+        )
+        return pa.table({"g": g, "i": i})
+
+    res = association_rules(
+        ds.map_batches(project, batch_format="pyarrow"),
+        "g",
+        "i",
+        min_support=2,
+        k=30,
+    )
+    return pa.table(
+        {
+            "tool_a": pa.array(
+                [tools[int(x)] for x in res.column("a").to_pylist()],
+                pa.string(),
+            ),
+            "tool_b": pa.array(
+                [tools[int(x)] for x in res.column("b").to_pylist()],
+                pa.string(),
+            ),
+            "support": res.column("support"),
+            "conf_ab": res.column("conf_ab"),
+            "conf_ba": res.column("conf_ba"),
+            "lift": res.column("lift"),
+        }
+    )
+
+
+def _q_tool_transitions(sf_dir: str):
+    """Markov transition counts over each conversation's tool
+    sequence (stages/events.transition_counts reused on the
+    enriched transcripts; empty-tool turns drop before pairing)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from console_log_parser_ray.stages.events import transition_counts
+
+    ds = _enriched(sf_dir)
+
+    def clean(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column("tool")),
+                pc.not_equal(b.column("tool"), pa.scalar("")),
+            )
+        )
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx").cast(pa.int64()),
+                "tool": t.column("tool"),
+            }
+        )
+
+    return transition_counts(
+        ds.map_batches(clean, batch_format="pyarrow"),
+        key_col="conv_id",
+        order_col="turn_idx",
+        state_col="tool",
     )
 
 
@@ -5387,6 +5554,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_size_hist": _q_order_size_hist,
         "profile_events": _q_profile_events,
         "brand_growth_share": _q_brand_growth,
+        "tool_rules": _q_tool_rules,
+        "tool_transitions": _q_tool_transitions,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -8646,6 +8815,40 @@ def oracle_sql() -> dict[str, str]:
         "CAST(r1 + r2 AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share, "
         "CASE WHEN r1 > 0 THEN CAST(r2 AS DOUBLE) / "
         "CAST(r1 AS DOUBLE) END AS growth FROM g, tot"
+    )
+    out["tool_rules"] = (
+        # tool co-occurrence rules within conversations; ground-truth
+        # expected_tool, pair order = sorted tool order on both sides
+        "WITH m AS (SELECT CAST(substr(conv_id, 5) AS BIGINT) AS g, "
+        f"expected_tool AS tool FROM read_parquet('{_SF001_GLOB}') "
+        "WHERE expected_tool IS NOT NULL AND expected_tool <> ''), "
+        "li AS (SELECT DISTINCT g, tool FROM m), "
+        "n AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS ng "
+        "FROM li), "
+        "ic AS (SELECT tool, CAST(count(*) AS BIGINT) AS c FROM li "
+        "GROUP BY 1), "
+        "pcnt AS (SELECT x.tool AS a, y.tool AS b, CAST(count(*) "
+        "AS BIGINT) AS cab FROM li x JOIN li y ON x.g = y.g AND "
+        "x.tool < y.tool GROUP BY 1, 2), "
+        "f AS (SELECT a, b, cab, ca.c AS ca, cb.c AS cb FROM pcnt "
+        "JOIN ic ca ON ca.tool = a JOIN ic cb ON cb.tool = b "
+        "WHERE cab >= 2) "
+        "SELECT a AS tool_a, b AS tool_b, cab AS support, "
+        "CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE) AS conf_ab, "
+        "CAST(cab AS DOUBLE) / CAST(cb AS DOUBLE) AS conf_ba, "
+        "CAST(CAST(ng AS HUGEINT) * cab AS DOUBLE) / "
+        "CAST(CAST(ca AS HUGEINT) * cb AS DOUBLE) AS lift "
+        "FROM f, n ORDER BY lift DESC, a, b LIMIT 30"
+    )
+    out["tool_transitions"] = (
+        # lead() over each conversation's non-empty tool sequence
+        "WITH o AS (SELECT conv_id, turn_idx, expected_tool AS "
+        f"tool FROM read_parquet('{_SF001_GLOB}') WHERE "
+        "expected_tool IS NOT NULL AND expected_tool <> ''), "
+        "p AS (SELECT tool AS f, lead(tool) OVER (PARTITION BY "
+        "conv_id ORDER BY turn_idx) AS nxt FROM o) "
+        "SELECT f AS from_state, nxt AS to_state, CAST(count(*) AS "
+        "BIGINT) AS n FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

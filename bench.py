@@ -296,6 +296,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "order_size_hist",
         "profile_events",
         "brand_growth_share",
+        "tool_rules",
+        "tool_transitions",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
