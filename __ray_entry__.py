@@ -5383,6 +5383,198 @@ def _q_tool_transitions(sf_dir: str):
     )
 
 
+def _q_segment_cadence(sf_dir: str):
+    """Median days between consecutive orders per market segment:
+    broadcast customer dimension, customer-hash bucket lexsort+diff,
+    bounded (segment, gap-days) histogram, exact percentile_disc."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.dedup import _cached_get
+    from console_log_parser_ray.stages.events import _bucket31
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    ck = np.asarray(t.column("c_custkey").to_pylist(), np.int64)
+    sg = np.asarray(t.column("c_mktsegment").to_pylist())
+    order = np.argsort(ck)
+    ck, sg = ck[order], sg[order]
+    segs = sorted(set(sg.tolist()))
+    sid = {s: i for i, s in enumerate(segs)}
+    sidx = np.array([sid[s] for s in sg], np.int64)
+    ref = ray.put((ck, sidx))
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    )
+
+    def project(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column("o_custkey")),
+                pc.is_valid(b.column("o_orderdate")),
+            )
+        )
+        c = t.column("o_custkey").cast(pa.int64())
+        return pa.table(
+            {
+                "jb": _bucket31(c, 64),
+                "c": c,
+                "t": t.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    def per_bucket(tbl, _r=ref):
+        import numpy as np
+        import pyarrow as pa
+
+        c_k, s_i = _cached_get(_r)
+        c = tbl.column("c").to_numpy(zero_copy_only=False)
+        t = tbl.column("t").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, c))
+        c, t = c[order], t[order]
+        same = c[1:] == c[:-1]
+        gaps = (t[1:] - t[:-1]) // 86_400_000_000
+        gc = c[1:][same]
+        gaps = gaps[same]
+        if len(gaps) == 0:
+            return pa.table(
+                {
+                    "si": pa.array([], pa.int64()),
+                    "gap": pa.array([], pa.int64()),
+                    "c_part": pa.array([], pa.int64()),
+                }
+            )
+        si = s_i[np.searchsorted(c_k, gc)]
+        g = (
+            pa.table(
+                {
+                    "si": pa.array(si, pa.int64()),
+                    "gap": pa.array(gaps, pa.int64()),
+                }
+            )
+            .group_by(["si", "gap"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "si": g.column("si"),
+                "gap": g.column("gap"),
+                "c_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        orders.map_batches(project, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["si", "gap"])
+        .aggregate(Sum("c_part"))
+        .take_all()
+    )  # <= segments x gap-days rows
+    per: dict = {}
+    for r in hist:
+        per.setdefault(int(r["si"]), {})[int(r["gap"])] = int(
+            r["sum(c_part)"]
+        )
+    out_s, out_n, out_p = [], [], []
+    for si in sorted(per):
+        h = per[si]
+        n = sum(h.values())
+        vals = sorted(h)
+        cums = np.cumsum([h[v] for v in vals])
+        target = int(np.ceil(0.5 * n))
+        p50 = vals[int(np.searchsorted(cums, target))]
+        out_s.append(segs[si])
+        out_n.append(n)
+        out_p.append(float(p50))
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(out_s, pa.string()),
+            "n_gaps": pa.array(out_n, pa.int64()),
+            "p50_days": pa.array(out_p, pa.float64()),
+        }
+    )
+
+
+def _q_discount_curve(sf_dir: str):
+    """Revenue by discount percent: one bounded groupby of exact
+    cent-hundredth partials."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_discount", "l_extendedprice"],
+    )
+
+    def partial(b):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column("l_discount")),
+                pc.is_valid(b.column("l_extendedprice")),
+            )
+        )
+        disc = pc.cast(
+            pc.round(
+                pc.multiply(
+                    t.column("l_discount").cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        )
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    t.column("l_extendedprice").cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        d = disc.to_numpy(zero_copy_only=False)
+        rev = cents * (100 - d)
+        g = (
+            pa.table(
+                {
+                    "disc_pct": disc,
+                    "one": pa.array(
+                        np.ones(len(d), np.int64), pa.int64()
+                    ),
+                    "rev": pa.array(rev, pa.int64()),
+                }
+            )
+            .group_by("disc_pct")
+            .aggregate([("one", "sum"), ("rev", "sum")])
+        )
+        return g.rename_columns(["disc_pct", "n_p", "r_p"])
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("disc_pct")
+        .aggregate(Sum("n_p"), Sum("r_p"))
+        .rename_columns(
+            {"sum(n_p)": "n_items", "sum(r_p)": "revenue_milli"}
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -5556,6 +5748,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_growth_share": _q_brand_growth,
         "tool_rules": _q_tool_rules,
         "tool_transitions": _q_tool_transitions,
+        "segment_cadence": _q_segment_cadence,
+        "discount_curve": _q_discount_curve,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -8849,6 +9043,27 @@ def oracle_sql() -> dict[str, str]:
         "conv_id ORDER BY turn_idx) AS nxt FROM o) "
         "SELECT f AS from_state, nxt AS to_state, CAST(count(*) AS "
         "BIGINT) AS n FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2"
+    )
+    out["segment_cadence"] = (
+        # LAG gaps per customer joined to the segment dimension
+        "WITH o AS (SELECT o_custkey AS c, epoch_us(o_orderdate) "
+        "AS t FROM orders WHERE o_custkey IS NOT NULL AND "
+        "o_orderdate IS NOT NULL), "
+        "g AS (SELECT c, (t - lag(t) OVER (PARTITION BY c ORDER BY "
+        "t)) // 86400000000 AS gap FROM o), "
+        "j AS (SELECT c_mktsegment AS seg, gap FROM g JOIN customer "
+        "ON c_custkey = c WHERE gap IS NOT NULL) "
+        "SELECT seg AS c_mktsegment, CAST(count(*) AS BIGINT) AS "
+        "n_gaps, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY "
+        "gap) AS DOUBLE) AS p50_days FROM j GROUP BY 1"
+    )
+    out["discount_curve"] = (
+        "SELECT CAST(round(l_discount * 100) AS BIGINT) AS "
+        "disc_pct, CAST(count(*) AS BIGINT) AS n_items, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS "
+        "BIGINT) AS revenue_milli FROM lineitem WHERE l_discount "
+        "IS NOT NULL AND l_extendedprice IS NOT NULL GROUP BY 1"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

@@ -298,6 +298,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "brand_growth_share",
         "tool_rules",
         "tool_transitions",
+        "segment_cadence",
+        "discount_curve",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
