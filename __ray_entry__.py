@@ -5575,6 +5575,232 @@ def _q_discount_curve(sf_dir: str):
     )
 
 
+def _q_part_type_pricing(sf_dir: str):
+    """Category performance by part type: catalog stats from the
+    dimension plus sold-quantity/revenue from the fact table via one
+    broadcast -- exact cents, one float mean per row."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.dedup import _cached_get
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_type", "p_retailprice"],
+    )
+    pk = np.asarray(t.column("p_partkey").to_pylist(), np.int64)
+    ty = np.asarray(t.column("p_type").to_pylist())
+    rp = np.asarray(t.column("p_retailprice").to_pylist(), np.float64)
+    order = np.argsort(pk)
+    pk, ty, rp = pk[order], ty[order], rp[order]
+    types = sorted(set(ty.tolist()))
+    tid = {x: i for i, x in enumerate(types)}
+    tidx = np.array([tid[x] for x in ty], np.int64)
+    retail_cents = np.round(rp * 100.0).astype(np.int64)
+    n_parts = np.zeros(len(types), np.int64)
+    sum_retail = np.zeros(len(types), np.int64)
+    np.add.at(n_parts, tidx, 1)
+    np.add.at(sum_retail, tidx, retail_cents)
+    ref = ray.put((pk, tidx))
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def partial(b, _r=ref):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        p_k, t_i = _cached_get(_r)
+        part = b.column("l_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        qty = pc.cast(
+            pc.round(b.column("l_quantity").cast(pa.float64())),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    b.column("l_extendedprice").cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        disc = pc.cast(
+            pc.round(
+                pc.multiply(
+                    b.column("l_discount").cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        rev = cents * (100 - disc)
+        ti = t_i[np.searchsorted(p_k, part)]
+        n_t = len(types)
+        q = np.zeros(n_t, np.int64)
+        r = np.zeros(n_t, np.int64)
+        np.add.at(q, ti, qty)
+        np.add.at(r, ti, rev)
+        nz = np.flatnonzero((q != 0) | (r != 0))
+        return pa.table(
+            {
+                "ti": pa.array(nz, pa.int64()),
+                "q_p": pa.array(q[nz], pa.int64()),
+                "r_p": pa.array(r[nz], pa.int64()),
+            }
+        )
+
+    agg = {i: (0, 0) for i in range(len(types))}
+    for r in (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("ti")
+        .aggregate(Sum("q_p"), Sum("r_p"))
+        .take_all()
+    ):
+        agg[int(r["ti"])] = (
+            int(r["sum(q_p)"]),
+            int(r["sum(r_p)"]),
+        )
+    return pa.table(
+        {
+            "p_type": pa.array(types, pa.string()),
+            "n_parts": pa.array(n_parts, pa.int64()),
+            "avg_retail_cents": pa.array(
+                sum_retail.astype(np.float64)
+                / n_parts.astype(np.float64),
+                pa.float64(),
+            ),
+            "qty_sold": pa.array(
+                [agg[i][0] for i in range(len(types))], pa.int64()
+            ),
+            "revenue_milli": pa.array(
+                [agg[i][1] for i in range(len(types))], pa.int64()
+            ),
+        }
+    )
+
+
+def _q_region_balances(sf_dir: str):
+    """Customer balance health by region: the three-level dimension
+    chain (region <- nation <- customer) resolved with two driver
+    lookups and one bounded groupby of exact cent partials."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.dedup import _cached_get
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"],
+    )
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+    nk = np.asarray(nat.column("n_nationkey").to_pylist(), np.int64)
+    nr = np.asarray(nat.column("n_regionkey").to_pylist(), np.int64)
+    order = np.argsort(nk)
+    nk, nr = nk[order], nr[order]
+    rk = np.asarray(reg.column("r_regionkey").to_pylist(), np.int64)
+    rn = np.asarray(reg.column("r_name").to_pylist())
+    order = np.argsort(rk)
+    rk, rn = rk[order], rn[order]
+    ref = ray.put((nk, nr))
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_nationkey", "c_acctbal"],
+    )
+
+    def partial(b, _r=ref):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n_k, n_r = _cached_get(_r)
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column("c_nationkey")),
+                pc.is_valid(b.column("c_acctbal")),
+            )
+        )
+        nkey = t.column("c_nationkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bal = pc.cast(
+            pc.round(
+                pc.multiply(
+                    t.column("c_acctbal").cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        rkey = n_r[np.searchsorted(n_k, nkey)]
+        n_reg = int(n_r.max()) + 1
+        cnt = np.zeros(n_reg, np.int64)
+        s = np.zeros(n_reg, np.int64)
+        neg = np.zeros(n_reg, np.int64)
+        np.add.at(cnt, rkey, 1)
+        np.add.at(s, rkey, bal)
+        np.add.at(neg, rkey, (bal < 0).astype(np.int64))
+        nz = np.flatnonzero(cnt > 0)
+        return pa.table(
+            {
+                "rk": pa.array(nz, pa.int64()),
+                "n_p": pa.array(cnt[nz], pa.int64()),
+                "s_p": pa.array(s[nz], pa.int64()),
+                "neg_p": pa.array(neg[nz], pa.int64()),
+            }
+        )
+
+    agg = (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby("rk")
+        .aggregate(Sum("n_p"), Sum("s_p"), Sum("neg_p"))
+        .take_all()
+    )
+    agg.sort(key=lambda r: int(r["rk"]))
+    names = {int(k): str(v) for k, v in zip(rk, rn)}
+    out_r, out_n, out_s, out_neg, out_f = [], [], [], [], []
+    for r in agg:
+        n = int(r["sum(n_p)"])
+        out_r.append(names[int(r["rk"])])
+        out_n.append(n)
+        out_s.append(int(r["sum(s_p)"]))
+        out_neg.append(int(r["sum(neg_p)"]))
+        out_f.append(float(int(r["sum(neg_p)"])) / float(n))
+    return pa.table(
+        {
+            "r_name": pa.array(out_r, pa.string()),
+            "n_customers": pa.array(out_n, pa.int64()),
+            "sum_balance_cents": pa.array(out_s, pa.int64()),
+            "n_negative": pa.array(out_neg, pa.int64()),
+            "neg_share": pa.array(out_f, pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -5750,6 +5976,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_transitions": _q_tool_transitions,
         "segment_cadence": _q_segment_cadence,
         "discount_curve": _q_discount_curve,
+        "part_type_pricing": _q_part_type_pricing,
+        "region_balances": _q_region_balances,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -9064,6 +9292,35 @@ def oracle_sql() -> dict[str, str]:
         "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS "
         "BIGINT) AS revenue_milli FROM lineitem WHERE l_discount "
         "IS NOT NULL AND l_extendedprice IS NOT NULL GROUP BY 1"
+    )
+    out["part_type_pricing"] = (
+        # catalog stats per type + fact revenue via the same join
+        "WITH cat AS (SELECT p_type, CAST(count(*) AS BIGINT) AS "
+        "n_parts, CAST(sum(CAST(round(p_retailprice * 100) AS "
+        "BIGINT)) AS BIGINT) AS sr FROM part GROUP BY 1), "
+        "fact AS (SELECT p_type, CAST(coalesce(sum(CAST(round("
+        "l_quantity) AS BIGINT)), 0) AS BIGINT) AS qty_sold, "
+        "CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS "
+        "BIGINT) * (100 - CAST(round(l_discount * 100) AS "
+        "BIGINT))), 0) AS BIGINT) AS revenue_milli FROM part JOIN "
+        "lineitem ON l_partkey = p_partkey GROUP BY 1) "
+        "SELECT cat.p_type, cat.n_parts, CAST(cat.sr AS DOUBLE) / "
+        "CAST(cat.n_parts AS DOUBLE) AS avg_retail_cents, "
+        "coalesce(fact.qty_sold, 0) AS qty_sold, "
+        "coalesce(fact.revenue_milli, 0) AS revenue_milli "
+        "FROM cat LEFT JOIN fact USING (p_type)"
+    )
+    out["region_balances"] = (
+        "SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers, "
+        "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS "
+        "BIGINT) AS sum_balance_cents, "
+        "CAST(count(*) FILTER (WHERE round(c_acctbal * 100) < 0) "
+        "AS BIGINT) AS n_negative, "
+        "CAST(count(*) FILTER (WHERE round(c_acctbal * 100) < 0) "
+        "AS DOUBLE) / CAST(count(*) AS DOUBLE) AS neg_share "
+        "FROM customer JOIN nation ON n_nationkey = c_nationkey "
+        "JOIN region ON r_regionkey = n_regionkey "
+        "WHERE c_acctbal IS NOT NULL GROUP BY 1"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

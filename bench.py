@@ -300,6 +300,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "tool_transitions",
         "segment_cadence",
         "discount_curve",
+        "part_type_pricing",
+        "region_balances",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
