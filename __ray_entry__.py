@@ -5801,6 +5801,221 @@ def _q_region_balances(sf_dir: str):
     )
 
 
+def _q_supplier_hhi(sf_dir: str):
+    """Supplier concentration (Herfindahl index) per part type:
+    HHI = sum(q_s^2) / Q^2 with exact integer quantity sums -- the
+    order-free formulation that avoids summing float shares.  Packed
+    (type, supplier) keys fold through one bucket pass; the per-type
+    finish is one float expression."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.dedup import _cached_get
+    from console_log_parser_ray.stages.events import _bucket31
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_type"],
+    )
+    pk = np.asarray(t.column("p_partkey").to_pylist(), np.int64)
+    ty = np.asarray(t.column("p_type").to_pylist())
+    order = np.argsort(pk)
+    pk, ty = pk[order], ty[order]
+    types = sorted(set(ty.tolist()))
+    tid = {x: i for i, x in enumerate(types)}
+    tidx = np.array([tid[x] for x in ty], np.int64)
+    ref = ray.put((pk, tidx))
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+
+    def partial(b, _r=ref):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        p_k, t_i = _cached_get(_r)
+        part = b.column("l_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        supp = b.column("l_suppkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        qty = pc.cast(
+            pc.round(b.column("l_quantity").cast(pa.float64())),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        ti = t_i[np.searchsorted(p_k, part)]
+        packed = ti * np.int64(4_294_967_296) + supp
+        g = (
+            pa.table(
+                {
+                    "ts": pa.array(packed, pa.int64()),
+                    "q": pa.array(qty, pa.int64()),
+                }
+            )
+            .group_by("ts")
+            .aggregate([("q", "sum")])
+        )
+        g = g.rename_columns(["ts", "q_p"])
+        return g.append_column(
+            "kb", _bucket31(g.column("ts").combine_chunks(), 64)
+        )
+
+    def fold(tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        g = (
+            tbl.select(["ts", "q_p"])
+            .group_by("ts")
+            .aggregate([("q_p", "sum")])
+        )
+        ts_ = g.column("ts").to_numpy(zero_copy_only=False)
+        q = g.column("q_p_sum").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ti = ts_ // np.int64(4_294_967_296)
+        n_t = int(ti.max()) + 1 if len(ti) else 0
+        cnt = np.zeros(n_t, np.int64)
+        s1 = np.zeros(n_t, np.int64)
+        s2 = np.zeros(n_t, np.int64)
+        np.add.at(cnt, ti, 1)
+        np.add.at(s1, ti, q)
+        np.add.at(s2, ti, q * q)
+        nz = np.flatnonzero(cnt > 0)
+        return pa.table(
+            {
+                "ti": pa.array(nz, pa.int64()),
+                "n_p": pa.array(cnt[nz], pa.int64()),
+                "s1_p": pa.array(s1[nz], pa.int64()),
+                "s2_p": pa.array(s2[nz], pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("ti")
+        .aggregate(Sum("n_p"), Sum("s1_p"), Sum("s2_p"))
+        .take_all()
+    )
+    agg.sort(key=lambda r: int(r["ti"]))
+    out_t, out_n, out_q, out_h = [], [], [], []
+    for r in agg:
+        s1 = int(r["sum(s1_p)"])
+        s2 = int(r["sum(s2_p)"])
+        out_t.append(types[int(r["ti"])])
+        out_n.append(int(r["sum(n_p)"]))
+        out_q.append(s1)
+        out_h.append(
+            float(s2) / (float(s1) * float(s1)) if s1 else None
+        )
+    return pa.table(
+        {
+            "p_type": pa.array(out_t, pa.string()),
+            "n_suppliers": pa.array(out_n, pa.int64()),
+            "qty_total": pa.array(out_q, pa.int64()),
+            "hhi": pa.array(out_h, pa.float64()),
+        }
+    )
+
+
+def _q_segment_priority_mix(sf_dir: str):
+    """Order count per (market segment, order priority): customer
+    dimension broadcast, bounded two-key groupby."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.dedup import _cached_get
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    ck = np.asarray(t.column("c_custkey").to_pylist(), np.int64)
+    sg = np.asarray(t.column("c_mktsegment").to_pylist())
+    order = np.argsort(ck)
+    ck, sg = ck[order], sg[order]
+    segs = sorted(set(sg.tolist()))
+    sid = {s: i for i, s in enumerate(segs)}
+    sidx = np.array([sid[s] for s in sg], np.int64)
+    ref = ray.put((ck, sidx))
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    )
+
+    def partial(b, _r=ref):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        c_k, s_i = _cached_get(_r)
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column("o_custkey")),
+                pc.is_valid(b.column("o_orderpriority")),
+            )
+        )
+        cust = t.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        si = s_i[np.searchsorted(c_k, cust)]
+        g = (
+            pa.table(
+                {
+                    "si": pa.array(si, pa.int64()),
+                    "prio": t.column("o_orderpriority"),
+                }
+            )
+            .group_by(["si", "prio"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "si": g.column("si"),
+                "prio": g.column("prio"),
+                "n_p": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["si", "prio"])
+        .aggregate(Sum("n_p"))
+        .take_all()
+    )
+    agg.sort(key=lambda r: (int(r["si"]), r["prio"]))
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(
+                [segs[int(r["si"])] for r in agg], pa.string()
+            ),
+            "o_orderpriority": pa.array(
+                [r["prio"] for r in agg], pa.string()
+            ),
+            "n": pa.array(
+                [int(r["sum(n_p)"]) for r in agg], pa.int64()
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -5978,6 +6193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_curve": _q_discount_curve,
         "part_type_pricing": _q_part_type_pricing,
         "region_balances": _q_region_balances,
+        "supplier_hhi": _q_supplier_hhi,
+        "segment_priority_mix": _q_segment_priority_mix,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -9321,6 +9538,25 @@ def oracle_sql() -> dict[str, str]:
         "FROM customer JOIN nation ON n_nationkey = c_nationkey "
         "JOIN region ON r_regionkey = n_regionkey "
         "WHERE c_acctbal IS NOT NULL GROUP BY 1"
+    )
+    out["supplier_hhi"] = (
+        # HHI = sum(q_s^2)/Q^2; HUGEINT squares, one float division
+        "WITH s AS (SELECT p_type, l_suppkey, CAST(sum(CAST(round("
+        "l_quantity) AS BIGINT)) AS BIGINT) AS q FROM lineitem "
+        "JOIN part ON p_partkey = l_partkey GROUP BY 1, 2), "
+        "t AS (SELECT p_type, CAST(count(*) AS BIGINT) AS "
+        "n_suppliers, CAST(sum(q) AS BIGINT) AS qt, "
+        "CAST(sum(CAST(q AS HUGEINT) * q) AS BIGINT) AS sq FROM s "
+        "GROUP BY 1) "
+        "SELECT p_type, n_suppliers, qt AS qty_total, "
+        "CASE WHEN qt > 0 THEN CAST(sq AS DOUBLE) / "
+        "(CAST(qt AS DOUBLE) * CAST(qt AS DOUBLE)) END AS hhi "
+        "FROM t"
+    )
+    out["segment_priority_mix"] = (
+        "SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS "
+        "BIGINT) AS n FROM orders JOIN customer ON c_custkey = "
+        "o_custkey WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

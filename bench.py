@@ -302,6 +302,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "discount_curve",
         "part_type_pricing",
         "region_balances",
+        "supplier_hhi",
+        "segment_priority_mix",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
