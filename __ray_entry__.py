@@ -6016,6 +6016,149 @@ def _q_segment_priority_mix(sf_dir: str):
     )
 
 
+def _q_tools_per_conv(sf_dir: str):
+    """Conversations by distinct-tool count: one conv-bucket shuffle,
+    per-conv distinct non-empty tools + turn count, bounded
+    histogram."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.events import _string_bucket
+
+    ds = _enriched(sf_dir)
+
+    def project(b):
+        keys = b.column("conv_id")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.table(
+            {
+                "jb": _string_bucket(keys, 64),
+                "conv_id": keys,
+                "tool": pc.fill_null(b.column("tool"), ""),
+            }
+        )
+
+    def per_bucket(tbl):
+        import pandas as pd
+        import pyarrow as pa
+
+        df = tbl.select(["conv_id", "tool"]).to_pandas()
+        g = df.groupby("conv_id", sort=False).agg(
+            n_turns=("tool", "size"),
+            n_tools=(
+                "tool",
+                lambda s: s[s != ""].nunique(),
+            ),
+        )
+        h = g.groupby("n_tools", sort=False).agg(
+            n_convs=("n_turns", "size"),
+            sum_turns=("n_turns", "sum"),
+        )
+        return pa.table(
+            {
+                "n_tools": pa.array(
+                    h.index.to_numpy(dtype="int64"), pa.int64()
+                ),
+                "nc_p": pa.array(
+                    h["n_convs"].to_numpy(dtype="int64"), pa.int64()
+                ),
+                "st_p": pa.array(
+                    h["sum_turns"].to_numpy(dtype="int64"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("n_tools")
+        .aggregate(Sum("nc_p"), Sum("st_p"))
+        .rename_columns(
+            {"sum(nc_p)": "n_convs", "sum(st_p)": "sum_turns"}
+        )
+    )
+
+
+def _q_role_runs(sf_dir: str):
+    """Distribution of consecutive same-role run lengths across
+    conversations (gaps-and-islands): one conv-bucket shuffle, one
+    lexsort + boundary diff per bucket, bounded (role, run_len)
+    histogram."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.events import _string_bucket
+
+    ds = _enriched(sf_dir)
+
+    def project(b):
+        keys = b.column("conv_id")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.table(
+            {
+                "jb": _string_bucket(keys, 64),
+                "conv_id": keys,
+                "turn_idx": b.column("turn_idx").cast(pa.int64()),
+                "role": b.column("role"),
+            }
+        )
+
+    def per_bucket(tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        df = tbl.select(["conv_id", "turn_idx", "role"]).to_pandas()
+        df = df.sort_values(["conv_id", "turn_idx"])
+        conv = df["conv_id"].to_numpy()
+        role = df["role"].to_numpy()
+        n = len(df)
+        new_run = np.ones(n, bool)
+        new_run[1:] = (conv[1:] != conv[:-1]) | (
+            role[1:] != role[:-1]
+        )
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, n))
+        run_roles = role[starts]
+        import pandas as pd
+
+        h = (
+            pd.DataFrame({"role": run_roles, "run_len": lens})
+            .groupby(["role", "run_len"], sort=False)
+            .size()
+        )
+        idx = h.index
+        return pa.table(
+            {
+                "role": pa.array(
+                    idx.get_level_values(0).tolist(), pa.string()
+                ),
+                "run_len": pa.array(
+                    idx.get_level_values(1).to_numpy(dtype="int64"),
+                    pa.int64(),
+                ),
+                "n_p": pa.array(
+                    h.to_numpy(dtype="int64"), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["role", "run_len"])
+        .aggregate(Sum("n_p"))
+        .rename_columns({"sum(n_p)": "n_runs"})
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -6195,6 +6338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_balances": _q_region_balances,
         "supplier_hhi": _q_supplier_hhi,
         "segment_priority_mix": _q_segment_priority_mix,
+        "tools_per_conv": _q_tools_per_conv,
+        "role_runs": _q_role_runs,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -9557,6 +9702,26 @@ def oracle_sql() -> dict[str, str]:
         "SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS "
         "BIGINT) AS n FROM orders JOIN customer ON c_custkey = "
         "o_custkey WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2"
+    )
+    out["tools_per_conv"] = (
+        "WITH c AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS "
+        "n_turns, CAST(count(DISTINCT CASE WHEN expected_tool <> "
+        "'' THEN expected_tool END) AS BIGINT) AS n_tools FROM "
+        f"read_parquet('{_SF001_GLOB}') GROUP BY 1) "
+        "SELECT n_tools, CAST(count(*) AS BIGINT) AS n_convs, "
+        "CAST(sum(n_turns) AS BIGINT) AS sum_turns FROM c "
+        "GROUP BY 1"
+    )
+    out["role_runs"] = (
+        # gaps-and-islands over dense per-conv turn indices
+        "WITH r AS (SELECT conv_id, expected_role AS role, "
+        "turn_idx - row_number() OVER (PARTITION BY conv_id, "
+        "expected_role ORDER BY turn_idx) AS isl FROM "
+        f"read_parquet('{_SF001_GLOB}')), "
+        "runs AS (SELECT role, CAST(count(*) AS BIGINT) AS run_len "
+        "FROM r GROUP BY conv_id, role, isl) "
+        "SELECT role, run_len, CAST(count(*) AS BIGINT) AS n_runs "
+        "FROM runs GROUP BY 1, 2"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

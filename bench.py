@@ -304,6 +304,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "region_balances",
         "supplier_hhi",
         "segment_priority_mix",
+        "tools_per_conv",
+        "role_runs",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
