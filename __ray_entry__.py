@@ -6159,6 +6159,111 @@ def _q_role_runs(sf_dir: str):
     )
 
 
+def _q_top_commands(sf_dir: str):
+    """Top-20 most frequent commands over command-bearing turns:
+    per-block count partials, bounded groupby, (n DESC, command ASC)
+    cut."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _enriched(sf_dir)
+
+    def partial(b):
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column("command")),
+                pc.not_equal(b.column("command"), pa.scalar("")),
+            )
+        )
+        g = (
+            pa.table({"command": t.column("command")})
+            .group_by("command")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "command": g.column("command"),
+                "n_p": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("command")
+        .aggregate(Sum("n_p"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: (-int(r["sum(n_p)"]), r["command"]))
+    rows = rows[:20]
+    return pa.table(
+        {
+            "command": pa.array(
+                [r["command"] for r in rows], pa.string()
+            ),
+            "n": pa.array(
+                [int(r["sum(n_p)"]) for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+def _q_vim_share(sf_dir: str):
+    """Conversations by vim-time decile: per-conv exact integer
+    decile (10 * n_vim) // n_turns, bounded histogram."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.events import _string_bucket
+
+    ds = _enriched(sf_dir)
+
+    def project(b):
+        keys = b.column("conv_id")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.table(
+            {
+                "jb": _string_bucket(keys, 64),
+                "conv_id": keys,
+                "v": pc.cast(b.column("in_vim"), pa.int64()),
+            }
+        )
+
+    def per_bucket(tbl):
+        import pandas as pd
+        import pyarrow as pa
+
+        df = tbl.select(["conv_id", "v"]).to_pandas()
+        g = df.groupby("conv_id", sort=False).agg(
+            n=("v", "size"), nv=("v", "sum")
+        )
+        dec = (10 * g["nv"].to_numpy(dtype="int64")) // g[
+            "n"
+        ].to_numpy(dtype="int64")
+        import numpy as np
+
+        vals, cnt = np.unique(dec, return_counts=True)
+        return pa.table(
+            {
+                "decile": pa.array(vals, pa.int64()),
+                "nc_p": pa.array(
+                    cnt.astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(Sum("nc_p"))
+        .rename_columns({"sum(nc_p)": "n_convs"})
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -6340,6 +6445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_priority_mix": _q_segment_priority_mix,
         "tools_per_conv": _q_tools_per_conv,
         "role_runs": _q_role_runs,
+        "top_commands": _q_top_commands,
+        "vim_share": _q_vim_share,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -9722,6 +9829,20 @@ def oracle_sql() -> dict[str, str]:
         "FROM r GROUP BY conv_id, role, isl) "
         "SELECT role, run_len, CAST(count(*) AS BIGINT) AS n_runs "
         "FROM runs GROUP BY 1, 2"
+    )
+    out["top_commands"] = (
+        "SELECT expected_command AS command, CAST(count(*) AS "
+        f"BIGINT) AS n FROM read_parquet('{_SF001_GLOB}') WHERE "
+        "expected_command IS NOT NULL AND expected_command <> '' "
+        "GROUP BY 1 ORDER BY n DESC, command ASC LIMIT 20"
+    )
+    out["vim_share"] = (
+        "WITH c AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CASE WHEN expected_in_vim THEN 1 ELSE 0 END) AS "
+        f"BIGINT) AS nv FROM read_parquet('{_SF001_GLOB}') "
+        "GROUP BY 1) "
+        "SELECT (10 * nv) // n AS decile, CAST(count(*) AS BIGINT) "
+        "AS n_convs FROM c GROUP BY 1"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

@@ -306,6 +306,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "segment_priority_mix",
         "tools_per_conv",
         "role_runs",
+        "top_commands",
+        "vim_share",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
