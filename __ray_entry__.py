@@ -6264,6 +6264,94 @@ def _q_vim_share(sf_dir: str):
     )
 
 
+def _q_turnlen_by_role(sf_dir: str):
+    """Clean-text length quantiles per role: the exact
+    group_quantiles operator over the parse output."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from console_log_parser_ray.stages.events import group_quantiles
+
+    ds = _parsed(sf_dir)
+
+    def project(b):
+        return pa.table(
+            {
+                "role": b.column("role"),
+                "len": pc.utf8_length(
+                    pc.fill_null(b.column("clean_text"), "")
+                ).cast(pa.int64()),
+            }
+        )
+
+    return group_quantiles(
+        ds.map_batches(project, batch_format="pyarrow"),
+        "role",
+        "len",
+        qs=(0.5, 0.95),
+    )
+
+
+def _q_priority_trend(sf_dir: str):
+    """Order volume per (priority, 91-day epoch bucket): bounded
+    two-key count fold in pure integer arithmetic."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_orderdate"],
+    )
+    mn = orders.min("o_orderdate")
+    from console_log_parser_ray.stages.events import _ts_scalar_us
+
+    mn_us = _ts_scalar_us(mn)
+    Q = 91 * 86_400_000_000
+
+    def partial(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column("o_orderpriority")),
+                pc.is_valid(b.column("o_orderdate")),
+            )
+        )
+        qb = pc.divide(
+            pc.subtract(
+                t.column("o_orderdate").cast(pa.int64()),
+                pa.scalar(mn_us, pa.int64()),
+            ),
+            pa.scalar(Q, pa.int64()),
+        )
+        g = (
+            pa.table(
+                {
+                    "o_orderpriority": t.column("o_orderpriority"),
+                    "qbucket": qb,
+                }
+            )
+            .group_by(["o_orderpriority", "qbucket"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g.column("o_orderpriority"),
+                "qbucket": g.column("qbucket"),
+                "n_p": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "qbucket"])
+        .aggregate(Sum("n_p"))
+        .rename_columns({"sum(n_p)": "n"})
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -6447,6 +6535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_runs": _q_role_runs,
         "top_commands": _q_top_commands,
         "vim_share": _q_vim_share,
+        "turnlen_by_role": _q_turnlen_by_role,
+        "priority_trend": _q_priority_trend,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -9843,6 +9933,22 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY 1) "
         "SELECT (10 * nv) // n AS decile, CAST(count(*) AS BIGINT) "
         "AS n_convs FROM c GROUP BY 1"
+    )
+    out["turnlen_by_role"] = (
+        "SELECT expected_role AS role, CAST(percentile_disc(0.5) "
+        "WITHIN GROUP (ORDER BY length(coalesce("
+        "expected_clean_text, ''))) AS DOUBLE) AS p50, "
+        "CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY "
+        "length(coalesce(expected_clean_text, ''))) AS DOUBLE) AS "
+        f"p95 FROM read_parquet('{_SF001_GLOB}') GROUP BY 1"
+    )
+    out["priority_trend"] = (
+        "WITH span AS (SELECT epoch_us(min(o_orderdate)) AS mn "
+        "FROM orders WHERE o_orderdate IS NOT NULL) "
+        "SELECT o_orderpriority, (epoch_us(o_orderdate) - span.mn) "
+        "// 7862400000000 AS qbucket, CAST(count(*) AS BIGINT) AS "
+        "n FROM orders, span WHERE o_orderpriority IS NOT NULL AND "
+        "o_orderdate IS NOT NULL GROUP BY 1, 2"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

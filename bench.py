@@ -308,6 +308,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "role_runs",
         "top_commands",
         "vim_share",
+        "turnlen_by_role",
+        "priority_trend",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
