@@ -6352,6 +6352,144 @@ def _q_priority_trend(sf_dir: str):
     )
 
 
+def _q_ship_delay_hist(sf_dir: str):
+    """Order-to-ship delay histogram in whole days: size-adaptive
+    join + bounded day-bucket count fold."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.relational import lookup_join
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    )
+    j = lookup_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        how="inner",
+    )
+
+    def partial(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column("l_shipdate")),
+                pc.is_valid(b.column("o_orderdate")),
+            )
+        )
+        d = pc.divide(
+            pc.subtract(
+                t.column("l_shipdate").cast(pa.int64()),
+                t.column("o_orderdate").cast(pa.int64()),
+            ),
+            pa.scalar(86_400_000_000, pa.int64()),
+        )
+        g = (
+            pa.table({"delay_days": d})
+            .group_by("delay_days")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "delay_days": g.column("delay_days"),
+                "n_p": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("delay_days")
+        .aggregate(Sum("n_p"))
+        .rename_columns({"sum(n_p)": "n_items"})
+    )
+
+
+def _q_peak_3h_rate(sf_dir: str):
+    """Peak sustained load per event type: the maximum 3-consecutive-
+    hour event count (sliding over hourly buckets anchored at the
+    corpus start), ties to the earliest window -- bounded (type,
+    hour) fold + a keys x hours driver scan."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.events import _ts_scalar_us
+
+    ds = _events(sf_dir).select_columns(["event_type", "ts"])
+    mn_us = _ts_scalar_us(ds.min("ts"))
+    H = 3_600_000_000
+
+    def partial(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column("ts")),
+                pc.is_valid(b.column("event_type")),
+            )
+        )
+        hb = pc.divide(
+            pc.subtract(
+                t.column("ts").cast(pa.int64()),
+                pa.scalar(mn_us, pa.int64()),
+            ),
+            pa.scalar(H, pa.int64()),
+        )
+        g = (
+            pa.table({"k": t.column("event_type"), "h": hb})
+            .group_by(["k", "h"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "k": g.column("k"),
+                "h": g.column("h"),
+                "n_p": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["k", "h"])
+        .aggregate(Sum("n_p"))
+        .take_all()
+    )  # <= types x hours rows
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r["k"], {})[int(r["h"])] = int(r["sum(n_p)"])
+    out_k, out_h, out_n = [], [], []
+    for k in sorted(per):
+        h = per[k]
+        # candidate window starts: any start in [hh-2, hh] for an
+        # occupied hour hh covers every nonzero window
+        cands = sorted(
+            {s for hh in h for s in (hh - 2, hh - 1, hh) if s >= 0}
+        )
+        best = None
+        for s in cands:
+            tot = h.get(s, 0) + h.get(s + 1, 0) + h.get(s + 2, 0)
+            if best is None or tot > best[0]:
+                best = (tot, s)
+        out_k.append(k)
+        out_h.append(best[1])
+        out_n.append(best[0])
+    return pa.table(
+        {
+            "event_type": pa.array(out_k, pa.string()),
+            "window_start_hour": pa.array(out_h, pa.int64()),
+            "peak_3h_events": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -6537,6 +6675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vim_share": _q_vim_share,
         "turnlen_by_role": _q_turnlen_by_role,
         "priority_trend": _q_priority_trend,
+        "ship_delay_hist": _q_ship_delay_hist,
+        "peak_3h_rate": _q_peak_3h_rate,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -9949,6 +10089,37 @@ def oracle_sql() -> dict[str, str]:
         "// 7862400000000 AS qbucket, CAST(count(*) AS BIGINT) AS "
         "n FROM orders, span WHERE o_orderpriority IS NOT NULL AND "
         "o_orderdate IS NOT NULL GROUP BY 1, 2"
+    )
+    out["ship_delay_hist"] = (
+        "SELECT (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // "
+        "86400000000 AS delay_days, CAST(count(*) AS BIGINT) AS "
+        "n_items FROM lineitem JOIN orders ON o_orderkey = "
+        "l_orderkey WHERE l_shipdate IS NOT NULL AND o_orderdate "
+        "IS NOT NULL GROUP BY 1"
+    )
+    out["peak_3h_rate"] = (
+        # max over all 3-hour windows; zero-start candidates suffice
+        # because an empty window can never beat an occupied one
+        "WITH span AS (SELECT epoch_us(min(ts)) AS mn FROM events "
+        "WHERE ts IS NOT NULL), "
+        "o AS (SELECT event_type AS k, (epoch_us(ts) - span.mn) // "
+        "3600000000 AS h FROM events, span WHERE ts IS NOT NULL "
+        "AND event_type IS NOT NULL), "
+        "hc AS (SELECT k, h, CAST(count(*) AS BIGINT) AS c FROM o "
+        "GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT k, s FROM (SELECT k, h - 2 AS s "
+        "FROM hc UNION ALL SELECT k, h - 1 FROM hc UNION ALL "
+        "SELECT k, h FROM hc) WHERE s >= 0), "
+        "w AS (SELECT cand.k, cand.s, coalesce(a.c, 0) + "
+        "coalesce(b.c, 0) + coalesce(d.c, 0) AS tot FROM cand "
+        "LEFT JOIN hc a ON a.k = cand.k AND a.h = cand.s "
+        "LEFT JOIN hc b ON b.k = cand.k AND b.h = cand.s + 1 "
+        "LEFT JOIN hc d ON d.k = cand.k AND d.h = cand.s + 2), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER "
+        "BY tot DESC, s ASC) AS rn FROM w) "
+        "SELECT k AS event_type, CAST(s AS BIGINT) AS "
+        "window_start_hour, CAST(tot AS BIGINT) AS peak_3h_events "
+        "FROM r WHERE rn = 1"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

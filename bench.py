@@ -310,6 +310,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "vim_share",
         "turnlen_by_role",
         "priority_trend",
+        "ship_delay_hist",
+        "peak_3h_rate",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
