@@ -6490,6 +6490,196 @@ def _q_peak_3h_rate(sf_dir: str):
     )
 
 
+def _q_fast_orders(sf_dir: str):
+    """Fill-rate by priority: orders whose SLOWEST line item shipped
+    within 30 days, over all orders with line items -- join, per-
+    order max delay, threshold, bounded priority rollup."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    from console_log_parser_ray.stages.relational import lookup_join
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    j = lookup_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        how="inner",
+    )
+
+    def partial(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column("l_shipdate")),
+                pc.is_valid(b.column("o_orderdate")),
+            )
+        )
+        d = pc.divide(
+            pc.subtract(
+                t.column("l_shipdate").cast(pa.int64()),
+                t.column("o_orderdate").cast(pa.int64()),
+            ),
+            pa.scalar(86_400_000_000, pa.int64()),
+        )
+        g = (
+            pa.table(
+                {
+                    "o": t.column("l_orderkey").cast(pa.int64()),
+                    "prio": t.column("o_orderpriority"),
+                    "d": d,
+                }
+            )
+            .group_by(["o", "prio"])
+            .aggregate([("d", "max")])
+        )
+        return g.rename_columns(["o", "prio", "d_p"])
+
+    def rollup(b):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        fast = pc.cast(
+            pc.less_equal(
+                b.column("max(d_p)").cast(pa.int64()),
+                pa.scalar(30, pa.int64()),
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {
+                    "prio": b.column("prio"),
+                    "one": pa.array(
+                        np.ones(b.num_rows, np.int64), pa.int64()
+                    ),
+                    "fast": fast,
+                }
+            )
+            .group_by("prio")
+            .aggregate([("one", "sum"), ("fast", "sum")])
+        )
+        return g.rename_columns(["prio", "n_p", "f_p"])
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o", "prio"])
+        .aggregate(Max("d_p"))
+        .map_batches(rollup, batch_format="pyarrow")
+        .groupby("prio")
+        .aggregate(Sum("n_p"), Sum("f_p"))
+        .take_all()
+    )
+    agg.sort(key=lambda r: r["prio"])
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(
+                [r["prio"] for r in agg], pa.string()
+            ),
+            "n_orders": pa.array(
+                [int(r["sum(n_p)"]) for r in agg], pa.int64()
+            ),
+            "n_fast": pa.array(
+                [int(r["sum(f_p)"]) for r in agg], pa.int64()
+            ),
+            "fast_share": pa.array(
+                [
+                    float(int(r["sum(f_p)"]))
+                    / float(int(r["sum(n_p)"]))
+                    for r in agg
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _q_peak_revenue_day(sf_dir: str):
+    """Biggest revenue day: exact cent-hundredth revenue per epoch
+    day of ship date, argmax with earliest-day tie-break."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = b.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_valid(b.column("l_shipdate")),
+                    pc.is_valid(b.column("l_extendedprice")),
+                ),
+                pc.is_valid(b.column("l_discount")),
+            )
+        )
+        day = pc.divide(
+            t.column("l_shipdate").cast(pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()),
+        )
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    t.column("l_extendedprice").cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        disc = pc.cast(
+            pc.round(
+                pc.multiply(
+                    t.column("l_discount").cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        rev = cents * (100 - disc)
+        g = (
+            pa.table(
+                {"day": day, "rev": pa.array(rev, pa.int64())}
+            )
+            .group_by("day")
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["day", "r_p"])
+
+    rows = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("r_p"))
+        .take_all()
+    )  # <= distinct ship days
+    best = max(
+        rows, key=lambda r: (int(r["sum(r_p)"]), -int(r["day"]))
+    )
+    return pa.table(
+        {
+            "epoch_day": pa.array([int(best["day"])], pa.int64()),
+            "revenue_milli": pa.array(
+                [int(best["sum(r_p)"])], pa.int64()
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -6677,6 +6867,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_trend": _q_priority_trend,
         "ship_delay_hist": _q_ship_delay_hist,
         "peak_3h_rate": _q_peak_3h_rate,
+        "fast_orders": _q_fast_orders,
+        "peak_revenue_day": _q_peak_revenue_day,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -10120,6 +10312,29 @@ def oracle_sql() -> dict[str, str]:
         "SELECT k AS event_type, CAST(s AS BIGINT) AS "
         "window_start_hour, CAST(tot AS BIGINT) AS peak_3h_events "
         "FROM r WHERE rn = 1"
+    )
+    out["fast_orders"] = (
+        "WITH d AS (SELECT l_orderkey AS o, o_orderpriority AS "
+        "prio, max((epoch_us(l_shipdate) - epoch_us(o_orderdate)) "
+        "// 86400000000) AS md FROM lineitem JOIN orders ON "
+        "o_orderkey = l_orderkey WHERE l_shipdate IS NOT NULL AND "
+        "o_orderdate IS NOT NULL GROUP BY 1, 2) "
+        "SELECT prio AS o_orderpriority, CAST(count(*) AS BIGINT) "
+        "AS n_orders, CAST(coalesce(sum(CASE WHEN md <= 30 THEN 1 "
+        "END), 0) AS BIGINT) AS n_fast, "
+        "CAST(coalesce(sum(CASE WHEN md <= 30 THEN 1 END), 0) AS "
+        "DOUBLE) / CAST(count(*) AS DOUBLE) AS fast_share FROM d "
+        "GROUP BY 1"
+    )
+    out["peak_revenue_day"] = (
+        "WITH d AS (SELECT epoch_us(l_shipdate) // 86400000000 AS "
+        "day, CAST(sum(CAST(round(l_extendedprice * 100) AS "
+        "BIGINT) * (100 - CAST(round(l_discount * 100) AS "
+        "BIGINT))) AS BIGINT) AS rev FROM lineitem WHERE "
+        "l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL "
+        "AND l_discount IS NOT NULL GROUP BY 1) "
+        "SELECT CAST(day AS BIGINT) AS epoch_day, rev AS "
+        "revenue_milli FROM d ORDER BY rev DESC, day ASC LIMIT 1"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

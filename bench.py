@@ -312,6 +312,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "priority_trend",
         "ship_delay_hist",
         "peak_3h_rate",
+        "fast_orders",
+        "peak_revenue_day",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
