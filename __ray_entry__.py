@@ -6680,6 +6680,149 @@ def _q_peak_revenue_day(sf_dir: str):
     )
 
 
+def _q_dup_rate_by_source(sf_dir: str):
+    """Exact-duplicate share per source: texts hash into buckets (all
+    copies of a text land in one group), per-bucket text counts mark
+    duplicates, per-source partials fold -- the curation readout
+    "which source is pasting the same documents"."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.events import _string_bucket
+
+    ds = _docs(sf_dir).select_columns(["source", "text"])
+
+    def project(b):
+        t = pa.table(
+            {
+                "source": pc.fill_null(
+                    b.column("source").combine_chunks(), ""
+                ),
+                "text": pc.fill_null(
+                    b.column("text").combine_chunks(), ""
+                ),
+            }
+        )
+        return t.append_column(
+            "jb", _string_bucket(t.column("text").combine_chunks(), 64)
+        )
+
+    def per_bucket(tbl):
+        import pandas as pd
+        import pyarrow as pa
+
+        df = tbl.select(["source", "text"]).to_pandas()
+        counts = df.groupby("text", sort=False)["text"].transform(
+            "size"
+        )
+        df["dup"] = (counts >= 2).astype("int64")
+        g = df.groupby("source", sort=False).agg(
+            n_p=("dup", "size"), d_p=("dup", "sum")
+        )
+        return pa.table(
+            {
+                "source": pa.array(g.index.tolist(), pa.string()),
+                "n_p": pa.array(
+                    g["n_p"].to_numpy(dtype="int64"), pa.int64()
+                ),
+                "d_p": pa.array(
+                    g["d_p"].to_numpy(dtype="int64"), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_p"), Sum("d_p"))
+        .take_all()
+    )
+    agg.sort(key=lambda r: r["source"])
+    return pa.table(
+        {
+            "source": pa.array(
+                [r["source"] for r in agg], pa.string()
+            ),
+            "n_docs": pa.array(
+                [int(r["sum(n_p)"]) for r in agg], pa.int64()
+            ),
+            "n_dup_docs": pa.array(
+                [int(r["sum(d_p)"]) for r in agg], pa.int64()
+            ),
+            "dup_share": pa.array(
+                [
+                    float(int(r["sum(d_p)"]))
+                    / float(int(r["sum(n_p)"]))
+                    for r in agg
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _q_nonascii_by_source(sf_dir: str):
+    """Non-ASCII character share per source: exact codepoint counts
+    via one RE2 kernel per batch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir).select_columns(["source", "text"])
+
+    def partial(b):
+        src_col = pc.fill_null(
+            b.column("source").combine_chunks(), ""
+        )
+        txt = pc.fill_null(b.column("text").combine_chunks(), "")
+        total = pc.utf8_length(txt).cast(pa.int64())
+        non = pc.count_substring_regex(
+            txt, "[^\x00-\x7F]"
+        ).cast(pa.int64())
+        g = (
+            pa.table(
+                {"source": src_col, "t": total, "na": non}
+            )
+            .group_by("source")
+            .aggregate([("t", "sum"), ("na", "sum")])
+        )
+        return g.rename_columns(["source", "t_p", "na_p"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("t_p"), Sum("na_p"))
+        .take_all()
+    )
+    agg.sort(key=lambda r: r["source"])
+    return pa.table(
+        {
+            "source": pa.array(
+                [r["source"] for r in agg], pa.string()
+            ),
+            "n_chars": pa.array(
+                [int(r["sum(t_p)"]) for r in agg], pa.int64()
+            ),
+            "n_nonascii": pa.array(
+                [int(r["sum(na_p)"]) for r in agg], pa.int64()
+            ),
+            "nonascii_share": pa.array(
+                [
+                    float(int(r["sum(na_p)"]))
+                    / float(int(r["sum(t_p)"]))
+                    if int(r["sum(t_p)"])
+                    else None
+                    for r in agg
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -6869,6 +7012,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_3h_rate": _q_peak_3h_rate,
         "fast_orders": _q_fast_orders,
         "peak_revenue_day": _q_peak_revenue_day,
+        "dup_rate_by_source": _q_dup_rate_by_source,
+        "nonascii_by_source": _q_nonascii_by_source,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -10335,6 +10480,29 @@ def oracle_sql() -> dict[str, str]:
         "AND l_discount IS NOT NULL GROUP BY 1) "
         "SELECT CAST(day AS BIGINT) AS epoch_day, rev AS "
         "revenue_milli FROM d ORDER BY rev DESC, day ASC LIMIT 1"
+    )
+    out["dup_rate_by_source"] = (
+        "WITH t AS (SELECT coalesce(source, '') AS source, "
+        "coalesce(text, '') AS text FROM documents), "
+        "c AS (SELECT source, text, count(*) OVER (PARTITION BY "
+        "text) AS cnt FROM t) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(coalesce(sum(CASE WHEN cnt >= 2 THEN 1 END), 0) AS "
+        "BIGINT) AS n_dup_docs, "
+        "CAST(coalesce(sum(CASE WHEN cnt >= 2 THEN 1 END), 0) AS "
+        "DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_share FROM c "
+        "GROUP BY 1"
+    )
+    out["nonascii_by_source"] = (
+        "WITH t AS (SELECT coalesce(source, '') AS source, "
+        "coalesce(text, '') AS text FROM documents) "
+        "SELECT source, CAST(sum(length(text)) AS BIGINT) AS "
+        "n_chars, CAST(sum(length(regexp_replace(text, "
+        "'[\\x00-\\x7F]', '', 'g'))) AS BIGINT) AS n_nonascii, "
+        "CASE WHEN sum(length(text)) > 0 THEN "
+        "CAST(sum(length(regexp_replace(text, '[\\x00-\\x7F]', "
+        "'', 'g'))) AS DOUBLE) / CAST(sum(length(text)) AS DOUBLE) "
+        "END AS nonascii_share FROM t GROUP BY 1"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

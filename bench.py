@@ -314,6 +314,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "peak_3h_rate",
         "fast_orders",
         "peak_revenue_day",
+        "dup_rate_by_source",
+        "nonascii_by_source",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
