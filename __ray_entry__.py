@@ -6823,6 +6823,61 @@ def _q_nonascii_by_source(sf_dir: str):
     )
 
 
+def _q_sentences_by_lang(sf_dir: str):
+    """Mean words-per-sentence by language: the readability counting
+    conventions rolled up per lang -- exact integer sums, one float
+    mean."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir).select_columns(["lang", "text"])
+
+    def partial(b):
+        lang = pc.fill_null(b.column("lang").combine_chunks(), "")
+        txt = pc.fill_null(b.column("text").combine_chunks(), "")
+        words = pc.count_substring_regex(txt, "\\S+").cast(
+            pa.int64()
+        )
+        sents = pc.max_element_wise(
+            pc.count_substring_regex(txt, "[.!?]+").cast(pa.int64()),
+            pa.scalar(1, pa.int64()),
+        )
+        g = (
+            pa.table({"lang": lang, "w": words, "s": sents})
+            .group_by("lang")
+            .aggregate([("w", "sum"), ("s", "sum")])
+        )
+        return g.rename_columns(["lang", "w_p", "s_p"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("w_p"), Sum("s_p"))
+        .take_all()
+    )
+    agg.sort(key=lambda r: r["lang"])
+    return pa.table(
+        {
+            "lang": pa.array([r["lang"] for r in agg], pa.string()),
+            "n_words": pa.array(
+                [int(r["sum(w_p)"]) for r in agg], pa.int64()
+            ),
+            "n_sentences": pa.array(
+                [int(r["sum(s_p)"]) for r in agg], pa.int64()
+            ),
+            "words_per_sentence": pa.array(
+                [
+                    float(int(r["sum(w_p)"]))
+                    / float(int(r["sum(s_p)"]))
+                    for r in agg
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -7014,6 +7069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_revenue_day": _q_peak_revenue_day,
         "dup_rate_by_source": _q_dup_rate_by_source,
         "nonascii_by_source": _q_nonascii_by_source,
+        "sentences_by_lang": _q_sentences_by_lang,
         "session_entry_exit": _q_session_entry_exit,
         "cusum_alerts": _q_cusum_alerts,
         "lang_top_sources": _q_lang_top_sources,
@@ -10503,6 +10559,19 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(length(regexp_replace(text, '[\\x00-\\x7F]', "
         "'', 'g'))) AS DOUBLE) / CAST(sum(length(text)) AS DOUBLE) "
         "END AS nonascii_share FROM t GROUP BY 1"
+    )
+    out["sentences_by_lang"] = (
+        # the flesch counting conventions rolled up per lang
+        "WITH t AS (SELECT coalesce(lang, '') AS lang, "
+        "coalesce(text, '') AS text FROM documents), "
+        "c AS (SELECT lang, CAST(len(regexp_extract_all(text, "
+        "'\\S+')) AS BIGINT) AS w, CAST(greatest(len("
+        "regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s "
+        "FROM t) "
+        "SELECT lang, CAST(sum(w) AS BIGINT) AS n_words, "
+        "CAST(sum(s) AS BIGINT) AS n_sentences, "
+        "CAST(sum(w) AS DOUBLE) / CAST(sum(s) AS DOUBLE) AS "
+        "words_per_sentence FROM c GROUP BY 1"
     )
     out["q4_priority"] = (
         # EXISTS semi over the 60-day-late predicate, per priority

@@ -316,6 +316,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "peak_revenue_day",
         "dup_rate_by_source",
         "nonascii_by_source",
+        "sentences_by_lang",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
