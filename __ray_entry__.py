@@ -4517,8 +4517,10 @@ def _q_q7_nation_flows(sf_dir: str):
         cust = b.column("o_custkey").cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        sn_ = s_n[np.searchsorted(s_k, supp)]
-        cn_ = c_n[np.searchsorted(c_k, cust)]
+        from console_log_parser_ray.stages.relational import fk_searchsorted
+
+        sn_ = s_n[fk_searchsorted(s_k, supp, "q7 supplier fk")]
+        cn_ = c_n[fk_searchsorted(c_k, cust, "q7 customer fk")]
         cents = pc.cast(
             pc.round(
                 pc.multiply(
@@ -4628,7 +4630,9 @@ def _q_brand_returns(sf_dir: str):
         ret = pc.equal(
             b.column("l_returnflag"), pa.scalar("R")
         ).to_numpy(zero_copy_only=False)
-        bi = b_i[np.searchsorted(p_k, part)]
+        from console_log_parser_ray.stages.relational import fk_searchsorted
+
+        bi = b_i[fk_searchsorted(p_k, part, "brand_returns part fk")]
         n_b = len(brands)
         tot = np.zeros(n_b, np.int64)
         retq = np.zeros(n_b, np.int64)
@@ -4951,6 +4955,20 @@ def _q_brand_reorder(sf_dir: str):
         p = b.column("p").cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )
+        # the (custkey, partkey) pack is only reversible for ids in
+        # [0, 2^32); unlike association_rules' packing (where a
+        # collision just mis-buckets), recovering partkey from cp is
+        # SEMANTIC, so fail loud outside that range
+        if len(c) and (
+            int(c.min()) < 0
+            or int(p.min()) < 0
+            or int(c.max()) >= 4_294_967_296
+            or int(p.max()) >= 4_294_967_296
+        ):
+            raise ValueError(
+                "brand_reorder: custkey/partkey outside [0, 2^32) "
+                "breaks the cp pack"
+            )
         from console_log_parser_ray.stages.events import _bucket31
 
         g = (
@@ -4997,7 +5015,9 @@ def _q_brand_reorder(sf_dir: str):
             zero_copy_only=False
         )
         part = cp % np.int64(4_294_967_296)
-        bi = b_i[np.searchsorted(p_k, part)]
+        from console_log_parser_ray.stages.relational import fk_searchsorted
+
+        bi = b_i[fk_searchsorted(p_k, part, "brand_reorder part fk")]
         n_b = len(brands)
         pairs = np.zeros(n_b, np.int64)
         rep = np.zeros(n_b, np.int64)
@@ -5131,8 +5151,6 @@ def _q_brand_growth(sf_dir: str):
     whole corpus and its second-half/first-half growth ratio --
     exact cent-hundredth revenue per (brand, half), one float per
     output column."""
-    import datetime
-
     import numpy as np
     import pyarrow as pa
     import ray
@@ -5158,8 +5176,6 @@ def _q_brand_growth(sf_dir: str):
     ref = ray.put((pk, bidx))
 
     # orders span midpoint (exact integer microseconds)
-    import duckdb
-
     li = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=[
@@ -5218,7 +5234,9 @@ def _q_brand_growth(sf_dir: str):
             )
             >= mid
         )
-        bi = b_i[np.searchsorted(p_k, part)]
+        from console_log_parser_ray.stages.relational import fk_searchsorted
+
+        bi = b_i[fk_searchsorted(p_k, part, "brand_growth part fk")]
         n_b = len(brands)
         r1 = np.zeros(n_b, np.int64)
         r2 = np.zeros(n_b, np.int64)
@@ -5456,7 +5474,9 @@ def _q_segment_cadence(sf_dir: str):
                     "c_part": pa.array([], pa.int64()),
                 }
             )
-        si = s_i[np.searchsorted(c_k, gc)]
+        from console_log_parser_ray.stages.relational import fk_searchsorted
+
+        si = s_i[fk_searchsorted(c_k, gc, "segment_cadence customer fk")]
         g = (
             pa.table(
                 {
@@ -5650,7 +5670,9 @@ def _q_part_type_pricing(sf_dir: str):
             pa.int64(),
         ).to_numpy(zero_copy_only=False)
         rev = cents * (100 - disc)
-        ti = t_i[np.searchsorted(p_k, part)]
+        from console_log_parser_ray.stages.relational import fk_searchsorted
+
+        ti = t_i[fk_searchsorted(p_k, part, "part_type_pricing part fk")]
         n_t = len(types)
         q = np.zeros(n_t, np.int64)
         r = np.zeros(n_t, np.int64)
@@ -5756,7 +5778,9 @@ def _q_region_balances(sf_dir: str):
             ),
             pa.int64(),
         ).to_numpy(zero_copy_only=False)
-        rkey = n_r[np.searchsorted(n_k, nkey)]
+        from console_log_parser_ray.stages.relational import fk_searchsorted
+
+        rkey = n_r[fk_searchsorted(n_k, nkey, "region_balances nation fk")]
         n_reg = int(n_r.max()) + 1
         cnt = np.zeros(n_reg, np.int64)
         s = np.zeros(n_reg, np.int64)
@@ -5852,7 +5876,9 @@ def _q_supplier_hhi(sf_dir: str):
             pc.round(b.column("l_quantity").cast(pa.float64())),
             pa.int64(),
         ).to_numpy(zero_copy_only=False)
-        ti = t_i[np.searchsorted(p_k, part)]
+        from console_log_parser_ray.stages.relational import fk_searchsorted
+
+        ti = t_i[fk_searchsorted(p_k, part, "supplier_hhi part fk")]
         packed = ti * np.int64(4_294_967_296) + supp
         g = (
             pa.table(
@@ -5975,7 +6001,9 @@ def _q_segment_priority_mix(sf_dir: str):
         cust = t.column("o_custkey").cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        si = s_i[np.searchsorted(c_k, cust)]
+        from console_log_parser_ray.stages.relational import fk_searchsorted
+
+        si = s_i[fk_searchsorted(c_k, cust, "segment_priority_mix customer fk")]
         g = (
             pa.table(
                 {

@@ -6752,7 +6752,9 @@ def bursty_users(
                 {
                     "u": b.column("u"),
                     "s1": c,
-                    "s2": pc.multiply(c, c),
+                    # checked: a >3e9-event window raises instead of
+                    # wrapping the square
+                    "s2": pc.multiply_checked(c, c),
                 }
             )
             .group_by("u")
@@ -6778,9 +6780,27 @@ def bursty_users(
                     "fano": pa.array([], pa.float64()),
                 }
             )
-        fano = (n_windows * s2 - s1 * s1).astype(
-            np.float64
-        ) / (n_windows * s1).astype(np.float64)
+        # the cross terms n*s2 and s1*s1 wrap in int64; below the
+        # magnitude guard the vectorized path is exact, above it the
+        # finish falls back to Python big ints per user (matching
+        # fano_factor's exact-int driver finish and the HUGEINT SQL
+        # mirror) instead of silently overflowing
+        ms1 = int(np.abs(s1).max())
+        ms2 = int(np.abs(s2).max())
+        if int(n_windows) * ms2 + ms1 * ms1 < 2**63:
+            fano = (n_windows * s2 - s1 * s1).astype(
+                np.float64
+            ) / (n_windows * s1).astype(np.float64)
+        else:
+            nw = int(n_windows)
+            fano = np.array(
+                [
+                    float(nw * int(b) - int(a) * int(a))
+                    / float(nw * int(a))
+                    for a, b in zip(s1.tolist(), s2.tolist())
+                ],
+                np.float64,
+            )
         order = np.lexsort((u, -fano))[:k]
         return pa.table(
             {
@@ -6878,18 +6898,54 @@ def bot_regularity(
         uniq, inv = np.unique(gu, return_inverse=True)
         n = np.bincount(inv).astype(np.int64)
         # int64 scatter-adds (a float64 bincount would lose exactness
-        # past 2^53)
-        s1 = np.zeros(len(uniq), np.int64)
-        np.add.at(s1, inv, gaps)
-        s2 = np.zeros(len(uniq), np.int64)
-        np.add.at(s2, inv, gaps * gaps)
-        keep = (n >= min_gaps) & (s1 > 0)
-        uniq, n, s1, s2 = uniq[keep], n[keep], s1[keep], s2[keep]
-        if len(uniq) == 0:
-            return empty
-        cv = np.sqrt(
-            (n * s2 - s1 * s1).astype(np.float64)
-        ) / s1.astype(np.float64)
+        # past 2^53); the squares and the n*s2 - s1^2 cross term wrap
+        # in int64, so guard on pre-computable Python-int bounds
+        # (per-user s2 <= n_gaps*big^2, s1^2 <= (n_gaps*big)^2) and
+        # fall back to exact big-int arithmetic above them -- matching
+        # changepoint_mean's guard and the HUGEINT SQL mirror
+        big = int(np.abs(gaps).max())
+        n_gaps_tot = len(gaps)
+        bound = max(
+            n_gaps_tot * big * big, (n_gaps_tot * big) ** 2
+        )
+        if bound < 2**62:
+            s1 = np.zeros(len(uniq), np.int64)
+            np.add.at(s1, inv, gaps)
+            s2 = np.zeros(len(uniq), np.int64)
+            np.add.at(s2, inv, gaps * gaps)
+            keep = (n >= min_gaps) & (s1 > 0)
+            uniq, n, s1, s2 = uniq[keep], n[keep], s1[keep], s2[keep]
+            if len(uniq) == 0:
+                return empty
+            cv = np.sqrt(
+                (n * s2 - s1 * s1).astype(np.float64)
+            ) / s1.astype(np.float64)
+        else:  # exact Python-int path above the int64 guard
+            import math
+
+            s1o = [0] * len(uniq)
+            s2o = [0] * len(uniq)
+            for i, g in zip(inv.tolist(), gaps.tolist()):
+                s1o[i] += g
+                s2o[i] += g * g
+            rows = [
+                (int(uniq[i]), int(n[i]), s1o[i], s2o[i])
+                for i in range(len(uniq))
+                if n[i] >= min_gaps and s1o[i] > 0
+            ]
+            if not rows:
+                return empty
+            uniq = np.array([r[0] for r in rows], np.int64)
+            n = np.array([r[1] for r in rows], np.int64)
+            s1 = np.array([float(r[2]) for r in rows], np.float64)
+            cv = np.array(
+                [
+                    math.sqrt(float(r[1] * r[3] - r[2] * r[2]))
+                    / float(r[2])
+                    for r in rows
+                ],
+                np.float64,
+            )
         order = np.lexsort((uniq, cv))[:k]
         return pa.table(
             {

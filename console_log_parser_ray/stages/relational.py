@@ -65,6 +65,33 @@ _JOIN_TYPES = {
 DEFAULT_MAX_DISTINCT = 2_000_000
 
 
+def fk_searchsorted(sorted_keys: np.ndarray, query: np.ndarray, what: str = "fk"):
+    """Foreign-key resolve against a sorted dimension-key array that
+    fails LOUD on orphans.
+
+    A bare ``np.searchsorted`` silently maps an orphan key to the
+    wrong dimension row (or IndexErrors only past the max key).  This
+    clips the insertion point, verifies exact key equality and raises
+    on any miss, so referential-integrity violations surface as an
+    error instead of mis-attributed aggregates (``ri_audit`` is the
+    lenient counterpart that REPORTS orphans instead).
+    """
+    if len(sorted_keys) == 0:
+        if len(query):
+            raise ValueError(f"{what}: empty dimension, {len(query)} keys unresolved")
+        return np.zeros(0, np.int64)
+    idx = np.minimum(
+        np.searchsorted(sorted_keys, query), len(sorted_keys) - 1
+    )
+    bad = sorted_keys[idx] != query
+    if bad.any():
+        raise ValueError(
+            f"{what}: {int(bad.sum())} orphan key(s), "
+            f"e.g. {np.asarray(query)[bad][:3].tolist()}"
+        )
+    return idx
+
+
 def histogram_rank_select(
     hist_ds, value_col: str, count_col: str, target_rank: int
 ) -> int:
