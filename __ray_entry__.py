@@ -67,6 +67,77 @@ def _enriched(sf_dir: str):
     return enrich(_parsed(sf_dir))
 
 
+def _enriched_cached(sf_dir: str, columns=None):
+    """Column-pruned read of the once-materialized enriched parse
+    output (``sources/cache.ensure_enriched``).
+
+    Used by the transcript-ANALYTICS family, which treats the enriched
+    table as input data rather than exercising the parser: the session
+    scan runs once per scale factor and every analytics query reads
+    only the columns it needs from the cached parquet.  The engine-
+    correctness queries (parse_clean_text, redact, conv_text, ...)
+    intentionally keep running the live parse.
+    """
+    import ray.data
+
+    path = _cache.ensure_enriched(sf_dir)
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def _enriched_conv_partials(sf_dir: str, columns, per_group):
+    """Per-conversation partials over the enriched cache WITHOUT a
+    shuffle when the cache's files are conversation-complete
+    (``_CONV_PARTITIONED`` marker written by ``ensure_enriched``):
+    one task per file applies ``per_group`` (a conv-complete
+    pyarrow.Table -> partial-histogram pyarrow.Table) to a
+    column-pruned in-task read.  Falls back to the conv-hash bucket
+    groupby when the marker is absent (e.g. a giant bucket split at
+    the output-block size), so the result is identical either way --
+    only the exchange disappears.
+    """
+    import glob as _g
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    path = _cache.ensure_enriched(sf_dir)
+    if os.path.exists(os.path.join(path, "_CONV_PARTITIONED")):
+        files = sorted(_g.glob(os.path.join(path, "*.parquet")))
+
+        def per_file(batch: pa.Table) -> pa.Table:
+            outs = [
+                per_group(pq.read_table(item, columns=columns))
+                for item in batch.column("item").to_pylist()
+            ]
+            return pa.concat_tables(outs)
+
+        return ray.data.from_items(
+            files, override_num_blocks=len(files)
+        ).map_batches(per_file, batch_format="pyarrow", batch_size=None)
+
+    from console_log_parser_ray.stages.events import _string_bucket
+
+    ds = ray.data.read_parquet(path, columns=columns)
+
+    def project(b: pa.Table) -> pa.Table:
+        keys = b.column("conv_id")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return b.set_column(
+            b.schema.get_field_index("conv_id"), "conv_id", keys
+        ).append_column("jb", _string_bucket(keys, 64))
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(
+            lambda t: per_group(t.select(columns)),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (smoke check)."""
     return _enriched("/root/testdata/sf0.001")
@@ -5294,17 +5365,26 @@ def _q_tool_rules(sf_dir: str):
     (stages/graph.association_rules on the enriched transcripts):
     which tools co-occur beyond independence.  Tool ids are assigned
     in sorted order so the int pair order matches the SQL mirror's
-    string order."""
+    string order.
+
+    Both passes (vocabulary, then rules) read the cached enriched
+    parquet column-pruned to the two tiny columns they need -- the
+    10M-turn session scan that used to run TWICE here now runs zero
+    times after the one-time ``ensure_enriched`` build.  When the
+    cache's files are conversation-complete the pair-count partials
+    are built with one task per file (pair_count_partials) and the
+    group-hash exchange inside association_rules disappears too."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from console_log_parser_ray.stages.graph import association_rules
-
-    ds = _enriched(sf_dir)
+    from console_log_parser_ray.stages.graph import (
+        association_rules,
+        pair_count_partials,
+    )
 
     tools: set = set()
-    for tbl in ds.map_batches(
+    for tbl in _enriched_cached(sf_dir, ["tool"]).map_batches(
         lambda b: pa.table(
             {
                 "t": pc.unique(
@@ -5342,13 +5422,46 @@ def _q_tool_rules(sf_dir: str):
         )
         return pa.table({"g": g, "i": i})
 
-    res = association_rules(
-        ds.map_batches(project, batch_format="pyarrow"),
-        "g",
-        "i",
-        min_support=2,
-        k=30,
-    )
+    import glob as _g
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    path = _cache.ensure_enriched(sf_dir)
+    if os.path.exists(os.path.join(path, "_CONV_PARTITIONED")):
+        files = sorted(_g.glob(os.path.join(path, "*.parquet")))
+
+        def per_file(batch: pa.Table) -> pa.Table:
+            outs = [
+                pair_count_partials(
+                    project(
+                        pq.read_table(
+                            item, columns=["conv_id", "tool"]
+                        )
+                    ),
+                    64,
+                )
+                for item in batch.column("item").to_pylist()
+            ]
+            return pa.concat_tables(outs)
+
+        partials = ray.data.from_items(
+            files, override_num_blocks=len(files)
+        ).map_batches(
+            per_file, batch_format="pyarrow", batch_size=None
+        )
+        res = association_rules(
+            None, "g", "i", min_support=2, k=30, partials=partials
+        )
+    else:
+        ds = _enriched_cached(sf_dir, ["conv_id", "tool"])
+        res = association_rules(
+            ds.map_batches(project, batch_format="pyarrow"),
+            "g",
+            "i",
+            min_support=2,
+            k=30,
+        )
     return pa.table(
         {
             "tool_a": pa.array(
@@ -5370,34 +5483,63 @@ def _q_tool_rules(sf_dir: str):
 def _q_tool_transitions(sf_dir: str):
     """Markov transition counts over each conversation's tool
     sequence (stages/events.transition_counts reused on the
-    enriched transcripts; empty-tool turns drop before pairing)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    enriched transcripts; empty-tool turns drop before pairing).
+    Same math as stages/events.transition_counts' per-bucket kernel,
+    but run shuffle-free as per-file partials over the conv-complete
+    enriched cache."""
+    from ray.data.aggregate import Sum
 
-    from console_log_parser_ray.stages.events import transition_counts
+    def per_group(tbl):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    ds = _enriched(sf_dir)
-
-    def clean(b: pa.Table) -> pa.Table:
-        t = b.filter(
+        t = tbl.filter(
             pc.and_(
-                pc.is_valid(b.column("tool")),
-                pc.not_equal(b.column("tool"), pa.scalar("")),
+                pc.is_valid(tbl.column("tool")),
+                pc.not_equal(tbl.column("tool"), pa.scalar("")),
             )
+        ).sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        keys = t.column("conv_id").to_numpy(zero_copy_only=False)
+        states = t.column("tool").combine_chunks()
+        empty = pa.table(
+            {
+                "from_state": pa.array([], pa.string()),
+                "to_state": pa.array([], pa.string()),
+                "n_part": pa.array([], pa.int64()),
+            }
+        )
+        if len(keys) < 2:
+            return empty
+        idx = np.nonzero(keys[1:] == keys[:-1])[0]
+        pairs = pa.table(
+            {
+                "from_state": states.take(pa.array(idx, pa.int64())),
+                "to_state": states.take(
+                    pa.array(idx + 1, pa.int64())
+                ),
+            }
+        )
+        agg = pairs.group_by(["from_state", "to_state"]).aggregate(
+            [([], "count_all")]
         )
         return pa.table(
             {
-                "conv_id": t.column("conv_id"),
-                "turn_idx": t.column("turn_idx").cast(pa.int64()),
-                "tool": t.column("tool"),
+                "from_state": agg.column("from_state"),
+                "to_state": agg.column("to_state"),
+                "n_part": agg.column("count_all").cast(pa.int64()),
             }
         )
 
-    return transition_counts(
-        ds.map_batches(clean, batch_format="pyarrow"),
-        key_col="conv_id",
-        order_col="turn_idx",
-        state_col="tool",
+    return (
+        _enriched_conv_partials(
+            sf_dir, ["conv_id", "turn_idx", "tool"], per_group
+        )
+        .groupby(["from_state", "to_state"])
+        .aggregate(Sum("n_part"))
+        .rename_columns({"sum(n_part)": "n"})
     )
 
 
@@ -6045,41 +6187,31 @@ def _q_segment_priority_mix(sf_dir: str):
 
 
 def _q_tools_per_conv(sf_dir: str):
-    """Conversations by distinct-tool count: one conv-bucket shuffle,
-    per-conv distinct non-empty tools + turn count, bounded
-    histogram."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    """Conversations by distinct-tool count: shuffle-free per-file
+    partials over the conv-complete enriched cache (per-conv distinct
+    non-empty tools + turn count, all-vectorized via
+    drop_duplicates/size), then the bounded histogram sum."""
     from ray.data.aggregate import Sum
 
-    from console_log_parser_ray.stages.events import _string_bucket
-
-    ds = _enriched(sf_dir)
-
-    def project(b):
-        keys = b.column("conv_id")
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        return pa.table(
-            {
-                "jb": _string_bucket(keys, 64),
-                "conv_id": keys,
-                "tool": pc.fill_null(b.column("tool"), ""),
-            }
-        )
-
-    def per_bucket(tbl):
+    def per_group(tbl):
         import pandas as pd
         import pyarrow as pa
+        import pyarrow.compute as pc
 
-        df = tbl.select(["conv_id", "tool"]).to_pandas()
-        g = df.groupby("conv_id", sort=False).agg(
-            n_turns=("tool", "size"),
-            n_tools=(
-                "tool",
-                lambda s: s[s != ""].nunique(),
-            ),
+        df = pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "tool": pc.fill_null(tbl.column("tool"), ""),
+            }
+        ).to_pandas()
+        n_turns = df.groupby("conv_id", sort=False).size()
+        nz = df[df["tool"] != ""].drop_duplicates()
+        n_tools = (
+            nz.groupby("conv_id", sort=False)
+            .size()
+            .reindex(n_turns.index, fill_value=0)
         )
+        g = pd.DataFrame({"n_turns": n_turns, "n_tools": n_tools})
         h = g.groupby("n_tools", sort=False).agg(
             n_convs=("n_turns", "size"),
             sum_turns=("n_turns", "sum"),
@@ -6100,9 +6232,7 @@ def _q_tools_per_conv(sf_dir: str):
         )
 
     return (
-        ds.map_batches(project, batch_format="pyarrow")
-        .groupby("jb")
-        .map_groups(per_bucket, batch_format="pyarrow")
+        _enriched_conv_partials(sf_dir, ["conv_id", "tool"], per_group)
         .groupby("n_tools")
         .aggregate(Sum("nc_p"), Sum("st_p"))
         .rename_columns(
@@ -6113,32 +6243,12 @@ def _q_tools_per_conv(sf_dir: str):
 
 def _q_role_runs(sf_dir: str):
     """Distribution of consecutive same-role run lengths across
-    conversations (gaps-and-islands): one conv-bucket shuffle, one
-    lexsort + boundary diff per bucket, bounded (role, run_len)
-    histogram."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    conversations (gaps-and-islands): shuffle-free per-file partials
+    over the conv-complete enriched cache -- one lexsort + boundary
+    diff per file, bounded (role, run_len) histogram."""
     from ray.data.aggregate import Sum
 
-    from console_log_parser_ray.stages.events import _string_bucket
-
-    ds = _enriched(sf_dir)
-
-    def project(b):
-        keys = b.column("conv_id")
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        return pa.table(
-            {
-                "jb": _string_bucket(keys, 64),
-                "conv_id": keys,
-                "turn_idx": b.column("turn_idx").cast(pa.int64()),
-                "role": b.column("role"),
-            }
-        )
-
-    def per_bucket(tbl):
+    def per_group(tbl):
         import numpy as np
         import pyarrow as pa
 
@@ -6178,9 +6288,9 @@ def _q_role_runs(sf_dir: str):
         )
 
     return (
-        ds.map_batches(project, batch_format="pyarrow")
-        .groupby("jb")
-        .map_groups(per_bucket, batch_format="pyarrow")
+        _enriched_conv_partials(
+            sf_dir, ["conv_id", "turn_idx", "role"], per_group
+        )
         .groupby(["role", "run_len"])
         .aggregate(Sum("n_p"))
         .rename_columns({"sum(n_p)": "n_runs"})
@@ -6195,7 +6305,7 @@ def _q_top_commands(sf_dir: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    ds = _enriched(sf_dir)
+    ds = _enriched_cached(sf_dir, ["command"])
 
     def partial(b):
         t = b.filter(
@@ -6238,54 +6348,37 @@ def _q_top_commands(sf_dir: str):
 
 def _q_vim_share(sf_dir: str):
     """Conversations by vim-time decile: per-conv exact integer
-    decile (10 * n_vim) // n_turns, bounded histogram."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    decile (10 * n_vim) // n_turns via shuffle-free per-file partials
+    over the conv-complete enriched cache, bounded histogram."""
     from ray.data.aggregate import Sum
 
-    from console_log_parser_ray.stages.events import _string_bucket
-
-    ds = _enriched(sf_dir)
-
-    def project(b):
-        keys = b.column("conv_id")
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        return pa.table(
-            {
-                "jb": _string_bucket(keys, 64),
-                "conv_id": keys,
-                "v": pc.cast(b.column("in_vim"), pa.int64()),
-            }
-        )
-
-    def per_bucket(tbl):
-        import pandas as pd
+    def per_group(tbl):
+        import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
 
-        df = tbl.select(["conv_id", "v"]).to_pandas()
+        df = pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "v": pc.cast(tbl.column("in_vim"), pa.int64()),
+            }
+        ).to_pandas()
         g = df.groupby("conv_id", sort=False).agg(
             n=("v", "size"), nv=("v", "sum")
         )
         dec = (10 * g["nv"].to_numpy(dtype="int64")) // g[
             "n"
         ].to_numpy(dtype="int64")
-        import numpy as np
-
         vals, cnt = np.unique(dec, return_counts=True)
         return pa.table(
             {
                 "decile": pa.array(vals, pa.int64()),
-                "nc_p": pa.array(
-                    cnt.astype("int64"), pa.int64()
-                ),
+                "nc_p": pa.array(cnt.astype("int64"), pa.int64()),
             }
         )
 
     return (
-        ds.map_batches(project, batch_format="pyarrow")
-        .groupby("jb")
-        .map_groups(per_bucket, batch_format="pyarrow")
+        _enriched_conv_partials(sf_dir, ["conv_id", "in_vim"], per_group)
         .groupby("decile")
         .aggregate(Sum("nc_p"))
         .rename_columns({"sum(nc_p)": "n_convs"})
@@ -6294,13 +6387,16 @@ def _q_vim_share(sf_dir: str):
 
 def _q_turnlen_by_role(sf_dir: str):
     """Clean-text length quantiles per role: the exact
-    group_quantiles operator over the parse output."""
+    group_quantiles_hist operator over the cached parse output:
+    lengths are discrete, so the exact quantile comes from the tiny
+    (role, len) histogram -- no role-keyed row shuffle."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from console_log_parser_ray.stages.events import group_quantiles
+    from console_log_parser_ray.stages.events import group_quantiles_hist
 
-    ds = _parsed(sf_dir)
+    # enriched preserves every parse column; read only (role, clean_text)
+    ds = _enriched_cached(sf_dir, ["role", "clean_text"])
 
     def project(b):
         return pa.table(
@@ -6312,7 +6408,7 @@ def _q_turnlen_by_role(sf_dir: str):
             }
         )
 
-    return group_quantiles(
+    return group_quantiles_hist(
         ds.map_batches(project, batch_format="pyarrow"),
         "role",
         "len",

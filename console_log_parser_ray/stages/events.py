@@ -437,6 +437,80 @@ def group_quantiles(
     )
 
 
+def group_quantiles_hist(
+    ds,
+    group_col: str,
+    value_col: str,
+    qs=(0.5, 0.95),
+):
+    """Exact per-group ``percentile_disc`` over DISCRETE value columns
+    via the compressed (group, value, count) distribution -- the scale
+    path :func:`group_quantiles`' docstring prescribes for
+    high-volume groups.
+
+    Per-block Arrow partials fold each block to its distinct
+    (group, value) counts, one tiny groupby sums them, and the driver
+    cumulative-scans each group's sorted histogram to pick the
+    smallest value whose cumulative rank reaches ``q`` -- identical
+    output to :func:`group_quantiles`, but shuffle volume and driver
+    state are bounded by distinct (group, value) PAIRS (e.g. roles x
+    line lengths), never by row count, and no task ever holds a whole
+    group.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select([group_col, value_col])
+            .group_by([group_col, value_col])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                group_col: g.column(group_col),
+                value_col: g.column(value_col),
+                "n_p": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, value_col])
+        .aggregate(Sum("n_p"))
+        .take_all()
+    )  # bounded by distinct (group, value) pairs
+    by_g: dict = {}
+    for r in hist:
+        by_g.setdefault(r[group_col], []).append(
+            (r[value_col], int(r["sum(n_p)"]))
+        )
+    out = {group_col: []}
+    for q in qs:
+        out["p{}".format(int(q * 100))] = []
+    for gk in sorted(by_g):
+        pairs = sorted(by_g[gk])
+        vals = np.array([p[0] for p in pairs])
+        cum = np.cumsum([p[1] for p in pairs])
+        n = int(cum[-1])
+        out[group_col].append(gk)
+        for q in qs:
+            # percentile_disc: smallest value with cum_dist >= q
+            target = max(1, int(np.ceil(q * n)))
+            out["p{}".format(int(q * 100))].append(
+                float(vals[int(np.searchsorted(cum, target))])
+            )
+    return pa.table(
+        {
+            group_col: pa.array(out[group_col]),
+            **{
+                k: pa.array(v, pa.float64())
+                for k, v in out.items()
+                if k != group_col
+            },
+        }
+    )
+
+
 def sampled_group_quantiles(
     ds,
     group_col: str,

@@ -825,6 +825,66 @@ def degree_assortativity(edges, max_distinct: int = 2_000_000):
     )
 
 
+def pair_count_partials(tbl: pa.Table, n_buckets: int = 64) -> pa.Table:
+    """The per-group-bucket kernel of :func:`association_rules`: fold
+    one GROUP-COMPLETE (g, i) membership table into its pair-count
+    partials plus sentinel rows ((i, -1) = per-item distinct-group
+    count, (-1, -1) = distinct-group count), pair-hash bucketed for
+    the (a, b) fold.
+
+    Module-level so callers with already-group-partitioned storage
+    (e.g. the conversation-complete enriched-transcripts cache) can
+    build partials with one task per file and hand them to
+    ``association_rules(partials=...)``, skipping the group-hash
+    shuffle entirely.  Every g in ``tbl`` must have ALL its rows
+    present -- that is the partial-exactness condition.
+    """
+    from .events import _bucket31
+
+    df = tbl.select(["g", "i"]).to_pandas().drop_duplicates()
+    if (df["i"] < 0).any():
+        raise ValueError(
+            "association_rules: item ids must be >= 0"
+        )
+    m = df.merge(df, on="g")
+    m = m[m["i_x"] < m["i_y"]]
+    c = m.groupby(["i_x", "i_y"], sort=False).size()
+    idx = c.index
+    ic = df.groupby("i", sort=False).size()
+    a = np.concatenate(
+        [
+            idx.get_level_values(0).to_numpy(dtype="int64"),
+            ic.index.to_numpy(dtype="int64"),
+            [-1],
+        ]
+    )
+    b = np.concatenate(
+        [
+            idx.get_level_values(1).to_numpy(dtype="int64"),
+            np.full(len(ic), -1, np.int64),
+            [-1],
+        ]
+    )
+    cnt = np.concatenate(
+        [
+            c.to_numpy(dtype="int64"),
+            ic.to_numpy(dtype="int64"),
+            [df["g"].nunique()],
+        ]
+    )
+    packed = a * np.int64(4_294_967_296) + b
+    return pa.table(
+        {
+            "kb": _bucket31(
+                pa.array(packed, pa.int64()), n_buckets
+            ),
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "c_part": pa.array(cnt, pa.int64()),
+        }
+    )
+
+
 def association_rules(
     ds,
     group_col: str,
@@ -833,6 +893,7 @@ def association_rules(
     k: int = 50,
     n_buckets: int = 64,
     max_distinct: int = 2_000_000,
+    partials=None,
 ):
     """Market-basket association rules over a (group, item)
     membership table: for every unordered item pair with
@@ -887,8 +948,12 @@ def association_rules(
         )
 
     # single consumer (the jb shuffle) -- keep the projection
-    # streaming
-    proj = ds.map_batches(project, batch_format="pyarrow")
+    # streaming.  ``partials`` short-circuits the whole group-hash
+    # exchange: a caller whose storage is already group-partitioned
+    # passes a Dataset of pair_count_partials tables instead.
+    proj = None if partials is not None else ds.map_batches(
+        project, batch_format="pyarrow"
+    )
 
     # ONE bucketed pass emits the per-bucket PAIR-COUNT partials
     # and, as sentinel rows, the per-item distinct-group count
@@ -900,50 +965,7 @@ def association_rules(
     # Sentinels: (i, -1) = item count, (-1, -1) = group count; item
     # ids must be >= 0.
     def bucket_part(tbl: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = tbl.select(["g", "i"]).to_pandas().drop_duplicates()
-        if (df["i"] < 0).any():
-            raise ValueError(
-                "association_rules: item ids must be >= 0"
-            )
-        m = df.merge(df, on="g")
-        m = m[m["i_x"] < m["i_y"]]
-        c = m.groupby(["i_x", "i_y"], sort=False).size()
-        idx = c.index
-        ic = df.groupby("i", sort=False).size()
-        a = np.concatenate(
-            [
-                idx.get_level_values(0).to_numpy(dtype="int64"),
-                ic.index.to_numpy(dtype="int64"),
-                [-1],
-            ]
-        )
-        b = np.concatenate(
-            [
-                idx.get_level_values(1).to_numpy(dtype="int64"),
-                np.full(len(ic), -1, np.int64),
-                [-1],
-            ]
-        )
-        cnt = np.concatenate(
-            [
-                c.to_numpy(dtype="int64"),
-                ic.to_numpy(dtype="int64"),
-                [df["g"].nunique()],
-            ]
-        )
-        packed = a * np.int64(4_294_967_296) + b
-        return pa.table(
-            {
-                "kb": _bucket31(
-                    pa.array(packed, pa.int64()), n_buckets
-                ),
-                "a": pa.array(a, pa.int64()),
-                "b": pa.array(b, pa.int64()),
-                "c_part": pa.array(cnt, pa.int64()),
-            }
-        )
+        return pair_count_partials(tbl, n_buckets)
 
     def fold_pairs(tbl: pa.Table) -> pa.Table:
         g = (
@@ -964,10 +986,15 @@ def association_rules(
     # pair-key-hash bucket fold (one all-to-all, dispatch bounded by
     # bucket count) -- measured 4x cheaper than a two-column
     # sort-aggregate at the same row count
+    parts = (
+        partials
+        if partials is not None
+        else proj.groupby("jb").map_groups(
+            bucket_part, batch_format="pyarrow"
+        )
+    )
     folded = (
-        proj.groupby("jb")
-        .map_groups(bucket_part, batch_format="pyarrow")
-        .groupby("kb")
+        parts.groupby("kb")
         .map_groups(fold_pairs, batch_format="pyarrow")
         .materialize()
     )

@@ -8540,3 +8540,109 @@ def test_dow_hour_counts_differential(ray_session):
         hour = (x % 86_400_000_000) // 3_600_000_000
         want[(dow, hour)] = want.get((dow, hour), 0) + 1
     assert got == want
+
+
+def test_group_quantiles_hist_matches_row_path(ray_session):
+    """The histogram (bounded-state) quantile path must be
+    bit-identical to the row-shuffle group_quantiles on a discrete
+    value column."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        group_quantiles,
+        group_quantiles_hist,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        {"g": ["x", "y", "z"][int(i % 3)], "value": float(v)}
+        for i, v in enumerate(rng.integers(0, 40, 2000))
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(7)
+    want = {
+        r["g"]: (r["p50"], r["p95"])
+        for r in group_quantiles(ds, "g", "value", qs=(0.5, 0.95)).take_all()
+    }
+    h = group_quantiles_hist(ds, "g", "value", qs=(0.5, 0.95))
+    got = {
+        r["g"]: (r["p50"], r["p95"]) for r in h.to_pylist()
+    }
+    assert got == want
+
+
+def test_association_rules_partials_path_matches(ray_session):
+    """pair_count_partials over group-complete blocks +
+    association_rules(partials=...) must equal the group-hash shuffle
+    path exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.graph import (
+        association_rules,
+        pair_count_partials,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [
+        {"g": int(g), "i": int(i)}
+        for g, i in zip(
+            rng.integers(0, 200, 4000), rng.integers(0, 12, 4000)
+        )
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    want = association_rules(ds, "g", "i", min_support=2, k=20).to_pylist()
+
+    # group-complete split: groups 0..99 and 100..199
+    import pyarrow.compute as pc
+
+    lo = tbl.filter(pc.less(tbl.column("g"), 100))
+    hi = tbl.filter(pc.greater_equal(tbl.column("g"), 100))
+    partials = ray.data.from_arrow(
+        pa.concat_tables(
+            [pair_count_partials(lo, 64), pair_count_partials(hi, 64)]
+        )
+    )
+    got = association_rules(
+        None, "g", "i", min_support=2, k=20, partials=partials
+    ).to_pylist()
+    assert got == want
+
+
+def test_ensure_enriched_cache_and_conv_marker(ray_session, tmp_path):
+    """ensure_enriched builds once, marks conv-complete files, and the
+    cached table row-matches a live parse+enrich."""
+    import os
+    import shutil
+
+    from console_log_parser_ray.sources import cache
+
+    shutil.rmtree(cache.enriched_dir("/root/testdata/sf0.001"), ignore_errors=True)
+    p1 = cache.ensure_enriched("/root/testdata/sf0.001")
+    assert os.path.exists(os.path.join(p1, "_SUCCESS"))
+    assert os.path.exists(os.path.join(p1, "_CONV_PARTITIONED"))
+    mtime = os.path.getmtime(os.path.join(p1, "_SUCCESS"))
+    p2 = cache.ensure_enriched("/root/testdata/sf0.001")  # no rebuild
+    assert p2 == p1
+    assert os.path.getmtime(os.path.join(p1, "_SUCCESS")) == mtime
+
+    import ray.data
+
+    cached = ray.data.read_parquet(p1).to_pandas()
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    live = entry._enriched("/root/testdata/sf0.001").to_pandas()
+    key = ["conv_id", "turn_idx"]
+    cached = cached.sort_values(key).reset_index(drop=True)
+    live = live.sort_values(key).reset_index(drop=True)
+    assert len(cached) == len(live)
+    for col in ("role", "tool", "command", "in_vim", "clean_text", "sink"):
+        assert cached[col].tolist() == live[col].tolist()
