@@ -228,10 +228,16 @@ def _q_seq_histogram(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, columns=None):
+    """documents reader; pass ``columns=`` when the consumer maps
+    before selecting (Ray only pushes projections down into the read
+    for map-free selects), so unused columns -- above all ``text`` --
+    never leave storage."""
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -363,7 +369,7 @@ def _q_decontaminate(sf_dir: str):
 def _q_token_jaccard(sf_dir: str):
     from console_log_parser_ray.stages.dedup import token_jaccard_adjacent
 
-    return token_jaccard_adjacent(_docs(sf_dir))
+    return token_jaccard_adjacent(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def _q_embedding_near_dups(sf_dir: str):
@@ -405,13 +411,13 @@ def _q_embedding_near_dups(sf_dir: str):
 def _q_simhash(sf_dir: str):
     from console_log_parser_ray.stages.dedup import simhash
 
-    return simhash(_docs(sf_dir))
+    return simhash(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def _q_token_stats(sf_dir: str):
     from console_log_parser_ray.stages.textan import token_stats
 
-    return token_stats(_docs(sf_dir))
+    return token_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def _q_simhash_dups(sf_dir: str):
@@ -969,14 +975,14 @@ def _q_line_dedup(sf_dir: str):
 def _q_quality(sf_dir: str):
     from console_log_parser_ray.stages.textan import quality_scores
 
-    return quality_scores(_docs(sf_dir)).select_columns(
+    return quality_scores(_docs(sf_dir, ["doc_id", "text"])).select_columns(
         ["doc_id", "mean_token_len", "space_ratio", "distinct_token_ratio"]
     )
 
 
 def _q_lang_hist(sf_dir: str):
     return (
-        _docs(sf_dir)
+        _docs(sf_dir, ["lang"])
         .groupby("lang")
         .count()
         .rename_columns({"count()": "n"})
@@ -986,19 +992,23 @@ def _q_lang_hist(sf_dir: str):
 def _q_lang_pred(sf_dir: str):
     from console_log_parser_ray.stages.textan import lang_id
 
-    return lang_id(_docs(sf_dir)).select_columns(["doc_id", "lang_pred"])
+    return lang_id(_docs(sf_dir, ["doc_id", "text"])).select_columns(["doc_id", "lang_pred"])
 
 
 def _q_fingerprint(sf_dir: str):
     from console_log_parser_ray.stages.textan import fingerprint
 
-    return fingerprint(_docs(sf_dir))
+    return fingerprint(_docs(sf_dir, ["doc_id", "text"]))
 
 
-def _embeddings(sf_dir: str):
+def _embeddings(sf_dir: str, columns=None):
+    """embeddings reader; ``columns=`` prunes ``label``/``embedding``
+    for consumers that map before selecting."""
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=columns
+    )
 
 
 def _knn_queries(sf_dir: str, n=8):
@@ -1016,7 +1026,9 @@ def _q_knn_bruteforce(sf_dir: str):
     from console_log_parser_ray.stages.similarity import knn_bruteforce
 
     res = knn_bruteforce(
-        _embeddings(sf_dir), _knn_queries(sf_dir), k=5
+        _embeddings(sf_dir, ["vec_id", "embedding"]),
+        _knn_queries(sf_dir),
+        k=5,
     )
     return res.select_columns(["query_id", "vec_id"])
 
@@ -1024,7 +1036,9 @@ def _q_knn_bruteforce(sf_dir: str):
 def _q_knn_ivf(sf_dir: str):
     from console_log_parser_ray.stages.similarity import knn_ivf
 
-    res = knn_ivf(_embeddings(sf_dir), _knn_queries(sf_dir), k=5)
+    res = knn_ivf(
+        _embeddings(sf_dir, ["vec_id", "embedding"]), _knn_queries(sf_dir), k=5
+    )
     return res.select_columns(["query_id", "vec_id"])
 
 
@@ -1041,21 +1055,25 @@ def _q_knn_ivf_indexed(sf_dir: str):
     idx = os.path.join("/tmp/clpr_ivf_index", sf_name(sf_dir))
     marker = os.path.join(idx, "_centroids.parquet")
     if not os.path.exists(marker):
-        ivf_build_index(_embeddings(sf_dir), idx)
+        ivf_build_index(_embeddings(sf_dir, ["vec_id", "embedding"]), idx)
     res = knn_ivf_indexed(idx, _knn_queries(sf_dir), k=5)
     return res.select_columns(["query_id", "vec_id"])
 
 
-def _events(sf_dir: str):
+def _events(sf_dir: str, columns=None):
+    """events reader; ``columns=`` prunes ``props`` (the widest
+    column) for consumers that map before selecting."""
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=columns
+    )
 
 
 def _q_events_windowed(sf_dir: str):
     from console_log_parser_ray.stages.events import tumbling_window_agg
 
-    return tumbling_window_agg(_events(sf_dir))
+    return tumbling_window_agg(_events(sf_dir, ["event_type", "ts", "value"]))
 
 
 def _q_events_hopping(sf_dir: str):
@@ -1170,7 +1188,7 @@ def _q_quantize_ts(sf_dir: str):
 def _q_sessionize(sf_dir: str):
     from console_log_parser_ray.stages.events import sessionize
 
-    return sessionize(_events(sf_dir))
+    return sessionize(_events(sf_dir, ["user_id", "ts", "event_id"]))
 
 
 def _q_events_agg(sf_dir: str):
@@ -1178,7 +1196,7 @@ def _q_events_agg(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
     return (
-        _events(sf_dir)
+        _events(sf_dir, ["event_type", "value"])
         .groupby("event_type")
         .aggregate(Count(), Min("value"), Max("value"))
         .rename_columns(
@@ -1189,7 +1207,7 @@ def _q_events_agg(sf_dir: str):
 
 def _q_top_users(sf_dir: str):
     ds = (
-        _events(sf_dir)
+        _events(sf_dir, ["user_id"])
         .groupby("user_id")
         .count()
         .rename_columns({"count()": "n"})
@@ -1261,7 +1279,9 @@ def _q_asof_last_order(sf_dir: str):
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
-    res = asof_join_events_orders(_events(sf_dir), orders)
+    res = asof_join_events_orders(
+        _events(sf_dir, ["event_id", "ts", "user_id"]), orders
+    )
     return res.select_columns(["event_id", "last_orderkey"])
 
 
@@ -3828,7 +3848,7 @@ def _q_hybrid_rrf(sf_dir: str):
     )
     return hybrid_rrf(
         _docs(sf_dir).select_columns(["doc_id", "text"]),
-        _embeddings(sf_dir),
+        _embeddings(sf_dir, ["vec_id", "embedding"]),
         _BM25_TERMS,
         (0, qvec),
         m=100,
@@ -3977,6 +3997,7 @@ def _q_dedup_priority(sf_dir: str):
     (stages/dedup.exact_dedup_priority)."""
     from console_log_parser_ray.stages.dedup import exact_dedup_priority
 
+    # output keeps every document column, so no read pruning here
     return exact_dedup_priority(_docs(sf_dir), _DEDUP_PRIORITY)
 
 
