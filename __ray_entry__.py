@@ -651,18 +651,12 @@ def _q_props_extract(sf_dir: str):
 
 def _q_conv_text(sf_dir: str):
     """Per-conversation document reassembly (ordered newline join of
-    turn texts): one conv-bucket shuffle, one output row per
-    conversation -- the export twin of conv_fingerprint."""
-    from console_log_parser_ray.stages.dedup import conversation_texts
+    turn texts): shuffle-free over the conv-partitioned transcripts
+    cache (one task per file), one output row per conversation -- the
+    export twin of conv_fingerprint."""
+    from console_log_parser_ray.stages.dedup import conversation_texts_path
 
-    import ray.data
-
-    return conversation_texts(
-        ray.data.read_parquet(
-            _cache.ensure_transcripts(sf_dir),
-            columns=["conv_id", "turn_idx", "text"],
-        )
-    )
+    return conversation_texts_path(_cache.ensure_transcripts(sf_dir))
 
 
 def _q_mad_outliers(sf_dir: str):
@@ -2339,10 +2333,13 @@ def _q_chapters_enrich(sf_dir: str):
 
 def _q_redact(sf_dir: str):
     """PII-style regex scrubbing over every parsed turn's clean text
-    (user@host prompts become <USER@HOST>, dotted quads <IP>)."""
+    (user@host prompts become <USER@HOST>, dotted quads <IP>).  Reads
+    the materialized parse (ensure_enriched) -- redaction treats the
+    parse output as its input corpus, so it amortizes the session scan
+    like the rest of the analytics family."""
     from console_log_parser_ray.stages.textan import redact
 
-    ds = _parsed(sf_dir).select_columns(["conv_id", "turn_idx", "clean_text"])
+    ds = _enriched_cached(sf_dir, ["conv_id", "turn_idx", "clean_text"])
     return redact(ds, text_col="clean_text", out_col="redacted").drop_columns(
         ["clean_text"]
     )
@@ -2350,10 +2347,11 @@ def _q_redact(sf_dir: str):
 
 def _q_normalize(sf_dir: str):
     """Training-data text normalization over parsed clean text:
-    lowercase, collapse blank runs, trim."""
+    lowercase, collapse blank runs, trim.  Reads the materialized
+    parse (ensure_enriched), as redact does."""
     from console_log_parser_ray.stages.textan import normalize_text
 
-    ds = _parsed(sf_dir).select_columns(["conv_id", "turn_idx", "clean_text"])
+    ds = _enriched_cached(sf_dir, ["conv_id", "turn_idx", "clean_text"])
     return normalize_text(
         ds, text_col="clean_text", out_col="norm"
     ).drop_columns(["clean_text"])

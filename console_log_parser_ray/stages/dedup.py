@@ -355,6 +355,52 @@ def conversation_fingerprints_path(input_path: str, **kwargs):
     ).map_batches(per_file, batch_format="pyarrow", batch_size=None)
 
 
+def conversation_texts_path(input_path: str, **kwargs):
+    """Shuffle-free per-conversation reassembly for conversation-
+    partitioned inputs (marker file `_CONV_PARTITIONED`): one task per
+    input file, no data movement -- the content twin of
+    ``conversation_fingerprints_path``.  Falls back to the bucketed
+    shuffle when the marker is absent."""
+    import glob as _g
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    if not os.path.exists(os.path.join(input_path, "_CONV_PARTITIONED")):
+        return conversation_texts(
+            ray.data.read_parquet(
+                input_path, columns=["conv_id", "turn_idx", "text"]
+            ),
+            **kwargs,
+        )
+    files = sorted(_g.glob(os.path.join(input_path, "*.parquet")))
+
+    def per_file(batch: pa.Table) -> pa.Table:
+        outs = []
+        for item in batch.column("item").to_pylist():
+            tbl = pq.read_table(
+                item, columns=["conv_id", "turn_idx", "text"]
+            )
+            convs, joined, n_turns = _conv_joined(
+                tbl, "conv_id", "turn_idx", "text"
+            )
+            outs.append(
+                pa.table(
+                    {
+                        "conv_id": convs,
+                        "conv_text": joined,
+                        "n_turns": pa.array(n_turns, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(
+        files, override_num_blocks=len(files)
+    ).map_batches(per_file, batch_format="pyarrow", batch_size=None)
+
+
 def conversation_exact_dedup(ds, **kwargs):
     """Conversation-level exact dedup: keep the lexicographically first
     conv_id per identical content fingerprint.
