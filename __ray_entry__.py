@@ -7021,6 +7021,221 @@ def _q_sentences_by_lang(sf_dir: str):
     )
 
 
+def _q_turn_gap_by_role(sf_dir: str):
+    """Whole-second gaps between consecutive turns within a
+    conversation, p50/p95 per the LATER turn's role: shuffle-free
+    per-file (role, gap) histogram partials over the conv-complete
+    enriched cache, then exact percentile_disc from the bounded
+    histogram (group_quantiles_hist counts_col path)."""
+    from console_log_parser_ray.stages.events import group_quantiles_hist
+
+    def per_group(tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        t = tbl.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        ts = (
+            t.column("ts")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        role = t.column("role").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "role": pa.array([], pa.string()),
+                "gap": pa.array([], pa.int64()),
+                "n_p": pa.array([], pa.int64()),
+            }
+        )
+        if len(conv) < 2:
+            return empty
+        same = conv[1:] == conv[:-1]
+        gaps = (ts[1:] - ts[:-1])[same] // 1_000_000
+        roles = role[1:][same]
+        if len(gaps) == 0:
+            return empty
+        g = (
+            pa.table(
+                {
+                    "role": pa.array(roles, pa.string()),
+                    "gap": pa.array(gaps, pa.int64()),
+                }
+            )
+            .group_by(["role", "gap"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "role": g.column("role"),
+                "gap": g.column("gap"),
+                "n_p": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    partials = _enriched_conv_partials(
+        sf_dir, ["conv_id", "turn_idx", "ts", "role"], per_group
+    )
+    return group_quantiles_hist(
+        partials, "role", "gap", qs=(0.5, 0.95), counts_col="n_p"
+    )
+
+
+def _q_conv_duration_hist(sf_dir: str):
+    """Conversations by whole-minute duration (last ts - first ts):
+    shuffle-free per-file partials over the conv-complete enriched
+    cache, bounded histogram."""
+    from ray.data.aggregate import Sum
+
+    def per_group(tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        df = pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "t": tbl.column("ts").cast(pa.int64()),
+            }
+        ).to_pandas()
+        g = df.groupby("conv_id", sort=False)["t"].agg(["min", "max"])
+        dur = (
+            g["max"].to_numpy(dtype="int64")
+            - g["min"].to_numpy(dtype="int64")
+        ) // 60_000_000
+        vals, cnt = np.unique(dur, return_counts=True)
+        return pa.table(
+            {
+                "dur_min": pa.array(vals, pa.int64()),
+                "nc_p": pa.array(cnt.astype("int64"), pa.int64()),
+            }
+        )
+
+    return (
+        _enriched_conv_partials(sf_dir, ["conv_id", "ts"], per_group)
+        .groupby("dur_min")
+        .aggregate(Sum("nc_p"))
+        .rename_columns({"sum(nc_p)": "n_convs"})
+    )
+
+
+def _q_hapax(sf_dir: str):
+    """Hapax-legomena share per source (stages/textan.hapax_by_source):
+    token-hash bucket partials, exact ints, one float ratio."""
+    from console_log_parser_ray.stages.textan import hapax_by_source
+
+    return hapax_by_source(_docs(sf_dir, ["source", "text"]))
+
+
+def _q_zipf_slope(sf_dir: str):
+    """Zipf-law OLS fit over the exact top-1000 token frequencies
+    (stages/textan.zipf_slope) -- micro-nat-quantized lns, exact
+    integer sufficient statistics, bounded driver finish."""
+    from console_log_parser_ray.stages.textan import zipf_slope
+
+    return zipf_slope(_docs(sf_dir, ["text"]), k=1000)
+
+
+def _q_brand_supplier_breadth(sf_dir: str):
+    """Sourcing breadth per brand: distinct parts and distinct
+    suppliers observed in lineitem, by the part's brand.  Distinct
+    (partkey, suppkey) / (partkey) folds via the bucketed any-wins
+    distinct (shuffle moves one row per pair per block), brand
+    resolved by broadcast fk_searchsorted, bounded driver merge."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from console_log_parser_ray.stages.dedup import (
+        _cached_get,
+        distinct_rows,
+    )
+    from console_log_parser_ray.stages.relational import fk_searchsorted
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"],
+    )
+    pk = np.asarray(t.column("p_partkey").to_pylist(), np.int64)
+    br = np.asarray(t.column("p_brand").to_pylist())
+    order = np.argsort(pk)
+    pk, br = pk[order], br[order]
+    brands = sorted(set(br.tolist()))
+    bid = {b: i for i, b in enumerate(brands)}
+    bidx = np.array([bid[b] for b in br], np.int64)
+    ref = ray.put((pk, bidx))
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+    )
+
+    def tagged_pairs(b, _r=ref):
+        import numpy as np
+        import pyarrow as pa
+
+        p_k, b_i = _cached_get(_r)
+        part = b.column("l_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        supp = b.column("l_suppkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bi = b_i[
+            fk_searchsorted(p_k, part, "brand_supplier_breadth fk")
+        ]
+        # ONE tagged stream carries both distinct targets (brand,
+        # supplier) and (brand, part): one read, one distinct shuffle
+        n = len(bi)
+        t = pa.table(
+            {
+                "tag": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, np.int8), np.ones(n, np.int8)]
+                    )
+                ),
+                "bi": pa.array(
+                    np.concatenate([bi, bi]), pa.int64()
+                ),
+                "key": pa.array(
+                    np.concatenate([supp, part]), pa.int64()
+                ),
+            }
+        )
+        return t  # distinct_rows pre-dedups in-batch before shuffling
+
+    agg = (
+        distinct_rows(
+            li.map_batches(tagged_pairs, batch_format="pyarrow"),
+            ["tag", "bi", "key"],
+        )
+        .groupby(["tag", "bi"])
+        .count()
+        .take_all()
+    )
+    n_sup = {
+        int(r["bi"]): int(r["count()"]) for r in agg if r["tag"] == 0
+    }
+    n_par = {
+        int(r["bi"]): int(r["count()"]) for r in agg if r["tag"] == 1
+    }
+    keys = sorted(set(n_sup) | set(n_par))
+    return pa.table(
+        {
+            "p_brand": pa.array([brands[i] for i in keys], pa.string()),
+            "n_parts": pa.array(
+                [n_par.get(i, 0) for i in keys], pa.int64()
+            ),
+            "n_suppliers": pa.array(
+                [n_sup.get(i, 0) for i in keys], pa.int64()
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -7268,6 +7483,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_mi": _q_mutual_info,
         "user_time_rolling": _q_user_time_rolling,
         "outer_join_users": _q_outer_join_users,
+        "turn_gap_by_role": _q_turn_gap_by_role,
+        "conv_duration_hist": _q_conv_duration_hist,
+        "hapax_by_source": _q_hapax,
+        "zipf_slope": _q_zipf_slope,
+        "brand_supplier_breadth": _q_brand_supplier_breadth,
     }
 
 
@@ -10735,6 +10955,80 @@ def oracle_sql() -> dict[str, str]:
     from console_log_parser_ray.stages.search import bm25_oracle_sql
 
     out["bm25"] = bm25_oracle_sql(_BM25_TERMS)
+    out["turn_gap_by_role"] = (
+        # lag gap in whole seconds, role of the LATER turn;
+        # percentile_disc over the (role, gap) distribution
+        "WITH o AS (SELECT conv_id, expected_role AS role, "
+        "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY "
+        "conv_id ORDER BY turn_idx) AS d FROM "
+        f"read_parquet('{_SF001_GLOB}')), "
+        "g AS (SELECT role, d // 1000000 AS gap FROM o WHERE d IS "
+        "NOT NULL) "
+        "SELECT role, CAST(percentile_disc(0.5) WITHIN GROUP "
+        "(ORDER BY gap) AS DOUBLE) AS p50, "
+        "CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY gap) "
+        "AS DOUBLE) AS p95 FROM g GROUP BY 1"
+    )
+    out["conv_duration_hist"] = (
+        "WITH c AS (SELECT conv_id, (max(epoch_us(ts)) - "
+        "min(epoch_us(ts))) // 60000000 AS dur_min FROM "
+        f"read_parquet('{_SF001_GLOB}') GROUP BY 1) "
+        "SELECT dur_min, CAST(count(*) AS BIGINT) AS n_convs "
+        "FROM c GROUP BY 1"
+    )
+    out["hapax_by_source"] = (
+        # per-source types occurring exactly once; same \S+ token law
+        # as ttr_by_source
+        "WITH toks AS (SELECT coalesce(source, '') AS source, "
+        "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+        "FROM documents), "
+        "c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n "
+        "FROM toks GROUP BY 1, 2) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_types, "
+        "CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax, "
+        "CAST(count(*) FILTER (WHERE n = 1) AS DOUBLE) / "
+        "CAST(count(*) AS BIGINT) AS hapax_ratio FROM c GROUP BY 1"
+    )
+    out["zipf_slope"] = (
+        # top-1000 token frequencies, micro-nat-quantized lns,
+        # HUGEINT normal equations -- same tree as the engine
+        "WITH toks AS (SELECT unnest(regexp_extract_all(text, "
+        "'\\S+')) AS tok FROM documents), "
+        "c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks "
+        "GROUP BY 1), "
+        "r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok "
+        "ASC) AS rnk FROM c QUALIFY rnk <= 1000), "
+        "q AS (SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * "
+        "1000000.0) AS BIGINT) AS x, CAST(floor(ln(CAST(n AS "
+        "DOUBLE)) * 1000000.0) AS BIGINT) AS y FROM r), "
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) "
+        "AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+        "CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy, "
+        "CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx, "
+        "CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy "
+        "FROM q), "
+        "f AS (SELECT n, sx, sy, "
+        "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS "
+        "num, CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx "
+        "AS denx, CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * "
+        "sy AS deny FROM s) "
+        "SELECT n AS n_ranks, "
+        "CASE WHEN denx > 0 THEN CAST(num AS DOUBLE) / "
+        "CAST(denx AS DOUBLE) END AS slope, "
+        "CASE WHEN denx > 0 THEN (CAST(sy AS DOUBLE) - "
+        "CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) * "
+        "CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END AS "
+        "intercept_micro_nats, "
+        "CASE WHEN denx > 0 AND deny > 0 THEN CAST(num AS DOUBLE) "
+        "* CAST(num AS DOUBLE) / (CAST(denx AS DOUBLE) * "
+        "CAST(deny AS DOUBLE)) END AS r2 FROM f"
+    )
+    out["brand_supplier_breadth"] = (
+        "SELECT p_brand, CAST(count(DISTINCT l_partkey) AS BIGINT) "
+        "AS n_parts, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS "
+        "n_suppliers FROM lineitem JOIN part ON p_partkey = "
+        "l_partkey GROUP BY 1"
+    )
     return out
 
 

@@ -320,6 +320,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "dup_rate_by_source",
         "nonascii_by_source",
         "sentences_by_lang",
+        "normalize",
+        "turn_gap_by_role",
+        "conv_duration_hist",
+        "hapax_by_source",
+        "zipf_slope",
+        "brand_supplier_breadth",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -442,6 +442,7 @@ def group_quantiles_hist(
     group_col: str,
     value_col: str,
     qs=(0.5, 0.95),
+    counts_col: str | None = None,
 ):
     """Exact per-group ``percentile_disc`` over DISCRETE value columns
     via the compressed (group, value, count) distribution -- the scale
@@ -456,6 +457,11 @@ def group_quantiles_hist(
     state are bounded by distinct (group, value) PAIRS (e.g. roles x
     line lengths), never by row count, and no task ever holds a whole
     group.
+
+    ``counts_col``: pass the column name when ``ds`` already carries
+    partial counts per (group, value) row (e.g. per-file histogram
+    partials from conversation-partitioned storage) -- the per-block
+    counting pass is skipped and the partials fold directly.
     """
     from ray.data.aggregate import Sum
 
@@ -473,16 +479,21 @@ def group_quantiles_hist(
             }
         )
 
+    if counts_col is None:
+        pre = ds.map_batches(partial, batch_format="pyarrow")
+        sum_col, sum_key = "n_p", "sum(n_p)"
+    else:
+        pre = ds
+        sum_col, sum_key = counts_col, f"sum({counts_col})"
     hist = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby([group_col, value_col])
-        .aggregate(Sum("n_p"))
+        pre.groupby([group_col, value_col])
+        .aggregate(Sum(sum_col))
         .take_all()
     )  # bounded by distinct (group, value) pairs
     by_g: dict = {}
     for r in hist:
         by_g.setdefault(r[group_col], []).append(
-            (r[value_col], int(r["sum(n_p)"]))
+            (r[value_col], int(r[sum_key]))
         )
     out = {group_col: []}
     for q in qs:

@@ -3312,3 +3312,207 @@ def ttr_by_source(
             ),
         }
     )
+
+
+def hapax_by_source(
+    ds,
+    class_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Hapax-legomena share per source: of a source's distinct token
+    types, how many occur exactly once -- the long-tail/diversity
+    screen that complements :func:`ttr_by_source` (template spam has
+    few hapaxes; scraped prose has many).  Exact integers; the ratio
+    is one float division.
+
+    Same scale shape as ``ttr_by_source``: bounded class list folded
+    and broadcast, then the token-hash bucket front half -- a bucket
+    owns EVERY occurrence row of its tokens per class, so both the
+    per-class type count and the per-class hapax count (total
+    occurrences == 1) are bucket-local partials.
+    """
+    classes: set = set()
+    for tbl in ds.map_batches(
+        lambda b: pa.table(
+            {
+                "c": pc.unique(
+                    pc.fill_null(
+                        b.column(class_col).combine_chunks(), ""
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        classes.update(tbl.column("c").to_pylist())
+    classes = sorted(classes)
+    class_id = {c: i for i, c in enumerate(classes)}
+
+    def explode_cls(b: pa.Table) -> pa.Table:
+        cls = pc.fill_null(b.column(class_col).combine_chunks(), "")
+        enc = pc.dictionary_encode(cls)
+        dmap = np.array(
+            [class_id[c] for c in enc.dictionary.to_pylist()],
+            np.int64,
+        )
+        cid = pa.array(
+            dmap[enc.indices.to_numpy(zero_copy_only=False)],
+            pa.int64(),
+        )
+        return _explode_tok_occ(
+            pa.table({"cid": cid, text_col: b.column(text_col)}),
+            text_col,
+            "cid",
+            n_buckets,
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(["cid", "tok"]).aggregate(
+            [("n_occ", "sum")]
+        )
+        cid = agg.column("cid").to_numpy(zero_copy_only=False)
+        occ = agg.column("n_occ_sum").to_numpy(zero_copy_only=False)
+        n_cls = len(classes)
+        types = np.bincount(cid, minlength=n_cls).astype(np.int64)
+        hapax = np.bincount(
+            cid[occ == 1], minlength=n_cls
+        ).astype(np.int64)
+        nz = np.flatnonzero(types > 0)
+        return pa.table(
+            {
+                "cid": pa.array(nz, pa.int64()),
+                "ty_p": pa.array(types[nz], pa.int64()),
+                "hx_p": pa.array(hapax[nz], pa.int64()),
+            }
+        )
+
+    n_types = np.zeros(len(classes), np.int64)
+    n_hapax = np.zeros(len(classes), np.int64)
+    for tbl in (
+        ds.map_batches(explode_cls, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        ci = tbl.column("cid").to_numpy(zero_copy_only=False)
+        np.add.at(
+            n_types, ci,
+            tbl.column("ty_p").to_numpy(zero_copy_only=False),
+        )
+        np.add.at(
+            n_hapax, ci,
+            tbl.column("hx_p").to_numpy(zero_copy_only=False),
+        )
+    keep = n_types > 0
+    return pa.table(
+        {
+            "source": pa.array(
+                [c for c, k in zip(classes, keep) if k], pa.string()
+            ),
+            "n_types": pa.array(n_types[keep], pa.int64()),
+            "n_hapax": pa.array(n_hapax[keep], pa.int64()),
+            "hapax_ratio": pa.array(
+                n_hapax[keep].astype(np.float64)
+                / n_types[keep].astype(np.float64),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def zipf_slope(ds, text_col: str = "text", k: int = 1000):
+    """Zipf-law fit over the corpus token-frequency distribution: OLS
+    slope/intercept/R^2 of ln(freq) against ln(rank) for the exact
+    top-``k`` tokens (ties broken by token ascending) -- natural text
+    sits near slope -1; template/boilerplate corpora flatten it.
+
+    Scale shape: per-block token-count partials (the ``ngram_topk``
+    recipe for unigrams: the shuffle moves one row per distinct token
+    per block), one groupby-sum, a per-block exact local-top-k
+    reduction, then a bounded k-row driver finish.  Both lns are
+    quantized to integer micro-nats BEFORE any product (the
+    ``js``/``ols_trend`` determinism recipe), so every sufficient
+    statistic is an exact integer and the SQL mirror's HUGEINT/DOUBLE
+    tree is bit-identical.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(
+            batch.column(text_col).combine_chunks(), ""
+        )
+        flat = pc.split_pattern_regex(texts, pattern=r"\s+").flatten()
+        g = (
+            pa.table({"tok": flat})
+            .filter(pc.not_equal(flat, ""))
+            .group_by(["tok"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "tok": g.column("tok"),
+                "n_partial": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n_partial"))
+    )
+
+    def local_topk(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "tok": tbl.column("tok"),
+                "n": tbl.column("sum(n_partial)"),
+            }
+        )
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("tok", "ascending")]
+        )
+        return t.take(idx[:k])
+
+    rows = (
+        agg.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["n", "tok"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )  # bounded: k rows
+    n = len(rows)
+    sx = sy = sxy = sxx = syy = 0
+    for rank, r in enumerate(rows, start=1):
+        x = math.floor(math.log(float(rank)) * 1_000_000.0)
+        y = math.floor(math.log(float(int(r["n"]))) * 1_000_000.0)
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+        syy += y * y
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    slope = float(num) / float(denx) if denx > 0 else None
+    intercept = (
+        (float(sy) - float(num) / float(denx) * float(sx)) / float(n)
+        if denx > 0
+        else None
+    )
+    r2 = (
+        float(num) * float(num) / (float(denx) * float(deny))
+        if denx > 0 and deny > 0
+        else None
+    )
+    return pa.table(
+        {
+            "n_ranks": pa.array([n], pa.int64()),
+            "slope": pa.array([slope], pa.float64()),
+            "intercept_micro_nats": pa.array(
+                [intercept], pa.float64()
+            ),
+            "r2": pa.array([r2], pa.float64()),
+        }
+    )

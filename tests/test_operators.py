@@ -8646,3 +8646,140 @@ def test_ensure_enriched_cache_and_conv_marker(ray_session, tmp_path):
     assert len(cached) == len(live)
     for col in ("role", "tool", "command", "in_vim", "clean_text", "sink"):
         assert cached[col].tolist() == live[col].tolist()
+
+
+def test_hapax_by_source_differential(ray_session):
+    """hapax_by_source == python brute force; a template source pins a
+    near-zero hapax ratio, one-off prose pins a high one."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import hapax_by_source
+
+    docs, srcs = [], []
+    for i in range(60):
+        docs.append("spam spam eggs eggs")
+        srcs.append("boiler")
+    for i in range(60):
+        docs.append(" ".join(f"w{i}_{j}" for j in range(3)))
+        srcs.append("fresh")
+    docs.append("one two two")
+    srcs.append(None)
+    t = pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    got = (
+        hapax_by_source(
+            ray.data.from_arrow(t).repartition(5), n_buckets=8
+        )
+        .to_pandas()
+        .set_index("source")
+    )
+    cnt: dict = {}
+    for s, d in zip(srcs, docs):
+        s = s or ""
+        for w in d.split():
+            cnt.setdefault(s, {})
+            cnt[s][w] = cnt[s].get(w, 0) + 1
+    for s in ("boiler", "fresh", ""):
+        types = len(cnt[s])
+        hapax = sum(1 for v in cnt[s].values() if v == 1)
+        row = got.loc[s]
+        assert row["n_types"] == types
+        assert row["n_hapax"] == hapax
+        assert row["hapax_ratio"] == hapax / types
+    assert got.loc["fresh", "hapax_ratio"] == 1.0
+    assert got.loc["boiler", "hapax_ratio"] == 0.0
+
+
+def test_zipf_slope_differential(ray_session):
+    """zipf_slope == python brute force on the same quantized-ln
+    normal equations; a power-law corpus fits slope ~ -1."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import zipf_slope
+
+    # freq(tok_r) ~ 1000 // r: an explicit Zipf corpus
+    words = []
+    for r in range(1, 41):
+        words += [f"tok{r:03d}"] * (1000 // r)
+    rng = np.random.default_rng(3)
+    rng.shuffle(words)
+    docs = [
+        " ".join(words[i : i + 50]) for i in range(0, len(words), 50)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(docs, pa.string())})
+    ).repartition(4)
+    got = zipf_slope(ds, k=25).to_pylist()[0]
+
+    cnt: dict = {}
+    for w in words:
+        cnt[w] = cnt.get(w, 0) + 1
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    n = len(top)
+    sx = sy = sxy = sxx = syy = 0
+    for rank, (_, f) in enumerate(top, start=1):
+        x = math.floor(math.log(float(rank)) * 1_000_000.0)
+        y = math.floor(math.log(float(f)) * 1_000_000.0)
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+        syy += y * y
+    num, denx = n * sxy - sx * sy, n * sxx - sx * sx
+    assert got["n_ranks"] == n
+    assert got["slope"] == float(num) / float(denx)
+    assert -1.2 < got["slope"] < -0.8
+
+
+def test_turn_gap_and_duration_queries_match_duckdb(ray_session):
+    """The two new per-conversation time queries match their oracle
+    SQL at sf0.001 (same protocol as the driver)."""
+    import duckdb
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+    from console_log_parser_ray.sources import cache
+
+    sf = "/root/testdata/sf0.001"
+    glob_path = cache.transcripts_glob(sf)
+    cache.ensure_transcripts(sf)
+    q = entry.queries()
+    sql = entry.oracle_sql()
+    for name in ("turn_gap_by_role", "conv_duration_hist"):
+        got = q[name](sf)
+        import ray.data
+
+        if isinstance(got, ray.data.Dataset):
+            got = got.to_pandas()
+        else:
+            got = got.to_pandas()
+        oracle = duckdb.sql(
+            sql[name].replace(
+                entry._SF001_GLOB, glob_path
+            )
+        ).df()
+        got = got[sorted(got.columns)].sort_values(
+            by=sorted(got.columns)
+        ).reset_index(drop=True)
+        oracle = oracle[sorted(oracle.columns)].sort_values(
+            by=sorted(oracle.columns)
+        ).reset_index(drop=True)
+        assert len(got) == len(oracle), name
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            got.astype(oracle.dtypes.to_dict()), oracle, check_exact=True
+        )
