@@ -7236,6 +7236,269 @@ def _q_brand_supplier_breadth(sf_dir: str):
     )
 
 
+def _q_blamed_suppliers(sf_dir: str):
+    """TPC-H q21-shaped blame report on this schema's lateness rule
+    (ship > order date + 60d, as q4): suppliers SOLELY responsible
+    for a late multi-supplier order, top-20 by count.  One
+    orderkey-hash bucket fold of per-block (order, supplier,
+    any-late) partials -- shuffle volume is distinct pairs, never
+    lines; supplier names resolve via one broadcast."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.dedup import _cached_get
+    from console_log_parser_ray.stages.events import _bucket31
+    from console_log_parser_ray.stages.relational import (
+        fk_searchsorted,
+        lookup_join,
+    )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    )
+    j = lookup_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey", how="inner"
+    )
+    LATE_US = 60 * 86_400_000_000
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        late = pc.cast(
+            pc.greater(
+                b.column("l_shipdate").cast(pa.int64()),
+                pc.add(
+                    b.column("o_orderdate").cast(pa.int64()),
+                    pa.scalar(LATE_US, pa.int64()),
+                ),
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {
+                    "o": b.column("l_orderkey").cast(pa.int64()),
+                    "s": b.column("l_suppkey").cast(pa.int64()),
+                    "late": late,
+                }
+            )
+            .group_by(["o", "s"])
+            .aggregate([("late", "max")])
+        )
+        out = pa.table(
+            {
+                "o": g.column("o"),
+                "s": g.column("s"),
+                "late_p": g.column("late_max").cast(pa.int64()),
+            }
+        )
+        return out.append_column(
+            "ob", _bucket31(out.column("o").combine_chunks(), 64)
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = (
+            tbl.select(["o", "s", "late_p"])
+            .to_pandas()
+            .groupby(["o", "s"], sort=False)["late_p"]
+            .max()
+            .reset_index()
+        )
+        g = df.groupby("o", sort=False)["late_p"].agg(
+            n_supp="size", n_late="sum"
+        )
+        blame_orders = g[(g["n_supp"] >= 2) & (g["n_late"] == 1)].index
+        blamed = df[
+            df["o"].isin(blame_orders) & (df["late_p"] == 1)
+        ]
+        c = blamed.groupby("s", sort=False).size()
+        return pa.table(
+            {
+                "s": pa.array(
+                    c.index.to_numpy(dtype="int64"), pa.int64()
+                ),
+                "n_p": pa.array(
+                    c.to_numpy(dtype="int64"), pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        j.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("ob")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Sum("n_p"))
+        .take_all()
+    )  # bounded by supplier count
+    t = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+    )
+    sk = np.asarray(t.column("s_suppkey").to_pylist(), np.int64)
+    sn = np.asarray(t.column("s_name").to_pylist())
+    order = np.argsort(sk)
+    sk, sn = sk[order], sn[order]
+    per_name: dict = {}
+    for r in rows:
+        name = str(
+            sn[
+                int(
+                    fk_searchsorted(
+                        sk,
+                        np.array([int(r["s"])], np.int64),
+                        "blamed_suppliers fk",
+                    )[0]
+                )
+            ]
+        )
+        per_name[name] = per_name.get(name, 0) + int(r["sum(n_p)"])
+    top = sorted(per_name.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return pa.table(
+        {
+            "s_name": pa.array([k for k, _ in top], pa.string()),
+            "numwait": pa.array([v for _, v in top], pa.int64()),
+        }
+    )
+
+
+def _q_role_pattern_topk(sf_dir: str):
+    """Top-10 conversation openings: the role-initial string of each
+    conversation's first 12 turns, counted corpus-wide -- shuffle-free
+    per-file pattern-histogram partials over the conv-complete
+    enriched cache, bounded driver cut."""
+    from ray.data.aggregate import Sum
+
+    def per_group(tbl):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = tbl.filter(
+            pc.less(tbl.column("turn_idx"), pa.scalar(12))
+        ).sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        empty = pa.table(
+            {
+                "pat": pa.array([], pa.string()),
+                "n_p": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame(
+            {
+                "conv_id": t.column("conv_id").to_numpy(
+                    zero_copy_only=False
+                ),
+                "ini": [
+                    r[:1]
+                    for r in t.column("role").to_pylist()
+                ],
+            }
+        )
+        pats = df.groupby("conv_id", sort=False)["ini"].agg("".join)
+        c = pats.groupby(pats, sort=False).size()
+        return pa.table(
+            {
+                "pat": pa.array(c.index.tolist(), pa.string()),
+                "n_p": pa.array(c.to_numpy(dtype="int64"), pa.int64()),
+            }
+        )
+
+    rows = (
+        _enriched_conv_partials(
+            sf_dir, ["conv_id", "turn_idx", "role"], per_group
+        )
+        .groupby("pat")
+        .aggregate(Sum("n_p"))
+        .take_all()
+    )  # bounded by distinct opening patterns
+    rows.sort(key=lambda r: (-int(r["sum(n_p)"]), r["pat"]))
+    rows = rows[:10]
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "pat": pa.array([r["pat"] for r in rows], pa.string()),
+            "n_convs": pa.array(
+                [int(r["sum(n_p)"]) for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+def _q_wau_weekly(sf_dir: str):
+    """Weekly active users: exact distinct users per 7-day epoch
+    bucket from the corpus start -- (week, user) distinct fold via the
+    bucketed any-wins distinct, bounded week histogram."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from console_log_parser_ray.stages.dedup import distinct_rows
+    from console_log_parser_ray.stages.events import _ts_scalar_us
+
+    ev = _events(sf_dir, ["ts", "user_id"])
+    mn_us = _ts_scalar_us(ev.min("ts"))
+    WEEK = 7 * 86_400_000_000
+
+    def project(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column("ts")),
+                pc.is_valid(b.column("user_id")),
+            )
+        )
+        wk = pc.divide(
+            pc.subtract(
+                t.column("ts").cast(pa.int64()),
+                pa.scalar(mn_us, pa.int64()),
+            ),
+            pa.scalar(WEEK, pa.int64()),
+        )
+        return pa.table(
+            {
+                "week": wk,
+                "user_id": t.column("user_id").cast(pa.int64()),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        # explicit arrow projection (rename_columns' Project chokes on
+        # the pandas-format blocks distinct_rows emits)
+        return pa.table(
+            {
+                "week": b.column("week").cast(pa.int64()),
+                "n_users": b.column("count()").cast(pa.int64()),
+            }
+        )
+
+    return (
+        distinct_rows(
+            ev.map_batches(project, batch_format="pyarrow"),
+            ["week", "user_id"],
+        )
+        .groupby("week")
+        .count()
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -7488,6 +7751,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_by_source": _q_hapax,
         "zipf_slope": _q_zipf_slope,
         "brand_supplier_breadth": _q_brand_supplier_breadth,
+        "blamed_suppliers": _q_blamed_suppliers,
+        "role_pattern_topk": _q_role_pattern_topk,
+        "wau_weekly": _q_wau_weekly,
     }
 
 
@@ -11028,6 +11294,38 @@ def oracle_sql() -> dict[str, str]:
         "AS n_parts, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS "
         "n_suppliers FROM lineitem JOIN part ON p_partkey = "
         "l_partkey GROUP BY 1"
+    )
+    out["blamed_suppliers"] = (
+        # q21-shaped on this schema's 60-day lateness rule
+        "WITH ls AS (SELECT l_orderkey AS o, l_suppkey AS s, "
+        "max(CASE WHEN epoch_us(l_shipdate) > "
+        "epoch_us(o_orderdate) + 5184000000000 THEN 1 ELSE 0 END) "
+        "AS late FROM lineitem JOIN orders ON o_orderkey = "
+        "l_orderkey GROUP BY 1, 2), "
+        "og AS (SELECT o, CAST(count(*) AS BIGINT) AS n_supp, "
+        "CAST(sum(late) AS BIGINT) AS n_late FROM ls GROUP BY 1), "
+        "blame AS (SELECT ls.s FROM ls JOIN og USING (o) WHERE "
+        "og.n_supp >= 2 AND og.n_late = 1 AND ls.late = 1) "
+        "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait FROM "
+        "blame JOIN supplier ON s_suppkey = s GROUP BY 1 "
+        "ORDER BY numwait DESC, s_name ASC LIMIT 20"
+    )
+    out["role_pattern_topk"] = (
+        "WITH p AS (SELECT conv_id, string_agg("
+        "substr(expected_role, 1, 1), '' ORDER BY turn_idx) AS pat "
+        f"FROM read_parquet('{_SF001_GLOB}') WHERE turn_idx < 12 "
+        "GROUP BY 1) "
+        "SELECT pat, CAST(count(*) AS BIGINT) AS n_convs FROM p "
+        "GROUP BY 1 ORDER BY n_convs DESC, pat ASC LIMIT 10"
+    )
+    out["wau_weekly"] = (
+        "WITH span AS (SELECT epoch_us(min(ts)) AS mn FROM events "
+        "WHERE ts IS NOT NULL), "
+        "o AS (SELECT (epoch_us(ts) - span.mn) // 604800000000 AS "
+        "week, user_id FROM events, span WHERE ts IS NOT NULL AND "
+        "user_id IS NOT NULL) "
+        "SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS "
+        "n_users FROM o GROUP BY 1"
     )
     return out
 

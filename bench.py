@@ -326,6 +326,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "hapax_by_source",
         "zipf_slope",
         "brand_supplier_breadth",
+        "blamed_suppliers",
+        "role_pattern_topk",
+        "wau_weekly",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
