@@ -7499,6 +7499,148 @@ def _q_wau_weekly(sf_dir: str):
     )
 
 
+def _q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: generator ground-truth lang vs
+    the engine's stopword-argmax prediction, counted per (lang,
+    lang_pred) cell -- the eval readout for the lang_id heuristic.
+    One stateless actor-pool pass + a bounded two-key groupby."""
+    from ray.data.aggregate import Count
+
+    from console_log_parser_ray.stages.textan import lang_id
+
+    return (
+        lang_id(_docs(sf_dir, ["doc_id", "lang", "text"]))
+        .groupby(["lang", "lang_pred"])
+        .count()
+        .rename_columns({"count()": "n"})
+    )
+
+
+def _q_stickiness(sf_dir: str):
+    """Product stickiness (avg DAU / avg WAU): exact distinct
+    (day, user) and (week, user) folds through ONE tagged any-wins
+    distinct (the brand_supplier_breadth shape), bounded per-bucket
+    histograms, one-row float finish."""
+    import pyarrow as pa
+
+    from console_log_parser_ray.stages.dedup import distinct_rows
+    from console_log_parser_ray.stages.events import _ts_scalar_us
+
+    ev = _events(sf_dir, ["ts", "user_id"])
+    mn_us = _ts_scalar_us(ev.min("ts"))
+    DAY = 86_400_000_000
+
+    def project(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column("ts")),
+                pc.is_valid(b.column("user_id")),
+            )
+        )
+        day = (
+            t.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            - mn_us
+        ) // DAY
+        u = t.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(u)
+        return pa.table(
+            {
+                "tag": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, np.int8), np.ones(n, np.int8)]
+                    )
+                ),
+                "bucket": pa.array(
+                    np.concatenate([day, day // 7]), pa.int64()
+                ),
+                "user_id": pa.array(
+                    np.concatenate([u, u]), pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        distinct_rows(
+            ev.map_batches(project, batch_format="pyarrow"),
+            ["tag", "bucket", "user_id"],
+        )
+        .groupby(["tag", "bucket"])
+        .count()
+        .take_all()
+    )  # bounded by calendar span x 2
+    d_tot = d_n = w_tot = w_n = 0
+    for r in rows:
+        if int(r["tag"]) == 0:
+            d_tot += int(r["count()"])
+            d_n += 1
+        else:
+            w_tot += int(r["count()"])
+            w_n += 1
+    avg_dau = float(d_tot) / float(d_n)
+    avg_wau = float(w_tot) / float(w_n)
+    return pa.table(
+        {
+            "n_days": pa.array([d_n], pa.int64()),
+            "n_weeks": pa.array([w_n], pa.int64()),
+            "avg_dau": pa.array([avg_dau], pa.float64()),
+            "avg_wau": pa.array([avg_wau], pa.float64()),
+            "stickiness": pa.array(
+                [avg_dau / avg_wau], pa.float64()
+            ),
+        }
+    )
+
+
+def _q_order_value_deciles(sf_dir: str):
+    """Exact decile boundaries of order value (percentile_disc at
+    0.1..0.9 over integer cents): the bounded-histogram quantile path
+    (group_quantiles_hist, constant group) -- shuffle volume =
+    distinct cent values."""
+    import pyarrow as pa
+    import ray.data
+
+    from console_log_parser_ray.stages.events import group_quantiles_hist
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_totalprice"],
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.filter(pc.is_valid(b.column("o_totalprice")))
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    t.column("o_totalprice").cast(pa.float64()),
+                    pa.scalar(100.0, pa.float64()),
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "g": pa.nulls(len(cents), pa.string()).fill_null("all"),
+                "cents": cents,
+            }
+        )
+
+    return group_quantiles_hist(
+        orders.map_batches(project, batch_format="pyarrow"),
+        "g",
+        "cents",
+        qs=(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -7754,6 +7896,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blamed_suppliers": _q_blamed_suppliers,
         "role_pattern_topk": _q_role_pattern_topk,
         "wau_weekly": _q_wau_weekly,
+        "lang_confusion": _q_lang_confusion,
+        "stickiness": _q_stickiness,
+        "order_value_deciles": _q_order_value_deciles,
     }
 
 
@@ -11326,6 +11471,43 @@ def oracle_sql() -> dict[str, str]:
         "user_id IS NOT NULL) "
         "SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS "
         "n_users FROM o GROUP BY 1"
+    )
+    out["lang_confusion"] = (
+        "WITH pred AS (" + _lang_pred_sql() + ") "
+        "SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n "
+        "FROM pred p JOIN documents d USING (doc_id) GROUP BY 1, 2"
+    )
+    out["stickiness"] = (
+        "WITH span AS (SELECT epoch_us(min(ts)) AS mn FROM events "
+        "WHERE ts IS NOT NULL), "
+        "o AS (SELECT (epoch_us(ts) - span.mn) // 86400000000 AS "
+        "day, user_id AS u FROM events, span WHERE ts IS NOT NULL "
+        "AND user_id IS NOT NULL), "
+        "d AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS c "
+        "FROM o GROUP BY 1), "
+        "w AS (SELECT day // 7 AS wk, CAST(count(DISTINCT u) AS "
+        "BIGINT) AS c FROM o GROUP BY 1), "
+        "f AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS "
+        "n_days, (SELECT CAST(count(*) AS BIGINT) FROM w) AS "
+        "n_weeks, (SELECT CAST(sum(c) AS BIGINT) FROM d) AS ds, "
+        "(SELECT CAST(sum(c) AS BIGINT) FROM w) AS ws) "
+        "SELECT n_days, n_weeks, CAST(ds AS DOUBLE) / "
+        "CAST(n_days AS DOUBLE) AS avg_dau, CAST(ws AS DOUBLE) / "
+        "CAST(n_weeks AS DOUBLE) AS avg_wau, "
+        "(CAST(ds AS DOUBLE) / CAST(n_days AS DOUBLE)) / "
+        "(CAST(ws AS DOUBLE) / CAST(n_weeks AS DOUBLE)) AS "
+        "stickiness FROM f"
+    )
+    out["order_value_deciles"] = (
+        "WITH c AS (SELECT CAST(round(o_totalprice * 100) AS "
+        "BIGINT) AS cents FROM orders WHERE o_totalprice IS NOT "
+        "NULL) SELECT 'all' AS g, "
+        + ", ".join(
+            "CAST(percentile_disc(0.{q}) WITHIN GROUP (ORDER BY "
+            "cents) AS DOUBLE) AS p{p}".format(q=i, p=i * 10)
+            for i in range(1, 10)
+        )
+        + " FROM c"
     )
     return out
 

@@ -329,6 +329,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "blamed_suppliers",
         "role_pattern_topk",
         "wau_weekly",
+        "lang_confusion",
+        "stickiness",
+        "order_value_deciles",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
