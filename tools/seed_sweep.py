@@ -5248,6 +5248,149 @@ def engagement_family(seed):
           ["n_tokens", "n_types", "ttr"])
 
 
+def r5_family(seed):
+    """Round-5 additions: hapax / zipf / histogram quantiles / the
+    association_rules partials path."""
+    rng = np.random.default_rng(seed)
+    from console_log_parser_ray.stages.events import (
+        group_quantiles,
+        group_quantiles_hist,
+    )
+    from console_log_parser_ray.stages.graph import (
+        association_rules,
+        pair_count_partials,
+    )
+    from console_log_parser_ray.stages.textan import (
+        hapax_by_source,
+        zipf_slope,
+    )
+
+    con = duckdb.connect()
+
+    # hapax_by_source vs SQL on a random skewed-vocabulary corpus
+    vocab = [f"w{i}" for i in range(40)]
+    docs, srcs = [], []
+    for i in range(120):
+        k = int(rng.integers(2, 15))
+        docs.append(" ".join(rng.choice(vocab, k)))
+        srcs.append(str(rng.choice(["A", "B", "C"])))
+    for i in range(15):  # planted hapax tail
+        docs.append(f"unique_{seed}_{i}")
+        srcs.append("A")
+    dt = pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    con.register("hdocs", dt)
+    mine = hapax_by_source(
+        ray.data.from_arrow(dt).repartition(4), n_buckets=8
+    ).to_pandas()
+    ref = con.execute(r"""
+        WITH toks AS (SELECT coalesce(source, '') AS source,
+          unnest(regexp_extract_all(text, '\S+')) AS tok
+          FROM hdocs),
+        c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+          FROM toks GROUP BY 1, 2)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax,
+        CAST(count(*) FILTER (WHERE n = 1) AS DOUBLE) /
+        CAST(count(*) AS BIGINT) AS hapax_ratio
+        FROM c GROUP BY 1""").fetchdf()
+    check("hapax_by_source", seed, mine, ref, ["source"],
+          ["n_types", "n_hapax", "hapax_ratio"])
+
+    # zipf_slope vs SQL (same quantized-ln HUGEINT tree)
+    mine = zipf_slope(
+        ray.data.from_arrow(dt).repartition(4), k=30
+    ).to_pandas()
+    ref = con.execute(r"""
+        WITH toks AS (SELECT unnest(regexp_extract_all(text,
+          '\S+')) AS tok FROM hdocs),
+        c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks
+          GROUP BY 1),
+        r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok
+          ASC) AS rnk FROM c QUALIFY rnk <= 30),
+        q AS (SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) *
+          1000000.0) AS BIGINT) AS x, CAST(floor(ln(CAST(n AS
+          DOUBLE)) * 1000000.0) AS BIGINT) AS y FROM r),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS
+          BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+          CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+          CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+          FROM q),
+        f AS (SELECT n, sx, sy,
+          CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS
+          num, CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+          AS denx, CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT)
+          * sy AS deny FROM s)
+        SELECT n AS n_ranks,
+        CASE WHEN denx > 0 THEN CAST(num AS DOUBLE) /
+        CAST(denx AS DOUBLE) END AS slope,
+        CASE WHEN denx > 0 THEN (CAST(sy AS DOUBLE) -
+        CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) *
+        CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END AS
+        intercept_micro_nats,
+        CASE WHEN denx > 0 AND deny > 0 THEN CAST(num AS DOUBLE) *
+        CAST(num AS DOUBLE) / (CAST(denx AS DOUBLE) *
+        CAST(deny AS DOUBLE)) END AS r2 FROM f""").fetchdf()
+    check("zipf_slope", seed, mine, ref, ["n_ranks"],
+          ["slope", "intercept_micro_nats", "r2"])
+
+    # group_quantiles_hist == group_quantiles on discrete values
+    n = 3000
+    qt = pa.table(
+        {
+            "g": pa.array(
+                rng.choice(["x", "y", "z"], n), pa.string()
+            ),
+            "value": pa.array(
+                rng.integers(0, 50, n).astype(np.float64),
+                pa.float64(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(qt).repartition(5)
+    mine = group_quantiles_hist(
+        ds, "g", "value", qs=(0.5, 0.95)
+    ).to_pandas()
+    ref = group_quantiles(
+        ds, "g", "value", qs=(0.5, 0.95)
+    ).to_pandas()
+    check("group_quantiles_hist", seed, mine, ref, ["g"],
+          ["p50", "p95"])
+
+    # association_rules partials path == shuffle path
+    rows = pa.table(
+        {
+            "g": pa.array(
+                rng.integers(0, 150, 2500), pa.int64()
+            ),
+            "i": pa.array(rng.integers(0, 10, 2500), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(rows).repartition(5)
+    ref = association_rules(
+        ds, "g", "i", min_support=2, k=15
+    ).to_pandas()
+    import pyarrow.compute as _pc
+
+    lo = rows.filter(_pc.less(rows.column("g"), 75))
+    hi = rows.filter(_pc.greater_equal(rows.column("g"), 75))
+    partials = ray.data.from_arrow(
+        pa.concat_tables(
+            [pair_count_partials(lo, 64), pair_count_partials(hi, 64)]
+        )
+    )
+    mine = association_rules(
+        None, "g", "i", min_support=2, k=15, partials=partials
+    ).to_pandas()
+    check("assoc_rules_partials", seed, mine, ref, ["a", "b"],
+          ["support", "conf_ab", "conf_ba", "lift"])
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -5277,10 +5420,11 @@ def main():
         alerting_trend_family(seed)
         rules_mmr_family(seed)
         engagement_family(seed)
+        r5_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(168 comparison groups per seed)"
+        "(172 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
