@@ -7641,6 +7641,79 @@ def _q_order_value_deciles(sf_dir: str):
     )
 
 
+def _q_pii_by_source(sf_dir: str):
+    """PII incidence per source: exact email / dotted-quad match
+    counts over documents (the audit sibling of the redact
+    transform).  One vectorized RE2 kernel per pattern per batch,
+    bounded per-source fold; pyarrow and DuckDB both run RE2, so the
+    SQL mirror is the same regex engine."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = pc.fill_null(b.column("text").combine_chunks(), "")
+        src = pc.fill_null(b.column("source").combine_chunks(), "")
+        emails = pc.count_substring_regex(
+            text,
+            r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        ).cast(pa.int64())
+        ips = pc.count_substring_regex(
+            text,
+            r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+        ).cast(pa.int64())
+        g = (
+            pa.table(
+                {
+                    "source": src,
+                    "one": pa.array([1] * len(src), pa.int64()),
+                    "em": emails,
+                    "ip": ips,
+                }
+            )
+            .group_by("source")
+            .aggregate([("one", "sum"), ("em", "sum"), ("ip", "sum")])
+        )
+        return g.rename_columns(["source", "nd_p", "em_p", "ip_p"])
+
+    res = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("nd_p"), Sum("em_p"), Sum("ip_p"))
+        .take_all()
+    )  # bounded by source count
+    res.sort(key=lambda r: r["source"])
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "source": pa.array(
+                [r["source"] for r in res], pa.string()
+            ),
+            "n_docs": pa.array(
+                [int(r["sum(nd_p)"]) for r in res], pa.int64()
+            ),
+            "n_emails": pa.array(
+                [int(r["sum(em_p)"]) for r in res], pa.int64()
+            ),
+            "n_ips": pa.array(
+                [int(r["sum(ip_p)"]) for r in res], pa.int64()
+            ),
+            "pii_per_doc": pa.array(
+                [
+                    float(int(r["sum(em_p)"]) + int(r["sum(ip_p)"]))
+                    / float(int(r["sum(nd_p)"]))
+                    for r in res
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -7899,6 +7972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": _q_lang_confusion,
         "stickiness": _q_stickiness,
         "order_value_deciles": _q_order_value_deciles,
+        "pii_by_source": _q_pii_by_source,
     }
 
 
@@ -11508,6 +11582,24 @@ def oracle_sql() -> dict[str, str]:
             for i in range(1, 10)
         )
         + " FROM c"
+    )
+    out["pii_by_source"] = (
+        # RE2 on both sides: len(regexp_extract_all) == the engine's
+        # count_substring_regex
+        "SELECT coalesce(source, '') AS source, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(len(regexp_extract_all(coalesce(text, ''), "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS "
+        "BIGINT) AS n_emails, "
+        "CAST(sum(len(regexp_extract_all(coalesce(text, ''), "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))) AS "
+        "BIGINT) AS n_ips, "
+        "(CAST(sum(len(regexp_extract_all(coalesce(text, ''), "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS "
+        "DOUBLE) + CAST(sum(len(regexp_extract_all(coalesce(text, "
+        "''), '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))) "
+        "AS DOUBLE)) / CAST(count(*) AS DOUBLE) AS pii_per_doc "
+        "FROM documents GROUP BY 1"
     )
     return out
 

@@ -332,6 +332,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "lang_confusion",
         "stickiness",
         "order_value_deciles",
+        "pii_by_source",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
