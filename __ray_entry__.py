@@ -7714,6 +7714,188 @@ def _q_pii_by_source(sf_dir: str):
     )
 
 
+def _q_sessions_per_user_hist(sf_dir: str):
+    """Sessions-per-user histogram (30-min gap rule, as sessionize):
+    user-hash bucket fold -- one lexsort + boundary scan per bucket
+    resolves every user's session count vectorized, emitting bounded
+    (n_sessions, n_users) partials."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.events import _bucket31
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+    GAP = 30 * 60 * 1_000_000
+
+    def project(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column("user_id")),
+                pc.is_valid(b.column("ts")),
+            )
+        )
+        u = t.column("user_id").cast(pa.int64())
+        return pa.table(
+            {
+                "jb": _bucket31(u.combine_chunks(), 64),
+                "u": u,
+                "t": t.column("ts").cast(pa.int64()),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow as pa
+
+        u = tbl.column("u").to_numpy(zero_copy_only=False)
+        t = tbl.column("t").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "n_sessions": pa.array([], pa.int64()),
+                    "nu_p": pa.array([], pa.int64()),
+                }
+            )
+        new_s = np.ones(n, bool)
+        new_s[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > GAP)
+        uniq, inv = np.unique(u, return_inverse=True)
+        per_user = np.zeros(len(uniq), np.int64)
+        np.add.at(per_user, inv, new_s.astype(np.int64))
+        vals, cnt = np.unique(per_user, return_counts=True)
+        return pa.table(
+            {
+                "n_sessions": pa.array(vals, pa.int64()),
+                "nu_p": pa.array(cnt.astype("int64"), pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(project, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("n_sessions")
+        .aggregate(Sum("nu_p"))
+        .rename_columns({"sum(nu_p)": "n_users"})
+    )
+
+
+def _q_repeat_customers(sf_dir: str):
+    """Repeat-purchase rate by market segment: per-customer order
+    counts fold inside customer-hash buckets (bounded dispatch),
+    segment resolved by broadcast, exact ints + one float share."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.stages.dedup import _cached_get
+    from console_log_parser_ray.stages.events import _bucket31
+    from console_log_parser_ray.stages.relational import fk_searchsorted
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    ck = np.asarray(t.column("c_custkey").to_pylist(), np.int64)
+    sg = np.asarray(t.column("c_mktsegment").to_pylist())
+    order = np.argsort(ck)
+    ck, sg = ck[order], sg[order]
+    segs = sorted(set(sg.tolist()))
+    sid = {s: i for i, s in enumerate(segs)}
+    sidx = np.array([sid[s] for s in sg], np.int64)
+    ref = ray.put((ck, sidx))
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tt = b.filter(pc.is_valid(b.column("o_custkey")))
+        g = (
+            pa.table({"c": tt.column("o_custkey").cast(pa.int64())})
+            .group_by("c")
+            .aggregate([([], "count_all")])
+        )
+        out = pa.table(
+            {
+                "c": g.column("c"),
+                "n_p": g.column("count_all").cast(pa.int64()),
+            }
+        )
+        return out.append_column(
+            "jb", _bucket31(out.column("c").combine_chunks(), 64)
+        )
+
+    def per_bucket(tbl: pa.Table, _r=ref) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        c_k, s_i = _cached_get(_r)
+        df = (
+            tbl.select(["c", "n_p"])
+            .to_pandas()
+            .groupby("c", sort=False)["n_p"]
+            .sum()
+        )
+        cust = df.index.to_numpy(dtype="int64")
+        cnt = df.to_numpy(dtype="int64")
+        si = s_i[fk_searchsorted(c_k, cust, "repeat_customers fk")]
+        n_seg = int(s_i.max()) + 1
+        ncust = np.zeros(n_seg, np.int64)
+        nrep = np.zeros(n_seg, np.int64)
+        np.add.at(ncust, si, 1)
+        np.add.at(nrep, si[cnt >= 2], 1)
+        nz = np.flatnonzero(ncust > 0)
+        return pa.table(
+            {
+                "si": pa.array(nz, pa.int64()),
+                "nc_p": pa.array(ncust[nz], pa.int64()),
+                "nr_p": pa.array(nrep[nz], pa.int64()),
+            }
+        )
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("si")
+        .aggregate(Sum("nc_p"), Sum("nr_p"))
+        .take_all()
+    )
+    agg.sort(key=lambda r: int(r["si"]))
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(
+                [segs[int(r["si"])] for r in agg], pa.string()
+            ),
+            "n_customers": pa.array(
+                [int(r["sum(nc_p)"]) for r in agg], pa.int64()
+            ),
+            "n_repeat": pa.array(
+                [int(r["sum(nr_p)"]) for r in agg], pa.int64()
+            ),
+            "repeat_share": pa.array(
+                [
+                    float(int(r["sum(nr_p)"]))
+                    / float(int(r["sum(nc_p)"]))
+                    for r in agg
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_clean_text": _q_parse_clean_text,
@@ -7973,6 +8155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stickiness": _q_stickiness,
         "order_value_deciles": _q_order_value_deciles,
         "pii_by_source": _q_pii_by_source,
+        "sessions_per_user_hist": _q_sessions_per_user_hist,
+        "repeat_customers": _q_repeat_customers,
     }
 
 
@@ -11600,6 +11784,27 @@ def oracle_sql() -> dict[str, str]:
         "''), '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))) "
         "AS DOUBLE)) / CAST(count(*) AS DOUBLE) AS pii_per_doc "
         "FROM documents GROUP BY 1"
+    )
+    out["sessions_per_user_hist"] = (
+        "WITH o AS (SELECT user_id AS u, epoch_us(ts) AS t FROM "
+        "events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+        "m AS (SELECT u, CASE WHEN lag(t) OVER (PARTITION BY u "
+        "ORDER BY t) IS NULL OR t - lag(t) OVER (PARTITION BY u "
+        "ORDER BY t) > 1800000000 THEN 1 ELSE 0 END AS ns FROM o), "
+        "c AS (SELECT u, CAST(sum(ns) AS BIGINT) AS n_sessions "
+        "FROM m GROUP BY 1) "
+        "SELECT n_sessions, CAST(count(*) AS BIGINT) AS n_users "
+        "FROM c GROUP BY 1"
+    )
+    out["repeat_customers"] = (
+        "WITH c AS (SELECT o_custkey AS ck, CAST(count(*) AS "
+        "BIGINT) AS n FROM orders WHERE o_custkey IS NOT NULL "
+        "GROUP BY 1) "
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS "
+        "n_customers, CAST(count(*) FILTER (WHERE n >= 2) AS "
+        "BIGINT) AS n_repeat, CAST(count(*) FILTER (WHERE n >= 2) "
+        "AS DOUBLE) / CAST(count(*) AS DOUBLE) AS repeat_share "
+        "FROM c JOIN customer ON c_custkey = ck GROUP BY 1"
     )
     return out
 

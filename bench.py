@@ -333,6 +333,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "stickiness",
         "order_value_deciles",
         "pii_by_source",
+        "sessions_per_user_hist",
+        "repeat_customers",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)
