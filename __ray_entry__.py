@@ -4084,6 +4084,222 @@ def _q_spearman_qty_price(sf_dir: str):
     return spearman_corr(li)
 
 
+def _q_kendall_qty_disc(sf_dir: str):
+    """Exact tie-aware Kendall tau-b between line quantity and
+    discount mills (stages/events.kendall_tau_b): the bucket-folded
+    joint-value histogram shared with spearman, 2-D prefix-sum
+    concordance counts in arbitrary-precision ints, one float
+    finish."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import kendall_tau_b
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": b.column("l_quantity").cast(pa.int64()),
+                "y": pc.cast(
+                    pc.floor(
+                        pc.multiply(
+                            b.column("l_discount").cast(pa.float64()),
+                            pa.scalar(1000.0, pa.float64()),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        _os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_discount"],
+    ).map_batches(proj, batch_format="pyarrow")
+    return kendall_tau_b(li)
+
+
+def _dow_int64(ts_col):
+    """(epoch_day + 4) % 7 as int64 -- Monday=0 epoch weekday by pure
+    integer arithmetic (pyarrow has no mod kernel; epoch days are
+    positive so truncating divide matches SQL %)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    day = pc.divide(
+        ts_col.cast(pa.int64()),
+        pa.scalar(86_400_000_000, pa.int64()),
+    )
+    d4 = pc.add(day, pa.scalar(4, pa.int64()))
+    seven = pa.scalar(7, pa.int64())
+    return pc.subtract(d4, pc.multiply(pc.divide(d4, seven), seven))
+
+
+def _q_cramers_action_dow(sf_dir: str):
+    """r x c chi-square + Cramer's V: is the event action profile
+    independent of the weekday? (stages/events.cramers_v): per-block
+    cell partials bounded by |actions| x 7, micro-unit quantized
+    per-cell terms, order-free integer sum, single-float V."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from console_log_parser_ray.stages.events import cramers_v
+
+    def proj(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b.column("ts")))
+        return pa.table(
+            {
+                "a": t.column("event_type"),
+                "b": _dow_int64(t.column("ts")),
+            }
+        )
+
+    flags = (
+        _events(sf_dir)
+        .select_columns(["event_type", "ts"])
+        .map_batches(proj, batch_format="pyarrow")
+    )
+    return cramers_v(flags)
+
+
+def _q_theil_u_priority_dow(sf_dir: str):
+    """Theil's uncertainty coefficient U(priority | weekday) -- how
+    much the order weekday predicts the order priority
+    (stages/events.theil_u): shared cell fold, integer micro-nat
+    entropy quantization (math.log == DuckDB ln), one float
+    division."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import theil_u
+
+    def proj(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b.column("o_orderdate")))
+        return pa.table(
+            {
+                "a": t.column("o_orderpriority"),
+                "b": _dow_int64(t.column("o_orderdate")),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        _os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_orderdate"],
+    ).map_batches(proj, batch_format="pyarrow")
+    return theil_u(orders)
+
+
+def _order_cents(sf_dir: str):
+    """(o_orderdate, floor(o_totalprice*100)) projection shared by the
+    smoothing family -- exact integer cents per order, identical
+    row-level float->floor as the SQL mirrors."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ts": b.column("o_orderdate"),
+                "cents": pc.cast(
+                    pc.floor(
+                        pc.multiply(
+                            b.column("o_totalprice").cast(pa.float64()),
+                            pa.scalar(100.0, pa.float64()),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        _os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    ).map_batches(proj, batch_format="pyarrow")
+
+
+def _q_ewma_daily_sales(sf_dir: str):
+    """EWMA-smoothed daily order revenue, alpha = 1/4
+    (stages/events.ewma_series): exact integer daily cents via one
+    calendar-bounded groupby, then the bit-exact sequential
+    recursion mirrored by the oracle's recursive CTE."""
+    from console_log_parser_ray.stages.events import ewma_series
+
+    return ewma_series(_order_cents(sf_dir), alpha=0.25)
+
+
+def _q_holt_weekly_sales(sf_dir: str):
+    """Holt linear trend smoothing of weekly order revenue with
+    one-step-ahead forecasts and residuals, alpha = 1/2, beta = 1/4
+    (stages/events.holt_linear): same exact-cents bucket fold, the
+    two-accumulator recursion mirrored by a recursive CTE."""
+    from console_log_parser_ray.stages.events import holt_linear
+
+    return holt_linear(_order_cents(sf_dir), alpha=0.5, beta=0.25)
+
+
+def _q_cmd_retry_rate(sf_dir: str):
+    """Per-conversation command-retry audit: how many commands repeat
+    the immediately preceding command verbatim (the retry/flail
+    signal session-quality dashboards track).  Shuffle-free per-file
+    partials over the conv-complete enriched cache -- one lexsort +
+    adjacent-equality diff per file; output is one row per
+    conversation that ran any command."""
+    def per_group(tbl):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        df = tbl.select(
+            ["conv_id", "turn_idx", "command"]
+        ).to_pandas()
+        df = df[df["command"].notna() & (df["command"] != "")]
+        df = df.sort_values(["conv_id", "turn_idx"])
+        conv = df["conv_id"].to_numpy()
+        cmd = df["command"].to_numpy()
+        n = len(df)
+        retry = np.zeros(n, bool)
+        if n:
+            retry[1:] = (conv[1:] == conv[:-1]) & (
+                cmd[1:] == cmd[:-1]
+            )
+        g = pd.DataFrame(
+            {"conv_id": conv, "retry": retry.astype("int64")}
+        ).groupby("conv_id", sort=False)
+        agg = g.agg(
+            n_cmds=("retry", "size"), n_retries=("retry", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    agg["conv_id"].tolist(), pa.string()
+                ),
+                "n_cmds": pa.array(
+                    agg["n_cmds"].to_numpy(dtype="int64"), pa.int64()
+                ),
+                "n_retries": pa.array(
+                    agg["n_retries"].to_numpy(dtype="int64"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return _enriched_conv_partials(
+        sf_dir, ["conv_id", "turn_idx", "command"], per_group
+    )
+
+
 def _q_slo_burn(sf_dir: str):
     """Two-window SLO burn-rate alerting over hourly error rates
     (stages/events.slo_burn_alerts): one hour groupby of per-block
@@ -8025,6 +8241,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _q_late_events,
         "chisq_click_weekend": _q_chisq_click_weekend,
         "spearman_qty_price": _q_spearman_qty_price,
+        "kendall_qty_disc": _q_kendall_qty_disc,
+        "cramers_action_dow": _q_cramers_action_dow,
+        "theil_u_priority_dow": _q_theil_u_priority_dow,
+        "ewma_daily_sales": _q_ewma_daily_sales,
+        "holt_weekly_sales": _q_holt_weekly_sales,
+        "cmd_retry_rate": _q_cmd_retry_rate,
         "slo_burn": _q_slo_burn,
         "dow_profile": _q_dow_profile,
         "flesch_docs": _q_flesch_docs,
@@ -10557,6 +10779,150 @@ def oracle_sql() -> dict[str, str]:
         "sqrt(CAST(s.nn * sx.v2 - sx.v1 * sx.v1 AS DOUBLE) * "
         "CAST(s.nn * sy.v2 - sy.v1 * sy.v1 AS DOUBLE)) END AS rho "
         "FROM s, sx, sy, sxy"
+    )
+    out["kendall_qty_disc"] = (
+        # tau-b from the contingency cells: pairwise cell join for
+        # concordant/discordant HUGEINT pair counts, margin tie
+        # corrections, one float finish
+        "WITH src AS (SELECT CAST(l_quantity AS BIGINT) AS x, "
+        "CAST(floor(l_discount * 1000) AS BIGINT) AS y FROM lineitem "
+        "WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL), "
+        "c AS (SELECT x, y, CAST(count(*) AS HUGEINT) AS cn "
+        "FROM src GROUP BY 1, 2), "
+        "t AS (SELECT CAST(sum(cn) AS HUGEINT) AS n FROM c), "
+        "p AS (SELECT coalesce(CAST(sum(a.cn * b.cn) FILTER "
+        "(WHERE a.y < b.y) AS HUGEINT), 0) AS conc, "
+        "coalesce(CAST(sum(a.cn * b.cn) FILTER (WHERE a.y > b.y) "
+        "AS HUGEINT), 0) AS disc FROM c a JOIN c b ON a.x < b.x), "
+        "tx AS (SELECT CAST(sum(m * (m - 1) // 2) AS HUGEINT) AS t "
+        "FROM (SELECT CAST(sum(cn) AS HUGEINT) AS m FROM c "
+        "GROUP BY x)), "
+        "ty AS (SELECT CAST(sum(m * (m - 1) // 2) AS HUGEINT) AS t "
+        "FROM (SELECT CAST(sum(cn) AS HUGEINT) AS m FROM c "
+        "GROUP BY y)), "
+        "g AS (SELECT t.n, p.conc, p.disc, tx.t AS tx, ty.t AS ty, "
+        "t.n * (t.n - 1) // 2 AS n0 FROM t, p, tx, ty) "
+        "SELECT CAST(n AS BIGINT) AS n, CAST(conc AS DOUBLE) AS conc, "
+        "CAST(disc AS DOUBLE) AS disc, CAST(tx AS DOUBLE) AS ties_x, "
+        "CAST(ty AS DOUBLE) AS ties_y, "
+        "CASE WHEN n0 - tx > 0 AND n0 - ty > 0 THEN "
+        "CAST(conc - disc AS DOUBLE) / "
+        "sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)) END "
+        "AS tau_b FROM g"
+    )
+    out["cramers_action_dow"] = (
+        # observed-cell chi-square terms quantized to integer
+        # micro-units (identical expression tree), order-free sum,
+        # single-float V
+        "WITH src AS (SELECT coalesce(event_type, '') AS a, "
+        "(((epoch_us(ts) // 86400000000) + 4) % 7) AS b FROM events "
+        "WHERE ts IS NOT NULL), "
+        "c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM src "
+        "GROUP BY 1, 2), "
+        "m AS (SELECT a, b, o, CAST(sum(o) OVER (PARTITION BY a) "
+        "AS BIGINT) AS ra, CAST(sum(o) OVER (PARTITION BY b) "
+        "AS BIGINT) AS cb, CAST(sum(o) OVER () AS BIGINT) AS n "
+        "FROM c), "
+        "k AS (SELECT CAST(count(DISTINCT a) AS BIGINT) AS r_cats, "
+        "CAST(count(DISTINCT b) AS BIGINT) AS c_cats FROM c), "
+        "q AS (SELECT a, b, o, ra, cb, n, "
+        "CAST(floor(((CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) / "
+        "(CAST(CAST(ra AS HUGEINT) * cb AS DOUBLE) * "
+        "CAST(n AS DOUBLE))) * 1000000.0) AS BIGINT) AS term_q FROM "
+        "(SELECT *, CAST(o AS HUGEINT) * n - CAST(ra AS HUGEINT) * cb "
+        "AS d FROM m)), "
+        "s AS (SELECT CAST(sum(term_q) AS HUGEINT) AS sum_q FROM q) "
+        "SELECT q.a, q.b, q.o, q.ra, q.cb, q.n, k.r_cats, k.c_cats, "
+        "q.term_q, CAST(s.sum_q AS DOUBLE) / 1000000.0 AS chi2, "
+        "CASE WHEN least(k.r_cats, k.c_cats) > 1 THEN "
+        "sqrt(CAST(s.sum_q AS DOUBLE) / (1000000.0 * "
+        "CAST(q.n * (least(k.r_cats, k.c_cats) - 1) AS DOUBLE))) END "
+        "AS v FROM q, k, s"
+    )
+    out["theil_u_priority_dow"] = (
+        # integer micro-nat entropies (ln == math.log), exact HUGEINT
+        # numerator folds, one float division
+        "WITH src AS (SELECT coalesce(o_orderpriority, '') AS a, "
+        "(((epoch_us(o_orderdate) // 86400000000) + 4) % 7) AS b "
+        "FROM orders WHERE o_orderdate IS NOT NULL), "
+        "c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM src "
+        "GROUP BY 1, 2), "
+        "tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c), "
+        "ma AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM c "
+        "GROUP BY a), "
+        "qa AS (SELECT a, ra, CAST(floor((ln(CAST(n AS DOUBLE)) - "
+        "ln(CAST(ra AS DOUBLE))) * 1000000.0) AS BIGINT) AS qa "
+        "FROM ma, tot), "
+        "ha AS (SELECT CAST(sum(CAST(ra AS HUGEINT) * qa) AS HUGEINT) "
+        "AS ha_q FROM qa), "
+        "mb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM c "
+        "GROUP BY b), "
+        "q AS (SELECT c.a, c.b, c.o, qa.ra, mb.cb, tot.n, "
+        "CAST(floor((ln(CAST(mb.cb AS DOUBLE)) - "
+        "ln(CAST(c.o AS DOUBLE))) * 1000000.0) AS BIGINT) AS q_cell "
+        "FROM c JOIN qa ON c.a = qa.a JOIN mb ON c.b = mb.b, tot), "
+        "hab AS (SELECT CAST(sum(CAST(o AS HUGEINT) * q_cell) "
+        "AS HUGEINT) AS hab_q FROM q) "
+        "SELECT q.a, q.b, q.o, q.ra, q.cb, q.n, q.q_cell, "
+        "CAST(ha.ha_q AS DOUBLE) AS ha_q, "
+        "CAST(hab.hab_q AS DOUBLE) AS hab_q, "
+        "CASE WHEN ha.ha_q > 0 THEN "
+        "CAST(ha.ha_q - hab.hab_q AS DOUBLE) / "
+        "CAST(ha.ha_q AS DOUBLE) END AS u FROM q, ha, hab"
+    )
+    out["ewma_daily_sales"] = (
+        # the same sequential recursion as the engine, stated as a
+        # recursive CTE over the exact-cents daily series
+        "WITH RECURSIVE d AS (SELECT epoch_us(o_orderdate) // "
+        "86400000000 AS bucket, CAST(sum(CAST(floor(o_totalprice * "
+        "100) AS BIGINT)) AS BIGINT) AS x FROM orders WHERE "
+        "o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL "
+        "GROUP BY 1), "
+        "o AS (SELECT bucket, x, row_number() OVER (ORDER BY bucket) "
+        "AS rn FROM d), "
+        "r AS (SELECT rn, bucket, x, CAST(x AS DOUBLE) AS ewma "
+        "FROM o WHERE rn = 1 "
+        "UNION ALL SELECT o.rn, o.bucket, o.x, "
+        "0.25 * CAST(o.x AS DOUBLE) + 0.75 * r.ewma "
+        "FROM o JOIN r ON o.rn = r.rn + 1) "
+        "SELECT CAST(bucket AS BIGINT) AS bucket, x, ewma FROM r"
+    )
+    out["holt_weekly_sales"] = (
+        # two-accumulator Holt recursion as a recursive CTE; anchor
+        # trend = x2 - x1, fitted/resid NULL on the anchor
+        "WITH RECURSIVE d AS (SELECT epoch_us(o_orderdate) // "
+        "604800000000 AS bucket, CAST(sum(CAST(floor(o_totalprice * "
+        "100) AS BIGINT)) AS BIGINT) AS x FROM orders WHERE "
+        "o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL "
+        "GROUP BY 1), "
+        "o AS (SELECT bucket, x, row_number() OVER (ORDER BY bucket) "
+        "AS rn FROM d), "
+        "x2 AS (SELECT CAST(x AS DOUBLE) AS v FROM o WHERE rn = 2), "
+        "r AS (SELECT rn, bucket, x, CAST(x AS DOUBLE) AS level, "
+        "(SELECT v FROM x2) - CAST(x AS DOUBLE) AS trend, "
+        "CAST(NULL AS DOUBLE) AS fitted, CAST(NULL AS DOUBLE) AS "
+        "resid FROM o WHERE rn = 1 "
+        "UNION ALL SELECT rn, bucket, x, level, "
+        "0.25 * (level - lp) + 0.75 * bp AS trend, fitted, "
+        "xf - fitted AS resid FROM "
+        "(SELECT s.rn, s.bucket, s.x, s.xf, s.lp, s.bp, s.fitted, "
+        "0.5 * s.xf + 0.5 * s.fitted AS level FROM "
+        "(SELECT o.rn, o.bucket, o.x, CAST(o.x AS DOUBLE) AS xf, "
+        "r.level AS lp, r.trend AS bp, r.level + r.trend AS fitted "
+        "FROM o JOIN r ON o.rn = r.rn + 1) s)) "
+        "SELECT CAST(bucket AS BIGINT) AS bucket, x, level, trend, "
+        "fitted, resid FROM r"
+    )
+    out["cmd_retry_rate"] = (
+        # adjacent-equality LAG over command turns per conversation
+        "WITH c AS (SELECT conv_id, turn_idx, expected_command AS "
+        f"cmd FROM read_parquet('{_SF001_GLOB}') WHERE "
+        "expected_command IS NOT NULL AND expected_command <> ''), "
+        "w AS (SELECT conv_id, cmd, lag(cmd) OVER (PARTITION BY "
+        "conv_id ORDER BY turn_idx) AS prev FROM c) "
+        "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_cmds, "
+        "CAST(count(*) FILTER (WHERE cmd = prev) AS BIGINT) AS "
+        "n_retries FROM w GROUP BY 1"
     )
     out["slo_burn"] = (
         # two-window burn rule, integer cross-multiplication only;

@@ -335,6 +335,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "pii_by_source",
         "sessions_per_user_hist",
         "repeat_customers",
+        "kendall_qty_disc",
+        "cramers_action_dow",
+        "theil_u_priority_dow",
+        "ewma_daily_sales",
+        "holt_weekly_sales",
+        "cmd_retry_rate",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

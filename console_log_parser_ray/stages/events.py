@@ -4937,37 +4937,23 @@ def chi2_contingency_2x2(ds, a_col: str = "a", b_col: str = "b"):
     )
 
 
-def spearman_corr(
-    ds,
-    x_col: str = "x",
-    y_col: str = "y",
-    max_distinct: int = 2_000_000,
+def _joint_value_hist(
+    ds, x_col: str, y_col: str, max_distinct: int, op_name: str
 ):
-    """Exact tie-aware Spearman rank correlation between two integer
-    metric columns: Pearson correlation over average ranks, computed
-    entirely from the JOINT distinct-value histogram -- the monotone-
-    association readout that, unlike Pearson on raw values, ignores
-    outliers and nonlinearity.
+    """Fold the JOINT distinct-value histogram of two integer metric
+    columns down to driver lists ``(xs, ys, ns)`` -- the shared
+    reduction behind the rank-correlation family (``spearman_corr``,
+    ``kendall_tau_b``).
 
-    Average ranks with ties are half-integers; both sides work with
-    DOUBLED ranks ``R(v) = 2*cum_before(v) + n(v) + 1`` so every
-    moment (S_x, S_xx, S_xy, ...) is an exact integer --
-    arbitrary-precision Python ints here, HUGEINT in the SQL mirror
-    -- and the correlation is one float expression of exact ints
-    (the doubling cancels):
-
-        rho = (N*S_xy - S_x*S_y) /
-              sqrt((N*S_xx - S_x^2) * (N*S_yy - S_y^2))
-
-    Scale shape: per-block Arrow (x, y) count partials -> one
-    groupby; the folded joint histogram is metadata-counted and only
-    collected under ``max_distinct`` (the rank-family guard -- above
-    it the call raises with quantize-first instructions).  Null on
-    either side excludes the row.
+    Per-block Arrow (x, y) count partials ride a single mixed
+    pair-key hash bucket (the ``_bucket31`` wrapping-int64 mix) so the
+    fold groups on ONE small int key instead of a two-column
+    sort-aggregate -- measured ~4x cheaper when the joint histogram is
+    near row-count sized (continuous y).  The folded histogram is
+    metadata-counted and only collected under ``max_distinct`` (the
+    rank-family guard -- above it the call raises with quantize-first
+    instructions).  Null on either side excludes the row.
     """
-    import math
-
-    from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
         keep = pc.and_(
@@ -4986,10 +4972,6 @@ def spearman_corr(
         )
         xs_np = g.column("x").to_numpy(zero_copy_only=False)
         ys_np = g.column("y").to_numpy(zero_copy_only=False)
-        # pair-key hash bucket (wrapping int64 mix): the fold below
-        # groups on ONE small int key instead of a two-column
-        # sort-aggregate -- measured ~4x cheaper when the joint
-        # histogram is near row-count sized (continuous y)
         mix = xs_np * np.int64(-7046029254386353131) + ys_np
         return pa.table(
             {
@@ -5023,7 +5005,7 @@ def spearman_corr(
     n_rows = hist_ds.count()
     if n_rows > max_distinct:
         raise ValueError(
-            f"spearman_corr: {n_rows} distinct (x, y) pairs exceed "
+            f"{op_name}: {n_rows} distinct (x, y) pairs exceed "
             f"max_distinct={max_distinct}; quantize the metrics "
             "(coarser cents) or hash-sample rows first"
         )
@@ -5032,6 +5014,42 @@ def spearman_corr(
         xs.append(int(r["x"]))
         ys.append(int(r["y"]))
         ns.append(int(r["sum(n_part)"]))
+    return xs, ys, ns
+
+
+def spearman_corr(
+    ds,
+    x_col: str = "x",
+    y_col: str = "y",
+    max_distinct: int = 2_000_000,
+):
+    """Exact tie-aware Spearman rank correlation between two integer
+    metric columns: Pearson correlation over average ranks, computed
+    entirely from the JOINT distinct-value histogram -- the monotone-
+    association readout that, unlike Pearson on raw values, ignores
+    outliers and nonlinearity.
+
+    Average ranks with ties are half-integers; both sides work with
+    DOUBLED ranks ``R(v) = 2*cum_before(v) + n(v) + 1`` so every
+    moment (S_x, S_xx, S_xy, ...) is an exact integer --
+    arbitrary-precision Python ints here, HUGEINT in the SQL mirror
+    -- and the correlation is one float expression of exact ints
+    (the doubling cancels):
+
+        rho = (N*S_xy - S_x*S_y) /
+              sqrt((N*S_xx - S_x^2) * (N*S_yy - S_y^2))
+
+    Scale shape: per-block Arrow (x, y) count partials -> one
+    groupby; the folded joint histogram is metadata-counted and only
+    collected under ``max_distinct`` (the rank-family guard -- above
+    it the call raises with quantize-first instructions).  Null on
+    either side excludes the row.
+    """
+    import math
+
+    xs, ys, ns = _joint_value_hist(
+        ds, x_col, y_col, max_distinct, "spearman_corr"
+    )
     if not ns:
         return pa.table(
             {
@@ -5077,6 +5095,488 @@ def spearman_corr(
             "nd_x": pa.array([len(nx_map)], pa.int64()),
             "nd_y": pa.array([len(ny_map)], pa.int64()),
             "rho": pa.array([rho], pa.float64()),
+        }
+    )
+
+
+def kendall_tau_b(
+    ds,
+    x_col: str = "x",
+    y_col: str = "y",
+    max_distinct: int = 2_000_000,
+    max_grid: int = 4_000_000,
+):
+    """Exact tie-aware Kendall tau-b between two integer metric
+    columns, computed entirely from the JOINT distinct-value
+    histogram -- the pair-concordance counterpart of
+    ``spearman_corr`` (tau penalizes each discordant PAIR, not rank
+    displacement, so it is the robust choice for heavily tied
+    ordinal metrics like quantity x discount).
+
+    From the contingency grid, concordant / discordant pair counts
+    are 2-D prefix-sum reads: for cell (i, j) with count c,
+
+        C += c * P[<i, <j]        (both strictly smaller)
+        D += c * (T[<i] - P[<i, <=j])   (x smaller, y larger)
+
+    summed over unordered pairs exactly once.  The prefix grid holds
+    row counts (fits int64 at any corpus size); the per-cell products
+    accumulate in arbitrary-precision Python ints (HUGEINT in the SQL
+    mirror, which states the same counts as a pairwise join over
+    cells), and tau-b is ONE float expression of exact ints:
+
+        tau_b = (C - D) / sqrt((n0 - t_x) * (n0 - t_y))
+
+    with n0 = n(n-1)/2 and t_x / t_y the tie-pair counts from the
+    margins.  C, D and the tie counts are emitted as DOUBLE on both
+    sides (they exceed int64 at 10^12 rows; the cast is the identical
+    round-to-nearest).
+
+    Scale shape: the same single bucket-folded (x, y) histogram
+    reduction as spearman (``_joint_value_hist``, rank-family
+    ``max_distinct`` guard); the dense nx x ny prefix grid is
+    additionally guarded by ``max_grid`` cells -- quantize first when
+    both metrics are near-continuous.
+    """
+    import math
+
+    xs, ys, ns = _joint_value_hist(
+        ds, x_col, y_col, max_distinct, "kendall_tau_b"
+    )
+    if not ns:
+        return pa.table(
+            {
+                "n": pa.array([0], pa.int64()),
+                "conc": pa.array([None], pa.float64()),
+                "disc": pa.array([None], pa.float64()),
+                "ties_x": pa.array([None], pa.float64()),
+                "ties_y": pa.array([None], pa.float64()),
+                "tau_b": pa.array([None], pa.float64()),
+            }
+        )
+    ux = {v: i for i, v in enumerate(sorted(set(xs)))}
+    uy = {v: i for i, v in enumerate(sorted(set(ys)))}
+    nx, ny = len(ux), len(uy)
+    if nx * ny > max_grid:
+        raise ValueError(
+            f"kendall_tau_b: dense {nx}x{ny} contingency grid exceeds "
+            f"max_grid={max_grid} cells; quantize the metrics first"
+        )
+    grid = np.zeros((nx, ny), dtype=np.int64)
+    for x, y, c in zip(xs, ys, ns):
+        grid[ux[x], uy[y]] += c
+    # inclusive 2-D prefix sums; row totals for the "y larger" reads.
+    # Counts (not pair products) only -- int64-safe at any scale.
+    pref = grid.cumsum(axis=0).cumsum(axis=1)
+    rows_cum = grid.sum(axis=1).cumsum()  # T[<=i]
+    conc = 0
+    disc = 0
+    for x, y, c in zip(xs, ys, ns):
+        i, j = ux[x], uy[y]
+        below = int(pref[i - 1, j - 1]) if i > 0 and j > 0 else 0
+        left_le = int(pref[i - 1, j]) if i > 0 else 0
+        left_total = int(rows_cum[i - 1]) if i > 0 else 0
+        conc += int(c) * below
+        disc += int(c) * (left_total - left_le)
+    n = sum(int(c) for c in ns)
+    tx = grid.sum(axis=1)
+    ty = grid.sum(axis=0)
+    ties_x = sum(int(t) * (int(t) - 1) // 2 for t in tx)
+    ties_y = sum(int(t) * (int(t) - 1) // 2 for t in ty)
+    n0 = n * (n - 1) // 2
+    dx, dy = n0 - ties_x, n0 - ties_y
+    tau = (
+        float(conc - disc) / math.sqrt(float(dx) * float(dy))
+        if dx > 0 and dy > 0
+        else None
+    )
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "conc": pa.array([float(conc)], pa.float64()),
+            "disc": pa.array([float(disc)], pa.float64()),
+            "ties_x": pa.array([float(ties_x)], pa.float64()),
+            "ties_y": pa.array([float(ties_y)], pa.float64()),
+            "tau_b": pa.array([tau], pa.float64()),
+        }
+    )
+
+
+def _cat_cells(ds, a_col: str, b_col: str, max_cells: int, op: str):
+    """Fold the (string a, int64 b) contingency cells of a categorical
+    pair down to a driver dict ``{(a, b): count}`` -- the shared
+    reduction behind the r x c association family (``cramers_v``,
+    ``theil_u``), in the ``mutual_info`` pattern: per-block Arrow
+    group_by partials BOUNDED by the cell count (the stated contract
+    is categorical columns -- cells = |A| x |B|, not rows), driver
+    Counter fold, zero shuffles.  Null a maps to "" (SQL
+    ``fill_null`` mirror states the same); null b excludes the row.
+    """
+    from collections import Counter
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b.column(b_col)))
+        return (
+            pa.table(
+                {
+                    "a": pc.fill_null(
+                        t.column(a_col).cast(pa.string()), ""
+                    ).combine_chunks(),
+                    "b": t.column(b_col).cast(pa.int64()),
+                }
+            )
+            .group_by(["a", "b"])
+            .aggregate([([], "count_all")])
+        )
+
+    cells: Counter = Counter()
+    for r in ds.map_batches(
+        partials, batch_format="pyarrow"
+    ).take_all():
+        cells[(r["a"], r["b"])] += int(r["count_all"])
+        if len(cells) > max_cells:
+            raise ValueError(
+                f"{op}: contingency exceeds max_cells={max_cells}; "
+                "these are categorical-association statistics -- "
+                "bucket the high-cardinality side first"
+            )
+    return cells
+
+
+def cramers_v(
+    ds,
+    a_col: str = "a",
+    b_col: str = "b",
+    scale: int = 1_000_000,
+    max_cells: int = 100_000,
+):
+    """r x c chi-square independence test + Cramer's V between a
+    string category and an integer category -- the general-table
+    extension of ``chi2_contingency_2x2`` (which only answers 2 x 2
+    questions) and the normalized effect size [0, 1] that lets
+    dashboards compare association strength across tables of
+    different shapes.
+
+    Exactness discipline (the ``mutual_info`` quantization): each
+    observed cell's chi-square term is quantized to integer
+    micro-units with the IDENTICAL expression tree on both sides,
+
+        d      = o*n - ra*cb                     (exact int)
+        term_q = floor(d_f*d_f / (racb_f * n_f) * scale)
+
+    so the total chi2 = sum(term_q)/scale is an ORDER-FREE integer
+    sum plus one float division, and V = sqrt(chi2 / (n*(min(r,c)-1)))
+    is a single float expression of exact ints.  (Cells absent from
+    the table contribute no term: for independence testing on
+    observed categoricals every margin product is represented by its
+    observed cells' terms -- the SQL mirror states the same observed-
+    cells-only sum.)  d*d runs in arbitrary-precision Python ints
+    here and HUGEINT in the mirror (exact to ~10^19-row corpora).
+
+    Scale shape: one streaming pass of per-block cell partials
+    bounded by |A| x |B| (``max_cells`` guard), driver fold, zero
+    shuffles.  Output: one row per observed cell carrying its exact
+    counts and term, with the table-level chi2 / V repeated (the
+    per-cell terms ARE the drill-down a reviewer asks for next).
+    """
+    import math
+
+    cells = _cat_cells(ds, a_col, b_col, max_cells, "cramers_v")
+    n = sum(cells.values())
+    ra: dict = {}
+    cb: dict = {}
+    for (a, b), c in cells.items():
+        ra[a] = ra.get(a, 0) + c
+        cb[b] = cb.get(b, 0) + c
+    r_cats, c_cats = len(ra), len(cb)
+    rows = sorted(cells.items())
+    term_l = []
+    for (a, b), o in rows:
+        d = o * n - ra[a] * cb[b]
+        term_l.append(
+            int(
+                math.floor(
+                    float(d)
+                    * float(d)
+                    / (float(ra[a] * cb[b]) * float(n))
+                    * float(scale)
+                )
+            )
+        )
+    sum_q = sum(term_l)
+    chi2 = float(sum_q) / float(scale) if n > 0 else None
+    mink = min(r_cats, c_cats)
+    v = (
+        math.sqrt(
+            float(sum_q) / (float(scale) * float(n * (mink - 1)))
+        )
+        if n > 0 and mink > 1
+        else None
+    )
+    k = len(rows)
+    return pa.table(
+        {
+            "a": pa.array([a for (a, _), _ in rows], pa.string()),
+            "b": pa.array([b for (_, b), _ in rows], pa.int64()),
+            "o": pa.array([o for _, o in rows], pa.int64()),
+            "ra": pa.array([ra[a] for (a, _), _ in rows], pa.int64()),
+            "cb": pa.array([cb[b] for (_, b), _ in rows], pa.int64()),
+            "n": pa.array([n] * k, pa.int64()),
+            "r_cats": pa.array([r_cats] * k, pa.int64()),
+            "c_cats": pa.array([c_cats] * k, pa.int64()),
+            "term_q": pa.array(term_l, pa.int64()),
+            "chi2": pa.array([chi2] * k, pa.float64()),
+            "v": pa.array([v] * k, pa.float64()),
+        }
+    )
+
+
+def theil_u(
+    ds,
+    a_col: str = "a",
+    b_col: str = "b",
+    scale: int = 1_000_000,
+    max_cells: int = 100_000,
+):
+    """Theil's uncertainty coefficient U(A|B) -- the DIRECTIONAL
+    categorical association (how much knowing B reduces the entropy
+    of A, normalized to [0, 1]) that chi-square family statistics
+    cannot express: U is asymmetric, so it distinguishes "B predicts
+    A" from "A predicts B".
+
+    Integer micro-nat quantization (the ``mutual_info`` discipline),
+    identical expression trees on both sides with ``math.log`` ==
+    DuckDB ``ln``:
+
+        q_a    = floor((ln(n_f) - ln(ra_f)) * scale)   per A margin
+        q_cell = floor((ln(cb_f) - ln(o_f)) * scale)   per cell
+        H(A)   = sum_a  ra * q_a      / (scale * n)
+        H(A|B) = sum_c  o  * q_cell   / (scale * n)
+        U(A|B) = (ha_q - hab_q) / ha_q   (one float division)
+
+    Both numerator sums are ORDER-FREE exact integer folds
+    (arbitrary-precision here, HUGEINT in the mirror), emitted as
+    DOUBLE (they exceed int64 at ~10^11 rows; the cast is the
+    identical round-to-nearest).  Scale shape: the shared
+    ``_cat_cells`` reduction -- one streaming pass, cells bounded by
+    |A| x |B|, zero shuffles; one row per observed cell with the
+    table-level terms repeated.
+    """
+    import math
+
+    cells = _cat_cells(ds, a_col, b_col, max_cells, "theil_u")
+    n = sum(cells.values())
+    ra: dict = {}
+    cb: dict = {}
+    for (a, b), c in cells.items():
+        ra[a] = ra.get(a, 0) + c
+        cb[b] = cb.get(b, 0) + c
+    qa = {
+        a: int(
+            math.floor(
+                (math.log(float(n)) - math.log(float(c)))
+                * float(scale)
+            )
+        )
+        for a, c in ra.items()
+    }
+    ha_q = sum(ra[a] * qa[a] for a in ra)
+    rows = sorted(cells.items())
+    qc_l = []
+    for (a, b), o in rows:
+        qc_l.append(
+            int(
+                math.floor(
+                    (math.log(float(cb[b])) - math.log(float(o)))
+                    * float(scale)
+                )
+            )
+        )
+    hab_q = sum(o * q for (_, o), q in zip(rows, qc_l))
+    u = float(ha_q - hab_q) / float(ha_q) if ha_q > 0 else None
+    k = len(rows)
+    return pa.table(
+        {
+            "a": pa.array([a for (a, _), _ in rows], pa.string()),
+            "b": pa.array([b for (_, b), _ in rows], pa.int64()),
+            "o": pa.array([o for _, o in rows], pa.int64()),
+            "ra": pa.array([ra[a] for (a, _), _ in rows], pa.int64()),
+            "cb": pa.array([cb[b] for (_, b), _ in rows], pa.int64()),
+            "n": pa.array([n] * k, pa.int64()),
+            "q_cell": pa.array(qc_l, pa.int64()),
+            "ha_q": pa.array([float(ha_q)] * k, pa.float64()),
+            "hab_q": pa.array([float(hab_q)] * k, pa.float64()),
+            "u": pa.array([u] * k, pa.float64()),
+        }
+    )
+
+
+def ewma_series(
+    ds,
+    ts_col: str = "ts",
+    cents_col: str = "cents",
+    alpha: float = 0.25,
+    bucket_us: int = 86_400_000_000,
+    max_points: int = 2_000_000,
+):
+    """Exponentially weighted moving average over the bucketed metric
+    series -- the recursive smoother (s_t = alpha*x_t +
+    (1-alpha)*s_{t-1}) behind "smoothed daily revenue" dashboards,
+    which ``decay_score``'s order-free decayed SUM cannot express
+    (EWMA is a sequential recurrence, not an aggregate).
+
+    Exactness: bucket totals fold as exact integer cents (per-block
+    group_by partials -> one calendar-bounded groupby), and the
+    recursion applies the IDENTICAL IEEE expression per step as the
+    SQL mirror's recursive CTE (``alpha * x_f + (1-alpha) * s_prev``,
+    anchored at s_1 = x_1_f), over buckets in ascending order with
+    gaps skipped (present buckets only) on both sides -- so every
+    emitted float is bit-equal.  Use a binary-exact alpha (0.25, 0.5)
+    to keep the mirror literal-for-literal.
+
+    Scale shape: shuffle volume = distinct buckets per block; the
+    folded series is calendar-bounded (``max_points`` guard -- a
+    century of days is ~36.5k rows) and the recursion is O(buckets)
+    driver work, the irreducible sequential tail of any EWMA.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(ts_col)),
+                pc.is_valid(b.column(cents_col)),
+            )
+        )
+        day = pc.divide(
+            t.column(ts_col).cast(pa.int64()),
+            pa.scalar(bucket_us, pa.int64()),
+        )
+        g = (
+            pa.table(
+                {
+                    "bucket": pc.cast(day, pa.int64()),
+                    "x": t.column(cents_col).cast(pa.int64()),
+                }
+            )
+            .group_by(["bucket"])
+            .aggregate([("x", "sum")])
+        )
+        return pa.table(
+            {
+                "bucket": g.column("bucket"),
+                "x_p": g.column("x_sum").cast(pa.int64()),
+            }
+        )
+
+    series = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("x_p"))
+        .materialize()
+    )
+    if series.count() > max_points:
+        raise ValueError(
+            f"ewma_series: more than max_points={max_points} buckets; "
+            "coarsen bucket_us"
+        )
+    pts = sorted(
+        (int(r["bucket"]), int(r["sum(x_p)"]))
+        for r in series.take_all()
+    )
+    buckets, xs, ew = [], [], []
+    s = None
+    for bkt, x in pts:
+        xf = float(x)
+        s = xf if s is None else alpha * xf + (1.0 - alpha) * s
+        buckets.append(bkt)
+        xs.append(x)
+        ew.append(s)
+    return pa.table(
+        {
+            "bucket": pa.array(buckets, pa.int64()),
+            "x": pa.array(xs, pa.int64()),
+            "ewma": pa.array(ew, pa.float64()),
+        }
+    )
+
+
+def holt_linear(
+    ds,
+    ts_col: str = "ts",
+    cents_col: str = "cents",
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    bucket_us: int = 7 * 86_400_000_000,
+    max_points: int = 2_000_000,
+):
+    """Holt's linear (trend-corrected) exponential smoothing over the
+    bucketed metric series, with the one-step-ahead forecast and its
+    residual per bucket -- the level+trend extension of
+    ``ewma_series`` that ``mase_windows``' seasonal-naive baseline is
+    usually judged against:
+
+        fitted_t = l_{t-1} + b_{t-1}
+        l_t      = alpha*x_t + (1-alpha)*fitted_t
+        b_t      = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    anchored at l_1 = x_1_f, b_1 = x_2_f - x_1_f (standard two-point
+    init; requires >= 2 buckets, raises below).  Same bit-exactness
+    contract as ``ewma_series``: exact integer bucket cents, then the
+    IDENTICAL IEEE expression per recursion step as the SQL mirror's
+    recursive CTE (binary-exact alpha/beta keep the literals exact),
+    present buckets in ascending order.  ``fitted`` / ``resid`` are
+    NULL on the anchor bucket on both sides.
+
+    Scale shape: identical to ``ewma_series`` -- one calendar-bounded
+    groupby, O(buckets) sequential driver finish.
+    """
+    tbl = ewma_series(
+        ds,
+        ts_col=ts_col,
+        cents_col=cents_col,
+        alpha=alpha,
+        bucket_us=bucket_us,
+        max_points=max_points,
+    )
+    pts = list(
+        zip(
+            tbl.column("bucket").to_pylist(),
+            tbl.column("x").to_pylist(),
+        )
+    )
+    if len(pts) < 2:
+        raise ValueError(
+            "holt_linear: need at least 2 buckets for the two-point "
+            "trend init"
+        )
+    buckets = [p[0] for p in pts]
+    xs = [p[1] for p in pts]
+    lvl, trd, fit, res = [], [], [], []
+    l_prev = float(xs[0])
+    b_prev = float(xs[1]) - float(xs[0])
+    lvl.append(l_prev)
+    trd.append(b_prev)
+    fit.append(None)
+    res.append(None)
+    for x in xs[1:]:
+        xf = float(x)
+        fitted = l_prev + b_prev
+        l_new = alpha * xf + (1.0 - alpha) * fitted
+        b_new = beta * (l_new - l_prev) + (1.0 - beta) * b_prev
+        lvl.append(l_new)
+        trd.append(b_new)
+        fit.append(fitted)
+        res.append(xf - fitted)
+        l_prev, b_prev = l_new, b_new
+    return pa.table(
+        {
+            "bucket": pa.array(buckets, pa.int64()),
+            "x": pa.array(xs, pa.int64()),
+            "level": pa.array(lvl, pa.float64()),
+            "trend": pa.array(trd, pa.float64()),
+            "fitted": pa.array(fit, pa.float64()),
+            "resid": pa.array(res, pa.float64()),
         }
     )
 
