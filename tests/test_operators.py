@@ -8783,3 +8783,234 @@ def test_turn_gap_and_duration_queries_match_duckdb(ray_session):
         pd.testing.assert_frame_equal(
             got.astype(oracle.dtypes.to_dict()), oracle, check_exact=True
         )
+
+
+def test_kendall_tau_b_differential(ray_session):
+    """kendall_tau_b == the O(n^2) sign-product brute force on a
+    tie-heavy random sample; both cardinality guards trip."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import kendall_tau_b
+
+    rng = np.random.default_rng(43)
+    n = 1500
+    x = rng.integers(0, 25, n)  # heavy ties
+    y = 2 * x + rng.integers(-15, 15, n)
+    xo, yo = x.astype(object), y.astype(object)
+    xo[rng.random(n) < 0.02] = None
+    yo[rng.random(n) < 0.02] = None
+    t = pa.table(
+        {
+            "x": pa.array(list(xo), pa.int64()),
+            "y": pa.array(list(yo), pa.int64()),
+        }
+    )
+    got = kendall_tau_b(
+        ray.data.from_arrow(t).repartition(5)
+    ).to_pylist()[0]
+    import pandas as pd
+
+    df = pd.DataFrame({"x": xo, "y": yo}).dropna()
+    xv = df["x"].to_numpy(dtype=np.int64)
+    yv = df["y"].to_numpy(dtype=np.int64)
+    dx = np.sign(xv[:, None] - xv[None, :])
+    dy = np.sign(yv[:, None] - yv[None, :])
+    prod = dx * dy
+    iu = np.triu_indices(len(xv), k=1)
+    conc = int((prod[iu] > 0).sum())
+    disc = int((prod[iu] < 0).sum())
+    nn = len(xv)
+    n0 = nn * (nn - 1) // 2
+    tx = sum(
+        int(c) * (int(c) - 1) // 2
+        for c in pd.Series(xv).value_counts()
+    )
+    ty = sum(
+        int(c) * (int(c) - 1) // 2
+        for c in pd.Series(yv).value_counts()
+    )
+    ref = (conc - disc) / np.sqrt(float(n0 - tx) * float(n0 - ty))
+    assert got["n"] == nn
+    assert got["conc"] == float(conc)
+    assert got["disc"] == float(disc)
+    assert got["ties_x"] == float(tx)
+    assert got["ties_y"] == float(ty)
+    assert abs(got["tau_b"] - ref) < 1e-12
+    assert got["tau_b"] > 0.5  # planted monotone association
+    with pytest.raises(ValueError, match="max_distinct"):
+        kendall_tau_b(ray.data.from_arrow(t), max_distinct=10)
+    with pytest.raises(ValueError, match="max_grid"):
+        kendall_tau_b(ray.data.from_arrow(t), max_grid=4)
+
+
+def test_cramers_v_differential(ray_session):
+    """cramers_v == the float chi-square brute force over the
+    crosstab (within the 1e-6 term quantization), planted
+    association detected; the cell guard trips."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import cramers_v
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    b = rng.integers(0, 7, n)
+    # action depends on the weekday for two values -> association
+    labels = np.array(["click", "view", "buy", "scroll"])
+    a = labels[
+        np.where(b >= 5, 0, rng.integers(0, 4, n))
+    ]
+    t = pa.table(
+        {
+            "a": pa.array(list(a), pa.string()),
+            "b": pa.array(b, pa.int64()),
+        }
+    )
+    tbl = cramers_v(
+        ray.data.from_arrow(t).repartition(4)
+    ).to_pandas()
+    ct = pd.crosstab(pd.Series(a, name="a"), pd.Series(b, name="b"))
+    obs = ct.to_numpy(dtype=float)
+    rs = obs.sum(axis=1, keepdims=True)
+    cs = obs.sum(axis=0, keepdims=True)
+    exp = rs * cs / n
+    mask = obs > 0  # observed-cells-only sum, as documented
+    chi2_ref = float((((obs - exp) ** 2 / exp)[mask]).sum())
+    v_ref = np.sqrt(chi2_ref / (n * (min(ct.shape) - 1)))
+    k = len(tbl)
+    assert k == int(mask.sum())
+    assert (tbl["n"] == n).all()
+    assert abs(tbl["chi2"].iloc[0] - chi2_ref) < k / 1e6 + 1e-9
+    assert abs(tbl["v"].iloc[0] - v_ref) < 1e-4
+    assert tbl["v"].iloc[0] > 0.2  # planted association
+    # exact margins per cell
+    row = tbl[(tbl["a"] == "click") & (tbl["b"] == 6)].iloc[0]
+    assert row["o"] == int(ct.loc["click", 6])
+    assert row["ra"] == int(ct.loc["click"].sum())
+    assert row["cb"] == int(ct[6].sum())
+    with pytest.raises(ValueError, match="max_cells"):
+        cramers_v(ray.data.from_arrow(t), max_cells=3)
+
+
+def test_theil_u_differential(ray_session):
+    """theil_u == the float conditional-entropy brute force (within
+    the micro-nat quantization) and is properly asymmetric."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import theil_u
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    b = rng.integers(0, 5, n)
+    labels = np.array(["LOW", "MED", "HIGH"])
+    # a is strongly predicted by b
+    a = labels[(b + rng.integers(0, 2, n)) % 3]
+    t = pa.table(
+        {
+            "a": pa.array(list(a), pa.string()),
+            "b": pa.array(b, pa.int64()),
+        }
+    )
+    tbl = theil_u(
+        ray.data.from_arrow(t).repartition(4)
+    ).to_pandas()
+    df = pd.DataFrame({"a": a, "b": b})
+    pa_m = df["a"].value_counts(normalize=True)
+    ha = float(-(pa_m * np.log(pa_m)).sum())
+    hab = 0.0
+    for bv, sub in df.groupby("b"):
+        pb = len(sub) / n
+        pc_ = sub["a"].value_counts(normalize=True)
+        hab += pb * float(-(pc_ * np.log(pc_)).sum())
+    u_ref = (ha - hab) / ha
+    assert abs(tbl["u"].iloc[0] - u_ref) < 1e-4
+    assert 0.0 < tbl["u"].iloc[0] < 1.0
+    # exact integer cell counts
+    ct = pd.crosstab(df["a"], df["b"])
+    row = tbl[(tbl["a"] == "LOW") & (tbl["b"] == 2)].iloc[0]
+    assert row["o"] == int(ct.loc["LOW", 2])
+
+
+def test_ewma_holt_differential(ray_session):
+    """ewma_series / holt_linear == the pandas recursion bit-exactly
+    (same IEEE expression per step); holt needs >= 2 buckets."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        ewma_series,
+        holt_linear,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    day_us = 86_400_000_000
+    ts = rng.integers(0, 90, n) * day_us + rng.integers(0, day_us, n)
+    cents = rng.integers(100, 100_000, n)
+    t = pa.table(
+        {
+            "ts": pa.array(ts, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = ewma_series(ds, alpha=0.25).to_pandas()
+    daily = (
+        pd.DataFrame({"bucket": ts // day_us, "x": cents})
+        .groupby("bucket")["x"]
+        .sum()
+        .sort_index()
+    )
+    assert list(got["bucket"]) == list(daily.index)
+    assert list(got["x"]) == [int(v) for v in daily]
+    s = None
+    for x, g in zip(daily, got["ewma"]):
+        xf = float(x)
+        s = xf if s is None else 0.25 * xf + 0.75 * s
+        assert g == s  # bit-exact
+    wk = holt_linear(ds, alpha=0.5, beta=0.25, bucket_us=7 * day_us)
+    wk = wk.to_pandas()
+    weekly = (
+        pd.DataFrame({"bucket": ts // (7 * day_us), "x": cents})
+        .groupby("bucket")["x"]
+        .sum()
+        .sort_index()
+    )
+    xs = [float(v) for v in weekly]
+    l_prev, b_prev = xs[0], xs[1] - xs[0]
+    assert wk["level"].iloc[0] == l_prev
+    assert wk["trend"].iloc[0] == b_prev
+    assert pd.isna(wk["fitted"].iloc[0])
+    for i, xf in enumerate(xs[1:], start=1):
+        fitted = l_prev + b_prev
+        l_new = 0.5 * xf + 0.5 * fitted
+        b_new = 0.25 * (l_new - l_prev) + 0.75 * b_prev
+        assert wk["fitted"].iloc[i] == fitted
+        assert wk["resid"].iloc[i] == xf - fitted
+        assert wk["level"].iloc[i] == l_new
+        assert wk["trend"].iloc[i] == b_new
+        l_prev, b_prev = l_new, b_new
+    one = pa.table(
+        {
+            "ts": pa.array([1], pa.int64()),
+            "cents": pa.array([5], pa.int64()),
+        }
+    )
+    with pytest.raises(ValueError, match="2 buckets"):
+        holt_linear(ray.data.from_arrow(one))

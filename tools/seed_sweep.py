@@ -5391,6 +5391,209 @@ def r5_family(seed):
           ["support", "conf_ab", "conf_ba", "lift"])
 
 
+def r5b_family(seed):
+    """Round-5 continuation: Kendall tau-b, Cramer's V, Theil's U,
+    EWMA and Holt smoothing vs DuckDB on fresh random inputs."""
+    rng = np.random.default_rng(seed + 757)
+    from console_log_parser_ray.stages.events import (
+        cramers_v,
+        ewma_series,
+        holt_linear,
+        kendall_tau_b,
+        theil_u,
+    )
+
+    con = duckdb.connect()
+
+    # --- Kendall tau-b on a tie-heavy monotone-ish pair with nulls
+    n = 3000
+    x = rng.integers(0, 40, n)
+    y = 2 * x + rng.integers(-25, 25, n)
+    xo, yo = x.astype(object), y.astype(object)
+    xo[rng.random(n) < 0.03] = None
+    yo[rng.random(n) < 0.03] = None
+    vt = pa.table(
+        {
+            "x": pa.array(list(xo), pa.int64()),
+            "y": pa.array(list(yo), pa.int64()),
+        }
+    )
+    con.register("kvals", vt)
+    mine = kendall_tau_b(
+        ray.data.from_arrow(vt).repartition(5)
+    ).to_pandas()
+    ref = con.execute(
+        "WITH src AS (SELECT x, y FROM kvals WHERE x IS NOT NULL "
+        "AND y IS NOT NULL), "
+        "c AS (SELECT x, y, CAST(count(*) AS HUGEINT) AS cn "
+        "FROM src GROUP BY 1, 2), "
+        "t AS (SELECT CAST(sum(cn) AS HUGEINT) AS n FROM c), "
+        "p AS (SELECT coalesce(CAST(sum(a.cn * b.cn) FILTER "
+        "(WHERE a.y < b.y) AS HUGEINT), 0) AS conc, "
+        "coalesce(CAST(sum(a.cn * b.cn) FILTER (WHERE a.y > b.y) "
+        "AS HUGEINT), 0) AS disc FROM c a JOIN c b ON a.x < b.x), "
+        "tx AS (SELECT CAST(sum(m * (m - 1) // 2) AS HUGEINT) AS t "
+        "FROM (SELECT CAST(sum(cn) AS HUGEINT) AS m FROM c "
+        "GROUP BY x)), "
+        "ty AS (SELECT CAST(sum(m * (m - 1) // 2) AS HUGEINT) AS t "
+        "FROM (SELECT CAST(sum(cn) AS HUGEINT) AS m FROM c "
+        "GROUP BY y)), "
+        "g AS (SELECT t.n, p.conc, p.disc, tx.t AS tx, ty.t AS ty, "
+        "t.n * (t.n - 1) // 2 AS n0 FROM t, p, tx, ty) "
+        "SELECT CAST(n AS BIGINT) AS n, CAST(conc AS DOUBLE) AS conc, "
+        "CAST(disc AS DOUBLE) AS disc, CAST(tx AS DOUBLE) AS ties_x, "
+        "CAST(ty AS DOUBLE) AS ties_y, "
+        "CASE WHEN n0 - tx > 0 AND n0 - ty > 0 THEN "
+        "CAST(conc - disc AS DOUBLE) / "
+        "sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)) END "
+        "AS tau_b FROM g"
+    ).fetchdf()
+    check(
+        "kendall_tau_b", seed, mine, ref, ["n"],
+        ["n", "conc", "disc", "ties_x", "ties_y", "tau_b"],
+    )
+
+    # --- Cramer's V + Theil's U on a planted-association pair
+    n2 = 2500
+    bcat = rng.integers(0, 6, n2)
+    labels = np.array(["aa", "bb", "cc", "dd"])
+    acat = labels[np.where(bcat >= 4, 0, rng.integers(0, 4, n2))]
+    ct = pa.table(
+        {
+            "a": pa.array(list(acat), pa.string()),
+            "b": pa.array(bcat, pa.int64()),
+        }
+    )
+    con.register("cvals", ct)
+    mine = cramers_v(
+        ray.data.from_arrow(ct).repartition(4)
+    ).to_pandas()
+    ref = con.execute(
+        "WITH c AS (SELECT coalesce(a, '') AS a, b, "
+        "CAST(count(*) AS BIGINT) AS o FROM cvals GROUP BY 1, 2), "
+        "m AS (SELECT a, b, o, CAST(sum(o) OVER (PARTITION BY a) "
+        "AS BIGINT) AS ra, CAST(sum(o) OVER (PARTITION BY b) "
+        "AS BIGINT) AS cb, CAST(sum(o) OVER () AS BIGINT) AS n "
+        "FROM c), "
+        "k AS (SELECT CAST(count(DISTINCT a) AS BIGINT) AS r_cats, "
+        "CAST(count(DISTINCT b) AS BIGINT) AS c_cats FROM c), "
+        "q AS (SELECT a, b, o, ra, cb, n, "
+        "CAST(floor(((CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) / "
+        "(CAST(CAST(ra AS HUGEINT) * cb AS DOUBLE) * "
+        "CAST(n AS DOUBLE))) * 1000000.0) AS BIGINT) AS term_q FROM "
+        "(SELECT *, CAST(o AS HUGEINT) * n - CAST(ra AS HUGEINT) * cb "
+        "AS d FROM m)), "
+        "s AS (SELECT CAST(sum(term_q) AS HUGEINT) AS sum_q FROM q) "
+        "SELECT q.a, q.b, q.o, q.ra, q.cb, q.n, k.r_cats, k.c_cats, "
+        "q.term_q, CAST(s.sum_q AS DOUBLE) / 1000000.0 AS chi2, "
+        "CASE WHEN least(k.r_cats, k.c_cats) > 1 THEN "
+        "sqrt(CAST(s.sum_q AS DOUBLE) / (1000000.0 * "
+        "CAST(q.n * (least(k.r_cats, k.c_cats) - 1) AS DOUBLE))) END "
+        "AS v FROM q, k, s"
+    ).fetchdf()
+    check(
+        "cramers_v", seed, mine, ref, ["a", "b"],
+        ["o", "ra", "cb", "n", "r_cats", "c_cats", "term_q", "chi2",
+         "v"],
+    )
+    mine = theil_u(
+        ray.data.from_arrow(ct).repartition(4)
+    ).to_pandas()
+    ref = con.execute(
+        "WITH c AS (SELECT coalesce(a, '') AS a, b, "
+        "CAST(count(*) AS BIGINT) AS o FROM cvals GROUP BY 1, 2), "
+        "tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c), "
+        "ma AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM c "
+        "GROUP BY a), "
+        "qa AS (SELECT a, ra, CAST(floor((ln(CAST(n AS DOUBLE)) - "
+        "ln(CAST(ra AS DOUBLE))) * 1000000.0) AS BIGINT) AS qa "
+        "FROM ma, tot), "
+        "ha AS (SELECT CAST(sum(CAST(ra AS HUGEINT) * qa) AS HUGEINT) "
+        "AS ha_q FROM qa), "
+        "mb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM c "
+        "GROUP BY b), "
+        "q AS (SELECT c.a, c.b, c.o, qa.ra, mb.cb, tot.n, "
+        "CAST(floor((ln(CAST(mb.cb AS DOUBLE)) - "
+        "ln(CAST(c.o AS DOUBLE))) * 1000000.0) AS BIGINT) AS q_cell "
+        "FROM c JOIN qa ON c.a = qa.a JOIN mb ON c.b = mb.b, tot), "
+        "hab AS (SELECT CAST(sum(CAST(o AS HUGEINT) * q_cell) "
+        "AS HUGEINT) AS hab_q FROM q) "
+        "SELECT q.a, q.b, q.o, q.ra, q.cb, q.n, q.q_cell, "
+        "CAST(ha.ha_q AS DOUBLE) AS ha_q, "
+        "CAST(hab.hab_q AS DOUBLE) AS hab_q, "
+        "CASE WHEN ha.ha_q > 0 THEN "
+        "CAST(ha.ha_q - hab.hab_q AS DOUBLE) / "
+        "CAST(ha.ha_q AS DOUBLE) END AS u FROM q, ha, hab"
+    ).fetchdf()
+    check(
+        "theil_u", seed, mine, ref, ["a", "b"],
+        ["o", "ra", "cb", "n", "q_cell", "ha_q", "hab_q", "u"],
+    )
+
+    # --- EWMA / Holt recursions vs recursive CTEs (gappy buckets)
+    n3 = 2000
+    day_us = 86_400_000_000
+    days = rng.integers(0, 70, n3)
+    days = days[days % 9 != 0]  # punch gaps
+    ts = days * day_us + rng.integers(0, day_us, len(days))
+    cents = rng.integers(50, 50_000, len(days))
+    st = pa.table(
+        {
+            "ts": pa.array(ts, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        }
+    )
+    con.register("ser", st)
+    sds = ray.data.from_arrow(st).repartition(5)
+    mine = ewma_series(sds, alpha=0.25).to_pandas()
+    ref = con.execute(
+        "WITH RECURSIVE d AS (SELECT ts // 86400000000 AS bucket, "
+        "CAST(sum(cents) AS BIGINT) AS x FROM ser WHERE ts IS NOT "
+        "NULL AND cents IS NOT NULL GROUP BY 1), "
+        "o AS (SELECT bucket, x, row_number() OVER (ORDER BY bucket) "
+        "AS rn FROM d), "
+        "r AS (SELECT rn, bucket, x, CAST(x AS DOUBLE) AS ewma "
+        "FROM o WHERE rn = 1 "
+        "UNION ALL SELECT o.rn, o.bucket, o.x, "
+        "0.25 * CAST(o.x AS DOUBLE) + 0.75 * r.ewma "
+        "FROM o JOIN r ON o.rn = r.rn + 1) "
+        "SELECT CAST(bucket AS BIGINT) AS bucket, x, ewma FROM r"
+    ).fetchdf()
+    check(
+        "ewma_series", seed, mine, ref, ["bucket"],
+        ["x", "ewma"],
+    )
+    mine = holt_linear(
+        sds, alpha=0.5, beta=0.25, bucket_us=7 * day_us
+    ).to_pandas()
+    ref = con.execute(
+        "WITH RECURSIVE d AS (SELECT ts // 604800000000 AS bucket, "
+        "CAST(sum(cents) AS BIGINT) AS x FROM ser WHERE ts IS NOT "
+        "NULL AND cents IS NOT NULL GROUP BY 1), "
+        "o AS (SELECT bucket, x, row_number() OVER (ORDER BY bucket) "
+        "AS rn FROM d), "
+        "x2 AS (SELECT CAST(x AS DOUBLE) AS v FROM o WHERE rn = 2), "
+        "r AS (SELECT rn, bucket, x, CAST(x AS DOUBLE) AS level, "
+        "(SELECT v FROM x2) - CAST(x AS DOUBLE) AS trend, "
+        "CAST(NULL AS DOUBLE) AS fitted, CAST(NULL AS DOUBLE) AS "
+        "resid FROM o WHERE rn = 1 "
+        "UNION ALL SELECT rn, bucket, x, level, "
+        "0.25 * (level - lp) + 0.75 * bp AS trend, fitted, "
+        "xf - fitted AS resid FROM "
+        "(SELECT s.rn, s.bucket, s.x, s.xf, s.lp, s.bp, s.fitted, "
+        "0.5 * s.xf + 0.5 * s.fitted AS level FROM "
+        "(SELECT o.rn, o.bucket, o.x, CAST(o.x AS DOUBLE) AS xf, "
+        "r.level AS lp, r.trend AS bp, r.level + r.trend AS fitted "
+        "FROM o JOIN r ON o.rn = r.rn + 1) s)) "
+        "SELECT CAST(bucket AS BIGINT) AS bucket, x, level, trend, "
+        "fitted, resid FROM r"
+    ).fetchdf()
+    check(
+        "holt_linear", seed, mine, ref, ["bucket"],
+        ["x", "level", "trend", "fitted", "resid"],
+    )
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -5421,10 +5624,11 @@ def main():
         rules_mmr_family(seed)
         engagement_family(seed)
         r5_family(seed)
+        r5b_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(172 comparison groups per seed)"
+        "(177 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
