@@ -4249,6 +4249,80 @@ def _q_holt_weekly_sales(sf_dir: str):
     return holt_linear(_order_cents(sf_dir), alpha=0.5, beta=0.25)
 
 
+def _q_gumbel_weekly_max(sf_dir: str):
+    """Gumbel method-of-moments fit to the weekly maximum order value
+    (stages/events.gumbel_block_maxima): exact integer block-max
+    fold, single-float-expression moments -- the capacity-planning
+    extreme-value readout."""
+    from console_log_parser_ray.stages.events import (
+        gumbel_block_maxima,
+    )
+
+    return gumbel_block_maxima(_order_cents(sf_dir))
+
+
+def _q_xcorr_orders_events(sf_dir: str):
+    """Lagged cross-correlation (lag -7..+7 days) between daily order
+    revenue cents and daily event counts
+    (stages/events.daily_xcorr): two calendar-bounded integer series
+    folds, exact HUGEINT-mirrored moments, one float expression per
+    lag."""
+    from console_log_parser_ray.stages.events import daily_xcorr
+
+    ev = _events(sf_dir).select_columns(["ts", "event_id"])
+    return daily_xcorr(
+        _order_cents(sf_dir),
+        ev,
+        val_b="event_id",
+        agg_b="count",
+    )
+
+
+def _q_theil_sen_daily(sf_dir: str):
+    """Theil-Sen robust trend of daily order revenue
+    (stages/events.theil_sen): bounded daily series, median of
+    pairwise slopes with DuckDB's even-count (a+b)/2 rule, median-
+    residual intercept."""
+    from console_log_parser_ray.stages.events import theil_sen
+
+    return theil_sen(_order_cents(sf_dir))
+
+
+def _q_mk_trend_daily(sf_dir: str):
+    """Mann-Kendall monotonic-trend readout on daily order revenue:
+    Kendall tau-b of (day, daily cents)
+    (stages/events.kendall_tau_b over the bounded daily series --
+    time carries no ties, so conc - disc is the Mann-Kendall S)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        _bucket_int_series,
+        kendall_tau_b,
+    )
+
+    buckets, xs = _bucket_int_series(
+        _order_cents(sf_dir),
+        "ts",
+        "cents",
+        86_400_000_000,
+        2_000_000,
+        "mk_trend_daily",
+    )
+    series = ray.data.from_arrow(
+        pa.table(
+            {
+                "x": pa.array(buckets, pa.int64()),
+                "y": pa.array(xs, pa.int64()),
+            }
+        )
+    )
+    # the joint grid is (#days)^2 -- calendar-bounded at any sf (a
+    # decade of days is ~13M cells, ~100 MB of int64 prefix grid)
+    return kendall_tau_b(series, max_grid=20_000_000)
+
+
 def _q_cmd_retry_rate(sf_dir: str):
     """Per-conversation command-retry audit: how many commands repeat
     the immediately preceding command verbatim (the retry/flail
@@ -8247,6 +8321,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_daily_sales": _q_ewma_daily_sales,
         "holt_weekly_sales": _q_holt_weekly_sales,
         "cmd_retry_rate": _q_cmd_retry_rate,
+        "gumbel_weekly_max": _q_gumbel_weekly_max,
+        "xcorr_orders_events": _q_xcorr_orders_events,
+        "theil_sen_daily": _q_theil_sen_daily,
+        "mk_trend_daily": _q_mk_trend_daily,
         "slo_burn": _q_slo_burn,
         "dow_profile": _q_dow_profile,
         "flesch_docs": _q_flesch_docs,
@@ -10923,6 +11001,101 @@ def oracle_sql() -> dict[str, str]:
         "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_cmds, "
         "CAST(count(*) FILTER (WHERE cmd = prev) AS BIGINT) AS "
         "n_retries FROM w GROUP BY 1"
+    )
+    out["gumbel_weekly_max"] = (
+        # weekly exact-cents block maxima, HUGEINT moments, method-of-
+        # moments Gumbel fit as single float expressions
+        "WITH d AS (SELECT epoch_us(o_orderdate) // 604800000000 AS "
+        "bucket, CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) "
+        "AS BIGINT) AS x FROM orders WHERE o_orderdate IS NOT NULL "
+        "AND o_totalprice IS NOT NULL GROUP BY 1), "
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS k, "
+        "CAST(sum(x) AS HUGEINT) AS sx, "
+        "CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx FROM d), "
+        "g AS (SELECT k, sx, sxx, "
+        "CAST(sx AS DOUBLE) / CAST(k AS DOUBLE) AS mean, "
+        "CAST(k * sxx - sx * sx AS DOUBLE) / "
+        "CAST(k * (k - 1) AS DOUBLE) AS var FROM m) "
+        "SELECT k, CAST(sx AS DOUBLE) AS s_x, CAST(sxx AS DOUBLE) AS "
+        "s_xx, mean, var, sqrt(var) * (sqrt(6) / pi()) AS beta, "
+        "mean - 0.5772156649015329 * (sqrt(var) * (sqrt(6) / pi())) "
+        "AS mu FROM g"
+    )
+    out["xcorr_orders_events"] = (
+        # lag-unnested join of the two exact-int daily series;
+        # Pearson r per lag from HUGEINT moments
+        "WITH da AS (SELECT epoch_us(o_orderdate) // 86400000000 AS "
+        "bucket, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) "
+        "AS BIGINT) AS x FROM orders WHERE o_orderdate IS NOT NULL "
+        "AND o_totalprice IS NOT NULL GROUP BY 1), "
+        "db AS (SELECT epoch_us(ts) // 86400000000 AS bucket, "
+        "CAST(count(*) AS BIGINT) AS x FROM events WHERE ts IS NOT "
+        "NULL AND event_id IS NOT NULL GROUP BY 1), "
+        "la AS (SELECT unnest(range(-7, 8)) AS lag), "
+        "j AS (SELECT la.lag, a.x AS xa, b.x AS xb FROM la "
+        "CROSS JOIN da a JOIN db b ON b.bucket = a.bucket + la.lag), "
+        "m AS (SELECT lag, CAST(count(*) AS BIGINT) AS k, "
+        "CAST(sum(xa) AS HUGEINT) AS sx, "
+        "CAST(sum(xb) AS HUGEINT) AS sy, "
+        "CAST(sum(CAST(xa AS HUGEINT) * xa) AS HUGEINT) AS sxx, "
+        "CAST(sum(CAST(xb AS HUGEINT) * xb) AS HUGEINT) AS syy, "
+        "CAST(sum(CAST(xa AS HUGEINT) * xb) AS HUGEINT) AS sxy "
+        "FROM j GROUP BY 1) "
+        "SELECT la.lag, coalesce(m.k, 0) AS k, "
+        "CASE WHEN m.k >= 2 AND m.k * m.sxx - m.sx * m.sx > 0 AND "
+        "m.k * m.syy - m.sy * m.sy > 0 THEN "
+        "CAST(m.k * m.sxy - m.sx * m.sy AS DOUBLE) / "
+        "sqrt(CAST(m.k * m.sxx - m.sx * m.sx AS DOUBLE) * "
+        "CAST(m.k * m.syy - m.sy * m.sy AS DOUBLE)) END AS r "
+        "FROM la LEFT JOIN m ON la.lag = m.lag"
+    )
+    out["theil_sen_daily"] = (
+        # pairwise-slope median over the bounded daily series;
+        # DuckDB median == the engine's (a+b)/2 even-count rule
+        "WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS "
+        "bucket, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) "
+        "AS BIGINT) AS x FROM orders WHERE o_orderdate IS NOT NULL "
+        "AND o_totalprice IS NOT NULL GROUP BY 1), "
+        "p AS (SELECT CAST(b.x - a.x AS DOUBLE) / "
+        "CAST(b.bucket - a.bucket AS DOUBLE) AS s FROM d a JOIN d b "
+        "ON a.bucket < b.bucket), "
+        "sl AS (SELECT median(s) AS slope, CAST(count(*) AS BIGINT) "
+        "AS n_pairs FROM p), "
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d), "
+        "ic AS (SELECT median(CAST(d.x AS DOUBLE) - sl.slope * "
+        "CAST(d.bucket AS DOUBLE)) AS intercept FROM d, sl) "
+        "SELECT nn.n_days, sl.n_pairs, sl.slope, ic.intercept "
+        "FROM nn, sl, ic"
+    )
+    out["mk_trend_daily"] = (
+        # Kendall tau-b of (day, daily cents): the kendall template
+        # over the bounded daily aggregate (time side tie-free)
+        "WITH src AS (SELECT epoch_us(o_orderdate) // 86400000000 AS "
+        "x, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) "
+        "AS BIGINT) AS y FROM orders WHERE o_orderdate IS NOT NULL "
+        "AND o_totalprice IS NOT NULL GROUP BY 1), "
+        "c AS (SELECT x, y, CAST(count(*) AS HUGEINT) AS cn "
+        "FROM src GROUP BY 1, 2), "
+        "t AS (SELECT CAST(sum(cn) AS HUGEINT) AS n FROM c), "
+        "p AS (SELECT coalesce(CAST(sum(a.cn * b.cn) FILTER "
+        "(WHERE a.y < b.y) AS HUGEINT), 0) AS conc, "
+        "coalesce(CAST(sum(a.cn * b.cn) FILTER (WHERE a.y > b.y) "
+        "AS HUGEINT), 0) AS disc FROM c a JOIN c b ON a.x < b.x), "
+        "tx AS (SELECT CAST(sum(m * (m - 1) // 2) AS HUGEINT) AS t "
+        "FROM (SELECT CAST(sum(cn) AS HUGEINT) AS m FROM c "
+        "GROUP BY x)), "
+        "ty AS (SELECT CAST(sum(m * (m - 1) // 2) AS HUGEINT) AS t "
+        "FROM (SELECT CAST(sum(cn) AS HUGEINT) AS m FROM c "
+        "GROUP BY y)), "
+        "g AS (SELECT t.n, p.conc, p.disc, tx.t AS tx, ty.t AS ty, "
+        "t.n * (t.n - 1) // 2 AS n0 FROM t, p, tx, ty) "
+        "SELECT CAST(n AS BIGINT) AS n, CAST(conc AS DOUBLE) AS conc, "
+        "CAST(disc AS DOUBLE) AS disc, CAST(tx AS DOUBLE) AS ties_x, "
+        "CAST(ty AS DOUBLE) AS ties_y, "
+        "CASE WHEN n0 - tx > 0 AND n0 - ty > 0 THEN "
+        "CAST(conc - disc AS DOUBLE) / "
+        "sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)) END "
+        "AS tau_b FROM g"
     )
     out["slo_burn"] = (
         # two-window burn rule, integer cross-multiplication only;

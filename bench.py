@@ -341,6 +341,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "ewma_daily_sales",
         "holt_weekly_sales",
         "cmd_retry_rate",
+        "gumbel_weekly_max",
+        "xcorr_orders_events",
+        "theil_sen_daily",
+        "mk_trend_daily",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -5439,58 +5439,14 @@ def ewma_series(
     century of days is ~36.5k rows) and the recursion is O(buckets)
     driver work, the irreducible sequential tail of any EWMA.
     """
-    from ray.data.aggregate import Sum
-
-    def partial(b: pa.Table) -> pa.Table:
-        t = b.filter(
-            pc.and_(
-                pc.is_valid(b.column(ts_col)),
-                pc.is_valid(b.column(cents_col)),
-            )
-        )
-        day = pc.divide(
-            t.column(ts_col).cast(pa.int64()),
-            pa.scalar(bucket_us, pa.int64()),
-        )
-        g = (
-            pa.table(
-                {
-                    "bucket": pc.cast(day, pa.int64()),
-                    "x": t.column(cents_col).cast(pa.int64()),
-                }
-            )
-            .group_by(["bucket"])
-            .aggregate([("x", "sum")])
-        )
-        return pa.table(
-            {
-                "bucket": g.column("bucket"),
-                "x_p": g.column("x_sum").cast(pa.int64()),
-            }
-        )
-
-    series = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Sum("x_p"))
-        .materialize()
+    buckets, xs = _bucket_int_series(
+        ds, ts_col, cents_col, bucket_us, max_points, "ewma_series"
     )
-    if series.count() > max_points:
-        raise ValueError(
-            f"ewma_series: more than max_points={max_points} buckets; "
-            "coarsen bucket_us"
-        )
-    pts = sorted(
-        (int(r["bucket"]), int(r["sum(x_p)"]))
-        for r in series.take_all()
-    )
-    buckets, xs, ew = [], [], []
+    ew = []
     s = None
-    for bkt, x in pts:
+    for x in xs:
         xf = float(x)
         s = xf if s is None else alpha * xf + (1.0 - alpha) * s
-        buckets.append(bkt)
-        xs.append(x)
         ew.append(s)
     return pa.table(
         {
@@ -5577,6 +5533,279 @@ def holt_linear(
             "trend": pa.array(trd, pa.float64()),
             "fitted": pa.array(fit, pa.float64()),
             "resid": pa.array(res, pa.float64()),
+        }
+    )
+
+
+def _bucket_int_series(
+    ds,
+    ts_col: str,
+    val_col: str,
+    bucket_us: int,
+    max_points: int,
+    op: str,
+    agg: str = "sum",
+):
+    """Fold the (time bucket, exact-int metric) series of a stream
+    down to driver lists ``(buckets, xs)`` in ascending bucket order
+    -- the shared reduction behind the bounded-series family
+    (EWMA/Holt smoothing, Gumbel block maxima, Theil-Sen, lagged
+    cross-correlation).  ``agg`` is ``sum``/``max``/``count`` --
+    all combine-order-exact integer folds.  Shuffle volume =
+    distinct buckets per block; the folded series is
+    calendar-bounded (``max_points`` guard)."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(ts_col)),
+                pc.is_valid(b.column(val_col)),
+            )
+        )
+        day = pc.divide(
+            t.column(ts_col).cast(pa.int64()),
+            pa.scalar(bucket_us, pa.int64()),
+        )
+        arrow_agg = [("x", "max")] if agg == "max" else [("x", "sum")]
+        g = (
+            pa.table(
+                {
+                    "bucket": pc.cast(day, pa.int64()),
+                    "x": (
+                        pa.array(
+                            np.ones(len(t), dtype=np.int64), pa.int64()
+                        )
+                        if agg == "count"
+                        else t.column(val_col).cast(pa.int64())
+                    ),
+                }
+            )
+            .group_by(["bucket"])
+            .aggregate(arrow_agg)
+        )
+        col = "x_max" if agg == "max" else "x_sum"
+        return pa.table(
+            {
+                "bucket": g.column("bucket"),
+                "x_p": g.column(col).cast(pa.int64()),
+            }
+        )
+
+    final = Max("x_p") if agg == "max" else Sum("x_p")
+    out_col = "max(x_p)" if agg == "max" else "sum(x_p)"
+    series = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(final)
+        .materialize()
+    )
+    if series.count() > max_points:
+        raise ValueError(
+            f"{op}: more than max_points={max_points} buckets; "
+            "coarsen bucket_us"
+        )
+    pts = sorted(
+        (int(r["bucket"]), int(r[out_col]))
+        for r in series.take_all()
+    )
+    return [p[0] for p in pts], [p[1] for p in pts]
+
+
+def gumbel_block_maxima(
+    ds,
+    ts_col: str = "ts",
+    cents_col: str = "cents",
+    bucket_us: int = 7 * 86_400_000_000,
+    max_points: int = 2_000_000,
+):
+    """Extreme-value capacity readout: fit a Gumbel distribution to
+    the weekly block maxima of the metric by method of moments --
+    the standard "how big a spike should we provision for" analysis,
+    which mean/quantile rollups cannot answer (they describe typical
+    weeks, not record weeks).
+
+        beta = sqrt(var) * (sqrt(6) / pi)
+        mu   = mean - euler_gamma * beta
+
+    Exactness: per-block per-bucket integer MAX partials fold to the
+    bounded weekly-maxima series; the k / sum / sum-of-squares
+    moments are exact ints (arbitrary precision here, HUGEINT in the
+    mirror) and every emitted float (mean, unbiased var, mu, beta)
+    is a single expression of those ints with runtime-computed
+    ``sqrt(6)/pi`` / Euler-gamma-literal factors stated identically
+    in the SQL mirror.  Requires >= 2 blocks (raises below --
+    variance needs k > 1).  ``s_xx`` is emitted as DOUBLE (it
+    exceeds int64 for cent maxima above ~3e9).
+    """
+    import math
+
+    buckets, xs = _bucket_int_series(
+        ds,
+        ts_col,
+        cents_col,
+        bucket_us,
+        max_points,
+        "gumbel_block_maxima",
+        agg="max",
+    )
+    k = len(xs)
+    if k < 2:
+        raise ValueError(
+            "gumbel_block_maxima: need at least 2 blocks for the "
+            "variance"
+        )
+    sx = sum(xs)
+    sxx = sum(x * x for x in xs)
+    mean = float(sx) / float(k)
+    var = float(k * sxx - sx * sx) / float(k * (k - 1))
+    beta = math.sqrt(var) * (math.sqrt(6.0) / math.pi)
+    mu = mean - 0.5772156649015329 * beta
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "s_x": pa.array([float(sx)], pa.float64()),
+            "s_xx": pa.array([float(sxx)], pa.float64()),
+            "mean": pa.array([mean], pa.float64()),
+            "var": pa.array([var], pa.float64()),
+            "beta": pa.array([beta], pa.float64()),
+            "mu": pa.array([mu], pa.float64()),
+        }
+    )
+
+
+def daily_xcorr(
+    ds_a,
+    ds_b,
+    ts_col: str = "ts",
+    val_a: str = "cents",
+    val_b: str = "cents",
+    agg_a: str = "sum",
+    agg_b: str = "count",
+    max_lag: int = 7,
+    bucket_us: int = 86_400_000_000,
+    max_points: int = 2_000_000,
+):
+    """Lagged cross-correlation between two daily series (metric A on
+    day d vs metric B on day d+lag, lag in [-max_lag, +max_lag]) --
+    the lead/lag readout behind "does order revenue foreshadow event
+    traffic" questions, which the single-series ``daily_acf`` cannot
+    answer.
+
+    Both series fold to bounded exact-int daily tables
+    (``_bucket_int_series``); per lag, the Pearson r over the days
+    present in BOTH series is one float expression of exact integer
+    moments (k, s_x, s_y, s_xx, s_yy, s_xy -- arbitrary-precision
+    here, HUGEINT in the SQL mirror's lag-unnested join):
+
+        r = (k*s_xy - s_x*s_y) /
+            sqrt((k*s_xx - s_x^2) * (k*s_yy - s_y^2))
+
+    NULL when either side is constant on the overlap or the overlap
+    has < 2 days.  Scale shape: two calendar-bounded groupbys, then
+    O(lags x days) driver arithmetic."""
+    import math
+
+    ba, xa = _bucket_int_series(
+        ds_a, ts_col, val_a, bucket_us, max_points, "daily_xcorr",
+        agg=agg_a,
+    )
+    bb, xb = _bucket_int_series(
+        ds_b, ts_col, val_b, bucket_us, max_points, "daily_xcorr",
+        agg=agg_b,
+    )
+    a_map = dict(zip(ba, xa))
+    b_map = dict(zip(bb, xb))
+    lags, ks, rs = [], [], []
+    for lag in range(-max_lag, max_lag + 1):
+        k = sx = sy = sxx = syy = sxy = 0
+        for d, x in a_map.items():
+            y = b_map.get(d + lag)
+            if y is None:
+                continue
+            k += 1
+            sx += x
+            sy += y
+            sxx += x * x
+            syy += y * y
+            sxy += x * y
+        dx = k * sxx - sx * sx
+        dy = k * syy - sy * sy
+        r = (
+            float(k * sxy - sx * sy)
+            / math.sqrt(float(dx) * float(dy))
+            if k >= 2 and dx > 0 and dy > 0
+            else None
+        )
+        lags.append(lag)
+        ks.append(k)
+        rs.append(r)
+    return pa.table(
+        {
+            "lag": pa.array(lags, pa.int64()),
+            "k": pa.array(ks, pa.int64()),
+            "r": pa.array(rs, pa.float64()),
+        }
+    )
+
+
+def theil_sen(
+    ds,
+    ts_col: str = "ts",
+    cents_col: str = "cents",
+    bucket_us: int = 86_400_000_000,
+    max_points: int = 100_000,
+):
+    """Theil-Sen robust trend over the daily metric series: the
+    median of all pairwise slopes, with the median-residual
+    intercept -- the outlier-immune counterpart of ``ols_trend``
+    (one rogue day moves OLS; it cannot move a pairwise median).
+
+    The daily series folds to exact integer cents
+    (``_bucket_int_series``); slopes are per-pair single IEEE
+    divisions of exact ints, and both medians use the SAME even-count
+    rule as DuckDB's ``median`` over doubles ((a+b)/2 of the two
+    middle order statistics -- verified against quantile_cont), so
+    the mirror's pairwise-join + median states bit-identical floats.
+    Intercept = median over days of ``y_i - slope * day_i``.
+
+    Scale shape: the O(days^2) pair enumeration runs on the driver
+    over the CALENDAR-BOUNDED series (a decade of days = 13 M pairs;
+    ``max_points`` guards the quadratic blowup) -- the corpus itself
+    never leaves the cluster."""
+    buckets, xs = _bucket_int_series(
+        ds, ts_col, cents_col, bucket_us, max_points, "theil_sen"
+    )
+    n = len(xs)
+    if n < 2:
+        raise ValueError(
+            "theil_sen: need at least 2 buckets for a slope"
+        )
+    d = np.asarray(buckets, dtype=np.int64)
+    y = np.asarray(xs, dtype=np.int64)
+    iu, ju = np.triu_indices(n, k=1)
+    slopes = (y[ju] - y[iu]).astype(np.float64) / (
+        d[ju] - d[iu]
+    ).astype(np.float64)
+
+    def median_duckdb(v: np.ndarray) -> float:
+        v = np.sort(v)
+        m = len(v)
+        if m % 2:
+            return float(v[m // 2])
+        return (float(v[m // 2 - 1]) + float(v[m // 2])) / 2.0
+
+    slope = median_duckdb(slopes)
+    resid = y.astype(np.float64) - slope * d.astype(np.float64)
+    intercept = median_duckdb(resid)
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "n_pairs": pa.array(
+                [n * (n - 1) // 2], pa.int64()
+            ),
+            "slope": pa.array([slope], pa.float64()),
+            "intercept": pa.array([intercept], pa.float64()),
         }
     )
 

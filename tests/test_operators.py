@@ -9014,3 +9014,187 @@ def test_ewma_holt_differential(ray_session):
     )
     with pytest.raises(ValueError, match="2 buckets"):
         holt_linear(ray.data.from_arrow(one))
+
+
+def test_gumbel_block_maxima_differential(ray_session):
+    """gumbel_block_maxima == the numpy method-of-moments fit over
+    the weekly maxima; needs >= 2 blocks."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        gumbel_block_maxima,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    wk_us = 7 * 86_400_000_000
+    ts = rng.integers(0, 40, n) * wk_us + rng.integers(0, wk_us, n)
+    cents = rng.integers(100, 1_000_000, n)
+    t = pa.table(
+        {
+            "ts": pa.array(ts, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        }
+    )
+    got = gumbel_block_maxima(
+        ray.data.from_arrow(t).repartition(5)
+    ).to_pylist()[0]
+    weekly = (
+        pd.DataFrame({"w": ts // wk_us, "x": cents})
+        .groupby("w")["x"]
+        .max()
+    )
+    xs = weekly.to_numpy(dtype=np.int64)
+    k = len(xs)
+    mean = xs.sum() / k
+    var = float(
+        k * int((xs.astype(object) ** 2).sum())
+        - int(xs.sum()) ** 2
+    ) / float(k * (k - 1))
+    beta = math.sqrt(var) * (math.sqrt(6.0) / math.pi)
+    mu = mean - 0.5772156649015329 * beta
+    assert got["k"] == k
+    assert got["s_x"] == float(xs.sum())
+    assert abs(got["mean"] - mean) < 1e-9
+    assert abs(got["var"] - var) < 1e-6 * abs(var)
+    assert abs(got["beta"] - beta) < 1e-6 * abs(beta)
+    assert abs(got["mu"] - mu) < 1e-6 * abs(mu)
+    one = pa.table(
+        {
+            "ts": pa.array([0], pa.int64()),
+            "cents": pa.array([5], pa.int64()),
+        }
+    )
+    with pytest.raises(ValueError, match="2 blocks"):
+        gumbel_block_maxima(ray.data.from_arrow(one))
+
+
+def test_daily_xcorr_differential(ray_session):
+    """daily_xcorr == numpy Pearson per lag on the joined daily
+    series, with a planted lead-lag association."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import daily_xcorr
+
+    rng = np.random.default_rng(23)
+    day_us = 86_400_000_000
+    days = np.arange(0, 80, dtype=np.int64)
+    days = days[days % 11 != 0]  # gaps
+    base = rng.integers(100, 5000, len(days))
+    # series B echoes series A three days later
+    ts_a = np.repeat(days * day_us, 3) + rng.integers(
+        0, day_us, len(days) * 3
+    )
+    cents_a = np.repeat(base, 3)
+    ta = pa.table(
+        {
+            "ts": pa.array(ts_a, pa.int64()),
+            "cents": pa.array(cents_a, pa.int64()),
+        }
+    )
+    ts_b = np.repeat((days + 3) * day_us, 2) + rng.integers(
+        0, day_us, len(days) * 2
+    )
+    cents_b = np.repeat(base * 2 + rng.integers(0, 50, len(days)), 2)
+    tb = pa.table(
+        {
+            "ts": pa.array(ts_b, pa.int64()),
+            "cents": pa.array(cents_b, pa.int64()),
+        }
+    )
+    got = daily_xcorr(
+        ray.data.from_arrow(ta).repartition(4),
+        ray.data.from_arrow(tb).repartition(3),
+        agg_b="sum",
+        val_b="cents",
+    ).to_pandas()
+    assert list(got["lag"]) == list(range(-7, 8))
+    da = (
+        pd.DataFrame({"d": ts_a // day_us, "x": cents_a})
+        .groupby("d")["x"]
+        .sum()
+    )
+    db = (
+        pd.DataFrame({"d": ts_b // day_us, "x": cents_b})
+        .groupby("d")["x"]
+        .sum()
+    )
+    for lag in (-3, 0, 3):
+        overlap = [
+            (da[d], db[d + lag])
+            for d in da.index
+            if d + lag in db.index
+        ]
+        x = np.array([o[0] for o in overlap], dtype=float)
+        y = np.array([o[1] for o in overlap], dtype=float)
+        row = got[got["lag"] == lag].iloc[0]
+        assert row["k"] == len(overlap)
+        ref = float(np.corrcoef(x, y)[0, 1])
+        assert abs(row["r"] - ref) < 1e-9
+    # the planted echo peaks at lag +3
+    assert got.set_index("lag")["r"].idxmax() == 3
+
+
+def test_theil_sen_differential(ray_session):
+    """theil_sen == the numpy pairwise-slope median (DuckDB (a+b)/2
+    even rule) and shrugs off a planted outlier day."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import theil_sen
+
+    rng = np.random.default_rng(31)
+    day_us = 86_400_000_000
+    days = np.arange(0, 60, dtype=np.int64)
+    vals = 1000 + 25 * days + rng.integers(-40, 40, len(days))
+    vals[10] = 10_000_000  # rogue day
+    ts = days * day_us + rng.integers(0, day_us, len(days))
+    t = pa.table(
+        {
+            "ts": pa.array(ts, pa.int64()),
+            "cents": pa.array(vals, pa.int64()),
+        }
+    )
+    got = theil_sen(
+        ray.data.from_arrow(t).repartition(4)
+    ).to_pylist()[0]
+    iu, ju = np.triu_indices(len(days), k=1)
+    slopes = np.sort(
+        (vals[ju] - vals[iu]).astype(float)
+        / (days[ju] - days[iu]).astype(float)
+    )
+    m = len(slopes)
+    ref = (
+        float(slopes[m // 2])
+        if m % 2
+        else (float(slopes[m // 2 - 1]) + float(slopes[m // 2])) / 2.0
+    )
+    assert got["n_days"] == len(days)
+    assert got["n_pairs"] == m
+    assert got["slope"] == ref
+    assert 20 < got["slope"] < 30  # outlier-immune trend
+    with pytest.raises(ValueError, match="2 buckets"):
+        theil_sen(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "ts": pa.array([1], pa.int64()),
+                        "cents": pa.array([5], pa.int64()),
+                    }
+                )
+            )
+        )
