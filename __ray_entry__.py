@@ -4323,6 +4323,32 @@ def _q_mk_trend_daily(sf_dir: str):
     return kendall_tau_b(series, max_grid=20_000_000)
 
 
+def _q_ppl_buckets_docs(sf_dir: str):
+    """CCNet-style perplexity stratification: head/middle/tail
+    terciles of milli-nats-per-token under the corpus's own unigram
+    LM, per source (stages/textan.ppl_tercile_buckets): one LM pass,
+    one bounded (source, score) histogram groupby, driver tercile
+    fold -- the quality split applied before sampling training
+    data."""
+    from console_log_parser_ray.stages.textan import (
+        ppl_tercile_buckets,
+    )
+
+    return ppl_tercile_buckets(
+        _docs(sf_dir, ["doc_id", "text", "source"])
+    )
+
+
+def _q_rake_keyphrases(sf_dir: str):
+    """RAKE keyphrase extraction over the documents corpus
+    (stages/textan.rake_keyphrases): stopword-barrier phrase
+    candidates, deg/freq word scores on the token-hash bucket
+    co-partition, all-integer quantized scoring, global top-20."""
+    from console_log_parser_ray.stages.textan import rake_keyphrases
+
+    return rake_keyphrases(_docs(sf_dir, ["text"]))
+
+
 def _q_cmd_retry_rate(sf_dir: str):
     """Per-conversation command-retry audit: how many commands repeat
     the immediately preceding command verbatim (the retry/flail
@@ -8325,6 +8351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xcorr_orders_events": _q_xcorr_orders_events,
         "theil_sen_daily": _q_theil_sen_daily,
         "mk_trend_daily": _q_mk_trend_daily,
+        "ppl_buckets_docs": _q_ppl_buckets_docs,
+        "rake_keyphrases": _q_rake_keyphrases,
         "slo_burn": _q_slo_burn,
         "dow_profile": _q_dow_profile,
         "flesch_docs": _q_flesch_docs,
@@ -11001,6 +11029,64 @@ def oracle_sql() -> dict[str, str]:
         "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_cmds, "
         "CAST(count(*) FILTER (WHERE cmd = prev) AS BIGINT) AS "
         "n_retries FROM w GROUP BY 1"
+    )
+    out["rake_keyphrases"] = (
+        # the identical RE2 normalization chain (lower, double-space
+        # word gaps, stopword barriers), integer deg/freq word scores,
+        # exact per-occurrence phrase score recovery
+        "WITH s AS (SELECT '  ' || regexp_replace(lower("
+        "coalesce(text, '')), '[^a-z0-9]+', '  ', 'g') || '  ' AS t "
+        "FROM documents), "
+        "s2 AS (SELECT regexp_replace(t, ' (a|an|and|are|as|at|be|by"
+        "|for|from|in|is|it|of|on|or|that|the|this|to|was|were|with)"
+        " ', ' | ', 'g') AS t FROM s), "
+        "ph0 AS (SELECT unnest(regexp_extract_all(t, "
+        "'[a-z0-9]+(?: {1,2}[a-z0-9]+)*')) AS p FROM s2), "
+        "ph AS (SELECT regexp_replace(p, ' +', ' ', 'g') AS phrase "
+        "FROM ph0 WHERE p <> ''), "
+        "pw AS (SELECT phrase, len(string_split(phrase, ' ')) AS "
+        "plen, unnest(string_split(phrase, ' ')) AS w FROM ph), "
+        "ws AS (SELECT w, CAST(count(*) AS BIGINT) AS freq, "
+        "CAST(sum(plen) AS BIGINT) AS deg FROM pw GROUP BY w), "
+        "wq AS (SELECT w, (deg * 1000000) // freq AS score_w "
+        "FROM ws), "
+        "ps AS (SELECT pw.phrase, CAST(sum(wq.score_w) AS BIGINT) AS "
+        "total_q, CAST(count(*) AS BIGINT) AS n_wi, "
+        "any_value(pw.plen) AS plen FROM pw JOIN wq USING (w) "
+        "GROUP BY pw.phrase), "
+        "fin AS (SELECT phrase, n_wi // plen AS n_occ, "
+        "total_q // (n_wi // plen) AS score_q FROM ps) "
+        "SELECT phrase, CAST(n_occ AS BIGINT) AS n_occ, score_q "
+        "FROM fin ORDER BY score_q DESC, phrase LIMIT 20"
+    )
+    out["ppl_buckets_docs"] = (
+        # unigram micro-nat LM (the unigram_lm CTE), truncating //
+        # milli-nat-per-token score, quantile_disc terciles per source
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(text, '\\S+')) AS tok "
+        "FROM documents), "
+        "occ AS (SELECT doc_id, tok, count(*) AS n_occ FROM toks "
+        "GROUP BY doc_id, tok), "
+        "cnt AS (SELECT tok, CAST(sum(n_occ) AS BIGINT) AS c FROM occ "
+        "GROUP BY tok), "
+        "tot AS (SELECT CAST(sum(n_occ) AS BIGINT) AS ct FROM occ), "
+        "lp AS (SELECT tok, CAST(floor((ln(CAST(c AS DOUBLE)) - "
+        "ln(CAST((SELECT ct FROM tot) AS DOUBLE))) * 1000000.0) "
+        "AS BIGINT) AS lp FROM cnt), "
+        "doc AS (SELECT o.doc_id, CAST(sum(o.n_occ) AS BIGINT) AS "
+        "n_tokens, CAST(sum(o.n_occ * l.lp) AS BIGINT) AS lpq "
+        "FROM occ o JOIN lp l USING (tok) GROUP BY o.doc_id), "
+        "sc AS (SELECT d.doc_id, coalesce(dd.source, '') AS source, "
+        "d.lpq // (1000 * d.n_tokens) AS score_q "
+        "FROM doc d JOIN documents dd USING (doc_id)), "
+        "th AS (SELECT source, CAST(quantile_disc(score_q, 1.0/3) "
+        "AS BIGINT) AS t33, CAST(quantile_disc(score_q, 2.0/3) "
+        "AS BIGINT) AS t66 FROM sc GROUP BY source), "
+        "b AS (SELECT sc.source, CASE WHEN sc.score_q <= th.t33 "
+        "THEN 'tail' WHEN sc.score_q <= th.t66 THEN 'middle' "
+        "ELSE 'head' END AS bucket FROM sc JOIN th USING (source)) "
+        "SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM b GROUP BY 1, 2"
     )
     out["gumbel_weekly_max"] = (
         # weekly exact-cents block maxima, HUGEINT moments, method-of-

@@ -345,6 +345,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "xcorr_orders_events",
         "theil_sen_daily",
         "mk_trend_daily",
+        "ppl_buckets_docs",
+        "rake_keyphrases",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -3516,3 +3516,282 @@ def zipf_slope(ds, text_col: str = "text", k: int = 1000):
             "r2": pa.array([r2], pa.float64()),
         }
     )
+
+
+def ppl_tercile_buckets(
+    ds,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    scale: int = 1_000_000,
+    coarse: int = 1_000,
+    max_hist: int = 2_000_000,
+):
+    """CCNet-style perplexity bucketing: score every document with
+    the corpus's own unigram LM (:func:`unigram_logprob`), then split
+    each source into head / middle / tail terciles of
+    milli-nats-per-token and count the docs per bucket -- the
+    standard quality stratification applied before sampling training
+    data (head = most fluent third under the LM).
+
+    Exactness: the per-doc score is ``trunc(logprob_q /
+    (coarse * n_tokens))`` -- integer micro-nat sums divided with the
+    SAME truncating semantics as DuckDB's ``//`` (sign * magnitude
+    division; Python's floor ``//`` differs on negatives) -- so the
+    (source, score) histogram is exact ints, and the tercile cut
+    points apply the ``percentile_disc`` rule (smallest value with
+    cumulative count >= ceil(q*n)) to that histogram.  Bucket counts
+    are then histogram-range sums, all integers.
+
+    Scale shape: one unigram-LM pass (token-hash bucket groups, see
+    :func:`unigram_logprob`), one (source, score) groupby whose
+    volume is bounded by sources x the COARSENED score range
+    (milli-nats-per-token spans a few thousand values regardless of
+    corpus size; ``max_hist`` guards), and a driver fold of the tiny
+    histogram.  The corpus is never collected and no second text
+    pass runs.
+    """
+    from ray.data.aggregate import Sum
+
+    lp = unigram_logprob(
+        ds.select_columns([id_col, text_col]),
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        scale=scale,
+    ).select_columns([id_col, "n_tokens", "logprob_q"])
+    from .relational import hash_join
+
+    src = ds.select_columns([id_col, source_col])
+    joined = hash_join(
+        lp,
+        src,
+        on=id_col,
+        left_schema=pa.schema(
+            [
+                (id_col, pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("logprob_q", pa.int64()),
+            ]
+        ),
+    )
+
+    def score_part(b: pa.Table) -> pa.Table:
+        lpq = b.column("logprob_q").to_numpy(zero_copy_only=False)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        den = coarse * n
+        # DuckDB // truncates toward zero; numpy // floors -- match
+        # the SQL by dividing magnitudes and restoring the sign
+        q = np.sign(lpq) * (np.abs(lpq) // den)
+        g = (
+            pa.table(
+                {
+                    source_col: pc.fill_null(
+                        b.column(source_col).cast(pa.string()), ""
+                    ),
+                    "score_q": pa.array(q, pa.int64()),
+                }
+            )
+            .group_by([source_col, "score_q"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                source_col: g.column(source_col),
+                "score_q": g.column("score_q"),
+                "n_p": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    hist_ds = (
+        joined.map_batches(score_part, batch_format="pyarrow")
+        .groupby([source_col, "score_q"])
+        .aggregate(Sum("n_p"))
+        .materialize()
+    )
+    if hist_ds.count() > max_hist:
+        raise ValueError(
+            "ppl_tercile_buckets: (source, score) histogram exceeds "
+            f"max_hist={max_hist}; raise `coarse`"
+        )
+    by_src: dict = {}
+    for r in hist_ds.take_all():
+        by_src.setdefault(r[source_col], []).append(
+            (int(r["score_q"]), int(r["sum(n_p)"]))
+        )
+    srcs, buckets, counts = [], [], []
+    for sk in sorted(by_src):
+        pairs = sorted(by_src[sk])
+        vals = [p[0] for p in pairs]
+        cum = np.cumsum([p[1] for p in pairs])
+        n = int(cum[-1])
+        cuts = []
+        for qq in (1.0 / 3.0, 2.0 / 3.0):
+            # percentile_disc: smallest value with cum >= ceil(q*n)
+            target = max(1, int(np.ceil(qq * n)))
+            cuts.append(vals[int(np.searchsorted(cum, target))])
+        t33, t66 = cuts
+        n_tail = int(
+            sum(c for v, c in pairs if v <= t33)
+        )
+        n_mid = int(
+            sum(c for v, c in pairs if t33 < v <= t66)
+        )
+        n_head = n - n_tail - n_mid
+        for bname, cnt in (
+            ("tail", n_tail),
+            ("middle", n_mid),
+            ("head", n_head),
+        ):
+            if cnt:
+                srcs.append(sk)
+                buckets.append(bname)
+                counts.append(cnt)
+    return pa.table(
+        {
+            source_col: pa.array(srcs, pa.string()),
+            "bucket": pa.array(buckets, pa.string()),
+            "n_docs": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+RAKE_STOPWORDS = (
+    "a an and are as at be by for from in is it of on or that the "
+    "this to was were with"
+).split()
+
+
+def rake_keyphrases(
+    ds,
+    text_col: str = "text",
+    stopwords=RAKE_STOPWORDS,
+    top_k: int = 20,
+    n_buckets: int = 64,
+    scale: int = 1_000_000,
+):
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal runs of non-stopword words; each
+    word scores ``deg/freq`` (degree = total length of phrases it
+    appears in, frequency = occurrence count) and a phrase scores the
+    sum of its words' scores -- the classic unsupervised "what is
+    this corpus about" keyword surface.
+
+    Normalization pipeline (RE2 on both sides -- Arrow kernels here,
+    DuckDB regexp there, so the semantics are engine-identical):
+    lowercase, collapse non-[a-z0-9] runs to a double space, wrap,
+    barrier each stopword occurrence with ``|`` (the double-space
+    encoding gives every stopword its own flanking spaces, so
+    consecutive stopwords replace cleanly in one left-to-right
+    pass), then extract ``[a-z0-9]+( {1,2}[a-z0-9]+)*`` runs and
+    canonicalize internal spacing.
+
+    Exactness: word scores are QUANTIZED to ``(deg * scale) // freq``
+    (positive truncating integer division == DuckDB ``//``); a
+    phrase's total over all its occurrences is an exact integer, and
+    per-occurrence score / occurrence count recover exactly
+    (``total % n_occ == 0`` by construction).  Output: ``top_k``
+    phrases by (score_q DESC, phrase ASC) with occurrence counts --
+    fully integer, no floats anywhere.
+
+    Scale shape: phrase-word instance rows ride the token-hash
+    bucket co-partition (every instance of a word in one group, so
+    deg/freq are local bincounts -- no vocabulary table, no
+    broadcast), then one ``groupby(phrase)`` partial+final sum and a
+    global top-k sort of the phrase table.  Two shuffles, both
+    bounded by corpus token volume; at 100 TB you would min-freq
+    prune words inside the bucket group first.
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    stop_re = " (" + "|".join(stopwords) + ") "
+
+    def explode(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b.column(text_col).combine_chunks(), "")
+        s = pc.utf8_lower(texts)
+        s = pc.replace_substring_regex(s, "[^a-z0-9]+", "  ")
+        s = pc.binary_join_element_wise(
+            pa.array(["  "] * len(s), pa.string()),
+            s,
+            pa.array(["  "] * len(s), pa.string()),
+            "",
+        )
+        s = pc.replace_substring_regex(s, stop_re, " | ")
+        lists = pc.split_pattern(s, "|")
+        flat = pc.utf8_trim_whitespace(lists.flatten())
+        flat = flat.filter(pc.not_equal(flat, ""))
+        phrases = pc.replace_substring_regex(flat, " +", " ")
+        words = pc.split_pattern(phrases, " ")
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offsets = offsets - offsets[0]
+        plen = np.diff(offsets)
+        row_idx = np.repeat(
+            np.arange(len(phrases), dtype=np.int64), plen
+        )
+        w = words.flatten()
+        enc = pc.dictionary_encode(w)
+        dict_hash = _token_bucket_hashes(
+            enc.dictionary, _TOK_HASH_MEMO
+        )
+        jb = (
+            dict_hash[enc.indices.to_numpy(zero_copy_only=False)]
+            % n_buckets
+        )
+        return pa.table(
+            {
+                "jb": pa.array(jb.astype(np.int32), pa.int32()),
+                "w": w,
+                "plen": pa.array(plen[row_idx], pa.int64()),
+                "phrase": pc.take(
+                    phrases, pa.array(row_idx, pa.int64())
+                ),
+            }
+        )
+
+    def score_in_bucket(tbl: pa.Table) -> pa.Table:
+        # every instance of a word is in this group: freq/deg are
+        # local scatter-adds, score_w = (deg * scale) // freq exact
+        enc = pc.dictionary_encode(tbl.column("w").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        plen = tbl.column("plen").to_numpy(zero_copy_only=False)
+        freq = np.bincount(codes, minlength=len(enc.dictionary))
+        deg = np.zeros(len(enc.dictionary), np.int64)
+        np.add.at(deg, codes, plen)
+        score_w = (deg * scale) // freq
+        return pa.table(
+            {
+                "phrase": tbl.column("phrase"),
+                "plen": tbl.column("plen"),
+                "score_w": pa.array(score_w[codes], pa.int64()),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        total = b.column("sum(score_w)").to_numpy(
+            zero_copy_only=False
+        )
+        n_wi = b.column("count()").to_numpy(zero_copy_only=False)
+        plen = b.column("max(plen)").to_numpy(zero_copy_only=False)
+        n_occ = n_wi // plen
+        return pa.table(
+            {
+                "phrase": b.column("phrase"),
+                "n_occ": pa.array(n_occ, pa.int64()),
+                "score_q": pa.array(total // n_occ, pa.int64()),
+            }
+        )
+
+    scored = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(score_in_bucket, batch_format="pyarrow")
+        .groupby("phrase")
+        .aggregate(Sum("score_w"), Count(), Max("plen"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+    return scored.sort(
+        ["score_q", "phrase"], descending=[True, False]
+    ).limit(top_k)

@@ -9198,3 +9198,160 @@ def test_theil_sen_differential(ray_session):
                 )
             )
         )
+
+
+def test_ppl_tercile_buckets_differential(ray_session):
+    """ppl_tercile_buckets == a pandas brute force of the unigram LM
+    scoring, truncating milli-nat division, and percentile_disc
+    tercile split."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import (
+        ppl_tercile_buckets,
+    )
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(60)]
+    texts, srcs, ids = [], [], []
+    for i in range(300):
+        k = int(rng.integers(1, 20))
+        # Zipf-flavored vocabulary so scores spread
+        idx = np.minimum(
+            rng.zipf(1.5, k) - 1, len(vocab) - 1
+        ).astype(int)
+        texts.append(" ".join(vocab[j] for j in idx))
+        srcs.append(str(rng.choice(["s0", "s1", "s2"])))
+        ids.append(i)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(srcs, pa.string()),
+        }
+    )
+    got = (
+        ppl_tercile_buckets(ray.data.from_arrow(t).repartition(5))
+        .to_pandas()
+        .sort_values(["source", "bucket"])
+        .reset_index(drop=True)
+    )
+    # brute force
+    cnt: Counter = Counter()
+    for txt in texts:
+        cnt.update(txt.split())
+    c_total = sum(cnt.values())
+    scores = []
+    for i, txt in enumerate(texts):
+        toks = txt.split()
+        lp = sum(
+            math.floor(
+                (math.log(float(cnt[w])) - math.log(float(c_total)))
+                * 1e6
+            )
+            for w in toks
+        )
+        den = 1000 * len(toks)
+        score = int(np.sign(lp)) * (abs(lp) // den)
+        scores.append((srcs[i], score))
+    rows = []
+    df = pd.DataFrame(scores, columns=["source", "q"])
+    for src, sub in df.groupby("source"):
+        v = np.sort(sub["q"].to_numpy())
+        n = len(v)
+        cuts = []
+        for qq in (1.0 / 3.0, 2.0 / 3.0):
+            cuts.append(v[max(1, int(np.ceil(qq * n))) - 1])
+        t33, t66 = cuts
+        rows.append((src, "tail", int((v <= t33).sum())))
+        rows.append(
+            (src, "middle", int(((v > t33) & (v <= t66)).sum()))
+        )
+        rows.append((src, "head", int((v > t66).sum())))
+    ref = (
+        pd.DataFrame(rows, columns=["source", "bucket", "n_docs"])
+        .query("n_docs > 0")
+        .sort_values(["source", "bucket"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_rake_keyphrases_differential(ray_session):
+    """rake_keyphrases == a regex brute force of the RAKE pipeline
+    (phrase split at stopwords/punctuation, deg/freq scoring)."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import (
+        RAKE_STOPWORDS,
+        rake_keyphrases,
+    )
+
+    texts = [
+        "Deep learning of neural networks is the art of tuning",
+        "neural networks and deep learning, for fun AND profit!",
+        "the quick brown fox; deep learning -- again",
+        "tuning neural networks",
+        "",
+        "a an and of... (only stopwords)",
+    ] * 3
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = rake_keyphrases(
+        ray.data.from_arrow(t).repartition(4), top_k=10
+    ).to_pandas()
+    # brute force
+    stop = set(RAKE_STOPWORDS)
+    phrases = []
+    for txt in texts:
+        words = re.findall(r"[a-z0-9]+", txt.lower())
+        cur = []
+        for w in words:
+            if w in stop:
+                if cur:
+                    phrases.append(" ".join(cur))
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(" ".join(cur))
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    for p in phrases:
+        ws = p.split()
+        for w in ws:
+            freq[w] += 1
+            deg[w] += len(ws)
+    score_w = {
+        w: (deg[w] * 1_000_000) // freq[w] for w in freq
+    }
+    ph_count = Counter(phrases)
+    rows = [
+        (p, int(c), sum(score_w[w] for w in p.split()))
+        for p, c in ph_count.items()
+    ]
+    ref = (
+        pd.DataFrame(rows, columns=["phrase", "n_occ", "score_q"])
+        .sort_values(
+            ["score_q", "phrase"], ascending=[False, True]
+        )
+        .head(10)
+        .reset_index(drop=True)
+    )
+    got = got.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype(ref.dtypes.to_dict()), ref
+    )
+    # the multi-word planted phrases outrank single words
+    assert got["phrase"].iloc[0].count(" ") >= 1
