@@ -4349,6 +4349,58 @@ def _q_rake_keyphrases(sf_dir: str):
     return rake_keyphrases(_docs(sf_dir, ["text"]))
 
 
+def _q_anova_value_type(sf_dir: str):
+    """One-way ANOVA F + eta^2 of event value cents across event
+    types (stages/events.anova_oneway): exact integer moment
+    partials, micro-unit quantized sums of squares, single-float
+    finish."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from console_log_parser_ray.stages.events import anova_oneway
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "grp": b.column("event_type"),
+                "cents": pc.cast(
+                    pc.floor(
+                        pc.multiply(
+                            b.column("value").cast(pa.float64()),
+                            pa.scalar(100.0, pa.float64()),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ev = (
+        _events(sf_dir)
+        .select_columns(["event_type", "value"])
+        .map_batches(proj, batch_format="pyarrow")
+    )
+    return anova_oneway(ev, group_col="grp")
+
+
+_SEQ_PATTERNS = ("vc", "v[^p]*p", "ee+")
+
+
+def _q_event_regex_funnels(sf_dir: str):
+    """Regex sequence-pattern funnels over per-user event-initial
+    strings (stages/events.event_seq_regex): adjacent view->click,
+    view-leading-to-purchase, and error bursts -- MATCH_RECOGNIZE-
+    lite with exact integer match counts."""
+    from console_log_parser_ray.stages.events import event_seq_regex
+
+    return event_seq_regex(
+        _events(sf_dir).select_columns(
+            ["user_id", "event_type", "ts", "event_id"]
+        ),
+        _SEQ_PATTERNS,
+    )
+
+
 def _q_cmd_retry_rate(sf_dir: str):
     """Per-conversation command-retry audit: how many commands repeat
     the immediately preceding command verbatim (the retry/flail
@@ -8353,6 +8405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mk_trend_daily": _q_mk_trend_daily,
         "ppl_buckets_docs": _q_ppl_buckets_docs,
         "rake_keyphrases": _q_rake_keyphrases,
+        "anova_value_type": _q_anova_value_type,
+        "event_regex_funnels": _q_event_regex_funnels,
         "slo_burn": _q_slo_burn,
         "dow_profile": _q_dow_profile,
         "flesch_docs": _q_flesch_docs,
@@ -11029,6 +11083,47 @@ def oracle_sql() -> dict[str, str]:
         "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_cmds, "
         "CAST(count(*) FILTER (WHERE cmd = prev) AS BIGINT) AS "
         "n_retries FROM w GROUP BY 1"
+    )
+    out["anova_value_type"] = (
+        # exact integer group moments, micro-unit quantized SSB/SSW
+        # via the identical HUGEINT truncating divisions, one float F
+        "WITH g AS (SELECT event_type AS grp, CAST(count(*) AS "
+        "BIGINT) AS n_g, CAST(sum(CAST(floor(value * 100) AS "
+        "BIGINT)) AS BIGINT) AS s_g, CAST(sum(CAST(floor(value * "
+        "100) AS BIGINT) * CAST(floor(value * 100) AS BIGINT)) AS "
+        "HUGEINT) AS ss_g FROM events WHERE event_type IS NOT NULL "
+        "AND value IS NOT NULL GROUP BY 1), "
+        "q AS (SELECT grp, n_g, s_g, ss_g, "
+        "(CAST(s_g AS HUGEINT) * s_g * 1000000) // n_g AS t_q "
+        "FROM g), "
+        "tot AS (SELECT CAST(sum(n_g) AS HUGEINT) AS nn, "
+        "CAST(sum(s_g) AS HUGEINT) AS ss, "
+        "CAST(sum(ss_g) AS HUGEINT) AS sstot, "
+        "CAST(sum(t_q) AS HUGEINT) AS t, "
+        "CAST(count(*) AS BIGINT) AS k FROM q), "
+        "f AS (SELECT *, t - (ss * ss * 1000000) // nn AS ssb_q, "
+        "sstot * 1000000 - t AS ssw_q FROM tot) "
+        "SELECT q.grp, q.n_g, CAST(q.s_g AS DOUBLE) AS s_g, "
+        "CAST(q.ss_g AS DOUBLE) AS ss_g, "
+        "CASE WHEN f.ssw_q > 0 AND f.k > 1 THEN "
+        "CAST(f.ssb_q * (f.nn - f.k) AS DOUBLE) / "
+        "CAST(f.ssw_q * (f.k - 1) AS DOUBLE) END AS f_stat, "
+        "CASE WHEN f.ssb_q + f.ssw_q > 0 THEN "
+        "CAST(f.ssb_q AS DOUBLE) / CAST(f.ssb_q + f.ssw_q AS DOUBLE) "
+        "END AS eta2 FROM q, f"
+    )
+    out["event_regex_funnels"] = (
+        # ordered per-user initial strings, RE2 non-overlapping scans
+        "WITH seq AS (SELECT user_id, string_agg("
+        "substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s "
+        "FROM events GROUP BY user_id), "
+        "pats AS (SELECT unnest(['vc', 'v[^p]*p', 'ee+']) AS "
+        "pattern) "
+        "SELECT p.pattern, CAST(count(*) FILTER (WHERE "
+        "len(regexp_extract_all(q.s, p.pattern)) > 0) AS BIGINT) AS "
+        "n_users, CAST(sum(len(regexp_extract_all(q.s, p.pattern))) "
+        "AS BIGINT) AS n_matches "
+        "FROM pats p CROSS JOIN seq q GROUP BY 1"
     )
     out["rake_keyphrases"] = (
         # the identical RE2 normalization chain (lower, double-space

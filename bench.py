@@ -347,6 +347,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "mk_trend_daily",
         "ppl_buckets_docs",
         "rake_keyphrases",
+        "anova_value_type",
+        "event_regex_funnels",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -8808,3 +8808,190 @@ def dow_hour_counts(
         .aggregate(Sum("n_part"))
         .rename_columns({"sum(n_part)": "n"})
     )
+
+
+def anova_oneway(
+    ds,
+    group_col: str = "grp",
+    cents_col: str = "cents",
+    scale: int = 1_000_000,
+    max_groups: int = 100_000,
+):
+    """One-way ANOVA F-test across the groups of an integer metric --
+    the k-group generalization of ``welch_ab``'s two-sample question
+    ("does the metric differ by event type at all"), with the eta^2
+    effect size.
+
+    Exactness discipline: per-group moments (n_g, s_g, ss_g) fold as
+    exact integers; the between/within sums of squares are quantized
+    to integer micro-units with truncating division (== DuckDB
+    ``//`` on the same HUGEINT expressions),
+
+        t_q   = (s_g^2 * scale) // n_g        per group
+        ssb_q = sum(t_q) - (S^2 * scale) // N
+        ssw_q = SS_total * scale - sum(t_q)
+
+    so both are ORDER-FREE integer folds, and F / eta^2 are single
+    float expressions of exact ints:
+
+        F    = (ssb_q * (N - k)) / (ssw_q * (k - 1))
+        eta2 = ssb_q / (ssb_q + ssw_q)
+
+    (Arbitrary-precision here; the mirror's HUGEINT covers s_g^2 *
+    scale to ~10^16-row groups.)  Output: one row per group carrying
+    its exact moments with the table-level F / eta^2 repeated.
+    Scale shape: per-block Arrow group partials -> one tiny groupby
+    bounded by group count (``max_groups`` guard), driver finish.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(group_col)),
+                pc.is_valid(b.column(cents_col)),
+            )
+        )
+        x = t.column(cents_col).cast(pa.int64())
+        g = (
+            pa.table(
+                {
+                    "grp": t.column(group_col).cast(pa.string()),
+                    "x": x,
+                    "xx": pc.multiply(x, x),
+                    "one": pa.array(
+                        np.ones(len(t), np.int64), pa.int64()
+                    ),
+                }
+            )
+            .group_by(["grp"])
+            .aggregate([("x", "sum"), ("xx", "sum"), ("one", "sum")])
+        )
+        return pa.table(
+            {
+                "grp": g.column("grp"),
+                "s_p": g.column("x_sum").cast(pa.int64()),
+                "ss_p": g.column("xx_sum").cast(pa.int64()),
+                "n_p": g.column("one_sum").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("grp")
+        .aggregate(Sum("s_p"), Sum("ss_p"), Sum("n_p"))
+        .take_all()
+    )
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"anova_oneway: more than max_groups={max_groups} groups"
+        )
+    rows.sort(key=lambda r: r["grp"])
+    k = len(rows)
+    n_tot = sum(int(r["sum(n_p)"]) for r in rows)
+    s_tot = sum(int(r["sum(s_p)"]) for r in rows)
+    ss_tot = sum(int(r["sum(ss_p)"]) for r in rows)
+    t_sum = sum(
+        (int(r["sum(s_p)"]) ** 2 * scale) // int(r["sum(n_p)"])
+        for r in rows
+    )
+    ssb_q = t_sum - (s_tot * s_tot * scale) // n_tot if n_tot else 0
+    ssw_q = ss_tot * scale - t_sum
+    f_stat = (
+        float(ssb_q * (n_tot - k)) / float(ssw_q * (k - 1))
+        if ssw_q > 0 and k > 1
+        else None
+    )
+    eta2 = (
+        float(ssb_q) / float(ssb_q + ssw_q)
+        if ssb_q + ssw_q > 0
+        else None
+    )
+    return pa.table(
+        {
+            group_col: pa.array(
+                [r["grp"] for r in rows], pa.string()
+            ),
+            "n_g": pa.array(
+                [int(r["sum(n_p)"]) for r in rows], pa.int64()
+            ),
+            "s_g": pa.array(
+                [float(int(r["sum(s_p)"])) for r in rows],
+                pa.float64(),
+            ),
+            "ss_g": pa.array(
+                [float(int(r["sum(ss_p)"])) for r in rows],
+                pa.float64(),
+            ),
+            "f_stat": pa.array([f_stat] * k, pa.float64()),
+            "eta2": pa.array([eta2] * k, pa.float64()),
+        }
+    )
+
+
+def event_seq_regex(
+    ds,
+    patterns,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+):
+    """MATCH_RECOGNIZE-lite sequence-pattern matching: encode every
+    user's event history as a string of type initials (ordered by
+    ``(ts, event_id)``) and count, per regex pattern, the users that
+    match and the total non-overlapping match occurrences -- the
+    "view..purchase funnel with arbitrary regex structure" readout
+    that fixed-step funnel operators cannot express.
+
+    Correctness contract: event-type initials must be distinct (the
+    encoder raises otherwise); patterns are evaluated with
+    non-overlapping leftmost scans on both sides (Python ``re`` here,
+    RE2 ``regexp_extract_all`` in the mirror -- identical for the
+    supported literal/class/star/plus constructs; keep patterns to
+    that subset).  All outputs are exact integers.
+
+    Scale shape: one ``groupby(user)`` shuffle; per-user state is
+    that user's own history (the ``sessionize`` contract), regex
+    scans are C-level per user, and the finish is a tiny per-pattern
+    integer fold.
+    """
+    import re
+
+    compiled = [(p, re.compile(p)) for p in patterns]
+    from ray.data.aggregate import Sum
+
+    def per_user(tbl: pa.Table) -> pa.Table:
+        t = tbl.select([user_col, type_col, ts_col, id_col])
+        df = t.to_pandas().sort_values([ts_col, id_col])
+        types = df[type_col].astype(str)
+        initials = types.str[:1]
+        if initials.nunique() != types.nunique():
+            raise ValueError(
+                "event_seq_regex: event-type initials collide; pass "
+                "distinct types"
+            )
+        seq = "".join(initials)
+        pats, matched, n_m = [], [], []
+        for p, rx in compiled:
+            hits = rx.findall(seq)
+            pats.append(p)
+            matched.append(1 if hits else 0)
+            n_m.append(len(hits))
+        return pa.table(
+            {
+                "pattern": pa.array(pats, pa.string()),
+                "matched": pa.array(matched, pa.int64()),
+                "n_m": pa.array(n_m, pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby(user_col)
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("pattern")
+        .aggregate(Sum("matched"), Sum("n_m"))
+        .rename_columns(
+            {"sum(matched)": "n_users", "sum(n_m)": "n_matches"}
+        )
+    )

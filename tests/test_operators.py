@@ -9355,3 +9355,106 @@ def test_rake_keyphrases_differential(ray_session):
     )
     # the multi-word planted phrases outrank single words
     assert got["phrase"].iloc[0].count(" ") >= 1
+
+
+def test_anova_oneway_differential(ray_session):
+    """anova_oneway == the float one-way ANOVA brute force (within
+    the micro-unit quantization), with a planted group shift."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import anova_oneway
+
+    rng = np.random.default_rng(53)
+    n = 6000
+    grp = rng.choice(["g0", "g1", "g2", "g3"], n)
+    cents = rng.integers(1000, 9000, n)
+    cents = cents + np.where(grp == "g2", 1500, 0)  # planted shift
+    t = pa.table(
+        {
+            "grp": pa.array(list(grp), pa.string()),
+            "cents": pa.array(cents, pa.int64()),
+        }
+    )
+    got = anova_oneway(
+        ray.data.from_arrow(t).repartition(5)
+    ).to_pandas()
+    groups = [cents[grp == g] for g in sorted(set(grp))]
+    k = len(groups)
+    nn = sum(len(g) for g in groups)
+    grand = cents.sum() / nn
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f_ref = (ssb / (k - 1)) / (ssw / (nn - k))
+    eta_ref = ssb / (ssb + ssw)
+    assert list(got["grp"]) == sorted(set(grp))
+    assert got["n_g"].sum() == nn
+    assert abs(got["f_stat"].iloc[0] - f_ref) < 1e-4 * f_ref
+    assert abs(got["eta2"].iloc[0] - eta_ref) < 1e-6
+    assert got["f_stat"].iloc[0] > 50  # the shift is detectable
+    with pytest.raises(ValueError, match="max_groups"):
+        anova_oneway(ray.data.from_arrow(t), max_groups=2)
+
+
+def test_event_seq_regex_differential(ray_session):
+    """event_seq_regex == a per-user re.findall brute force with
+    (ts, event_id) ordering; initial collisions raise."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import event_seq_regex
+
+    rng = np.random.default_rng(61)
+    n = 4000
+    users = rng.integers(0, 40, n)
+    types = rng.choice(
+        ["view", "click", "purchase", "error", "signup"], n
+    )
+    ts = rng.integers(0, 10_000, n)
+    eid = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(list(types), pa.string()),
+            "ts": pa.array(ts, pa.int64()),
+            "event_id": pa.array(eid, pa.int64()),
+        }
+    )
+    pats = ("vc", "v[^p]*p", "ee+")
+    got = (
+        event_seq_regex(
+            ray.data.from_arrow(t).repartition(5), pats
+        )
+        .to_pandas()
+        .set_index("pattern")
+    )
+    df = pd.DataFrame(
+        {"u": users, "i": [x[0] for x in types], "ts": ts, "e": eid}
+    ).sort_values(["ts", "e"])
+    seqs = df.groupby("u")["i"].agg("".join)
+    for p in pats:
+        rx = re.compile(p)
+        counts = seqs.map(lambda s: len(rx.findall(s)))
+        assert got.loc[p, "n_users"] == int((counts > 0).sum())
+        assert got.loc[p, "n_matches"] == int(counts.sum())
+    bad = pa.table(
+        {
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["click", "close"], pa.string()),
+            "ts": pa.array([1, 2], pa.int64()),
+            "event_id": pa.array([1, 2], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="initials collide"):
+        event_seq_regex(
+            ray.data.from_arrow(bad), ("c",)
+        ).to_pandas()

@@ -5594,6 +5594,176 @@ def r5b_family(seed):
     )
 
 
+def r5c_family(seed):
+    """Round-5 continuation 2: one-way ANOVA, Gumbel block maxima,
+    Theil-Sen robust trend and RAKE keyphrases vs DuckDB on fresh
+    random inputs."""
+    rng = np.random.default_rng(seed + 909)
+    from console_log_parser_ray.stages.events import (
+        anova_oneway,
+        gumbel_block_maxima,
+        theil_sen,
+    )
+    from console_log_parser_ray.stages.textan import rake_keyphrases
+
+    con = duckdb.connect()
+
+    # --- one-way ANOVA on a planted group shift
+    n = 3000
+    grp = rng.choice(["a", "b", "c"], n)
+    cents = rng.integers(500, 8000, n) + np.where(
+        grp == "b", rng.integers(0, 2000), 0
+    )
+    at = pa.table(
+        {
+            "grp": pa.array(list(grp), pa.string()),
+            "cents": pa.array(cents, pa.int64()),
+        }
+    )
+    con.register("avals", at)
+    mine = anova_oneway(
+        ray.data.from_arrow(at).repartition(4)
+    ).to_pandas()
+    ref = con.execute(
+        "WITH g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g, "
+        "CAST(sum(cents) AS BIGINT) AS s_g, "
+        "CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS "
+        "ss_g FROM avals GROUP BY 1), "
+        "q AS (SELECT grp, n_g, s_g, ss_g, "
+        "(CAST(s_g AS HUGEINT) * s_g * 1000000) // n_g AS t_q "
+        "FROM g), "
+        "tot AS (SELECT CAST(sum(n_g) AS HUGEINT) AS nn, "
+        "CAST(sum(s_g) AS HUGEINT) AS ss, "
+        "CAST(sum(ss_g) AS HUGEINT) AS sstot, "
+        "CAST(sum(t_q) AS HUGEINT) AS t, "
+        "CAST(count(*) AS BIGINT) AS k FROM q), "
+        "f AS (SELECT *, t - (ss * ss * 1000000) // nn AS ssb_q, "
+        "sstot * 1000000 - t AS ssw_q FROM tot) "
+        "SELECT q.grp, q.n_g, CAST(q.s_g AS DOUBLE) AS s_g, "
+        "CAST(q.ss_g AS DOUBLE) AS ss_g, "
+        "CASE WHEN f.ssw_q > 0 AND f.k > 1 THEN "
+        "CAST(f.ssb_q * (f.nn - f.k) AS DOUBLE) / "
+        "CAST(f.ssw_q * (f.k - 1) AS DOUBLE) END AS f_stat, "
+        "CASE WHEN f.ssb_q + f.ssw_q > 0 THEN "
+        "CAST(f.ssb_q AS DOUBLE) / "
+        "CAST(f.ssb_q + f.ssw_q AS DOUBLE) END AS eta2 FROM q, f"
+    ).fetchdf()
+    check(
+        "anova_oneway", seed, mine, ref, ["grp"],
+        ["n_g", "s_g", "ss_g", "f_stat", "eta2"],
+    )
+
+    # --- Gumbel block maxima + Theil-Sen on one gappy series
+    day_us = 86_400_000_000
+    days = rng.integers(0, 120, 2500)
+    days = days[days % 7 != 3]
+    ts = days * day_us + rng.integers(0, day_us, len(days))
+    c2 = rng.integers(100, 200_000, len(days)) + 40 * days
+    st = pa.table(
+        {
+            "ts": pa.array(ts, pa.int64()),
+            "cents": pa.array(c2, pa.int64()),
+        }
+    )
+    con.register("gser", st)
+    sds = ray.data.from_arrow(st).repartition(4)
+    mine = gumbel_block_maxima(
+        sds, bucket_us=7 * day_us
+    ).to_pandas()
+    ref = con.execute(
+        "WITH d AS (SELECT ts // 604800000000 AS bucket, "
+        "CAST(max(cents) AS BIGINT) AS x FROM gser GROUP BY 1), "
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS k, "
+        "CAST(sum(x) AS HUGEINT) AS sx, "
+        "CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx "
+        "FROM d), "
+        "g AS (SELECT k, sx, sxx, "
+        "CAST(sx AS DOUBLE) / CAST(k AS DOUBLE) AS mean, "
+        "CAST(k * sxx - sx * sx AS DOUBLE) / "
+        "CAST(k * (k - 1) AS DOUBLE) AS var FROM m) "
+        "SELECT k, CAST(sx AS DOUBLE) AS s_x, CAST(sxx AS DOUBLE) "
+        "AS s_xx, mean, var, sqrt(var) * (sqrt(6) / pi()) AS beta, "
+        "mean - 0.5772156649015329 * (sqrt(var) * (sqrt(6) / pi())) "
+        "AS mu FROM g"
+    ).fetchdf()
+    check(
+        "gumbel_block_maxima", seed, mine, ref, ["k"],
+        ["k", "s_x", "s_xx", "mean", "var", "beta", "mu"],
+    )
+    mine = theil_sen(sds).to_pandas()
+    ref = con.execute(
+        "WITH d AS (SELECT ts // 86400000000 AS bucket, "
+        "CAST(sum(cents) AS BIGINT) AS x FROM gser GROUP BY 1), "
+        "p AS (SELECT CAST(b.x - a.x AS DOUBLE) / "
+        "CAST(b.bucket - a.bucket AS DOUBLE) AS s FROM d a JOIN d b "
+        "ON a.bucket < b.bucket), "
+        "sl AS (SELECT median(s) AS slope, CAST(count(*) AS BIGINT) "
+        "AS n_pairs FROM p), "
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d), "
+        "ic AS (SELECT median(CAST(d.x AS DOUBLE) - sl.slope * "
+        "CAST(d.bucket AS DOUBLE)) AS intercept FROM d, sl) "
+        "SELECT nn.n_days, sl.n_pairs, sl.slope, ic.intercept "
+        "FROM nn, sl, ic"
+    ).fetchdf()
+    check(
+        "theil_sen", seed, mine, ref, ["n_days"],
+        ["n_days", "n_pairs", "slope", "intercept"],
+    )
+
+    # --- RAKE on random punctuated text with stopwords
+    from console_log_parser_ray.stages.textan import RAKE_STOPWORDS
+
+    content = ["alpha", "beta", "gamma", "delta", "neural", "nets"]
+    punct = [".", ",", ";", "--", "!", "?"]
+    texts = []
+    for _ in range(150):
+        parts = []
+        for _ in range(int(rng.integers(3, 25))):
+            roll = rng.random()
+            if roll < 0.3:
+                parts.append(str(rng.choice(RAKE_STOPWORDS)))
+            elif roll < 0.4:
+                parts.append(str(rng.choice(punct)))
+            else:
+                parts.append(str(rng.choice(content)))
+        texts.append(" ".join(parts))
+    dt = pa.table({"text": pa.array(texts, pa.string())})
+    con.register("rdocs", dt)
+    mine = rake_keyphrases(
+        ray.data.from_arrow(dt).repartition(4), top_k=1000
+    ).to_pandas()
+    ref = con.execute(
+        "WITH s AS (SELECT '  ' || regexp_replace(lower("
+        "coalesce(text, '')), '[^a-z0-9]+', '  ', 'g') || '  ' AS t "
+        "FROM rdocs), "
+        "s2 AS (SELECT regexp_replace(t, ' (a|an|and|are|as|at|be|by"
+        "|for|from|in|is|it|of|on|or|that|the|this|to|was|were|with)"
+        " ', ' | ', 'g') AS t FROM s), "
+        "ph0 AS (SELECT unnest(regexp_extract_all(t, "
+        "'[a-z0-9]+(?: {1,2}[a-z0-9]+)*')) AS p FROM s2), "
+        "ph AS (SELECT regexp_replace(p, ' +', ' ', 'g') AS phrase "
+        "FROM ph0 WHERE p <> ''), "
+        "pw AS (SELECT phrase, len(string_split(phrase, ' ')) AS "
+        "plen, unnest(string_split(phrase, ' ')) AS w FROM ph), "
+        "ws AS (SELECT w, CAST(count(*) AS BIGINT) AS freq, "
+        "CAST(sum(plen) AS BIGINT) AS deg FROM pw GROUP BY w), "
+        "wq AS (SELECT w, (deg * 1000000) // freq AS score_w "
+        "FROM ws), "
+        "ps AS (SELECT pw.phrase, CAST(sum(wq.score_w) AS BIGINT) "
+        "AS total_q, CAST(count(*) AS BIGINT) AS n_wi, "
+        "any_value(pw.plen) AS plen FROM pw JOIN wq USING (w) "
+        "GROUP BY pw.phrase), "
+        "fin AS (SELECT phrase, n_wi // plen AS n_occ, "
+        "total_q // (n_wi // plen) AS score_q FROM ps) "
+        "SELECT phrase, CAST(n_occ AS BIGINT) AS n_occ, score_q "
+        "FROM fin ORDER BY score_q DESC, phrase LIMIT 1000"
+    ).fetchdf()
+    check(
+        "rake_keyphrases", seed, mine, ref, ["phrase"],
+        ["phrase", "n_occ", "score_q"],
+    )
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -5625,10 +5795,11 @@ def main():
         engagement_family(seed)
         r5_family(seed)
         r5b_family(seed)
+        r5c_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(177 comparison groups per seed)"
+        "(181 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
