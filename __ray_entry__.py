@@ -4401,6 +4401,137 @@ def _q_event_regex_funnels(sf_dir: str):
     )
 
 
+def _q_supplier_busy_days(sf_dir: str):
+    """Interval-union coverage per supplier: total days with at
+    least one open shipment (order date -> ship date), merged
+    sweep-line spans (stages/events.interval_union_days over the
+    co-partitioned lineitem x orders join)."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        interval_union_days,
+    )
+    from console_log_parser_ray.stages.relational import hash_join
+
+    li = ray.data.read_parquet(
+        _os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = ray.data.read_parquet(
+        _os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    )
+    joined = hash_join(
+        li,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("l_shipdate", pa.timestamp("us")),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+            ]
+        ),
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        day = pa.scalar(86_400_000_000, pa.int64())
+        return pa.table(
+            {
+                "suppkey": b.column("l_suppkey").cast(pa.int64()),
+                "a": pc.divide(
+                    b.column("o_orderdate").cast(pa.int64()), day
+                ),
+                "b": pc.divide(
+                    b.column("l_shipdate").cast(pa.int64()), day
+                ),
+            }
+        )
+
+    iv = joined.map_batches(proj, batch_format="pyarrow")
+    return interval_union_days(
+        iv, key_col="suppkey", start_col="a", end_col="b"
+    )
+
+
+def _q_shard_skew_profile(sf_dir: str):
+    """Partition-skew audit of the transcript shard files: per input
+    parquet file its row count, share of the corpus, and skew ratio
+    vs the mean shard -- the partition-health readout a 100 TB run
+    checks before blaming the engine for stragglers.  One
+    include_paths read of a single tiny column, per-block partial
+    counts, bounded per-file fold; floats are single expressions of
+    exact ints."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    from console_log_parser_ray.sources import cache as _c
+
+    src = _c.ensure_transcripts(sf_dir)
+
+    def part(b: pa.Table) -> pa.Table:
+        base = pc.replace_substring_regex(
+            b.column("path").cast(pa.string()), "^.*/", ""
+        )
+        g = (
+            pa.table({"file": base})
+            .group_by(["file"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "file": g.column("file"),
+                "n_p": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    per_file = (
+        ray.data.read_parquet(
+            src, columns=["turn_idx"], include_paths=True
+        )
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("file")
+        .aggregate(Sum("n_p"))
+        .take_all()
+    )  # bounded by shard-file count
+    per_file.sort(key=lambda r: r["file"])
+    total = sum(int(r["sum(n_p)"]) for r in per_file)
+    k = len(per_file)
+    files = [r["file"] for r in per_file]
+    ns = [int(r["sum(n_p)"]) for r in per_file]
+    return pa.table(
+        {
+            "file": pa.array(files, pa.string()),
+            "n_rows": pa.array(ns, pa.int64()),
+            "share": pa.array(
+                [float(n) / float(total) for n in ns], pa.float64()
+            ),
+            "skew": pa.array(
+                [float(n * k) / float(total) for n in ns],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def _q_cmd_retry_rate(sf_dir: str):
     """Per-conversation command-retry audit: how many commands repeat
     the immediately preceding command verbatim (the retry/flail
@@ -8407,6 +8538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rake_keyphrases": _q_rake_keyphrases,
         "anova_value_type": _q_anova_value_type,
         "event_regex_funnels": _q_event_regex_funnels,
+        "supplier_busy_days": _q_supplier_busy_days,
+        "shard_skew_profile": _q_shard_skew_profile,
         "slo_burn": _q_slo_burn,
         "dow_profile": _q_dow_profile,
         "flesch_docs": _q_flesch_docs,
@@ -11083,6 +11216,42 @@ def oracle_sql() -> dict[str, str]:
         "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_cmds, "
         "CAST(count(*) FILTER (WHERE cmd = prev) AS BIGINT) AS "
         "n_retries FROM w GROUP BY 1"
+    )
+    out["supplier_busy_days"] = (
+        # window max-over-preceding island merge of [order, ship]
+        # day intervals; inclusive-day span sums
+        "WITH iv AS (SELECT l_suppkey AS suppkey, "
+        "epoch_us(o_orderdate) // 86400000000 AS a, "
+        "epoch_us(l_shipdate) // 86400000000 AS b "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_orderdate IS NOT NULL AND l_shipdate IS NOT NULL "
+        "AND epoch_us(l_shipdate) // 86400000000 >= "
+        "epoch_us(o_orderdate) // 86400000000), "
+        "w AS (SELECT suppkey, a, b, max(b) OVER (PARTITION BY "
+        "suppkey ORDER BY a, b ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "1 PRECEDING) AS pm FROM iv), "
+        "isl AS (SELECT suppkey, a, b, sum(CASE WHEN pm IS NULL OR "
+        "a > pm + 1 THEN 1 ELSE 0 END) OVER (PARTITION BY suppkey "
+        "ORDER BY a, b ROWS UNBOUNDED PRECEDING) AS g FROM w), "
+        "m AS (SELECT suppkey, g, min(a) AS a0, max(b) AS b1 FROM "
+        "isl GROUP BY suppkey, g) "
+        "SELECT suppkey, CAST(count(*) AS BIGINT) AS n_spans, "
+        "CAST(sum(b1 - a0 + 1) AS BIGINT) AS busy_days FROM m "
+        "GROUP BY 1"
+    )
+    out["shard_skew_profile"] = (
+        # per-file row counts straight off the shard glob; share and
+        # skew ratio as single float expressions of exact ints
+        "WITH f AS (SELECT regexp_extract(filename, '[^/]+$') AS "
+        "file, CAST(count(*) AS BIGINT) AS n_rows FROM "
+        f"read_parquet('{_SF001_GLOB}', filename=true) "
+        "GROUP BY 1), "
+        "t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total, "
+        "CAST(count(*) AS BIGINT) AS k FROM f) "
+        "SELECT f.file, f.n_rows, CAST(f.n_rows AS DOUBLE) / "
+        "CAST(t.total AS DOUBLE) AS share, "
+        "CAST(f.n_rows * t.k AS DOUBLE) / CAST(t.total AS DOUBLE) "
+        "AS skew FROM f, t"
     )
     out["anova_value_type"] = (
         # exact integer group moments, micro-unit quantized SSB/SSW

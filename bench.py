@@ -349,6 +349,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "rake_keyphrases",
         "anova_value_type",
         "event_regex_funnels",
+        "supplier_busy_days",
+        "shard_skew_profile",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -8995,3 +8995,68 @@ def event_seq_regex(
             {"sum(matched)": "n_users", "sum(n_m)": "n_matches"}
         )
     )
+
+
+def interval_union_days(
+    ds,
+    key_col: str = "k",
+    start_col: str = "a",
+    end_col: str = "b",
+):
+    """Per-key interval-union sweep: merge each key's [start, end]
+    day intervals (touching or overlapping spans coalesce -- a new
+    span starts only when ``start > running_max_end + 1``) and
+    report the span count and total covered days -- the classic
+    "how many days was at least one shipment open" coverage readout
+    that concurrency counters (``orders_in_flight``) cannot answer.
+
+    All-integer: inclusive day spans sum as ``end - start + 1``
+    exactly; the sweep is one lexsort by (start, end) + a running
+    maximum per key, mirrored by the SQL window max-over-preceding
+    islands formulation.  Rows with a null endpoint or ``end <
+    start`` are excluded on both sides.
+
+    Scale shape: one ``groupby(key)`` shuffle; per-key state is that
+    key's own interval list (numpy lexsort + maximum.accumulate --
+    no Python loop), the ``sessionize`` contract."""
+    from ray.data.aggregate import Sum
+
+    def per_key(tbl: pa.Table) -> pa.Table:
+        a = tbl.column(start_col).to_numpy(zero_copy_only=False)
+        b = tbl.column(end_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        run_max = np.maximum.accumulate(b)
+        new_span = np.ones(len(a), bool)
+        new_span[1:] = a[1:] > run_max[:-1] + 1
+        starts = np.flatnonzero(new_span)
+        ends = np.append(starts[1:], len(a)) - 1
+        span_a = a[starts]
+        span_b = run_max[ends]
+        return pa.table(
+            {
+                key_col: tbl.column(key_col)[:1],
+                "n_spans": pa.array([len(starts)], pa.int64()),
+                "busy_days": pa.array(
+                    [int((span_b - span_a + 1).sum())], pa.int64()
+                ),
+            }
+        )
+
+    def clean(btbl: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.is_valid(btbl.column(start_col)),
+                pc.is_valid(btbl.column(end_col)),
+            ),
+            pc.greater_equal(
+                btbl.column(end_col), btbl.column(start_col)
+            ),
+        )
+        return btbl.filter(keep)
+
+    return (
+        ds.map_batches(clean, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pyarrow")
+    )

@@ -9458,3 +9458,53 @@ def test_event_seq_regex_differential(ray_session):
         event_seq_regex(
             ray.data.from_arrow(bad), ("c",)
         ).to_pandas()
+
+
+def test_interval_union_days_differential(ray_session):
+    """interval_union_days == a per-key python sweep brute force,
+    including touching-span merges and contained intervals."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        interval_union_days,
+    )
+
+    rng = np.random.default_rng(71)
+    n = 3000
+    keys = rng.integers(0, 50, n)
+    a = rng.integers(0, 400, n)
+    length = rng.integers(0, 30, n)
+    b = a + length
+    # plant adjacency: some intervals start right after another ends
+    t = pa.table(
+        {
+            "k": pa.array(keys, pa.int64()),
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+        }
+    )
+    got = (
+        interval_union_days(
+            ray.data.from_arrow(t).repartition(5)
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    for k in sorted(set(keys)):
+        ivs = sorted(
+            (int(x), int(y))
+            for x, y in zip(a[keys == k], b[keys == k])
+        )
+        spans = []
+        for x, y in ivs:
+            if spans and x <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], y)
+            else:
+                spans.append([x, y])
+        busy = sum(y - x + 1 for x, y in spans)
+        assert got.loc[k, "n_spans"] == len(spans)
+        assert got.loc[k, "busy_days"] == busy
