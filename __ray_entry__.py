@@ -4532,6 +4532,54 @@ def _q_shard_skew_profile(sf_dir: str):
     )
 
 
+def _q_seasonal_strength_dow(sf_dir: str):
+    """Weekly seasonality strength of daily order revenue
+    (stages/events.seasonal_strength): per-weekday means, quantized
+    residual variance ratio, single-float strength."""
+    from console_log_parser_ray.stages.events import seasonal_strength
+
+    return seasonal_strength(_order_cents(sf_dir))
+
+
+def _q_mus_orders(sf_dir: str):
+    """Monetary-unit (PPS systematic) audit sample of orders
+    (stages/events.monetary_unit_sample): distributed key-ordered
+    prefix sum over exact cents, every order straddling a multiple
+    of total/500 selected, big orders with certainty."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        monetary_unit_sample,
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": b.column("o_orderkey"),
+                "c": pc.cast(
+                    pc.floor(
+                        pc.multiply(
+                            b.column("o_totalprice").cast(
+                                pa.float64()
+                            ),
+                            pa.scalar(100.0, pa.float64()),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    ).map_batches(proj, batch_format="pyarrow")
+    return monetary_unit_sample(orders)
+
+
 def _q_cmd_retry_rate(sf_dir: str):
     """Per-conversation command-retry audit: how many commands repeat
     the immediately preceding command verbatim (the retry/flail
@@ -8540,6 +8588,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_regex_funnels": _q_event_regex_funnels,
         "supplier_busy_days": _q_supplier_busy_days,
         "shard_skew_profile": _q_shard_skew_profile,
+        "seasonal_strength_dow": _q_seasonal_strength_dow,
+        "mus_orders": _q_mus_orders,
         "slo_burn": _q_slo_burn,
         "dow_profile": _q_dow_profile,
         "flesch_docs": _q_flesch_docs,
@@ -11216,6 +11266,47 @@ def oracle_sql() -> dict[str, str]:
         "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_cmds, "
         "CAST(count(*) FILTER (WHERE cmd = prev) AS BIGINT) AS "
         "n_retries FROM w GROUP BY 1"
+    )
+    out["seasonal_strength_dow"] = (
+        # per-phase means, identical quantized-residual expression,
+        # HUGEINT variance moments, one float division
+        "WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS "
+        "bucket, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) "
+        "AS BIGINT) AS x FROM orders WHERE o_orderdate IS NOT NULL "
+        "AND o_totalprice IS NOT NULL GROUP BY 1), "
+        "p AS (SELECT ((bucket + 4) % 7) AS phase, bucket, x "
+        "FROM d), "
+        "m AS (SELECT phase, CAST(count(*) AS BIGINT) AS n_p, "
+        "CAST(sum(x) AS BIGINT) AS s_p FROM p GROUP BY 1), "
+        "r AS (SELECT p.phase, p.x, CAST(floor((CAST(p.x AS DOUBLE) "
+        "- CAST(m.s_p AS DOUBLE) / CAST(m.n_p AS DOUBLE)) * 1000.0) "
+        "AS BIGINT) AS r_q FROM p JOIN m USING (phase)), "
+        "mm AS (SELECT CAST(count(*) AS HUGEINT) AS k, "
+        "CAST(sum(r_q) AS HUGEINT) AS sr, "
+        "CAST(sum(CAST(r_q AS HUGEINT) * r_q) AS HUGEINT) AS srr, "
+        "CAST(sum(CAST(x AS HUGEINT) * 1000) AS HUGEINT) AS sx, "
+        "CAST(sum((CAST(x AS HUGEINT) * 1000) * (CAST(x AS HUGEINT) "
+        "* 1000)) AS HUGEINT) AS sxx FROM r), "
+        "g AS (SELECT k, k * srr - sr * sr AS num, "
+        "k * sxx - sx * sx AS den FROM mm) "
+        "SELECT m.phase, m.n_p, CAST(m.s_p AS DOUBLE) AS s_p, "
+        "CAST(m.s_p AS DOUBLE) / CAST(m.n_p AS DOUBLE) AS "
+        "phase_mean, CAST(g.k AS BIGINT) AS k, "
+        "CASE WHEN g.den > 0 THEN 1.0 - CAST(g.num AS DOUBLE) / "
+        "CAST(g.den AS DOUBLE) END AS strength FROM m, g"
+    )
+    out["mus_orders"] = (
+        # window cumsum over key order; straddle test and hit counts
+        # in exact integer arithmetic
+        "WITH o AS (SELECT o_orderkey AS k, CAST(floor(o_totalprice "
+        "* 100) AS BIGINT) AS c FROM orders WHERE o_orderkey IS NOT "
+        "NULL AND o_totalprice IS NOT NULL), "
+        "t AS (SELECT CAST(sum(c) AS HUGEINT) // 500 AS ti FROM o), "
+        "w AS (SELECT k, c, sum(c) OVER (ORDER BY k ROWS UNBOUNDED "
+        "PRECEDING) AS cum FROM o) "
+        "SELECT w.k AS orderkey, w.c AS cents, "
+        "CAST(w.cum // t.ti - (w.cum - w.c) // t.ti AS BIGINT) AS "
+        "n_hits FROM w, t WHERE w.cum // t.ti > (w.cum - w.c) // t.ti"
     )
     out["supplier_busy_days"] = (
         # window max-over-preceding island merge of [order, ship]

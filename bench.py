@@ -351,6 +351,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "event_regex_funnels",
         "supplier_busy_days",
         "shard_skew_profile",
+        "seasonal_strength_dow",
+        "mus_orders",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

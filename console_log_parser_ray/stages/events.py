@@ -9060,3 +9060,208 @@ def interval_union_days(
         .groupby(key_col)
         .map_groups(per_key, batch_format="pyarrow")
     )
+
+
+def seasonal_strength(
+    ds,
+    ts_col: str = "ts",
+    cents_col: str = "cents",
+    period: int = 7,
+    phase_offset: int = 4,
+    bucket_us: int = 86_400_000_000,
+    scale: int = 1_000,
+    max_points: int = 2_000_000,
+):
+    """Seasonality-strength statistic (Hyndman's STL-feature shape):
+    1 - Var(deseasonalized residual) / Var(series) over the daily
+    metric, with the seasonal component estimated as the per-phase
+    mean (phase = (day + offset) % period; offset 4 makes Monday
+    phase 0) -- the single-number answer to "HOW weekly is revenue",
+    where ``dow_profile``/``acf_daily`` only show the profile.
+
+    Exactness: the daily series folds to exact integer cents; the
+    per-day residual is quantized with the IDENTICAL expression tree
+    both sides, ``r_q = floor((x_f - s_p_f / n_p_f) * scale)``, and
+    the variance ratio finishes from exact integer moments of
+    ``r_q`` and ``x * scale`` (arbitrary precision here, HUGEINT in
+    the mirror):
+
+        strength = 1 - (k*S_rr - S_r^2) / (k*S_xx - S_x^2)
+
+    one float division.  Output: one row per phase with its exact
+    count/total and mean, the series length and the table-level
+    strength repeated.  Scale shape: one calendar-bounded groupby
+    (``_bucket_int_series``), O(days) driver arithmetic.
+    """
+    import math
+
+    buckets, xs = _bucket_int_series(
+        ds, ts_col, cents_col, bucket_us, max_points,
+        "seasonal_strength",
+    )
+    if len(xs) < 2:
+        raise ValueError(
+            "seasonal_strength: need at least 2 buckets"
+        )
+    n_p: dict = {}
+    s_p: dict = {}
+    for bkt, x in zip(buckets, xs):
+        ph = (bkt + phase_offset) % period
+        n_p[ph] = n_p.get(ph, 0) + 1
+        s_p[ph] = s_p.get(ph, 0) + x
+    k = len(xs)
+    sr = srr = sx = sxx = 0
+    for bkt, x in zip(buckets, xs):
+        ph = (bkt + phase_offset) % period
+        r_q = int(
+            math.floor(
+                (float(x) - float(s_p[ph]) / float(n_p[ph]))
+                * float(scale)
+            )
+        )
+        xq = x * scale
+        sr += r_q
+        srr += r_q * r_q
+        sx += xq
+        sxx += xq * xq
+    num = k * srr - sr * sr
+    den = k * sxx - sx * sx
+    strength = 1.0 - float(num) / float(den) if den > 0 else None
+    phases = sorted(n_p)
+    return pa.table(
+        {
+            "phase": pa.array(phases, pa.int64()),
+            "n_p": pa.array([n_p[p] for p in phases], pa.int64()),
+            "s_p": pa.array(
+                [float(s_p[p]) for p in phases], pa.float64()
+            ),
+            "phase_mean": pa.array(
+                [float(s_p[p]) / float(n_p[p]) for p in phases],
+                pa.float64(),
+            ),
+            "k": pa.array([k] * len(phases), pa.int64()),
+            "strength": pa.array(
+                [strength] * len(phases), pa.float64()
+            ),
+        }
+    )
+
+
+def monetary_unit_sample(
+    ds,
+    key_col: str = "k",
+    cents_col: str = "c",
+    n_samples: int = 500,
+    n_ranges: int = 4096,
+):
+    """Monetary-unit (dollar-unit / PPS systematic) sampling: walk
+    the cumulative cents of the key-ordered population and select
+    every record that straddles a multiple of the sampling interval
+    ``T = total_cents // n_samples`` -- the audit-sampling standard
+    where selection probability is proportional to monetary value
+    and every item larger than T is selected with certainty
+    (``n_hits`` counts how many interval marks a big item covers).
+
+    All-integer and deterministic: hits are ``cum // T -
+    (cum - c) // T`` over the exact inclusive prefix sums in key
+    order, mirrored by the SQL window cumsum.
+
+    Scale shape: a distributed prefix sum in the
+    ``_global_value_offsets`` style -- key-range buckets (keys //
+    R, R from the max key over ``n_ranges`` ranges), per-range cent
+    totals fold to range-start offsets on the driver (O(ranges)
+    state), then each range group locally sorts its own keys and
+    emits its straddling records.  Three streaming passes over two
+    pruned columns; the population never materializes.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def clean(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(key_col)),
+                pc.is_valid(b.column(cents_col)),
+            )
+        )
+        return pa.table(
+            {
+                "k": t.column(key_col).cast(pa.int64()),
+                "c": t.column(cents_col).cast(pa.int64()),
+            }
+        )
+
+    base = ds.map_batches(clean, batch_format="pyarrow")
+    agg = base.aggregate(Max("k"), Sum("c"))
+    max_k = int(agg["max(k)"] or 0)
+    total = int(agg["sum(c)"] or 0)
+    t_interval = total // n_samples
+    if t_interval <= 0:
+        raise ValueError(
+            "monetary_unit_sample: total cents below n_samples"
+        )
+    r_width = max_k // n_ranges + 1
+
+    def bucket_part(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "rb": pc.divide(
+                        b.column("k"),
+                        pa.scalar(r_width, pa.int64()),
+                    ),
+                    "c": b.column("c"),
+                }
+            )
+            .group_by(["rb"])
+            .aggregate([("c", "sum")])
+        )
+        return pa.table(
+            {
+                "rb": g.column("rb"),
+                "c_p": g.column("c_sum").cast(pa.int64()),
+            }
+        )
+
+    totals = (
+        base.map_batches(bucket_part, batch_format="pyarrow")
+        .groupby("rb")
+        .aggregate(Sum("c_p"))
+        .take_all()
+    )  # <= n_ranges rows
+    totals.sort(key=lambda r: int(r["rb"]))
+    starts: dict = {}
+    run = 0
+    for r in totals:
+        starts[int(r["rb"])] = run
+        run += int(r["sum(c_p)"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "rb",
+            pc.divide(
+                b.column("k"), pa.scalar(r_width, pa.int64())
+            ),
+        )
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        rb = int(tbl.column("rb")[0].as_py())
+        k = tbl.column("k").to_numpy(zero_copy_only=False)
+        c = tbl.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, c = k[order], c[order]
+        cum = starts[rb] + np.cumsum(c)
+        hits = cum // t_interval - (cum - c) // t_interval
+        sel = hits > 0
+        return pa.table(
+            {
+                "orderkey": pa.array(k[sel], pa.int64()),
+                "cents": pa.array(c[sel], pa.int64()),
+                "n_hits": pa.array(hits[sel], pa.int64()),
+            }
+        )
+
+    return (
+        base.map_batches(tag, batch_format="pyarrow")
+        .groupby("rb")
+        .map_groups(pick, batch_format="pyarrow")
+    )

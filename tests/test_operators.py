@@ -9508,3 +9508,96 @@ def test_interval_union_days_differential(ray_session):
         busy = sum(y - x + 1 for x, y in spans)
         assert got.loc[k, "n_spans"] == len(spans)
         assert got.loc[k, "busy_days"] == busy
+
+
+def test_seasonal_strength_differential(ray_session):
+    """seasonal_strength == the float variance-ratio brute force
+    (within residual quantization); planted weekly pattern scores
+    high, white noise scores near zero."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import seasonal_strength
+
+    rng = np.random.default_rng(83)
+    day_us = 86_400_000_000
+    days = np.arange(0, 140, dtype=np.int64)
+    season = np.array([0, 0, 0, 0, 0, 40_000, 60_000])
+    vals = 100_000 + season[(days + 4) % 7] + rng.integers(
+        -3000, 3000, len(days)
+    )
+    ts = days * day_us + rng.integers(0, day_us, len(days))
+    t = pa.table(
+        {
+            "ts": pa.array(ts, pa.int64()),
+            "cents": pa.array(vals, pa.int64()),
+        }
+    )
+    got = seasonal_strength(
+        ray.data.from_arrow(t).repartition(4)
+    ).to_pandas()
+    phases = (days + 4) % 7
+    means = {p: vals[phases == p].mean() for p in range(7)}
+    resid = vals - np.array([means[p] for p in phases])
+    ref = 1.0 - resid.var() / vals.var()
+    assert len(got) == 7
+    assert abs(got["strength"].iloc[0] - ref) < 1e-4
+    assert got["strength"].iloc[0] > 0.8  # planted weekly signal
+    flat = pa.table(
+        {
+            "ts": pa.array(ts, pa.int64()),
+            "cents": pa.array(
+                rng.integers(0, 100_000, len(days)), pa.int64()
+            ),
+        }
+    )
+    noise = seasonal_strength(
+        ray.data.from_arrow(flat)
+    ).to_pandas()
+    assert abs(noise["strength"].iloc[0]) < 0.2
+
+
+def test_monetary_unit_sample_differential(ray_session):
+    """monetary_unit_sample == the sequential cumsum brute force;
+    items larger than the interval are always selected."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        monetary_unit_sample,
+    )
+
+    rng = np.random.default_rng(97)
+    n = 5000
+    keys = rng.permutation(np.arange(10, 10 + n, dtype=np.int64))
+    cents = rng.integers(1, 10_000, n)
+    cents[keys % 997 == 0] = 2_000_000  # whales
+    t = pa.table(
+        {
+            "k": pa.array(keys, pa.int64()),
+            "c": pa.array(cents, pa.int64()),
+        }
+    )
+    got = (
+        monetary_unit_sample(
+            ray.data.from_arrow(t).repartition(6), n_samples=100
+        )
+        .to_pandas()
+        .sort_values("orderkey")
+        .reset_index(drop=True)
+    )
+    order = np.argsort(keys)
+    ks, cs = keys[order], cents[order]
+    ti = int(cs.sum()) // 100
+    cum = np.cumsum(cs)
+    hits = cum // ti - (cum - cs) // ti
+    sel = hits > 0
+    assert list(got["orderkey"]) == list(ks[sel])
+    assert list(got["n_hits"]) == list(hits[sel])
+    # every whale (> interval) is selected with certainty
+    whale_keys = set(keys[cents > ti])
+    assert whale_keys <= set(got["orderkey"])
