@@ -4580,6 +4580,19 @@ def _q_mus_orders(sf_dir: str):
     return monetary_unit_sample(orders)
 
 
+def _q_dbscan_embeddings(sf_dir: str):
+    """Deterministic DBSCAN over the embeddings corpus (cosine
+    eps 0.9, min_pts 3): core/border/noise roles and min-core-id
+    cluster labels (stages/similarity.dbscan_embeddings composing
+    the IVF near-dup graph with a size-adaptive union-find +
+    broadcast label map)."""
+    from console_log_parser_ray.stages.similarity import (
+        dbscan_embeddings,
+    )
+
+    return dbscan_embeddings(_embeddings(sf_dir))
+
+
 def _q_cmd_retry_rate(sf_dir: str):
     """Per-conversation command-retry audit: how many commands repeat
     the immediately preceding command verbatim (the retry/flail
@@ -8590,6 +8603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_skew_profile": _q_shard_skew_profile,
         "seasonal_strength_dow": _q_seasonal_strength_dow,
         "mus_orders": _q_mus_orders,
+        "dbscan_embeddings": _q_dbscan_embeddings,
         "slo_burn": _q_slo_burn,
         "dow_profile": _q_dow_profile,
         "flesch_docs": _q_flesch_docs,
@@ -11266,6 +11280,39 @@ def oracle_sql() -> dict[str, str]:
         "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_cmds, "
         "CAST(count(*) FILTER (WHERE cmd = prev) AS BIGINT) AS "
         "n_retries FROM w GROUP BY 1"
+    )
+    out["dbscan_embeddings"] = (
+        # exact all-pairs cosine neighbor graph, core degree rule,
+        # reachability-min cluster labels, min-core-neighbor borders
+        "WITH RECURSIVE v AS (SELECT vec_id FROM embeddings), "
+        "e AS (SELECT a.vec_id AS na, b.vec_id AS nb "
+        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
+        "AND list_cosine_similarity(a.embedding, b.embedding) >= "
+        "0.9), "
+        "deg AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS d FROM "
+        "(SELECT na AS vec_id FROM e UNION ALL SELECT nb FROM e) "
+        "GROUP BY 1), "
+        "core AS (SELECT v.vec_id FROM v JOIN deg USING (vec_id) "
+        "WHERE deg.d >= 2), "
+        "ce AS (SELECT na, nb FROM e WHERE na IN (SELECT vec_id "
+        "FROM core) AND nb IN (SELECT vec_id FROM core)), "
+        "reach(node, lab) AS (SELECT vec_id, vec_id FROM core "
+        "UNION SELECT CASE WHEN r.node = ce.nb THEN ce.na "
+        "ELSE ce.nb END, r.lab FROM reach r JOIN ce "
+        "ON r.node = ce.na OR r.node = ce.nb), "
+        "lab AS (SELECT node AS vec_id, min(lab) AS cl FROM reach "
+        "GROUP BY 1), "
+        "border AS (SELECT x.vec_id, min(l.cl) AS cl FROM "
+        "(SELECT na AS vec_id, nb AS nb FROM e "
+        "UNION ALL SELECT nb, na FROM e) x "
+        "JOIN lab l ON x.nb = l.vec_id "
+        "WHERE x.vec_id NOT IN (SELECT vec_id FROM core) "
+        "GROUP BY 1) "
+        "SELECT v.vec_id, CASE WHEN c.cl IS NOT NULL THEN 'core' "
+        "WHEN b.cl IS NOT NULL THEN 'border' ELSE 'noise' END AS "
+        "role, coalesce(c.cl, b.cl) AS cluster_id "
+        "FROM v LEFT JOIN lab c ON v.vec_id = c.vec_id "
+        "LEFT JOIN border b ON v.vec_id = b.vec_id"
     )
     out["seasonal_strength_dow"] = (
         # per-phase means, identical quantized-residual expression,

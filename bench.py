@@ -353,6 +353,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "shard_skew_profile",
         "seasonal_strength_dow",
         "mus_orders",
+        "dbscan_embeddings",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -802,3 +802,140 @@ def mmr_oracle_sql(
         + ", ".join(ctes)
         + f" SELECT CAST(rnk AS BIGINT) AS rnk, vec_id FROM ({heads})"
     )
+
+
+def dbscan_embeddings(
+    ds,
+    eps_cos: float = 0.9,
+    min_pts: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pair_limit: int = 2_000_000,
+):
+    """Deterministic DBSCAN over the embedding corpus with a cosine
+    neighborhood (sim >= ``eps_cos``): the density-clustering family
+    ``kmeans_clusters`` cannot express -- clusters of arbitrary shape,
+    an explicit noise class, and no k to pick.  A point is CORE when
+    its neighborhood (incl. itself) holds >= ``min_pts`` points;
+    clusters are the connected components of the core-core neighbor
+    graph (labelled by their minimum core id); non-core points with a
+    core neighbor are BORDER (attached to the smallest core
+    neighbor's cluster -- the deterministic tie rule); the rest is
+    NOISE.
+
+    Scale shape: the neighbor graph comes from
+    :func:`~.dedup.embedding_near_dups` (IVF multi-probe buckets,
+    exact at near-dup cosine levels per its recall contract), so the
+    edge list is O(neighbor pairs), minuscule next to the corpus.
+    Below ``pair_limit`` edges the whole graph is folded once on the
+    driver (union-by-min over cores, one pass for borders) and the
+    id -> (role, cluster) map is broadcast via ``ray.put``; the
+    corpus then streams through one stateless lookup ``map_batches``
+    -- the ``dup_cluster_labels`` small-graph pattern.  Above the
+    limit, raise: chain ``connected_components`` on the core-core
+    edges instead (the distributed path), documented rather than
+    silently slow.
+    """
+    import ray
+
+    from .dedup import embedding_near_dups
+
+    edges_ds = (
+        embedding_near_dups(
+            ds, threshold=eps_cos, vec_col=vec_col, id_col=id_col
+        )
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
+    )
+    if edges_ds.count() > pair_limit:
+        raise ValueError(
+            "dbscan_embeddings: neighbor graph exceeds "
+            f"pair_limit={pair_limit}; run connected_components on "
+            "the core-core edges instead"
+        )
+    edges = [
+        (int(r["doc_a"]), int(r["doc_b"]))
+        for r in edges_ds.take_all()
+    ]
+    deg: dict = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    core = {v for v, d in deg.items() if d >= min_pts - 1}
+
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        if a in core and b in core:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    cluster = {v: find(v) for v in core}
+    border: dict = {}
+    for a, b in edges:
+        if a in core and b not in core:
+            lab = cluster[find(a)]
+            if b not in border or lab < border[b]:
+                border[b] = lab
+        elif b in core and a not in core:
+            lab = cluster[find(b)]
+            if a not in border or lab < border[a]:
+                border[a] = lab
+    tagged = sorted(
+        [(v, 0, cluster[v]) for v in core]
+        + [(v, 1, lab) for v, lab in border.items()]
+    )
+    map_ids = np.array([t[0] for t in tagged], np.int64)
+    map_role = np.array([t[1] for t in tagged], np.int8)
+    map_lab = np.array([t[2] for t in tagged], np.int64)
+    handle = ray.put((map_ids, map_role, map_lab))
+    role_names = pa.array(["core", "border", "noise"], pa.string())
+
+    def tag(b: pa.Table) -> pa.Table:
+        mi, mr, ml = ray.get(handle)
+        ids = (
+            b.column(id_col)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        pos = (
+            np.searchsorted(mi, ids)
+            if len(mi)
+            else np.zeros(len(ids), np.int64)
+        )
+        pos = np.clip(pos, 0, max(len(mi) - 1, 0))
+        hit = (
+            mi[pos] == ids
+            if len(mi)
+            else np.zeros(len(ids), bool)
+        )
+        role_idx = np.where(hit, mr[pos] if len(mi) else 0, 2)
+        labels = pa.array(
+            np.where(hit, ml[pos] if len(mi) else 0, 0), pa.int64()
+        )
+        labels = pc.if_else(
+            pa.array(hit, pa.bool_()), labels, pa.scalar(None, pa.int64())
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "role": pc.take(
+                    role_names,
+                    pa.array(role_idx.astype(np.int64), pa.int64()),
+                ),
+                "cluster_id": labels,
+            }
+        )
+
+    return ds.select_columns([id_col]).map_batches(
+        tag, batch_format="pyarrow"
+    )

@@ -9601,3 +9601,103 @@ def test_monetary_unit_sample_differential(ray_session):
     # every whale (> interval) is selected with certainty
     whale_keys = set(keys[cents > ti])
     assert whale_keys <= set(got["orderkey"])
+
+
+def test_dbscan_embeddings_differential(ray_session):
+    """dbscan_embeddings == a numpy brute-force DBSCAN on planted
+    dense clusters + scattered noise."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.similarity import (
+        dbscan_embeddings,
+    )
+
+    rng = np.random.default_rng(101)
+    dim = 16
+    centers = rng.normal(size=(3, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, ids = [], []
+    vid = 0
+    for c in centers:  # tight clusters
+        for _ in range(15):
+            v = c + rng.normal(scale=0.02, size=dim)
+            vecs.append(v / np.linalg.norm(v))
+            ids.append(vid)
+            vid += 1
+    for _ in range(20):  # noise
+        v = rng.normal(size=dim)
+        vecs.append(v / np.linalg.norm(v))
+        ids.append(vid)
+        vid += 1
+    mat = np.array(vecs)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    got = (
+        dbscan_embeddings(
+            ray.data.from_arrow(t).repartition(4),
+            eps_cos=0.9,
+            min_pts=3,
+        )
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    # brute force on float32-rounded vectors (what the engine reads)
+    m32 = np.array(
+        [np.asarray(v, np.float32) for v in vecs], np.float64
+    )
+    m32 /= np.linalg.norm(m32, axis=1, keepdims=True)
+    sims = m32 @ m32.T
+    np.fill_diagonal(sims, -1)
+    adj = sims >= 0.9
+    deg = adj.sum(axis=1)
+    core = deg >= 2
+    # union-find over core-core edges
+    parent = list(range(len(ids)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if adj[a, b] and core[a] and core[b]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    for i in range(len(ids)):
+        role = got.loc[i, "role"]
+        if core[i]:
+            assert role == "core"
+            assert got.loc[i, "cluster_id"] == find(i)
+        else:
+            core_nb = [
+                find(j)
+                for j in range(len(ids))
+                if adj[i, j] and core[j]
+            ]
+            if core_nb:
+                assert role == "border"
+                assert got.loc[i, "cluster_id"] == min(core_nb)
+            else:
+                assert role == "noise"
+                assert got.loc[i, "cluster_id"] is None or np.isnan(
+                    got.loc[i, "cluster_id"]
+                )
+    # the three planted clusters resolve to three labels
+    core_labels = set(
+        got[got["role"] == "core"]["cluster_id"].astype(int)
+    )
+    assert len(core_labels) == 3
