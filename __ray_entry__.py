@@ -4593,6 +4593,32 @@ def _q_dbscan_embeddings(sf_dir: str):
     return dbscan_embeddings(_embeddings(sf_dir))
 
 
+def _q_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining: top-3 cosine-nearest
+    DIFFERENT-label vectors per anchor (the 5 smallest vec_ids)
+    (stages/similarity.hard_negatives): broadcast anchor triple,
+    masked matmul partials, one small per-anchor reduce."""
+    from console_log_parser_ray.stages.similarity import (
+        hard_negatives,
+    )
+
+    return hard_negatives(_embeddings(sf_dir)).select_columns(
+        ["anchor", "neg"]
+    )
+
+
+def _q_rolling_p95_days(sf_dir: str):
+    """Trailing-28-calendar-day P95 breach days for daily order
+    revenue (stages/events.rolling_quantile_breaches): exact daily
+    cents, windowed percentile_disc threshold, int-vs-int breach
+    test."""
+    from console_log_parser_ray.stages.events import (
+        rolling_quantile_breaches,
+    )
+
+    return rolling_quantile_breaches(_order_cents(sf_dir))
+
+
 def _q_cmd_retry_rate(sf_dir: str):
     """Per-conversation command-retry audit: how many commands repeat
     the immediately preceding command verbatim (the retry/flail
@@ -8604,6 +8630,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_strength_dow": _q_seasonal_strength_dow,
         "mus_orders": _q_mus_orders,
         "dbscan_embeddings": _q_dbscan_embeddings,
+        "hard_negatives": _q_hard_negatives,
+        "rolling_p95_days": _q_rolling_p95_days,
         "slo_burn": _q_slo_burn,
         "dow_profile": _q_dow_profile,
         "flesch_docs": _q_flesch_docs,
@@ -11280,6 +11308,31 @@ def oracle_sql() -> dict[str, str]:
         "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_cmds, "
         "CAST(count(*) FILTER (WHERE cmd = prev) AS BIGINT) AS "
         "n_retries FROM w GROUP BY 1"
+    )
+    out["hard_negatives"] = (
+        # different-label cosine top-3 per anchor; ids only (the knn
+        # convention -- rank floats stay engine-internal)
+        "WITH a AS (SELECT vec_id, embedding, label FROM embeddings "
+        "WHERE vec_id < 5) "
+        "SELECT a.vec_id AS anchor, b.vec_id AS neg FROM a "
+        "JOIN embeddings b ON b.label <> a.label "
+        "QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+        "list_cosine_similarity(a.embedding, b.embedding) DESC, "
+        "b.vec_id) <= 3"
+    )
+    out["rolling_p95_days"] = (
+        # RANGE-frame windowed discrete quantile; int breach test
+        "WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS "
+        "bucket, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) "
+        "AS BIGINT) AS x FROM orders WHERE o_orderdate IS NOT NULL "
+        "AND o_totalprice IS NOT NULL GROUP BY 1), "
+        "w AS (SELECT bucket, x, quantile_disc(x, 0.95) OVER "
+        "(ORDER BY bucket RANGE BETWEEN 28 PRECEDING AND 1 "
+        "PRECEDING) AS p_hi, CAST(count(x) OVER (ORDER BY bucket "
+        "RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING) AS BIGINT) AS "
+        "n_window FROM d) "
+        "SELECT CAST(bucket AS BIGINT) AS bucket, x, p_hi, n_window "
+        "FROM w WHERE x > p_hi"
     )
     out["dbscan_embeddings"] = (
         # exact all-pairs cosine neighbor graph, core degree rule,

@@ -354,6 +354,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "seasonal_strength_dow",
         "mus_orders",
         "dbscan_embeddings",
+        "hard_negatives",
+        "rolling_p95_days",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

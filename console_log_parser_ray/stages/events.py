@@ -9265,3 +9265,61 @@ def monetary_unit_sample(
         .groupby("rb")
         .map_groups(pick, batch_format="pyarrow")
     )
+
+
+def rolling_quantile_breaches(
+    ds,
+    ts_col: str = "ts",
+    cents_col: str = "cents",
+    q: float = 0.95,
+    window: int = 28,
+    bucket_us: int = 86_400_000_000,
+    max_points: int = 2_000_000,
+):
+    """Rolling-quantile anomaly days: flag every day whose metric
+    exceeds the discrete ``q``-quantile of the trailing ``window``
+    CALENDAR days (RANGE frame -- absent days do not stretch the
+    window), the robust self-calibrating threshold that a fixed
+    z-score rule gets wrong under fat tails.
+
+    All-integer: daily cents fold exactly; the window quantile is
+    percentile_disc (smallest value with cumulative count >=
+    ceil(q*n) over the sorted window -- an ACTUAL element, so the
+    breach comparison is int vs int), matching DuckDB's windowed
+    ``quantile_disc`` rule.  Days with an empty trailing window
+    cannot breach (SQL NULL comparison semantics).  Output: the
+    breaching days with their value, threshold and window size.
+
+    Scale shape: one calendar-bounded groupby
+    (``_bucket_int_series``); the rolling scan is O(days x window)
+    driver arithmetic over the bounded series.
+    """
+    import bisect
+
+    buckets, xs = _bucket_int_series(
+        ds, ts_col, cents_col, bucket_us, max_points,
+        "rolling_quantile_breaches",
+    )
+    out_b, out_x, out_p, out_n = [], [], [], []
+    for i, (b, x) in enumerate(zip(buckets, xs)):
+        j0 = bisect.bisect_left(buckets, b - window)
+        j1 = i  # buckets are strictly increasing: window ends at i-1
+        n = j1 - j0
+        if n == 0:
+            continue
+        w = sorted(xs[j0:j1])
+        target = max(1, int(np.ceil(q * n)))
+        p = w[target - 1]
+        if x > p:
+            out_b.append(b)
+            out_x.append(x)
+            out_p.append(p)
+            out_n.append(n)
+    return pa.table(
+        {
+            "bucket": pa.array(out_b, pa.int64()),
+            "x": pa.array(out_x, pa.int64()),
+            "p_hi": pa.array(out_p, pa.int64()),
+            "n_window": pa.array(out_n, pa.int64()),
+        }
+    )

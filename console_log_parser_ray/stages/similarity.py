@@ -939,3 +939,92 @@ def dbscan_embeddings(
     return ds.select_columns([id_col]).map_batches(
         tag, batch_format="pyarrow"
     )
+
+
+def hard_negatives(
+    ds,
+    n_anchors: int = 5,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+):
+    """Contrastive hard-negative mining: for each anchor vector (the
+    ``n_anchors`` smallest ids), the ``k`` most cosine-similar
+    vectors carrying a DIFFERENT label -- the "closest wrong
+    answers" a contrastive training run pairs with its positives,
+    which plain kNN cannot produce (it returns the same-label
+    near-duplicates first).
+
+    Same shape and float discipline as :func:`knn_bruteforce`: the
+    tiny anchor (id, matrix, label) triple broadcasts once via
+    ``ray.put``; each batch computes the anchor x batch cosine
+    block, masks same-label columns to -inf, and emits per-anchor
+    local top-k candidate partials; one small ``groupby(anchor)``
+    sorts (cosine DESC, id ASC) and cuts to k.  The corpus streams;
+    nothing materializes.
+    """
+    import ray
+
+    def is_anchor(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.less(
+                b.column(id_col).cast(pa.int64()),
+                pa.scalar(n_anchors, pa.int64()),
+            )
+        )
+
+    rows = sorted(
+        ds.map_batches(is_anchor, batch_format="pyarrow").take_all(),
+        key=lambda r: int(r[id_col]),
+    )
+    a_ids = np.array([int(r[id_col]) for r in rows], np.int64)
+    a_mat = _normalize(
+        np.array([r[vec_col] for r in rows], np.float32)
+    )
+    a_labels = np.array([str(r[label_col]) for r in rows], object)
+    handle = ray.put((a_ids, a_mat, a_labels))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_a, q, labs = ray.get(handle)
+        vecs = _normalize(_batch_matrix(batch, vec_col))
+        ids = (
+            batch.column(id_col)
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        blabs = np.array(
+            [str(x) for x in batch.column(label_col).to_pylist()],
+            object,
+        )
+        sims = q @ vecs.T
+        sims[labs[:, None] == blabs[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_a, out_v, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            for col in part[qi]:
+                if np.isfinite(sims[qi, col]):
+                    out_a.append(int(ids_a[qi]))
+                    out_v.append(int(ids[col]))
+                    out_s.append(float(sims[qi, col]))
+        return pa.table(
+            {
+                "anchor": pa.array(out_a, pa.int64()),
+                "neg": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def reduce_topk(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(
+            [("cosine", "descending"), ("neg", "ascending")]
+        )
+        return tbl.slice(0, k)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("anchor")
+        .map_groups(reduce_topk, batch_format="pyarrow")
+    )

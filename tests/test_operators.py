@@ -9701,3 +9701,109 @@ def test_dbscan_embeddings_differential(ray_session):
         got[got["role"] == "core"]["cluster_id"].astype(int)
     )
     assert len(core_labels) == 3
+
+
+def test_hard_negatives_differential(ray_session):
+    """hard_negatives == a numpy brute force: nearest different-
+    label vectors, same-label near-dups excluded."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.similarity import (
+        hard_negatives,
+    )
+
+    rng = np.random.default_rng(103)
+    dim = 12
+    n = 200
+    vecs = rng.normal(size=(n, dim))
+    labels = np.array([f"l{i % 4}" for i in range(n)])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(list(labels), pa.string()),
+        }
+    )
+    got = (
+        hard_negatives(
+            ray.data.from_arrow(t).repartition(5),
+            n_anchors=4,
+            k=3,
+        )
+        .to_pandas()
+        .sort_values(["anchor", "cosine"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    m = np.array(
+        [np.asarray(v, np.float32) for v in vecs], np.float32
+    )
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = (m[:4] @ m.T).astype(np.float64)
+    for a in range(4):
+        mask = labels != labels[a]
+        order = sorted(
+            np.flatnonzero(mask),
+            key=lambda j: (-sims[a, j], j),
+        )[:3]
+        sub = got[got["anchor"] == a]
+        assert list(sub["neg"]) == [int(j) for j in order]
+        # no same-label vector leaks in
+        assert all(labels[j] != labels[a] for j in sub["neg"])
+
+
+def test_rolling_quantile_breaches_differential(ray_session):
+    """rolling_quantile_breaches == a python RANGE-window brute
+    force with calendar gaps; a planted spike is flagged."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        rolling_quantile_breaches,
+    )
+
+    rng = np.random.default_rng(107)
+    day_us = 86_400_000_000
+    days = np.arange(0, 200, dtype=np.int64)
+    days = days[days % 13 != 5]  # calendar gaps
+    vals = rng.integers(90_000, 110_000, len(days))
+    vals[50] = 500_000  # planted spike
+    ts = days * day_us + rng.integers(0, day_us, len(days))
+    t = pa.table(
+        {
+            "ts": pa.array(ts, pa.int64()),
+            "cents": pa.array(vals, pa.int64()),
+        }
+    )
+    got = (
+        rolling_quantile_breaches(
+            ray.data.from_arrow(t).repartition(4)
+        )
+        .to_pandas()
+        .set_index("bucket")
+    )
+    flagged = set()
+    for i, (b, x) in enumerate(zip(days, vals)):
+        wvals = sorted(
+            int(vals[j])
+            for j in range(len(days))
+            if b - 28 <= days[j] <= b - 1
+        )
+        if not wvals:
+            continue
+        p = wvals[max(1, math.ceil(0.95 * len(wvals))) - 1]
+        if x > p:
+            flagged.add(int(b))
+            assert got.loc[b, "p_hi"] == p
+            assert got.loc[b, "n_window"] == len(wvals)
+    assert set(got.index) == flagged
+    assert int(days[50]) in flagged
