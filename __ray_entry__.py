@@ -4619,6 +4619,30 @@ def _q_rolling_p95_days(sf_dir: str):
     return rolling_quantile_breaches(_order_cents(sf_dir))
 
 
+def _q_prf_expansion(sf_dir: str):
+    """Pseudo-relevance-feedback query expansion over the BM25
+    top-10 (stages/search.prf_expansion): deterministic top-R cut on
+    bit-reproducible scores, exact expansion-term counts with the
+    query terms excluded."""
+    from console_log_parser_ray.stages.search import prf_expansion
+
+    return prf_expansion(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), _BM25_TERMS
+    )
+
+
+def _q_best_snippet(sf_dir: str):
+    """Best-snippet (KWIC) extraction for the BM25 top-3: the
+    10-token window with the most query-term hits, earliest start on
+    ties (stages/search.best_snippet): cumulative-sum sliding scan
+    over the hit mask."""
+    from console_log_parser_ray.stages.search import best_snippet
+
+    return best_snippet(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), _BM25_TERMS
+    )
+
+
 def _q_cmd_retry_rate(sf_dir: str):
     """Per-conversation command-retry audit: how many commands repeat
     the immediately preceding command verbatim (the retry/flail
@@ -8632,6 +8656,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_embeddings": _q_dbscan_embeddings,
         "hard_negatives": _q_hard_negatives,
         "rolling_p95_days": _q_rolling_p95_days,
+        "prf_expansion": _q_prf_expansion,
+        "best_snippet": _q_best_snippet,
         "slo_burn": _q_slo_burn,
         "dow_profile": _q_dow_profile,
         "flesch_docs": _q_flesch_docs,
@@ -11308,6 +11334,49 @@ def oracle_sql() -> dict[str, str]:
         "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_cmds, "
         "CAST(count(*) FILTER (WHERE cmd = prev) AS BIGINT) AS "
         "n_retries FROM w GROUP BY 1"
+    )
+    _terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    out["prf_expansion"] = (
+        # the generated BM25 mirror feeds the top-R cut; expansion
+        # vocabulary counted exactly with query terms excluded
+        "WITH bm AS ("
+        + bm25_oracle_sql(_BM25_TERMS)
+        + "), top AS (SELECT doc_id FROM bm ORDER BY score DESC, "
+        "doc_id LIMIT 10), "
+        "toks AS (SELECT d.doc_id, unnest(regexp_extract_all("
+        "coalesce(d.text, ''), '\\S+')) AS tok FROM documents d "
+        "JOIN top USING (doc_id)), "
+        "c AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS "
+        "n_occ, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+        f"FROM toks WHERE tok NOT IN ({_terms_in}) GROUP BY 1) "
+        "SELECT term, n_occ, n_docs FROM c "
+        "ORDER BY n_occ DESC, term LIMIT 10"
+    )
+    out["best_snippet"] = (
+        # per-top-doc windowed hit counts via positional unnest;
+        # earliest-start tie rule
+        "WITH bm AS ("
+        + bm25_oracle_sql(_BM25_TERMS)
+        + "), top AS (SELECT doc_id FROM bm ORDER BY score DESC, "
+        "doc_id LIMIT 3), "
+        "l AS (SELECT d.doc_id, regexp_extract_all(coalesce(d.text, "
+        "''), '\\S+') AS toks FROM documents d JOIN top USING "
+        "(doc_id)), "
+        "nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n "
+        "FROM l WHERE len(toks) > 0), "
+        "pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, "
+        "unnest(toks) AS tok FROM l), "
+        f"hits AS (SELECT doc_id, i FROM pos WHERE tok IN "
+        f"({_terms_in})), "
+        "starts AS (SELECT doc_id, unnest(range(1, "
+        "greatest(n - 10 + 1, 1) + 1)) AS s FROM nt), "
+        "wc AS (SELECT st.doc_id, st.s, CAST(count(h.i) AS BIGINT) "
+        "AS nh FROM starts st LEFT JOIN hits h ON h.doc_id = "
+        "st.doc_id AND h.i >= st.s AND h.i < st.s + 10 "
+        "GROUP BY 1, 2) "
+        "SELECT doc_id, CAST(s - 1 AS BIGINT) AS start_tok, "
+        "nh AS n_hits FROM wc QUALIFY row_number() OVER (PARTITION "
+        "BY doc_id ORDER BY nh DESC, s) = 1"
     )
     out["hard_negatives"] = (
         # different-label cosine top-3 per anchor; ids only (the knn

@@ -356,6 +356,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "dbscan_embeddings",
         "hard_negatives",
         "rolling_p95_days",
+        "prf_expansion",
+        "best_snippet",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -542,3 +542,172 @@ def hybrid_rrf(
             }
         )
     )
+
+
+def prf_expansion(
+    ds,
+    terms: tuple,
+    top_r: int = 10,
+    top_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Pseudo-relevance-feedback query expansion (RM1-lite): score
+    the corpus with BM25, take the ``top_r`` documents, and rank the
+    expansion vocabulary those documents contribute (occurrence
+    count, tie by term) with the original query terms excluded --
+    the classic recall-widening step between a first-pass retrieval
+    and a re-query.
+
+    Determinism: the top-R cut orders by (score DESC, doc_id) over
+    BM25's bit-reproducible float scores; every downstream count is
+    an exact integer.  Plan: one :func:`bm25_keyword` pass (zero
+    shuffles), a driver-held id list (R rows), then one vectorized
+    membership-filtered token-count pass over the corpus whose
+    per-block partials are bounded by the R documents' vocabulary.
+    """
+    scored = bm25_keyword(
+        ds, terms, text_col=text_col, id_col=id_col
+    )
+    top = (
+        scored.sort(["score", id_col], descending=[True, False])
+        .limit(top_r)
+        .take_all()
+    )
+    ids = pa.array(
+        sorted(int(r[id_col]) for r in top), pa.int64()
+    )
+    term_set = pa.array(list(terms), pa.string())
+
+    def count_part(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b.column(id_col).cast(pa.int64()), value_set=ids)
+        t = b.filter(keep)
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "n_occ": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        texts = pc.fill_null(t.column(text_col).combine_chunks(), "")
+        lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+        flat = lists.flatten()
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offsets = offsets - offsets[0]
+        row_idx = np.repeat(
+            np.arange(len(texts), dtype=np.int64), np.diff(offsets)
+        )
+        docs = pc.take(
+            t.column(id_col).cast(pa.int64()).combine_chunks(),
+            pa.array(row_idx, pa.int64()),
+        )
+        pairs = pa.table({"doc": docs, "term": flat}).filter(
+            pc.and_(
+                pc.not_equal(flat, ""),
+                pc.invert(pc.is_in(flat, value_set=term_set)),
+            )
+        )
+        g = pairs.group_by(["doc", "term"]).aggregate(
+            [([], "count_all")]
+        )
+        g2 = g.group_by(["term"]).aggregate(
+            [("count_all", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "term": g2.column("term"),
+                "n_occ": g2.column("count_all_sum").cast(pa.int64()),
+                "n_docs": g2.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    agg: dict = {}
+    for r in ds.map_batches(
+        count_part, batch_format="pyarrow"
+    ).take_all():
+        occ, nd = agg.get(r["term"], (0, 0))
+        agg[r["term"]] = (occ + int(r["n_occ"]), nd + int(r["n_docs"]))
+    ranked = sorted(
+        agg.items(), key=lambda kv: (-kv[1][0], kv[0])
+    )[:top_k]
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in ranked], pa.string()),
+            "n_occ": pa.array(
+                [v[0] for _, v in ranked], pa.int64()
+            ),
+            "n_docs": pa.array(
+                [v[1] for _, v in ranked], pa.int64()
+            ),
+        }
+    )
+
+
+def best_snippet(
+    ds,
+    terms: tuple,
+    top_r: int = 3,
+    window: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Best-snippet (KWIC) extraction: for the ``top_r`` BM25
+    documents, the ``window``-token span with the most query-term
+    hits (tie: earliest start) -- the highlighted preview a search
+    UI renders under each result.
+
+    All-integer: hit counts per window come from a cumulative-sum
+    sliding scan over the token hit mask; ties resolve to the
+    smallest 0-based start index, matching the SQL mirror's
+    (n_hits DESC, start) row_number rule.  Plan: one BM25 pass for
+    the top-R ids, then one membership-filtered vectorized pass that
+    scans only those documents' tokens.
+    """
+    scored = bm25_keyword(
+        ds, terms, text_col=text_col, id_col=id_col
+    )
+    top = (
+        scored.sort(["score", id_col], descending=[True, False])
+        .limit(top_r)
+        .take_all()
+    )
+    ids = pa.array(
+        sorted(int(r[id_col]) for r in top), pa.int64()
+    )
+    term_set = pa.array(list(terms), pa.string())
+
+    def snip(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b.column(id_col).cast(pa.int64()), value_set=ids)
+        t = b.filter(keep)
+        out_d, out_s, out_h = [], [], []
+        for i in range(len(t)):
+            did = int(t.column(id_col)[i].as_py())
+            toks = [
+                x
+                for x in (t.column(text_col)[i].as_py() or "").split()
+            ]
+            n = len(toks)
+            if n == 0:
+                continue
+            hit = np.isin(
+                np.array(toks, object), np.array(list(terms), object)
+            ).astype(np.int64)
+            cum = np.concatenate([[0], np.cumsum(hit)])
+            w = min(window, n)
+            counts = cum[w:] - cum[:-w] if n >= w else cum[-1:]
+            best = int(np.argmax(counts))  # first max == earliest
+            out_d.append(did)
+            out_s.append(best)
+            out_h.append(int(counts[best]))
+        return pa.table(
+            {
+                id_col: pa.array(out_d, pa.int64()),
+                "start_tok": pa.array(out_s, pa.int64()),
+                "n_hits": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(snip, batch_format="pyarrow")

@@ -9807,3 +9807,71 @@ def test_rolling_quantile_breaches_differential(ray_session):
             assert got.loc[b, "n_window"] == len(wvals)
     assert set(got.index) == flagged
     assert int(days[50]) in flagged
+
+
+def test_prf_and_snippet_differential(ray_session):
+    """prf_expansion / best_snippet == python brute force over a
+    corpus with planted term-dense docs."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.search import (
+        best_snippet,
+        bm25_keyword,
+        prf_expansion,
+    )
+
+    rng = np.random.default_rng(113)
+    filler = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    terms = ("join", "hash")
+    texts = []
+    for i in range(80):
+        words = list(rng.choice(filler, 15))
+        if i < 6:  # planted relevant docs
+            for pos in (2, 5, 6, 11):
+                words[pos] = terms[pos % 2]
+            words[8] = "expansionword"
+        texts.append(" ".join(words))
+    t = pa.table(
+        {
+            "doc_id": pa.array(
+                np.arange(len(texts), dtype=np.int64)
+            ),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    exp = prf_expansion(ds, terms, top_r=6, top_k=10).to_pandas()
+    # every planted doc carries 'expansionword' once
+    row = exp[exp["term"] == "expansionword"]
+    assert len(row) == 1
+    assert row["n_occ"].iloc[0] == 6
+    assert row["n_docs"].iloc[0] == 6
+    assert not set(terms) & set(exp["term"])
+    # snippet: brute-force window count on the top doc
+    snip = (
+        best_snippet(ds, terms, top_r=3, window=10)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    scored = bm25_keyword(ds, terms).to_pandas()
+    top3 = list(
+        scored.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        )["doc_id"].head(3)
+    )
+    assert sorted(snip.index) == sorted(top3)
+    for did in top3:
+        toks = texts[did].split()
+        best = max(
+            range(len(toks) - 9),
+            key=lambda s: (
+                sum(1 for w in toks[s : s + 10] if w in terms),
+                -s,
+            ),
+        )
+        nh = sum(1 for w in toks[best : best + 10] if w in terms)
+        assert snip.loc[did, "start_tok"] == best
+        assert snip.loc[did, "n_hits"] == nh
