@@ -4643,6 +4643,52 @@ def _q_best_snippet(sf_dir: str):
     )
 
 
+def _q_kcenter_coreset(sf_dir: str):
+    """Greedy k-center coreset (farthest-point traversal, k=8) over
+    the embeddings (stages/similarity.kcenter_select): per-step
+    broadcast selected matrix, one per-block argmin pass per step,
+    integer-exact selection order."""
+    from console_log_parser_ray.stages.similarity import (
+        kcenter_select,
+    )
+
+    return kcenter_select(_embeddings(sf_dir, ["vec_id", "embedding"]))
+
+
+def _q_class_balance_weights(sf_dir: str):
+    """Class-balanced sampling weights per language (effective
+    number of samples, Cui et al. 2019): ens = (1 - beta^n) /
+    (1 - beta) and weight = 1/ens, single libm-pow float
+    expressions of the exact per-class counts."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    beta = 0.999
+    counts = (
+        _docs(sf_dir, ["lang"])
+        .groupby("lang")
+        .aggregate(Count())
+        .take_all()
+    )
+    counts.sort(key=lambda r: r["lang"] or "")
+    langs = [r["lang"] for r in counts]
+    ns = [int(r["count()"]) for r in counts]
+    ens = [
+        (1.0 - beta ** float(n)) / (1.0 - beta) for n in ns
+    ]
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "n_docs": pa.array(ns, pa.int64()),
+            "ens": pa.array(ens, pa.float64()),
+            "weight": pa.array(
+                [1.0 / e for e in ens], pa.float64()
+            ),
+        }
+    )
+
+
 def _q_cmd_retry_rate(sf_dir: str):
     """Per-conversation command-retry audit: how many commands repeat
     the immediately preceding command verbatim (the retry/flail
@@ -8658,6 +8704,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_p95_days": _q_rolling_p95_days,
         "prf_expansion": _q_prf_expansion,
         "best_snippet": _q_best_snippet,
+        "kcenter_coreset": _q_kcenter_coreset,
+        "class_balance_weights": _q_class_balance_weights,
         "slo_burn": _q_slo_burn,
         "dow_profile": _q_dow_profile,
         "flesch_docs": _q_flesch_docs,
@@ -12765,9 +12813,21 @@ def oracle_sql() -> dict[str, str]:
     )
     # generated from the same parameters as the Ray calls, so the
     # engine and its mirrors can never drift
-    from console_log_parser_ray.stages.similarity import mmr_oracle_sql
+    from console_log_parser_ray.stages.similarity import (
+        kcenter_oracle_sql,
+        mmr_oracle_sql,
+    )
 
     out["mmr_diverse"] = mmr_oracle_sql(query_id=0, k=10)
+    out["kcenter_coreset"] = kcenter_oracle_sql(k=8)
+    out["class_balance_weights"] = (
+        # effective-number-of-samples weights; libm pow both sides
+        "WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM documents GROUP BY 1), "
+        "e AS (SELECT lang, n_docs, (1.0 - power(0.999, "
+        "CAST(n_docs AS DOUBLE))) / (1.0 - 0.999) AS ens FROM c) "
+        "SELECT lang, n_docs, ens, 1.0 / ens AS weight FROM e"
+    )
     # generated from the same term list as the Ray query, so the
     # engine and its mirror can never drift
     from console_log_parser_ray.stages.search import bm25_oracle_sql

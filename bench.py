@@ -358,6 +358,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "rolling_p95_days",
         "prf_expansion",
         "best_snippet",
+        "kcenter_coreset",
+        "class_balance_weights",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

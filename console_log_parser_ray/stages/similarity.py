@@ -1028,3 +1028,142 @@ def hard_negatives(
         .groupby("anchor")
         .map_groups(reduce_topk, batch_format="pyarrow")
     )
+
+
+def kcenter_select(
+    ds,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Greedy k-center coreset selection (farthest-point traversal):
+    start from the smallest id, then repeatedly add the vector whose
+    best cosine similarity to the already-selected set is LOWEST --
+    the 2-approximation coverage subset used to pick maximally
+    spread training/eval exemplars, where ``mmr_select`` trades
+    coverage against a query and plain top-k collapses to one dense
+    region.
+
+    Ties break to the smaller id; selection is integer-exact
+    (scores stay internal, the ``mmr_select`` contract).  Scale
+    shape: identical to MMR -- each of the k steps broadcasts the
+    (<= k x dim) selected matrix and streams one per-block argmin
+    pass; the corpus never shuffles, k streaming passes total.
+    """
+    import ray
+
+    from .dedup import _cached_get
+
+    selected: list = []
+    for step in range(k):
+        sel_ids = np.array([i for i, _ in selected], np.int64)
+        sel_mat = (
+            np.stack([v for _, v in selected])
+            if selected
+            else None
+        )
+        ref = ray.put((sel_ids, sel_mat))
+
+        def best(b: pa.Table, _ref=ref) -> pa.Table:
+            empty = pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cover": pa.array([], pa.float64()),
+                    "vec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+            s_ids, s_mat, = _cached_get(_ref)
+            t = b.filter(
+                pc.and_(
+                    pc.is_valid(b.column(id_col)),
+                    pc.is_valid(b.column(vec_col)),
+                )
+            )
+            if t.num_rows == 0:
+                return empty
+            ids = t.column(id_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            mat = as_matrix(t.column(vec_col), dtype=np.float64)
+            keep = ~np.isin(ids, s_ids)
+            if not keep.any():
+                return empty
+            ids, mat = ids[keep], mat[keep]
+            if s_mat is None:
+                # anchor step: smallest id, cover = -inf sentinel
+                j = int(np.argmin(ids))
+                cover = np.float64(-np.inf)
+            else:
+                norms = np.sqrt((mat * mat).sum(axis=1))
+                sn = np.sqrt((s_mat * s_mat).sum(axis=1))
+                sims = (mat @ s_mat.T) / (
+                    norms[:, None] * sn[None, :]
+                )
+                cov = sims.max(axis=1)
+                j = int(np.lexsort((ids, cov))[0])
+                cover = cov[j]
+            return pa.table(
+                {
+                    "vec_id": pa.array([ids[j]], pa.int64()),
+                    "cover": pa.array(
+                        [float(cover)], pa.float64()
+                    ),
+                    "vec": pa.array(
+                        [mat[j].tolist()], pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+        cands = ds.map_batches(best, batch_format="pyarrow").take_all()
+        if not cands:
+            break
+        win = min(
+            cands, key=lambda r: (r["cover"], int(r["vec_id"]))
+        )
+        selected.append(
+            (int(win["vec_id"]), np.asarray(win["vec"], np.float64))
+        )
+    return pa.table(
+        {
+            "rnk": pa.array(range(1, len(selected) + 1), pa.int64()),
+            "vec_id": pa.array(
+                [i for i, _ in selected], pa.int64()
+            ),
+        }
+    )
+
+
+def kcenter_oracle_sql(k: int = 8) -> str:
+    """Iteration-unrolled SQL mirror of ``kcenter_select`` (the
+    ``mmr_oracle_sql`` pattern), generated from the same k so engine
+    and oracle can never drift."""
+    ctes = [
+        "emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] "
+        "AS v FROM embeddings WHERE vec_id IS NOT NULL AND "
+        "embedding IS NOT NULL)",
+        "s1 AS MATERIALIZED (SELECT vec_id, v FROM emb "
+        "ORDER BY vec_id ASC LIMIT 1)",
+    ]
+    for i in range(2, k + 1):
+        sims = ", ".join(
+            f"list_cosine_similarity(e.v, (SELECT v FROM s{j}))"
+            for j in range(1, i)
+        )
+        cover = f"greatest({sims})" if i > 2 else sims
+        ids = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, i)
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT vec_id, v FROM "
+            f"(SELECT e.vec_id, e.v, {cover} AS cover FROM emb e "
+            f"WHERE vec_id NOT IN ({ids})) "
+            "ORDER BY cover ASC, vec_id ASC LIMIT 1)"
+        )
+    heads = " UNION ALL ".join(
+        f"SELECT {i} AS rnk, vec_id FROM s{i}" for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT CAST(rnk AS BIGINT) AS rnk, vec_id FROM ({heads})"
+    )

@@ -9875,3 +9875,64 @@ def test_prf_and_snippet_differential(ray_session):
         nh = sum(1 for w in toks[best : best + 10] if w in terms)
         assert snip.loc[did, "start_tok"] == best
         assert snip.loc[did, "n_hits"] == nh
+
+
+def test_kcenter_select_differential(ray_session):
+    """kcenter_select == the sequential farthest-point brute force;
+    planted far-apart clusters are covered one center each before
+    any cluster gets a second."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.similarity import (
+        kcenter_select,
+    )
+
+    rng = np.random.default_rng(127)
+    dim = 10
+    centers = np.eye(4, dim)  # orthogonal cluster axes
+    vecs, ids = [], []
+    vid = 0
+    for c in centers:
+        for _ in range(12):
+            v = c + rng.normal(scale=0.05, size=dim)
+            vecs.append(v)
+            ids.append(vid)
+            vid += 1
+    mat = np.array(vecs)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    got = kcenter_select(
+        ray.data.from_arrow(t).repartition(4), k=6
+    ).to_pandas()
+    # brute force with the engine's float32-storage round trip
+    m = np.array(
+        [np.asarray(v, np.float32) for v in vecs], np.float64
+    )
+    norms = np.sqrt((m * m).sum(axis=1))
+    sel = [0]  # smallest id anchor
+    for _ in range(5):
+        rest = [i for i in range(len(ids)) if i not in sel]
+        cov = []
+        for i in rest:
+            best = max(
+                float(m[i] @ m[j])
+                / float(norms[i] * norms[j])
+                for j in sel
+            )
+            cov.append((best, i))
+        cov.sort()
+        sel.append(cov[0][1])
+    assert list(got["vec_id"]) == sel
+    # the first 4 picks land in 4 distinct planted clusters
+    first4 = {int(v) // 12 for v in got["vec_id"][:4]}
+    assert len(first4) == 4
