@@ -4689,6 +4689,65 @@ def _q_class_balance_weights(sf_dir: str):
     )
 
 
+def _q_na_hazard(sf_dir: str):
+    """Nelson-Aalen cumulative hazard over right-censored user
+    activity spans (stages/events.nelson_aalen_hazard): shared
+    survival fold with km_retention, ascending running d/n and
+    d/n^2 sums."""
+    from console_log_parser_ray.stages.events import (
+        nelson_aalen_hazard,
+    )
+
+    return nelson_aalen_hazard(
+        _events(sf_dir).select_columns(["user_id", "ts"])
+    )
+
+
+def _q_mahalanobis_lineitems(sf_dir: str):
+    """Top-20 bivariate Mahalanobis outliers over (quantity, price
+    dollars) per line item (stages/events.mahalanobis_outliers):
+    exact integer moments, one identical per-row float distance
+    expression, global top-k."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        mahalanobis_outliers,
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_linenumber": b.column("l_linenumber").cast(
+                    pa.int64()
+                ),
+                "x": b.column("l_quantity").cast(pa.int64()),
+                "y": pc.cast(
+                    pc.floor(
+                        b.column("l_extendedprice").cast(pa.float64())
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+        ],
+    ).map_batches(proj, batch_format="pyarrow")
+    return mahalanobis_outliers(
+        li, id_cols=("l_orderkey", "l_linenumber")
+    )
+
+
 def _q_cmd_retry_rate(sf_dir: str):
     """Per-conversation command-retry audit: how many commands repeat
     the immediately preceding command verbatim (the retry/flail
@@ -8706,6 +8765,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "best_snippet": _q_best_snippet,
         "kcenter_coreset": _q_kcenter_coreset,
         "class_balance_weights": _q_class_balance_weights,
+        "na_hazard": _q_na_hazard,
+        "mahalanobis_lineitems": _q_mahalanobis_lineitems,
         "slo_burn": _q_slo_burn,
         "dow_profile": _q_dow_profile,
         "flesch_docs": _q_flesch_docs,
@@ -11425,6 +11486,60 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, CAST(s - 1 AS BIGINT) AS start_tok, "
         "nh AS n_hits FROM wc QUALIFY row_number() OVER (PARTITION "
         "BY doc_id ORDER BY nh DESC, s) = 1"
+    )
+    out["na_hazard"] = (
+        # the km_retention span CTE with additive running hazard and
+        # variance sums in ascending-duration frame order
+        "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 "
+        "AS day FROM events), "
+        "u AS (SELECT user_id, min(day) AS f, max(day) AS l "
+        "FROM e GROUP BY 1), "
+        "mx AS (SELECT max(day) AS m FROM e), "
+        "d AS (SELECT l - f AS dur, "
+        "CASE WHEN l = m THEN 1 ELSE 0 END AS cens FROM u, mx), "
+        "h AS (SELECT dur, CAST(count(*) FILTER (WHERE cens = 0) "
+        "AS BIGINT) AS deaths, CAST(count(*) AS BIGINT) AS total "
+        "FROM d GROUP BY 1), "
+        "r AS (SELECT dur, deaths, CAST((SELECT sum(h2.total) "
+        "FROM h h2 WHERE h2.dur >= h.dur) AS BIGINT) AS at_risk "
+        "FROM h WHERE deaths > 0) "
+        "SELECT dur, deaths, at_risk, "
+        "sum(CAST(deaths AS DOUBLE) / CAST(at_risk AS DOUBLE)) "
+        "OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS na_hazard, "
+        "sum(CAST(deaths AS DOUBLE) / (CAST(at_risk AS DOUBLE) * "
+        "CAST(at_risk AS DOUBLE))) OVER (ORDER BY dur ROWS "
+        "UNBOUNDED PRECEDING) AS na_var FROM r"
+    )
+    out["mahalanobis_lineitems"] = (
+        # exact HUGEINT moments; one identical per-row float
+        # distance expression; deterministic top-k
+        "WITH src AS (SELECT l_orderkey, CAST(l_linenumber AS "
+        "BIGINT) AS l_linenumber, CAST(l_quantity AS BIGINT) AS x, "
+        "CAST(floor(l_extendedprice) AS BIGINT) AS y FROM lineitem "
+        "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT "
+        "NULL), "
+        "m AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+        "CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS "
+        "sy, CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx, "
+        "CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy, "
+        "CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy "
+        "FROM src), "
+        "g AS (SELECT CAST(n AS DOUBLE) AS n_f, CAST(sx AS DOUBLE) "
+        "AS sx_f, CAST(sy AS DOUBLE) AS sy_f, "
+        "CAST(n * sxx - sx * sx AS DOUBLE) AS a_f, "
+        "CAST(n * sxy - sx * sy AS DOUBLE) AS b_f, "
+        "CAST(n * syy - sy * sy AS DOUBLE) AS c_f, "
+        "CAST((n * sxx - sx * sx) * (n * syy - sy * sy) - "
+        "(n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE) AS "
+        "dd_f FROM m), "
+        "p AS (SELECT s.l_orderkey, s.l_linenumber, s.x, s.y, "
+        "CAST(s.x AS DOUBLE) * g.n_f - g.sx_f AS u, "
+        "CAST(s.y AS DOUBLE) * g.n_f - g.sy_f AS v, "
+        "g.a_f, g.b_f, g.c_f, g.dd_f FROM src s, g) "
+        "SELECT l_orderkey, l_linenumber, x, y, "
+        "(c_f * u * u - 2.0 * b_f * u * v + a_f * v * v) / dd_f "
+        "AS d2 FROM p ORDER BY d2 DESC, l_orderkey, l_linenumber "
+        "LIMIT 20"
     )
     out["hard_negatives"] = (
         # different-label cosine top-3 per anchor; ids only (the knn

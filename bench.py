@@ -360,6 +360,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "best_snippet",
         "kcenter_coreset",
         "class_balance_weights",
+        "na_hazard",
+        "mahalanobis_lineitems",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

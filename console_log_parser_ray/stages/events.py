@@ -4474,6 +4474,17 @@ def km_retention(
     driver-side finish are bounded by the calendar span, never user
     count.  One extra tiny aggregate derives the observation end.
     """
+    rows = _user_span_hist(ds, user_col, ts_col, day_us, n_buckets)
+    return _km_finish(rows)
+
+
+def _user_span_hist(ds, user_col, ts_col, day_us, n_buckets):
+    """(duration, censored) -> count histogram of per-user activity
+    spans, right-censored at the corpus's final day -- the shared
+    survival-family fold behind ``km_retention`` and
+    ``nelson_aalen_hazard``.  Per-block per-user min/max partials,
+    one user-hash bucket groupby resolves true spans, final fold
+    bounded by the calendar span."""
     from ray.data.aggregate import Sum
 
     import datetime as _dt
@@ -4546,7 +4557,7 @@ def km_retention(
             }
         )
 
-    rows = (
+    return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("jb")
         .map_groups(per_bucket, batch_format="pyarrow")
@@ -4554,6 +4565,9 @@ def km_retention(
         .aggregate(Sum("n_part"))
         .take_all()
     )
+
+
+def _km_finish(rows):
     # calendar-span-bounded finish
     from collections import defaultdict
 
@@ -9322,4 +9336,203 @@ def rolling_quantile_breaches(
             "p_hi": pa.array(out_p, pa.int64()),
             "n_window": pa.array(out_n, pa.int64()),
         }
+    )
+
+
+def nelson_aalen_hazard(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    day_us: int = 86_400_000_000,
+    n_buckets: int = 64,
+):
+    """Nelson-Aalen cumulative hazard over the same right-censored
+    user activity spans as :func:`km_retention`: ``H(t) = sum_{t' <=
+    t} d/n`` with its classic variance estimate ``sum d/n^2`` -- the
+    additive counterpart of the KM product, preferred when hazard
+    INCREMENTS (how much churn risk each tenure day adds) are the
+    readout rather than survival levels.
+
+    Shares the ``_user_span_hist`` fold (user-hash bucket span
+    resolution, calendar-bounded histogram); both running sums
+    accumulate ``CAST(d AS DOUBLE)/n`` terms in ascending-duration
+    order, matching the SQL window sum frame -- the ``km_retention``
+    sequential-accumulation contract.
+    """
+    rows = _user_span_hist(ds, user_col, ts_col, day_us, n_buckets)
+    from collections import defaultdict
+
+    deaths = defaultdict(int)
+    totals = defaultdict(int)
+    for r in rows:
+        totals[int(r["dur"])] += int(r["sum(n_part)"])
+        if not r["cens"]:
+            deaths[int(r["dur"])] += int(r["sum(n_part)"])
+    durs = sorted(totals)
+    total_users = sum(totals.values())
+    out_d, out_death, out_risk, out_h, out_v = [], [], [], [], []
+    seen_before = 0
+    haz = 0.0
+    var = 0.0
+    for t in durs:
+        at_risk = total_users - seen_before
+        seen_before += totals[t]
+        d = deaths.get(t, 0)
+        if d == 0:
+            continue
+        haz = haz + float(d) / float(at_risk)
+        var = var + float(d) / (
+            float(at_risk) * float(at_risk)
+        )
+        out_d.append(t)
+        out_death.append(d)
+        out_risk.append(at_risk)
+        out_h.append(haz)
+        out_v.append(var)
+    return pa.table(
+        {
+            "dur": pa.array(out_d, pa.int64()),
+            "deaths": pa.array(out_death, pa.int64()),
+            "at_risk": pa.array(out_risk, pa.int64()),
+            "na_hazard": pa.array(out_h, pa.float64()),
+            "na_var": pa.array(out_v, pa.float64()),
+        }
+    )
+
+
+def mahalanobis_outliers(
+    ds,
+    x_col: str = "x",
+    y_col: str = "y",
+    id_cols: tuple = ("k1", "k2"),
+    top_k: int = 20,
+):
+    """Bivariate Mahalanobis outliers: the ``top_k`` rows by
+    covariance-aware distance from the (x, y) centroid -- the
+    multivariate outlier readout that per-column z-scores miss (a
+    point can be ordinary on each axis and wildly off the
+    correlation ridge).
+
+    With exact integer moments (n, S_x, S_y, S_xx, S_yy, S_xy;
+    arbitrary-precision driver fold) and u = x*n - S_x,
+    v = y*n - S_y, the population-covariance distance reduces to
+
+        d^2 = (c*u^2 - 2b*u*v + a*v^2) / (a*c - b^2)
+
+    with a = n*S_xx - S_x^2 etc. -- evaluated per row in ONE
+    identical float expression on both sides (all operands are exact
+    ints below 2^53 at any realistic metric range; the denominator
+    is a positive constant, so the ranking is the numerator's and
+    ties break by id).  Requires a non-degenerate covariance
+    (raises when a*c == b^2).
+
+    Scale shape: one integer moment pass, one scoring pass, one
+    global (d2 DESC, ids) sort cut to ``top_k``.
+    """
+    from ray.data.aggregate import Sum
+
+    def moments(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(x_col)),
+                pc.is_valid(b.column(y_col)),
+            )
+        )
+        x = t.column(x_col).cast(pa.int64())
+        y = t.column(y_col).cast(pa.int64())
+        return pa.table(
+            {
+                "n": pa.array([len(t)], pa.int64()),
+                "sx": pa.array(
+                    [pc.sum(x, min_count=0).as_py() or 0], pa.int64()
+                ),
+                "sy": pa.array(
+                    [pc.sum(y, min_count=0).as_py() or 0], pa.int64()
+                ),
+                "sxx": pa.array(
+                    [
+                        pc.sum(
+                            pc.multiply(x, x), min_count=0
+                        ).as_py()
+                        or 0
+                    ],
+                    pa.int64(),
+                ),
+                "syy": pa.array(
+                    [
+                        pc.sum(
+                            pc.multiply(y, y), min_count=0
+                        ).as_py()
+                        or 0
+                    ],
+                    pa.int64(),
+                ),
+                "sxy": pa.array(
+                    [
+                        pc.sum(
+                            pc.multiply(x, y), min_count=0
+                        ).as_py()
+                        or 0
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = ds.map_batches(
+        moments, batch_format="pyarrow"
+    ).take_all()
+    n = sum(int(r["n"]) for r in parts)
+    sx = sum(int(r["sx"]) for r in parts)
+    sy = sum(int(r["sy"]) for r in parts)
+    sxx = sum(int(r["sxx"]) for r in parts)
+    syy = sum(int(r["syy"]) for r in parts)
+    sxy = sum(int(r["sxy"]) for r in parts)
+    a = n * sxx - sx * sx
+    bb = n * sxy - sx * sy
+    c = n * syy - sy * sy
+    dd = a * c - bb * bb
+    if dd <= 0:
+        raise ValueError(
+            "mahalanobis_outliers: degenerate covariance"
+        )
+    a_f, b_f, c_f = float(a), float(bb), float(c)
+    dd_f, n_f = float(dd), float(n)
+    sx_f, sy_f = float(sx), float(sy)
+
+    def score(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(x_col)),
+                pc.is_valid(b.column(y_col)),
+            )
+        )
+        x = (
+            t.column(x_col)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        y = (
+            t.column(y_col)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        u = x * n_f - sx_f
+        v = y * n_f - sy_f
+        d2 = (c_f * u * u - 2.0 * b_f * u * v + a_f * v * v) / dd_f
+        cols = {ic: t.column(ic) for ic in id_cols}
+        cols[x_col] = t.column(x_col)
+        cols[y_col] = t.column(y_col)
+        cols["d2"] = pa.array(d2, pa.float64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(
+            ["d2"] + list(id_cols),
+            descending=[True] + [False] * len(id_cols),
+        )
+        .limit(top_k)
     )

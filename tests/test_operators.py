@@ -9936,3 +9936,116 @@ def test_kcenter_select_differential(ray_session):
     # the first 4 picks land in 4 distinct planted clusters
     first4 = {int(v) // 12 for v in got["vec_id"][:4]}
     assert len(first4) == 4
+
+
+def test_nelson_aalen_differential(ray_session):
+    """nelson_aalen_hazard == a python KM-style brute force with
+    right censoring at the corpus's last day."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        nelson_aalen_hazard,
+    )
+
+    rng = np.random.default_rng(131)
+    day_us = 86_400_000_000
+    rows_u, rows_t = [], []
+    for u in range(120):
+        first = int(rng.integers(0, 50))
+        span = int(rng.integers(0, 40))
+        for d in sorted(
+            set([first, first + span])
+            | set(
+                rng.integers(
+                    first, first + span + 1, 3
+                ).tolist()
+            )
+        ):
+            rows_u.append(u)
+            rows_t.append(d * day_us + int(rng.integers(0, day_us)))
+    t = pa.table(
+        {
+            "user_id": pa.array(rows_u, pa.int64()),
+            "ts": pa.array(rows_t, pa.int64()),
+        }
+    )
+    got = (
+        nelson_aalen_hazard(
+            ray.data.from_arrow(t).repartition(5)
+        )
+        .to_pandas()
+        .set_index("dur")
+    )
+    df = pd.DataFrame({"u": rows_u, "d": np.array(rows_t) // day_us})
+    spans = df.groupby("u")["d"].agg(["min", "max"])
+    m_day = df["d"].max()
+    durs = (spans["max"] - spans["min"]).to_numpy()
+    cens = (spans["max"] == m_day).to_numpy()
+    haz = 0.0
+    seen = 0
+    total = len(spans)
+    for tt in sorted(set(durs.tolist())):
+        at_risk = total - seen
+        here = durs == tt
+        seen += int(here.sum())
+        d = int((here & ~cens).sum())
+        if d == 0:
+            continue
+        haz += d / at_risk
+        assert got.loc[tt, "deaths"] == d
+        assert got.loc[tt, "at_risk"] == at_risk
+        assert abs(got.loc[tt, "na_hazard"] - haz) < 1e-12
+    assert set(got.index) <= set(durs.tolist())
+
+
+def test_mahalanobis_outliers_differential(ray_session):
+    """mahalanobis_outliers == the numpy covariance brute force; a
+    planted off-ridge point wins even though both its coordinates
+    are in-range."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        mahalanobis_outliers,
+    )
+
+    rng = np.random.default_rng(137)
+    n = 4000
+    x = rng.integers(1, 100, n)
+    y = 10 * x + rng.integers(-20, 20, n)  # strong ridge
+    # planted: in-range marginals, far off the ridge
+    x[7], y[7] = 90, 50
+    t = pa.table(
+        {
+            "k1": pa.array(np.arange(n, dtype=np.int64)),
+            "k2": pa.array(np.zeros(n, dtype=np.int64)),
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+        }
+    )
+    got = mahalanobis_outliers(
+        ray.data.from_arrow(t).repartition(5), top_k=5
+    ).to_pandas()
+    xf = x.astype(float)
+    yf = y.astype(float)
+    cov = np.cov(np.stack([xf, yf]), bias=True)
+    inv = np.linalg.inv(cov)
+    dx = xf - xf.mean()
+    dy = yf - yf.mean()
+    d2 = (
+        inv[0, 0] * dx * dx
+        + 2 * inv[0, 1] * dx * dy
+        + inv[1, 1] * dy * dy
+    )
+    order = sorted(range(n), key=lambda i: (-d2[i], i))[:5]
+    assert list(got["k1"]) == order
+    assert got["k1"].iloc[0] == 7  # the off-ridge plant wins
+    np.testing.assert_allclose(
+        got["d2"].to_numpy(), d2[order], rtol=1e-9
+    )
