@@ -4748,6 +4748,89 @@ def _q_mahalanobis_lineitems(sf_dir: str):
     )
 
 
+def _q_cooks_lineitems(sf_dir: str):
+    """Top-20 Cook's-distance influence points of the price-dollars
+    ~ quantity OLS (stages/events.cooks_outliers): exact integer
+    moments, one identical per-row float expression for residual x
+    leverage, deterministic top-k."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import cooks_outliers
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_linenumber": b.column("l_linenumber").cast(
+                    pa.int64()
+                ),
+                "x": b.column("l_quantity").cast(pa.int64()),
+                "y": pc.cast(
+                    pc.floor(
+                        b.column("l_extendedprice").cast(pa.float64())
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+        ],
+    ).map_batches(proj, batch_format="pyarrow")
+    return cooks_outliers(
+        li, id_cols=("l_orderkey", "l_linenumber")
+    )
+
+
+def _q_partial_corr_qpd(sf_dir: str):
+    """Partial correlation of quantity and price dollars given
+    discount mills (stages/events.partial_corr): one exact-moment
+    pass, single-float correlation expressions."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import partial_corr
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": b.column("l_quantity").cast(pa.int64()),
+                "y": pc.cast(
+                    pc.floor(
+                        b.column("l_extendedprice").cast(pa.float64())
+                    ),
+                    pa.int64(),
+                ),
+                "z": pc.cast(
+                    pc.floor(
+                        pc.multiply(
+                            b.column("l_discount").cast(pa.float64()),
+                            pa.scalar(1000.0, pa.float64()),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(proj, batch_format="pyarrow")
+    return partial_corr(li)
+
+
 def _q_cmd_retry_rate(sf_dir: str):
     """Per-conversation command-retry audit: how many commands repeat
     the immediately preceding command verbatim (the retry/flail
@@ -8767,6 +8850,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "class_balance_weights": _q_class_balance_weights,
         "na_hazard": _q_na_hazard,
         "mahalanobis_lineitems": _q_mahalanobis_lineitems,
+        "cooks_lineitems": _q_cooks_lineitems,
+        "partial_corr_qpd": _q_partial_corr_qpd,
         "slo_burn": _q_slo_burn,
         "dow_profile": _q_dow_profile,
         "flesch_docs": _q_flesch_docs,
@@ -11486,6 +11571,73 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, CAST(s - 1 AS BIGINT) AS start_tok, "
         "nh AS n_hits FROM wc QUALIFY row_number() OVER (PARTITION "
         "BY doc_id ORDER BY nh DESC, s) = 1"
+    )
+    out["cooks_lineitems"] = (
+        # HUGEINT moments -> closed-form OLS -> per-row residual x
+        # leverage in the identical float tree; deterministic top-k
+        "WITH src AS (SELECT l_orderkey, CAST(l_linenumber AS "
+        "BIGINT) AS l_linenumber, CAST(l_quantity AS BIGINT) AS x, "
+        "CAST(floor(l_extendedprice) AS BIGINT) AS y FROM lineitem "
+        "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT "
+        "NULL), "
+        "m AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+        "CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS "
+        "sy, CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx, "
+        "CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy, "
+        "CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy "
+        "FROM src), "
+        "g AS (SELECT CAST(n AS DOUBLE) AS n_f, CAST(sx AS DOUBLE) "
+        "AS sx_f, CAST(sy AS DOUBLE) AS sy_f, "
+        "CAST(n * sxx - sx * sx AS DOUBLE) AS cxx_f, "
+        "CAST(n * sxy - sx * sy AS DOUBLE) AS cxy_f, "
+        "CAST(n * syy - sy * sy AS DOUBLE) AS cyy_f FROM m), "
+        "h AS (SELECT *, cxy_f / cxx_f AS b_f FROM g), "
+        "i AS (SELECT *, (sy_f - b_f * sx_f) / n_f AS a_f, "
+        "((cyy_f - (cxy_f * cxy_f) / cxx_f) / n_f) / (n_f - 2.0) "
+        "AS s2 FROM h), "
+        "p AS (SELECT s.l_orderkey, s.l_linenumber, s.x, s.y, "
+        "CAST(s.y AS DOUBLE) - (i.a_f + i.b_f * CAST(s.x AS "
+        "DOUBLE)) AS e, CAST(s.x AS DOUBLE) * i.n_f - i.sx_f AS u, "
+        "i.n_f, i.cxx_f, i.s2 FROM src s, i), "
+        "q AS (SELECT l_orderkey, l_linenumber, x, y, e, "
+        "1.0 / n_f + (u * u) / (n_f * cxx_f) AS hh, s2 FROM p) "
+        "SELECT l_orderkey, l_linenumber, x, y, "
+        "e * e * hh / (2.0 * s2 * ((1.0 - hh) * (1.0 - hh))) AS "
+        "cook FROM q ORDER BY cook DESC, l_orderkey, l_linenumber "
+        "LIMIT 20"
+    )
+    out["partial_corr_qpd"] = (
+        # nine HUGEINT moments, single-float correlation tree
+        "WITH src AS (SELECT CAST(l_quantity AS BIGINT) AS x, "
+        "CAST(floor(l_extendedprice) AS BIGINT) AS y, "
+        "CAST(floor(l_discount * 1000) AS BIGINT) AS z FROM "
+        "lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice "
+        "IS NOT NULL AND l_discount IS NOT NULL), "
+        "m AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+        "CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS "
+        "sy, CAST(sum(z) AS HUGEINT) AS sz, "
+        "CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx, "
+        "CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy, "
+        "CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz, "
+        "CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy, "
+        "CAST(sum(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz, "
+        "CAST(sum(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz "
+        "FROM src), "
+        "c AS (SELECT CAST(n AS BIGINT) AS n, "
+        "n * sxx - sx * sx AS cxx, n * syy - sy * sy AS cyy, "
+        "n * szz - sz * sz AS czz, n * sxy - sx * sy AS cxy, "
+        "n * sxz - sx * sz AS cxz, n * syz - sy * sz AS cyz "
+        "FROM m), "
+        "r AS (SELECT n, CAST(cxy AS DOUBLE) / "
+        "sqrt(CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE)) AS r_xy, "
+        "CAST(cxz AS DOUBLE) / sqrt(CAST(cxx AS DOUBLE) * "
+        "CAST(czz AS DOUBLE)) AS r_xz, CAST(cyz AS DOUBLE) / "
+        "sqrt(CAST(cyy AS DOUBLE) * CAST(czz AS DOUBLE)) AS r_yz "
+        "FROM c) "
+        "SELECT n, r_xy, r_xz, r_yz, CASE WHEN "
+        "(1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0.0 THEN "
+        "(r_xy - r_xz * r_yz) / sqrt((1.0 - r_xz * r_xz) * "
+        "(1.0 - r_yz * r_yz)) END AS r_partial FROM r"
     )
     out["na_hazard"] = (
         # the km_retention span CTE with additive running hazard and

@@ -362,6 +362,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "class_balance_weights",
         "na_hazard",
         "mahalanobis_lineitems",
+        "cooks_lineitems",
+        "partial_corr_qpd",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -9536,3 +9536,220 @@ def mahalanobis_outliers(
         )
         .limit(top_k)
     )
+
+
+def cooks_outliers(
+    ds,
+    x_col: str = "x",
+    y_col: str = "y",
+    id_cols: tuple = ("k1", "k2"),
+    top_k: int = 20,
+):
+    """Regression-influence outliers: the ``top_k`` rows by Cook's
+    distance under the simple OLS fit y ~ x -- the diagnostics
+    readout that separates "far from the line" (large residual) from
+    "bends the line" (residual x leverage), which plain residual
+    ranking conflates.
+
+    From exact integer moments (``mahalanobis_outliers`` pattern)
+    with S_xx = n*sum(x^2) - sum(x)^2 etc.:
+
+        b    = S_xy / S_xx            a   = (S_y - b*S_x) / n
+        s^2  = ((S_yy - S_xy^2/S_xx) / n) / (n - 2)
+        h_i  = 1/n + (x*n - S_x)^2 / (n * S_xx)
+        D_i  = e_i^2 * h_i / (2 * s^2 * (1 - h_i)^2)
+
+    -- every per-row operation is ONE identical float expression of
+    exact ints on both sides, and ties break by id.  Requires
+    n > 2 and non-constant x (raises otherwise).
+
+    Scale shape: one integer moment pass, one scoring pass, one
+    global (cook DESC, ids) sort cut to ``top_k``.
+    """
+    from ray.data.aggregate import Sum
+
+    def moments(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(x_col)),
+                pc.is_valid(b.column(y_col)),
+            )
+        )
+        x = t.column(x_col).cast(pa.int64())
+        y = t.column(y_col).cast(pa.int64())
+
+        def s(arr):
+            return pc.sum(arr, min_count=0).as_py() or 0
+
+        return pa.table(
+            {
+                "n": pa.array([len(t)], pa.int64()),
+                "sx": pa.array([s(x)], pa.int64()),
+                "sy": pa.array([s(y)], pa.int64()),
+                "sxx": pa.array([s(pc.multiply(x, x))], pa.int64()),
+                "syy": pa.array([s(pc.multiply(y, y))], pa.int64()),
+                "sxy": pa.array([s(pc.multiply(x, y))], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        moments, batch_format="pyarrow"
+    ).take_all()
+    n = sum(int(r["n"]) for r in parts)
+    sx = sum(int(r["sx"]) for r in parts)
+    sy = sum(int(r["sy"]) for r in parts)
+    sxx = sum(int(r["sxx"]) for r in parts)
+    syy = sum(int(r["syy"]) for r in parts)
+    sxy = sum(int(r["sxy"]) for r in parts)
+    cxx = n * sxx - sx * sx
+    cxy = n * sxy - sx * sy
+    cyy = n * syy - sy * sy
+    if n <= 2 or cxx <= 0:
+        raise ValueError(
+            "cooks_outliers: need n > 2 and non-constant x"
+        )
+    n_f, sx_f, sy_f = float(n), float(sx), float(sy)
+    cxx_f, cxy_f, cyy_f = float(cxx), float(cxy), float(cyy)
+    b_f = cxy_f / cxx_f
+    a_f = (sy_f - b_f * sx_f) / n_f
+    s2 = ((cyy_f - (cxy_f * cxy_f) / cxx_f) / n_f) / (n_f - 2.0)
+
+    def score(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(x_col)),
+                pc.is_valid(b.column(y_col)),
+            )
+        )
+        x = (
+            t.column(x_col)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        y = (
+            t.column(y_col)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        e = y - (a_f + b_f * x)
+        u = x * n_f - sx_f
+        h = 1.0 / n_f + (u * u) / (n_f * cxx_f)
+        cook = (
+            e * e * h / (2.0 * s2 * ((1.0 - h) * (1.0 - h)))
+        )
+        cols = {ic: t.column(ic) for ic in id_cols}
+        cols[x_col] = t.column(x_col)
+        cols[y_col] = t.column(y_col)
+        cols["cook"] = pa.array(cook, pa.float64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(
+            ["cook"] + list(id_cols),
+            descending=[True] + [False] * len(id_cols),
+        )
+        .limit(top_k)
+    )
+
+
+def partial_corr(
+    ds,
+    x_col: str = "x",
+    y_col: str = "y",
+    z_col: str = "z",
+):
+    """Partial correlation r(x, y | z): the x-y association with the
+    confounder z regressed out of BOTH sides -- the one-line answer
+    to "does quantity still track price once discount is held
+    fixed", which the pairwise correlation matrix cannot give.
+
+        r_ab      = C_ab / sqrt(C_aa * C_bb)
+        r_xy.z    = (r_xy - r_xz*r_yz) /
+                    sqrt((1 - r_xz^2) * (1 - r_yz^2))
+
+    with C_ab = n*S_ab - S_a*S_b from exact integer moments
+    (arbitrary-precision driver fold; HUGEINT in the mirror) and the
+    identical float expression tree both sides.  NULL on degenerate
+    marginals.  Scale shape: ONE streaming moment pass, zero
+    shuffles, one-row output.
+    """
+    import math
+
+    def moments(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.is_valid(b.column(x_col)),
+                pc.is_valid(b.column(y_col)),
+            ),
+            pc.is_valid(b.column(z_col)),
+        )
+        t = b.filter(keep)
+        x = t.column(x_col).cast(pa.int64())
+        y = t.column(y_col).cast(pa.int64())
+        z = t.column(z_col).cast(pa.int64())
+
+        def s(arr):
+            return pc.sum(arr, min_count=0).as_py() or 0
+
+        return pa.table(
+            {
+                "n": pa.array([len(t)], pa.int64()),
+                "sx": pa.array([s(x)], pa.int64()),
+                "sy": pa.array([s(y)], pa.int64()),
+                "sz": pa.array([s(z)], pa.int64()),
+                "sxx": pa.array([s(pc.multiply(x, x))], pa.int64()),
+                "syy": pa.array([s(pc.multiply(y, y))], pa.int64()),
+                "szz": pa.array([s(pc.multiply(z, z))], pa.int64()),
+                "sxy": pa.array([s(pc.multiply(x, y))], pa.int64()),
+                "sxz": pa.array([s(pc.multiply(x, z))], pa.int64()),
+                "syz": pa.array([s(pc.multiply(y, z))], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        moments, batch_format="pyarrow"
+    ).take_all()
+
+    def tot(k):
+        return sum(int(r[k]) for r in parts)
+
+    n = tot("n")
+    sx, sy, sz = tot("sx"), tot("sy"), tot("sz")
+    sxx, syy, szz = tot("sxx"), tot("syy"), tot("szz")
+    sxy, sxz, syz = tot("sxy"), tot("sxz"), tot("syz")
+    cxx, cyy, czz = (
+        n * sxx - sx * sx,
+        n * syy - sy * sy,
+        n * szz - sz * sz,
+    )
+    cxy, cxz, cyz = (
+        n * sxy - sx * sy,
+        n * sxz - sx * sz,
+        n * syz - sy * sz,
+    )
+
+    def corr(cab, caa, cbb):
+        if caa <= 0 or cbb <= 0:
+            return None
+        return float(cab) / math.sqrt(float(caa) * float(cbb))
+
+    r_xy = corr(cxy, cxx, cyy)
+    r_xz = corr(cxz, cxx, czz)
+    r_yz = corr(cyz, cyy, czz)
+    rp = None
+    if None not in (r_xy, r_xz, r_yz):
+        den = (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)
+        if den > 0.0:
+            rp = (r_xy - r_xz * r_yz) / math.sqrt(den)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "r_xy": pa.array([r_xy], pa.float64()),
+            "r_xz": pa.array([r_xz], pa.float64()),
+            "r_yz": pa.array([r_yz], pa.float64()),
+            "r_partial": pa.array([rp], pa.float64()),
+        }
+    )

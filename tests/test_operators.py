@@ -10049,3 +10049,69 @@ def test_mahalanobis_outliers_differential(ray_session):
     np.testing.assert_allclose(
         got["d2"].to_numpy(), d2[order], rtol=1e-9
     )
+
+
+def test_cooks_and_partial_corr_differential(ray_session):
+    """cooks_outliers == the float OLS-diagnostics brute force (a
+    planted line-bender wins); partial_corr == numpy residual
+    correlation."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import (
+        cooks_outliers,
+        partial_corr,
+    )
+
+    rng = np.random.default_rng(139)
+    n = 3000
+    x = rng.integers(1, 100, n)
+    y = 5 * x + 100 + rng.integers(-30, 30, n)
+    x[3], y[3] = 99, 50  # high-leverage line-bender
+    t = pa.table(
+        {
+            "k1": pa.array(np.arange(n, dtype=np.int64)),
+            "k2": pa.array(np.zeros(n, dtype=np.int64)),
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+        }
+    )
+    got = cooks_outliers(
+        ray.data.from_arrow(t).repartition(5), top_k=5
+    ).to_pandas()
+    xf, yf = x.astype(float), y.astype(float)
+    b, a = np.polyfit(xf, yf, 1)
+    e = yf - (a + b * xf)
+    s2 = (e**2).sum() / (n - 2)
+    h = 1.0 / n + (xf - xf.mean()) ** 2 / ((xf - xf.mean()) ** 2).sum()
+    cook = e**2 * h / (2 * s2 * (1 - h) ** 2)
+    order = sorted(range(n), key=lambda i: (-cook[i], i))[:5]
+    assert list(got["k1"]) == order
+    assert got["k1"].iloc[0] == 3
+    np.testing.assert_allclose(
+        got["cook"].to_numpy(), cook[order], rtol=1e-9
+    )
+    # partial correlation: y ~ x strongly, but given z := x the
+    # partial correlation collapses toward the noise level
+    z = x + rng.integers(-2, 3, n)
+    t2 = pa.table(
+        {
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+            "z": pa.array(z, pa.int64()),
+        }
+    )
+    pr = partial_corr(
+        ray.data.from_arrow(t2).repartition(4)
+    ).to_pylist()[0]
+    rxy = np.corrcoef(x, y)[0, 1]
+    rxz = np.corrcoef(x, z)[0, 1]
+    ryz = np.corrcoef(y, z)[0, 1]
+    ref = (rxy - rxz * ryz) / np.sqrt(
+        (1 - rxz**2) * (1 - ryz**2)
+    )
+    assert abs(pr["r_xy"] - rxy) < 1e-9
+    assert abs(pr["r_partial"] - ref) < 1e-9
+    assert pr["r_xy"] > 0.9 and pr["r_partial"] < 0.8
