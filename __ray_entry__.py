@@ -4831,6 +4831,48 @@ def _q_partial_corr_qpd(sf_dir: str):
     return partial_corr(li)
 
 
+def _q_sprt_click_view(sf_dir: str):
+    """Wald SPRT replay over click/view exposures in (ts, id) order
+    (stages/events.sprt_stream): micro-nat-quantized integer LLR
+    walk, first +/- ln(19) bound crossing, distributed via ts-range
+    prefix buckets."""
+    from console_log_parser_ray.stages.events import sprt_stream
+
+    return sprt_stream(
+        _events(sf_dir).select_columns(
+            ["event_type", "ts", "event_id"]
+        )
+    )
+
+
+_SEQ3_INITIALS = ("c", "e", "p", "s", "v")
+_SEQ3_PATTERNS = tuple(
+    f"{a}.*{b}.*{c}"
+    for a in _SEQ3_INITIALS
+    for b in _SEQ3_INITIALS
+    for c in _SEQ3_INITIALS
+)
+
+
+def _q_seq_patterns_3(sf_dir: str):
+    """Sequential-pattern support mining: of all 125 ordered
+    3-type subsequence patterns (a then b then c, gaps allowed --
+    'a.*b.*c' over per-user event-initial strings), the top 10 by
+    user support (stages/events.event_seq_regex with generated
+    patterns; ties by pattern)."""
+    from console_log_parser_ray.stages.events import event_seq_regex
+
+    res = event_seq_regex(
+        _events(sf_dir).select_columns(
+            ["user_id", "event_type", "ts", "event_id"]
+        ),
+        _SEQ3_PATTERNS,
+    )
+    return res.sort(
+        ["n_users", "pattern"], descending=[True, False]
+    ).limit(10)
+
+
 def _q_cmd_retry_rate(sf_dir: str):
     """Per-conversation command-retry audit: how many commands repeat
     the immediately preceding command verbatim (the retry/flail
@@ -8852,6 +8894,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mahalanobis_lineitems": _q_mahalanobis_lineitems,
         "cooks_lineitems": _q_cooks_lineitems,
         "partial_corr_qpd": _q_partial_corr_qpd,
+        "sprt_click_view": _q_sprt_click_view,
+        "seq_patterns_3": _q_seq_patterns_3,
         "slo_burn": _q_slo_burn,
         "dow_profile": _q_dow_profile,
         "flesch_docs": _q_flesch_docs,
@@ -11571,6 +11615,48 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, CAST(s - 1 AS BIGINT) AS start_tok, "
         "nh AS n_hits FROM wc QUALIFY row_number() OVER (PARTITION "
         "BY doc_id ORDER BY nh DESC, s) = 1"
+    )
+    out["sprt_click_view"] = (
+        # micro-nat integer LLR walk in (ts, id) order; first bound
+        # crossing or the 'continue' fallback row
+        "WITH k AS (SELECT CAST(floor(ln(0.55 / 0.45) * 1000000.0) "
+        "AS BIGINT) AS q1, CAST(floor(ln((1.0 - 0.55) / "
+        "(1.0 - 0.45)) * 1000000.0) AS BIGINT) AS q0, "
+        "CAST(floor(ln((1.0 - 0.05) / 0.05) * 1000000.0) AS BIGINT) "
+        "AS thr), "
+        "s AS (SELECT e.ts, e.event_id, CASE WHEN e.event_type = "
+        "'click' THEN k.q1 ELSE k.q0 END AS step FROM events e, k "
+        "WHERE e.event_type IN ('click', 'view')), "
+        "w AS (SELECT sum(step) OVER (ORDER BY ts, event_id ROWS "
+        "UNBOUNDED PRECEDING) AS llr, row_number() OVER (ORDER BY "
+        "ts, event_id) AS n FROM s), "
+        "x AS (SELECT n, CAST(llr AS BIGINT) AS llr_q FROM w, k "
+        "WHERE llr >= k.thr OR llr <= -k.thr ORDER BY n LIMIT 1) "
+        "SELECT CAST(n AS BIGINT) AS n, llr_q, CASE WHEN llr_q >= "
+        "(SELECT thr FROM k) THEN 'accept_h1' ELSE 'accept_h0' END "
+        "AS decision FROM x "
+        "UNION ALL SELECT CAST((SELECT count(*) FROM s) AS BIGINT), "
+        "CAST((SELECT sum(step) FROM s) AS BIGINT), 'continue' "
+        "WHERE NOT EXISTS (SELECT 1 FROM x)"
+    )
+    out["seq_patterns_3"] = (
+        # all 125 ordered 3-type subsequence patterns vs per-user
+        # initial strings; top-10 by user support
+        "WITH seq AS (SELECT user_id, string_agg(substr(event_type, "
+        "1, 1), '' ORDER BY ts, event_id) AS s FROM events "
+        "GROUP BY user_id), "
+        "t1 AS (SELECT unnest(['c','e','p','s','v']) AS a), "
+        "t2 AS (SELECT unnest(['c','e','p','s','v']) AS b), "
+        "t3 AS (SELECT unnest(['c','e','p','s','v']) AS c), "
+        "pats AS (SELECT a || '.*' || b || '.*' || c AS pattern "
+        "FROM t1, t2, t3), "
+        "m AS (SELECT p.pattern, CAST(count(*) FILTER (WHERE "
+        "len(regexp_extract_all(q.s, p.pattern)) > 0) AS BIGINT) AS "
+        "n_users, CAST(sum(len(regexp_extract_all(q.s, p.pattern))) "
+        "AS BIGINT) AS n_matches FROM pats p CROSS JOIN seq q "
+        "GROUP BY 1) "
+        "SELECT pattern, n_users, n_matches FROM m "
+        "ORDER BY n_users DESC, pattern LIMIT 10"
     )
     out["cooks_lineitems"] = (
         # HUGEINT moments -> closed-form OLS -> per-row residual x

@@ -364,6 +364,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "mahalanobis_lineitems",
         "cooks_lineitems",
         "partial_corr_qpd",
+        "sprt_click_view",
+        "seq_patterns_3",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

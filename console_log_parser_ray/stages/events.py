@@ -9753,3 +9753,164 @@ def partial_corr(
             "r_partial": pa.array([rp], pa.float64()),
         }
     )
+
+
+def sprt_stream(
+    ds,
+    variant_a: str = "click",
+    variant_b: str = "view",
+    p0: float = 0.45,
+    p1: float = 0.55,
+    alpha: float = 0.05,
+    scale: int = 1_000_000,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+):
+    """Wald's sequential probability ratio test replayed over the
+    event stream: walking click/view exposures in (ts, id) order,
+    accumulate the Bernoulli log-likelihood-ratio step (is the
+    click share p1 rather than p0?) and stop at the FIRST crossing
+    of the +/- ln((1-alpha)/alpha) bounds -- the always-valid
+    sequential decision that a fixed-horizon z-test cannot give
+    ("peeking" at it inflates alpha; the SPRT is built for peeking).
+
+    Integer-exact: the two step constants and the threshold are
+    micro-nat-quantized lns of float ratios (identical expression
+    both sides), so the walk is an INTEGER running sum and the
+    crossing test is int vs int.  Output: one row -- exposures seen
+    at the decision, the llr value, and
+    ``accept_h1``/``accept_h0``/``continue``.
+
+    Scale shape: the global running sum distributes like
+    ``late_events``' watermark: contiguous ts-range buckets, a tiny
+    per-bucket (sum, count) fold to the driver, exclusive prefix
+    broadcast, then each bucket finds its local first crossing with
+    its entering offset; the driver keeps the earliest.  Two
+    streaming scans.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    q1 = int(math.floor(math.log(p1 / p0) * float(scale)))
+    q0 = int(
+        math.floor(math.log((1.0 - p1) / (1.0 - p0)) * float(scale))
+    )
+    thr = int(
+        math.floor(math.log((1.0 - alpha) / alpha) * float(scale))
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.is_in(
+                b.column(type_col),
+                value_set=pa.array([variant_a, variant_b]),
+            )
+        )
+        return pa.table(
+            {
+                "ts": t.column(ts_col).cast(pa.int64()),
+                "i": t.column(id_col).cast(pa.int64()),
+                "step": pc.if_else(
+                    pc.equal(
+                        t.column(type_col), pa.scalar(variant_a)
+                    ),
+                    pa.scalar(q1, pa.int64()),
+                    pa.scalar(q0, pa.int64()),
+                ),
+            }
+        )
+
+    base = ds.map_batches(keep, batch_format="pyarrow").materialize()
+    mn_ts = int(base.min("ts"))
+    mx_ts = int(base.max("ts"))
+    width = (mx_ts - mn_ts) // n_buckets + 1
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        rb = pc.divide(
+            pc.subtract(
+                b.column("ts"), pa.scalar(mn_ts, pa.int64())
+            ),
+            pa.scalar(width, pa.int64()),
+        )
+        return b.append_column("rb", pc.cast(rb, pa.int64()))
+
+    bucketed = base.map_batches(bucketize, batch_format="pyarrow")
+
+    def fold(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["rb", "step"])
+            .group_by("rb")
+            .aggregate([("step", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "rb": g.column("rb"),
+                "s_p": g.column("step_sum").cast(pa.int64()),
+                "c_p": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        bucketed.map_batches(fold, batch_format="pyarrow")
+        .groupby("rb")
+        .aggregate(Sum("s_p"), Sum("c_p"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: int(r["rb"]))
+    pre_sum: dict = {}
+    pre_cnt: dict = {}
+    s_run = 0
+    c_run = 0
+    for r in rows:
+        pre_sum[int(r["rb"])] = s_run
+        pre_cnt[int(r["rb"])] = c_run
+        s_run += int(r["sum(s_p)"])
+        c_run += int(r["sum(c_p)"])
+    total_n, total_llr = c_run, s_run
+
+    def find_local(tbl: pa.Table) -> pa.Table:
+        rb = int(tbl.column("rb")[0].as_py())
+        ts = tbl.column("ts").to_numpy(zero_copy_only=False)
+        i = tbl.column("i").to_numpy(zero_copy_only=False)
+        st = tbl.column("step").to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, ts))
+        cum = np.cumsum(st[order]) + np.int64(pre_sum[rb])
+        hit = np.flatnonzero((cum >= thr) | (cum <= -thr))
+        if len(hit) == 0:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "llr_q": pa.array([], pa.int64()),
+                }
+            )
+        j = int(hit[0])
+        return pa.table(
+            {
+                "n": pa.array(
+                    [pre_cnt[rb] + j + 1], pa.int64()
+                ),
+                "llr_q": pa.array([int(cum[j])], pa.int64()),
+            }
+        )
+
+    cands = (
+        bucketed.groupby("rb")
+        .map_groups(find_local, batch_format="pyarrow")
+        .take_all()
+    )
+    if cands:
+        win = min(cands, key=lambda r: int(r["n"]))
+        n_seen, llr = int(win["n"]), int(win["llr_q"])
+        decision = "accept_h1" if llr >= thr else "accept_h0"
+    else:
+        n_seen, llr, decision = total_n, total_llr, "continue"
+    return pa.table(
+        {
+            "n": pa.array([n_seen], pa.int64()),
+            "llr_q": pa.array([llr], pa.int64()),
+            "decision": pa.array([decision], pa.string()),
+        }
+    )

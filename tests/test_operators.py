@@ -10115,3 +10115,62 @@ def test_cooks_and_partial_corr_differential(ray_session):
     assert abs(pr["r_xy"] - rxy) < 1e-9
     assert abs(pr["r_partial"] - ref) < 1e-9
     assert pr["r_xy"] > 0.9 and pr["r_partial"] < 0.8
+
+
+def test_sprt_stream_differential(ray_session):
+    """sprt_stream == the sequential python walk; a planted
+    click-heavy prefix triggers accept_h1 at the exact step."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import sprt_stream
+
+    rng = np.random.default_rng(149)
+    n = 4000
+    kinds = np.where(rng.random(n) < 0.62, "click", "view")
+    ts = np.sort(rng.integers(0, 10**9, n))
+    eid = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "event_type": pa.array(list(kinds), pa.string()),
+            "ts": pa.array(ts, pa.int64()),
+            "event_id": pa.array(eid, pa.int64()),
+        }
+    )
+    got = sprt_stream(
+        ray.data.from_arrow(t).repartition(6)
+    ).to_pylist()[0]
+    q1 = math.floor(math.log(0.55 / 0.45) * 1e6)
+    q0 = math.floor(math.log(0.45 / 0.55) * 1e6)
+    thr = math.floor(math.log(0.95 / 0.05) * 1e6)
+    order = np.lexsort((eid, ts))
+    llr = 0
+    ref = None
+    for idx, j in enumerate(order, start=1):
+        llr += q1 if kinds[j] == "click" else q0
+        if llr >= thr or llr <= -thr:
+            ref = (idx, llr, "accept_h1" if llr >= thr else "accept_h0")
+            break
+    assert ref is not None
+    assert (got["n"], got["llr_q"], got["decision"]) == ref
+    assert got["decision"] == "accept_h1"
+    # a balanced stream never crosses within a short window
+    k2 = np.array(["click", "view"] * 50)
+    t2 = pa.table(
+        {
+            "event_type": pa.array(list(k2), pa.string()),
+            "ts": pa.array(
+                np.arange(len(k2), dtype=np.int64), pa.int64()
+            ),
+            "event_id": pa.array(
+                np.arange(len(k2), dtype=np.int64), pa.int64()
+            ),
+        }
+    )
+    got2 = sprt_stream(ray.data.from_arrow(t2)).to_pylist()[0]
+    assert got2["decision"] == "continue"
+    assert got2["n"] == len(k2)
