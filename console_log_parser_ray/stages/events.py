@@ -9522,10 +9522,22 @@ def mahalanobis_outliers(
         u = x * n_f - sx_f
         v = y * n_f - sy_f
         d2 = (c_f * u * u - 2.0 * b_f * u * v + a_f * v * v) / dd_f
-        cols = {ic: t.column(ic) for ic in id_cols}
-        cols[x_col] = t.column(x_col)
-        cols[y_col] = t.column(y_col)
-        cols["d2"] = pa.array(d2, pa.float64())
+        # per-block top-k prune: the global top-k is a subset of the
+        # union of per-block top-ks, so the sort below moves
+        # top_k * blocks rows, never the corpus
+        kk = min(top_k, len(d2))
+        id_arrs = tuple(
+            t.column(ic)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            for ic in reversed(id_cols)
+        )
+        sel = np.lexsort(id_arrs + (-d2,))[:kk]
+        idx = pa.array(sel, pa.int64())
+        cols = {ic: t.column(ic).take(idx) for ic in id_cols}
+        cols[x_col] = t.column(x_col).take(idx)
+        cols[y_col] = t.column(y_col).take(idx)
+        cols["d2"] = pa.array(d2[sel], pa.float64())
         return pa.table(cols)
 
     return (
@@ -9639,10 +9651,21 @@ def cooks_outliers(
         cook = (
             e * e * h / (2.0 * s2 * ((1.0 - h) * (1.0 - h)))
         )
-        cols = {ic: t.column(ic) for ic in id_cols}
-        cols[x_col] = t.column(x_col)
-        cols[y_col] = t.column(y_col)
-        cols["cook"] = pa.array(cook, pa.float64())
+        # per-block top-k prune (the mahalanobis_outliers shape):
+        # the sort moves top_k * blocks rows, never the corpus
+        kk = min(top_k, len(cook))
+        id_arrs = tuple(
+            t.column(ic)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            for ic in reversed(id_cols)
+        )
+        sel = np.lexsort(id_arrs + (-cook,))[:kk]
+        idx = pa.array(sel, pa.int64())
+        cols = {ic: t.column(ic).take(idx) for ic in id_cols}
+        cols[x_col] = t.column(x_col).take(idx)
+        cols[y_col] = t.column(y_col).take(idx)
+        cols["cook"] = pa.array(cook[sel], pa.float64())
         return pa.table(cols)
 
     return (
