@@ -4873,6 +4873,55 @@ def _q_seq_patterns_3(sf_dir: str):
     ).limit(10)
 
 
+def _q_wasserstein_click_view(sf_dir: str):
+    """Exact 1-D earth mover's distance between click and view value
+    cents (stages/events.wasserstein_1d): distinct-value histogram
+    fold, arbitrary-precision CDF-area numerator, one float
+    division."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from console_log_parser_ray.stages.events import wasserstein_1d
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "v": pc.cast(
+                    pc.floor(
+                        pc.multiply(
+                            b.column("value").cast(pa.float64()),
+                            pa.scalar(100.0, pa.float64()),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ev = (
+        _events(sf_dir)
+        .select_columns(["event_type", "value"])
+        .map_batches(proj, batch_format="pyarrow")
+    )
+    return wasserstein_1d(ev)
+
+
+def _q_compress_ratio(sf_dir: str):
+    """Deflate compressibility per source
+    (stages/textan.compress_ratio_by_source): exact byte counts,
+    C-level zlib kernel per doc, one tiny groupby.  Rows-only by
+    design -- no SQL engine exposes deflate; pinned by the pytest
+    differential against direct zlib instead."""
+    from console_log_parser_ray.stages.textan import (
+        compress_ratio_by_source,
+    )
+
+    return compress_ratio_by_source(
+        _docs(sf_dir, ["source", "text"])
+    )
+
+
 def _q_cmd_retry_rate(sf_dir: str):
     """Per-conversation command-retry audit: how many commands repeat
     the immediately preceding command verbatim (the retry/flail
@@ -8896,6 +8945,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partial_corr_qpd": _q_partial_corr_qpd,
         "sprt_click_view": _q_sprt_click_view,
         "seq_patterns_3": _q_seq_patterns_3,
+        "wasserstein_click_view": _q_wasserstein_click_view,
+        "compress_ratio": _q_compress_ratio,
         "slo_burn": _q_slo_burn,
         "dow_profile": _q_dow_profile,
         "flesch_docs": _q_flesch_docs,
@@ -11615,6 +11666,29 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, CAST(s - 1 AS BIGINT) AS start_tok, "
         "nh AS n_hits FROM wc QUALIFY row_number() OVER (PARTITION "
         "BY doc_id ORDER BY nh DESC, s) = 1"
+    )
+    out["wasserstein_click_view"] = (
+        # CDF-area numerator over the distinct-value histogram in
+        # exact HUGEINT; one float division
+        "WITH c AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v, "
+        "event_type AS g FROM events WHERE event_type IN ('click', "
+        "'view') AND value IS NOT NULL), "
+        "h AS (SELECT v, CAST(count(*) FILTER (WHERE g = 'click') "
+        "AS BIGINT) AS na_c, CAST(count(*) FILTER (WHERE g = "
+        "'view') AS BIGINT) AS nb_c FROM c GROUP BY 1), "
+        "t AS (SELECT CAST(sum(na_c) AS HUGEINT) AS na, "
+        "CAST(sum(nb_c) AS HUGEINT) AS nb FROM h), "
+        "w AS (SELECT v, sum(na_c) OVER (ORDER BY v ROWS UNBOUNDED "
+        "PRECEDING) AS ca, sum(nb_c) OVER (ORDER BY v ROWS "
+        "UNBOUNDED PRECEDING) AS cb, lead(v) OVER (ORDER BY v) AS "
+        "nv FROM h), "
+        "s AS (SELECT CAST(sum(abs(CAST(ca AS HUGEINT) * t.nb - "
+        "CAST(cb AS HUGEINT) * t.na) * (nv - v)) AS HUGEINT) AS "
+        "num FROM w, t WHERE nv IS NOT NULL) "
+        "SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) "
+        "AS n_b, CAST(s.num AS DOUBLE) AS w1_num, "
+        "CAST(s.num AS DOUBLE) / CAST(t.na * t.nb AS DOUBLE) AS w1 "
+        "FROM t, s"
     )
     out["sprt_click_view"] = (
         # micro-nat integer LLR walk in (ts, id) order; first bound

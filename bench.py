@@ -366,6 +366,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "partial_corr_qpd",
         "sprt_click_view",
         "seq_patterns_3",
+        "wasserstein_click_view",
+        "compress_ratio",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -3795,3 +3795,93 @@ def rake_keyphrases(
     return scored.sort(
         ["score_q", "phrase"], descending=[True, False]
     ).limit(top_k)
+
+
+def compress_ratio_by_source(
+    ds,
+    source_col: str = "source",
+    text_col: str = "text",
+    level: int = 6,
+):
+    """Deflate compressibility quality signal per source: total
+    UTF-8 bytes in, total ``zlib.compress(level)`` bytes out, and
+    the corpus-level ratio -- the Gopher-style boilerplate detector
+    (highly compressible sources are template-heavy; near-1 ratios
+    are high-entropy or already-compressed junk).
+
+    No SQL engine exposes deflate, so this operator is checked
+    rows-only by the driver and pinned by a pytest differential
+    against direct ``zlib`` calls instead -- the same weaker-oracle
+    class as the approximate ANN variants.  Determinism: zlib output
+    is a pure function of (bytes, level, strategy) for a given zlib
+    build, and byte COUNTS fold as exact integers; ``ratio`` is one
+    float division.
+
+    Scale shape: the per-document compression is the C-level kernel
+    of a task-pool ``map_batches`` (the model-inference shape --
+    the Python loop only dispatches into zlib); per-block (source,
+    bytes) partials, one tiny groupby, zero data-plane shuffles.
+    """
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    def part(b: pa.Table) -> pa.Table:
+        src = pc.fill_null(
+            b.column(source_col).cast(pa.string()), ""
+        ).to_pylist()
+        texts = pc.fill_null(
+            b.column(text_col).cast(pa.string()), ""
+        ).to_pylist()
+        import collections
+
+        agg = collections.defaultdict(lambda: [0, 0, 0])
+        for s, t in zip(src, texts):
+            raw = t.encode("utf-8")
+            a = agg[s]
+            a[0] += 1
+            a[1] += len(raw)
+            a[2] += len(zlib.compress(raw, level))
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "source": pa.array(keys, pa.string()),
+                "n_p": pa.array(
+                    [agg[k][0] for k in keys], pa.int64()
+                ),
+                "bi_p": pa.array(
+                    [agg[k][1] for k in keys], pa.int64()
+                ),
+                "bo_p": pa.array(
+                    [agg[k][2] for k in keys], pa.int64()
+                ),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        bi = b.column("sum(bi_p)").to_numpy(zero_copy_only=False)
+        bo = b.column("sum(bo_p)").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(
+                bi > 0,
+                bo.astype(np.float64) / bi.astype(np.float64),
+                np.nan,
+            )
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "n_docs": b.column("sum(n_p)").cast(pa.int64()),
+                "bytes_in": pa.array(bi, pa.int64()),
+                "bytes_out": pa.array(bo, pa.int64()),
+                "ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_p"), Sum("bi_p"), Sum("bo_p"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -10174,3 +10174,93 @@ def test_sprt_stream_differential(ray_session):
     got2 = sprt_stream(ray.data.from_arrow(t2)).to_pylist()[0]
     assert got2["decision"] == "continue"
     assert got2["n"] == len(k2)
+
+
+def test_wasserstein_1d_differential(ray_session):
+    """wasserstein_1d == the numpy CDF-area brute force; a planted
+    location shift yields W1 ~= the shift size."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import wasserstein_1d
+
+    rng = np.random.default_rng(151)
+    n = 4000
+    kinds = np.where(rng.random(n) < 0.5, "click", "view")
+    v = rng.integers(0, 2000, n)
+    v = v + np.where(kinds == "click", 300, 0)  # planted shift
+    t = pa.table(
+        {
+            "event_type": pa.array(list(kinds), pa.string()),
+            "v": pa.array(v, pa.int64()),
+        }
+    )
+    got = wasserstein_1d(
+        ray.data.from_arrow(t).repartition(5)
+    ).to_pylist()[0]
+    a = np.sort(v[kinds == "click"])
+    b = np.sort(v[kinds == "view"])
+    grid = np.arange(v.min(), v.max() + 1)
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    ref = float(np.abs(fa - fb)[:-1].sum())  # unit-width steps
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert abs(got["w1"] - ref) < 1e-9
+    assert 200 < got["w1"] < 400  # tracks the planted shift
+    import pytest
+
+    with pytest.raises(ValueError, match="max_distinct"):
+        wasserstein_1d(ray.data.from_arrow(t), max_distinct=10)
+
+
+def test_compress_ratio_differential(ray_session):
+    """compress_ratio_by_source == direct zlib byte accounting;
+    template-heavy text compresses far better than random text."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.textan import (
+        compress_ratio_by_source,
+    )
+
+    rng = np.random.default_rng(157)
+    texts, srcs = [], []
+    for i in range(60):
+        texts.append("the same boilerplate line repeated " * 40)
+        srcs.append("template")
+    for i in range(60):
+        texts.append(
+            "".join(
+                chr(int(c)) for c in rng.integers(33, 127, 800)
+            )
+        )
+        srcs.append("noise")
+    t = pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        compress_ratio_by_source(
+            ray.data.from_arrow(t).repartition(4)
+        )
+        .to_pandas()
+        .set_index("source")
+    )
+    for s in ("template", "noise"):
+        sub = [x for x, ss in zip(texts, srcs) if ss == s]
+        bi = sum(len(x.encode()) for x in sub)
+        bo = sum(len(zlib.compress(x.encode(), 6)) for x in sub)
+        assert got.loc[s, "bytes_in"] == bi
+        assert got.loc[s, "bytes_out"] == bo
+        assert got.loc[s, "n_docs"] == len(sub)
+        assert abs(got.loc[s, "ratio"] - bo / bi) < 1e-12
+    assert got.loc["template", "ratio"] < 0.05
+    assert got.loc["noise", "ratio"] > 0.7
