@@ -3854,6 +3854,54 @@ def _q_hybrid_rrf(sf_dir: str):
     )
 
 
+def _q_rbo_sparse_dense(sf_dir: str):
+    """Rank-biased overlap (p=0.9, depth 20) between the BM25
+    keyword ranking and the dense-cosine ranking for query vector 0
+    (stages/search.rbo_rankings over the two legs hybrid_rrf
+    already pins): integer-quantized depth weights, one float
+    finish -- the retrieval-evaluation readout for how much the
+    sparse and dense systems agree where it matters."""
+    import pyarrow.parquet as pq
+
+    from console_log_parser_ray.stages.search import (
+        bm25_keyword,
+        rbo_rankings,
+    )
+    from console_log_parser_ray.stages.similarity import (
+        knn_bruteforce,
+    )
+
+    bm = (
+        bm25_keyword(
+            _docs(sf_dir).select_columns(["doc_id", "text"]),
+            _BM25_TERMS,
+        )
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(20)
+        .take_all()
+    )
+    list_a = [int(r["doc_id"]) for r in bm]
+    qvec = (
+        pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        .sort_by("vec_id")
+        .column("embedding")[0]
+        .as_py()
+    )
+    import numpy as np
+
+    kn = knn_bruteforce(
+        _embeddings(sf_dir, ["vec_id", "embedding"]),
+        (np.array([0], np.int64), np.array([qvec], np.float32)),
+        k=20,
+    ).take_all()
+    kn.sort(key=lambda r: (-r["cosine"], int(r["vec_id"])))
+    list_b = [int(r["vec_id"]) for r in kn]
+    return rbo_rankings(list_a, list_b)
+
+
 def _q_kmv_users(sf_dir: str):
     """KMV (bottom-k) distinct-count sketch over event user_ids:
     the k smallest md5-prefix hashes plus the running estimate
@@ -8947,6 +8995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_patterns_3": _q_seq_patterns_3,
         "wasserstein_click_view": _q_wasserstein_click_view,
         "compress_ratio": _q_compress_ratio,
+        "rbo_sparse_dense": _q_rbo_sparse_dense,
         "slo_burn": _q_slo_burn,
         "dow_profile": _q_dow_profile,
         "flesch_docs": _q_flesch_docs,
@@ -11666,6 +11715,31 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, CAST(s - 1 AS BIGINT) AS start_tok, "
         "nh AS n_hits FROM wc QUALIFY row_number() OVER (PARTITION "
         "BY doc_id ORDER BY nh DESC, s) = 1"
+    )
+    out["rbo_sparse_dense"] = (
+        # the two leg rankings hybrid_rrf pins, prefix overlaps per
+        # depth, integer-quantized weights, one float finish
+        "WITH bm AS (SELECT doc_id, score FROM ("
+        + bm25_oracle_sql(_BM25_TERMS)
+        + ")), "
+        "br AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY "
+        "score DESC, doc_id) AS BIGINT) AS ra FROM bm QUALIFY "
+        "ra <= 20), "
+        "kr AS (SELECT e.vec_id AS doc_id, CAST(row_number() OVER "
+        "(ORDER BY list_cosine_similarity((SELECT embedding FROM "
+        "embeddings WHERE vec_id = 0), e.embedding) DESC, e.vec_id) "
+        "AS BIGINT) AS rb FROM embeddings e QUALIFY rb <= 20), "
+        "dd AS (SELECT unnest(range(1, 21)) AS d), "
+        "x AS (SELECT dd.d, CAST((SELECT count(*) FROM br JOIN kr "
+        "USING (doc_id) WHERE br.ra <= dd.d AND kr.rb <= dd.d) AS "
+        "BIGINT) AS x_d FROM dd), "
+        "w AS (SELECT d, x_d, x_d * CAST(floor(power(0.9, "
+        "CAST(d - 1 AS DOUBLE)) / CAST(d AS DOUBLE) * "
+        "1000000000000.0) AS BIGINT) AS term_q FROM x), "
+        "s AS (SELECT CAST(sum(term_q) AS BIGINT) AS s_q FROM w) "
+        "SELECT CAST(w.d AS BIGINT) AS d, w.x_d, w.term_q, s.s_q, "
+        "(1.0 - 0.9) * (CAST(s.s_q AS DOUBLE) / 1000000000000.0) "
+        "AS rbo FROM w, s"
     )
     out["wasserstein_click_view"] = (
         # CDF-area numerator over the distinct-value histogram in

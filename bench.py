@@ -368,6 +368,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "seq_patterns_3",
         "wasserstein_click_view",
         "compress_ratio",
+        "rbo_sparse_dense",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

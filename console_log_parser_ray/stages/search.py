@@ -711,3 +711,56 @@ def best_snippet(
         )
 
     return ds.map_batches(snip, batch_format="pyarrow")
+
+
+def rbo_rankings(
+    list_a,
+    list_b,
+    p: float = 0.9,
+    scale: int = 1_000_000_000_000,
+):
+    """Rank-biased overlap (Webber et al. 2010) between two
+    truncated rankings: ``RBO = (1-p) * sum_d p^(d-1) * X_d / d``
+    with ``X_d`` the overlap of the two depth-d prefixes -- the
+    top-weighted agreement measure for comparing retrieval systems
+    (Kendall over full lists over-weights the tail a user never
+    sees).
+
+    Integer-exact accumulation: per-depth weights quantize to
+    ``w_d = floor(p^(d-1) / d * scale)`` (identical float tree both
+    sides) and the sum ``S = sum X_d * w_d`` is an exact int; the
+    single float finish is ``(1-p) * (S / scale)``.  Returns one row
+    per depth (d, x_d, term_q) with the total and RBO repeated.
+    """
+    import math
+
+    depth = min(len(list_a), len(list_b))
+    ds_, xs_, terms = [], [], []
+    s_q = 0
+    sa: set = set()
+    sb: set = set()
+    for d in range(1, depth + 1):
+        sa.add(list_a[d - 1])
+        sb.add(list_b[d - 1])
+        x_d = len(sa & sb)
+        w_d = int(
+            math.floor(
+                p ** float(d - 1) / float(d) * float(scale)
+            )
+        )
+        t = x_d * w_d
+        s_q += t
+        ds_.append(d)
+        xs_.append(x_d)
+        terms.append(t)
+    rbo = (1.0 - p) * (float(s_q) / float(scale))
+    k = len(ds_)
+    return pa.table(
+        {
+            "d": pa.array(ds_, pa.int64()),
+            "x_d": pa.array(xs_, pa.int64()),
+            "term_q": pa.array(terms, pa.int64()),
+            "s_q": pa.array([s_q] * k, pa.int64()),
+            "rbo": pa.array([rbo] * k, pa.float64()),
+        }
+    )

@@ -10264,3 +10264,31 @@ def test_compress_ratio_differential(ray_session):
         assert abs(got.loc[s, "ratio"] - bo / bi) < 1e-12
     assert got.loc["template", "ratio"] < 0.05
     assert got.loc["noise", "ratio"] > 0.7
+
+
+def test_rbo_rankings_differential():
+    """rbo_rankings == the textbook truncated RBO; identical lists
+    score the full truncated mass, disjoint lists zero."""
+    import math
+
+    from console_log_parser_ray.stages.search import rbo_rankings
+
+    a = [3, 1, 4, 1, 5, 9, 2, 6]
+    a = list(dict.fromkeys([3, 1, 4, 5, 9, 2, 6, 8]))
+    b = [3, 4, 1, 7, 9, 0, 6, 5]
+    got = rbo_rankings(a, b, p=0.9).to_pandas()
+    # brute force
+    ref = 0.0
+    for d in range(1, len(a) + 1):
+        x = len(set(a[:d]) & set(b[:d]))
+        ref += 0.9 ** (d - 1) * x / d
+    ref *= 1.0 - 0.9
+    assert abs(got["rbo"].iloc[0] - ref) < 1e-9
+    same = rbo_rankings(a, a, p=0.9).to_pandas()
+    full = (1 - 0.9) * sum(
+        0.9 ** (d - 1) for d in range(1, len(a) + 1)
+    )
+    assert abs(same["rbo"].iloc[0] - full) < 1e-9
+    disj = rbo_rankings(a, [x + 100 for x in a], p=0.9).to_pandas()
+    assert disj["rbo"].iloc[0] == 0.0
+    assert same["rbo"].iloc[0] > got["rbo"].iloc[0] > 0.0
