@@ -5764,6 +5764,156 @@ def r5c_family(seed):
     )
 
 
+def r5d_family(seed):
+    """Round-5 continuation 3: Wasserstein-1, interval union,
+    rolling-quantile breaches and monetary-unit sampling vs DuckDB
+    on fresh random inputs."""
+    rng = np.random.default_rng(seed + 4242)
+    from console_log_parser_ray.stages.events import (
+        interval_union_days,
+        monetary_unit_sample,
+        rolling_quantile_breaches,
+        wasserstein_1d,
+    )
+
+    con = duckdb.connect()
+
+    # --- Wasserstein-1 on a planted location shift
+    n = 2500
+    kinds = np.where(rng.random(n) < 0.5, "click", "view")
+    v = rng.integers(0, 3000, n) + np.where(
+        kinds == "click", int(rng.integers(100, 600)), 0
+    )
+    wt = pa.table(
+        {
+            "event_type": pa.array(list(kinds), pa.string()),
+            "v": pa.array(v, pa.int64()),
+        }
+    )
+    con.register("wvals", wt)
+    mine = wasserstein_1d(
+        ray.data.from_arrow(wt).repartition(4)
+    ).to_pandas()
+    ref = con.execute(
+        "WITH h AS (SELECT v, CAST(count(*) FILTER (WHERE "
+        "event_type = 'click') AS BIGINT) AS na_c, "
+        "CAST(count(*) FILTER (WHERE event_type = 'view') AS "
+        "BIGINT) AS nb_c FROM wvals GROUP BY 1), "
+        "t AS (SELECT CAST(sum(na_c) AS HUGEINT) AS na, "
+        "CAST(sum(nb_c) AS HUGEINT) AS nb FROM h), "
+        "w AS (SELECT v, sum(na_c) OVER (ORDER BY v ROWS UNBOUNDED "
+        "PRECEDING) AS ca, sum(nb_c) OVER (ORDER BY v ROWS "
+        "UNBOUNDED PRECEDING) AS cb, lead(v) OVER (ORDER BY v) AS "
+        "nv FROM h), "
+        "s AS (SELECT CAST(sum(abs(CAST(ca AS HUGEINT) * t.nb - "
+        "CAST(cb AS HUGEINT) * t.na) * (nv - v)) AS HUGEINT) AS "
+        "num FROM w, t WHERE nv IS NOT NULL) "
+        "SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) "
+        "AS n_b, CAST(s.num AS DOUBLE) AS w1_num, "
+        "CAST(s.num AS DOUBLE) / CAST(t.na * t.nb AS DOUBLE) AS w1 "
+        "FROM t, s"
+    ).fetchdf()
+    check(
+        "wasserstein_1d", seed, mine, ref, ["n_a"],
+        ["n_a", "n_b", "w1_num", "w1"],
+    )
+
+    # --- interval union on overlapping/touching random spans
+    n2 = 2000
+    keys = rng.integers(0, 40, n2)
+    a = rng.integers(0, 500, n2)
+    b = a + rng.integers(0, 25, n2)
+    it = pa.table(
+        {
+            "k": pa.array(keys, pa.int64()),
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+        }
+    )
+    con.register("ivals", it)
+    mine = interval_union_days(
+        ray.data.from_arrow(it).repartition(4)
+    ).to_pandas()
+    ref = con.execute(
+        "WITH w AS (SELECT k, a, b, max(b) OVER (PARTITION BY k "
+        "ORDER BY a, b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+        "PRECEDING) AS pm FROM ivals), "
+        "isl AS (SELECT k, a, b, sum(CASE WHEN pm IS NULL OR "
+        "a > pm + 1 THEN 1 ELSE 0 END) OVER (PARTITION BY k "
+        "ORDER BY a, b ROWS UNBOUNDED PRECEDING) AS g FROM w), "
+        "m AS (SELECT k, g, min(a) AS a0, max(b) AS b1 FROM isl "
+        "GROUP BY k, g) "
+        "SELECT k, CAST(count(*) AS BIGINT) AS n_spans, "
+        "CAST(sum(b1 - a0 + 1) AS BIGINT) AS busy_days FROM m "
+        "GROUP BY 1"
+    ).fetchdf()
+    check(
+        "interval_union_days", seed, mine, ref, ["k"],
+        ["n_spans", "busy_days"],
+    )
+
+    # --- rolling-quantile breaches on a gappy daily series
+    day_us = 86_400_000_000
+    days = rng.integers(0, 150, 1500)
+    days = days[days % 11 != 2]
+    ts = days * day_us + rng.integers(0, day_us, len(days))
+    cents = rng.integers(1000, 100_000, len(days))
+    st = pa.table(
+        {
+            "ts": pa.array(ts, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        }
+    )
+    con.register("rser", st)
+    sds = ray.data.from_arrow(st).repartition(4)
+    mine = rolling_quantile_breaches(sds).to_pandas()
+    ref = con.execute(
+        "WITH d AS (SELECT ts // 86400000000 AS bucket, "
+        "CAST(sum(cents) AS BIGINT) AS x FROM rser GROUP BY 1), "
+        "w AS (SELECT bucket, x, quantile_disc(x, 0.95) OVER "
+        "(ORDER BY bucket RANGE BETWEEN 28 PRECEDING AND 1 "
+        "PRECEDING) AS p_hi, CAST(count(x) OVER (ORDER BY bucket "
+        "RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING) AS BIGINT) AS "
+        "n_window FROM d) "
+        "SELECT CAST(bucket AS BIGINT) AS bucket, x, p_hi, "
+        "n_window FROM w WHERE x > p_hi"
+    ).fetchdf()
+    check(
+        "rolling_quantile_breaches", seed, mine, ref, ["bucket"],
+        ["x", "p_hi", "n_window"],
+    )
+
+    # --- monetary-unit sampling with planted whales
+    n3 = 3000
+    ks = rng.permutation(np.arange(5, 5 + n3, dtype=np.int64))
+    cs = rng.integers(1, 20_000, n3)
+    cs[ks % 503 == 0] = 5_000_000
+    mt = pa.table(
+        {
+            "k": pa.array(ks, pa.int64()),
+            "c": pa.array(cs, pa.int64()),
+        }
+    )
+    con.register("mvals", mt)
+    mine = monetary_unit_sample(
+        ray.data.from_arrow(mt).repartition(5), n_samples=200
+    ).to_pandas()
+    ref = con.execute(
+        "WITH t AS (SELECT CAST(sum(c) AS HUGEINT) // 200 AS ti "
+        "FROM mvals), "
+        "w AS (SELECT k, c, sum(c) OVER (ORDER BY k ROWS UNBOUNDED "
+        "PRECEDING) AS cum FROM mvals) "
+        "SELECT w.k AS orderkey, w.c AS cents, "
+        "CAST(w.cum // t.ti - (w.cum - w.c) // t.ti AS BIGINT) AS "
+        "n_hits FROM w, t WHERE w.cum // t.ti > "
+        "(w.cum - w.c) // t.ti"
+    ).fetchdf()
+    check(
+        "monetary_unit_sample", seed, mine, ref, ["orderkey"],
+        ["cents", "n_hits"],
+    )
+
+
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or [
         11, 97, 1234, 5150, 31337, 424242, 888, 1000003, 271828, 999331,
@@ -5796,10 +5946,11 @@ def main():
         r5_family(seed)
         r5b_family(seed)
         r5c_family(seed)
+        r5d_family(seed)
         print(f"seed {seed}: ok", flush=True)
     print(
         f"SWEEP DONE: {len(failures)} failures across {len(seeds)} seeds "
-        "(181 comparison groups per seed)"
+        "(185 comparison groups per seed)"
     )
     for f in failures:
         print(" ", f)
