@@ -3902,6 +3902,54 @@ def _q_rbo_sparse_dense(sf_dir: str):
     return rbo_rankings(list_a, list_b)
 
 
+def _q_vocab_coverage(sf_dir: str):
+    """Vocabulary-sizing curve: share of corpus token occurrences
+    covered by the top-{100, 1000, 10000} tokens
+    (stages/textan.vocab_coverage_curve): per-bucket top-k
+    candidates, exact integer cumsums, one float division per
+    cut."""
+    from console_log_parser_ray.stages.textan import (
+        vocab_coverage_curve,
+    )
+
+    return vocab_coverage_curve(
+        _docs(sf_dir, ["doc_id", "text"])
+    )
+
+
+def _q_hill_order_values(sf_dir: str):
+    """Hill heavy-tail index over the top-500 order values in cents
+    (stages/events.hill_tail_index): per-block top-k prune,
+    micro-nat quantized lns, one float division."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import hill_tail_index
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c": pc.cast(
+                    pc.floor(
+                        pc.multiply(
+                            b.column("o_totalprice").cast(pa.float64()),
+                            pa.scalar(100.0, pa.float64()),
+                        )
+                    ),
+                    pa.int64(),
+                )
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_totalprice"],
+    ).map_batches(proj, batch_format="pyarrow")
+    return hill_tail_index(orders)
+
+
 def _q_kmv_users(sf_dir: str):
     """KMV (bottom-k) distinct-count sketch over event user_ids:
     the k smallest md5-prefix hashes plus the running estimate
@@ -8996,6 +9044,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wasserstein_click_view": _q_wasserstein_click_view,
         "compress_ratio": _q_compress_ratio,
         "rbo_sparse_dense": _q_rbo_sparse_dense,
+        "vocab_coverage": _q_vocab_coverage,
+        "hill_order_values": _q_hill_order_values,
         "slo_burn": _q_slo_burn,
         "dow_profile": _q_dow_profile,
         "flesch_docs": _q_flesch_docs,
@@ -11715,6 +11765,42 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, CAST(s - 1 AS BIGINT) AS start_tok, "
         "nh AS n_hits FROM wc QUALIFY row_number() OVER (PARTITION "
         "BY doc_id ORDER BY nh DESC, s) = 1"
+    )
+    out["vocab_coverage"] = (
+        # global token counts, (count DESC, token) order, cumulative
+        # coverage at each cut
+        "WITH toks AS (SELECT unnest(regexp_extract_all("
+        "coalesce(text, ''), '\\S+')) AS tok FROM documents), "
+        "c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks "
+        "GROUP BY 1), "
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c), "
+        "r AS (SELECT n, CAST(row_number() OVER (ORDER BY n DESC, "
+        "tok) AS BIGINT) AS rnk, sum(n) OVER (ORDER BY n DESC, tok "
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM c), "
+        "cuts AS (SELECT unnest([100, 1000, 10000]) AS k), "
+        "m AS (SELECT cuts.k, max(r.rnk) AS used, "
+        "CAST(max(r.cum) AS BIGINT) AS covered FROM cuts "
+        "JOIN r ON r.rnk <= cuts.k GROUP BY cuts.k) "
+        "SELECT CAST(m.k AS BIGINT) AS k, CAST(m.used AS BIGINT) AS "
+        "n_types_used, m.covered AS covered_occ, t.total AS "
+        "total_occ, CAST(m.covered AS DOUBLE) / "
+        "CAST(t.total AS DOUBLE) AS coverage FROM m, t"
+    )
+    out["hill_order_values"] = (
+        # exact top-k cents, micro-nat quantized lns, one division
+        "WITH src AS (SELECT CAST(floor(o_totalprice * 100) AS "
+        "BIGINT) AS c FROM orders WHERE o_totalprice IS NOT NULL), "
+        "topk AS (SELECT c, row_number() OVER (ORDER BY c DESC) AS "
+        "rnk FROM src QUALIFY rnk <= 500), "
+        "q AS (SELECT rnk, c, CAST(floor(ln(CAST(c AS DOUBLE)) * "
+        "1000000.0) AS BIGINT) AS lnq FROM topk), "
+        "g AS (SELECT CAST(sum(lnq) AS BIGINT) AS s, "
+        "CAST(min(c) AS BIGINT) AS x_k, "
+        "CAST((SELECT lnq FROM q WHERE rnk = 500) AS BIGINT) AS "
+        "lnq_k FROM q) "
+        "SELECT CAST(500 AS BIGINT) AS k, x_k, s AS s_lnq, "
+        "CAST(500 * 1000000 AS DOUBLE) / "
+        "CAST(s - 500 * lnq_k AS DOUBLE) AS alpha FROM g"
     )
     out["rbo_sparse_dense"] = (
         # the two leg rankings hybrid_rrf pins, prefix overlaps per

@@ -369,6 +369,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "wasserstein_click_view",
         "compress_ratio",
         "rbo_sparse_dense",
+        "vocab_coverage",
+        "hill_order_values",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -10033,3 +10033,76 @@ def wasserstein_1d(
             "w1": pa.array([w1], pa.float64()),
         }
     )
+
+
+def hill_tail_index(
+    ds,
+    cents_col: str = "c",
+    k: int = 500,
+    scale: int = 1_000_000,
+):
+    """Hill estimator of the heavy-tail index over the metric's
+    top-``k`` order statistics:
+
+        alpha = k / (sum_{i<=k} ln(x_i) - k * ln(x_k))
+
+    -- the tail-heaviness readout behind capacity and risk sizing
+    (alpha < 2: variance may not exist; ``gumbel_block_maxima``
+    models block extremes, Hill models the whole upper tail).
+
+    Exactness: the top-k values are exact ints via per-block top-k
+    partials + one bounded sort; each ln quantizes to integer
+    micro-nats with the identical libm expression
+    (``floor(ln(x_f) * scale)``), so the denominator is an exact
+    integer difference and alpha is ONE float division
+    (``k*scale / (S - k*lnq_k)``).  Requires k distinct-rank values
+    with x_k > 0 and a nonzero denominator (raises otherwise).
+
+    Scale shape: per-block top-k candidate prune (top_k * blocks
+    rows sorted), driver finish bounded by k.
+    """
+    import math
+
+    def part(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b.column(cents_col)))
+        x = (
+            t.column(cents_col)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        kk = min(k, len(x))
+        if kk == 0:
+            return pa.table({"x": pa.array([], pa.int64())})
+        sel = np.argpartition(-x, kk - 1)[:kk]
+        return pa.table({"x": pa.array(x[sel], pa.int64())})
+
+    vals = sorted(
+        (
+            int(r["x"])
+            for r in ds.map_batches(
+                part, batch_format="pyarrow"
+            ).take_all()
+        ),
+        reverse=True,
+    )[:k]
+    if len(vals) < k or vals[-1] <= 0:
+        raise ValueError(
+            "hill_tail_index: need k positive tail values"
+        )
+    lnq = [
+        int(math.floor(math.log(float(x)) * float(scale)))
+        for x in vals
+    ]
+    s = sum(lnq)
+    den = s - k * lnq[-1]
+    if den <= 0:
+        raise ValueError("hill_tail_index: degenerate tail")
+    alpha = float(k * scale) / float(den)
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "x_k": pa.array([vals[-1]], pa.int64()),
+            "s_lnq": pa.array([s], pa.int64()),
+            "alpha": pa.array([alpha], pa.float64()),
+        }
+    )

@@ -3885,3 +3885,114 @@ def compress_ratio_by_source(
         .aggregate(Sum("n_p"), Sum("bi_p"), Sum("bo_p"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def vocab_coverage_curve(
+    ds,
+    cuts=(100, 1_000, 10_000),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+):
+    """Vocabulary-sizing curve: for each candidate vocab size k, the
+    share of corpus token OCCURRENCES covered by the top-k tokens
+    (by count, ties token-ascending) -- the readout that decides how
+    big a tokenizer vocabulary actually needs to be before the OOV
+    tail stops mattering (``vocab_oov`` scores documents against ONE
+    chosen size; this sweeps the sizes).
+
+    Exactness: per-bucket top-max(cuts) candidates (a token lives
+    wholly in one hash bucket, so the global top-k is a subset of the
+    union -- the ``vocab_oov`` candidate rule), driver fold of
+    <= buckets x max(cuts) rows; covered counts are exact integer
+    cumsums and ``coverage`` is one float division per cut.  Output:
+    one row per cut (k, n_types_used, covered_occ, total_occ,
+    coverage).
+    """
+    from ray.data.aggregate import Sum
+
+    kmax = max(cuts)
+
+    def count_part(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b.column(text_col).combine_chunks(), "")
+        lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+        flat = lists.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = (
+            pa.table({"tok": flat})
+            .group_by(["tok"])
+            .aggregate([([], "count_all")])
+        )
+        toks = g.column("tok").combine_chunks()
+        dict_hash = _token_bucket_hashes(
+            pc.dictionary_encode(toks).dictionary, _TOK_HASH_MEMO
+        )
+        enc = pc.dictionary_encode(toks)
+        jb = (
+            dict_hash[enc.indices.to_numpy(zero_copy_only=False)]
+            % n_buckets
+        )
+        return pa.table(
+            {
+                "jb": pa.array(jb.astype(np.int32), pa.int32()),
+                "tok": toks,
+                "n_p": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def bucket_top(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by("tok").aggregate([("n_p", "sum")])
+        toks = g.column("tok").combine_chunks()
+        cnts = g.column("n_p_sum").to_numpy(zero_copy_only=False)
+        order = np.lexsort(
+            (np.asarray(toks.to_pylist(), dtype=object), -cnts)
+        )[:kmax]
+        return pa.table(
+            {
+                "tok": toks.take(pa.array(order, pa.int64())),
+                "c": pa.array(cnts[order], pa.int64()),
+            }
+        )
+
+    cand = (
+        ds.map_batches(count_part, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(bucket_top, batch_format="pyarrow")
+        .take_all()
+    )
+    # candidates are truncated per bucket, so the corpus total comes
+    # from a dedicated tiny occurrence aggregate
+    def tot_part(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b.column(text_col).combine_chunks(), "")
+        n = pc.sum(
+            pc.count_substring_regex(texts, _TOKEN_RE), min_count=0
+        ).as_py()
+        return pa.table({"n": pa.array([int(n or 0)], pa.int64())})
+
+    total = sum(
+        int(r["n"])
+        for r in ds.map_batches(
+            tot_part, batch_format="pyarrow"
+        ).take_all()
+    )
+    cand.sort(key=lambda r: (-int(r["c"]), r["tok"]))
+    counts = [int(r["c"]) for r in cand]
+    ks, used, covered, totals, cov = [], [], [], [], []
+    cum = np.cumsum(counts) if counts else np.array([], np.int64)
+    for k in sorted(cuts):
+        kk = min(k, len(counts))
+        c = int(cum[kk - 1]) if kk else 0
+        ks.append(k)
+        used.append(kk)
+        covered.append(c)
+        totals.append(total)
+        cov.append(float(c) / float(total) if total else None)
+    return pa.table(
+        {
+            "k": pa.array(ks, pa.int64()),
+            "n_types_used": pa.array(used, pa.int64()),
+            "covered_occ": pa.array(covered, pa.int64()),
+            "total_occ": pa.array(totals, pa.int64()),
+            "coverage": pa.array(cov, pa.float64()),
+        }
+    )

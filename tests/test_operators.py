@@ -10292,3 +10292,65 @@ def test_rbo_rankings_differential():
     disj = rbo_rankings(a, [x + 100 for x in a], p=0.9).to_pandas()
     assert disj["rbo"].iloc[0] == 0.0
     assert same["rbo"].iloc[0] > got["rbo"].iloc[0] > 0.0
+
+
+def test_vocab_coverage_and_hill_differential(ray_session):
+    """vocab_coverage_curve / hill_tail_index == python brute
+    forces on a Zipf corpus / Pareto-ish tail."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import hill_tail_index
+    from console_log_parser_ray.stages.textan import (
+        vocab_coverage_curve,
+    )
+
+    rng = np.random.default_rng(163)
+    vocab = [f"tok{i}" for i in range(500)]
+    texts = []
+    for _ in range(300):
+        idx = np.minimum(
+            rng.zipf(1.3, int(rng.integers(5, 30))) - 1, 499
+        ).astype(int)
+        texts.append(" ".join(vocab[j] for j in idx))
+    t = pa.table(
+        {
+            "doc_id": pa.array(
+                np.arange(len(texts), dtype=np.int64)
+            ),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = vocab_coverage_curve(
+        ray.data.from_arrow(t).repartition(4), cuts=(10, 50, 200)
+    ).to_pandas()
+    cnt = Counter(w for x in texts for w in x.split())
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    for k in (10, 50, 200):
+        row = got[got["k"] == k].iloc[0]
+        cov = sum(c for _, c in ranked[: min(k, len(ranked))])
+        assert row["covered_occ"] == cov
+        assert row["total_occ"] == total
+        assert abs(row["coverage"] - cov / total) < 1e-12
+    assert got.sort_values("k")["coverage"].is_monotonic_increasing
+    # Hill on a heavy-ish tail
+    vals = (1000 / (1 - rng.random(20000))).astype(np.int64)
+    vt = pa.table({"c": pa.array(vals, pa.int64())})
+    k = 300
+    hill = hill_tail_index(
+        ray.data.from_arrow(vt).repartition(5), k=k
+    ).to_pylist()[0]
+    top = np.sort(vals)[-k:][::-1]
+    lnq = [math.floor(math.log(float(x)) * 1e6) for x in top]
+    s = sum(lnq)
+    ref = float(k * 1_000_000) / float(s - k * lnq[-1])
+    assert hill["x_k"] == int(top[-1])
+    assert hill["s_lnq"] == s
+    assert hill["alpha"] == ref
+    assert 0.5 < hill["alpha"] < 2.0  # Pareto(1)-ish tail
