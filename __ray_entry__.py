@@ -8501,6 +8501,100 @@ def _q_lang_confusion(sf_dir: str):
     )
 
 
+def _confusion_cells(sf_dir: str):
+    """Driver-folded (lang, lang_pred, n) confusion cells -- the
+    shared reduction behind the langid evaluation family (bounded by
+    |langs|^2)."""
+    rows = _q_lang_confusion(sf_dir).take_all()
+    return [
+        (r["lang"], r["lang_pred"], int(r["n"])) for r in rows
+    ]
+
+
+def _q_langid_kappa(sf_dir: str):
+    """Cohen's kappa of the language-ID heuristic vs generator
+    ground truth: chance-corrected agreement from the exact
+    confusion-matrix counts, one float division of exact integers --
+    the eval scalar accuracy alone overstates under class
+    imbalance."""
+    import pyarrow as pa
+
+    cells = _confusion_cells(sf_dir)
+    n = sum(c for _, _, c in cells)
+    agree = sum(c for a, b, c in cells if a == b)
+    row: dict = {}
+    col: dict = {}
+    for a, b, c in cells:
+        row[a] = row.get(a, 0) + c
+        col[b] = col.get(b, 0) + c
+    pe_num = sum(
+        row[k] * col[k] for k in set(row) & set(col)
+    )
+    den = n * n - pe_num
+    kappa = (
+        float(agree * n - pe_num) / float(den) if den != 0 else None
+    )
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "agree": pa.array([agree], pa.int64()),
+            "pe_num": pa.array([float(pe_num)], pa.float64()),
+            "kappa": pa.array([kappa], pa.float64()),
+        }
+    )
+
+
+def _q_langid_prf(sf_dir: str):
+    """Per-language precision / recall / F1 of the language-ID
+    heuristic from the exact confusion counts (single float
+    expressions per class; F1 = 2*p*r/(p+r), NULL when
+    undefined)."""
+    import pyarrow as pa
+
+    cells = _confusion_cells(sf_dir)
+    diag: dict = {}
+    row: dict = {}
+    col: dict = {}
+    for a, b, c in cells:
+        row[a] = row.get(a, 0) + c
+        col[b] = col.get(b, 0) + c
+        if a == b:
+            diag[a] = diag.get(a, 0) + c
+    langs = sorted(set(row) | set(col))
+    out_l, out_tp, out_row, out_col, out_p, out_r, out_f = (
+        [], [], [], [], [], [], [],
+    )
+    for lg in langs:
+        tp = diag.get(lg, 0)
+        rc = row.get(lg, 0)
+        cc = col.get(lg, 0)
+        p = float(tp) / float(cc) if cc > 0 else None
+        r = float(tp) / float(rc) if rc > 0 else None
+        f = (
+            2.0 * p * r / (p + r)
+            if p is not None and r is not None and (p + r) > 0.0
+            else None
+        )
+        out_l.append(lg)
+        out_tp.append(tp)
+        out_row.append(rc)
+        out_col.append(cc)
+        out_p.append(p)
+        out_r.append(r)
+        out_f.append(f)
+    return pa.table(
+        {
+            "lang": pa.array(out_l, pa.string()),
+            "tp": pa.array(out_tp, pa.int64()),
+            "n_true": pa.array(out_row, pa.int64()),
+            "n_pred": pa.array(out_col, pa.int64()),
+            "precision": pa.array(out_p, pa.float64()),
+            "recall": pa.array(out_r, pa.float64()),
+            "f1": pa.array(out_f, pa.float64()),
+        }
+    )
+
+
 def _q_stickiness(sf_dir: str):
     """Product stickiness (avg DAU / avg WAU): exact distinct
     (day, user) and (week, user) folds through ONE tagged any-wins
@@ -9046,6 +9140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rbo_sparse_dense": _q_rbo_sparse_dense,
         "vocab_coverage": _q_vocab_coverage,
         "hill_order_values": _q_hill_order_values,
+        "langid_kappa": _q_langid_kappa,
+        "langid_prf": _q_langid_prf,
         "slo_burn": _q_slo_burn,
         "dow_profile": _q_dow_profile,
         "flesch_docs": _q_flesch_docs,
@@ -11765,6 +11861,57 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, CAST(s - 1 AS BIGINT) AS start_tok, "
         "nh AS n_hits FROM wc QUALIFY row_number() OVER (PARTITION "
         "BY doc_id ORDER BY nh DESC, s) = 1"
+    )
+    out["langid_kappa"] = (
+        # chance-corrected agreement from exact confusion counts
+        "WITH pred AS (" + _lang_pred_sql() + "), "
+        "c AS (SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) "
+        "AS n FROM pred p JOIN documents d USING (doc_id) "
+        "GROUP BY 1, 2), "
+        "t AS (SELECT CAST(sum(n) AS HUGEINT) AS nn FROM c), "
+        "ag AS (SELECT CAST(coalesce(sum(n) FILTER (WHERE lang = "
+        "lang_pred), 0) AS HUGEINT) AS po FROM c), "
+        "r AS (SELECT lang AS k, CAST(sum(n) AS HUGEINT) AS rc "
+        "FROM c GROUP BY 1), "
+        "cl AS (SELECT lang_pred AS k, CAST(sum(n) AS HUGEINT) AS "
+        "cc FROM c GROUP BY 1), "
+        "pe AS (SELECT CAST(coalesce(sum(r.rc * cl.cc), 0) AS "
+        "HUGEINT) AS pen FROM r JOIN cl USING (k)) "
+        "SELECT CAST(t.nn AS BIGINT) AS n, CAST(ag.po AS BIGINT) AS "
+        "agree, CAST(pe.pen AS DOUBLE) AS pe_num, "
+        "CASE WHEN t.nn * t.nn - pe.pen <> 0 THEN "
+        "CAST(ag.po * t.nn - pe.pen AS DOUBLE) / "
+        "CAST(t.nn * t.nn - pe.pen AS DOUBLE) END AS kappa "
+        "FROM t, ag, pe"
+    )
+    out["langid_prf"] = (
+        # per-class precision / recall / F1 from the same counts
+        "WITH pred AS (" + _lang_pred_sql() + "), "
+        "c AS (SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) "
+        "AS n FROM pred p JOIN documents d USING (doc_id) "
+        "GROUP BY 1, 2), "
+        "langs AS (SELECT lang AS lg FROM c UNION SELECT lang_pred "
+        "FROM c), "
+        "m AS (SELECT langs.lg AS lang, "
+        "CAST(coalesce((SELECT sum(n) FROM c WHERE c.lang = "
+        "langs.lg AND c.lang_pred = langs.lg), 0) AS BIGINT) AS tp, "
+        "CAST(coalesce((SELECT sum(n) FROM c WHERE c.lang = "
+        "langs.lg), 0) AS BIGINT) AS n_true, "
+        "CAST(coalesce((SELECT sum(n) FROM c WHERE c.lang_pred = "
+        "langs.lg), 0) AS BIGINT) AS n_pred FROM langs) "
+        "SELECT lang, tp, n_true, n_pred, "
+        "CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / "
+        "CAST(n_pred AS DOUBLE) END AS precision, "
+        "CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / "
+        "CAST(n_true AS DOUBLE) END AS recall, "
+        "CASE WHEN n_pred > 0 AND n_true > 0 AND "
+        "CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) + "
+        "CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) > 0.0 THEN "
+        "2.0 * (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)) * "
+        "(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)) / "
+        "(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) + "
+        "CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)) END AS f1 "
+        "FROM m"
     )
     out["vocab_coverage"] = (
         # global token counts, (count DESC, token) order, cumulative

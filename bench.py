@@ -371,6 +371,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "rbo_sparse_dense",
         "vocab_coverage",
         "hill_order_values",
+        "langid_kappa",
+        "langid_prf",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

@@ -10354,3 +10354,41 @@ def test_vocab_coverage_and_hill_differential(ray_session):
     assert hill["s_lnq"] == s
     assert hill["alpha"] == ref
     assert 0.5 < hill["alpha"] < 2.0  # Pareto(1)-ish tail
+
+
+def test_langid_eval_differential(ray_session, tmp_path):
+    """langid kappa/PRF == sklearn-free brute force on a synthetic
+    confusion via the real query surface at sf0.001."""
+    import numpy as np
+    import pandas as pd
+
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    cells = entry._confusion_cells(sf)
+    n = sum(c for _, _, c in cells)
+    agree = sum(c for a, b, c in cells if a == b)
+    row, col = {}, {}
+    for a, b, c in cells:
+        row[a] = row.get(a, 0) + c
+        col[b] = col.get(b, 0) + c
+    pe = sum(row[k] * col[k] for k in set(row) & set(col))
+    kap = entry._q_langid_kappa(sf).to_pylist()[0]
+    assert kap["n"] == n and kap["agree"] == agree
+    ref = (agree * n - pe) / (n * n - pe)
+    assert abs(kap["kappa"] - ref) < 1e-12
+    # tiny sf0.001 docs give a near-chance heuristic; the identity
+    # (not the quality) is what this pins
+    assert -1.0 <= kap["kappa"] <= 1.0
+    prf = entry._q_langid_prf(sf).to_pandas().set_index("lang")
+    for lg in prf.index:
+        tp = sum(c for a, b, c in cells if a == b == lg)
+        nt = row.get(lg, 0)
+        npred = col.get(lg, 0)
+        assert prf.loc[lg, "tp"] == tp
+        if npred:
+            assert (
+                abs(prf.loc[lg, "precision"] - tp / npred) < 1e-12
+            )
+        if nt:
+            assert abs(prf.loc[lg, "recall"] - tp / nt) < 1e-12
