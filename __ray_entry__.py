@@ -5003,6 +5003,39 @@ def _q_wasserstein_click_view(sf_dir: str):
     return wasserstein_1d(ev)
 
 
+def _q_vda_click_view(sf_dir: str):
+    """Vargha-Delaney A + rank-biserial r between click and view
+    value cents (stages/events.vda_effect): exact doubled pair
+    counts over the distinct-value histogram, one float division."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from console_log_parser_ray.stages.events import vda_effect
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "v": pc.cast(
+                    pc.floor(
+                        pc.multiply(
+                            b.column("value").cast(pa.float64()),
+                            pa.scalar(100.0, pa.float64()),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ev = (
+        _events(sf_dir)
+        .select_columns(["event_type", "value"])
+        .map_batches(proj, batch_format="pyarrow")
+    )
+    return vda_effect(ev)
+
+
 def _q_compress_ratio(sf_dir: str):
     """Deflate compressibility per source
     (stages/textan.compress_ratio_by_source): exact byte counts,
@@ -9142,6 +9175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hill_order_values": _q_hill_order_values,
         "langid_kappa": _q_langid_kappa,
         "langid_prf": _q_langid_prf,
+        "vda_click_view": _q_vda_click_view,
         "slo_burn": _q_slo_burn,
         "dow_profile": _q_dow_profile,
         "flesch_docs": _q_flesch_docs,
@@ -11973,6 +12007,28 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(w.d AS BIGINT) AS d, w.x_d, w.term_q, s.s_q, "
         "(1.0 - 0.9) * (CAST(s.s_q AS DOUBLE) / 1000000000000.0) "
         "AS rbo FROM w, s"
+    )
+    out["vda_click_view"] = (
+        # doubled pair counts over the value histogram stay integral
+        # through ties; one float division + the rank-biserial map
+        "WITH c AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v, "
+        "event_type AS g FROM events WHERE event_type IN ('click', "
+        "'view') AND value IS NOT NULL), "
+        "h AS (SELECT v, CAST(count(*) FILTER (WHERE g = 'click') "
+        "AS BIGINT) AS na_c, CAST(count(*) FILTER (WHERE g = "
+        "'view') AS BIGINT) AS nb_c FROM c GROUP BY 1), "
+        "t AS (SELECT CAST(sum(na_c) AS HUGEINT) AS na, "
+        "CAST(sum(nb_c) AS HUGEINT) AS nb FROM h), "
+        "w AS (SELECT v, na_c, nb_c, coalesce(sum(nb_c) OVER "
+        "(ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+        "PRECEDING), 0) AS cb FROM h), "
+        "s AS (SELECT CAST(sum(CAST(na_c AS HUGEINT) * "
+        "(2 * cb + nb_c)) AS HUGEINT) AS num2 FROM w) "
+        "SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) "
+        "AS n_b, CAST(s.num2 AS DOUBLE) AS num2, "
+        "CAST(s.num2 AS DOUBLE) / CAST(2 * t.na * t.nb AS DOUBLE) "
+        "AS vda_a, 2.0 * (CAST(s.num2 AS DOUBLE) / "
+        "CAST(2 * t.na * t.nb AS DOUBLE)) - 1.0 AS r_rb FROM t, s"
     )
     out["wasserstein_click_view"] = (
         # CDF-area numerator over the distinct-value histogram in

@@ -373,6 +373,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "hill_order_values",
         "langid_kappa",
         "langid_prf",
+        "vda_click_view",
     )
     for _ in range(rounds):
         t_flag, turns = _flagship_seconds(sf_dir)

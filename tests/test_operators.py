@@ -10392,3 +10392,37 @@ def test_langid_eval_differential(ray_session, tmp_path):
             )
         if nt:
             assert abs(prf.loc[lg, "recall"] - tp / nt) < 1e-12
+
+
+def test_vda_effect_differential(ray_session):
+    """vda_effect == the O(n^2) probability-of-superiority brute
+    force, ties counted half."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from console_log_parser_ray.stages.events import vda_effect
+
+    rng = np.random.default_rng(167)
+    n = 1500
+    kinds = np.where(rng.random(n) < 0.5, "click", "view")
+    v = rng.integers(0, 50, n) + np.where(kinds == "click", 8, 0)
+    t = pa.table(
+        {
+            "event_type": pa.array(list(kinds), pa.string()),
+            "v": pa.array(v, pa.int64()),
+        }
+    )
+    got = vda_effect(
+        ray.data.from_arrow(t).repartition(5)
+    ).to_pylist()[0]
+    a = v[kinds == "click"]
+    b = v[kinds == "view"]
+    gt = (a[:, None] > b[None, :]).sum()
+    eq = (a[:, None] == b[None, :]).sum()
+    ref = (gt + 0.5 * eq) / (len(a) * len(b))
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert abs(got["vda_a"] - ref) < 1e-12
+    assert abs(got["r_rb"] - (2 * ref - 1)) < 1e-12
+    assert got["vda_a"] > 0.55  # the planted shift favors clicks
